@@ -1,0 +1,234 @@
+"""Orchestration (O1-O6): discover → filter → load, with accounting.
+
+The reference's ``Tasks`` class (``src/Tasks.php``) drives three passes:
+delta discovery (O1), incremental load (O2/O3), and an access-
+revocation probe (O4). This module re-expresses them over the Spark
+building blocks: watermark reads (A1/A2), the left-anti change filter
+(J2+J3), the sheet kernel (T1-T6), hash short-circuit (U3), and
+partition-overwrite loads (U4/U5).
+
+Atomicity ordering (U6, SURVEY.md §7.4): the reference wraps
+hash-check + accounting + delete + insert in one RDBMS transaction
+(``DatabaseAgentMysql.php:195-292``). Across two parquet tables there is
+no multi-table transaction, so the engine makes the data write
+idempotent (dynamic partition overwrite of the job's partition) and
+commits accounting *last*: a crash between the two leaves accounting
+stale → the next run re-loads the same sheet into the same partition
+(harmless) or hash-short-circuits (cheap).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType, LongType, StringType, StructField, StructType,
+)
+
+from .config import EtlJob
+from .operators import change_filter, rows as rows_ops, watermark
+from .operators.normalize import normalized_column_names
+from .plans.state_table import StateTable
+from .plans.target_table import TargetTable
+from .sources.sheet_source import SheetSource
+
+SPREADSHEETS_SCHEMA = StructType([
+    StructField("id", LongType()),                        # surrogate key
+    StructField("google_spreadsheet_id", StringType()),   # unique natural key
+    StructField("google_modified", StringType()),         # RFC 3339 (lexicographic cursor)
+    StructField("google_spreadsheet_name", StringType()),
+    StructField("last_seen", LongType()),                 # unix epoch
+])
+
+ETL_JOBS_SCHEMA = StructType([
+    StructField("id", LongType()),                        # surrogate key = partition id in targets
+    StructField("spreadsheet_id", LongType()),            # FK → spreadsheets.id
+    StructField("sheet_name", StringType()),              # unique with spreadsheet_id
+    StructField("target_table", StringType()),
+    StructField("google_modified", StringType()),         # stamped from parent at load
+    StructField("raw_columns_rows_hash", StringType()),   # sha256 hex
+])
+
+SHEET_SCHEMA = StructType([
+    StructField("row_idx", LongType()),
+    StructField("cells", ArrayType(StringType())),
+])
+
+
+@dataclass
+class LoadResult:
+    job: EtlJob
+    skipped_unchanged: bool
+    rows_loaded: int
+    etl_job_id: int
+
+
+class SheetsEtlEngine:
+    """The engine: one warehouse directory + one pluggable source."""
+
+    def __init__(self, spark: SparkSession, warehouse_dir: str, source: SheetSource,
+                 discovery_cap: int = 200):
+        self.spark = spark
+        self.warehouse = warehouse_dir
+        self.source = source
+        self.discovery_cap = discovery_cap  # Tasks.php:46 — bounded runs
+        self.spreadsheets = StateTable(
+            spark, os.path.join(warehouse_dir, "__meta_spreadsheets"), SPREADSHEETS_SCHEMA)
+        self.etl_jobs = StateTable(
+            spark, os.path.join(warehouse_dir, "__meta_etl_jobs"), ETL_JOBS_SCHEMA)
+
+    # -- DDL (U7) ----------------------------------------------------------
+
+    def set_up_accounting(self) -> None:
+        """Idempotent accounting DDL (``DatabaseAgentMysql.php:92-127``)."""
+        self.spreadsheets.create_if_not_exists()
+        self.etl_jobs.create_if_not_exists()
+
+    def target(self, table: str) -> TargetTable:
+        return TargetTable(self.spark, os.path.join(self.warehouse, table))
+
+    # -- O1: discovery -----------------------------------------------------
+
+    def find_updated_spreadsheets(self, now: int | None = None) -> int:
+        """O1 (``Tasks.php:34-56``): read the (modified, id) watermark,
+        list newer files from the source (pushdown by construction),
+        record each as seen (U1). Returns number discovered."""
+        wm, cursor = watermark.greatest_modified(self.spreadsheets.read())
+        metas = self.source.list_spreadsheets(wm, cursor, self.discovery_cap)
+        now = int(time.time()) if now is None else now
+        for m in metas:  # sequential-cursor invariant O6: record every file
+            self.set_spreadsheet_seen(m.id, m.modified_time, m.name, now)
+        return len(metas)
+
+    def set_spreadsheet_seen(self, gid: str, modified: str, name: str, now: int) -> None:
+        """U1 upsert (``DatabaseAgentMysql.php:130-149``), surrogate key
+        preserved for existing rows, allocated for new ones."""
+        current = self.spreadsheets.read()
+        existing = current.filter(F.col("google_spreadsheet_id") == gid).select("id").first()
+        if existing is None:
+            max_id = current.select(F.coalesce(F.max("id"), F.lit(0)).alias("m")).first()["m"]
+            sid = int(max_id) + 1
+        else:
+            sid = int(existing["id"])
+        updates = self.spark.createDataFrame(
+            [(sid, gid, modified, name, now)], SPREADSHEETS_SCHEMA)
+        self.spreadsheets.upsert(updates, keys=["google_spreadsheet_id"])
+
+    # -- O2: change filter -------------------------------------------------
+
+    def filter_extractable(self, jobs: list[EtlJob]) -> list[EtlJob]:
+        """J2+J3 as one broadcast left-anti join (SURVEY.md §2.3)."""
+        if not jobs:
+            return []
+        configured = self.spark.createDataFrame(
+            [(j.google_spreadsheet_id, j.sheet_name) for j in jobs],
+            "google_spreadsheet_id string, sheet_name string")
+        extract = change_filter.filter_extractable(
+            configured, self.spreadsheets.read(), self.etl_jobs.read()
+        ).collect()  # metadata-sized (≤ number of configured jobs)
+        keep = {(r["google_spreadsheet_id"], r["sheet_name"]) for r in extract}
+        return [j for j in jobs if (j.google_spreadsheet_id, j.sheet_name) in keep]
+
+    def load_updated_spreadsheets(self, jobs: list[EtlJob]) -> list[LoadResult]:
+        """O2 (``Tasks.php:59-65``)."""
+        return [self.load_sheet(job) for job in self.filter_extractable(jobs)]
+
+    # -- O3: per-sheet ETL -------------------------------------------------
+
+    def _sheet_df(self, raw_rows: list[list[str]]) -> DataFrame:
+        data = [(i, [None if c is None else str(c) for c in r])
+                for i, r in enumerate(raw_rows)]
+        return self.spark.createDataFrame(data, SHEET_SCHEMA)
+
+    def load_sheet(self, job: EtlJob) -> LoadResult:
+        """O3 (``Tasks.php:103-143``): fetch → resolve header → evolve
+        target → project → hash short-circuit → overwrite partition →
+        commit accounting last."""
+        raw_rows, content_hash = self.source.get_sheet(
+            job.google_spreadsheet_id, job.sheet_name)
+
+        sheet = rows_ops.trim_cells(self._sheet_df(raw_rows))
+
+        # T2 with the reference's contextual error wrapper (Tasks.php:116-123)
+        header = rows_ops.header_row(sheet, job.header_row)
+        out_names = list(job.column_mapping.keys())
+        try:
+            selectors = rows_ops.resolve_column_selectors(
+                header, list(job.column_mapping.values()))
+        except Exception as e:
+            raise type(e)(
+                f"{e} in spreadsheet https://docs.google.com/spreadsheets/d/"
+                f"{job.google_spreadsheet_id} sheet {job.sheet_name}") from e
+
+        # accounting lookups (J1)
+        sheets_meta = self.spreadsheets.read()
+        meta = sheets_meta.filter(
+            F.col("google_spreadsheet_id") == job.google_spreadsheet_id).first()
+        if meta is None:
+            raise KeyError(
+                f"Spreadsheet not in accounting (run discovery first): "
+                f"{job.google_spreadsheet_id}")
+        jobs_meta = self.etl_jobs.read()
+        existing = jobs_meta.filter(
+            (F.col("spreadsheet_id") == int(meta["id"]))
+            & (F.col("sheet_name") == job.sheet_name)).first()
+
+        # U3: hash short-circuit — advance accounting only, skip the load
+        if existing is not None and existing["raw_columns_rows_hash"] == content_hash:
+            self._upsert_job_accounting(
+                int(existing["id"]), int(meta["id"]), job,
+                meta["google_modified"], content_hash)
+            return LoadResult(job, True, 0, int(existing["id"]))
+
+        if existing is None:
+            max_id = jobs_meta.select(
+                F.coalesce(F.max("id"), F.lit(0)).alias("m")).first()["m"]
+            etl_job_id = int(max_id) + 1
+        else:
+            etl_job_id = int(existing["id"])
+
+        # T3/T4/T5/T6 + VARCHAR(100) parity → partitioned write (U4/U5)
+        names = normalized_column_names(out_names)
+        data = rows_ops.project_rows(sheet, selectors, names, job.skip_rows)
+        data = rows_ops.enforce_cell_width(data, 100)
+        data = rows_ops.with_provenance(data, etl_job_id)
+        rows_loaded = data.count()
+        self.target(job.target_table).overwrite_job_partition(data)
+
+        # U2/U6: accounting commits LAST
+        self._upsert_job_accounting(
+            etl_job_id, int(meta["id"]), job, meta["google_modified"], content_hash)
+        return LoadResult(job, False, rows_loaded, etl_job_id)
+
+    def _upsert_job_accounting(self, job_id: int, spreadsheet_id: int, job: EtlJob,
+                               google_modified: str, content_hash: str) -> None:
+        updates = self.spark.createDataFrame(
+            [(job_id, spreadsheet_id, job.sheet_name, job.target_table,
+              google_modified, content_hash)], ETL_JOBS_SCHEMA)
+        self.etl_jobs.upsert(updates, keys=["spreadsheet_id", "sheet_name"])
+
+    # -- O4: access-revocation probe --------------------------------------
+
+    def verify_oldest_spreadsheet(self, now: int | None = None) -> bool:
+        """O4 (``Tasks.php:71-98``): probe the longest-unseen file.
+        Returns True when still accessible (and refreshes last_seen),
+        False when inaccessible *or the probe fails* — the reference has
+        an undefined-variable bug on non-"not found" errors
+        (``Tasks.php:87``); here any probe failure is "verify failed"
+        (SURVEY.md §2.6 O4)."""
+        oldest = watermark.longest_unseen(self.spreadsheets.read())
+        if oldest is None:
+            return True
+        try:
+            meta = self.source.get_spreadsheet(oldest)
+        except Exception:
+            return False
+        if meta is None:
+            return False
+        now = int(time.time()) if now is None else now
+        self.set_spreadsheet_seen(meta.id, meta.modified_time, meta.name, now)
+        return True

@@ -1,0 +1,41 @@
+"""SparkSession factory tuned for the test harness and for scale.
+
+Local testing runs a single JVM (``local[N]``); the configuration is
+chosen so the same code is correct on a multi-executor cluster:
+
+- AQE on (runtime coalescing, skew-join splitting) — at 100 TB the
+  static ``shuffle.partitions`` is only a hint; AQE right-sizes it.
+- ``partitionOverwriteMode=dynamic`` — the load path (U4, SURVEY.md
+  §2.5) replaces exactly one ``_origin_etl_job_id`` partition per job;
+  dynamic overwrite makes that a metadata-scoped operation instead of a
+  full-table rewrite.
+- Arrow enabled — every Python-side exchange (Pandas UDFs in the
+  multimodal/text operators) is Arrow-batched, never row-at-a-time.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "sheets-etl-spark", shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.mergeSchema", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

@@ -1,0 +1,123 @@
+"""Google Drive/Sheets REST source (S1-S4) with retry+backoff (O5).
+
+Import-gated: the Google client libraries and outbound network are not
+available in this environment, so the HTTP layer raises
+``NotImplementedError`` unless ``googleapiclient`` is importable. The
+*pushdown construction* (query/fields/orderBy/pageSize — the part that
+defines source semantics, ``src/GoogleSheetsAgent.php:91-123``) and the
+backoff policy (``GoogleSheetsAgent.php:30-64``: ≤5 retries on
+429/5xx/transport, delay ``2^n s + jitter``) are real and unit-tested.
+"""
+
+from __future__ import annotations
+
+import random
+import time
+from collections.abc import Callable
+
+from .sheet_source import SpreadsheetMeta, payload_fingerprint
+
+MIME_SPREADSHEET = "application/vnd.google-apps.spreadsheet"
+RETRYABLE_STATUS = {429, 500, 502, 503, 504}
+MAX_RETRIES = 5
+
+
+def drive_list_params(modified_since: str, count: int) -> dict:
+    """The pushed-down Drive ``files.list`` request (S1): predicate
+    (mimeType + modifiedTime >= watermark), projection (id, modifiedTime,
+    name), ordering, and limit — pushdown by construction (SURVEY.md §4)."""
+    return {
+        "q": f"mimeType = '{MIME_SPREADSHEET}' and modifiedTime >= '{modified_since}'",
+        "fields": "files(id,modifiedTime,name)",
+        "orderBy": "modifiedTime",
+        "pageSize": min(count, 1000),
+        "supportsAllDrives": True,
+        "includeItemsFromAllDrives": True,
+        "corpora": "allDrives",
+    }
+
+
+def backoff_delays(attempts: int = MAX_RETRIES, rng: random.Random | None = None) -> list[float]:
+    """Exponential backoff schedule in seconds: ``2^n + U(0,1)``
+    (reference: ``1000*2^n + rand(0,1000)`` ms)."""
+    rng = rng or random.Random()
+    return [(2**n) + rng.random() for n in range(attempts)]
+
+
+class RetryableHttpError(Exception):
+    def __init__(self, status: int):
+        self.status = status
+        super().__init__(f"HTTP {status}")
+
+
+def with_backoff(call: Callable, *, sleep=time.sleep, rng: random.Random | None = None):
+    """Run ``call`` with the reference's retry policy (O5)."""
+    delays = backoff_delays(rng=rng)
+    for attempt in range(MAX_RETRIES + 1):
+        try:
+            return call()
+        except RetryableHttpError as e:
+            if e.status not in RETRYABLE_STATUS or attempt == MAX_RETRIES:
+                raise
+            sleep(delays[attempt])
+        except ConnectionError:
+            if attempt == MAX_RETRIES:
+                raise
+            sleep(delays[attempt])
+
+
+class GoogleSheetSource:
+    """Real REST source; requires ``googleapiclient`` + credentials."""
+
+    def __init__(self, credentials_file: str):
+        try:
+            from googleapiclient.discovery import build  # noqa: F401
+            from google.oauth2 import service_account  # noqa: F401
+        except ImportError as e:  # pragma: no cover - env has no google libs
+            raise NotImplementedError(
+                "googleapiclient not installed in this environment; "
+                "use FixtureSheetSource or install google-api-python-client"
+            ) from e
+        creds = service_account.Credentials.from_service_account_file(
+            credentials_file,
+            scopes=["https://www.googleapis.com/auth/drive.readonly",
+                    "https://www.googleapis.com/auth/spreadsheets.readonly"],
+        )
+        self._drive = build("drive", "v3", credentials=creds)
+        self._sheets = build("sheets", "v4", credentials=creds)
+
+    def list_spreadsheets(self, modified_since: str, cursor_id: str, count: int):
+        params = drive_list_params(modified_since, count)
+        resp = with_backoff(lambda: self._drive.files().list(**params).execute())
+        metas = [
+            SpreadsheetMeta(f["id"], f["modifiedTime"], f["name"])
+            for f in resp.get("files", [])
+        ]
+        # S2 residual tuple filter (GoogleSheetsAgent.php:114-119)
+        return [
+            m for m in metas
+            if m.modified_time > modified_since
+            or (m.modified_time == modified_since and m.id >= cursor_id)
+        ][:count]
+
+    def get_spreadsheet(self, spreadsheet_id: str):
+        try:
+            f = with_backoff(
+                lambda: self._drive.files()
+                .get(fileId=spreadsheet_id, fields="id,modifiedTime,name",
+                     supportsAllDrives=True)
+                .execute()
+            )
+        except Exception:
+            return None
+        return SpreadsheetMeta(f["id"], f["modifiedTime"], f["name"])
+
+    def get_sheet(self, spreadsheet_id: str, sheet_name: str):
+        resp = with_backoff(
+            lambda: self._sheets.spreadsheets()
+            .values()
+            .get(spreadsheetId=spreadsheet_id, range=f"'{sheet_name}'")
+            .execute()
+        )
+        rows = resp.get("values", [])
+        return rows, payload_fingerprint(rows)

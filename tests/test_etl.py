@@ -1,0 +1,157 @@
+"""End-to-end engine tests (SURVEY.md §7.2 minimum slice):
+discover → change-filter → load → re-run no-op (hash short-circuit) →
+change one cell → exactly that job's partition rewritten."""
+
+from __future__ import annotations
+
+import pytest
+
+from google_sheets_etl_spark.config import EtlJob, parse_config
+from google_sheets_etl_spark.etl import SheetsEtlEngine
+from google_sheets_etl_spark.sources.sheet_source import (
+    FixtureSheetSource, SpreadsheetMeta,
+)
+
+SHEET_A = [
+    ["Name", "Amount Due", "Café"],
+    ["alice", "10", "x"],
+    ["bob", "20"],            # ragged
+    ["carol", "30", "z"],
+]
+SHEET_B = [
+    ["preamble junk"],
+    ["Id", "Val"],
+    ["1", "a"],
+    ["2", "b"],
+]
+
+
+@pytest.fixture()
+def source():
+    src = FixtureSheetSource()
+    src.put_sheet(SpreadsheetMeta("SSA" + "a" * 41, "2026-01-02T00:00:00.000Z", "Sheet A"),
+                  "Tab1", SHEET_A)
+    src.put_sheet(SpreadsheetMeta("SSB" + "b" * 41, "2026-01-03T00:00:00.000Z", "Sheet B"),
+                  "Tab2", SHEET_B)
+    return src
+
+
+@pytest.fixture()
+def jobs():
+    return [
+        EtlJob("SSA" + "a" * 41, "Tab1", "table_a",
+               {"name": "Name", "amount": "Amount Due", "cafe": 2}),
+        EtlJob("SSB" + "b" * 41, "Tab2", "table_b",
+               {"id": "Id", "val": "Val"}, header_row=1, skip_rows=2),
+    ]
+
+
+@pytest.fixture()
+def engine(spark, tmp_path, source):
+    eng = SheetsEtlEngine(spark, str(tmp_path / "wh"), source)
+    eng.set_up_accounting()
+    return eng
+
+
+def test_accounting_idempotent(engine):
+    engine.set_up_accounting()  # twice: no error, no data loss (U7)
+    assert engine.spreadsheets.read().count() == 0
+
+
+def test_discovery_and_watermark(engine, source):
+    n = engine.find_updated_spreadsheets(now=1000)
+    assert n == 2
+    meta = engine.spreadsheets.read().orderBy("google_modified").collect()
+    assert [m["google_spreadsheet_id"][:3] for m in meta] == ["SSA", "SSB"]
+    assert all(m["last_seen"] == 1000 for m in meta)
+    # second discovery: watermark cursor includes the last tuple (>=) →
+    # re-sees the newest file only, upsert keeps ids stable
+    n2 = engine.find_updated_spreadsheets(now=2000)
+    assert n2 == 1
+    again = {m["google_spreadsheet_id"]: m for m in engine.spreadsheets.read().collect()}
+    assert again["SSB" + "b" * 41]["last_seen"] == 2000
+    assert again["SSA" + "a" * 41]["last_seen"] == 1000
+    assert engine.spreadsheets.read().count() == 2
+
+
+def test_full_load_cycle(engine, jobs, source, spark):
+    engine.find_updated_spreadsheets(now=1000)
+
+    # all jobs extractable on first run
+    assert len(engine.filter_extractable(jobs)) == 2
+    results = engine.load_updated_spreadsheets(jobs)
+    assert [r.skipped_unchanged for r in results] == [False, False]
+    assert [r.rows_loaded for r in results] == [3, 2]
+
+    # normalized names + provenance in the target
+    ta = engine.target("table_a").read()
+    assert set(ta.columns) == {"name", "amount", "cafe", "_origin_row", "_origin_etl_job_id"}
+    got = {r["name"]: r for r in ta.collect()}
+    assert got["bob"]["cafe"] is None  # ragged → null-pad
+    assert got["alice"]["amount"] == "10"
+
+    # header_row=1/skip_rows=2 job
+    tb = engine.target("table_b").read().orderBy("_origin_row").collect()
+    assert [r["id"] for r in tb] == ["1", "2"]
+
+    # re-run: nothing extractable (up-to-date anti-join drops both)
+    assert engine.filter_extractable(jobs) == []
+
+    # touch A's modifiedTime without changing content → extractable,
+    # but hash short-circuit skips the data load (U3)
+    source.metas["SSA" + "a" * 41] = SpreadsheetMeta(
+        "SSA" + "a" * 41, "2026-01-04T00:00:00.000Z", "Sheet A")
+    engine.find_updated_spreadsheets(now=3000)
+    extract = engine.filter_extractable(jobs)
+    assert [j.target_table for j in extract] == ["table_a"]
+    res = engine.load_updated_spreadsheets(jobs)
+    assert len(res) == 1 and res[0].skipped_unchanged
+
+    # accounting advanced → no longer extractable
+    assert engine.filter_extractable(jobs) == []
+
+    # change one cell → real reload, same partition id, new data visible
+    new_sheet = [row[:] for row in SHEET_A]
+    new_sheet[1][1] = "99"
+    source.put_sheet(SpreadsheetMeta("SSA" + "a" * 41, "2026-01-05T00:00:00.000Z", "Sheet A"),
+                     "Tab1", new_sheet)
+    engine.find_updated_spreadsheets(now=4000)
+    res = engine.load_updated_spreadsheets(jobs)
+    assert len(res) == 1 and not res[0].skipped_unchanged
+    ta2 = engine.target("table_a").read()
+    got2 = {r["name"]: r for r in ta2.collect()}
+    assert got2["alice"]["amount"] == "99"
+    assert ta2.count() == 3  # partition replaced, not appended (U4)
+    # table_b untouched
+    assert engine.target("table_b").read().count() == 2
+
+
+def test_error_context_on_missing_column(engine, jobs):
+    engine.find_updated_spreadsheets(now=1000)
+    bad = EtlJob("SSA" + "a" * 41, "Tab1", "table_bad", {"x": "Nope"})
+    with pytest.raises(Exception, match="Required column not found: Nope.*docs.google.com"):
+        engine.load_sheet(bad)
+
+
+def test_verify_oldest(engine, source):
+    engine.find_updated_spreadsheets(now=1000)
+    assert engine.verify_oldest_spreadsheet(now=5000) is True
+    meta = {m["google_spreadsheet_id"]: m for m in engine.spreadsheets.read().collect()}
+    # oldest-seen (SSA, tie on last_seen broken by min_by impl) refreshed
+    assert max(m["last_seen"] for m in meta.values()) == 5000
+    # revoke access → False
+    victim = min(meta.values(), key=lambda m: m["last_seen"])["google_spreadsheet_id"]
+    del source.metas[victim]
+    assert engine.verify_oldest_spreadsheet(now=6000) is False
+
+
+def test_parse_config():
+    cfg = {
+        "$schema": "http://example/schema.json",
+        "SS1": {"Tab": {"targetTable": "t", "columnMapping": {"a": "A", "b": 1}}},
+    }
+    jobs = parse_config(cfg)
+    assert len(jobs) == 1
+    j = jobs[0]
+    assert (j.header_row, j.skip_rows) == (0, 1)
+    assert j.column_mapping == {"a": "A", "b": 1}
