@@ -1,0 +1,54 @@
+#!/usr/bin/env python
+"""Benchmark: run the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]; print ONE JSON line.
+
+Each query executes to completion via the noop sink (full computation,
+no driver-side result materialization skewing the numbers).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from google_sheets_etl_spark.queries import QUERIES  # noqa: E402
+from google_sheets_etl_spark.session import get_spark  # noqa: E402
+
+# correctness-only exact twins that are quadratic by construction —
+# their scale paths (near_dup_lsh / cosine_topk) ARE benchmarked
+EXCLUDE = {"near_dup_jaccard_exact"}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark("sheets-etl-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    for name, fn in QUERIES.items():
+        if name in EXCLUDE:
+            continue
+        start = time.perf_counter()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,148 @@
+"""Similarity search over embedding columns (north-star extension).
+
+Two tiers, same semantics:
+
+- :func:`cosine_topk_bruteforce` — exact top-k: broadcast the (small)
+  query set against the candidate corpus, score with the codegen'd
+  cosine kernel, keep top-k per query with a window. The broadcast
+  makes the "cross join" a map-side nested loop: candidates never
+  shuffle, so the cost is one scan of the corpus regardless of cluster
+  size. Correct baseline + the right plan when |queries| is small.
+- :func:`cosine_topk_lsh` — approximate scale path: random-hyperplane
+  LSH (sign sketches) buckets both sides; scoring happens only within
+  matching buckets across multiple independent tables, then exact
+  re-rank of the union of candidates. At 100 TB this turns a full-corpus
+  scan per query batch into a bucket-join; recall is tunable via
+  (n_tables, n_bits).
+
+Outputs carry ``rank`` (dense 1..k by cosine desc, id asc tie-break)
+and a rounded score — rank is the oracle-compared value; raw float
+scores are not (sum-order ulp noise).
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_similarity, dot
+
+
+def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),  # duckdb row_number is BIGINT
+            F.round("cos", 4).alias("cosine_r4"),
+        )
+    )
+
+
+def cosine_topk_bruteforce(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query (queries broadcast)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        cosine_similarity(F.col("qv"), F.col("cv")).alias("cos"),
+    )
+    return _ranked_topk(scored, k)
+
+
+def _hyperplanes(dim: int, n_bits: int, n_tables: int, seed: int) -> list[list[list[float]]]:
+    rng = random.Random(seed)
+    return [
+        [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_bits)]
+        for _ in range(n_tables)
+    ]
+
+
+def _bucket_expr(vec_col: str, planes: list[list[float]]):
+    """Sign-sketch bucket id: bit b set iff dot(v, plane_b) >= 0."""
+    bits = [
+        (dot(F.col(vec_col), F.array(*[F.lit(x) for x in p])) >= 0).cast("long")
+        * F.lit(1 << i).cast("long")
+        for i, p in enumerate(planes)
+    ]
+    return F.aggregate(F.array(*bits), F.lit(0).cast("long"), lambda a, v: a + v)
+
+
+def cosine_topk_lsh(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_bits: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only within matching random-hyperplane
+    buckets (union over ``n_tables`` independent tables), exact re-rank
+    of candidates. For unit vectors P[same bucket] per table =
+    (1 - theta/pi)^n_bits — raise n_tables for recall, n_bits for
+    selectivity."""
+    tables = _hyperplanes(dim, n_bits, n_tables, seed)
+
+    def with_buckets(df: DataFrame, idc: str, out_id: str, out_vec: str) -> DataFrame:
+        buckets = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("t"), _bucket_expr(vec_col, planes).alias("b")
+                )
+                for t, planes in enumerate(tables)
+            ]
+        )
+        return (
+            df.select(
+                F.col(idc).alias(out_id),
+                F.col(vec_col).alias(out_vec),
+                F.explode(buckets).alias("tb"),
+            )
+            .select(out_id, out_vec, "tb.t", "tb.b")
+        )
+
+    q = with_buckets(queries, id_col, "query_id", "qv")
+    c = with_buckets(candidates, id_col, "neighbor_id", "cv")
+    cands = (
+        q.join(c, on=["t", "b"])
+        .select("query_id", "qv", "neighbor_id", "cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        cosine_similarity(F.col("qv"), F.col("cv")).alias("cos"),
+    )
+    return _ranked_topk(scored, k)
+
+
+def recall_at_k(exact: DataFrame, approx: DataFrame, k: int) -> float:
+    """Fraction of exact top-k pairs recovered by the approximate
+    result (driver-side scalar; for tests/tuning)."""
+    e = exact.filter(F.col("rank") <= k).select("query_id", "neighbor_id")
+    a = approx.filter(F.col("rank") <= k).select("query_id", "neighbor_id")
+    hits = e.join(a, on=["query_id", "neighbor_id"], how="left_semi").count()
+    total = e.count()
+    return float("nan") if total == 0 else hits / total

@@ -1,0 +1,79 @@
+"""Text-analysis operators over the ``documents`` table (north star).
+
+All per-document computations are narrow JVM expressions (split /
+higher-order array functions / sha2) — no Python in the hot path, no
+shuffle except where a groupBy is the semantics. Each operator's exact
+DuckDB equivalent lives in ``queries.py`` oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textfns import words_of
+
+# A tiny embedded stopword list — deterministic, engine-neutral, and
+# sufficient for a frequency-based language/quality heuristic. (Real
+# deployments would broadcast a bigger lexicon; the *operator shape*
+# is identical.)
+EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"]
+
+
+def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc token counts (whitespace tokenization): n_tokens,
+    n_unique_tokens, n_chars_measured."""
+    words = words_of(F.col(text_col))
+    # long casts: duckdb len()/length() yield BIGINT — keep schemas equal
+    return docs.select(
+        F.col(id_col),
+        F.size(words).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(words)).cast("long").alias("n_unique_tokens"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars_measured"),
+    )
+
+
+def stopword_hits(text_col: Column, stopwords: list[str] = EN_STOPWORDS) -> Column:
+    """Count of token occurrences that are in the stopword list."""
+    stop_arr = F.array(*[F.lit(s) for s in stopwords])
+    return F.size(F.filter(words_of(text_col), lambda w: F.array_contains(stop_arr, w)))
+
+
+def quality_features(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Integer-valued quality signals (ratios left to the consumer so
+    the oracle comparison stays float-free): token counts, stopword
+    hits, max token length, and a language guess from stopword density.
+    """
+    words = words_of(F.col(text_col))
+    n_tokens = F.size(words)
+    hits = stopword_hits(F.col(text_col))
+    max_tok = F.array_max(F.transform(words, lambda w: F.length(w)))
+    # crude n-gram-free language id: en iff >=2% stopword tokens
+    lang_guess = F.when(hits * 50 >= n_tokens, F.lit("en")).otherwise(F.lit("other"))
+    return docs.select(
+        F.col(id_col),
+        n_tokens.cast("long").alias("n_tokens"),
+        hits.cast("long").alias("stop_hits"),
+        max_tok.cast("long").alias("max_token_len"),
+        lang_guess.alias("lang_guess"),
+    )
+
+
+def bag_fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Order-insensitive content fingerprint: sha256 of the sorted
+    distinct token set. Robust to token reordering — the document-level
+    analogue of the sheet content hash (A3)."""
+    words = F.array_sort(F.array_distinct(words_of(F.col(text_col))))
+    return docs.select(
+        F.col(id_col),
+        F.sha2(F.concat_ws(" ", words), 256).alias("bag_fp"),
+    )
+
+
+def lang_histogram(docs: DataFrame, lang_col: str = "lang") -> DataFrame:
+    """Corpus-level language distribution (one shuffle on a low-card
+    key; partial aggregation makes it map-side cheap)."""
+    return docs.groupBy(lang_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )

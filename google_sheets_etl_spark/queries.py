@@ -1,0 +1,563 @@
+"""Driver-contract query inventory: Spark implementation + DuckDB oracle
+per operator (SURVEY.md §2 + north-star extensions).
+
+Conventions that make the driver's order-insensitive value-hash compare
+work (see ``__spark_entry__.py``):
+
+- every computed column is aliased identically in Spark and SQL;
+- float *aggregates* are rounded (sum-order ulp noise across engines);
+  raw stored floats pass through untouched;
+- hashes are sha256 hex (``F.sha2(x, 256)`` == duckdb ``sha256(x)``);
+- timestamps only appear date_trunc'd or as exact integer epochs
+  (``unix_micros`` == duckdb ``epoch_us``);
+- top-k orderings always carry a unique-id tie-break.
+
+Queries without an oracle entry (LSH near-dup, SimHash, approximate
+ANN) are genuinely not SQL-expressible or engine-neutral — the driver
+records a rows-only check for them; exact counterparts of each ARE
+oracled (brute-force Jaccard, brute-force cosine top-k).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.textfns import minhash_min, word_shingles, words_of
+from .functions.vectors import dot
+from .operators import dedup, similarity, text as text_ops
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+QUERIES: dict[str, QueryFn] = {}
+ORACLE: dict[str, str] = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # ts is TIMESTAMP(NANOS) in the file, read as long nanos (see
+        # session.py nanosAsLong); convert to a µs timestamp — lossless
+        # for this corpus (values are µs-precision), and identical to
+        # what duckdb's epoch_us/date_trunc see.
+        df = df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return df
+
+
+# =====================================================================
+# Reference-parity relational operators (SURVEY.md §2)
+# =====================================================================
+
+@q(
+    "watermark_tuple_max",
+    """SELECT o_orderdate AS wm_modified, o_orderkey AS wm_id
+       FROM orders ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1""",
+)
+def watermark_tuple_max(spark: SparkSession, sf: str) -> DataFrame:
+    """A1: greatest (modified, id) tuple — ``max(struct)`` partial agg,
+    no sort, no LIMIT shuffle (DatabaseAgentMysql.php:24-35)."""
+    return (
+        t(spark, sf, "orders")
+        .select(F.max(F.struct("o_orderdate", "o_orderkey")).alias("wm"))
+        .select(
+            F.col("wm.o_orderdate").alias("wm_modified"),
+            F.col("wm.o_orderkey").alias("wm_id"),
+        )
+    )
+
+
+@q(
+    "staleness_min_by",
+    """SELECT user_id AS oldest_user, event_id AS oldest_event
+       FROM events ORDER BY ts ASC, event_id ASC LIMIT 1""",
+)
+def staleness_min_by(spark: SparkSession, sf: str) -> DataFrame:
+    """A2: min-by with deterministic tie-break (DatabaseAgentMysql.php:38-49)."""
+    return (
+        t(spark, sf, "events")
+        .select(F.min(F.struct("ts", "event_id", "user_id")).alias("m"))
+        .select(
+            F.col("m.user_id").alias("oldest_user"),
+            F.col("m.event_id").alias("oldest_event"),
+        )
+    )
+
+
+@q(
+    "change_filter_anti_join",
+    """SELECT c_custkey, c_name FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+)
+def change_filter_anti_join(spark: SparkSession, sf: str) -> DataFrame:
+    """J2+J3: the change filter's left-anti shape (DatabaseAgentMysql.php:52-87)
+    — customers with no orders, as jobs with no up-to-date load."""
+    c, o = t(spark, sf, "customer"), t(spark, sf, "orders")
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@q(
+    "uptodate_semi_join",
+    """SELECT c_custkey, c_mktsegment FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+)
+def uptodate_semi_join(spark: SparkSession, sf: str) -> DataFrame:
+    """J2 (SQL half): the semi-join shape."""
+    c, o = t(spark, sf, "customer"), t(spark, sf, "orders")
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_semi"
+    ).select("c_custkey", "c_mktsegment")
+
+
+@q(
+    "fk_lookup_join",
+    """SELECT n_name, COUNT(*) AS n_customers,
+              ROUND(SUM(c_acctbal), 2) AS acctbal_sum
+       FROM customer JOIN nation ON c_nationkey = n_nationkey
+       GROUP BY n_name""",
+)
+def fk_lookup_join(spark: SparkSession, sf: str) -> DataFrame:
+    """J1: FK lookup against a small dim — broadcast hash join
+    (DatabaseAgentMysql.php:198-205)."""
+    c, n = t(spark, sf, "customer"), t(spark, sf, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("acctbal_sum"),
+        )
+    )
+
+
+@q(
+    "projection_nullpad",
+    """SELECT doc_id, (string_split(text, ' '))[50] AS token_50 FROM documents""",
+)
+def projection_nullpad(spark: SparkSession, sf: str) -> DataFrame:
+    """T3: positional projection with null-pad past the row end
+    (RowsOfColumns.php:76 ``?? null`` ≡ try_element_at)."""
+    d = t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.try_element_at(words_of(F.col("text")), F.lit(50)).alias("token_50"),
+    )
+
+
+@q(
+    "offset_skip_reindex",
+    """SELECT source, doc_id, rn - 3 AS origin_row FROM (
+         SELECT source, doc_id,
+                ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+         FROM documents) WHERE rn > 2""",
+)
+def offset_skip_reindex(spark: SparkSession, sf: str) -> DataFrame:
+    """T4: skip leading rows per group, re-index survivors from 0
+    (RowsOfColumns.php:73 array_slice semantics, per-source)."""
+    d = t(spark, sf, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return (
+        d.select("source", "doc_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") > 2)
+        .select("source", "doc_id", (F.col("rn") - 3).cast("long").alias("origin_row"))
+    )
+
+
+@q(
+    "content_fingerprint",
+    """SELECT doc_id, sha256(text) AS fp FROM documents""",
+)
+def content_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """A3: per-document sha256 content hash (GoogleSheetsAgent.php:167)."""
+    return t(spark, sf, "documents").select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("fp")
+    )
+
+
+@q(
+    "topk_orders",
+    """SELECT o_orderkey, o_totalprice FROM orders
+       ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+)
+def topk_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """A1 generalized to top-k with tie-break — TakeOrderedAndProject,
+    no global sort."""
+    return (
+        t(spark, sf, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+# =====================================================================
+# Flagship relational queries (TPC-H-shaped, same primitives at scale)
+# =====================================================================
+
+@q(
+    "q1_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+              ROUND(SUM(l_quantity), 2) AS sum_qty,
+              ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+              ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+              ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+              COUNT(*) AS count_order
+       FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+       GROUP BY l_returnflag, l_linestatus""",
+)
+def q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy partial aggregation; predicate and
+    4-column projection push to the parquet scan."""
+    li = t(spark, sf, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@q(
+    "q3_shipping_priority",
+    """SELECT l_orderkey,
+              ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+              o_orderdate, o_orderpriority
+       FROM customer JOIN orders ON c_custkey = o_custkey
+                     JOIN lineitem ON l_orderkey = o_orderkey
+       WHERE c_mktsegment = 'BUILDING'
+         AND o_orderdate < TIMESTAMP '1998-03-15'
+         AND l_shipdate > TIMESTAMP '1998-03-15'
+       GROUP BY l_orderkey, o_orderdate, o_orderpriority
+       ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+)
+def q3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → fact join → top-k."""
+    c = t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf, "orders").filter(F.col("o_orderdate") < F.lit("1998-03-15"))
+    li = t(spark, sf, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-03-15"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@q(
+    "q5_region_revenue",
+    """SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       FROM customer
+         JOIN orders   ON c_custkey = o_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation   ON s_nationkey = n_nationkey
+         JOIN region   ON n_regionkey = r_regionkey
+       WHERE r_name = 'ASIA'
+       GROUP BY n_name""",
+)
+def q5_region_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5 shape: star join with small dims broadcast; only the
+    orders⋈lineitem join shuffles."""
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders")
+    li = t(spark, sf, "lineitem")
+    s = t(spark, sf, "supplier")
+    n = t(spark, sf, "nation")
+    r = t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@q(
+    "mktsegment_stats",
+    """SELECT c_mktsegment, COUNT(*) AS n_customers,
+              ROUND(SUM(c_acctbal), 2) AS acctbal_sum
+       FROM customer GROUP BY c_mktsegment""",
+)
+def mktsegment_stats(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        t(spark, sf, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("acctbal_sum"),
+        )
+    )
+
+
+# =====================================================================
+# Event analytics (window functions, sessionization, JSON)
+# =====================================================================
+
+@q(
+    "events_hourly",
+    """SELECT date_trunc('hour', ts) AS hour, event_type,
+              COUNT(*) AS n, ROUND(SUM(value), 2) AS value_sum
+       FROM events GROUP BY 1, 2""",
+)
+def events_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    """Tumbling-window aggregation (batch shape of the streaming op)."""
+    return (
+        t(spark, sf, "events")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+    )
+
+
+@q(
+    "events_sessionize",
+    """WITH marked AS (
+         SELECT user_id,
+                CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                     OR LAG(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+       SELECT user_id, SUM(new_s) AS n_sessions FROM marked GROUP BY user_id""",
+)
+def events_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): one lag window +
+    one aggregate; exact integer-microsecond gap math on both engines."""
+    e = t(spark, sf, "events").select(
+        "user_id", "event_id", F.unix_micros(F.col("ts")).alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    marked = e.withColumn(
+        "new_s",
+        F.when(
+            (F.col("us") - F.lag("us").over(w) > 1_800_000_000)
+            | F.lag("us").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    return marked.groupBy("user_id").agg(F.sum("new_s").alias("n_sessions"))
+
+
+@q(
+    "events_json_extract",
+    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+       FROM events""",
+)
+def events_json_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON scalar extraction from the props column."""
+    return t(spark, sf, "events").select(
+        "event_id",
+        F.get_json_object(F.col("props"), "$.k").cast("int").alias("k_val"),
+    )
+
+
+# =====================================================================
+# North-star extensions: dedup / similarity / text (BASELINE.json)
+# =====================================================================
+
+@q(
+    "dedup_exact_groups",
+    """SELECT sha256(text) AS fp, COUNT(*) AS n_copies, MIN(doc_id) AS keep_id
+       FROM documents GROUP BY 1""",
+)
+def dedup_exact_groups(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.exact_dedup_groups(t(spark, sf, "documents"))
+
+
+_MINHASH_ORACLE = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(words) - 1, 1)),
+                        i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]) AS s
+  FROM w
+)
+SELECT doc_id,
+       list_min(list_transform(s, x -> sha256('0|' || x))) AS mh_0,
+       list_min(list_transform(s, x -> sha256('1|' || x))) AS mh_1,
+       list_min(list_transform(s, x -> sha256('2|' || x))) AS mh_2,
+       list_min(list_transform(s, x -> sha256('3|' || x))) AS mh_3
+FROM sh"""
+
+
+@q("minhash_signatures", _MINHASH_ORACLE)
+def minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
+    """Engine-neutral seeded-sha256 minhash (4 hashes for the oracle
+    check; the LSH path uses 8)."""
+    return dedup.minhash_signatures(t(spark, sf, "documents"), num_hashes=4)
+
+
+_JACCARD_ORACLE = """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(string_split(text,' ')) - 1, 1)),
+           i -> (string_split(text,' '))[i] || ' ' ||
+                (string_split(text,' '))[i+1] || ' ' ||
+                (string_split(text,' '))[i+2])) AS s
+  FROM documents
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+               CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 6) AS jaccard
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_distinct(list_concat(a.s, b.s))) > 0
+)
+SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5"""
+
+
+@q("near_dup_jaccard_exact", _JACCARD_ORACLE)
+def near_dup_jaccard_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (the verify kernel of the
+    LSH path, run exhaustively — correctness-scale only)."""
+    return dedup.jaccard_pairs_bruteforce(t(spark, sf, "documents"), threshold=0.5)
+
+
+@q("near_dup_lsh")  # approximate — rows-only check; exact twin is oracled above
+def near_dup_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash-LSH banded near-dup (the 100 TB path: candidates via
+    band-bucket join, exact Jaccard only on candidates)."""
+    return dedup.near_dup_pairs(t(spark, sf, "documents"), threshold=0.5)
+
+
+@q("simhash64")  # xxhash64 has no duckdb equivalent — rows-only check
+def simhash64(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.simhash64(t(spark, sf, "documents"))
+
+
+_COSINE_ORACLE = """
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+     c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.embedding, c.embedding) /
+           (sqrt(list_dot_product(q.embedding, q.embedding)) *
+            sqrt(list_dot_product(c.embedding, c.embedding))) AS cos
+  FROM q CROSS JOIN c)
+SELECT query_id, neighbor_id,
+       ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY cos DESC, neighbor_id ASC) AS rank,
+       ROUND(cos, 4) AS cosine_r4
+FROM scored
+QUALIFY rank <= 5"""
+
+
+@q("cosine_topk", _COSINE_ORACLE)
+def cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact brute-force cosine top-5 (queries broadcast; the ANN twin
+    below is the approximate scale path)."""
+    emb = t(spark, sf, "embeddings")
+    return similarity.cosine_topk_bruteforce(
+        emb.filter(F.col("vec_id") < 10), emb.filter(F.col("vec_id") >= 10), k=5
+    )
+
+
+@q("ann_lsh_topk")  # approximate by construction — rows-only check
+def ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = t(spark, sf, "embeddings")
+    return similarity.cosine_topk_lsh(
+        emb.filter(F.col("vec_id") < 10), emb.filter(F.col("vec_id") >= 10), k=5
+    )
+
+
+@q(
+    "text_token_stats",
+    """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+              len(list_distinct(string_split(text, ' '))) AS n_unique_tokens,
+              length(text) AS n_chars_measured
+       FROM documents""",
+)
+def text_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    return text_ops.token_stats(t(spark, sf, "documents"))
+
+
+@q(
+    "text_quality_features",
+    """SELECT doc_id,
+              len(string_split(text, ' ')) AS n_tokens,
+              len(list_filter(string_split(text, ' '),
+                  w -> list_contains(['the','a','of','and','to','in','is','that','it','for'], w)))
+                AS stop_hits,
+              list_max(list_transform(string_split(text, ' '), w -> length(w)))
+                AS max_token_len,
+              CASE WHEN len(list_filter(string_split(text, ' '),
+                     w -> list_contains(['the','a','of','and','to','in','is','that','it','for'], w))) * 50
+                     >= len(string_split(text, ' '))
+                   THEN 'en' ELSE 'other' END AS lang_guess
+       FROM documents""",
+)
+def text_quality_features(spark: SparkSession, sf: str) -> DataFrame:
+    return text_ops.quality_features(t(spark, sf, "documents"))
+
+
+@q(
+    "text_bag_fingerprint",
+    """SELECT doc_id,
+              sha256(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+                AS bag_fp
+       FROM documents""",
+)
+def text_bag_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    return text_ops.bag_fingerprint(t(spark, sf, "documents"))
+
+
+@q(
+    "lang_histogram",
+    """SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+       FROM documents GROUP BY lang""",
+)
+def lang_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    return text_ops.lang_histogram(t(spark, sf, "documents"))
+
+
+@q(
+    "embedding_meta",
+    """SELECT vec_id, label, len(embedding) AS dim,
+              ROUND(sqrt(list_dot_product(embedding, embedding)), 4) AS norm_r4
+       FROM embeddings""",
+)
+def embedding_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """Typed-metadata pass over an opaque payload column (the
+    multimodal column pattern: payload + derived scalar features)."""
+    e = t(spark, sf, "embeddings")
+    v = F.col("embedding")
+    return e.select(
+        "vec_id",
+        "label",
+        F.size(v).cast("long").alias("dim"),
+        F.round(F.sqrt(dot(v, v)), 4).alias("norm_r4"),
+    )

@@ -34,6 +34,9 @@ def get_spark(app_name: str = "sheets-etl-spark", shuffle_partitions: int | None
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.mergeSchema", "false")
+        # testdata events.parquet stores TIMESTAMP(NANOS) which Spark's
+        # vectorized reader rejects; read as long and convert in loaders
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")

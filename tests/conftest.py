@@ -19,6 +19,6 @@ def spark() -> SparkSession:
     s.stop()
 
 
-@pytest.fixture()
+@pytest.fixture(scope="session")
 def sf_dir() -> str:
     return os.environ["SPARK_GRAFT_SF_DIR"]
