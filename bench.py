@@ -31,6 +31,16 @@ def main() -> None:
     spark = get_spark("sheets-etl-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # untimed warm-up: spin the JVM codegen paths and the Python worker
+    # fleet once, so per-query numbers measure steady-state compute,
+    # not one-time process spawn
+    import pandas as _pd  # noqa: F401
+
+    spark.range(1000, numPartitions=32).selectExpr("sum(id)").collect()
+    spark.range(1000, numPartitions=32).mapInPandas(
+        lambda it: it, "id long"
+    ).write.mode("overwrite").format("noop").save()
+
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():
         if name in EXCLUDE:

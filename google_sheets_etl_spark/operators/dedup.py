@@ -26,10 +26,31 @@ scale:
 
 from __future__ import annotations
 
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
 
-from ..functions.textfns import minhash_min, word_shingles, words_of
+from ..functions.textfns import word_shingles, words_of
+
+
+def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Repartition narrow-heavy inputs that arrive under-split.
+
+    Local mitigation: a single small parquet file scans as ONE partition,
+    serializing per-row compute on one core. On a real cluster a 100 TB
+    table scans as many file splits and this is a no-op (the observed
+    partition count exceeds the floor). The round-robin repartition here
+    only triggers for pathologically under-split inputs.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
 
 # ---------------------------------------------------------------- exact
 
@@ -67,13 +88,48 @@ def minhash_signatures(
     shingle_n: int = 3,
 ) -> DataFrame:
     """(id, mh_0..mh_{k-1}) seeded-sha256 minhash signature columns.
-    Narrow (per-row) computation — no shuffle, scales with input splits."""
-    words = words_of(F.col(text_col))
-    sh = word_shingles(words, shingle_n)
-    out = docs.select(F.col(id_col), sh.alias("_sh"))
-    for i in range(num_hashes):
-        out = out.withColumn(f"mh_{i}", minhash_min(F.col("_sh"), i))
-    return out.drop("_sh")
+
+    Arrow-batched ``mapInPandas`` kernel: shingling + k seeded sha256
+    mins per document in one pass over each batch. This is the
+    documented "Python where built-ins can't express it *efficiently*"
+    case — Catalyst higher-order-function lambdas (transform/array_min)
+    evaluate interpreted per array element, an order of magnitude
+    slower than this batch kernel for k x shingles hashing. Semantics
+    are bit-identical to the SQL formulation used by the DuckDB oracle:
+    ``mh_i = min over shingles of sha256('{i}|' + shingle)`` hex,
+    NULL when the doc has fewer than ``shingle_n`` words.
+
+    Narrow (per-row), no shuffle; scales with input splits.
+    """
+    id_field = docs.schema[id_col]
+    schema = StructType(
+        [StructField(id_field.name, id_field.dataType)]
+        + [StructField(f"mh_{i}", StringType()) for i in range(num_hashes)]
+    )
+    prefixes = [f"{i}|".encode() for i in range(num_hashes)]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols: dict[str, list] = {f"mh_{i}": [] for i in range(num_hashes)}
+            for text in pdf[text_col]:
+                words = text.split(" ")
+                n_sh = len(words) - shingle_n + 1
+                if n_sh <= 0:
+                    for i in range(num_hashes):
+                        cols[f"mh_{i}"].append(None)
+                    continue
+                enc = {
+                    " ".join(words[j : j + shingle_n]).encode()
+                    for j in range(n_sh)
+                }
+                for i, p in enumerate(prefixes):
+                    cols[f"mh_{i}"].append(
+                        min(hashlib.sha256(p + e).hexdigest() for e in enc)
+                    )
+            yield pd.DataFrame({id_col: pdf[id_col], **cols})
+
+    narrow = ensure_parallelism(docs.select(id_col, text_col))
+    return narrow.mapInPandas(kernel, schema)
 
 
 def lsh_candidate_pairs(
@@ -105,10 +161,13 @@ def lsh_candidate_pairs(
             for b in range(n_bands)
         ]
     )
+    # persist: both sides of the self-join read this — without it the
+    # upstream signature computation executes twice in one job
     exploded = (
         signatures.select(F.col(id_col), F.explode(bands).alias("bb"))
         .select(id_col, "bb.band", "bb.bucket")
         .filter(F.col("bucket").isNotNull())
+        .persist()
     )
     a, b = exploded.alias("a"), exploded.alias("b")
     return (
@@ -146,10 +205,25 @@ def near_dup_pairs(
     (id_a, id_b, jaccard) for pairs ≥ threshold. The expensive exact
     Jaccard runs only on LSH candidates."""
     sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n)
-    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, band_size)
-    shingled = docs.select(
-        F.col(id_col),
-        F.array_distinct(word_shingles(words_of(F.col(text_col)), shingle_n)).alias("sh"),
+    # persist: the candidate plan feeds three downstream consumers
+    # (cand_ids + two joins); without it Spark re-executes the whole
+    # minhash+band+join subtree per consumer.
+    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, band_size).persist()
+    # shingle ONLY candidate docs: the expensive array build is gated
+    # behind a semi-join against the (small) candidate id set
+    cand_ids = (
+        cands.select(F.col("id_a").alias(id_col))
+        .union(cands.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    shingled = (
+        ensure_parallelism(docs.select(id_col, text_col))
+        .join(F.broadcast(cand_ids), on=id_col, how="left_semi")
+        .select(
+            F.col(id_col),
+            F.array_distinct(word_shingles(words_of(F.col(text_col)), shingle_n)).alias("sh"),
+        )
+        .persist()
     )
     return (
         cands.join(shingled.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
@@ -192,30 +266,53 @@ def jaccard_pairs_bruteforce(
 
 
 def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash per document from xxhash64(token) bit votes.
+    """64-bit SimHash per document from per-token hash bit votes.
 
-    For each bit position: +1 when set in a token's hash, -1 otherwise;
-    the fingerprint bit is 1 when the vote sum is positive. All JVM
-    higher-order functions — per-row, narrow, no shuffle.
+    Bit b of the fingerprint is set when the majority of distinct
+    tokens have bit b set in their 64-bit hash (blake2b-8; stable,
+    process-independent). Arrow-batched ``mapInPandas`` with a
+    per-batch token→hash memo and numpy bit unpacking — 64 interpreted
+    Catalyst aggregates per row would be far slower. Narrow, no
+    shuffle. Fingerprint uses the low 63 bits (sign-safe long).
     """
-    words = F.array_distinct(words_of(F.col(text_col)))
-    hashes = F.transform(words, lambda w: F.xxhash64(w))
+    import numpy as np
 
-    def bit_vote(bit: int) -> Column:
-        # vote_b = sum over tokens of (2*bit_b(h) - 1); bit set iff > 0
-        return F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + (F.shiftrightunsigned(h, bit).bitwiseAND(F.lit(1)) * 2 - 1).cast("int"),
-        )
-
-    fingerprint = F.aggregate(
-        F.array(*[(bit_vote(b) > 0).cast("long") * F.lit(1 << b).cast("long") for b in range(63)]),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
+    id_field = docs.schema[id_col]
+    schema = StructType(
+        [StructField(id_field.name, id_field.dataType),
+         StructField("simhash", LongType())]
     )
-    return docs.select(F.col(id_col), fingerprint.alias("simhash"))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict[str, int] = {}
+
+        def token_hash(tok: str) -> int:
+            h = memo.get(tok)
+            if h is None:
+                h = int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
+                memo[tok] = h
+            return h
+
+        for pdf in batches:
+            fps = []
+            for text in pdf[text_col]:
+                toks = set(text.split(" "))
+                if not toks:
+                    fps.append(0)
+                    continue
+                arr = np.array([token_hash(t) for t in toks], dtype=np.uint64)
+                bits = np.unpackbits(arr.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+                votes = bits.sum(axis=0)  # count of set bits per position
+                fp = 0
+                n = len(toks)
+                for b in range(63):
+                    if 2 * int(votes[b]) > n:
+                        fp |= 1 << b
+                fps.append(fp)
+            yield pd.DataFrame({id_col: pdf[id_col], "simhash": fps})
+
+    narrow = ensure_parallelism(docs.select(id_col, text_col))
+    return narrow.mapInPandas(kernel, schema)
 
 
 def hamming64(a: Column, b: Column) -> Column:

@@ -77,14 +77,61 @@ def _hyperplanes(dim: int, n_bits: int, n_tables: int, seed: int) -> list[list[l
     ]
 
 
-def _bucket_expr(vec_col: str, planes: list[list[float]]):
-    """Sign-sketch bucket id: bit b set iff dot(v, plane_b) >= 0."""
-    bits = [
-        (dot(F.col(vec_col), F.array(*[F.lit(x) for x in p])) >= 0).cast("long")
-        * F.lit(1 << i).cast("long")
-        for i, p in enumerate(planes)
-    ]
-    return F.aggregate(F.array(*bits), F.lit(0).cast("long"), lambda a, v: a + v)
+def _with_lsh_buckets(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    out_id: str,
+    out_vec: str,
+    tables: list[list[list[float]]],
+) -> DataFrame:
+    """Explode each vector into one row per LSH table with its bucket.
+
+    Bucket bits come from ONE numpy matmul per Arrow batch against the
+    stacked hyperplane matrix (dim x (n_tables*n_bits)) — the
+    vectorized replacement for n_tables*n_bits interpreted aggregate
+    expressions per row. Narrow + one explode; no shuffle here (the
+    bucket join downstream shuffles on uniform keys).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType, FloatType, LongType, StructField, StructType,
+    )
+
+    n_tables = len(tables)
+    n_bits = len(tables[0])
+    planes = np.array(tables, dtype=np.float64).reshape(n_tables * n_bits, -1).T
+    weights = (1 << np.arange(n_bits, dtype=np.int64))
+
+    id_field = df.schema[id_col]
+    schema = StructType([
+        StructField(out_id, id_field.dataType),
+        StructField(out_vec, ArrayType(FloatType())),
+        StructField("t", LongType()),
+        StructField("b", LongType()),
+    ])
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.vstack(pdf[vec_col].to_numpy())  # (n, dim)
+            signs = (mat @ planes) >= 0  # (n, n_tables*n_bits)
+            buckets = (
+                signs.reshape(len(pdf), n_tables, n_bits).astype(np.int64) * weights
+            ).sum(axis=2)  # (n, n_tables)
+            ids = pdf[id_col].to_numpy()
+            vecs = pdf[vec_col]
+            out = {
+                out_id: np.repeat(ids, n_tables),
+                out_vec: vecs.iloc[np.repeat(np.arange(len(pdf)), n_tables)].to_numpy(),
+                "t": np.tile(np.arange(n_tables, dtype=np.int64), len(pdf)),
+                "b": buckets.reshape(-1),
+            }
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, vec_col).mapInPandas(kernel, schema)
 
 
 def cosine_topk_lsh(
@@ -104,27 +151,8 @@ def cosine_topk_lsh(
     (1 - theta/pi)^n_bits — raise n_tables for recall, n_bits for
     selectivity."""
     tables = _hyperplanes(dim, n_bits, n_tables, seed)
-
-    def with_buckets(df: DataFrame, idc: str, out_id: str, out_vec: str) -> DataFrame:
-        buckets = F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("t"), _bucket_expr(vec_col, planes).alias("b")
-                )
-                for t, planes in enumerate(tables)
-            ]
-        )
-        return (
-            df.select(
-                F.col(idc).alias(out_id),
-                F.col(vec_col).alias(out_vec),
-                F.explode(buckets).alias("tb"),
-            )
-            .select(out_id, out_vec, "tb.t", "tb.b")
-        )
-
-    q = with_buckets(queries, id_col, "query_id", "qv")
-    c = with_buckets(candidates, id_col, "neighbor_id", "cv")
+    q = _with_lsh_buckets(queries, id_col, vec_col, "query_id", "qv", tables)
+    c = _with_lsh_buckets(candidates, id_col, vec_col, "neighbor_id", "cv", tables)
     cands = (
         q.join(c, on=["t", "b"])
         .select("query_id", "qv", "neighbor_id", "cv")
