@@ -1,0 +1,184 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The pattern for 100 TB multimodal pipelines: payloads travel as
+``binary`` columns next to a typed metadata struct; per-item work
+(decode, feature-extract, resize, frame-sample) runs as Arrow-batched
+``mapInPandas`` kernels so bytes move Python-side once per batch, not
+per row. Partitioning guidance: payload tables should be written with
+many small-ish files (row-group ≈ a few hundred MB) so scans split well;
+the kernels here are narrow — they scale with input splits and never
+shuffle.
+
+Codec reality in this environment: the image/audio libraries are not
+installed, so the *decode step only* is pluggable —
+:func:`default_codec` is a deterministic stand-in (byte-histogram
+features, metadata-derived frame offsets) and a real codec (PIL/ffmpeg)
+drops in behind the same interface. Schemas, batch shapes, and the
+Spark plumbing are real and tested either way.
+
+MEDIA_SCHEMA mirrors the "typed metadata next to opaque payload" shape:
+
+    media_id: long, kind: string (image|audio|video),
+    payload: binary,
+    meta: struct<width:int, height:int, duration_ms:int,
+                 sample_rate:int, format:string>
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType, BinaryType, DoubleType, IntegerType, LongType,
+    StringType, StructField, StructType,
+)
+
+META_STRUCT = StructType([
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("duration_ms", IntegerType()),
+    StructField("sample_rate", IntegerType()),
+    StructField("format", StringType()),
+])
+
+MEDIA_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("kind", StringType()),
+    StructField("payload", BinaryType()),
+    StructField("meta", META_STRUCT),
+])
+
+
+@dataclass
+class MediaCodec:
+    """The pluggable decode boundary. Implementations must be
+    deterministic per payload for retry-idempotence."""
+
+    name: str
+
+    def image_features(self, payload: bytes, n_bins: int) -> list[float]:
+        raise NotImplementedError
+
+    def resize(self, payload: bytes, width: int, height: int) -> bytes:
+        raise NotImplementedError
+
+
+class StubCodec(MediaCodec):
+    """Deterministic stand-in codec (no media libs in this container).
+
+    - ``image_features``: normalized byte-value histogram — a real
+      (if crude) content feature that is stable across partitionings.
+    - ``resize``: payload passthrough + metadata rewrite (marked by a
+      deterministic header) — REAL resizing requires PIL; the Spark
+      plumbing (batch shape, schema evolution) is identical.
+    """
+
+    def __init__(self) -> None:
+        super().__init__(name="stub")
+
+    def image_features(self, payload: bytes, n_bins: int) -> list[float]:
+        counts = [0] * n_bins
+        for b in payload:
+            counts[b % n_bins] += 1
+        total = len(payload) or 1
+        return [c / total for c in counts]
+
+    def resize(self, payload: bytes, width: int, height: int) -> bytes:
+        return hashlib.sha256(payload).digest()[:4] + payload
+
+
+def default_codec() -> MediaCodec:
+    """Real codec when available, stub otherwise (import-gated)."""
+    try:  # pragma: no cover - PIL absent in this environment
+        from PIL import Image  # noqa: F401
+
+        raise NotImplementedError(
+            "PIL detected but PilCodec not implemented in this build"
+        )
+    except ImportError:
+        return StubCodec()
+
+
+def image_features(
+    media: DataFrame, n_bins: int = 16, codec: MediaCodec | None = None
+) -> DataFrame:
+    """(media_id, feature: array<double>) for image rows — one Arrow
+    batch per task, bytes never round-trip per row."""
+    codec = codec or default_codec()
+    schema = StructType([
+        StructField("media_id", LongType()),
+        StructField("feature", ArrayType(DoubleType())),
+    ])
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "feature": [
+                    codec.image_features(bytes(p), n_bins) for p in pdf["payload"]
+                ],
+            })
+
+    imgs = media.filter(F.col("kind") == "image").select("media_id", "payload")
+    return imgs.mapInPandas(kernel, schema)
+
+
+def resize_images(
+    media: DataFrame, width: int, height: int, codec: MediaCodec | None = None
+) -> DataFrame:
+    """Rewrite image payloads + metadata to the target size; non-image
+    rows pass through untouched (union-by-name preserves the schema)."""
+    codec = codec or default_codec()
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["payload"] = [codec.resize(bytes(p), width, height) for p in pdf["payload"]]
+            pdf["meta"] = [
+                {**(m if isinstance(m, dict) else m.asDict() if m is not None else {}),
+                 "width": width, "height": height}
+                for m in pdf["meta"]
+            ]
+            yield pdf
+
+    imgs = media.filter(F.col("kind") == "image")
+    others = media.filter(F.col("kind") != "image")
+    resized = imgs.mapInPandas(kernel, media.schema)
+    return resized.unionByName(others)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """(media_id, frame_idx, offset_ms) for video rows — pure plan-side
+    math from metadata (sequence + explode), no decode, no Python."""
+    vids = media.filter(F.col("kind") == "video")
+    n_frames = F.greatest(
+        (F.col("meta.duration_ms") / every_ms).cast("int"), F.lit(1)
+    )
+    return (
+        vids.select(
+            "media_id",
+            F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
+        )
+        .select(
+            "media_id",
+            F.col("frame_idx").cast("long").alias("frame_idx"),
+            (F.col("frame_idx") * every_ms).cast("long").alias("offset_ms"),
+        )
+    )
+
+
+def payload_stats(media: DataFrame) -> DataFrame:
+    """Typed metadata pass entirely JVM-side: size + content hash per
+    payload (the multimodal analogue of the sheet fingerprint A3)."""
+    return media.select(
+        "media_id",
+        "kind",
+        F.octet_length(F.col("payload")).cast("long").alias("n_bytes"),
+        F.sha2(F.col("payload"), 256).alias("payload_sha"),
+        F.col("meta.format").alias("format"),
+    )

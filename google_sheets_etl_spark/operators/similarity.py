@@ -141,8 +141,8 @@ def cosine_topk_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    n_bits: int = 8,
-    n_tables: int = 4,
+    n_bits: int = 4,
+    n_tables: int = 8,
     seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k: score only within matching random-hyperplane

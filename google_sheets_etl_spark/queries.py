@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from .functions.textfns import minhash_min, word_shingles, words_of
 from .functions.vectors import dot
-from .operators import dedup, similarity, text as text_ops
+from .operators import dedup, multimodal, similarity, text as text_ops
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
@@ -542,6 +542,29 @@ def text_bag_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
 )
 def lang_histogram(spark: SparkSession, sf: str) -> DataFrame:
     return text_ops.lang_histogram(t(spark, sf, "documents"))
+
+
+@q(
+    "multimodal_payload_stats",
+    """SELECT doc_id AS media_id, 'blob' AS kind,
+              octet_length(encode(text)) AS n_bytes,
+              sha256(text) AS payload_sha,
+              CAST(NULL AS VARCHAR) AS format
+       FROM documents""",
+)
+def multimodal_payload_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """The multimodal binary-column pattern driven end-to-end: text
+    re-encoded as an opaque binary payload, then the typed-metadata
+    pass (size + content hash) through the real operator. sha2(bytes)
+    == duckdb sha256(text) because both hash the same UTF-8 bytes."""
+    d = t(spark, sf, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("blob").alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit(None).cast(multimodal.META_STRUCT).alias("meta"),
+    )
+    return multimodal.payload_stats(media)
 
 
 @q(

