@@ -166,6 +166,64 @@ def cosine_topk_lsh(
     return _ranked_topk(scored, k)
 
 
+def embedding_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs (id_a < id_b,
+    cosine ≥ threshold), rounded to 4 decimals (coarse enough that
+    float summation-order differences vs an oracle engine cannot flip
+    the rounded digit).
+
+    Implementation: the full corpus matrix is collected once and
+    shipped to every task; each Arrow batch computes its block of the
+    cosine matrix with one numpy matmul and emits qualifying pairs —
+    an O(n²/p) block-partitioned computation with no shuffle.
+
+    SCALE BOUNDARY: the collected matrix caps this at ~10^6 vectors
+    (64-dim float64 ≈ 0.5 GB). Past that, swap the all-pairs block for
+    the LSH-bucketed candidates (``cosine_topk_lsh``'s bucket join) —
+    same verify math, approximate recall.
+    """
+    import numpy as np
+
+    rows = vectors.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    order = np.argsort(ids)
+    ids, mat, norms = ids[order], mat[order], norms[order]
+
+    schema = "id_a long, id_b long, cosine_r4 double"
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            bids = pdf[id_col].to_numpy()
+            bmat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            bnorms = np.sqrt((bmat * bmat).sum(axis=1))
+            cos = (bmat @ mat.T) / np.outer(bnorms, norms)
+            cos = np.round(cos, 4)
+            bi, gj = np.nonzero(cos >= threshold)
+            keep = bids[bi] < ids[gj]
+            yield pd.DataFrame({
+                "id_a": bids[bi][keep],
+                "id_b": ids[gj][keep],
+                "cosine_r4": cos[bi, gj][keep],
+            })
+
+    from .dedup import ensure_parallelism
+
+    return ensure_parallelism(vectors.select(id_col, vec_col)).mapInPandas(
+        kernel, schema
+    )
+
+
 def recall_at_k(exact: DataFrame, approx: DataFrame, k: int) -> float:
     """Fraction of exact top-k pairs recovered by the approximate
     result (driver-side scalar; for tests/tuning)."""

@@ -70,6 +70,68 @@ def bag_fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_
     )
 
 
+BPE_ISH_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def bpe_ish_token_count(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Sub-word-style token counting with a BPE-ish regex (letter runs,
+    digit runs, single punctuation) — the pre-tokenizer shape used by
+    BPE vocabularies. Pure JVM regexp; identical RE2/Java semantics for
+    these character classes."""
+    return docs.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), 0))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+    )
+
+
+def rolling_fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Order-SENSITIVE document fingerprint: polynomial rolling hash
+    over word hashes mod 2^61-1 (Rabin-Karp style). The complement of
+    :func:`bag_fingerprint` — reordering tokens changes this one.
+    Arrow-batched kernel with a per-batch token-hash memo."""
+    import hashlib
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    MOD = (1 << 61) - 1
+    MUL = 1000003
+
+    id_field = docs.schema[id_col]
+    schema = StructType([
+        StructField(id_field.name, id_field.dataType),
+        StructField("rolling_fp", LongType()),
+    ])
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict[str, int] = {}
+
+        def th(tok: str) -> int:
+            v = memo.get(tok)
+            if v is None:
+                v = int.from_bytes(
+                    hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
+                )
+                memo[tok] = v
+            return v
+
+        for pdf in batches:
+            fps = []
+            for text in pdf[text_col]:
+                h = 0
+                for w in text.split(" "):
+                    h = (h * MUL + th(w)) % MOD
+                fps.append(h)
+            yield pd.DataFrame({id_col: pdf[id_col], "rolling_fp": fps})
+
+    from .dedup import ensure_parallelism
+
+    return ensure_parallelism(docs.select(id_col, text_col)).mapInPandas(kernel, schema)
+
+
 def lang_histogram(docs: DataFrame, lang_col: str = "lang") -> DataFrame:
     """Corpus-level language distribution (one shuffle on a low-card
     key; partial aggregation makes it map-side cheap)."""

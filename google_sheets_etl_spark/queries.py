@@ -544,6 +544,42 @@ def lang_histogram(spark: SparkSession, sf: str) -> DataFrame:
     return text_ops.lang_histogram(t(spark, sf, "documents"))
 
 
+_EMB_NEAR_DUP_ORACLE = """
+WITH p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         ROUND(list_dot_product(a.embedding, b.embedding) /
+               (sqrt(list_dot_product(a.embedding, a.embedding)) *
+                sqrt(list_dot_product(b.embedding, b.embedding))), 4) AS cosine_r4
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, cosine_r4 FROM p WHERE cosine_r4 >= 0.45"""
+
+
+@q("embedding_near_dup", _EMB_NEAR_DUP_ORACLE)
+def embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs — block-partitioned exact
+    all-pairs (numpy matmul per batch; LSH bucket join is the >10^6-
+    vector path, see operator docstring)."""
+    return similarity.embedding_near_dup_pairs(
+        t(spark, sf, "embeddings"), threshold=0.45
+    )
+
+
+@q(
+    "bpe_token_count",
+    r"""SELECT doc_id,
+               len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))
+                 AS n_bpe_tokens
+        FROM documents""",
+)
+def bpe_token_count(spark: SparkSession, sf: str) -> DataFrame:
+    return text_ops.bpe_ish_token_count(t(spark, sf, "documents"))
+
+
+@q("rolling_fingerprint")  # blake2b word hashes — no duckdb twin; rows-only
+def rolling_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    return text_ops.rolling_fingerprint(t(spark, sf, "documents"))
+
+
 @q(
     "multimodal_payload_stats",
     """SELECT doc_id AS media_id, 'blob' AS kind,

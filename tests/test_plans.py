@@ -1,0 +1,75 @@
+"""Physical-plan assertions: the optimizations the 100 TB design relies
+on must be visible in explain output — pushdown, pruning, broadcast
+strategies, and shuffle counts. A regression here is a performance bug
+even when results stay correct."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from google_sheets_etl_spark.operators import dedup, rows as K
+from google_sheets_etl_spark.queries import QUERIES
+
+
+def explain_str(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q1_predicate_and_projection_pushdown(spark, sf_dir):
+    plan = explain_str(QUERIES["q1_pricing_summary"](spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # projection pruning: the scan must NOT read unused lineitem columns
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" not in read_schema and "l_partkey" not in read_schema
+    assert "l_quantity" in read_schema
+
+
+def test_q5_uses_broadcast_joins(spark, sf_dir):
+    plan = explain_str(QUERIES["q5_region_revenue"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_anti_join_is_broadcast(spark, sf_dir):
+    plan = explain_str(QUERIES["change_filter_anti_join"](spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kernel_projection_has_no_shuffle(spark):
+    sheet = spark.createDataFrame(
+        [(0, ["h"]), (1, ["a"]), (2, ["b"])], "row_idx long, cells array<string>"
+    )
+    data = K.project_rows(K.trim_cells(sheet), [0], ["h"], 1)
+    plan = explain_str(data)
+    assert "Exchange" not in plan  # narrow end to end
+
+
+def test_exact_dedup_groups_single_shuffle(spark, sf_dir):
+    df = dedup.exact_dedup_groups(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+    plan = explain_str(df)
+    # one hash-partitioned exchange for the groupBy, nothing else
+    assert plan.count("+- Exchange") == 1
+    assert "partial" in plan.lower()  # map-side partial aggregation
+
+
+def test_watermark_is_partial_agg_not_sort(spark, sf_dir):
+    plan = explain_str(QUERIES["watermark_tuple_max"](spark, sf_dir))
+    # map-side partial max + single-partition final: never a global sort
+    # (the SortAggregate *node name* is fine — no grouping keys, and no
+    # standalone Sort operator appears)
+    assert "partial_max" in plan
+    assert "\n   +- Sort " not in plan and "+- Sort (" not in plan
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    plan = explain_str(QUERIES["topk_orders"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan  # not a full sort + limit
