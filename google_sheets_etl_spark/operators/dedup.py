@@ -80,6 +80,19 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 # ------------------------------------------------------------- minhash
 
 
+# Universal-hash permutation family: mh_i = (A[i]·h + B[i]) mod MINHASH_P
+# over the per-shingle base hash h = first-4-bytes-of-sha256 as uint32.
+# Constants are < 2^30 so every product stays within exact int64 range
+# (A·h < 2^30·2^32 = 2^62) in BOTH numpy int64 and DuckDB BIGINT —
+# bit-identical cross-engine arithmetic, one sha256 per shingle instead
+# of k. p is the Mersenne prime 2^31-1.
+MINHASH_P = 2147483647
+MINHASH_A = [504100003, 616928819, 747100049, 826404287,
+             904604509, 117269113, 268435399, 369294979]
+MINHASH_B = [11, 104395301, 217645199, 314606869,
+             433024223, 533000389, 633910099, 735632797]
+
+
 def minhash_signatures(
     docs: DataFrame,
     text_col: str = "text",
@@ -87,46 +100,76 @@ def minhash_signatures(
     num_hashes: int = 8,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """(id, mh_0..mh_{k-1}) seeded-sha256 minhash signature columns.
+    """(id, mh_0..mh_{k-1}) universal-hash minhash signature columns.
 
-    Arrow-batched ``mapInPandas`` kernel: shingling + k seeded sha256
-    mins per document in one pass over each batch. This is the
-    documented "Python where built-ins can't express it *efficiently*"
-    case — Catalyst higher-order-function lambdas (transform/array_min)
-    evaluate interpreted per array element, an order of magnitude
-    slower than this batch kernel for k x shingles hashing. Semantics
-    are bit-identical to the SQL formulation used by the DuckDB oracle:
-    ``mh_i = min over shingles of sha256('{i}|' + shingle)`` hex,
-    NULL when the doc has fewer than ``shingle_n`` words.
+    Arrow-batched ``mapInPandas`` kernel: each shingle is sha256-hashed
+    ONCE (first 4 bytes → uint32, memoized per batch), then the k
+    signature mins are k affine permutations mod 2^31-1 computed with
+    one vectorized numpy pass per batch (``minimum.reduceat`` over doc
+    boundaries) — no per-(seed, shingle) cryptographic hashing. The
+    DuckDB oracle replicates the exact arithmetic:
+    ``mh_i = list_min(list_transform(s, x ->
+    (A_i * ('0x'||substr(sha256(x),1,8))::BIGINT + B_i) % 2147483647))``.
+    NULL signature when the doc has fewer than ``shingle_n`` words.
 
     Narrow (per-row), no shuffle; scales with input splits.
     """
+    import numpy as np
+
+    if num_hashes > len(MINHASH_A):
+        raise ValueError(f"num_hashes > {len(MINHASH_A)} not supported")
     id_field = docs.schema[id_col]
     schema = StructType(
         [StructField(id_field.name, id_field.dataType)]
-        + [StructField(f"mh_{i}", StringType()) for i in range(num_hashes)]
+        + [StructField(f"mh_{i}", LongType()) for i in range(num_hashes)]
     )
-    prefixes = [f"{i}|".encode() for i in range(num_hashes)]
+    A = np.array(MINHASH_A[:num_hashes], dtype=np.int64)
+    B = np.array(MINHASH_B[:num_hashes], dtype=np.int64)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict[str, int] = {}
+
+        def base_hash(sh: str) -> int:
+            v = memo.get(sh)
+            if v is None:
+                v = int.from_bytes(hashlib.sha256(sh.encode()).digest()[:4], "big")
+                memo[sh] = v
+            return v
+
         for pdf in batches:
-            cols: dict[str, list] = {f"mh_{i}": [] for i in range(num_hashes)}
+            all_h: list[int] = []
+            starts: list[int] = []       # doc boundaries into all_h
+            null_mask: list[bool] = []
             for text in pdf[text_col]:
                 words = text.split(" ")
                 n_sh = len(words) - shingle_n + 1
-                if n_sh <= 0:
-                    for i in range(num_hashes):
-                        cols[f"mh_{i}"].append(None)
-                    continue
-                enc = {
-                    " ".join(words[j : j + shingle_n]).encode()
-                    for j in range(n_sh)
-                }
-                for i, p in enumerate(prefixes):
-                    cols[f"mh_{i}"].append(
-                        min(hashlib.sha256(p + e).hexdigest() for e in enc)
+                null_mask.append(n_sh <= 0)
+                starts.append(len(all_h))
+                if n_sh > 0:
+                    all_h.extend(
+                        base_hash(" ".join(words[j : j + shingle_n]))
+                        for j in range(n_sh)
                     )
-            yield pd.DataFrame({id_col: pdf[id_col], **cols})
+                else:
+                    # sentinel keeps every reduceat segment non-empty
+                    # (strictly increasing boundaries); masked to NULL
+                    all_h.append(0)
+            out = {id_col: pdf[id_col]}
+            if len(pdf) == 0:
+                for i in range(num_hashes):
+                    out[f"mh_{i}"] = pd.array([], dtype="Int64")
+                yield pd.DataFrame(out)
+                continue
+            hs = np.array(all_h, dtype=np.int64)
+            nulls = np.array(null_mask)
+            red_starts = np.array(starts, dtype=np.int64)
+            for i in range(num_hashes):
+                perm = (A[i] * hs + B[i]) % MINHASH_P
+                vals = np.minimum.reduceat(perm, red_starts)
+                out[f"mh_{i}"] = pd.array(
+                    np.where(nulls, None, vals), dtype="Int64"
+                )
+            yield pd.DataFrame(out)
 
     narrow = ensure_parallelism(docs.select(id_col, text_col))
     return narrow.mapInPandas(kernel, schema)
@@ -151,11 +194,18 @@ def lsh_candidate_pairs(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.sha2(
+                # NULL signature (short doc) → NULL bucket → never
+                # matches (concat_ws alone would silently skip NULLs
+                # and bucket all short docs together)
+                F.when(
+                    F.col(f"mh_{b * band_size}").isNotNull(),
                     F.concat_ws(
-                        "|", *[F.col(f"mh_{b * band_size + j}") for j in range(band_size)]
+                        "|",
+                        *[
+                            F.col(f"mh_{b * band_size + j}").cast("string")
+                            for j in range(band_size)
+                        ],
                     ),
-                    256,
                 ).alias("bucket"),
             )
             for b in range(n_bands)
@@ -203,7 +253,12 @@ def near_dup_pairs(
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs with exact Jaccard verification:
     (id_a, id_b, jaccard) for pairs ≥ threshold. The expensive exact
-    Jaccard runs only on LSH candidates."""
+    Jaccard runs only on LSH candidates.
+
+    Band tuning: candidate recall follows the LSH S-curve with
+    inflection ≈ ``(1/n_bands)^(1/band_size)``. The defaults (8 hashes,
+    band_size=2 → 4 bands) target thresholds near 0.5; for lower
+    thresholds pass ``band_size=1`` (8 bands, inflection ≈ 0.125)."""
     sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n)
     # persist: the candidate plan feeds three downstream consumers
     # (cand_ids + two joins); without it Spark re-executes the whole

@@ -144,24 +144,36 @@ def cosine_topk_lsh(
     n_bits: int = 4,
     n_tables: int = 8,
     seed: int = 42,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Approximate top-k: score only within matching random-hyperplane
     buckets (union over ``n_tables`` independent tables), exact re-rank
     of candidates. For unit vectors P[same bucket] per table =
     (1 - theta/pi)^n_bits — raise n_tables for recall, n_bits for
-    selectivity."""
+    selectivity.
+
+    With ``broadcast_queries`` (the common small-query-batch case) the
+    bucket join is a broadcast hash join: the candidate corpus never
+    shuffles — mandatory at 100 TB, where mapInPandas output has no
+    stats and Catalyst would otherwise plan a sort-merge join. Set
+    False only for query sets too large for executor memory."""
     tables = _hyperplanes(dim, n_bits, n_tables, seed)
     q = _with_lsh_buckets(queries, id_col, vec_col, "query_id", "qv", tables)
+    if broadcast_queries:
+        q = F.broadcast(q)
     c = _with_lsh_buckets(candidates, id_col, vec_col, "neighbor_id", "cv", tables)
-    cands = (
+    # Score BEFORE deduplicating: a pair matched in m tables is scored
+    # m times (cheap codegen'd map-side math), but the dedup exchange
+    # then carries only (ids, cos) — not two embedding payloads per
+    # row. At scale the shuffle, not the arithmetic, is the bottleneck.
+    scored = (
         q.join(c, on=["t", "b"])
-        .select("query_id", "qv", "neighbor_id", "cv")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(F.col("qv"), F.col("cv")).alias("cos"),
+        )
         .dropDuplicates(["query_id", "neighbor_id"])
-    )
-    scored = cands.select(
-        "query_id",
-        "neighbor_id",
-        cosine_similarity(F.col("qv"), F.col("cv")).alias("cos"),
     )
     return _ranked_topk(scored, k)
 

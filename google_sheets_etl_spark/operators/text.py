@@ -132,6 +132,52 @@ def rolling_fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "
     return ensure_parallelism(docs.select(id_col, text_col)).mapInPandas(kernel, schema)
 
 
+# Language-ID stopword profiles (tiny, public-knowledge function-word
+# lists). Word-unigram heuristic: the argmax of per-language stopword
+# hit counts, deterministic priority-order tie-break, 'unknown' when no
+# profile scores. Expressible identically in Spark (higher-order
+# filter) and DuckDB (list_filter) — no UDF, no shuffle.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "zu"),
+    "fr": ("le", "les", "et", "est", "une", "dans", "que", "pour", "sur", "pas"),
+    "es": ("el", "los", "las", "es", "un", "una", "por", "como", "pero", "para"),
+}
+
+
+def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic language identification from raw text: per-language
+    stopword hit counts → argmax with fixed priority-order tie-break
+    (en > de > fr > es), ``unknown`` when nothing scores. Whole-stage-
+    codegen JVM expressions end to end; scales as a narrow map."""
+    words = F.split(F.lower(F.col(text_col)), " ")
+
+    def hit_count(sw: tuple[str, ...]):
+        # single-arg lambda: extra params would be read as lambda vars
+        return F.size(F.filter(words, lambda w: w.isin(*sw)))
+
+    scores = {
+        lang: hit_count(sw).alias(f"s_{lang}")
+        for lang, sw in LANG_PROFILES.items()
+    }
+    s = {lang: F.col(f"s_{lang}") for lang in LANG_PROFILES}
+    pred = (
+        F.when(s["en"] + s["de"] + s["fr"] + s["es"] == 0, F.lit("unknown"))
+        .when((s["en"] >= s["de"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["es"]), F.lit("en"))
+        .when((s["de"] >= s["fr"]) & (s["de"] >= s["es"]), F.lit("de"))
+        .when(s["fr"] >= s["es"], F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+    return (
+        docs.select(F.col(id_col), *scores.values())
+        .select(
+            F.col(id_col),
+            pred.alias("pred_lang"),
+            F.greatest(*s.values()).cast("long").alias("lang_score"),
+        )
+    )
+
+
 def lang_histogram(docs: DataFrame, lang_col: str = "lang") -> DataFrame:
     """Corpus-level language distribution (one shuffle on a low-card
     key; partial aggregation makes it map-side cheap)."""

@@ -397,7 +397,15 @@ def dedup_exact_groups(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.exact_dedup_groups(t(spark, sf, "documents"))
 
 
-_MINHASH_ORACLE = """
+def _minhash_oracle() -> str:
+    from .operators.dedup import MINHASH_A, MINHASH_B, MINHASH_P
+
+    mh = ",\n       ".join(
+        f"list_min(list_transform(h, x -> ({MINHASH_A[i]} * x + {MINHASH_B[i]})"
+        f" % {MINHASH_P})) AS mh_{i}"
+        for i in range(4)
+    )
+    return f"""
 WITH w AS (
   SELECT doc_id, string_split(text, ' ') AS words FROM documents
 ), sh AS (
@@ -405,19 +413,19 @@ WITH w AS (
          list_transform(range(1, greatest(len(words) - 1, 1)),
                         i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]) AS s
   FROM w
+), bh AS (
+  SELECT doc_id,
+         list_transform(s, x -> ('0x' || substr(sha256(x), 1, 8))::BIGINT) AS h
+  FROM sh
 )
-SELECT doc_id,
-       list_min(list_transform(s, x -> sha256('0|' || x))) AS mh_0,
-       list_min(list_transform(s, x -> sha256('1|' || x))) AS mh_1,
-       list_min(list_transform(s, x -> sha256('2|' || x))) AS mh_2,
-       list_min(list_transform(s, x -> sha256('3|' || x))) AS mh_3
-FROM sh"""
+SELECT doc_id, {mh}
+FROM bh"""
 
 
-@q("minhash_signatures", _MINHASH_ORACLE)
+@q("minhash_signatures", _minhash_oracle())
 def minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
-    """Engine-neutral seeded-sha256 minhash (4 hashes for the oracle
-    check; the LSH path uses 8)."""
+    """Universal-hash minhash over sha256-derived base hashes (4
+    permutations for the oracle check; the LSH path uses 8)."""
     return dedup.minhash_signatures(t(spark, sf, "documents"), num_hashes=4)
 
 
@@ -542,6 +550,39 @@ def text_bag_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
 )
 def lang_histogram(spark: SparkSession, sf: str) -> DataFrame:
     return text_ops.lang_histogram(t(spark, sf, "documents"))
+
+
+def _lang_id_oracle() -> str:
+    from .operators.text import LANG_PROFILES
+
+    score = {
+        lang: (
+            "len(list_filter(string_split(lower(text), ' '), "
+            f"w -> w IN ({', '.join(repr(w) for w in sw)})))"
+        )
+        for lang, sw in LANG_PROFILES.items()
+    }
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+         {score['en']} AS s_en, {score['de']} AS s_de,
+         {score['fr']} AS s_fr, {score['es']} AS s_es
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN s_en + s_de + s_fr + s_es = 0 THEN 'unknown'
+            WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+            WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+            WHEN s_fr >= s_es THEN 'fr'
+            ELSE 'es' END AS pred_lang,
+       CAST(greatest(s_en, s_de, s_fr, s_es) AS BIGINT) AS lang_score
+FROM s"""
+
+
+@q("lang_id", _lang_id_oracle())
+def lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    """Stopword-profile language identification from raw text (argmax
+    of per-language function-word hit counts)."""
+    return text_ops.lang_id(t(spark, sf, "documents"))
 
 
 _EMB_NEAR_DUP_ORACLE = """

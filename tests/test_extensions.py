@@ -42,8 +42,12 @@ def test_minhash_identical_docs_identical_sigs(spark, docs):
 
 
 def test_near_dup_finds_planted_pair(spark, docs):
+    # LSH rule of thumb: threshold ~ (1/n_bands)^(1/band_size); for
+    # t=0.3 with 8 hashes, band_size=1 (8 bands) targets t~0.125 so
+    # j>=0.3 pairs are near-certain candidates. The default band_size=2
+    # targets t~0.5 and may legitimately miss j~0.3 pairs.
     pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
-             for r in dedup.near_dup_pairs(docs, threshold=0.3).collect()}
+             for r in dedup.near_dup_pairs(docs, threshold=0.3, band_size=1).collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
     assert (1, 3) in pairs and 0.3 <= pairs[(1, 3)] < 1.0
     assert (2, 3) in pairs
