@@ -178,6 +178,91 @@ def cosine_topk_lsh(
     return _ranked_topk(scored, k)
 
 
+def cosine_topk_ivf(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: the corpus is hard-
+    partitioned into Voronoi cells around ``n_centroids`` centroids;
+    each query scores only its ``n_probe`` nearest cells.
+
+    Centroids are a deterministic seeded sample of the corpus (k-means
+    init without the iterations — at 100 TB you'd refine them offline
+    and persist; the operator only needs SOME fixed quantizer). Cell
+    assignment is one numpy argmax per Arrow batch against the
+    broadcast centroid matrix — narrow, no shuffle. The probe join is
+    a broadcast hash join on ``cell``, so the corpus again never
+    shuffles; raising ``n_probe`` trades cost for recall
+    (n_probe == n_centroids degenerates to exact brute force).
+    """
+    import numpy as np
+
+    # --- quantizer: seeded sample of candidate vectors (driver-side,
+    # n_centroids rows — metadata-scale collect)
+    cent_rows = (
+        candidates.select(id_col, vec_col)
+        .orderBy(F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(2**31)))
+        .limit(n_centroids)
+        .collect()
+    )
+    cents = np.array([r[1] for r in cent_rows], dtype=np.float64)
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+
+    def assign(df: DataFrame, out_id: str, out_vec: str, n_cells: int) -> DataFrame:
+        import pandas as pd
+        from pyspark.sql.types import (
+            ArrayType, FloatType, LongType, StructField, StructType,
+        )
+
+        id_field = df.schema[id_col]
+        schema = StructType([
+            StructField(out_id, id_field.dataType),
+            StructField(out_vec, ArrayType(FloatType())),
+            StructField("cell", LongType()),
+        ])
+
+        def kernel(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+                norms = np.linalg.norm(mat, axis=1, keepdims=True)
+                norms[norms == 0] = 1.0
+                sims = (mat / norms) @ cents.T  # (n, n_centroids)
+                top = np.argsort(-sims, axis=1)[:, :n_cells]  # (n, n_cells)
+                n = len(pdf)
+                idx = np.repeat(np.arange(n), n_cells)
+                yield pd.DataFrame({
+                    out_id: pdf[id_col].to_numpy()[idx],
+                    out_vec: pdf[vec_col].iloc[idx].to_numpy(),
+                    "cell": top.reshape(-1),
+                })
+
+        return df.select(id_col, vec_col).mapInPandas(kernel, schema)
+
+    c = assign(candidates, "neighbor_id", "cv", 1)          # 1 cell per vector
+    q = assign(queries, "query_id", "qv", n_probe)          # n_probe cells per query
+    if broadcast_queries:
+        q = F.broadcast(q)
+    scored = (
+        q.join(c, on="cell")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(F.col("qv"), F.col("cv")).alias("cos"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    return _ranked_topk(scored, k)
+
+
 def embedding_near_dup_pairs(
     vectors: DataFrame,
     threshold: float = 0.45,

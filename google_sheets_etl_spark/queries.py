@@ -502,6 +502,16 @@ def ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q("ann_ivf_topk")  # approximate by construction — rows-only check
+def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Inverted-file ANN twin of ann_lsh_topk: Voronoi-cell probe join
+    instead of hyperplane buckets."""
+    emb = t(spark, sf, "embeddings")
+    return similarity.cosine_topk_ivf(
+        emb.filter(F.col("vec_id") < 10), emb.filter(F.col("vec_id") >= 10), k=5
+    )
+
+
 @q(
     "text_token_stats",
     """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
@@ -553,12 +563,11 @@ def lang_histogram(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _lang_id_oracle() -> str:
-    from .operators.text import LANG_PROFILES
+    from .operators.text import LANG_PROFILES, lang_profile_regex
 
     score = {
         lang: (
-            "len(list_filter(string_split(lower(text), ' '), "
-            f"w -> w IN ({', '.join(repr(w) for w in sw)})))"
+            f"len(regexp_extract_all(lower(text), '{lang_profile_regex(sw)}'))"
         )
         for lang, sw in LANG_PROFILES.items()
     }

@@ -33,6 +33,9 @@ def get_spark(app_name: str = "sheets-etl-spark", shuffle_partitions: int | None
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # the gsheets Python DataSource prunes sheet partitions via
+        # pushFilters; the capability is opt-in in Spark 4.1
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.parquet.mergeSchema", "false")
         # testdata events.parquet stores TIMESTAMP(NANOS) which Spark's
         # vectorized reader rejects; read as long and convert in loaders

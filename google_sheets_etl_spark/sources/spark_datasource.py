@@ -1,0 +1,121 @@
+"""Native Spark 4 Python DataSource for sheet ingestion.
+
+Registers a ``gsheets`` format so sheet extraction (S4,
+``src/GoogleSheetsAgent.php:159-169``) runs through Spark's own scan
+machinery instead of a driver-side loop:
+
+    spark.dataSource.register(SheetsDataSource)
+    df = (spark.read.format("gsheets")
+          .option("path", "/fixtures/sheets.json")
+          .load())
+
+- **One input partition per (spreadsheet, sheet)** — the reference's
+  unit of extraction (``DatabaseAgent.php:12``) becomes the unit of
+  scan parallelism: a 10,000-sheet corpus reads as 10,000 independent
+  tasks, rate-limit-gated per executor rather than serialized on the
+  driver.
+- **Partition pruning via filter pushdown** (S1's pushdown-by-
+  construction, ``GoogleSheetsAgent.php:102-112``, re-expressed in the
+  DataSource API): equality/IN predicates on ``spreadsheet_id`` /
+  ``sheet_name`` drop non-matching partitions before any read.
+- The fixture-file backing (JSON ``{spreadsheet_id: {sheet: [[...]]}}``)
+  stands in for the Sheets REST API, which is unavailable here; a REST
+  implementation only needs to swap ``_load_fixture`` for an HTTP call
+  inside ``read()`` (executor-side, with ``with_backoff`` from
+  ``google_source``).
+
+Output schema matches the engine's sheet kernel input
+(``operators/rows.py``): ``row_idx`` + ragged ``cells`` per row, plus
+provenance columns identifying the sheet.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    In,
+    InputPartition,
+)
+
+SHEETS_SCHEMA = (
+    "spreadsheet_id string, sheet_name string, row_idx long, cells array<string>"
+)
+
+
+def _load_fixture(path: str) -> dict[str, dict[str, list[list[str]]]]:
+    with open(path) as f:
+        return json.load(f)
+
+
+class SheetPartition(InputPartition):
+    def __init__(self, spreadsheet_id: str, sheet_name: str):
+        self.spreadsheet_id = spreadsheet_id
+        self.sheet_name = sheet_name
+
+
+class SheetsReader(DataSourceReader):
+    def __init__(self, options: dict[str, str]):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("gsheets source requires .option('path', fixture.json)")
+        # (column, allowed-values) conjuncts accepted by pushFilters
+        self.pruned: list[tuple[str, set[str]]] = []
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        for f in filters:
+            col = f.attribute[0] if isinstance(f, (EqualTo, In)) else None
+            if col in ("spreadsheet_id", "sheet_name"):
+                if isinstance(f, EqualTo):
+                    self.pruned.append((col, {f.value}))
+                else:
+                    self.pruned.append((col, set(f.values)))
+                # fully handled: equality on a partition column prunes
+                # exactly; nothing left for Spark to re-check
+            else:
+                yield f
+
+    def _keep(self, spreadsheet_id: str, sheet_name: str) -> bool:
+        row = {"spreadsheet_id": spreadsheet_id, "sheet_name": sheet_name}
+        return all(row[col] in allowed for col, allowed in self.pruned)
+
+    def partitions(self) -> Sequence[SheetPartition]:
+        fixture = _load_fixture(self.path)
+        return [
+            SheetPartition(sid, sheet)
+            for sid, sheets in fixture.items()
+            if sid != "$schema"
+            for sheet in sheets
+            if self._keep(sid, sheet)
+        ]
+
+    def read(self, partition: SheetPartition) -> Iterator[tuple]:
+        # Executor-side single-sheet fetch (S4). For a REST backing,
+        # this is the one HTTP call per sheet, wrapped in with_backoff.
+        rows = _load_fixture(self.path)[partition.spreadsheet_id][
+            partition.sheet_name
+        ]
+        for i, cells in enumerate(rows):
+            yield (
+                partition.spreadsheet_id,
+                partition.sheet_name,
+                i,
+                [None if c is None else str(c) for c in cells],
+            )
+
+
+class SheetsDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "gsheets"
+
+    def schema(self) -> str:
+        return SHEETS_SCHEMA
+
+    def reader(self, schema) -> SheetsReader:
+        return SheetsReader(dict(self.options))

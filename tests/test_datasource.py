@@ -1,0 +1,83 @@
+"""The gsheets Python DataSource: scan shape, kernel compatibility,
+and filter-pushdown partition pruning."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from google_sheets_etl_spark.sources import SheetsDataSource
+from google_sheets_etl_spark.sources.spark_datasource import SheetsReader
+from google_sheets_etl_spark.operators import rows as K
+
+FIXTURE = {
+    "ssA": {
+        "Sheet1": [["Name", "Age"], ["alice", "30"], ["bob"]],
+        "Sheet2": [["x"], ["1"], ["2"], ["3"]],
+    },
+    "ssB": {"Main": [["h1", "h2"], ["a", "b"]]},
+}
+
+
+@pytest.fixture(scope="module")
+def fixture_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("sheets") / "sheets.json"
+    p.write_text(json.dumps(FIXTURE))
+    return str(p)
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    spark.dataSource.register(SheetsDataSource)
+    return spark
+
+
+def test_scan_all_sheets(registered, fixture_path):
+    df = registered.read.format("gsheets").option("path", fixture_path).load()
+    assert df.count() == 3 + 4 + 2
+    assert df.columns == ["spreadsheet_id", "sheet_name", "row_idx", "cells"]
+    # ragged row preserved
+    bob = df.filter("spreadsheet_id = 'ssA' and sheet_name = 'Sheet1' and row_idx = 2").first()
+    assert bob["cells"] == ["bob"]
+
+
+def test_partition_per_sheet(registered, fixture_path):
+    reader = SheetsReader({"path": fixture_path})
+    assert len(reader.partitions()) == 3
+
+
+def test_filter_pushdown_prunes_partitions(registered, fixture_path):
+    reader = SheetsReader({"path": fixture_path})
+    from pyspark.sql.datasource import EqualTo
+
+    leftover = list(reader.pushFilters([EqualTo(("spreadsheet_id",), "ssA"),
+                                        EqualTo(("sheet_name",), "Sheet2")]))
+    assert leftover == []  # both conjuncts handled by the source
+    parts = reader.partitions()
+    assert [(p.spreadsheet_id, p.sheet_name) for p in parts] == [("ssA", "Sheet2")]
+
+
+def test_end_to_end_filtered_read(registered, fixture_path):
+    df = (
+        registered.read.format("gsheets")
+        .option("path", fixture_path)
+        .load()
+        .filter("spreadsheet_id = 'ssA' and sheet_name = 'Sheet1'")
+    )
+    rows = df.orderBy("row_idx").collect()
+    assert [r["cells"] for r in rows] == [["Name", "Age"], ["alice", "30"], ["bob"]]
+
+
+def test_feeds_sheet_kernel(registered, fixture_path):
+    """The scan output plugs straight into the T1-T6 transform kernel."""
+    sheet = (
+        registered.read.format("gsheets")
+        .option("path", fixture_path)
+        .load()
+        .filter("spreadsheet_id = 'ssA' and sheet_name = 'Sheet1'")
+        .select("row_idx", "cells")
+    )
+    data = K.project_rows(K.trim_cells(sheet), [0, 1], ["name", "age"], skip_rows=1)
+    got = {r["name"]: r["age"] for r in data.collect()}
+    assert got == {"alice": "30", "bob": None}

@@ -72,6 +72,21 @@ def test_ann_recall_against_bruteforce(spark, sf_dir):
     assert rec >= 0.6, f"ANN recall collapsed: {rec}"
 
 
+def test_ivf_recall_against_bruteforce(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    c = emb.filter(F.col("vec_id") >= 10)
+    exact = similarity.cosine_topk_bruteforce(q, c, k=5)
+    # this corpus is near-isotropic (max pairwise cosine ~0.5), so
+    # recall tracks the probed fraction: probe 6/8 cells for headroom
+    approx = similarity.cosine_topk_ivf(q, c, k=5, n_centroids=8, n_probe=6)
+    rec = similarity.recall_at_k(exact, approx, k=5)
+    assert rec >= 0.6, f"IVF recall collapsed: {rec}"
+    # probing every cell must recover brute force exactly
+    full = similarity.cosine_topk_ivf(q, c, k=5, n_centroids=8, n_probe=8)
+    assert similarity.recall_at_k(exact, full, k=5) == 1.0
+
+
 MEDIA = [
     (1, "image", b"\x00\x01\x02\x03" * 8, {"width": 4, "height": 8, "duration_ms": None, "sample_rate": None, "format": "raw"}),
     (2, "video", b"\xff" * 16, {"width": 16, "height": 9, "duration_ms": 3500, "sample_rate": None, "format": "fakemp4"}),
