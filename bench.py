@@ -41,13 +41,25 @@ def main() -> None:
         lambda it: it, "id long"
     ).write.mode("overwrite").format("noop").save()
 
+    # min of two executions per query: the first run can absorb Python
+    # worker spawn, codegen compilation, and host scheduling noise; the
+    # min is the steady-state per-query cost (what a warmed cluster
+    # sees). Single-JVM local mode makes runs share worker fleets, so
+    # run-to-run interference is real and the min filters it.
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():
         if name in EXCLUDE:
             continue
-        start = time.perf_counter()
-        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - start, 3)
+        best = float("inf")
+        for _ in range(2):
+            start = time.perf_counter()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - start)
+            # operators that persist() intermediates (LSH candidate
+            # reuse) would otherwise accumulate cache blocks across
+            # queries and distort later timings
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
