@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from .functions.textfns import minhash_min, word_shingles, words_of
 from .functions.vectors import dot
-from .operators import dedup, multimodal, similarity, text as text_ops
+from .operators import asof, dedup, multimodal, similarity, text as text_ops
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
@@ -303,6 +303,135 @@ def q5_region_revenue(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("revenue")
         )
     )
+
+
+@q(
+    "q6_forecast_revenue",
+    """SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+       FROM lineitem
+       WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1996-01-01'
+         AND l_discount BETWEEN 0.04 AND 0.06 AND l_quantity < 24""",
+)
+def q6_forecast_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q6 shape: every predicate reaches the parquet scan
+    (PushedFilters) and only 4 columns are read — the pure
+    pushdown-and-prune aggregate."""
+    li = t(spark, sf, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_shipdate") < "1996-01-01")
+            & (F.col("l_discount").between(0.04, 0.06))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+            .alias("revenue")
+        )
+    )
+
+
+@q(
+    "q4_order_priority",
+    """SELECT o_orderpriority, COUNT(*) AS n_orders
+       FROM orders o
+       WHERE EXISTS (SELECT 1 FROM lineitem l
+                     WHERE l.l_orderkey = o.o_orderkey
+                       AND l.l_returnflag = 'R')
+       GROUP BY o_orderpriority""",
+)
+def q4_order_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4 shape (predicate adapted to this corpus's lineitem
+    columns): EXISTS as a left-semi join — the probe side is
+    pre-filtered and deduplicated map-side by the semi-join itself
+    (no distinct needed)."""
+    o = t(spark, sf, "orders")
+    returned = t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(returned, o.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@q(
+    "window_running_revenue",
+    """SELECT o_custkey, o_orderkey,
+              ROUND(SUM(o_totalprice) OVER (
+                  PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                AS running_total
+       FROM orders""",
+)
+def window_running_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Analytic window: per-customer cumulative revenue. One exchange
+    on the partition key, linear per-partition pass; deterministic
+    (o_orderdate, o_orderkey) ordering."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t(spark, sf, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+@q(
+    "rollup_order_revenue",
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+              coalesce(o_orderpriority, 'ALL') AS priority,
+              COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS revenue
+       FROM orders
+       GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
+)
+def rollup_order_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Hierarchical subtotals via ROLLUP — one pass, grouping-set
+    expansion handled by the engine (no self-union of aggregates)."""
+    return (
+        t(spark, sf, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "revenue",
+        )
+    )
+
+
+@q(
+    "events_asof_error",
+    """SELECT l.event_id, l.user_id,
+              r.event_id AS prior_event_id, r.value AS prior_value
+       FROM (SELECT * FROM events WHERE event_type = 'click') l
+       ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') r
+         ON l.user_id = r.user_id AND l.ts >= r.ts""",
+)
+def events_asof_error(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join: each click annotated with the user's most recent
+    error at-or-before it (union–carry-forward; one shuffle on the
+    key). DuckDB's native ASOF JOIN is the oracle. Output columns are
+    named so the unique non-null event_id sorts first (value-compare
+    harnesses sort columns by name; a nullable leading column would
+    make row-tuple ordering ill-defined)."""
+    ev = t(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    errors = ev.filter(F.col("event_type") == "error")
+    return asof.as_of_join(
+        clicks.select("event_id", "user_id", "ts"),
+        errors.select("user_id", "ts", "event_id", "value"),
+        key="user_id",
+        payload_cols=["event_id", "value"],
+        prefix="prior_",
+    ).select("event_id", "user_id", "prior_event_id", "prior_value")
 
 
 @q(
