@@ -30,6 +30,45 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def point_in_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    key: str,
+    point_time: str,
+    start: str,
+    end: str,
+    bucket_width_s: int = 3600,
+) -> DataFrame:
+    """Range join (point ∈ [start, end], same key) without the
+    nested-loop trap: Catalyst plans a bare inequality join as
+    BroadcastNestedLoopJoin — O(|points|·|intervals|) and
+    broadcast-bound. Instead, bucketize time at ``bucket_width_s``:
+    each point lands in ONE bucket, each interval explodes to the
+    buckets it spans, and the join becomes an equi-join on
+    (key, bucket) followed by the exact range filter.
+
+    A point inside an interval matches exactly one of the interval's
+    exploded buckets, so no post-join dedup is needed. Cost:
+    |intervals| × (span/width + 1) exploded rows shuffled on uniform
+    keys — pick ``bucket_width_s`` near the typical interval span so
+    the expansion factor stays ~2.
+
+    Returns the joined (point columns + interval columns) rows.
+    """
+    p_bucket = F.floor(F.unix_timestamp(F.col(point_time)) / bucket_width_s)
+    i_start = F.unix_timestamp(F.col(start))
+    i_end = F.unix_timestamp(F.col(end))
+    i_buckets = F.sequence(
+        F.floor(i_start / bucket_width_s), F.floor(i_end / bucket_width_s)
+    )
+    p = points.withColumn("_bucket", p_bucket)
+    i = intervals.withColumn("_bucket", F.explode(i_buckets))
+    joined = p.join(i, on=[key, "_bucket"]).filter(
+        (F.col(point_time) >= F.col(start)) & (F.col(point_time) <= F.col(end))
+    )
+    return joined.drop("_bucket")
+
+
 def as_of_join(
     left: DataFrame,
     right: DataFrame,

@@ -435,6 +435,83 @@ def events_asof_error(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "range_join_clicks_after_error",
+    """SELECT r.event_id AS err_event_id, COUNT(*) AS n_clicks
+       FROM events l JOIN events r
+         ON l.user_id = r.user_id
+        AND l.event_type = 'click' AND r.event_type = 'error'
+        AND l.ts >= r.ts AND l.ts <= r.ts + INTERVAL 1 HOUR
+       GROUP BY r.event_id""",
+)
+def range_join_clicks_after_error(spark: SparkSession, sf: str) -> DataFrame:
+    """Range join: clicks within one hour after each error, per user —
+    bucketized equi-join + exact filter (see
+    operators.asof.point_in_interval_join), never a nested loop."""
+    ev = t(spark, sf, "events")
+    points = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    intervals = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            "user_id",
+            F.col("event_id").alias("err_event_id"),
+            F.col("ts").alias("start_ts"),
+            (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("end_ts"),
+        )
+    )
+    return (
+        asof.point_in_interval_join(
+            points, intervals, key="user_id",
+            point_time="ts", start="start_ts", end="end_ts",
+        )
+        .groupBy("err_event_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+
+
+@q(
+    "distinct_users_by_type",
+    """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+       FROM events GROUP BY event_type""",
+)
+def distinct_users_by_type(spark: SparkSession, sf: str) -> DataFrame:
+    """COUNT(DISTINCT) — two-phase (partial distinct map-side) under
+    AQE; the exact counterpart of approx_count_distinct at scale."""
+    return (
+        t(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct(F.col("user_id")).alias("n_users"))
+    )
+
+
+@q(
+    "users_clicked_and_errored",
+    """SELECT user_id FROM events WHERE event_type = 'click'
+       INTERSECT
+       SELECT user_id FROM events WHERE event_type = 'error'""",
+)
+def users_clicked_and_errored(spark: SparkSession, sf: str) -> DataFrame:
+    """INTERSECT — planned as an aggregate + semi-join, one shuffle."""
+    ev = t(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    errors = ev.filter(F.col("event_type") == "error").select("user_id")
+    return clicks.intersect(errors)
+
+
+@q(
+    "orders_without_lineitems",
+    """SELECT o_orderkey FROM orders
+       EXCEPT
+       SELECT l_orderkey AS o_orderkey FROM lineitem""",
+)
+def orders_without_lineitems(spark: SparkSession, sf: str) -> DataFrame:
+    """EXCEPT — distinct + anti-join in one plan (non-empty on this
+    corpus: some orders carry no lineitems)."""
+    o = t(spark, sf, "orders").select("o_orderkey")
+    li = t(spark, sf, "lineitem").select(F.col("l_orderkey").alias("o_orderkey"))
+    return o.subtract(li)
+
+
+@q(
     "mktsegment_stats",
     """SELECT c_mktsegment, COUNT(*) AS n_customers,
               ROUND(SUM(c_acctbal), 2) AS acctbal_sum

@@ -73,3 +73,30 @@ def test_watermark_is_partial_agg_not_sort(spark, sf_dir):
 def test_topk_is_take_ordered(spark, sf_dir):
     plan = explain_str(QUERIES["topk_orders"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan  # not a full sort + limit
+
+
+def test_q6_all_predicates_pushed(spark, sf_dir):
+    plan = explain_str(QUERIES["q6_forecast_revenue"](spark, sf_dir))
+    for f in ("l_shipdate", "l_discount", "l_quantity"):
+        assert f"IsNotNull({f})" in plan or f in plan.split("PushedFilters")[1].split("]")[0], f
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" not in read_schema  # only the 4 needed columns
+
+
+def test_q4_semi_join(spark, sf_dir):
+    plan = explain_str(QUERIES["q4_order_priority"](spark, sf_dir))
+    assert "LeftSemi" in plan
+    # the returnflag filter must reach the lineitem scan
+    assert "EqualTo(l_returnflag,R)" in plan
+
+
+def test_range_join_is_not_nested_loop(spark, sf_dir):
+    plan = explain_str(QUERIES["range_join_clicks_after_error"](spark, sf_dir))
+    assert "NestedLoop" not in plan  # bucketized equi-join, never BNLJ
+
+
+def test_asof_join_single_exchange_per_side(spark, sf_dir):
+    plan = explain_str(QUERIES["events_asof_error"](spark, sf_dir))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    # union -> one hash exchange on the key -> window; no join at all
+    assert "Window" in plan and "Join" not in plan
