@@ -203,6 +203,57 @@ def topk_orders(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_FIXTURES_DIR = __import__("os").path.join(
+    __import__("os").path.dirname(__import__("os").path.abspath(__file__)),
+    "..", "fixtures",
+)
+
+
+@q(
+    "sheet_ingest_kernel",
+    """SELECT * FROM (VALUES
+         (CAST(0 AS BIGINT), 'alice', '30', 'extra'),
+         (CAST(1 AS BIGINT), 'bob',   '31', NULL),
+         (CAST(2 AS BIGINT), 'carol', '',   NULL)
+       ) AS t(_origin_row, personname, age, third)""",
+)
+def sheet_ingest_kernel(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end sheet ingestion through the native gsheets DataSource
+    + the T1-T6 kernel: partition-pruned scan of one sheet, cell trim,
+    header resolution (exact-match against the trimmed header; the
+    duplicate 'Name' at position 2 is never matched), positional
+    selector, null-padded ragged rows, skipRows re-index, and T5-
+    normalized output names ('Ågé!' → 'age'). Input is the checked-in
+    deterministic fixture (sf-independent); the oracle is the literal
+    expected relation."""
+    import os
+
+    from .operators import normalize as norm_ops
+    from .operators import rows as K
+    from .sources import SheetsDataSource
+
+    try:
+        spark.dataSource.register(SheetsDataSource)
+    except Exception:
+        pass  # already registered in this session
+    sheet = (
+        spark.read.format("gsheets")
+        .option("path", os.path.join(_FIXTURES_DIR, "sheets.json"))
+        .load()
+        .filter(
+            (F.col("spreadsheet_id") == "fixture-spreadsheet-1")
+            & (F.col("sheet_name") == "People")
+        )
+        .select("row_idx", "cells")
+    )
+    trimmed = K.trim_cells(sheet)
+    header = K.header_row(trimmed)
+    mapping = {"PersonName": "Name", "Ågé!": "Ågé", "third": 3}
+    selectors = K.resolve_column_selectors(header, list(mapping.values()))
+    names = norm_ops.normalized_column_names(list(mapping.keys()))
+    return K.project_rows(trimmed, selectors, names, skip_rows=1)
+
+
 # =====================================================================
 # Flagship relational queries (TPC-H-shaped, same primitives at scale)
 # =====================================================================

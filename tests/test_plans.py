@@ -95,6 +95,35 @@ def test_range_join_is_not_nested_loop(spark, sf_dir):
     assert "NestedLoop" not in plan  # bucketized equi-join, never BNLJ
 
 
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Bucketing both fact tables on the join key makes the join
+    shuffle-free — the 100 TB strategy for repeated co-located joins
+    (pay the shuffle once at write time, never again at read time)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
+        "overwrite"
+    ).saveAsTable("b_orders")
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
+        "overwrite"
+    ).saveAsTable("b_lineitem")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # forbid broadcast so the bucket layout, not table size, is
+        # what avoids the exchange
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        bo, bl = spark.table("b_orders"), spark.table("b_lineitem")
+        plan = explain_str(bo.join(bl, bo.o_orderkey == bl.l_orderkey))
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
 def test_asof_join_single_exchange_per_side(spark, sf_dir):
     plan = explain_str(QUERIES["events_asof_error"](spark, sf_dir))
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
