@@ -203,6 +203,60 @@ def topk_orders(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_STREAM_SEQ = [0]  # memory-sink names must be unique per session
+
+
+@q(
+    "streaming_hourly_counts",
+    """SELECT date_trunc('hour', ts) AS window_start, event_type,
+              COUNT(*) AS n
+       FROM events GROUP BY 1, 2""",
+)
+def streaming_hourly_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """The REAL Structured Streaming path, oracle-checked: file-source
+    readStream over the events parquet → watermark → tumbling-window
+    counts → availableNow drain into a memory sink. With the full file
+    set available, the final streaming state equals the batch
+    aggregation, so the exact batch SQL is a valid oracle — the
+    streaming engine (state store, watermarks, incremental triggers)
+    is what's under test, not different semantics."""
+    import tempfile
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from .streaming.events_stream import windowed_counts
+
+    # ts is TIMESTAMP(NANOS) in the file; declare long + convert (the
+    # streaming twin of t()'s nanosAsLong handling)
+    raw_schema = StructType([
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+    ])
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        # file sources stream DIRECTORIES; select just the events file
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf)
+        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    )
+    agg = windowed_counts(stream)
+    _STREAM_SEQ[0] += 1
+    name = f"stream_hourly_{_STREAM_SEQ[0]}"
+    q_handle = (
+        agg.writeStream.outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_"))
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q_handle.awaitTermination()
+    return spark.table(name)
+
+
 _FIXTURES_DIR = __import__("os").path.join(
     __import__("os").path.dirname(__import__("os").path.abspath(__file__)),
     "..", "fixtures",
