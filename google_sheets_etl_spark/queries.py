@@ -203,6 +203,54 @@ def topk_orders(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "price_percentiles_by_status",
+    """SELECT o_orderstatus,
+              ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+              ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90
+       FROM orders GROUP BY o_orderstatus""",
+)
+def price_percentiles_by_status(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact interpolated percentiles (ordered-set aggregate). Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` share the continuous
+    interpolation definition — verified digit-identical. At scale the
+    approximate twin is ``percentile_approx`` (t-digest sketch, no
+    per-group sort buffer); exact is kept here for the oracle."""
+    return (
+        t(spark, sf, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        )
+    )
+
+
+@q(
+    "q17_small_quantity_revenue",
+    """SELECT ROUND(SUM(l_extendedprice), 2) AS small_qty_revenue
+       FROM lineitem l
+       JOIN (SELECT l_partkey AS pk, 0.5 * AVG(l_quantity) AS half_avg
+             FROM lineitem GROUP BY l_partkey) a
+         ON l.l_partkey = a.pk
+       WHERE l.l_quantity < a.half_avg""",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated aggregate decorrelated into a
+    grouped subquery + self-join on the group key — both sides
+    partition identically, so the join reuses the aggregation's
+    exchange instead of shuffling twice."""
+    li = t(spark, sf, "lineitem")
+    avg_q = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.avg("l_quantity") * 0.5).alias("half_avg")
+    )
+    return (
+        li.join(avg_q, li.l_partkey == avg_q.pk)
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("small_qty_revenue"))
+    )
+
+
 _STREAM_SEQ = [0]  # memory-sink names must be unique per session
 
 

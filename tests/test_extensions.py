@@ -72,6 +72,34 @@ def test_ann_recall_against_bruteforce(spark, sf_dir):
     assert rec >= 0.6, f"ANN recall collapsed: {rec}"
 
 
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    from google_sheets_etl_spark.operators.skew import salted_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type"
+    )
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("error", -5.0), ("view", 0.5)],
+        "event_type string, weight double",
+    )
+    plain = ev.join(dim, on="event_type").select("event_id", "weight")
+    salted = salted_join(ev, dim, "event_type", n_salts=8).select(
+        "event_id", "weight"
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+    plain_l = ev.join(dim, on="event_type", how="left").select("event_id", "weight")
+    salted_l = salted_join(ev, dim, "event_type", n_salts=8, how="left").select(
+        "event_id", "weight"
+    )
+    assert sorted(map(tuple, salted_l.collect()), key=str) == sorted(
+        map(tuple, plain_l.collect()), key=str
+    )
+
+    with pytest.raises(ValueError):
+        salted_join(ev, dim, "event_type", how="full")
+
+
 def test_ivf_recall_against_bruteforce(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") < 10)
