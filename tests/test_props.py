@@ -1,0 +1,72 @@
+"""Property-based invariants (hypothesis) for the pure-Python kernel
+pieces — these run without a SparkSession and cover the input space the
+example-based tests can't."""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from google_sheets_etl_spark.operators.normalize import (
+    normalize_column_name,
+    normalized_column_names,
+)
+from google_sheets_etl_spark.operators.rows import (
+    ColumnIndexOutOfBounds,
+    RequiredColumnNotFound,
+    resolve_column_selectors,
+)
+
+IDENT = re.compile(r"^[a-z_][a-z0-9_ ]*$|^col_[0-9]+$")
+
+
+@given(st.lists(st.text(max_size=30), max_size=12))
+@settings(max_examples=200, deadline=None)
+def test_normalized_names_are_unique_valid_identifiers(cols):
+    out = normalized_column_names(cols)
+    assert len(out) == len(cols)
+    assert len(set(out)) == len(out), "names must be unique"
+    for name in out:
+        assert IDENT.match(name), name
+
+
+@given(st.text(max_size=50))
+@settings(max_examples=200, deadline=None)
+def test_normalize_is_idempotent(raw):
+    once = normalize_column_name(raw)
+    assert normalize_column_name(once) == once
+
+
+@given(st.lists(st.text(min_size=1, max_size=10), min_size=1, max_size=8, unique=True))
+@settings(max_examples=100, deadline=None)
+def test_header_resolution_roundtrip(header):
+    """Every header name resolves to its own position; every in-range
+    position resolves to itself."""
+    assert resolve_column_selectors(header, list(header)) == list(range(len(header)))
+    assert resolve_column_selectors(header, list(range(len(header)))) == list(
+        range(len(header))
+    )
+
+
+@given(st.lists(st.text(max_size=10), min_size=1, max_size=5))
+@settings(max_examples=50, deadline=None)
+def test_out_of_range_position_raises(header):
+    try:
+        resolve_column_selectors(header, [len(header)])
+        raise AssertionError("expected ColumnIndexOutOfBounds")
+    except ColumnIndexOutOfBounds:
+        pass
+
+
+@given(st.lists(st.text(max_size=10), max_size=5))
+@settings(max_examples=50, deadline=None)
+def test_missing_name_raises(header):
+    missing = "zz-not-a-header"
+    assert missing not in header
+    try:
+        resolve_column_selectors(header, [missing])
+        raise AssertionError("expected RequiredColumnNotFound")
+    except RequiredColumnNotFound:
+        pass
