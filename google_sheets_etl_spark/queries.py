@@ -204,6 +204,32 @@ def topk_orders(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "term_doc_freq",
+    """SELECT term, COUNT(*) AS df
+       FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
+             FROM documents)
+       GROUP BY term
+       ORDER BY df DESC, term ASC LIMIT 50""",
+)
+def term_doc_freq(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-50 terms by document frequency — the explode→agg→top-k
+    shape: per-doc distinct terms (map-side, bounds the explosion),
+    one shuffle on the term, TakeOrderedAndProject for the top-k.
+    At 100 TB the per-doc distinct is what keeps the exploded row
+    count at Σ|vocab(doc)| instead of Σ|tokens(doc)|."""
+    return (
+        t(spark, sf, "documents")
+        .select(
+            F.explode(F.array_distinct(words_of(F.col("text")))).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(50)
+    )
+
+
+@q(
     "price_percentiles_by_status",
     """SELECT o_orderstatus,
               ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
