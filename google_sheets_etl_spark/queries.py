@@ -25,7 +25,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .functions.textfns import minhash_min, word_shingles, words_of
+from .functions.textfns import word_shingles, words_of
 from .functions.vectors import dot
 from .operators import asof, dedup, multimodal, similarity, text as text_ops
 
@@ -274,6 +274,59 @@ def q17_small_quantity_revenue(spark: SparkSession, sf: str) -> DataFrame:
         li.join(avg_q, li.l_partkey == avg_q.pk)
         .filter(F.col("l_quantity") < F.col("half_avg"))
         .agg(F.round(F.sum("l_extendedprice"), 2).alias("small_qty_revenue"))
+    )
+
+
+@q(
+    "etl_lifecycle_target",
+    """SELECT * FROM (VALUES
+         (CAST(0 AS BIGINT), 'alice', '31', CAST(1 AS BIGINT)),
+         (CAST(1 AS BIGINT), 'bob',  NULL, CAST(1 AS BIGINT))
+       ) AS t(_origin_row, person, age, _origin_etl_job_id)""",
+)
+def etl_lifecycle_target(spark: SparkSession, sf: str) -> DataFrame:
+    """The FULL incremental-ETL lifecycle (U1-U8, O1-O3), driver-
+    checkable: three passes over an in-memory source — initial load,
+    a metadata-only touch (hash short-circuit U3: accounting advances,
+    no data rewrite), and a one-cell change (partition-scoped overwrite
+    U4: the job's rows are replaced, row count stable). Returns the
+    final target table; the oracle is the literal expected relation
+    (alice's age updated to 31, bob's missing cell null-padded,
+    provenance stamped). sf-independent by construction."""
+    import tempfile
+
+    from .config import EtlJob
+    from .etl import SheetsEtlEngine
+    from .sources import FixtureSheetSource, SpreadsheetMeta
+
+    src = FixtureSheetSource()
+    rows_v1 = [["Name", "Age"], ["alice", "30"], ["bob"]]
+    src.put_sheet(SpreadsheetMeta("ss-life", "2026-01-01T00:00:00Z", "L"), "S", rows_v1)
+    eng = SheetsEtlEngine(spark, tempfile.mkdtemp(prefix="wh_"), src)
+    eng.set_up_accounting()
+    jobs = [EtlJob("ss-life", "S", "people", {"person": "Name", "age": "Age"})]
+
+    eng.find_updated_spreadsheets()
+    r1 = eng.load_updated_spreadsheets(jobs)
+    assert r1 and not r1[0].skipped_unchanged and r1[0].rows_loaded == 2
+
+    # touch: new modifiedTime, identical bytes -> hash short-circuit
+    src.put_sheet(SpreadsheetMeta("ss-life", "2026-01-02T00:00:00Z", "L"), "S", rows_v1)
+    eng.find_updated_spreadsheets()
+    r2 = eng.load_updated_spreadsheets(jobs)
+    assert r2 and r2[0].skipped_unchanged and r2[0].rows_loaded == 0
+
+    # real change: one cell -> partition-scoped reload of this job only
+    src.put_sheet(
+        SpreadsheetMeta("ss-life", "2026-01-03T00:00:00Z", "L"), "S",
+        [["Name", "Age"], ["alice", "31"], ["bob"]],
+    )
+    eng.find_updated_spreadsheets()
+    r3 = eng.load_updated_spreadsheets(jobs)
+    assert r3 and not r3[0].skipped_unchanged
+
+    return eng.target("people").read().select(
+        "_origin_row", "person", "age", "_origin_etl_job_id"
     )
 
 
