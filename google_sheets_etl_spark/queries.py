@@ -640,6 +640,287 @@ def rollup_order_revenue(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "q10_returned_items",
+    """SELECT c_custkey, c_name,
+              ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       FROM customer JOIN orders ON c_custkey = o_custkey
+                     JOIN lineitem ON l_orderkey = o_orderkey
+       WHERE l_returnflag = 'R'
+       GROUP BY c_custkey, c_name
+       ORDER BY revenue DESC, c_custkey LIMIT 20""",
+)
+def q10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q10 shape: fact-side filter → two-level join → grouped
+    top-k. The lineitem filter is pushed to the scan; customer joins
+    after the aggregate has already shrunk the stream to ≤ one row
+    per (custkey) — join small, not wide."""
+    c = t(spark, sf, "customer").select("c_custkey", "c_name")
+    o = t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = (
+        t(spark, sf, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    per_cust = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev_raw")
+        )
+    )
+    return (
+        per_cust.join(c, per_cust.o_custkey == c.c_custkey)
+        .select("c_custkey", "c_name", F.round("rev_raw", 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@q(
+    "q14_promo_revenue_pct",
+    """SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                                     THEN l_extendedprice * (1 - l_discount)
+                                     ELSE 0 END)
+                    / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'""",
+)
+def q14_promo_revenue_pct(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation over a broadcast dim
+    join — part is the small side, no shuffle of lineitem."""
+    p = t(spark, sf, "part").select("p_partkey", "p_type")
+    li = t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(0.0))
+                / F.sum(disc),
+                4,
+            ).alias("promo_pct")
+        )
+    )
+
+
+@q(
+    "q18_large_volume_customers",
+    """SELECT c_name, o_orderkey, o_orderdate, o_totalprice,
+              ROUND(SUM(l_quantity), 2) AS total_qty
+       FROM customer JOIN orders ON c_custkey = o_custkey
+                     JOIN lineitem ON o_orderkey = l_orderkey
+       GROUP BY c_name, o_orderkey, o_orderdate, o_totalprice
+       HAVING SUM(l_quantity) > 250""",
+)
+def q18_large_volume_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING over a grouped fact — the quantity
+    aggregate runs on lineitem alone (partial map-side combine), the
+    survivor set (~tens of rows) then joins to orders/customer. The
+    threshold compares the *unrounded* sum: l_quantity values are
+    integral doubles, so the sum is exact in both engines."""
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty_raw"))
+        .filter(F.col("qty_raw") > 250)
+    )
+    o = t(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = t(spark, sf, "customer").select("c_custkey", "c_name")
+    return (
+        F.broadcast(big)
+        .join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name", "o_orderkey", "o_orderdate", "o_totalprice",
+            F.round("qty_raw", 2).alias("total_qty"),
+        )
+    )
+
+
+@q(
+    "q19_bracketed_revenue",
+    """SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       FROM lineitem JOIN part ON p_partkey = l_partkey
+       WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+              AND l_quantity BETWEEN 1 AND 11)
+          OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 25
+              AND l_quantity BETWEEN 10 AND 20)
+          OR (p_brand = 'Brand#9'  AND p_size BETWEEN 1 AND 35
+              AND l_quantity BETWEEN 20 AND 30)""",
+)
+def q19_bracketed_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive multi-table predicate. The part
+    side is pre-filtered to the union of brands (pushed to its scan)
+    and broadcast; the OR residual evaluates post-join inside
+    whole-stage codegen."""
+    p = t(spark, sf, "part").select("p_partkey", "p_brand", "p_size")
+    li = t(spark, sf, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    brand_pred = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#24")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#9")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    p_pre = p.filter(F.col("p_brand").isin("Brand#12", "Brand#24", "Brand#9"))
+    return (
+        li.join(F.broadcast(p_pre), li.l_partkey == p_pre.p_partkey)
+        .filter(brand_pred)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@q(
+    "q7_nation_volume",
+    """SELECT supp_nation, cust_nation, l_year,
+              ROUND(SUM(volume), 2) AS revenue
+       FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                    EXTRACT(year FROM l_shipdate) AS l_year,
+                    l_extendedprice * (1 - l_discount) AS volume
+             FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+                  JOIN orders ON o_orderkey = l_orderkey
+                  JOIN customer ON c_custkey = o_custkey
+                  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+             WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+       GROUP BY supp_nation, cust_nation, l_year""",
+)
+def q7_nation_volume(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume by year. Both nation
+    dims and the (pre-filtered) supplier dim broadcast; the only
+    shuffles are lineitem⋈orders and the final 4-group aggregate."""
+    n = t(spark, sf, "nation").filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    s = t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    c = t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    o = t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    s1 = s.join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
+    c2 = c.join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
+    return (
+        li.join(F.broadcast(s1), li.l_suppkey == s1.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c2, o.o_custkey == c2.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@q(
+    "cube_lineitem_status",
+    """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+              coalesce(l_linestatus, 'ALL') AS lstatus,
+              COUNT(*) AS n, ROUND(SUM(l_extendedprice), 2) AS gross
+       FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+)
+def cube_lineitem_status(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE grouping sets: all 2^2 subtotal combinations in one pass —
+    the engine expands grouping sets; no self-union of aggregates."""
+    return (
+        t(spark, sf, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("gross"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("lstatus"),
+            "n",
+            "gross",
+        )
+    )
+
+
+@q(
+    "pivot_daily_event_value",
+    """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+              ROUND(SUM(CASE WHEN event_type = 'click'    THEN value END), 2) AS click,
+              ROUND(SUM(CASE WHEN event_type = 'view'     THEN value END), 2) AS view,
+              ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase,
+              ROUND(SUM(CASE WHEN event_type = 'error'    THEN value END), 2) AS error,
+              ROUND(SUM(CASE WHEN event_type = 'signup'   THEN value END), 2) AS signup
+       FROM events GROUP BY day""",
+)
+def pivot_daily_event_value(spark: SparkSession, sf: str) -> DataFrame:
+    """PIVOT: daily value by event type as columns. Explicit pivot
+    values keep it one pass (no extra distinct-values job); nulls
+    where a type is absent that day, matching SUM(CASE...) with no
+    ELSE."""
+    ev = t(spark, sf, "events")
+    return (
+        ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .pivot("event_type", ["click", "view", "purchase", "error", "signup"])
+        .agg(F.round(F.sum("value"), 2))
+    )
+
+
+@q(
+    "top_supplier_per_nation",
+    """SELECT n_name, s_suppkey AS best_supp, s_acctbal AS best_acctbal
+       FROM (SELECT n_name, s_suppkey, s_acctbal,
+                    ROW_NUMBER() OVER (PARTITION BY n_nationkey
+                                       ORDER BY s_acctbal DESC, s_suppkey) AS rn
+             FROM supplier JOIN nation ON s_nationkey = n_nationkey) t
+       WHERE rn = 1""",
+)
+def top_supplier_per_nation(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q2 flavor (argmax-per-group; this corpus has no partsupp):
+    best supplier per nation via ranking window with a deterministic
+    tie-break. One exchange on the group key; float passes through
+    unrounded (stored value, bit-identical across engines)."""
+    s = t(spark, sf, "supplier")
+    n = t(spark, sf, "nation")
+    w = Window.partitionBy("n_nationkey").orderBy(
+        F.col("s_acctbal").desc(), F.col("s_suppkey")
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "n_name",
+            F.col("s_suppkey").alias("best_supp"),
+            F.col("s_acctbal").alias("best_acctbal"),
+        )
+    )
+
+
+@q(
     "events_asof_error",
     """SELECT l.event_id, l.user_id,
               r.event_id AS prior_event_id, r.value AS prior_value
