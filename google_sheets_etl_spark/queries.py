@@ -1373,6 +1373,61 @@ def multimodal_payload_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "embedding_centroids",
+    """SELECT label, x.i - 1 AS pos, ROUND(AVG(x.e), 6) AS centroid_val
+       FROM (SELECT label, unnest(embedding) AS e,
+                    unnest(range(1, len(embedding) + 1)) AS i
+             FROM embeddings) x
+       GROUP BY label, pos""",
+)
+def embedding_centroids(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label centroid of the embedding column — the k-means /
+    IVF training-step aggregate, as a first-class query. posexplode
+    → two-key groupBy: one shuffle on (label, pos), partial averages
+    map-side. At 100 TB this is the scalable way to average vectors:
+    never collect, never a Python loop; the exploded stream is
+    (rows × dim) but combines map-side down to (labels × dim)."""
+    e = t(spark, sf, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos", "e"))
+        .groupBy("label", F.col("pos").cast("long").alias("pos"))
+        .agg(F.round(F.avg("e"), 6).alias("centroid_val"))
+    )
+
+
+@q(
+    "top_terms_per_lang",
+    """SELECT lang, term, n
+       FROM (SELECT lang, term, n,
+                    ROW_NUMBER() OVER (PARTITION BY lang
+                                       ORDER BY n DESC, term) AS rn
+             FROM (SELECT lang, term, COUNT(*) AS n
+                   FROM (SELECT lang, unnest(list_distinct(string_split(text, ' '))) AS term
+                         FROM documents)
+                   GROUP BY lang, term) g) r
+       WHERE rn <= 5""",
+)
+def top_terms_per_lang(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-5 terms by document frequency within each language —
+    grouped top-k: explode (per-doc distinct bounds the blow-up) →
+    count shuffle on (lang, term) → ranking window re-shuffled only
+    on lang. The window input is already the aggregated vocabulary,
+    not the raw token stream."""
+    counts = (
+        t(spark, sf, "documents")
+        .select("lang", F.explode(F.array_distinct(words_of(F.col("text")))).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("term"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "term", "n")
+    )
+
+
+@q(
     "embedding_meta",
     """SELECT vec_id, label, len(embedding) AS dim,
               ROUND(sqrt(list_dot_product(embedding, embedding)), 4) AS norm_r4
