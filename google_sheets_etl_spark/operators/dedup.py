@@ -260,10 +260,15 @@ def near_dup_pairs(
     band_size=2 → 4 bands) target thresholds near 0.5; for lower
     thresholds pass ``band_size=1`` (8 bands, inflection ≈ 0.125)."""
     sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n)
-    # persist: the candidate plan feeds three downstream consumers
-    # (cand_ids + two joins); without it Spark re-executes the whole
-    # minhash+band+join subtree per consumer.
+    # persist + eager count: the candidate plan feeds three downstream
+    # consumers (cand_ids broadcast + two joins). Persist alone is not
+    # enough — when the consumers land in one job, AQE materializes the
+    # broadcast stage and the probe stages against a not-yet-populated
+    # cache, re-running the Python minhash subtree; the explicit action
+    # populates the cache once before any consumer plans against it
+    # (measured 2x on the sf0.1 bench, and removes run-to-run variance).
     cands = lsh_candidate_pairs(sigs, id_col, num_hashes, band_size).persist()
+    cands.count()
     # shingle ONLY candidate docs: the expensive array build is gated
     # behind a semi-join against the (small) candidate id set
     cand_ids = (
@@ -280,6 +285,7 @@ def near_dup_pairs(
         )
         .persist()
     )
+    shingled.count()  # same cache-population barrier: feeds both joins
     return (
         cands.join(shingled.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(shingled.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
