@@ -1041,6 +1041,285 @@ def mktsegment_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "q13_order_count_histogram",
+    """SELECT c_count, COUNT(*) AS custdist
+       FROM (SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+             FROM customer c LEFT JOIN orders o
+               ON c.c_custkey = o.o_custkey
+              AND o.o_orderpriority <> '1-URGENT'
+             GROUP BY c.c_custkey) cc
+       GROUP BY c_count""",
+)
+def q13_order_count_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13 shape: outer join with a join-side residual predicate,
+    then a double aggregation (per-customer count → histogram of
+    counts). The second groupBy's cardinality is tiny (distinct order
+    counts), so the expensive shuffle is only the first one, keyed on
+    the uniform c_custkey."""
+    c = t(spark, sf, "customer").select("c_custkey")
+    o = (
+        t(spark, sf, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@q(
+    "q22_idle_rich_customers",
+    """SELECT c_mktsegment AS segment, COUNT(*) AS numcust,
+              ROUND(SUM(c_acctbal), 2) AS totacctbal
+       FROM customer c
+       WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                          WHERE c_acctbal > 0.0)
+         AND NOT EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c.c_custkey
+                           AND o.o_orderpriority = '1-URGENT')
+       GROUP BY c_mktsegment""",
+)
+def q22_idle_rich_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22 shape: global-average scalar subquery (one-row
+    broadcast, no per-row recompute) + anti-join against the fact
+    table + final aggregate. The scalar side is a cross join with a
+    1-row DataFrame — Catalyst plans BroadcastNestedLoopJoin, so the
+    customer scan streams once."""
+    cust = t(spark, sf, "customer")
+    o = (
+        t(spark, sf, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).select(
+        F.avg("c_acctbal").alias("_avg_bal")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(o, cust.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+@q(
+    "q15_top_revenue_supplier",
+    """WITH rev AS (SELECT l_suppkey AS supplier_no,
+                           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                               AS total_revenue
+                    FROM lineitem
+                    WHERE l_shipdate >= DATE '1996-01-01'
+                      AND l_shipdate < DATE '1996-04-01'
+                    GROUP BY l_suppkey)
+       SELECT s_suppkey, s_name, total_revenue
+       FROM supplier JOIN rev ON s_suppkey = supplier_no
+       WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)""",
+)
+def q15_top_revenue_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q15 shape: aggregate once, reuse for both the max scalar
+    and the equality filter. The revenue aggregate is persisted so the
+    scalar-max pass doesn't recompute the lineitem scan; comparison is
+    on the *rounded* revenue in both engines (bit-stable equality)."""
+    li = t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+        .persist()
+    )
+    rev.count()  # populate cache before the two consumers plan against it
+    max_rev = rev.select(F.max("total_revenue").alias("_max_rev"))
+    s = t(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("_max_rev"))
+        .join(s, F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@q(
+    "q8_market_share",
+    """SELECT o_year,
+              ROUND(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+                    / SUM(volume), 4) AS mkt_share
+       FROM (SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+                    l_extendedprice * (1 - l_discount) AS volume,
+                    n2.n_name AS nation
+             FROM part JOIN lineitem ON p_partkey = l_partkey
+                  JOIN supplier ON s_suppkey = l_suppkey
+                  JOIN orders ON l_orderkey = o_orderkey
+                  JOIN customer ON o_custkey = c_custkey
+                  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+                  JOIN region ON n1.n_regionkey = r_regionkey
+                  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+             WHERE r_name = 'ASIA' AND p_type = 'PROMO') v
+       GROUP BY o_year""",
+)
+def q8_market_share(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q8 shape: one supplier nation's share of regional revenue
+    per year. Seven-table join where every dimension (part, supplier,
+    customer-in-region, both nation roles) broadcasts; the fact tables
+    meet in a single lineitem⋈orders shuffle. The share is a
+    conditional-sum ratio in one aggregate pass — no self-join."""
+    n = t(spark, sf, "nation")
+    r = t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    # customers restricted to the target region (filter pushed through
+    # the two-level dim join before it ever meets a fact table)
+    cust_in_region = (
+        t(spark, sf, "customer")
+        .join(
+            F.broadcast(
+                n.join(
+                    F.broadcast(r), n.n_regionkey == r.r_regionkey
+                ).select("n_nationkey")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    p = t(spark, sf, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    supp_nation = (
+        t(spark, sf, "supplier")
+        .join(
+            F.broadcast(n.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    li = t(spark, sf, "lineitem")
+    o = t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(supp_nation), li.l_suppkey == F.col("s_suppkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cust_in_region), o.o_custkey == F.col("c_custkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_3", vol).otherwise(0.0))
+                / F.sum(vol),
+                4,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@q(
+    "q9_profit_by_nation_year",
+    """SELECT nation, o_year,
+              CAST(ROUND(SUM(CAST(amount AS DECIMAL(18,4))), 2) AS DOUBLE)
+                  AS sum_profit
+       FROM (SELECT n_name AS nation,
+                    EXTRACT(year FROM o_orderdate) AS o_year,
+                    l_extendedprice * (1 - l_discount)
+                      - 0.1 * p_retailprice * l_quantity AS amount
+             FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+                  JOIN part ON p_partkey = l_partkey
+                  JOIN orders ON o_orderkey = l_orderkey
+                  JOIN nation ON s_nationkey = n_nationkey
+             WHERE p_name LIKE '%widget%') profit
+       GROUP BY nation, o_year""",
+)
+def q9_profit_by_nation_year(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q9 shape (supply cost proxied as 10% of retail price — the
+    corpus has no partsupp table): profit by supplier nation and order
+    year. part/supplier/nation broadcast; lineitem⋈orders is the one
+    big shuffle; the LIKE filter prunes parts before the fact join.
+
+    The mixed-sign per-row amounts make the float sum land exactly on
+    a cent boundary for some groups, where summation order flips the
+    rounded digit — so the aggregate runs over exact DECIMAL(18,4)
+    (identical per-row doubles → identical decimal quantization →
+    order-independent exact sum in both engines)."""
+    p = (
+        t(spark, sf, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    sn = (
+        t(spark, sf, "supplier")
+        .join(
+            F.broadcast(t(spark, sf, "nation").select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    li = t(spark, sf, "lineitem")
+    o = t(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(sn), li.l_suppkey == F.col("s_suppkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            "nation",
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            amount.cast("decimal(18,4)").alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(
+            F.round(F.sum("amount"), 2).cast("double").alias("sum_profit")
+        )
+    )
+
+
+@q(
+    "q12_late_shipment_priority",
+    """SELECT l_linestatus,
+              SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END) AS high_line_count,
+              SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END) AS low_line_count
+       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+       GROUP BY l_linestatus""",
+)
+def q12_late_shipment_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q12 shape (ship-vs-commit lateness proxied by
+    shipdate > orderdate + 60d — the corpus has no commit/receipt
+    dates): join + cross-table predicate + conditional counts. The
+    lateness predicate references both sides, so it runs post-join;
+    everything else is one shuffle and a 2-group aggregate."""
+    o = t(spark, sf, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linestatus", "l_shipdate"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
 # =====================================================================
 # Event analytics (window functions, sessionization, JSON)
 # =====================================================================
