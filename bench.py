@@ -27,8 +27,8 @@ from google_sheets_etl_spark.session import get_spark  # noqa: E402
 # events_hourly IS benchmarked.
 # etl_lifecycle_target is the 3-pass engine-orchestration check on a
 # 2-row fixture — correctness surface, not throughput.
-EXCLUDE = {"near_dup_jaccard_exact", "streaming_hourly_counts",
-           "etl_lifecycle_target"}
+EXCLUDE = {"near_dup_jaccard_exact", "dedup_clusters_exact",
+           "streaming_hourly_counts", "etl_lifecycle_target"}
 
 
 def main() -> None:

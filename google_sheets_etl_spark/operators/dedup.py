@@ -323,6 +323,76 @@ def jaccard_pairs_bruteforce(
     )
 
 
+# ------------------------------------------- cluster assignment (CC)
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    out_id: str = "doc_id",
+    out_cluster: str = "cluster_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair list: every node
+    gets ``cluster_id`` = the minimum id in its component, so "keep one
+    doc per duplicate cluster" becomes ``filter(doc_id == cluster_id)``.
+
+    Iterative min-label propagation: each round every node takes the
+    min of its own label and its neighbors' labels; fixpoint after
+    O(component diameter) rounds. Near-dup clusters are small and
+    dense (diameter 2-4 in practice), so the loop is short; each round
+    is one join + one aggregate, both shuffling on the uniform node
+    id. Labels are persisted and materialized per round (lineage stays
+    flat — no exponential plan growth), and the previous round's cache
+    is released. For adversarial long-chain graphs at extreme scale,
+    swap in the large-star/small-star variant (Kiveris et al., "CC in
+    MapReduce and Beyond") — same contract, fewer rounds.
+
+    Only nodes that appear in ``pairs`` are returned; singletons are
+    their own cluster by definition and never shuffle.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    labels.count()
+    for _ in range(max_iter):
+        neighbor_labels = edges.join(
+            labels.withColumnRenamed("node", "dst"), "dst"
+        ).select(F.col("src").alias("node"), "label")
+        new_labels = (
+            labels.union(neighbor_labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .persist()
+        )
+        new_labels.count()
+        changed = (
+            labels.alias("o")
+            .join(new_labels.alias("n"), "node")
+            .filter(F.col("o.label") != F.col("n.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias(out_id), F.col("label").alias(out_cluster)
+    )
+
+
 # ------------------------------------------------------------- simhash
 
 

@@ -1460,6 +1460,57 @@ def near_dup_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.near_dup_pairs(t(spark, sf, "documents"), threshold=0.5)
 
 
+_CLUSTERS_ORACLE = """
+WITH RECURSIVE sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(string_split(text,' ')) - 1, 1)),
+           i -> (string_split(text,' '))[i] || ' ' ||
+                (string_split(text,' '))[i+1] || ' ' ||
+                (string_split(text,' '))[i+2])) AS s
+  FROM documents
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_distinct(list_concat(a.s, b.s))) > 0
+    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.5
+), edges AS (
+  SELECT id_a AS node, id_b AS nb FROM pairs
+  UNION ALL
+  SELECT id_b AS node, id_a AS nb FROM pairs
+), reach(node, r) AS (
+  SELECT node, node FROM (SELECT DISTINCT node FROM edges) nodes
+  UNION
+  SELECT e.node, reach.r FROM edges e JOIN reach ON reach.node = e.nb
+)
+SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node"""
+
+
+@q("dedup_clusters_exact", _CLUSTERS_ORACLE)
+def dedup_clusters_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup cluster assignment over the exact Jaccard pair list:
+    connected components, cluster_id = min doc_id in the component
+    ("keep one per cluster" = filter(doc_id == cluster_id)). The
+    DuckDB oracle computes the same fixpoint as a recursive CTE
+    (transitive reachability → MIN per node) — a genuinely iterative
+    operator, cross-checked exactly. Quadratic pair input: correctness
+    scale only; the benched scale path is near_dup_clusters_lsh."""
+    pairs = dedup.jaccard_pairs_bruteforce(
+        t(spark, sf, "documents"), threshold=0.5
+    )
+    return dedup.connected_components(pairs)
+
+
+@q("near_dup_clusters_lsh")  # approximate pair input — rows-only check
+def near_dup_clusters_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """The 100 TB cluster-dedup path: LSH candidate pairs (never
+    O(n²)) → exact-Jaccard verify → connected components. Same
+    clustering kernel as the oracled exact variant."""
+    pairs = dedup.near_dup_pairs(t(spark, sf, "documents"), threshold=0.5)
+    return dedup.connected_components(pairs)
+
+
 @q("simhash64")  # xxhash64 has no duckdb equivalent — rows-only check
 def simhash64(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.simhash64(t(spark, sf, "documents"))

@@ -33,6 +33,24 @@ def test_exact_dedup(spark, docs):
     assert ids == [1, 3, 4, 5]  # doc 2 deduped against 1
 
 
+def test_connected_components_chain_and_island(spark):
+    # chain 1-2-3 (transitive closure needs >1 propagation round),
+    # island 5-6, plus a disconnected pair 9-10
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (5, 6), (9, 10)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 9: 9, 10: 9}
+
+
+def test_connected_components_empty(spark):
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert dedup.connected_components(pairs).count() == 0
+
+
 def test_minhash_identical_docs_identical_sigs(spark, docs):
     sigs = {r["doc_id"]: (r["mh_0"], r["mh_1"]) for r in
             dedup.minhash_signatures(docs, num_hashes=2).collect()}
