@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions.textfns import word_shingles, words_of
-from .functions.vectors import dot
+from .functions.vectors import cosine_similarity, dot
 from .operators import asof, dedup, multimodal, similarity, text as text_ops
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -1722,6 +1722,54 @@ def embedding_centroids(spark: SparkSession, sf: str) -> DataFrame:
         e.select("label", F.posexplode("embedding").alias("pos", "e"))
         .groupBy("label", F.col("pos").cast("long").alias("pos"))
         .agg(F.round(F.avg("e"), 6).alias("centroid_val"))
+    )
+
+
+@q(
+    "kmeans_assign_step",
+    """WITH c AS (SELECT vec_id AS cent_id, embedding AS cv
+                  FROM embeddings WHERE vec_id < 8),
+       s AS (SELECT e.vec_id, c.cent_id,
+                    list_dot_product(e.embedding, c.cv) /
+                      (sqrt(list_dot_product(e.embedding, e.embedding)) *
+                       sqrt(list_dot_product(c.cv, c.cv))) AS cos
+             FROM embeddings e CROSS JOIN c)
+       SELECT vec_id, cent_id AS cell, ROUND(cos, 4) AS cosine_r4
+       FROM (SELECT vec_id, cent_id, cos,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY cos DESC, cent_id ASC) AS rn
+             FROM s) r
+       WHERE rn = 1""",
+)
+def kmeans_assign_step(spark: SparkSession, sf: str) -> DataFrame:
+    """The k-means / IVF E-step as a first-class query: assign every
+    vector to its nearest centroid (deterministic seed centroids =
+    vec_id < 8). Centroids broadcast, corpus never shuffles during
+    scoring; the only exchange is the per-vector argmax window — and
+    pairing this with ``embedding_centroids`` (the M-step) gives a
+    full Lloyd's iteration in two oracled queries. Scoring is the
+    codegen'd JVM cosine kernel, k×|corpus| rows, no Python."""
+    e = t(spark, sf, "embeddings")
+    cents = (
+        e.filter(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv"))
+    )
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cent_id",
+        cosine_similarity(F.col("embedding"), F.col("cv")).alias("cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("cent_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("cent_id").alias("cell"),
+            F.round("cos", 4).alias("cosine_r4"),
+        )
     )
 
 

@@ -110,6 +110,28 @@ def sessionize_stream(events: DataFrame, gap_s: int = 1800) -> DataFrame:
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    key_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup — the streaming twin of
+    ``operators.dedup.exact_dedup``: drop any record whose key was
+    already seen within the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` keeps one state entry per key
+    and expires it once the event-time watermark passes, so state is
+    bounded by (horizon × key cardinality within it), never stream
+    length — the property that makes exactly-this dedup viable on an
+    unbounded ingest feed. A duplicate arriving later than the horizon
+    is NOT caught here (state already expired); the batch
+    ``exact_dedup`` over the landed table is the backstop, same keys.
+    """
+    keys = key_cols or ["event_id"]
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def run_available_now(stream: DataFrame, out_path: str, checkpoint: str,
                       output_mode: str = "append") -> None:
     """Drain everything currently available through the streaming

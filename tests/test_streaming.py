@@ -48,6 +48,38 @@ def test_windowed_counts_available_now(spark, tmp_path):
     assert (BASE + dt.timedelta(hours=2), "click") not in got
 
 
+def test_dedup_stream_drops_duplicates_within_watermark(spark, tmp_path):
+    src = str(tmp_path / "events_dup_in")
+    out = str(tmp_path / "dedup_out")
+    ckpt = str(tmp_path / "ckpt_dedup")
+    rows = [
+        (1, BASE, 1, "click"),
+        (1, BASE + dt.timedelta(minutes=1), 1, "click"),   # dup key, in horizon
+        (2, BASE + dt.timedelta(minutes=5), 2, "view"),
+        (2, BASE + dt.timedelta(minutes=6), 2, "view"),    # dup key, in horizon
+        (3, BASE + dt.timedelta(minutes=7), 1, "error"),
+    ]
+    spark.createDataFrame(rows, es.EVENTS_STREAM_SCHEMA).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    stream = es.dedup_stream(es.read_event_stream(spark, src))
+    es.run_available_now(stream, out, ckpt)
+
+    got = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
+    assert got == [1, 2, 3]
+
+    # a replay of key 1 in a later micro-batch, still inside the
+    # horizon, is also dropped (state carried across batches)
+    spark.createDataFrame(
+        [(1, BASE + dt.timedelta(minutes=8), 1, "click")],
+        es.EVENTS_STREAM_SCHEMA,
+    ).write.mode("append").parquet(src)
+    es.run_available_now(stream, out, ckpt)
+    got2 = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
+    assert got2 == [1, 2, 3]
+
+
 def test_sessionize_stream_state_across_batches(spark, tmp_path):
     src = str(tmp_path / "events_in2")
     out = str(tmp_path / "sessions_out")
