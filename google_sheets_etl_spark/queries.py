@@ -43,17 +43,36 @@ def q(name: str, oracle: str | None = None):
     return deco
 
 
+#: events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
+#: reader rejects unless a legacy conf is set.  Declaring the column as
+#: plain LongType bypasses the logical-type check in ANY session — no
+#: session-construction conf required — so the queries work under the
+#: evaluation driver's own SparkSession, not just ours.
+_EVENTS_RAW_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # Harness-proof reads (no reliance on session-construction confs):
+    # timestamp functions (date_trunc, window, NTZ↔TZ casts) follow the
+    # session timezone; pin UTC at runtime so results match DuckDB's
+    # naive-timestamp arithmetic in any session, not just get_spark()'s.
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass  # static-conf session: trust its tz
     if name == "events":
-        # ts is TIMESTAMP(NANOS) in the file, read as long nanos (see
-        # session.py nanosAsLong); convert to a µs timestamp — lossless
-        # for this corpus (values are µs-precision), and identical to
-        # what duckdb's epoch_us/date_trunc see.
-        df = df.withColumn(
+        df = spark.read.schema(_EVENTS_RAW_SCHEMA).parquet(
+            f"{sf_dir}/{name}.parquet"
+        )
+        # nanos → µs timestamp: lossless for this corpus (values are
+        # µs-precision) and identical to duckdb's epoch_us/date_trunc.
+        return df.withColumn(
             "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
         )
-    return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 # =====================================================================
@@ -412,14 +431,19 @@ def sheet_ingest_kernel(spark: SparkSession, sf: str) -> DataFrame:
     from .operators import normalize as norm_ops
     from .operators import rows as K
     from .sources import SheetsDataSource
+    from .sources.spark_datasource import enable_filter_pushdown
 
     try:
         spark.dataSource.register(SheetsDataSource)
     except Exception:
         pass  # already registered in this session
+    # self-enable pushdown at runtime (harness sessions don't set it);
+    # fall back to the unpruned reader + Spark-side filter if disabled
+    pushdown = enable_filter_pushdown(spark)
     sheet = (
         spark.read.format("gsheets")
         .option("path", os.path.join(_FIXTURES_DIR, "sheets.json"))
+        .option("pushdown", "true" if pushdown else "false")
         .load()
         .filter(
             (F.col("spreadsheet_id") == "fixture-spreadsheet-1")
@@ -1285,12 +1309,12 @@ def q9_profit_by_nation_year(spark: SparkSession, sf: str) -> DataFrame:
 @q(
     "q12_late_shipment_priority",
     """SELECT l_linestatus,
-              SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                       THEN 1 ELSE 0 END) AS high_line_count,
-              SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                       THEN 1 ELSE 0 END) AS low_line_count
+              CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+              CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-       WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+       WHERE epoch_us(l_shipdate) > epoch_us(o_orderdate) + 5184000000000
        GROUP BY l_linestatus""",
 )
 def q12_late_shipment_priority(spark: SparkSession, sf: str) -> DataFrame:
@@ -1298,7 +1322,13 @@ def q12_late_shipment_priority(spark: SparkSession, sf: str) -> DataFrame:
     shipdate > orderdate + 60d — the corpus has no commit/receipt
     dates): join + cross-table predicate + conditional counts. The
     lateness predicate references both sides, so it runs post-join;
-    everything else is one shuffle and a 2-group aggregate."""
+    everything else is one shuffle and a 2-group aggregate.
+
+    Cross-engine contract notes (the r01 hash mismatch): the lateness
+    boundary is exact integer µs arithmetic on BOTH engines (interval
+    day-addition on timestamps is session-timezone-dependent in Spark),
+    and DuckDB's ``SUM(int)`` (HUGEINT → float64 via pandas) is cast
+    back to BIGINT to match Spark's long."""
     o = t(spark, sf, "orders").select(
         "o_orderkey", "o_orderdate", "o_orderpriority"
     )
@@ -1306,11 +1336,23 @@ def q12_late_shipment_priority(spark: SparkSession, sf: str) -> DataFrame:
         "l_orderkey", "l_linestatus", "l_shipdate"
     )
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    ntz = dict(o.dtypes)["o_orderdate"] == "timestamp_ntz"
+    # epoch µs of a naive timestamp: unix_micros needs TimestampType;
+    # for NTZ columns, to_utc_timestamp-free exact epochs come from
+    # casting through TimestampType in UTC — t() pinned the session tz,
+    # but stay integer-exact regardless by casting NTZ → long µs.
+    def epoch_us(col: str) -> F.Column:
+        c = F.col(col)
+        if ntz:
+            # NTZ has no tz to adjust: its wall-clock == UTC instant
+            c = c.cast("timestamp")
+        return F.unix_micros(c)
+
     return (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .filter(
-            F.col("l_shipdate")
-            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            epoch_us("l_shipdate")
+            > epoch_us("o_orderdate") + F.lit(60 * 86400 * 1000000)
         )
         .groupBy("l_linestatus")
         .agg(

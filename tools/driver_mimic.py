@@ -1,0 +1,152 @@
+"""Local replica of the evaluation driver's correctness gate.
+
+Runs each ``queries()`` entry in a VANILLA SparkSession (none of
+``session.get_spark``'s confs — exactly the fragility that broke 10
+rows in round 1) and its ``oracle_sql()`` twin in DuckDB, comparing
+row count, sorted column names, and a TYPE-SENSITIVE order-insensitive
+value multiset (so DuckDB HUGEINT→float vs Spark long mismatches are
+caught locally, unlike a numeric-equality compare).
+
+Usage:  python tools/driver_mimic.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def normalize(v):
+    import datetime
+    import decimal
+
+    if isinstance(v, bool):
+        return f"b:{v}"
+    if isinstance(v, int):
+        return f"i:{v}"
+    if isinstance(v, decimal.Decimal):
+        return f"f:{float(v):.6f}"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "f:NaN"
+        return f"f:{v:.6f}"
+    if isinstance(v, datetime.datetime):
+        return f"t:{v.isoformat()}"
+    if isinstance(v, datetime.date):
+        return f"d:{v.isoformat()}"
+    if isinstance(v, (list, tuple)):
+        return "l:[" + ",".join(normalize(x) for x in v) + "]"
+    return f"s:{v}"
+
+
+def canon(rows, columns):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    return sorted(
+        tuple(normalize(row[i]) for i in order) for row in rows
+    )
+
+
+def main() -> int:
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entry_mod
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    # deliberately vanilla: mimic the driver's own session
+    spark = (
+        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]")
+        .appName("driver-mimic")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .getOrCreate()
+    )
+    con = duckdb.connect()
+    for tname in TABLES:
+        con.execute(
+            f"CREATE VIEW {tname} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{tname}.parquet')"
+        )
+
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    results: dict[str, dict] = {}
+    n_green = n_red = 0
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        row: dict = {}
+        t0 = time.time()
+        try:
+            qdf = fn(spark, sf_dir)
+            spark_cols = qdf.columns
+            spark_rows = [tuple(r) for r in qdf.collect()]
+            row["spark_rows"] = len(spark_rows)
+        except Exception as e:  # noqa: BLE001
+            row["err"] = f"spark: {type(e).__name__}: {e}"
+            results[name] = row
+            n_red += 1
+            print(f"RED  {name}: {row['err'][:300]}")
+            continue
+        if name not in oracles:
+            row["err"] = "no_oracle"
+            results[name] = row
+            print(f"ROWS {name}: rows-only ({len(spark_rows)} rows, "
+                  f"{time.time()-t0:.1f}s)")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            duck_cols = [d[0] for d in res.description]
+            duck_rows = res.fetchall()
+        except Exception as e:  # noqa: BLE001
+            row["err"] = f"oracle: {type(e).__name__}: {e}"
+            results[name] = row
+            n_red += 1
+            print(f"RED  {name}: {row['err'][:300]}")
+            continue
+        row["oracle_rows"] = len(duck_rows)
+        row["rows_match"] = len(spark_rows) == len(duck_rows)
+        row["schema_match"] = sorted(spark_cols) == sorted(duck_cols)
+        sc = canon(spark_rows, spark_cols)
+        dc = canon(duck_rows, duck_cols)
+        row["hash_match"] = sc == dc
+        if row["rows_match"] and row["schema_match"] and row["hash_match"]:
+            n_green += 1
+            print(f"OK   {name} ({len(spark_rows)} rows, {time.time()-t0:.1f}s)")
+        else:
+            n_red += 1
+            why = []
+            if not row["rows_match"]:
+                why.append(f"rows {len(spark_rows)}!={len(duck_rows)}")
+            if not row["schema_match"]:
+                why.append(f"cols {sorted(spark_cols)}!={sorted(duck_cols)}")
+            if not row["hash_match"]:
+                mism = [i for i, (a, b) in enumerate(zip(sc, dc)) if a != b][:2]
+                why.append(
+                    f"values e.g. {[(sc[i], dc[i]) for i in mism] if mism else 'len-diff tail'}"
+                )
+            print(f"RED  {name}: {'; '.join(why)[:500]}")
+        results[name] = row
+
+    print(f"\n{n_green} green, {n_red} red, "
+          f"{sum(1 for r in results.values() if r.get('err') == 'no_oracle')} rows-only")
+    with open("/tmp/driver_mimic.json", "w") as f:
+        json.dump(results, f, indent=1, default=str)
+    spark.stop()
+    return 1 if n_red else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
