@@ -338,16 +338,21 @@ def connected_components(
     gets ``cluster_id`` = the minimum id in its component, so "keep one
     doc per duplicate cluster" becomes ``filter(doc_id == cluster_id)``.
 
-    Iterative min-label propagation: each round every node takes the
-    min of its own label and its neighbors' labels; fixpoint after
-    O(component diameter) rounds. Near-dup clusters are small and
-    dense (diameter 2-4 in practice), so the loop is short; each round
-    is one join + one aggregate, both shuffling on the uniform node
-    id. Labels are persisted and materialized per round (lineage stays
-    flat — no exponential plan growth), and the previous round's cache
-    is released. For adversarial long-chain graphs at extreme scale,
-    swap in the large-star/small-star variant (Kiveris et al., "CC in
-    MapReduce and Beyond") — same contract, fewer rounds.
+    Min-label propagation with path halving, ONE Spark action per
+    round: each round every node takes the min over {its label, its
+    neighbors' labels, its label's label} — the last term (pointer
+    jumping / path halving, à la Kiveris et al. "CC in MapReduce and
+    Beyond") collapses label chains exponentially, so rounds ≈
+    O(log diameter) instead of O(diameter). The convergence check
+    rides the SAME action that materializes the round's labels: the
+    self-label row carries ``old_label`` through the aggregate, and
+    ``filter(label != old_label).count()`` both populates the round's
+    cache and returns the changed count — round 1's three actions
+    (cache count + limit-probe join + next join) cost 44% of the
+    whole sf0.1 bench; this shape removes two of them.
+
+    Each round shuffles on the uniform node/label ids; lineage stays
+    flat (persist per round, previous round released).
 
     Only nodes that appear in ``pairs`` are returned; singletons are
     their own cluster by definition and never shuffle.
@@ -365,26 +370,47 @@ def connected_components(
         .persist()
     )
     labels.count()
+    persisted = labels  # the cache handle to release each round
+    label_type = dict(labels.dtypes)["label"]
     for _ in range(max_iter):
+        # neighbor term: min label over adjacent nodes
         neighbor_labels = edges.join(
             labels.withColumnRenamed("node", "dst"), "dst"
         ).select(F.col("src").alias("node"), "label")
+        # path-halving term: label(label(node)) — join labels to
+        # itself through the current label pointer
+        hop = (
+            labels.select("node", F.col("label").alias("via"))
+            .join(
+                labels.select(
+                    F.col("node").alias("via"), F.col("label").alias("label")
+                ),
+                "via",
+            )
+            .select("node", "label")
+        )
+        # self term carries the old label through the aggregate so the
+        # convergence check needs no second join/action
+        self_labels = labels.select(
+            "node", "label", F.col("label").alias("old_label")
+        )
+        contributions = self_labels.unionByName(
+            neighbor_labels.withColumn("old_label", F.lit(None).cast(label_type)),
+        ).unionByName(hop.withColumn("old_label", F.lit(None).cast(label_type)))
         new_labels = (
-            labels.union(neighbor_labels)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            contributions.groupBy("node")
+            .agg(
+                F.min("label").alias("label"),
+                # exactly one non-null old_label per node (the self row)
+                F.max("old_label").alias("old_label"),
+            )
             .persist()
         )
-        new_labels.count()
-        changed = (
-            labels.alias("o")
-            .join(new_labels.alias("n"), "node")
-            .filter(F.col("o.label") != F.col("n.label"))
-            .limit(1)
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+        # ONE action: populates the cache AND returns the changed count
+        changed = new_labels.filter(F.col("label") != F.col("old_label")).count()
+        persisted.unpersist()
+        persisted = new_labels
+        labels = new_labels.select("node", "label")
         if changed == 0:
             break
     edges.unpersist()

@@ -1,15 +1,16 @@
 """Local replica of the driver's correctness gate: run every
 ``queries()`` entry and its ``oracle_sql()`` twin at sf0.001, compare
-row count + column names + order-insensitive value multiset."""
+row count + column names + an order-insensitive TYPE-SENSITIVE value
+multiset (shared with tools/driver_mimic.py) — Spark long vs DuckDB
+HUGEINT-as-float mismatches fail here, as they do in the real gate."""
 
 from __future__ import annotations
-
-import math
 
 import duckdb
 import pytest
 
 import __spark_entry__ as entry_mod
+from tools.driver_mimic import canon
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -27,21 +28,6 @@ def duck(sf_dir):
     return con
 
 
-def normalize(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return round(v, 6)
-    return v
-
-
-def canon(rows, columns):
-    order = sorted(range(len(columns)), key=lambda i: columns[i])
-    return sorted(
-        tuple(normalize(row[i]) for i in order) for row in rows
-    )
-
-
 ORACLED = sorted(entry_mod.oracle_sql().keys())
 ROWS_ONLY = sorted(set(entry_mod.queries()) - set(ORACLED))
 
@@ -52,9 +38,10 @@ def test_query_matches_oracle(spark, sf_dir, duck, name):
     spark_cols = qdf.columns
     spark_rows = [tuple(r) for r in qdf.collect()]
 
-    res = duck.execute(entry_mod.oracle_sql()[name])
-    duck_cols = [d[0] for d in res.description]
-    duck_rows = res.fetchall()
+    # pandas fetch path (the driver's): DuckDB HUGEINT → float64
+    pdf = duck.execute(entry_mod.oracle_sql()[name]).df()
+    duck_cols = list(pdf.columns)
+    duck_rows = list(pdf.itertuples(index=False, name=None))
 
     assert sorted(spark_cols) == sorted(duck_cols), f"{name}: column names differ"
     assert len(spark_rows) == len(duck_rows), f"{name}: row count differs"

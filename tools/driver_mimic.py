@@ -30,6 +30,8 @@ def normalize(v):
     import datetime
     import decimal
 
+    if type(v).__module__ == "numpy":  # np.int64/float64/bool_ scalars
+        v = v.item()
     if isinstance(v, bool):
         return f"b:{v}"
     if isinstance(v, int):
@@ -107,9 +109,14 @@ def main() -> int:
                   f"{time.time()-t0:.1f}s)")
             continue
         try:
-            res = con.execute(oracles[name])
-            duck_cols = [d[0] for d in res.description]
-            duck_rows = res.fetchall()
+            # fetch through pandas (the likely driver path): DuckDB
+            # HUGEINT → float64 happens HERE, so un-cast SUM(int)
+            # oracles mismatch exactly as they would in the real gate
+            pdf = con.execute(oracles[name]).df()
+            duck_cols = list(pdf.columns)
+            # itertuples, NOT to_numpy(): the latter upcasts mixed
+            # numeric frames to one dtype and would fake mismatches
+            duck_rows = list(pdf.itertuples(index=False, name=None))
         except Exception as e:  # noqa: BLE001
             row["err"] = f"oracle: {type(e).__name__}: {e}"
             results[name] = row
