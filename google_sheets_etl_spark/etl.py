@@ -68,18 +68,51 @@ class LoadResult:
 
 
 class SheetsEtlEngine:
-    """The engine: one warehouse directory + one pluggable source."""
+    """The engine: one warehouse directory + one pluggable source.
+
+    U8 identifier qualification (``DatabaseAgent.php:53-61`` +
+    ``quotedFullyQualifiedTableName``, ``DatabaseAgent.php:118-125``):
+    ``table_prefix`` is prepended to every table name (targets AND the
+    two accounting tables), and ``schema`` becomes a namespace level —
+    a subdirectory under the warehouse on the storage side, and a
+    ``schema.`` qualifier in the SQL-facing name."""
+
+    SPREADSHEETS_TABLE = "__meta_spreadsheets"
+    ETL_JOBS_TABLE = "__meta_etl_jobs"
 
     def __init__(self, spark: SparkSession, warehouse_dir: str, source: SheetSource,
-                 discovery_cap: int = 200):
+                 discovery_cap: int = 200, schema: str | None = None,
+                 table_prefix: str | None = None):
         self.spark = spark
         self.warehouse = warehouse_dir
         self.source = source
         self.discovery_cap = discovery_cap  # Tasks.php:46 — bounded runs
+        self.schema = schema
+        self.table_prefix = table_prefix
         self.spreadsheets = StateTable(
-            spark, os.path.join(warehouse_dir, "__meta_spreadsheets"), SPREADSHEETS_SCHEMA)
+            spark, self.table_path(self.SPREADSHEETS_TABLE), SPREADSHEETS_SCHEMA)
         self.etl_jobs = StateTable(
-            spark, os.path.join(warehouse_dir, "__meta_etl_jobs"), ETL_JOBS_SCHEMA)
+            spark, self.table_path(self.ETL_JOBS_TABLE), ETL_JOBS_SCHEMA)
+
+    # -- U8: identifier qualification ---------------------------------------
+
+    def quoted_fully_qualified_table_name(self, unqualified: str) -> str:
+        """Mirror of ``DatabaseAgent.php:118-125``: prefix inside the
+        quotes, schema outside; an unqualified name (no schema) is left
+        unquoted — quirk preserved. Backticks are valid identifier
+        quoting for both MySQL and Spark SQL."""
+        name = (self.table_prefix or "") + unqualified
+        if self.schema:
+            return f"{self.schema}.`{name}`"
+        return name
+
+    def table_path(self, unqualified: str) -> str:
+        """Storage-side composition of the same qualification: the
+        schema is a directory level, the prefix is part of the leaf
+        directory name."""
+        name = (self.table_prefix or "") + unqualified
+        parts = [self.warehouse] + ([self.schema] if self.schema else []) + [name]
+        return os.path.join(*parts)
 
     # -- DDL (U7) ----------------------------------------------------------
 
@@ -89,7 +122,7 @@ class SheetsEtlEngine:
         self.etl_jobs.create_if_not_exists()
 
     def target(self, table: str) -> TargetTable:
-        return TargetTable(self.spark, os.path.join(self.warehouse, table))
+        return TargetTable(self.spark, self.table_path(table))
 
     # -- O1: discovery -----------------------------------------------------
 

@@ -155,3 +155,47 @@ def test_parse_config():
     j = jobs[0]
     assert (j.header_row, j.skip_rows) == (0, 1)
     assert j.column_mapping == {"a": "A", "b": 1}
+
+
+# -- U8: schema/tablePrefix qualification (DatabaseAgent.php:53-61,118-125) --
+
+def test_qualified_name_composition(spark, tmp_path, source):
+    def eng(**kw):
+        return SheetsEtlEngine(spark, str(tmp_path / "whq"), source, **kw)
+
+    # bare: no prefix, no schema, unquoted (reference quirk preserved)
+    assert eng().quoted_fully_qualified_table_name("t") == "t"
+    # prefix only: prepended, still unquoted
+    assert eng(table_prefix="pfx_").quoted_fully_qualified_table_name("t") == "pfx_t"
+    # schema only: schema dot-qualifier outside the backticks
+    assert eng(schema="other").quoted_fully_qualified_table_name("t") == "other.`t`"
+    # both: prefix inside the quotes, schema outside
+    assert (eng(schema="other", table_prefix="pfx_")
+            .quoted_fully_qualified_table_name("t") == "other.`pfx_t`")
+
+
+def test_table_path_composition(spark, tmp_path, source):
+    wh = str(tmp_path / "whp")
+    e = SheetsEtlEngine(spark, wh, source, schema="other", table_prefix="pfx_")
+    import os
+    assert e.table_path("t") == os.path.join(wh, "other", "pfx_t")
+    # accounting tables are qualified the same way (reference applies
+    # quotedFullyQualifiedTableName to SPREADSHEETS_TABLE/ETL_JOBS_TABLE)
+    assert e.spreadsheets.path == os.path.join(wh, "other", "pfx___meta_spreadsheets")
+    assert e.etl_jobs.path == os.path.join(wh, "other", "pfx___meta_etl_jobs")
+
+
+def test_qualified_engine_end_to_end(spark, tmp_path, source, jobs):
+    import os
+    wh = str(tmp_path / "whe")
+    e = SheetsEtlEngine(spark, wh, source, schema="ns", table_prefix="p_")
+    e.set_up_accounting()
+    e.find_updated_spreadsheets(now=1000)
+    res = e.load_updated_spreadsheets(jobs)
+    assert len(res) == 2 and all(not r.skipped_unchanged for r in res)
+    # data lands under the schema dir with the prefixed leaf name
+    assert os.path.isdir(os.path.join(wh, "ns", "p_table_a"))
+    assert e.target("table_a").read().count() == 3
+    # an unqualified engine over the same warehouse sees nothing
+    plain = SheetsEtlEngine(spark, wh, source)
+    assert not os.path.isdir(os.path.join(wh, "table_a"))
