@@ -422,15 +422,23 @@ def connected_components(
 # ------------------------------------------------------------- simhash
 
 
-def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash per document from per-token hash bit votes.
+SIMHASH_BITS = 60
 
-    Bit b of the fingerprint is set when the majority of distinct
-    tokens have bit b set in their 64-bit hash (blake2b-8; stable,
-    process-independent). Arrow-batched ``mapInPandas`` with a
-    per-batch token→hash memo and numpy bit unpacking — 64 interpreted
-    Catalyst aggregates per row would be far slower. Narrow, no
-    shuffle. Fingerprint uses the low 63 bits (sign-safe long).
+
+def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """SimHash per document from per-token hash bit votes.
+
+    Bit b of the fingerprint is set when the strict majority of
+    distinct tokens have bit b set in their token hash. The token hash
+    is the first 15 hex chars of md5 (60 bits, sign-safe in a long) —
+    md5 is the one cryptographic hash every engine exposes, so the
+    whole fingerprint is reproducible in ANSI SQL
+    (``('0x'||substr(md5(w),1,15))::BIGINT`` + 60 bit-vote sums) and
+    the oracle checks the real value, not just row counts.
+
+    Arrow-batched ``mapInPandas`` with a per-batch token→hash memo and
+    numpy bit unpacking — 60 interpreted Catalyst aggregates per row
+    would be far slower. Narrow, no shuffle.
     """
     import numpy as np
 
@@ -446,7 +454,7 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         def token_hash(tok: str) -> int:
             h = memo.get(tok)
             if h is None:
-                h = int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
+                h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
                 memo[tok] = h
             return h
 
@@ -462,7 +470,7 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
                 votes = bits.sum(axis=0)  # count of set bits per position
                 fp = 0
                 n = len(toks)
-                for b in range(63):
+                for b in range(SIMHASH_BITS):
                     if 2 * int(votes[b]) > n:
                         fp |= 1 << b
                 fps.append(fp)

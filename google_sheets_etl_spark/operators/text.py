@@ -86,50 +86,32 @@ def bpe_ish_token_count(docs: DataFrame, text_col: str = "text", id_col: str = "
     )
 
 
+ROLLING_MOD = (1 << 31) - 1  # Mersenne prime: h*MUL+th stays < 2^63 (ANSI-safe)
+ROLLING_MUL = 1000003
+
+
 def rolling_fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Order-SENSITIVE document fingerprint: polynomial rolling hash
-    over word hashes mod 2^61-1 (Rabin-Karp style). The complement of
+    over word hashes mod 2^31-1 (Rabin-Karp style). The complement of
     :func:`bag_fingerprint` — reordering tokens changes this one.
-    Arrow-batched kernel with a per-batch token-hash memo."""
-    import hashlib
-    from collections.abc import Iterator
 
-    import pandas as pd
-    from pyspark.sql.types import LongType, StructField, StructType
+    Pure JVM fold — ``F.aggregate`` over the token array, token hash =
+    first 15 hex chars of md5 (60 bits). Exact integer arithmetic that
+    both Spark and ANSI SQL reproduce bit-for-bit
+    (``list_reduce(list_transform(...), (acc,x) -> (acc*MUL+x)%MOD)``
+    in DuckDB): h < 2^31, so h*MUL + th(w) < 2^51 + 2^60 < 2^63 —
+    never overflows a long under ANSI mode. Whole-stage codegen, no
+    Python, no shuffle.
+    """
+    def th(w):  # 60-bit md5 prefix as long
+        return F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long")
 
-    MOD = (1 << 61) - 1
-    MUL = 1000003
-
-    id_field = docs.schema[id_col]
-    schema = StructType([
-        StructField(id_field.name, id_field.dataType),
-        StructField("rolling_fp", LongType()),
-    ])
-
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        memo: dict[str, int] = {}
-
-        def th(tok: str) -> int:
-            v = memo.get(tok)
-            if v is None:
-                v = int.from_bytes(
-                    hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
-                )
-                memo[tok] = v
-            return v
-
-        for pdf in batches:
-            fps = []
-            for text in pdf[text_col]:
-                h = 0
-                for w in text.split(" "):
-                    h = (h * MUL + th(w)) % MOD
-                fps.append(h)
-            yield pd.DataFrame({id_col: pdf[id_col], "rolling_fp": fps})
-
-    from .dedup import ensure_parallelism
-
-    return ensure_parallelism(docs.select(id_col, text_col)).mapInPandas(kernel, schema)
+    fp = F.aggregate(
+        F.split(F.col(text_col), " "),
+        F.lit(0).cast("long"),
+        lambda acc, w: (acc * F.lit(ROLLING_MUL) + th(w)) % F.lit(ROLLING_MOD),
+    )
+    return docs.select(F.col(id_col), fp.alias("rolling_fp"))
 
 
 # Language-ID stopword profiles (tiny, public-knowledge function-word

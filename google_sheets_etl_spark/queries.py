@@ -1503,10 +1503,16 @@ def near_dup_jaccard_exact(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.jaccard_pairs_bruteforce(t(spark, sf, "documents"), threshold=0.5)
 
 
-@q("near_dup_lsh")  # approximate — rows-only check; exact twin is oracled above
+@q("near_dup_lsh", _JACCARD_ORACLE)
 def near_dup_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash-LSH banded near-dup (the 100 TB path: candidates via
-    band-bucket join, exact Jaccard only on candidates)."""
+    band-bucket join, exact Jaccard only on candidates).
+
+    Oracle legitimacy (containment + recall): every output row is an
+    exact-Jaccard-verified candidate, so LSH pairs ⊆ exact pairs BY
+    CONSTRUCTION; at these banding parameters on this corpus recall is
+    1.0 (asserted in tests/test_extensions.py), so the containment
+    check collapses to equality with the exact-pair oracle."""
     return dedup.near_dup_pairs(t(spark, sf, "documents"), threshold=0.5)
 
 
@@ -1552,17 +1558,40 @@ def dedup_clusters_exact(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.connected_components(pairs)
 
 
-@q("near_dup_clusters_lsh")  # approximate pair input — rows-only check
+@q("near_dup_clusters_lsh", _CLUSTERS_ORACLE)
 def near_dup_clusters_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """The 100 TB cluster-dedup path: LSH candidate pairs (never
     O(n²)) → exact-Jaccard verify → connected components. Same
-    clustering kernel as the oracled exact variant."""
+    clustering kernel as the oracled exact variant; the LSH pair list
+    equals the exact pair list at these parameters (recall 1.0, see
+    near_dup_lsh), so the recursive-CTE cluster oracle applies to this
+    path too."""
     pairs = dedup.near_dup_pairs(t(spark, sf, "documents"), threshold=0.5)
     return dedup.connected_components(pairs)
 
 
-@q("simhash64")  # xxhash64 has no duckdb equivalent — rows-only check
+_SIMHASH_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
+), th AS (
+  SELECT doc_id, len(toks) AS n,
+         ('0x' || substr(md5(unnest(toks)), 1, 15))::BIGINT AS h
+  FROM tok
+), votes AS (
+  SELECT doc_id, b,
+         SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE 0 END) * 2 > ANY_VALUE(n) AS set_bit
+  FROM th CROSS JOIN range(60) r(b)
+  GROUP BY doc_id, b
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN set_bit THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id"""
+
+
+@q("simhash64", _SIMHASH_ORACLE)
 def simhash64(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash fingerprints; md5-based token hashes make the exact
+    bit pattern reproducible in ANSI SQL (60 bit-vote sums)."""
     return dedup.simhash64(t(spark, sf, "documents"))
 
 
@@ -1593,21 +1622,76 @@ def cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@q("ann_lsh_topk")  # approximate by construction — rows-only check
+@q("ann_lsh_topk", _COSINE_ORACLE)
 def ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Random-hyperplane LSH ANN, verified for EQUALITY with the exact
+    top-k oracle: the final ranking is an exact cosine re-rank of the
+    candidate set, so output == exact top-k whenever the buckets
+    recover every true neighbor — at (n_bits=3, n_tables=16) recall@5
+    is 1.0 on this corpus (asserted in tests), making the exact oracle
+    a legitimate check, not a lucky one."""
     emb = t(spark, sf, "embeddings")
     return similarity.cosine_topk_lsh(
-        emb.filter(F.col("vec_id") < 10), emb.filter(F.col("vec_id") >= 10), k=5
+        emb.filter(F.col("vec_id") < 10), emb.filter(F.col("vec_id") >= 10),
+        k=5, n_bits=3, n_tables=16,
     )
 
 
-@q("ann_ivf_topk")  # approximate by construction — rows-only check
+_IVF_ORACLE = """
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+     c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10),
+cents AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY md5(vec_id::VARCHAR || ':42'), vec_id) - 1 AS cell,
+         embedding
+  FROM c QUALIFY cell < 16
+),
+cassign AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT c.vec_id, c.embedding, cents.cell,
+           ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+             list_dot_product(c.embedding, cents.embedding) /
+               (sqrt(list_dot_product(c.embedding, c.embedding)) *
+                sqrt(list_dot_product(cents.embedding, cents.embedding))) DESC,
+             cents.cell ASC) AS rn
+    FROM c CROSS JOIN cents) WHERE rn = 1
+),
+qprobe AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT q.vec_id, q.embedding, cents.cell,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+             list_dot_product(q.embedding, cents.embedding) /
+               (sqrt(list_dot_product(q.embedding, q.embedding)) *
+                sqrt(list_dot_product(cents.embedding, cents.embedding))) DESC,
+             cents.cell ASC) AS rn
+    FROM q CROSS JOIN cents) WHERE rn <= 4
+),
+scored AS (
+  SELECT qprobe.vec_id AS query_id, cassign.vec_id AS neighbor_id,
+         list_dot_product(qprobe.embedding, cassign.embedding) /
+           (sqrt(list_dot_product(qprobe.embedding, qprobe.embedding)) *
+            sqrt(list_dot_product(cassign.embedding, cassign.embedding))) AS cos
+  FROM qprobe JOIN cassign USING (cell)
+)
+SELECT query_id, neighbor_id,
+       ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY cos DESC, neighbor_id ASC) AS rank,
+       ROUND(cos, 4) AS cosine_r4
+FROM scored
+QUALIFY rank <= 5"""
+
+
+@q("ann_ivf_topk", _IVF_ORACLE)
 def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Inverted-file ANN twin of ann_lsh_topk: Voronoi-cell probe join
-    instead of hyperplane buckets."""
+    instead of hyperplane buckets. The oracle is an ALGORITHMIC TWIN —
+    the same IVF search (md5-seeded centroid sample, nearest-cell
+    assignment, 4-of-16 cell probe, exact re-rank) written in SQL — so
+    the check verifies the quantizer, the probe join, and the re-rank
+    exactly, not merely recall against brute force."""
     emb = t(spark, sf, "embeddings")
     return similarity.cosine_topk_ivf(
-        emb.filter(F.col("vec_id") < 10), emb.filter(F.col("vec_id") >= 10), k=5
+        emb.filter(F.col("vec_id") < 10), emb.filter(F.col("vec_id") >= 10),
+        k=5, n_centroids=16, n_probe=4,
     )
 
 
@@ -1706,9 +1790,22 @@ SELECT id_a, id_b, cosine_r4 FROM p WHERE cosine_r4 >= 0.45"""
 @q("embedding_near_dup", _EMB_NEAR_DUP_ORACLE)
 def embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-cosine near-dup pairs — block-partitioned exact
-    all-pairs (numpy matmul per batch; LSH bucket join is the >10^6-
-    vector path, see operator docstring)."""
+    all-pairs (numpy matmul per batch; embedding_near_dup_lsh is the
+    >10^6-vector path)."""
     return similarity.embedding_near_dup_pairs(
+        t(spark, sf, "embeddings"), threshold=0.45
+    )
+
+
+@q("embedding_near_dup_lsh", _EMB_NEAR_DUP_ORACLE)
+def embedding_near_dup_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """The >10^6-vector embedding near-dup path: hyperplane-bucketed
+    candidate self-join + exact cosine verify, NO driver-side corpus
+    collect. Output ⊆ the exact pair list by construction (every
+    candidate is exactly verified); at (n_bits=2, n_tables=16) pair
+    recall at the 0.45 threshold is ~0.9998 analytically and 1.0 on
+    this corpus (tests), so the exact-pair oracle applies."""
+    return similarity.embedding_near_dup_pairs_lsh(
         t(spark, sf, "embeddings"), threshold=0.45
     )
 
@@ -1724,8 +1821,19 @@ def bpe_token_count(spark: SparkSession, sf: str) -> DataFrame:
     return text_ops.bpe_ish_token_count(t(spark, sf, "documents"))
 
 
-@q("rolling_fingerprint")  # blake2b word hashes — no duckdb twin; rows-only
+_ROLLING_ORACLE = """
+SELECT doc_id,
+       list_reduce(
+         list_transform(string_split(text, ' '),
+                        w -> ('0x' || substr(md5(w), 1, 15))::BIGINT % 2147483647),
+         (acc, x) -> (acc * 1000003 + x) % 2147483647) AS rolling_fp
+FROM documents"""
+
+
+@q("rolling_fingerprint", _ROLLING_ORACLE)
 def rolling_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Order-sensitive Rabin-Karp fingerprint; md5 word hashes + exact
+    integer fold arithmetic reproduce bit-for-bit in ANSI SQL."""
     return text_ops.rolling_fingerprint(t(spark, sf, "documents"))
 
 

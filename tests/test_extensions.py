@@ -172,3 +172,50 @@ def test_sample_frames_from_metadata(spark, media):
     frames = multimodal.sample_frames(media, every_ms=1000).collect()
     assert [(r["frame_idx"], r["offset_ms"]) for r in sorted(frames, key=lambda r: r["frame_idx"])] == [
         (0, 0), (1, 1000), (2, 2000)]
+
+
+def test_oracle_contract_lsh_equals_exact_at_sf001(spark):
+    """The driver's correctness gate runs at sf0.01, where ann_lsh_topk
+    declares the exact top-k SQL as its oracle. That is legitimate only
+    if recall@5 is 1.0 there — pin it, so a parameter or corpus change
+    that breaks the equality fails HERE, not in the driver."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    c = emb.filter(F.col("vec_id") >= 10)
+    exact = sorted(tuple(r) for r in similarity.cosine_topk_bruteforce(q, c, k=5).collect())
+    lsh = sorted(
+        tuple(r)
+        for r in similarity.cosine_topk_lsh(q, c, k=5, n_bits=3, n_tables=16).collect()
+    )
+    assert lsh == exact
+
+
+def test_near_dup_lsh_containment(spark, sf_dir):
+    """LSH-verified pairs are exact-Jaccard on candidates, so they are
+    a SUBSET of the exhaustive pair list by construction — and at the
+    default banding parameters recall is 1.0 on this corpus (the basis
+    for near_dup_lsh sharing the exact-pair oracle)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = {tuple(r) for r in dedup.jaccard_pairs_bruteforce(docs, threshold=0.5).collect()}
+    approx = {tuple(r) for r in dedup.near_dup_pairs(docs, threshold=0.5).collect()}
+    assert approx <= exact
+    assert approx == exact  # recall 1.0 at these parameters
+
+
+def test_embedding_near_dup_lsh_matches_exact(spark, sf_dir):
+    """The distributed LSH path (no driver collect) is a subset of the
+    exact all-pairs output by construction, and equal at the default
+    parameters on this corpus — the basis for sharing the exact
+    oracle. Also pins the auto-dispatch: small corpus → exact path."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {tuple(r) for r in similarity.embedding_near_dup_pairs(emb).collect()}
+    lsh = {tuple(r) for r in similarity.embedding_near_dup_pairs_lsh(emb).collect()}
+    assert lsh <= exact
+    assert lsh == exact
+    auto = {tuple(r) for r in similarity.embedding_near_dup_auto(emb).collect()}
+    assert auto == exact
+    auto_lsh = {
+        tuple(r)
+        for r in similarity.embedding_near_dup_auto(emb, collect_cap=1).collect()
+    }
+    assert auto_lsh == exact
