@@ -1,12 +1,13 @@
 """Google Drive/Sheets REST source (S1-S4) with retry+backoff (O5).
 
-Import-gated: the Google client libraries and outbound network are not
-available in this environment, so the HTTP layer raises
-``NotImplementedError`` unless ``googleapiclient`` is importable. The
-*pushdown construction* (query/fields/orderBy/pageSize — the part that
-defines source semantics, ``src/GoogleSheetsAgent.php:91-123``) and the
-backoff policy (``GoogleSheetsAgent.php:30-64``: ≤5 retries on
-429/5xx/transport, delay ``2^n s + jitter``) are real and unit-tested.
+The source logic — pushdown construction (query/fields/orderBy/
+pageSize, ``src/GoogleSheetsAgent.php:91-123``), residual tuple filter,
+probe semantics, payload fingerprint, and the backoff policy
+(``GoogleSheetsAgent.php:30-64``: ≤5 retries on 429/5xx/transport,
+delay ``2^n s + jitter``) — is complete, transport-agnostic code,
+driven end-to-end by fake transports in ``tests/test_google_source.py``.
+Only the real-transport CONSTRUCTOR path is import-gated on
+``googleapiclient`` (absent here, no network).
 """
 
 from __future__ import annotations
@@ -67,17 +68,35 @@ def with_backoff(call: Callable, *, sleep=time.sleep, rng: random.Random | None 
 
 
 class GoogleSheetSource:
-    """Real REST source; requires ``googleapiclient`` + credentials."""
+    """REST source (S1/S3/S4 + S6 credential scan, O5 retry).
 
-    def __init__(self, credentials_file: str):
+    The class body is complete, transport-agnostic code: every method
+    goes through ``with_backoff`` against two service objects with the
+    Drive v3 / Sheets v4 call shapes (``files().list(**p).execute()``,
+    ``spreadsheets().values().get(...).execute()``). Only CONSTRUCTING
+    the real transport needs ``googleapiclient`` + credentials + the
+    network; tests inject fakes via the ``drive``/``sheets`` kwargs and
+    drive the full list/probe/get/backoff logic
+    (``tests/test_google_source.py``).
+    """
+
+    def __init__(self, credentials_file: str | None = None, *,
+                 drive=None, sheets=None, sleep=time.sleep):
+        self._sleep = sleep
+        if drive is not None and sheets is not None:
+            self._drive = drive
+            self._sheets = sheets
+            return
         try:
             from googleapiclient.discovery import build  # noqa: F401
             from google.oauth2 import service_account  # noqa: F401
         except ImportError as e:  # pragma: no cover - env has no google libs
             raise NotImplementedError(
                 "googleapiclient not installed in this environment; "
-                "use FixtureSheetSource or install google-api-python-client"
+                "use FixtureSheetSource, or inject drive=/sheets= fakes, "
+                "or install google-api-python-client"
             ) from e
+        # S6 credential scan (GoogleSheetsAgent.php:66-78)
         creds = service_account.Credentials.from_service_account_file(
             credentials_file,
             scopes=["https://www.googleapis.com/auth/drive.readonly",
@@ -88,7 +107,8 @@ class GoogleSheetSource:
 
     def list_spreadsheets(self, modified_since: str, cursor_id: str, count: int):
         params = drive_list_params(modified_since, count)
-        resp = with_backoff(lambda: self._drive.files().list(**params).execute())
+        resp = with_backoff(lambda: self._drive.files().list(**params).execute(),
+                            sleep=self._sleep)
         metas = [
             SpreadsheetMeta(f["id"], f["modifiedTime"], f["name"])
             for f in resp.get("files", [])
@@ -106,7 +126,8 @@ class GoogleSheetSource:
                 lambda: self._drive.files()
                 .get(fileId=spreadsheet_id, fields="id,modifiedTime,name",
                      supportsAllDrives=True)
-                .execute()
+                .execute(),
+                sleep=self._sleep,
             )
         except Exception:
             return None
@@ -117,7 +138,8 @@ class GoogleSheetSource:
             lambda: self._sheets.spreadsheets()
             .values()
             .get(spreadsheetId=spreadsheet_id, range=f"'{sheet_name}'")
-            .execute()
+            .execute(),
+            sleep=self._sleep,
         )
         rows = resp.get("values", [])
         return rows, payload_fingerprint(rows)

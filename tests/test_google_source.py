@@ -1,0 +1,178 @@
+"""GoogleSheetSource driven end-to-end through fake Drive/Sheets
+transports — the list/probe/get/backoff logic is real code exercised
+here; only the googleapiclient-built transport is environment-gated.
+
+Fakes mirror the googleapiclient call shapes exactly:
+``drive.files().list(**params).execute()``,
+``drive.files().get(fileId=..., ...).execute()``,
+``sheets.spreadsheets().values().get(spreadsheetId=..., range=...).execute()``.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from google_sheets_etl_spark.sources.google_source import (
+    GoogleSheetSource, RetryableHttpError,
+)
+from google_sheets_etl_spark.sources.sheet_source import payload_fingerprint
+
+
+class _Call:
+    def __init__(self, fn):
+        self._fn = fn
+
+    def execute(self):
+        return self._fn()
+
+
+class FakeDrive:
+    """Drive v3 fake: records request params, optionally fails the
+    first N calls with a retryable status."""
+
+    def __init__(self, files_by_id=None, fail_times=0, fail_status=429):
+        self.files_by_id = files_by_id or {}
+        self.fail_times = fail_times
+        self.fail_status = fail_status
+        self.list_params = []
+        self.get_params = []
+
+    def files(self):
+        return self
+
+    def list(self, **params):
+        self.list_params.append(params)
+
+        def run():
+            if self.fail_times > 0:
+                self.fail_times -= 1
+                raise RetryableHttpError(self.fail_status)
+            return {"files": sorted(
+                self.files_by_id.values(), key=lambda f: f["modifiedTime"])}
+
+        return _Call(run)
+
+    def get(self, **params):
+        self.get_params.append(params)
+
+        def run():
+            f = self.files_by_id.get(params["fileId"])
+            if f is None:
+                raise RetryableHttpError(404)
+            return f
+
+        return _Call(run)
+
+
+class FakeSheets:
+    def __init__(self, values_by_key=None, fail_times=0):
+        self.values_by_key = values_by_key or {}
+        self.fail_times = fail_times
+        self.get_params = []
+
+    def spreadsheets(self):
+        return self
+
+    def values(self):
+        return self
+
+    def get(self, **params):
+        self.get_params.append(params)
+
+        def run():
+            if self.fail_times > 0:
+                self.fail_times -= 1
+                raise RetryableHttpError(503)
+            return {"values": self.values_by_key[
+                (params["spreadsheetId"], params["range"])]}
+
+        return _Call(run)
+
+
+FILES = {
+    "id_old": {"id": "id_old", "modifiedTime": "2026-01-01T00:00:00.000Z", "name": "Old"},
+    "id_mid": {"id": "id_mid", "modifiedTime": "2026-01-02T00:00:00.000Z", "name": "Mid"},
+    "id_new": {"id": "id_new", "modifiedTime": "2026-01-03T00:00:00.000Z", "name": "New"},
+}
+
+
+def make_source(drive=None, sheets=None):
+    sleeps = []
+    src = GoogleSheetSource(
+        drive=drive or FakeDrive(FILES),
+        sheets=sheets or FakeSheets(),
+        sleep=sleeps.append,
+    )
+    return src, sleeps
+
+
+def test_list_pushdown_params():
+    drive = FakeDrive(FILES)
+    src, _ = make_source(drive=drive)
+    src.list_spreadsheets("2026-01-01T00:00:00.000Z", "", 50)
+    (p,) = drive.list_params
+    # S1 pushdown reaches the request: predicate, projection, order, limit
+    assert "modifiedTime >= '2026-01-01T00:00:00.000Z'" in p["q"]
+    assert "mimeType = 'application/vnd.google-apps.spreadsheet'" in p["q"]
+    assert p["fields"] == "files(id,modifiedTime,name)"
+    assert p["orderBy"] == "modifiedTime"
+    assert p["pageSize"] == 50
+
+
+def test_list_residual_tuple_filter():
+    """S2: (modified, id) >= (watermark, cursor) lexicographic residual
+    — equal-timestamp files below the id cursor are dropped."""
+    src, _ = make_source()
+    got = src.list_spreadsheets("2026-01-02T00:00:00.000Z", "id_zzz", 50)
+    assert [m.id for m in got] == ["id_new"]  # id_mid ties but id < cursor
+    got = src.list_spreadsheets("2026-01-02T00:00:00.000Z", "id_a", 50)
+    assert [m.id for m in got] == ["id_mid", "id_new"]
+
+
+def test_list_retries_then_succeeds():
+    drive = FakeDrive(FILES, fail_times=2, fail_status=429)
+    src, sleeps = make_source(drive=drive)
+    got = src.list_spreadsheets("2026-01-01T00:00:00.000Z", "", 10)
+    assert len(got) == 3
+    assert len(sleeps) == 2  # two backoff sleeps before success
+    assert sleeps[0] >= 1.0 and sleeps[1] >= 2.0  # 2^n + U(0,1)
+
+
+def test_list_exhausts_retries():
+    drive = FakeDrive(FILES, fail_times=10, fail_status=503)
+    src, sleeps = make_source(drive=drive)
+    with pytest.raises(RetryableHttpError):
+        src.list_spreadsheets("2026-01-01T00:00:00.000Z", "", 10)
+    assert len(sleeps) == 5  # MAX_RETRIES sleeps, then raise
+
+
+def test_probe_found_and_revoked():
+    src, _ = make_source()
+    meta = src.get_spreadsheet("id_mid")
+    assert (meta.id, meta.name) == ("id_mid", "Mid")
+    # S3/O4: a non-retryable failure probes as None (revoked/missing)
+    assert src.get_spreadsheet("id_gone") is None
+
+
+def test_get_sheet_values_and_fingerprint():
+    rows = [["H1", "H2"], ["a", "1"], ["b", "2"]]
+    sheets = FakeSheets({("id_mid", "'Tab One'"): rows})
+    src, _ = make_source(sheets=sheets)
+    got, fp = src.get_sheet("id_mid", "Tab One")
+    assert got == rows
+    assert fp == payload_fingerprint(rows)  # S4 fingerprint parity
+    # range is the quoted sheet name (GoogleSheetsAgent.php:159)
+    assert sheets.get_params[0]["range"] == "'Tab One'"
+
+
+def test_get_sheet_retries_transport():
+    rows = [["X"], ["1"]]
+    sheets = FakeSheets({("id_new", "'T'"): rows}, fail_times=1)
+    src, sleeps = make_source(sheets=sheets)
+    got, _ = src.get_sheet("id_new", "T")
+    assert got == rows and len(sleeps) == 1
+
+
+def test_real_transport_gated_without_libs():
+    with pytest.raises(NotImplementedError):
+        GoogleSheetSource("creds.json")
