@@ -338,39 +338,42 @@ def connected_components(
     gets ``cluster_id`` = the minimum id in its component, so "keep one
     doc per duplicate cluster" becomes ``filter(doc_id == cluster_id)``.
 
-    Min-label propagation with path halving, ONE Spark action per
-    round: each round every node takes the min over {its label, its
-    neighbors' labels, its label's label} — the last term (pointer
-    jumping / path halving, à la Kiveris et al. "CC in MapReduce and
-    Beyond") collapses label chains exponentially, so rounds ≈
-    O(log diameter) instead of O(diameter). The convergence check
-    rides the SAME action that materializes the round's labels: the
-    self-label row carries ``old_label`` through the aggregate, and
-    ``filter(label != old_label).count()`` both populates the round's
-    cache and returns the changed count — round 1's three actions
-    (cache count + limit-probe join + next join) cost 44% of the
-    whole sf0.1 bench; this shape removes two of them.
+    Min-label propagation with path halving: each round every node
+    takes the min over {its label, its neighbors' labels, its label's
+    label} — the last term (pointer jumping / path halving, à la
+    Kiveris et al. "CC in MapReduce and Beyond") collapses label
+    chains exponentially, so rounds ≈ O(log diameter) instead of
+    O(diameter).
 
-    Each round shuffles on the uniform node/label ids; lineage stays
-    flat (persist per round, previous round released).
+    Per round: ONE heavy action (``localCheckpoint(eager=True)``
+    materializes the round's labels AND truncates lineage) plus one
+    trivial count over the materialized blocks for the convergence
+    check. The lineage truncation is load-bearing, not hygiene: the
+    round plan references ``labels`` three times (self + neighbor +
+    hop), so without truncation the logical plan triples per round and
+    driver-side analysis/canonicalization dominates wall-clock within
+    two rounds (measured 24 s/action at sf0.1 — on a ~500-row label
+    table). GraphFrames' CC checkpoints for exactly this reason. On
+    executor loss the truncated lineage cannot recompute — the job
+    re-runs, the standard trade for iterative algorithms (use reliable
+    ``checkpoint()`` + a checkpoint dir in long prod runs).
 
-    Only nodes that appear in ``pairs`` are returned; singletons are
-    their own cluster by definition and never shuffle.
+    Each round shuffles on the uniform node/label ids. Only nodes that
+    appear in ``pairs`` are returned; singletons are their own cluster
+    by definition and never shuffle.
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)  # cut the (possibly LSH) input plan
     )
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    labels.count()
-    persisted = labels  # the cache handle to release each round
     label_type = dict(labels.dtypes)["label"]
     for _ in range(max_iter):
         # neighbor term: min label over adjacent nodes
@@ -390,7 +393,7 @@ def connected_components(
             .select("node", "label")
         )
         # self term carries the old label through the aggregate so the
-        # convergence check needs no second join/action
+        # convergence check needs no extra join
         self_labels = labels.select(
             "node", "label", F.col("label").alias("old_label")
         )
@@ -404,16 +407,14 @@ def connected_components(
                 # exactly one non-null old_label per node (the self row)
                 F.max("old_label").alias("old_label"),
             )
-            .persist()
+            # the round's one heavy action: materialize + truncate
+            .localCheckpoint(eager=True)
         )
-        # ONE action: populates the cache AND returns the changed count
+        # trivial scan of the materialized blocks
         changed = new_labels.filter(F.col("label") != F.col("old_label")).count()
-        persisted.unpersist()
-        persisted = new_labels
         labels = new_labels.select("node", "label")
         if changed == 0:
             break
-    edges.unpersist()
     return labels.select(
         F.col("node").alias(out_id), F.col("label").alias(out_cluster)
     )

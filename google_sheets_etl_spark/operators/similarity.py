@@ -356,22 +356,40 @@ def embedding_near_dup_pairs_lsh(
     only ones at risk. At extreme scale raise n_bits (smaller buckets)
     and n_tables together.
 
-    Scoring happens before the pair dedup so the dedup exchange
-    carries (id_a, id_b, cos), not two embedding payloads.
+    Scoring is a per-bucket BLOCKED numpy matmul (``applyInPandas``
+    keyed on (table, bucket)): one shuffle of (vector × n_tables)
+    copies, then each bucket computes its cosine block in one
+    vectorized matmul and emits only qualifying pairs — candidate
+    scoring never goes through per-row expressions, and the dedup
+    exchange carries (id_a, id_b, cos) only. A bucket holds ~n/2^n_bits
+    vectors and must fit one task's memory: at larger corpora raise
+    n_bits (with n_tables for recall), keeping blocks bounded — the
+    same knob that keeps candidate counts sub-quadratic.
     """
+    import numpy as np
+    import pandas as pd
+
     tables = _hyperplanes(dim, n_bits, n_tables, seed)
     b = _with_lsh_buckets(vectors, id_col, vec_col, "id", "v", tables)
-    left = b.select("t", "b", F.col("id").alias("id_a"), F.col("v").alias("va"))
-    right = b.select("t", "b", F.col("id").alias("id_b"), F.col("v").alias("vb"))
+
+    def block(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id"].to_numpy()
+        mat = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        # same arithmetic as the exact all-pairs kernel (round-4 before
+        # the threshold) so both paths emit identical values
+        cos = np.round((mat @ mat.T) / np.outer(norms, norms), 4)
+        ia, ib = np.nonzero(cos >= threshold)
+        keep = ids[ia] < ids[ib]
+        return pd.DataFrame({
+            "id_a": ids[ia][keep],
+            "id_b": ids[ib][keep],
+            "cosine_r4": cos[ia, ib][keep],
+        })
+
     return (
-        left.join(right, on=["t", "b"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(cosine_similarity(F.col("va"), F.col("vb")), 4).alias("cosine_r4"),
-        )
-        .filter(F.col("cosine_r4") >= threshold)
+        b.groupBy("t", "b")
+        .applyInPandas(block, "id_a long, id_b long, cosine_r4 double")
         .dropDuplicates(["id_a", "id_b"])
     )
 
