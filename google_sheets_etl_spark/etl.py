@@ -82,13 +82,14 @@ class SheetsEtlEngine:
 
     def __init__(self, spark: SparkSession, warehouse_dir: str, source: SheetSource,
                  discovery_cap: int = 200, schema: str | None = None,
-                 table_prefix: str | None = None):
+                 table_prefix: str | None = None, rowid: bool = False):
         self.spark = spark
         self.warehouse = warehouse_dir
         self.source = source
         self.discovery_cap = discovery_cap  # Tasks.php:46 — bounded runs
         self.schema = schema
         self.table_prefix = table_prefix
+        self.rowid = rowid  # _rowid surrogate key (DatabaseAgentMysql.php:159)
         self.spreadsheets = StateTable(
             spark, self.table_path(self.SPREADSHEETS_TABLE), SPREADSHEETS_SCHEMA)
         self.etl_jobs = StateTable(
@@ -230,7 +231,8 @@ class SheetsEtlEngine:
         data = rows_ops.enforce_cell_width(data, 100)
         data = rows_ops.with_provenance(data, etl_job_id)
         rows_loaded = data.count()
-        self.target(job.target_table).overwrite_job_partition(data)
+        self.target(job.target_table).overwrite_job_partition(
+            data, with_rowid=self.rowid)
 
         # U2/U6: accounting commits LAST
         self._upsert_job_accounting(

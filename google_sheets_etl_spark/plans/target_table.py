@@ -29,9 +29,11 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
 PARTITION_COL = "_origin_etl_job_id"
+ROWID_COL = "_rowid"
 
 
 class TargetTable:
@@ -40,19 +42,48 @@ class TargetTable:
         self.path = path
 
     def exists(self) -> bool:
-        return os.path.isdir(self.path) and any(
-            not n.startswith((".", "_")) or n == "_SUCCESS" for n in os.listdir(self.path)
+        """True when the table has been written: partition dirs are
+        named ``_origin_etl_job_id=N`` (leading underscore — a bare
+        "not hidden" listing misses them)."""
+        if not os.path.isdir(self.path):
+            return False
+        return any(
+            n == "_SUCCESS" or "=" in n or n.endswith(".parquet")
+            for n in os.listdir(self.path)
+            if n != "_temporary" and not n.startswith(".")
         )
 
-    def overwrite_job_partition(self, data: DataFrame) -> None:
+    def overwrite_job_partition(self, data: DataFrame, with_rowid: bool = False) -> None:
         """U4+U5: replace exactly the ``_origin_etl_job_id`` partitions
-        present in ``data`` (requires
-        ``spark.sql.sources.partitionOverwriteMode=dynamic``, set by
-        ``session.get_spark``)."""
+        present in ``data``. The dynamic-overwrite mode is a PER-WRITE
+        option, not an assumed session conf — under a vanilla session a
+        plain ``mode=overwrite`` + ``partitionBy`` would silently drop
+        every other job's partitions.
+
+        ``with_rowid`` mirrors the reference's auto-increment surrogate
+        key (``DatabaseAgentMysql.php:159``): new rows continue from the
+        current table max, like MySQL never reusing deleted ids when a
+        job's partition is replaced. The numbering window is
+        unpartitioned (single reducer) — fine because one load is one
+        sheet's rows, metadata-scale next to the table.
+        """
         if PARTITION_COL not in data.columns:
             raise ValueError(f"data must carry {PARTITION_COL}")
+        if with_rowid:
+            base = 0
+            if self.exists():
+                existing = self.read()
+                if ROWID_COL in existing.columns:
+                    base = existing.agg(
+                        F.coalesce(F.max(ROWID_COL), F.lit(0))
+                    ).first()[0]
+            w = Window.orderBy(PARTITION_COL, "_origin_row")
+            data = data.withColumn(
+                ROWID_COL, (F.lit(int(base)) + F.row_number().over(w)).cast("long")
+            )
         (
             data.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy(PARTITION_COL)
             .parquet(self.path)
         )

@@ -199,3 +199,47 @@ def test_qualified_engine_end_to_end(spark, tmp_path, source, jobs):
     # an unqualified engine over the same warehouse sees nothing
     plain = SheetsEtlEngine(spark, wh, source)
     assert not os.path.isdir(os.path.join(wh, "table_a"))
+
+
+def test_rowid_surrogate_key(spark, tmp_path, source, jobs):
+    """_rowid parity (DatabaseAgentMysql.php:159): auto-increment ids
+    continue from the table max; a partition-replacing reload gets
+    fresh ids, like MySQL never reusing deleted auto-increment ids."""
+    e = SheetsEtlEngine(spark, str(tmp_path / "whr"), source, rowid=True)
+    e.set_up_accounting()
+    e.find_updated_spreadsheets(now=1000)
+    e.load_updated_spreadsheets(jobs)
+    ta = e.target("table_a").read()
+    ids = sorted(r["_rowid"] for r in ta.collect())
+    assert ids == [1, 2, 3]
+    # change a cell -> reload table_a's job partition
+    new_sheet = [row[:] for row in SHEET_A]
+    new_sheet[1][1] = "99"
+    source.put_sheet(
+        SpreadsheetMeta("SSA" + "a" * 41, "2026-01-09T00:00:00.000Z", "Sheet A"),
+        "Tab1", new_sheet)
+    e.find_updated_spreadsheets(now=4000)
+    e.load_updated_spreadsheets(jobs)
+    ids2 = sorted(r["_rowid"] for r in e.target("table_a").read().collect())
+    assert ids2 == [4, 5, 6]  # fresh ids past the previous max
+
+
+def test_dynamic_overwrite_is_write_local(spark, tmp_path):
+    """Two jobs land in one target; rewriting one job's partition must
+    not depend on the session's partitionOverwriteMode conf."""
+    from google_sheets_etl_spark.plans.target_table import TargetTable
+
+    tt = TargetTable(spark, str(tmp_path / "t"))
+    mk = lambda job, vals: spark.createDataFrame(
+        [(job, i, v) for i, v in enumerate(vals)],
+        "_origin_etl_job_id long, _origin_row long, v string")
+    tt.overwrite_job_partition(mk(1, ["a", "b"]))
+    tt.overwrite_job_partition(mk(2, ["c"]))
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        tt.overwrite_job_partition(mk(2, ["d", "e"]))
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    got = {(r["_origin_etl_job_id"], r["v"]) for r in tt.read().collect()}
+    assert got == {(1, "a"), (1, "b"), (2, "d"), (2, "e")}
