@@ -1,0 +1,102 @@
+"""Deterministic sampling / splitting / packing for training-data
+pipelines (north-star extension; no reference counterpart — the
+reference moves whole sheets, these operators curate corpora).
+
+Everything here is HASH-deterministic, never ``rand()``: a split must
+be reproducible across runs, engines, and retries — at 100 TB a
+re-executed task with a different random seed silently corrupts a
+train/val boundary. md5 is the shared cross-engine hash (same trick as
+``operators/text.rolling_fingerprint``), so every operator has an
+exact ANSI-SQL twin.
+
+All three are single narrow projections or one window shuffle:
+
+- :func:`hash_split` — stable train/val/test assignment from the md5
+  of the id: a narrow map, no shuffle, no state; adding rows never
+  moves existing ones between splits.
+- :func:`capped_per_key` — "at most N docs per language/source":
+  row_number over (key, hash-order) keeps a deterministic, unbiased N
+  per key. One shuffle on the key; skew-safe for |keys| ≫ cap because
+  the window only ranks within each key's partition.
+- :func:`pack_shards` — greedy token-budget shard assignment per
+  group: running token sum over a deterministic order, shard index =
+  cumsum div budget. One window shuffle partitioned by the group
+  column — per-group sequential, cross-group parallel (the
+  distributed-safe form of "pack the corpus into ~equal shards").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _hash_bucket(col, n: int, salt: str = ""):
+    """Uniform bucket in [0, n) from the md5 of ``col`` (+ salt) —
+    reproducible in any engine with md5 + hex parsing."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(col.cast("string"), F.lit(salt))), 1, 15), 16, 10
+    ).cast("long")
+    return h % n
+
+
+def hash_split(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, int] | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Assign each row a stable split label; ``weights`` maps label →
+    share out of the total (default 98/1/1 train/val/test)."""
+    weights = weights or {"train": 98, "val": 1, "test": 1}
+    total = sum(weights.values())
+    b = _hash_bucket(F.col(id_col), total, salt)
+    expr = None
+    lo = 0
+    for label, w in weights.items():
+        c = (b >= F.lit(lo)) & (b < F.lit(lo + w))
+        expr = F.when(c, F.lit(label)) if expr is None else expr.when(c, F.lit(label))
+        lo += w
+    return docs.withColumn("split", expr)
+
+
+def capped_per_key(
+    docs: DataFrame,
+    key_col: str,
+    cap: int,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Keep at most ``cap`` rows per key, chosen by deterministic hash
+    order (an unbiased fixed sample, not "first N by storage order")."""
+    w = Window.partitionBy(key_col).orderBy(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), F.col(id_col)
+    )
+    return (
+        docs.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= cap)
+        .drop("_rk")
+    )
+
+
+def pack_shards(
+    docs: DataFrame,
+    budget: int,
+    group_col: str = "source",
+    size_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy shard packing: within each group (deterministic id
+    order), shard = floor((running token sum - own size) / budget) —
+    every shard except the last holds ≥ budget-ish tokens. Window
+    partitioned by group: per-group sequential scan, groups in
+    parallel (never a global single-reducer sort)."""
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = F.sum(size_col).over(w)
+    return docs.withColumn(
+        "shard", ((running - F.col(size_col)) / F.lit(budget)).cast("long")
+    )

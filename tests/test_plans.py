@@ -129,3 +129,36 @@ def test_asof_join_single_exchange_per_side(spark, sf_dir):
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     # union -> one hash exchange on the key -> window; no join at all
     assert "Window" in plan and "Join" not in plan
+
+
+def test_hash_split_is_narrow(spark, sf_dir):
+    from google_sheets_etl_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = explain_str(sampling.hash_split(docs).select("doc_id", "split"))
+    assert "Exchange" not in plan  # pure map: split never shuffles
+    # and the scan reads only what the projection needs
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "text" not in read_schema
+
+
+def test_pack_shards_partitions_by_group(spark, sf_dir):
+    from google_sheets_etl_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = explain_str(
+        sampling.pack_shards(docs, budget=5000, group_col="source",
+                             size_col="n_chars"))
+    # one hash exchange on the group column — NOT a global single-
+    # partition sort (which is what an unpartitioned cumsum would plan)
+    assert plan.count("+- Exchange") == 1
+    assert "SinglePartition" not in plan
+
+
+def test_repetition_stats_aggregates_partially(spark, sf_dir):
+    from google_sheets_etl_spark.operators.text import repetition_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = explain_str(repetition_stats(docs))
+    # the bigram mode groupBys must map-side combine
+    assert "partial_count" in plan or "Partial" in plan

@@ -1,0 +1,99 @@
+"""Semantic tests for the deterministic sampling/splitting/packing
+operators and the round-2 text sketches (repetition, winnowing)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from google_sheets_etl_spark.operators import sampling
+from google_sheets_etl_spark.operators.text import (
+    repetition_stats, winnowing_fingerprints,
+)
+
+
+def docs_df(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def test_hash_split_deterministic_partition(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = sampling.hash_split(docs).select("doc_id", "split")
+    b = sampling.hash_split(docs).select("doc_id", "split")
+    ra = {r["doc_id"]: r["split"] for r in a.collect()}
+    rb = {r["doc_id"]: r["split"] for r in b.collect()}
+    assert ra == rb  # reproducible
+    assert set(ra.values()) <= {"train", "val", "test"}
+    n = len(ra)
+    assert sum(1 for v in ra.values() if v == "train") >= 0.9 * n
+    # a different salt moves rows; the split stays total
+    salted = {r["doc_id"]: r["split"]
+              for r in sampling.hash_split(docs, salt="v2").collect()}
+    assert set(salted) == set(ra)
+
+
+def test_capped_per_key(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    capped = sampling.capped_per_key(docs, key_col="lang", cap=7)
+    per = {r["lang"]: r["n"] for r in
+           capped.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    full = {r["lang"]: r["n"] for r in
+            docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n in per.items():
+        assert n == min(7, full[lang])
+    # deterministic choice, and a subset of the corpus
+    again = sampling.capped_per_key(docs, key_col="lang", cap=7)
+    assert sorted(r["doc_id"] for r in capped.collect()) == sorted(
+        r["doc_id"] for r in again.collect())
+
+
+def test_pack_shards_budget(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    packed = sampling.pack_shards(docs, budget=5000, group_col="source",
+                                  size_col="n_chars")
+    sums = packed.groupBy("source", "shard").agg(
+        F.sum("n_chars").alias("tot"), F.max("n_chars").alias("mx")).collect()
+    for r in sums:
+        # greedy packing: a shard never exceeds budget + one doc
+        assert r["tot"] < 5000 + r["mx"]
+    # shards are 0-based and contiguous per group
+    for src_row in packed.groupBy("source").agg(
+            F.min("shard").alias("lo"), F.max("shard").alias("hi"),
+            F.countDistinct("shard").alias("n")).collect():
+        assert src_row["lo"] == 0
+        assert src_row["n"] == src_row["hi"] + 1
+
+
+def test_repetition_stats_detects_degenerate_doc(spark):
+    docs = docs_df(spark, [
+        "spam spam spam spam spam spam",
+        "one two three four five six",
+    ])
+    got = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert got[0]["dup_token_frac"] > 0.8
+    assert got[0]["top_bigram_frac"] == 1.0
+    assert got[1]["dup_token_frac"] == 0.0
+    # all bigrams distinct -> top share = 1/n_grams
+    assert abs(got[1]["top_bigram_frac"] - 1 / 5) < 1e-6
+
+
+def test_winnowing_guarantee(spark):
+    """Schleimer et al. guarantee: any shared token run of length
+    >= w + k - 1 (here 4+3-1=6) yields at least one shared
+    fingerprint; disjoint-vocabulary docs share none."""
+    shared = "alpha beta gamma delta epsilon zeta"
+    docs = docs_df(spark, [
+        f"intro words {shared} tail one",
+        f"other prefix {shared} closing",
+        "completely different vocabulary without any overlap here",
+    ])
+    fp = {r["doc_id"]: set(r["fingerprints"])
+          for r in winnowing_fingerprints(docs, k=3, w=4).collect()}
+    assert fp[0] & fp[1]
+    assert not (fp[0] & fp[2])
+    # short doc (< k tokens) -> empty fingerprint set
+    short = docs_df(spark, ["just two"])
+    got = winnowing_fingerprints(short).collect()
+    assert got[0]["fingerprints"] == []
