@@ -1479,6 +1479,10 @@ def minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.minhash_signatures(t(spark, sf, "documents"), num_hashes=4)
 
 
+# Candidate prefilter via inverted shingle index — LOSSLESS for any
+# positive threshold (jaccard > 0 ⟺ the pair shares a shingle), and
+# ~7x faster than the quadratic cross join (2 s vs 13.5 s at sf0.01;
+# the evaluation driver pays oracle time too).
 _JACCARD_ORACLE = """
 WITH sh AS (
   SELECT doc_id,
@@ -1488,12 +1492,19 @@ WITH sh AS (
                 (string_split(text,' '))[i+1] || ' ' ||
                 (string_split(text,' '))[i+2])) AS s
   FROM documents
+), inv AS (
+  SELECT doc_id, unnest(s) AS g FROM sh
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
 ), pairs AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-               CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 6) AS jaccard
-  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-  WHERE len(list_distinct(list_concat(a.s, b.s))) > 0
+  SELECT c.id_a, c.id_b,
+         ROUND(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+               CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE), 6) AS jaccard
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b
+  WHERE len(list_distinct(list_concat(sa.s, sb.s))) > 0
 )
 SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5"""
 
@@ -1527,12 +1538,19 @@ WITH RECURSIVE sh AS (
                 (string_split(text,' '))[i+1] || ' ' ||
                 (string_split(text,' '))[i+2])) AS s
   FROM documents
+), inv AS (
+  SELECT doc_id, unnest(s) AS g FROM sh
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
 ), pairs AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-  WHERE len(list_distinct(list_concat(a.s, b.s))) > 0
-    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-        CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.5
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b
+  WHERE len(list_distinct(list_concat(sa.s, sb.s))) > 0
+    AND CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+        CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE) >= 0.5
 ), edges AS (
   SELECT id_a AS node, id_b AS nb FROM pairs
   UNION ALL
