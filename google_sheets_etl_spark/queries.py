@@ -1157,28 +1157,25 @@ def q22_idle_rich_customers(spark: SparkSession, sf: str) -> DataFrame:
        WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)""",
 )
 def q15_top_revenue_supplier(spark: SparkSession, sf: str) -> DataFrame:
-    """TPC-H Q15 shape: aggregate once, reuse for both the max scalar
-    and the equality filter. The revenue aggregate is persisted so the
-    scalar-max pass doesn't recompute the lineitem scan; comparison is
-    on the *rounded* revenue in both engines (bit-stable equality)."""
+    """TPC-H Q15 shape: the scalar max over the revenue aggregate is
+    an empty-frame window max on the SAME aggregate output — one
+    lineitem scan, one shuffle, no persist/cache barrier (the window's
+    single-partition exchange carries one rounded double per supplier,
+    not lineitem rows). Comparison is on the *rounded* revenue in both
+    engines (bit-stable equality)."""
     li = t(spark, sf, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-01-01")
         & (F.col("l_shipdate") < "1996-04-01")
     )
-    rev = (
-        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("total_revenue")
-        )
-        .persist()
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("total_revenue")
     )
-    rev.count()  # populate cache before the two consumers plan against it
-    max_rev = rev.select(F.max("total_revenue").alias("_max_rev"))
+    w = Window.partitionBy()  # global frame over the per-supplier aggregate
     s = t(spark, sf, "supplier").select("s_suppkey", "s_name")
     return (
-        rev.crossJoin(F.broadcast(max_rev))
+        rev.withColumn("_max_rev", F.max("total_revenue").over(w))
         .filter(F.col("total_revenue") == F.col("_max_rev"))
         .join(s, F.col("supplier_no") == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
