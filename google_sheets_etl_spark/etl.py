@@ -23,7 +23,7 @@ import os
 import time
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType, LongType, StringType, StructField, StructType,
@@ -34,7 +34,7 @@ from .operators import change_filter, rows as rows_ops, watermark
 from .operators.normalize import normalized_column_names
 from .plans.state_table import StateTable
 from .plans.target_table import TargetTable
-from .sources.sheet_source import SheetSource
+from .sources.sheet_source import SheetSource, SpreadsheetMeta
 
 SPREADSHEETS_SCHEMA = StructType([
     StructField("id", LongType()),                        # surrogate key
@@ -130,27 +130,48 @@ class SheetsEtlEngine:
     def find_updated_spreadsheets(self, now: int | None = None) -> int:
         """O1 (``Tasks.php:34-56``): read the (modified, id) watermark,
         list newer files from the source (pushdown by construction),
-        record each as seen (U1). Returns number discovered."""
+        record the whole page as seen (U1/O6). Returns number
+        discovered."""
         wm, cursor = watermark.greatest_modified(self.spreadsheets.read())
         metas = self.source.list_spreadsheets(wm, cursor, self.discovery_cap)
         now = int(time.time()) if now is None else now
-        for m in metas:  # sequential-cursor invariant O6: record every file
-            self.set_spreadsheet_seen(m.id, m.modified_time, m.name, now)
+        self.record_spreadsheets_seen(metas, now)
         return len(metas)
 
-    def set_spreadsheet_seen(self, gid: str, modified: str, name: str, now: int) -> None:
-        """U1 upsert (``DatabaseAgentMysql.php:130-149``), surrogate key
-        preserved for existing rows, allocated for new ones."""
+    def record_spreadsheets_seen(self, metas, now: int) -> None:
+        """U1 bulk upsert (``DatabaseAgentMysql.php:130-149``):
+        surrogate keys preserved for existing rows via one join,
+        allocated past the current max for new ones — ONE state commit
+        for the whole discovery page (≤ discovery_cap rows) instead of
+        two driver actions + a snapshot write per file (the reference
+        pays one cheap SQL statement per row; a Spark job per row is
+        ~1 s of fixed overhead × 200)."""
+        if not metas:
+            return
         current = self.spreadsheets.read()
-        existing = current.filter(F.col("google_spreadsheet_id") == gid).select("id").first()
-        if existing is None:
-            max_id = current.select(F.coalesce(F.max("id"), F.lit(0)).alias("m")).first()["m"]
-            sid = int(max_id) + 1
-        else:
-            sid = int(existing["id"])
-        updates = self.spark.createDataFrame(
-            [(sid, gid, modified, name, now)], SPREADSHEETS_SCHEMA)
+        incoming = self.spark.createDataFrame(
+            [(m.id, m.modified_time, m.name) for m in metas],
+            "google_spreadsheet_id string, google_modified string, "
+            "google_spreadsheet_name string",
+        ).withColumn("last_seen", F.lit(now).cast("long"))
+        joined = incoming.join(
+            current.select("id", "google_spreadsheet_id"),
+            "google_spreadsheet_id", "left",
+        )
+        max_id = int(current.select(
+            F.coalesce(F.max("id"), F.lit(0)).alias("m")).first()["m"])
+        w = Window.orderBy("google_spreadsheet_id")  # deterministic allocation
+        news = joined.filter(F.col("id").isNull()).withColumn(
+            "id", (F.lit(max_id) + F.row_number().over(w)).cast("long"))
+        olds = joined.filter(F.col("id").isNotNull())
+        updates = olds.unionByName(news).select(
+            *[f.name for f in SPREADSHEETS_SCHEMA.fields])
         self.spreadsheets.upsert(updates, keys=["google_spreadsheet_id"])
+
+    def set_spreadsheet_seen(self, gid: str, modified: str, name: str, now: int) -> None:
+        """Single-row U1 upsert (O4 probe refresh path)."""
+        self.record_spreadsheets_seen(
+            [SpreadsheetMeta(gid, modified, name)], now)
 
     # -- O2: change filter -------------------------------------------------
 
