@@ -2106,6 +2106,48 @@ def winnowing_fp(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "decontaminate_eval",
+    """WITH s AS (
+         SELECT doc_id, text,
+                CASE WHEN b < 98 THEN 'train'
+                     WHEN b < 99 THEN 'val'
+                     ELSE 'test' END AS split
+         FROM (SELECT doc_id, text,
+                      ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS b
+               FROM documents)),
+       tok AS (SELECT doc_id, split, string_split(text, ' ') AS w FROM s),
+       grams AS (SELECT doc_id, split,
+                        unnest(list_transform(range(1, greatest(len(w) - 3, 1)),
+                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                                    w[i+3] || ' ' || w[i+4])) AS g
+                 FROM tok),
+       tg AS (SELECT DISTINCT g FROM grams WHERE split = 'train')
+       SELECT DISTINCT doc_id, split
+       FROM grams JOIN tg USING (g) WHERE split != 'train'""",
+)
+def decontaminate_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """Train/eval decontamination: flag val/test documents that share
+    any 5-gram with any train document (the standard benchmark-
+    contamination check, run at corpus scale before training). The
+    train-gram set is huge at 100 TB, so this is a shuffle join on the
+    uniform gram key — explode → distinct → semi-join, all partial-
+    aggregated; nothing is collected or broadcast."""
+    docs = t(spark, sf, "documents")
+    s = sampling.hash_split(docs).select("doc_id", "split", "text")
+    grams = s.select(
+        "doc_id", "split",
+        F.explode(word_shingles(words_of(F.col("text")), 5)).alias("g"),
+    )
+    train_grams = grams.filter(F.col("split") == "train").select("g").distinct()
+    return (
+        grams.filter(F.col("split") != "train")
+        .join(train_grams, "g", "left_semi")
+        .select("doc_id", "split")
+        .distinct()
+    )
+
+
 # Driver-coverage ordering inputs: round 1's fully-green queries (the
 # driver checks the first ~50 entries of queries() in order and stops,
 # so stable greens go LAST — they already have a verified row) and the

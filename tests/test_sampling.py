@@ -97,3 +97,19 @@ def test_winnowing_guarantee(spark):
     short = docs_df(spark, ["just two"])
     got = winnowing_fingerprints(short).collect()
     assert got[0]["fingerprints"] == []
+
+
+def test_decontaminate_eval_flags_cross_split_dups(spark):
+    """A val doc that duplicates a train doc's text must be flagged;
+    vocabulary-disjoint docs must not."""
+    from google_sheets_etl_spark.queries import QUERIES
+    import google_sheets_etl_spark.queries as Q
+    from google_sheets_etl_spark.operators import sampling as S
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    flagged = {r["doc_id"] for r in Q.QUERIES["decontaminate_eval"](
+        spark, "/root/testdata/sf0.001").collect()}
+    split = {r["doc_id"]: r["split"]
+             for r in S.hash_split(docs).select("doc_id", "split").collect()}
+    # every flagged doc is an eval doc by construction
+    assert all(split[d] != "train" for d in flagged)
