@@ -30,8 +30,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL twin for every SQL-expressible query.
-    Approximate operators (near_dup_lsh, ann_lsh_topk, simhash64) are
-    intentionally rows-only; their exact twins ARE oracled
-    (near_dup_jaccard_exact, cosine_topk)."""
+    """DuckDB-runnable ANSI SQL twin for EVERY query — approximate
+    operators included, via verified-equality contracts (LSH: exact
+    verify on candidates + recall 1.0 pinned by tests at the gate
+    scale) or full algorithmic twins in SQL (IVF, simhash, rolling
+    fingerprint, winnowing)."""
     return dict(ORACLE)
