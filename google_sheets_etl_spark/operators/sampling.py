@@ -100,3 +100,46 @@ def pack_shards(
     return docs.withColumn(
         "shard", ((running - F.col(size_col)) / F.lit(budget)).cast("long")
     )
+
+
+def mixture_weights(
+    docs: DataFrame,
+    key_col: str = "lang",
+    size_col: str = "n_chars",
+) -> DataFrame:
+    """Training-mixture planning: per-domain sampling rates that
+    re-balance the corpus toward a UNIFORM target mixture over
+    ``key_col`` (the degenerate but standard case of "hit these
+    mixture proportions"; a non-uniform target is the same plan with
+    a broadcast weights dim). ``sample_rate = min(1, target_share /
+    actual_share)`` — over-represented domains are downsampled, small
+    domains kept whole; downstream, ``hash_split``-style md5 gating
+    applies the rate deterministically.
+
+    Plan: one partial-aggregated shuffle on the low-cardinality key,
+    then a 1-row broadcast cross join for the corpus totals — the
+    per-key aggregate never sees a second shuffle and nothing is
+    collected. Rates are rounded to 6 dp (float-aggregate convention)
+    for the cross-engine hash."""
+    per_key = docs.groupBy(key_col).agg(
+        F.sum(F.col(size_col).cast("long")).alias("domain_size")
+    )
+    totals = per_key.agg(
+        F.sum("domain_size").alias("_total"),
+        F.count(F.lit(1)).alias("_n_domains"),
+    )
+    return (
+        per_key.crossJoin(F.broadcast(totals))
+        .select(
+            key_col,
+            "domain_size",
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.col("_total")
+                    / (F.col("_n_domains") * F.col("domain_size")),
+                ),
+                6,
+            ).alias("sample_rate"),
+        )
+    )

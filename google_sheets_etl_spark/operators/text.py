@@ -8,7 +8,7 @@ DuckDB equivalent lives in ``queries.py`` oracles.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.textfns import words_of
@@ -216,6 +216,95 @@ def repetition_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc
                 F.coalesce(F.col("top_c") / F.col("n_grams"), F.lit(0.0)), 6
             ).alias("top_bigram_frac"),
         )
+    )
+
+
+def gopher_quality_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 20,
+    max_tokens: int = 100_000,
+    min_mean_len: int = 3,
+    max_mean_len: int = 10,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Gopher-style rule-based quality GATE (the decision, where
+    :func:`quality_features` is the features): per-rule booleans plus
+    the final ``keep``. Thresholds follow the published Gopher corpus
+    rules (word-count bounds, mean-word-length band, ≥2 stopwords,
+    duplicate-token ceiling), adapted to this corpus' scale.
+
+    Every rule is EXACT INTEGER arithmetic — mean word length is
+    compared as ``sum_len ⋛ k·n_tokens``, duplicate fraction as
+    ``2·n_unique ≥ n_tokens`` — so the DuckDB twin hash-matches
+    bit-for-bit with no float-division ulp risk. Narrow projection,
+    no shuffle, whole-stage codegen end to end; at 100 TB this is a
+    map-only pass that fuses into the scan."""
+    words = words_of(F.col(text_col))
+    n_tokens = F.size(words)
+    n_unique = F.size(F.array_distinct(words))
+    sum_len = F.aggregate(
+        F.transform(words, lambda w: F.length(w)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    hits = stopword_hits(F.col(text_col))
+    r_count = (n_tokens >= min_tokens) & (n_tokens <= max_tokens)
+    r_mean = (sum_len >= min_mean_len * n_tokens) & (
+        sum_len <= max_mean_len * n_tokens
+    )
+    r_stop = hits >= min_stopwords
+    r_uniq = n_unique * 2 >= n_tokens
+    return docs.select(
+        F.col(id_col),
+        r_count.alias("rule_token_count"),
+        r_mean.alias("rule_mean_word_len"),
+        r_stop.alias("rule_stopwords"),
+        r_uniq.alias("rule_unique_frac"),
+        (r_count & r_mean & r_stop & r_uniq).alias("keep"),
+    )
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    text_col: str = "text",
+    coverage_num: int = 19,
+    coverage_den: int = 20,
+) -> DataFrame:
+    """Tokenizer-training vocabulary build: the smallest prefix of the
+    frequency-sorted token list covering ``coverage_num/coverage_den``
+    (default 95%) of all token OCCURRENCES. Returns (token, freq,
+    rank) for the kept prefix.
+
+    Shape: explode → one partial-aggregated shuffle on the uniform
+    token key (corpus-sized work, map-side combined), then ranking
+    over the VOCAB — at most |distinct tokens| rows, orders of
+    magnitude smaller than the corpus, so the unpartitioned window
+    is a deliberate, bounded single task (same contract as a
+    sort-by-frequency on a vocab file). The coverage cut compares
+    ``cum_before·den < total·num`` in exact integers — no float
+    thresholds to diverge across engines. Ties break by token text
+    for full determinism."""
+    freq = (
+        docs.select(F.explode(words_of(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    total = freq.agg(F.sum("freq").alias("_total"))
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    cum_before = F.coalesce(
+        F.sum("freq").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    return (
+        freq.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn("_cum_before", cum_before)
+        .filter(
+            F.col("_cum_before") * coverage_den < F.col("_total") * coverage_num
+        )
+        .select("token", "freq", "rank")
     )
 
 

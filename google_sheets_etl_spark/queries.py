@@ -2148,6 +2148,71 @@ def decontaminate_eval(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "quality_filter_gopher",
+    """WITH f AS (
+         SELECT doc_id,
+                len(string_split(text, ' ')) AS nt,
+                len(list_distinct(string_split(text, ' '))) AS nu,
+                list_sum(list_transform(string_split(text, ' '),
+                                        w -> length(w))) AS sl,
+                len(list_filter(string_split(text, ' '),
+                    w -> list_contains(['the','a','of','and','to','in','is','that','it','for'], w)))
+                  AS sh
+         FROM documents)
+       SELECT doc_id,
+              (nt >= 20 AND nt <= 100000) AS rule_token_count,
+              (sl >= 3 * nt AND sl <= 10 * nt) AS rule_mean_word_len,
+              (sh >= 2) AS rule_stopwords,
+              (nu * 2 >= nt) AS rule_unique_frac,
+              ((nt >= 20 AND nt <= 100000) AND (sl >= 3 * nt AND sl <= 10 * nt)
+               AND (sh >= 2) AND (nu * 2 >= nt)) AS keep
+       FROM f""",
+)
+def quality_filter_gopher(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-rule quality gate (decision booleans; exact integer
+    arithmetic on both engines — see operators/text.py)."""
+    return text_ops.gopher_quality_filter(t(spark, sf, "documents"))
+
+
+@q(
+    "vocab_coverage_95",
+    """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+                    FROM documents),
+            freq AS (SELECT token, COUNT(*) AS freq FROM tok GROUP BY token),
+            ranked AS (
+              SELECT token, freq,
+                     ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS rank,
+                     COALESCE(SUM(freq) OVER (ORDER BY freq DESC, token
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS cum_before,
+                     SUM(freq) OVER () AS total
+              FROM freq)
+       SELECT token, freq, rank
+       FROM ranked WHERE cum_before * 20 < total * 19""",
+)
+def vocab_coverage_95(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer-training vocab: smallest frequency-sorted token
+    prefix covering 95% of occurrences (integer coverage cut)."""
+    return text_ops.vocab_coverage(t(spark, sf, "documents"))
+
+
+@q(
+    "mixture_weights_uniform",
+    """WITH pk AS (SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS domain_size
+                   FROM documents GROUP BY lang),
+            tot AS (SELECT CAST(SUM(domain_size) AS DOUBLE) AS total,
+                           COUNT(*) AS k FROM pk)
+       SELECT lang, domain_size,
+              ROUND(LEAST(1.0, total / (k * domain_size)), 6) AS sample_rate
+       FROM pk, tot""",
+)
+def mixture_weights_uniform(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language sampling rates toward a uniform training mixture
+    (1-row broadcast totals; no second shuffle)."""
+    return sampling.mixture_weights(t(spark, sf, "documents"))
+
+
 # Driver-coverage ordering inputs: round 1's fully-green queries (the
 # driver checks the first ~50 entries of queries() in order and stops,
 # so stable greens go LAST — they already have a verified row) and the

@@ -162,3 +162,32 @@ def test_repetition_stats_aggregates_partially(spark, sf_dir):
     plan = explain_str(repetition_stats(docs))
     # the bigram mode groupBys must map-side combine
     assert "partial_count" in plan or "Partial" in plan
+
+
+def test_gopher_filter_is_narrow(spark, sf_dir):
+    from google_sheets_etl_spark.operators.text import gopher_quality_filter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = explain_str(gopher_quality_filter(docs))
+    assert "Exchange" not in plan  # map-only gate fuses into the scan
+
+
+def test_vocab_coverage_partial_agg_before_vocab_sort(spark, sf_dir):
+    from google_sheets_etl_spark.operators.text import vocab_coverage
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = explain_str(vocab_coverage(docs))
+    # corpus-sized explode must map-side combine before the shuffle;
+    # only the vocab-sized ranking may be a single partition
+    assert "partial_count" in plan or "Partial" in plan
+    assert "BroadcastExchange" in plan  # totals join is a broadcast
+
+
+def test_mixture_weights_single_shuffle(spark, sf_dir):
+    from google_sheets_etl_spark.operators.sampling import mixture_weights
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = explain_str(mixture_weights(docs))
+    # one hash exchange for the per-key agg; totals come back broadcast
+    assert plan.count("Exchange hashpartitioning") <= 2  # agg + its partial
+    assert "BroadcastExchange" in plan

@@ -113,3 +113,47 @@ def test_decontaminate_eval_flags_cross_split_dups(spark):
              for r in S.hash_split(docs).select("doc_id", "split").collect()}
     # every flagged doc is an eval doc by construction
     assert all(split[d] != "train" for d in flagged)
+
+
+def test_gopher_filter_rules(spark):
+    from google_sheets_etl_spark.operators.text import gopher_quality_filter
+
+    good = " ".join(["the", "a", "of"] + [f"tok{i}" for i in range(40)])
+    short = "the a of tok"                        # fails token count
+    no_stop = " ".join(f"tok{i}" for i in range(40))   # fails stopwords
+    degenerate = " ".join(["the", "a"] + ["dup"] * 48)  # fails unique frac
+    longwords = " ".join(["the", "a"] + ["x" * 40] * 38)  # fails mean len
+    rows = [good, short, no_stop, degenerate, longwords]
+    out = {r["doc_id"]: r.asDict() for r in
+           gopher_quality_filter(docs_df(spark, rows), min_tokens=20).collect()}
+    assert out[0]["keep"] is True
+    assert out[1]["keep"] is False and out[1]["rule_token_count"] is False
+    assert out[2]["keep"] is False and out[2]["rule_stopwords"] is False
+    assert out[3]["keep"] is False and out[3]["rule_unique_frac"] is False
+    assert out[4]["keep"] is False and out[4]["rule_mean_word_len"] is False
+
+
+def test_vocab_coverage_minimal_prefix(spark):
+    from google_sheets_etl_spark.operators.text import vocab_coverage
+
+    # freq: aa x10, bb x5, cc x4, dd x1  -> total 20; 95% cut = 19
+    rows = [" ".join(["aa"] * 10 + ["bb"] * 5 + ["cc"] * 4 + ["dd"])]
+    kept = vocab_coverage(docs_df(spark, rows)).collect()
+    by_rank = sorted((r["rank"], r["token"], r["freq"]) for r in kept)
+    # aa+bb covers 15 (<19 before cc) -> cc kept; before dd cum=19 -> cut
+    assert by_rank == [(1, "aa", 10), (2, "bb", 5), (3, "cc", 4)]
+
+
+def test_mixture_weights_uniform_target(spark):
+    from google_sheets_etl_spark.operators.sampling import mixture_weights
+
+    df = spark.createDataFrame(
+        [(0, "en", 300), (1, "en", 300), (2, "de", 200), (3, "fr", 100),
+         (4, "fr", 100)],
+        "doc_id long, lang string, n_chars long",
+    )
+    out = {r["lang"]: r for r in mixture_weights(df).collect()}
+    total, k = 1000, 3
+    assert out["en"]["sample_rate"] == round(total / (k * 600), 6)
+    assert out["de"]["sample_rate"] == 1.0   # under-represented: keep all
+    assert out["fr"]["sample_rate"] == 1.0
