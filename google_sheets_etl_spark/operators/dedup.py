@@ -279,9 +279,12 @@ def near_dup_pairs(
     shingled = (
         ensure_parallelism(docs.select(id_col, text_col))
         .join(F.broadcast(cand_ids), on=id_col, how="left_semi")
+        # words materialized first: element_at in the shingle lambda is
+        # not CSE'd — an inline split() re-tokenizes per element (12x)
+        .withColumn("_w", words_of(F.col(text_col)))
         .select(
             F.col(id_col),
-            F.array_distinct(word_shingles(words_of(F.col(text_col)), shingle_n)).alias("sh"),
+            F.array_distinct(word_shingles(F.col("_w"), shingle_n)).alias("sh"),
         )
         .persist()
     )
@@ -306,9 +309,9 @@ def jaccard_pairs_bruteforce(
     shingle_n: int = 3,
 ) -> DataFrame:
     """Exact O(n^2) Jaccard pairs — test oracle / small inputs only."""
-    shingled = docs.select(
+    shingled = docs.withColumn("_w", words_of(F.col(text_col))).select(
         F.col(id_col),
-        F.array_distinct(word_shingles(words_of(F.col(text_col)), shingle_n)).alias("sh"),
+        F.array_distinct(word_shingles(F.col("_w"), shingle_n)).alias("sh"),
     )
     a = shingled.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = shingled.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))

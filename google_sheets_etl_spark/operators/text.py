@@ -189,8 +189,10 @@ def repetition_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     """
     from ..functions.textfns import word_shingles, words_of
 
-    w = words_of(F.col(text_col))
-    base = docs.select(
+    # words materialized first: element_at in the shingle lambda is not
+    # CSE'd — an inline split() re-tokenizes per element reference
+    w = F.col("_w")
+    base = docs.withColumn("_w", words_of(F.col(text_col))).select(
         F.col(id_col),
         F.size(w).cast("long").alias("n_tokens"),
         F.round(
@@ -241,7 +243,8 @@ def gopher_quality_filter(
     bit-for-bit with no float-division ulp risk. Narrow projection,
     no shuffle, whole-stage codegen end to end; at 100 TB this is a
     map-only pass that fuses into the scan."""
-    words = words_of(F.col(text_col))
+    # one split() per row, shared by every rule via a materialized column
+    words = F.col("_w")
     n_tokens = F.size(words)
     n_unique = F.size(F.array_distinct(words))
     sum_len = F.aggregate(
@@ -249,14 +252,15 @@ def gopher_quality_filter(
         F.lit(0),
         lambda acc, x: acc + x,
     )
-    hits = stopword_hits(F.col(text_col))
+    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    hits = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
     r_count = (n_tokens >= min_tokens) & (n_tokens <= max_tokens)
     r_mean = (sum_len >= min_mean_len * n_tokens) & (
         sum_len <= max_mean_len * n_tokens
     )
     r_stop = hits >= min_stopwords
     r_uniq = n_unique * 2 >= n_tokens
-    return docs.select(
+    return docs.withColumn("_w", words_of(F.col(text_col))).select(
         F.col(id_col),
         r_count.alias("rule_token_count"),
         r_mean.alias("rule_mean_word_len"),

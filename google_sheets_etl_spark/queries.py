@@ -2135,9 +2135,13 @@ def decontaminate_eval(spark: SparkSession, sf: str) -> DataFrame:
     aggregated; nothing is collected or broadcast."""
     docs = t(spark, sf, "documents")
     s = sampling.hash_split(docs).select("doc_id", "split", "text")
-    grams = s.select(
+    # Materialize the words array BEFORE shingling: element_at inside
+    # the shingle lambda is not CSE'd, so an inline split() re-tokenizes
+    # the document once per element reference (measured 12x: 6.0s->0.5s
+    # at sf0.1 for this explode).
+    grams = s.withColumn("_w", words_of(F.col("text"))).select(
         "doc_id", "split",
-        F.explode(word_shingles(words_of(F.col("text")), 5)).alias("g"),
+        F.explode(word_shingles(F.col("_w"), 5)).alias("g"),
     )
     train_grams = grams.filter(F.col("split") == "train").select("g").distinct()
     return (
