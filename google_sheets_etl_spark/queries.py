@@ -2153,6 +2153,166 @@ def decontaminate_eval(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "funnel_view_click_purchase",
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+            v AS (SELECT user_id, MIN(us) AS vus FROM e
+                  WHERE event_type = 'view' GROUP BY user_id),
+            c AS (SELECT e.user_id, MIN(us) AS cus
+                  FROM e JOIN v USING (user_id)
+                  WHERE event_type = 'click' AND us > vus GROUP BY e.user_id),
+            p AS (SELECT e.user_id, MIN(us) AS pus
+                  FROM e JOIN c USING (user_id)
+                  WHERE event_type = 'purchase' AND us > cus GROUP BY e.user_id)
+       SELECT 'view' AS stage, COUNT(*) AS n_users FROM v
+       UNION ALL SELECT 'click_after_view', COUNT(*) FROM c
+       UNION ALL SELECT 'purchase_after_click', COUNT(*) FROM p""",
+)
+def funnel_view_click_purchase(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered conversion funnel (view -> later click -> later
+    purchase): three per-user MIN aggregates, each gated by the prior
+    stage's timestamp via an equi-join on user_id. All joins shuffle on
+    the uniform user key and each stage's input shrinks monotonically —
+    the standard distributed funnel plan (no window over the full
+    event stream, no per-user event collection)."""
+    e = t(spark, sf, "events").select(
+        "user_id", "event_type", F.unix_micros(F.col("ts")).alias("us")
+    )
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("us").alias("vus"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("us") > F.col("vus"))
+        .groupBy("user_id").agg(F.min("us").alias("cus"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("us") > F.col("cus"))
+        .groupBy("user_id").agg(F.min("us").alias("pus"))
+    )
+    def stage(df, name):
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(name).alias("stage"), "n_users"
+        )
+    return (
+        stage(v, "view")
+        .unionAll(stage(c, "click_after_view"))
+        .unionAll(stage(p, "purchase_after_click"))
+    )
+
+
+@q(
+    "cohort_retention",
+    """WITH s AS (SELECT user_id, MIN(date_trunc('day', ts)) AS cohort_day
+                  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+            a AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d
+                  FROM events)
+       SELECT cohort_day,
+              CAST(date_diff('day', cohort_day, d) AS BIGINT) AS day_offset,
+              COUNT(*) AS n_users
+       FROM a JOIN s USING (user_id)
+       WHERE d >= cohort_day
+       GROUP BY 1, 2""",
+)
+def cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort retention triangle: users bucketed by first-signup day,
+    counted on each later active day. Two partial-aggregated shuffles
+    on user_id (cohort assignment, distinct user-days) + one count on
+    the (cohort, offset) pair — the distinct happens BEFORE the join
+    so the join input is user-days, not raw events."""
+    ev = t(spark, sf, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.date_trunc("day", F.col("ts"))).alias("cohort_day"))
+    )
+    a = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("d")
+    ).distinct()
+    return (
+        a.join(s, "user_id")
+        .filter(F.col("d") >= F.col("cohort_day"))
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("d"), F.col("cohort_day"))
+            .cast("long")
+            .alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@q(
+    "q21_sole_late_supplier",
+    """WITH l AS (SELECT l_orderkey, l_suppkey,
+                         (epoch_us(l_shipdate) >
+                          epoch_us(o_orderdate) + 2592000000000) AS late
+                  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+       SELECT s_name, COUNT(*) AS numwait
+       FROM l l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+       WHERE l1.late
+         AND EXISTS (SELECT 1 FROM l l2
+                     WHERE l2.l_orderkey = l1.l_orderkey
+                       AND l2.l_suppkey <> l1.l_suppkey)
+         AND NOT EXISTS (SELECT 1 FROM l l3
+                         WHERE l3.l_orderkey = l1.l_orderkey
+                           AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+       GROUP BY s_name""",
+)
+def q21_sole_late_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q21 shape (no l_receiptdate in this corpus, so "late" =
+    shipped >30 days after order date, in exact integer epoch
+    arithmetic — the q12 lesson): suppliers who were the ONLY late
+    shipper on a multi-supplier order. EXISTS -> left_semi and NOT
+    EXISTS -> left_anti on the same equi-key (l_orderkey) with the
+    suppkey inequality as a residual — both shuffle once on the
+    uniform orderkey; the supplier dim is broadcast."""
+    li = t(spark, sf, "lineitem")
+    o = t(spark, sf, "orders")
+    sup = t(spark, sf, "supplier")
+    l = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            "l_orderkey", "l_suppkey",
+            # NTZ-safe exact epochs (same contract as q12): session tz
+            # is pinned UTC by t(), so NTZ wall-clock == UTC instant
+            (
+                F.unix_micros(F.col("l_shipdate").cast("timestamp"))
+                > F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+                + 2_592_000_000_000
+            ).alias("late"),
+        )
+    )
+    l1 = l.filter(F.col("late"))
+    l2 = l.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
+    )
+    l3 = l1.select(
+        F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3")
+    )
+    return (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("ok2"))
+            & (F.col("l_suppkey") != F.col("sk2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("ok3"))
+            & (F.col("l_suppkey") != F.col("sk3")),
+            "left_anti",
+        )
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@q(
     "quality_filter_gopher",
     """WITH f AS (
          SELECT doc_id,

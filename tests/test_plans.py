@@ -191,3 +191,24 @@ def test_mixture_weights_single_shuffle(spark, sf_dir):
     # one hash exchange for the per-key agg; totals come back broadcast
     assert plan.count("Exchange hashpartitioning") <= 2  # agg + its partial
     assert "BroadcastExchange" in plan
+
+
+def test_q21_semi_anti_no_cartesian(spark, sf_dir):
+    plan = explain_str(QUERIES["q21_sole_late_supplier"](spark, sf_dir))
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan  # supplier dim broadcast
+
+
+def test_funnel_shuffles_on_user_key_only(spark, sf_dir):
+    plan = explain_str(QUERIES["funnel_view_click_purchase"](spark, sf_dir))
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    # every exchange in the funnel hashes user_id (plus the three
+    # 1-row stage counts); no full-stream window
+    assert "Window" not in plan
+
+
+def test_cohort_distinct_before_join(spark, sf_dir):
+    plan = explain_str(QUERIES["cohort_retention"](spark, sf_dir))
+    # the user-day distinct must partial-aggregate before its exchange
+    assert "partial_" in plan or "Partial" in plan
