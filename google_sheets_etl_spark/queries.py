@@ -2153,6 +2153,38 @@ def decontaminate_eval(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "skew_salted_type_join",
+    """WITH dim AS (SELECT event_type, COUNT(*) AS type_total
+                    FROM events GROUP BY event_type)
+       SELECT e.event_type, COUNT(*) AS n, ROUND(SUM(e.value), 2) AS value_sum,
+              MIN(type_total) AS type_total
+       FROM events e JOIN dim USING (event_type)
+       GROUP BY e.event_type""",
+)
+def skew_salted_type_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-mitigated join on a pathologically hot key (5 event types
+    over the whole stream — every row hits one of 5 reducer keys in a
+    plain shuffle join). ``salted_join`` spreads each hot key over 16
+    salted partitions, the dim side replicated x16; the oracle is the
+    PLAIN join — proving the salting rewrite is lossless. AQE skew
+    handling is the first line of defense; this is the explicit
+    operator for plans AQE can't rewrite (see operators/skew.py)."""
+    from .operators.skew import salted_join
+
+    ev = t(spark, sf, "events").select("event_type", "value")
+    dim = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("type_total"))
+    return (
+        salted_join(ev, dim, "event_type", n_salts=16)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+            F.min("type_total").alias("type_total"),
+        )
+    )
+
+
+@q(
     "funnel_view_click_purchase",
     """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
             v AS (SELECT user_id, MIN(us) AS vus FROM e
