@@ -2298,10 +2298,18 @@ def q21_sole_late_supplier(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q21 shape (no l_receiptdate in this corpus, so "late" =
     shipped >30 days after order date, in exact integer epoch
     arithmetic — the q12 lesson): suppliers who were the ONLY late
-    shipper on a multi-supplier order. EXISTS -> left_semi and NOT
-    EXISTS -> left_anti on the same equi-key (l_orderkey) with the
-    suppkey inequality as a residual — both shuffle once on the
-    uniform orderkey; the supplier dim is broadcast."""
+    shipper on a multi-supplier order.
+
+    The EXISTS/NOT-EXISTS pair collapses into aggregates at the
+    (order, supplier) grain, computed in ONE pass over the fact join
+    (the textbook two self-joins re-scan it three times): n_supp >= 2
+    ⇔ "another supplier exists", n_late_supp == 1 for a late supplier
+    ⇔ "no OTHER late supplier". Late-row counts ride along so the
+    final numwait needs no join back to row grain. Plan: fact join →
+    partial-agg shuffle on the (orderkey, suppkey) pair → orderkey
+    rollup (already co-partitioned in practice, rows = supplier-order
+    pairs) → broadcast dim. The oracle keeps the EXISTS form, proving
+    the rewrite exact."""
     li = t(spark, sf, "lineitem")
     o = t(spark, sf, "orders")
     sup = t(spark, sf, "supplier")
@@ -2318,29 +2326,20 @@ def q21_sole_late_supplier(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("late"),
         )
     )
-    l1 = l.filter(F.col("late"))
-    l2 = l.select(
-        F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
+    per_supp = l.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum(F.when(F.col("late"), 1).otherwise(0)).alias("n_late_rows")
     )
-    l3 = l1.select(
-        F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3")
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum((F.col("n_late_rows") > 0).cast("int")).alias("n_late_supp"),
     )
     return (
-        l1.join(
-            l2,
-            (F.col("l_orderkey") == F.col("ok2"))
-            & (F.col("l_suppkey") != F.col("sk2")),
-            "left_semi",
-        )
-        .join(
-            l3,
-            (F.col("l_orderkey") == F.col("ok3"))
-            & (F.col("l_suppkey") != F.col("sk3")),
-            "left_anti",
-        )
+        per_supp.filter(F.col("n_late_rows") > 0)
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
         .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("n_late_rows").alias("numwait"))
     )
 
 

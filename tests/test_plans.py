@@ -193,11 +193,14 @@ def test_mixture_weights_single_shuffle(spark, sf_dir):
     assert "BroadcastExchange" in plan
 
 
-def test_q21_semi_anti_no_cartesian(spark, sf_dir):
+def test_q21_single_pass_no_self_join(spark, sf_dir):
     plan = explain_str(QUERIES["q21_sole_late_supplier"](spark, sf_dir))
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
-    assert "LeftSemi" in plan and "LeftAnti" in plan
+    # the EXISTS/NOT-EXISTS pair is aggregates, not self-joins: the
+    # fact table (lineitem) is scanned exactly once
+    assert plan.count("lineitem.parquet") == 1
     assert "BroadcastHashJoin" in plan  # supplier dim broadcast
+    assert "partial_" in plan or "Partial" in plan  # map-side combine
 
 
 def test_funnel_shuffles_on_user_key_only(spark, sf_dir):
