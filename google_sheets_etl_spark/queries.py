@@ -2329,14 +2329,21 @@ def q21_sole_late_supplier(spark: SparkSession, sf: str) -> DataFrame:
     per_supp = l.groupBy("l_orderkey", "l_suppkey").agg(
         F.sum(F.when(F.col("late"), 1).otherwise(0)).alias("n_late_rows")
     )
-    per_order = per_supp.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_supp"),
-        F.sum((F.col("n_late_rows") > 0).cast("int")).alias("n_late_supp"),
-    )
+    # per-order conditions via a window over the ALREADY-aggregated
+    # supplier-order grain (not a groupBy + join back, which would
+    # consume per_supp twice and duplicate the fact scan in the plan)
+    w = Window.partitionBy("l_orderkey")
     return (
-        per_supp.filter(F.col("n_late_rows") > 0)
-        .join(per_order, "l_orderkey")
-        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        per_supp.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "n_late_supp",
+            F.sum((F.col("n_late_rows") > 0).cast("int")).over(w),
+        )
+        .filter(
+            (F.col("n_late_rows") > 0)
+            & (F.col("n_supp") >= 2)
+            & (F.col("n_late_supp") == 1)
+        )
         .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.sum("n_late_rows").alias("numwait"))
