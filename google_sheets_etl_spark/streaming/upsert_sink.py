@@ -1,0 +1,112 @@
+"""Streaming MERGE sink: foreachBatch upsert into a partitioned
+parquet table — the Structured-Streaming twin of the batch ETL's
+upsert surface (U1-U5; reference semantics `DatabaseAgentMysql.php`
+REPLACE-style load, re-expressed for a continuous feed).
+
+Plain parquet has no row-level MERGE, so the upsert is PARTITION-
+scoped, the same replaceWhere discipline as
+``plans.target_table.TargetTable.overwrite_job_partition``:
+
+1. within the micro-batch, keep the LATEST row per key (event-time
+   ordered, batch-local window — micro-batch-sized input);
+2. list the partitions the batch touches (distinct partition values —
+   bounded by partitions-per-batch, metadata scale, the only
+   ``collect`` here);
+3. read ONLY those partitions back, drop rows whose key the batch
+   replaces (anti-join on the uniform key), union the batch rows;
+4. dynamic-partition-overwrite exactly those partitions (write-local
+   option — never a session conf, same hardening as the batch path).
+
+Crash safety: foreachBatch re-delivers a failed batch with the same
+``batch_id``; every step above is deterministic in (table state,
+batch), so the rewrite is idempotent — at-least-once delivery lands
+exactly-once table state, the same argument as the batch engine's
+accounting-last ordering (`etl.py`).
+
+Scale: state in the streaming engine is zero (this sink aggregates
+nothing); per-batch cost is (touched partitions x their size) — the
+knob is the partition column's granularity. A day/hour partitioning
+keeps rewrites local while the anti-join shuffles only batch-touched
+partitions, never the table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def latest_per_key(batch: DataFrame, key_cols: list[str], seq_col: str) -> DataFrame:
+    """Deduplicate a micro-batch to the highest-``seq_col`` row per
+    key (ties broken by the remaining columns' order is irrelevant —
+    row_number over a deterministic sort makes the pick stable)."""
+    w = Window.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())
+    return (
+        batch.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def upsert_batch(
+    spark,
+    batch: DataFrame,
+    table_path: str,
+    key_cols: list[str],
+    partition_col: str,
+    seq_col: str,
+) -> None:
+    """One micro-batch MERGE (steps 1-4 above). Also the batch-mode
+    backfill entry point — identical semantics either way."""
+    import os
+
+    fresh = latest_per_key(batch, key_cols, seq_col)
+    exists = os.path.isdir(table_path) and any(
+        "=" in n or n == "_SUCCESS" for n in os.listdir(table_path)
+    )
+    if exists:
+        touched = [
+            r[0] for r in fresh.select(partition_col).distinct().collect()
+        ]
+        current = spark.read.parquet(table_path).filter(
+            F.col(partition_col).isin(touched)
+        )
+        keep = current.join(
+            fresh.select(*key_cols).distinct(), on=key_cols, how="left_anti"
+        )
+        merged = keep.select(*fresh.columns).unionByName(fresh)
+    else:
+        merged = fresh
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(table_path)
+    )
+
+
+def upsert_stream(
+    stream: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    key_cols: list[str],
+    partition_col: str,
+    seq_col: str,
+):
+    """Attach the MERGE sink to a streaming DataFrame. Returns the
+    started StreamingQuery (caller owns trigger/termination)."""
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        upsert_batch(
+            batch.sparkSession, batch, table_path,
+            key_cols, partition_col, seq_col,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

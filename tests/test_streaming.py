@@ -122,3 +122,53 @@ def test_sessionize_stream_state_across_batches(spark, tmp_path):
         .withColumnRenamed("max(n_sessions)", "n_sessions").collect()
     }
     assert latest2[1] == 3
+
+
+def test_upsert_stream_latest_wins_and_partition_scoped(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from google_sheets_etl_spark.streaming import upsert_sink as us
+
+    src = str(tmp_path / "upsert_in")
+    tbl = str(tmp_path / "upsert_tbl")
+    schema = "key long, day string, seq long, payload string"
+
+    # batch 1: keys 1-3 across two day-partitions
+    spark.createDataFrame(
+        [(1, "d1", 10, "a"), (2, "d1", 10, "b"), (3, "d2", 10, "c")], schema
+    ).write.mode("overwrite").parquet(src)
+    q = us.upsert_stream(
+        spark.readStream.schema(schema).parquet(src), tbl,
+        str(tmp_path / "ck1"), ["key"], "day", "seq",
+    )
+    q.awaitTermination()
+
+    # batch 2: replace key 2 (newer seq), stale update for key 1
+    # (older seq within ONE batch vs a fresh one — latest wins), new
+    # key 4 on d2; d1 partition rewritten, d2 rewritten, no loss
+    spark.createDataFrame(
+        [(2, "d1", 20, "b2"), (1, "d1", 5, "stale"), (1, "d1", 30, "a2"),
+         (4, "d2", 20, "d")], schema
+    ).write.mode("append").parquet(src)
+    q = us.upsert_stream(
+        spark.readStream.schema(schema).parquet(src), tbl,
+        str(tmp_path / "ck1"), ["key"], "day", "seq",
+    )
+    q.awaitTermination()
+
+    got = {r["key"]: (r["payload"], r["seq"])
+           for r in spark.read.parquet(tbl).collect()}
+    assert got == {1: ("a2", 30), 2: ("b2", 20), 3: ("c", 10), 4: ("d", 20)}
+
+
+def test_upsert_batch_idempotent_redelivery(spark, tmp_path):
+    from google_sheets_etl_spark.streaming.upsert_sink import upsert_batch
+
+    tbl = str(tmp_path / "idem_tbl")
+    schema = "key long, day string, seq long, payload string"
+    b = spark.createDataFrame([(1, "d1", 10, "x"), (2, "d2", 10, "y")], schema)
+    upsert_batch(spark, b, tbl, ["key"], "day", "seq")
+    before = sorted(map(tuple, spark.read.parquet(tbl).collect()))
+    upsert_batch(spark, b, tbl, ["key"], "day", "seq")  # re-delivery
+    after = sorted(map(tuple, spark.read.parquet(tbl).collect()))
+    assert before == after
