@@ -243,3 +243,37 @@ def test_dynamic_overwrite_is_write_local(spark, tmp_path):
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     got = {(r["_origin_etl_job_id"], r["v"]) for r in tt.read().collect()}
     assert got == {(1, "a"), (1, "b"), (2, "d"), (2, "e")}
+
+
+def test_compaction_rewrites_only_fragmented_partitions(spark, tmp_path):
+    import os
+
+    from google_sheets_etl_spark.plans.compaction import (
+        compact_partitions, partition_file_stats,
+    )
+
+    tbl = str(tmp_path / "ctbl")
+    schema = "k long, job string, v string"
+    # job=a: 8 tiny files (fragmented); job=b: 1 file (healthy)
+    frag = spark.createDataFrame(
+        [(i, "a", f"v{i}") for i in range(64)], schema
+    ).repartition(8)
+    frag.write.partitionBy("job").parquet(tbl)
+    spark.createDataFrame([(100, "b", "x")], schema).coalesce(1) \
+        .write.mode("append").partitionBy("job").parquet(tbl)
+
+    before = {n: (f, b) for n, f, b in partition_file_stats(tbl)}
+    assert before["job=a"][0] == 8 and before["job=b"][0] == 1
+    b_files = sorted(os.listdir(os.path.join(tbl, "job=b")))
+    content_before = sorted(
+        map(tuple, spark.read.parquet(tbl).collect()))
+
+    assert compact_partitions(spark, tbl, "job", max_files=4) == ["a"]
+
+    after = {n: (f, b) for n, f, b in partition_file_stats(tbl)}
+    assert after["job=a"][0] == 1          # compacted to one file
+    assert sorted(os.listdir(os.path.join(tbl, "job=b"))) == b_files  # untouched
+    assert sorted(map(tuple, spark.read.parquet(tbl).collect())) \
+        == content_before                   # bit-identical content
+    # healthy table: second run is a no-op
+    assert compact_partitions(spark, tbl, "job", max_files=4) == []
