@@ -379,3 +379,69 @@ def winnowing_fingerprints(
     from .dedup import ensure_parallelism
 
     return ensure_parallelism(docs.select(id_col, text_col)).mapInPandas(kernel, schema)
+
+
+def heavy_hitter_tokens(docs: DataFrame, k: int = 50, text_col: str = "text") -> DataFrame:
+    """Tokens exceeding 1/k of ALL token occurrences, via the two-pass
+    sketch-then-verify plan — the distributed heavy-hitters pattern
+    that never shuffles the full vocabulary:
+
+    1. Misra-Gries(k) per PARTITION (Arrow kernel, no shuffle). MG
+       guarantees any token with partition frequency > n_p/k survives
+       that partition's summary; by pigeonhole, every GLOBAL >N/k
+       token survives in >=1 partition — the candidate union is a
+       superset of the true answer.
+    2. Exact counts for CANDIDATES ONLY: the token explode is
+       semi-joined against the broadcast candidate set (<= k x
+       n_partitions ids, metadata scale) before the one aggregation
+       shuffle, so the exchange carries candidate tokens, not the
+       corpus vocabulary.
+    3. Filter freq * k > total (exact integers; total from a 1-row
+       broadcast) — false candidates drop, making the sketch
+       invisible in the result: the oracle is the plain
+       GROUP BY ... HAVING over everything.
+
+    At 100 TB with a zipfian vocabulary this replaces a
+    full-vocabulary shuffle with one bounded by k x partitions."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from .dedup import ensure_parallelism
+
+    def mg_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for text in pdf[text_col]:
+                for tok in text.split(" "):
+                    if tok in counters:
+                        counters[tok] += 1
+                    elif len(counters) < k:
+                        counters[tok] = 1
+                    else:  # decrement-all step, drop zeros
+                        dead = []
+                        for key in counters:
+                            counters[key] -= 1
+                            if counters[key] == 0:
+                                dead.append(key)
+                        for key in dead:
+                            del counters[key]
+        yield pd.DataFrame({"token": list(counters.keys())})
+
+    cands = (
+        ensure_parallelism(docs.select(text_col))
+        .mapInPandas(mg_kernel, "token string")
+        .distinct()
+    )
+    toks = docs.select(F.explode(words_of(F.col(text_col))).alias("token"))
+    exact = (
+        toks.join(F.broadcast(cands), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    total = toks.agg(F.count(F.lit(1)).alias("_total"))
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .filter(F.col("freq") * k > F.col("_total"))
+        .select("token", "freq")
+    )

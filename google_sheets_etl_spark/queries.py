@@ -2153,6 +2153,63 @@ def decontaminate_eval(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "heavy_hitter_tokens",
+    """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+                    FROM documents),
+            freq AS (SELECT token, COUNT(*) AS freq FROM tok GROUP BY token),
+            tot AS (SELECT SUM(freq) AS total FROM freq)
+       SELECT token, freq FROM freq, tot WHERE freq * 50 > total""",
+)
+def heavy_hitter_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed heavy hitters (>1/50 of token occurrences):
+    per-partition Misra-Gries sketch -> exact verify of candidates
+    only — the aggregation shuffle carries the candidate set, never
+    the vocabulary. Oracle is the plain GROUP BY/HAVING: the sketch
+    phase is provably invisible in the result (candidate union ⊇
+    true heavy hitters; exact filter removes the rest)."""
+    return text_ops.heavy_hitter_tokens(t(spark, sf, "documents"), k=50)
+
+
+@q(
+    "user_rolling_7d_activity",
+    """WITH d AS (SELECT user_id, date_trunc('day', ts) AS day,
+                         COUNT(*) AS n
+                  FROM events GROUP BY 1, 2)
+       SELECT user_id, day,
+              CAST(SUM(n) OVER (PARTITION BY user_id ORDER BY day
+                   RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n_7d
+       FROM d""",
+)
+def user_rolling_7d_activity(spark: SparkSession, sf: str) -> DataFrame:
+    """Feature-engineering rolling window: per (user, active day), the
+    event count over the trailing 7 days. Pre-aggregate to user-day
+    grain FIRST (partial-agg shuffle), then a RANGE window over
+    integer epoch-days — the frame is value-based, so gaps in
+    activity are handled exactly (a row 30 days back never enters
+    the frame), with the window partitioned by user, never global."""
+    ev = t(spark, sf, "events")
+    d = (
+        ev.groupBy(
+            "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "_day_num",
+            (F.unix_micros(F.col("day")) / F.lit(86_400_000_000)).cast("long"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("_day_num")
+        .rangeBetween(-6, 0)
+    )
+    return d.select(
+        "user_id", "day", F.sum("n").over(w).cast("long").alias("n_7d")
+    )
+
+
+@q(
     "skew_salted_type_join",
     """WITH dim AS (SELECT event_type, COUNT(*) AS type_total
                     FROM events GROUP BY event_type)

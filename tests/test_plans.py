@@ -215,3 +215,17 @@ def test_cohort_distinct_before_join(spark, sf_dir):
     plan = explain_str(QUERIES["cohort_retention"](spark, sf_dir))
     # the user-day distinct must partial-aggregate before its exchange
     assert "partial_" in plan or "Partial" in plan
+
+
+def test_heavy_hitters_shuffle_carries_candidates_only(spark, sf_dir):
+    plan = explain_str(QUERIES["heavy_hitter_tokens"](spark, sf_dir))
+    # the exact phase semi-joins against BROADCAST candidates before
+    # its aggregation exchange — never a full-vocab shuffle path
+    assert "BroadcastExchange" in plan
+    assert "LeftSemi" in plan
+
+
+def test_rolling_7d_is_range_frame_per_user(spark, sf_dir):
+    plan = explain_str(QUERIES["user_rolling_7d_activity"](spark, sf_dir))
+    assert "RangeFrame" in plan or "RANGE BETWEEN" in plan
+    assert "SinglePartition" not in plan

@@ -157,3 +157,15 @@ def test_mixture_weights_uniform_target(spark):
     assert out["en"]["sample_rate"] == round(total / (k * 600), 6)
     assert out["de"]["sample_rate"] == 1.0   # under-represented: keep all
     assert out["fr"]["sample_rate"] == 1.0
+
+
+def test_heavy_hitters_sketch_equals_exact(spark):
+    from google_sheets_etl_spark.operators.text import heavy_hitter_tokens
+
+    # zipf-ish corpus with a long tail of singletons: hot1 x300,
+    # hot2 x120, then 600 distinct rare tokens (none above 1/10)
+    body = ["hot1"] * 300 + ["hot2"] * 120 + [f"rare{i}" for i in range(600)]
+    rows = [" ".join(body[i::10]) for i in range(10)]  # 10 docs
+    got = {r["token"]: r["freq"]
+           for r in heavy_hitter_tokens(docs_df(spark, rows), k=10).collect()}
+    assert got == {"hot1": 300, "hot2": 120}  # total=1020; >102 only
