@@ -381,6 +381,30 @@ def winnowing_fingerprints(
     return ensure_parallelism(docs.select(id_col, text_col)).mapInPandas(kernel, schema)
 
 
+def misra_gries_summary(texts, k: int) -> dict[str, int]:
+    """Misra-Gries(k) over the concatenated token stream of ``texts``:
+    at most ``k`` surviving counters; GUARANTEE (property-tested): any
+    token with true frequency > n_tokens/k survives. Pure Python so
+    the invariant is checkable without Spark; the Arrow kernel in
+    :func:`heavy_hitter_tokens` calls exactly this."""
+    counters: dict[str, int] = {}
+    for text in texts:
+        for tok in text.split(" "):
+            if tok in counters:
+                counters[tok] += 1
+            elif len(counters) < k:
+                counters[tok] = 1
+            else:  # decrement-all step, drop zeros
+                dead = []
+                for key in counters:
+                    counters[key] -= 1
+                    if counters[key] == 0:
+                        dead.append(key)
+                for key in dead:
+                    del counters[key]
+    return counters
+
+
 def heavy_hitter_tokens(docs: DataFrame, k: int = 50, text_col: str = "text") -> DataFrame:
     """Tokens exceeding 1/k of ALL token occurrences, via the two-pass
     sketch-then-verify plan — the distributed heavy-hitters pattern
@@ -410,22 +434,9 @@ def heavy_hitter_tokens(docs: DataFrame, k: int = 50, text_col: str = "text") ->
     from .dedup import ensure_parallelism
 
     def mg_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        counters: dict[str, int] = {}
-        for pdf in batches:
-            for text in pdf[text_col]:
-                for tok in text.split(" "):
-                    if tok in counters:
-                        counters[tok] += 1
-                    elif len(counters) < k:
-                        counters[tok] = 1
-                    else:  # decrement-all step, drop zeros
-                        dead = []
-                        for key in counters:
-                            counters[key] -= 1
-                            if counters[key] == 0:
-                                dead.append(key)
-                        for key in dead:
-                            del counters[key]
+        counters = misra_gries_summary(
+            (text for pdf in batches for text in pdf[text_col]), k
+        )
         yield pd.DataFrame({"token": list(counters.keys())})
 
     cands = (

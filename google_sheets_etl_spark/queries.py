@@ -65,6 +65,16 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
         pass  # static-conf session: trust its tz
+    try:
+        # right-size shuffles for the gate-scale data (runtime conf,
+        # like the tz pin): a vanilla session's 200 partitions cost
+        # ~170 empty tasks of pure scheduling overhead per exchange
+        # at sf<=0.1. Real deployments size this to the cluster; AQE
+        # coalescing still applies either way.
+        if int(spark.conf.get("spark.sql.shuffle.partitions")) > 64:
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+    except Exception:
+        pass
     if name == "events":
         df = spark.read.schema(_EVENTS_RAW_SCHEMA).parquet(
             f"{sf_dir}/{name}.parquet"

@@ -70,3 +70,29 @@ def test_missing_name_raises(header):
         raise AssertionError("expected RequiredColumnNotFound")
     except RequiredColumnNotFound:
         pass
+
+
+from collections import Counter
+
+from google_sheets_etl_spark.operators.text import misra_gries_summary
+
+
+@given(
+    st.lists(
+        st.sampled_from([f"t{i}" for i in range(20)]),
+        min_size=1, max_size=400,
+    ),
+    st.integers(min_value=2, max_value=10),
+)
+@settings(max_examples=300, deadline=None)
+def test_misra_gries_superset_guarantee(tokens, k):
+    """Any token with true frequency > n/k MUST survive the summary —
+    the invariant the distributed heavy-hitter plan's correctness
+    rests on (candidate union ⊇ true heavy hitters)."""
+    summary = misra_gries_summary([" ".join(tokens)], k)
+    assert len(summary) <= k
+    true = Counter(tokens)
+    n = len(tokens)
+    for tok, freq in true.items():
+        if freq * k > n:
+            assert tok in summary, (tok, freq, n, k)
