@@ -45,15 +45,62 @@ def q(name: str, oracle: str | None = None):
     return deco
 
 
-#: events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
-#: reader rejects unless a legacy conf is set.  Declaring the column as
-#: plain LongType bypasses the logical-type check in ANY session — no
-#: session-construction conf required — so the queries work under the
-#: evaluation driver's own SparkSession, not just ours.
+#: events.parquet has shipped with ts as TIMESTAMP(NANOS) (which
+#: Spark's parquet reader rejects unless a legacy conf is set) in one
+#: testdata generation and plain TIMESTAMP(MICROS) in another.  Rather
+#: than hardcode either, sniff the parquet FOOTER (driver-side,
+#: metadata-only — no data scan) and adapt: nanos → declare the column
+#: LongType (bypasses the logical-type check in ANY session, no
+#: session-construction conf required) and divide to µs; micros/millis
+#: → native read.  Raw-int64 files are disambiguated by footer row-group
+#: statistics magnitude.  This keeps every events query working under
+#: the evaluation driver's own SparkSession across data regenerations.
 _EVENTS_RAW_SCHEMA = (
     "event_id long, ts long, user_id long, event_type string, "
     "value double, props string"
 )
+
+_TS_UNIT_CACHE: dict[str, str] = {}
+
+
+def events_ts_unit(path: str) -> str:
+    """Timestamp unit of the ``ts`` column: ``ns``/``us``/``ms``/``s``.
+
+    Reads only the parquet footer via pyarrow (works on a single file
+    or a directory of parts).  Unannotated int64 columns are classified
+    by the first row group's min statistic magnitude.  Falls back to
+    ``ns`` (the strictest case — the adaptive read it triggers is the
+    one that cannot crash on logical-type checks).
+    """
+    unit = _TS_UNIT_CACHE.get(path)
+    if unit is not None:
+        return unit
+    try:
+        import pyarrow.dataset as pads
+
+        dset = pads.dataset(path, format="parquet")
+        typ = dset.schema.field("ts").type
+        unit = getattr(typ, "unit", None)
+        if unit is None:  # raw int64: classify by stats magnitude
+            import pyarrow.parquet as pq
+
+            frag = next(iter(dset.get_fragments()))
+            pf = pq.ParquetFile(frag.path)
+            idx = pf.schema_arrow.get_field_index("ts")
+            lo = pf.metadata.row_group(0).column(idx).statistics.min
+            # "i64:" prefix: the file needs an explicit integer read +
+            # conversion even for µs/ms (no logical annotation to let
+            # Spark produce a timestamp natively)
+            unit = "i64:" + (
+                "ns" if lo > 10**17
+                else "us" if lo > 10**14
+                else "ms" if lo > 10**11
+                else "s"
+            )
+    except Exception:
+        unit = "ns"
+    _TS_UNIT_CACHE[path] = unit
+    return unit
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -76,14 +123,24 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     except Exception:
         pass
     if name == "events":
-        df = spark.read.schema(_EVENTS_RAW_SCHEMA).parquet(
-            f"{sf_dir}/{name}.parquet"
+        path = f"{sf_dir}/{name}.parquet"
+        unit = events_ts_unit(path)
+        if unit in ("us", "ms"):
+            # natively readable logical types in every Spark session
+            return spark.read.parquet(path)
+        df = spark.read.schema(_EVENTS_RAW_SCHEMA).parquet(path)
+        # integer epoch → µs timestamp: lossless for this corpus
+        # (values are µs-precision) and identical to duckdb's
+        # epoch_us/date_trunc on the same file.
+        mult = {
+            "ns": None, "i64:ns": None,       # divide by 1000
+            "i64:us": 1, "i64:ms": 1000, "i64:s": 1_000_000, "s": 1_000_000,
+        }[unit]
+        col = (
+            (F.col("ts") / 1000).cast("long") if mult is None
+            else F.col("ts") * mult
         )
-        # nanos → µs timestamp: lossless for this corpus (values are
-        # µs-precision) and identical to duckdb's epoch_us/date_trunc.
-        return df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+        return df.withColumn("ts", F.timestamp_micros(col))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
