@@ -53,29 +53,43 @@ def main() -> None:
     # min is the steady-state per-query cost (what a warmed cluster
     # sees). Single-JVM local mode makes runs share worker fleets, so
     # run-to-run interference is real and the min filters it.
+    # one red query must never zero the whole artifact: each query is
+    # exception-isolated; failures are recorded under "errors" and the
+    # run keeps going with a valid JSON line either way
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, fn in QUERIES.items():
         if name in EXCLUDE:
             continue
         best = float("inf")
-        for _ in range(2):
-            start = time.perf_counter()
-            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - start)
-            # operators that persist() intermediates (LSH candidate
-            # reuse) would otherwise accumulate cache blocks across
-            # queries and distort later timings
-            spark.catalog.clearCache()
-        timings[name] = round(best, 3)
+        try:
+            for _ in range(2):
+                start = time.perf_counter()
+                fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+                best = min(best, time.perf_counter() - start)
+                # operators that persist() intermediates (LSH candidate
+                # reuse) would otherwise accumulate cache blocks across
+                # queries and distort later timings
+                spark.catalog.clearCache()
+            timings[name] = round(best, 3)
+        except Exception as exc:  # noqa: BLE001 — survive any one query
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            try:
+                spark.catalog.clearCache()
+            except Exception:
+                pass
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    out = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-    }))
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -282,29 +282,87 @@ def vocab_coverage(
     rank) for the kept prefix.
 
     Shape: explode → one partial-aggregated shuffle on the uniform
-    token key (corpus-sized work, map-side combined), then ranking
-    over the VOCAB — at most |distinct tokens| rows, orders of
-    magnitude smaller than the corpus, so the unpartitioned window
-    is a deliberate, bounded single task (same contract as a
-    sort-by-frequency on a vocab file). The coverage cut compares
-    ``cum_before·den < total·num`` in exact integers — no float
-    thresholds to diverge across engines. Ties break by token text
-    for full determinism."""
+    token key (corpus-sized work, map-side combined), then a
+    DISTRIBUTED prefix sum over the vocabulary — a web-scale corpus'
+    vocab is 10⁸–10⁹ rows, far too many for a single-task
+    ``Window.orderBy``:
+
+    1. range-shuffle the vocab on ``(freq desc, token asc)`` +
+       in-partition sort — a globally sorted, partition-parallel
+       layout (``repartitionByRange`` boundaries are sampled with
+       deterministic seeds);
+    2. per-partition local scan (Arrow ``mapInPandas``: running
+       rank / running sum, carried across batches — narrow, no
+       shuffle), ``localCheckpoint``-ed because it feeds two
+       consumers and the upstream lineage re-explodes the corpus;
+    3. per-partition totals → exclusive offsets via a window over
+       ONE ROW PER PARTITION (bounded by cluster width, never by
+       data — the only "unpartitioned" step left);
+    4. broadcast the offsets back onto the scan; global value =
+       offset + local.
+
+    The coverage cut compares ``cum_before·den < total·num`` in exact
+    integers — no float thresholds to diverge across engines. Ties
+    break by token text for full determinism."""
+    import numpy as np
+    import pandas as pd
+
     freq = (
         docs.select(F.explode(words_of(F.col(text_col))).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    total = freq.agg(F.sum("freq").alias("_total"))
-    w = Window.orderBy(F.desc("freq"), F.asc("token"))
-    cum_before = F.coalesce(
-        F.sum("freq").over(w.rowsBetween(Window.unboundedPreceding, -1)),
-        F.lit(0),
+    spark = docs.sparkSession
+    try:
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        n_parts = 32
+    ordered = freq.repartitionByRange(
+        n_parts, F.desc("freq"), F.asc("token")
+    ).sortWithinPartitions(F.desc("freq"), F.asc("token"))
+
+    def _local_scan(batches):
+        # one call per partition; carry the running totals across
+        # Arrow batches so the scan is exact within the partition
+        run_sum = 0
+        run_cnt = 0
+        for pdf in batches:
+            local_cum = pdf["freq"].to_numpy().cumsum()
+            out = pd.DataFrame({
+                "token": pdf["token"],
+                "freq": pdf["freq"],
+                "_local_rank": np.arange(1, len(pdf) + 1) + run_cnt,
+                "_local_cum_before":
+                    run_sum + local_cum - pdf["freq"].to_numpy(),
+            })
+            run_sum += int(pdf["freq"].sum())
+            run_cnt += len(pdf)
+            yield out
+
+    scan = ordered.mapInPandas(
+        _local_scan,
+        "token string, freq long, _local_rank long, _local_cum_before long",
+    ).withColumn("_pid", F.spark_partition_id())
+    # vocab-sized materialization: consumed by the offsets agg AND the
+    # final projection; without it each consumer re-runs the Python
+    # scan (and, absent exchange reuse, re-explodes the corpus)
+    scan = scan.localCheckpoint(eager=True)
+
+    parts = scan.groupBy("_pid").agg(
+        F.sum("freq").alias("_psum"), F.count(F.lit(1)).alias("_pcnt")
     )
+    wp = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = parts.select(
+        "_pid",
+        F.coalesce(F.sum("_psum").over(wp), F.lit(0)).alias("_off_sum"),
+        F.coalesce(F.sum("_pcnt").over(wp), F.lit(0)).alias("_off_cnt"),
+    )
+    total = parts.agg(F.sum("_psum").alias("_total"))
     return (
-        freq.crossJoin(F.broadcast(total))
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .withColumn("_cum_before", cum_before)
+        scan.join(F.broadcast(offs), "_pid")
+        .crossJoin(F.broadcast(total))
+        .withColumn("rank", (F.col("_off_cnt") + F.col("_local_rank")).cast("long"))
+        .withColumn("_cum_before", F.col("_off_sum") + F.col("_local_cum_before"))
         .filter(
             F.col("_cum_before") * coverage_den < F.col("_total") * coverage_num
         )

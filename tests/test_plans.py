@@ -172,15 +172,22 @@ def test_gopher_filter_is_narrow(spark, sf_dir):
     assert "Exchange" not in plan  # map-only gate fuses into the scan
 
 
-def test_vocab_coverage_partial_agg_before_vocab_sort(spark, sf_dir):
+def test_vocab_coverage_distributed_prefix_sum(spark, sf_dir):
     from google_sheets_etl_spark.operators.text import vocab_coverage
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     plan = explain_str(vocab_coverage(docs))
-    # corpus-sized explode must map-side combine before the shuffle;
-    # only the vocab-sized ranking may be a single partition
-    assert "partial_count" in plan or "Partial" in plan
-    assert "BroadcastExchange" in plan  # totals join is a broadcast
+    # the vocab ranking must NOT be a global single-task window: no
+    # row_number over an unpartitioned ordering anywhere in the plan —
+    # ranks come from per-partition local scans + broadcast offsets
+    assert "row_number" not in plan
+    # the only single-partition window runs over ONE row per partition
+    # (the _pid aggregate), bounded by cluster width, never data
+    assert "_psum" in plan and "_pcnt" in plan
+    assert "BroadcastExchange" in plan  # offsets + totals join broadcast
+    # the local-scan output is checkpointed: the corpus explode is cut
+    # out of the final plan and never recomputed per consumer
+    assert "ExistingRDD" in plan
 
 
 def test_mixture_weights_single_shuffle(spark, sf_dir):
