@@ -452,6 +452,135 @@ def etl_lifecycle_target(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "compaction_lifecycle",
+    """SELECT lang, COUNT(*) AS n_rows,
+              CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+       FROM documents GROUP BY lang""",
+)
+def compaction_lifecycle(spark: SparkSession, sf: str) -> DataFrame:
+    """Small-file compaction maintenance pass (plans/compaction.py),
+    driver-checkable end-to-end: fragment a partitioned copy of
+    ``documents`` (3 appends x 4-way repartition per victim lang),
+    keep one partition healthy (single file), compact, and assert the
+    three invariants in-function — victims collapse to one file,
+    the healthy partition's files are untouched byte-for-byte (names
+    AND mtimes), and table content is row-identical. The returned
+    aggregate over the COMPACTED table equals the same aggregate over
+    the source relation — which is the oracle, so the driver certifies
+    content preservation independently of the in-function asserts."""
+    import tempfile
+
+    from .plans.compaction import compact_partitions, partition_file_stats
+
+    base = t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    # metadata-scale collect: one row per language (5 in this corpus)
+    langs = sorted(r[0] for r in base.select("lang").distinct().collect())
+    healthy_lang, victim_langs = langs[0], langs[1:]
+    path = tempfile.mkdtemp(prefix="compact_")
+
+    (
+        base.filter(F.col("lang") == healthy_lang).repartition(1)
+        .write.mode("append").partitionBy("lang").parquet(path)
+    )
+    for i in range(3):  # fragment: up to 12 small files per victim lang
+        (
+            base.filter(
+                (F.col("lang") != healthy_lang) & (F.col("doc_id") % 3 == i)
+            )
+            .repartition(4)
+            .write.mode("append").partitionBy("lang").parquet(path)
+        )
+
+    import os
+
+    before = {n: (nf, tot) for n, nf, tot in partition_file_stats(path)}
+    healthy_dir = os.path.join(path, f"lang={healthy_lang}")
+    healthy_before = sorted(
+        (f, os.path.getmtime(os.path.join(healthy_dir, f)))
+        for f in os.listdir(healthy_dir) if f.endswith(".parquet")
+    )
+    assert all(before[f"lang={v}"][0] > 4 for v in victim_langs)
+
+    victims = compact_partitions(
+        spark, path, "lang", max_files=4, small_bytes=128 * 1024 * 1024
+    )
+    assert sorted(victims) == victim_langs, (victims, victim_langs)
+
+    after = {n: (nf, tot) for n, nf, tot in partition_file_stats(path)}
+    assert all(after[f"lang={v}"][0] == 1 for v in victim_langs), after
+    healthy_after = sorted(
+        (f, os.path.getmtime(os.path.join(healthy_dir, f)))
+        for f in os.listdir(healthy_dir) if f.endswith(".parquet")
+    )
+    assert healthy_after == healthy_before  # untouched, not rewritten
+
+    # partitionBy moves lang to the end of the read schema; exceptAll
+    # is positional, so re-project to the source column order
+    compacted = spark.read.parquet(path).select(*base.columns)
+    assert compacted.exceptAll(base).count() == 0
+    assert base.exceptAll(compacted).count() == 0
+    return compacted.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+@q(
+    "streaming_upsert_latest_wins",
+    """SELECT doc_id, lang,
+              CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS BIGINT)
+                AS version,
+              n_chars + CASE WHEN doc_id % 3 = 0 THEN 1000 ELSE 0 END
+                AS payload
+       FROM documents""",
+)
+def streaming_upsert_latest_wins(spark: SparkSession, sf: str) -> DataFrame:
+    """The foreachBatch MERGE sink (streaming/upsert_sink.py),
+    driver-checkable: batch 1 inserts every document at version 1;
+    batch 1 is RE-DELIVERED (the at-least-once crash case — state must
+    not change); batch 2 upserts every third key at version 2 with a
+    new payload. Final table state is exactly latest-wins per key —
+    the oracle computes that end state directly from the source
+    relation, certifying idempotent redelivery + key-level MERGE on
+    top of partition-scoped parquet rewrites."""
+    import tempfile
+
+    from .streaming.upsert_sink import upsert_batch
+
+    docs = t(spark, sf, "documents")
+    batch1 = docs.select(
+        "doc_id",
+        "lang",
+        F.lit(1).cast("long").alias("version"),
+        F.col("n_chars").alias("payload"),
+    )
+    batch2 = docs.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id",
+        "lang",
+        F.lit(2).cast("long").alias("version"),
+        (F.col("n_chars") + 1000).alias("payload"),
+    )
+    path = tempfile.mkdtemp(prefix="upsert_")
+    args = dict(
+        table_path=path, key_cols=["doc_id"],
+        partition_col="lang", seq_col="version",
+    )
+    upsert_batch(spark, batch1, **args)
+    state1 = spark.read.parquet(path)
+    n1 = state1.count()
+    upsert_batch(spark, batch1, **args)  # redelivery: must be a no-op
+    state1b = spark.read.parquet(path)
+    assert state1b.count() == n1
+    assert state1b.exceptAll(
+        batch1.select(*state1b.columns)
+    ).count() == 0
+    upsert_batch(spark, batch2, **args)
+    return spark.read.parquet(path).select(
+        "doc_id", "lang", "version", "payload"
+    )
+
+
 _STREAM_SEQ = [0]  # memory-sink names must be unique per session
 
 
@@ -2495,10 +2624,12 @@ def q21_sole_late_supplier(spark: SparkSession, sf: str) -> DataFrame:
     ⇔ "another supplier exists", n_late_supp == 1 for a late supplier
     ⇔ "no OTHER late supplier". Late-row counts ride along so the
     final numwait needs no join back to row grain. Plan: fact join →
-    partial-agg shuffle on the (orderkey, suppkey) pair → orderkey
-    rollup (already co-partitioned in practice, rows = supplier-order
-    pairs) → broadcast dim. The oracle keeps the EXISTS form, proving
-    the rewrite exact."""
+    ONE exchange on l_orderkey serving BOTH the (orderkey, suppkey)
+    aggregate (HashPartitioning(orderkey) satisfies its clustering —
+    coarser key, same co-location) AND the two orderkey windows —
+    the r2 plan paid a second fact-grain shuffle here → broadcast
+    dim. The oracle keeps the EXISTS form, proving the rewrite
+    exact."""
     li = t(spark, sf, "lineitem")
     o = t(spark, sf, "orders")
     sup = t(spark, sf, "supplier")
@@ -2515,8 +2646,10 @@ def q21_sole_late_supplier(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("late"),
         )
     )
-    per_supp = l.groupBy("l_orderkey", "l_suppkey").agg(
-        F.sum(F.when(F.col("late"), 1).otherwise(0)).alias("n_late_rows")
+    per_supp = (
+        l.repartition("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.sum(F.when(F.col("late"), 1).otherwise(0)).alias("n_late_rows"))
     )
     # per-order conditions via a window over the ALREADY-aggregated
     # supplier-order grain (not a groupBy + join back, which would

@@ -208,6 +208,14 @@ def test_q21_single_pass_no_self_join(spark, sf_dir):
     assert plan.count("lineitem.parquet") == 1
     assert "BroadcastHashJoin" in plan  # supplier dim broadcast
     assert "partial_" in plan or "Partial" in plan  # map-side combine
+    # ONE exchange serves the (orderkey, suppkey) aggregate AND both
+    # orderkey windows (coarser hash partitioning satisfies both);
+    # the only other non-broadcast exchange is the tiny s_name rollup
+    non_bcast = [
+        ln for ln in plan.splitlines()
+        if "Exchange" in ln and "Broadcast" not in ln and "Reused" not in ln
+    ]
+    assert len(non_bcast) <= 2 * 2, non_bcast  # tree + node-detail listing
 
 
 def test_funnel_shuffles_on_user_key_only(spark, sf_dir):
