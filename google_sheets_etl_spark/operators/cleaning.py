@@ -1,0 +1,108 @@
+"""Corpus-cleaning operators: PII redaction and span-level substring
+dedup (north-star extension; no reference counterpart — these are the
+C4/RefinedWeb-style passes a training-data pipeline runs between raw
+ingest and tokenization).
+
+Both are exact-arithmetic, hash-deterministic, and have ANSI-SQL twins
+(``queries.py``). Regex patterns stay inside the Java-regex ∩ RE2
+common subset (character classes, bounded repetition, ``\\b``; no
+lookaround, no backreferences) so Spark and DuckDB replace the same
+spans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Java-regex ∩ RE2 subset — see module docstring.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PHONE_RE = r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b"
+
+
+def pii_redact(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Mask emails / IPv4s / phone-shaped numbers with typed tokens and
+    count what was masked. Single narrow projection — three chained
+    ``regexp_replace`` + three ``regexp_count`` fuse into one
+    whole-stage-codegen pass over the scan; zero shuffle at any scale.
+
+    Replacement order is fixed (email → ip → phone) and each pattern's
+    count is taken on the ORIGINAL text, so counts are independent of
+    the masking sequence."""
+    txt = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(txt, EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>"
+        ),
+        PHONE_RE,
+        "<PHONE>",
+    )
+    return docs.select(
+        F.col(id_col),
+        redacted.alias("clean_text"),
+        F.regexp_count(txt, F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(txt, F.lit(IPV4_RE)).cast("long").alias("n_ips"),
+        F.regexp_count(txt, F.lit(PHONE_RE)).cast("long").alias("n_phones"),
+    )
+
+
+def span_dedup(
+    docs: DataFrame,
+    span_tokens: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact substring-level dedup at fixed token-span granularity
+    (the scalable skeleton of RefinedWeb/Lee-et-al exact-substring
+    dedup): chop each document into consecutive ``span_tokens``-token
+    spans, keep only each span text's GLOBALLY FIRST occurrence
+    (ordered by (doc_id, span_idx)), and rebuild documents from their
+    surviving spans in order. Documents made entirely of seen spans
+    vanish — the C4 semantic.
+
+    Shape: narrow chop (sequence + slice, JVM codegen) → posexplode →
+    first-occurrence window keyed on the SPAN HASH (md5 — uniform,
+    skew-free; one shuffle) → rebuild groupBy on the doc id (second
+    shuffle). Both exchanges ride uniform keys; nothing is ever
+    collected. At 100 TB the span-hash exchange carries
+    (hash, doc_id, span_idx) triples — pruned to winners before the
+    span TEXT rejoins via the doc-side rebuild."""
+    tokens = F.split(F.col(text_col), " ")
+    n_spans = F.ceil(F.size(tokens) / F.lit(span_tokens)).cast("int")
+    spans = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_spans - 1),
+                lambda i: F.concat_ws(
+                    " ", F.slice(tokens, i * span_tokens + 1, span_tokens)
+                ),
+            )
+        ).alias("span_idx", "span"),
+    )
+    first = Window.partitionBy(F.md5(F.col("span"))).orderBy(
+        F.col(id_col), F.col("span_idx")
+    )
+    kept = (
+        spans.withColumn("_rn", F.row_number().over(first))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("span_idx", "span"))
+                    ),
+                    lambda s: s["span"],
+                ),
+            ).alias("dedup_text"),
+            F.count(F.lit(1)).cast("long").alias("n_spans_kept"),
+        )
+    )

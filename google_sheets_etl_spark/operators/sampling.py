@@ -102,6 +102,41 @@ def pack_shards(
     )
 
 
+def epoch_shuffle(
+    docs: DataFrame,
+    n_readers: int = 8,
+    epochs: int = 2,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic per-epoch training shuffle: for each epoch, every
+    document gets a reader assignment and an order key such that (a)
+    each epoch is a DIFFERENT pseudo-random permutation, (b) the
+    permutation is identical across runs/retries/engines (md5, never
+    ``rand()``), and (c) readers stream their slice by sorting on the
+    order key — no global shuffle service needed at train time.
+
+    Narrow end to end: epochs explode is a per-row array of
+    ``epochs`` elements; reader + order key are projections of the
+    md5. The training loader does a per-reader local sort of its
+    slice — this operator never sorts globally."""
+    epoch = F.explode(F.sequence(F.lit(0), F.lit(epochs - 1))).alias("epoch")
+    keyed = docs.select(F.col(id_col), epoch).withColumn(
+        "order_key",
+        F.md5(
+            F.concat(
+                F.col(id_col).cast("string"), F.lit(":"),
+                F.col("epoch").cast("string"), F.lit(salt),
+            )
+        ),
+    )
+    reader = (
+        F.conv(F.substring(F.col("order_key"), 1, 15), 16, 10).cast("long")
+        % n_readers
+    )
+    return keyed.withColumn("reader", reader)
+
+
 def mixture_weights(
     docs: DataFrame,
     key_col: str = "lang",

@@ -28,7 +28,8 @@ from pyspark.sql import functions as F
 from .functions.textfns import word_shingles, words_of
 from .functions.vectors import cosine_similarity, dot
 from .operators import (
-    asof, dedup, multimodal, sampling, similarity, text as text_ops,
+    asof, cleaning, dedup, multimodal, sampling, similarity,
+    text as text_ops,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -2735,6 +2736,133 @@ def mixture_weights_uniform(spark: SparkSession, sf: str) -> DataFrame:
     """Per-language sampling rates toward a uniform training mixture
     (1-row broadcast totals; no second shuffle)."""
     return sampling.mixture_weights(t(spark, sf, "documents"))
+
+
+@q(
+    "pii_redact",
+    """WITH aug AS (
+         SELECT doc_id,
+                text || ' mail user' || doc_id ||
+                '@example.com or 10.0.0.' || (doc_id % 256) ||
+                ' tel 555-123-4567' AS text
+         FROM documents)
+       SELECT doc_id,
+              regexp_replace(regexp_replace(regexp_replace(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                '<EMAIL>', 'g'),
+                '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
+                '<IP>', 'g'),
+                '\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b', '<PHONE>', 'g')
+                AS clean_text,
+              CAST(len(regexp_extract_all(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                AS BIGINT) AS n_emails,
+              CAST(len(regexp_extract_all(text,
+                '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'))
+                AS BIGINT) AS n_ips,
+              CAST(len(regexp_extract_all(text,
+                '\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b')) AS BIGINT) AS n_phones
+       FROM aug""",
+)
+def pii_redact(spark: SparkSession, sf: str) -> DataFrame:
+    """PII masking pass (operators/cleaning.py): the synthetic corpus
+    carries no PII, so deterministic email/IP/phone strings are
+    synthesized per doc FIRST (both engines run the same augmentation)
+    — the redaction regexes then provably fire on every row. Narrow,
+    zero shuffle, whole-stage codegen."""
+    docs = t(spark, sf, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" mail user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(" tel 555-123-4567"),
+        ).alias("text"),
+    )
+    return cleaning.pii_redact(aug)
+
+
+@q(
+    "span_dedup_rebuild",
+    """WITH toks AS (
+         SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       idx AS (
+         SELECT doc_id, tk,
+                UNNEST(generate_series(0,
+                  CAST(ceil(len(tk) / 10.0) AS BIGINT) - 1)) AS i
+         FROM toks),
+       spans AS (
+         SELECT doc_id, CAST(i AS INT) AS span_idx,
+                array_to_string(tk[(i*10+1):(i*10+10)], ' ') AS span
+         FROM idx),
+       kept AS (
+         SELECT doc_id, span_idx, span,
+                ROW_NUMBER() OVER (PARTITION BY md5(span)
+                                   ORDER BY doc_id, span_idx) AS rn
+         FROM spans)
+       SELECT doc_id,
+              string_agg(span, ' ' ORDER BY span_idx) AS dedup_text,
+              COUNT(*) AS n_spans_kept
+       FROM kept WHERE rn = 1 GROUP BY doc_id""",
+)
+def span_dedup_rebuild(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact substring dedup at 10-token-span granularity with doc
+    reconstruction (operators/cleaning.py): globally-first span
+    occurrences survive, docs rebuild from surviving spans. Two
+    uniform-key shuffles (span md5, then doc id)."""
+    return cleaning.span_dedup(t(spark, sf, "documents"), span_tokens=10)
+
+
+@q(
+    "epoch_shuffle_assign",
+    """WITH e AS (SELECT * FROM (VALUES (0), (1)) AS t(epoch))
+       SELECT doc_id, epoch,
+              md5(doc_id::VARCHAR || ':' || epoch::VARCHAR) AS order_key,
+              ('0x' || substr(md5(doc_id::VARCHAR || ':' ||
+                 epoch::VARCHAR), 1, 15))::BIGINT % 8 AS reader
+       FROM documents, e""",
+)
+def epoch_shuffle_assign(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic per-epoch training shuffle (operators/
+    sampling.py): a different md5 permutation per epoch, identical
+    across runs/engines/retries; readers sort their own slice — no
+    global sort in the plan, narrow end to end."""
+    return sampling.epoch_shuffle(
+        t(spark, sf, "documents"), n_readers=8, epochs=2
+    )
+
+
+@q(
+    "incremental_exact_dedup",
+    """SELECT b.doc_id, md5(b.text) AS content_hash
+       FROM documents b
+       WHERE b.doc_id % 10 >= 8
+         AND NOT EXISTS (
+               SELECT 1 FROM documents c
+               WHERE c.doc_id % 10 < 8 AND md5(c.text) = md5(b.text))""",
+)
+def incremental_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental-ingest dedup: a new batch (docs with id%10 ∈ {8,9})
+    is admitted only where its content hash is absent from the
+    existing corpus (id%10 < 8) — the anti-join shape every
+    continuously-ingesting pipeline runs per increment, vs
+    ``dedup_exact_groups``' whole-corpus self-grouping. One shuffle on
+    the uniform hash key; the corpus side is aggregated to distinct
+    hashes BEFORE the join (hash-sized, not corpus-sized)."""
+    docs = t(spark, sf, "documents")
+    batch = docs.filter(F.col("doc_id") % 10 >= 8).select(
+        "doc_id", F.md5("text").alias("content_hash")
+    )
+    corpus_hashes = (
+        docs.filter(F.col("doc_id") % 10 < 8)
+        .select(F.md5("text").alias("content_hash"))
+        .distinct()
+    )
+    return batch.join(corpus_hashes, "content_hash", "left_anti").select(
+        "doc_id", "content_hash"
+    )
 
 
 def _reorder_for_driver_coverage() -> None:

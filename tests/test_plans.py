@@ -200,6 +200,35 @@ def test_mixture_weights_single_shuffle(spark, sf_dir):
     assert "BroadcastExchange" in plan
 
 
+def test_pii_redact_is_narrow(spark, sf_dir):
+    plan = explain_str(QUERIES["pii_redact"](spark, sf_dir))
+    assert "Exchange" not in plan  # one codegen'd projection pass
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_epoch_shuffle_is_narrow(spark, sf_dir):
+    plan = explain_str(QUERIES["epoch_shuffle_assign"](spark, sf_dir))
+    assert "Exchange" not in plan  # explode + md5 projections only
+    assert "Sort" not in plan  # readers sort their slice, not the plan
+
+
+def test_span_dedup_two_uniform_exchanges(spark, sf_dir):
+    plan = explain_str(QUERIES["span_dedup_rebuild"](spark, sf_dir))
+    # span-hash window + doc rebuild: exactly two hash exchanges, both
+    # on uniform keys (md5(span), doc_id) — never a global sort
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "Exchange rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_incremental_dedup_distinct_before_anti_join(spark, sf_dir):
+    plan = explain_str(QUERIES["incremental_exact_dedup"](spark, sf_dir))
+    # the corpus side must reduce to distinct hashes BEFORE the join:
+    # partial+final keyed HashAggregates feeding the anti join's build
+    assert "LeftAnti" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
 def test_q21_single_pass_no_self_join(spark, sf_dir):
     plan = explain_str(QUERIES["q21_sole_late_supplier"](spark, sf_dir))
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
