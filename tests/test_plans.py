@@ -155,13 +155,16 @@ def test_pack_shards_partitions_by_group(spark, sf_dir):
     assert "SinglePartition" not in plan
 
 
-def test_repetition_stats_aggregates_partially(spark, sf_dir):
+def test_repetition_stats_is_narrow(spark, sf_dir):
     from google_sheets_etl_spark.operators.text import repetition_stats
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     plan = explain_str(repetition_stats(docs))
-    # the bigram mode groupBys must map-side combine
-    assert "partial_count" in plan or "Partial" in plan
+    # strictly per-document statistic: one Arrow kernel pass, no
+    # shuffle anywhere (the bigram explode + groupBy formulation moved
+    # every bigram through an exchange for no cross-doc reason)
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
 
 
 def test_gopher_filter_is_narrow(spark, sf_dir):
