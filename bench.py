@@ -33,7 +33,9 @@ from google_sheets_etl_spark.session import get_spark  # noqa: E402
 # covered by the benchmarked documents queries.
 EXCLUDE = {"near_dup_jaccard_exact", "dedup_clusters_exact",
            "streaming_hourly_counts", "etl_lifecycle_target",
-           "compaction_lifecycle", "streaming_upsert_latest_wins"}
+           "compaction_lifecycle", "streaming_upsert_latest_wins",
+           "streaming_sessionize_stateful", "streaming_dedup_watermark",
+           "streaming_interval_join"}
 
 
 def main() -> None:

@@ -585,35 +585,24 @@ def streaming_upsert_latest_wins(spark: SparkSession, sf: str) -> DataFrame:
 _STREAM_SEQ = [0]  # memory-sink names must be unique per session
 
 
-@q(
-    "streaming_hourly_counts",
-    """SELECT date_trunc('hour', ts) AS window_start, event_type,
-              COUNT(*) AS n
-       FROM events GROUP BY 1, 2""",
-)
-def streaming_hourly_counts(spark: SparkSession, sf: str) -> DataFrame:
-    """The REAL Structured Streaming path, oracle-checked: file-source
-    readStream over the events parquet → watermark → tumbling-window
-    counts → availableNow drain into a memory sink. With the full file
-    set available, the final streaming state equals the batch
-    aggregation, so the exact batch SQL is a valid oracle — the
-    streaming engine (state store, watermarks, incremental triggers)
-    is what's under test, not different semantics."""
-    import tempfile
-
+def _events_stream_adaptive(
+    spark: SparkSession, sf: str, glob: str = "events.parquet",
+    src_dir: str | None = None,
+) -> DataFrame:
+    """The streaming twin of ``t()``'s adaptive events read: sniff the
+    ts unit from the parquet footer and pick the matching readStream
+    schema + conversion, so a data regeneration (ns ↔ µs ↔ ms) changes
+    nothing downstream. ``src_dir`` overrides the streamed directory
+    (the sniff still reads the canonical ``{sf}/events.parquet``
+    footer — copies share it)."""
     from pyspark.sql.types import (
         LongType, StringType, StructField, StructType, TimestampNTZType,
     )
-
-    from .streaming.events_stream import windowed_counts
 
     try:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
         pass
-    # the streaming twin of t()'s adaptive read: sniff the ts unit from
-    # the footer and pick the matching readStream schema + conversion,
-    # so a data regeneration (ns ↔ µs ↔ ms) changes nothing downstream
     path = f"{sf}/events.parquet"
     unit = events_ts_unit(path)
     if unit in ("us", "ms"):
@@ -645,26 +634,163 @@ def streaming_hourly_counts(spark: SparkSession, sf: str) -> DataFrame:
             else F.col("ts") * mult
         )
         conv = lambda df: df.withColumn("ts", F.timestamp_micros(col))  # noqa: E731
-    stream = conv(
+    return conv(
         spark.readStream.schema(raw_schema)
         .format("parquet")
         # file sources stream DIRECTORIES; select just the events file
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf)
+        .option("pathGlobFilter", glob)
+        .load(src_dir or sf)
     )
-    agg = windowed_counts(stream)
+
+
+def _drain_to_memory(df: DataFrame, prefix: str, mode: str) -> DataFrame:
+    """availableNow drain of a streaming frame into a uniquely-named
+    memory sink; returns the sink table (batch-queryable)."""
+    import tempfile
+
     _STREAM_SEQ[0] += 1
-    name = f"stream_hourly_{_STREAM_SEQ[0]}"
-    q_handle = (
-        agg.writeStream.outputMode("complete")
+    name = f"{prefix}_{_STREAM_SEQ[0]}"
+    handle = (
+        df.writeStream.outputMode(mode)
         .trigger(availableNow=True)
         .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_"))
         .format("memory")
         .queryName(name)
         .start()
     )
-    q_handle.awaitTermination()
-    return spark.table(name)
+    handle.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+@q(
+    "streaming_hourly_counts",
+    """SELECT date_trunc('hour', ts) AS window_start, event_type,
+              COUNT(*) AS n
+       FROM events GROUP BY 1, 2""",
+)
+def streaming_hourly_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """The REAL Structured Streaming path, oracle-checked: file-source
+    readStream over the events parquet → watermark → tumbling-window
+    counts → availableNow drain into a memory sink. With the full file
+    set available, the final streaming state equals the batch
+    aggregation, so the exact batch SQL is a valid oracle — the
+    streaming engine (state store, watermarks, incremental triggers)
+    is what's under test, not different semantics."""
+    from .streaming.events_stream import windowed_counts
+
+    stream = _events_stream_adaptive(spark, sf)
+    return _drain_to_memory(windowed_counts(stream), "stream_hourly", "complete")
+
+
+@q(
+    "streaming_sessionize_stateful",
+    """WITH marked AS (
+         SELECT user_id,
+                CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                     OR LAG(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+       SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions
+       FROM marked GROUP BY user_id""",
+)
+def streaming_sessionize_stateful(spark: SparkSession, sf: str) -> DataFrame:
+    """CUSTOM STATEFUL streaming operator, driver-certified:
+    ``applyInPandasWithState`` gap-sessionization (streaming/
+    events_stream.py — per-user (last_us, n_sessions) state, the
+    smallest state that computes gap sessions) drained availableNow.
+    Update mode re-emits a user on every batch that touches them, so
+    the batch-side ``max`` per user reads the FINAL state; with the
+    whole file set available that equals the batch window
+    sessionization — the same oracle as ``events_sessionize``, now
+    certifying the state-store path."""
+    from .streaming.events_stream import sessionize_stream
+
+    stream = _events_stream_adaptive(spark, sf)
+    sink = _drain_to_memory(
+        sessionize_stream(stream, gap_s=1800), "stream_sess", "update"
+    )
+    return sink.groupBy("user_id").agg(
+        F.max("n_sessions").alias("n_sessions")
+    )
+
+
+@q(
+    "streaming_dedup_watermark",
+    """SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type""",
+)
+def streaming_dedup_watermark(spark: SparkSession, sf: str) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` end-to-end, driver-certified:
+    the source directory holds TWO copies of the events file (every
+    record delivered twice — the at-least-once ingest case), the
+    stream dedups on event_id within the watermark horizon, and the
+    drained sink must hold each event exactly once — the oracle is the
+    plain per-type count over the single-copy relation. State is one
+    entry per key inside the horizon, never stream-length
+    (streaming/events_stream.py docstring)."""
+    import shutil
+    import tempfile
+
+    from .streaming.events_stream import dedup_stream
+
+    src = tempfile.mkdtemp(prefix="dup_src_")
+    for copy in ("a", "b"):
+        shutil.copy(
+            f"{sf}/events.parquet", f"{src}/events_{copy}.parquet"
+        )
+    stream = _events_stream_adaptive(
+        spark, sf, glob="events_*.parquet", src_dir=src
+    )
+    deduped = dedup_stream(stream, key_cols=["event_id"])
+    sink = _drain_to_memory(deduped, "stream_dedup", "append")
+    return sink.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+@q(
+    "streaming_interval_join",
+    """SELECT r.event_id AS err_event_id, COUNT(*) AS n_clicks
+       FROM events l JOIN events r
+         ON l.user_id = r.user_id
+        AND l.event_type = 'click' AND r.event_type = 'error'
+        AND l.ts >= r.ts AND l.ts <= r.ts + INTERVAL 1 HOUR
+       GROUP BY r.event_id""",
+)
+def streaming_interval_join(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAM-STREAM interval join, driver-certified: clicks and
+    errors are two watermarked streams; the join predicate bounds the
+    event-time distance (click within 1 h after the error), which lets
+    the engine expire join state past ``watermark + interval`` — the
+    only way a stream-stream join is viable on unbounded input. The
+    drained pair stream is then batch-aggregated; the oracle is the
+    SAME SQL as the batch ``range_join_clicks_after_error``, so the
+    streaming join is certified against the batch range-join
+    semantics."""
+    base = _events_stream_adaptive(spark, sf)
+    clicks = (
+        base.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    errors = (
+        base.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("err_event_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", "2 hours")
+    )
+    pairs = clicks.join(
+        errors,
+        F.expr(
+            "c_user = e_user AND c_ts >= e_ts "
+            "AND c_ts <= e_ts + INTERVAL 1 HOUR"
+        ),
+    )
+    sink = _drain_to_memory(pairs, "stream_ij", "append")
+    return sink.groupBy("err_event_id").agg(
+        F.count(F.lit(1)).alias("n_clicks")
+    )
 
 
 _FIXTURES_DIR = __import__("os").path.join(
