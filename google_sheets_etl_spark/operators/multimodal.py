@@ -73,8 +73,10 @@ class StubCodec(MediaCodec):
 
     - ``image_features``: normalized byte-value histogram — a real
       (if crude) content feature that is stable across partitionings.
-    - ``resize``: payload passthrough + metadata rewrite (marked by a
-      deterministic header) — REAL resizing requires PIL; the Spark
+    - ``resize``: payload passthrough + metadata rewrite, marked by a
+      deterministic 8-char ASCII header (the sha256 hex prefix of the
+      input — ASCII so the marked payload stays SQL-expressible for
+      the oracle twin) — REAL resizing requires PIL; the Spark
       plumbing (batch shape, schema evolution) is identical.
     """
 
@@ -89,7 +91,7 @@ class StubCodec(MediaCodec):
         return [c / total for c in counts]
 
     def resize(self, payload: bytes, width: int, height: int) -> bytes:
-        return hashlib.sha256(payload).digest()[:4] + payload
+        return hashlib.sha256(payload).hexdigest()[:8].encode("ascii") + payload
 
 
 def default_codec() -> MediaCodec:

@@ -2265,6 +2265,100 @@ def multimodal_payload_stats(spark: SparkSession, sf: str) -> DataFrame:
     return multimodal.payload_stats(media)
 
 
+def _docs_as_media(d: DataFrame, kind: str) -> DataFrame:
+    """documents → MEDIA_SCHEMA rows: text bytes as the opaque payload,
+    n_chars standing in for duration_ms. The corpus is pure ASCII
+    (verified: octet_length == length), so every payload byte equals
+    the character codepoint — what makes the decode oracles exact."""
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit(kind).alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.col("n_chars").cast("int").alias("duration_ms"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit("raw").alias("format"),
+        ).alias("meta"),
+    )
+
+
+@q(
+    "multimodal_image_features",
+    """WITH bins AS (
+         SELECT doc_id AS media_id, len(text) AS n,
+                UNNEST(generate_series(0, 15)) AS bin
+         FROM documents),
+       cnt AS (
+         SELECT doc_id AS media_id, ascii(c) % 16 AS bin, COUNT(*) AS k
+         FROM (SELECT doc_id, UNNEST(string_split(text, '')) AS c
+               FROM documents)
+         GROUP BY 1, 2)
+       SELECT bins.media_id, CAST(bins.bin AS INT) AS bin,
+              COALESCE(k, 0) / CAST(n AS DOUBLE) AS freq
+       FROM bins LEFT JOIN cnt
+         ON bins.media_id = cnt.media_id AND bins.bin = cnt.bin""",
+)
+def multimodal_image_features(spark: SparkSession, sf: str) -> DataFrame:
+    """The DECODE step driven end-to-end through the pluggable codec
+    (operators/multimodal.py): per-image byte-histogram features from
+    the Arrow ``mapInPandas`` kernel, exploded to (media_id, bin,
+    freq) rows. The oracle recomputes the histogram character-wise
+    (ASCII payload ⇒ byte == codepoint) — certifying the batch shape,
+    the codec boundary, and the exact normalization arithmetic.
+    Narrow: bytes cross to Python once per Arrow batch, no shuffle."""
+    media = _docs_as_media(t(spark, sf, "documents"), "image")
+    feats = multimodal.image_features(media, n_bins=16)
+    return feats.select(
+        "media_id",
+        F.posexplode("feature").alias("bin", "freq"),
+    )
+
+
+@q(
+    "multimodal_frame_sample",
+    """WITH v AS (
+         SELECT doc_id AS media_id,
+                GREATEST(CAST(floor(n_chars / 1000.0) AS INT), 1) AS nf
+         FROM documents),
+       idx AS (SELECT media_id, UNNEST(generate_series(0, nf - 1)) AS i
+               FROM v)
+       SELECT media_id, CAST(i AS BIGINT) AS frame_idx,
+              CAST(i * 1000 AS BIGINT) AS offset_ms
+       FROM idx""",
+)
+def multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Video frame-sampling PLUMBING (operators/multimodal.py): frame
+    index/offset schedule derived from typed metadata only — plan-side
+    sequence + explode, no decode, no Python, fully narrow. A real
+    decoder consumes (media_id, offset_ms) against the payload; the
+    schedule is the distributable part and is what's certified."""
+    media = _docs_as_media(t(spark, sf, "documents"), "video")
+    return multimodal.sample_frames(media, every_ms=1000)
+
+
+@q(
+    "multimodal_resize_stats",
+    """SELECT doc_id AS media_id, 'image' AS kind,
+              octet_length(encode(text)) + 8 AS n_bytes,
+              sha256(substr(sha256(text), 1, 8) || text) AS payload_sha,
+              'raw' AS format
+       FROM documents""",
+)
+def multimodal_resize_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """The TRANSFORM step (resize) driven end-to-end: payloads pass
+    the stub codec's deterministic resize (ASCII sha-prefix marker +
+    passthrough), then the typed-metadata pass hashes the REWRITTEN
+    payloads. The oracle rebuilds the marked payload in SQL and
+    re-hashes it — certifying that the kernel rewrote every byte
+    stream exactly as specified, batch-shape intact. Narrow end to
+    end; meta rewrite checked via the unchanged 'raw' format."""
+    media = _docs_as_media(t(spark, sf, "documents"), "image")
+    resized = multimodal.resize_images(media, width=64, height=64)
+    return multimodal.payload_stats(resized)
+
+
 @q(
     "embedding_centroids",
     """SELECT label, x.i - 1 AS pos, ROUND(AVG(x.e), 6) AS centroid_val
