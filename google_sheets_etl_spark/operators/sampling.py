@@ -102,6 +102,33 @@ def pack_shards(
     )
 
 
+def apply_mixture(
+    docs: DataFrame,
+    rates: DataFrame,
+    key_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Materialize a planned mixture (:func:`mixture_weights` output —
+    (key, sample_rate) rows) into an actual sampled corpus: broadcast
+    the tiny rates dim onto the corpus and gate each row by its md5
+    bucket — row kept iff ``bucket ∈ [0, 10⁶) < round(rate·10⁶)``.
+
+    Deterministic (same salt → same sample under retries/engine moves),
+    unbiased per key, and NARROW on the corpus side: the only join is a
+    broadcast of |keys| rows, the gate fuses into the scan. The rate is
+    applied through an integer threshold so the accept decision is
+    exact and engine-portable (no float-comparison drift)."""
+    b = _hash_bucket(F.col(id_col), 1_000_000, salt)
+    return (
+        docs.join(
+            F.broadcast(rates.select(key_col, "sample_rate")), key_col
+        )
+        .filter(b < F.round(F.col("sample_rate") * 1_000_000, 0))
+        .drop("sample_rate")
+    )
+
+
 def epoch_shuffle(
     docs: DataFrame,
     n_readers: int = 8,

@@ -2959,6 +2959,32 @@ def mixture_weights_uniform(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "mixture_sample_applied",
+    """WITH pk AS (SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS domain_size
+                   FROM documents GROUP BY lang),
+            tot AS (SELECT CAST(SUM(domain_size) AS DOUBLE) AS total,
+                           COUNT(*) AS k FROM pk),
+            r AS (SELECT lang,
+                         ROUND(LEAST(1.0, total / (k * domain_size)), 6)
+                           AS sample_rate
+                  FROM pk, tot)
+       SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+       WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || 'mix'), 1, 15))::BIGINT
+               % 1000000 < ROUND(sample_rate * 1000000, 0)""",
+)
+def mixture_sample_applied(spark: SparkSession, sf: str) -> DataFrame:
+    """The mixture PLAN (``mixture_weights_uniform``) actually APPLIED:
+    per-language rates broadcast onto the corpus, each row gated by an
+    integer md5-bucket threshold — the deterministic sampled corpus a
+    training run would read. Corpus side stays narrow (broadcast join
+    + scan-fused filter); the oracle recomputes plan + gate end to
+    end."""
+    docs = t(spark, sf, "documents")
+    rates = sampling.mixture_weights(docs)
+    return sampling.apply_mixture(docs, rates).select("doc_id", "lang")
+
+
+@q(
     "pii_redact",
     """WITH aug AS (
          SELECT doc_id,

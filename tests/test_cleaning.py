@@ -1,0 +1,96 @@
+"""Behavioral tests for operators/cleaning.py and sampling.epoch_shuffle
+— the invariants the oracle queries can't see (idempotence, global
+uniqueness, permutation stability across partitionings)."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from google_sheets_etl_spark.operators import cleaning, sampling
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_pii_redact_masks_everything_and_is_idempotent(spark):
+    rows = [
+        (1, "write to a.b+tag@ex-ample.org or root@h.io now"),
+        (2, "server 192.168.0.1 and 8.8.8.8 up"),
+        (3, "call 555-123-4567 thanks"),
+        (4, "clean text only"),
+    ]
+    out = {r["doc_id"]: r for r in cleaning.pii_redact(_docs(spark, rows)).collect()}
+    assert (out[1]["n_emails"], out[1]["n_ips"], out[1]["n_phones"]) == (2, 0, 0)
+    assert out[1]["clean_text"] == "write to <EMAIL> or <EMAIL> now"
+    assert out[2]["n_ips"] == 2 and "<IP>" in out[2]["clean_text"]
+    assert out[3]["clean_text"] == "call <PHONE> thanks"
+    assert out[4]["clean_text"] == "clean text only"
+    for r in out.values():
+        for pat in (cleaning.EMAIL_RE, cleaning.IPV4_RE, cleaning.PHONE_RE):
+            assert not re.search(pat, r["clean_text"])
+    # redacting already-clean text is a no-op (idempotence)
+    again = {
+        r["doc_id"]: r["clean_text"]
+        for r in cleaning.pii_redact(
+            _docs(spark, [(k, v["clean_text"]) for k, v in out.items()])
+        ).collect()
+    }
+    assert again == {k: v["clean_text"] for k, v in out.items()}
+
+
+def test_span_dedup_first_occurrence_wins_globally(spark):
+    # spans are 2 tokens wide; doc 3 is entirely made of seen spans
+    rows = [
+        (1, "a b c d"),        # spans: "a b", "c d"
+        (2, "a b x y"),        # "a b" duplicates doc 1 -> only "x y" kept
+        (3, "c d a b"),        # both spans seen -> doc vanishes
+        (4, "c e a f"),        # novel spans survive intact
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in cleaning.span_dedup(_docs(spark, rows), span_tokens=2).collect()
+    }
+    assert out[1]["dedup_text"] == "a b c d"
+    assert out[2]["dedup_text"] == "x y"
+    assert 3 not in out
+    assert out[4]["dedup_text"] == "c e a f"
+    # global uniqueness: no span text appears twice in the output corpus
+    all_spans = [
+        s
+        for r in out.values()
+        for s in [
+            " ".join(p)
+            for p in zip(*2 * [iter(r["dedup_text"].split(" "))])
+        ]
+    ]
+    assert len(all_spans) == len(set(all_spans))
+
+
+def test_span_dedup_result_is_partitioning_invariant(spark):
+    rows = [(i, f"tok{i % 3} tok{(i + 1) % 3} z{i}") for i in range(20)]
+    base = cleaning.span_dedup(_docs(spark, rows), span_tokens=2)
+    shuffled = cleaning.span_dedup(
+        _docs(spark, rows).repartition(7), span_tokens=2
+    )
+    assert sorted(map(tuple, base.collect())) == sorted(
+        map(tuple, shuffled.collect())
+    )
+
+
+def test_epoch_shuffle_stable_and_epoch_distinct(spark):
+    docs = _docs(spark, [(i, "x") for i in range(50)])
+    a = sampling.epoch_shuffle(docs, n_readers=4, epochs=2)
+    b = sampling.epoch_shuffle(docs.repartition(5), n_readers=4, epochs=2)
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb  # partitioning-invariant determinism
+    assert len(ra) == 100  # every (doc, epoch)
+    assert all(0 <= r[3] < 4 for r in ra)  # reader in range
+    # the two epochs order documents differently
+    order0 = [r[0] for r in sorted((r for r in ra if r[1] == 0), key=lambda r: r[2])]
+    order1 = [r[0] for r in sorted((r for r in ra if r[1] == 1), key=lambda r: r[2])]
+    assert sorted(order0) == sorted(order1)
+    assert order0 != order1
