@@ -63,25 +63,34 @@ def span_dedup(
     surviving spans in order. Documents made entirely of seen spans
     vanish — the C4 semantic.
 
-    Shape: narrow chop (sequence + slice, JVM codegen) → posexplode →
-    first-occurrence window keyed on the SPAN HASH (md5 — uniform,
-    skew-free; one shuffle) → rebuild groupBy on the doc id (second
-    shuffle). Both exchanges ride uniform keys; nothing is ever
-    collected. At 100 TB the span-hash exchange carries
+    Shape: narrow chop (Arrow ``mapInPandas`` — one split + join pass
+    per doc; the sequence/transform/slice higher-order-function chain
+    is interpreted per span and measured 6× slower, the winnowing
+    lesson again) → first-occurrence window keyed on the SPAN HASH
+    (md5 — uniform, skew-free; one shuffle) → rebuild groupBy on the
+    doc id (second shuffle). Both exchanges ride uniform keys; nothing
+    is ever collected. At 100 TB the span-hash exchange carries
     (hash, doc_id, span_idx) triples — pruned to winners before the
     span TEXT rejoins via the doc-side rebuild."""
-    tokens = F.split(F.col(text_col), " ")
-    n_spans = F.ceil(F.size(tokens) / F.lit(span_tokens)).cast("int")
-    spans = docs.select(
-        F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), n_spans - 1),
-                lambda i: F.concat_ws(
-                    " ", F.slice(tokens, i * span_tokens + 1, span_tokens)
-                ),
+    import pandas as pd
+
+    def chop(batches):
+        for pdf in batches:
+            ids: list = []
+            idxs: list = []
+            spans_out: list = []
+            for i, txt in zip(pdf[id_col], pdf[text_col]):
+                t = txt.split(" ")
+                for k in range(0, len(t), span_tokens):
+                    ids.append(i)
+                    idxs.append(k // span_tokens)
+                    spans_out.append(" ".join(t[k:k + span_tokens]))
+            yield pd.DataFrame(
+                {id_col: ids, "span_idx": idxs, "span": spans_out}
             )
-        ).alias("span_idx", "span"),
+
+    spans = docs.select(id_col, text_col).mapInPandas(
+        chop, f"{id_col} long, span_idx int, span string"
     )
     first = Window.partitionBy(F.md5(F.col("span"))).orderBy(
         F.col(id_col), F.col("span_idx")

@@ -2985,6 +2985,47 @@ def mixture_sample_applied(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "doc_commonness_score",
+    """WITH freq AS (
+         SELECT token, COUNT(*) AS f
+         FROM (SELECT unnest(string_split(text, ' ')) AS token
+               FROM documents)
+         GROUP BY token),
+       tok AS (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS token
+         FROM documents)
+       SELECT tok.doc_id,
+              CAST(SUM(f) AS BIGINT) AS sum_token_freq,
+              COUNT(*) AS n_tokens
+       FROM tok JOIN freq USING (token)
+       GROUP BY tok.doc_id""",
+)
+def doc_commonness_score(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style frequency filtering, integer-exact: per document,
+    the sum of corpus-wide frequencies of its tokens (plus the token
+    count, so consumers derive the mean) — the language-model
+    "perplexity proxy" rank used to keep fluent text, computed without
+    floats so the oracle hash-matches bit-for-bit. Plan: one corpus
+    explode → token-key partial-agg shuffle for the frequency table,
+    one shuffle joining tokens back to it (uniform key), one doc-key
+    rollup. The frequency table is vocab-sized — broadcastable when
+    small; Catalyst/AQE picks the join strategy from actual sizes."""
+    docs = t(spark, sf, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(words_of(F.col("text"))).alias("token")
+    )
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("f"))
+    return (
+        tok.join(freq, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("f").alias("sum_token_freq"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
+
+
+@q(
     "pii_redact",
     """WITH aug AS (
          SELECT doc_id,
