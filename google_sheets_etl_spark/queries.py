@@ -2985,6 +2985,61 @@ def mixture_sample_applied(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "bucketed_join_revenue",
+    """SELECT o_orderpriority, COUNT(*) AS n_items,
+              CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       GROUP BY o_orderpriority""",
+)
+def bucketed_join_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """The pay-the-shuffle-once strategy, driver-certified: both fact
+    tables are written ``bucketBy(8, orderkey)`` + in-bucket sorted,
+    then joined — the ONLY exchange left in the whole query is the
+    final tiny priority rollup; the fact⋈fact join itself is
+    exchange-free (asserted in-function against the bucket layout with
+    broadcast disabled, so the layout — not table size — is what
+    eliminates it). At 100 TB this converts every repeated orderkey
+    join from a full shuffle into a local sort-merge per bucket."""
+    import os
+    import shutil
+
+    _STREAM_SEQ[0] += 1
+    bo_name, bl_name = (
+        f"b_orders_{_STREAM_SEQ[0]}", f"b_lineitem_{_STREAM_SEQ[0]}"
+    )
+    # a table name is per-catalog but its LOCATION is per-warehouse-dir
+    # on disk: an earlier process' leftover dir blocks saveAsTable even
+    # when the current catalog has no such table — drop + rm both
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    for name in (bo_name, bl_name):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
+    o = t(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
+        "overwrite"
+    ).saveAsTable(bo_name)
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
+        "overwrite"
+    ).saveAsTable(bl_name)
+    bo, bl = spark.table(bo_name), spark.table(bl_name)
+    joined = bo.join(bl, bo.o_orderkey == bl.l_orderkey)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, "bucketed join still shuffles"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("l_quantity").cast("long").alias("sum_qty"),
+    )
+
+
+@q(
     "doc_commonness_score",
     """WITH freq AS (
          SELECT token, COUNT(*) AS f

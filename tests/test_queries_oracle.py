@@ -74,3 +74,39 @@ def test_rows_only_queries_run(spark, sf_dir, name):
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() >= 0
+
+
+def test_driver_coverage_ordering_invariants():
+    """The artifact-driven registration reorder must (a) lose/dup
+    nothing, (b) float never-checked queries into the driver's ~50
+    budget, and (c) put red-at-last-check queries before stable
+    greens."""
+    import glob
+    import json
+    import os
+
+    names = list(entry_mod.queries())
+    assert len(names) == len(set(names))
+    assert set(entry_mod.oracle_sql()) <= set(names)
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    checked: set[str] = set()
+    last_red: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        with open(path) as fh:
+            for k, row in json.load(fh).items():
+                checked.add(k)
+                ok = (
+                    row.get("err") is None
+                    and row.get("rows_match") is not False
+                    and row.get("hash_match") is not False
+                )
+                (last_red.add if not ok else last_red.discard)(k)
+    if not checked:
+        return  # fresh clone without artifacts: definition order stands
+    budget = names[:50]
+    for n in names:
+        if n not in checked:  # new this round → must be in the budget
+            assert n in budget, f"never-checked {n} outside driver budget"
+    for n in last_red & set(names):
+        assert n in budget, f"red-at-last-check {n} outside driver budget"
