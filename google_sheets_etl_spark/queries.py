@@ -587,7 +587,7 @@ _STREAM_SEQ = [0]  # memory-sink names must be unique per session
 
 def _events_stream_adaptive(
     spark: SparkSession, sf: str, glob: str = "events.parquet",
-    src_dir: str | None = None,
+    src_dir: str | None = None, max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """The streaming twin of ``t()``'s adaptive events read: sniff the
     ts unit from the parquet footer and pick the matching readStream
@@ -634,13 +634,17 @@ def _events_stream_adaptive(
             else F.col("ts") * mult
         )
         conv = lambda df: df.withColumn("ts", F.timestamp_micros(col))  # noqa: E731
-    return conv(
+    reader = (
         spark.readStream.schema(raw_schema)
         .format("parquet")
         # file sources stream DIRECTORIES; select just the events file
         .option("pathGlobFilter", glob)
-        .load(src_dir or sf)
     )
+    if max_files_per_trigger is not None:
+        # availableNow honors source read limits: N files → ceil(N/k)
+        # micro-batches, exercising CROSS-batch state, not one big batch
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return conv(reader.load(src_dir or sf))
 
 
 def _drain_to_memory(df: DataFrame, prefix: str, mode: str) -> DataFrame:
@@ -723,9 +727,12 @@ def streaming_dedup_watermark(spark: SparkSession, sf: str) -> DataFrame:
     record delivered twice — the at-least-once ingest case), the
     stream dedups on event_id within the watermark horizon, and the
     drained sink must hold each event exactly once — the oracle is the
-    plain per-type count over the single-copy relation. State is one
-    entry per key inside the horizon, never stream-length
-    (streaming/events_stream.py docstring)."""
+    plain per-type count over the single-copy relation.
+    ``maxFilesPerTrigger=1`` forces the two copies through SEPARATE
+    micro-batches, so the duplicate suppression crosses a state-store
+    checkpoint boundary (order-insensitive: whichever copy lands first
+    is kept, identical rows either way). State is one entry per key
+    inside the horizon, never stream-length."""
     import shutil
     import tempfile
 
@@ -737,7 +744,8 @@ def streaming_dedup_watermark(spark: SparkSession, sf: str) -> DataFrame:
             f"{sf}/events.parquet", f"{src}/events_{copy}.parquet"
         )
     stream = _events_stream_adaptive(
-        spark, sf, glob="events_*.parquet", src_dir=src
+        spark, sf, glob="events_*.parquet", src_dir=src,
+        max_files_per_trigger=1,
     )
     deduped = dedup_stream(stream, key_cols=["event_id"])
     sink = _drain_to_memory(deduped, "stream_dedup", "append")
