@@ -603,6 +603,15 @@ def _events_stream_adaptive(
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
         pass
+    try:
+        # stateful streaming ops build one state store per shuffle
+        # partition per micro-batch: a vanilla session's 200 partitions
+        # cost ~170 empty state stores per batch at gate scale (same
+        # right-sizing t() applies; fresh checkpoints pin it per query)
+        if int(spark.conf.get("spark.sql.shuffle.partitions")) > 64:
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+    except Exception:
+        pass
     path = f"{sf}/events.parquet"
     unit = events_ts_unit(path)
     if unit in ("us", "ms"):
