@@ -3002,6 +3002,66 @@ def mixture_sample_applied(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "curation_pipeline_e2e",
+    """WITH f AS (
+         SELECT doc_id,
+                len(string_split(text, ' ')) AS nt,
+                len(list_distinct(string_split(text, ' '))) AS nu,
+                list_sum(list_transform(string_split(text, ' '),
+                                        w -> length(w))) AS sl,
+                len(list_filter(string_split(text, ' '),
+                    w -> list_contains(['the','a','of','and','to','in','is','that','it','for'], w)))
+                  AS sh
+         FROM documents),
+       gated AS (
+         SELECT d.* FROM documents d JOIN f USING (doc_id)
+         WHERE (nt >= 20 AND nt <= 100000)
+           AND (sl >= 3 * nt AND sl <= 10 * nt)
+           AND (sh >= 2) AND (nu * 2 >= nt)),
+       deduped AS (
+         SELECT * FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY sha256(text)
+                                        ORDER BY doc_id) AS rn
+           FROM gated) WHERE rn = 1),
+       train AS (
+         SELECT doc_id, lang, 'train' AS split FROM deduped
+         WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                 % 100 < 98)
+       SELECT doc_id, lang, split FROM (
+         SELECT doc_id, lang, split,
+                ROW_NUMBER() OVER (PARTITION BY lang
+                                   ORDER BY md5(doc_id::VARCHAR), doc_id)
+                  AS rk
+         FROM train) WHERE rk <= 50""",
+)
+def curation_pipeline_e2e(spark: SparkSession, sf: str) -> DataFrame:
+    """The WHOLE curation pipeline composed end-to-end — the "a user
+    runs their training-data prep on this engine" certification:
+    Gopher quality gate (narrow, scan-fused) → exact content dedup
+    keep-lowest-id (one uniform sha256 shuffle) → deterministic md5
+    train split (narrow) → per-language cap (one key shuffle). Four
+    operators, three shuffles total, every stage reusing the library
+    operator the standalone queries certify individually; the oracle
+    is the same composition as one SQL CTE chain."""
+    docs = t(spark, sf, "documents")
+    gate = (
+        text_ops.gopher_quality_filter(docs)
+        .filter(F.col("keep"))
+        .select("doc_id")
+    )
+    kept = docs.join(gate, "doc_id", "left_semi")
+    first = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id")
+    deduped = (
+        kept.withColumn("_rn", F.row_number().over(first))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    train = sampling.hash_split(deduped).filter(F.col("split") == "train")
+    capped = sampling.capped_per_key(train, "lang", 50)
+    return capped.select("doc_id", "lang", "split")
+
+
+@q(
     "bucketed_join_revenue",
     """SELECT o_orderpriority, COUNT(*) AS n_items,
               CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
