@@ -3002,6 +3002,47 @@ def mixture_sample_applied(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "table_profile_documents",
+    """SELECT 'doc_id' AS column,
+              CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_nulls,
+              CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+              CAST(MIN(doc_id) AS VARCHAR) AS min_value,
+              CAST(MAX(doc_id) AS VARCHAR) AS max_value
+       FROM documents
+       UNION ALL
+       SELECT 'lang',
+              CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+              CAST(COUNT(DISTINCT lang) AS BIGINT),
+              MIN(lang), MAX(lang)
+       FROM documents
+       UNION ALL
+       SELECT 'source',
+              CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+              CAST(COUNT(DISTINCT source) AS BIGINT),
+              MIN(source), MAX(source)
+       FROM documents
+       UNION ALL
+       SELECT 'n_chars',
+              CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+              CAST(COUNT(DISTINCT n_chars) AS BIGINT),
+              CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR)
+       FROM documents""",
+)
+def table_profile_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """The engine's ANALYZE pass (plans/stats.py): per-column null /
+    exact-distinct / min / max in ONE single-pass global aggregate,
+    long-form output. One scan pruned to the profiled columns, one
+    exchange of per-task partials — the statistics feed a CBO the
+    same way ANALYZE TABLE does."""
+    from .plans.stats import table_profile
+
+    return table_profile(
+        t(spark, sf, "documents"), ["doc_id", "lang", "source", "n_chars"]
+    )
+
+
+@q(
     "curation_pipeline_e2e",
     """WITH f AS (
          SELECT doc_id,
