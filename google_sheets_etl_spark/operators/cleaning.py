@@ -80,6 +80,10 @@ def span_dedup(
             idxs: list = []
             spans_out: list = []
             for i, txt in zip(pdf[id_col], pdf[text_col]):
+                if txt is None:
+                    # NULL text contributes no spans (the doc vanishes,
+                    # matching split(NULL) → NULL → posexplode drop)
+                    continue
                 t = txt.split(" ")
                 for k in range(0, len(t), span_tokens):
                     ids.append(i)

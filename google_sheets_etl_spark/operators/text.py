@@ -196,6 +196,15 @@ def repetition_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc
         for pdf in batches:
             ids, n_tok, n_uni, top_c, n_gr = [], [], [], [], []
             for i, txt in zip(pdf[id_col], pdf[text_col]):
+                if txt is None:
+                    # NULL in → NULL out, matching the Catalyst
+                    # expressions this kernel replaced
+                    ids.append(i)
+                    n_tok.append(None)
+                    n_uni.append(None)
+                    top_c.append(None)
+                    n_gr.append(None)
+                    continue
                 t = txt.split(" ")
                 ids.append(i)
                 n_tok.append(len(t))

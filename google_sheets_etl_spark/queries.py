@@ -118,7 +118,12 @@ def events_ts_unit(path: str) -> str:
                 else "ms" if lo > 10**11
                 else "s"
             )
-    except (ImportError, OSError, KeyError, StopIteration, ValueError) as exc:
+    except (
+        ImportError, OSError, KeyError, StopIteration, ValueError,
+        # pyarrow's footer-parse failures outside the ValueError family:
+        # ArrowNotImplementedError / ArrowMemoryError subclass these
+        NotImplementedError, MemoryError,
+    ) as exc:
         import warnings
 
         warnings.warn(
@@ -128,6 +133,26 @@ def events_ts_unit(path: str) -> str:
         return "ns"  # deliberately uncached: fallback, not a verdict
     _TS_UNIT_CACHE[key] = unit
     return unit
+
+
+def _ts_to_micros_col(unit: str):
+    """Integer-exact µs-epoch column for a raw int64 ``ts`` of the
+    given sniffed unit — THE single conversion shared by the batch
+    read (``t``) and the stream reader, so the two can never drift.
+
+    ns → µs uses ``div`` (long integer division): the ``/`` operator is
+    DOUBLE division, and a double cannot represent ~1.5% of µs-scale
+    ns epochs exactly — the quotient lands 1 µs low after the cast,
+    silently diverging from DuckDB's exact integer arithmetic."""
+    mult = {
+        "ns": None, "i64:ns": None,  # integer-divide by 1000
+        "i64:us": 1, "i64:ms": 1000, "i64:s": 1_000_000, "s": 1_000_000,
+    }[unit]
+    col = (
+        F.expr("ts div 1000") if mult is None
+        else F.col("ts") * mult
+    )
+    return F.timestamp_micros(col)
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -164,18 +189,10 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 df = df.withColumn("ts", F.col("ts").cast("timestamp"))
             return df
         df = spark.read.schema(_EVENTS_RAW_SCHEMA).parquet(path)
-        # integer epoch → µs timestamp: lossless for this corpus
-        # (values are µs-precision) and identical to duckdb's
+        # integer epoch → µs timestamp, exact by construction
+        # (_ts_to_micros_col) and identical to duckdb's
         # epoch_us/date_trunc on the same file.
-        mult = {
-            "ns": None, "i64:ns": None,       # divide by 1000
-            "i64:us": 1, "i64:ms": 1000, "i64:s": 1_000_000, "s": 1_000_000,
-        }[unit]
-        col = (
-            (F.col("ts") / 1000).cast("long") if mult is None
-            else F.col("ts") * mult
-        )
-        return df.withColumn("ts", F.timestamp_micros(col))
+        return df.withColumn("ts", _ts_to_micros_col(unit))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -634,15 +651,7 @@ def _events_stream_adaptive(
             StructField("user_id", LongType()),
             StructField("event_type", StringType()),
         ])
-        mult = {
-            "ns": None, "i64:ns": None,  # divide by 1000
-            "i64:us": 1, "i64:ms": 1000, "i64:s": 1_000_000, "s": 1_000_000,
-        }[unit]
-        col = (
-            (F.col("ts") / 1000).cast("long") if mult is None
-            else F.col("ts") * mult
-        )
-        conv = lambda df: df.withColumn("ts", F.timestamp_micros(col))  # noqa: E731
+        conv = lambda df: df.withColumn("ts", _ts_to_micros_col(unit))  # noqa: E731
     reader = (
         spark.readStream.schema(raw_schema)
         .format("parquet")
@@ -748,10 +757,16 @@ def streaming_dedup_watermark(spark: SparkSession, sf: str) -> DataFrame:
     from .streaming.events_stream import dedup_stream
 
     src = tempfile.mkdtemp(prefix="dup_src_")
+    import os as _os
+
     for copy in ("a", "b"):
-        shutil.copy(
-            f"{sf}/events.parquet", f"{src}/events_{copy}.parquet"
-        )
+        source, dest = f"{sf}/events.parquet", f"{src}/events_{copy}.parquet"
+        # events.parquet may be a single file OR a directory of parts
+        # (both layouts are first-class for the adaptive reader)
+        if _os.path.isdir(source):
+            shutil.copytree(source, dest)
+        else:
+            shutil.copy(source, dest)
     stream = _events_stream_adaptive(
         spark, sf, glob="events_*.parquet", src_dir=src,
         max_files_per_trigger=1,
@@ -3127,11 +3142,24 @@ def bucketed_join_revenue(spark: SparkSession, sf: str) -> DataFrame:
     )
     # a table name is per-catalog but its LOCATION is per-warehouse-dir
     # on disk: an earlier process' leftover dir blocks saveAsTable even
-    # when the current catalog has no such table — drop + rm both
+    # when the current catalog has no such table. The tables must
+    # OUTLIVE this function (the returned plan reads them lazily), so
+    # cleanup happens here, at the START, sweeping EVERY prior
+    # b_orders_*/b_lineitem_* — accumulation is bounded at one pair.
     wh = spark.conf.get(
         "spark.sql.warehouse.dir", "spark-warehouse"
     ).removeprefix("file:")
-    for name in (bo_name, bl_name):
+    stale = {
+        tbl.name
+        for tbl in spark.catalog.listTables()
+        if tbl.name.startswith(("b_orders_", "b_lineitem_"))
+    }
+    if os.path.isdir(wh):
+        stale |= {
+            d for d in os.listdir(wh)
+            if d.startswith(("b_orders_", "b_lineitem_"))
+        }
+    for name in stale | {bo_name, bl_name}:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
     o = t(spark, sf, "orders").select("o_orderkey", "o_orderpriority")

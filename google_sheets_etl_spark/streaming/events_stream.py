@@ -87,13 +87,19 @@ def sessionize_stream(events: DataFrame, gap_s: int = 1800) -> DataFrame:
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         last_us, n_sessions = state.get if state.exists else (None, 0)
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
-            us = (
-                pd.to_datetime(pdf["ts"]).astype("int64") // 1000
-            ).sort_values()
-            for v in us:
+        # a group's batch rows arrive as MULTIPLE Arrow chunks
+        # (arrow.maxRecordsPerBatch); the gap scan needs the whole
+        # micro-batch time-ordered, so collect chunks first and sort
+        # ONCE — sorting per chunk while carrying last_us across them
+        # would run the scan on an unsorted sequence whenever file
+        # order isn't globally time-sorted, silently losing sessions
+        chunks = [
+            pd.to_datetime(pdf["ts"]).astype("int64") // 1000
+            for pdf in pdfs
+            if len(pdf)
+        ]
+        if chunks:
+            for v in pd.concat(chunks).sort_values():
                 v = int(v)
                 if last_us is None or v - last_us > gap_s * 1_000_000:
                     n_sessions += 1

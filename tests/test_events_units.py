@@ -40,6 +40,10 @@ _ROWS = [
     (7, 7_200_000_001, 3, "error"),
     # a gap > 30 min to split user 1 into two sessions
     (8, 9_000_000_000, 1, "view"),
+    # +16 µs: a residue where double division of the ns epoch rounds
+    # DOWN (int(float(us*1000)/1000) == us-1) — pins the integer-`div`
+    # conversion; double-based ns→µs silently loses 1 µs here
+    (9, 16, 1, "view"),
 ]
 _US = [_BASE_US + off for (_, off, _, _) in _ROWS]
 

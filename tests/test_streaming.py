@@ -80,6 +80,45 @@ def test_dedup_stream_drops_duplicates_within_watermark(spark, tmp_path):
     assert got2 == [1, 2, 3]
 
 
+def test_sessionize_sorts_across_arrow_chunks(spark, tmp_path):
+    """A group's batch rows arrive as MULTIPLE Arrow chunks; the gap
+    scan must sort the WHOLE batch, not each chunk independently —
+    chunk-local sorting with carried state silently loses sessions
+    when file order isn't time-sorted (found in review, pinned here
+    by forcing 2-row chunks over a deliberately time-shuffled file)."""
+    import datetime as _dt
+
+    src = str(tmp_path / "events_chunked")
+    out_name = "sess_chunked"
+    # one user, 9 events in 3 sessions (gaps of 2h), written in
+    # SHUFFLED time order so chunk-local sorting breaks monotonicity
+    times = [BASE + _dt.timedelta(hours=2 * s, minutes=m)
+             for s in range(3) for m in (0, 5, 10)]
+    shuffled = [times[i] for i in (4, 0, 7, 2, 8, 1, 5, 3, 6)]
+    rows = [(i, ts, 1, "view") for i, ts in enumerate(shuffled)]
+    spark.createDataFrame(rows, es.EVENTS_STREAM_SCHEMA).coalesce(1).write.parquet(src)
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+        q = (
+            es.sessionize_stream(es.read_event_stream(spark, src), gap_s=1800)
+            .writeStream.outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt_chunked"))
+            .format("memory").queryName(out_name)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    got = {r["user_id"]: r["n_sessions"]
+           for r in spark.table(out_name).groupBy("user_id")
+           .agg({"n_sessions": "max"})
+           .withColumnRenamed("max(n_sessions)", "n_sessions").collect()}
+    assert got == {1: 3}
+
+
 def test_sessionize_stream_state_across_batches(spark, tmp_path):
     src = str(tmp_path / "events_in2")
     out = str(tmp_path / "sessions_out")
