@@ -365,8 +365,12 @@ def vocab_coverage(
     ).withColumn("_pid", F.spark_partition_id())
     # vocab-sized materialization: consumed by the offsets agg AND the
     # final projection; without it each consumer re-runs the Python
-    # scan (and, absent exchange reuse, re-explodes the corpus)
-    scan = scan.localCheckpoint(eager=True)
+    # scan (and, absent exchange reuse, re-explodes the corpus).
+    # eager=False keeps CONSTRUCTION lazy (building/explaining the
+    # plan costs nothing); the checkpoint lands on the first action,
+    # and within that first job the range exchange is reuse-shared, so
+    # the worst duplicated work is one extra vocab-sized Python scan.
+    scan = scan.localCheckpoint(eager=False)
 
     parts = scan.groupBy("_pid").agg(
         F.sum("freq").alias("_psum"), F.count(F.lit(1)).alias("_pcnt")

@@ -79,7 +79,18 @@ def events_ts_unit(path: str) -> str:
     import os as _os
 
     try:
-        mtime = _os.path.getmtime(path)
+        # directory-of-parts: the dir's own mtime misses an in-place
+        # part rewrite — key on the newest entry too
+        if _os.path.isdir(path):
+            mtime = max(
+                [_os.path.getmtime(path)]
+                + [
+                    _os.path.getmtime(_os.path.join(path, f))
+                    for f in _os.listdir(path)
+                ]
+            )
+        else:
+            mtime = _os.path.getmtime(path)
     except OSError:
         mtime = -1.0
     key = (path, mtime)
@@ -118,12 +129,21 @@ def events_ts_unit(path: str) -> str:
                 else "ms" if lo > 10**11
                 else "s"
             )
-    except (
-        ImportError, OSError, KeyError, StopIteration, ValueError,
-        # pyarrow's footer-parse failures outside the ValueError family:
-        # ArrowNotImplementedError / ArrowMemoryError subclass these
-        NotImplementedError, MemoryError,
-    ) as exc:
+    except Exception as exc:
+        # narrow fallback, not a blanket: io/lookup families plus ANY
+        # pyarrow-raised error (ArrowException subclasses Exception
+        # directly; its concrete types map onto ValueError/TypeError/
+        # IndexError/NotImplementedError/MemoryError and the base).
+        # Genuine programming errors in THIS function still raise.
+        _fallback_types = (
+            ImportError, OSError, KeyError, StopIteration, ValueError,
+            NotImplementedError, MemoryError, IndexError, TypeError,
+        )
+        if not (
+            isinstance(exc, _fallback_types)
+            or type(exc).__module__.split(".")[0] == "pyarrow"
+        ):
+            raise
         import warnings
 
         warnings.warn(
@@ -652,17 +672,24 @@ def _events_stream_adaptive(
             StructField("event_type", StringType()),
         ])
         conv = lambda df: df.withColumn("ts", _ts_to_micros_col(unit))  # noqa: E731
-    reader = (
-        spark.readStream.schema(raw_schema)
-        .format("parquet")
-        # file sources stream DIRECTORIES; select just the events file
-        .option("pathGlobFilter", glob)
-    )
+    import os
+
+    reader = spark.readStream.schema(raw_schema).format("parquet")
     if max_files_per_trigger is not None:
         # availableNow honors source read limits: N files → ceil(N/k)
         # micro-batches, exercising CROSS-batch state, not one big batch
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return conv(reader.load(src_dir or sf))
+    # pathGlobFilter matches LEAF file names — applying it to a
+    # directory-of-parts layout (part-*.parquet inside events.parquet/)
+    # would silently list ZERO files. Only the shared sf dir needs the
+    # filter (to exclude sibling tables); a caller-owned src_dir holds
+    # nothing but event data, and a directory layout is streamed by
+    # loading the directory itself.
+    if src_dir is not None:
+        return conv(reader.load(src_dir))
+    if os.path.isdir(path):
+        return conv(reader.load(path))
+    return conv(reader.option("pathGlobFilter", glob).load(sf))
 
 
 def _drain_to_memory(df: DataFrame, prefix: str, mode: str) -> DataFrame:
@@ -3106,12 +3133,10 @@ def curation_pipeline_e2e(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id")
     )
     kept = docs.join(gate, "doc_id", "left_semi")
-    first = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id")
-    deduped = (
-        kept.withColumn("_rn", F.row_number().over(first))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    # the library operator, not an inline window re-derivation: its
+    # aggregate + semi-join shape never shuffles document TEXT through
+    # the hash exchange the way a window-over-everything would
+    deduped = dedup.exact_dedup(kept)
     train = sampling.hash_split(deduped).filter(F.col("split") == "train")
     capped = sampling.capped_per_key(train, "lang", 50)
     return capped.select("doc_id", "lang", "split")

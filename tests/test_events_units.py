@@ -165,6 +165,54 @@ def test_resniff_after_regeneration(tmp_path):
     assert events_ts_unit(path) == "i64:ns"
 
 
+def test_directory_of_parts_layout_batch_and_streaming(spark, tmp_path):
+    """events.parquet as a DIRECTORY of part files: the batch read,
+    the unit sniff, and — regression — the STREAMING read must all see
+    the data (pathGlobFilter matches leaf names, so naively filtering
+    on 'events.parquet' lists zero part files)."""
+    d = tmp_path / "dirvar"
+    inner = d / "events.parquet"
+    inner.mkdir(parents=True)
+    pq.write_table(
+        _table(pa.array(_US, pa.timestamp("us"))),
+        inner / "part-00000.parquet",
+    )
+    assert events_ts_unit(str(inner)) == "us"
+    df = t(spark, str(d), "events")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    assert df.count() == len(_ROWS)
+    batch = sorted(
+        tuple(str(v) for v in r)
+        for r in df.selectExpr(
+            "date_trunc('hour', ts) AS window_start", "event_type"
+        ).groupBy("window_start", "event_type").count().collect()
+    )
+    stream = sorted(
+        tuple(str(v) for v in r)
+        for r in QUERIES["streaming_hourly_counts"](spark, str(d)).collect()
+    )
+    assert batch and stream == batch
+
+
+def test_resniff_after_inplace_part_rewrite(spark, tmp_path):
+    """Rewriting a PART file in place (directory mtime unchanged) must
+    still invalidate the unit cache — the key includes the newest
+    entry mtime, not just the directory's."""
+    d = tmp_path / "inplace"
+    inner = d / "events.parquet"
+    inner.mkdir(parents=True)
+    part = inner / "part-00000.parquet"
+    pq.write_table(_table(pa.array(_US, pa.timestamp("us"))), part)
+    assert events_ts_unit(str(inner)) == "us"
+    dir_mtime = os.path.getmtime(inner)
+    pq.write_table(
+        _table(pa.array([u * 1000 for u in _US], pa.int64())), part
+    )
+    os.utime(part, (time.time() + 5, time.time() + 5))
+    os.utime(inner, (dir_mtime, dir_mtime))  # pin the dir mtime
+    assert events_ts_unit(str(inner)) == "i64:ns"
+
+
 def test_fallback_not_cached(tmp_path):
     """An unreadable footer warns and returns ns WITHOUT caching, so a
     later valid file at the same path gets a real verdict."""

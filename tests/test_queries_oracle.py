@@ -99,6 +99,7 @@ def test_driver_coverage_ordering_invariants():
                 ok = (
                     row.get("err") is None
                     and row.get("rows_match") is not False
+                    and row.get("schema_match") is not False
                     and row.get("hash_match") is not False
                 )
                 (last_red.add if not ok else last_red.discard)(k)
