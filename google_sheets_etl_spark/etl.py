@@ -252,8 +252,14 @@ class SheetsEtlEngine:
         data = rows_ops.enforce_cell_width(data, 100)
         data = rows_ops.with_provenance(data, etl_job_id)
         rows_loaded = data.count()
-        self.target(job.target_table).overwrite_job_partition(
-            data, with_rowid=self.rowid)
+        if rows_loaded == 0:
+            # all data rows deleted upstream: dynamic overwrite of an
+            # empty frame replaces NOTHING — clear the partition
+            # explicitly (reference semantics: unconditional DELETE)
+            self.target(job.target_table).delete_job_partition(etl_job_id)
+        else:
+            self.target(job.target_table).overwrite_job_partition(
+                data, with_rowid=self.rowid)
 
         # U2/U6: accounting commits LAST
         self._upsert_job_accounting(

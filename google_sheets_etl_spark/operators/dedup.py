@@ -141,7 +141,9 @@ def minhash_signatures(
             starts: list[int] = []       # doc boundaries into all_h
             null_mask: list[bool] = []
             for text in pdf[text_col]:
-                words = text.split(" ")
+                # NULL text → NULL signature, same as words_of(NULL)
+                # through the JVM shingle path
+                words = text.split(" ") if text is not None else []
                 n_sh = len(words) - shingle_n + 1
                 null_mask.append(n_sh <= 0)
                 starts.append(len(all_h))
@@ -220,7 +222,7 @@ def lsh_candidate_pairs(
         .persist()
     )
     a, b = exploded.alias("a"), exploded.alias("b")
-    return (
+    result = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -233,6 +235,11 @@ def lsh_candidate_pairs(
         )
         .distinct()
     )
+    # expose the inner cache so a caller that materializes the result
+    # can release it (see near_dup_pairs) — it is only needed while
+    # this plan is un-executed
+    result._exploded_cache = exploded
+    return result
 
 
 def jaccard_of(sh_a: Column, sh_b: Column) -> Column:
@@ -269,6 +276,12 @@ def near_dup_pairs(
     # (measured 2x on the sf0.1 bench, and removes run-to-run variance).
     cands = lsh_candidate_pairs(sigs, id_col, num_hashes, band_size).persist()
     cands.count()
+    # the exploded band cache inside lsh_candidate_pairs has served its
+    # purpose once cands is materialized — release it (long-running
+    # drivers otherwise accumulate one orphan cache per call)
+    exploded = getattr(cands, "_exploded_cache", None)
+    if exploded is not None:
+        exploded.unpersist()
     # shingle ONLY candidate docs: the expensive array build is gated
     # behind a semi-join against the (small) candidate id set
     cand_ids = (
@@ -465,6 +478,10 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         for pdf in batches:
             fps = []
             for text in pdf[text_col]:
+                if text is None:
+                    # NULL in → NULL out (split(NULL) is NULL JVM-side)
+                    fps.append(None)
+                    continue
                 toks = set(text.split(" "))
                 if not toks:
                     fps.append(0)
@@ -478,7 +495,9 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
                     if 2 * int(votes[b]) > n:
                         fp |= 1 << b
                 fps.append(fp)
-            yield pd.DataFrame({id_col: pdf[id_col], "simhash": fps})
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "simhash": pd.array(fps, dtype="Int64")}
+            )
 
     narrow = ensure_parallelism(docs.select(id_col, text_col))
     return narrow.mapInPandas(kernel, schema)

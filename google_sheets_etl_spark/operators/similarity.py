@@ -105,9 +105,14 @@ def _with_lsh_buckets(
     weights = (1 << np.arange(n_bits, dtype=np.int64))
 
     id_field = df.schema[id_col]
+    # carry the vector through with its INPUT element type: declaring
+    # float32 unconditionally would silently truncate double embeddings
+    # and make the LSH paths' cosines diverge from the exact paths'
+    # (breaking the round-4-identical / output-subset contracts at the
+    # auto-dispatch boundary)
     schema = StructType([
         StructField(out_id, id_field.dataType),
-        StructField(out_vec, ArrayType(FloatType())),
+        StructField(out_vec, df.schema[vec_col].dataType),
         StructField("t", LongType()),
         StructField("b", LongType()),
     ])

@@ -62,16 +62,26 @@ def compact_partitions(
 ) -> list[str]:
     """Rewrite fragmented partitions to ~one file each; returns the
     partition VALUES rewritten (empty when the table is healthy)."""
+    from urllib.parse import unquote
+
     victims = []
     for name, n_files, total in partition_file_stats(table_path):
         col, _, raw = name.partition("=")
         if col != partition_col:
             continue
         if n_files > max_files and (total // max(n_files, 1)) < small_bytes:
-            victims.append(raw)
+            # directory names are URL-escaped ('a b' → 'a%20b'); the
+            # column VALUE is the unescaped form — compare on that, or
+            # string partition values with spaces/colons silently
+            # match nothing and compaction becomes a no-op that still
+            # reports success
+            victims.append(unquote(raw))
     if not victims:
         return []
-    table = spark.read.parquet(table_path)
+    # mergeSchema: per-file schemas are first-class here (additive
+    # evolution, plans/target_table.py) — inferring from one footer
+    # would DROP evolved columns from the rewritten partition
+    table = spark.read.option("mergeSchema", "true").parquet(table_path)
     # partition values arrive as directory-name strings; compare on a
     # string cast so long/date partition columns prune identically
     pruned = table.filter(

@@ -42,15 +42,19 @@ class TargetTable:
         self.path = path
 
     def exists(self) -> bool:
-        """True when the table has been written: partition dirs are
-        named ``_origin_etl_job_id=N`` (leading underscore — a bare
-        "not hidden" listing misses them)."""
+        """True when the table holds DATA: partition dirs are named
+        ``_origin_etl_job_id=N`` (leading underscore — a bare "not
+        hidden" listing misses them). A ``_SUCCESS``-only directory
+        (the footprint of an empty first write) does NOT count — a
+        read of it cannot infer a schema and would crash every
+        subsequent load."""
         if not os.path.isdir(self.path):
             return False
         return any(
-            n == "_SUCCESS" or "=" in n or n.endswith(".parquet")
+            "=" in n
+            or (n.endswith(".parquet") and not n.startswith((".", "_")))
             for n in os.listdir(self.path)
-            if n != "_temporary" and not n.startswith(".")
+            if n != "_temporary"
         )
 
     def overwrite_job_partition(self, data: DataFrame, with_rowid: bool = False) -> None:
@@ -72,11 +76,18 @@ class TargetTable:
         if with_rowid:
             base = 0
             if self.exists():
-                existing = self.read()
-                if ROWID_COL in existing.columns:
-                    base = existing.agg(
-                        F.coalesce(F.max(ROWID_COL), F.lit(0))
-                    ).first()[0]
+                # metadata-scale fast path: the table max comes from
+                # parquet FOOTER statistics (exact for int64), so a
+                # tiny incremental load never scans a 100 TB table's
+                # data pages for one number
+                base = self._rowid_max_from_footers()
+                if base is None:
+                    existing = self.read()
+                    base = 0
+                    if ROWID_COL in existing.columns:
+                        base = existing.agg(
+                            F.coalesce(F.max(ROWID_COL), F.lit(0))
+                        ).first()[0]
             w = Window.orderBy(PARTITION_COL, "_origin_row")
             data = data.withColumn(
                 ROWID_COL, (F.lit(int(base)) + F.row_number().over(w)).cast("long")
@@ -87,6 +98,62 @@ class TargetTable:
             .partitionBy(PARTITION_COL)
             .parquet(self.path)
         )
+
+    def _rowid_max_from_footers(self) -> int | None:
+        """max(_rowid) from parquet footer statistics — one footer read
+        per file, zero data pages. None when any file lacks usable
+        stats (caller falls back to the full aggregate) or no file
+        carries the column (legacy pre-rowid table → base 0)."""
+        try:
+            import pyarrow.parquet as pq
+
+            # manual walk, NOT pyarrow.dataset: the partition dirs are
+            # named _origin_etl_job_id=N and dataset discovery treats
+            # underscore-prefixed paths as hidden, silently yielding
+            # zero fragments
+            files = []
+            for root, _dirs, names in os.walk(self.path):
+                files += [
+                    os.path.join(root, n)
+                    for n in names
+                    if n.endswith(".parquet") and not n.startswith((".", "_"))
+                ]
+            best: int | None = None
+            saw_column = False
+            for fpath in files:
+                pf = pq.ParquetFile(fpath)
+                for g in range(pf.metadata.num_row_groups):
+                    rg = pf.metadata.row_group(g)
+                    for i in range(rg.num_columns):
+                        c = rg.column(i)
+                        if c.path_in_schema.split(".")[0] != ROWID_COL:
+                            continue
+                        saw_column = True
+                        if c.statistics is None or c.statistics.max is None:
+                            return None  # unreliable → exact fallback
+                        v = int(c.statistics.max)
+                        best = v if best is None or v > best else best
+            if not saw_column:
+                return 0  # pre-rowid table (or no data files): base 0
+            return best
+        except Exception:
+            return None
+
+    def delete_job_partition(self, job_id: int) -> None:
+        """The DELETE half of U4 for an EMPTY reload: dynamic overwrite
+        replaces only partitions present in the incoming frame, so a
+        sheet whose data rows were all deleted would otherwise keep
+        serving its stale partition forever (with accounting happily
+        hash-short-circuiting every later run). The reference's
+        ``DELETE FROM target WHERE _origin_etl_job_id = ?`` has no
+        incoming-rows precondition — neither does this. (Local-fs
+        directory removal; a cluster deployment swaps in the Hadoop
+        FileSystem call, same semantics.)"""
+        import shutil
+
+        pdir = os.path.join(self.path, f"{PARTITION_COL}={job_id}")
+        if os.path.isdir(pdir):
+            shutil.rmtree(pdir)
 
     def read(self) -> DataFrame:
         return self.spark.read.option("mergeSchema", "true").parquet(self.path)

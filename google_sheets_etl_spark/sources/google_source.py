@@ -51,18 +51,34 @@ class RetryableHttpError(Exception):
         super().__init__(f"HTTP {status}")
 
 
+def _retryable_status(exc: Exception) -> int | None:
+    """Retryable HTTP status carried by ``exc``, else None. Covers this
+    module's :class:`RetryableHttpError` AND the real transport's
+    ``googleapiclient.errors.HttpError`` (status lives at
+    ``exc.resp.status``) — duck-typed so the policy works identically
+    against fakes and the live client without importing the lib."""
+    status = getattr(exc, "status", None)
+    if status is None:
+        status = getattr(getattr(exc, "resp", None), "status", None)
+    try:
+        status = int(status) if status is not None else None
+    except (TypeError, ValueError):
+        return None
+    return status if status in RETRYABLE_STATUS else None
+
+
 def with_backoff(call: Callable, *, sleep=time.sleep, rng: random.Random | None = None):
     """Run ``call`` with the reference's retry policy (O5)."""
     delays = backoff_delays(rng=rng)
     for attempt in range(MAX_RETRIES + 1):
         try:
             return call()
-        except RetryableHttpError as e:
-            if e.status not in RETRYABLE_STATUS or attempt == MAX_RETRIES:
-                raise
-            sleep(delays[attempt])
         except ConnectionError:
             if attempt == MAX_RETRIES:
+                raise
+            sleep(delays[attempt])
+        except Exception as e:
+            if _retryable_status(e) is None or attempt == MAX_RETRIES:
                 raise
             sleep(delays[attempt])
 
@@ -113,6 +129,11 @@ class GoogleSheetSource:
             SpreadsheetMeta(f["id"], f["modifiedTime"], f["name"])
             for f in resp.get("files", [])
         ]
+        # Drive orders by modifiedTime ONLY; the tuple cursor needs a
+        # total (modifiedTime, id) order or a capped page of
+        # same-timestamp files skips every id below the recorded max
+        # on the next run. Sort client-side BEFORE filter + cap.
+        metas.sort(key=lambda m: (m.modified_time, m.id))
         # S2 residual tuple filter (GoogleSheetsAgent.php:114-119)
         return [
             m for m in metas

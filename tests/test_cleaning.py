@@ -94,3 +94,23 @@ def test_epoch_shuffle_stable_and_epoch_distinct(spark):
     order1 = [r[0] for r in sorted((r for r in ra if r[1] == 1), key=lambda r: r[2])]
     assert sorted(order0) == sorted(order1)
     assert order0 != order1
+
+
+def test_null_text_tolerated_by_python_kernels(spark):
+    """One NULL text row must not abort Arrow kernels — NULL in, NULL
+    out (or row drop where the JVM twin drops), matching the Catalyst
+    expressions the kernels replaced (review find)."""
+    from google_sheets_etl_spark.operators import dedup, text as text_ops
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, None), (3, "a b c d e")],
+        "doc_id long, text string",
+    )
+    sigs = {r["doc_id"]: r["mh_0"] for r in dedup.minhash_signatures(docs).collect()}
+    assert sigs[2] is None and sigs[1] == sigs[3] is not None
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash64(docs).collect()}
+    assert sh[2] is None and sh[1] == sh[3] is not None
+    rep = {r["doc_id"]: r for r in text_ops.repetition_stats(docs).collect()}
+    assert rep[2]["n_tokens"] is None and rep[1]["n_tokens"] == 5
+    spans = cleaning.span_dedup(docs, span_tokens=2).collect()
+    assert sorted(r["doc_id"] for r in spans) == [1]  # null + dup drop

@@ -277,3 +277,44 @@ def test_compaction_rewrites_only_fragmented_partitions(spark, tmp_path):
         == content_before                   # bit-identical content
     # healthy table: second run is a no-op
     assert compact_partitions(spark, tbl, "job", max_files=4) == []
+
+
+def test_empty_reload_clears_stale_partition(spark, tmp_path, source):
+    """U4 DELETE semantics: a sheet whose data rows were ALL deleted
+    must empty its target partition — dynamic overwrite of an empty
+    frame replaces nothing, and accounting's hash short-circuit would
+    otherwise serve the stale rows forever (found in review)."""
+    eng = SheetsEtlEngine(spark, str(tmp_path / "wh_empty"), source)
+    eng.set_up_accounting()
+    jobs = [EtlJob("SSA" + "a" * 41, "Tab1", "table_a",
+                   {"name": "Name", "amount": "Amount Due"})]
+    eng.find_updated_spreadsheets()
+    r1 = eng.load_updated_spreadsheets(jobs)
+    assert r1[0].rows_loaded == 3
+    assert eng.target("table_a").read().count() == 3
+
+    # header survives, every data row deleted
+    source.put_sheet(
+        SpreadsheetMeta("SSA" + "a" * 41, "2026-02-01T00:00:00.000Z", "Sheet A"),
+        "Tab1", [["Name", "Amount Due", "Café"]],
+    )
+    eng.find_updated_spreadsheets()
+    r2 = eng.load_updated_spreadsheets(jobs)
+    assert not r2[0].skipped_unchanged and r2[0].rows_loaded == 0
+    tbl = eng.target("table_a")
+    assert (not tbl.exists()) or tbl.read().count() == 0
+    # and the run after THAT hash-short-circuits without resurrecting
+    r3 = eng.load_updated_spreadsheets(jobs)
+    assert r3 == [] or r3[0].skipped_unchanged
+
+
+def test_exists_false_for_success_only_dir(spark, tmp_path):
+    """A _SUCCESS-only directory (empty first write) is NOT a table:
+    counting it as one makes every later read crash on schema
+    inference (found in review)."""
+    from google_sheets_etl_spark.plans.target_table import TargetTable
+
+    d = tmp_path / "success_only"
+    d.mkdir()
+    (d / "_SUCCESS").write_text("")
+    assert TargetTable(spark, str(d)).exists() is False

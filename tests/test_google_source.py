@@ -176,3 +176,56 @@ def test_get_sheet_retries_transport():
 def test_real_transport_gated_without_libs():
     with pytest.raises(NotImplementedError):
         GoogleSheetSource("creds.json")
+
+
+def test_list_sorts_same_timestamp_page_by_id():
+    """Drive orders by modifiedTime only; the tuple cursor needs a
+    total (modifiedTime, id) order or a capped page of same-timestamp
+    files permanently skips ids below the recorded max (review find)."""
+    t = "2026-01-01T00:00:00.000Z"
+    files = {
+        f"id{chr(c)}": {"id": f"id{chr(c)}", "modifiedTime": t, "name": "n"}
+        for c in range(ord("a"), ord("f"))  # ida..ide, one timestamp
+    }
+    src = GoogleSheetSource(drive=FakeDrive(files_by_id=files),
+                            sheets=FakeSheets({}), sleep=lambda s: None)
+    page1 = src.list_spreadsheets("2025-12-31T00:00:00.000Z", "", count=3)
+    assert [m.id for m in page1] == ["ida", "idb", "idc"]  # id-ordered
+    # resume from the cursor tuple: the remaining SAME-timestamp ids
+    # (all >= the cursor) arrive on the next page, none skipped
+    page2 = src.list_spreadsheets(t, "idc", count=3)
+    assert [m.id for m in page2] == ["idc", "idd", "ide"]
+
+
+def test_backoff_retries_httperror_shaped_exceptions():
+    """The real transport raises googleapiclient HttpError (status at
+    exc.resp.status), not this module's RetryableHttpError — the
+    backoff policy must fire for it too (review find)."""
+    from google_sheets_etl_spark.sources.google_source import with_backoff
+
+    class _Resp:
+        status = 429
+
+    class FakeHttpError(Exception):
+        def __init__(self):
+            self.resp = _Resp()
+
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise FakeHttpError()
+        return "ok"
+
+    assert with_backoff(flaky, sleep=lambda s: None) == "ok"
+    assert calls["n"] == 3
+
+    class FatalError(Exception):
+        pass
+
+    def fatal():
+        raise FatalError()
+
+    with pytest.raises(FatalError):  # non-retryable still raises fast
+        with_backoff(fatal, sleep=lambda s: None)
