@@ -86,7 +86,9 @@ def resolve_column_selectors(
         if isinstance(spec, bool):  # bool is an int subclass; reject
             raise TypeError(f"Invalid column specifier: {spec}")
         if isinstance(spec, int):
-            if spec < len(header):
+            # both bounds: a negative spec would silently wrap to the
+            # LAST cell (element_at semantics) or crash on index 0
+            if 0 <= spec < len(header):
                 selectors.append(spec)
             else:
                 raise ColumnIndexOutOfBounds(f"Column index out of bounds: {spec}")

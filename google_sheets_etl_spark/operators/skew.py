@@ -32,12 +32,26 @@ def salted_join(
     """Equi-join on ``key`` with the left side's hot keys spread over
     ``n_salts`` partitions. ``how`` must be 'inner' or 'left' (the
     right side is replicated, so right/full-outer multiplicity would
-    be wrong). The salt is a deterministic hash of the whole left row
-    — no RNG, so retries and resumed stages salt identically."""
+    be wrong).
+
+    The salt mixes a row-content hash with the row's physical position
+    (``monotonically_increasing_id``): content alone would give every
+    EXACT-DUPLICATE row of a hot key the same salt — one reducer again,
+    the precise scenario this operator exists for. Position is not
+    stable across retries, but the salt only chooses PLACEMENT; the
+    join's result rows are identical under any salt assignment, so
+    determinism of output is unaffected."""
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports how='inner' or 'left' only")
     l_salted = left.withColumn(
-        SALT, F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts))
+        SALT,
+        F.pmod(
+            F.xxhash64(
+                *[F.col(c) for c in left.columns],
+                F.monotonically_increasing_id(),
+            ),
+            F.lit(n_salts),
+        ),
     )
     r_salted = right.withColumn(
         SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

@@ -48,8 +48,13 @@ def quality_features(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     n_tokens = F.size(words)
     hits = stopword_hits(F.col(text_col))
     max_tok = F.array_max(F.transform(words, lambda w: F.length(w)))
-    # crude n-gram-free language id: en iff >=2% stopword tokens
-    lang_guess = F.when(hits * 50 >= n_tokens, F.lit("en")).otherwise(F.lit("other"))
+    # crude n-gram-free language id: en iff >=2% stopword tokens;
+    # NULL text must stay NULL, not fall through to "other"
+    lang_guess = (
+        F.when(n_tokens.isNull(), F.lit(None).cast("string"))
+        .when(hits * 50 >= n_tokens, F.lit("en"))
+        .otherwise(F.lit("other"))
+    )
     return docs.select(
         F.col(id_col),
         n_tokens.cast("long").alias("n_tokens"),
@@ -151,7 +156,11 @@ def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     }
     s = {lang: F.col(f"s_{lang}") for lang in LANG_PROFILES}
     pred = (
-        F.when(s["en"] + s["de"] + s["fr"] + s["es"] == 0, F.lit("unknown"))
+        # NULL text scores NULL everywhere; without this arm every
+        # comparison is NULL and the chain would fall through to the
+        # LAST language instead of "unknown"
+        F.when(s["en"].isNull(), F.lit("unknown"))
+        .when(s["en"] + s["de"] + s["fr"] + s["es"] == 0, F.lit("unknown"))
         .when((s["en"] >= s["de"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["es"]), F.lit("en"))
         .when((s["de"] >= s["fr"]) & (s["de"] >= s["es"]), F.lit("de"))
         .when(s["fr"] >= s["es"], F.lit("fr"))
@@ -237,7 +246,8 @@ def repetition_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc
         F.when(
             F.col("_n_grams") > 0,
             F.round(F.col("_top_c") / F.col("_n_grams"), 6),
-        ).otherwise(F.lit(0.0)).alias("top_bigram_frac"),
+        ).when(F.col("_n_grams") == 0, F.lit(0.0))
+        .alias("top_bigram_frac"),  # NULL text (NULL _n_grams) → NULL
     )
 
 
@@ -443,7 +453,9 @@ def winnowing_fingerprints(
         for pdf in batches:
             out = []
             for text in pdf[text_col]:
-                toks = text.split(" ")
+                # NULL text → empty fingerprint set (too-short docs
+                # already yield []; same contract)
+                toks = text.split(" ") if text is not None else []
                 if len(toks) < k:
                     out.append([])
                     continue
@@ -471,6 +483,10 @@ def misra_gries_summary(texts, k: int) -> dict[str, int]:
     :func:`heavy_hitter_tokens` calls exactly this."""
     counters: dict[str, int] = {}
     for text in texts:
+        if text is None:
+            # matches the exact-count pass: explode(words_of(NULL))
+            # contributes no rows
+            continue
         for tok in text.split(" "):
             if tok in counters:
                 counters[tok] += 1

@@ -10,9 +10,12 @@ Scale notes:
 - the windowed count is an incremental stateful agg: state is bounded
   by (watermark horizon x windows x event_types), not stream length;
 - late data beyond the watermark is dropped deterministically;
-- ``sessionize_stream`` uses ``applyInPandasWithState`` with a
-  processing-time timeout — per-user state is a single (last_ts,
-  session_count) pair, the smallest state that computes gap sessions.
+- ``sessionize_stream`` uses ``applyInPandasWithState``; per-user
+  state is a single (last_ts, session_count) pair, the smallest state
+  that computes gap sessions. State is kept for the stream's lifetime
+  by default (the cumulative per-user count IS the semantics); pass
+  ``idle_timeout_ms`` to evict users idle past the horizon — counts
+  then cover "sessions since last eviction", the bounded-state trade.
 """
 
 from __future__ import annotations
@@ -72,20 +75,30 @@ _SESSION_OUT = StructType([
 ])
 
 
-def sessionize_stream(events: DataFrame, gap_s: int = 1800) -> DataFrame:
+def sessionize_stream(
+    events: DataFrame, gap_s: int = 1800, idle_timeout_ms: int | None = None
+) -> DataFrame:
     """Per-user gap-based session counting with explicit state —
     ``applyInPandasWithState`` keyed by user.
 
     Within a micro-batch events are sorted by time; across batches the
     (last_us, n_sessions) state carries the boundary. Same gap math as
     the batch ``events_sessionize`` oracle query (integer microseconds).
-    """
+
+    ``idle_timeout_ms``: optional processing-time eviction for users
+    idle past the horizon — bounds state by ACTIVE users at the cost of
+    restarting an evicted user's count (see module docstring). Default
+    keeps all-time state, which is what the batch-equality oracle
+    requires."""
 
     def update(
         key: tuple[Any, ...],
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        if idle_timeout_ms is not None and state.hasTimedOut:
+            state.remove()
+            return
         last_us, n_sessions = state.get if state.exists else (None, 0)
         # a group's batch rows arrive as MULTIPLE Arrow chunks
         # (arrow.maxRecordsPerBatch); the gap scan needs the whole
@@ -105,6 +118,8 @@ def sessionize_stream(events: DataFrame, gap_s: int = 1800) -> DataFrame:
                     n_sessions += 1
                 last_us = v
         state.update((last_us, n_sessions))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
         yield pd.DataFrame({"user_id": [key[0]], "n_sessions": [n_sessions]})
 
     return events.groupBy("user_id").applyInPandasWithState(
@@ -112,7 +127,11 @@ def sessionize_stream(events: DataFrame, gap_s: int = 1800) -> DataFrame:
         outputStructType=_SESSION_OUT,
         stateStructType=_SESSION_STATE,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if idle_timeout_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

@@ -38,9 +38,17 @@ from pyspark.sql import functions as F
 
 def latest_per_key(batch: DataFrame, key_cols: list[str], seq_col: str) -> DataFrame:
     """Deduplicate a micro-batch to the highest-``seq_col`` row per
-    key (ties broken by the remaining columns' order is irrelevant —
-    row_number over a deterministic sort makes the pick stable)."""
-    w = Window.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())
+    key. Ties on the sequence column are broken by EVERY remaining
+    column (descending) — ordering by ``seq_col`` alone would let
+    row_number pick whichever row Spark sorted first, and a
+    re-delivered batch could then land a DIFFERENT row, breaking the
+    sink's exactly-once-table-state argument."""
+    tiebreak = [
+        F.col(c).desc()
+        for c in batch.columns
+        if c not in key_cols and c != seq_col
+    ]
+    w = Window.partitionBy(*key_cols).orderBy(F.col(seq_col).desc(), *tiebreak)
     return (
         batch.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
@@ -58,11 +66,17 @@ def upsert_batch(
 ) -> None:
     """One micro-batch MERGE (steps 1-4 above). Also the batch-mode
     backfill entry point — identical semantics either way."""
-    import os
-
     fresh = latest_per_key(batch, key_cols, seq_col)
-    exists = os.path.isdir(table_path) and any(
-        "=" in n or n == "_SUCCESS" for n in os.listdir(table_path)
+    # Hadoop FileSystem, NOT os.path: an s3a://-or-hdfs:// table path
+    # would always look absent locally, the merge would be skipped, and
+    # the overwrite would silently DELETE every existing key in the
+    # touched partitions
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(table_path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    exists = fs.exists(hpath) and any(
+        "=" in st.getPath().getName()
+        for st in fs.listStatus(hpath)
     )
     if exists:
         touched = [

@@ -114,3 +114,12 @@ def test_null_text_tolerated_by_python_kernels(spark):
     assert rep[2]["n_tokens"] is None and rep[1]["n_tokens"] == 5
     spans = cleaning.span_dedup(docs, span_tokens=2).collect()
     assert sorted(r["doc_id"] for r in spans) == [1]  # null + dup drop
+    lid = {r["doc_id"]: r["pred_lang"] for r in text_ops.lang_id(docs).collect()}
+    assert lid[2] == "unknown"  # not the when-chain's last language
+    qf = {r["doc_id"]: r["lang_guess"] for r in text_ops.quality_features(docs).collect()}
+    assert qf[2] is None
+    wf = {r["doc_id"]: r["fingerprints"]
+          for r in text_ops.winnowing_fingerprints(docs).collect()}
+    assert wf[2] == []
+    hh = text_ops.heavy_hitter_tokens(docs, k=5).collect()  # no crash
+    assert all(r["token"] is not None for r in hh)
