@@ -9,25 +9,21 @@ partitionings* and sensitive to any cell, row order, or raggedness
 change.
 
 Scale design: a naive ``sha256(collect())`` materializes the sheet on
-the driver. Instead this is a two-level ordered digest (Merkle-style):
-
-1. range-sort by ``row_idx`` (so partition p holds a contiguous,
-   ordered slice of rows),
-2. one SHA-256 per partition over its rows' canonical JSON — computed
-   where the data lives,
-3. a final SHA-256 over the ordered partition digests (tiny — one
-   32-byte digest per partition reaches the driver).
-
-Any single-cell change flips its partition digest and therefore the
-root. Cost: one shuffle (the range sort) + one narrow pass; driver
-traffic is O(partitions), not O(rows).
+the driver. Instead: one SHA-256 per ROW over its canonical JSON
+(``row_idx`` inside the hashed content makes the digest order-
+sensitive), then a COMMUTATIVE combination — two independent 60-bit
+XOR lanes plus the row count, aggregated map-side. XOR commutes, so
+the root is invariant under ANY partitioning, partition COUNT, sort
+layout, or AQE coalescing decision — a per-partition Merkle digest is
+not (its partition boundaries move with ``shuffle.partitions``, so the
+"same sheet" could fingerprint differently across sessions). Identical
+rows cannot cancel: ``row_idx`` is unique per row. Cost: one narrow
+pass + a partial aggregate; O(1) driver traffic, no shuffle at all.
 """
 
 from __future__ import annotations
 
 import hashlib
-import json
-from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -36,32 +32,35 @@ from .rows import CELLS, ROW_IDX
 
 
 def sheet_fingerprint(sheet: DataFrame) -> str:
-    """Stable SHA-256 hex fingerprint of ``(row_idx, cells)`` content."""
-
-    def digest_partition(rows: Iterator) -> Iterator[tuple[int, str]]:
-        h = hashlib.sha256()
-        first_idx = None
-        empty = True
-        for row in rows:
-            if first_idx is None:
-                first_idx = row[0]
-            empty = False
-            h.update(
-                json.dumps([row[0], row[1]], separators=(",", ":"), ensure_ascii=False).encode()
+    """Stable SHA-256 hex fingerprint of ``(row_idx, cells)`` content —
+    invariant across partitionings AND session configs; sensitive to
+    any cell, row order (via row_idx), raggedness, or count change."""
+    row_hex = F.sha2(
+        F.to_json(
+            F.struct(
+                F.col(ROW_IDX).cast("long").alias("i"),
+                F.col(CELLS).cast("array<string>").alias("c"),
             )
-        if not empty:
-            yield (first_idx, h.hexdigest())
-
-    parts = (
-        sheet.select(F.col(ROW_IDX).cast("long"), F.col(CELLS).cast("array<string>"))
-        .orderBy(ROW_IDX)
-        .rdd.mapPartitions(digest_partition)
-        .collect()
+        ),
+        256,
     )
-    root = hashlib.sha256()
-    for _, digest in sorted(parts):
-        root.update(bytes.fromhex(digest))
-    return root.hexdigest()
+    agg = (
+        sheet.select(
+            F.conv(F.substring(row_hex, 1, 15), 16, 10)
+            .cast("long").alias("l1"),
+            F.conv(F.substring(row_hex, 17, 15), 16, 10)
+            .cast("long").alias("l2"),
+        )
+        .agg(
+            F.bit_xor("l1").alias("x1"),
+            F.bit_xor("l2").alias("x2"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .first()
+    )
+    x1 = agg["x1"] if agg["x1"] is not None else 0
+    x2 = agg["x2"] if agg["x2"] is not None else 0
+    return hashlib.sha256(f"{x1}:{x2}:{agg['n']}".encode()).hexdigest()
 
 
 def rows_fingerprint_col(cells_col: str = CELLS):

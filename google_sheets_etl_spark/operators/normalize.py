@@ -51,11 +51,14 @@ def normalize_column_name(raw: str) -> str:
 
 def normalized_column_names(columns: list[str]) -> list[str]:
     """Full T5: normalize each name, falling back to ``col_<i+1>`` on
-    ``col_N``-pattern names, empties, and duplicates."""
+    ``col_N``-pattern names and duplicates. (An empty raw name arrives
+    here as ``"_"`` — the prefix step guarantees non-empty output — and
+    collides into the fallback via the duplicate check when repeated.)
+    """
     out: list[str] = []
     for index, column in enumerate(columns):
         name = normalize_column_name(column)
-        if _COL_N.match(name) or not name or name in out:
+        if _COL_N.match(name) or name in out:
             name = f"col_{index + 1}"
         out.append(name)
     return out

@@ -155,6 +155,39 @@ def events_ts_unit(path: str) -> str:
     return unit
 
 
+def _resolve_events_unit(spark: SparkSession, path: str) -> str:
+    """``events_ts_unit`` plus an engine-side sanity check of ``ns``
+    verdicts. 'ns' is ALSO the sniffer's blind fallback (pyarrow
+    missing, unreadable footer, absent statistics) — and blindly
+    reading a µs file as raw nanos lands every timestamp in 1970.
+    Cheap verification with Spark's own reader: an annotated file
+    surfaces a timestamp dtype natively (→ the native branch handles
+    it, exactly; ns-annotated data truncates to µs, which IS the
+    ``div 1000`` semantics), and a raw int64 file classifies from one
+    row's magnitude. True-ns files pass through unchanged."""
+    unit = events_ts_unit(path)
+    if unit != "ns":
+        return unit
+    try:
+        df = spark.read.parquet(path)
+        dt = dict(df.dtypes).get("ts")
+        if dt in ("timestamp", "timestamp_ntz"):
+            return "us"  # native branch reads any annotated unit exactly
+        if dt == "bigint":
+            row = df.select("ts").first()
+            if row is not None and row[0] is not None:
+                v = int(row[0])
+                return "i64:" + (
+                    "ns" if v > 10**17
+                    else "us" if v > 10**14
+                    else "ms" if v > 10**11
+                    else "s"
+                )
+    except Exception:
+        pass  # unreadable natively too → trust the ns verdict
+    return unit
+
+
 def _ts_to_micros_col(unit: str):
     """Integer-exact µs-epoch column for a raw int64 ``ts`` of the
     given sniffed unit — THE single conversion shared by the batch
@@ -196,7 +229,7 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         pass
     if name == "events":
         path = f"{sf_dir}/{name}.parquet"
-        unit = events_ts_unit(path)
+        unit = _resolve_events_unit(spark, path)
         if unit in ("us", "ms"):
             # natively readable logical types in every Spark session.
             # isAdjustedToUTC=false files arrive as TIMESTAMP_NTZ —
@@ -650,7 +683,7 @@ def _events_stream_adaptive(
     except Exception:
         pass
     path = f"{sf}/events.parquet"
-    unit = events_ts_unit(path)
+    unit = _resolve_events_unit(spark, path)
     if unit in ("us", "ms"):
         # annotated logical type: let the batch footer dictate the exact
         # Spark type (TIMESTAMP vs TIMESTAMP_NTZ), then normalize NTZ →
@@ -1556,7 +1589,7 @@ def q13_order_count_histogram(spark: SparkSession, sf: str) -> DataFrame:
     """SELECT c_mktsegment AS segment, COUNT(*) AS numcust,
               ROUND(SUM(c_acctbal), 2) AS totacctbal
        FROM customer c
-       WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+       WHERE c_acctbal > (SELECT ROUND(AVG(c_acctbal), 4) FROM customer
                           WHERE c_acctbal > 0.0)
          AND NOT EXISTS (SELECT 1 FROM orders o
                          WHERE o.o_custkey = c.c_custkey
@@ -1575,8 +1608,12 @@ def q22_idle_rich_customers(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("o_orderpriority") == "1-URGENT")
         .select("o_custkey")
     )
+    # threshold rounded to 4 dp on BOTH engines: a raw float AVG's last
+    # ulps depend on summation order, and a customer sitting between
+    # the two engines' averages would flip row membership — the same
+    # float-aggregate convention every other oracle follows
     avg_bal = cust.filter(F.col("c_acctbal") > 0.0).select(
-        F.avg("c_acctbal").alias("_avg_bal")
+        F.round(F.avg("c_acctbal"), 4).alias("_avg_bal")
     )
     return (
         cust.crossJoin(F.broadcast(avg_bal))

@@ -22,8 +22,13 @@ from pyspark.sql import SparkSession
 
 def get_spark(app_name: str = "sheets-etl-spark", shuffle_partitions: int | None = None) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # full sanitation, not just for the partition count: a non-numeric
+    # or zero value interpolated into master=local[...] would crash
+    # session construction after the guard "tolerated" it
+    if not cpus.isdigit() or int(cpus) < 1:
+        cpus = "32"
     if shuffle_partitions is None:
-        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+        shuffle_partitions = int(cpus)
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")

@@ -318,3 +318,25 @@ def test_exists_false_for_success_only_dir(spark, tmp_path):
     d.mkdir()
     (d / "_SUCCESS").write_text("")
     assert TargetTable(spark, str(d)).exists() is False
+
+
+def test_after_cursor_matches_source_residual_filter(spark):
+    """S2's DataFrame form and the sources' Python/Drive-query forms
+    implement ONE contract: strictly-newer OR same-timestamp-and-id>=
+    cursor. Pin the DataFrame operator against the fixture source's
+    in-Python filter so the three sites cannot drift silently."""
+    from google_sheets_etl_spark.operators.watermark import after_cursor
+
+    t0, t1 = "2026-01-01T00:00:00Z", "2026-01-02T00:00:00Z"
+    rows = [
+        ("a", t0), ("b", t0), ("c", t0), ("d", t1),
+    ]
+    files = spark.createDataFrame(rows, "id string, modifiedTime string")
+    got = sorted(r["id"] for r in after_cursor(files, t0, "b").collect())
+    assert got == ["b", "c", "d"]  # 'a' is behind the tuple cursor
+
+    src = FixtureSheetSource()
+    for i, ts in rows:
+        src.put_sheet(SpreadsheetMeta(i, ts, i), "S", [["H"]])
+    metas = src.list_spreadsheets(t0, "b", count=10)
+    assert sorted(m.id for m in metas) == got
