@@ -228,3 +228,32 @@ def test_fallback_not_cached(tmp_path):
     pq.write_table(_table(pa.array(_US, pa.timestamp("us"))), path)
     os.utime(path, (time.time() + 5, time.time() + 5))
     assert events_ts_unit(path) == "us"
+
+
+def test_ns_fallback_verified_against_engine(spark, tmp_path, monkeypatch):
+    """When the footer sniff blindly falls back to 'ns' (pyarrow gone,
+    stats missing), the resolver must verify against Spark's own
+    reader instead of reading a microsecond file as nanos (which lands
+    every timestamp in 1970)."""
+    from google_sheets_etl_spark import queries as q
+
+    d = tmp_path / "fbv"
+    d.mkdir()
+    path = str(d / "events.parquet")
+    pq.write_table(_table(pa.array(_US, pa.timestamp("us"))), path)
+    monkeypatch.setattr(q, "events_ts_unit", lambda p: "ns")
+    assert q._resolve_events_unit(spark, path) == "us"
+    df = q.t(spark, str(d), "events")
+    got = sorted(
+        r.us for r in df.selectExpr("unix_micros(ts) AS us").collect()
+    )
+    assert got == sorted(_US)
+    # raw int64 µs with a forced-'ns' sniff: magnitude check fixes it
+    path2_dir = tmp_path / "fbv2"
+    path2_dir.mkdir()
+    pq.write_table(
+        _table(pa.array(_US, pa.int64())), path2_dir / "events.parquet"
+    )
+    assert q._resolve_events_unit(
+        spark, str(path2_dir / "events.parquet")
+    ) == "i64:us"

@@ -91,3 +91,21 @@ def test_fingerprint_stability_and_sensitivity(spark, sheet):
         .otherwise(F.col("cells")),
     )
     assert sheet_fingerprint(padded) != f1
+
+
+def test_fingerprint_invariant_across_shuffle_configs(spark):
+    """The change-detection hash must be one value per CONTENT — not
+    per session config. The per-partition Merkle form broke this (its
+    boundaries moved with spark.sql.shuffle.partitions); the XOR-lane
+    form is structurally layout-free, pinned here."""
+    rows = [(i, [f"a{i}", f"b{i}"]) for i in range(50)]
+    sheet = spark.createDataFrame(rows, "row_idx long, cells array<string>")
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        f_a = sheet_fingerprint(sheet.repartition(13))
+        spark.conf.set("spark.sql.shuffle.partitions", "29")
+        f_b = sheet_fingerprint(sheet.repartition(2))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert f_a == f_b
