@@ -91,7 +91,11 @@ def main() -> None:
                 pass
 
     total = round(sum(timings.values()), 3)
-    out = {
+    # full per-query timings go to a detail file; the stdout line stays
+    # compact (top-10 only) so it fits any driver tail capture —
+    # BENCH_r03 ran clean (rc=0) but its 91-entry single line exceeded
+    # the capture window and parsed as null.
+    detail = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
@@ -99,7 +103,28 @@ def main() -> None:
         "sf": sf,
     }
     if errors:
-        out["errors"] = errors
+        detail["errors"] = errors
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=2, sort_keys=True)
+    except OSError:
+        pass  # read-only checkout: the stdout line still carries the totals
+    top10 = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
+    )
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": top10,
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "sf": sf,
+        "detail": "BENCH_DETAIL.json",
+    }
     print(json.dumps(out))
     spark.stop()
 

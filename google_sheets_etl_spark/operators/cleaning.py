@@ -93,8 +93,11 @@ def span_dedup(
                 {id_col: ids, "span_idx": idxs, "span": spans_out}
             )
 
+    # id field type derived from the input schema (same discipline as
+    # dedup.simhash64) — a string/int doc id must not fail at runtime
+    id_type = docs.schema[id_col].dataType.simpleString()
     spans = docs.select(id_col, text_col).mapInPandas(
-        chop, f"{id_col} long, span_idx int, span string"
+        chop, f"{id_col} {id_type}, span_idx int, span string"
     )
     first = Window.partitionBy(F.md5(F.col("span"))).orderBy(
         F.col(id_col), F.col("span_idx")

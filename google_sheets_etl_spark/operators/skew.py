@@ -28,30 +28,35 @@ def salted_join(
     key: str,
     n_salts: int = 16,
     how: str = "inner",
+    uid_col: str | None = None,
 ) -> DataFrame:
     """Equi-join on ``key`` with the left side's hot keys spread over
     ``n_salts`` partitions. ``how`` must be 'inner' or 'left' (the
     right side is replicated, so right/full-outer multiplicity would
     be wrong).
 
-    The salt mixes a row-content hash with the row's physical position
-    (``monotonically_increasing_id``): content alone would give every
-    EXACT-DUPLICATE row of a hot key the same salt — one reducer again,
-    the precise scenario this operator exists for. Position is not
-    stable across retries, but the salt only chooses PLACEMENT; the
-    join's result rows are identical under any salt assignment, so
-    determinism of output is unaffected."""
+    The salt must be DETERMINISTIC per row: a nondeterministic
+    component (``monotonically_increasing_id``, ``rand``) inside a
+    shuffle partitioning key is the SPARK-23207 bug class — a partial
+    map-stage retry after a fetch failure re-salts the recomputed rows
+    onto different reduce partitions than the surviving map outputs,
+    silently losing or duplicating join rows (Spark only guards its
+    built-in round-robin case, not user expressions).
+
+    Default salt: ``xxhash64`` over the row's full content — stable
+    under any retry. EXACT-duplicate rows of a hot key then share a
+    salt; if your corpus concentrates identical (key, payload) rows,
+    pass ``uid_col`` — a stable, unique, data-derived id column (a
+    primary key, not a generated position) — and the salt hashes that
+    instead, spreading even verbatim duplicates."""
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports how='inner' or 'left' only")
+    salt_src = (
+        [F.col(uid_col)] if uid_col is not None
+        else [F.col(c) for c in left.columns]
+    )
     l_salted = left.withColumn(
-        SALT,
-        F.pmod(
-            F.xxhash64(
-                *[F.col(c) for c in left.columns],
-                F.monotonically_increasing_id(),
-            ),
-            F.lit(n_salts),
-        ),
+        SALT, F.pmod(F.xxhash64(*salt_src), F.lit(n_salts))
     )
     r_salted = right.withColumn(
         SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

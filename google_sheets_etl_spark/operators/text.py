@@ -323,7 +323,7 @@ def vocab_coverage(
        deterministic seeds);
     2. per-partition local scan (Arrow ``mapInPandas``: running
        rank / running sum, carried across batches — narrow, no
-       shuffle), ``localCheckpoint``-ed because it feeds two
+       shuffle), persisted (MEMORY_AND_DISK) because it feeds two
        consumers and the upstream lineage re-explodes the corpus;
     3. per-partition totals → exclusive offsets via a window over
        ONE ROW PER PARTITION (bounded by cluster width, never by
@@ -376,11 +376,17 @@ def vocab_coverage(
     # vocab-sized materialization: consumed by the offsets agg AND the
     # final projection; without it each consumer re-runs the Python
     # scan (and, absent exchange reuse, re-explodes the corpus).
-    # eager=False keeps CONSTRUCTION lazy (building/explaining the
-    # plan costs nothing); the checkpoint lands on the first action,
-    # and within that first job the range exchange is reuse-shared, so
-    # the worst duplicated work is one extra vocab-sized Python scan.
-    scan = scan.localCheckpoint(eager=False)
+    # persist (NOT localCheckpoint): localCheckpoint truncates lineage
+    # into non-replicated executor-local blocks, so at cluster scale a
+    # single executor loss after materialization FAILS the query;
+    # persist keeps the recompute lineage — a lost block re-runs its
+    # partition (deterministic: range boundaries use seeded sampling)
+    # instead of killing the job. Cost of the trade: a recompute
+    # re-explodes the corpus for that partition's lineage; an
+    # infrequent-failure tax vs a guaranteed failure.
+    from pyspark.storagelevel import StorageLevel
+
+    scan = scan.persist(StorageLevel.MEMORY_AND_DISK)
 
     parts = scan.groupBy("_pid").agg(
         F.sum("freq").alias("_psum"), F.count(F.lit(1)).alias("_pcnt")

@@ -36,18 +36,46 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _orderable(dt) -> bool:
+    """Whether a column of this type can appear in an ORDER BY —
+    MapType (at any nesting depth) cannot."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dt, MapType):
+        return False
+    if isinstance(dt, ArrayType):
+        return _orderable(dt.elementType)
+    if isinstance(dt, StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    return True
+
+
 def latest_per_key(batch: DataFrame, key_cols: list[str], seq_col: str) -> DataFrame:
     """Deduplicate a micro-batch to the highest-``seq_col`` row per
-    key. Ties on the sequence column are broken by EVERY remaining
-    column (descending) — ordering by ``seq_col`` alone would let
-    row_number pick whichever row Spark sorted first, and a
+    key. Ties on the sequence column are broken by every remaining
+    ORDERABLE column (descending) — ordering by ``seq_col`` alone would
+    let row_number pick whichever row Spark sorted first, and a
     re-delivered batch could then land a DIFFERENT row, breaking the
-    sink's exactly-once-table-state argument."""
-    tiebreak = [
-        F.col(c).desc()
-        for c in batch.columns
-        if c not in key_cols and c != seq_col
-    ]
+    sink's exactly-once-table-state argument. Non-orderable columns
+    (maps, at any nesting) are excluded from the tie-break rather than
+    throwing AnalysisException; seq ties between rows that differ ONLY
+    in non-orderable columns are resolved arbitrarily-but-
+    deterministically (whichever the orderable-prefix sort ranks
+    first)."""
+    orderable, opaque = [], []
+    for c in batch.columns:
+        if c in key_cols or c == seq_col:
+            continue
+        (orderable if _orderable(batch.schema[c].dataType) else opaque).append(c)
+    tiebreak = [F.col(c).desc() for c in orderable]
+    if opaque:
+        # last resort for rows differing ONLY in map-typed payload:
+        # order by a hash of their JSON serialization (identical
+        # binary rows serialize identically, so a re-delivered batch
+        # ranks them the same way)
+        tiebreak.append(
+            F.xxhash64(F.to_json(F.struct(*[F.col(c) for c in opaque]))).desc()
+        )
     w = Window.partitionBy(*key_cols).orderBy(F.col(seq_col).desc(), *tiebreak)
     return (
         batch.withColumn("_rn", F.row_number().over(w))

@@ -188,9 +188,11 @@ def test_vocab_coverage_distributed_prefix_sum(spark, sf_dir):
     # (the _pid aggregate), bounded by cluster width, never data
     assert "_psum" in plan and "_pcnt" in plan
     assert "BroadcastExchange" in plan  # offsets + totals join broadcast
-    # the local-scan output is checkpointed: the corpus explode is cut
-    # out of the final plan and never recomputed per consumer
-    assert "ExistingRDD" in plan
+    # the local-scan output is persisted (MEMORY_AND_DISK — keeps
+    # recompute lineage, unlike localCheckpoint's executor-local
+    # blocks): both consumers read the cached scan, the corpus explode
+    # runs once
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
 
 
 def test_mixture_weights_single_shuffle(spark, sf_dir):
