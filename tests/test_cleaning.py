@@ -123,3 +123,99 @@ def test_null_text_tolerated_by_python_kernels(spark):
     assert wf[2] == []
     hh = text_ops.heavy_hitter_tokens(docs, k=5).collect()  # no crash
     assert all(r["token"] is not None for r in hh)
+
+
+def _cdc_reference(rows):
+    """Pure-Python replica of span_dedup_cdc semantics (boundary after
+    any token whose md5 starts 0-3; globally-first chunk occurrence by
+    (doc_id, chunk_id); rebuild in chunk order)."""
+    import hashlib
+
+    def chunks_of(text):
+        out, cur = [], []
+        for tok in text.split(" "):
+            cur.append(tok)
+            if hashlib.md5(tok.encode()).hexdigest()[0] in "0123":
+                out.append(" ".join(cur))
+                cur = []
+        if cur:
+            out.append(" ".join(cur))
+        return out
+
+    seen: set[str] = set()
+    result = {}
+    for doc_id, text in sorted(rows):
+        kept = []
+        for ch in chunks_of(text):
+            if ch not in seen:
+                seen.add(ch)
+                kept.append(ch)
+        if kept:
+            result[doc_id] = (" ".join(kept), len(kept))
+    return result
+
+
+def test_span_dedup_cdc_catches_offset_duplicates(spark):
+    """A shared passage offset by 3 tokens (< the 10-token span width):
+    fixed spans are misaligned and dedup NOTHING; content-defined
+    boundaries realign and drop the shared chunks — the round-3 verdict
+    gap this operator closes."""
+    import hashlib
+
+    passage = " ".join(f"w{i}" for i in range(30))
+    # construction sanity: the passage must contain a boundary token
+    # early, or chunks can't realign (P(fail) for 30 random tokens is
+    # 0.75^30; these are fixed tokens, so assert it outright)
+    bpos = [
+        i for i, tok in enumerate(passage.split(" "))
+        if hashlib.md5(tok.encode()).hexdigest()[0] in "0123"
+    ]
+    assert bpos and bpos[0] < 10
+    rows = [(1, passage), (2, "p0 p1 p2 " + passage)]
+
+    # fixed 10-token spans: doc 2's spans are 3-token shifted -> no span
+    # text matches doc 1 -> nothing removed
+    fixed = {
+        r["doc_id"]: r
+        for r in cleaning.span_dedup(_docs(spark, rows), span_tokens=10).collect()
+    }
+    assert fixed[2]["dedup_text"] == "p0 p1 p2 " + passage
+
+    # content-defined chunks: every passage chunk after the first
+    # realignment boundary dedups away
+    cdc = {
+        r["doc_id"]: (r["dedup_text"], r["n_chunks_kept"])
+        for r in cleaning.span_dedup_cdc(_docs(spark, rows)).collect()
+    }
+    assert cdc == _cdc_reference(rows)
+    assert cdc[1][0] == passage                      # first doc intact
+    assert len(cdc[2][0].split(" ")) < 33            # second doc shrank
+    assert cdc[2][0].startswith("p0 p1 p2")
+
+
+def test_span_dedup_cdc_matches_reference_and_string_ids(spark):
+    """Engine output == pure-Python reference on a mixed corpus, and a
+    STRING doc-id schema works (the hard-coded 'long' output schema was
+    a round-3 advisory fix)."""
+    rows = [
+        (1, "a b c d e f g h"),
+        (2, "x y a b c d e f g h"),
+        (3, "a b c d e f g h"),          # exact duplicate -> vanishes
+        (4, "totally novel content here"),
+    ]
+    got = {
+        r["doc_id"]: (r["dedup_text"], r["n_chunks_kept"])
+        for r in cleaning.span_dedup_cdc(_docs(spark, rows)).collect()
+    }
+    assert got == _cdc_reference(rows)
+    assert 3 not in got
+
+    sdocs = spark.createDataFrame(
+        [(f"doc-{i}", t) for i, t in rows], "doc_id string, text string"
+    )
+    sgot = {r["doc_id"] for r in cleaning.span_dedup_cdc(sdocs).collect()}
+    assert "doc-4" in sgot
+    # string ids also exercise the fixed-span kernel's derived schema
+    s_fixed = cleaning.span_dedup(sdocs, span_tokens=2)
+    assert s_fixed.schema["doc_id"].dataType.simpleString() == "string"
+    assert s_fixed.count() > 0

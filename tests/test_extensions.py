@@ -219,3 +219,101 @@ def test_embedding_near_dup_lsh_matches_exact(spark, sf_dir):
         for r in similarity.embedding_near_dup_auto(emb, collect_cap=1).collect()
     }
     assert auto_lsh == exact
+
+
+def test_embedding_near_dup_auto_dispatches_on_footer_stats(spark, sf_dir, monkeypatch):
+    """Dispatch must read parquet footer stats, not run a full count()
+    scan (round-3 verdict): exact estimate on a pure scan/projection,
+    None once a filter makes footers an over-count, and NO count job
+    when footers decide."""
+    from google_sheets_etl_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    assert similarity.estimate_row_count(emb) == n
+    assert similarity.estimate_row_count(emb.select("vec_id", "embedding")) == n
+    assert similarity.estimate_row_count(emb.filter("vec_id > 3")) is None
+    assert similarity.estimate_row_count(emb.limit(5)) is None
+
+    from pyspark.sql import DataFrame
+
+    def boom(self):
+        raise AssertionError("count() ran before dispatch despite footer stats")
+
+    monkeypatch.setattr(DataFrame, "count", boom)
+    # cap below the corpus size -> LSH branch chosen purely from
+    # footers; construction stays lazy (no count, no collect)
+    df = similarity.embedding_near_dup_auto(emb, collect_cap=max(1, n - 1))
+    assert df.columns == ["id_a", "id_b", "cosine_r4"]
+
+
+def _codecs_under_test():
+    from google_sheets_etl_spark.operators import multimodal as mm
+
+    codecs = [mm.StubCodec()]
+    try:
+        from PIL import Image  # noqa: F401
+
+        codecs.append(mm.PilCodec())
+    except ImportError:
+        pass
+    return codecs
+
+
+@pytest.mark.parametrize(
+    "codec", _codecs_under_test(), ids=lambda c: c.name
+)
+def test_codec_contract_features_and_resize(spark, codec):
+    """Both codec implementations must satisfy the MediaCodec contract
+    through the REAL Spark plumbing: normalized features of the right
+    arity, deterministic across calls, and a resize that rewrites the
+    payload + metadata. Runs the PIL branch wherever Pillow exists
+    (stub-only in this container)."""
+    from google_sheets_etl_spark.operators import multimodal as mm
+
+    if codec.name == "pil":
+        import io as _io
+
+        from PIL import Image
+
+        buf = _io.BytesIO()
+        Image.new("RGB", (8, 6), (200, 10, 10)).save(buf, format="PNG")
+        payload = buf.getvalue()
+    else:
+        payload = b"deterministic fake image bytes"
+
+    rows = [(1, "image", bytearray(payload),
+             {"width": 8, "height": 6, "duration_ms": 0,
+              "sample_rate": 0, "format": "png"})]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+
+    feats = mm.image_features(media, n_bins=16, codec=codec).collect()
+    assert len(feats) == 1
+    f = feats[0]["feature"]
+    assert len(f) == 16
+    assert abs(sum(f) - 1.0) < 1e-9
+    assert f == codec.image_features(payload, 16)  # deterministic
+
+    resized = mm.resize_images(media, 4, 3, codec=codec).collect()
+    assert len(resized) == 1
+    assert resized[0]["meta"]["width"] == 4 and resized[0]["meta"]["height"] == 3
+    assert bytes(resized[0]["payload"]) != payload
+    if codec.name == "pil":
+        import io as _io
+
+        from PIL import Image
+
+        out = Image.open(_io.BytesIO(bytes(resized[0]["payload"])))
+        assert out.size == (4, 3)
+
+
+def test_default_codec_selection_matches_environment():
+    from google_sheets_etl_spark.operators import multimodal as mm
+
+    try:
+        from PIL import Image  # noqa: F401
+
+        expected = "pil"
+    except ImportError:
+        expected = "stub"
+    assert mm.default_codec().name == expected

@@ -278,3 +278,29 @@ def test_rolling_7d_is_range_frame_per_user(spark, sf_dir):
     plan = explain_str(QUERIES["user_rolling_7d_activity"](spark, sf_dir))
     assert "RangeFrame" in plan or "RANGE BETWEEN" in plan
     assert "SinglePartition" not in plan
+
+
+def test_incremental_near_dup_corpus_index_aggregated(spark, sf_dir):
+    """The batch-vs-corpus near-dup admission must join the batch's
+    band buckets against a corpus index AGGREGATED TO DISTINCT
+    (band, bucket, id) — never corpus x corpus, never batch x corpus
+    raw — and must contain no cartesian product anywhere."""
+    import re
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    admitted = dedup.incremental_near_dup_admission(
+        corpus=docs.filter(F.col("doc_id") % 10 < 8),
+        batch=docs.filter(F.col("doc_id") % 10 >= 8),
+    )
+    plan = explain_str(admitted)
+    # the candidate join is an EQUI-join on the uniform (band, bucket)
+    # key (broadcast at toy scale; hash-shuffled at index scale —
+    # either way the keys must be the band bucket, not a filter-probe)
+    assert re.search(r"keys \[2\]: \[band#\d+, bucket#\d+", plan, re.I)
+    # the corpus side is reduced to a distinct index before the join:
+    # a HashAggregate keyed on [band, bucket, doc_id] with no functions
+    assert re.search(
+        r"Keys \[3\]: \[doc_id#\d+L?, band#\d+, bucket#\d+", plan
+    ), "corpus (id, band, bucket) distinct-aggregate missing from plan"
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -36,7 +36,11 @@ ROWS_ONLY = sorted(set(entry_mod.queries()) - set(ORACLED))
 # 1.0 at the driver's gate scale (sf0.01) — at sf0.001 the corpus is
 # 10x smaller per bucket and a true neighbor can legitimately miss.
 # Check those at the scale the contract names.
-SF_OVERRIDE = {"ann_lsh_topk": "/root/testdata/sf0.01"}
+SF_OVERRIDE = {
+    "ann_lsh_topk": "/root/testdata/sf0.01",
+    # literal-1.0 recall contract holds at the driver's gate scale
+    "ann_recall_at_k": "/root/testdata/sf0.01",
+}
 
 
 @pytest.mark.parametrize("name", ORACLED)
