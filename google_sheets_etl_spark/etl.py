@@ -12,9 +12,27 @@ hash-check + accounting + delete + insert in one RDBMS transaction
 (``DatabaseAgentMysql.php:195-292``). Across two parquet tables there is
 no multi-table transaction, so the engine makes the data write
 idempotent (dynamic partition overwrite of the job's partition) and
-commits accounting *last*: a crash between the two leaves accounting
-stale → the next run re-loads the same sheet into the same partition
-(harmless) or hash-short-circuits (cheap).
+commits accounting through a PER-JOB COMMIT MANIFEST: after the data
+write, the accounting row is staged as a manifest file whose atomic
+rename is THE commit point; the manifest is then applied to the
+``etl_jobs`` table and cleared. Every crash window resolves to a
+consistent state:
+
+- crash before the manifest rename → accounting is fully-old; the next
+  run re-selects the job and idempotently rewrites the same partition;
+- crash after the rename but before the accounting apply → the next
+  engine startup (``set_up_accounting`` / ``load_updated_spreadsheets``)
+  replays pending manifests, landing accounting fully-new without
+  re-reading the sheet;
+- the apply itself is an idempotent keyed upsert, so replaying an
+  already-applied manifest is a no-op.
+
+Accounting consumers (change filter J2/J3, hash short-circuit U3)
+therefore observe either the fully-old or the fully-new transaction,
+never a torn one — the reference's single-txn guarantee, re-expressed.
+(Manifest files use the same local-fs atomic-``os.replace`` discipline
+as ``StateTable``'s snapshot pointer; on an object store both would
+move to a rename-capable layer together.)
 """
 
 from __future__ import annotations
@@ -118,9 +136,69 @@ class SheetsEtlEngine:
     # -- DDL (U7) ----------------------------------------------------------
 
     def set_up_accounting(self) -> None:
-        """Idempotent accounting DDL (``DatabaseAgentMysql.php:92-127``)."""
+        """Idempotent accounting DDL (``DatabaseAgentMysql.php:92-127``),
+        plus crash recovery: replay any commit manifest a previous run
+        left between its data write and its accounting apply (U6)."""
         self.spreadsheets.create_if_not_exists()
         self.etl_jobs.create_if_not_exists()
+        self._apply_pending_commits()
+
+    # -- U6: per-job commit manifests ---------------------------------------
+
+    def _commits_dir(self) -> str:
+        return os.path.join(self.warehouse, "_commits")
+
+    def _commit_job(self, job_id: int, spreadsheet_id: int, job: EtlJob,
+                    google_modified: str, content_hash: str) -> None:
+        """The load transaction's single commit point: stage the
+        accounting row as a manifest file and atomically rename it into
+        place, THEN apply it to ``etl_jobs``. The rename is what makes
+        the transaction durable — everything before it is invisible to
+        accounting consumers; everything after it is replayable."""
+        import json
+
+        os.makedirs(self._commits_dir(), exist_ok=True)
+        row = {
+            "id": job_id,
+            "spreadsheet_id": spreadsheet_id,
+            "sheet_name": job.sheet_name,
+            "target_table": job.target_table,
+            "google_modified": google_modified,
+            "raw_columns_rows_hash": content_hash,
+        }
+        # one manifest per job id (job_id is unique per (spreadsheet,
+        # sheet)); a newer commit atomically replaces an unapplied older
+        # one, and the keyed upsert makes replays idempotent either way
+        tmp = os.path.join(self._commits_dir(), f"_tmp_commit_{job_id}.json")
+        final = os.path.join(self._commits_dir(), f"commit_{job_id}.json")
+        with open(tmp, "w") as fh:
+            json.dump(row, fh)
+        os.replace(tmp, final)  # atomic on POSIX — the commit point
+        self._apply_pending_commits()
+
+    def _apply_pending_commits(self) -> None:
+        """Fold every committed manifest into ``etl_jobs`` and clear it.
+        Apply-then-delete: a crash between the two replays the same
+        manifest next time, which the keyed upsert absorbs."""
+        import json
+
+        d = self._commits_dir()
+        if not os.path.isdir(d):
+            return
+        names = sorted(n for n in os.listdir(d) if n.startswith("commit_"))
+        if not names:
+            return
+        rows = []
+        for n in names:
+            with open(os.path.join(d, n)) as fh:
+                r = json.load(fh)
+            rows.append((int(r["id"]), int(r["spreadsheet_id"]),
+                         r["sheet_name"], r["target_table"],
+                         r["google_modified"], r["raw_columns_rows_hash"]))
+        updates = self.spark.createDataFrame(rows, ETL_JOBS_SCHEMA)
+        self.etl_jobs.upsert(updates, keys=["spreadsheet_id", "sheet_name"])
+        for n in names:
+            os.remove(os.path.join(d, n))
 
     def target(self, table: str) -> TargetTable:
         return TargetTable(self.spark, self.table_path(table))
@@ -189,7 +267,10 @@ class SheetsEtlEngine:
         return [j for j in jobs if (j.google_spreadsheet_id, j.sheet_name) in keep]
 
     def load_updated_spreadsheets(self, jobs: list[EtlJob]) -> list[LoadResult]:
-        """O2 (``Tasks.php:59-65``)."""
+        """O2 (``Tasks.php:59-65``). Replays pending commit manifests
+        first so the change filter never re-selects a job whose load
+        committed but whose accounting apply was interrupted (U6)."""
+        self._apply_pending_commits()
         return [self.load_sheet(job) for job in self.filter_extractable(jobs)]
 
     # -- O3: per-sheet ETL -------------------------------------------------
@@ -234,7 +315,7 @@ class SheetsEtlEngine:
 
         # U3: hash short-circuit — advance accounting only, skip the load
         if existing is not None and existing["raw_columns_rows_hash"] == content_hash:
-            self._upsert_job_accounting(
+            self._commit_job(
                 int(existing["id"]), int(meta["id"]), job,
                 meta["google_modified"], content_hash)
             return LoadResult(job, True, 0, int(existing["id"]))
@@ -261,17 +342,12 @@ class SheetsEtlEngine:
             self.target(job.target_table).overwrite_job_partition(
                 data, with_rowid=self.rowid)
 
-        # U2/U6: accounting commits LAST
-        self._upsert_job_accounting(
+        # U2/U6: the commit manifest lands LAST — its atomic rename is
+        # the transaction's commit point; the accounting apply it
+        # triggers is replayable from the manifest after any crash
+        self._commit_job(
             etl_job_id, int(meta["id"]), job, meta["google_modified"], content_hash)
         return LoadResult(job, False, rows_loaded, etl_job_id)
-
-    def _upsert_job_accounting(self, job_id: int, spreadsheet_id: int, job: EtlJob,
-                               google_modified: str, content_hash: str) -> None:
-        updates = self.spark.createDataFrame(
-            [(job_id, spreadsheet_id, job.sheet_name, job.target_table,
-              google_modified, content_hash)], ETL_JOBS_SCHEMA)
-        self.etl_jobs.upsert(updates, keys=["spreadsheet_id", "sheet_name"])
 
     # -- O4: access-revocation probe --------------------------------------
 

@@ -340,3 +340,125 @@ def test_after_cursor_matches_source_residual_filter(spark):
         src.put_sheet(SpreadsheetMeta(i, ts, i), "S", [["H"]])
     metas = src.list_spreadsheets(t0, "b", count=10)
     assert sorted(m.id for m in metas) == got
+
+
+def test_crash_between_manifest_and_accounting_heals_to_fully_new(
+    spark, tmp_path, source, jobs, monkeypatch
+):
+    """U6 crash injection, window 2: kill AFTER the data write + commit
+    manifest rename, BEFORE the accounting apply. A fresh engine must
+    replay the manifest: accounting lands fully-new WITHOUT re-reading
+    the sheet, and the next pass change-filters the job out."""
+    from google_sheets_etl_spark.plans.state_table import StateTable
+
+    wh = str(tmp_path / "wh")
+    eng = SheetsEtlEngine(spark, wh, source)
+    eng.set_up_accounting()
+    eng.find_updated_spreadsheets(now=100)
+    eng.load_updated_spreadsheets(jobs)
+    old_jobs = {
+        (r["spreadsheet_id"], r["sheet_name"]): r["raw_columns_rows_hash"]
+        for r in eng.etl_jobs.read().collect()
+    }
+
+    # change a cell, rediscover, then crash inside the accounting apply
+    changed = [row[:] for row in SHEET_A]
+    changed[1][1] = "99"
+    source.put_sheet(
+        SpreadsheetMeta("SSA" + "a" * 41, "2026-01-04T00:00:00.000Z", "Sheet A"),
+        "Tab1", changed,
+    )
+    eng.find_updated_spreadsheets(now=200)
+    real_upsert = StateTable.upsert
+
+    def crash(self, updates, keys):
+        raise RuntimeError("injected crash before accounting apply")
+
+    monkeypatch.setattr(StateTable, "upsert", crash)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        eng.load_updated_spreadsheets(jobs)
+    monkeypatch.setattr(StateTable, "upsert", real_upsert)
+
+    # torn state on disk: data + manifest new, accounting old
+    import os
+
+    assert any(
+        n.startswith("commit_") for n in os.listdir(os.path.join(wh, "_commits"))
+    )
+    torn = SheetsEtlEngine(spark, wh, source)
+    assert {
+        (r["spreadsheet_id"], r["sheet_name"]): r["raw_columns_rows_hash"]
+        for r in torn.etl_jobs.read().collect()
+    } == old_jobs
+
+    # fresh startup heals: accounting fully-new, manifests cleared,
+    # and the job is no longer selected for extraction
+    healed = SheetsEtlEngine(spark, wh, source)
+    healed.set_up_accounting()
+    new_jobs = {
+        (r["spreadsheet_id"], r["sheet_name"]): r["raw_columns_rows_hash"]
+        for r in healed.etl_jobs.read().collect()
+    }
+    changed_key = next(
+        k for k in old_jobs if k[1] == "Tab1"
+    )
+    assert new_jobs[changed_key] != old_jobs[changed_key]
+    assert not any(
+        n.startswith("commit_") for n in os.listdir(os.path.join(wh, "_commits"))
+    )
+    assert healed.filter_extractable(jobs) == []
+    tgt = healed.target("table_a").read()
+    assert tgt.filter("name = 'alice'").first()["amount"] == "99"
+
+
+def test_crash_before_manifest_leaves_fully_old_then_retries(
+    spark, tmp_path, source, jobs, monkeypatch
+):
+    """U6 crash injection, window 1: kill AFTER the data write, BEFORE
+    the manifest rename. Accounting must read fully-OLD (the
+    transaction never committed), and the next run re-selects the job
+    and completes it idempotently."""
+    wh = str(tmp_path / "wh")
+    eng = SheetsEtlEngine(spark, wh, source)
+    eng.set_up_accounting()
+    eng.find_updated_spreadsheets(now=100)
+    eng.load_updated_spreadsheets(jobs)
+    old_jobs = {
+        (r["spreadsheet_id"], r["sheet_name"]): r["raw_columns_rows_hash"]
+        for r in eng.etl_jobs.read().collect()
+    }
+
+    changed = [row[:] for row in SHEET_A]
+    changed[1][1] = "77"
+    source.put_sheet(
+        SpreadsheetMeta("SSA" + "a" * 41, "2026-01-05T00:00:00.000Z", "Sheet A"),
+        "Tab1", changed,
+    )
+    eng.find_updated_spreadsheets(now=300)
+
+    def crash(self, *a, **k):
+        raise RuntimeError("injected crash before manifest rename")
+
+    monkeypatch.setattr(SheetsEtlEngine, "_commit_job", crash)
+    with pytest.raises(RuntimeError, match="before manifest"):
+        eng.load_updated_spreadsheets(jobs)
+    monkeypatch.undo()
+
+    # fully-old accounting: no manifest, hashes unchanged, the job is
+    # still selected for extraction
+    recovered = SheetsEtlEngine(spark, wh, source)
+    recovered.set_up_accounting()
+    assert {
+        (r["spreadsheet_id"], r["sheet_name"]): r["raw_columns_rows_hash"]
+        for r in recovered.etl_jobs.read().collect()
+    } == old_jobs
+    still = recovered.filter_extractable(jobs)
+    assert [(j.google_spreadsheet_id, j.sheet_name) for j in still] == [
+        ("SSA" + "a" * 41, "Tab1")
+    ]
+    # the retry completes the transaction (idempotent partition rewrite)
+    results = recovered.load_updated_spreadsheets(jobs)
+    assert [r.skipped_unchanged for r in results] == [False]
+    tgt = recovered.target("table_a").read()
+    assert tgt.filter("name = 'alice'").first()["amount"] == "77"
+    assert tgt.count() == 3  # partition rewritten, not appended
