@@ -205,3 +205,67 @@ def mixture_weights(
             ).alias("sample_rate"),
         )
     )
+
+
+def pack_context_chunks(
+    docs: DataFrame,
+    ctx_len: int = 64,
+    seq_budget: int = 512,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Context-length packing: split each document into chunks of at
+    most ``ctx_len`` tokens, then pack chunks into training sequences
+    of ``seq_budget`` tokens by a running-sum window per group — the
+    tokenize→chunk→pack pass that turns a curated corpus into
+    fixed-length training sequences (remainder chunks are packed, not
+    dropped).
+
+    Output: one row per chunk — (id, group, chunk_idx, chunk_len,
+    seq). Deterministic: chunk boundaries are arithmetic, sequence
+    assignment is a windowed cumsum over (id, chunk_idx) order.
+
+    Scale shape: the explode is narrow (chunk count = tokens /
+    ctx_len, data volume unchanged); the only shuffle is the packing
+    window, partitioned by ``group_col`` — per-group sequential,
+    groups parallel, same distributed-safe form as
+    :func:`pack_shards`. ``ctx_len`` and ``seq_budget`` must be
+    powers of two: every division in the plan is then exact in
+    binary floating point, so the cast-to-long floor is engine-exact
+    (the ANSI-SQL twin reproduces it bit-for-bit).
+    """
+    if ctx_len & (ctx_len - 1) or seq_budget & (seq_budget - 1):
+        raise ValueError("ctx_len and seq_budget must be powers of two")
+    nt = F.when(F.col(text_col).isNull(), F.lit(0)).otherwise(
+        F.size(F.split(F.col(text_col), " "))
+    )
+    base = docs.select(
+        F.col(id_col), F.col(group_col), nt.cast("long").alias("_nt")
+    )
+    n_chunks = F.greatest(
+        F.lit(1).cast("long"),
+        ((F.col("_nt") + F.lit(ctx_len - 1)) / F.lit(ctx_len)).cast("long"),
+    )
+    chunks = base.withColumn("_nc", n_chunks).select(
+        id_col,
+        group_col,
+        "_nt",
+        "_nc",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.col("_nc") - 1)
+        ).alias("chunk_idx"),
+    )
+    chunk_len = F.when(
+        F.col("chunk_idx") < F.col("_nc") - 1, F.lit(ctx_len).cast("long")
+    ).otherwise(F.col("_nt") - F.lit(ctx_len) * (F.col("_nc") - 1))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(id_col), F.col("chunk_idx"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_len = chunks.withColumn("chunk_len", chunk_len.cast("long"))
+    running = F.sum("chunk_len").over(w)
+    return with_len.withColumn(
+        "seq", ((running - F.col("chunk_len")) / F.lit(seq_budget)).cast("long")
+    ).drop("_nt", "_nc")

@@ -560,3 +560,35 @@ def heavy_hitter_tokens(docs: DataFrame, k: int = 50, text_col: str = "text") ->
         .filter(F.col("freq") * k > F.col("_total"))
         .select("token", "freq")
     )
+
+
+def quality_classifier(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Linear quality classifier over per-doc features (the
+    fasttext-style "keep/drop" scorer every web-scale pipeline runs
+    after heuristic filters), computed INTEGER-EXACT so the decision
+    boundary is engine-reproducible.
+
+    The model is a linear score over ratio features (stopword density,
+    max token length) with fixed published-style weights. Ratios need
+    division; instead the whole inequality is multiplied through by
+    ``n_tokens`` so the score is pure 64-bit integer arithmetic —
+    no float rounding can flip a boundary doc between engines:
+
+        score = 1000·stop_hits − 36·n_tokens − 5·n_tokens·max_tok_len
+        keep  = score ≥ 0     (≈ stop-density ≥ 3.6 % + 0.5 %·max_len)
+
+    Single narrow projection, whole-stage codegen, zero shuffle. NULL
+    text → NULL score, keep = false (never silently "keep").
+    """
+    words = words_of(F.col(text_col))
+    nt = F.size(words).cast("long")
+    sh = stopword_hits(F.col(text_col)).cast("long")
+    mx = F.array_max(F.transform(words, lambda w: F.length(w))).cast("long")
+    score = F.lit(1000) * sh - F.lit(36) * nt - F.lit(5) * nt * mx
+    return docs.select(
+        F.col(id_col),
+        score.alias("quality_score"),
+        F.coalesce(score >= 0, F.lit(False)).alias("keep"),
+    )

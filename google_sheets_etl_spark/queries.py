@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from .functions.textfns import word_shingles, words_of
 from .functions.vectors import cosine_similarity, dot
 from .operators import (
-    asof, cleaning, dedup, multimodal, sampling, similarity,
+    asof, bloom, cleaning, dedup, multimodal, sampling, similarity,
     text as text_ops,
 )
 
@@ -3529,6 +3529,197 @@ def ann_recall_at_k(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(5).cast("int").alias("k"),
         (F.count(F.lit(1)) / F.lit(exact.count())).alias("recall"),
     )
+
+
+@q(
+    "decontaminate_bloom",
+    """WITH s AS (
+         SELECT doc_id, text,
+                CASE WHEN b < 98 THEN 'train'
+                     WHEN b < 99 THEN 'val'
+                     ELSE 'test' END AS split
+         FROM (SELECT doc_id, text,
+                      ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS b
+               FROM documents)),
+       tok AS (SELECT doc_id, split, string_split(text, ' ') AS w FROM s),
+       grams AS (SELECT doc_id, split,
+                        unnest(list_transform(range(1, greatest(len(w) - 3, 1)),
+                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                                    w[i+3] || ' ' || w[i+4])) AS g
+                 FROM tok),
+       tg AS (SELECT DISTINCT g FROM grams WHERE split = 'train')
+       SELECT DISTINCT doc_id, split
+       FROM grams JOIN tg USING (g) WHERE split != 'train'""",
+)
+def decontaminate_bloom(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-accelerated decontamination (operators/bloom.py): the
+    100 TB shape of ``decontaminate_eval``. That query distincts the
+    FULL train-gram set (a corpus-sized shuffle) before the semi-join;
+    here a sparse broadcast Bloom filter of the SMALL eval-gram set
+    prefilters train grams at the scan — pure-JVM broadcast hash
+    joins, so the train side never shuffles — and only the surviving
+    sliver is distinct'd and exact-verified against the eval grams.
+
+    The oracle is the plain exact decontamination SQL: Bloom has no
+    false negatives and the final semi-join removes false positives,
+    so the filter is structurally invisible in the result — same
+    sketch-then-verify contract as ``heavy_hitter_tokens``."""
+    docs = t(spark, sf, "documents")
+    s = sampling.hash_split(docs).select("doc_id", "split", "text")
+    grams = s.withColumn("_w", words_of(F.col("text"))).select(
+        "doc_id", "split",
+        F.explode(word_shingles(F.col("_w"), 5)).alias("g"),
+    )
+    eval_grams = grams.filter(F.col("split") != "train")
+    train_grams = grams.filter(F.col("split") == "train").select("g")
+    filt = bloom.bloom_build(
+        eval_grams.select("g").distinct(), "g", m_bits=1 << 20, k=3
+    )
+    survivors = (
+        bloom.bloom_probe(train_grams, "g", filt, m_bits=1 << 20, k=3)
+        .select("g")
+        .distinct()
+    )
+    return (
+        eval_grams.join(survivors, "g", "left_semi")
+        .select("doc_id", "split")
+        .distinct()
+    )
+
+
+@q(
+    "quality_classifier_score",
+    """WITH f AS (
+         SELECT doc_id,
+                len(string_split(text, ' '))::BIGINT AS nt,
+                len(list_filter(string_split(text, ' '),
+                    w -> list_contains(['the','a','of','and','to','in','is',
+                                        'that','it','for'], w)))::BIGINT AS sh,
+                list_max(list_transform(string_split(text, ' '),
+                                        w -> len(w)))::BIGINT AS mx
+         FROM documents)
+       SELECT doc_id,
+              (1000 * sh - 36 * nt - 5 * nt * mx)::BIGINT AS quality_score,
+              COALESCE((1000 * sh - 36 * nt - 5 * nt * mx) >= 0, FALSE) AS keep
+       FROM f""",
+)
+def quality_classifier_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Linear quality classifier (operators/text.py
+    quality_classifier): fasttext-style keep/drop scoring with the
+    whole inequality multiplied through by n_tokens — pure 64-bit
+    integer arithmetic, no float can flip a boundary doc between
+    engines. One codegen pass, zero shuffle."""
+    return text_ops.quality_classifier(t(spark, sf, "documents"))
+
+
+@q(
+    "context_pack_chunks",
+    """WITH tok AS (
+         SELECT doc_id, source,
+                CASE WHEN text IS NULL THEN 0
+                     ELSE len(string_split(text, ' ')) END::BIGINT AS nt
+         FROM documents),
+       ch AS (SELECT doc_id, source, nt,
+                     greatest(1, (nt + 63) // 64)::BIGINT AS nc
+              FROM tok),
+       rows_ AS (SELECT doc_id, source, nt, nc,
+                        unnest(range(0, nc)) AS chunk_idx
+                 FROM ch),
+       lens AS (SELECT doc_id, source, chunk_idx,
+                       (CASE WHEN chunk_idx < nc - 1 THEN 64
+                             ELSE nt - 64 * (nc - 1) END)::BIGINT AS chunk_len
+                FROM rows_)
+       SELECT doc_id, source, chunk_idx, chunk_len,
+              CAST(FLOOR((SUM(chunk_len) OVER (
+                            PARTITION BY source
+                            ORDER BY doc_id, chunk_idx
+                            ROWS UNBOUNDED PRECEDING) - chunk_len)
+                         / 512.0) AS BIGINT) AS seq
+       FROM lens""",
+)
+def context_pack_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """Context-length packing (operators/sampling.py
+    pack_context_chunks): split docs into ≤64-token chunks, pack
+    chunks into 512-token training sequences via a per-source
+    running-sum window. Narrow explode + one group-partitioned window
+    shuffle; power-of-two budgets keep every division binary-exact."""
+    return sampling.pack_context_chunks(
+        t(spark, sf, "documents"), ctx_len=64, seq_budget=512
+    ).select("doc_id", "source", "chunk_idx", "chunk_len", "seq")
+
+
+@q(
+    "approx_quantile_contract",
+    """SELECT l_returnflag,
+              quantile_cont(l_quantity, 0.25) AS q25,
+              quantile_cont(l_quantity, 0.50) AS q50,
+              quantile_cont(l_quantity, 0.75) AS q75,
+              TRUE AS sketch_ok
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def approx_quantile_contract(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantile-sketch certification row (the ann_recall_at_k pattern
+    applied to percentile_approx): per group, the exact continuous
+    quantiles ARE the result, and ``sketch_ok`` asserts the
+    Greenwald-Khanna sketch's answer lands within the exact values at
+    p ± 0.005 — 50× the sketch's configured 1e-4 rank error, so a
+    pass certifies the sketch and a red row means Spark's sketch
+    violated its own contract. Exact interpolation on small-int
+    quantities with binary-exact fractions (p ∈ {.25,.5,.75}) makes
+    the exact quantiles engine-identical. Single partial-aggregated
+    groupBy — sketches merge map-side; no second scan for the exact
+    path (same aggregate)."""
+    li = t(spark, sf, "lineitem").select("l_returnflag", "l_quantity")
+    qty = F.col("l_quantity")
+    agg = li.groupBy("l_returnflag").agg(
+        F.percentile(qty, F.lit(0.25)).alias("q25"),
+        F.percentile(qty, F.lit(0.50)).alias("q50"),
+        F.percentile(qty, F.lit(0.75)).alias("q75"),
+        F.percentile(qty, F.lit(0.245)).alias("_lo25"),
+        F.percentile(qty, F.lit(0.255)).alias("_hi25"),
+        F.percentile(qty, F.lit(0.495)).alias("_lo50"),
+        F.percentile(qty, F.lit(0.505)).alias("_hi50"),
+        F.percentile(qty, F.lit(0.745)).alias("_lo75"),
+        F.percentile(qty, F.lit(0.755)).alias("_hi75"),
+        F.percentile_approx(qty, F.array(
+            F.lit(0.25), F.lit(0.50), F.lit(0.75)), F.lit(10000)
+        ).alias("_apx"),
+    )
+    ok = (
+        (F.col("_apx")[0] >= F.col("_lo25")) & (F.col("_apx")[0] <= F.col("_hi25"))
+        & (F.col("_apx")[1] >= F.col("_lo50")) & (F.col("_apx")[1] <= F.col("_hi50"))
+        & (F.col("_apx")[2] >= F.col("_lo75")) & (F.col("_apx")[2] <= F.col("_hi75"))
+    )
+    return agg.select(
+        "l_returnflag", "q25", "q50", "q75", ok.alias("sketch_ok")
+    )
+
+
+@q(
+    "hll_distinct_contract",
+    """SELECT o_orderpriority,
+              COUNT(DISTINCT o_custkey)::BIGINT AS exact_distinct,
+              TRUE AS hll_ok
+       FROM orders GROUP BY o_orderpriority""",
+)
+def hll_distinct_contract(spark: SparkSession, sf: str) -> DataFrame:
+    """HyperLogLog certification row: exact distinct customers per
+    order priority, with ``hll_ok`` asserting
+    ``approx_count_distinct`` (rsd = 1 %) lands within ±5 % of exact
+    — 5σ of its configured error, so a red row means the sketch broke
+    its contract, not data drift. Both aggregates share one shuffle
+    (partial-merged map-side); at 100 TB the HLL answer is the one
+    you'd serve, and this row is the standing proof it tracks exact."""
+    o = t(spark, sf, "orders")
+    agg = o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").cast("long").alias("exact_distinct"),
+        F.approx_count_distinct("o_custkey", rsd=0.01).alias("_apx"),
+    )
+    ok = (
+        F.abs(F.col("_apx") - F.col("exact_distinct"))
+        <= F.lit(0.05) * F.col("exact_distinct")
+    )
+    return agg.select("o_orderpriority", "exact_distinct", ok.alias("hll_ok"))
 
 
 def _reorder_for_driver_coverage() -> None:

@@ -169,3 +169,59 @@ def test_heavy_hitters_sketch_equals_exact(spark):
     got = {r["token"]: r["freq"]
            for r in heavy_hitter_tokens(docs_df(spark, rows), k=10).collect()}
     assert got == {"hot1": 300, "hot2": 120}  # total=1020; >102 only
+
+
+def test_quality_classifier_null_and_boundary(spark):
+    from google_sheets_etl_spark.operators.text import quality_classifier
+
+    df = spark.createDataFrame(
+        [(0, "the a of and to in is that it for"),   # all stopwords
+         (1, "zzzzz yyyyy xxxxx wwwww vvvvv"),        # zero stopwords
+         (2, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in quality_classifier(df).collect()}
+    # doc 0: nt=10, sh=10, mx=4 -> 10000 - 360 - 200 = 9440, keep
+    assert out[0]["quality_score"] == 9440 and out[0]["keep"] is True
+    # doc 1: nt=5, sh=0, mx=5 -> 0 - 180 - 125 = -305, drop
+    assert out[1]["quality_score"] == -305 and out[1]["keep"] is False
+    # NULL text: NULL score, keep must be FALSE (never silently kept)
+    assert out[2]["quality_score"] is None and out[2]["keep"] is False
+
+
+def test_pack_context_chunks_invariants(spark):
+    from google_sheets_etl_spark.operators.sampling import pack_context_chunks
+
+    df = spark.createDataFrame(
+        [(0, "s1", " ".join(["w"] * 200)),   # 4 chunks: 64,64,64,8
+         (1, "s1", " ".join(["w"] * 64)),    # exactly one full chunk
+         (2, "s1", "w"),                     # single token
+         (3, "s2", None)],                   # NULL text -> 1 empty chunk
+        "doc_id long, source string, text string",
+    )
+    rows = pack_context_chunks(df, ctx_len=64, seq_budget=128).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # chunk lengths tile the token count, each <= ctx_len
+    assert sorted(r["chunk_len"] for r in by_doc[0]) == [8, 64, 64, 64]
+    assert [r["chunk_len"] for r in by_doc[1]] == [64]
+    assert [r["chunk_len"] for r in by_doc[2]] == [1]
+    assert [r["chunk_len"] for r in by_doc[3]] == [0]
+    # packing: running sum within s1 (doc order 0..2) div 128 ->
+    # chunks at cum starts 0,64,128,192,200,264 -> seqs 0,0,1,1,1,2
+    s1 = sorted(
+        ((r["doc_id"], r["chunk_idx"]), r["seq"])
+        for r in rows if r["source"] == "s1"
+    )
+    assert [s for _, s in s1] == [0, 0, 1, 1, 1, 2]
+
+
+def test_pack_context_chunks_rejects_non_pow2(spark):
+    import pytest as _pytest
+
+    from google_sheets_etl_spark.operators.sampling import pack_context_chunks
+
+    df = spark.createDataFrame([(0, "s", "w")], "doc_id long, source string, text string")
+    with _pytest.raises(ValueError):
+        pack_context_chunks(df, ctx_len=60, seq_budget=512)
