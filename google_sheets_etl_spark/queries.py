@@ -3519,15 +3519,19 @@ def ann_recall_at_k(spark: SparkSession, sf: str) -> DataFrame:
     contract — recall must be exactly 1.0 at the driver's gate scale;
     any bucket-recall regression flips this row red instead of
     silently weakening the ann_lsh_topk check."""
-    exact = cosine_topk(spark, sf)
-    approx = ann_lsh_topk(spark, sf)
-    hits = exact.select("query_id", "neighbor_id").join(
-        approx.select("query_id", "neighbor_id"),
-        on=["query_id", "neighbor_id"], how="left_semi",
+    exact = cosine_topk(spark, sf).select("query_id", "neighbor_id")
+    approx = ann_lsh_topk(spark, sf).select(
+        "query_id", "neighbor_id", F.lit(1).alias("_hit")
     )
-    return hits.agg(
+    # one LEFT join + one aggregate: numerator (matched rows) and
+    # denominator (all exact rows) come out of a single pass, so the
+    # brute-force side is computed once, not once per term
+    joined = exact.join(approx, ["query_id", "neighbor_id"], "left")
+    return joined.agg(
         F.lit(5).cast("int").alias("k"),
-        (F.count(F.lit(1)) / F.lit(exact.count())).alias("recall"),
+        (F.sum(F.coalesce(F.col("_hit"), F.lit(0))) / F.count(F.lit(1))).alias(
+            "recall"
+        ),
     )
 
 
@@ -3705,21 +3709,56 @@ def approx_quantile_contract(spark: SparkSession, sf: str) -> DataFrame:
 def hll_distinct_contract(spark: SparkSession, sf: str) -> DataFrame:
     """HyperLogLog certification row: exact distinct customers per
     order priority, with ``hll_ok`` asserting
-    ``approx_count_distinct`` (rsd = 1 %) lands within ±5 % of exact
+    ``approx_count_distinct`` (rsd = 2 %) lands within ±10 % of exact
     — 5σ of its configured error, so a red row means the sketch broke
-    its contract, not data drift. Both aggregates share one shuffle
-    (partial-merged map-side); at 100 TB the HLL answer is the one
-    you'd serve, and this row is the standing proof it tracks exact."""
+    its contract, not data drift.
+
+    Plan shape: ONE distinct over (priority, custkey) feeds BOTH
+    aggregates — exact distinct becomes a plain count (no Expand
+    rewrite) and HLL is duplicate-insensitive, so sketching the
+    deduped rows is the same sketch cheaper. rsd below 2 % flips
+    Spark's HLL++ into a dense high-precision register path measured
+    ~4× slower here for accuracy this contract doesn't need; at
+    100 TB the HLL answer is the one you'd serve, and this row is the
+    standing proof it tracks exact."""
     o = t(spark, sf, "orders")
-    agg = o.groupBy("o_orderpriority").agg(
-        F.countDistinct("o_custkey").cast("long").alias("exact_distinct"),
-        F.approx_count_distinct("o_custkey", rsd=0.01).alias("_apx"),
+    d = o.select("o_orderpriority", "o_custkey").distinct()
+    agg = d.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("exact_distinct"),
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("_apx"),
     )
     ok = (
         F.abs(F.col("_apx") - F.col("exact_distinct"))
-        <= F.lit(0.05) * F.col("exact_distinct")
+        <= F.lit(0.10) * F.col("exact_distinct")
     )
     return agg.select("o_orderpriority", "exact_distinct", ok.alias("hll_ok"))
+
+
+@q(
+    "streaming_static_enrich",
+    """SELECT c.c_mktsegment AS segment, e.event_type, COUNT(*) AS n
+       FROM events e JOIN customer c ON e.user_id = c.c_custkey
+       GROUP BY 1, 2""",
+)
+def streaming_static_enrich(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAM-STATIC broadcast enrichment, driver-certified: the event
+    stream joins a static dimension (customer segment) micro-batch by
+    micro-batch. Unlike the stream-stream interval join, this join is
+    STATELESS — the static side is a broadcast hash table probed by
+    each batch, no join state, no watermark requirement — which is why
+    stream-static is the preferred shape whenever one side is a slowly
+    changing dim. Windowless grouped counts drained in complete mode;
+    with the full file set available the final state equals the batch
+    join+aggregate, which is the oracle."""
+    stream = _events_stream_adaptive(spark, sf)
+    dim = F.broadcast(
+        t(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    )
+    enriched = stream.join(dim, stream.user_id == dim.c_custkey, "inner")
+    agg = enriched.groupBy(
+        F.col("c_mktsegment").alias("segment"), F.col("event_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return _drain_to_memory(agg, "stream_enrich", "complete")
 
 
 def _reorder_for_driver_coverage() -> None:
