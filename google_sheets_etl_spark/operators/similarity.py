@@ -461,3 +461,67 @@ def recall_at_k(exact: DataFrame, approx: DataFrame, k: int) -> float:
     hits = e.join(a, on=["query_id", "neighbor_id"], how="left_semi").count()
     total = e.count()
     return float("nan") if total == 0 else hits / total
+
+
+def incremental_embedding_admission(
+    corpus: DataFrame,
+    batch: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_bits: int = 2,
+    n_tables: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Batch-vs-corpus embedding near-dup ADMISSION — the embedding
+    member of the incremental trilogy (exact hashes:
+    ``incremental_exact_dedup``; minhash shingles:
+    ``dedup.incremental_near_dup_admission``): a new batch vector is
+    admitted unless some EXISTING corpus vector has cosine ≥
+    ``threshold``.
+
+    Scale shape mirrors the minhash twin: both sides bucket through
+    the same random hyperplanes (narrow numpy kernel), then each
+    (table, bucket) group runs ONE batch×corpus blocked matmul — work
+    is batch-rows × bucket-locality, never corpus×corpus — and only
+    rejected batch ids leave the kernel. The admission anti-join then
+    carries id-sized rows. Candidate recall is the usual
+    (n_bits, n_tables) contract; verification is the exact cosine
+    kernel (round-4 before threshold, same arithmetic as
+    :func:`embedding_near_dup_pairs`), so false bucket collisions are
+    trimmed to truth.
+    """
+    import numpy as np
+    import pandas as pd
+
+    tables = _hyperplanes(dim, n_bits, n_tables, seed)
+    c = _with_lsh_buckets(corpus, id_col, vec_col, "id", "v", tables).withColumn(
+        "side", F.lit("c")
+    )
+    nb = _with_lsh_buckets(batch, id_col, vec_col, "id", "v", tables).withColumn(
+        "side", F.lit("b")
+    )
+
+    def block(pdf: pd.DataFrame) -> pd.DataFrame:
+        is_b = (pdf["side"] == "b").to_numpy()
+        if not is_b.any() or is_b.all():
+            return pd.DataFrame({"rejected_id": np.array([], dtype=np.int64)})
+        bm = np.vstack(pdf["v"][is_b].to_numpy()).astype(np.float64)
+        cm = np.vstack(pdf["v"][~is_b].to_numpy()).astype(np.float64)
+        bn = np.sqrt((bm * bm).sum(axis=1))
+        cn = np.sqrt((cm * cm).sum(axis=1))
+        cos = np.round((bm @ cm.T) / np.outer(bn, cn), 4)
+        hit = (cos >= threshold).any(axis=1)
+        return pd.DataFrame(
+            {"rejected_id": pdf["id"][is_b].to_numpy()[hit].astype(np.int64)}
+        )
+
+    rejected = (
+        c.unionByName(nb)
+        .groupBy("t", "b")
+        .applyInPandas(block, "rejected_id long")
+        .dropDuplicates(["rejected_id"])
+        .withColumnRenamed("rejected_id", id_col)
+    )
+    return batch.select(id_col).join(rejected, id_col, "left_anti")

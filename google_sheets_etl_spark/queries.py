@@ -3735,6 +3735,35 @@ def hll_distinct_contract(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "incremental_embedding_admission",
+    """SELECT b.vec_id FROM embeddings b
+       WHERE b.vec_id % 10 >= 8
+         AND NOT EXISTS (
+               SELECT 1 FROM embeddings c
+               WHERE c.vec_id % 10 < 8
+                 AND ROUND(list_dot_product(b.embedding, c.embedding) /
+                       (sqrt(list_dot_product(b.embedding, b.embedding)) *
+                        sqrt(list_dot_product(c.embedding, c.embedding))),
+                       4) >= 0.45)""",
+)
+def incremental_embedding_admission(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding member of the incremental-admission trilogy
+    (operators/similarity.py): a new batch (vec_id%10 ∈ {8,9}) is
+    admitted unless a corpus vector (vec_id%10 < 8) is cosine-≥0.45
+    close. LSH-bucketed batch×corpus blocked matmul — never
+    corpus×corpus — with exact round-4 cosine verify; the oracle is
+    the exact brute-force admission set, equal because pair recall at
+    (2 bits, 16 tables) is ~1 at gate scale and the verify trims
+    candidates to truth."""
+    emb = t(spark, sf, "embeddings")
+    return similarity.incremental_embedding_admission(
+        corpus=emb.filter(F.col("vec_id") % 10 < 8),
+        batch=emb.filter(F.col("vec_id") % 10 >= 8),
+        threshold=0.45,
+    )
+
+
+@q(
     "streaming_static_enrich",
     """SELECT c.c_mktsegment AS segment, e.event_type, COUNT(*) AS n
        FROM events e JOIN customer c ON e.user_id = c.c_custkey

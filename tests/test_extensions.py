@@ -317,3 +317,29 @@ def test_default_codec_selection_matches_environment():
     except ImportError:
         expected = "stub"
     assert mm.default_codec().name == expected
+
+
+def test_incremental_embedding_admission_planted(spark):
+    from google_sheets_etl_spark.operators.similarity import (
+        incremental_embedding_admission,
+    )
+
+    dim = 64
+    base = [1.0] + [0.0] * (dim - 1)
+    near = [1.0, 0.05] + [0.0] * (dim - 2)       # cos ~0.999 vs base
+    ortho = [0.0, 0.0, 1.0] + [0.0] * (dim - 3)  # cos 0 vs base
+    corpus = spark.createDataFrame(
+        [(0, base)], "vec_id long, embedding array<float>"
+    )
+    batch = spark.createDataFrame(
+        [(8, near), (9, ortho)], "vec_id long, embedding array<float>"
+    )
+    got = sorted(
+        r["vec_id"]
+        for r in incremental_embedding_admission(
+            corpus, batch, threshold=0.45, dim=dim
+        ).collect()
+    )
+    # the near-duplicate of a corpus vector is rejected; the
+    # orthogonal newcomer is admitted
+    assert got == [9]
