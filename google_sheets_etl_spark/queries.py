@@ -3735,6 +3735,245 @@ def hll_distinct_contract(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "q2_min_cost_supplier",
+    """WITH costs AS (
+         SELECT l.l_partkey, s.s_suppkey,
+                l.l_extendedprice / l.l_quantity AS unit_cost
+         FROM lineitem l
+              JOIN supplier s ON l.l_suppkey = s.s_suppkey
+              JOIN nation n ON s.s_nationkey = n.n_nationkey
+              JOIN region r ON n.n_regionkey = r.r_regionkey
+              JOIN part p ON l.l_partkey = p.p_partkey
+         WHERE r.r_name = 'EUROPE' AND p.p_type = 'ECONOMY'),
+       ranked AS (
+         SELECT l_partkey, s_suppkey, unit_cost,
+                ROW_NUMBER() OVER (PARTITION BY l_partkey
+                                   ORDER BY unit_cost, s_suppkey) AS rk
+         FROM costs)
+       SELECT l_partkey AS p_partkey, s_suppkey AS best_suppkey,
+              ROUND(unit_cost, 4) AS min_unit_cost
+       FROM ranked WHERE rk = 1""",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted: no partsupp table ships, lineitem
+    unit price plays supply cost): for each EUROPE-sourced ECONOMY
+    part, the supplier with the minimum unit cost. All dims broadcast
+    onto one fact scan; the argmin is ``min(struct(cost, suppkey))``
+    — a partial-aggregated groupBy with the suppkey tie-break inside
+    the struct ordering, NOT a per-part window (no second shuffle).
+    IEEE division is bit-identical across engines, so ordering on the
+    raw quotient matches the oracle's window; rounding happens only
+    at output."""
+    li = t(spark, sf, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    s = t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf, "nation").select("n_nationkey", "n_regionkey")
+    r = t(spark, sf, "region").filter(F.col("r_name") == "EUROPE").select(
+        "r_regionkey"
+    )
+    p = t(spark, sf, "part").filter(F.col("p_type") == "ECONOMY").select(
+        "p_partkey"
+    )
+    euro_supp = F.broadcast(
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select("s_suppkey")
+    )
+    costs = (
+        li.join(euro_supp, li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(
+            "l_partkey",
+            "s_suppkey",
+            (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"),
+        )
+    )
+    best = costs.groupBy("l_partkey").agg(
+        F.min(F.struct("unit_cost", "s_suppkey")).alias("_best")
+    )
+    return best.select(
+        F.col("l_partkey").alias("p_partkey"),
+        F.col("_best.s_suppkey").alias("best_suppkey"),
+        F.round(F.col("_best.unit_cost"), 4).alias("min_unit_cost"),
+    )
+
+
+@q(
+    "q11_value_concentration",
+    """WITH v AS (
+         SELECT l.l_partkey,
+                SUM(l.l_extendedprice * (1 - l.l_discount)) AS val
+         FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+              JOIN nation n ON s.s_nationkey = n.n_nationkey
+         WHERE n.n_name = 'NATION_3'
+         GROUP BY l.l_partkey)
+       SELECT l_partkey, ROUND(val, 2) AS part_value
+       FROM v
+       WHERE val > (SELECT ROUND(SUM(val) * 0.002, 4) FROM v)""",
+)
+def q11_value_concentration(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part value for one nation's suppliers,
+    kept where it exceeds a fraction of the nation's total — the
+    HAVING-against-scalar-aggregate pattern. The scalar total is an
+    empty-frame window SUM over the SAME aggregate output (one fact
+    scan, one shuffle; the global window sees one row per part, never
+    lineitem rows — q15's discipline). The threshold is rounded to 4
+    decimals in both engines before the strict compare so sum-order
+    ulp noise can't flip a boundary part."""
+    li = t(spark, sf, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf, "nation").filter(F.col("n_name") == "NATION_3").select(
+        "n_nationkey"
+    )
+    nat_supp = F.broadcast(
+        s.join(F.broadcast(n), s.s_nationkey == F.col("n_nationkey")).select(
+            "s_suppkey"
+        )
+    )
+    v = (
+        li.join(nat_supp, li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("val")
+        )
+    )
+    w = Window.partitionBy()
+    return (
+        v.withColumn("_thr", F.round(F.sum("val").over(w) * 0.002, 4))
+        .filter(F.col("val") > F.col("_thr"))
+        .select("l_partkey", F.round("val", 2).alias("part_value"))
+    )
+
+
+@q(
+    "q16_supplier_cnt",
+    """SELECT p.p_brand, p.p_size,
+              COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+       FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+       WHERE p.p_type <> 'MEDIUM'
+         AND l.l_suppkey NOT IN
+             (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+       GROUP BY p.p_brand, p.p_size""",
+)
+def q16_supplier_cnt(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute
+    group, minus an excluded supplier set (negative balance plays the
+    reference's complaints filter; empty at sf0.001, populated at the
+    sf0.01 gate — both are correct NOT-IN semantics). The exclusion
+    is a broadcast anti-join on the fact before the join to the part
+    dim; count-distinct shuffles once on the uniform group key."""
+    p = t(spark, sf, "part").filter(F.col("p_type") != "MEDIUM").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    li = t(spark, sf, "lineitem").select("l_partkey", "l_suppkey")
+    bad = t(spark, sf, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    kept = li.join(
+        F.broadcast(bad), li.l_suppkey == F.col("s_suppkey"), "left_anti"
+    )
+    return (
+        kept.join(F.broadcast(p), kept.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@q(
+    "q20_part_promotion",
+    """SELECT s.s_suppkey, s.s_name
+       FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+       WHERE r.r_name = 'ASIA'
+         AND s.s_suppkey IN
+             (SELECT l.l_suppkey
+              FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+              WHERE p.p_name LIKE '%widget'
+              GROUP BY l.l_suppkey, l.l_partkey
+              HAVING SUM(l.l_quantity) > 50)""",
+)
+def q20_part_promotion(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q20 shape: the nested semi-join chain — suppliers in a
+    region having shipped > 50 units of some widget part. The inner
+    aggregate groups the fact on (suppkey, partkey) after a broadcast
+    part-name filter; quantities are integral doubles so the HAVING
+    sum is exact (no float boundary). The outer side is dim-sized and
+    semi-joins the distinct qualifying suppliers — the fact never
+    joins the supplier table."""
+    s = t(spark, sf, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = t(spark, sf, "nation").select("n_nationkey", "n_regionkey")
+    r = t(spark, sf, "region").filter(F.col("r_name") == "ASIA").select(
+        "r_regionkey"
+    )
+    p = t(spark, sf, "part").filter(F.col("p_name").like("%widget")).select(
+        "p_partkey"
+    )
+    li = t(spark, sf, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
+    qualifying = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .filter(F.col("_q") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    asia = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select("s_suppkey", "s_name")
+    )
+    return asia.join(
+        qualifying, asia.s_suppkey == qualifying.l_suppkey, "left_semi"
+    )
+
+
+@q(
+    "events_session_window_builtin",
+    """WITH marked AS (
+         SELECT user_id, event_id, ts,
+                CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 1800000000
+                     OR LAG(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       islands AS (
+         SELECT user_id,
+                SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS island
+         FROM marked),
+       per_island AS (
+         SELECT user_id, island, COUNT(*) AS n_events
+         FROM islands GROUP BY user_id, island)
+       SELECT user_id, COUNT(*) AS n_sessions,
+              MAX(n_events) AS max_session_events
+       FROM per_island GROUP BY user_id""",
+)
+def events_session_window_builtin(spark: SparkSession, sf: str) -> DataFrame:
+    """Sessionization through Spark's BUILT-IN ``session_window``
+    aggregate (the engine-native path, vs ``events_sessionize``'s
+    lag-window formulation and ``streaming_sessionize_stateful``'s
+    custom state operator — three independent implementations of the
+    same semantics, each oracled): groupBy(user, session_window)
+    merges events whose windows overlap, i.e. a NEW session starts
+    when the gap is ≥ 30 min (window end is exclusive — hence the
+    oracle's ``>=`` where the lag twin uses ``>``; the two agree
+    except on exact-boundary gaps). One shuffle on the user key; the
+    per-user session merge is the aggregate's own state, never a
+    global sort."""
+    e = t(spark, sf, "events").select("user_id", "ts")
+    per_session = e.groupBy(
+        "user_id", F.session_window("ts", "30 minutes")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("n_events").alias("max_session_events"),
+    )
+
+
+@q(
     "incremental_embedding_admission",
     """SELECT b.vec_id FROM embeddings b
        WHERE b.vec_id % 10 >= 8

@@ -304,3 +304,20 @@ def test_incremental_near_dup_corpus_index_aggregated(spark, sf_dir):
     ), "corpus (id, band, bucket) distinct-aggregate missing from plan"
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_decontaminate_bloom_probes_without_shuffling_train(spark, sf_dir):
+    """The Bloom decontamination's train-gram side must reach the
+    probe joins as BroadcastHashJoins — three of them (k=3) — so the
+    corpus-sized gram stream is filtered before any exchange ever
+    sees it. Losing these to a shuffle join would reintroduce the
+    corpus-sized distinct that the query exists to avoid."""
+    plan = explain_str(QUERIES["decontaminate_bloom"](spark, sf_dir))
+    n_bhj = sum(
+        1
+        for line in plan.splitlines()
+        if line.startswith("(") and "BroadcastHashJoin" in line
+    )
+    assert n_bhj >= 3
+    # the bitmask residual rides the join condition, not a post-filter
+    assert plan.count("Join condition") >= 3 and "& " in plan
