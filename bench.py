@@ -35,7 +35,7 @@ EXCLUDE = {"near_dup_jaccard_exact", "dedup_clusters_exact",
            "streaming_hourly_counts", "etl_lifecycle_target",
            "compaction_lifecycle", "streaming_upsert_latest_wins",
            "streaming_sessionize_stateful", "streaming_dedup_watermark",
-           "streaming_interval_join",
+           "streaming_interval_join", "streaming_static_enrich",
            # rewrites two bucketed tables per call (pay-shuffle-once
            # WRITE path); the exchange-free join property is plan-
            # asserted in-function and in tests

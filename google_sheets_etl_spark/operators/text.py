@@ -592,3 +592,71 @@ def quality_classifier(
         score.alias("quality_score"),
         F.coalesce(score >= 0, F.lit(False)).alias("keep"),
     )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 retrieval scoring of every document against a fixed query
+    term set — the ranking function behind corpus search / example
+    retrieval passes. LOG-FREE formulation: classic BM25's
+    ``ln((N-df+0.5)/(df+0.5))`` is replaced by the rational inside the
+    log. The rational is a strictly monotone transform of the IDF, so
+    per-term weights preserve BM25's ordering while every arithmetic
+    step stays IEEE-deterministic (divisions and multiplies are
+    correctly rounded; transcendental libm calls are not guaranteed
+    bit-equal across engines, which would poison an exact oracle).
+
+    Two scans only: one tiny aggregate row (N, per-term df, avg doc
+    length — exact integer sums, so the average is bit-identical in
+    any engine) cross-joined back as a broadcast, then one codegen
+    pass computing per-term scores summed in fixed left-assoc order.
+    Scale: the stats row is O(1), the scoring pass is narrow — no
+    shuffle of the corpus at any size.
+    """
+    words = words_of(F.col(text_col))
+    dl = F.size(words).cast("long")
+
+    def _tf(term: str, i: int):
+        # single-arg lambda: a two-arg lambda would make F.filter pass
+        # the ELEMENT INDEX as the second argument (Spark HOF calling
+        # convention), silently comparing tokens to positions
+        return (
+            F.size(F.filter(words, lambda w: w == F.lit(term)))
+            .cast("long")
+            .alias(f"_tf{i}")
+        )
+
+    base = docs.select(
+        F.col(id_col),
+        dl.alias("_dl"),
+        *[_tf(term, i) for i, term in enumerate(terms)],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.avg("_dl").alias("_avgdl"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    score = None
+    for i in range(len(terms)):
+        tf = F.col(f"_tf{i}").cast("double")
+        idf = (F.col("_n") - F.col(f"_df{i}") + F.lit(0.5)) / (
+            F.col(f"_df{i}") + F.lit(0.5)
+        )
+        den = tf + F.lit(k1) * (
+            F.lit(1.0 - b) + (F.lit(b) * F.col("_dl")) / F.col("_avgdl")
+        )
+        s = idf * ((tf * F.lit(k1 + 1.0)) / den)
+        score = s if score is None else score + s
+    return scored.select(
+        F.col(id_col), F.round(score, 4).alias("bm25")
+    )

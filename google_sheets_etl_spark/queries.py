@@ -3734,6 +3734,111 @@ def hll_distinct_contract(spark: SparkSession, sf: str) -> DataFrame:
     return agg.select("o_orderpriority", "exact_distinct", ok.alias("hll_ok"))
 
 
+_BM25_TERMS = ["spark", "window", "merge"]
+
+
+def _bm25_oracle(terms: list[str], k1: float = 1.2, b: float = 0.75) -> str:
+    """DuckDB twin of text_ops.bm25_scores. Every literal is cast to
+    DOUBLE (DuckDB parses bare decimals as DECIMAL, whose arithmetic
+    is not IEEE and would diverge from Spark's double path); term
+    scores are summed in the same left-assoc order."""
+    tf_cols = ",\n         ".join(
+        f"len(list_filter(string_split(text, ' '), w -> w = '{t}'))::BIGINT"
+        f" AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END)::BIGINT AS df{i}"
+        for i in range(len(terms))
+    )
+    parts = []
+    for i in range(len(terms)):
+        idf = (
+            f"((CAST(n AS DOUBLE) - CAST(df{i} AS DOUBLE) +"
+            f" CAST(0.5 AS DOUBLE)) / (CAST(df{i} AS DOUBLE) +"
+            f" CAST(0.5 AS DOUBLE)))"
+        )
+        den = (
+            f"(CAST(tf{i} AS DOUBLE) + CAST({k1} AS DOUBLE) *"
+            f" (CAST({1.0 - b} AS DOUBLE) + (CAST({b} AS DOUBLE) *"
+            f" CAST(dl AS DOUBLE)) / avgdl))"
+        )
+        parts.append(
+            f"({idf} * ((CAST(tf{i} AS DOUBLE) *"
+            f" CAST({k1 + 1.0} AS DOUBLE)) / {den}))"
+        )
+    total = parts[0]
+    for p in parts[1:]:
+        total = f"({total} + {p})"
+    return f"""
+WITH base AS (
+  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS dl,
+         {tf_cols}
+  FROM documents),
+ st AS (SELECT COUNT(*)::BIGINT AS n, AVG(dl) AS avgdl, {df_cols}
+        FROM base)
+SELECT doc_id, ROUND({total}, 4) AS bm25 FROM base, st"""
+
+
+@q("bm25_retrieval_scores", _bm25_oracle(_BM25_TERMS))
+def bm25_retrieval_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 scoring of the corpus against a fixed query (operators/
+    text.py bm25_scores): log-free monotone IDF keeps every step
+    IEEE-deterministic so the oracle is exact. One O(1) stats row
+    broadcast back over a narrow scoring pass — no corpus shuffle."""
+    return text_ops.bm25_scores(t(spark, sf, "documents"), _BM25_TERMS)
+
+
+def _spread16_sql(e: str) -> str:
+    """ANSI-SQL twin of layout._spread16: same magic-mask composition,
+    semantics identical on BIGINT in DuckDB and Spark."""
+    x = f"({e} & 65535)"
+    for shift, mask in [
+        (8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555),
+    ]:
+        x = f"((({x} | ({x} << {shift}))) & {mask})"
+    return x
+
+
+_ZORDER_ORACLE = f"""
+WITH b AS (
+  SELECT MIN(l_orderkey) AS minx, MAX(l_orderkey) AS maxx,
+         MIN(l_partkey) AS miny, MAX(l_partkey) AS maxy
+  FROM lineitem),
+ nrm AS (
+  SELECT l_orderkey, l_partkey,
+         ((l_orderkey - minx) * 65535) // greatest(maxx - minx, 1) AS xn,
+         ((l_partkey - miny) * 65535) // greatest(maxy - miny, 1) AS yn
+  FROM lineitem, b),
+ z AS (
+  SELECT l_orderkey, l_partkey,
+         ({_spread16_sql('xn')} |
+          ({_spread16_sql('yn')} << 1)) AS zkey
+  FROM nrm)
+SELECT zkey >> 26 AS file_id, COUNT(*) AS n_rows,
+       MIN(l_orderkey) AS min_l_orderkey, MAX(l_orderkey) AS max_l_orderkey,
+       MIN(l_partkey) AS min_l_partkey, MAX(l_partkey) AS max_l_partkey
+FROM z GROUP BY 1"""
+
+
+@q("zorder_layout_stats", _ZORDER_ORACLE)
+def zorder_layout_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-order (Morton) layout simulation (operators/layout.py): rows
+    range-bucketed by the top 6 bits of the interleaved
+    (l_orderkey, l_partkey) key, per-file footer-style stats out —
+    the min/max spans that make filters on EITHER column skip files,
+    which a linear sort gives only to its leading column. Closed-form
+    bit-twiddling, whole-stage codegen, one aggregate shuffle."""
+    from .operators import layout
+
+    return layout.zorder_file_stats(
+        t(spark, sf, "lineitem").select("l_orderkey", "l_partkey"),
+        "l_orderkey",
+        "l_partkey",
+        file_bits=6,
+    )
+
+
 @q(
     "q2_min_cost_supplier",
     """WITH costs AS (

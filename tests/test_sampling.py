@@ -225,3 +225,33 @@ def test_pack_context_chunks_rejects_non_pow2(spark):
     df = spark.createDataFrame([(0, "s", "w")], "doc_id long, source string, text string")
     with _pytest.raises(ValueError):
         pack_context_chunks(df, ctx_len=60, seq_budget=512)
+
+
+def test_zorder_files_bound_both_dims(spark):
+    from google_sheets_etl_spark.operators.layout import zorder_file_stats
+
+    n = 1 << 12
+    side = 1 << 6  # 64x64 grid of (x, y)
+    grid = spark.range(n).selectExpr(
+        "CAST(id % 64 AS BIGINT) AS x", "CAST(id / 64 AS BIGINT) AS y"
+    )
+    stats = zorder_file_stats(grid, "x", "y", file_bits=4).collect()
+    assert sum(r["n_rows"] for r in stats) == n
+    # 16 files over a 64x64 grid: top 4 morton bits fix 2 top bits of
+    # each normalized dim -> every file is a quarter-by-quarter tile;
+    # BOTH dims bounded at ~side/4, never one full-width stripe
+    for r in stats:
+        assert r["max_x"] - r["min_x"] <= 16
+        assert r["max_y"] - r["min_y"] <= 16
+
+
+def test_bm25_orders_by_term_presence(spark):
+    from google_sheets_etl_spark.operators.text import bm25_scores
+
+    df = spark.createDataFrame(
+        [(0, "spark spark table"), (1, "spark table row"), (2, "table row agg")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["bm25"] for r in bm25_scores(df, ["spark"]).collect()}
+    # doc 0 (tf=2) > doc 1 (tf=1) > doc 2 (tf=0, score exactly 0)
+    assert out[0] > out[1] > out[2] == 0.0
