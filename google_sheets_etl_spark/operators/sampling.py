@@ -269,3 +269,52 @@ def pack_context_chunks(
     return with_len.withColumn(
         "seq", ((running - F.col("chunk_len")) / F.lit(seq_budget)).cast("long")
     ).drop("_nt", "_nc")
+
+
+def mixture_weights_temperature(
+    docs: DataFrame,
+    key_col: str = "lang",
+    size_col: str = "n_chars",
+) -> DataFrame:
+    """Temperature-based mixture planning at T = 2 (α = 1/2): target
+    share ∝ sqrt(actual share) — the standard softening between
+    proportional (α=1) and uniform (α=0) sampling used for
+    multilingual / multi-domain training mixes. α = 1/2 specifically
+    because ``sqrt`` is IEEE-correctly-rounded (bit-identical in any
+    engine) while a general ``pow`` is not — the one temperature with
+    an exact cross-engine oracle.
+
+    rate_k = min(1, c · sqrt(s_k) / s_k) with c = Σ s_j / Σ √(s_j·Σ s_j)
+    normalized so expected sampled size sums to the original total.
+    Same plan as :func:`mixture_weights`: one low-cardinality
+    aggregate + a 1-row broadcast; rates rounded to 6 dp."""
+    per_key = docs.groupBy(key_col).agg(
+        F.sum(F.col(size_col).cast("long")).alias("domain_size")
+    )
+    # target_share_k = sqrt(size_k) / Σ sqrt(size_j); expected kept
+    # size under rate_k = rate·size, so rate_k = total·target_k/size_k
+    totals = per_key.agg(
+        F.sum("domain_size").alias("_total"),
+        F.sum(F.sqrt(F.col("domain_size").cast("double"))).alias("_sq_total"),
+    )
+    return (
+        per_key.crossJoin(F.broadcast(totals))
+        .select(
+            key_col,
+            "domain_size",
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    (
+                        F.col("_total")
+                        * (
+                            F.sqrt(F.col("domain_size").cast("double"))
+                            / F.col("_sq_total")
+                        )
+                    )
+                    / F.col("domain_size"),
+                ),
+                6,
+            ).alias("sample_rate"),
+        )
+    )

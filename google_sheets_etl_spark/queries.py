@@ -3734,6 +3734,73 @@ def hll_distinct_contract(spark: SparkSession, sf: str) -> DataFrame:
     return agg.select("o_orderpriority", "exact_distinct", ok.alias("hll_ok"))
 
 
+@q(
+    "mixture_weights_temperature",
+    """WITH per_key AS (
+         SELECT lang, SUM(n_chars)::BIGINT AS domain_size
+         FROM documents GROUP BY lang),
+       tot AS (SELECT SUM(domain_size)::BIGINT AS total,
+                      SUM(sqrt(CAST(domain_size AS DOUBLE))) AS sq_total
+               FROM per_key)
+       SELECT lang, domain_size,
+              ROUND(LEAST(CAST(1.0 AS DOUBLE),
+                    (CAST(total AS DOUBLE) *
+                     (sqrt(CAST(domain_size AS DOUBLE)) / sq_total))
+                    / CAST(domain_size AS DOUBLE)), 6) AS sample_rate
+       FROM per_key, tot""",
+)
+def mixture_weights_temperature(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-2 (α = 1/2) mixture planning (operators/sampling.py
+    mixture_weights_temperature): target share ∝ sqrt(actual) — the
+    multilingual-training softening between proportional and uniform.
+    α = 1/2 because sqrt is IEEE-correctly-rounded (exact oracle)
+    where general pow is not. One low-cardinality aggregate + 1-row
+    broadcast."""
+    return sampling.mixture_weights_temperature(t(spark, sf, "documents"))
+
+
+@q(
+    "bpe_pair_count_step",
+    """WITH wf AS (
+         SELECT w AS word, COUNT(*)::BIGINT AS freq
+         FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         WHERE len(w) >= 2 GROUP BY w),
+       pairs AS (
+         SELECT substr(word, i, 2) AS pair, freq
+         FROM wf, unnest(range(1, len(word))) AS t(i)),
+       pc AS (SELECT pair, SUM(freq)::BIGINT AS pair_count
+              FROM pairs GROUP BY pair)
+       SELECT pair, pair_count FROM pc
+       ORDER BY pair_count DESC, pair LIMIT 10""",
+)
+def bpe_pair_count_step(spark: SparkSession, sf: str) -> DataFrame:
+    """One BPE-training iteration's core computation at corpus scale:
+    adjacent symbol-pair counts weighted by word frequency, top-10
+    candidates for the next merge (deterministic count-then-pair
+    tie-break). Plan: token explode → word-frequency aggregate (the
+    vocabulary-sized table a real BPE trainer keeps between merges) →
+    narrow position explode over the VOCABULARY (not the corpus — the
+    frequency table is what makes BPE training tractable at 100 TB)
+    → pair aggregate → TakeOrderedAndProject. Every shuffle key is
+    uniform (word / pair strings)."""
+    docs = t(spark, sf, "documents")
+    words = docs.select(
+        F.explode(words_of(F.col("text"))).alias("word")
+    ).filter(F.length("word") >= 2)
+    wf = words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    pairs = wf.select(
+        F.explode(
+            F.sequence(F.lit(1), F.length("word") - 1)
+        ).alias("i"),
+        "word",
+        "freq",
+    ).select(
+        F.col("word").substr(F.col("i"), F.lit(2)).alias("pair"), F.col("freq")
+    )
+    pc = pairs.groupBy("pair").agg(F.sum("freq").alias("pair_count"))
+    return pc.orderBy(F.desc("pair_count"), F.asc("pair")).limit(10)
+
+
 _BM25_TERMS = ["spark", "window", "merge"]
 
 

@@ -321,3 +321,27 @@ def test_decontaminate_bloom_probes_without_shuffling_train(spark, sf_dir):
     assert n_bhj >= 3
     # the bitmask residual rides the join condition, not a post-filter
     assert plan.count("Join condition") >= 3 and "& " in plan
+
+
+def test_q2_argmin_is_aggregate_not_window(spark, sf_dir):
+    """q2's per-part argmin must be the struct-min AGGREGATE (one
+    partial-agg shuffle on l_partkey) with every dim broadcast — a
+    window formulation would shuffle the joined fact twice and sort
+    per part."""
+    plan = explain_str(QUERIES["q2_min_cost_supplier"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    assert "partial_min" in plan  # map-side combine of the struct min
+
+
+def test_zorder_single_aggregate_exchange(spark, sf_dir):
+    """The z-order layout audit is a narrow key computation plus ONE
+    aggregate shuffle on file_id (the O(1) bounds row broadcasts
+    back); a second data-scale exchange means the normalization
+    joined wrong."""
+    plan = explain_str(QUERIES["zorder_layout_stats"](spark, sf_dir))
+    # formatted explain puts the partitioning in an Arguments: line
+    n_hash_exchanges = plan.count("Arguments: hashpartitioning(file_id")
+    assert n_hash_exchanges == 1
+    assert plan.count("Arguments: hashpartitioning") == 1
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
