@@ -217,3 +217,52 @@ def payload_stats(media: DataFrame) -> DataFrame:
         F.sha2(F.col("payload"), 256).alias("payload_sha"),
         F.col("meta.format").alias("format"),
     )
+
+
+def audio_window_energy(media: DataFrame, window: int = 256) -> DataFrame:
+    """Windowed RMS energy over audio payloads — the first pass of any
+    audio-quality / silence-trim / VAD pipeline: payload bytes as
+    unsigned 8-bit samples, per-window root-mean-square, one row per
+    FULL window (the trailing partial window is dropped, standard
+    frame semantics).
+
+    Arrow kernel: one ``np.frombuffer`` + reshape + vectorized
+    reduction per payload — narrow, scales with input splits, no
+    shuffle. ``window`` must be a power of two so the mean divides
+    exactly in binary floating point; with ``sqrt`` correctly rounded
+    (IEEE), the emitted energies are BIT-EXACT reproducible in any
+    engine — the decode boundary stays byte-level and oracle-able
+    even before a real codec is plugged in.
+    """
+    if window & (window - 1):
+        raise ValueError("window must be a power of two")
+    import numpy as np
+
+    out_schema = StructType([
+        StructField("media_id", LongType()),
+        StructField("win_idx", LongType()),
+        StructField("rms", DoubleType()),
+    ])
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, wins, vals = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                v = np.frombuffer(payload, dtype=np.uint8)
+                n_full = len(v) // window
+                if n_full == 0:
+                    continue
+                m = v[: n_full * window].astype(np.int64).reshape(-1, window)
+                rms = np.sqrt((m * m).sum(axis=1) / float(window))
+                ids.extend([mid] * n_full)
+                wins.extend(range(n_full))
+                vals.extend(rms.tolist())
+            yield pd.DataFrame({
+                "media_id": pd.Series(ids, dtype="int64"),
+                "win_idx": pd.Series(wins, dtype="int64"),
+                "rms": pd.Series(vals, dtype="float64"),
+            })
+
+    return media.select("media_id", "payload").mapInPandas(kernel, out_schema)

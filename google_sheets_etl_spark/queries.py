@@ -3735,6 +3735,31 @@ def hll_distinct_contract(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "multimodal_audio_energy",
+    """WITH pos AS (
+         SELECT doc_id, text,
+                unnest(range(0, (len(text) // 128) * 128)) AS i
+         FROM documents WHERE len(text) >= 128),
+       v AS (SELECT doc_id, i // 128 AS win_idx,
+                    ascii(substr(text, CAST(i + 1 AS INT), 1)) AS val
+             FROM pos)
+       SELECT doc_id AS media_id, win_idx,
+              sqrt(SUM(val * val) / 128.0) AS rms
+       FROM v GROUP BY doc_id, win_idx""",
+)
+def multimodal_audio_energy(spark: SparkSession, sf: str) -> DataFrame:
+    """Windowed RMS energy through the audio kernel (operators/
+    multimodal.py audio_window_energy): payload bytes as u8 samples,
+    128-sample frames, partial trailing frame dropped. ASCII payloads
+    make byte == codepoint, so the oracle recomputes the energy
+    character-wise; power-of-two frames + IEEE sqrt make the doubles
+    BIT-EXACT across engines (no rounding anywhere). Narrow Arrow
+    kernel, no shuffle."""
+    media = _docs_as_media(t(spark, sf, "documents"), "audio")
+    return multimodal.audio_window_energy(media, window=128)
+
+
+@q(
     "mixture_weights_temperature",
     """WITH per_key AS (
          SELECT lang, SUM(n_chars)::BIGINT AS domain_size

@@ -343,3 +343,23 @@ def test_incremental_embedding_admission_planted(spark):
     # the near-duplicate of a corpus vector is rejected; the
     # orthogonal newcomer is admitted
     assert got == [9]
+
+
+def test_audio_window_energy_frames(spark):
+    import pytest as _pytest
+
+    # 8-byte payload, window 4 -> exactly 2 full frames; 10-byte
+    # payload -> trailing 2 bytes dropped; 3-byte payload -> no frames
+    rows = [
+        (1, "audio", bytes([2, 2, 2, 2, 4, 4, 4, 4]), None),
+        (2, "audio", bytes([1] * 10), None),
+        (3, "audio", bytes([9, 9, 9]), None),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = {(r["media_id"], r["win_idx"]): r["rms"]
+           for r in multimodal.audio_window_energy(media, window=4).collect()}
+    assert set(out) == {(1, 0), (1, 1), (2, 0), (2, 1)}
+    assert out[(1, 0)] == 2.0 and out[(1, 1)] == 4.0
+    assert out[(2, 0)] == 1.0 == out[(2, 1)]
+    with _pytest.raises(ValueError):
+        multimodal.audio_window_energy(media, window=6)
