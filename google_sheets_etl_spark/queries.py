@@ -3735,6 +3735,58 @@ def hll_distinct_contract(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "snapshot_diff",
+    """WITH old AS (
+         SELECT doc_id,
+                CASE WHEN doc_id % 5 = 0 THEN upper(text) ELSE text END AS text
+         FROM documents WHERE doc_id % 7 != 0),
+       new AS (SELECT doc_id, text FROM documents WHERE doc_id % 11 != 3)
+       SELECT CASE WHEN o.doc_id IS NULL THEN 'added'
+                   WHEN n.doc_id IS NULL THEN 'removed'
+                   WHEN o.text IS DISTINCT FROM n.text THEN 'changed'
+                   ELSE 'unchanged' END AS status,
+              COUNT(*) AS n
+       FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+       GROUP BY 1""",
+)
+def snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Snapshot reconciliation (CDC diff): FULL OUTER join of two
+    table versions on the key, each row classified
+    added/removed/changed/unchanged, counts out — the audit every
+    incremental pipeline runs to certify a sync. The "old" snapshot is
+    a deterministic projection of the same table (doc_id%7 rows
+    dropped → 'added'; doc_id%11==3 rows absent from "new" →
+    'removed'; doc_id%5 texts case-flipped → 'changed'), so all four
+    classes occur and both engines derive identical inputs from
+    shared parquet. One
+    shuffle on the uniform key; null-safe comparison via IS DISTINCT
+    FROM semantics (``eqNullSafe``)."""
+    d = t(spark, sf, "documents").select("doc_id", "text")
+    old = (
+        d.filter(F.col("doc_id") % 7 != 0)
+        .select(
+            F.col("doc_id").alias("o_id"),
+            F.when(F.col("doc_id") % 5 == 0, F.upper("text"))
+            .otherwise(F.col("text"))
+            .alias("o_text"),
+        )
+    )
+    new = d.filter(F.col("doc_id") % 11 != 3).select(
+        F.col("doc_id").alias("n_id"), F.col("text").alias("n_text")
+    )
+    joined = old.join(new, old.o_id == new.n_id, "full_outer")
+    status = (
+        F.when(F.col("o_id").isNull(), F.lit("added"))
+        .when(F.col("n_id").isNull(), F.lit("removed"))
+        .when(~F.col("o_text").eqNullSafe(F.col("n_text")), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.groupBy(status.alias("status")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@q(
     "multimodal_audio_energy",
     """WITH pos AS (
          SELECT doc_id, text,
