@@ -3735,6 +3735,91 @@ def hll_distinct_contract(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "training_prep_pipeline_e2e",
+    """WITH f AS (
+         SELECT doc_id,
+                len(string_split(text, ' '))::BIGINT AS nt,
+                len(list_filter(string_split(text, ' '),
+                    w -> list_contains(['the','a','of','and','to','in','is',
+                                        'that','it','for'], w)))::BIGINT AS sh,
+                list_max(list_transform(string_split(text, ' '),
+                                        w -> len(w)))::BIGINT AS mx
+         FROM documents),
+       gated AS (
+         SELECT d.doc_id, d.source, d.text FROM documents d JOIN f USING (doc_id)
+         WHERE COALESCE(1000 * sh - 36 * nt - 5 * nt * mx >= 0, FALSE)),
+       deduped AS (
+         SELECT doc_id, source, text FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY sha256(text)
+                                        ORDER BY doc_id) AS rn
+           FROM gated) WHERE rn = 1),
+       split AS (
+         SELECT doc_id, source, text,
+                CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                          % 100 < 98 THEN 'train'
+                     WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                          % 100 < 99 THEN 'val'
+                     ELSE 'test' END AS split
+         FROM deduped),
+       tok AS (SELECT doc_id, split,
+                      CASE WHEN text IS NULL THEN 0
+                           ELSE len(string_split(text, ' ')) END::BIGINT AS ntk
+               FROM split),
+       ch AS (SELECT doc_id, split, ntk,
+                     greatest(1, (ntk + 63) // 64)::BIGINT AS nc
+              FROM tok),
+       rows_ AS (SELECT doc_id, split, ntk, nc,
+                        unnest(range(0, nc)) AS chunk_idx
+                 FROM ch),
+       lens AS (SELECT doc_id, split, chunk_idx,
+                       (CASE WHEN chunk_idx < nc - 1 THEN 64
+                             ELSE ntk - 64 * (nc - 1) END)::BIGINT AS chunk_len
+                FROM rows_),
+       packed AS (SELECT split, doc_id, chunk_idx, chunk_len,
+                         CAST(FLOOR((SUM(chunk_len) OVER (
+                                       PARTITION BY split
+                                       ORDER BY doc_id, chunk_idx
+                                       ROWS UNBOUNDED PRECEDING) - chunk_len)
+                                    / 512.0) AS BIGINT) AS seq
+                  FROM lens)
+       SELECT split, COUNT(DISTINCT doc_id) AS n_docs,
+              COUNT(*) AS n_chunks,
+              COUNT(DISTINCT seq) AS n_sequences,
+              CAST(SUM(chunk_len) AS BIGINT) AS n_tokens
+       FROM packed GROUP BY split""",
+)
+def training_prep_pipeline_e2e(spark: SparkSession, sf: str) -> DataFrame:
+    """The ROUND-4 operator set composed end-to-end — classifier gate
+    (integer-exact, narrow) → exact content dedup (one sha256
+    shuffle) → deterministic md5 split (narrow) → context-length
+    chunking + sequence packing per split (narrow explode + one
+    window shuffle) → per-split corpus accounting. Five library
+    stages, three shuffles; each stage is the individually-certified
+    operator, the oracle is the same composition as one SQL CTE
+    chain — the "prep a training corpus on this engine" certification
+    curation_pipeline_e2e started, extended to the tokenized
+    sequence level."""
+    docs = t(spark, sf, "documents")
+    gate = (
+        text_ops.quality_classifier(docs)
+        .filter(F.col("keep"))
+        .select("doc_id")
+    )
+    kept = docs.join(gate, "doc_id", "left_semi")
+    deduped = dedup.exact_dedup(kept)
+    split = sampling.hash_split(deduped).select("doc_id", "split", "text")
+    packed = sampling.pack_context_chunks(
+        split, ctx_len=64, seq_budget=512, group_col="split"
+    )
+    return packed.groupBy("split").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.countDistinct("seq").alias("n_sequences"),
+        F.sum("chunk_len").alias("n_tokens"),
+    )
+
+
+@q(
     "snapshot_diff",
     """WITH old AS (
          SELECT doc_id,
