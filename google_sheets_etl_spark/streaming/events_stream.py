@@ -170,3 +170,30 @@ def run_available_now(stream: DataFrame, out_path: str, checkpoint: str,
         .start()
     )
     q.awaitTermination()
+
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
+def use_rocksdb_state(spark: SparkSession) -> str:
+    """Switch new streaming queries to the RocksDB state store and
+    return the previous provider (restore it when done). The default
+    HDFS-backed provider keeps all state on the JVM heap — fine for
+    bounded demo state, GC-fatal at 100 TB scale where keyed state
+    (sessions, dedup horizon, join buffers) reaches hundreds of GB
+    per executor; RocksDB spills to local disk with bounded memory.
+    Runtime conf: applies to queries STARTED afterwards (each
+    checkpoint records its provider; never flip providers on an
+    existing checkpoint)."""
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "HDFSBackedStateStoreProvider",
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+    )
+    return prev
