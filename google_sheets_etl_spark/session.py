@@ -42,6 +42,11 @@ def get_spark(app_name: str = "sheets-etl-spark", shuffle_partitions: int | None
         # pushFilters; the capability is opt-in in Spark 4.1
         .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.parquet.mergeSchema", "false")
+        # footer-stats MIN/MAX/COUNT answering (no data scan) for
+        # pure aggregates; only triggers on the V2 parquet path —
+        # inert under the default V1 reader, certified by the
+        # aggregate-pushdown plan test
+        .config("spark.sql.parquet.aggregatePushdown", "true")
         # testdata events.parquet stores TIMESTAMP(NANOS) which Spark's
         # vectorized reader rejects; read as long and convert in loaders
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

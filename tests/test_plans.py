@@ -345,3 +345,27 @@ def test_zorder_single_aggregate_exchange(spark, sf_dir):
     assert n_hash_exchanges == 1
     assert plan.count("Arguments: hashpartitioning") == 1
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_parquet_aggregate_pushdown_answers_from_footers(spark, sf_dir):
+    """MIN/MAX/COUNT with no filter must be answerable from parquet
+    footer statistics — zero data scan — on the V2 reader path (the
+    100 TB "how many rows / what date range" admin queries). The conf
+    flip is test-scoped: execution happens inside the try, and the V1
+    default is restored for every other test."""
+    prev = spark.conf.get("spark.sql.sources.useV1SourceList")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    try:
+        df = spark.read.parquet(f"{sf_dir}/lineitem.parquet").agg(
+            F.count("*").alias("n"),
+            F.min("l_orderkey").alias("k0"),
+            F.max("l_orderkey").alias("k1"),
+        )
+        plan = explain_str(df)
+        # integral/atomic columns push; timestamps are excluded by
+        # Spark's pushdown rules (rebase semantics) — use the key
+        assert "PushedAggregation: [COUNT(*), MIN(l_orderkey), MAX(l_orderkey)]" in plan
+        row = df.collect()[0]
+        assert row["n"] > 0 and row["k0"] <= row["k1"]
+    finally:
+        spark.conf.set("spark.sql.sources.useV1SourceList", prev)
