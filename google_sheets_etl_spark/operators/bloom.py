@@ -70,15 +70,16 @@ def bloom_build(
     the SMALL side only. The result is bounded by ``m_bits / 64`` rows
     regardless of key count.
 
-    The word table is persisted (MEMORY_AND_DISK — lineage kept, so an
-    executor loss recomputes instead of failing): each of the k probe
-    joins materializes its own BroadcastExchange from this table, and
-    without the persist the build side (often a distinct over a gram
-    explosion) would be recomputed k times. Callers may
-    ``unpersist()`` after their action; the table is bounded by
-    ``m_bits / 64`` rows either way."""
-    from pyspark import StorageLevel
-
+    The aggregated word table is materialized to the driver and
+    re-created as a LocalRelation. This is NOT a data-scale collect:
+    the bitset is the filter's metadata, bounded by the DESIGN
+    constant ``m_bits / 64`` rows (16 K at the default, 2 M at
+    2^27 bits) — the same bytes a broadcast would ship anyway. It
+    buys: the k probe joins broadcast from local data instead of
+    re-running the build aggregation k times (Spark can't reuse the
+    exchange across the per-probe column renames), and nothing stays
+    persisted afterwards (a previous persist()-based version leaked
+    one cached table per call)."""
     probes = _probe_cols(F.col(key_col), m_bits, k)
     lanes = keys.select(
         F.explode(
@@ -87,10 +88,10 @@ def bloom_build(
             )
         ).alias("p")
     ).select("p.word_idx", "p.mask")
-    return (
-        lanes.groupBy("word_idx")
-        .agg(F.bit_or("mask").alias("word"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    agg = lanes.groupBy("word_idx").agg(F.bit_or("mask").alias("word"))
+    local = [(r["word_idx"], r["word"]) for r in agg.collect()]
+    return keys.sparkSession.createDataFrame(
+        local, "word_idx long, word long"
     )
 
 
@@ -112,8 +113,8 @@ def bloom_probe(
 
     Each join renames the lane columns per probe index (Spark's
     self-join analysis rejects reusing one lineage three times); the
-    persist inside :func:`bloom_build` keeps the table computed once
-    across the k BroadcastExchanges."""
+    word table is a LocalRelation (see :func:`bloom_build`), so the
+    k BroadcastExchanges re-ship local bytes, never re-run a plan."""
     out = big
     for i, (word_idx, mask) in enumerate(_probe_cols(F.col(key_col), m_bits, k)):
         b = F.broadcast(
@@ -143,6 +144,8 @@ def bloom_semi_join(
     ``small``. Result is identical to ``big.join(small, on,
     "left_semi")`` for any filter parameters — the bloom only changes
     HOW MUCH of the big side reaches the shuffle."""
-    bloom = bloom_build(small.select(on).distinct(), on, m_bits, k)
+    keys = small.select(on).distinct()
+    bloom = bloom_build(keys, on, m_bits, k)
     candidates = bloom_probe(big, on, bloom, m_bits, k)
-    return candidates.join(small.select(on).distinct(), on, "left_semi")
+    # left_semi is duplicate-insensitive: no second distinct needed
+    return candidates.join(small.select(on), on, "left_semi")

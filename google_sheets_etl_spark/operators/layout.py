@@ -63,11 +63,16 @@ def zorder_file_stats(
     and min/max of BOTH dimensions. Narrow key computation + one
     aggregate shuffle on the file id.
 
-    Normalization is pure integer arithmetic (``(v - min) * 65535 div
-    span`` — products stay far under 2^63, integer div is engine-
-    exact on non-negatives). The per-file (min, max) spans are what
-    parquet footers would carry; small spans on both columns are the
-    file-skipping property. ``file_bits`` top bits ≈
+    Normalization is SHIFT-ONLY integer arithmetic — no
+    multiplication or division anywhere, so it is engine-exact for
+    ANY key span up to 2^62 (a multiply-then-divide scheme silently
+    diverges from integer floor-div past span ≈ 2^47, where the
+    product leaves double precision): offset = v - min; bit width
+    L = length(bin(span)); wide dims shift DOWN to 16 bits, narrow
+    dims shift UP to fill them — both directions lossless for
+    ordering and cell structure. The per-file (min, max) spans are
+    what parquet footers would carry; small spans on both columns are
+    the file-skipping property. ``file_bits`` top bits ≈
     ``repartitionByRange(2**file_bits, zkey)`` in an actual write."""
     bounds = df.agg(
         F.min(cx).alias("_minx"),
@@ -78,14 +83,18 @@ def zorder_file_stats(
     scaled = df.crossJoin(F.broadcast(bounds))
 
     def norm(col: str, lo: str, hi: str) -> Column:
-        # double-division floor is exact here: the quotient magnitude
-        # is ≤ 65535 (ulp ~1.5e-11) while any non-zero remainder
-        # fraction is ≥ 1/span — rounding can never cross an integer,
-        # so the truncating cast equals integer floor-div in any engine
+        # bit width of the span via length(bin(span)) — exact integer
+        # log2+1 in any engine, no floats anywhere
         span = F.greatest(F.col(hi) - F.col(lo), F.lit(1))
-        return (
-            ((F.col(col) - F.col(lo)) * F.lit(65535)).cast("long") / span
-        ).cast("long")
+        width = F.length(F.bin(span)).cast("int")
+        down = F.greatest(width - F.lit(16), F.lit(0))
+        up = F.greatest(F.lit(16) - width, F.lit(0))
+        dx = (F.col(col) - F.col(lo)).cast("long")
+        # pyspark shift wrappers take literal ints only; the SQL
+        # builtins take columns (same trick as operators/bloom.py)
+        return F.call_function(
+            "shiftleft", F.call_function("shiftright", dx, down), up
+        )
 
     xn = norm(cx, "_minx", "_maxx")
     yn = norm(cy, "_miny", "_maxy")

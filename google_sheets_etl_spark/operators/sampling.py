@@ -79,6 +79,31 @@ def capped_per_key(
     )
 
 
+def _running_pack(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list,
+    size_col: str,
+    budget: int,
+    out_col: str,
+) -> DataFrame:
+    """Shared packing invariant for :func:`pack_shards` and
+    :func:`pack_context_chunks`: bucket = floor((running size sum -
+    own size) / budget) over a deterministic order, windowed per
+    group — per-group sequential, groups parallel, never a global
+    single-reducer sort. One definition so the greedy-packing
+    semantics (and its two SQL oracle twins) can't drift."""
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = F.sum(size_col).over(w)
+    return df.withColumn(
+        out_col, ((running - F.col(size_col)) / F.lit(budget)).cast("long")
+    )
+
+
 def pack_shards(
     docs: DataFrame,
     budget: int,
@@ -91,15 +116,7 @@ def pack_shards(
     every shard except the last holds ≥ budget-ish tokens. Window
     partitioned by group: per-group sequential scan, groups in
     parallel (never a global single-reducer sort)."""
-    w = (
-        Window.partitionBy(group_col)
-        .orderBy(F.col(id_col))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    running = F.sum(size_col).over(w)
-    return docs.withColumn(
-        "shard", ((running - F.col(size_col)) / F.lit(budget)).cast("long")
-    )
+    return _running_pack(docs, group_col, [id_col], size_col, budget, "shard")
 
 
 def apply_mixture(
@@ -259,15 +276,10 @@ def pack_context_chunks(
     chunk_len = F.when(
         F.col("chunk_idx") < F.col("_nc") - 1, F.lit(ctx_len).cast("long")
     ).otherwise(F.col("_nt") - F.lit(ctx_len) * (F.col("_nc") - 1))
-    w = (
-        Window.partitionBy(group_col)
-        .orderBy(F.col(id_col), F.col("chunk_idx"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     with_len = chunks.withColumn("chunk_len", chunk_len.cast("long"))
-    running = F.sum("chunk_len").over(w)
-    return with_len.withColumn(
-        "seq", ((running - F.col("chunk_len")) / F.lit(seq_budget)).cast("long")
+    return _running_pack(
+        with_len, group_col, [id_col, "chunk_idx"], "chunk_len",
+        seq_budget, "seq",
     ).drop("_nt", "_nc")
 
 

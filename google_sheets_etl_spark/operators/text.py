@@ -581,13 +581,19 @@ def quality_classifier(
 
     Single narrow projection, whole-stage codegen, zero shuffle. NULL
     text → NULL score, keep = false (never silently "keep").
+
+    Features come from :func:`quality_features` — one definition of
+    n_tokens / stop_hits / max_token_len shared with the standalone
+    feature query, so a tokenization change applies to both (the
+    select below fuses into the same codegen pass; nothing is
+    materialized between the two operators).
     """
-    words = words_of(F.col(text_col))
-    nt = F.size(words).cast("long")
-    sh = stopword_hits(F.col(text_col)).cast("long")
-    mx = F.array_max(F.transform(words, lambda w: F.length(w))).cast("long")
+    feats = quality_features(docs, text_col, id_col)
+    nt = F.col("n_tokens")
+    sh = F.col("stop_hits")
+    mx = F.col("max_token_len")
     score = F.lit(1000) * sh - F.lit(36) * nt - F.lit(5) * nt * mx
-    return docs.select(
+    return feats.select(
         F.col(id_col),
         score.alias("quality_score"),
         F.coalesce(score >= 0, F.lit(False)).alias("keep"),
@@ -619,6 +625,8 @@ def bm25_scores(
     Scale: the stats row is O(1), the scoring pass is narrow — no
     shuffle of the corpus at any size.
     """
+    if not terms:
+        raise ValueError("bm25_scores needs at least one query term")
     words = words_of(F.col(text_col))
     dl = F.size(words).cast("long")
 

@@ -4034,11 +4034,17 @@ WITH b AS (
   SELECT MIN(l_orderkey) AS minx, MAX(l_orderkey) AS maxx,
          MIN(l_partkey) AS miny, MAX(l_partkey) AS maxy
   FROM lineitem),
+ w AS (
+  SELECT *, length(bin(greatest(maxx - minx, 1)::BIGINT)) AS lx,
+            length(bin(greatest(maxy - miny, 1)::BIGINT)) AS ly
+  FROM b),
  nrm AS (
   SELECT l_orderkey, l_partkey,
-         ((l_orderkey - minx) * 65535) // greatest(maxx - minx, 1) AS xn,
-         ((l_partkey - miny) * 65535) // greatest(maxy - miny, 1) AS yn
-  FROM lineitem, b),
+         (((l_orderkey - minx)::BIGINT >> greatest(lx - 16, 0))
+          << greatest(16 - lx, 0)) AS xn,
+         (((l_partkey - miny)::BIGINT >> greatest(ly - 16, 0))
+          << greatest(16 - ly, 0)) AS yn
+  FROM lineitem, w),
  z AS (
   SELECT l_orderkey, l_partkey,
          ({_spread16_sql('xn')} |

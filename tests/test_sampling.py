@@ -255,3 +255,27 @@ def test_bm25_orders_by_term_presence(spark):
     out = {r["doc_id"]: r["bm25"] for r in bm25_scores(df, ["spark"]).collect()}
     # doc 0 (tf=2) > doc 1 (tf=1) > doc 2 (tf=0, score exactly 0)
     assert out[0] > out[1] > out[2] == 0.0
+
+
+def test_zorder_exact_at_huge_spans(spark):
+    """Spans past ~2^47 are where a multiply-then-divide
+    normalization silently leaves double precision (review finding,
+    round 4); the shift-only scheme must keep quadrant clusters in
+    separate, tightly-bounded files at any span."""
+    from google_sheets_etl_spark.operators.layout import zorder_file_stats
+
+    span = 1 << 50
+    pts = []
+    for qx in (0, 1):
+        for qy in (0, 1):
+            for j in range(50):
+                pts.append((qx * span + j * 1000, qy * span + j * 7777))
+    df = spark.createDataFrame(pts, "x long, y long")
+    stats = zorder_file_stats(df, "x", "y", file_bits=2).collect()
+    assert sum(r["n_rows"] for r in stats) == 200
+    assert len(stats) == 4  # one file per quadrant
+    for r in stats:
+        # each file's span stays within its cluster, nowhere near the
+        # full 2^50 spread
+        assert r["max_x"] - r["min_x"] < 10 ** 6
+        assert r["max_y"] - r["min_y"] < 10 ** 6
