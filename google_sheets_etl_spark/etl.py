@@ -332,15 +332,23 @@ class SheetsEtlEngine:
         data = rows_ops.project_rows(sheet, selectors, names, job.skip_rows)
         data = rows_ops.enforce_cell_width(data, 100)
         data = rows_ops.with_provenance(data, etl_job_id)
-        rows_loaded = data.count()
+        # single-pass load: the row count rides the WRITE action as an
+        # observed metric instead of a separate count() action — the
+        # previous two-action form computed the whole trim/project/
+        # provenance pipeline twice per sheet. Write-first is safe:
+        # a dynamic overwrite of an empty frame replaces NOTHING, so
+        # when the observed count is 0 the partition is then cleared
+        # explicitly (reference semantics: unconditional DELETE — the
+        # reload-to-empty case keeps its r3 regression test).
+        from pyspark.sql import Observation
+
+        obs = Observation(f"load_{etl_job_id}")
+        data = data.observe(obs, F.count(F.lit(1)).alias("n"))
+        self.target(job.target_table).overwrite_job_partition(
+            data, with_rowid=self.rowid)
+        rows_loaded = int(obs.get["n"])
         if rows_loaded == 0:
-            # all data rows deleted upstream: dynamic overwrite of an
-            # empty frame replaces NOTHING — clear the partition
-            # explicitly (reference semantics: unconditional DELETE)
             self.target(job.target_table).delete_job_partition(etl_job_id)
-        else:
-            self.target(job.target_table).overwrite_job_partition(
-                data, with_rowid=self.rowid)
 
         # U2/U6: the commit manifest lands LAST — its atomic rename is
         # the transaction's commit point; the accounting apply it
