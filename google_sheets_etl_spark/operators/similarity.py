@@ -457,10 +457,21 @@ def recall_at_k(exact: DataFrame, approx: DataFrame, k: int) -> float:
     """Fraction of exact top-k pairs recovered by the approximate
     result (driver-side scalar; for tests/tuning)."""
     e = exact.filter(F.col("rank") <= k).select("query_id", "neighbor_id")
-    a = approx.filter(F.col("rank") <= k).select("query_id", "neighbor_id")
-    hits = e.join(a, on=["query_id", "neighbor_id"], how="left_semi").count()
-    total = e.count()
-    return float("nan") if total == 0 else hits / total
+    a = approx.filter(F.col("rank") <= k).select(
+        "query_id", "neighbor_id", F.lit(1).alias("_hit")
+    )
+    # one left join + one aggregate: numerator and denominator from a
+    # single computation of the exact side (it may be a brute-force
+    # top-k — computing it twice doubled the dominant cost)
+    row = (
+        e.join(a, ["query_id", "neighbor_id"], "left")
+        .agg(
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("h"),
+            F.count(F.lit(1)).alias("t"),
+        )
+        .first()
+    )
+    return float("nan") if row["t"] == 0 else row["h"] / row["t"]
 
 
 def incremental_embedding_admission(
