@@ -47,21 +47,12 @@ def morton_key(cx: Column, cy: Column) -> Column:
     return _spread16(cx).bitwiseOR(F.shiftleft(_spread16(cy), 1))
 
 
-def zorder_file_stats(
-    df: DataFrame,
-    cx: str,
-    cy: str,
-    file_bits: int = 6,
+def with_morton_key(
+    df: DataFrame, cx: str, cy: str, key_col: str = "_zkey"
 ) -> DataFrame:
-    """Simulate the layout a Z-order write would produce and measure
-    its skipping power: range-NORMALIZE both columns into the 16-bit
-    key space (an O(1) min/max row broadcast back — raw keys of any
-    cardinality would otherwise wrap modulo 2^16 and destroy
-    locality), interleave, assign each row to one of ``2**file_bits``
-    files by the TOP bits of its Morton key (range partitioning on
-    the z-curve), then emit per-file footer-style stats — row count
-    and min/max of BOTH dimensions. Narrow key computation + one
-    aggregate shuffle on the file id.
+    """``df`` plus the range-normalized Morton key of (cx, cy) as
+    ``key_col`` — the shared kernel of :func:`zorder_file_stats`
+    (layout audit) and :func:`zorder_write` (actual write path).
 
     Normalization is SHIFT-ONLY integer arithmetic — no
     multiplication or division anywhere, so it is engine-exact for
@@ -70,10 +61,8 @@ def zorder_file_stats(
     product leaves double precision): offset = v - min; bit width
     L = length(bin(span)); wide dims shift DOWN to 16 bits, narrow
     dims shift UP to fill them — both directions lossless for
-    ordering and cell structure. The per-file (min, max) spans are
-    what parquet footers would carry; small spans on both columns are
-    the file-skipping property. ``file_bits`` top bits ≈
-    ``repartitionByRange(2**file_bits, zkey)`` in an actual write."""
+    ordering and cell structure. The bounds row is an O(1) aggregate
+    broadcast back; the key computation itself is narrow."""
     bounds = df.agg(
         F.min(cx).alias("_minx"),
         F.max(cx).alias("_maxx"),
@@ -98,10 +87,72 @@ def zorder_file_stats(
 
     xn = norm(cx, "_minx", "_maxx")
     yn = norm(cy, "_miny", "_maxy")
-    zkey = morton_key(xn, yn)
-    file_id = F.shiftrightunsigned(zkey, 32 - file_bits)
+    return scaled.withColumn(key_col, morton_key(xn, yn)).drop(
+        "_minx", "_maxx", "_miny", "_maxy"
+    )
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cx: str,
+    cy: str,
+    file_bits: int = 4,
+) -> None:
+    """The REAL z-order write: rows land in ``2**file_bits``
+    z-curve TILES (top Morton-key bits) written as hive partition
+    directories, sorted by the full key within each tile. Every
+    tile's parquet footers then carry GUARANTEED-tight min/max on
+    BOTH ``cx`` and ``cy`` (each tile fixes the top bits of both
+    normalized dims), and the tile id itself partition-prunes — the
+    layout that makes point/range filters on either key skip most
+    files at 100 TB.
+
+    Deliberately top-bit tiles rather than ``repartitionByRange`` on
+    the raw key: count-balanced quantile ranges straddle z-curve
+    major boundaries, and a straddling file spans nearly the full
+    range of one dimension — the per-file bound becomes statistical
+    instead of guaranteed (measured: a 16-quantile write of a skewed
+    corpus put 126/200 of the narrow dim's span in one file). The
+    trade is tile sizes following data density; compaction
+    (plans/compaction.py) handles uneven tiles the same way it
+    handles any fragmented partition."""
+    keyed = with_morton_key(df, cx, cy, key_col="_zkey")
+    tile = F.shiftrightunsigned(F.col("_zkey"), 32 - file_bits).cast("long")
+    (
+        keyed.withColumn("_tile", tile)
+        .repartition(F.col("_tile"))
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode("overwrite")
+        .partitionBy("_tile")
+        .parquet(path)
+    )
+
+
+def zorder_file_stats(
+    df: DataFrame,
+    cx: str,
+    cy: str,
+    file_bits: int = 6,
+) -> DataFrame:
+    """Simulate the layout a Z-order write would produce and measure
+    its skipping power: range-NORMALIZE both columns into the 16-bit
+    key space (an O(1) min/max row broadcast back — raw keys of any
+    cardinality would otherwise wrap modulo 2^16 and destroy
+    locality), interleave, assign each row to one of ``2**file_bits``
+    files by the TOP bits of its Morton key (range partitioning on
+    the z-curve), then emit per-file footer-style stats — row count
+    and min/max of BOTH dimensions. Narrow key computation (shared
+    :func:`with_morton_key` kernel — see its exactness notes) + one
+    aggregate shuffle on the file id. The per-file (min, max) spans
+    are what parquet footers would carry; small spans on both columns
+    are the file-skipping property; :func:`zorder_write` is the
+    actual write-path counterpart."""
+    keyed = with_morton_key(df, cx, cy, key_col="_zkey")
+    file_id = F.shiftrightunsigned(F.col("_zkey"), 32 - file_bits)
     return (
-        scaled.select(
+        keyed.select(
             F.col(cx), F.col(cy), file_id.cast("long").alias("file_id")
         )
         .groupBy("file_id")

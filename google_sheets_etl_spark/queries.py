@@ -3735,6 +3735,64 @@ def hll_distinct_contract(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "zorder_write_lifecycle",
+    """SELECT COUNT(*) AS n_rows,
+              MIN(l_orderkey) AS min_ok, MAX(l_orderkey) AS max_ok,
+              MIN(l_partkey) AS min_pk, MAX(l_partkey) AS max_pk,
+              TRUE AS both_dims_bounded
+       FROM lineitem""",
+)
+def zorder_write_lifecycle(spark: SparkSession, sf: str) -> DataFrame:
+    """The REAL z-order write path (operators/layout.py
+    zorder_write), driver-certified end-to-end like
+    ``compaction_lifecycle``: write lineitem's keys into 16 z-curve
+    TILES (hive partition dirs on the top Morton bits — guaranteed
+    per-tile bounds, see zorder_write's docstring for why not
+    quantile ranges), read the table back, and assert IN-FUNCTION the
+    layout property the parquet footers will serve: every tile's
+    span on EACH dimension is at most half the global span (a linear
+    sort would leave the non-leading dimension's span at ~100 % in
+    every file). The returned row is content-level (count + global
+    bounds — write-invariant) plus the asserted flag; the oracle is
+    the same aggregate over the source table, proving the write was
+    lossless."""
+    import tempfile
+
+    from .operators import layout
+
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    path = tempfile.mkdtemp(prefix="zorder_")
+    layout.zorder_write(li, path, "l_orderkey", "l_partkey", file_bits=4)
+    back = spark.read.parquet(path)
+    per_file = back.groupBy("_tile").agg(
+        F.min("l_orderkey").alias("x0"), F.max("l_orderkey").alias("x1"),
+        F.min("l_partkey").alias("y0"), F.max("l_partkey").alias("y1"),
+    )
+    g = back.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("l_orderkey").alias("gx0"), F.max("l_orderkey").alias("gx1"),
+        F.min("l_partkey").alias("gy0"), F.max("l_partkey").alias("gy1"),
+    ).first()
+    spans = per_file.select(
+        (F.col("x1") - F.col("x0")).alias("sx"),
+        (F.col("y1") - F.col("y0")).alias("sy"),
+    ).agg(F.max("sx").alias("mx"), F.max("sy").alias("my")).first()
+    # the z-layout property: NO file spans more than half of either
+    # dimension (16 files on the z-curve ≈ quarter x quarter tiles;
+    # half is the generous bound that survives range-sampler skew)
+    assert spans["mx"] <= (g["gx1"] - g["gx0"]) / 2 + 1, spans
+    assert spans["my"] <= (g["gy1"] - g["gy0"]) / 2 + 1, spans
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("l_orderkey").alias("min_ok"),
+        F.max("l_orderkey").alias("max_ok"),
+        F.min("l_partkey").alias("min_pk"),
+        F.max("l_partkey").alias("max_pk"),
+        F.lit(True).alias("both_dims_bounded"),
+    )
+
+
+@q(
     "training_prep_pipeline_e2e",
     """WITH f AS (
          SELECT doc_id,
