@@ -39,7 +39,12 @@ EXCLUDE = {"near_dup_jaccard_exact", "dedup_clusters_exact",
            # rewrites two bucketed tables per call (pay-shuffle-once
            # WRITE path); the exchange-free join property is plan-
            # asserted in-function and in tests
-           "bucketed_join_revenue"}
+           "bucketed_join_revenue",
+           # writes a 16-tile table per call (maintenance WRITE
+           # lifecycle, compaction_lifecycle's sibling); the key
+           # computation it shares with zorder_layout_stats IS
+           # benchmarked
+           "zorder_write_lifecycle"}
 
 
 def main() -> None:
