@@ -3735,6 +3735,79 @@ def hll_distinct_contract(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "hll_sketch_partition_merge",
+    """SELECT o_orderpriority,
+              COUNT(DISTINCT o_custkey)::BIGINT AS exact_distinct,
+              TRUE AS merge_ok
+       FROM orders GROUP BY o_orderpriority""",
+)
+def hll_sketch_partition_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """MERGEABLE-sketch rollup — the pattern that actually powers
+    distinct counting at 100 TB: per-(priority, month) Datasketches
+    HLL sketches built once with ``hll_sketch_agg`` (the
+    pre-aggregated sketch table a pipeline materializes daily), then
+    rolled up to per-priority totals with ``hll_union_agg`` — NO
+    rescan of the fact table for the coarser grain, sketches merge
+    losslessly. ``merge_ok`` asserts the merged estimate lands within
+    ±10 % of exact (generous vs lgK=12's ~1.6 % rsd), so a red row
+    means the sketch or its merge broke contract. Two shuffles, both
+    partial-aggregated; the month grain exists only to force real
+    merges."""
+    o = t(spark, sf, "orders").select(
+        "o_orderpriority",
+        F.date_trunc("month", F.col("o_orderdate")).alias("_m"),
+        "o_custkey",
+    )
+    monthly = o.groupBy("o_orderpriority", "_m").agg(
+        F.hll_sketch_agg("o_custkey", 12).alias("_sk"),
+        F.countDistinct("o_custkey").alias("_part_exact"),
+    )
+    merged = monthly.groupBy("o_orderpriority").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("_est"),
+    )
+    exact = (
+        o.select("o_orderpriority", "o_custkey")
+        .distinct()
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("exact_distinct"))
+    )
+    joined = exact.join(merged, "o_orderpriority")
+    ok = (
+        F.abs(F.col("_est") - F.col("exact_distinct"))
+        <= F.lit(0.10) * F.col("exact_distinct")
+    )
+    return joined.select(
+        "o_orderpriority", "exact_distinct", ok.alias("merge_ok")
+    )
+
+
+@q(
+    "modern_aggregates",
+    """SELECT l_returnflag,
+              median(l_quantity) AS median_qty,
+              string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus)
+                AS statuses
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def modern_aggregates(spark: SparkSession, sf: str) -> DataFrame:
+    """Spark 4 aggregate surface: ``median`` (exact continuous — the
+    interpolation arithmetic is binary-exact on integral quantities,
+    same argument as approx_quantile_contract) and ``listagg
+    DISTINCT ... WITHIN GROUP`` (deterministic ordered concatenation;
+    unordered listagg would be shuffle-order-dependent and
+    un-oracle-able). One partial-aggregated shuffle."""
+    li = t(spark, sf, "lineitem")
+    li.createOrReplaceTempView("_li_modern")
+    return spark.sql(
+        """SELECT l_returnflag,
+                  median(l_quantity) AS median_qty,
+                  listagg(DISTINCT l_linestatus, ',')
+                    WITHIN GROUP (ORDER BY l_linestatus) AS statuses
+           FROM _li_modern GROUP BY l_returnflag"""
+    )
+
+
+@q(
     "zorder_write_lifecycle",
     """SELECT COUNT(*) AS n_rows,
               MIN(l_orderkey) AS min_ok, MAX(l_orderkey) AS max_ok,
