@@ -1,0 +1,51 @@
+"""Property tests for the Z-order bit kernel: the Spark column
+expression must agree with an independent Python reference, and the
+interleave must be a bijection on 16-bit pairs (a collision would
+merge unrelated cells; a divergence would silently misplace rows
+relative to the SQL oracle)."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from google_sheets_etl_spark.operators.layout import morton_key
+
+
+def _spread_py(x: int) -> int:
+    x &= 0xFFFF
+    for s, m in [(8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555)]:
+        x = (x | (x << s)) & m
+    return x
+
+
+def _morton_py(a: int, b: int) -> int:
+    return _spread_py(a) | (_spread_py(b) << 1)
+
+
+def test_morton_matches_python_reference(spark):
+    rng = random.Random(42)
+    pairs = [(rng.randrange(1 << 16), rng.randrange(1 << 16)) for _ in range(500)]
+    pairs += [(0, 0), (0xFFFF, 0xFFFF), (0xFFFF, 0), (0, 0xFFFF), (1, 0)]
+    df = spark.createDataFrame(pairs, "a long, b long").select(
+        "a", "b", morton_key(F.col("a"), F.col("b")).alias("z")
+    )
+    for r in df.collect():
+        assert r["z"] == _morton_py(r["a"], r["b"]), (r["a"], r["b"])
+
+
+def test_morton_is_bijective_on_sample(spark):
+    # distinct (a, b) pairs -> distinct keys; and the key decodes:
+    # even bits give a, odd bits give b
+    rng = random.Random(7)
+    pairs = {(rng.randrange(1 << 16), rng.randrange(1 << 16)) for _ in range(2000)}
+    keys = {_morton_py(a, b) for a, b in pairs}
+    assert len(keys) == len(pairs)
+    for a, b in list(pairs)[:50]:
+        z = _morton_py(a, b)
+        da = db = 0
+        for i in range(16):
+            da |= ((z >> (2 * i)) & 1) << i
+            db |= ((z >> (2 * i + 1)) & 1) << i
+        assert (da, db) == (a, b)
