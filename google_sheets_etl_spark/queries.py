@@ -3760,7 +3760,6 @@ def hll_sketch_partition_merge(spark: SparkSession, sf: str) -> DataFrame:
     )
     monthly = o.groupBy("o_orderpriority", "_m").agg(
         F.hll_sketch_agg("o_custkey", 12).alias("_sk"),
-        F.countDistinct("o_custkey").alias("_part_exact"),
     )
     merged = monthly.groupBy("o_orderpriority").agg(
         F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("_est"),
@@ -3795,15 +3794,15 @@ def modern_aggregates(spark: SparkSession, sf: str) -> DataFrame:
     same argument as approx_quantile_contract) and ``listagg
     DISTINCT ... WITHIN GROUP`` (deterministic ordered concatenation;
     unordered listagg would be shuffle-order-dependent and
-    un-oracle-able). One partial-aggregated shuffle."""
+    un-oracle-able). One partial-aggregated shuffle; the WITHIN GROUP
+    syntax rides F.expr inside a DataFrame agg — no temp view."""
     li = t(spark, sf, "lineitem")
-    li.createOrReplaceTempView("_li_modern")
-    return spark.sql(
-        """SELECT l_returnflag,
-                  median(l_quantity) AS median_qty,
-                  listagg(DISTINCT l_linestatus, ',')
-                    WITHIN GROUP (ORDER BY l_linestatus) AS statuses
-           FROM _li_modern GROUP BY l_returnflag"""
+    return li.groupBy("l_returnflag").agg(
+        F.expr("median(l_quantity)").alias("median_qty"),
+        F.expr(
+            "listagg(DISTINCT l_linestatus, ',') "
+            "WITHIN GROUP (ORDER BY l_linestatus)"
+        ).alias("statuses"),
     )
 
 
