@@ -29,5 +29,12 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:
-    """duckdb counterpart: ``list_cosine_similarity(a, b)``."""
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """duckdb counterpart: ``list_cosine_similarity(a, b)``.
+
+    Zero-norm guard: a single all-zeros embedding (padding row,
+    failed encode) must yield NULL cosine — not a DIVIDE_BY_ZERO that
+    aborts the whole job under Spark 4's default ANSI mode. NULL
+    drops out of every downstream threshold/top-k comparison, which
+    is the right semantics for an undefined angle."""
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom != 0, dot(a, b) / denom)

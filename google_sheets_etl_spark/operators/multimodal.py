@@ -154,8 +154,11 @@ def image_features(
         for pdf in batches:
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
+                # NULL payload → NULL feature, never bytes(None)
+                # (the audio kernel's same guard, kept row-aligned)
                 "feature": [
-                    codec.image_features(bytes(p), n_bins) for p in pdf["payload"]
+                    None if p is None else codec.image_features(bytes(p), n_bins)
+                    for p in pdf["payload"]
                 ],
             })
 
@@ -173,7 +176,10 @@ def resize_images(
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf = pdf.copy()
-            pdf["payload"] = [codec.resize(bytes(p), width, height) for p in pdf["payload"]]
+            pdf["payload"] = [
+                None if p is None else codec.resize(bytes(p), width, height)
+                for p in pdf["payload"]
+            ]
             pdf["meta"] = [
                 {**(m if isinstance(m, dict) else m.asDict() if m is not None else {}),
                  "width": width, "height": height}

@@ -213,10 +213,15 @@ def mixture_weights(
             key_col,
             "domain_size",
             F.round(
-                F.least(
-                    F.lit(1.0),
-                    F.col("_total")
-                    / (F.col("_n_domains") * F.col("domain_size")),
+                # zero-size domain (all-empty docs under one key):
+                # keep it whole rather than DIVIDE_BY_ZERO under
+                # Spark 4's default ANSI mode
+                F.when(F.col("domain_size") <= 0, F.lit(1.0)).otherwise(
+                    F.least(
+                        F.lit(1.0),
+                        F.col("_total")
+                        / (F.col("_n_domains") * F.col("domain_size")),
+                    )
                 ),
                 6,
             ).alias("sample_rate"),
@@ -315,16 +320,19 @@ def mixture_weights_temperature(
             key_col,
             "domain_size",
             F.round(
-                F.least(
-                    F.lit(1.0),
-                    (
-                        F.col("_total")
-                        * (
-                            F.sqrt(F.col("domain_size").cast("double"))
-                            / F.col("_sq_total")
+                # zero-size domain: keep whole (see mixture_weights)
+                F.when(F.col("domain_size") <= 0, F.lit(1.0)).otherwise(
+                    F.least(
+                        F.lit(1.0),
+                        (
+                            F.col("_total")
+                            * (
+                                F.sqrt(F.col("domain_size").cast("double"))
+                                / F.col("_sq_total")
+                            )
                         )
+                        / F.col("domain_size"),
                     )
-                    / F.col("domain_size"),
                 ),
                 6,
             ).alias("sample_rate"),

@@ -229,14 +229,16 @@ def cosine_topk_ivf(
 
     def assign(df: DataFrame, out_id: str, out_vec: str, n_cells: int) -> DataFrame:
         import pandas as pd
-        from pyspark.sql.types import (
-            ArrayType, FloatType, LongType, StructField, StructType,
-        )
+        from pyspark.sql.types import LongType, StructField, StructType
 
         id_field = df.schema[id_col]
+        # carry the INPUT element type through: declaring float here
+        # would silently truncate double embeddings and drift the
+        # exact re-rank's tie-break (the same bug _with_lsh_buckets
+        # fixed for the LSH path)
         schema = StructType([
             StructField(out_id, id_field.dataType),
-            StructField(out_vec, ArrayType(FloatType())),
+            StructField(out_vec, df.schema[vec_col].dataType),
             StructField("cell", LongType()),
         ])
 

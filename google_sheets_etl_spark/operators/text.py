@@ -232,11 +232,19 @@ def repetition_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc
                 "_top_c": top_c, "_n_grams": n_gr,
             })
 
-    stats = docs.select(id_col, text_col).mapInPandas(
-        kernel,
-        f"{id_col} long, n_tokens long, _n_unique long, "
-        "_top_c long, _n_grams long",
-    )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    # derive the id type from the input schema (shared kernel
+    # discipline — see cleaning.py span kernels): a string doc_id
+    # must flow through, not fail an implicit cast to long
+    out_schema = StructType([
+        StructField(id_col, docs.schema[id_col].dataType),
+        StructField("n_tokens", LongType()),
+        StructField("_n_unique", LongType()),
+        StructField("_top_c", LongType()),
+        StructField("_n_grams", LongType()),
+    ])
+    stats = docs.select(id_col, text_col).mapInPandas(kernel, out_schema)
     return stats.select(
         id_col,
         "n_tokens",

@@ -36,10 +36,35 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def partition_file_stats(table_path: str) -> list[tuple[str, int, int]]:
+def partition_file_stats(
+    table_path: str, spark: SparkSession | None = None
+) -> list[tuple[str, int, int]]:
     """(partition_dir_name, n_files, total_bytes) per partition dir —
-    a driver-side listing, one entry per file, no data reads."""
+    a driver-side listing, one entry per file, no data reads. With a
+    ``spark`` handle the listing goes through the Hadoop FileSystem
+    API (any scheme — file://, hdfs://, s3a://); without one it falls
+    back to ``os`` for plain local paths (tests, single-box runs)."""
     out = []
+    if spark is not None:
+        jvm = spark._jvm
+        root = jvm.org.apache.hadoop.fs.Path(table_path)
+        fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(root):
+            return out
+        for st in sorted(
+            fs.listStatus(root), key=lambda s: s.getPath().getName()
+        ):
+            name = st.getPath().getName()
+            if "=" not in name or not st.isDirectory():
+                continue
+            n_files, total = 0, 0
+            for f in fs.listStatus(st.getPath()):
+                fn = f.getPath().getName()
+                if fn.endswith(".parquet") and not fn.startswith((".", "_")):
+                    n_files += 1
+                    total += f.getLen()
+            out.append((name, n_files, total))
+        return out
     for name in sorted(os.listdir(table_path)):
         pdir = os.path.join(table_path, name)
         if "=" not in name or not os.path.isdir(pdir):
@@ -65,7 +90,7 @@ def compact_partitions(
     from urllib.parse import unquote
 
     victims = []
-    for name, n_files, total in partition_file_stats(table_path):
+    for name, n_files, total in partition_file_stats(table_path, spark):
         col, _, raw = name.partition("=")
         if col != partition_col:
             continue

@@ -9,8 +9,11 @@ engine needs over plain parquet:
 
 - **Snapshot versioning**: every write lands in a fresh
   ``_v{n}/`` directory; readers resolve the current snapshot through a
-  single pointer file (``_LATEST``) whose update is an atomic
-  ``os.replace``. Readers therefore always see a complete snapshot —
+  single pointer file (``_LATEST``) whose update is an atomic rename
+  (POSIX ``os.replace`` locally; Hadoop FileSystem rename on
+  hdfs:// — atomic there too; s3a rename is copy+delete, the same
+  caveat Delta has without a LogStore). Readers therefore always see
+  a complete snapshot —
   never a partially-written one (U6 atomicity for a single table).
 - **MERGE upsert**: ``upsert(updates, keys)`` = matched rows take the
   update's values, unmatched current rows are kept, brand-new keys are
@@ -48,39 +51,104 @@ class StateTable:
         self.schema = schema
 
     # -- snapshot plumbing -------------------------------------------------
+    #
+    # Local paths use POSIX primitives (open/os.replace — atomic rename
+    # guaranteed); any URI-scheme path (hdfs://, s3a://) goes through
+    # the Hadoop FileSystem API so the table works off-box. HDFS rename
+    # is atomic; S3 rename is copy+delete — the same caveat Delta has
+    # without a LogStore, documented rather than hidden.
+
+    def _is_local(self) -> bool:
+        scheme = self.path.split("://", 1)[0] if "://" in self.path else ""
+        return scheme in ("", "file")
+
+    def _hfs(self):
+        jvm = self.spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(self.path)
+        return jvm, p.getFileSystem(self.spark._jsc.hadoopConfiguration())
 
     def _pointer_path(self) -> str:
         return os.path.join(self.path, _LATEST)
 
     def current_version(self) -> int | None:
+        if self._is_local():
+            try:
+                with open(self._pointer_path()) as f:
+                    return int(f.read().strip())
+            except (FileNotFoundError, ValueError):
+                return None
+        jvm, fs = self._hfs()
+        ptr = jvm.org.apache.hadoop.fs.Path(self.path + "/" + _LATEST)
+        if not fs.exists(ptr):
+            return None
+        stream = fs.open(ptr)
         try:
-            with open(self._pointer_path()) as f:
-                return int(f.read().strip())
-        except (FileNotFoundError, ValueError):
+            buf = bytearray()
+            b = stream.read()
+            while b != -1 and len(buf) < 32:  # pointer is a tiny int
+                buf.append(b)
+                b = stream.read()
+        finally:
+            stream.close()
+        try:
+            return int(bytes(buf).decode().strip())
+        except ValueError:
             return None
 
     def _version_dir(self, v: int) -> str:
         return os.path.join(self.path, f"_v{v}")
 
+    def _flip_pointer(self, v: int) -> None:
+        if self._is_local():
+            tmp = self._pointer_path() + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(str(v))
+            os.replace(tmp, self._pointer_path())  # atomic on POSIX
+            return
+        jvm, fs = self._hfs()
+        tmp = jvm.org.apache.hadoop.fs.Path(self.path + "/" + _LATEST + ".tmp")
+        dst = jvm.org.apache.hadoop.fs.Path(self.path + "/" + _LATEST)
+        out = fs.create(tmp, True)
+        try:
+            out.write(bytearray(str(v).encode()))
+        finally:
+            out.close()
+        fs.delete(dst, False)  # rename-onto refuses an existing dst
+        fs.rename(tmp, dst)
+
     def _commit(self, df: DataFrame) -> None:
         """Write the next snapshot, then atomically flip the pointer."""
         v = (self.current_version() or 0) + 1
         df.write.mode("overwrite").parquet(self._version_dir(v))
-        tmp = self._pointer_path() + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(str(v))
-        os.replace(tmp, self._pointer_path())  # atomic on POSIX
+        self._flip_pointer(v)
         self._gc(v)
 
     def _gc(self, latest: int) -> None:
-        for name in os.listdir(self.path):
+        if self._is_local():
+            names = os.listdir(self.path)
+        else:
+            jvm, fs = self._hfs()
+            root = jvm.org.apache.hadoop.fs.Path(self.path)
+            names = [st.getPath().getName() for st in fs.listStatus(root)]
+        for name in names:
             if name.startswith("_v"):
                 try:
                     v = int(name[2:])
                 except ValueError:
                     continue
                 if v <= latest - _KEEP_VERSIONS:
-                    shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
+                    if self._is_local():
+                        shutil.rmtree(
+                            os.path.join(self.path, name), ignore_errors=True
+                        )
+                    else:
+                        jvm, fs = self._hfs()
+                        fs.delete(
+                            jvm.org.apache.hadoop.fs.Path(
+                                self.path + "/" + name
+                            ),
+                            True,
+                        )
 
     # -- public API --------------------------------------------------------
 
@@ -91,7 +159,11 @@ class StateTable:
         """U7: idempotent DDL (``DatabaseAgentMysql.php:92-127``)."""
         if self.exists():
             return
-        os.makedirs(self.path, exist_ok=True)
+        if self._is_local():
+            os.makedirs(self.path, exist_ok=True)
+        else:
+            jvm, fs = self._hfs()
+            fs.mkdirs(jvm.org.apache.hadoop.fs.Path(self.path))
         empty = self.spark.createDataFrame([], self.schema)
         self._commit(empty)
 

@@ -41,21 +41,41 @@ class TargetTable:
         self.spark = spark
         self.path = path
 
+    def _hadoop_fs(self):
+        """(Path, FileSystem) for this table — the Hadoop API resolves
+        any scheme (file://, hdfs://, s3a://); ``os.path`` would make
+        every non-local table look absent (and _rowid numbering would
+        silently restart at 0, breaking the never-reuse key contract —
+        the same failure class the streaming sink's existence check
+        already guards)."""
+        jvm = self.spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(self.path)
+        fs = hpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        return hpath, fs
+
+    def _is_local(self) -> bool:
+        scheme = self.path.split("://", 1)[0] if "://" in self.path else ""
+        return scheme in ("", "file")
+
     def exists(self) -> bool:
         """True when the table holds DATA: partition dirs are named
         ``_origin_etl_job_id=N`` (leading underscore — a bare "not
         hidden" listing misses them). A ``_SUCCESS``-only directory
         (the footprint of an empty first write) does NOT count — a
         read of it cannot infer a schema and would crash every
-        subsequent load."""
-        if not os.path.isdir(self.path):
+        subsequent load. Hadoop FileSystem listing: scheme-agnostic."""
+        hpath, fs = self._hadoop_fs()
+        if not fs.exists(hpath) or not fs.getFileStatus(hpath).isDirectory():
             return False
-        return any(
-            "=" in n
-            or (n.endswith(".parquet") and not n.startswith((".", "_")))
-            for n in os.listdir(self.path)
-            if n != "_temporary"
-        )
+        for st in fs.listStatus(hpath):
+            n = st.getPath().getName()
+            if n == "_temporary":
+                continue
+            if "=" in n or (
+                n.endswith(".parquet") and not n.startswith((".", "_"))
+            ):
+                return True
+        return False
 
     def overwrite_job_partition(self, data: DataFrame, with_rowid: bool = False) -> None:
         """U4+U5: replace exactly the ``_origin_etl_job_id`` partitions
@@ -104,6 +124,11 @@ class TargetTable:
         per file, zero data pages. None when any file lacks usable
         stats (caller falls back to the full aggregate) or no file
         carries the column (legacy pre-rowid table → base 0)."""
+        if not self._is_local():
+            # pyarrow footer reads below are local-fs; a remote table
+            # takes the exact Spark aggregate fallback (still cheap —
+            # column-pruned scan of one int64 column)
+            return None
         try:
             import pyarrow.parquet as pq
 
@@ -146,14 +171,16 @@ class TargetTable:
         serving its stale partition forever (with accounting happily
         hash-short-circuiting every later run). The reference's
         ``DELETE FROM target WHERE _origin_etl_job_id = ?`` has no
-        incoming-rows precondition — neither does this. (Local-fs
-        directory removal; a cluster deployment swaps in the Hadoop
-        FileSystem call, same semantics.)"""
-        import shutil
-
-        pdir = os.path.join(self.path, f"{PARTITION_COL}={job_id}")
-        if os.path.isdir(pdir):
-            shutil.rmtree(pdir)
+        incoming-rows precondition — neither does this. Hadoop
+        FileSystem recursive delete: scheme-agnostic (file/hdfs/s3a),
+        same semantics everywhere."""
+        jvm = self.spark._jvm
+        pdir = jvm.org.apache.hadoop.fs.Path(
+            self.path + f"/{PARTITION_COL}={job_id}"
+        )
+        fs = pdir.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        if fs.exists(pdir):
+            fs.delete(pdir, True)
 
     def read(self) -> DataFrame:
         return self.spark.read.option("mergeSchema", "true").parquet(self.path)

@@ -106,10 +106,14 @@ def sessionize_stream(
         # ONCE — sorting per chunk while carrying last_us across them
         # would run the scan on an unsorted sequence whenever file
         # order isn't globally time-sorted, silently losing sessions
+        # drop NULL timestamps BEFORE the int64 conversion: NaT casts
+        # to INT64_MIN, which would sort first and phantom-increment
+        # the session count (watermarked deployments drop such rows
+        # upstream; this keeps un-watermarked batches correct too)
         chunks = [
-            pd.to_datetime(pdf["ts"]).astype("int64") // 1000
+            pd.to_datetime(pdf["ts"].dropna()).astype("int64") // 1000
             for pdf in pdfs
-            if len(pdf)
+            if len(pdf) and pdf["ts"].notna().any()
         ]
         if chunks:
             for v in pd.concat(chunks).sort_values():

@@ -116,7 +116,24 @@ def upsert_batch(
         keep = current.join(
             fresh.select(*key_cols).distinct(), on=key_cols, how="left_anti"
         )
-        merged = keep.select(*fresh.columns).unionByName(fresh)
+        # additive schema evolution, both directions (the same
+        # conform-to-union discipline as plans/state_table.upsert):
+        # selecting only fresh.columns would silently DROP a table
+        # column absent from the batch for every kept row, and a
+        # batch that gained a column would crash the union
+        all_cols = list(
+            dict.fromkeys(list(keep.columns) + list(fresh.columns))
+        )
+        def _conform(df: DataFrame) -> DataFrame:
+            missing = [c for c in all_cols if c not in df.columns]
+            for c in missing:
+                src = keep if c in keep.columns else fresh
+                df = df.withColumn(
+                    c, F.lit(None).cast(src.schema[c].dataType)
+                )
+            return df.select(*all_cols)
+
+        merged = _conform(keep).unionByName(_conform(fresh))
     else:
         merged = fresh
     (
@@ -134,9 +151,14 @@ def upsert_stream(
     key_cols: list[str],
     partition_col: str,
     seq_col: str,
+    trigger: dict | None = None,
 ):
     """Attach the MERGE sink to a streaming DataFrame. Returns the
-    started StreamingQuery (caller owns trigger/termination)."""
+    started StreamingQuery (caller owns termination). ``trigger``
+    passes through to ``writeStream.trigger`` — e.g.
+    ``{"processingTime": "30 seconds"}`` for a continuous feed;
+    default ``{"availableNow": True}`` drains what's present and
+    stops (the batch-backfill / test shape)."""
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
@@ -149,6 +171,6 @@ def upsert_stream(
     return (
         stream.writeStream.foreachBatch(_apply)
         .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
+        .trigger(**(trigger or {"availableNow": True}))
         .start()
     )

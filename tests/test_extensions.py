@@ -363,3 +363,33 @@ def test_audio_window_energy_frames(spark):
     assert out[(2, 0)] == 1.0 == out[(2, 1)]
     with _pytest.raises(ValueError):
         multimodal.audio_window_energy(media, window=6)
+
+
+def test_cosine_zero_norm_yields_null_not_crash(spark):
+    """Review fix (round 4): a single all-zeros embedding must yield
+    NULL cosine — not a DIVIDE_BY_ZERO that aborts the job under
+    Spark 4's default ANSI mode."""
+    from google_sheets_etl_spark.functions.vectors import cosine_similarity
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0], [1.0, 0.0]),
+         (1, [1.0, 0.0], [0.0, 0.0]),     # zero-norm candidate
+         (2, [0.0, 0.0], [0.0, 0.0])],
+        "id long, a array<double>, b array<double>",
+    )
+    got = {r["id"]: r["c"] for r in df.select(
+        "id", cosine_similarity(F.col("a"), F.col("b")).alias("c")).collect()}
+    assert got[0] == 1.0
+    assert got[1] is None and got[2] is None
+
+
+def test_multimodal_null_payload_skipped_not_crash(spark):
+    rows = [
+        (1, "image", bytes([1, 2, 3, 4]), None),
+        (2, "image", None, None),   # NULL payload: NULL feature
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = {r["media_id"]: r["feature"]
+           for r in multimodal.image_features(media, n_bins=4).collect()}
+    assert out[1] is not None and len(out[1]) == 4
+    assert out[2] is None

@@ -246,3 +246,64 @@ def test_rocksdb_state_store_parity(spark, tmp_path):
             "spark.sql.streaming.stateStore.providerClass", prev
         )
     assert rocks == baseline and baseline  # identical, non-empty
+
+
+def test_sessionize_ignores_null_timestamps(spark, tmp_path):
+    """Review fix (round 4): a NULL ts casts to INT64_MIN as NaT and
+    phantom-incremented the per-user session count; null rows must be
+    dropped before the gap scan."""
+    import datetime as dt
+
+    src = str(tmp_path / "null_ts_in")
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 7, "click"),
+        (2, None, 7, "click"),                      # NULL ts
+        (3, base + dt.timedelta(minutes=5), 7, "click"),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    ).write.parquet(src)
+    sink_out = str(tmp_path / "null_ts_out")
+    ckpt = str(tmp_path / "null_ts_ck")
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(sink_out)
+
+    q = (
+        es.sessionize_stream(es.read_event_stream(spark, src), gap_s=1800)
+        .writeStream.outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(sink)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r["user_id"]: r["n_sessions"]
+           for r in spark.read.parquet(sink_out).collect()}
+    # two real events 5 min apart -> exactly ONE session
+    assert got[7] == 1
+
+
+def test_upsert_batch_schema_evolution_both_directions(spark, tmp_path):
+    """Review fix (round 4): a batch missing a table column must not
+    DROP that column for kept rows; a batch with a NEW column must
+    widen the table instead of crashing."""
+    from google_sheets_etl_spark.streaming.upsert_sink import upsert_batch
+
+    tbl = str(tmp_path / "evolve_tbl")
+    b1 = spark.createDataFrame(
+        [(1, "p0", 1, "keepme"), (2, "p0", 1, "other")],
+        "k long, part string, seq long, legacy string",
+    )
+    upsert_batch(spark, b1, tbl, ["k"], "part", "seq")
+    # batch 2: no 'legacy' column, new 'extra' column, updates k=2 only
+    b2 = spark.createDataFrame(
+        [(2, "p0", 2, "fresh")], "k long, part string, seq long, extra string"
+    )
+    upsert_batch(spark, b2, tbl, ["k"], "part", "seq")
+    rows = {r["k"]: r.asDict() for r in spark.read.option(
+        "mergeSchema", "true").parquet(tbl).collect()}
+    assert rows[1]["legacy"] == "keepme"       # kept row keeps its column
+    assert rows[2]["extra"] == "fresh"         # new column landed
+    assert rows[2].get("legacy") is None       # evolved, null-padded
