@@ -308,6 +308,11 @@ def near_dup_pairs(
         )
         .persist()
     )
+    # cache lifecycle: populated here, released by the caller's
+    # clearCache (bench/driver loops do this per query); a long-lived
+    # driver looping this operator over many corpora should
+    # spark.catalog.clearCache() between corpora — the entries are
+    # candidate-gated (small) but do accumulate otherwise
     shingled.count()  # same cache-population barrier: feeds both joins
     return (
         cands.join(shingled.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")

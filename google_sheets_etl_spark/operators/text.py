@@ -391,7 +391,10 @@ def vocab_coverage(
     # partition (deterministic: range boundaries use seeded sampling)
     # instead of killing the job. Cost of the trade: a recompute
     # re-explodes the corpus for that partition's lineage; an
-    # infrequent-failure tax vs a guaranteed failure.
+    # infrequent-failure tax vs a guaranteed failure. Cache lifecycle:
+    # released by the caller's clearCache (bench/driver loops); a
+    # long-lived driver looping this over corpora should clear between
+    # runs — the entry is vocab-sized but accumulates otherwise.
     from pyspark.storagelevel import StorageLevel
 
     scan = scan.persist(StorageLevel.MEMORY_AND_DISK)
