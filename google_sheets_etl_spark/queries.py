@@ -1916,6 +1916,42 @@ def events_json_extract(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "streaming_discovery_cursor",
+    """SELECT * FROM (VALUES
+         ('ss-alpha', '2024-03-02T08:30:00Z'),
+         ('ss-beta',  '2024-03-01T12:00:00Z'),
+         ('ss-gamma', '2024-03-02T08:30:00Z')
+       ) AS t(google_spreadsheet_id, google_modified)""",
+)
+def streaming_discovery_cursor(spark: SparkSession, sf: str) -> DataFrame:
+    """The reference's cron-driven delta-discovery loop (O1/O6) as a
+    STRUCTURED STREAMING source (sources/spark_datasource.py
+    SheetsDiscoveryDataSource): the stream offset IS the lexicographic
+    (modifiedTime, id) tuple cursor, checkpoint-persisted, so the
+    never-skip/never-repeat invariant holds across restarts by
+    construction. A fresh checkpoint drains the checked-in Drive
+    files-list fixture completely; the oracle is the literal expected
+    relation (including the two same-timestamp files the tuple cursor
+    exists to order)."""
+    import os as _os
+    import tempfile
+
+    from .sources.spark_datasource import SheetsDiscoveryDataSource
+
+    try:
+        spark.dataSource.register(SheetsDiscoveryDataSource)
+    except Exception:
+        pass  # already registered in this session
+    fixture = _os.path.join(_FIXTURES_DIR, "drive_files.json")
+    stream = (
+        spark.readStream.format("gsheets-discovery")
+        .option("path", fixture)
+        .load()
+    )
+    return _drain_to_memory(stream, "disc_cursor", "append")
+
+
+@q(
     "events_variant_aggregate",
     """SELECT event_type,
               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))

@@ -41,6 +41,7 @@ from pyspark.sql.datasource import (
     Filter,
     In,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 
 SHEETS_SCHEMA = (
@@ -149,3 +150,76 @@ def enable_filter_pushdown(spark) -> bool:
         return spark.conf.get("spark.sql.python.filterPushdown.enabled") == "true"
     except Exception:
         return False
+
+
+# ---------------------------------------------------------------------
+# Streaming discovery source: the reference's cron-driven delta loop
+# (O1/O6, ``Tasks.php:44-69``) as a Structured Streaming source.
+# ---------------------------------------------------------------------
+
+DISCOVERY_SCHEMA = "google_spreadsheet_id string, google_modified string"
+
+
+class SheetsDiscoveryStreamReader(SimpleDataSourceStreamReader):
+    """``SimpleDataSourceStreamReader`` whose OFFSET is the
+    reference's lexicographic ``(modifiedTime, id)`` tuple cursor
+    (O6): each micro-batch emits exactly the files strictly beyond
+    the cursor, and the checkpoint persists the cursor across
+    restarts — the polling loop the reference runs from cron becomes
+    a continuous stream with the same never-skip / never-repeat
+    invariant, for free, because the offset semantics ARE the cursor
+    semantics.
+
+    Backing: a JSON array of ``{"id": ..., "modifiedTime": ...}``
+    (the Drive files-list shape, ``GoogleSheetsAgent.php:102-112``);
+    a REST implementation swaps the file read for the Drive call.
+    Driver-side read per batch is correct here — discovery is
+    metadata-scale (one row per spreadsheet), the data-plane scan
+    stays in the batch source above."""
+
+    def __init__(self, options: dict[str, str]):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError(
+                "gsheets-discovery requires .option('path', files.json)"
+            )
+
+    def initialOffset(self) -> dict:
+        return {"modified": "", "id": ""}
+
+    def _entries(self) -> list[tuple[str, str]]:
+        with open(self.path) as f:
+            files = json.load(f)
+        return sorted(
+            (e["modifiedTime"], e["id"]) for e in files
+        )
+
+    def read(self, start: dict):
+        cursor = (start.get("modified", ""), start.get("id", ""))
+        fresh = [e for e in self._entries() if e > cursor]
+        end = {
+            "modified": fresh[-1][0] if fresh else cursor[0],
+            "id": fresh[-1][1] if fresh else cursor[1],
+        }
+        rows = iter([(sid, mtime) for mtime, sid in fresh])
+        return rows, end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # replay for recovery: same filter, bounded above by `end`
+        lo = (start.get("modified", ""), start.get("id", ""))
+        hi = (end.get("modified", ""), end.get("id", ""))
+        return iter(
+            [(sid, m) for m, sid in self._entries() if lo < (m, sid) <= hi]
+        )
+
+
+class SheetsDiscoveryDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "gsheets-discovery"
+
+    def schema(self) -> str:
+        return DISCOVERY_SCHEMA
+
+    def simpleStreamReader(self, schema) -> SheetsDiscoveryStreamReader:
+        return SheetsDiscoveryStreamReader(dict(self.options))

@@ -81,3 +81,71 @@ def test_feeds_sheet_kernel(registered, fixture_path):
     data = K.project_rows(K.trim_cells(sheet), [0, 1], ["name", "age"], skip_rows=1)
     got = {r["name"]: r["age"] for r in data.collect()}
     assert got == {"alice": "30", "bob": None}
+
+
+def test_discovery_stream_offset_is_tuple_cursor(spark, tmp_path):
+    """The streaming discovery source's offset must behave exactly
+    like the reference's lexicographic (modifiedTime, id) cursor
+    (O6): first drain emits everything, a second drain after new
+    files appear emits ONLY the strictly-newer tuples — including a
+    same-timestamp larger-id file, the cursor's edge case — with the
+    cursor persisted in the checkpoint across query restarts."""
+    import json as _json
+
+    from google_sheets_etl_spark.sources.spark_datasource import (
+        SheetsDiscoveryDataSource,
+    )
+
+    try:
+        spark.dataSource.register(SheetsDiscoveryDataSource)
+    except Exception:
+        pass  # already registered by an earlier test in this session
+
+    files = str(tmp_path / "drive_files.json")
+    out = str(tmp_path / "disc_out")
+    ckpt = str(tmp_path / "disc_ck")
+    v1 = [
+        {"id": "ssB", "modifiedTime": "2024-01-01T10:00:00Z"},
+        {"id": "ssA", "modifiedTime": "2024-01-02T09:00:00Z"},
+    ]
+    with open(files, "w") as f:
+        _json.dump(v1, f)
+
+    def drain():
+        q = (
+            spark.readStream.format("gsheets-discovery")
+            .option("path", files)
+            .load()
+            .writeStream.trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .format("parquet")
+            .option("path", out)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(
+            (r["google_spreadsheet_id"], r["google_modified"])
+            for r in spark.read.parquet(out).collect()
+        )
+
+    assert drain() == [
+        ("ssA", "2024-01-02T09:00:00Z"),
+        ("ssB", "2024-01-01T10:00:00Z"),
+    ]
+    # new file at a LATER mtime + one at the SAME max mtime with a
+    # larger id (the same-timestamp edge O6 exists for)
+    v2 = v1 + [
+        {"id": "ssC", "modifiedTime": "2024-01-03T08:00:00Z"},
+        {"id": "ssZ", "modifiedTime": "2024-01-02T09:00:00Z"},
+    ]
+    with open(files, "w") as f:
+        _json.dump(v2, f)
+    got = drain()
+    # ssA/ssB NOT re-emitted; ssZ (same mtime, id > cursor id) and
+    # ssC both emitted exactly once
+    assert got == [
+        ("ssA", "2024-01-02T09:00:00Z"),
+        ("ssB", "2024-01-01T10:00:00Z"),
+        ("ssC", "2024-01-03T08:00:00Z"),
+        ("ssZ", "2024-01-02T09:00:00Z"),
+    ]
