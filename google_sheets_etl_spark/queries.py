@@ -3854,6 +3854,56 @@ def hll_sketch_partition_merge(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "theta_sketch_overlap",
+    """SELECT CAST((SELECT COUNT(*) FROM
+                (SELECT DISTINCT o_custkey FROM orders
+                 WHERE EXTRACT(year FROM o_orderdate) = 1996
+                 INTERSECT
+                 SELECT DISTINCT o_custkey FROM orders
+                 WHERE EXTRACT(year FROM o_orderdate) = 1997)) AS BIGINT)
+              AS exact_overlap,
+              TRUE AS theta_ok""",
+)
+def theta_sketch_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Theta-sketch SET ALGEBRA — the capability HLL lacks: estimate
+    the intersection cardinality of two distinct-sets (customers
+    active in both 1996 and 1997 — the audience-overlap question)
+    from two independently-built sketches, no join of the raw sets.
+    At 100 TB each segment keeps one tiny theta sketch and any
+    pairwise overlap is sketch arithmetic, not a shuffle.
+    ``theta_ok`` asserts the estimate within ±10 % of the exact
+    intersection (sketches at lgK=12 on these cardinalities are
+    ~exact); the exact side is the oracle's INTERSECT."""
+    o = t(spark, sf, "orders").select(
+        F.year("o_orderdate").alias("_y"), "o_custkey"
+    )
+    sk = (
+        o.filter(F.col("_y").isin(1996, 1997))
+        .groupBy("_y")
+        .agg(F.theta_sketch_agg("o_custkey").alias("_sk"))
+    )
+    a = sk.filter(F.col("_y") == 1996).select(F.col("_sk").alias("_sa"))
+    b = sk.filter(F.col("_y") == 1997).select(F.col("_sk").alias("_sb"))
+    est = a.crossJoin(b).select(
+        F.theta_sketch_estimate(
+            F.theta_intersection(F.col("_sa"), F.col("_sb"))
+        ).alias("_est")
+    )
+    exact = (
+        o.filter(F.col("_y") == 1996)
+        .select("o_custkey")
+        .intersect(o.filter(F.col("_y") == 1997).select("o_custkey"))
+        .agg(F.count(F.lit(1)).alias("exact_overlap"))
+    )
+    joined = exact.crossJoin(F.broadcast(est))
+    ok = (
+        F.abs(F.col("_est") - F.col("exact_overlap"))
+        <= F.lit(0.10) * F.col("exact_overlap")
+    )
+    return joined.select("exact_overlap", ok.alias("theta_ok"))
+
+
+@q(
     "modern_aggregates",
     """SELECT l_returnflag,
               median(l_quantity) AS median_qty,
