@@ -307,3 +307,65 @@ def test_upsert_batch_schema_evolution_both_directions(spark, tmp_path):
     assert rows[1]["legacy"] == "keepme"       # kept row keeps its column
     assert rows[2]["extra"] == "fresh"         # new column landed
     assert rows[2].get("legacy") is None       # evolved, null-padded
+
+
+def test_stream_etl_end_to_end_with_cursor(spark, tmp_path):
+    """The full reference pipeline as a stream: discovery feed →
+    accounting upsert → change-filtered loads per micro-batch. A
+    second drain after a sheet edit reloads ONLY the edited sheet
+    (hash short-circuit spares the untouched one), with the cursor
+    carried by the streaming checkpoint."""
+    import json as _json
+
+    from google_sheets_etl_spark.config import EtlJob
+    from google_sheets_etl_spark.etl import SheetsEtlEngine
+    from google_sheets_etl_spark.sources import (
+        FixtureSheetSource, SpreadsheetMeta,
+    )
+    from google_sheets_etl_spark.streaming.etl_stream import stream_etl
+
+    ssa, ssb = "SSA" + "a" * 41, "SSB" + "b" * 41
+    src = FixtureSheetSource()
+    src.put_sheet(
+        SpreadsheetMeta(ssa, "2026-01-02T00:00:00.000Z", "A"),
+        "Tab1", [["Name", "Amount"], ["alice", "1"], ["bob", "2"]],
+    )
+    src.put_sheet(
+        SpreadsheetMeta(ssb, "2026-01-03T00:00:00.000Z", "B"),
+        "Tab2", [["Id"], ["x"]],
+    )
+    engine = SheetsEtlEngine(spark, str(tmp_path / "wh_stream"), src)
+    engine.set_up_accounting()
+    jobs = [
+        EtlJob(ssa, "Tab1", "stream_a", {"name": "Name", "amount": "Amount"}),
+        EtlJob(ssb, "Tab2", "stream_b", {"id": "Id"}),
+    ]
+    disc = str(tmp_path / "disc_feed.json")
+    ckpt = str(tmp_path / "etl_stream_ck")
+    with open(disc, "w") as f:
+        _json.dump([
+            {"id": ssa, "modifiedTime": "2026-01-02T00:00:00.000Z"},
+            {"id": ssb, "modifiedTime": "2026-01-03T00:00:00.000Z"},
+        ], f)
+
+    stream_etl(engine, disc, ckpt, jobs).awaitTermination()
+    a1 = {r["name"]: r["amount"]
+          for r in engine.target("stream_a").read().collect()}
+    assert a1 == {"alice": "1", "bob": "2"}
+    assert engine.target("stream_b").read().count() == 1
+
+    # edit sheet A, advance ONLY its discovery mtime
+    src.put_sheet(
+        SpreadsheetMeta(ssa, "2026-01-04T00:00:00.000Z", "A"),
+        "Tab1", [["Name", "Amount"], ["alice", "9"]],
+    )
+    with open(disc, "w") as f:
+        _json.dump([
+            {"id": ssa, "modifiedTime": "2026-01-04T00:00:00.000Z"},
+            {"id": ssb, "modifiedTime": "2026-01-03T00:00:00.000Z"},
+        ], f)
+    stream_etl(engine, disc, ckpt, jobs).awaitTermination()
+    a2 = {r["name"]: r["amount"]
+          for r in engine.target("stream_a").read().collect()}
+    assert a2 == {"alice": "9"}          # reloaded, old partition replaced
+    assert engine.target("stream_b").read().count() == 1  # untouched
