@@ -266,12 +266,30 @@ class SheetsEtlEngine:
         keep = {(r["google_spreadsheet_id"], r["sheet_name"]) for r in extract}
         return [j for j in jobs if (j.google_spreadsheet_id, j.sheet_name) in keep]
 
-    def load_updated_spreadsheets(self, jobs: list[EtlJob]) -> list[LoadResult]:
+    def load_updated_spreadsheets(
+        self, jobs: list[EtlJob], continue_on_error: bool = True
+    ) -> list[LoadResult]:
         """O2 (``Tasks.php:59-65``). Replays pending commit manifests
         first so the change filter never re-selects a job whose load
-        committed but whose accounting apply was interrupted (U6)."""
+        committed but whose accounting apply was interrupted (U6).
+
+        Per-job error isolation (``continue_on_error``, default on —
+        a reference fix-by-design like O4): one sheet with a renamed
+        header must not wedge every job ordered after it on every run.
+        Failures are collected on ``self.last_load_failures`` as
+        (job, exception) pairs and the batch continues; pass False for
+        the reference's abort-on-first behavior."""
         self._apply_pending_commits()
-        return [self.load_sheet(job) for job in self.filter_extractable(jobs)]
+        results: list[LoadResult] = []
+        self.last_load_failures: list[tuple[EtlJob, Exception]] = []
+        for job in self.filter_extractable(jobs):
+            try:
+                results.append(self.load_sheet(job))
+            except Exception as exc:  # noqa: BLE001 — isolate per sheet
+                if not continue_on_error:
+                    raise
+                self.last_load_failures.append((job, exc))
+        return results
 
     # -- O3: per-sheet ETL -------------------------------------------------
 
@@ -283,7 +301,17 @@ class SheetsEtlEngine:
     def load_sheet(self, job: EtlJob) -> LoadResult:
         """O3 (``Tasks.php:103-143``): fetch → resolve header → evolve
         target → project → hash short-circuit → overwrite partition →
-        commit accounting last."""
+        commit accounting last.
+
+        Replays pending commit manifests first — this public entry can
+        be called directly (not only via ``load_updated_spreadsheets``),
+        and a crash in a previous run's rename→apply window would
+        otherwise leave its committed etl_job_id unknown to the
+        accounting max, letting a NEW sheet claim the same id (and,
+        sharing a target table, dynamically overwrite the committed
+        partition). Replay is idempotent and free when no manifests
+        are pending."""
+        self._apply_pending_commits()
         raw_rows, content_hash = self.source.get_sheet(
             job.google_spreadsheet_id, job.sheet_name)
 
@@ -376,5 +404,22 @@ class SheetsEtlEngine:
         if meta is None:
             return False
         now = int(time.time()) if now is None else now
-        self.set_spreadsheet_seen(meta.id, meta.modified_time, meta.name, now)
+        # refresh last_seen with the STORED google_modified, not the
+        # probe's: the probed file may have just been edited past
+        # files discovery hasn't listed yet, and recording its fresh
+        # modifiedTime would advance the (max google_modified)
+        # watermark OVER them — silently never discovered until their
+        # next edit. The probe proves access; discovery owns the
+        # watermark.
+        stored = (
+            self.spreadsheets.read()
+            .filter(F.col("google_spreadsheet_id") == meta.id)
+            .select("google_modified")
+            .first()
+        )
+        recorded_modified = (
+            stored["google_modified"] if stored is not None
+            else meta.modified_time
+        )
+        self.set_spreadsheet_seen(meta.id, recorded_modified, meta.name, now)
         return True

@@ -123,11 +123,36 @@ class GoogleSheetSource:
 
     def list_spreadsheets(self, modified_since: str, cursor_id: str, count: int):
         params = drive_list_params(modified_since, count)
-        resp = with_backoff(lambda: self._drive.files().list(**params).execute(),
-                            sleep=self._sleep)
+        files: list[dict] = []
+        token: str | None = None
+        while True:
+            page_params = dict(params)
+            if token:
+                page_params["pageToken"] = token
+            resp = with_backoff(
+                lambda p=page_params: self._drive.files().list(**p).execute(),
+                sleep=self._sleep,
+            )
+            files += resp.get("files", [])
+            token = resp.get("nextPageToken")
+            if not token:
+                break
+            if len(files) >= count:
+                # page until the CAP-BOUNDARY modifiedTime's tie group
+                # is complete: Drive orders by modifiedTime only and
+                # chooses arbitrarily WITHIN a timestamp, so stopping
+                # mid-group would let the cursor record an id whose
+                # same-timestamp siblings were never returned — they'd
+                # be below both the watermark and the id cursor on
+                # every later run, i.e. skipped forever. Pages arrive
+                # ascending, so once the tail passes the boundary the
+                # group is closed.
+                boundary = sorted(f["modifiedTime"] for f in files)[count - 1]
+                if files[-1]["modifiedTime"] > boundary:
+                    break
         metas = [
             SpreadsheetMeta(f["id"], f["modifiedTime"], f["name"])
-            for f in resp.get("files", [])
+            for f in files
         ]
         # Drive orders by modifiedTime ONLY; the tuple cursor needs a
         # total (modifiedTime, id) order or a capped page of
@@ -158,7 +183,12 @@ class GoogleSheetSource:
         resp = with_backoff(
             lambda: self._sheets.spreadsheets()
             .values()
-            .get(spreadsheetId=spreadsheet_id, range=f"'{sheet_name}'")
+            # A1 notation doubles embedded single quotes ("Bob's Data"
+            # → 'Bob''s Data'); unescaped, the API 400s (non-retryable)
+            .get(
+                spreadsheetId=spreadsheet_id,
+                range="'" + sheet_name.replace("'", "''") + "'",
+            )
             .execute(),
             sleep=self._sleep,
         )

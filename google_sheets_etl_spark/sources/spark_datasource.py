@@ -32,7 +32,9 @@ provenance columns identifying the sheet.
 from __future__ import annotations
 
 import json
+import os
 from collections.abc import Iterator, Sequence
+from functools import lru_cache
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -49,9 +51,19 @@ SHEETS_SCHEMA = (
 )
 
 
-def _load_fixture(path: str) -> dict[str, dict[str, list[list[str]]]]:
+@lru_cache(maxsize=8)
+def _load_fixture_at(path: str, _mtime: float):
     with open(path) as f:
         return json.load(f)
+
+
+def _load_fixture(path: str) -> dict[str, dict[str, list[list[str]]]]:
+    """Parsed fixture, memoized per (path, mtime): every partition's
+    ``read()`` needs one sheet, and re-parsing the whole corpus per
+    partition made the scan O(partitions × corpus). The mtime key
+    keeps a mutated fixture (tests do this) fresh; the cache lives
+    per worker process, which is exactly the reuse unit."""
+    return _load_fixture_at(path, os.path.getmtime(path))
 
 
 class SheetPartition(InputPartition):

@@ -376,7 +376,10 @@ def test_crash_between_manifest_and_accounting_heals_to_fully_new(
 
     monkeypatch.setattr(StateTable, "upsert", crash)
     with pytest.raises(RuntimeError, match="injected crash"):
-        eng.load_updated_spreadsheets(jobs)
+        # continue_on_error=False: these tests simulate PROCESS death
+        # mid-transaction; per-job exception isolation (the default)
+        # would catch the injected error, which a real crash cannot be
+        eng.load_updated_spreadsheets(jobs, continue_on_error=False)
     monkeypatch.setattr(StateTable, "upsert", real_upsert)
 
     # torn state on disk: data + manifest new, accounting old
@@ -441,7 +444,7 @@ def test_crash_before_manifest_leaves_fully_old_then_retries(
 
     monkeypatch.setattr(SheetsEtlEngine, "_commit_job", crash)
     with pytest.raises(RuntimeError, match="before manifest"):
-        eng.load_updated_spreadsheets(jobs)
+        eng.load_updated_spreadsheets(jobs, continue_on_error=False)
     monkeypatch.undo()
 
     # fully-old accounting: no manifest, hashes unchanged, the job is
@@ -462,3 +465,50 @@ def test_crash_before_manifest_leaves_fully_old_then_retries(
     tgt = recovered.target("table_a").read()
     assert tgt.filter("name = 'alice'").first()["amount"] == "77"
     assert tgt.count() == 3  # partition rewritten, not appended
+
+
+def test_probe_refresh_never_advances_discovery_watermark(
+    spark, tmp_path, source, jobs,
+):
+    """Round-4 review fix: the O4 probe must refresh last_seen with
+    the STORED google_modified — recording the probe's fresh
+    modifiedTime would advance the discovery watermark past files
+    never yet listed, silently skipping them."""
+    eng = SheetsEtlEngine(spark, str(tmp_path / "wh_probe"), source)
+    eng.set_up_accounting()
+    eng.find_updated_spreadsheets(now=100)
+    from google_sheets_etl_spark.operators import watermark as wm
+
+    before, _ = wm.greatest_modified(eng.spreadsheets.read())
+    # the probed (longest-unseen) file gets edited FAR in the future,
+    # before discovery has listed that edit
+    ssa = "SSA" + "a" * 41
+    source.put_sheet(
+        SpreadsheetMeta(ssa, "2027-12-31T00:00:00.000Z", "Sheet A"),
+        "Tab1", SHEET_A,
+    )
+    assert eng.verify_oldest_spreadsheet(now=200) is True
+    after, _ = wm.greatest_modified(eng.spreadsheets.read())
+    assert after == before  # watermark untouched; discovery owns it
+
+
+def test_batch_load_isolates_per_job_failures(spark, tmp_path, source, jobs):
+    """Round-4 review fix: one sheet with a broken header must not
+    wedge jobs ordered after it; the failure is recorded and the rest
+    of the batch loads."""
+    eng = SheetsEtlEngine(spark, str(tmp_path / "wh_iso"), source)
+    eng.set_up_accounting()
+    eng.find_updated_spreadsheets(now=100)
+    broken = EtlJob(
+        "SSA" + "a" * 41, "Tab1", "iso_broken",
+        {"name": "No Such Header"},
+    )
+    ok = jobs[1]  # SSB job, ordered after the broken one
+    results = eng.load_updated_spreadsheets([broken, ok])
+    assert [r.job.target_table for r in results] == [ok.target_table]
+    assert len(eng.last_load_failures) == 1
+    failed_job, exc = eng.last_load_failures[0]
+    assert failed_job.target_table == "iso_broken"
+    assert "No Such Header" in str(exc)
+    # the healthy sheet actually landed
+    assert eng.target(ok.target_table).read().count() > 0

@@ -229,3 +229,60 @@ def test_backoff_retries_httperror_shaped_exceptions():
 
     with pytest.raises(FatalError):  # non-retryable still raises fast
         with_backoff(fatal, sleep=lambda s: None)
+
+
+class PagedFakeDrive(FakeDrive):
+    """Serves files in fixed-size server pages with nextPageToken —
+    within a timestamp the SERVER order is adversarial (by id DESC),
+    as Drive makes no tie order promise."""
+
+    def __init__(self, files, page_size):
+        super().__init__({f["id"]: f for f in files})
+        self._serve = sorted(
+            files, key=lambda f: (f["modifiedTime"], [-ord(c) for c in f["id"]])
+        )
+        self._page = page_size
+
+    def list(self, **params):
+        self.list_params.append(params)
+        start = int(params.get("pageToken", 0))
+
+        def run():
+            chunk = self._serve[start:start + self._page]
+            out = {"files": chunk}
+            if start + self._page < len(self._serve):
+                out["nextPageToken"] = str(start + self._page)
+            return out
+
+        return _Call(run)
+
+
+def test_list_completes_same_timestamp_tie_group_across_pages():
+    """Round-4 review fix: when more files share one modifiedTime than
+    the cap, the client must page until the cap-boundary tie group is
+    COMPLETE — otherwise the recorded cursor id skips same-timestamp
+    siblings the server never returned, forever."""
+    t = "2026-05-01T00:00:00.000Z"
+    files = [
+        {"id": f"ss{i:03d}", "modifiedTime": t, "name": f"f{i}"}
+        for i in range(10)
+    ]
+    drive = PagedFakeDrive(files, page_size=4)
+    src = GoogleSheetSource(drive=drive, sheets=FakeSheets({}), sleep=lambda s: None)
+    got = src.list_spreadsheets("2026-04-30T00:00:00.000Z", "", count=6)
+    # the cap returns the 6 LOWEST ids of the tie group — a complete
+    # (modifiedTime, id)-ordered prefix, so the cursor can resume at
+    # ss005 and the next call picks up ss006..ss009 exactly
+    assert [m.id for m in got] == [f"ss{i:03d}" for i in range(6)]
+    nxt = src.list_spreadsheets(t, "ss006", count=6)
+    assert [m.id for m in nxt] == ["ss006", "ss007", "ss008", "ss009"]
+
+
+def test_get_sheet_escapes_quotes_in_a1_range():
+    files = {"ssq": {"id": "ssq", "modifiedTime": "t", "name": "Q"}}
+    sheets = FakeSheets({("ssq", "'Bob''s Data'"): [["H"], ["v"]]})
+    src = GoogleSheetSource(drive=FakeDrive(files_by_id=files),
+                            sheets=sheets, sleep=lambda s: None)
+    rows, _ = src.get_sheet("ssq", "Bob's Data")
+    assert rows == [["H"], ["v"]]
+    assert sheets.get_params[-1]["range"] == "'Bob''s Data'"
