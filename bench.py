@@ -51,7 +51,10 @@ EXCLUDE = {"near_dup_jaccard_exact", "dedup_clusters_exact",
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else -1.0
+    try:
+        sf = float(m.group(1).rstrip(".")) if m else -1.0
+    except ValueError:
+        sf = -1.0  # cosmetic dir-name oddity must not abort the bench
     spark = get_spark("sheets-etl-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -91,6 +94,11 @@ def main() -> None:
             timings[name] = round(best, 3)
         except Exception as exc:  # noqa: BLE001 — survive any one query
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            if best != float("inf"):
+                # iteration 1 measured clean before iteration 2 died:
+                # keep the valid measurement instead of silently
+                # shrinking the headline total
+                timings[name] = round(best, 3)
             try:
                 spark.catalog.clearCache()
             except Exception:

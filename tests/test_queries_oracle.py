@@ -6,26 +6,17 @@ HUGEINT-as-float mismatches fail here, as they do in the real gate."""
 
 from __future__ import annotations
 
-import duckdb
 import pytest
 
 import __spark_entry__ as entry_mod
-from tools.driver_mimic import canon
-
-TABLES = [
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
-]
+from tools.driver_mimic import canon, connect_views
 
 
 @pytest.fixture(scope="module")
 def duck(sf_dir):
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
-    return con
+    con = connect_views(sf_dir)
+    yield con
+    con.close()
 
 
 ORACLED = sorted(entry_mod.oracle_sql().keys())
@@ -47,11 +38,7 @@ SF_OVERRIDE = {
 def test_query_matches_oracle(spark, sf_dir, duck, name):
     if name in SF_OVERRIDE:
         sf_dir = SF_OVERRIDE[name]
-        duck = duckdb.connect()
-        for t in TABLES:
-            duck.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-            )
+        duck = connect_views(sf_dir)
     qdf = entry_mod.queries()[name](spark, sf_dir)
     spark_cols = qdf.columns
     spark_rows = [tuple(r) for r in qdf.collect()]
@@ -68,10 +55,15 @@ def test_query_matches_oracle(spark, sf_dir, duck, name):
     assert sc == dc, f"{name}: first mismatches {[(sc[i], dc[i]) for i in mism]}"
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY)
+@pytest.mark.parametrize("name", ROWS_ONLY or ["__all_oracled__"])
 def test_rows_only_queries_run(spark, sf_dir, name):
+    if name == "__all_oracled__":
+        pytest.skip("every registered query currently has an oracle")
     df = entry_mod.queries()[name](spark, sf_dir)
-    assert df.count() >= 0
+    # rows-only gate: the query must EXECUTE and produce a schema —
+    # a 0-row result is legitimate for some ops, so the meaningful
+    # floor is successful execution with named output columns
+    assert isinstance(df.count(), int)
     assert len(df.columns) > 0
 
 

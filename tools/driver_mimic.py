@@ -26,26 +26,50 @@ TABLES = [
 ]
 
 
+def connect_views(sf_dir: str):
+    """One DuckDB connection with every testdata table registered as a
+    view — the single definition the mimic AND the oracle tests share
+    (three hand-copies drifted before)."""
+    import duckdb
+
+    con = duckdb.connect()
+    for tname in TABLES:
+        con.execute(
+            f"CREATE VIEW {tname} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{tname}.parquet')"
+        )
+    return con
+
+
 def normalize(v):
     import datetime
     import decimal
 
-    if type(v).__module__ == "numpy":  # np.int64/float64/bool_ scalars
-        v = v.item()
+    if type(v).__module__ == "numpy":
+        # np.int64/float64/bool_ scalars -> python; ndarray (a LIST
+        # column through the pandas fetch) -> python list, so list
+        # oracles normalize instead of crashing the sweep on .item()
+        v = v.tolist() if hasattr(v, "ndim") and v.ndim > 0 else v.item()
+    # pandas NaT (datetime subclass) and float-NaN-as-NULL (a nullable
+    # int column fetched via pandas) are NULLs, same as Spark's None
+    if v is None or v != v:  # noqa: PLR0124 — NaN/NaT self-inequality
+        return "s:None"
     if isinstance(v, bool):
         return f"b:{v}"
     if isinstance(v, int):
         return f"i:{v}"
     if isinstance(v, decimal.Decimal):
-        return f"f:{float(v):.6f}"
+        return f"f:{float(v) + 0.0:.6f}"
     if isinstance(v, float):
-        if math.isnan(v):
-            return "f:NaN"
-        return f"f:{v:.6f}"
+        # NaN handled above (self-inequality, unified with NULL)
+        return f"f:{v + 0.0:.6f}"  # +0.0 folds -0.0 into 0.0
     if isinstance(v, datetime.datetime):
         return f"t:{v.isoformat()}"
     if isinstance(v, datetime.date):
-        return f"d:{v.isoformat()}"
+        # promote to midnight timestamp: DuckDB's pandas fetch turns
+        # DATE into Timestamp 00:00 while Spark collect() gives date —
+        # same value, two shapes
+        return f"t:{v.isoformat()}T00:00:00"
     if isinstance(v, (list, tuple)):
         return "l:[" + ",".join(normalize(x) for x in v) + "]"
     return f"s:{v}"
@@ -75,15 +99,14 @@ def main() -> int:
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .getOrCreate()
     )
-    con = duckdb.connect()
-    for tname in TABLES:
-        con.execute(
-            f"CREATE VIEW {tname} AS SELECT * FROM "
-            f"read_parquet('{sf_dir}/{tname}.parquet')"
-        )
+    con = connect_views(sf_dir)
 
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    unknown = only - set(queries)
+    if unknown:
+        print(f"ERROR: unknown query name(s): {sorted(unknown)}")
+        return 2  # a typo'd filter must not report success
     results: dict[str, dict] = {}
     n_green = n_red = 0
     for name, fn in queries.items():
@@ -126,8 +149,16 @@ def main() -> int:
         row["oracle_rows"] = len(duck_rows)
         row["rows_match"] = len(spark_rows) == len(duck_rows)
         row["schema_match"] = sorted(spark_cols) == sorted(duck_cols)
-        sc = canon(spark_rows, spark_cols)
-        dc = canon(duck_rows, duck_cols)
+        try:
+            sc = canon(spark_rows, spark_cols)
+            dc = canon(duck_rows, duck_cols)
+        except Exception as e:  # noqa: BLE001 — one bad value must
+            # not abort the sweep; record the query RED and continue
+            row["err"] = f"canon: {type(e).__name__}: {e}"
+            results[name] = row
+            n_red += 1
+            print(f"RED  {name}: {row['err'][:300]}")
+            continue
         row["hash_match"] = sc == dc
         if row["rows_match"] and row["schema_match"] and row["hash_match"]:
             n_green += 1
