@@ -42,6 +42,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Largest filter localized to the driver as a LocalRelation:
+# 2^27 bits = 2 M 16-byte lanes ≈ 32 MB through Arrow. Bigger filters
+# stay distributed (see bloom_build docstring for the trade).
+LOCAL_RELATION_MAX_BITS = 1 << 27
+
 
 def _probe_cols(key, m_bits: int, k: int) -> list[tuple]:
     """(word_idx, mask) expression pairs for the k probe positions of
@@ -70,16 +75,26 @@ def bloom_build(
     the SMALL side only. The result is bounded by ``m_bits / 64`` rows
     regardless of key count.
 
-    The aggregated word table is materialized to the driver and
-    re-created as a LocalRelation. This is NOT a data-scale collect:
-    the bitset is the filter's metadata, bounded by the DESIGN
-    constant ``m_bits / 64`` rows (16 K at the default, 2 M at
-    2^27 bits) — the same bytes a broadcast would ship anyway. It
-    buys: the k probe joins broadcast from local data instead of
-    re-running the build aggregation k times (Spark can't reuse the
-    exchange across the per-probe column renames), and nothing stays
-    persisted afterwards (a previous persist()-based version leaked
-    one cached table per call)."""
+    Up to ``LOCAL_RELATION_MAX_BITS`` the aggregated word table is
+    localized to the driver THROUGH ARROW (``toPandas`` →
+    ``createDataFrame(pandas)``: columnar batches, no per-row Python
+    tuple round-trip) and re-created as a LocalRelation. This is NOT
+    a data-scale collect: the bitset is the filter's metadata,
+    bounded by the DESIGN constant ``m_bits / 64`` rows (16 K at the
+    default, 2 M ≈ 32 MB at the 2^27 ceiling) — the same bytes a
+    broadcast would ship anyway. It buys: the k probe joins broadcast
+    from local data instead of re-running the build aggregation k
+    times (Spark can't reuse the exchange across the per-probe column
+    renames), and nothing stays persisted afterwards (a previous
+    persist()-based version leaked one cached table per call).
+
+    ABOVE the ceiling (e.g. 2^30 bits ≈ 16 M lanes / 128 MB — a real
+    driver-memory hazard as a LocalRelation) the aggregated
+    DataFrame is returned distributed: the k broadcast probes then
+    re-run the build aggregation per probe, trading bounded repeat
+    compute on the SMALL side for zero driver materialization.
+    Callers holding the filter across many probe calls may persist
+    it themselves (and own the unpersist)."""
     probes = _probe_cols(F.col(key_col), m_bits, k)
     lanes = keys.select(
         F.explode(
@@ -89,9 +104,10 @@ def bloom_build(
         ).alias("p")
     ).select("p.word_idx", "p.mask")
     agg = lanes.groupBy("word_idx").agg(F.bit_or("mask").alias("word"))
-    local = [(r["word_idx"], r["word"]) for r in agg.collect()]
+    if m_bits > LOCAL_RELATION_MAX_BITS:
+        return agg
     return keys.sparkSession.createDataFrame(
-        local, "word_idx long, word long"
+        agg.toPandas(), "word_idx long, word long"
     )
 
 
@@ -112,9 +128,10 @@ def bloom_probe(
     row (a member of the empty set is impossible).
 
     Each join renames the lane columns per probe index (Spark's
-    self-join analysis rejects reusing one lineage three times); the
-    word table is a LocalRelation (see :func:`bloom_build`), so the
-    k BroadcastExchanges re-ship local bytes, never re-run a plan."""
+    self-join analysis rejects reusing one lineage three times); at
+    default sizes the word table is a LocalRelation (see
+    :func:`bloom_build`), so the k BroadcastExchanges re-ship local
+    bytes, never re-run a plan."""
     out = big
     for i, (word_idx, mask) in enumerate(_probe_cols(F.col(key_col), m_bits, k)):
         b = F.broadcast(

@@ -3951,40 +3951,51 @@ def zorder_write_lifecycle(spark: SparkSession, sf: str) -> DataFrame:
     bounds — write-invariant) plus the asserted flag; the oracle is
     the same aggregate over the source table, proving the write was
     lossless."""
+    import shutil
     import tempfile
 
     from .operators import layout
 
     li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
     path = tempfile.mkdtemp(prefix="zorder_")
-    layout.zorder_write(li, path, "l_orderkey", "l_partkey", file_bits=4)
-    back = spark.read.parquet(path)
-    per_file = back.groupBy("_tile").agg(
-        F.min("l_orderkey").alias("x0"), F.max("l_orderkey").alias("x1"),
-        F.min("l_partkey").alias("y0"), F.max("l_partkey").alias("y1"),
-    )
-    g = back.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.min("l_orderkey").alias("gx0"), F.max("l_orderkey").alias("gx1"),
-        F.min("l_partkey").alias("gy0"), F.max("l_partkey").alias("gy1"),
-    ).first()
-    spans = per_file.select(
-        (F.col("x1") - F.col("x0")).alias("sx"),
-        (F.col("y1") - F.col("y0")).alias("sy"),
-    ).agg(F.max("sx").alias("mx"), F.max("sy").alias("my")).first()
-    # the z-layout property: NO file spans more than half of either
-    # dimension (16 files on the z-curve ≈ quarter x quarter tiles;
-    # half is the generous bound that survives range-sampler skew)
-    assert spans["mx"] <= (g["gx1"] - g["gx0"]) / 2 + 1, spans
-    assert spans["my"] <= (g["gy1"] - g["gy0"]) / 2 + 1, spans
-    return back.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.min("l_orderkey").alias("min_ok"),
-        F.max("l_orderkey").alias("max_ok"),
-        F.min("l_partkey").alias("min_pk"),
-        F.max("l_partkey").alias("max_pk"),
-        F.lit(True).alias("both_dims_bounded"),
-    )
+    try:
+        layout.zorder_write(li, path, "l_orderkey", "l_partkey", file_bits=4)
+        back = spark.read.parquet(path)
+        per_file = back.groupBy("_tile").agg(
+            F.min("l_orderkey").alias("x0"), F.max("l_orderkey").alias("x1"),
+            F.min("l_partkey").alias("y0"), F.max("l_partkey").alias("y1"),
+        )
+        g = back.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_orderkey").alias("gx0"), F.max("l_orderkey").alias("gx1"),
+            F.min("l_partkey").alias("gy0"), F.max("l_partkey").alias("gy1"),
+        ).first()
+        spans = per_file.select(
+            (F.col("x1") - F.col("x0")).alias("sx"),
+            (F.col("y1") - F.col("y0")).alias("sy"),
+        ).agg(F.max("sx").alias("mx"), F.max("sy").alias("my")).first()
+        # the z-layout property: NO file spans more than half of either
+        # dimension (16 files on the z-curve ≈ quarter x quarter tiles;
+        # half is the generous bound that survives range-sampler skew)
+        assert spans["mx"] <= (g["gx1"] - g["gx0"]) / 2 + 1, spans
+        assert spans["my"] <= (g["gy1"] - g["gy0"]) / 2 + 1, spans
+        # Materialize the 1-row result EAGERLY so the temp write dir
+        # can be removed here: the returned frame must not lazily scan
+        # a path this function is responsible for cleaning up (the
+        # correctness driver invokes this repeatedly; leaked zorder_*
+        # dirs in /tmp accumulated before).
+        summary = back.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_orderkey").alias("min_ok"),
+            F.max("l_orderkey").alias("max_ok"),
+            F.min("l_partkey").alias("min_pk"),
+            F.max("l_partkey").alias("max_pk"),
+            F.lit(True).alias("both_dims_bounded"),
+        )
+        rows, schema = summary.collect(), summary.schema
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
 
 
 @q(

@@ -123,6 +123,17 @@ class GoogleSheetSource:
 
     def list_spreadsheets(self, modified_since: str, cursor_id: str, count: int):
         params = drive_list_params(modified_since, count)
+
+        def survives(f: dict) -> bool:
+            # Same (modifiedTime, id) residual tuple predicate applied
+            # to the final result below; used here so the cap boundary
+            # is computed over files the cursor will actually KEEP.
+            return (
+                f["modifiedTime"] > modified_since
+                or (f["modifiedTime"] == modified_since
+                    and f["id"] >= cursor_id)
+            )
+
         files: list[dict] = []
         token: str | None = None
         while True:
@@ -137,17 +148,26 @@ class GoogleSheetSource:
             token = resp.get("nextPageToken")
             if not token:
                 break
-            if len(files) >= count:
-                # page until the CAP-BOUNDARY modifiedTime's tie group
-                # is complete: Drive orders by modifiedTime only and
-                # chooses arbitrarily WITHIN a timestamp, so stopping
-                # mid-group would let the cursor record an id whose
-                # same-timestamp siblings were never returned — they'd
-                # be below both the watermark and the id cursor on
-                # every later run, i.e. skipped forever. Pages arrive
-                # ascending, so once the tail passes the boundary the
-                # group is closed.
-                boundary = sorted(f["modifiedTime"] for f in files)[count - 1]
+            # Page until the CAP-BOUNDARY modifiedTime's tie group is
+            # complete: Drive orders by modifiedTime only and chooses
+            # arbitrarily WITHIN a timestamp, so stopping mid-group
+            # would let the cursor record an id whose same-timestamp
+            # siblings were never returned — they'd be below both the
+            # watermark and the id cursor on every later run, i.e.
+            # skipped forever. The boundary must be the count-th mtime
+            # among SURVIVORS of the residual tuple filter: the Drive
+            # query is modifiedTime >= watermark, so re-listed
+            # already-seen files AT the old watermark inflate the raw
+            # list and would pin the boundary to the OLD watermark
+            # mtime, closing paging while the NEW tail tie group is
+            # still open. Pages arrive ascending, so once the raw tail
+            # strictly passes the survivor boundary the group is
+            # closed.
+            survivor_mtimes = sorted(
+                f["modifiedTime"] for f in files if survives(f)
+            )
+            if len(survivor_mtimes) >= count:
+                boundary = survivor_mtimes[count - 1]
                 if files[-1]["modifiedTime"] > boundary:
                     break
         metas = [
@@ -159,7 +179,8 @@ class GoogleSheetSource:
         # same-timestamp files skips every id below the recorded max
         # on the next run. Sort client-side BEFORE filter + cap.
         metas.sort(key=lambda m: (m.modified_time, m.id))
-        # S2 residual tuple filter (GoogleSheetsAgent.php:114-119)
+        # S2 residual tuple filter (GoogleSheetsAgent.php:114-119) —
+        # same predicate as ``survives`` above, over sorted metas.
         return [
             m for m in metas
             if m.modified_time > modified_since

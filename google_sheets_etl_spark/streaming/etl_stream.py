@@ -76,7 +76,14 @@ def stream_etl(
             for sid in sorted(touched)
             for job in by_spreadsheet.get(sid, [])
         ]
-        engine.load_updated_spreadsheets(pending)
+        # continue_on_error=False: a failed per-sheet load must FAIL
+        # the micro-batch so Structured Streaming retries it. Under
+        # the cron model stale accounting re-selects a failed job on
+        # the next run, but the stream only re-emits a file when its
+        # modifiedTime changes — swallowing the error here would
+        # commit the checkpoint past the update and lose the load
+        # until the sheet's next edit.
+        engine.load_updated_spreadsheets(pending, continue_on_error=False)
 
     return (
         stream.writeStream.foreachBatch(_apply)

@@ -286,3 +286,30 @@ def test_get_sheet_escapes_quotes_in_a1_range():
     rows, _ = src.get_sheet("ssq", "Bob's Data")
     assert rows == [["H"], ["v"]]
     assert sheets.get_params[-1]["range"] == "'Bob''s Data'"
+
+
+def test_list_tie_group_boundary_ignores_refiltered_old_watermark_files():
+    """Round-5 advisory fix: the cap boundary must be computed over
+    SURVIVORS of the (modifiedTime, id) residual filter. The Drive
+    query is modifiedTime >= watermark, so already-seen files AT the
+    old watermark re-list and inflate the raw count — a boundary over
+    raw files lands at the OLD watermark mtime and closes paging while
+    the NEW tail timestamp's tie group is still open, recording a
+    partial tie group whose unfetched siblings are skipped forever."""
+    t0, t1 = "2026-06-01T00:00:00.000Z", "2026-06-02T00:00:00.000Z"
+    old = [{"id": f"a{i:03d}", "modifiedTime": t0, "name": f"old{i}"}
+           for i in range(6)]
+    new = [{"id": f"b{i:03d}", "modifiedTime": t1, "name": f"new{i}"}
+           for i in range(8)]
+    drive = PagedFakeDrive(old + new, page_size=4)
+    src = GoogleSheetSource(drive=drive, sheets=FakeSheets({}),
+                            sleep=lambda s: None)
+    # watermark (t0, "a999"): every t0 file is already seen — only the
+    # 8-file t1 tie group survives; cap 6 must return its complete
+    # (modifiedTime, id)-ordered prefix b000..b005, NOT a partial
+    # tie-group tail fetched before paging stopped early
+    got = src.list_spreadsheets(t0, "a999", count=6)
+    assert [m.id for m in got] == [f"b{i:03d}" for i in range(6)]
+    # and the resumed cursor picks up the rest exactly
+    nxt = src.list_spreadsheets(t1, "b006", count=6)
+    assert [m.id for m in nxt] == ["b006", "b007"]

@@ -50,7 +50,8 @@ def test_query_matches_oracle(spark, sf_dir, duck, name):
 
     assert sorted(spark_cols) == sorted(duck_cols), f"{name}: column names differ"
     assert len(spark_rows) == len(duck_rows), f"{name}: row count differs"
-    sc, dc = canon(spark_rows, spark_cols), canon(duck_rows, duck_cols)
+    sc = canon(spark_rows, spark_cols)
+    dc = canon(duck_rows, duck_cols, from_pandas=True)
     mism = [i for i, (a, b) in enumerate(zip(sc, dc)) if a != b][:3]
     assert sc == dc, f"{name}: first mismatches {[(sc[i], dc[i]) for i in mism]}"
 

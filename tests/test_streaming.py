@@ -369,3 +369,57 @@ def test_stream_etl_end_to_end_with_cursor(spark, tmp_path):
           for r in engine.target("stream_a").read().collect()}
     assert a2 == {"alice": "9"}          # reloaded, old partition replaced
     assert engine.target("stream_b").read().count() == 1  # untouched
+
+
+def test_stream_etl_failed_load_fails_batch_then_retries(spark, tmp_path):
+    """Round-5 advisory fix: a failed per-sheet load must FAIL the
+    micro-batch (continue_on_error=False) so the checkpoint does not
+    commit past the update — the stream only re-emits a file when its
+    modifiedTime changes, so a swallowed one-off failure would lose
+    the load until the sheet's next edit. After the source heals, a
+    re-drain retries the SAME offset and the load lands."""
+    import json as _json
+
+    import pytest
+
+    from google_sheets_etl_spark.config import EtlJob
+    from google_sheets_etl_spark.etl import SheetsEtlEngine
+    from google_sheets_etl_spark.sources import (
+        FixtureSheetSource, SpreadsheetMeta,
+    )
+    from google_sheets_etl_spark.streaming.etl_stream import stream_etl
+
+    ssa = "SSF" + "f" * 41
+    src = FixtureSheetSource()
+    src.put_sheet(
+        SpreadsheetMeta(ssa, "2026-02-01T00:00:00.000Z", "A"),
+        "Tab1", [["Name"], ["alice"]],
+    )
+    engine = SheetsEtlEngine(spark, str(tmp_path / "wh_flaky"), src)
+    engine.set_up_accounting()
+    jobs = [EtlJob(ssa, "Tab1", "flaky_tgt", {"name": "Name"})]
+    disc = str(tmp_path / "disc_flaky.json")
+    ckpt = str(tmp_path / "flaky_ck")
+    with open(disc, "w") as f:
+        _json.dump([{"id": ssa,
+                     "modifiedTime": "2026-02-01T00:00:00.000Z"}], f)
+
+    orig_get = src.get_sheet
+    calls = {"n": 0}
+
+    def flaky_get(spreadsheet_id, sheet_name):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("transient fetch failure")
+        return orig_get(spreadsheet_id, sheet_name)
+
+    src.get_sheet = flaky_get
+    with pytest.raises(Exception, match="transient fetch failure"):
+        stream_etl(engine, disc, ckpt, jobs).awaitTermination()
+
+    # the checkpoint must NOT have committed past the update: the next
+    # drain replays the same offset and the (now healthy) load lands
+    stream_etl(engine, disc, ckpt, jobs).awaitTermination()
+    assert calls["n"] >= 2
+    got = [r["name"] for r in engine.target("flaky_tgt").read().collect()]
+    assert got == ["alice"]

@@ -41,7 +41,7 @@ def connect_views(sf_dir: str):
     return con
 
 
-def normalize(v):
+def normalize(v, from_pandas: bool = False):
     import datetime
     import decimal
 
@@ -50,10 +50,15 @@ def normalize(v):
         # column through the pandas fetch) -> python list, so list
         # oracles normalize instead of crashing the sweep on .item()
         v = v.tolist() if hasattr(v, "ndim") and v.ndim > 0 else v.item()
-    # pandas NaT (datetime subclass) and float-NaN-as-NULL (a nullable
-    # int column fetched via pandas) are NULLs, same as Spark's None
-    if v is None or v != v:  # noqa: PLR0124 — NaN/NaT self-inequality
+    if v is None:
         return "s:None"
+    if v != v:  # noqa: PLR0124 — NaN/NaT self-inequality
+        # ONLY on the pandas fetch path is NaN/NaT a NULL in disguise
+        # (nullable int/date columns surface NULL as NaN/NaT there).
+        # A Spark collect() row's NaN is a GENUINE NaN value and must
+        # stay distinct, or a query computing NaN where the oracle
+        # yields NULL would pass silently.
+        return "s:None" if from_pandas else "f:nan"
     if isinstance(v, bool):
         return f"b:{v}"
     if isinstance(v, int):
@@ -61,24 +66,30 @@ def normalize(v):
     if isinstance(v, decimal.Decimal):
         return f"f:{float(v) + 0.0:.6f}"
     if isinstance(v, float):
-        # NaN handled above (self-inequality, unified with NULL)
         return f"f:{v + 0.0:.6f}"  # +0.0 folds -0.0 into 0.0
     if isinstance(v, datetime.datetime):
         return f"t:{v.isoformat()}"
     if isinstance(v, datetime.date):
-        # promote to midnight timestamp: DuckDB's pandas fetch turns
-        # DATE into Timestamp 00:00 while Spark collect() gives date —
-        # same value, two shapes
+        # DELIBERATE equivalence: promote DATE to midnight timestamp.
+        # DuckDB's pandas fetch turns DATE into Timestamp 00:00 while
+        # Spark collect() gives datetime.date — same value, two
+        # engine-fetch shapes. A genuine date-vs-midnight-timestamp
+        # type drift is already caught by schema checks in tests that
+        # pin dtypes; the value gate accepts the fetch-path shape.
         return f"t:{v.isoformat()}T00:00:00"
     if isinstance(v, (list, tuple)):
-        return "l:[" + ",".join(normalize(x) for x in v) + "]"
+        return "l:[" + ",".join(normalize(x, from_pandas) for x in v) + "]"
     return f"s:{v}"
 
 
-def canon(rows, columns):
+def canon(rows, columns, from_pandas: bool = False):
+    """Order-insensitive value multiset. Pass ``from_pandas=True`` for
+    rows fetched via a pandas frame (DuckDB ``.df()``), where NaN is
+    NULL's wire shape; Spark ``collect()`` rows keep NaN distinct."""
     order = sorted(range(len(columns)), key=lambda i: columns[i])
     return sorted(
-        tuple(normalize(row[i]) for i in order) for row in rows
+        tuple(normalize(row[i], from_pandas) for i in order)
+        for row in rows
     )
 
 
@@ -151,7 +162,7 @@ def main() -> int:
         row["schema_match"] = sorted(spark_cols) == sorted(duck_cols)
         try:
             sc = canon(spark_rows, spark_cols)
-            dc = canon(duck_rows, duck_cols)
+            dc = canon(duck_rows, duck_cols, from_pandas=True)
         except Exception as e:  # noqa: BLE001 — one bad value must
             # not abort the sweep; record the query RED and continue
             row["err"] = f"canon: {type(e).__name__}: {e}"
