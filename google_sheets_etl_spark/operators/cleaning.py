@@ -135,6 +135,7 @@ def span_dedup_cdc(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    min_tokens: int | None = None,
 ) -> DataFrame:
     """Offset-robust exact-substring dedup via CONTENT-DEFINED chunk
     boundaries (the fix for :func:`span_dedup`'s alignment blind spot:
@@ -150,6 +151,21 @@ def span_dedup_cdc(
     Semantics mirror :func:`span_dedup`: each chunk text's globally
     first occurrence (ordered by (doc_id, chunk_id)) survives; docs
     rebuild from surviving chunks in order; all-seen docs vanish.
+
+    ``min_tokens`` (round-5 extension — the canonical Lee et al. /
+    RefinedWeb semantics, "Deduplicating Training Data Makes Language
+    Models Better" §4.1 dedups only duplicate runs ≥ ~50 tokens):
+    when set, duplicate chunks are removed ONLY when they sit in a
+    maximal run of CONSECUTIVE duplicate chunks totalling at least
+    ``min_tokens`` tokens. E[chunk] is ~4 tokens, so without the gate
+    every repeated 4-token phrase in natural text is stripped —
+    mangling prose; with it, short repeated phrases survive while a
+    long shared passage (whose chunks form one long duplicate run at
+    ANY offset, thanks to content-defined boundaries) is removed.
+    Runs are found with gaps-and-islands: island id = running count
+    of non-duplicate chunks per doc; every consecutive duplicate
+    after a given island head shares its island. ``min_tokens=None``
+    keeps the ungated chunk-granularity behavior.
 
     Shape — pure JVM plan, no Python: posexplode tokens (narrow) →
     running boundary count per doc (window keyed on the doc id — one
@@ -189,11 +205,41 @@ def span_dedup_cdc(
     first = Window.partitionBy(F.md5(F.col("chunk"))).orderBy(
         F.col(id_col), F.col("chunk_id")
     )
-    kept = (
-        chunks.withColumn("_rn", F.row_number().over(first))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    if min_tokens is None:
+        kept = (
+            chunks.withColumn("_rn", F.row_number().over(first))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    else:
+        # duplicate = any occurrence after the global first; islands
+        # group maximal consecutive duplicate runs per doc. The island
+        # window re-shuffles on the doc id (uniform); the run-length
+        # window partitions on (doc, island) — a clustering subset of
+        # the doc hash, no further exchange.
+        flagged = chunks.withColumn(
+            "_dup", (F.row_number().over(first) > 1).cast("int")
+        ).withColumn(
+            "_ntok", F.size(F.split(F.col("chunk"), " ")).cast("long")
+        )
+        wisl = (
+            Window.partitionBy(id_col)
+            .orderBy("chunk_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        isl = flagged.withColumn(
+            "_island", F.sum(F.lit(1) - F.col("_dup")).over(wisl)
+        )
+        wrun = Window.partitionBy(id_col, "_island")
+        runs = isl.withColumn(
+            "_run_tok",
+            F.sum(F.when(F.col("_dup") == 1, F.col("_ntok")).otherwise(0)).over(
+                wrun
+            ),
+        )
+        kept = runs.filter(
+            (F.col("_dup") == 0) | (F.col("_run_tok") < min_tokens)
+        ).select(id_col, "chunk_id", "chunk")
     return (
         kept.groupBy(id_col)
         .agg(

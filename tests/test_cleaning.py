@@ -219,3 +219,65 @@ def test_span_dedup_cdc_matches_reference_and_string_ids(spark):
     s_fixed = cleaning.span_dedup(sdocs, span_tokens=2)
     assert s_fixed.schema["doc_id"].dataType.simpleString() == "string"
     assert s_fixed.count() > 0
+
+
+def test_span_dedup_minlen_keeps_short_repeats_removes_long_runs(spark):
+    """Round-4 verdict directive #1: with min_tokens, a repeated SHORT
+    phrase survives everywhere (its duplicate run is far below the
+    gate) while a long shared passage is removed wherever it
+    re-appears — at an arbitrary offset, thanks to content-defined
+    chunk boundaries."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(500)]
+    passage = " ".join(rng.choice(vocab) for _ in range(60))
+    phrase = "the quick brown fox"
+    filler1 = " ".join(rng.choice(vocab) for _ in range(30))
+    filler2 = " ".join(rng.choice(vocab) for _ in range(25))
+    prefix = " ".join(rng.choice(vocab) for _ in range(13))  # odd offset
+    rows = [
+        (1, filler1 + " " + phrase + " " + passage),
+        # doc 2 repeats the phrase AND the passage, passage at a
+        # different token offset
+        (2, phrase + " " + filler2 + " " + prefix + " " + passage),
+    ]
+    out = {
+        r["doc_id"]: r["dedup_text"]
+        for r in cleaning.span_dedup_cdc(
+            _docs(spark, rows), min_tokens=50
+        ).collect()
+    }
+    assert out[1] == rows[0][1]  # first doc untouched
+    # the repeated 4-token phrase survives in doc 2 ...
+    assert phrase in out[2]
+    # ... but the 60-token passage is gone (chunk-boundary slack may
+    # leave the chunk straddling the passage start, nothing more)
+    kept_tokens = out[2].split(" ")
+    passage_tokens = passage.split(" ")
+    # no run of >= 10 consecutive passage tokens survives
+    joined = " ".join(kept_tokens)
+    for s in range(0, len(passage_tokens) - 10):
+        frag = " ".join(passage_tokens[s:s + 10])
+        assert frag not in joined or frag in rows[0][1]
+    # and doc 2 clearly shrank by roughly the passage length
+    assert len(kept_tokens) <= len(rows[1][1].split(" ")) - 40
+
+
+def test_span_dedup_minlen_gate_off_matches_ungated(spark):
+    """min_tokens=1 degenerates to the ungated chunk-granularity
+    semantics (every duplicate run has >= 1 token)."""
+    rows = [
+        (1, "a b c d e f g h i j"),
+        (2, "a b c d e f g h i j k l m"),
+        (3, "z y x"),
+    ]
+    gated = {
+        (r["doc_id"], r["dedup_text"], r["n_chunks_kept"])
+        for r in cleaning.span_dedup_cdc(_docs(spark, rows), min_tokens=1).collect()
+    }
+    plain = {
+        (r["doc_id"], r["dedup_text"], r["n_chunks_kept"])
+        for r in cleaning.span_dedup_cdc(_docs(spark, rows)).collect()
+    }
+    assert gated == plain
