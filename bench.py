@@ -109,12 +109,31 @@ def main() -> None:
     # compact (top-10 only) so it fits any driver tail capture —
     # BENCH_r03 ran clean (rc=0) but its 91-entry single line exceeded
     # the capture window and parsed as null.
+    # environment provenance (round-4 verdict directive #7): the r3→r4
+    # artifacts drifted a UNIFORM ~1.5× from machine load alone; these
+    # fields let a reader attribute cross-round drift to environment
+    # vs plan without redoing that analysis.
+    env: dict = {"iterations_per_query": 2, "spark": spark.version}
+    try:
+        env["loadavg_1m_5m_15m"] = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        pass
+    try:
+        env["cpus"] = os.cpu_count()
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.lower().startswith("model name"):
+                    env["cpu_model"] = line.split(":", 1)[1].strip()
+                    break
+    except OSError:
+        pass
     detail = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "env": env,
     }
     if errors:
         detail["errors"] = errors
@@ -137,6 +156,7 @@ def main() -> None:
         "n_queries": len(timings),
         "n_errors": len(errors),
         "sf": sf,
+        "env": env,
         "detail": "BENCH_DETAIL.json",
     }
     print(json.dumps(out))
