@@ -1,0 +1,131 @@
+"""Profile-driven TYPED VIEWS over the string warehouse (round-4
+verdict directive #2; SURVEY.md §1.2/§7.4 defers typing — "typed views
+come later, on top" — this is that layer).
+
+The warehouse is deliberately all-VARCHAR for reference parity
+(``DatabaseAgentMysql.php`` stores every sheet cell as text), so every
+downstream consumer hits "my numbers are strings" on day one. The fix
+is a VIEW, not a migration: profile each column's castability once,
+decide a type, and emit a ``try_cast`` projection — failures stay
+NULL, the stored strings are untouched, and re-profiling after new
+loads is cheap.
+
+Design:
+
+- :func:`profile_cast_stats` — ONE aggregate pass over the table
+  computing, per column, how many non-blank values survive
+  ``try_cast`` to each candidate type (boolean, bigint, double,
+  date). Map-side partial aggregation: the scan streams, the shuffle
+  carries one partial row per task — at 100 TB this is the cheapest
+  full-table statement possible. Blanks (``''`` after trim) are
+  treated as NULL — the warehouse null-pads short rows (T3), and a
+  blank cell must not block a column from typing.
+- The DECISION is in the same query (a CASE over the counts), most
+  specific type first: boolean → bigint → double → date → string.
+  A type wins only if EVERY non-blank value casts and the column has
+  at least one value; otherwise fall through (``string`` is the
+  always-safe floor). bigint is checked before double because every
+  integer string is also a double; boolean first because '0'/'1' are
+  also integers — a column of genuine 0/1 flags reads better typed
+  boolean, and a mixed 0/1/2 column fails the boolean gate anyway.
+- :func:`typed_view` — applies a decided (or user-overridden) type
+  map as a ``try_cast`` projection; :func:`auto_typed_view` chains
+  profile → decide → view. The profile collect is metadata-scale
+  (one row per COLUMN, never per row of data).
+
+Cast semantics are Spark's (``try_cast``): integral strings only for
+bigint (no silent truncation of '1.5'), 't/true/y/yes/1' (any case)
+for boolean, ISO-ish strings for date. The oracle twins in
+``queries.py`` re-express exactly these semantics in DuckDB (whose
+native TRY_CAST truncates decimals to BIGINT and rejects 'y') — the
+differential gate then proves the Spark plan implements the
+documented semantics, not whatever either engine's cast defaults to.
+
+Internally every column is re-aliased to a positional ``_c{i}`` name
+before any expression is built, so arbitrary warehouse column names
+(spaces, backticks, dots) never meet the SQL parser.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# candidate types, most specific first; 'string' is the implicit floor
+CANDIDATES = ("boolean", "bigint", "double", "date")
+
+
+def _quoted(name: str) -> str:
+    return "`" + name.replace("`", "``") + "`"
+
+
+def profile_cast_stats(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Per-column castability profile, long format: ``column_name,
+    n_values, n_boolean, n_bigint, n_double, n_date, decided_type``.
+
+    One scan, one single-row aggregate (partial-agg friendly), then a
+    width-to-length explode of that ONE row — no per-column scans, no
+    driver compute on data."""
+    cols = columns if columns is not None else list(df.columns)
+    safe = df.select(
+        *[F.col(_quoted(c)).cast("string").alias(f"_c{i}") for i, c in enumerate(cols)]
+    )
+    aggs = []
+    for i in range(len(cols)):
+        v = f"nullif(trim(_c{i}), '')"
+        aggs.append(F.expr(f"count({v})").alias(f"n_{i}"))
+        for t in CANDIDATES:
+            aggs.append(
+                F.expr(f"count(try_cast({v} AS {t}))").alias(f"{t}_{i}")
+            )
+    wide = safe.agg(*aggs)
+    entries = [
+        F.struct(
+            F.lit(c).alias("column_name"),
+            F.col(f"n_{i}").alias("n_values"),
+            *[F.col(f"{t}_{i}").alias(f"n_{t}") for t in CANDIDATES],
+        )
+        for i, c in enumerate(cols)
+    ]
+    long = wide.select(F.explode(F.array(*entries)).alias("s")).select("s.*")
+    decided = F.when(F.col("n_values") == 0, F.lit("string"))
+    for t in CANDIDATES:
+        decided = decided.when(
+            F.col(f"n_{t}") == F.col("n_values"), F.lit(t)
+        )
+    return long.withColumn("decided_type", decided.otherwise(F.lit("string")))
+
+
+def decide_types(df: DataFrame, columns: list[str] | None = None) -> dict[str, str]:
+    """Run the profile and return ``{column: decided_type}``. The
+    collect is one row per column — metadata-scale."""
+    rows = profile_cast_stats(df, columns).collect()
+    return {r["column_name"]: r["decided_type"] for r in rows}
+
+
+def typed_view(df: DataFrame, types: dict[str, str]) -> DataFrame:
+    """Project ``df`` through ``try_cast`` per the type map; columns
+    absent from the map (or mapped to 'string') pass through as
+    stored. Blanks become NULL in typed columns (same normalization
+    the profile counted); cast failures become NULL with the data
+    preserved underneath — a view, not a rewrite."""
+    out = []
+    for i, c in enumerate(df.columns):
+        t = types.get(c, "string")
+        src = F.col(_quoted(c))
+        if t == "string":
+            out.append(src.alias(c))
+        else:
+            out.append(
+                F.expr(
+                    f"try_cast(nullif(trim({_quoted(c)}), '') AS {t})"
+                ).alias(c)
+            )
+    return df.select(*out)
+
+
+def auto_typed_view(
+    df: DataFrame, columns: list[str] | None = None
+) -> DataFrame:
+    """profile → decide → typed view in one call."""
+    return typed_view(df, decide_types(df, columns))

@@ -3538,6 +3538,173 @@ def span_dedup_minlen(spark: SparkSession, sf: str) -> DataFrame:
     return cleaning.span_dedup_cdc(t(spark, sf, "documents"), min_tokens=50)
 
 
+def _varchar_warehouse(spark: SparkSession, sf: str) -> DataFrame:
+    """A reference-shaped ALL-VARCHAR warehouse synthesized from
+    orders — the day-one reality of the string warehouse the typed
+    view layer exists to fix. Column mix: clean integers, assembled
+    decimals, ISO dates, spark-boolean tokens (incl. 'yes'),
+    whitespace-padded integers, a mixed id/text column, and an
+    all-blank column."""
+    o = t(spark, sf, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return o.select(
+        F.col("o_orderkey").cast("string").alias("order_key"),
+        F.concat(
+            F.floor(cents / 100).cast("long").cast("string"),
+            F.lit("."),
+            F.lpad((cents % 100).cast("string"), 2, "0"),
+        ).alias("total_price"),
+        F.col("o_orderdate").cast("string").alias("order_date"),
+        F.when(F.col("o_orderstatus") == "F", "true")
+        .when(F.col("o_orderstatus") == "O", "false")
+        .otherwise("yes")
+        .alias("status_flag"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.col("o_orderpriority"))
+        .otherwise(F.col("o_orderkey").cast("string"))
+        .alias("mixed_id"),
+        F.concat(F.lit("  "), F.col("o_custkey").cast("string"), F.lit(" "))
+        .alias("padded_cust"),
+        F.when(F.col("o_orderkey") % 2 == 0, "").alias("all_blank"),
+    )
+
+
+# the DuckDB twin of the SAME warehouse synthesis (string assembly is
+# engine-portable by construction: integer casts, lpad, ISO dates)
+_VARCHAR_WAREHOUSE_SQL = """
+  SELECT CAST(o_orderkey AS VARCHAR) AS order_key,
+         CAST(CAST(round(o_totalprice * 100) AS BIGINT) // 100 AS VARCHAR)
+           || '.' ||
+           lpad(CAST(CAST(round(o_totalprice * 100) AS BIGINT) % 100
+                     AS VARCHAR), 2, '0') AS total_price,
+         CAST(o_orderdate AS VARCHAR) AS order_date,
+         CASE WHEN o_orderstatus = 'F' THEN 'true'
+              WHEN o_orderstatus = 'O' THEN 'false'
+              ELSE 'yes' END AS status_flag,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_orderpriority
+              ELSE CAST(o_orderkey AS VARCHAR) END AS mixed_id,
+         '  ' || CAST(o_custkey AS VARCHAR) || ' ' AS padded_cust,
+         CASE WHEN o_orderkey % 2 = 0 THEN '' END AS all_blank
+  FROM orders"""
+
+# Spark try_cast semantics re-expressed for DuckDB (whose native
+# TRY_CAST truncates '1.5' to BIGINT and rejects 'y' as BOOLEAN):
+# boolean = the exact Spark token set; bigint = integral-shaped
+# strings only (TRY_CAST guards overflow to NULL in both engines);
+# date additionally admits bare 4-7 digit strings — Spark's
+# stringToDate accepts a lone yyyy(+) year ('1500' -> 1500-01-01),
+# DuckDB's does not.
+_SPARK_BOOL_SQL = (
+    "lower(trim({v})) IN "
+    "('t','true','y','yes','1','f','false','n','no','0')"
+)
+_SPARK_BIGINT_SQL = (
+    "regexp_matches(trim({v}), '^[+-]?[0-9]+$') "
+    "AND TRY_CAST(trim({v}) AS BIGINT) IS NOT NULL"
+)
+
+
+@q(
+    "typed_view_cast_stats",
+    f"""WITH wh AS ({_VARCHAR_WAREHOUSE_SQL}),
+       u AS (
+         SELECT 'order_key' AS column_name, order_key AS v FROM wh
+         UNION ALL SELECT 'total_price', total_price FROM wh
+         UNION ALL SELECT 'order_date', order_date FROM wh
+         UNION ALL SELECT 'status_flag', status_flag FROM wh
+         UNION ALL SELECT 'mixed_id', mixed_id FROM wh
+         UNION ALL SELECT 'padded_cust', padded_cust FROM wh
+         UNION ALL SELECT 'all_blank', all_blank FROM wh),
+       c AS (
+         SELECT column_name,
+                COUNT(NULLIF(trim(v), '')) AS n_values,
+                COUNT(CASE WHEN NULLIF(trim(v), '') IS NOT NULL
+                            AND {_SPARK_BOOL_SQL.format(v='v')}
+                           THEN 1 END) AS n_boolean,
+                COUNT(CASE WHEN NULLIF(trim(v), '') IS NOT NULL
+                            AND {_SPARK_BIGINT_SQL.format(v='v')}
+                           THEN 1 END) AS n_bigint,
+                COUNT(TRY_CAST(NULLIF(trim(v), '') AS DOUBLE)) AS n_double,
+                COUNT(CASE WHEN NULLIF(trim(v), '') IS NOT NULL
+                            AND (TRY_CAST(trim(v) AS DATE) IS NOT NULL
+                                 OR regexp_matches(trim(v), '^[0-9]{{4,7}}$'))
+                           THEN 1 END) AS n_date
+         FROM u GROUP BY column_name)
+       SELECT column_name, n_values, n_boolean, n_bigint, n_double, n_date,
+              CASE WHEN n_values = 0 THEN 'string'
+                   WHEN n_boolean = n_values THEN 'boolean'
+                   WHEN n_bigint = n_values THEN 'bigint'
+                   WHEN n_double = n_values THEN 'double'
+                   WHEN n_date = n_values THEN 'date'
+                   ELSE 'string' END AS decided_type
+       FROM c""",
+)
+def typed_view_cast_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Castability profile over a reference-shaped VARCHAR warehouse
+    (operators/typed_views.py, round-4 verdict directive #2): one
+    partial-aggregated scan counts try_cast survivors per column per
+    candidate type and decides the most specific safe type in-query.
+    The DuckDB twin re-expresses SPARK's cast semantics (boolean
+    token set incl. 'yes', integral-only bigint) — the gate certifies
+    documented semantics, not engine cast defaults."""
+    from .operators import typed_views
+
+    return typed_views.profile_cast_stats(_varchar_warehouse(spark, sf))
+
+
+@q(
+    "typed_view_apply",
+    f"""WITH wh AS ({_VARCHAR_WAREHOUSE_SQL}),
+       tv AS (
+         SELECT TRY_CAST(NULLIF(trim(order_key), '') AS BIGINT) AS order_key,
+                TRY_CAST(NULLIF(trim(total_price), '') AS DOUBLE)
+                  AS total_price,
+                TRY_CAST(NULLIF(trim(order_date), '') AS DATE) AS order_date,
+                CASE WHEN lower(trim(status_flag)) IN ('t','true','y','yes','1')
+                       THEN TRUE
+                     WHEN lower(trim(status_flag)) IN ('f','false','n','no','0')
+                       THEN FALSE END AS status_flag,
+                mixed_id,
+                TRY_CAST(NULLIF(trim(padded_cust), '') AS BIGINT)
+                  AS padded_cust,
+                all_blank
+         FROM wh)
+       SELECT COUNT(*) AS n_rows,
+              CAST(SUM(order_key) AS BIGINT) AS sum_key,
+              CAST(SUM(CAST(round(total_price * 100) AS BIGINT)) AS BIGINT)
+                AS sum_cents,
+              MIN(order_date) AS min_date,
+              MAX(order_date) AS max_date,
+              COUNT(CASE WHEN status_flag THEN 1 END) AS n_true,
+              COUNT(DISTINCT padded_cust) AS n_cust,
+              COUNT(all_blank) AS n_blank_vals
+       FROM tv""",
+)
+def typed_view_apply(spark: SparkSession, sf: str) -> DataFrame:
+    """END-TO-END typed view: auto-profile the VARCHAR warehouse,
+    apply the decided try_cast projection, and aggregate THROUGH the
+    typed columns (bigint sum, date min/max, boolean count) — proving
+    the decided types are not just labels. The all-blank column stays
+    'string' (no values to profile) and passes through AS STORED —
+    n_blank_vals counts its '' cells, pinning the pass-through.
+    Double sums are compared in exact integer cents (FP summation
+    order is partition-dependent)."""
+    from .operators import typed_views
+
+    tv = typed_views.auto_typed_view(_varchar_warehouse(spark, sf))
+    return tv.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("order_key").alias("sum_key"),
+        F.sum(F.round(F.col("total_price") * 100).cast("long")).alias(
+            "sum_cents"
+        ),
+        F.min("order_date").alias("min_date"),
+        F.max("order_date").alias("max_date"),
+        F.count(F.when(F.col("status_flag"), 1)).alias("n_true"),
+        F.countDistinct("padded_cust").alias("n_cust"),
+        F.count("all_blank").alias("n_blank_vals"),
+    )
+
+
 @q(
     "epoch_shuffle_assign",
     """WITH e AS (SELECT * FROM (VALUES (0), (1)) AS t(epoch))

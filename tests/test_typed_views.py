@@ -1,0 +1,118 @@
+"""Typed views over the string warehouse (operators/typed_views.py,
+round-4 verdict directive #2): profile-driven try_cast typing applied
+to a REAL engine-loaded target table, plus the decision-rule and
+hostile-column-name invariants the oracle queries can't see."""
+
+from __future__ import annotations
+
+import datetime
+
+from google_sheets_etl_spark.operators import typed_views
+
+
+def _wh(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_profile_decides_most_specific_type(spark):
+    df = _wh(
+        spark,
+        [
+            ("1", "1.5", "2026-01-02", "true", "x1", ""),
+            ("2", "2", "2026-01-03", "no", "7", None),
+            (" 3 ", "-0.25", "2026-1-4", "1", "zebra", ""),
+        ],
+        "a string, b string, c string, d string, e string, f string",
+    )
+    types = typed_views.decide_types(df)
+    assert types == {
+        "a": "bigint",       # whitespace-padded ints still type
+        "b": "double",       # '2' is also double; bigint blocked by '1.5'
+        "c": "date",
+        "d": "boolean",      # spark token set: true/no/1
+        "e": "string",       # mixed → safe floor
+        "f": "string",       # all blank → no evidence, stays string
+    }
+
+
+def test_typed_view_casts_blanks_and_failures_to_null(spark):
+    df = _wh(
+        spark,
+        [("1", "ok"), ("", "ok"), ("oops", "ok")],
+        "n string, s string",
+    )
+    out = typed_views.typed_view(df, {"n": "bigint"})
+    assert dict(out.dtypes) == {"n": "bigint", "s": "string"}
+    vals = [r["n"] for r in out.orderBy("s", "n").collect()]
+    assert sorted(v for v in vals if v is not None) == [1]
+    assert vals.count(None) == 2  # blank AND unparsable both NULL
+
+
+def test_typed_view_handles_hostile_column_names(spark):
+    df = spark.createDataFrame(
+        [("17", "2026-01-01")], ["order id", "loaded `at`"]
+    )
+    types = typed_views.decide_types(df)
+    assert types == {"order id": "bigint", "loaded `at`": "date"}
+    out = typed_views.auto_typed_view(df)
+    assert out.columns == ["order id", "loaded `at`"]
+    row = out.collect()[0]
+    assert row["order id"] == 17
+    assert row["loaded `at`"] == datetime.date(2026, 1, 1)
+
+
+def test_user_override_beats_profile(spark):
+    df = _wh(spark, [("1",), ("0",)], "flagish string")
+    # profile would say bigint (or boolean); the consumer knows better
+    out = typed_views.typed_view(df, {"flagish": "boolean"})
+    assert dict(out.dtypes) == {"flagish": "boolean"}
+    assert {r["flagish"] for r in out.collect()} == {True, False}
+
+
+def test_typed_view_over_engine_loaded_target(spark, tmp_path):
+    """The directive's lifecycle shape: sheet → engine load (VARCHAR
+    warehouse, reference parity) → typed view on top. The stored
+    table stays all-string; the view reads typed."""
+    from google_sheets_etl_spark.config import EtlJob
+    from google_sheets_etl_spark.etl import SheetsEtlEngine
+    from google_sheets_etl_spark.sources import (
+        FixtureSheetSource, SpreadsheetMeta,
+    )
+
+    ss = "SST" + "t" * 41
+    src = FixtureSheetSource()
+    src.put_sheet(
+        SpreadsheetMeta(ss, "2026-04-01T00:00:00.000Z", "T"),
+        "Books",
+        [
+            ["Title", "Pages", "Price", "Published"],
+            ["Dune", "412", "9.99", "1965-08-01"],
+            ["Hyperion", "482", "", "1989-05-26"],
+            ["TBD", "", "1.50", ""],
+        ],
+    )
+    engine = SheetsEtlEngine(spark, str(tmp_path / "wh_typed"), src)
+    engine.set_up_accounting()
+    jobs = [EtlJob(ss, "Books", "books", {
+        "title": "Title", "pages": "Pages",
+        "price": "Price", "published": "Published",
+    })]
+    engine.find_updated_spreadsheets(now=1000)
+    engine.load_updated_spreadsheets(jobs)
+
+    stored = engine.target("books").read()
+    data_cols = ["title", "pages", "price", "published"]
+    assert all(t == "string" for c, t in stored.dtypes if c in data_cols)
+
+    tv = typed_views.auto_typed_view(stored.select(*data_cols))
+    assert dict(tv.dtypes) == {
+        "title": "string", "pages": "bigint",
+        "price": "double", "published": "date",
+    }
+    rows = {r["title"]: r for r in tv.collect()}
+    assert rows["Dune"]["pages"] == 412
+    assert rows["Dune"]["price"] == 9.99
+    assert rows["Dune"]["published"] == datetime.date(1965, 8, 1)
+    assert rows["Hyperion"]["price"] is None     # blank → NULL
+    assert rows["TBD"]["pages"] is None
+    assert rows["TBD"]["published"] is None
