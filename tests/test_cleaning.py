@@ -281,3 +281,74 @@ def test_span_dedup_minlen_gate_off_matches_ungated(spark):
         for r in cleaning.span_dedup_cdc(_docs(spark, rows)).collect()
     }
     assert gated == plain
+
+
+def _bpe_reference(word_freqs: dict[str, int], k: int):
+    """Tiny driver-side reference of Sennrich algorithm 1 (greedy
+    left-to-right merge, count-then-pair tie-break) to pin the
+    distributed implementation against."""
+    seg = {tuple(w): f for w, f in word_freqs.items()}
+    merges = []
+    for rank in range(1, k + 1):
+        counts: dict[tuple, int] = {}
+        for syms, f in seg.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = (
+                    counts.get((syms[i], syms[i + 1]), 0) + f
+                )
+        if not counts:
+            break
+        (a, b), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, a, b, a + b, cnt))
+        new_seg: dict[tuple, int] = {}
+        for syms, f in seg.items():
+            out: list = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            new_seg[tuple(out)] = new_seg.get(tuple(out), 0) + f
+        seg = new_seg
+    return merges
+
+
+def test_bpe_learn_merges_reproduces_sennrich_example(spark):
+    """Sennrich et al. 2016's worked vocabulary ('#' standing in for
+    the paper's end-of-word marker): the first five merges must be
+    es, est, est#, lo, low."""
+    from google_sheets_etl_spark.operators import text as text_ops
+
+    vocab = {"low#": 5, "lower#": 2, "newest#": 6, "widest#": 3}
+    wf = spark.createDataFrame(
+        list(vocab.items()), "word string, freq long"
+    )
+    got = [
+        (r["merge_rank"], r["left_sym"], r["right_sym"],
+         r["merged"], r["pair_count"])
+        for r in text_ops.bpe_learn_merges(wf, n_merges=5)
+        .orderBy("merge_rank").collect()
+    ]
+    assert [g[3] for g in got] == ["es", "est", "est#", "lo", "low"]
+    assert got == _bpe_reference(vocab, 5)
+
+
+def test_bpe_learn_merges_matches_reference_on_repeat_chains(spark):
+    """Chained same-symbol merges ('aaaa' under (a,a)) are where the
+    separator representation can silently diverge from greedy
+    left-to-right semantics — pin against the reference impl."""
+    from google_sheets_etl_spark.operators import text as text_ops
+
+    vocab = {"aaaa": 3, "aaab": 2, "baaa": 2, "abab": 4, "bb": 1}
+    wf = spark.createDataFrame(
+        list(vocab.items()), "word string, freq long"
+    )
+    got = [
+        (r["merge_rank"], r["left_sym"], r["right_sym"],
+         r["merged"], r["pair_count"])
+        for r in text_ops.bpe_learn_merges(wf, n_merges=4)
+        .orderBy("merge_rank").collect()
+    ]
+    assert got == _bpe_reference(vocab, 4)
