@@ -638,3 +638,88 @@ def semantic_dedup(
     ).select(
         id_col, "cell", F.coalesce(~F.col("_rm"), F.lit(True)).alias("kept")
     )
+
+
+def kmeans_lloyd(
+    vectors: DataFrame,
+    init_centroids: DataFrame,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cent_id_col: str = "cent_id",
+    cent_vec_col: str = "cv",
+) -> DataFrame:
+    """FULL Lloyd's k-means training — the ``kmeans_assign_step``
+    E-step and ``embedding_centroids`` M-step composed into an actual
+    iterated trainer (the BPE-trainer discipline applied to
+    clustering). Per round: assign every vector to its
+    nearest-by-cosine centroid (broadcast centroids, per-id argmax
+    window — the corpus never shuffles to score), then recompute each
+    cell's centroid as the coordinate-wise mean (posexplode →
+    (cell, pos) partial-aggregated average).
+
+    CROSS-ENGINE CONTRACT: each M-step ROUNDS centroid coordinates to
+    6 decimals before the next E-step. This is part of the algorithm,
+    not cosmetics — it pins the iteration's fixed inputs across
+    engines (FP mean summation order differs; round-6 absorbs the
+    ulp noise the existing ``embedding_centroids`` oracle already
+    certifies), so iteration k+1's argmax sees bit-identical
+    centroids everywhere. Assignment ties break (cos DESC, cent_id
+    ASC). Cells that lose all members vanish (no empty-cell
+    reseeding — deterministic, documented).
+
+    Returns the trained centroids in long format:
+    ``(cell, pos, centroid_r6, n_members)``.
+
+    Scale shape: k centroids round-trip the driver between rounds
+    (k rows — metadata-scale, the same table a broadcast ships);
+    per round the corpus is scanned once for the E-step and the
+    exploded (rows × dim) stream combines map-side to (k × dim).
+    """
+    cents = init_centroids.select(cent_id_col, cent_vec_col)
+    out = None
+    for _ in range(n_iter):
+        scored = vectors.select(id_col, vec_col).crossJoin(
+            F.broadcast(cents)
+        ).select(
+            id_col, vec_col, F.col(cent_id_col),
+            cosine_similarity(F.col(vec_col), F.col(cent_vec_col))
+            .alias("_cos"),
+        )
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("_cos").desc(), F.col(cent_id_col).asc()
+        )
+        assigned = (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(F.col(cent_id_col).alias("cell"), vec_col)
+        )
+        out = (
+            assigned.select(
+                "cell", F.posexplode(vec_col).alias("pos", "_e")
+            )
+            .groupBy("cell", "pos")
+            .agg(
+                F.round(F.avg("_e"), 6).alias("centroid_r6"),
+                F.count(F.lit(1)).alias("n_members"),
+            )
+        )
+        # k×dim rows → k arrays on the driver: metadata-scale by
+        # design (the centroid table IS what a broadcast would ship)
+        rows = (
+            out.groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "centroid_r6"))
+                    ),
+                    lambda s: s["centroid_r6"],
+                ).alias("cv"),
+            )
+            .collect()
+        )
+        cents = vectors.sparkSession.createDataFrame(
+            [(r["cell"], r["cv"]) for r in rows],
+            f"{cent_id_col} long, {cent_vec_col} array<double>",
+        )
+    return out.select("cell", "pos", "centroid_r6", "n_members")

@@ -2745,6 +2745,64 @@ def kmeans_assign_step(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _kmeans_train_oracle(n_iter: int) -> str:
+    """DuckDB twin of the FULL Lloyd's loop (similarity.kmeans_lloyd),
+    mechanically unrolled — assignment argmax + round-6 centroid
+    mean per iteration, seed centroids = vec_id < 8. Round-6 after
+    every M-step is the cross-engine contract that pins iteration
+    k+1's inputs bit-identically (see the operator docstring)."""
+    ctes = [
+        """c0 AS (SELECT vec_id AS cent_id, embedding AS cv
+                  FROM embeddings WHERE vec_id < 8)"""
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(f"""a{i} AS (
+         SELECT vec_id, cent_id AS cell, embedding
+         FROM (SELECT e.vec_id, c.cent_id, e.embedding,
+                      ROW_NUMBER() OVER (
+                        PARTITION BY e.vec_id
+                        ORDER BY list_dot_product(e.embedding, c.cv) /
+                              (sqrt(list_dot_product(e.embedding,
+                                                     e.embedding)) *
+                               sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                              c.cent_id ASC) AS rn
+               FROM embeddings e CROSS JOIN c{i - 1} c) r
+         WHERE rn = 1)""")
+        ctes.append(f"""m{i} AS (
+         SELECT cell, x.i - 1 AS pos, ROUND(AVG(x.e), 6) AS centroid_r6,
+                COUNT(*)::BIGINT AS n_members
+         FROM (SELECT cell, unnest(embedding) AS e,
+                      unnest(range(1, len(embedding) + 1)) AS i
+               FROM a{i}) x
+         GROUP BY cell, pos)""")
+        ctes.append(f"""c{i} AS (
+         SELECT cell AS cent_id,
+                list(centroid_r6 ORDER BY pos) AS cv
+         FROM m{i} GROUP BY cell)""")
+    return (
+        "WITH " + ",\n       ".join(ctes)
+        + f"\n       SELECT cell, CAST(pos AS INT) AS pos, centroid_r6,"
+          f" n_members FROM m{n_iter}"
+    )
+
+
+@q("kmeans_train", _kmeans_train_oracle(2))
+def kmeans_train(spark: SparkSession, sf: str) -> DataFrame:
+    """FULL Lloyd's k-means training, 2 iterations (similarity.
+    kmeans_lloyd): the oracled E-step (kmeans_assign_step) and M-step
+    (embedding_centroids) composed into an actual trainer, with the
+    round-6 M-step contract making the iteration engine-exact. Seed
+    centroids = vec_id < 8. Per round the corpus scans once
+    (broadcast centroids, argmax window) and the exploded stream
+    combines map-side to k×dim; centroids round-trip the driver as
+    k metadata rows."""
+    e = t(spark, sf, "embeddings")
+    seeds = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv")
+    )
+    return similarity.kmeans_lloyd(e, seeds, n_iter=2)
+
+
 @q(
     "semantic_dedup_keep",
     """WITH c AS (SELECT vec_id AS cent_id, embedding AS cv

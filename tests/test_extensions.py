@@ -345,14 +345,16 @@ def test_codec_contract_features_and_resize(spark, codec):
 
 
 def test_default_codec_selection_matches_environment():
+    """default_codec is the P6-sniffing dispatcher (r5); its FALLBACK
+    tracks the environment: PIL when importable, stub otherwise."""
     from google_sheets_etl_spark.operators import multimodal as mm
 
     try:
         from PIL import Image  # noqa: F401
 
-        expected = "pil"
+        expected = "sniff(pil)"
     except ImportError:
-        expected = "stub"
+        expected = "sniff(stub)"
     assert mm.default_codec().name == expected
 
 
@@ -530,3 +532,34 @@ def test_semantic_dedup_upper_triangular_rule(spark):
     assert got[2] == (100, False)   # removed by 1
     assert got[3] == (100, False)   # removed by 2 EVEN THOUGH 2 fell
     assert got[4] == (200, True)    # lone member of its cell
+
+
+def test_kmeans_lloyd_recovers_planted_clusters(spark):
+    """Two tight planted clusters + deliberately-bad seeds (both
+    seeds inside cluster A): after two Lloyd rounds the empty-ish
+    seed must migrate and the centroids must land on the cluster
+    means (round-6 exact)."""
+    from google_sheets_etl_spark.operators.similarity import kmeans_lloyd
+
+    a = [[1.0, 0.0, 0.0, 0.0], [0.9, 0.1, 0.0, 0.0], [0.95, 0.05, 0.0, 0.0]]
+    b = [[0.0, 0.0, 1.0, 0.0], [0.0, 0.0, 0.9, 0.1], [0.0, 0.0, 0.95, 0.05]]
+    vecs = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(a + b)],
+        "vec_id long, embedding array<double>",
+    )
+    seeds = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 0.0, 1.0, 0.0])],
+        "cent_id long, cv array<double>",
+    )
+    out = kmeans_lloyd(vecs, seeds, n_iter=2)
+    rows = out.collect()
+    got = {}
+    members = {}
+    for r in rows:
+        got.setdefault(r["cell"], {})[r["pos"]] = r["centroid_r6"]
+        members[r["cell"]] = r["n_members"]
+    assert members == {0: 3, 1: 3}
+    mean_a = [round(sum(v[i] for v in a) / 3, 6) for i in range(4)]
+    mean_b = [round(sum(v[i] for v in b) / 3, 6) for i in range(4)]
+    assert [got[0][i] for i in range(4)] == mean_a
+    assert [got[1][i] for i in range(4)] == mean_b
