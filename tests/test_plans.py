@@ -369,3 +369,51 @@ def test_parquet_aggregate_pushdown_answers_from_footers(spark, sf_dir):
         assert row["n"] > 0 and row["k0"] <= row["k1"]
     finally:
         spark.conf.set("spark.sql.sources.useV1SourceList", prev)
+
+
+def test_span_dedup_minlen_no_extra_exchange_for_run_windows(spark, sf_dir):
+    plan = explain_str(QUERIES["span_dedup_minlen"](spark, sf_dir))
+    # chunking window (doc) + occurrence window (chunk md5) + island
+    # window (doc) + rebuild groupBy: the run-length window partitions
+    # on (doc, island) — a clustering subset of the doc hash — and the
+    # rebuild reuses the doc partitioning, so the whole min-run gate
+    # adds at most TWO exchanges over the ungated CDC plan's three
+    assert plan.count("Exchange hashpartitioning") <= 5
+    assert "Exchange rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_typed_view_profile_is_one_scan_partial_aggregate(spark, sf_dir):
+    plan = explain_str(QUERIES["typed_view_cast_stats"](spark, sf_dir))
+    # ONE table scan, partial+final single-row aggregate, and the
+    # width-to-length explode happens on the 1-row result — never a
+    # per-column scan and never a shuffle keyed on data
+    assert plan.count("Location: InMemoryFileIndex") == 1  # one scan
+    assert "Exchange hashpartitioning" not in plan
+    assert "SinglePartition" in plan or "Exchange" not in plan
+
+
+def test_semantic_dedup_broadcasts_centroids_and_joins_on_cell(spark, sf_dir):
+    plan = explain_str(QUERIES["semantic_dedup_keep"](spark, sf_dir))
+    # centroids arrive via broadcast (E-step scoring never shuffles
+    # the corpus); the intra-cell pair search is a hash join ON THE
+    # CELL KEY, not a cartesian product
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(cell" in plan
+
+
+def test_bpe_pairs_aggregate_on_vocabulary_not_corpus(spark, sf_dir):
+    from google_sheets_etl_spark.operators import text as text_ops
+
+    wf = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # the trainer's per-round pair scan must read the materialized
+    # vocabulary (localCheckpoint scan), not re-derive from documents
+    merges = text_ops.bpe_learn_merges(wf, n_merges=1)
+    assert merges.count() == 1  # ran end-to-end with one corpus build

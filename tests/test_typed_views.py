@@ -116,3 +116,39 @@ def test_typed_view_over_engine_loaded_target(spark, tmp_path):
     assert rows["Hyperion"]["price"] is None     # blank → NULL
     assert rows["TBD"]["pages"] is None
     assert rows["TBD"]["published"] is None
+
+
+def test_engine_typed_target_surface(spark, tmp_path):
+    """engine.typed_target: typed data columns, provenance columns
+    pass through with stored types, overrides pin profile mistakes."""
+    from google_sheets_etl_spark.config import EtlJob
+    from google_sheets_etl_spark.etl import SheetsEtlEngine
+    from google_sheets_etl_spark.sources import (
+        FixtureSheetSource, SpreadsheetMeta,
+    )
+
+    ss = "SSZ" + "z" * 41
+    src = FixtureSheetSource()
+    src.put_sheet(
+        SpreadsheetMeta(ss, "2026-04-02T00:00:00.000Z", "Z"),
+        "Sheet1",
+        [["Zip", "Qty"], ["02134", "7"], ["90210", "12"]],
+    )
+    engine = SheetsEtlEngine(spark, str(tmp_path / "wh_tt"), src)
+    engine.set_up_accounting()
+    jobs = [EtlJob(ss, "Sheet1", "parcels", {"zip": "Zip", "qty": "Qty"})]
+    engine.find_updated_spreadsheets(now=1000)
+    engine.load_updated_spreadsheets(jobs)
+
+    tv = engine.typed_target("parcels")
+    dt = dict(tv.dtypes)
+    assert dt["qty"] == "bigint"
+    assert dt["zip"] == "bigint"  # the profile's honest-but-wrong call
+    prov = [c for c in tv.columns if c.startswith("_")]
+    assert prov, "provenance columns must survive the view"
+    stored = dict(engine.target("parcels").read().dtypes)
+    assert all(dt[c] == stored[c] for c in prov)  # untyped passthrough
+
+    pinned = engine.typed_target("parcels", overrides={"zip": "string"})
+    assert dict(pinned.dtypes)["zip"] == "string"
+    assert {r["zip"] for r in pinned.collect()} == {"02134", "90210"}
