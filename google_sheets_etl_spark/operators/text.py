@@ -774,3 +774,37 @@ def bpe_learn_merges(
         "merge_rank int, left_sym string, right_sym string, "
         "merged string, pair_count long",
     )
+
+
+def bpe_apply_merges(
+    word_freqs: DataFrame,
+    merges: list[tuple[str, str]],
+    word_col: str = "word",
+    freq_col: str = "freq",
+) -> DataFrame:
+    """Apply a LEARNED merge table (ordered (left, right) pairs from
+    :func:`bpe_learn_merges`) to segment words — the inference half of
+    the BPE tokenizer. Merges fold in rank order over the same
+    prefix-separator representation, so the whole application is ONE
+    chained-replace projection (k nested JVM ``replace`` calls, no
+    iteration actions, no Python): exactly the greedy left-to-right
+    semantics training used, by construction.
+
+    Returns ``(word, freq, syms array<string>, n_tokens int)``. The
+    merge table is driver-side input by definition (k rows — the
+    artifact a tokenizer ships)."""
+    s = F.regexp_replace(F.col(word_col), "(.)", "|$1")
+    for a, b in merges:
+        s = F.replace(s, F.lit("|" + a + "|" + b), F.lit("|" + a + b))
+    syms = F.split(F.expr("substring(_s, 2)"), "[|]")
+    return (
+        word_freqs.select(
+            word_col, F.col(freq_col).alias("freq"), s.alias("_s")
+        )
+        .select(
+            word_col,
+            "freq",
+            syms.alias("syms"),
+            F.size(syms).alias("n_tokens"),
+        )
+    )

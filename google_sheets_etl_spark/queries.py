@@ -4736,6 +4736,59 @@ def _bpe_learn_oracle(k: int) -> str:
     return "WITH " + ",\n       ".join(ctes) + "\n       " + unions
 
 
+def _bpe_tokenize_oracle(k: int) -> str:
+    """Twin of learn-then-apply: the learn oracle's seg{k} CTE IS the
+    applied segmentation (training leaves the vocabulary segmented
+    under the learned merges), so the corpus token accounting reads
+    straight off it."""
+    learn = _bpe_learn_oracle(k)
+    with_part = learn[: learn.rindex("\n       SELECT")]
+    return (
+        with_part
+        + f"""
+       SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
+              CAST(SUM(freq * len(replace(substr(s, 2), '|', ''))) AS BIGINT)
+                AS n_chars,
+              CAST(SUM(freq * len(string_split(substr(s, 2), '|'))) AS BIGINT)
+                AS n_tokens_merged
+       FROM seg{k}"""
+    )
+
+
+@q("bpe_tokenize_stats", _bpe_tokenize_oracle(5))
+def bpe_tokenize_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """The INFERENCE half of the BPE tokenizer: learn 5 merges
+    (text_ops.bpe_learn_merges), then APPLY the merge table to the
+    vocabulary with text_ops.bpe_apply_merges — one chained-replace
+    JVM projection, no iteration — and account corpus tokens under
+    the learned segmentation (char count invariant, token count
+    compressed). The twin reads the same accounting off the unrolled
+    learn oracle's final segmentation, certifying that apply-from-
+    scratch equals the state training left behind."""
+    docs = t(spark, sf, "documents")
+    wf = (
+        docs.select(F.explode(words_of(F.col("text"))).alias("word"))
+        .filter(
+            (F.length("word") >= 2)
+            & F.col("word").rlike("^[A-Za-z0-9]+$")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    merge_rows = (
+        text_ops.bpe_learn_merges(wf, n_merges=5)
+        .orderBy("merge_rank")
+        .collect()
+    )
+    merges = [(r["left_sym"], r["right_sym"]) for r in merge_rows]
+    seg = text_ops.bpe_apply_merges(wf, merges)
+    return seg.agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.col("freq") * F.length("word")).alias("n_chars"),
+        F.sum(F.col("freq") * F.col("n_tokens")).alias("n_tokens_merged"),
+    )
+
+
 @q("bpe_learn_merges", _bpe_learn_oracle(5))
 def bpe_learn_merges(spark: SparkSession, sf: str) -> DataFrame:
     """Iterated BPE merge-table training over the corpus vocabulary

@@ -352,3 +352,36 @@ def test_bpe_learn_merges_matches_reference_on_repeat_chains(spark):
         .orderBy("merge_rank").collect()
     ]
     assert got == _bpe_reference(vocab, 4)
+
+
+def test_bpe_apply_merges_reproduces_training_segmentation(spark):
+    """Applying the learned merge table from scratch must reproduce
+    exactly the segmentation training left behind — including the
+    chained-merge words."""
+    from google_sheets_etl_spark.operators import text as text_ops
+
+    vocab = {"low#": 5, "lower#": 2, "newest#": 6, "widest#": 3,
+             "aaaa": 2}
+    wf = spark.createDataFrame(list(vocab.items()), "word string, freq long")
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in text_ops.bpe_learn_merges(wf, n_merges=5)
+        .orderBy("merge_rank").collect()
+    ]
+    got = {
+        r["word"]: (list(r["syms"]), r["n_tokens"])
+        for r in text_ops.bpe_apply_merges(wf, merges).collect()
+    }
+    # reference fold (same impl as _bpe_reference's merge step)
+    seg = {w: list(w) for w in vocab}
+    for a, b in merges:
+        for w, syms in seg.items():
+            out: list = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            seg[w] = out
+    for w in vocab:
+        assert got[w] == (seg[w], len(seg[w])), w
