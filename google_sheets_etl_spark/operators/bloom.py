@@ -89,12 +89,16 @@ def bloom_build(
     persist()-based version leaked one cached table per call).
 
     ABOVE the ceiling (e.g. 2^30 bits ≈ 16 M lanes / 128 MB — a real
-    driver-memory hazard as a LocalRelation) the aggregated
-    DataFrame is returned distributed: the k broadcast probes then
-    re-run the build aggregation per probe, trading bounded repeat
-    compute on the SMALL side for zero driver materialization.
-    Callers holding the filter across many probe calls may persist
-    it themselves (and own the unpersist)."""
+    driver-memory hazard as a LocalRelation) the aggregated DataFrame
+    is returned distributed but MATERIALIZED (``localCheckpoint``):
+    the k probe joins each broadcast it independently, and an
+    un-materialized plan would re-execute the build aggregation per
+    probe — with a non-deterministic build input the k probes could
+    then see k DIFFERENT bitsets, breaking the candidates ⊇ members
+    guarantee the exact-verify pattern rests on. Materialized blocks
+    pin one bitset for all k probes (executor-local: an executor
+    loss fails the query rather than recomputing — the iterative-
+    operator trade, see connected_components)."""
     probes = _probe_cols(F.col(key_col), m_bits, k)
     lanes = keys.select(
         F.explode(
@@ -105,7 +109,7 @@ def bloom_build(
     ).select("p.word_idx", "p.mask")
     agg = lanes.groupBy("word_idx").agg(F.bit_or("mask").alias("word"))
     if m_bits > LOCAL_RELATION_MAX_BITS:
-        return agg
+        return agg.localCheckpoint(eager=True)
     return keys.sparkSession.createDataFrame(
         agg.toPandas(), "word_idx long, word long"
     )

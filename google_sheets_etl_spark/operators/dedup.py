@@ -475,14 +475,26 @@ def connected_components(
     instead of recomputing. A path → ``sparkContext.setCheckpointDir``
     + reliable ``checkpoint()``: blocks land on fault-tolerant
     storage (HDFS/S3), so a 1000-executor prod run survives executor
-    churn mid-iteration at the cost of one write per round.
+    churn mid-iteration at the cost of one write per round. The
+    previous application-wide checkpoint dir is RESTORED before
+    returning (all checkpoints here are eager, so nothing later
+    writes to our dir); the checkpoint DATA outlives the call by
+    design — the returned labels read from the final round's
+    checkpoint — so storage cleanup is the caller's, after the
+    results are consumed (point each run at its own subdir; Spark
+    only auto-cleans with
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true``).
 
     Each round shuffles on the uniform node/label ids. Only nodes that
     appear in ``pairs`` are returned; singletons are their own cluster
     by definition and never shuffle.
     """
+    sc = pairs.sparkSession.sparkContext
+    prev_dir = None
     if checkpoint_dir is not None:
-        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        prev = sc._jsc.sc().getCheckpointDir()
+        prev_dir = prev.get() if prev.isDefined() else None
+        sc.setCheckpointDir(checkpoint_dir)
 
     def ckpt(df: DataFrame) -> DataFrame:
         if checkpoint_dir is None:
@@ -539,6 +551,11 @@ def connected_components(
         labels = new_labels.select("node", "label")
         if changed == 0:
             break
+    if checkpoint_dir is not None and prev_dir is not None:
+        # every checkpoint above was EAGER, so restoring the
+        # application-wide dir here cannot redirect our own writes —
+        # it stops this call from hijacking other checkpoint() users
+        sc.setCheckpointDir(prev_dir)
     return labels.select(
         F.col("node").alias(out_id), F.col("label").alias(out_cluster)
     )

@@ -210,21 +210,36 @@ class SniffCodec(MediaCodec):
     """Per-payload magic-byte dispatch: P6 payloads decode through
     the real :class:`PpmCodec`; everything else falls back (PIL when
     installed, stub otherwise). This is what :func:`default_codec`
-    returns, so the stub is now strictly a FALLBACK."""
+    returns, so the stub is now strictly a FALLBACK.
+
+    A payload that LOOKS like P6 but is malformed (truncated raster,
+    unsupported maxval, text that happens to start with 'P6') also
+    falls back rather than raising: one bad byte stream must not fail
+    the whole mapInPandas task — the previous default codec never
+    raised on arbitrary bytes, and that robustness is part of the
+    default contract. Use :class:`PpmCodec` directly to get strict
+    errors on malformed PPM."""
 
     def __init__(self, fallback: MediaCodec) -> None:
         super().__init__(name=f"sniff({fallback.name})")
         self._ppm = PpmCodec()
         self._fallback = fallback
 
-    def _pick(self, payload: bytes) -> MediaCodec:
-        return self._ppm if payload[:2] == b"P6" else self._fallback
-
     def image_features(self, payload: bytes, n_bins: int) -> list[float]:
-        return self._pick(payload).image_features(payload, n_bins)
+        if payload[:2] == b"P6":
+            try:
+                return self._ppm.image_features(payload, n_bins)
+            except ValueError:
+                pass  # P6-looking but undecodable → fallback
+        return self._fallback.image_features(payload, n_bins)
 
     def resize(self, payload: bytes, width: int, height: int) -> bytes:
-        return self._pick(payload).resize(payload, width, height)
+        if payload[:2] == b"P6":
+            try:
+                return self._ppm.resize(payload, width, height)
+            except ValueError:
+                pass  # P6-looking but undecodable → fallback
+        return self._fallback.resize(payload, width, height)
 
 
 def default_codec() -> MediaCodec:

@@ -401,7 +401,9 @@ def embedding_near_dup_pairs_lsh(
     )
 
 
-def estimate_row_count(vectors: DataFrame) -> int | None:
+def estimate_row_count(
+    vectors: DataFrame, trust_catalog_stats: bool = False
+) -> int | None:
     """Metadata-only row estimate: the exact sum of parquet footer
     ``num_rows`` when the plan is a pure scan/projection over parquet
     files (no Filter/Join/Aggregate between the relation and the
@@ -412,9 +414,12 @@ def estimate_row_count(vectors: DataFrame) -> int | None:
     #9): a 100 TB table is 10^5-10^6 files, and a sequential
     driver-side loop over remote-store footers is minutes of dispatch
     latency; 32 concurrent readers are I/O-bound threads the GIL
-    doesn't serialize. When the catalog already carries an exact row
-    count (ANALYZE TABLE / CBO), that short-circuits the footer reads
-    entirely."""
+    doesn't serialize. ``trust_catalog_stats=True`` short-circuits the
+    footer reads with the catalog's rowCount when defined — OPT-IN
+    because catalog stats go stale after appends without re-ANALYZE
+    (a stale 'exact' count would mis-dispatch
+    ``embedding_near_dup_auto`` onto the quadratic path on a
+    now-huge table); footers are always current."""
     try:
         qe = vectors._jdf.queryExecution()
         plan = qe.optimizedPlan().toString()
@@ -422,14 +427,15 @@ def estimate_row_count(vectors: DataFrame) -> int | None:
             node = raw.lstrip(" :+-")
             if node and not node.startswith(("Relation", "Project")):
                 return None
-        # catalog-stats fast path: a defined rowCount on a pure
-        # scan/projection is the relation's cataloged exact count
-        try:
-            rc = qe.optimizedPlan().stats().rowCount()
-            if rc.isDefined():
-                return int(str(rc.get()))
-        except Exception:  # py4j API drift → fall through to footers
-            pass
+        if trust_catalog_stats:
+            # a defined rowCount on a pure scan/projection is the
+            # relation's cataloged count — exact as of last ANALYZE
+            try:
+                rc = qe.optimizedPlan().stats().rowCount()
+                if rc.isDefined():
+                    return int(str(rc.get()))
+            except Exception:  # py4j API drift → fall through
+                pass
         files = vectors.inputFiles()
         if not files:
             return None
@@ -564,6 +570,39 @@ def incremental_embedding_admission(
     return batch.select(id_col).join(rejected, id_col, "left_anti")
 
 
+def _assign_cells(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cent_id_col: str,
+    cent_vec_col: str,
+) -> DataFrame:
+    """The shared k-means E-step: broadcast the centroids, score with
+    the JVM cosine kernel, argmax per id (cos DESC, cent_id ASC
+    tie-break). One definition serves semantic_dedup, kmeans_lloyd,
+    and the kmeans_assign_step query shape — the tie-break and
+    scoring can never silently diverge between them. Returns
+    ``(id, cell, vec)``; the corpus never shuffles to score (the only
+    exchange is the per-id argmax window)."""
+    scored = vectors.select(id_col, vec_col).crossJoin(
+        F.broadcast(centroids.select(cent_id_col, cent_vec_col))
+    ).select(
+        id_col,
+        vec_col,
+        F.col(cent_id_col),
+        cosine_similarity(F.col(vec_col), F.col(cent_vec_col)).alias("_cos"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("_cos").desc(), F.col(cent_id_col).asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, F.col(cent_id_col).alias("cell"), vec_col)
+    )
+
+
 def semantic_dedup(
     vectors: DataFrame,
     centroids: DataFrame,
@@ -595,23 +634,15 @@ def semantic_dedup(
     make cell blocks bounded, vs the corpus-quadratic all-pairs.
     Cosine is the codegen'd JVM kernel; rounded to 4 decimals before
     thresholding so FP summation order can't flip a verdict.
+
+    The assignment feeds THREE consumers (both self-join sides + the
+    verdict join), so it is materialized once (``localCheckpoint`` —
+    the connected_components discipline; without it the E-step
+    cross-join re-executes per branch, ~3x the dominant cost).
     """
-    scored = vectors.select(id_col, vec_col).crossJoin(
-        F.broadcast(centroids.select(cent_id_col, cent_vec_col))
-    ).select(
-        id_col,
-        vec_col,
-        F.col(cent_id_col),
-        cosine_similarity(F.col(vec_col), F.col(cent_vec_col)).alias("_cos"),
-    )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("_cos").desc(), F.col(cent_id_col).asc()
-    )
-    assigned = (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(id_col, F.col(cent_id_col).alias("cell"), vec_col)
-    )
+    assigned = _assign_cells(
+        vectors, centroids, id_col, vec_col, cent_id_col, cent_vec_col
+    ).localCheckpoint(eager=True)
     a = assigned.select(
         F.col("cell"),
         F.col(id_col).alias("_id_a"),
@@ -676,24 +707,18 @@ def kmeans_lloyd(
     per round the corpus is scanned once for the E-step and the
     exploded (rows × dim) stream combines map-side to (k × dim).
     """
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
     cents = init_centroids.select(cent_id_col, cent_vec_col)
     out = None
-    for _ in range(n_iter):
-        scored = vectors.select(id_col, vec_col).crossJoin(
-            F.broadcast(cents)
-        ).select(
-            id_col, vec_col, F.col(cent_id_col),
-            cosine_similarity(F.col(vec_col), F.col(cent_vec_col))
-            .alias("_cos"),
-        )
-        w = Window.partitionBy(id_col).orderBy(
-            F.col("_cos").desc(), F.col(cent_id_col).asc()
-        )
-        assigned = (
-            scored.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select(F.col(cent_id_col).alias("cell"), vec_col)
-        )
+    for it in range(n_iter):
+        assigned = _assign_cells(
+            vectors, cents, id_col, vec_col, cent_id_col, cent_vec_col
+        ).select("cell", vec_col)
+        # localCheckpoint: the round's single corpus pass — the
+        # (k×dim)-row result feeds BOTH the next round's centroid
+        # rebuild and (on the last round) the returned frame; without
+        # it the E-step scan re-executes per consumer
         out = (
             assigned.select(
                 "cell", F.posexplode(vec_col).alias("pos", "_e")
@@ -703,7 +728,10 @@ def kmeans_lloyd(
                 F.round(F.avg("_e"), 6).alias("centroid_r6"),
                 F.count(F.lit(1)).alias("n_members"),
             )
+            .localCheckpoint(eager=True)
         )
+        if it == n_iter - 1:
+            break  # no further E-step: skip the dead centroid rebuild
         # k×dim rows → k arrays on the driver: metadata-scale by
         # design (the centroid table IS what a broadcast would ship)
         rows = (

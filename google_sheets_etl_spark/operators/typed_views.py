@@ -67,6 +67,15 @@ def profile_cast_stats(df: DataFrame, columns: list[str] | None = None) -> DataF
     width-to-length explode of that ONE row — no per-column scans, no
     driver compute on data."""
     cols = columns if columns is not None else list(df.columns)
+    if not cols:
+        # nothing to profile (e.g. a table of only provenance
+        # columns) → empty profile, not an agg() crash
+        return df.sparkSession.createDataFrame(
+            [],
+            "column_name string, n_values long, "
+            + ", ".join(f"n_{t} long" for t in CANDIDATES)
+            + ", decided_type string",
+        )
     # normalize ONCE per column in an explicit projection: referencing
     # nullif(trim(c),'') inside every aggregate makes Spark's CSE emit
     # five copies of the trim per column (measured 8.8 s at sf0.1 —

@@ -563,3 +563,50 @@ def test_kmeans_lloyd_recovers_planted_clusters(spark):
     mean_b = [round(sum(v[i] for v in b) / 3, 6) for i in range(4)]
     assert [got[0][i] for i in range(4)] == mean_a
     assert [got[1][i] for i in range(4)] == mean_b
+
+
+def test_sniff_codec_falls_back_on_malformed_p6():
+    """Review fix: a payload that LOOKS like P6 but is undecodable
+    must fall back, not raise — one bad byte stream must not kill a
+    whole mapInPandas task under default_codec."""
+    from google_sheets_etl_spark.operators.multimodal import (
+        StubCodec, default_codec,
+    )
+
+    codec = default_codec()
+    for bad in (b"P6 is my favorite chip",
+                b"P6\n2 2\n255\n\x00\x00\x00",        # truncated raster
+                b"P6\n1 1\n65535\n\x00\x00\x00\x00\x00\x00"):  # maxval
+        assert codec.image_features(bad, 4) == StubCodec().image_features(bad, 4)
+        assert codec.resize(bad, 2, 2) == StubCodec().resize(bad, 2, 2)
+
+
+def test_kmeans_lloyd_rejects_zero_iterations(spark):
+    import pytest
+
+    from google_sheets_etl_spark.operators.similarity import kmeans_lloyd
+
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    seeds = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "cent_id long, cv array<double>"
+    )
+    with pytest.raises(ValueError, match="n_iter"):
+        kmeans_lloyd(vecs, seeds, n_iter=0)
+
+
+def test_connected_components_restores_checkpoint_dir(spark, tmp_path):
+    """Review fix: the reliable-checkpoint knob must not hijack the
+    application-wide checkpoint dir for later, unrelated users."""
+    from google_sheets_etl_spark.operators import dedup as dd
+
+    sc = spark.sparkContext
+    original = str(tmp_path / "app_ckpt")
+    sc.setCheckpointDir(original)
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    dd.connected_components(
+        pairs, checkpoint_dir=str(tmp_path / "cc_only")
+    ).collect()
+    cur = sc._jsc.sc().getCheckpointDir()
+    assert cur.isDefined() and original in str(cur.get())

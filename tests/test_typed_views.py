@@ -152,3 +152,11 @@ def test_engine_typed_target_surface(spark, tmp_path):
     pinned = engine.typed_target("parcels", overrides={"zip": "string"})
     assert dict(pinned.dtypes)["zip"] == "string"
     assert {r["zip"] for r in pinned.collect()} == {"02134", "90210"}
+
+
+def test_profile_empty_column_list_returns_empty_profile(spark):
+    df = spark.createDataFrame([("x",)], "_origin_only string")
+    prof = typed_views.profile_cast_stats(df, [])
+    assert prof.count() == 0
+    assert prof.columns[0] == "column_name"
+    assert typed_views.decide_types(df, []) == {}
