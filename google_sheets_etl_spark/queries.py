@@ -2674,6 +2674,88 @@ def multimodal_ppm_resize_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _le_hex(x, n_bytes: int):
+    """Little-endian hex of an int Column, JVM-side — the byte
+    assembler for binary fixture containers (WAV here, the PPM
+    raster's sibling)."""
+    parts = [
+        F.lpad(F.hex((x / F.lit(256 ** i)).cast("long") % 256), 2, "0")
+        for i in range(n_bytes)
+    ]
+    return F.concat(*parts)
+
+
+def _wav_media(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL RIFF/WAVE PCM16 payloads, one per document row, assembled
+    entirely JVM-side: canonical 44-byte header (PCM, mono, 8 kHz,
+    16-bit) + n 16-bit little-endian samples from the deterministic
+    formula ``u = (doc_id*7 + k*13) % 65536`` (two's-complement
+    s = u-65536 when u >= 32768). n = 512 + (doc_id % 5) * 100, so
+    trailing partial windows are exercised. The oracle regenerates
+    samples from the formula — container parse certified against
+    ground truth, like the PPM fixtures."""
+    d = t(spark, sf, "documents").select("doc_id")
+    n = (F.lit(512) + F.col("doc_id") % 5 * 100).cast("long")
+    ascii_hex = lambda s: F.hex(F.encode(F.lit(s), "UTF-8"))  # noqa: E731
+    header_hex = F.concat(
+        ascii_hex("RIFF"), _le_hex(F.lit(36) + n * 2, 4),
+        ascii_hex("WAVEfmt "), _le_hex(F.lit(16), 4),
+        _le_hex(F.lit(1), 2), _le_hex(F.lit(1), 2),      # PCM, mono
+        _le_hex(F.lit(8000), 4), _le_hex(F.lit(16000), 4),
+        _le_hex(F.lit(2), 2), _le_hex(F.lit(16), 2),     # align, bits
+        ascii_hex("data"), _le_hex(n * 2, 4),
+    )
+    samples_hex = F.concat_ws(
+        "",
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda k: _le_hex((F.col("doc_id") * 7 + k * 13) % 65536, 2),
+        ),
+    )
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        F.unhex(F.concat(header_hex, samples_hex)).alias("payload"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+            F.lit(8000).alias("sample_rate"),
+            F.lit("wav").alias("format"),
+        ).alias("meta"),
+    )
+
+
+@q(
+    "multimodal_wav_energy",
+    """WITH dims AS (SELECT doc_id, 512 + (doc_id % 5) * 100 AS n
+                     FROM documents),
+       wins AS (SELECT doc_id, UNNEST(range(0, n // 256)) AS w
+                FROM dims),
+       smp AS (SELECT doc_id, w, UNNEST(range(0, 256)) AS j
+               FROM wins),
+       vals AS (SELECT doc_id, w,
+                       CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s
+                FROM (SELECT doc_id, w,
+                             (doc_id * 7 + (w * 256 + j) * 13) % 65536 AS u
+                      FROM smp))
+       SELECT doc_id AS media_id, CAST(w AS BIGINT) AS win_idx,
+              sqrt(SUM(s * s) / 256.0) AS rms,
+              CAST(8000 AS INT) AS sample_rate
+       FROM vals GROUP BY doc_id, w""",
+)
+def multimodal_wav_energy(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL audio container decode end-to-end (operators/multimodal.py
+    parse_wav_pcm16 + wav_window_energy): RIFF chunk walk → int16 PCM
+    → per-window RMS, bit-exact doubles (power-of-two window, exact
+    int64 square sums, IEEE sqrt). The audio sibling of the PPM
+    queries: the oracle regenerates every sample from the fixture
+    formula — container parsing certified against ground truth, and
+    the trailing partial window's DROP is part of the compared
+    contract. Narrow Arrow kernel, no shuffle."""
+    return multimodal.wav_window_energy(_wav_media(spark, sf), window=256)
+
+
 @q(
     "embedding_centroids",
     """SELECT label, x.i - 1 AS pos, ROUND(AVG(x.e), 6) AS centroid_val

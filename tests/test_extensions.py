@@ -610,3 +610,64 @@ def test_connected_components_restores_checkpoint_dir(spark, tmp_path):
     ).collect()
     cur = sc._jsc.sc().getCheckpointDir()
     assert cur.isDefined() and original in str(cur.get())
+
+
+def _wav_bytes(samples, rate=8000, extra_chunk=True):
+    import struct
+
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    chunks = b""
+    if extra_chunk:
+        # odd-size chunk exercises the spec's word-alignment padding
+        chunks += b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    chunks += (
+        b"fmt " + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    )
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_parse_wav_pcm16_chunk_walk_and_rejects():
+    import numpy as np
+    import pytest
+
+    from google_sheets_etl_spark.operators.multimodal import parse_wav_pcm16
+
+    rate, v = parse_wav_pcm16(_wav_bytes([0, 1000, -32768, 32767]))
+    assert rate == 8000
+    assert v.tolist() == [0, 1000, -32768, 32767]
+    assert v.dtype == np.dtype("<i2")
+
+    with pytest.raises(ValueError, match="RIFF"):
+        parse_wav_pcm16(b"OGGS" + b"\x00" * 40)
+    import struct as _s
+    stereo = _wav_bytes([1, 2], extra_chunk=False).replace(
+        _s.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16),
+        _s.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16),
+    )
+    with pytest.raises(ValueError, match="PCM mono 16-bit"):
+        parse_wav_pcm16(stereo)
+
+
+def test_wav_window_energy_exact_and_tolerant(spark):
+    import math
+
+    from google_sheets_etl_spark.operators import multimodal as mm
+
+    samples = [100] * 4 + [-200] * 4 + [50] * 3  # window 4: one partial
+    media = spark.createDataFrame(
+        [
+            (1, "audio", _wav_bytes(samples), None),
+            (2, "audio", b"garbage-not-a-wav", None),  # no rows, no crash
+            (3, "audio", None, None),
+        ],
+        mm.MEDIA_SCHEMA,
+    )
+    got = {
+        (r["media_id"], r["win_idx"]): (r["rms"], r["sample_rate"])
+        for r in mm.wav_window_energy(media, window=4).collect()
+    }
+    assert set(got) == {(1, 0), (1, 1)}  # partial window dropped
+    assert got[(1, 0)] == (100.0, 8000)
+    assert got[(1, 1)] == (math.sqrt(4 * 200 * 200 / 4.0), 8000)
