@@ -628,42 +628,48 @@ def semantic_dedup(
 
     Scale shape: centroids broadcast into the E-step scoring (corpus
     never shuffles to assign); the per-id argmax window shuffles once
-    on the uniform id; the intra-cell pair search is a self-join ON
-    THE CELL KEY with the id-order + cosine residual — work is
-    sum(cell_size^2), the SemDeDup design point: k ~ sqrt(n) cells
-    make cell blocks bounded, vs the corpus-quadratic all-pairs.
-    Cosine is the codegen'd JVM kernel; rounded to 4 decimals before
-    thresholding so FP summation order can't flip a verdict.
+    on the uniform id; the intra-cell pair search is the paper's
+    per-cluster MATRIX operation — one shuffle on the cell key, then
+    an Arrow ``applyInPandas`` block per cell computing the
+    upper-triangular cosine matrix with a single numpy matmul. Work
+    is sum(cell_size^2) flops, the SemDeDup design point: k ~ sqrt(n)
+    cells make cell blocks bounded (and each cell's matrix must fit
+    one task — the same grain the paper's per-cluster pass has). A
+    cell-key SELF-JOIN through the Catalyst cosine kernel was
+    measured 50x slower at equal pair count: higher-order-function
+    folds evaluate interpreted per element, outside codegen — the
+    winnowing lesson, again. Cosines round to 4 decimals before
+    thresholding so FP order can't flip a verdict (same contract the
+    exact ``embedding_near_dup_pairs`` oracles certify for this
+    numpy kernel).
 
-    The assignment feeds THREE consumers (both self-join sides + the
-    verdict join), so it is materialized once (``localCheckpoint`` —
-    the connected_components discipline; without it the E-step
-    cross-join re-executes per branch, ~3x the dominant cost).
+    The assignment feeds two consumers (cell blocks + verdict join),
+    so it is materialized once (``localCheckpoint`` — the
+    connected_components discipline).
     """
+    import numpy as np
+    import pandas as pd
+
     assigned = _assign_cells(
         vectors, centroids, id_col, vec_col, cent_id_col, cent_vec_col
     ).localCheckpoint(eager=True)
-    a = assigned.select(
-        F.col("cell"),
-        F.col(id_col).alias("_id_a"),
-        F.col(vec_col).alias("_va"),
-    )
-    b = assigned.select(
-        F.col("cell"),
-        F.col(id_col).alias("_id_b"),
-        F.col(vec_col).alias("_vb"),
-    )
-    removed = (
-        a.join(b, ["cell"])
-        .filter(F.col("_id_a") < F.col("_id_b"))
-        .filter(
-            F.round(
-                cosine_similarity(F.col("_va"), F.col("_vb")), 4
-            ) >= threshold
-        )
-        .select(F.col("_id_b").alias(id_col))
-        .distinct()
-    )
+
+    id_type = dict(assigned.dtypes)[id_col]
+
+    def block(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        mat = np.vstack(pdf[vec_col].to_numpy()[order]).astype(np.float64)
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        cos = np.round((mat @ mat.T) / np.outer(norms, norms), 4)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        hit = cos[iu, ju] >= threshold
+        return pd.DataFrame({id_col: np.unique(ids[ju[hit]])})
+
+    removed = assigned.select("cell", id_col, vec_col).groupBy(
+        "cell"
+    ).applyInPandas(block, f"{id_col} {id_type}")
     return assigned.join(
         removed.withColumn("_rm", F.lit(True)), [id_col], "left"
     ).select(
