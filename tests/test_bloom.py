@@ -93,3 +93,26 @@ def test_word_table_is_sparse_and_bounded(spark, small):
     assert 0 < n <= m_bits // 64
     # word_idx unique: probe joins must stay 1:1
     assert filt.select("word_idx").distinct().count() == n
+
+
+def test_bloom_distributed_path_above_local_relation_ceiling(spark):
+    """Review fix regression: past LOCAL_RELATION_MAX_BITS the word
+    table stays distributed but MATERIALIZED — semi-join results must
+    be identical to the LocalRelation path (the sparse lane table is
+    tiny for a small key set regardless of m_bits)."""
+    from google_sheets_etl_spark.operators import bloom as B
+
+    big = spark.range(0, 2000).selectExpr("id AS k")
+    small = spark.createDataFrame(
+        [(i * 37 % 2000,) for i in range(50)], "k long"
+    )
+    want = sorted(
+        r["k"] for r in big.join(small, "k", "left_semi").collect()
+    )
+    got = sorted(
+        r["k"]
+        for r in B.bloom_semi_join(
+            big, small, "k", m_bits=B.LOCAL_RELATION_MAX_BITS * 2, k=3
+        ).collect()
+    )
+    assert got == want

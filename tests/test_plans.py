@@ -393,14 +393,17 @@ def test_typed_view_profile_is_one_scan_partial_aggregate(spark, sf_dir):
     assert "SinglePartition" in plan or "Exchange" not in plan
 
 
-def test_semantic_dedup_broadcasts_centroids_and_joins_on_cell(spark, sf_dir):
+def test_semantic_dedup_cell_blocks_and_no_cartesian(spark, sf_dir):
     plan = explain_str(QUERIES["semantic_dedup_keep"](spark, sf_dir))
-    # centroids arrive via broadcast (E-step scoring never shuffles
-    # the corpus); the intra-cell pair search is a hash join ON THE
-    # CELL KEY, not a cartesian product
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
-    assert "CartesianProduct" not in plan
+    # the intra-cell pair search is the per-cell Arrow matrix block
+    # grouped ON THE CELL KEY (one uniform exchange), never a
+    # cartesian product; the E-step's broadcast happens inside the
+    # materialized assignment (localCheckpoint), upstream of this
+    # plan — its shape is pinned by _assign_cells' other consumers
+    # (kmeans_assign_step's broadcast test)
+    assert "FlatMapGroupsInPandas" in plan
     assert "hashpartitioning(cell" in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_bpe_pairs_aggregate_on_vocabulary_not_corpus(spark, sf_dir):
