@@ -4882,6 +4882,71 @@ def bpe_tokenize_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _bpe_doc_tokens_oracle(k: int) -> str:
+    """Twin of the corpus-level tokenization: per-word token counts
+    read off the learn oracle's final segmentation, joined back to
+    every word occurrence; words outside the trainable vocabulary
+    (single-char / non-alphanumeric) count 1 token each."""
+    learn = _bpe_learn_oracle(k)
+    with_part = learn[: learn.rindex("\n       SELECT")]
+    return (
+        with_part
+        + f""",
+       vt AS (SELECT replace(s, '|', '') AS word,
+                     CAST(len(string_split(substr(s, 2), '|')) AS BIGINT)
+                       AS n_tok
+              FROM seg{k}),
+       dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents)
+       SELECT doc_id,
+              CAST(COUNT(*) AS BIGINT) AS n_words,
+              CAST(SUM(COALESCE(n_tok, 1)) AS BIGINT) AS n_bpe_tokens
+       FROM dw LEFT JOIN vt ON dw.w = vt.word
+       GROUP BY doc_id"""
+    )
+
+
+@q("bpe_doc_token_counts", _bpe_doc_tokens_oracle(5))
+def bpe_doc_token_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-level tokenization under the LEARNED merges: learn 5
+    merges, segment the vocabulary once (bpe_apply_merges), then join
+    every word occurrence back to its token count — the per-document
+    accounting a data-mixture budgeter actually consumes. Words
+    outside the trainable vocabulary (single-char / non-alphanumeric)
+    count 1 token each, documented. One uniform-key join on the word
+    string; the vocabulary is segmented once, never per occurrence."""
+    docs = t(spark, sf, "documents")
+    wf = (
+        docs.select(F.explode(words_of(F.col("text"))).alias("word"))
+        .filter(
+            (F.length("word") >= 2)
+            & F.col("word").rlike("^[A-Za-z0-9]+$")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    merge_rows = (
+        text_ops.bpe_learn_merges(wf, n_merges=5)
+        .orderBy("merge_rank")
+        .collect()
+    )
+    merges = [(r["left_sym"], r["right_sym"]) for r in merge_rows]
+    vt = text_ops.bpe_apply_merges(wf, merges).select(
+        "word", F.col("n_tokens").cast("long").alias("n_tok")
+    )
+    dw = docs.select(
+        "doc_id", F.explode(words_of(F.col("text"))).alias("word")
+    )
+    return (
+        dw.join(vt, "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.coalesce(F.col("n_tok"), F.lit(1))).alias("n_bpe_tokens"),
+        )
+    )
+
+
 @q("bpe_learn_merges", _bpe_learn_oracle(5))
 def bpe_learn_merges(spark: SparkSession, sf: str) -> DataFrame:
     """Iterated BPE merge-table training over the corpus vocabulary
