@@ -21,13 +21,19 @@ Design:
   treated as NULL — the warehouse null-pads short rows (T3), and a
   blank cell must not block a column from typing.
 - The DECISION is in the same query (a CASE over the counts), most
-  specific type first: boolean → bigint → double → date → string.
-  A type wins only if EVERY non-blank value casts and the column has
-  at least one value; otherwise fall through (``string`` is the
-  always-safe floor). bigint is checked before double because every
-  integer string is also a double; boolean first because '0'/'1' are
-  also integers — a column of genuine 0/1 flags reads better typed
-  boolean, and a mixed 0/1/2 column fails the boolean gate anyway.
+  specific type first: boolean → bigint → double → date →
+  timestamp → string. A type wins only if EVERY non-blank value
+  casts and the column has at least one value; otherwise fall
+  through (``string`` is the always-safe floor). bigint is checked
+  before double because every integer string is also a double;
+  boolean first because '0'/'1' are also integers — a column of
+  genuine 0/1 flags reads better typed boolean, and a mixed 0/1/2
+  column fails the boolean gate anyway. The date probe is
+  MIDNIGHT-STRICT: a value counts as date only if its timestamp
+  parse equals its date parse at midnight — so datetime columns
+  (which Spark would happily truncate to date) fall through to
+  ``timestamp`` instead of silently losing their time component,
+  while pure dates (and explicit midnights) stay ``date``.
 - :func:`typed_view` — applies a decided (or user-overridden) type
   map as a ``try_cast`` projection; :func:`auto_typed_view` chains
   profile → decide → view. The profile collect is metadata-scale
@@ -52,7 +58,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # candidate types, most specific first; 'string' is the implicit floor
-CANDIDATES = ("boolean", "bigint", "double", "date")
+CANDIDATES = ("boolean", "bigint", "double", "date", "timestamp")
 
 
 def _quoted(name: str) -> str:
@@ -79,15 +85,16 @@ def profile_cast_stats(df: DataFrame, columns: list[str] | None = None) -> DataF
     # normalize ONCE per column in an explicit projection: referencing
     # nullif(trim(c),'') inside every aggregate makes Spark's CSE emit
     # five copies of the trim per column (measured 8.8 s at sf0.1 —
-    # the projection cuts the string work 5x, the casts stay)
-    safe = df.select(
-        *[
-            F.nullif(
-                F.trim(F.col(_quoted(c)).cast("string")), F.lit("")
-            ).alias(f"_c{i}")
-            for i, c in enumerate(cols)
-        ]
-    )
+    # the projection cuts the string work 5x). The date and timestamp
+    # parses land here too: the midnight-strict date probe needs both
+    # and the timestamp probe reuses the same parse.
+    proj = []
+    for i, c in enumerate(cols):
+        v = F.nullif(F.trim(F.col(_quoted(c)).cast("string")), F.lit(""))
+        proj.append(v.alias(f"_c{i}"))
+        proj.append(F.expr(f"try_cast(nullif(trim(cast({_quoted(c)} AS string)), '') AS date)").alias(f"_d{i}"))
+        proj.append(F.expr(f"try_cast(nullif(trim(cast({_quoted(c)} AS string)), '') AS timestamp)").alias(f"_t{i}"))
+    safe = df.select(*proj)
     aggs = []
     for i in range(len(cols)):
         aggs.append(F.expr(f"count(_c{i})").alias(f"n_{i}"))
@@ -104,6 +111,14 @@ def profile_cast_stats(df: DataFrame, columns: list[str] | None = None) -> DataF
                     "('t','true','y','yes','1',"
                     "'f','false','n','no','0') THEN 1 END)"
                 )
+            elif t == "date":
+                # midnight-strict: date-parseable AND no time info
+                probe = (
+                    f"count(CASE WHEN _d{i} IS NOT NULL AND "
+                    f"_t{i} = CAST(_d{i} AS timestamp) THEN 1 END)"
+                )
+            elif t == "timestamp":
+                probe = f"count(_t{i})"
             else:
                 probe = f"count(try_cast(_c{i} AS {t}))"
             aggs.append(F.expr(probe).alias(f"{t}_{i}"))

@@ -3897,6 +3897,12 @@ def _varchar_warehouse(spark: SparkSession, sf: str) -> DataFrame:
             F.lpad((cents % 100).cast("string"), 2, "0"),
         ).alias("total_price"),
         F.col("o_orderdate").cast("string").alias("order_date"),
+        F.concat(
+            F.substring(F.col("o_orderdate").cast("string"), 1, 10),
+            F.lit(" "),
+            F.lpad((F.col("o_orderkey") % 24).cast("string"), 2, "0"),
+            F.lit(":30:05"),
+        ).alias("order_ts"),
         F.when(F.col("o_orderstatus") == "F", "true")
         .when(F.col("o_orderstatus") == "O", "false")
         .otherwise("yes")
@@ -3919,6 +3925,9 @@ _VARCHAR_WAREHOUSE_SQL = """
            lpad(CAST(CAST(round(o_totalprice * 100) AS BIGINT) % 100
                      AS VARCHAR), 2, '0') AS total_price,
          CAST(o_orderdate AS VARCHAR) AS order_date,
+         substr(CAST(o_orderdate AS VARCHAR), 1, 10) || ' ' ||
+           lpad(CAST(o_orderkey % 24 AS VARCHAR), 2, '0') || ':30:05'
+           AS order_ts,
          CASE WHEN o_orderstatus = 'F' THEN 'true'
               WHEN o_orderstatus = 'O' THEN 'false'
               ELSE 'yes' END AS status_flag,
@@ -3934,7 +3943,12 @@ _VARCHAR_WAREHOUSE_SQL = """
 # strings only (TRY_CAST guards overflow to NULL in both engines);
 # date additionally admits bare 4-7 digit strings — Spark's
 # stringToDate accepts a lone yyyy(+) year ('1500' -> 1500-01-01),
-# DuckDB's does not.
+# DuckDB's does not — and is MIDNIGHT-STRICT (datetime-bearing
+# strings fall through to timestamp; see the operator docstring).
+# The timestamp twin covers this fixture's shapes (ISO datetimes,
+# date-only, bare years); Spark additionally accepts bare times and
+# missing-seconds forms DuckDB rejects — keep those out of oracle
+# fixtures.
 _SPARK_BOOL_SQL = (
     "lower(trim({v})) IN "
     "('t','true','y','yes','1','f','false','n','no','0')"
@@ -3952,6 +3966,7 @@ _SPARK_BIGINT_SQL = (
          SELECT 'order_key' AS column_name, order_key AS v FROM wh
          UNION ALL SELECT 'total_price', total_price FROM wh
          UNION ALL SELECT 'order_date', order_date FROM wh
+         UNION ALL SELECT 'order_ts', order_ts FROM wh
          UNION ALL SELECT 'status_flag', status_flag FROM wh
          UNION ALL SELECT 'mixed_id', mixed_id FROM wh
          UNION ALL SELECT 'padded_cust', padded_cust FROM wh
@@ -3967,16 +3982,25 @@ _SPARK_BIGINT_SQL = (
                            THEN 1 END) AS n_bigint,
                 COUNT(TRY_CAST(NULLIF(trim(v), '') AS DOUBLE)) AS n_double,
                 COUNT(CASE WHEN NULLIF(trim(v), '') IS NOT NULL
-                            AND (TRY_CAST(trim(v) AS DATE) IS NOT NULL
+                            AND ((TRY_CAST(trim(v) AS DATE) IS NOT NULL
+                                  AND TRY_CAST(trim(v) AS TIMESTAMP) =
+                                      CAST(TRY_CAST(trim(v) AS DATE)
+                                           AS TIMESTAMP))
                                  OR regexp_matches(trim(v), '^[0-9]{{4,7}}$'))
-                           THEN 1 END) AS n_date
+                           THEN 1 END) AS n_date,
+                COUNT(CASE WHEN NULLIF(trim(v), '') IS NOT NULL
+                            AND (TRY_CAST(trim(v) AS TIMESTAMP) IS NOT NULL
+                                 OR regexp_matches(trim(v), '^[0-9]{{4,7}}$'))
+                           THEN 1 END) AS n_timestamp
          FROM u GROUP BY column_name)
        SELECT column_name, n_values, n_boolean, n_bigint, n_double, n_date,
+              n_timestamp,
               CASE WHEN n_values = 0 THEN 'string'
                    WHEN n_boolean = n_values THEN 'boolean'
                    WHEN n_bigint = n_values THEN 'bigint'
                    WHEN n_double = n_values THEN 'double'
                    WHEN n_date = n_values THEN 'date'
+                   WHEN n_timestamp = n_values THEN 'timestamp'
                    ELSE 'string' END AS decided_type
        FROM c""",
 )
@@ -4001,6 +4025,7 @@ def typed_view_cast_stats(spark: SparkSession, sf: str) -> DataFrame:
                 TRY_CAST(NULLIF(trim(total_price), '') AS DOUBLE)
                   AS total_price,
                 TRY_CAST(NULLIF(trim(order_date), '') AS DATE) AS order_date,
+                TRY_CAST(NULLIF(trim(order_ts), '') AS TIMESTAMP) AS order_ts,
                 CASE WHEN lower(trim(status_flag)) IN ('t','true','y','yes','1')
                        THEN TRUE
                      WHEN lower(trim(status_flag)) IN ('f','false','n','no','0')
@@ -4016,6 +4041,7 @@ def typed_view_cast_stats(spark: SparkSession, sf: str) -> DataFrame:
                 AS sum_cents,
               MIN(order_date) AS min_date,
               MAX(order_date) AS max_date,
+              MAX(order_ts) AS max_ts,
               COUNT(CASE WHEN status_flag THEN 1 END) AS n_true,
               COUNT(DISTINCT padded_cust) AS n_cust,
               COUNT(all_blank) AS n_blank_vals
@@ -4041,6 +4067,7 @@ def typed_view_apply(spark: SparkSession, sf: str) -> DataFrame:
         ),
         F.min("order_date").alias("min_date"),
         F.max("order_date").alias("max_date"),
+        F.max("order_ts").alias("max_ts"),
         F.count(F.when(F.col("status_flag"), 1)).alias("n_true"),
         F.countDistinct("padded_cust").alias("n_cust"),
         F.count("all_blank").alias("n_blank_vals"),

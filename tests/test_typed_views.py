@@ -160,3 +160,26 @@ def test_profile_empty_column_list_returns_empty_profile(spark):
     assert prof.count() == 0
     assert prof.columns[0] == "column_name"
     assert typed_views.decide_types(df, []) == {}
+
+
+def test_timestamp_candidate_midnight_strict_date(spark):
+    """Datetime-bearing columns must type timestamp (not lossily
+    date); pure dates and explicit midnights stay date; bare years
+    are midnight by construction and stay date."""
+    df = _wh(
+        spark,
+        [
+            ("2026-01-02 14:30:05", "2026-01-02", "2026-01-02 00:00:00"),
+            ("2026-01-03 09:00:00", "2026-1-4", "1500"),
+        ],
+        "dt string, d string, m string",
+    )
+    assert typed_views.decide_types(df) == {
+        "dt": "timestamp", "d": "date", "m": "date",
+    }
+    out = typed_views.auto_typed_view(df)
+    assert dict(out.dtypes) == {
+        "dt": "timestamp", "d": "date", "m": "date",
+    }
+    got = {r["dt"].isoformat() for r in out.collect()}
+    assert got == {"2026-01-02T14:30:05", "2026-01-03T09:00:00"}
