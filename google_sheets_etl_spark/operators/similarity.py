@@ -757,3 +757,81 @@ def kmeans_lloyd(
             f"{cent_id_col} long, {cent_vec_col} array<double>",
         )
     return out.select("cell", "pos", "centroid_r6", "n_members")
+
+
+def incremental_semantic_admission(
+    batch: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cent_id_col: str = "cent_id",
+    cent_vec_col: str = "cv",
+) -> DataFrame:
+    """SemDeDup for the continuously-ingesting pipeline (the
+    embedding sibling of ``incremental_near_dup_admission``): admit a
+    NEW batch against an existing corpus without ever comparing
+    corpus×corpus. Batch and corpus are both assigned to the same
+    fixed cells; within each cell a batch vector is rejected iff it
+    has cosine >= threshold with ANY corpus cell-mate, or with an
+    EARLIER batch cell-mate (lower id — the upper-triangular rule
+    applied batch-internally, so double-submissions inside one batch
+    also dedup).
+
+    Per cell the Arrow block computes one (batch × members) matmul —
+    work is sum(batch_cell × cell_total), never corpus², and the
+    corpus side arrives pre-assigned in a deployed pipeline (the
+    assignment is derivable state; here it's recomputed from the
+    same fixed centroids, which is the same contract).
+
+    Returns ``(id, cell, admitted boolean)`` for the batch rows.
+    """
+    import numpy as np
+    import pandas as pd
+
+    b = _assign_cells(
+        batch, centroids, id_col, vec_col, cent_id_col, cent_vec_col
+    ).withColumn("_is_batch", F.lit(True))
+    c = _assign_cells(
+        corpus, centroids, id_col, vec_col, cent_id_col, cent_vec_col
+    ).withColumn("_is_batch", F.lit(False))
+    both = b.unionByName(c)
+    id_type = dict(b.dtypes)[id_col]
+
+    def block(pdf: pd.DataFrame) -> pd.DataFrame:
+        isb = pdf["_is_batch"].to_numpy()
+        ids = pdf[id_col].to_numpy()
+        mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+        bsel = np.nonzero(isb)[0]
+        if len(bsel) == 0:
+            return pd.DataFrame(
+                {id_col: ids[:0], "cell": pdf["cell"].to_numpy()[:0],
+                 "admitted": np.zeros(0, dtype=bool)}
+            )
+        order = np.argsort(ids[bsel])
+        bidx = bsel[order]
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        bmat = mat[bidx]
+        cos = np.round(
+            (bmat @ mat.T) / np.outer(norms[bidx], norms), 4
+        )
+        admitted = []
+        for r, i in enumerate(bidx):
+            corpus_hit = bool(
+                (cos[r][~isb] >= threshold).any()
+            )
+            earlier = ids[bidx[:r]]  # batch mates with lower id
+            batch_hit = bool(
+                (cos[r][bidx[:r]][earlier < ids[i]] >= threshold).any()
+            )
+            admitted.append(not (corpus_hit or batch_hit))
+        return pd.DataFrame({
+            id_col: ids[bidx],
+            "cell": pdf["cell"].to_numpy()[bidx],
+            "admitted": np.array(admitted, dtype=bool),
+        })
+
+    return both.select("cell", id_col, vec_col, "_is_batch").groupBy(
+        "cell"
+    ).applyInPandas(block, f"{id_col} {id_type}, cell long, admitted boolean")

@@ -2950,6 +2950,59 @@ def semantic_dedup_keep(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "incremental_semantic_admission",
+    """WITH c AS (SELECT vec_id AS cent_id, embedding AS cv
+                  FROM embeddings WHERE vec_id < 8),
+       ball AS (SELECT vec_id, embedding, vec_id % 10 = 0 AS is_batch
+                FROM embeddings),
+       s AS (SELECT e.vec_id, c.cent_id,
+                    list_dot_product(e.embedding, c.cv) /
+                      (sqrt(list_dot_product(e.embedding, e.embedding)) *
+                       sqrt(list_dot_product(c.cv, c.cv))) AS cos
+             FROM ball e CROSS JOIN c),
+       asg AS (SELECT vec_id, cent_id AS cell
+               FROM (SELECT vec_id, cent_id,
+                            ROW_NUMBER() OVER (PARTITION BY vec_id
+                                               ORDER BY cos DESC,
+                                                        cent_id ASC) AS rn
+                     FROM s) r WHERE rn = 1),
+       v AS (SELECT b.vec_id, a.cell, b.embedding, b.is_batch
+             FROM asg a JOIN ball b USING (vec_id)),
+       rej AS (SELECT DISTINCT y.vec_id
+               FROM v x JOIN v y
+                 ON x.cell = y.cell AND y.is_batch
+                AND (NOT x.is_batch OR x.vec_id < y.vec_id)
+                AND x.vec_id <> y.vec_id
+               WHERE ROUND(list_dot_product(x.embedding, y.embedding) /
+                       (sqrt(list_dot_product(x.embedding, x.embedding)) *
+                        sqrt(list_dot_product(y.embedding, y.embedding))),
+                       4) >= 0.45)
+       SELECT v.vec_id, v.cell,
+              rej.vec_id IS NULL AS admitted
+       FROM v LEFT JOIN rej ON v.vec_id = rej.vec_id
+       WHERE v.is_batch""",
+)
+def incremental_semantic_admission_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Semantic dedup for the continuously-ingesting pipeline
+    (operators/similarity.py incremental_semantic_admission — the
+    embedding-cells sibling of incremental_near_dup_admission): a new
+    batch (vec_id % 10 = 0) admits against the standing corpus under
+    a FIXED quantizer (seed centroids vec_id < 8 — external state in
+    a deployed pipeline). Per cell one (batch × members) Arrow
+    matmul: work is batch-proportional, never corpus². Oracle is the
+    whole algorithm in SQL."""
+    e = t(spark, sf, "embeddings")
+    batch = e.filter(F.col("vec_id") % 10 == 0)
+    corpus = e.filter(F.col("vec_id") % 10 != 0)
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv")
+    )
+    return similarity.incremental_semantic_admission(
+        batch, corpus, cents, threshold=0.45
+    )
+
+
+@q(
     "top_terms_per_lang",
     """SELECT lang, term, n
        FROM (SELECT lang, term, n,

@@ -671,3 +671,50 @@ def test_wav_window_energy_exact_and_tolerant(spark):
     assert set(got) == {(1, 0), (1, 1)}  # partial window dropped
     assert got[(1, 0)] == (100.0, 8000)
     assert got[(1, 1)] == (math.sqrt(4 * 200 * 200 / 4.0), 8000)
+
+
+def test_incremental_semantic_admission_planted(spark):
+    """Batch vector near a corpus cell-mate is rejected; near only an
+    EARLIER batch mate is rejected; novel batch vectors admit; a
+    later batch duplicate of an admitted batch vector is rejected."""
+    import math
+
+    from google_sheets_etl_spark.operators.similarity import (
+        incremental_semantic_admission,
+    )
+
+    def unit(deg, axis=0):
+        r = math.radians(deg)
+        v = [0.0] * 4
+        v[axis] = math.cos(r)
+        v[axis + 1] = math.sin(r)
+        return v
+
+    cents = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0]), (200, [0.0, 0.0, 1.0, 0.0])],
+        "cent_id long, cv array<double>",
+    )
+    corpus = spark.createDataFrame(
+        [(1, unit(0))], "vec_id long, embedding array<double>"
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, unit(10)),          # near corpus 1 -> rejected
+            (11, unit(80)),          # novel in cell 100 -> admitted
+            (12, unit(80)),          # dup of EARLIER batch 11 -> rejected
+            (13, unit(5, axis=2)),   # novel cell 200 -> admitted
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: (r["cell"], r["admitted"])
+        for r in incremental_semantic_admission(
+            batch, corpus, cents, threshold=0.7
+        ).collect()
+    }
+    assert got == {
+        10: (100, False),
+        11: (100, True),
+        12: (100, False),
+        13: (200, True),
+    }
