@@ -89,11 +89,25 @@ def profile_cast_stats(df: DataFrame, columns: list[str] | None = None) -> DataF
     # parses land here too: the midnight-strict date probe needs both
     # and the timestamp probe reuses the same parse.
     proj = []
+    lead = "('0','1','2','3','4','5','6','7','8','9','+','-')"
     for i, c in enumerate(cols):
         v = F.nullif(F.trim(F.col(_quoted(c)).cast("string")), F.lit(""))
+        vsql = f"nullif(trim(cast({_quoted(c)} AS string)), '')"
         proj.append(v.alias(f"_c{i}"))
-        proj.append(F.expr(f"try_cast(nullif(trim(cast({_quoted(c)} AS string)), '') AS date)").alias(f"_d{i}"))
-        proj.append(F.expr(f"try_cast(nullif(trim(cast({_quoted(c)} AS string)), '') AS timestamp)").alias(f"_t{i}"))
+        # the date/timestamp parses are the profile's priciest probes;
+        # gate them on a digit/sign lead character. Every temporal
+        # string Spark accepts starts with the (optionally signed)
+        # year or a time digit — EXCEPT the relative special strings
+        # ('now', 'today', 'epoch', ...), which are DELIBERATELY not
+        # type evidence here: a column of 'now's typing as timestamp
+        # would make the view non-deterministic.
+        for alias, t in ((f"_d{i}", "date"), (f"_t{i}", "timestamp")):
+            proj.append(
+                F.expr(
+                    f"CASE WHEN substring({vsql}, 1, 1) IN {lead} "
+                    f"THEN try_cast({vsql} AS {t}) END"
+                ).alias(alias)
+            )
     safe = df.select(*proj)
     aggs = []
     for i in range(len(cols)):

@@ -4001,7 +4001,9 @@ _VARCHAR_WAREHOUSE_SQL = """
 # The timestamp twin covers this fixture's shapes (ISO datetimes,
 # date-only, bare years); Spark additionally accepts bare times and
 # missing-seconds forms DuckDB rejects — keep those out of oracle
-# fixtures.
+# fixtures. Both engines gate temporal probes on a digit/sign lead
+# character (the operator's documented exclusion of Spark's relative
+# special strings like 'now').
 _SPARK_BOOL_SQL = (
     "lower(trim({v})) IN "
     "('t','true','y','yes','1','f','false','n','no','0')"
@@ -4035,6 +4037,7 @@ _SPARK_BIGINT_SQL = (
                            THEN 1 END) AS n_bigint,
                 COUNT(TRY_CAST(NULLIF(trim(v), '') AS DOUBLE)) AS n_double,
                 COUNT(CASE WHEN NULLIF(trim(v), '') IS NOT NULL
+                            AND substr(trim(v), 1, 1) SIMILAR TO '[0-9+-]'
                             AND ((TRY_CAST(trim(v) AS DATE) IS NOT NULL
                                   AND TRY_CAST(trim(v) AS TIMESTAMP) =
                                       CAST(TRY_CAST(trim(v) AS DATE)
@@ -4042,6 +4045,7 @@ _SPARK_BIGINT_SQL = (
                                  OR regexp_matches(trim(v), '^[0-9]{{4,7}}$'))
                            THEN 1 END) AS n_date,
                 COUNT(CASE WHEN NULLIF(trim(v), '') IS NOT NULL
+                            AND substr(trim(v), 1, 1) SIMILAR TO '[0-9+-]'
                             AND (TRY_CAST(trim(v) AS TIMESTAMP) IS NOT NULL
                                  OR regexp_matches(trim(v), '^[0-9]{{4,7}}$'))
                            THEN 1 END) AS n_timestamp
