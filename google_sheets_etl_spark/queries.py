@@ -4951,6 +4951,10 @@ def bpe_tokenize_stats(spark: SparkSession, sf: str) -> DataFrame:
         )
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
+        # materialized once: the vocabulary feeds BOTH the trainer
+        # and the apply step — without this the corpus re-scans and
+        # the word aggregation re-shuffles for the second consumer
+        .localCheckpoint(eager=True)
     )
     merge_rows = (
         text_ops.bpe_learn_merges(wf, n_merges=5)
@@ -5008,6 +5012,10 @@ def bpe_doc_token_counts(spark: SparkSession, sf: str) -> DataFrame:
         )
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
+        # materialized once: the vocabulary feeds BOTH the trainer
+        # and the apply step — without this the corpus re-scans and
+        # the word aggregation re-shuffles for the second consumer
+        .localCheckpoint(eager=True)
     )
     merge_rows = (
         text_ops.bpe_learn_merges(wf, n_merges=5)
