@@ -1,0 +1,86 @@
+"""Continuously-ingesting SEMANTIC ADMISSION: the batch operator
+``similarity.incremental_semantic_admission`` driven per micro-batch,
+with the admitted corpus itself as the accumulating state.
+
+The deployed shape for "dedup the firehose against everything ever
+admitted": each micro-batch of new embeddings is assigned to the
+FIXED quantizer's cells and compared only against admitted corpus
+cell-mates (plus earlier batch-mates); survivors append to the corpus
+table, which the NEXT batch then sees. Batch-proportional work per
+trigger, never corpus² — and the corpus table doubles as the
+admission log.
+
+Exactly-once caveat, documented honestly: the corpus append commits
+AFTER the micro-batch's computation; a crash between the parquet
+append and the checkpoint commit re-runs the batch, and re-admitted
+rows would duplicate in the corpus. The admission math is
+self-healing (a replayed row is rejected by its own earlier copy once
+the append landed; if the append did NOT land, the replay re-admits
+identically — same decision, deterministic), so the corpus converges
+to the same admitted SET; duplicate physical rows from the
+append-then-crash window are removed by the idempotent
+``dropDuplicates`` on the admission id before each batch's
+comparison. This is the foreachBatch at-least-once contract made
+harmless by deterministic decisions + an idempotent read.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+from ..operators.similarity import incremental_semantic_admission
+
+
+def admit_stream(
+    stream_df: DataFrame,
+    corpus_path: str,
+    centroids: DataFrame,
+    checkpoint: str,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    trigger: dict | None = None,
+):
+    """Attach semantic admission to a streaming DataFrame of
+    ``(id_col, vec_col)`` rows. Admitted rows (id, cell, embedding)
+    append to ``corpus_path``; returns the started StreamingQuery."""
+    spark = stream_df.sparkSession
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        if os.path.isdir(corpus_path) and any(
+            f.endswith(".parquet") for f in os.listdir(corpus_path)
+        ):
+            corpus = (
+                spark.read.parquet(corpus_path)
+                .select(id_col, vec_col)
+                .dropDuplicates([id_col])  # append-then-crash healing
+            )
+        else:
+            corpus = spark.createDataFrame(
+                [], f"{id_col} long, {vec_col} array<double>"
+            )
+        verdicts = incremental_semantic_admission(
+            batch.select(id_col, vec_col),
+            corpus,
+            centroids,
+            threshold=threshold,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        admitted = (
+            verdicts.filter("admitted")
+            .select(id_col, "cell")
+            .join(batch.select(id_col, vec_col), id_col)
+        )
+        admitted.write.mode("append").parquet(corpus_path)
+
+    return (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )

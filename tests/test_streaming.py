@@ -423,3 +423,54 @@ def test_stream_etl_failed_load_fails_batch_then_retries(spark, tmp_path):
     assert calls["n"] >= 2
     got = [r["name"] for r in engine.target("flaky_tgt").read().collect()]
     assert got == ["alice"]
+
+
+def test_admission_stream_dedups_across_micro_batches(spark, tmp_path):
+    """Continuous semantic admission: the admitted corpus is the
+    accumulating state — a vector admitted in drain 1 rejects its
+    near-duplicate in drain 2; novel vectors keep admitting."""
+    import json as _json
+    import math
+
+    from google_sheets_etl_spark.streaming.admission_stream import (
+        admit_stream,
+    )
+
+    def unit(deg, axis=0):
+        r = math.radians(deg)
+        v = [0.0] * 4
+        v[axis] = math.cos(r)
+        v[axis + 1] = math.sin(r)
+        return v
+
+    cents = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0]), (200, [0.0, 0.0, 1.0, 0.0])],
+        "cent_id long, cv array<double>",
+    )
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    corpus = str(tmp_path / "admitted")
+    ckpt = str(tmp_path / "adm_ck")
+
+    def drain(rows, name):
+        with open(feed / name, "w") as f:
+            for vid, vec in rows:
+                f.write(_json.dumps({"vec_id": vid, "embedding": vec}) + "\n")
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<double>")
+            .json(str(feed))
+        )
+        admit_stream(stream, corpus, cents, ckpt, threshold=0.7
+                     ).awaitTermination()
+
+    # drain 1: novel (1), internal dup of 1 (2), novel other cell (3)
+    drain([(1, unit(0)), (2, unit(5)), (3, unit(0, axis=2))], "b1.json")
+    got1 = {r["vec_id"] for r in spark.read.parquet(corpus).collect()}
+    assert got1 == {1, 3}
+
+    # drain 2: near-dup of ADMITTED 1 (10), novel (11)
+    drain([(10, unit(8)), (11, unit(80))], "b2.json")
+    rows = spark.read.parquet(corpus).collect()
+    got2 = {r["vec_id"]: r["cell"] for r in rows}
+    assert set(got2) == {1, 3, 11}
+    assert got2[11] == 100  # 80deg still nearest axis-0 centroid
