@@ -409,6 +409,11 @@ def parse_wav_pcm16(payload: bytes) -> tuple[int, "object"]:
         (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:
+                # struct.error is NOT a ValueError — raise the
+                # contract's exception type so lenient callers
+                # (wav_window_energy) can skip the payload
+                raise ValueError("truncated fmt chunk")
             fmt = struct.unpack("<HHIIHH", body[:16])
         elif cid == b"data":
             data = body

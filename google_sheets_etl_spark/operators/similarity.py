@@ -768,6 +768,7 @@ def incremental_semantic_admission(
     vec_col: str = "embedding",
     cent_id_col: str = "cent_id",
     cent_vec_col: str = "cv",
+    corpus_preassigned: bool = False,
 ) -> DataFrame:
     """SemDeDup for the continuously-ingesting pipeline (the
     embedding sibling of ``incremental_near_dup_admission``): admit a
@@ -780,10 +781,12 @@ def incremental_semantic_admission(
     also dedup).
 
     Per cell the Arrow block computes one (batch × members) matmul —
-    work is sum(batch_cell × cell_total), never corpus², and the
-    corpus side arrives pre-assigned in a deployed pipeline (the
-    assignment is derivable state; here it's recomputed from the
-    same fixed centroids, which is the same contract).
+    work is sum(batch_cell × cell_total), never corpus². With
+    ``corpus_preassigned`` the corpus arrives ALREADY carrying its
+    ``cell`` column (the deployed pipeline persists assignments next
+    to the quantizer — ``streaming.admission_stream`` does), so the
+    standing corpus pays NO per-trigger re-scoring and no argmax
+    window shuffle; only the batch is assigned fresh.
 
     Returns ``(id, cell, admitted boolean)`` for the batch rows.
     """
@@ -793,22 +796,27 @@ def incremental_semantic_admission(
     b = _assign_cells(
         batch, centroids, id_col, vec_col, cent_id_col, cent_vec_col
     ).withColumn("_is_batch", F.lit(True))
-    c = _assign_cells(
-        corpus, centroids, id_col, vec_col, cent_id_col, cent_vec_col
-    ).withColumn("_is_batch", F.lit(False))
+    if corpus_preassigned:
+        c = corpus.select("cell", id_col, vec_col).withColumn(
+            "_is_batch", F.lit(False)
+        )
+    else:
+        c = _assign_cells(
+            corpus, centroids, id_col, vec_col, cent_id_col, cent_vec_col
+        ).withColumn("_is_batch", F.lit(False))
     both = b.unionByName(c)
     id_type = dict(b.dtypes)[id_col]
 
     def block(pdf: pd.DataFrame) -> pd.DataFrame:
         isb = pdf["_is_batch"].to_numpy()
         ids = pdf[id_col].to_numpy()
-        mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
         bsel = np.nonzero(isb)[0]
         if len(bsel) == 0:
             return pd.DataFrame(
                 {id_col: ids[:0], "cell": pdf["cell"].to_numpy()[:0],
                  "admitted": np.zeros(0, dtype=bool)}
             )
+        mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
         order = np.argsort(ids[bsel])
         bidx = bsel[order]
         norms = np.sqrt((mat * mat).sum(axis=1))
@@ -816,20 +824,19 @@ def incremental_semantic_admission(
         cos = np.round(
             (bmat @ mat.T) / np.outer(norms[bidx], norms), 4
         )
-        admitted = []
-        for r, i in enumerate(bidx):
-            corpus_hit = bool(
-                (cos[r][~isb] >= threshold).any()
-            )
-            earlier = ids[bidx[:r]]  # batch mates with lower id
-            batch_hit = bool(
-                (cos[r][bidx[:r]][earlier < ids[i]] >= threshold).any()
-            )
-            admitted.append(not (corpus_hit or batch_hit))
+        hits = cos >= threshold
+        corp = ~isb
+        corpus_hit = hits[:, corp].any(axis=1)
+        # batch-internal upper-triangular rule, vectorized: columns
+        # reordered to the id-sorted batch positions; row r may only
+        # be rejected by columns < r (strictly earlier ids)
+        bb = hits[:, bidx]
+        tri = np.tri(len(bidx), k=-1, dtype=bool)
+        batch_hit = (bb & tri).any(axis=1)
         return pd.DataFrame({
             id_col: ids[bidx],
             "cell": pdf["cell"].to_numpy()[bidx],
-            "admitted": np.array(admitted, dtype=bool),
+            "admitted": ~(corpus_hit | batch_hit),
         })
 
     return both.select("cell", id_col, vec_col, "_is_batch").groupBy(

@@ -88,27 +88,35 @@ def profile_cast_stats(df: DataFrame, columns: list[str] | None = None) -> DataF
     # the projection cuts the string work 5x). The date and timestamp
     # parses land here too: the midnight-strict date probe needs both
     # and the timestamp probe reuses the same parse.
-    proj = []
     lead = "('0','1','2','3','4','5','6','7','8','9','+','-')"
-    for i, c in enumerate(cols):
-        v = F.nullif(F.trim(F.col(_quoted(c)).cast("string")), F.lit(""))
-        vsql = f"nullif(trim(cast({_quoted(c)} AS string)), '')"
-        proj.append(v.alias(f"_c{i}"))
-        # the date/timestamp parses are the profile's priciest probes;
-        # gate them on a digit/sign lead character. Every temporal
-        # string Spark accepts starts with the (optionally signed)
-        # year or a time digit — EXCEPT the relative special strings
-        # ('now', 'today', 'epoch', ...), which are DELIBERATELY not
-        # type evidence here: a column of 'now's typing as timestamp
-        # would make the view non-deterministic.
+    normalized = df.select(
+        *[
+            F.nullif(
+                F.trim(F.col(_quoted(c)).cast("string")), F.lit("")
+            ).alias(f"_c{i}")
+            for i, c in enumerate(cols)
+        ]
+    )
+    # SECOND select so the temporal probes reference the
+    # already-computed _c{i} — inlining the normalization into each
+    # CASE re-introduces 5 trims per column (conditional branches
+    # are not reliably CSE'd), the measured 5x regression.
+    # The probes themselves are gated on a digit/sign lead character:
+    # every temporal string Spark accepts starts with the (optionally
+    # signed) year or a time digit — EXCEPT the relative special
+    # strings ('now', 'today', 'epoch', ...), which are DELIBERATELY
+    # not type evidence here: a column of 'now's typing as timestamp
+    # would make the view non-deterministic.
+    temporal = []
+    for i in range(len(cols)):
         for alias, t in ((f"_d{i}", "date"), (f"_t{i}", "timestamp")):
-            proj.append(
+            temporal.append(
                 F.expr(
-                    f"CASE WHEN substring({vsql}, 1, 1) IN {lead} "
-                    f"THEN try_cast({vsql} AS {t}) END"
+                    f"CASE WHEN substring(_c{i}, 1, 1) IN {lead} "
+                    f"THEN try_cast(_c{i} AS {t}) END"
                 ).alias(alias)
             )
-    safe = df.select(*proj)
+    safe = normalized.select("*", *temporal)
     aggs = []
     for i in range(len(cols)):
         aggs.append(F.expr(f"count(_c{i})").alias(f"n_{i}"))

@@ -4913,6 +4913,33 @@ def _bpe_learn_oracle(k: int) -> str:
     return "WITH " + ",\n       ".join(ctes) + "\n       " + unions
 
 
+def _bpe_corpus_merges(spark: SparkSession, sf: str, k: int = 5):
+    """Shared vocabulary-build + merge-training front half of the BPE
+    queries: ONE definition so the tokenize/doc-count consumers can
+    never diverge from the learn oracle's contract. Returns
+    (wf, merges): the materialized word-frequency table (it feeds
+    both the trainer and the apply step — localCheckpoint stops the
+    corpus re-scanning for the second consumer) and the learned
+    merge list in rank order."""
+    docs = t(spark, sf, "documents")
+    wf = (
+        docs.select(F.explode(words_of(F.col("text"))).alias("word"))
+        .filter(
+            (F.length("word") >= 2)
+            & F.col("word").rlike("^[A-Za-z0-9]+$")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .localCheckpoint(eager=True)
+    )
+    merge_rows = (
+        text_ops.bpe_learn_merges(wf, n_merges=k)
+        .orderBy("merge_rank")
+        .collect()
+    )
+    return wf, [(r["left_sym"], r["right_sym"]) for r in merge_rows]
+
+
 def _bpe_tokenize_oracle(k: int) -> str:
     """Twin of learn-then-apply: the learn oracle's seg{k} CTE IS the
     applied segmentation (training leaves the vocabulary segmented
@@ -4942,26 +4969,7 @@ def bpe_tokenize_stats(spark: SparkSession, sf: str) -> DataFrame:
     compressed). The twin reads the same accounting off the unrolled
     learn oracle's final segmentation, certifying that apply-from-
     scratch equals the state training left behind."""
-    docs = t(spark, sf, "documents")
-    wf = (
-        docs.select(F.explode(words_of(F.col("text"))).alias("word"))
-        .filter(
-            (F.length("word") >= 2)
-            & F.col("word").rlike("^[A-Za-z0-9]+$")
-        )
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("freq"))
-        # materialized once: the vocabulary feeds BOTH the trainer
-        # and the apply step — without this the corpus re-scans and
-        # the word aggregation re-shuffles for the second consumer
-        .localCheckpoint(eager=True)
-    )
-    merge_rows = (
-        text_ops.bpe_learn_merges(wf, n_merges=5)
-        .orderBy("merge_rank")
-        .collect()
-    )
-    merges = [(r["left_sym"], r["right_sym"]) for r in merge_rows]
+    wf, merges = _bpe_corpus_merges(spark, sf, k=5)
     seg = text_ops.bpe_apply_merges(wf, merges)
     return seg.agg(
         F.count(F.lit(1)).alias("n_words"),
@@ -5003,30 +5011,11 @@ def bpe_doc_token_counts(spark: SparkSession, sf: str) -> DataFrame:
     outside the trainable vocabulary (single-char / non-alphanumeric)
     count 1 token each, documented. One uniform-key join on the word
     string; the vocabulary is segmented once, never per occurrence."""
-    docs = t(spark, sf, "documents")
-    wf = (
-        docs.select(F.explode(words_of(F.col("text"))).alias("word"))
-        .filter(
-            (F.length("word") >= 2)
-            & F.col("word").rlike("^[A-Za-z0-9]+$")
-        )
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("freq"))
-        # materialized once: the vocabulary feeds BOTH the trainer
-        # and the apply step — without this the corpus re-scans and
-        # the word aggregation re-shuffles for the second consumer
-        .localCheckpoint(eager=True)
-    )
-    merge_rows = (
-        text_ops.bpe_learn_merges(wf, n_merges=5)
-        .orderBy("merge_rank")
-        .collect()
-    )
-    merges = [(r["left_sym"], r["right_sym"]) for r in merge_rows]
+    wf, merges = _bpe_corpus_merges(spark, sf, k=5)
     vt = text_ops.bpe_apply_merges(wf, merges).select(
         "word", F.col("n_tokens").cast("long").alias("n_tok")
     )
-    dw = docs.select(
+    dw = t(spark, sf, "documents").select(
         "doc_id", F.explode(words_of(F.col("text"))).alias("word")
     )
     return (

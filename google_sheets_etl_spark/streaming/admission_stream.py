@@ -26,8 +26,6 @@ harmless by deterministic decisions + an idempotent read.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame
 
 from ..operators.similarity import incremental_semantic_admission
@@ -51,17 +49,24 @@ def admit_stream(
     def _apply(batch: DataFrame, batch_id: int) -> None:
         if not batch.head(1):
             return
-        if os.path.isdir(corpus_path) and any(
-            f.endswith(".parquet") for f in os.listdir(corpus_path)
-        ):
+        # probe THROUGH the Spark reader, never driver-local os.path:
+        # corpus_path may be s3://, hdfs://, abfss:// — a local-fs
+        # probe would silently treat every remote corpus as empty and
+        # cross-batch dedup would never happen
+        try:
             corpus = (
                 spark.read.parquet(corpus_path)
-                .select(id_col, vec_col)
+                .select("cell", id_col, vec_col)
                 .dropDuplicates([id_col])  # append-then-crash healing
             )
-        else:
-            corpus = spark.createDataFrame(
-                [], f"{id_col} long, {vec_col} array<double>"
+        except Exception:  # first trigger: path does not exist yet
+            from pyspark.sql import functions as F
+
+            corpus = (
+                batch.select(id_col, vec_col)
+                .withColumn("cell", F.lit(None).cast("long"))
+                .select("cell", id_col, vec_col)
+                .limit(0)
             )
         verdicts = incremental_semantic_admission(
             batch.select(id_col, vec_col),
@@ -70,11 +75,16 @@ def admit_stream(
             threshold=threshold,
             id_col=id_col,
             vec_col=vec_col,
+            # admitted rows persist WITH their cell: the standing
+            # corpus is never re-scored per trigger — work stays
+            # batch-proportional as the corpus grows
+            corpus_preassigned=True,
         )
         admitted = (
             verdicts.filter("admitted")
             .select(id_col, "cell")
             .join(batch.select(id_col, vec_col), id_col)
+            .select("cell", id_col, vec_col)
         )
         admitted.write.mode("append").parquet(corpus_path)
 
