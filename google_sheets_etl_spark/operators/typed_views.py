@@ -60,6 +60,14 @@ from pyspark.sql import functions as F
 # candidate types, most specific first; 'string' is the implicit floor
 CANDIDATES = ("boolean", "bigint", "double", "date", "timestamp")
 
+# Locale-formatted date patterns probed AFTER the base candidates —
+# the sheets reality: spreadsheet date columns are rarely ISO. A
+# format wins a column only when EVERY non-blank value parses under
+# it (Spark's strict non-legacy parser: zero-padded fields only); the
+# decided type is recorded as ``date[<fmt>]`` and the view applies
+# ``try_to_timestamp(v, fmt)`` cast to date. Order is precedence.
+DATE_FORMATS = ("MM/dd/yyyy", "dd.MM.yyyy")
+
 
 def _quoted(name: str) -> str:
     return "`" + name.replace("`", "``") + "`"
@@ -120,6 +128,16 @@ def profile_cast_stats(df: DataFrame, columns: list[str] | None = None) -> DataF
     aggs = []
     for i in range(len(cols)):
         aggs.append(F.expr(f"count(_c{i})").alias(f"n_{i}"))
+        for j, fmt in enumerate(DATE_FORMATS):
+            # formatted-date probes ride the same digit/sign gate;
+            # failures are NULL (try_to_timestamp), counted like any
+            # other candidate
+            aggs.append(
+                F.expr(
+                    f"count(CASE WHEN substring(_c{i}, 1, 1) IN {lead} "
+                    f"THEN try_to_timestamp(_c{i}, '{fmt}') END)"
+                ).alias(f"fmt{j}_{i}")
+            )
         for t in CANDIDATES:
             if t == "boolean":
                 # EXACTLY Spark's string→boolean token set, as a
@@ -150,6 +168,11 @@ def profile_cast_stats(df: DataFrame, columns: list[str] | None = None) -> DataF
             F.lit(c).alias("column_name"),
             F.col(f"n_{i}").alias("n_values"),
             *[F.col(f"{t}_{i}").alias(f"n_{t}") for t in CANDIDATES],
+            # format counts feed only the decision, not the output
+            *[
+                F.col(f"fmt{j}_{i}").alias(f"_f{j}")
+                for j in range(len(DATE_FORMATS))
+            ],
         )
         for i, c in enumerate(cols)
     ]
@@ -159,7 +182,13 @@ def profile_cast_stats(df: DataFrame, columns: list[str] | None = None) -> DataF
         decided = decided.when(
             F.col(f"n_{t}") == F.col("n_values"), F.lit(t)
         )
-    return long.withColumn("decided_type", decided.otherwise(F.lit("string")))
+    for j, fmt in enumerate(DATE_FORMATS):
+        decided = decided.when(
+            F.col(f"_f{j}") == F.col("n_values"), F.lit(f"date[{fmt}]")
+        )
+    return long.withColumn(
+        "decided_type", decided.otherwise(F.lit("string"))
+    ).drop(*[f"_f{j}" for j in range(len(DATE_FORMATS))])
 
 
 def decide_types(df: DataFrame, columns: list[str] | None = None) -> dict[str, str]:
@@ -181,6 +210,16 @@ def typed_view(df: DataFrame, types: dict[str, str]) -> DataFrame:
         src = F.col(_quoted(c))
         if t == "string":
             out.append(src.alias(c))
+        elif t.startswith("date[") and t.endswith("]"):
+            fmt = t[len("date["):-1]
+            if "'" in fmt or "\\" in fmt:
+                raise ValueError(f"unsupported date format: {fmt!r}")
+            out.append(
+                F.expr(
+                    f"CAST(try_to_timestamp(nullif(trim({_quoted(c)}), "
+                    f"''), '{fmt}') AS date)"
+                ).alias(c)
+            )
         else:
             out.append(
                 F.expr(

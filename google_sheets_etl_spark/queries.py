@@ -3956,6 +3956,7 @@ def _varchar_warehouse(spark: SparkSession, sf: str) -> DataFrame:
             F.lpad((F.col("o_orderkey") % 24).cast("string"), 2, "0"),
             F.lit(":30:05"),
         ).alias("order_ts"),
+        F.date_format(F.col("o_orderdate"), "MM/dd/yyyy").alias("us_date"),
         F.when(F.col("o_orderstatus") == "F", "true")
         .when(F.col("o_orderstatus") == "O", "false")
         .otherwise("yes")
@@ -3981,6 +3982,7 @@ _VARCHAR_WAREHOUSE_SQL = """
          substr(CAST(o_orderdate AS VARCHAR), 1, 10) || ' ' ||
            lpad(CAST(o_orderkey % 24 AS VARCHAR), 2, '0') || ':30:05'
            AS order_ts,
+         strftime(o_orderdate, '%m/%d/%Y') AS us_date,
          CASE WHEN o_orderstatus = 'F' THEN 'true'
               WHEN o_orderstatus = 'O' THEN 'false'
               ELSE 'yes' END AS status_flag,
@@ -4022,6 +4024,7 @@ _SPARK_BIGINT_SQL = (
          UNION ALL SELECT 'total_price', total_price FROM wh
          UNION ALL SELECT 'order_date', order_date FROM wh
          UNION ALL SELECT 'order_ts', order_ts FROM wh
+         UNION ALL SELECT 'us_date', us_date FROM wh
          UNION ALL SELECT 'status_flag', status_flag FROM wh
          UNION ALL SELECT 'mixed_id', mixed_id FROM wh
          UNION ALL SELECT 'padded_cust', padded_cust FROM wh
@@ -4048,7 +4051,17 @@ _SPARK_BIGINT_SQL = (
                             AND substr(trim(v), 1, 1) SIMILAR TO '[0-9+-]'
                             AND (TRY_CAST(trim(v) AS TIMESTAMP) IS NOT NULL
                                  OR regexp_matches(trim(v), '^[0-9]{{4,7}}$'))
-                           THEN 1 END) AS n_timestamp
+                           THEN 1 END) AS n_timestamp,
+                COUNT(CASE WHEN
+                        regexp_matches(trim(v),
+                                       '^[0-9]{{2}}/[0-9]{{2}}/[0-9]{{4}}$')
+                        AND try_strptime(trim(v), '%m/%d/%Y') IS NOT NULL
+                      THEN 1 END) AS n_us,
+                COUNT(CASE WHEN
+                        regexp_matches(trim(v),
+                                       '^[0-9]{{2}}\.[0-9]{{2}}\.[0-9]{{4}}$')
+                        AND try_strptime(trim(v), '%d.%m.%Y') IS NOT NULL
+                      THEN 1 END) AS n_eu
          FROM u GROUP BY column_name)
        SELECT column_name, n_values, n_boolean, n_bigint, n_double, n_date,
               n_timestamp,
@@ -4058,6 +4071,8 @@ _SPARK_BIGINT_SQL = (
                    WHEN n_double = n_values THEN 'double'
                    WHEN n_date = n_values THEN 'date'
                    WHEN n_timestamp = n_values THEN 'timestamp'
+                   WHEN n_us = n_values THEN 'date[MM/dd/yyyy]'
+                   WHEN n_eu = n_values THEN 'date[dd.MM.yyyy]'
                    ELSE 'string' END AS decided_type
        FROM c""",
 )
@@ -4083,6 +4098,10 @@ def typed_view_cast_stats(spark: SparkSession, sf: str) -> DataFrame:
                   AS total_price,
                 TRY_CAST(NULLIF(trim(order_date), '') AS DATE) AS order_date,
                 TRY_CAST(NULLIF(trim(order_ts), '') AS TIMESTAMP) AS order_ts,
+                CASE WHEN regexp_matches(trim(us_date),
+                            '^[0-9]{{2}}/[0-9]{{2}}/[0-9]{{4}}$')
+                     THEN CAST(try_strptime(trim(us_date), '%m/%d/%Y')
+                               AS DATE) END AS us_date,
                 CASE WHEN lower(trim(status_flag)) IN ('t','true','y','yes','1')
                        THEN TRUE
                      WHEN lower(trim(status_flag)) IN ('f','false','n','no','0')
@@ -4099,6 +4118,7 @@ def typed_view_cast_stats(spark: SparkSession, sf: str) -> DataFrame:
               MIN(order_date) AS min_date,
               MAX(order_date) AS max_date,
               MAX(order_ts) AS max_ts,
+              MAX(us_date) AS max_us_date,
               COUNT(CASE WHEN status_flag THEN 1 END) AS n_true,
               COUNT(DISTINCT padded_cust) AS n_cust,
               COUNT(all_blank) AS n_blank_vals
@@ -4125,6 +4145,7 @@ def typed_view_apply(spark: SparkSession, sf: str) -> DataFrame:
         F.min("order_date").alias("min_date"),
         F.max("order_date").alias("max_date"),
         F.max("order_ts").alias("max_ts"),
+        F.max("us_date").alias("max_us_date"),
         F.count(F.when(F.col("status_flag"), 1)).alias("n_true"),
         F.countDistinct("padded_cust").alias("n_cust"),
         F.count("all_blank").alias("n_blank_vals"),

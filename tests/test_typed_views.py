@@ -183,3 +183,34 @@ def test_timestamp_candidate_midnight_strict_date(spark):
     }
     got = {r["dt"].isoformat() for r in out.collect()}
     assert got == {"2026-01-02T14:30:05", "2026-01-03T09:00:00"}
+
+
+def test_locale_date_format_inference(spark):
+    """The sheets reality: a zero-padded MM/dd/yyyy column types as
+    date[MM/dd/yyyy] and the view parses it to real dates; dotted
+    European dates likewise; mixed formats fall back to string; the
+    strict parser rejects unpadded forms."""
+    import datetime
+
+    df = _wh(
+        spark,
+        [
+            ("02/28/1996", "28.02.1996", "02/28/1996"),
+            ("12/01/2020", "01.12.2020", "3/4/2020"),  # unpadded!
+        ],
+        "us string, eu string, sloppy string",
+    )
+    types = typed_views.decide_types(df)
+    assert types == {
+        "us": "date[MM/dd/yyyy]",
+        "eu": "date[dd.MM.yyyy]",
+        "sloppy": "string",
+    }
+    out = typed_views.auto_typed_view(df)
+    assert dict(out.dtypes)["us"] == "date"
+    assert dict(out.dtypes)["eu"] == "date"
+    got = {r["us"]: r["eu"] for r in out.collect()}
+    assert got == {
+        datetime.date(1996, 2, 28): datetime.date(1996, 2, 28),
+        datetime.date(2020, 12, 1): datetime.date(2020, 12, 1),
+    }
