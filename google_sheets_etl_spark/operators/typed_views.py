@@ -68,6 +68,25 @@ CANDIDATES = ("boolean", "bigint", "double", "date", "timestamp")
 # ``try_to_timestamp(v, fmt)`` cast to date. Order is precedence.
 DATE_FORMATS = ("MM/dd/yyyy", "dd.MM.yyyy")
 
+# Comma-grouped numbers — the other spreadsheet reality ('1,234,567'
+# / '1,234.56'). Probed after the date formats; a column wins only
+# when EVERY non-blank value matches the strictly-grouped shape
+# (1-3 lead digits, comma-separated 3-digit groups). Decided as
+# ``bigint[grouped]`` / ``double[grouped]``; the view strips the
+# commas behind the same shape gate, so malformed grouping ('12,34')
+# stays NULL instead of silently casting. Plain (ungrouped) numeric
+# columns never reach these: the base bigint/double candidates win
+# first.
+# [.] not \. — these patterns are embedded in SQL string literals,
+# where a lone backslash would be consumed as an escape and '.'
+# would silently match ',' (a malformed '12,34' then typed numeric)
+GROUPED_INT_RE = r"^[+-]?[0-9]{1,3}(,[0-9]{3})*$"
+GROUPED_DBL_RE = r"^[+-]?[0-9]{1,3}(,[0-9]{3})*([.][0-9]+)?$"
+GROUPED_FORMATS = (
+    ("bigint[grouped]", GROUPED_INT_RE, "bigint"),
+    ("double[grouped]", GROUPED_DBL_RE, "double"),
+)
+
 
 def _quoted(name: str) -> str:
     return "`" + name.replace("`", "``") + "`"
@@ -138,6 +157,12 @@ def profile_cast_stats(df: DataFrame, columns: list[str] | None = None) -> DataF
                     f"THEN try_to_timestamp(_c{i}, '{fmt}') END)"
                 ).alias(f"fmt{j}_{i}")
             )
+        for j, (_, pat, _base) in enumerate(GROUPED_FORMATS):
+            aggs.append(
+                F.expr(
+                    f"count(CASE WHEN _c{i} rlike '{pat}' THEN 1 END)"
+                ).alias(f"grp{j}_{i}")
+            )
         for t in CANDIDATES:
             if t == "boolean":
                 # EXACTLY Spark's string→boolean token set, as a
@@ -173,6 +198,10 @@ def profile_cast_stats(df: DataFrame, columns: list[str] | None = None) -> DataF
                 F.col(f"fmt{j}_{i}").alias(f"_f{j}")
                 for j in range(len(DATE_FORMATS))
             ],
+            *[
+                F.col(f"grp{j}_{i}").alias(f"_g{j}")
+                for j in range(len(GROUPED_FORMATS))
+            ],
         )
         for i, c in enumerate(cols)
     ]
@@ -186,9 +215,16 @@ def profile_cast_stats(df: DataFrame, columns: list[str] | None = None) -> DataF
         decided = decided.when(
             F.col(f"_f{j}") == F.col("n_values"), F.lit(f"date[{fmt}]")
         )
+    for j, (name, _, _) in enumerate(GROUPED_FORMATS):
+        decided = decided.when(
+            F.col(f"_g{j}") == F.col("n_values"), F.lit(name)
+        )
     return long.withColumn(
         "decided_type", decided.otherwise(F.lit("string"))
-    ).drop(*[f"_f{j}" for j in range(len(DATE_FORMATS))])
+    ).drop(
+        *[f"_f{j}" for j in range(len(DATE_FORMATS))],
+        *[f"_g{j}" for j in range(len(GROUPED_FORMATS))],
+    )
 
 
 def decide_types(df: DataFrame, columns: list[str] | None = None) -> dict[str, str]:
@@ -218,6 +254,17 @@ def typed_view(df: DataFrame, types: dict[str, str]) -> DataFrame:
                 F.expr(
                     f"CAST(try_to_timestamp(nullif(trim({_quoted(c)}), "
                     f"''), '{fmt}') AS date)"
+                ).alias(c)
+            )
+        elif t in {name for name, _, _ in GROUPED_FORMATS}:
+            pat, base = next(
+                (p, b) for n, p, b in GROUPED_FORMATS if n == t
+            )
+            out.append(
+                F.expr(
+                    f"CASE WHEN trim({_quoted(c)}) rlike '{pat}' THEN "
+                    f"try_cast(replace(trim({_quoted(c)}), ',', '') "
+                    f"AS {base}) END"
                 ).alias(c)
             )
         else:

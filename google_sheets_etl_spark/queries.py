@@ -3957,6 +3957,20 @@ def _varchar_warehouse(spark: SparkSession, sf: str) -> DataFrame:
             F.lit(":30:05"),
         ).alias("order_ts"),
         F.date_format(F.col("o_orderdate"), "MM/dd/yyyy").alias("us_date"),
+        F.when(
+            F.length(F.col("o_custkey").cast("string")) <= 3,
+            F.col("o_custkey").cast("string"),
+        )
+        .otherwise(
+            F.concat(
+                F.expr("substring(cast(o_custkey AS string), 1, "
+                       "length(cast(o_custkey AS string)) - 3)"),
+                F.lit(","),
+                F.expr("substring(cast(o_custkey AS string), "
+                       "length(cast(o_custkey AS string)) - 2, 3)"),
+            )
+        )
+        .alias("grouped_cust"),
         F.when(F.col("o_orderstatus") == "F", "true")
         .when(F.col("o_orderstatus") == "O", "false")
         .otherwise("yes")
@@ -3983,6 +3997,14 @@ _VARCHAR_WAREHOUSE_SQL = """
            lpad(CAST(o_orderkey % 24 AS VARCHAR), 2, '0') || ':30:05'
            AS order_ts,
          strftime(o_orderdate, '%m/%d/%Y') AS us_date,
+         CASE WHEN len(CAST(o_custkey AS VARCHAR)) <= 3
+              THEN CAST(o_custkey AS VARCHAR)
+              ELSE substr(CAST(o_custkey AS VARCHAR), 1,
+                          len(CAST(o_custkey AS VARCHAR)) - 3)
+                   || ',' ||
+                   substr(CAST(o_custkey AS VARCHAR),
+                          len(CAST(o_custkey AS VARCHAR)) - 2, 3)
+              END AS grouped_cust,
          CASE WHEN o_orderstatus = 'F' THEN 'true'
               WHEN o_orderstatus = 'O' THEN 'false'
               ELSE 'yes' END AS status_flag,
@@ -4025,6 +4047,7 @@ _SPARK_BIGINT_SQL = (
          UNION ALL SELECT 'order_date', order_date FROM wh
          UNION ALL SELECT 'order_ts', order_ts FROM wh
          UNION ALL SELECT 'us_date', us_date FROM wh
+         UNION ALL SELECT 'grouped_cust', grouped_cust FROM wh
          UNION ALL SELECT 'status_flag', status_flag FROM wh
          UNION ALL SELECT 'mixed_id', mixed_id FROM wh
          UNION ALL SELECT 'padded_cust', padded_cust FROM wh
@@ -4061,7 +4084,13 @@ _SPARK_BIGINT_SQL = (
                         regexp_matches(trim(v),
                                        '^[0-9]{{2}}\.[0-9]{{2}}\.[0-9]{{4}}$')
                         AND try_strptime(trim(v), '%d.%m.%Y') IS NOT NULL
-                      THEN 1 END) AS n_eu
+                      THEN 1 END) AS n_eu,
+                COUNT(CASE WHEN regexp_matches(trim(v),
+                        '^[+-]?[0-9]{{1,3}}(,[0-9]{{3}})*$')
+                      THEN 1 END) AS n_gi,
+                COUNT(CASE WHEN regexp_matches(trim(v),
+                        '^[+-]?[0-9]{{1,3}}(,[0-9]{{3}})*([.][0-9]+)?$')
+                      THEN 1 END) AS n_gd
          FROM u GROUP BY column_name)
        SELECT column_name, n_values, n_boolean, n_bigint, n_double, n_date,
               n_timestamp,
@@ -4073,6 +4102,8 @@ _SPARK_BIGINT_SQL = (
                    WHEN n_timestamp = n_values THEN 'timestamp'
                    WHEN n_us = n_values THEN 'date[MM/dd/yyyy]'
                    WHEN n_eu = n_values THEN 'date[dd.MM.yyyy]'
+                   WHEN n_gi = n_values THEN 'bigint[grouped]'
+                   WHEN n_gd = n_values THEN 'double[grouped]'
                    ELSE 'string' END AS decided_type
        FROM c""",
 )
@@ -4102,6 +4133,10 @@ def typed_view_cast_stats(spark: SparkSession, sf: str) -> DataFrame:
                             '^[0-9]{{2}}/[0-9]{{2}}/[0-9]{{4}}$')
                      THEN CAST(try_strptime(trim(us_date), '%m/%d/%Y')
                                AS DATE) END AS us_date,
+                CASE WHEN regexp_matches(trim(grouped_cust),
+                        '^[+-]?[0-9]{{1,3}}(,[0-9]{{3}})*$')
+                     THEN TRY_CAST(replace(trim(grouped_cust), ',', '')
+                                   AS BIGINT) END AS grouped_cust,
                 CASE WHEN lower(trim(status_flag)) IN ('t','true','y','yes','1')
                        THEN TRUE
                      WHEN lower(trim(status_flag)) IN ('f','false','n','no','0')
@@ -4119,6 +4154,7 @@ def typed_view_cast_stats(spark: SparkSession, sf: str) -> DataFrame:
               MAX(order_date) AS max_date,
               MAX(order_ts) AS max_ts,
               MAX(us_date) AS max_us_date,
+              CAST(SUM(grouped_cust) AS BIGINT) AS sum_grouped,
               COUNT(CASE WHEN status_flag THEN 1 END) AS n_true,
               COUNT(DISTINCT padded_cust) AS n_cust,
               COUNT(all_blank) AS n_blank_vals
@@ -4146,6 +4182,7 @@ def typed_view_apply(spark: SparkSession, sf: str) -> DataFrame:
         F.max("order_date").alias("max_date"),
         F.max("order_ts").alias("max_ts"),
         F.max("us_date").alias("max_us_date"),
+        F.sum("grouped_cust").alias("sum_grouped"),
         F.count(F.when(F.col("status_flag"), 1)).alias("n_true"),
         F.countDistinct("padded_cust").alias("n_cust"),
         F.count("all_blank").alias("n_blank_vals"),

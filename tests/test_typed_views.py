@@ -214,3 +214,34 @@ def test_locale_date_format_inference(spark):
         datetime.date(1996, 2, 28): datetime.date(1996, 2, 28),
         datetime.date(2020, 12, 1): datetime.date(2020, 12, 1),
     }
+
+
+def test_grouped_number_inference(spark):
+    """Comma-grouped columns type as bigint[grouped]/double[grouped]
+    with commas stripped behind the shape gate; malformed grouping
+    stays NULL; plain numerics keep the base types."""
+    df = _wh(
+        spark,
+        [
+            ("1,234,567", "1,234.56", "123", "12,34"),
+            ("42", "987", "4567", "1,234"),
+        ],
+        "gi string, gd string, plain string, bad string",
+    )
+    types = typed_views.decide_types(df)
+    assert types == {
+        "gi": "bigint[grouped]",
+        "gd": "double[grouped]",
+        "plain": "bigint",
+        "bad": "string",  # '12,34' breaks the strict grouping shape
+    }
+    out = typed_views.auto_typed_view(df)
+    assert dict(out.dtypes) == {
+        "gi": "bigint", "gd": "double", "plain": "bigint",
+        "bad": "string",
+    }
+    rows = {r["plain"]: r for r in out.collect()}
+    assert rows[123]["gi"] == 1234567
+    assert rows[123]["gd"] == 1234.56
+    assert rows[4567]["gi"] == 42
+    assert rows[4567]["gd"] == 987.0
