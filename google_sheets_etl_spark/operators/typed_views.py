@@ -68,6 +68,16 @@ CANDIDATES = ("boolean", "bigint", "double", "date", "timestamp")
 # ``try_to_timestamp(v, fmt)`` cast to date. Order is precedence.
 DATE_FORMATS = ("MM/dd/yyyy", "dd.MM.yyyy")
 
+# Shape pre-gates for the format probes: try_to_timestamp takes an
+# exception path per non-matching row (the boolean-cast lesson —
+# measured ~2x the whole base profile when run ungated), and Spark's
+# strict parser only accepts zero-padded fields anyway, so the regex
+# loses nothing. [.] not \. — SQL-literal backslash hazard.
+DATE_FORMAT_SHAPES = {
+    "MM/dd/yyyy": "^[0-9]{2}/[0-9]{2}/[0-9]{4}$",
+    "dd.MM.yyyy": "^[0-9]{2}[.][0-9]{2}[.][0-9]{4}$",
+}
+
 # Comma-grouped numbers — the other spreadsheet reality ('1,234,567'
 # / '1,234.56'). Probed after the date formats; a column wins only
 # when EVERY non-blank value matches the strictly-grouped shape
@@ -148,13 +158,12 @@ def profile_cast_stats(df: DataFrame, columns: list[str] | None = None) -> DataF
     for i in range(len(cols)):
         aggs.append(F.expr(f"count(_c{i})").alias(f"n_{i}"))
         for j, fmt in enumerate(DATE_FORMATS):
-            # formatted-date probes ride the same digit/sign gate;
-            # failures are NULL (try_to_timestamp), counted like any
-            # other candidate
+            shape = DATE_FORMAT_SHAPES[fmt]
             aggs.append(
                 F.expr(
-                    f"count(CASE WHEN substring(_c{i}, 1, 1) IN {lead} "
-                    f"THEN try_to_timestamp(_c{i}, '{fmt}') END)"
+                    "count(CASE WHEN _c" + str(i)
+                    + " rlike '" + shape + "' THEN try_to_timestamp(_c"
+                    + str(i) + ", '" + fmt + "') END)"
                 ).alias(f"fmt{j}_{i}")
             )
         for j, (_, pat, _base) in enumerate(GROUPED_FORMATS):
@@ -248,12 +257,16 @@ def typed_view(df: DataFrame, types: dict[str, str]) -> DataFrame:
             out.append(src.alias(c))
         elif t.startswith("date[") and t.endswith("]"):
             fmt = t[len("date["):-1]
-            if "'" in fmt or "\\" in fmt:
+            if fmt not in DATE_FORMAT_SHAPES:
                 raise ValueError(f"unsupported date format: {fmt!r}")
+            shape = DATE_FORMAT_SHAPES[fmt]
+            # same shape gate as the probe: skips the parser's
+            # exception path for every non-matching value
             out.append(
                 F.expr(
-                    f"CAST(try_to_timestamp(nullif(trim({_quoted(c)}), "
-                    f"''), '{fmt}') AS date)"
+                    f"CASE WHEN trim({_quoted(c)}) rlike '{shape}' "
+                    f"THEN CAST(try_to_timestamp(trim({_quoted(c)}), "
+                    f"'{fmt}') AS date) END"
                 ).alias(c)
             )
         elif t in {name for name, _, _ in GROUPED_FORMATS}:
