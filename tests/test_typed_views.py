@@ -245,3 +245,36 @@ def test_grouped_number_inference(spark):
     assert rows[123]["gd"] == 1234.56
     assert rows[4567]["gi"] == 42
     assert rows[4567]["gd"] == 987.0
+
+
+def test_profile_partition_invariant_and_view_preserves_rows(spark):
+    """Invariants the oracles can't see: the decision is a pure
+    function of the value multiset (any partitioning), and the view
+    is row-preserving for every decided type."""
+    import random
+
+    rng = random.Random(11)
+    pools = {
+        "ints": lambda: str(rng.randint(-5000, 5000)),
+        "decs": lambda: f"{rng.randint(0, 99)}.{rng.randint(0, 99):02d}",
+        "dates": lambda: f"20{rng.randint(10, 25)}-0{rng.randint(1, 9)}"
+                         f"-1{rng.randint(0, 9)}",
+        "us": lambda: f"{rng.randint(1, 12):02d}/{rng.randint(1, 28):02d}"
+                      f"/19{rng.randint(10, 99)}",
+        "grouped": lambda: f"{rng.randint(1, 999)},{rng.randint(0, 999):03d}",
+        "words": lambda: rng.choice(["alpha", "beta", "12x", ""]),
+    }
+    rows = [tuple(g() for g in pools.values()) for _ in range(300)]
+    schema = ", ".join(f"{k} string" for k in pools)
+    df = spark.createDataFrame(rows, schema)
+    t1 = typed_views.decide_types(df)
+    t2 = typed_views.decide_types(df.repartition(13))
+    assert t1 == t2
+    assert t1["ints"] == "bigint"
+    assert t1["decs"] == "double"
+    assert t1["dates"] == "date"
+    assert t1["us"] == "date[MM/dd/yyyy]"
+    assert t1["grouped"] == "bigint[grouped]"
+    assert t1["words"] == "string"
+    out = typed_views.typed_view(df, t1)
+    assert out.count() == 300
