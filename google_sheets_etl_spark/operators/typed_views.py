@@ -236,10 +236,29 @@ def profile_cast_stats(df: DataFrame, columns: list[str] | None = None) -> DataF
     )
 
 
-def decide_types(df: DataFrame, columns: list[str] | None = None) -> dict[str, str]:
+def decide_types(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    sample_fraction: float | None = None,
+    seed: int = 42,
+) -> dict[str, str]:
     """Run the profile and return ``{column: decided_type}``. The
-    collect is one row per column — metadata-scale."""
-    rows = profile_cast_stats(df, columns).collect()
+    collect is one row per column — metadata-scale.
+
+    ``sample_fraction`` is the 100 TB knob: profile a seeded sample
+    instead of the full table (the profile is the priciest statement
+    in this module — 9 probes per column per row). Degradation is
+    SAFE by construction: a rare unparsable value missed by the
+    sample makes the column type too optimistically, and the view's
+    ``try_cast`` then yields NULL for exactly that value instead of
+    failing — never a wrong value, never an error. Full-table
+    profiling (the default) is what the oracled queries pin."""
+    src = (
+        df.sample(fraction=sample_fraction, seed=seed)
+        if sample_fraction is not None
+        else df
+    )
+    rows = profile_cast_stats(src, columns).collect()
     return {r["column_name"]: r["decided_type"] for r in rows}
 
 

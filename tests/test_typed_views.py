@@ -278,3 +278,19 @@ def test_profile_partition_invariant_and_view_preserves_rows(spark):
     assert t1["words"] == "string"
     out = typed_views.typed_view(df, t1)
     assert out.count() == 300
+
+
+def test_sampled_profile_decides_same_on_clean_columns(spark):
+    """The 100 TB knob: a sampled profile reaches the same decisions
+    on homogeneous columns, and its failure mode is the safe one
+    (optimistic typing -> try_cast NULL, never an error)."""
+    rows = [(str(i), f"2026-01-{(i % 27) + 1:02d}") for i in range(2000)]
+    df = _wh(spark, rows, "n string, d string")
+    full = typed_views.decide_types(df)
+    sampled = typed_views.decide_types(df, sample_fraction=0.2)
+    assert full == sampled == {"n": "bigint", "d": "date"}
+    # optimistic mis-typing degrades to NULL, not an error: force the
+    # 'wrong' decision a sample could make on a dirty column
+    dirty = _wh(spark, [("1",), ("oops",)], "n string")
+    out = typed_views.typed_view(dirty, {"n": "bigint"}).collect()
+    assert sorted([r["n"] for r in out], key=str) == [1, None]
