@@ -4168,10 +4168,17 @@ def typed_view_apply(spark: SparkSession, sf: str) -> DataFrame:
     'string' (no values to profile) and passes through AS STORED —
     n_blank_vals counts its '' cells, pinning the pass-through.
     Double sums are compared in exact integer cents (FP summation
-    order is partition-dependent)."""
+    order is partition-dependent). The profile runs on a SEEDED 10%
+    SAMPLE — the at-scale pattern (decide types from a sample, apply
+    to the full table): decisions are identical to the full profile
+    on this data (seeded, deterministic), and the safe-degradation
+    contract (optimistic typing → try_cast NULL) covers the general
+    case."""
     from .operators import typed_views
 
-    tv = typed_views.auto_typed_view(_varchar_warehouse(spark, sf))
+    wh = _varchar_warehouse(spark, sf)
+    types = typed_views.decide_types(wh, sample_fraction=0.1)
+    tv = typed_views.typed_view(wh, types)
     return tv.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("order_key").alias("sum_key"),
