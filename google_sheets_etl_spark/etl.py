@@ -204,7 +204,10 @@ class SheetsEtlEngine:
         return TargetTable(self.spark, self.table_path(table))
 
     def typed_target(
-        self, table: str, overrides: dict[str, str] | None = None
+        self,
+        table: str,
+        overrides: dict[str, str] | None = None,
+        sample_fraction: float | None = None,
     ) -> DataFrame:
         """TYPED VIEW over a loaded target table (round-4 verdict
         directive #2's engine surface): the stored table stays
@@ -214,12 +217,17 @@ class SheetsEtlEngine:
         provenance columns (``_origin_*``, ``_rowid``) pass through
         with their stored types. ``overrides`` pins types the
         profile can't know (``{'zip': 'string'}`` to stop a
-        leading-zero column typing as bigint)."""
+        leading-zero column typing as bigint); ``sample_fraction``
+        profiles a seeded sample instead of the full table (the
+        large-table knob — see decide_types for the safe-degradation
+        contract)."""
         from .operators import typed_views
 
         df = self.target(table).read()
         data_cols = [c for c in df.columns if not c.startswith("_")]
-        types = typed_views.decide_types(df, data_cols)
+        types = typed_views.decide_types(
+            df, data_cols, sample_fraction=sample_fraction
+        )
         types.update(overrides or {})
         return typed_views.typed_view(df, types)
 

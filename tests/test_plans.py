@@ -420,3 +420,11 @@ def test_bpe_pairs_aggregate_on_vocabulary_not_corpus(spark, sf_dir):
     # vocabulary (localCheckpoint scan), not re-derive from documents
     merges = text_ops.bpe_learn_merges(wf, n_merges=1)
     assert merges.count() == 1  # ran end-to-end with one corpus build
+
+
+def test_wav_energy_is_narrow_no_shuffle(spark, sf_dir):
+    plan = explain_str(QUERIES["multimodal_wav_energy"](spark, sf_dir))
+    # decode is one Arrow kernel over the scan: no exchange anywhere —
+    # the operator scales purely with input splits
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan or "mapInPandas" in plan
