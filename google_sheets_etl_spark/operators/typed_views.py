@@ -22,7 +22,8 @@ Design:
   blank cell must not block a column from typing.
 - The DECISION is in the same query (a CASE over the counts), most
   specific type first: boolean → bigint → double → date →
-  timestamp → string. A type wins only if EVERY non-blank value
+  timestamp → date[<locale format>] → bigint/double[grouped] →
+  string. A type wins only if EVERY non-blank value
   casts and the column has at least one value; otherwise fall
   through (``string`` is the always-safe floor). bigint is checked
   before double because every integer string is also a double;
