@@ -31,6 +31,22 @@ from pyspark.sql import DataFrame
 from ..operators.similarity import incremental_semantic_admission
 
 
+def _corpus_exists(spark, path: str) -> bool:
+    """True iff ``path`` exists, resolved by the Hadoop FileSystem for
+    the path's own scheme (local, hdfs://, s3a://, abfss://...).
+
+    This is an EXISTENCE check only — it deliberately raises on any
+    filesystem error other than "not there" (connection refused, auth
+    failure), because treating a flaky store as an absent corpus is the
+    one way this stream can silently produce wrong state.
+    """
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(hconf)
+    return bool(fs.exists(jpath))
+
+
 def admit_stream(
     stream_df: DataFrame,
     corpus_path: str,
@@ -49,17 +65,24 @@ def admit_stream(
     def _apply(batch: DataFrame, batch_id: int) -> None:
         if not batch.head(1):
             return
-        # probe THROUGH the Spark reader, never driver-local os.path:
-        # corpus_path may be s3://, hdfs://, abfss:// — a local-fs
-        # probe would silently treat every remote corpus as empty and
-        # cross-batch dedup would never happen
-        try:
+        # Probe path existence through the Hadoop FileSystem API, never
+        # driver-local os.path: corpus_path may be s3://, hdfs://,
+        # abfss:// — a local-fs probe would silently treat every remote
+        # corpus as empty and cross-batch dedup would never happen.
+        # ONLY a genuinely-missing path means "first trigger, empty
+        # corpus". Any OTHER read failure (store throttling, expired
+        # auth, corrupt footer) must raise out of this function so the
+        # micro-batch fails and the checkpoint retries it — swallowing
+        # it would compare the batch against an EMPTY corpus and
+        # permanently admit near-duplicates under fresh ids that the
+        # dropDuplicates(id) healing can never remove.
+        if _corpus_exists(spark, corpus_path):
             corpus = (
                 spark.read.parquet(corpus_path)
                 .select("cell", id_col, vec_col)
                 .dropDuplicates([id_col])  # append-then-crash healing
             )
-        except Exception:  # first trigger: path does not exist yet
+        else:  # first trigger: path does not exist yet
             from pyspark.sql import functions as F
 
             corpus = (

@@ -474,3 +474,58 @@ def test_admission_stream_dedups_across_micro_batches(spark, tmp_path):
     got2 = {r["vec_id"]: r["cell"] for r in rows}
     assert set(got2) == {1, 3, 11}
     assert got2[11] == 100  # 80deg still nearest axis-0 centroid
+
+
+def test_admission_stream_corpus_read_failure_fails_batch(spark, tmp_path):
+    """A corpus that EXISTS but cannot be read (corrupt footer, store
+    error) must FAIL the micro-batch so the checkpoint retries it —
+    the pre-r6 bare `except` treated any read failure as 'first
+    trigger, empty corpus' and silently admitted the whole batch
+    without cross-corpus dedup, permanently polluting the corpus."""
+    import json as _json
+
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from google_sheets_etl_spark.streaming.admission_stream import (
+        admit_stream,
+        _corpus_exists,
+    )
+
+    cents = spark.createDataFrame(
+        [(100, [1.0, 0.0])], "cent_id long, cv array<double>"
+    )
+    feed = tmp_path / "feed_fail"
+    feed.mkdir()
+    corpus = tmp_path / "admitted_fail"
+    # corpus path EXISTS but holds garbage — not a readable parquet table
+    corpus.mkdir()
+    (corpus / "part-00000.parquet").write_bytes(b"NOT A PARQUET FILE")
+    assert _corpus_exists(spark, str(corpus))
+
+    with open(feed / "b1.json", "w") as f:
+        f.write(_json.dumps({"vec_id": 1, "embedding": [1.0, 0.0]}) + "\n")
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .json(str(feed))
+    )
+    q = admit_stream(
+        stream, str(corpus), cents, str(tmp_path / "fail_ck"), threshold=0.7
+    )
+    with _pytest.raises(StreamingQueryException):
+        q.awaitTermination()
+    # nothing was admitted — the batch failed instead of polluting state
+    files = [p for p in corpus.iterdir() if p.suffix == ".parquet"]
+    assert len(files) == 1  # only the planted garbage file
+
+
+def test_corpus_exists_probe(spark, tmp_path):
+    from google_sheets_etl_spark.streaming.admission_stream import (
+        _corpus_exists,
+    )
+
+    missing = tmp_path / "nope"
+    assert not _corpus_exists(spark, str(missing))
+    present = tmp_path / "yep"
+    present.mkdir()
+    assert _corpus_exists(spark, str(present))
