@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from ..functions.textfns import word_shingles, words_of
+from .ckpt import make_ckpt, scoped_checkpoint_dir
 
 
 def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
@@ -477,8 +478,11 @@ def connected_components(
     storage (HDFS/S3), so a 1000-executor prod run survives executor
     churn mid-iteration at the cost of one write per round. The
     previous application-wide checkpoint dir is RESTORED before
-    returning (all checkpoints here are eager, so nothing later
-    writes to our dir); the checkpoint DATA outlives the call by
+    returning — or cleared back to unset when none was previously
+    defined, so this call never leaves other ``checkpoint()`` users
+    pointed at our per-run directory (all checkpoints here are eager,
+    so nothing later writes to our dir); the checkpoint DATA outlives
+    the call by
     design — the returned labels read from the final round's
     checkpoint — so storage cleanup is the caller's, after the
     results are consumed (point each run at its own subdir; Spark
@@ -490,17 +494,12 @@ def connected_components(
     by definition and never shuffle.
     """
     sc = pairs.sparkSession.sparkContext
-    prev_dir = None
-    if checkpoint_dir is not None:
-        prev = sc._jsc.sc().getCheckpointDir()
-        prev_dir = prev.get() if prev.isDefined() else None
-        sc.setCheckpointDir(checkpoint_dir)
+    ckpt = make_ckpt(checkpoint_dir)
+    with scoped_checkpoint_dir(sc, checkpoint_dir):
+        return _cc_rounds(pairs, ckpt, id_a, id_b, out_id, out_cluster, max_iter)
 
-    def ckpt(df: DataFrame) -> DataFrame:
-        if checkpoint_dir is None:
-            return df.localCheckpoint(eager=True)
-        return df.checkpoint(eager=True)
 
+def _cc_rounds(pairs, ckpt, id_a, id_b, out_id, out_cluster, max_iter):
     edges = ckpt(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -551,11 +550,6 @@ def connected_components(
         labels = new_labels.select("node", "label")
         if changed == 0:
             break
-    if checkpoint_dir is not None and prev_dir is not None:
-        # every checkpoint above was EAGER, so restoring the
-        # application-wide dir here cannot redirect our own writes —
-        # it stops this call from hijacking other checkpoint() users
-        sc.setCheckpointDir(prev_dir)
     return labels.select(
         F.col("node").alias(out_id), F.col("label").alias(out_cluster)
     )

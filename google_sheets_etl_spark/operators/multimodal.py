@@ -407,6 +407,12 @@ def parse_wav_pcm16(payload: bytes) -> tuple[int, "object"]:
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        if pos + 8 + size > len(payload):
+            # a declared size past the payload end means the file was
+            # truncated in flight; silently slicing short would compute
+            # RMS over PARTIAL audio instead of skipping the payload —
+            # every other malformation raises, so must this one
+            raise ValueError("truncated chunk")
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             if len(body) < 16:

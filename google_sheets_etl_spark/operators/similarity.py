@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine_similarity, dot
+from .ckpt import make_ckpt, scoped_checkpoint_dir
 
 
 def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
@@ -611,6 +612,8 @@ def semantic_dedup(
     vec_col: str = "embedding",
     cent_id_col: str = "cent_id",
     cent_vec_col: str = "cv",
+    checkpoint_dir: str | None = None,
+    max_cell_rows: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication") composed from this
@@ -644,19 +647,45 @@ def semantic_dedup(
     numpy kernel).
 
     The assignment feeds two consumers (cell blocks + verdict join),
-    so it is materialized once (``localCheckpoint`` — the
-    connected_components discipline).
+    so it is materialized once. ``checkpoint_dir`` picks the
+    materialization's durability exactly as ``connected_components``
+    does (None → ``localCheckpoint``; a path → reliable
+    ``checkpoint`` into that dir, application dir restored — or
+    cleared back to unset — on return; see ``operators.ckpt``).
+
+    ``max_cell_rows`` is the skew guard: without it one flooded cell
+    (a near-duplicate burst mapping to a single centroid) builds an
+    n_cell² cosine matrix in ONE task and OOMs. With a cap, cells
+    over the cap are split into consecutive id-ordered blocks of at
+    most ``max_cell_rows`` rows, and the cell's upper-triangular pair
+    search runs as one task per block-pair (I ≤ J): the diagonal task
+    runs the triangular kernel on block I alone; an off-diagonal task
+    compares block J's rows against block I's strictly-earlier rows
+    with one rectangular matmul. Every (earlier, later) pair in the
+    cell is covered exactly once, so the keep set is IDENTICAL to the
+    unguarded path while no task ever holds more than 2·cap rows or a
+    cap×cap matrix. Cost of the bound: the oversized cell's rows
+    shuffle once more and each row ships to ~n_blocks tasks — flops
+    are unchanged (same pair count), only replication grows, which is
+    the right trade at 100 TB where one 10M-row cell would otherwise
+    be a 800 TB matrix in one task. Cells at or under the cap keep
+    the single-block path untouched.
     """
     import numpy as np
     import pandas as pd
 
-    assigned = _assign_cells(
-        vectors, centroids, id_col, vec_col, cent_id_col, cent_vec_col
-    ).localCheckpoint(eager=True)
+    sc = vectors.sparkSession.sparkContext
+    ckpt = make_ckpt(checkpoint_dir)
+    with scoped_checkpoint_dir(sc, checkpoint_dir):
+        assigned = ckpt(
+            _assign_cells(
+                vectors, centroids, id_col, vec_col, cent_id_col, cent_vec_col
+            )
+        )
 
     id_type = dict(assigned.dtypes)[id_col]
 
-    def block(pdf: pd.DataFrame) -> pd.DataFrame:
+    def _triangular(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf[id_col].to_numpy()
         order = np.argsort(ids)
         ids = ids[order]
@@ -667,13 +696,85 @@ def semantic_dedup(
         hit = cos[iu, ju] >= threshold
         return pd.DataFrame({id_col: np.unique(ids[ju[hit]])})
 
-    removed = assigned.select("cell", id_col, vec_col).groupBy(
-        "cell"
-    ).applyInPandas(block, f"{id_col} {id_type}")
+    base = assigned.select("cell", id_col, vec_col)
+    if max_cell_rows is None:
+        removed = base.groupBy("cell").applyInPandas(
+            _triangular, f"{id_col} {id_type}"
+        )
+    else:
+        sizes = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("_n"))
+        small = base.join(
+            F.broadcast(sizes.filter(F.col("_n") <= max_cell_rows)), "cell"
+        ).drop("_n")
+        big = base.join(
+            F.broadcast(sizes.filter(F.col("_n") > max_cell_rows)), "cell"
+        )
+        small_rm = small.groupBy("cell").applyInPandas(
+            _triangular, f"{id_col} {id_type}"
+        )
+
+        def _pair_block(pdf: pd.DataFrame) -> pd.DataFrame:
+            blks = pdf["_blk"].to_numpy()
+            if blks.min() == blks.max():  # diagonal: triangular kernel
+                return _triangular(pdf)
+            # off-diagonal: every lo-block id < every hi-block id
+            # (blocks are consecutive id-order runs), so only hi rows
+            # can be removed, by any hit against a lo row
+            ids = pdf[id_col].to_numpy()
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            norms = np.sqrt((mat * mat).sum(axis=1))
+            hi_sel = blks == blks.max()
+            cos = np.round(
+                (mat[hi_sel] @ mat[~hi_sel].T)
+                / np.outer(norms[hi_sel], norms[~hi_sel]),
+                4,
+            )
+            return pd.DataFrame(
+                {id_col: np.unique(ids[hi_sel][(cos >= threshold).any(axis=1)])}
+            )
+
+        big_rm = (
+            _banded_cell_pairs(big, max_cell_rows, id_col, vec_col)
+            .groupBy("cell", "_lo", "_hi")
+            .applyInPandas(_pair_block, f"{id_col} {id_type}")
+            # a hi-block row is re-judged once per earlier block — the
+            # SAME verdict can arrive from several tasks
+            .dropDuplicates([id_col])
+        )
+        removed = small_rm.unionByName(big_rm)
     return assigned.join(
         removed.withColumn("_rm", F.lit(True)), [id_col], "left"
     ).select(
         id_col, "cell", F.coalesce(~F.col("_rm"), F.lit(True)).alias("kept")
+    )
+
+
+def _banded_cell_pairs(
+    big: DataFrame, cap: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """Expand oversized cells into block-pair task groups.
+
+    Input rows carry ``(cell, id, vec, _n)`` with ``_n`` the cell
+    size. Each cell is cut into ``ceil(_n / cap)`` consecutive
+    id-ordered blocks of at most ``cap`` rows; a row in block B is
+    emitted once per block O as group key
+    ``(cell, _lo=min(B,O), _hi=max(B,O))`` tagged ``_blk=B``, so the
+    downstream groupBy materializes exactly the rows of blocks I and
+    J per (I ≤ J) task — never more than 2·cap rows per group. The
+    per-cell ``row_number`` is a single-partition external sort of
+    just that cell; spill-safe, and only oversized cells pay it.
+    """
+    w = Window.partitionBy("cell").orderBy(id_col)
+    nblk = F.ceil(F.col("_n") / F.lit(cap)).cast("int")
+    return (
+        big.withColumn(
+            "_blk",
+            ((F.row_number().over(w) - F.lit(1)) / F.lit(cap)).cast("int"),
+        )
+        .withColumn("_o", F.explode(F.sequence(F.lit(0), nblk - F.lit(1))))
+        .withColumn("_lo", F.least("_blk", "_o"))
+        .withColumn("_hi", F.greatest("_blk", "_o"))
+        .select("cell", "_lo", "_hi", "_blk", id_col, vec_col)
     )
 
 
@@ -685,6 +786,7 @@ def kmeans_lloyd(
     vec_col: str = "embedding",
     cent_id_col: str = "cent_id",
     cent_vec_col: str = "cv",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """FULL Lloyd's k-means training — the ``kmeans_assign_step``
     E-step and ``embedding_centroids`` M-step composed into an actual
@@ -716,46 +818,55 @@ def kmeans_lloyd(
     if n_iter < 1:
         raise ValueError("n_iter must be >= 1")
     cents = init_centroids.select(cent_id_col, cent_vec_col)
-    out = None
-    for it in range(n_iter):
-        assigned = _assign_cells(
-            vectors, cents, id_col, vec_col, cent_id_col, cent_vec_col
-        ).select("cell", vec_col)
-        # localCheckpoint: the round's single corpus pass — the
-        # (k×dim)-row result feeds BOTH the next round's centroid
-        # rebuild and (on the last round) the returned frame; without
-        # it the E-step scan re-executes per consumer
-        out = (
-            assigned.select(
-                "cell", F.posexplode(vec_col).alias("pos", "_e")
+    # the rebuilt-centroid frame must carry the CALLER's centroid id
+    # type (int/long/string all valid cell keys), not a hardcoded
+    # long — otherwise a non-long id crashes or silently changes type
+    # between iteration 1 and 2
+    cent_id_type = dict(cents.dtypes)[cent_id_col]
+    ckpt = make_ckpt(checkpoint_dir)
+    sc = vectors.sparkSession.sparkContext
+    with scoped_checkpoint_dir(sc, checkpoint_dir):
+        out = None
+        for it in range(n_iter):
+            assigned = _assign_cells(
+                vectors, cents, id_col, vec_col, cent_id_col, cent_vec_col
+            ).select("cell", vec_col)
+            # materialize the round's single corpus pass — the
+            # (k×dim)-row result feeds BOTH the next round's centroid
+            # rebuild and (on the last round) the returned frame;
+            # without it the E-step scan re-executes per consumer.
+            # checkpoint_dir picks durability (see operators.ckpt)
+            out = ckpt(
+                assigned.select(
+                    "cell", F.posexplode(vec_col).alias("pos", "_e")
+                )
+                .groupBy("cell", "pos")
+                .agg(
+                    F.round(F.avg("_e"), 6).alias("centroid_r6"),
+                    F.count(F.lit(1)).alias("n_members"),
+                )
             )
-            .groupBy("cell", "pos")
-            .agg(
-                F.round(F.avg("_e"), 6).alias("centroid_r6"),
-                F.count(F.lit(1)).alias("n_members"),
+            if it == n_iter - 1:
+                break  # no further E-step: skip the dead centroid rebuild
+            # k×dim rows → k arrays on the driver: metadata-scale by
+            # design (the centroid table IS what a broadcast would ship)
+            rows = (
+                out.groupBy("cell")
+                .agg(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "centroid_r6"))
+                        ),
+                        lambda s: s["centroid_r6"],
+                    ).alias("cv"),
+                )
+                .collect()
             )
-            .localCheckpoint(eager=True)
-        )
-        if it == n_iter - 1:
-            break  # no further E-step: skip the dead centroid rebuild
-        # k×dim rows → k arrays on the driver: metadata-scale by
-        # design (the centroid table IS what a broadcast would ship)
-        rows = (
-            out.groupBy("cell")
-            .agg(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("pos", "centroid_r6"))
-                    ),
-                    lambda s: s["centroid_r6"],
-                ).alias("cv"),
+            cents = vectors.sparkSession.createDataFrame(
+                [(r["cell"], r["cv"]) for r in rows],
+                f"{cent_id_col} {cent_id_type}, "
+                f"{cent_vec_col} array<double>",
             )
-            .collect()
-        )
-        cents = vectors.sparkSession.createDataFrame(
-            [(r["cell"], r["cv"]) for r in rows],
-            f"{cent_id_col} long, {cent_vec_col} array<double>",
-        )
     return out.select("cell", "pos", "centroid_r6", "n_members")
 
 
@@ -806,6 +917,9 @@ def incremental_semantic_admission(
         ).withColumn("_is_batch", F.lit(False))
     both = b.unionByName(c)
     id_type = dict(b.dtypes)[id_col]
+    # cell carries the centroid id's own type (int/long/string), not a
+    # hardcoded long
+    cell_type = dict(b.dtypes)["cell"]
 
     def block(pdf: pd.DataFrame) -> pd.DataFrame:
         isb = pdf["_is_batch"].to_numpy()
@@ -841,4 +955,6 @@ def incremental_semantic_admission(
 
     return both.select("cell", id_col, vec_col, "_is_batch").groupBy(
         "cell"
-    ).applyInPandas(block, f"{id_col} {id_type}, cell long, admitted boolean")
+    ).applyInPandas(
+        block, f"{id_col} {id_type}, cell {cell_type}, admitted boolean"
+    )

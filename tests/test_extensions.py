@@ -718,3 +718,211 @@ def test_incremental_semantic_admission_planted(spark):
         12: (100, False),
         13: (200, True),
     }
+
+
+def test_checkpoint_dir_cleared_when_previously_unset(spark, tmp_path):
+    """Round-5 advisory: when the application had NO checkpoint dir,
+    the scoped knob must restore to UNSET — not leave the app-wide
+    dir permanently pointed at one caller's per-run directory."""
+    from google_sheets_etl_spark.operators import dedup as dd
+
+    sc = spark.sparkContext
+    # force the unset state regardless of earlier tests
+    sc.setCheckpointDir(None)
+    assert not sc._jsc.sc().getCheckpointDir().isDefined()
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    dd.connected_components(
+        pairs, checkpoint_dir=str(tmp_path / "cc_scoped")
+    ).collect()
+    assert not sc._jsc.sc().getCheckpointDir().isDefined()
+
+
+def test_kmeans_and_semantic_dedup_reliable_checkpoint_parity(spark, tmp_path):
+    """Round-5 verdict directive #4: kmeans_lloyd and semantic_dedup
+    take the same checkpoint_dir durability knob connected_components
+    has — identical results both modes, data actually written."""
+    import math
+    import os
+
+    from google_sheets_etl_spark.operators.similarity import (
+        kmeans_lloyd,
+        semantic_dedup,
+    )
+
+    def unit(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r), 0.0, 0.0]
+
+    vecs = spark.createDataFrame(
+        [(1, unit(0)), (2, unit(40)), (3, unit(80)),
+         (4, [0.0, 0.0, 0.9, 0.1])],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(100, unit(0)), (200, [0.0, 0.0, 1.0, 0.0])],
+        "cent_id long, cv array<double>",
+    )
+
+    km_local = {
+        (r["cell"], r["pos"], r["centroid_r6"], r["n_members"])
+        for r in kmeans_lloyd(vecs, cents, n_iter=2).collect()
+    }
+    km_dir = str(tmp_path / "km_ckpt")
+    km_reliable = {
+        (r["cell"], r["pos"], r["centroid_r6"], r["n_members"])
+        for r in kmeans_lloyd(
+            vecs, cents, n_iter=2, checkpoint_dir=km_dir
+        ).collect()
+    }
+    assert km_local == km_reliable
+    assert any(os.scandir(km_dir))
+
+    sd_local = {
+        (r["vec_id"], r["cell"], r["kept"])
+        for r in semantic_dedup(vecs, cents, threshold=0.7).collect()
+    }
+    sd_dir = str(tmp_path / "sd_ckpt")
+    sd_reliable = {
+        (r["vec_id"], r["cell"], r["kept"])
+        for r in semantic_dedup(
+            vecs, cents, threshold=0.7, checkpoint_dir=sd_dir
+        ).collect()
+    }
+    assert sd_local == sd_reliable
+    assert any(os.scandir(sd_dir))
+
+
+def test_kmeans_lloyd_non_long_centroid_ids(spark):
+    """Round-5 advisory: the rebuilt-centroid frame between rounds
+    must carry the CALLER's centroid id type, not hardcoded long —
+    int and string ids train without crashing or changing type."""
+    from google_sheets_etl_spark.operators.similarity import kmeans_lloyd
+
+    a = [[1.0, 0.0], [0.9, 0.1]]
+    b = [[0.0, 1.0], [0.1, 0.9]]
+    vecs = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(a + b)],
+        "vec_id long, embedding array<double>",
+    )
+    for schema, ids in [
+        ("cent_id int, cv array<double>", [0, 1]),
+        ("cent_id string, cv array<double>", ["ca", "cb"]),
+    ]:
+        seeds = spark.createDataFrame(
+            [(ids[0], [1.0, 0.0]), (ids[1], [0.0, 1.0])], schema
+        )
+        out = kmeans_lloyd(vecs, seeds, n_iter=2)
+        members = {r["cell"]: r["n_members"]
+                   for r in out.filter("pos = 0").collect()}
+        assert members == {ids[0]: 2, ids[1]: 2}
+
+
+def test_incremental_admission_non_long_cells(spark):
+    """Cell column in the admission verdict carries the centroid id's
+    own type (round-5 advisory tail: `cell long` was hardcoded in the
+    applyInPandas schema)."""
+    from google_sheets_etl_spark.operators.similarity import (
+        incremental_semantic_admission,
+    )
+
+    cents = spark.createDataFrame(
+        [("cx", [1.0, 0.0])], "cent_id string, cv array<double>"
+    )
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    batch = spark.createDataFrame(
+        [(10, [0.99, 0.14]), (11, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = incremental_semantic_admission(
+        batch, corpus, cents, threshold=0.7
+    ).collect()
+    got = {r["vec_id"]: (r["cell"], r["admitted"]) for r in rows}
+    assert got == {10: ("cx", False), 11: ("cx", True)}
+
+
+def test_semantic_dedup_cell_cap_identical_keep_set(spark):
+    """Round-5 verdict directive #5: with max_cell_rows set, a cell
+    far over the cap is split into banded block-pair tasks — keep set
+    IDENTICAL to the unguarded path, and no task group ever holds
+    more than 2*cap rows."""
+    import math
+
+    from google_sheets_etl_spark.operators.similarity import (
+        _banded_cell_pairs,
+        semantic_dedup,
+    )
+    from pyspark.sql import functions as F
+
+    # one flooded cell: 20 vectors fanned 0..95 deg in 5-deg steps
+    # (each within 40 deg of several neighbors => rich removal chain),
+    # plus a 2-member far cell
+    def unit(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r), 0.0, 0.0]
+
+    rows = [(i, unit(5 * i)) for i in range(20)]
+    rows += [(100, [0.0, 0.0, 1.0, 0.0]), (101, [0.0, 0.0, 0.9, 0.44])]
+    vecs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    cents = spark.createDataFrame(
+        [(7, unit(45)), (8, [0.0, 0.0, 1.0, 0.0])],
+        "cent_id long, cv array<double>",
+    )
+    unguarded = {
+        (r["vec_id"], r["cell"], r["kept"])
+        for r in semantic_dedup(vecs, cents, threshold=0.8).collect()
+    }
+    cap = 4
+    guarded = {
+        (r["vec_id"], r["cell"], r["kept"])
+        for r in semantic_dedup(
+            vecs, cents, threshold=0.8, max_cell_rows=cap
+        ).collect()
+    }
+    assert guarded == unguarded
+    assert len(guarded) == 22
+    # removal chain really engaged (5-deg fan at 0.8 ~ 36.8 deg)
+    assert sum(1 for _, _, kept in guarded if not kept) > 5
+
+    # shape assertion: the banded expansion never builds a task group
+    # beyond 2*cap rows
+    from google_sheets_etl_spark.operators.similarity import _assign_cells
+
+    assigned = _assign_cells(
+        vecs, cents, "vec_id", "embedding", "cent_id", "cv"
+    )
+    counted = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("_n"))
+    big = assigned.join(
+        counted.filter(F.col("_n") > cap), "cell"
+    ).select("cell", "vec_id", "embedding", "_n")
+    group_sizes = (
+        _banded_cell_pairs(big, cap, "vec_id", "embedding")
+        .groupBy("cell", "_lo", "_hi")
+        .count()
+        .collect()
+    )
+    assert group_sizes  # the flooded cell did take the banded path
+    assert max(r["count"] for r in group_sizes) <= 2 * cap
+
+
+def test_parse_wav_truncated_chunk_raises():
+    """Round-5 advisory: a declared chunk size past the payload end is
+    a truncated file — must raise like every other malformation, not
+    silently compute RMS over partial audio."""
+    import struct
+
+    import pytest
+
+    from google_sheets_etl_spark.operators.multimodal import parse_wav_pcm16
+
+    good = _wav_bytes([1, 2, 3, 4])
+    # chop the final 3 bytes: the data chunk now declares more than
+    # the payload holds
+    with pytest.raises(ValueError, match="truncated chunk"):
+        parse_wav_pcm16(good[:-3])
+    # sanity: the untouched payload still decodes
+    rate, v = parse_wav_pcm16(good)
+    assert v.tolist() == [1, 2, 3, 4]
