@@ -186,6 +186,36 @@ class PpmCodec(MediaCodec):
         return w, h, raster
 
     def image_features(self, payload: bytes, n_bins: int) -> list[float]:
+        # numpy-vectorized (round-5 verdict directive #3): one
+        # frombuffer + vectorized luminance + bincount, like the WAV
+        # sibling — the scalar per-pixel loop was ~50-100x slower on
+        # megapixel payloads. Bit-identical: all-integer arithmetic,
+        # same (r+g+b)//3 and lum*n_bins//256 binning.
+        import numpy as np
+
+        w, h, px = self.parse(payload)
+        arr = np.frombuffer(px, dtype=np.uint8).reshape(-1, 3)
+        lum = arr.astype(np.int64).sum(axis=1) // 3
+        counts = np.bincount(lum * n_bins // 256, minlength=n_bins)
+        total = w * h or 1
+        return (counts / float(total)).tolist()
+
+    def resize(self, payload: bytes, width: int, height: int) -> bytes:
+        # index-grid nearest-neighbor fancy-indexing — bit-identical
+        # to the scalar (x*w//out_w, y*h//out_h) source-pixel rule
+        import numpy as np
+
+        w, h, px = self.parse(payload)
+        arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
+        sy = (np.arange(height, dtype=np.int64) * h) // height
+        sx = (np.arange(width, dtype=np.int64) * w) // width
+        out_px = arr[sy[:, None], sx[None, :]]
+        return b"P6\n%d %d\n255\n" % (width, height) + out_px.tobytes()
+
+    # scalar formulations kept as the equivalence oracle for the
+    # vectorized kernels above (tests assert bit-identity on random
+    # images); not used on any hot path
+    def _image_features_scalar(self, payload: bytes, n_bins: int) -> list[float]:
         w, h, px = self.parse(payload)
         counts = [0] * n_bins
         for p in range(w * h):
@@ -194,7 +224,7 @@ class PpmCodec(MediaCodec):
         total = w * h or 1
         return [c / total for c in counts]
 
-    def resize(self, payload: bytes, width: int, height: int) -> bytes:
+    def _resize_scalar(self, payload: bytes, width: int, height: int) -> bytes:
         w, h, px = self.parse(payload)
         out = bytearray(b"P6\n%d %d\n255\n" % (width, height))
         for y in range(height):

@@ -926,3 +926,24 @@ def test_parse_wav_truncated_chunk_raises():
     # sanity: the untouched payload still decodes
     rate, v = parse_wav_pcm16(good)
     assert v.tolist() == [1, 2, 3, 4]
+
+
+def test_ppm_vectorized_matches_scalar_on_random_images():
+    """Round-5 verdict directive #3: the numpy PPM kernels must be
+    bit-identical to the scalar formulations on arbitrary images —
+    histogram floats exact, resized payload byte-for-byte."""
+    import random
+
+    from google_sheets_etl_spark.operators.multimodal import PpmCodec
+
+    rng = random.Random(42)
+    codec = PpmCodec()
+    for w, h in [(1, 1), (3, 7), (16, 16), (31, 2), (40, 25)]:
+        raster = bytes(rng.randrange(256) for _ in range(w * h * 3))
+        payload = b"P6\n# random fixture\n%d %d\n255\n" % (w, h) + raster
+        for n_bins in (4, 16, 7):
+            assert codec.image_features(payload, n_bins) == \
+                codec._image_features_scalar(payload, n_bins)
+        for ow, oh in [(1, 1), (w, h), (2 * w, h // 2 + 1), (5, 9)]:
+            assert codec.resize(payload, ow, oh) == \
+                codec._resize_scalar(payload, ow, oh)
