@@ -207,7 +207,7 @@ class SheetsEtlEngine:
         self,
         table: str,
         overrides: dict[str, str] | None = None,
-        sample_fraction: float | None = None,
+        sample_fraction: float | str | None = "auto",
     ) -> DataFrame:
         """TYPED VIEW over a loaded target table (round-4 verdict
         directive #2's engine surface): the stored table stays
@@ -218,9 +218,11 @@ class SheetsEtlEngine:
         with their stored types. ``overrides`` pins types the
         profile can't know (``{'zip': 'string'}`` to stop a
         leading-zero column typing as bigint); ``sample_fraction``
-        profiles a seeded sample instead of the full table (the
-        large-table knob — see decide_types for the safe-degradation
-        contract)."""
+        defaults to ``"auto"`` — footer-stats-large tables profile a
+        seeded sample, small tables profile in full (see
+        decide_types for the thresholds and the safe-degradation
+        contract); pass ``None`` to force the full profile or a
+        float to pin a fraction."""
         from .operators import typed_views
 
         df = self.target(table).read()

@@ -3937,9 +3937,12 @@ def _varchar_warehouse(spark: SparkSession, sf: str) -> DataFrame:
     """A reference-shaped ALL-VARCHAR warehouse synthesized from
     orders — the day-one reality of the string warehouse the typed
     view layer exists to fix. Column mix: clean integers, assembled
-    decimals, ISO dates, spark-boolean tokens (incl. 'yes'),
-    whitespace-padded integers, a mixed id/text column, and an
-    all-blank column."""
+    decimals (money — must type decimal, not double), ISO dates,
+    US- and EU-slash locale dates (the EU column carries day>12
+    evidence), an all-ambiguous slash column (day and month both
+    <= 12 everywhere — must stay string), spark-boolean tokens
+    (incl. 'yes'), whitespace-padded integers, a mixed id/text
+    column, and an all-blank column."""
     o = t(spark, sf, "orders")
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
     return o.select(
@@ -3957,6 +3960,15 @@ def _varchar_warehouse(spark: SparkSession, sf: str) -> DataFrame:
             F.lit(":30:05"),
         ).alias("order_ts"),
         F.date_format(F.col("o_orderdate"), "MM/dd/yyyy").alias("us_date"),
+        F.date_format(F.col("o_orderdate"), "dd/MM/yyyy").alias("eu_date"),
+        # every value has day <= 12 AND month <= 12: parses fully
+        # under BOTH slash formats -> pure ambiguity, pinned 'string'
+        F.concat(
+            F.lpad(((F.col("o_orderkey") % 12) + 1).cast("string"), 2, "0"),
+            F.lit("/"),
+            F.lpad(((F.col("o_custkey") % 12) + 1).cast("string"), 2, "0"),
+            F.lit("/2020"),
+        ).alias("amb_date"),
         F.when(
             F.length(F.col("o_custkey").cast("string")) <= 3,
             F.col("o_custkey").cast("string"),
@@ -3997,6 +4009,10 @@ _VARCHAR_WAREHOUSE_SQL = """
            lpad(CAST(o_orderkey % 24 AS VARCHAR), 2, '0') || ':30:05'
            AS order_ts,
          strftime(o_orderdate, '%m/%d/%Y') AS us_date,
+         strftime(o_orderdate, '%d/%m/%Y') AS eu_date,
+         lpad(CAST((o_orderkey % 12) + 1 AS VARCHAR), 2, '0') || '/' ||
+           lpad(CAST((o_custkey % 12) + 1 AS VARCHAR), 2, '0') || '/2020'
+           AS amb_date,
          CASE WHEN len(CAST(o_custkey AS VARCHAR)) <= 3
               THEN CAST(o_custkey AS VARCHAR)
               ELSE substr(CAST(o_custkey AS VARCHAR), 1,
@@ -4047,6 +4063,8 @@ _SPARK_BIGINT_SQL = (
          UNION ALL SELECT 'order_date', order_date FROM wh
          UNION ALL SELECT 'order_ts', order_ts FROM wh
          UNION ALL SELECT 'us_date', us_date FROM wh
+         UNION ALL SELECT 'eu_date', eu_date FROM wh
+         UNION ALL SELECT 'amb_date', amb_date FROM wh
          UNION ALL SELECT 'grouped_cust', grouped_cust FROM wh
          UNION ALL SELECT 'status_flag', status_flag FROM wh
          UNION ALL SELECT 'mixed_id', mixed_id FROM wh
@@ -4062,6 +4080,17 @@ _SPARK_BIGINT_SQL = (
                             AND {_SPARK_BIGINT_SQL.format(v='v')}
                            THEN 1 END) AS n_bigint,
                 COUNT(TRY_CAST(NULLIF(trim(v), '') AS DOUBLE)) AS n_double,
+                COUNT(CASE WHEN regexp_matches(trim(v),
+                        '^[+-]?[0-9]+([.][0-9]+)?$')
+                      THEN 1 END) AS n_decimal,
+                MAX(CASE WHEN regexp_matches(trim(v),
+                        '^[+-]?[0-9]+([.][0-9]+)?$')
+                      THEN len(regexp_extract(trim(v),
+                        '^[+-]?([0-9]+)', 1)) END) AS maxi,
+                MAX(CASE WHEN regexp_matches(trim(v),
+                        '^[+-]?[0-9]+([.][0-9]+)?$')
+                      THEN len(regexp_extract(trim(v),
+                        '[.]([0-9]+)$', 1)) END) AS maxf,
                 COUNT(CASE WHEN NULLIF(trim(v), '') IS NOT NULL
                             AND substr(trim(v), 1, 1) SIMILAR TO '[0-9+-]'
                             AND ((TRY_CAST(trim(v) AS DATE) IS NOT NULL
@@ -4082,9 +4111,14 @@ _SPARK_BIGINT_SQL = (
                       THEN 1 END) AS n_us,
                 COUNT(CASE WHEN
                         regexp_matches(trim(v),
+                                       '^[0-9]{{2}}/[0-9]{{2}}/[0-9]{{4}}$')
+                        AND try_strptime(trim(v), '%d/%m/%Y') IS NOT NULL
+                      THEN 1 END) AS n_eu_slash,
+                COUNT(CASE WHEN
+                        regexp_matches(trim(v),
                                        '^[0-9]{{2}}\.[0-9]{{2}}\.[0-9]{{4}}$')
                         AND try_strptime(trim(v), '%d.%m.%Y') IS NOT NULL
-                      THEN 1 END) AS n_eu,
+                      THEN 1 END) AS n_dot,
                 COUNT(CASE WHEN regexp_matches(trim(v),
                         '^[+-]?[0-9]{{1,3}}(,[0-9]{{3}})*$')
                       THEN 1 END) AS n_gi,
@@ -4092,16 +4126,22 @@ _SPARK_BIGINT_SQL = (
                         '^[+-]?[0-9]{{1,3}}(,[0-9]{{3}})*([.][0-9]+)?$')
                       THEN 1 END) AS n_gd
          FROM u GROUP BY column_name)
-       SELECT column_name, n_values, n_boolean, n_bigint, n_double, n_date,
-              n_timestamp,
+       SELECT column_name, n_values, n_boolean, n_bigint, n_decimal,
+              n_double, n_date, n_timestamp,
               CASE WHEN n_values = 0 THEN 'string'
                    WHEN n_boolean = n_values THEN 'boolean'
                    WHEN n_bigint = n_values THEN 'bigint'
+                   WHEN n_decimal = n_values AND maxi + maxf <= 38
+                        THEN 'decimal(' || CAST(maxi + maxf AS VARCHAR)
+                             || ',' || CAST(maxf AS VARCHAR) || ')'
                    WHEN n_double = n_values THEN 'double'
                    WHEN n_date = n_values THEN 'date'
                    WHEN n_timestamp = n_values THEN 'timestamp'
-                   WHEN n_us = n_values THEN 'date[MM/dd/yyyy]'
-                   WHEN n_eu = n_values THEN 'date[dd.MM.yyyy]'
+                   WHEN n_us = n_values AND n_eu_slash < n_values
+                        THEN 'date[MM/dd/yyyy]'
+                   WHEN n_eu_slash = n_values AND n_us < n_values
+                        THEN 'date[dd/MM/yyyy]'
+                   WHEN n_dot = n_values THEN 'date[dd.MM.yyyy]'
                    WHEN n_gi = n_values THEN 'bigint[grouped]'
                    WHEN n_gd = n_values THEN 'double[grouped]'
                    ELSE 'string' END AS decided_type
@@ -4125,14 +4165,21 @@ def typed_view_cast_stats(spark: SparkSession, sf: str) -> DataFrame:
     f"""WITH wh AS ({_VARCHAR_WAREHOUSE_SQL}),
        tv AS (
          SELECT TRY_CAST(NULLIF(trim(order_key), '') AS BIGINT) AS order_key,
-                TRY_CAST(NULLIF(trim(total_price), '') AS DOUBLE)
-                  AS total_price,
+                CASE WHEN regexp_matches(trim(total_price),
+                            '^[+-]?[0-9]{{1,6}}([.][0-9]{{1,2}})?$')
+                     THEN TRY_CAST(trim(total_price) AS DECIMAL(8,2))
+                     END AS total_price,
                 TRY_CAST(NULLIF(trim(order_date), '') AS DATE) AS order_date,
                 TRY_CAST(NULLIF(trim(order_ts), '') AS TIMESTAMP) AS order_ts,
                 CASE WHEN regexp_matches(trim(us_date),
                             '^[0-9]{{2}}/[0-9]{{2}}/[0-9]{{4}}$')
                      THEN CAST(try_strptime(trim(us_date), '%m/%d/%Y')
                                AS DATE) END AS us_date,
+                CASE WHEN regexp_matches(trim(eu_date),
+                            '^[0-9]{{2}}/[0-9]{{2}}/[0-9]{{4}}$')
+                     THEN CAST(try_strptime(trim(eu_date), '%d/%m/%Y')
+                               AS DATE) END AS eu_date,
+                amb_date,
                 CASE WHEN regexp_matches(trim(grouped_cust),
                         '^[+-]?[0-9]{{1,3}}(,[0-9]{{3}})*$')
                      THEN TRY_CAST(replace(trim(grouped_cust), ',', '')
@@ -4148,12 +4195,13 @@ def typed_view_cast_stats(spark: SparkSession, sf: str) -> DataFrame:
          FROM wh)
        SELECT COUNT(*) AS n_rows,
               CAST(SUM(order_key) AS BIGINT) AS sum_key,
-              CAST(SUM(CAST(round(total_price * 100) AS BIGINT)) AS BIGINT)
-                AS sum_cents,
+              SUM(total_price) AS sum_price,
               MIN(order_date) AS min_date,
               MAX(order_date) AS max_date,
               MAX(order_ts) AS max_ts,
               MAX(us_date) AS max_us_date,
+              MAX(eu_date) AS max_eu_date,
+              COUNT(DISTINCT amb_date) AS n_amb_strings,
               CAST(SUM(grouped_cust) AS BIGINT) AS sum_grouped,
               COUNT(CASE WHEN status_flag THEN 1 END) AS n_true,
               COUNT(DISTINCT padded_cust) AS n_cust,
@@ -4167,8 +4215,11 @@ def typed_view_apply(spark: SparkSession, sf: str) -> DataFrame:
     the decided types are not just labels. The all-blank column stays
     'string' (no values to profile) and passes through AS STORED —
     n_blank_vals counts its '' cells, pinning the pass-through.
-    Double sums are compared in exact integer cents (FP summation
-    order is partition-dependent). The profile runs on a SEEDED 10%
+    The money column types decimal(8,2) (round-5 verdict directive
+    #2) so its sum is EXACT — no FP summation-order noise, no
+    integer-cents workaround; the EU-slash date column types
+    date[dd/MM/yyyy] by day>12 evidence while the all-ambiguous
+    column stays string (directive #7). The profile runs on a SEEDED 10%
     SAMPLE — the at-scale pattern (decide types from a sample, apply
     to the full table): decisions are identical to the full profile
     on this data (seeded, deterministic), and the safe-degradation
@@ -4182,13 +4233,15 @@ def typed_view_apply(spark: SparkSession, sf: str) -> DataFrame:
     return tv.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("order_key").alias("sum_key"),
-        F.sum(F.round(F.col("total_price") * 100).cast("long")).alias(
-            "sum_cents"
-        ),
+        # decimal(8,2) sums EXACTLY — the round-5 integer-cents
+        # workaround is gone with the DECIMAL candidate
+        F.sum("total_price").alias("sum_price"),
         F.min("order_date").alias("min_date"),
         F.max("order_date").alias("max_date"),
         F.max("order_ts").alias("max_ts"),
         F.max("us_date").alias("max_us_date"),
+        F.max("eu_date").alias("max_eu_date"),
+        F.countDistinct("amb_date").alias("n_amb_strings"),
         F.sum("grouped_cust").alias("sum_grouped"),
         F.count(F.when(F.col("status_flag"), 1)).alias("n_true"),
         F.countDistinct("padded_cust").alias("n_cust"),

@@ -27,7 +27,8 @@ def test_profile_decides_most_specific_type(spark):
     types = typed_views.decide_types(df)
     assert types == {
         "a": "bigint",       # whitespace-padded ints still type
-        "b": "double",       # '2' is also double; bigint blocked by '1.5'
+        "b": "decimal(3,2)",  # '2' casts too; bigint blocked by '1.5';
+                              # most specific exact type wins (r5 #2)
         "c": "date",
         "d": "boolean",      # spark token set: true/no/1
         "e": "string",       # mixed → safe floor
@@ -107,11 +108,12 @@ def test_typed_view_over_engine_loaded_target(spark, tmp_path):
     tv = typed_views.auto_typed_view(stored.select(*data_cols))
     assert dict(tv.dtypes) == {
         "title": "string", "pages": "bigint",
-        "price": "double", "published": "date",
+        "price": "decimal(3,2)", "published": "date",
     }
     rows = {r["title"]: r for r in tv.collect()}
     assert rows["Dune"]["pages"] == 412
-    assert rows["Dune"]["price"] == 9.99
+    import decimal
+    assert rows["Dune"]["price"] == decimal.Decimal("9.99")
     assert rows["Dune"]["published"] == datetime.date(1965, 8, 1)
     assert rows["Hyperion"]["price"] is None     # blank → NULL
     assert rows["TBD"]["pages"] is None
@@ -271,7 +273,7 @@ def test_profile_partition_invariant_and_view_preserves_rows(spark):
     t2 = typed_views.decide_types(df.repartition(13))
     assert t1 == t2
     assert t1["ints"] == "bigint"
-    assert t1["decs"] == "double"
+    assert t1["decs"] == "decimal(4,2)"
     assert t1["dates"] == "date"
     assert t1["us"] == "date[MM/dd/yyyy]"
     assert t1["grouped"] == "bigint[grouped]"
@@ -294,3 +296,108 @@ def test_sampled_profile_decides_same_on_clean_columns(spark):
     dirty = _wh(spark, [("1",), ("oops",)], "n string")
     out = typed_views.typed_view(dirty, {"n": "bigint"}).collect()
     assert sorted([r["n"] for r in out], key=str) == [1, None]
+
+
+def test_decimal_candidate_decides_money_and_bignum(spark):
+    """Round-5 verdict directive #2: fraction-bearing numeric columns
+    type decimal(p,s) with profiled digits (exact aggregation), and
+    integers past the bigint range type decimal(p,0) instead of
+    double."""
+    import decimal
+
+    df = _wh(
+        spark,
+        [
+            ("12345.67", "99999999999999999999", "1e4"),
+            ("-0.05", "12345678901234567890123", ".5"),
+        ],
+        "money string, bignum string, expo string",
+    )
+    types = typed_views.decide_types(df)
+    assert types["money"] == "decimal(7,2)"
+    # 23 raw digits, no fraction; bigint try_cast overflows to NULL
+    assert types["bignum"] == "decimal(23,0)"
+    # exponent and bare-dot forms fall through to double, documented
+    assert types["expo"] == "double"
+    out = {tuple(r) for r in typed_views.typed_view(df, types).collect()}
+    assert (decimal.Decimal("12345.67"),
+            decimal.Decimal("99999999999999999999"), 10000.0) in out
+
+
+def test_decimal_digit_budget_gate_nulls_never_rounds(spark):
+    """The decimal view cast is gated on the decided digit budget: a
+    value longer than the profile saw (the sampled-profile
+    degradation case) becomes NULL — Spark's ungated cast would
+    silently ROUND half-up, a wrong value."""
+    df = _wh(spark, [("1.55",), ("2.999",)], "v string")
+    out = typed_views.typed_view(df, {"v": "decimal(3,2)"}).collect()
+    vals = sorted((str(r["v"]) for r in out), key=str)
+    assert vals == ["1.55", "None"]  # 2.999 NULLed, NOT rounded to 3.00
+
+    import pytest
+
+    with pytest.raises(ValueError, match="decimal"):
+        typed_views.typed_view(df, {"v": "decimal(40,2)"})
+    with pytest.raises(ValueError, match="decimal"):
+        typed_views.typed_view(df, {"v": "decimal(2,3)"})
+
+
+def test_slash_date_evidence_rule(spark):
+    """Round-5 verdict directive #7: dd/MM/yyyy wins only on day>12
+    evidence; pure-ambiguity slash columns stay string rather than
+    guessing a locale."""
+    import datetime
+
+    df = _wh(
+        spark,
+        [
+            ("01/13/2020", "13/01/2020", "01/02/2020"),
+            ("02/05/2020", "02/05/2020", "03/04/2021"),
+        ],
+        "us string, eu string, amb string",
+    )
+    types = typed_views.decide_types(df)
+    assert types == {
+        "us": "date[MM/dd/yyyy]",
+        "eu": "date[dd/MM/yyyy]",
+        "amb": "string",
+    }
+    rows = typed_views.typed_view(df, types).collect()
+    got = {(r["us"], r["eu"], r["amb"]) for r in rows}
+    assert (datetime.date(2020, 1, 13), datetime.date(2020, 1, 13),
+            "01/02/2020") in got
+    assert (datetime.date(2020, 2, 5), datetime.date(2020, 5, 2),
+            "03/04/2021") in got
+
+
+def test_auto_sample_fraction_from_footer_stats(spark, tmp_path, monkeypatch):
+    """Round-5 verdict directive #8: sample_fraction='auto' profiles a
+    seeded sample when footer-stats row counts exceed the threshold,
+    and the full table below it; non-parquet inputs (no stats) fall
+    back to the full profile."""
+    import pyspark.sql.functions as F
+
+    path = str(tmp_path / "wide")
+    spark.range(2000).select(
+        F.col("id").cast("string").alias("k"),
+        F.concat((F.col("id") % 97).cast("string"), F.lit(".25"))
+        .alias("m"),
+    ).write.parquet(path)
+    df = spark.read.parquet(path)
+
+    # below threshold -> full profile
+    full = typed_views.decide_types(df, sample_fraction="auto")
+    assert full == {"k": "bigint", "m": "decimal(4,2)"}
+
+    # force the sampled path: threshold under the table size, target
+    # a ~50% sample — decisions stay correct on this clean data
+    monkeypatch.setattr(typed_views, "AUTO_SAMPLE_THRESHOLD_ROWS", 1000)
+    monkeypatch.setattr(typed_views, "AUTO_SAMPLE_TARGET_ROWS", 1000)
+    sampled = typed_views.decide_types(df, sample_fraction="auto")
+    assert sampled == full
+
+    # no footer stats (in-memory frame) -> silently full profile
+    mem = _wh(spark, [("10", "2.5")], "k string, m string")
+    assert typed_views.decide_types(mem, sample_fraction="auto") == {
+        "k": "bigint", "m": "decimal(2,1)"
+    }
