@@ -12,6 +12,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.textfns import words_of
+from .ckpt import make_ckpt, scoped_checkpoint_dir
 
 # A tiny embedded stopword list — deterministic, engine-neutral, and
 # sufficient for a frequency-based language/quality heuristic. (Real
@@ -686,6 +687,7 @@ def bpe_learn_merges(
     n_merges: int = 5,
     word_col: str = "word",
     freq_col: str = "freq",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """ITERATED BPE merge training (round-4 verdict directive #4 —
     ``bpe_pair_count_step`` is one iteration's candidate scan; this
@@ -714,26 +716,41 @@ def bpe_learn_merges(
     text cannot contain '|' (the corpus query gates words to
     alphanumeric).
 
-    Scale shape: everything iterates over the VOCABULARY table (words
-    × frequencies — the reason BPE training is tractable at 100 TB;
-    the corpus is touched once, upstream, to build it). Per round:
-    one uniform-key pair aggregate + a 1-row top-1 collect
-    (metadata-scale) + a narrow replace projection, with
-    ``localCheckpoint`` pinning each round's segmentation (same
-    lineage-truncation discipline as connected_components — the plan
-    would otherwise nest k rounds deep). The merge table itself is
-    k rows on the driver by construction.
+    Scale shape — INCREMENTAL pair-count maintenance (round-5
+    verdict directive #6; Sennrich's trainer does the same): the
+    full pair-occurrence explode+aggregate runs ONCE, up front.
+    Each round then (1) takes the top-1 from the STANDING pair-count
+    table (a TakeOrdered over |distinct pairs| rows — no explode),
+    (2) recounts pairs only for the AFFECTED words (those containing
+    the merged pair — found by a narrow ``contains`` scan, no
+    shuffle), and (3) folds the signed before/after delta into the
+    pair counts with one join on the uniform (left, right) key.
+    Per-round shuffle work is O(|distinct pairs| + affected pair
+    occurrences) instead of O(ALL pair occurrences) — the step that
+    makes realistic-k (30k-merge) training tractable: by mid-
+    training a merge touches a tiny vocabulary slice, exactly when
+    the old recount was at its most wasteful. Both the segmentation
+    and the pair-count table are materialized per round
+    (``checkpoint_dir`` picks durability, the connected_components
+    contract — see ``operators.ckpt``); the merge table itself is
+    k rows on the driver by construction. Everything iterates over
+    the VOCABULARY table (words × frequencies — the reason BPE
+    training is tractable at 100 TB; the corpus is touched once,
+    upstream, to build it).
+
+    The incremental arithmetic is exact (integer adds of recounted
+    affected-word deltas), so every round's counts — and therefore
+    the greedy choice under the tie-break — are IDENTICAL to a full
+    recount; the oracle twin certifies this by running the full
+    recount per round in SQL.
     """
     spark = word_freqs.sparkSession
-    seg = word_freqs.select(
-        F.col(freq_col).alias("freq"),
-        F.regexp_replace(F.col(word_col), "(.)", "|$1").alias("s"),
-    ).localCheckpoint(eager=True)
-    merges: list[tuple] = []
-    for rank in range(1, n_merges + 1):
+    ckpt = make_ckpt(checkpoint_dir)
+
+    def pair_rows(df: DataFrame) -> DataFrame:
         syms = F.split(F.expr("substring(s, 2)"), "[|]")
-        pairs = (
-            seg.select("freq", syms.alias("syms"))
+        return (
+            df.select("freq", syms.alias("syms"))
             # fully-merged single-symbol words contribute no pairs —
             # and F.sequence(1, 0) would otherwise run DESCENDING
             .filter(F.size("syms") >= 2)
@@ -750,25 +767,77 @@ def bpe_learn_merges(
                 "freq",
             )
         )
-        top = (
-            pairs.groupBy("left", "right")
-            .agg(F.sum("freq").alias("pair_count"))
-            .orderBy(
-                F.desc("pair_count"), F.asc("left"), F.asc("right")
+
+    merges: list[tuple] = []
+    with scoped_checkpoint_dir(spark.sparkContext, checkpoint_dir):
+        seg = ckpt(
+            word_freqs.select(
+                F.col(freq_col).alias("freq"),
+                F.regexp_replace(F.col(word_col), "(.)", "|$1").alias("s"),
             )
-            .limit(1)
-            .collect()
         )
-        if not top:
-            break
-        a, b, cnt = top[0]["left"], top[0]["right"], top[0]["pair_count"]
-        merges.append((rank, a, b, a + b, cnt))
-        seg = seg.select(
-            "freq",
-            F.replace(
-                F.col("s"), F.lit("|" + a + "|" + b), F.lit("|" + a + b)
-            ).alias("s"),
-        ).localCheckpoint(eager=True)
+        # the ONE corpus-vocabulary-scale pair aggregate
+        pc = ckpt(
+            pair_rows(seg)
+            .groupBy("left", "right")
+            .agg(F.sum("freq").alias("pair_count"))
+        )
+        for rank in range(1, n_merges + 1):
+            top = (
+                pc.orderBy(
+                    F.desc("pair_count"), F.asc("left"), F.asc("right")
+                )
+                .limit(1)
+                .collect()
+            )
+            if not top or top[0]["pair_count"] <= 0:
+                break
+            a, b, cnt = (
+                top[0]["left"], top[0]["right"], top[0]["pair_count"],
+            )
+            merges.append((rank, a, b, a + b, cnt))
+            pat = "|" + a + "|" + b
+            rep = "|" + a + b
+            # only words CONTAINING the merged pair change — the
+            # delta recounts exactly those, before and after
+            affected = seg.filter(F.col("s").contains(pat))
+            merged = affected.select(
+                "freq", F.replace(F.col("s"), F.lit(pat), F.lit(rep)).alias("s")
+            )
+            delta = (
+                pair_rows(merged)
+                .select("left", "right", F.col("freq").alias("d"))
+                .unionByName(
+                    pair_rows(affected).select(
+                        "left", "right", (-F.col("freq")).alias("d")
+                    )
+                )
+                .groupBy("left", "right")
+                .agg(F.sum("d").alias("d"))
+            )
+            pc = ckpt(
+                pc.join(delta, ["left", "right"], "full_outer")
+                .select(
+                    "left",
+                    "right",
+                    (
+                        F.coalesce("pair_count", F.lit(0))
+                        + F.coalesce("d", F.lit(0))
+                    ).alias("pair_count"),
+                )
+                .filter(F.col("pair_count") > 0)
+            )
+            seg = ckpt(
+                seg.select(
+                    "freq",
+                    F.when(
+                        F.col("s").contains(pat),
+                        F.replace(F.col("s"), F.lit(pat), F.lit(rep)),
+                    )
+                    .otherwise(F.col("s"))
+                    .alias("s"),
+                )
+            )
     return spark.createDataFrame(
         merges,
         "merge_rank int, left_sym string, right_sym string, "

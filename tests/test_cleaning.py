@@ -385,3 +385,35 @@ def test_bpe_apply_merges_reproduces_training_segmentation(spark):
             seg[w] = out
     for w in vocab:
         assert got[w] == (seg[w], len(seg[w])), w
+
+
+def test_bpe_incremental_counts_and_checkpoint_parity(spark, tmp_path):
+    """Round-5 verdict directive #6: the incremental pair-count
+    trainer must produce the SAME merge table (ranks, pairs, counts)
+    at deep k as the semantics pin — a longer run where stale counts
+    would compound — and the checkpoint_dir durability knob must not
+    change results."""
+    from google_sheets_etl_spark.operators import text as text_ops
+
+    vocab = {"low#": 5, "lower#": 2, "newest#": 6, "widest#": 3,
+             "aaaa": 3, "aaab": 2, "wider#": 1}
+    wf = spark.createDataFrame(
+        list(vocab.items()), "word string, freq long"
+    )
+    got = [
+        (r["merge_rank"], r["left_sym"], r["right_sym"],
+         r["merged"], r["pair_count"])
+        for r in text_ops.bpe_learn_merges(wf, n_merges=12)
+        .orderBy("merge_rank").collect()
+    ]
+    assert got == _bpe_reference(vocab, 12)
+    reliable = [
+        (r["merge_rank"], r["left_sym"], r["right_sym"],
+         r["merged"], r["pair_count"])
+        for r in text_ops.bpe_learn_merges(
+            wf, n_merges=12, checkpoint_dir=str(tmp_path / "bpe_ckpt")
+        ).orderBy("merge_rank").collect()
+    ]
+    assert reliable == got
+    import os
+    assert any(os.scandir(tmp_path / "bpe_ckpt"))
