@@ -107,6 +107,27 @@ DATE_FORMAT_SHAPES = {
     "dd.MM.yyyy": "^[0-9]{2}[.][0-9]{2}[.][0-9]{4}$",
 }
 
+# Time-of-day-bearing locale DATETIMES (round-5 "what's missing" #3):
+# the HH:mm forms spreadsheets export. Same structure as the date
+# formats — shape-gated probes, decided as ``timestamp[<fmt>]``, the
+# slash pair under the same day>12 evidence rule (an all-ambiguous
+# datetime column stays string). Minutes-granularity only by design:
+# Spark's strict parser rejects trailing seconds under 'HH:mm', so a
+# ':ss'-bearing column falls through rather than silently truncating.
+TS_FORMATS = (
+    "MM/dd/yyyy HH:mm",
+    "dd/MM/yyyy HH:mm",
+    "dd.MM.yyyy HH:mm",
+)
+TS_FORMAT_SHAPES = {
+    "MM/dd/yyyy HH:mm":
+        "^[0-9]{2}/[0-9]{2}/[0-9]{4} [0-9]{2}:[0-9]{2}$",
+    "dd/MM/yyyy HH:mm":
+        "^[0-9]{2}/[0-9]{2}/[0-9]{4} [0-9]{2}:[0-9]{2}$",
+    "dd.MM.yyyy HH:mm":
+        "^[0-9]{2}[.][0-9]{2}[.][0-9]{4} [0-9]{2}:[0-9]{2}$",
+}
+
 # Comma-grouped numbers — the other spreadsheet reality ('1,234,567'
 # / '1,234.56'). Probed after the date formats; a column wins only
 # when EVERY non-blank value matches the strictly-grouped shape
@@ -197,6 +218,15 @@ def profile_cast_stats(df: DataFrame, columns: list[str] | None = None) -> DataF
                     + str(i) + ", '" + fmt + "') END)"
                 ).alias(f"fmt{j}_{i}")
             )
+        for j, fmt in enumerate(TS_FORMATS):
+            shape = TS_FORMAT_SHAPES[fmt]
+            aggs.append(
+                F.expr(
+                    "count(CASE WHEN _c" + str(i)
+                    + " rlike '" + shape + "' THEN try_to_timestamp(_c"
+                    + str(i) + ", '" + fmt + "') END)"
+                ).alias(f"tfmt{j}_{i}")
+            )
         for j, (_, pat, _base) in enumerate(GROUPED_FORMATS):
             aggs.append(
                 F.expr(
@@ -271,6 +301,10 @@ def profile_cast_stats(df: DataFrame, columns: list[str] | None = None) -> DataF
                 for j in range(len(DATE_FORMATS))
             ],
             *[
+                F.col(f"tfmt{j}_{i}").alias(f"_h{j}")
+                for j in range(len(TS_FORMATS))
+            ],
+            *[
                 F.col(f"grp{j}_{i}").alias(f"_g{j}")
                 for j in range(len(GROUPED_FORMATS))
             ],
@@ -313,6 +347,17 @@ def profile_cast_stats(df: DataFrame, columns: list[str] | None = None) -> DataF
     decided = decided.when(
         F.col("_f2") == n, F.lit(f"date[{DATE_FORMATS[2]}]")
     )
+    # HH:mm locale datetimes, same slash-evidence structure
+    tus, teu = F.col("_h0"), F.col("_h1")
+    decided = decided.when(
+        (tus == n) & (teu < n), F.lit(f"timestamp[{TS_FORMATS[0]}]")
+    )
+    decided = decided.when(
+        (teu == n) & (tus < n), F.lit(f"timestamp[{TS_FORMATS[1]}]")
+    )
+    decided = decided.when(
+        F.col("_h2") == n, F.lit(f"timestamp[{TS_FORMATS[2]}]")
+    )
     for j, (name, _, _) in enumerate(GROUPED_FORMATS):
         decided = decided.when(F.col(f"_g{j}") == n, F.lit(name))
     return long.withColumn(
@@ -321,6 +366,7 @@ def profile_cast_stats(df: DataFrame, columns: list[str] | None = None) -> DataF
         "_di",
         "_ds",
         *[f"_f{j}" for j in range(len(DATE_FORMATS))],
+        *[f"_h{j}" for j in range(len(TS_FORMATS))],
         *[f"_g{j}" for j in range(len(GROUPED_FORMATS))],
     )
 
@@ -406,6 +452,18 @@ def typed_view(df: DataFrame, types: dict[str, str]) -> DataFrame:
                     f"CASE WHEN trim({_quoted(c)}) rlike '{shape}' "
                     f"THEN CAST(try_to_timestamp(trim({_quoted(c)}), "
                     f"'{fmt}') AS date) END"
+                ).alias(c)
+            )
+        elif t.startswith("timestamp[") and t.endswith("]"):
+            fmt = t[len("timestamp["):-1]
+            if fmt not in TS_FORMAT_SHAPES:
+                raise ValueError(f"unsupported timestamp format: {fmt!r}")
+            shape = TS_FORMAT_SHAPES[fmt]
+            out.append(
+                F.expr(
+                    f"CASE WHEN trim({_quoted(c)}) rlike '{shape}' "
+                    f"THEN try_to_timestamp(trim({_quoted(c)}), "
+                    f"'{fmt}') END"
                 ).alias(c)
             )
         elif t.startswith("decimal(") and t.endswith(")"):

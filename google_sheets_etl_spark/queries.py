@@ -2885,9 +2885,7 @@ def kmeans_train(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.kmeans_lloyd(e, seeds, n_iter=2)
 
 
-@q(
-    "semantic_dedup_keep",
-    """WITH k AS (SELECT GREATEST(8, COUNT(*) // 625) AS k
+_SEMDEDUP_KEEP_ORACLE = """WITH k AS (SELECT GREATEST(8, COUNT(*) // 625) AS k
                   FROM embeddings),
        c AS (SELECT vec_id AS cent_id, embedding AS cv
              FROM embeddings, k WHERE vec_id < k.k),
@@ -2917,8 +2915,10 @@ def kmeans_train(spark: SparkSession, sf: str) -> DataFrame:
                 AS n_kept,
               COUNT(rm.vec_id)::BIGINT AS n_removed
        FROM asg LEFT JOIN rm ON asg.vec_id = rm.vec_id
-       GROUP BY asg.cell""",
-)
+       GROUP BY asg.cell"""
+
+
+@q("semantic_dedup_keep", _SEMDEDUP_KEEP_ORACLE)
 def semantic_dedup_keep(spark: SparkSession, sf: str) -> DataFrame:
     """SemDeDup end-to-end (operators/similarity.py semantic_dedup,
     round-4 verdict directive #5): k-means cells → intra-cell cosine
@@ -2942,6 +2942,36 @@ def semantic_dedup_keep(spark: SparkSession, sf: str) -> DataFrame:
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv")
     )
     verdicts = similarity.semantic_dedup(e, cents, threshold=0.45)
+    return verdicts.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(F.col("kept"), 1)).alias("n_kept"),
+        F.count(F.when(~F.col("kept"), 1)).alias("n_removed"),
+    )
+
+
+@q("semantic_dedup_banded", _SEMDEDUP_KEEP_ORACLE)
+def semantic_dedup_banded(spark: SparkSession, sf: str) -> DataFrame:
+    """The CELL-SIZE-GUARDED SemDeDup path (round-5 verdict directive
+    #5): identical algorithm and keep rule as semantic_dedup_keep,
+    but with ``max_cell_rows=256`` every over-cap cell splits into
+    consecutive id-ordered blocks and the pair search runs as banded
+    block-pair tasks (triangular diagonal, rectangular off-diagonal)
+    — no task holds more than 2*cap rows or a cap^2 matrix, the
+    skewed-cell OOM bound at 100 TB. The oracle is the SAME
+    full-algorithm SQL as the unguarded query: the guard is a
+    physical re-plan, not a semantic — this row certifies exactly
+    that, per-cell counts and all, on cells ~2.5x the cap."""
+    e = t(spark, sf, "embeddings")
+    n = similarity.estimate_row_count(e)
+    if n is None:
+        n = e.count()
+    k = max(8, n // 625)
+    cents = e.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv")
+    )
+    verdicts = similarity.semantic_dedup(
+        e, cents, threshold=0.45, max_cell_rows=256
+    )
     return verdicts.groupBy("cell").agg(
         F.count(F.lit(1)).alias("n_total"),
         F.count(F.when(F.col("kept"), 1)).alias("n_kept"),
@@ -3961,6 +3991,15 @@ def _varchar_warehouse(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("order_ts"),
         F.date_format(F.col("o_orderdate"), "MM/dd/yyyy").alias("us_date"),
         F.date_format(F.col("o_orderdate"), "dd/MM/yyyy").alias("eu_date"),
+        # US-slash DATETIME at minutes granularity: types
+        # timestamp[MM/dd/yyyy HH:mm] by the same day>12 evidence
+        F.concat(
+            F.date_format(F.col("o_orderdate"), "MM/dd/yyyy"),
+            F.lit(" "),
+            F.lpad((F.col("o_orderkey") % 24).cast("string"), 2, "0"),
+            F.lit(":"),
+            F.lpad((F.col("o_custkey") % 60).cast("string"), 2, "0"),
+        ).alias("us_ts_min"),
         # every value has day <= 12 AND month <= 12: parses fully
         # under BOTH slash formats -> pure ambiguity, pinned 'string'
         F.concat(
@@ -4010,6 +4049,9 @@ _VARCHAR_WAREHOUSE_SQL = """
            AS order_ts,
          strftime(o_orderdate, '%m/%d/%Y') AS us_date,
          strftime(o_orderdate, '%d/%m/%Y') AS eu_date,
+         strftime(o_orderdate, '%m/%d/%Y') || ' ' ||
+           lpad(CAST(o_orderkey % 24 AS VARCHAR), 2, '0') || ':' ||
+           lpad(CAST(o_custkey % 60 AS VARCHAR), 2, '0') AS us_ts_min,
          lpad(CAST((o_orderkey % 12) + 1 AS VARCHAR), 2, '0') || '/' ||
            lpad(CAST((o_custkey % 12) + 1 AS VARCHAR), 2, '0') || '/2020'
            AS amb_date,
@@ -4064,6 +4106,7 @@ _SPARK_BIGINT_SQL = (
          UNION ALL SELECT 'order_ts', order_ts FROM wh
          UNION ALL SELECT 'us_date', us_date FROM wh
          UNION ALL SELECT 'eu_date', eu_date FROM wh
+         UNION ALL SELECT 'us_ts_min', us_ts_min FROM wh
          UNION ALL SELECT 'amb_date', amb_date FROM wh
          UNION ALL SELECT 'grouped_cust', grouped_cust FROM wh
          UNION ALL SELECT 'status_flag', status_flag FROM wh
@@ -4119,6 +4162,24 @@ _SPARK_BIGINT_SQL = (
                                        '^[0-9]{{2}}\.[0-9]{{2}}\.[0-9]{{4}}$')
                         AND try_strptime(trim(v), '%d.%m.%Y') IS NOT NULL
                       THEN 1 END) AS n_dot,
+                COUNT(CASE WHEN
+                        regexp_matches(trim(v), '^[0-9]{{2}}/[0-9]{{2}}'
+                          || '/[0-9]{{4}} [0-9]{{2}}:[0-9]{{2}}$')
+                        AND try_strptime(trim(v), '%m/%d/%Y %H:%M')
+                            IS NOT NULL
+                      THEN 1 END) AS n_hus,
+                COUNT(CASE WHEN
+                        regexp_matches(trim(v), '^[0-9]{{2}}/[0-9]{{2}}'
+                          || '/[0-9]{{4}} [0-9]{{2}}:[0-9]{{2}}$')
+                        AND try_strptime(trim(v), '%d/%m/%Y %H:%M')
+                            IS NOT NULL
+                      THEN 1 END) AS n_heu,
+                COUNT(CASE WHEN
+                        regexp_matches(trim(v), '^[0-9]{{2}}\.[0-9]{{2}}'
+                          || '\.[0-9]{{4}} [0-9]{{2}}:[0-9]{{2}}$')
+                        AND try_strptime(trim(v), '%d.%m.%Y %H:%M')
+                            IS NOT NULL
+                      THEN 1 END) AS n_hdot,
                 COUNT(CASE WHEN regexp_matches(trim(v),
                         '^[+-]?[0-9]{{1,3}}(,[0-9]{{3}})*$')
                       THEN 1 END) AS n_gi,
@@ -4142,6 +4203,12 @@ _SPARK_BIGINT_SQL = (
                    WHEN n_eu_slash = n_values AND n_us < n_values
                         THEN 'date[dd/MM/yyyy]'
                    WHEN n_dot = n_values THEN 'date[dd.MM.yyyy]'
+                   WHEN n_hus = n_values AND n_heu < n_values
+                        THEN 'timestamp[MM/dd/yyyy HH:mm]'
+                   WHEN n_heu = n_values AND n_hus < n_values
+                        THEN 'timestamp[dd/MM/yyyy HH:mm]'
+                   WHEN n_hdot = n_values
+                        THEN 'timestamp[dd.MM.yyyy HH:mm]'
                    WHEN n_gi = n_values THEN 'bigint[grouped]'
                    WHEN n_gd = n_values THEN 'double[grouped]'
                    ELSE 'string' END AS decided_type
@@ -4179,6 +4246,12 @@ def typed_view_cast_stats(spark: SparkSession, sf: str) -> DataFrame:
                             '^[0-9]{{2}}/[0-9]{{2}}/[0-9]{{4}}$')
                      THEN CAST(try_strptime(trim(eu_date), '%d/%m/%Y')
                                AS DATE) END AS eu_date,
+                CASE WHEN regexp_matches(trim(us_ts_min),
+                            '^[0-9]{{2}}/[0-9]{{2}}/[0-9]{{4}}'
+                            || ' [0-9]{{2}}:[0-9]{{2}}$')
+                     THEN try_strptime(trim(us_ts_min),
+                                       '%m/%d/%Y %H:%M')
+                     END AS us_ts_min,
                 amb_date,
                 CASE WHEN regexp_matches(trim(grouped_cust),
                         '^[+-]?[0-9]{{1,3}}(,[0-9]{{3}})*$')
@@ -4201,6 +4274,7 @@ def typed_view_cast_stats(spark: SparkSession, sf: str) -> DataFrame:
               MAX(order_ts) AS max_ts,
               MAX(us_date) AS max_us_date,
               MAX(eu_date) AS max_eu_date,
+              MAX(us_ts_min) AS max_us_ts,
               COUNT(DISTINCT amb_date) AS n_amb_strings,
               CAST(SUM(grouped_cust) AS BIGINT) AS sum_grouped,
               COUNT(CASE WHEN status_flag THEN 1 END) AS n_true,
@@ -4241,6 +4315,7 @@ def typed_view_apply(spark: SparkSession, sf: str) -> DataFrame:
         F.max("order_ts").alias("max_ts"),
         F.max("us_date").alias("max_us_date"),
         F.max("eu_date").alias("max_eu_date"),
+        F.max("us_ts_min").alias("max_us_ts"),
         F.countDistinct("amb_date").alias("n_amb_strings"),
         F.sum("grouped_cust").alias("sum_grouped"),
         F.count(F.when(F.col("status_flag"), 1)).alias("n_true"),

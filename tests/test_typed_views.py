@@ -401,3 +401,36 @@ def test_auto_sample_fraction_from_footer_stats(spark, tmp_path, monkeypatch):
     assert typed_views.decide_types(mem, sample_fraction="auto") == {
         "k": "bigint", "m": "decimal(2,1)"
     }
+
+
+def test_locale_timestamp_formats_evidence_and_seconds_gate(spark):
+    """HH:mm locale datetimes type timestamp[<fmt>] under the same
+    slash-evidence rule as dates; an all-ambiguous datetime column
+    stays string; a ':ss'-bearing column falls through rather than
+    silently truncating seconds."""
+    import datetime
+
+    df = _wh(
+        spark,
+        [
+            ("01/13/2020 14:30", "13/01/2020 14:30", "01/02/2020 10:00",
+             "13.01.2020 08:15", "01/13/2020 14:30:59"),
+            ("02/05/2020 00:01", "02/05/2020 23:59", "03/04/2021 11:11",
+             "28.02.2021 23:00", "02/05/2020 00:01:02"),
+        ],
+        "us string, eu string, amb string, dot string, secs string",
+    )
+    types = typed_views.decide_types(df)
+    assert types == {
+        "us": "timestamp[MM/dd/yyyy HH:mm]",
+        "eu": "timestamp[dd/MM/yyyy HH:mm]",
+        "amb": "string",
+        "dot": "timestamp[dd.MM.yyyy HH:mm]",
+        "secs": "string",
+    }
+    rows = typed_views.typed_view(df, types).collect()
+    got = {(r["us"], r["eu"], r["dot"], r["secs"]) for r in rows}
+    assert (datetime.datetime(2020, 1, 13, 14, 30),
+            datetime.datetime(2020, 1, 13, 14, 30),
+            datetime.datetime(2020, 1, 13, 8, 15),
+            "01/13/2020 14:30:59") in got
