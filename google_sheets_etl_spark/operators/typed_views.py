@@ -196,6 +196,13 @@ def profile_cast_stats(df: DataFrame, columns: list[str] | None = None) -> DataF
     # strings ('now', 'today', 'epoch', ...), which are DELIBERATELY
     # not type evidence here: a column of 'now's typing as timestamp
     # would make the view non-deterministic.
+    # Every SHAPE regex is evaluated ONCE per value here — behind the
+    # digit/sign lead-character gate (all shapes require it, and a
+    # one-char test short-circuits 7 regexes on text-heavy columns) —
+    # and the aggregates below reference the booleans. Before this
+    # consolidation each aggregate ran its own regex (the decimal
+    # shape 3x, each slash shape 2x): measured ~2x the whole profile
+    # at sf0.1 when the round-6 candidates landed.
     temporal = []
     for i in range(len(cols)):
         for alias, t in ((f"_d{i}", "date"), (f"_t{i}", "timestamp")):
@@ -205,32 +212,107 @@ def profile_cast_stats(df: DataFrame, columns: list[str] | None = None) -> DataF
                     f"THEN try_cast(_c{i} AS {t}) END"
                 ).alias(alias)
             )
-    safe = normalized.select("*", *temporal)
+        for alias, shape in (
+            (f"_sl{i}", DATE_FORMAT_SHAPES["MM/dd/yyyy"]),
+            (f"_dot{i}", DATE_FORMAT_SHAPES["dd.MM.yyyy"]),
+            (f"_slh{i}", TS_FORMAT_SHAPES["MM/dd/yyyy HH:mm"]),
+            (f"_doth{i}", TS_FORMAT_SHAPES["dd.MM.yyyy HH:mm"]),
+            (f"_dec{i}", DECIMAL_SHAPE),
+            (f"_gi{i}", GROUPED_INT_RE),
+            (f"_gd{i}", GROUPED_DBL_RE),
+        ):
+            temporal.append(
+                F.expr(
+                    f"substring(_c{i}, 1, 1) IN {lead} "
+                    f"AND _c{i} rlike '{shape}'"
+                ).alias(alias)
+            )
+    shaped = normalized.select("*", *temporal)
+    # third projection: decimal digit-run lengths and the fixed-
+    # position date/time FIELDS reference the shape booleans (sibling
+    # aliases can't be referenced in-select). All four locale shapes
+    # put their numeric fields at identical offsets (2/2/4 [+2:2]),
+    # so one extraction serves every format probe.
+    digits = []
+    for i in range(len(cols)):
+        digits.append(
+            F.expr(
+                f"CASE WHEN _dec{i} THEN "
+                f"length(regexp_extract(_c{i}, '^[+-]?([0-9]+)', 1)) "
+                "END"
+            ).alias(f"_dil{i}")
+        )
+        digits.append(
+            F.expr(
+                f"CASE WHEN _dec{i} THEN "
+                f"length(regexp_extract(_c{i}, '[.]([0-9]+)$', 1)) "
+                "END"
+            ).alias(f"_dsl{i}")
+        )
+        any_locale = f"_sl{i} OR _dot{i} OR _slh{i} OR _doth{i}"
+        for alias, pos, ln, gate in (
+            (f"_p1{i}", 1, 2, any_locale),
+            (f"_p2{i}", 4, 2, any_locale),
+            (f"_py{i}", 7, 4, any_locale),
+            (f"_ph{i}", 12, 2, f"_slh{i} OR _doth{i}"),
+            (f"_pmi{i}", 15, 2, f"_slh{i} OR _doth{i}"),
+        ):
+            digits.append(
+                F.expr(
+                    f"CASE WHEN {gate} THEN "
+                    f"cast(substring(_c{i}, {pos}, {ln}) AS int) END"
+                ).alias(alias)
+            )
+    safe = shaped.select("*", *digits)
+
+    # Gregorian validity as ARITHMETIC, not a formatter: the format
+    # probes only feed the DECISION (the view parses the winning
+    # format with the real parser), and Java's DateTimeFormatter
+    # takes an exception path per failing value — measured as the
+    # dominant profile cost on slash-shaped columns, where the losing
+    # format's parse throws for EVERY value. Day/month/leap-year
+    # arithmetic over the fixed-position fields is whole-stage
+    # codegen and encodes exactly the strict parser's accept set for
+    # these shapes.
+    def greg_valid(day: str, mon: str, yr: str) -> str:
+        return (
+            f"({mon} BETWEEN 1 AND 12 AND {day} >= 1 AND {day} <= "
+            f"CASE WHEN {mon} IN (1,3,5,7,8,10,12) THEN 31 "
+            f"WHEN {mon} IN (4,6,9,11) THEN 30 "
+            f"WHEN ({yr} % 4 = 0 AND {yr} % 100 <> 0) "
+            f"OR {yr} % 400 = 0 THEN 29 ELSE 28 END)"
+        )
+
     aggs = []
     for i in range(len(cols)):
         aggs.append(F.expr(f"count(_c{i})").alias(f"n_{i}"))
-        for j, fmt in enumerate(DATE_FORMATS):
-            shape = DATE_FORMAT_SHAPES[fmt]
+        p1, p2, py = f"_p1{i}", f"_p2{i}", f"_py{i}"
+        time_ok = f"_ph{i} <= 23 AND _pmi{i} <= 59"
+        for j, (gate, valid) in enumerate((
+            (f"_sl{i}", greg_valid(p2, p1, py)),    # MM/dd/yyyy
+            (f"_sl{i}", greg_valid(p1, p2, py)),    # dd/MM/yyyy
+            (f"_dot{i}", greg_valid(p1, p2, py)),   # dd.MM.yyyy
+        )):
             aggs.append(
                 F.expr(
-                    "count(CASE WHEN _c" + str(i)
-                    + " rlike '" + shape + "' THEN try_to_timestamp(_c"
-                    + str(i) + ", '" + fmt + "') END)"
+                    f"count(CASE WHEN {gate} AND {valid} THEN 1 END)"
                 ).alias(f"fmt{j}_{i}")
             )
-        for j, fmt in enumerate(TS_FORMATS):
-            shape = TS_FORMAT_SHAPES[fmt]
+        for j, (gate, valid) in enumerate((
+            (f"_slh{i}", greg_valid(p2, p1, py)),
+            (f"_slh{i}", greg_valid(p1, p2, py)),
+            (f"_doth{i}", greg_valid(p1, p2, py)),
+        )):
             aggs.append(
                 F.expr(
-                    "count(CASE WHEN _c" + str(i)
-                    + " rlike '" + shape + "' THEN try_to_timestamp(_c"
-                    + str(i) + ", '" + fmt + "') END)"
+                    f"count(CASE WHEN {gate} AND {valid} "
+                    f"AND {time_ok} THEN 1 END)"
                 ).alias(f"tfmt{j}_{i}")
             )
-        for j, (_, pat, _base) in enumerate(GROUPED_FORMATS):
+        for j, alias in enumerate((f"_gi{i}", f"_gd{i}")):
             aggs.append(
                 F.expr(
-                    f"count(CASE WHEN _c{i} rlike '{pat}' THEN 1 END)"
+                    f"count(CASE WHEN {alias} THEN 1 END)"
                 ).alias(f"grp{j}_{i}")
             )
         # decimal probe: shape count + the max integer/fraction digit
@@ -239,36 +321,45 @@ def profile_cast_stats(df: DataFrame, columns: list[str] | None = None) -> DataF
         # under, and the arithmetic is portable to the SQL twin.
         aggs.append(
             F.expr(
-                f"count(CASE WHEN _c{i} rlike '{DECIMAL_SHAPE}' "
-                "THEN 1 END)"
+                f"count(CASE WHEN _dec{i} THEN 1 END)"
             ).alias(f"decimal_{i}")
         )
-        aggs.append(
-            F.expr(
-                f"max(CASE WHEN _c{i} rlike '{DECIMAL_SHAPE}' THEN "
-                f"length(regexp_extract(_c{i}, '^[+-]?([0-9]+)', 1)) "
-                "END)"
-            ).alias(f"deci_{i}")
-        )
-        aggs.append(
-            F.expr(
-                f"max(CASE WHEN _c{i} rlike '{DECIMAL_SHAPE}' THEN "
-                f"length(regexp_extract(_c{i}, '[.]([0-9]+)$', 1)) "
-                "END)"
-            ).alias(f"decs_{i}")
-        )
+        aggs.append(F.expr(f"max(_dil{i})").alias(f"deci_{i}"))
+        aggs.append(F.expr(f"max(_dsl{i})").alias(f"decs_{i}"))
         for t in CANDIDATES:
             if t == "boolean":
                 # EXACTLY Spark's string→boolean token set, as a
                 # membership test: try_cast-to-boolean takes the
                 # exception path per non-matching row (~5x the cost
                 # of every other candidate combined, measured at
-                # sf0.1); the IN list is the same accept set at
-                # string-compare cost
+                # sf0.1). The first-char gate in front of it matters
+                # just as much: lower() allocates a fresh string per
+                # row before the 10 comparisons — measured ~1.2 s per
+                # column at sf0.1 ungated, one of the two dominant
+                # profile costs; a one-char test short-circuits it
+                # for every non-boolean-looking value.
                 probe = (
-                    f"count(CASE WHEN lower(_c{i}) IN "
+                    f"count(CASE WHEN substring(_c{i}, 1, 1) IN "
+                    "('t','T','f','F','y','Y','n','N','0','1') "
+                    f"AND lower(_c{i}) IN "
                     "('t','true','y','yes','1',"
                     "'f','false','n','no','0') THEN 1 END)"
+                )
+            elif t == "bigint":
+                # integral-shaped ⟺ decimal-shaped with zero fraction
+                # digits — both already computed. The shape gate is
+                # load-bearing for COST, not just semantics: ANSI
+                # try_cast string→bigint throws-and-catches per
+                # non-integral value (~1.4 s per column at sf0.1,
+                # the other dominant profile cost); behind the gate
+                # the cast only runs on integral shapes, where it
+                # succeeds exceptionlessly (or NULLs the rare
+                # overflow). Accept set unchanged: Spark's ANSI
+                # bigint cast rejects exactly the non-integral
+                # shapes the gate skips.
+                probe = (
+                    f"count(CASE WHEN _dec{i} AND _dsl{i} = 0 "
+                    f"THEN try_cast(_c{i} AS bigint) END)"
                 )
             elif t == "date":
                 # midnight-strict: date-parseable AND no time info
