@@ -877,3 +877,61 @@ def bpe_apply_merges(
             F.size(syms).alias("n_tokens"),
         )
     )
+
+
+def sliding_chunks(
+    docs: DataFrame,
+    chunk_words: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """OVERLAPPING sliding-window chunking — the retrieval/embedding
+    sibling of ``sampling.pack_context_chunks`` (which packs
+    NON-overlapping pieces into training sequences): window starts at
+    every ``stride`` words, each window spans up to ``chunk_words``
+    words, so consecutive chunks share ``chunk_words - stride`` words
+    of context. The standard pre-embedding pass for RAG indexes and
+    context-window-bounded scoring.
+
+    Returns ``(id, chunk_idx, n_chunk_words, chunk_text)``;
+    ``chunk_idx = start // stride`` is dense from 0. Start positions
+    are every multiple of ``stride`` strictly below the word count,
+    so the tail is always covered and a sub-stride document yields
+    exactly one chunk.
+
+    Narrow split → explode → slice projection: no shuffle at any
+    scale, parallel in the input splits. The explode factor is
+    ``ceil(words / stride)`` rows per document — size the downstream
+    with that, not the document count."""
+    if chunk_words < 1 or stride < 1:
+        raise ValueError("chunk_words and stride must be >= 1")
+    if stride > chunk_words:
+        raise ValueError(
+            "stride > chunk_words would drop words between windows"
+        )
+    w = docs.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("_w")
+    ).filter(F.size("_w") >= 1)
+    return (
+        w.select(
+            id_col,
+            "_w",
+            F.explode(
+                F.sequence(F.lit(0), F.size("_w") - 1, F.lit(stride))
+            ).alias("_start"),
+        )
+        .select(
+            id_col,
+            (F.col("_start") / stride).cast("long").alias("chunk_idx"),
+            F.slice(
+                F.col("_w"), F.col("_start") + 1, F.lit(chunk_words)
+            ).alias("_cw"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.size("_cw").cast("long").alias("n_chunk_words"),
+            F.array_join("_cw", " ").alias("chunk_text"),
+        )
+    )

@@ -4565,6 +4565,31 @@ def context_pack_chunks(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "doc_sliding_chunks",
+    """SELECT doc_id,
+              CAST(s // 48 AS BIGINT) AS chunk_idx,
+              CAST(len(cw) AS BIGINT) AS n_chunk_words,
+              array_to_string(cw, ' ') AS chunk_text
+       FROM (SELECT doc_id, s, list_slice(w, s + 1, s + 64) AS cw
+             FROM (SELECT doc_id, string_split(text, ' ') AS w
+                   FROM documents),
+                  unnest(range(0, len(w), 48)) AS t(s)
+             WHERE len(w) >= 1)""",
+)
+def doc_sliding_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """OVERLAPPING sliding-window chunking (operators/text.py
+    sliding_chunks): windows of up to 64 words starting every 48 —
+    consecutive chunks share 16 words of context, the standard
+    pre-embedding pass for RAG indexes (context_pack_chunks is the
+    NON-overlapping training-sequence sibling). Narrow split →
+    explode → slice projection, no shuffle at any scale; the oracle
+    compares every chunk's exact text, index, and width."""
+    return text_ops.sliding_chunks(
+        t(spark, sf, "documents"), chunk_words=64, stride=48
+    )
+
+
+@q(
     "approx_quantile_contract",
     """SELECT l_returnflag,
               quantile_cont(l_quantity, 0.25) AS q25,

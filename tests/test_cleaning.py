@@ -417,3 +417,31 @@ def test_bpe_incremental_counts_and_checkpoint_parity(spark, tmp_path):
     assert reliable == got
     import os
     assert any(os.scandir(tmp_path / "bpe_ckpt"))
+
+
+def test_sliding_chunks_overlap_and_tail(spark):
+    """Window/stride semantics: overlapping context, dense chunk_idx,
+    tail always covered, sub-stride doc yields one chunk."""
+    import pytest
+
+    from google_sheets_etl_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10))), (2, "a b")],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["doc_id"], r["chunk_idx"]): (r["n_chunk_words"], r["chunk_text"])
+        for r in text_ops.sliding_chunks(
+            docs, chunk_words=4, stride=3
+        ).collect()
+    }
+    assert rows[(1, 0)] == (4, "w0 w1 w2 w3")
+    assert rows[(1, 1)] == (4, "w3 w4 w5 w6")  # 1 word shared
+    assert rows[(1, 2)] == (4, "w6 w7 w8 w9")
+    assert rows[(1, 3)] == (1, "w9")           # tail start 9 < 10
+    assert rows[(2, 0)] == (2, "a b")          # sub-stride doc
+    assert len(rows) == 5
+
+    with pytest.raises(ValueError, match="stride"):
+        text_ops.sliding_chunks(docs, chunk_words=4, stride=5)
