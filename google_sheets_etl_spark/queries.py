@@ -2144,6 +2144,65 @@ def near_dup_clusters_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.connected_components(pairs)
 
 
+@q(
+    "dedup_keep_best_quality",
+    _CLUSTERS_ORACLE.replace(
+        "SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node",
+        """, cc AS (SELECT node AS doc_id, MIN(r) AS cluster_id
+              FROM reach GROUP BY node),
+       qs AS (SELECT doc_id,
+                     (1000 * len(list_filter(string_split(text, ' '),
+                         w -> list_contains(['the','a','of','and','to','in',
+                                             'is','that','it','for'], w)))
+                      - 36 * len(string_split(text, ' '))
+                      - 5 * len(string_split(text, ' ')) *
+                        list_max(list_transform(string_split(text, ' '),
+                                                w -> len(w))))::BIGINT
+                       AS quality_score
+              FROM documents),
+       full_docs AS (
+         SELECT q.doc_id, COALESCE(cc.cluster_id, q.doc_id) AS cluster_id,
+                q.quality_score
+         FROM qs q LEFT JOIN cc ON q.doc_id = cc.doc_id)
+       SELECT doc_id, cluster_id, quality_score,
+              ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                 ORDER BY quality_score DESC,
+                                          doc_id ASC) = 1 AS kept
+       FROM full_docs""",
+    ),
+)
+def dedup_keep_best_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-aware SURVIVOR SELECTION over near-dup clusters: the
+    policy real pipelines run instead of keep-lowest-id — per
+    duplicate cluster keep the HIGHEST-quality member (integer
+    classifier score, doc_id tie-break); singletons are their own
+    cluster and always survive. Composes the LSH cluster kernel
+    (recall 1.0 at these parameters, so the exact recursive-CTE
+    cluster oracle applies) with the integer quality classifier and
+    one per-cluster window — cluster keys are near-dup-bounded small
+    groups, so the window shuffle is uniform. Output is the full
+    verdict table (doc, cluster, score, kept), not just survivors,
+    so the removal set is auditable."""
+    docs = t(spark, sf, "documents")
+    pairs = dedup.near_dup_pairs(docs, threshold=0.5)
+    cc = dedup.connected_components(pairs)
+    qs = text_ops.quality_classifier(docs).select("doc_id", "quality_score")
+    full = qs.join(cc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        "quality_score",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    return full.select(
+        "doc_id",
+        "cluster_id",
+        "quality_score",
+        (F.row_number().over(w) == 1).alias("kept"),
+    )
+
+
 _SIMHASH_ORACLE = """
 WITH tok AS (
   SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
