@@ -146,6 +146,12 @@ GROUPED_FORMATS = (
     ("bigint[grouped]", GROUPED_INT_RE, "bigint"),
     ("double[grouped]", GROUPED_DBL_RE, "double"),
 )
+# Grouped MONEY ('1,234.56') decides ``decimal(p,s)[grouped]`` —
+# sitting between bigint[grouped] and double[grouped] exactly as the
+# ungrouped decimal sits between bigint and double, with the same
+# profiled digits (counted on the comma-STRIPPED value) and the same
+# digit-budget-gated view cast; p over 38 falls through to
+# double[grouped].
 
 
 def _quoted(name: str) -> str:
@@ -249,6 +255,20 @@ def profile_cast_stats(df: DataFrame, columns: list[str] | None = None) -> DataF
                 "END"
             ).alias(f"_dsl{i}")
         )
+        digits.append(
+            F.expr(
+                f"CASE WHEN _gd{i} THEN "
+                f"length(replace(regexp_extract(_c{i}, "
+                f"'^[+-]?([0-9,]+)', 1), ',', '')) END"
+            ).alias(f"_gil{i}")
+        )
+        digits.append(
+            F.expr(
+                f"CASE WHEN _gd{i} THEN "
+                f"length(regexp_extract(_c{i}, '[.]([0-9]+)$', 1)) "
+                "END"
+            ).alias(f"_gsl{i}")
+        )
         any_locale = f"_sl{i} OR _dot{i} OR _slh{i} OR _doth{i}"
         for alias, pos, ln, gate in (
             (f"_p1{i}", 1, 2, any_locale),
@@ -326,6 +346,8 @@ def profile_cast_stats(df: DataFrame, columns: list[str] | None = None) -> DataF
         )
         aggs.append(F.expr(f"max(_dil{i})").alias(f"deci_{i}"))
         aggs.append(F.expr(f"max(_dsl{i})").alias(f"decs_{i}"))
+        aggs.append(F.expr(f"max(_gil{i})").alias(f"gdeci_{i}"))
+        aggs.append(F.expr(f"max(_gsl{i})").alias(f"gdecs_{i}"))
         for t in CANDIDATES:
             if t == "boolean":
                 # EXACTLY Spark's string→boolean token set, as a
@@ -387,6 +409,8 @@ def profile_cast_stats(df: DataFrame, columns: list[str] | None = None) -> DataF
             # decision, not the output
             F.col(f"deci_{i}").alias("_di"),
             F.col(f"decs_{i}").alias("_ds"),
+            F.col(f"gdeci_{i}").alias("_gdi"),
+            F.col(f"gdecs_{i}").alias("_gds"),
             *[
                 F.col(f"fmt{j}_{i}").alias(f"_f{j}")
                 for j in range(len(DATE_FORMATS))
@@ -449,13 +473,30 @@ def profile_cast_stats(df: DataFrame, columns: list[str] | None = None) -> DataF
     decided = decided.when(
         F.col("_h2") == n, F.lit(f"timestamp[{TS_FORMATS[2]}]")
     )
-    for j, (name, _, _) in enumerate(GROUPED_FORMATS):
-        decided = decided.when(F.col(f"_g{j}") == n, F.lit(name))
+    decided = decided.when(
+        F.col("_g0") == n, F.lit("bigint[grouped]")
+    )
+    gprec = F.coalesce(F.col("_gdi"), F.lit(0)) + F.coalesce(
+        F.col("_gds"), F.lit(0)
+    )
+    decided = decided.when(
+        (F.col("_g1") == n) & (gprec <= DECIMAL_MAX_PRECISION),
+        F.concat(
+            F.lit("decimal("),
+            gprec.cast("string"),
+            F.lit(","),
+            F.coalesce(F.col("_gds"), F.lit(0)).cast("string"),
+            F.lit(")[grouped]"),
+        ),
+    )
+    decided = decided.when(F.col("_g1") == n, F.lit("double[grouped]"))
     return long.withColumn(
         "decided_type", decided.otherwise(F.lit("string"))
     ).drop(
         "_di",
         "_ds",
+        "_gdi",
+        "_gds",
         *[f"_f{j}" for j in range(len(DATE_FORMATS))],
         *[f"_h{j}" for j in range(len(TS_FORMATS))],
         *[f"_g{j}" for j in range(len(GROUPED_FORMATS))],
@@ -555,6 +596,30 @@ def typed_view(df: DataFrame, types: dict[str, str]) -> DataFrame:
                     f"CASE WHEN trim({_quoted(c)}) rlike '{shape}' "
                     f"THEN try_to_timestamp(trim({_quoted(c)}), "
                     f"'{fmt}') END"
+                ).alias(c)
+            )
+        elif t.startswith("decimal(") and t.endswith(")[grouped]"):
+            try:
+                p, s = (
+                    int(x)
+                    for x in t[len("decimal("):-len(")[grouped]")].split(",")
+                )
+            except ValueError as exc:
+                raise ValueError(f"malformed decimal type: {t!r}") from exc
+            if not (0 <= s < p <= DECIMAL_MAX_PRECISION):
+                raise ValueError(f"invalid decimal precision: {t!r}")
+            # comma-strip behind the grouping gate, then the same
+            # digit-budget gate as the ungrouped decimal on the
+            # stripped value — NULL, never a rounded value
+            frac = f"([.][0-9]{{1,{s}}})?" if s else ""
+            budget = f"^[+-]?[0-9]{{1,{p - s}}}{frac}$"
+            stripped = f"replace(trim({_quoted(c)}), ',', '')"
+            out.append(
+                F.expr(
+                    f"CASE WHEN trim({_quoted(c)}) rlike "
+                    f"'{GROUPED_DBL_RE}' AND {stripped} rlike "
+                    f"'{budget}' THEN try_cast({stripped} "
+                    f"AS DECIMAL({p},{s})) END"
                 ).alias(c)
             )
         elif t.startswith("decimal(") and t.endswith(")"):

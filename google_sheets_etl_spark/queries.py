@@ -4081,6 +4081,34 @@ def _varchar_warehouse(spark: SparkSession, sf: str) -> DataFrame:
             )
         )
         .alias("grouped_cust"),
+        # thousands-grouped MONEY: must decide decimal(p,2)[grouped]
+        F.concat(
+            F.when(
+                F.length(F.floor(cents / 100).cast("long").cast("string"))
+                <= 3,
+                F.floor(cents / 100).cast("long").cast("string"),
+            ).otherwise(
+                F.concat(
+                    F.expr(
+                        "substring(cast(cast(floor("
+                        "cast(round(o_totalprice * 100) AS bigint) / 100"
+                        ") AS long) AS string), 1, length(cast(cast(floor("
+                        "cast(round(o_totalprice * 100) AS bigint) / 100"
+                        ") AS long) AS string)) - 3)"
+                    ),
+                    F.lit(","),
+                    F.expr(
+                        "substring(cast(cast(floor("
+                        "cast(round(o_totalprice * 100) AS bigint) / 100"
+                        ") AS long) AS string), length(cast(cast(floor("
+                        "cast(round(o_totalprice * 100) AS bigint) / 100"
+                        ") AS long) AS string)) - 2, 3)"
+                    ),
+                )
+            ),
+            F.lit("."),
+            F.lpad((cents % 100).cast("string"), 2, "0"),
+        ).alias("grouped_price"),
         F.when(F.col("o_orderstatus") == "F", "true")
         .when(F.col("o_orderstatus") == "O", "false")
         .otherwise("yes")
@@ -4122,6 +4150,22 @@ _VARCHAR_WAREHOUSE_SQL = """
                    substr(CAST(o_custkey AS VARCHAR),
                           len(CAST(o_custkey AS VARCHAR)) - 2, 3)
               END AS grouped_cust,
+         CASE WHEN len(CAST(CAST(round(o_totalprice * 100) AS BIGINT) // 100
+                            AS VARCHAR)) <= 3
+              THEN CAST(CAST(round(o_totalprice * 100) AS BIGINT) // 100
+                        AS VARCHAR)
+              ELSE substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                               // 100 AS VARCHAR), 1,
+                          len(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                                   // 100 AS VARCHAR)) - 3)
+                   || ',' ||
+                   substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                               // 100 AS VARCHAR),
+                          len(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                                   // 100 AS VARCHAR)) - 2, 3)
+              END || '.' ||
+           lpad(CAST(CAST(round(o_totalprice * 100) AS BIGINT) % 100
+                     AS VARCHAR), 2, '0') AS grouped_price,
          CASE WHEN o_orderstatus = 'F' THEN 'true'
               WHEN o_orderstatus = 'O' THEN 'false'
               ELSE 'yes' END AS status_flag,
@@ -4168,6 +4212,7 @@ _SPARK_BIGINT_SQL = (
          UNION ALL SELECT 'us_ts_min', us_ts_min FROM wh
          UNION ALL SELECT 'amb_date', amb_date FROM wh
          UNION ALL SELECT 'grouped_cust', grouped_cust FROM wh
+         UNION ALL SELECT 'grouped_price', grouped_price FROM wh
          UNION ALL SELECT 'status_flag', status_flag FROM wh
          UNION ALL SELECT 'mixed_id', mixed_id FROM wh
          UNION ALL SELECT 'padded_cust', padded_cust FROM wh
@@ -4244,7 +4289,15 @@ _SPARK_BIGINT_SQL = (
                       THEN 1 END) AS n_gi,
                 COUNT(CASE WHEN regexp_matches(trim(v),
                         '^[+-]?[0-9]{{1,3}}(,[0-9]{{3}})*([.][0-9]+)?$')
-                      THEN 1 END) AS n_gd
+                      THEN 1 END) AS n_gd,
+                MAX(CASE WHEN regexp_matches(trim(v),
+                        '^[+-]?[0-9]{{1,3}}(,[0-9]{{3}})*([.][0-9]+)?$')
+                      THEN len(replace(regexp_extract(trim(v),
+                        '^[+-]?([0-9,]+)', 1), ',', '')) END) AS gmaxi,
+                MAX(CASE WHEN regexp_matches(trim(v),
+                        '^[+-]?[0-9]{{1,3}}(,[0-9]{{3}})*([.][0-9]+)?$')
+                      THEN len(regexp_extract(trim(v),
+                        '[.]([0-9]+)$', 1)) END) AS gmaxf
          FROM u GROUP BY column_name)
        SELECT column_name, n_values, n_boolean, n_bigint, n_decimal,
               n_double, n_date, n_timestamp,
@@ -4269,6 +4322,10 @@ _SPARK_BIGINT_SQL = (
                    WHEN n_hdot = n_values
                         THEN 'timestamp[dd.MM.yyyy HH:mm]'
                    WHEN n_gi = n_values THEN 'bigint[grouped]'
+                   WHEN n_gd = n_values AND gmaxi + gmaxf <= 38
+                        THEN 'decimal(' || CAST(gmaxi + gmaxf AS VARCHAR)
+                             || ',' || CAST(gmaxf AS VARCHAR)
+                             || ')[grouped]'
                    WHEN n_gd = n_values THEN 'double[grouped]'
                    ELSE 'string' END AS decided_type
        FROM c""",
@@ -4316,6 +4373,13 @@ def typed_view_cast_stats(spark: SparkSession, sf: str) -> DataFrame:
                         '^[+-]?[0-9]{{1,3}}(,[0-9]{{3}})*$')
                      THEN TRY_CAST(replace(trim(grouped_cust), ',', '')
                                    AS BIGINT) END AS grouped_cust,
+                CASE WHEN regexp_matches(trim(grouped_price),
+                        '^[+-]?[0-9]{{1,3}}(,[0-9]{{3}})*([.][0-9]+)?$')
+                      AND regexp_matches(replace(trim(grouped_price),
+                                                 ',', ''),
+                        '^[+-]?[0-9]{{1,6}}([.][0-9]{{1,2}})?$')
+                     THEN TRY_CAST(replace(trim(grouped_price), ',', '')
+                                   AS DECIMAL(8,2)) END AS grouped_price,
                 CASE WHEN lower(trim(status_flag)) IN ('t','true','y','yes','1')
                        THEN TRUE
                      WHEN lower(trim(status_flag)) IN ('f','false','n','no','0')
@@ -4336,6 +4400,7 @@ def typed_view_cast_stats(spark: SparkSession, sf: str) -> DataFrame:
               MAX(us_ts_min) AS max_us_ts,
               COUNT(DISTINCT amb_date) AS n_amb_strings,
               CAST(SUM(grouped_cust) AS BIGINT) AS sum_grouped,
+              SUM(grouped_price) AS sum_grouped_price,
               COUNT(CASE WHEN status_flag THEN 1 END) AS n_true,
               COUNT(DISTINCT padded_cust) AS n_cust,
               COUNT(all_blank) AS n_blank_vals
@@ -4377,6 +4442,7 @@ def typed_view_apply(spark: SparkSession, sf: str) -> DataFrame:
         F.max("us_ts_min").alias("max_us_ts"),
         F.countDistinct("amb_date").alias("n_amb_strings"),
         F.sum("grouped_cust").alias("sum_grouped"),
+        F.sum("grouped_price").alias("sum_grouped_price"),
         F.count(F.when(F.col("status_flag"), 1)).alias("n_true"),
         F.countDistinct("padded_cust").alias("n_cust"),
         F.count("all_blank").alias("n_blank_vals"),

@@ -233,20 +233,21 @@ def test_grouped_number_inference(spark):
     types = typed_views.decide_types(df)
     assert types == {
         "gi": "bigint[grouped]",
-        "gd": "double[grouped]",
+        "gd": "decimal(6,2)[grouped]",  # grouped money is exact (r6)
         "plain": "bigint",
         "bad": "string",  # '12,34' breaks the strict grouping shape
     }
     out = typed_views.auto_typed_view(df)
     assert dict(out.dtypes) == {
-        "gi": "bigint", "gd": "double", "plain": "bigint",
+        "gi": "bigint", "gd": "decimal(6,2)", "plain": "bigint",
         "bad": "string",
     }
+    import decimal
     rows = {r["plain"]: r for r in out.collect()}
     assert rows[123]["gi"] == 1234567
-    assert rows[123]["gd"] == 1234.56
+    assert rows[123]["gd"] == decimal.Decimal("1234.56")
     assert rows[4567]["gi"] == 42
-    assert rows[4567]["gd"] == 987.0
+    assert rows[4567]["gd"] == decimal.Decimal("987.00")
 
 
 def test_profile_partition_invariant_and_view_preserves_rows(spark):
@@ -434,3 +435,30 @@ def test_locale_timestamp_formats_evidence_and_seconds_gate(spark):
             datetime.datetime(2020, 1, 13, 14, 30),
             datetime.datetime(2020, 1, 13, 8, 15),
             "01/13/2020 14:30:59") in got
+
+
+def test_grouped_decimal_candidate(spark):
+    """Grouped money ('1,234.56') decides decimal(p,s)[grouped] —
+    the grouped mirror of the decimal candidate, with the same
+    digit-budget NULL-not-round degradation on the stripped value."""
+    import decimal
+
+    df = _wh(
+        spark,
+        [("1,234.56", "12,345"), ("999,999.99", "999")],
+        "money string, ints string",
+    )
+    types = typed_views.decide_types(df)
+    assert types == {
+        "money": "decimal(8,2)[grouped]",
+        "ints": "bigint[grouped]",
+    }
+    rows = {r["ints"]: r["money"]
+            for r in typed_views.typed_view(df, types).collect()}
+    assert rows[12345] == decimal.Decimal("1234.56")
+    assert rows[999] == decimal.Decimal("999999.99")
+    # budget gate: a longer value than profiled NULLs, never rounds
+    out = typed_views.typed_view(
+        df, {"money": "decimal(6,2)[grouped]"}
+    ).collect()
+    assert sorted(str(r["money"]) for r in out) == ["1234.56", "None"]
