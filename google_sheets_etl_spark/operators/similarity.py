@@ -702,12 +702,16 @@ def semantic_dedup(
             _triangular, f"{id_col} {id_type}"
         )
     else:
+        # one row per CELL — k rows, which at the 100 TB design point
+        # (k ~ n/625) is itself huge: no broadcast hint, the join key
+        # is the same uniform cell key the pair search shuffles on
+        # anyway and AQE picks broadcast when k is actually small
         sizes = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("_n"))
         small = base.join(
-            F.broadcast(sizes.filter(F.col("_n") <= max_cell_rows)), "cell"
+            sizes.filter(F.col("_n") <= max_cell_rows), "cell"
         ).drop("_n")
         big = base.join(
-            F.broadcast(sizes.filter(F.col("_n") > max_cell_rows)), "cell"
+            sizes.filter(F.col("_n") > max_cell_rows), "cell"
         )
         small_rm = small.groupBy("cell").applyInPandas(
             _triangular, f"{id_col} {id_type}"

@@ -682,6 +682,22 @@ def bm25_scores(
     )
 
 
+def _merge_regex(a: str, b: str) -> str:
+    """Boundary-anchored Java-regex pattern for merging the symbol
+    pair (a, b) in the prefix-separated representation: matches
+    ``|a|b`` only when followed by another separator or end-of-word,
+    so a longer right symbol sharing b as a prefix is never split.
+    Non-alphanumeric symbol chars (e.g. the '#' end-of-word marker)
+    are backslash-escaped."""
+
+    def q(sym: str) -> str:
+        return "".join(
+            ch if ch.isalnum() else "\\" + ch for ch in sym
+        )
+
+    return "\\|" + q(a) + "\\|" + q(b) + "(?=\\||$)"
+
+
 def bpe_learn_merges(
     word_freqs: DataFrame,
     n_merges: int = 5,
@@ -705,16 +721,21 @@ def bpe_learn_merges(
 
     Representation is the scale trick: segmentation lives as ONE
     prefix-separated string per word (``'|l|o|w'``), so applying a
-    merge is a plain ``replace(s, '|l|o', '|lo')`` — left-to-right,
-    non-overlapping, continue-after-match: exactly greedy BPE, in a
-    single JVM codegen expression with no per-row Python and no
-    regex. The PREFIX separator (not joint) is load-bearing: a
-    space-joined form consumes the next symbol's separator on
-    replace and misses chained merges ('a a a a' stops after one);
-    the prefix form keeps every remaining symbol's '|' intact, so
-    consecutive pairs chain correctly. Callers must ensure symbol
-    text cannot contain '|' (the corpus query gates words to
-    alphanumeric).
+    merge is a single boundary-anchored ``regexp_replace(s,
+    '\\|l\\|o(?=\\||$)', '|lo')`` — left-to-right, non-overlapping,
+    continue-after-match: exactly greedy BPE, one JVM expression, no
+    per-row Python. Two pieces are load-bearing: the PREFIX
+    separator (a space-JOINED form consumes the next symbol's
+    separator on replace and misses chained merges — 'a a a a'
+    stops after one; the prefix form keeps every remaining symbol's
+    '|' intact, so consecutive pairs chain), and the RIGHT-BOUNDARY
+    lookahead (``(?=\\||$)``): a plain ``replace`` on ``'|l|o'``
+    also fires when the right neighbor is a LONGER symbol with
+    prefix 'o' (``'|l|ow'`` → ``'|low'``), silently merging symbols
+    that are not the chosen pair — and by mid-training, when merges
+    have created many shared-prefix symbols, that corruption is
+    routine, not exotic. Callers must ensure symbol text cannot
+    contain '|' (the corpus query gates words to alphanumeric).
 
     Scale shape — INCREMENTAL pair-count maintenance (round-5
     verdict directive #6; Sennrich's trainer does the same): the
@@ -796,13 +817,14 @@ def bpe_learn_merges(
                 top[0]["left"], top[0]["right"], top[0]["pair_count"],
             )
             merges.append((rank, a, b, a + b, cnt))
-            pat = "|" + a + "|" + b
+            pat = _merge_regex(a, b)
             rep = "|" + a + b
             # only words CONTAINING the merged pair change — the
             # delta recounts exactly those, before and after
-            affected = seg.filter(F.col("s").contains(pat))
+            affected = seg.filter(F.col("s").rlike(pat))
             merged = affected.select(
-                "freq", F.replace(F.col("s"), F.lit(pat), F.lit(rep)).alias("s")
+                "freq",
+                F.regexp_replace(F.col("s"), pat, rep).alias("s"),
             )
             delta = (
                 pair_rows(merged)
@@ -830,12 +852,7 @@ def bpe_learn_merges(
             seg = ckpt(
                 seg.select(
                     "freq",
-                    F.when(
-                        F.col("s").contains(pat),
-                        F.replace(F.col("s"), F.lit(pat), F.lit(rep)),
-                    )
-                    .otherwise(F.col("s"))
-                    .alias("s"),
+                    F.regexp_replace(F.col("s"), pat, rep).alias("s"),
                 )
             )
     return spark.createDataFrame(
@@ -855,16 +872,17 @@ def bpe_apply_merges(
     :func:`bpe_learn_merges`) to segment words — the inference half of
     the BPE tokenizer. Merges fold in rank order over the same
     prefix-separator representation, so the whole application is ONE
-    chained-replace projection (k nested JVM ``replace`` calls, no
-    iteration actions, no Python): exactly the greedy left-to-right
-    semantics training used, by construction.
+    chained projection (k nested boundary-anchored ``regexp_replace``
+    calls, no iteration actions, no Python): exactly the greedy
+    left-to-right semantics training used, by construction.
 
     Returns ``(word, freq, syms array<string>, n_tokens int)``. The
     merge table is driver-side input by definition (k rows — the
     artifact a tokenizer ships)."""
     s = F.regexp_replace(F.col(word_col), "(.)", "|$1")
     for a, b in merges:
-        s = F.replace(s, F.lit("|" + a + "|" + b), F.lit("|" + a + b))
+        # boundary-anchored, exactly as training applied it
+        s = F.regexp_replace(s, _merge_regex(a, b), "|" + a + b)
     syms = F.split(F.expr("substring(_s, 2)"), "[|]")
     return (
         word_freqs.select(
@@ -910,9 +928,12 @@ def sliding_chunks(
         raise ValueError(
             "stride > chunk_words would drop words between windows"
         )
+    # no empty-array guard: split never returns [], so even text=''
+    # yields one chunk holding the single empty token — documented
+    # pass-through (filter upstream if empty docs should vanish)
     w = docs.select(
         F.col(id_col), F.split(F.col(text_col), " ").alias("_w")
-    ).filter(F.size("_w") >= 1)
+    )
     return (
         w.select(
             id_col,

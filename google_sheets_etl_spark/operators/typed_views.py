@@ -295,8 +295,11 @@ def profile_cast_stats(df: DataFrame, columns: list[str] | None = None) -> DataF
     # codegen and encodes exactly the strict parser's accept set for
     # these shapes.
     def greg_valid(day: str, mon: str, yr: str) -> str:
+        # yr >= 1: the strict resolver rejects year-of-era 0, and
+        # 0 % 400 = 0 would otherwise even make it a leap year here
         return (
-            f"({mon} BETWEEN 1 AND 12 AND {day} >= 1 AND {day} <= "
+            f"({yr} >= 1 AND "
+            f"{mon} BETWEEN 1 AND 12 AND {day} >= 1 AND {day} <= "
             f"CASE WHEN {mon} IN (1,3,5,7,8,10,12) THEN 31 "
             f"WHEN {mon} IN (4,6,9,11) THEN 30 "
             f"WHEN ({yr} % 4 = 0 AND {yr} % 100 <> 0) "
@@ -329,12 +332,23 @@ def profile_cast_stats(df: DataFrame, columns: list[str] | None = None) -> DataF
                     f"AND {time_ok} THEN 1 END)"
                 ).alias(f"tfmt{j}_{i}")
             )
-        for j, alias in enumerate((f"_gi{i}", f"_gd{i}")):
-            aggs.append(
-                F.expr(
-                    f"count(CASE WHEN {alias} THEN 1 END)"
-                ).alias(f"grp{j}_{i}")
-            )
+        # bigint[grouped] needs CAST evidence, not just shape: a
+        # correctly-grouped integer past the bigint range must fall
+        # through to decimal(p,0)[grouped], mirroring the ungrouped
+        # order, instead of deciding a type whose view NULLs every
+        # value. The cast only runs on grouped-integer shapes, where
+        # it is exceptionless except for the rare overflow.
+        aggs.append(
+            F.expr(
+                f"count(CASE WHEN _gi{i} THEN "
+                f"try_cast(replace(_c{i}, ',', '') AS bigint) END)"
+            ).alias(f"grp0_{i}")
+        )
+        aggs.append(
+            F.expr(
+                f"count(CASE WHEN _gd{i} THEN 1 END)"
+            ).alias(f"grp1_{i}")
+        )
         # decimal probe: shape count + the max integer/fraction digit
         # runs that size the decided decimal(p, s). Raw digit lengths
         # (leading zeros included) — p only ever over-sizes, never

@@ -4286,6 +4286,8 @@ _SPARK_BIGINT_SQL = (
                       THEN 1 END) AS n_hdot,
                 COUNT(CASE WHEN regexp_matches(trim(v),
                         '^[+-]?[0-9]{{1,3}}(,[0-9]{{3}})*$')
+                            AND TRY_CAST(replace(trim(v), ',', '')
+                                         AS BIGINT) IS NOT NULL
                       THEN 1 END) AS n_gi,
                 COUNT(CASE WHEN regexp_matches(trim(v),
                         '^[+-]?[0-9]{{1,3}}(,[0-9]{{3}})*([.][0-9]+)?$')
@@ -4698,8 +4700,7 @@ def context_pack_chunks(spark: SparkSession, sf: str) -> DataFrame:
        FROM (SELECT doc_id, s, list_slice(w, s + 1, s + 64) AS cw
              FROM (SELECT doc_id, string_split(text, ' ') AS w
                    FROM documents),
-                  unnest(range(0, len(w), 48)) AS t(s)
-             WHERE len(w) >= 1)""",
+                  unnest(range(0, len(w), 48)) AS t(s))""",
 )
 def doc_sliding_chunks(spark: SparkSession, sf: str) -> DataFrame:
     """OVERLAPPING sliding-window chunking (operators/text.py
@@ -5221,13 +5222,21 @@ def _bpe_learn_oracle(k: int) -> str:
     (text_ops.bpe_learn_merges), mechanically unrolled to k merge
     rounds of CTEs — the IVF-oracle discipline: the whole algorithm
     rewritten in SQL, not a shortcut. Same prefix-separator
-    representation, so DuckDB's plain left-to-right replace() applies
-    each merge with exactly the Spark semantics."""
-    # every multi-referenced CTE is AS MATERIALIZED: DuckDB otherwise
-    # INLINES each seg{i} into both of its consumers (p{i+1} and
-    # seg{i+1}), re-expanding the whole upstream chain — 2^k plan
-    # copies, which at k=20 exhausts file handles before it computes
-    # anything. Materialization makes the unrolled oracle O(k) scans.
+    representation; each round's merge application is a RECURSIVE
+    CTE replacing the LEFTMOST boundary-valid occurrence
+    (lazy-prefix anchored regex — RE2 has no lookahead, so the
+    boundary is a captured group and one occurrence is rewritten per
+    recursion step until none remain). Restart-from-start per single
+    occurrence equals Spark's left-to-right continue-after-match for
+    a single-pair round: the replacement '|ab' can never create a
+    new valid '|a|b' occurrence to its left (that would need the
+    merged symbol to START with b while it starts with a, and a+b
+    = a only for an empty b).
+
+    Every multi-referenced CTE is AS MATERIALIZED: DuckDB otherwise
+    INLINES each seg{i} into both of its consumers, re-expanding the
+    whole upstream chain — 2^k plan copies, which at k=20 exhausts
+    file handles before it computes anything."""
     ctes = [
         """wf AS MATERIALIZED (
          SELECT w AS word, COUNT(*)::BIGINT AS freq
@@ -5248,17 +5257,34 @@ def _bpe_learn_oracle(k: int) -> str:
          SELECT left_sym, right_sym, CAST(SUM(freq) AS BIGINT) AS pair_count
          FROM p{i} GROUP BY left_sym, right_sym
          ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1)""")
+        # one boundary-valid occurrence rewritten per recursion step;
+        # rows that no longer match are this round's final states
+        ctes.append(f"""segr{i}(freq, s) AS (
+         SELECT freq, s FROM seg{i - 1}
+         UNION
+         SELECT r.freq,
+                regexp_replace(r.s,
+                    '^(.*?)\\|' || m.left_sym || '\\|' || m.right_sym
+                      || '(\\||$)',
+                    '\\1|' || m.left_sym || m.right_sym || '\\2')
+         FROM segr{i} r, m{i} AS m
+         WHERE regexp_matches(r.s,
+                   '\\|' || m.left_sym || '\\|' || m.right_sym
+                     || '(\\||$)'))""")
         ctes.append(f"""seg{i} AS MATERIALIZED (
-         SELECT freq,
-                replace(s, '|' || m.left_sym || '|' || m.right_sym,
-                        '|' || m.left_sym || m.right_sym) AS s
-         FROM seg{i - 1}, m{i} AS m)""")
+         SELECT r.freq, r.s
+         FROM segr{i} r, m{i} AS m
+         WHERE NOT regexp_matches(r.s,
+                   '\\|' || m.left_sym || '\\|' || m.right_sym
+                     || '(\\||$)'))""")
     unions = "\n       UNION ALL ".join(
         f"SELECT CAST({i} AS INTEGER) AS merge_rank, left_sym, right_sym, "
         f"left_sym || right_sym AS merged, pair_count FROM m{i}"
         for i in range(1, k + 1)
     )
-    return "WITH " + ",\n       ".join(ctes) + "\n       " + unions
+    return (
+        "WITH RECURSIVE " + ",\n       ".join(ctes) + "\n       " + unions
+    )
 
 
 def _bpe_corpus_merges(spark: SparkSession, sf: str, k: int = 5):

@@ -32,19 +32,36 @@ from ..operators.similarity import incremental_semantic_admission
 
 
 def _corpus_exists(spark, path: str) -> bool:
-    """True iff ``path`` exists, resolved by the Hadoop FileSystem for
-    the path's own scheme (local, hdfs://, s3a://, abfss://...).
+    """True iff ``path`` holds COMMITTED corpus data, resolved by the
+    Hadoop FileSystem for the path's own scheme (local, hdfs://,
+    s3a://, abfss://...).
 
-    This is an EXISTENCE check only — it deliberately raises on any
-    filesystem error other than "not there" (connection refused, auth
-    failure), because treating a flaky store as an absent corpus is the
-    one way this stream can silently produce wrong state.
+    Committed means at least one visible (non ``_``/``.``-prefixed)
+    entry: a crash during the FIRST append can leave the directory
+    existing with only ``_temporary`` in it — bare-path existence
+    would then send every retry into ``read.parquet`` (which raises
+    on a footerless dir) and livelock the stream on exactly the
+    append-then-crash window the module contract covers. Spark only
+    renames part files in on commit, so a visible entry implies
+    committed data.
+
+    Beyond that this deliberately raises on any filesystem error
+    other than "not there" (connection refused, auth failure),
+    because treating a flaky store as an absent corpus is the one way
+    this stream can silently produce wrong state.
     """
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(hconf)
-    return bool(fs.exists(jpath))
+    if not fs.exists(jpath):
+        return False
+    if fs.getFileStatus(jpath).isFile():
+        return True  # a lone file: let the reader judge it
+    for st in fs.listStatus(jpath):
+        if not st.getPath().getName().startswith(("_", ".")):
+            return True
+    return False
 
 
 def admit_stream(

@@ -445,3 +445,34 @@ def test_sliding_chunks_overlap_and_tail(spark):
 
     with pytest.raises(ValueError, match="stride"):
         text_ops.sliding_chunks(docs, chunk_words=4, stride=5)
+
+
+def test_bpe_merge_respects_symbol_boundaries(spark):
+    """Round-6 review fix: pair (a,b) must NOT fire when the right
+    neighbor is a LONGER symbol with prefix b. Vocab planted so that
+    round 1 merges (b,c) creating symbol 'bc', and round 2's (a,b)
+    must leave '|a|bc' untouched — the unanchored replace turned it
+    into '|abc', corrupting the segmentation and all later counts."""
+    from google_sheets_etl_spark.operators import text as text_ops
+
+    vocab = {"bc": 10, "abc": 2, "ab": 5}
+    wf = spark.createDataFrame(
+        list(vocab.items()), "word string, freq long"
+    )
+    got = [
+        (r["merge_rank"], r["left_sym"], r["right_sym"],
+         r["merged"], r["pair_count"])
+        for r in text_ops.bpe_learn_merges(wf, n_merges=2)
+        .orderBy("merge_rank").collect()
+    ]
+    assert got == _bpe_reference(vocab, 2)
+    # and apply reproduces training's segmentation on the tricky word
+    merges = [(g[1], g[2]) for g in got]
+    seg = {
+        r["word"]: r["syms"]
+        for r in text_ops.bpe_apply_merges(wf, merges).collect()
+    }
+    # reference: (b,c) first, then (a,b); 'abc' must be ['a','bc']
+    # under those two merges, never ['abc']
+    assert seg["abc"] == ["a", "bc"]
+    assert seg["ab"] == ["ab"] and seg["bc"] == ["bc"]

@@ -526,6 +526,13 @@ def test_corpus_exists_probe(spark, tmp_path):
 
     missing = tmp_path / "nope"
     assert not _corpus_exists(spark, str(missing))
+    # a dir with only uncommitted state (_temporary from a crashed
+    # FIRST append) must read as "no corpus yet", not livelock the
+    # retry on a footerless parquet read
+    crashed = tmp_path / "crashed_first_append"
+    (crashed / "_temporary" / "0").mkdir(parents=True)
+    assert not _corpus_exists(spark, str(crashed))
     present = tmp_path / "yep"
     present.mkdir()
+    (present / "part-00000.parquet").write_bytes(b"x")
     assert _corpus_exists(spark, str(present))
