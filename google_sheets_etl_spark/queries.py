@@ -2228,6 +2228,148 @@ def simhash64(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.simhash64(t(spark, sf, "documents"))
 
 
+_PQ_COMMON = """
+WITH ed AS (
+  -- upcast BEFORE any arithmetic: the stored element type is float32
+  -- and DuckDB's list arithmetic would stay in float32 (~1e-7
+  -- relative noise — visible at the micro-unit granularity), while
+  -- the Spark kernel computes in float64 from the same stored values
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings),
+cbs AS (
+  SELECT vec_id, e FROM ed WHERE vec_id >= 10
+  ORDER BY md5(CAST(vec_id AS VARCHAR) || ':42'), vec_id LIMIT 128),
+cb AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR) || ':42'),
+                            vec_id) - 1 AS j,
+         list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS cv
+  FROM cbs),
+cbm AS (
+  SELECT j, m, list_slice(cv, m * 8 + 1, (m + 1) * 8) AS sub
+  FROM cb, range(8) t(m)),
+corpm AS (
+  SELECT vec_id, m,
+         list_slice(list_transform(e,
+             x -> x / sqrt(list_dot_product(e, e))),
+             m * 8 + 1, (m + 1) * 8) AS sub
+  FROM ed, range(8) t(m) WHERE vec_id >= 10),
+cd AS (
+  SELECT c.vec_id, c.m, b.j,
+         CAST(round((list_dot_product(c.sub, c.sub)
+                     - 2 * list_dot_product(c.sub, b.sub)
+                     + list_dot_product(b.sub, b.sub)) * 1000000)
+              AS BIGINT) AS d2u
+  FROM corpm c JOIN cbm b ON c.m = b.m),
+codes AS (
+  SELECT vec_id, m, j FROM (
+    SELECT vec_id, m, j,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                              ORDER BY d2u ASC, j ASC) AS rn
+    FROM cd) x
+  WHERE rn = 1),
+qm AS (
+  SELECT vec_id AS query_id, m,
+         list_slice(list_transform(e,
+             x -> x / sqrt(list_dot_product(e, e))),
+             m * 8 + 1, (m + 1) * 8) AS sub
+  FROM ed, range(8) t(m) WHERE vec_id < 10),
+lut AS (
+  SELECT q.query_id, q.m, b.j,
+         CAST(round((list_dot_product(q.sub, q.sub)
+                     - 2 * list_dot_product(q.sub, b.sub)
+                     + list_dot_product(b.sub, b.sub)) * 1000000)
+              AS BIGINT) AS d2u
+  FROM qm q JOIN cbm b ON q.m = b.m),
+adc AS (
+  SELECT l.query_id, c.vec_id AS neighbor_id,
+         CAST(SUM(l.d2u) AS BIGINT) AS adc_u6
+  FROM codes c JOIN lut l ON l.m = c.m AND l.j = c.j
+  GROUP BY l.query_id, c.vec_id),
+ranked AS (
+  SELECT query_id, neighbor_id, adc_u6,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adc_u6 ASC, neighbor_id ASC) AS rank
+  FROM adc)"""
+
+_PQ_ENCODE_ORACLE = (
+    _PQ_COMMON
+    + """
+SELECT vec_id, list(j ORDER BY m) AS codes FROM codes GROUP BY vec_id"""
+)
+
+_PQ_ADC_ORACLE = (
+    _PQ_COMMON
+    + """
+SELECT query_id, neighbor_id, rank, adc_u6 FROM ranked WHERE rank <= 5"""
+)
+
+_PQ_RERANK_ORACLE = (
+    _PQ_COMMON
+    + """,
+short AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 100),
+rr AS (
+  SELECT s.query_id, s.neighbor_id,
+         list_dot_product(qe.embedding, ne.embedding) /
+           (sqrt(list_dot_product(qe.embedding, qe.embedding)) *
+            sqrt(list_dot_product(ne.embedding, ne.embedding))) AS cos
+  FROM short s
+  JOIN embeddings qe ON qe.vec_id = s.query_id
+  JOIN embeddings ne ON ne.vec_id = s.neighbor_id)
+SELECT query_id, neighbor_id,
+       ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY cos DESC, neighbor_id ASC) AS rank,
+       ROUND(cos, 4) AS cosine_r4
+FROM rr
+QUALIFY rank <= 5"""
+)
+
+
+@q("pq_encode_codes", _PQ_ENCODE_ORACLE)
+def pq_encode_codes(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization ENCODE (operators/similarity.py pq_encode,
+    Jegou et al. 2011): each 64-dim embedding becomes 8 subspace codes
+    against md5-seeded 128-entry codebooks — the ~32x compression that
+    lets 100 TB of embeddings be scanned as a few TB of codes. Exact
+    integer micro-unit distances make the argmin and its code-asc
+    tie-break cross-engine deterministic; the oracle rebuilds the
+    codebooks, the normalization, and every argmin in SQL."""
+    emb = t(spark, sf, "embeddings")
+    c = emb.filter(F.col("vec_id") >= 10)
+    cb = similarity._pq_codebooks(c, 8, 128, "vec_id", "embedding", 42)
+    return similarity.pq_encode(c, cb)
+
+
+@q("pq_topk_adc", _PQ_ADC_ORACLE)
+def pq_topk_adc(spark: SparkSession, sf: str) -> DataFrame:
+    """PQ asymmetric-distance top-5: the corpus is scanned as CODES
+    only; each query sums per-subspace lookup-table distances in
+    exact integer micro-units (summation-order-free across engines).
+    ADC ranking is the SHORTLIST stage of the deployed pipeline
+    (pq_topk_rerank below re-ranks exactly); this row certifies the
+    code-path arithmetic end-to-end against the full SQL rewrite."""
+    emb = t(spark, sf, "embeddings")
+    return similarity.pq_topk_adc(
+        emb.filter(F.col("vec_id") < 10),
+        emb.filter(F.col("vec_id") >= 10),
+        k=5,
+    )
+
+
+@q("pq_topk_rerank", _PQ_RERANK_ORACLE)
+def pq_topk_rerank(spark: SparkSession, sf: str) -> DataFrame:
+    """The deployed PQ pipeline: ADC over codes builds a 100-row
+    shortlist per query (corpus read = 8 ints/vector), exact cosine
+    re-ranks only the shortlist (recall@5 ~0.9 on this corpus vs
+    ~0.2 for raw ADC — the compression/recall trade made explicit).
+    Only shortlist-sized exchanges carry real vectors."""
+    emb = t(spark, sf, "embeddings")
+    return similarity.pq_topk_rerank(
+        emb.filter(F.col("vec_id") < 10),
+        emb.filter(F.col("vec_id") >= 10),
+        k=5, shortlist=100,
+    )
+
+
 _COSINE_ORACLE = """
 WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
      c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10),

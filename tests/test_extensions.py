@@ -947,3 +947,47 @@ def test_ppm_vectorized_matches_scalar_on_random_images():
         for ow, oh in [(1, 1), (w, h), (2 * w, h // 2 + 1), (5, 9)]:
             assert codec.resize(payload, ow, oh) == \
                 codec._resize_scalar(payload, ow, oh)
+
+
+def test_pq_rerank_recall_and_code_shape(spark, sf_dir):
+    """PQ pipeline contracts: codes are n_subspaces small ints per
+    vector (the compression), raw ADC ranking is a weak shortlist
+    signal, and shortlist+exact-rerank recovers high recall."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    c = emb.filter(F.col("vec_id") >= 10)
+
+    cb = similarity._pq_codebooks(c, 8, 128, "vec_id", "embedding", 42)
+    assert cb.shape[0] == 8 and cb.shape[2] == 8
+    codes = similarity.pq_encode(c, cb)
+    row = codes.first()
+    assert len(row["codes"]) == 8
+    assert all(0 <= x < cb.shape[1] for x in row["codes"])
+    assert codes.count() == c.count()
+
+    exact = similarity.cosine_topk_bruteforce(q, c, k=5)
+    rerank = similarity.pq_topk_rerank(q, c, k=5, shortlist=100)
+    rec = similarity.recall_at_k(exact, rerank, k=5)
+    assert rec >= 0.8, f"PQ shortlist+rerank recall collapsed: {rec}"
+    # rerank output is exact-cosine-ranked: every returned pair's
+    # cosine must equal the brute-force score for that pair
+    joined = rerank.select(
+        "query_id", "neighbor_id",
+        F.col("cosine_r4").alias("pq_cos"),
+    ).join(
+        exact.select("query_id", "neighbor_id",
+                     F.col("cosine_r4").alias("ex_cos")),
+        ["query_id", "neighbor_id"],
+    )
+    assert joined.filter(F.col("pq_cos") != F.col("ex_cos")).count() == 0
+
+
+def test_pq_encode_deterministic_across_partitioning(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    c = emb.filter(F.col("vec_id") >= 10)
+    cb = similarity._pq_codebooks(c, 4, 16, "vec_id", "embedding", 42)
+    a = {r["vec_id"]: list(r["codes"])
+         for r in similarity.pq_encode(c, cb).collect()}
+    b = {r["vec_id"]: list(r["codes"])
+         for r in similarity.pq_encode(c.repartition(7), cb).collect()}
+    assert a == b
