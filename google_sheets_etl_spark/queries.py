@@ -4341,9 +4341,7 @@ _SPARK_BIGINT_SQL = (
 )
 
 
-@q(
-    "typed_view_cast_stats",
-    f"""WITH wh AS ({_VARCHAR_WAREHOUSE_SQL}),
+_TYPED_PROFILE_ORACLE = f"""WITH wh AS ({_VARCHAR_WAREHOUSE_SQL}),
        u AS (
          SELECT 'order_key' AS column_name, order_key AS v FROM wh
          UNION ALL SELECT 'total_price', total_price FROM wh
@@ -4472,8 +4470,10 @@ _SPARK_BIGINT_SQL = (
                              || ')[grouped]'
                    WHEN n_gd = n_values THEN 'double[grouped]'
                    ELSE 'string' END AS decided_type
-       FROM c""",
-)
+       FROM c"""
+
+
+@q("typed_view_cast_stats", _TYPED_PROFILE_ORACLE)
 def typed_view_cast_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Castability profile over a reference-shaped VARCHAR warehouse
     (operators/typed_views.py, round-4 verdict directive #2): one
@@ -4485,6 +4485,29 @@ def typed_view_cast_stats(spark: SparkSession, sf: str) -> DataFrame:
     from .operators import typed_views
 
     return typed_views.profile_cast_stats(_varchar_warehouse(spark, sf))
+
+
+@q("typed_profile_incremental", _TYPED_PROFILE_ORACLE)
+def typed_profile_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """INCREMENTAL profile maintenance (operators/typed_views.py
+    profile_counters/merge_profiles/decide_profile): the warehouse is
+    profiled as two disjoint slices — the shape of per-load profiling
+    in the incremental ETL — and the slices' counter rows are merged
+    (counts add, digit maxima max) before deciding. The oracle is the
+    FULL-TABLE profile: this row certifies merge-then-decide equals
+    profile-everything exactly, which is what makes re-profiling
+    after a new load an O(new data) statement at 100 TB instead of a
+    table rescan."""
+    from .operators import typed_views
+
+    wh = _varchar_warehouse(spark, sf)
+    even = wh.filter(F.col("order_key").cast("long") % 2 == 0)
+    odd = wh.filter(F.col("order_key").cast("long") % 2 != 0)
+    merged = typed_views.merge_profiles(
+        typed_views.profile_counters(even),
+        typed_views.profile_counters(odd),
+    )
+    return typed_views.decide_profile(merged)
 
 
 @q(

@@ -462,3 +462,36 @@ def test_grouped_decimal_candidate(spark):
         df, {"money": "decimal(6,2)[grouped]"}
     ).collect()
     assert sorted(str(r["money"]) for r in out) == ["1234.56", "None"]
+
+
+def test_merge_profiles_equals_full_profile(spark):
+    """Mergeable-profile invariant: counters over disjoint slices,
+    merged then decided, equal the full-table profile exactly —
+    including the digit maxima that size decimals and the evidence
+    counts behind the slash rules."""
+    rows = [
+        ("1", "1.5", "01/13/2020", "1,234.56"),
+        ("2", "22.25", "02/05/2020", "999"),
+        ("30", "3", "11/30/2021", "12,000"),
+        ("44", "444.125", "06/01/1999", "1,000,000.5"),
+    ]
+    df = _wh(spark, rows, "a string, b string, c string, d string")
+    full = {
+        (r["column_name"], r["decided_type"])
+        for r in typed_views.profile_cast_stats(df).collect()
+    }
+    half1 = typed_views.profile_counters(df.limit(2))
+    # disjoint complement via anti-join on all columns
+    half2 = typed_views.profile_counters(
+        df.exceptAll(df.limit(2))
+    )
+    merged = {
+        (r["column_name"], r["decided_type"])
+        for r in typed_views.decide_profile(
+            typed_views.merge_profiles(half1, half2)
+        ).collect()
+    }
+    assert merged == full
+    assert dict(full)["b"] == "decimal(6,3)"
+    assert dict(full)["c"] == "date[MM/dd/yyyy]"
+    assert dict(full)["d"] == "decimal(9,2)[grouped]"
