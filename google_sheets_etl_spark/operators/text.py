@@ -818,10 +818,18 @@ def bpe_learn_merges(
             )
             merges.append((rank, a, b, a + b, cnt))
             pat = _merge_regex(a, b)
+            lit = "|" + a + "|" + b
             rep = "|" + a + b
             # only words CONTAINING the merged pair change — the
-            # delta recounts exactly those, before and after
-            affected = seg.filter(F.col("s").rlike(pat))
+            # delta recounts exactly those, before and after. The
+            # contains() pre-gate is a cheap substring scan that
+            # spares non-matching words (the vast majority by
+            # mid-training) the regex engine; contains is a strict
+            # superset of the anchored match, so it never drops a
+            # true occurrence
+            affected = seg.filter(
+                F.col("s").contains(lit) & F.col("s").rlike(pat)
+            )
             merged = affected.select(
                 "freq",
                 F.regexp_replace(F.col("s"), pat, rep).alias("s"),
@@ -852,7 +860,10 @@ def bpe_learn_merges(
             seg = ckpt(
                 seg.select(
                     "freq",
-                    F.regexp_replace(F.col("s"), pat, rep).alias("s"),
+                    F.when(
+                        F.col("s").contains(lit),
+                        F.regexp_replace(F.col("s"), pat, rep),
+                    ).otherwise(F.col("s")).alias("s"),
                 )
             )
     return spark.createDataFrame(
