@@ -253,3 +253,107 @@ def span_dedup_cdc(
             F.count(F.lit(1)).cast("long").alias("n_chunks_kept"),
         )
     )
+
+
+def boilerplate_removal(
+    docs: DataFrame,
+    chunk_words: int = 4,
+    min_docs: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style GLOBAL boilerplate removal (Raffel et al. 2020 drop
+    any line occurring >= 3 times in the corpus; RefinedWeb keeps the
+    rule): fixed word-window "lines" that appear in at least
+    ``min_docs`` DISTINCT documents are removed from EVERY document —
+    no survivor, unlike span dedup's keep-first-occurrence. The
+    complement of :func:`span_dedup_fixed`: that operator dedups
+    repeats WITHIN/ACROSS docs keeping one copy; this one deletes
+    corpus-wide boilerplate (headers, footers, license blurbs)
+    outright.
+
+    Returns ``(id, n_chunks, n_removed, clean_text)`` — the rebuilt
+    document keeps surviving chunks in order plus the sub-chunk word
+    tail (never subject to removal; a <chunk_words document passes
+    through untouched).
+
+    Scale shape: one explode to the chunk stream, one count-distinct
+    aggregate on the uniform chunk key, one semi-ish left join back,
+    one per-doc rebuild aggregate — all uniform-key shuffles, nothing
+    collected. The boilerplate set is data-dependent small but is
+    never broadcast-hinted (a pathological corpus makes it huge; AQE
+    decides)."""
+    w = F.split(F.col(text_col), " ")
+    base = docs.select(
+        F.col(id_col),
+        w.alias("_w"),
+    ).select(
+        id_col,
+        "_w",
+        (F.size("_w") / chunk_words).cast("int").alias("_nch"),
+        F.array_join(
+            F.slice(
+                F.col("_w"),
+                (F.size("_w") / chunk_words).cast("int") * chunk_words + 1,
+                F.size("_w"),
+            ),
+            " ",
+        ).alias("_tail"),
+    )
+    chunks = (
+        base.filter(F.col("_nch") >= 1)
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.lit(0), F.col("_nch") - 1)
+            ).alias("j"),
+            "_w",
+        )
+        .select(
+            id_col,
+            "j",
+            F.array_join(
+                F.slice(
+                    F.col("_w"), F.col("j") * chunk_words + 1, chunk_words
+                ),
+                " ",
+            ).alias("chunk"),
+        )
+    )
+    boiler = (
+        chunks.groupBy("chunk")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("chunk")
+    )
+    flagged = chunks.join(
+        boiler.withColumn("_rm", F.lit(True)), "chunk", "left"
+    ).select(id_col, "j", "chunk", F.coalesce("_rm", F.lit(False)).alias("_rm"))
+    agg = flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.count(F.when(F.col("_rm"), 1)).cast("long").alias("n_removed"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~F.col("_rm"), F.struct("j", "chunk")
+                        )
+                    )
+                ),
+                lambda s: s["chunk"],
+            ),
+        ).alias("_kept"),
+    )
+    return base.join(agg, id_col, "left").select(
+        id_col,
+        F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
+        F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+        F.when(
+            F.coalesce(F.col("_kept"), F.lit("")) == "", F.col("_tail")
+        )
+        .when(F.col("_tail") == "", F.col("_kept"))
+        .otherwise(F.concat_ws(" ", "_kept", "_tail"))
+        .alias("clean_text"),
+    )

@@ -3438,6 +3438,114 @@ def decontaminate_eval(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "boilerplate_chunk_removal",
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w
+                    FROM documents),
+       base AS (SELECT doc_id, w, len(w) // 4 AS nch,
+                       COALESCE(array_to_string(
+                         list_slice(w, (len(w) // 4) * 4 + 1, len(w)),
+                         ' '), '') AS tail
+                FROM tok),
+       ch AS (SELECT doc_id, j,
+                     array_to_string(list_slice(w, j * 4 + 1, j * 4 + 4),
+                                     ' ') AS chunk
+              FROM tok, unnest(range(0, len(w) // 4)) t(j)),
+       boiler AS (SELECT chunk FROM (
+                    SELECT chunk, COUNT(DISTINCT doc_id) AS nd
+                    FROM ch GROUP BY chunk) x
+                  WHERE nd >= 3),
+       flag AS (SELECT c.doc_id, c.j, c.chunk,
+                       b.chunk IS NOT NULL AS rm
+                FROM ch c LEFT JOIN boiler b ON c.chunk = b.chunk),
+       agg AS (SELECT doc_id,
+                      COUNT(*)::BIGINT AS n_chunks,
+                      COUNT(CASE WHEN rm THEN 1 END)::BIGINT AS n_removed,
+                      array_to_string(
+                        list(chunk ORDER BY j) FILTER (WHERE NOT rm),
+                        ' ') AS kept
+               FROM flag GROUP BY doc_id)
+       SELECT b.doc_id,
+              COALESCE(a.n_chunks, 0) AS n_chunks,
+              COALESCE(a.n_removed, 0) AS n_removed,
+              CASE WHEN COALESCE(a.kept, '') = '' THEN b.tail
+                   WHEN b.tail = '' THEN a.kept
+                   ELSE a.kept || ' ' || b.tail END AS clean_text
+       FROM base b LEFT JOIN agg a USING (doc_id)""",
+)
+def boilerplate_chunk_removal(spark: SparkSession, sf: str) -> DataFrame:
+    """C4-rule global boilerplate removal (operators/cleaning.py
+    boilerplate_removal): 4-word chunk "lines" occurring in >= 3
+    distinct documents are deleted from every document, no survivor —
+    the corpus-wide complement of span dedup's keep-first rule. The
+    oracle rebuilds every cleaned document verbatim, tail words
+    included."""
+    return cleaning.boilerplate_removal(
+        t(spark, sf, "documents"), chunk_words=4, min_docs=3
+    )
+
+
+@q(
+    "decontaminate_overlap_frac",
+    """WITH s AS (
+         SELECT doc_id, text,
+                CASE WHEN b < 98 THEN 'train'
+                     WHEN b < 99 THEN 'val'
+                     ELSE 'test' END AS split
+         FROM (SELECT doc_id, text,
+                      ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS b
+               FROM documents)),
+       tok AS (SELECT doc_id, split, string_split(text, ' ') AS w FROM s),
+       grams AS (SELECT DISTINCT doc_id, split,
+                        unnest(list_transform(range(1, greatest(len(w) - 3, 1)),
+                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                                    w[i+3] || ' ' || w[i+4])) AS g
+                 FROM tok),
+       tg AS (SELECT DISTINCT g FROM grams WHERE split = 'train')
+       SELECT e.doc_id, e.split,
+              COUNT(*)::BIGINT AS n_grams,
+              COUNT(t.g)::BIGINT AS n_hit,
+              COUNT(t.g) * 10 >= COUNT(*) AS contaminated
+       FROM grams e LEFT JOIN tg t ON e.g = t.g
+       WHERE e.split != 'train'
+       GROUP BY e.doc_id, e.split""",
+)
+def decontaminate_overlap_frac(spark: SparkSession, sf: str) -> DataFrame:
+    """GRADED decontamination (the Dolma/FineWeb refinement of the
+    binary any-shared-gram rule): per eval document, how many of its
+    DISTINCT 5-grams appear anywhere in train, with the >=10%% overlap
+    verdict in exact integer arithmetic (n_hit * 10 >= n_grams — no
+    float ratio can flip a boundary doc between engines). One
+    explode, one distinct, one uniform gram-key left join carrying
+    only ids and a flag, one per-doc aggregate; same scale shape as
+    decontaminate_eval."""
+    docs = t(spark, sf, "documents")
+    sdf = sampling.hash_split(docs).select("doc_id", "split", "text")
+    grams = (
+        sdf.withColumn("_w", words_of(F.col("text")))
+        .select(
+            "doc_id", "split",
+            F.explode(word_shingles(F.col("_w"), 5)).alias("g"),
+        )
+        .dropDuplicates(["doc_id", "split", "g"])
+    )
+    train_grams = (
+        grams.filter(F.col("split") == "train").select("g").distinct()
+    )
+    return (
+        grams.filter(F.col("split") != "train")
+        .join(train_grams.withColumn("_hit", F.lit(1)), "g", "left")
+        .groupBy("doc_id", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("_hit").alias("n_hit"),
+            (F.count("_hit") * 10 >= F.count(F.lit(1))).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+@q(
     "heavy_hitter_tokens",
     """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
                     FROM documents),

@@ -476,3 +476,36 @@ def test_bpe_merge_respects_symbol_boundaries(spark):
     # under those two merges, never ['abc']
     assert seg["abc"] == ["a", "bc"]
     assert seg["ab"] == ["ab"] and seg["bc"] == ["bc"]
+
+
+def test_boilerplate_removal_deletes_all_occurrences(spark):
+    """C4 rule semantics: a chunk in >= min_docs distinct docs
+    vanishes from EVERY doc (no survivor); sub-chunk tails always
+    survive; short docs pass through untouched."""
+    from google_sheets_etl_spark.operators import cleaning as cl
+
+    boiler = "legal footer text here"
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " unique one alpha beta"),
+            (2, boiler + " other words gamma delta"),
+            (3, boiler + " third body epsilon zeta"),
+            (4, "completely different body text with tail x"),
+            (5, "tiny doc"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_chunks"], r["n_removed"], r["clean_text"])
+        for r in cl.boilerplate_removal(
+            docs, chunk_words=4, min_docs=3
+        ).collect()
+    }
+    # the shared 4-word prefix chunk is gone from all three docs
+    assert out[1] == (2, 1, "unique one alpha beta")
+    assert out[2] == (2, 1, "other words gamma delta")
+    assert out[3] == (2, 1, "third body epsilon zeta")
+    # unique doc untouched; 9th word is a tail
+    assert out[4] == (1, 0, "completely different body text with tail x")
+    # sub-chunk doc passes through with zero chunks
+    assert out[5] == (0, 0, "tiny doc")

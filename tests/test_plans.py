@@ -428,3 +428,22 @@ def test_wav_energy_is_narrow_no_shuffle(spark, sf_dir):
     # the operator scales purely with input splits
     assert "Exchange" not in plan
     assert "MapInPandas" in plan or "mapInPandas" in plan
+
+
+def test_pq_encode_narrow_and_adc_broadcast(spark, sf_dir):
+    """PQ scale shapes: encode is a narrow Arrow kernel over the scan
+    (no exchange — codebooks ride the closure); the ADC scoring join
+    broadcasts the query stream so the CODE table never shuffles."""
+    from google_sheets_etl_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    c = emb.filter(F.col("vec_id") >= 10)
+    cb = similarity._pq_codebooks(c, 8, 128, "vec_id", "embedding", 42)
+    enc_plan = explain_str(similarity.pq_encode(c, cb))
+    assert "Exchange" not in enc_plan
+    assert "MapInPandas" in enc_plan or "mapInPandas" in enc_plan
+
+    adc_plan = explain_str(QUERIES["pq_topk_adc"](spark, sf_dir))
+    assert "BroadcastExchange" in adc_plan
+    assert "SortMergeJoin" not in adc_plan
+    assert "CartesianProduct" not in adc_plan
