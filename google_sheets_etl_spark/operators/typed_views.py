@@ -168,6 +168,23 @@ _SUM_COUNTERS = (
 _MAX_COUNTERS = ("_di", "_ds", "_gdi", "_gds")
 
 
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a df that arrives with FEWER partitions
+    than the cluster has cores — the single-small-parquet-file case,
+    where one task would otherwise run every probe over every cell
+    (measured 5.4 s -> 1.9 s on the sf0.1 profile). Deliberately
+    conditional: at 100 TB the scan arrives pre-split by
+    ``spark.sql.files.maxPartitionBytes`` into thousands of
+    partitions and this is a no-op — an unconditional repartition
+    would shuffle the whole table. Under-parallel inputs are by
+    construction small (< cores x maxPartitionBytes), so the
+    round-robin exchange is bounded."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def profile_counters(
     df: DataFrame, columns: list[str] | None = None
 ) -> DataFrame:
@@ -180,127 +197,163 @@ def profile_counters(
     the decision over a full-table profile, making re-profiling after
     new loads an O(new data) statement instead of a table rescan.
 
-    One scan, one single-row aggregate (partial-agg friendly), then a
-    width-to-length explode of that ONE row — no per-column scans, no
-    driver compute on data."""
+    Execution shape (round-6 verdict directive #3): the table is
+    exploded to LONG ``(column_name, value)`` rows first and profiled
+    by ONE ``groupBy(column_name)`` whose ~25 aggregates are
+    column-GENERIC expressions. The previous wide form (one
+    single-row agg with ~25 aggregates PER COLUMN) exceeded
+    whole-stage-codegen's field limit, silently dropping the entire
+    scan→probe→partial-agg stage to interpreted evaluation — the
+    round-6 bench regression. Long form keeps every probe inside
+    codegen; the shuffle carries one partial row per column per task
+    (metadata-scale), and map-side partial aggregation consumes the
+    exploded rows without materializing them."""
     cols = columns if columns is not None else list(df.columns)
+    spark = df.sparkSession
+    empty_schema = (
+        "column_name string, "
+        + ", ".join(f"{c} long" for c in _SUM_COUNTERS)
+        + ", "
+        + ", ".join(f"{c} int" for c in _MAX_COUNTERS)
+    )
     if not cols:
         # nothing to profile (e.g. a table of only provenance
         # columns) → empty profile, not an agg() crash
-        return df.sparkSession.createDataFrame(
-            [],
-            "column_name string, "
-            + ", ".join(f"{c} long" for c in _SUM_COUNTERS)
-            + ", "
-            + ", ".join(f"{c} int" for c in _MAX_COUNTERS),
-        )
-    # normalize ONCE per column in an explicit projection: referencing
-    # nullif(trim(c),'') inside every aggregate makes Spark's CSE emit
-    # five copies of the trim per column (measured 8.8 s at sf0.1 —
-    # the projection cuts the string work 5x). The date and timestamp
-    # parses land here too: the midnight-strict date probe needs both
-    # and the timestamp probe reuses the same parse.
+        return spark.createDataFrame([], empty_schema)
     lead = "('0','1','2','3','4','5','6','7','8','9','+','-')"
-    normalized = df.select(
-        *[
-            F.nullif(
-                F.trim(F.col(_quoted(c)).cast("string")), F.lit("")
-            ).alias(f"_c{i}")
-            for i, c in enumerate(cols)
-        ]
+    # width→length: one struct per column per row, exploded. F.lit
+    # keeps arbitrary column names (quotes, backticks) out of the SQL
+    # parser. The all-NULL template row per column (unioned below)
+    # guarantees every column produces a counter row even when the
+    # input has ZERO rows — the wide form's single-row agg gave that
+    # for free; counts ignore the NULL so non-empty inputs are
+    # unaffected.
+    entries = [
+        F.struct(
+            F.lit(c).alias("column_name"),
+            F.col(_quoted(c)).cast("string").alias("_raw"),
+        )
+        for c in cols
+    ]
+    long = (
+        ensure_parallelism(df)
+        .select(F.explode(F.array(*entries)).alias("s"))
+        .select("s.*")
     )
-    # SECOND select so the temporal probes reference the
-    # already-computed _c{i} — inlining the normalization into each
-    # CASE re-introduces 5 trims per column (conditional branches
-    # are not reliably CSE'd), the measured 5x regression.
-    # The probes themselves are gated on a digit/sign lead character:
-    # every temporal string Spark accepts starts with the (optionally
+    template = spark.createDataFrame(
+        [(c, None) for c in cols], "column_name string, _raw string"
+    )
+    long = long.unionByName(template)
+    # normalize ONCE in an explicit projection: referencing
+    # nullif(trim(v),'') inside every aggregate makes Spark's CSE
+    # emit a copy per reference (measured 5x the string work).
+    norm = long.select(
+        "column_name",
+        F.nullif(F.trim(F.col("_raw")), F.lit("")).alias("_c"),
+    )
+    # Temporal probes are gated on a digit/sign lead character: every
+    # temporal string Spark accepts starts with the (optionally
     # signed) year or a time digit — EXCEPT the relative special
     # strings ('now', 'today', 'epoch', ...), which are DELIBERATELY
     # not type evidence here: a column of 'now's typing as timestamp
     # would make the view non-deterministic.
-    # Every SHAPE regex is evaluated ONCE per value here — behind the
-    # digit/sign lead-character gate (all shapes require it, and a
-    # one-char test short-circuits 7 regexes on text-heavy columns) —
-    # and the aggregates below reference the booleans. Before this
-    # consolidation each aggregate ran its own regex (the decimal
-    # shape 3x, each slash shape 2x): measured ~2x the whole profile
-    # at sf0.1 when the round-6 candidates landed.
-    temporal = []
-    for i in range(len(cols)):
-        for alias, t in ((f"_d{i}", "date"), (f"_t{i}", "timestamp")):
-            temporal.append(
-                F.expr(
-                    f"CASE WHEN substring(_c{i}, 1, 1) IN {lead} "
-                    f"THEN try_cast(_c{i} AS {t}) END"
-                ).alias(alias)
-            )
-        for alias, shape in (
-            (f"_sl{i}", DATE_FORMAT_SHAPES["MM/dd/yyyy"]),
-            (f"_dot{i}", DATE_FORMAT_SHAPES["dd.MM.yyyy"]),
-            (f"_slh{i}", TS_FORMAT_SHAPES["MM/dd/yyyy HH:mm"]),
-            (f"_doth{i}", TS_FORMAT_SHAPES["dd.MM.yyyy HH:mm"]),
-            (f"_dec{i}", DECIMAL_SHAPE),
-            (f"_gi{i}", GROUPED_INT_RE),
-            (f"_gd{i}", GROUPED_DBL_RE),
-        ):
-            temporal.append(
-                F.expr(
-                    f"substring(_c{i}, 1, 1) IN {lead} "
-                    f"AND _c{i} rlike '{shape}'"
-                ).alias(alias)
-            )
-    shaped = normalized.select("*", *temporal)
-    # third projection: decimal digit-run lengths and the fixed-
-    # position date/time FIELDS reference the shape booleans (sibling
-    # aliases can't be referenced in-select). All four locale shapes
-    # put their numeric fields at identical offsets (2/2/4 [+2:2]),
-    # so one extraction serves every format probe.
-    digits = []
-    for i in range(len(cols)):
-        digits.append(
-            F.expr(
-                f"CASE WHEN _dec{i} THEN "
-                f"length(regexp_extract(_c{i}, '^[+-]?([0-9]+)', 1)) "
-                "END"
-            ).alias(f"_dil{i}")
-        )
-        digits.append(
-            F.expr(
-                f"CASE WHEN _dec{i} THEN "
-                f"length(regexp_extract(_c{i}, '[.]([0-9]+)$', 1)) "
-                "END"
-            ).alias(f"_dsl{i}")
-        )
-        digits.append(
-            F.expr(
-                f"CASE WHEN _gd{i} THEN "
-                f"length(replace(regexp_extract(_c{i}, "
-                f"'^[+-]?([0-9,]+)', 1), ',', '')) END"
-            ).alias(f"_gil{i}")
-        )
-        digits.append(
-            F.expr(
-                f"CASE WHEN _gd{i} THEN "
-                f"length(regexp_extract(_c{i}, '[.]([0-9]+)$', 1)) "
-                "END"
-            ).alias(f"_gsl{i}")
-        )
-        any_locale = f"_sl{i} OR _dot{i} OR _slh{i} OR _doth{i}"
-        for alias, pos, ln, gate in (
-            (f"_p1{i}", 1, 2, any_locale),
-            (f"_p2{i}", 4, 2, any_locale),
-            (f"_py{i}", 7, 4, any_locale),
-            (f"_ph{i}", 12, 2, f"_slh{i} OR _doth{i}"),
-            (f"_pmi{i}", 15, 2, f"_slh{i} OR _doth{i}"),
-        ):
-            digits.append(
-                F.expr(
-                    f"CASE WHEN {gate} THEN "
-                    f"cast(substring(_c{i}, {pos}, {ln}) AS int) END"
-                ).alias(alias)
-            )
-    safe = shaped.select("*", *digits)
+    # SHAPE FUSION: one translate() per value builds a digit MASK
+    # ('1,234.56' -> '0,000.00'), against which every FIXED-WIDTH
+    # locale shape is a plain string EQUALITY (translate preserves
+    # length, so equality also pins the length) and the three numeric
+    # shapes collapse into ONE anchored regex on the mask — matched
+    # iff the value is decimal-shaped or strictly-comma-grouped —
+    # plus comma/dot arithmetic to tell them apart:
+    #   decimal          = fused AND no comma
+    #   double[grouped]  = fused AND (has comma OR <= 3 int digits)
+    #   bigint[grouped]  = double[grouped] AND no dot
+    # (the <=3 branch because the grouped shapes also admit plain
+    # 1-3-digit numbers — zero comma groups — exactly as the
+    # per-shape regexes did). Accept sets are IDENTICAL to the old
+    # regexes; the oracle twins keep their regexp_matches form, so
+    # the differential gate certifies the fusion.
+    shaped = norm.select(
+        "column_name",
+        "_c",
+        F.expr(
+            f"CASE WHEN substring(_c, 1, 1) IN {lead} "
+            "THEN try_cast(_c AS date) END"
+        ).alias("_d"),
+        F.expr(
+            f"CASE WHEN substring(_c, 1, 1) IN {lead} "
+            "THEN try_cast(_c AS timestamp) END"
+        ).alias("_t"),
+        F.expr("translate(_c, '123456789', '000000000')").alias("_m"),
+    )
+    shaped = shaped.select(
+        "*",
+        F.expr("_m = '00/00/0000'").alias("_sl"),
+        F.expr("_m = '00.00.0000'").alias("_dot"),
+        F.expr("_m = '00/00/0000 00:00'").alias("_slh"),
+        F.expr("_m = '00.00.0000 00:00'").alias("_doth"),
+        F.expr(
+            f"substring(_c, 1, 1) IN {lead} "
+            "AND _m rlike '^[+-]?(0+|0{1,3}(,000)+)([.]0+)?$'"
+        ).alias("_num"),
+        # first-dot position and comma count: the arithmetic that
+        # replaces per-shape regexp_extract digit-run probes (under
+        # the fused shape there is at most one dot, commas only in
+        # the integer part)
+        F.expr("instr(_c, '.')").alias("_dp"),
+        F.expr("length(_c) - length(replace(_c, ',', ''))").alias("_nc"),
+    )
+    sign = "(CASE WHEN substring(_c, 1, 1) IN ('+','-') THEN 1 ELSE 0 END)"
+    fraclen = "(CASE WHEN _dp > 0 THEN length(_c) - _dp ELSE 0 END)"
+    intdigits = (
+        f"((CASE WHEN _dp > 0 THEN _dp - 1 ELSE length(_c) END) "
+        f"- {sign} - _nc)"
+    )
+    any_locale = "_sl OR _dot OR _slh OR _doth"
+    safe = shaped.select(
+        "*",
+        F.expr("_num AND _nc = 0").alias("_dec"),
+        F.expr(f"_num AND (_nc > 0 OR {intdigits} <= 3)").alias("_gd"),
+        F.expr(
+            f"_num AND _dp = 0 AND (_nc > 0 OR {intdigits} <= 3)"
+        ).alias("_gi"),
+        F.expr(
+            f"CASE WHEN _num AND _nc = 0 THEN {intdigits} END"
+        ).alias("_dil"),
+        F.expr(
+            f"CASE WHEN _num AND _nc = 0 THEN {fraclen} END"
+        ).alias("_dsl"),
+        F.expr(
+            f"CASE WHEN _num AND (_nc > 0 OR {intdigits} <= 3) "
+            f"THEN {intdigits} END"
+        ).alias("_gil"),
+        F.expr(
+            f"CASE WHEN _num AND (_nc > 0 OR {intdigits} <= 3) "
+            f"THEN {fraclen} END"
+        ).alias("_gsl"),
+        # fixed-position date/time FIELDS: all four locale shapes put
+        # their numeric fields at identical offsets (2/2/4 [+2:2]),
+        # so one extraction serves every format probe
+        F.expr(
+            f"CASE WHEN {any_locale} THEN "
+            "cast(substring(_c, 1, 2) AS int) END"
+        ).alias("_p1"),
+        F.expr(
+            f"CASE WHEN {any_locale} THEN "
+            "cast(substring(_c, 4, 2) AS int) END"
+        ).alias("_p2"),
+        F.expr(
+            f"CASE WHEN {any_locale} THEN "
+            "cast(substring(_c, 7, 4) AS int) END"
+        ).alias("_py"),
+        F.expr(
+            "CASE WHEN _slh OR _doth THEN "
+            "cast(substring(_c, 12, 2) AS int) END"
+        ).alias("_ph"),
+        F.expr(
+            "CASE WHEN _slh OR _doth THEN "
+            "cast(substring(_c, 15, 2) AS int) END"
+        ).alias("_pmi"),
+    )
 
     # Gregorian validity as ARITHMETIC, not a formatter: the format
     # probes only feed the DECISION (the view parses the winning
@@ -323,141 +376,95 @@ def profile_counters(
             f"OR {yr} % 400 = 0 THEN 29 ELSE 28 END)"
         )
 
-    aggs = []
-    for i in range(len(cols)):
-        aggs.append(F.expr(f"count(_c{i})").alias(f"n_{i}"))
-        p1, p2, py = f"_p1{i}", f"_p2{i}", f"_py{i}"
-        time_ok = f"_ph{i} <= 23 AND _pmi{i} <= 59"
-        for j, (gate, valid) in enumerate((
-            (f"_sl{i}", greg_valid(p2, p1, py)),    # MM/dd/yyyy
-            (f"_sl{i}", greg_valid(p1, p2, py)),    # dd/MM/yyyy
-            (f"_dot{i}", greg_valid(p1, p2, py)),   # dd.MM.yyyy
-        )):
-            aggs.append(
-                F.expr(
-                    f"count(CASE WHEN {gate} AND {valid} THEN 1 END)"
-                ).alias(f"fmt{j}_{i}")
-            )
-        for j, (gate, valid) in enumerate((
-            (f"_slh{i}", greg_valid(p2, p1, py)),
-            (f"_slh{i}", greg_valid(p1, p2, py)),
-            (f"_doth{i}", greg_valid(p1, p2, py)),
-        )):
-            aggs.append(
-                F.expr(
-                    f"count(CASE WHEN {gate} AND {valid} "
-                    f"AND {time_ok} THEN 1 END)"
-                ).alias(f"tfmt{j}_{i}")
-            )
-        # bigint[grouped] needs CAST evidence, not just shape: a
-        # correctly-grouped integer past the bigint range must fall
-        # through to decimal(p,0)[grouped], mirroring the ungrouped
-        # order, instead of deciding a type whose view NULLs every
-        # value. The cast only runs on grouped-integer shapes, where
-        # it is exceptionless except for the rare overflow.
+    time_ok = "_ph <= 23 AND _pmi <= 59"
+    aggs = [F.expr("count(_c)").alias("n_values")]
+    # EXACTLY Spark's string→boolean token set, as a membership test:
+    # try_cast-to-boolean takes the exception path per non-matching
+    # row (~5x every other candidate combined); the first-char gate
+    # short-circuits the lower() allocation for every value that
+    # cannot be boolean.
+    aggs.append(
+        F.expr(
+            "count(CASE WHEN substring(_c, 1, 1) IN "
+            "('t','T','f','F','y','Y','n','N','0','1') "
+            "AND lower(_c) IN "
+            "('t','true','y','yes','1',"
+            "'f','false','n','no','0') THEN 1 END)"
+        ).alias("n_boolean")
+    )
+    # integral-shaped ⟺ decimal-shaped with zero fraction digits —
+    # both already computed. The shape gate is load-bearing for COST,
+    # not just semantics: ANSI try_cast string→bigint
+    # throws-and-catches per non-integral value; behind the gate the
+    # cast only runs on integral shapes, where it succeeds
+    # exceptionlessly (or NULLs the rare overflow). Accept set
+    # unchanged: Spark's ANSI bigint cast rejects exactly the
+    # non-integral shapes the gate skips.
+    aggs.append(
+        F.expr(
+            "count(CASE WHEN _dec AND _dsl = 0 "
+            "THEN try_cast(_c AS bigint) END)"
+        ).alias("n_bigint")
+    )
+    # decimal probe: shape count + max integer/fraction digit runs
+    # that size the decided decimal(p, s). Raw digit lengths (leading
+    # zeros included) — p only ever over-sizes, never under, and the
+    # arithmetic is portable to the SQL twin.
+    aggs.append(F.expr("count(CASE WHEN _dec THEN 1 END)").alias("n_decimal"))
+    aggs.append(F.expr("count(try_cast(_c AS double))").alias("n_double"))
+    # midnight-strict: date-parseable AND no time info
+    aggs.append(
+        F.expr(
+            "count(CASE WHEN _d IS NOT NULL AND "
+            "_t = CAST(_d AS timestamp) THEN 1 END)"
+        ).alias("n_date")
+    )
+    aggs.append(F.expr("count(_t)").alias("n_timestamp"))
+    for alias, (gate, args) in {
+        "_f0": ("_sl", ("_p2", "_p1", "_py")),   # MM/dd/yyyy
+        "_f1": ("_sl", ("_p1", "_p2", "_py")),   # dd/MM/yyyy
+        "_f2": ("_dot", ("_p1", "_p2", "_py")),  # dd.MM.yyyy
+    }.items():
         aggs.append(
             F.expr(
-                f"count(CASE WHEN _gi{i} THEN "
-                f"try_cast(replace(_c{i}, ',', '') AS bigint) END)"
-            ).alias(f"grp0_{i}")
+                f"count(CASE WHEN {gate} AND {greg_valid(*args)} "
+                "THEN 1 END)"
+            ).alias(alias)
         )
+    for alias, (gate, args) in {
+        "_h0": ("_slh", ("_p2", "_p1", "_py")),
+        "_h1": ("_slh", ("_p1", "_p2", "_py")),
+        "_h2": ("_doth", ("_p1", "_p2", "_py")),
+    }.items():
         aggs.append(
             F.expr(
-                f"count(CASE WHEN _gd{i} THEN 1 END)"
-            ).alias(f"grp1_{i}")
+                f"count(CASE WHEN {gate} AND {greg_valid(*args)} "
+                f"AND {time_ok} THEN 1 END)"
+            ).alias(alias)
         )
-        # decimal probe: shape count + the max integer/fraction digit
-        # runs that size the decided decimal(p, s). Raw digit lengths
-        # (leading zeros included) — p only ever over-sizes, never
-        # under, and the arithmetic is portable to the SQL twin.
-        aggs.append(
-            F.expr(
-                f"count(CASE WHEN _dec{i} THEN 1 END)"
-            ).alias(f"decimal_{i}")
-        )
-        aggs.append(F.expr(f"max(_dil{i})").alias(f"deci_{i}"))
-        aggs.append(F.expr(f"max(_dsl{i})").alias(f"decs_{i}"))
-        aggs.append(F.expr(f"max(_gil{i})").alias(f"gdeci_{i}"))
-        aggs.append(F.expr(f"max(_gsl{i})").alias(f"gdecs_{i}"))
-        for t in CANDIDATES:
-            if t == "boolean":
-                # EXACTLY Spark's string→boolean token set, as a
-                # membership test: try_cast-to-boolean takes the
-                # exception path per non-matching row (~5x the cost
-                # of every other candidate combined, measured at
-                # sf0.1). The first-char gate in front of it matters
-                # just as much: lower() allocates a fresh string per
-                # row before the 10 comparisons — measured ~1.2 s per
-                # column at sf0.1 ungated, one of the two dominant
-                # profile costs; a one-char test short-circuits it
-                # for every non-boolean-looking value.
-                probe = (
-                    f"count(CASE WHEN substring(_c{i}, 1, 1) IN "
-                    "('t','T','f','F','y','Y','n','N','0','1') "
-                    f"AND lower(_c{i}) IN "
-                    "('t','true','y','yes','1',"
-                    "'f','false','n','no','0') THEN 1 END)"
-                )
-            elif t == "bigint":
-                # integral-shaped ⟺ decimal-shaped with zero fraction
-                # digits — both already computed. The shape gate is
-                # load-bearing for COST, not just semantics: ANSI
-                # try_cast string→bigint throws-and-catches per
-                # non-integral value (~1.4 s per column at sf0.1,
-                # the other dominant profile cost); behind the gate
-                # the cast only runs on integral shapes, where it
-                # succeeds exceptionlessly (or NULLs the rare
-                # overflow). Accept set unchanged: Spark's ANSI
-                # bigint cast rejects exactly the non-integral
-                # shapes the gate skips.
-                probe = (
-                    f"count(CASE WHEN _dec{i} AND _dsl{i} = 0 "
-                    f"THEN try_cast(_c{i} AS bigint) END)"
-                )
-            elif t == "date":
-                # midnight-strict: date-parseable AND no time info
-                probe = (
-                    f"count(CASE WHEN _d{i} IS NOT NULL AND "
-                    f"_t{i} = CAST(_d{i} AS timestamp) THEN 1 END)"
-                )
-            elif t == "timestamp":
-                probe = f"count(_t{i})"
-            else:
-                probe = f"count(try_cast(_c{i} AS {t}))"
-            aggs.append(F.expr(probe).alias(f"{t}_{i}"))
-    wide = safe.agg(*aggs)
-    entries = [
-        F.struct(
-            F.lit(c).alias("column_name"),
-            F.col(f"n_{i}").alias("n_values"),
-            F.col(f"boolean_{i}").alias("n_boolean"),
-            F.col(f"bigint_{i}").alias("n_bigint"),
-            F.col(f"decimal_{i}").alias("n_decimal"),
-            F.col(f"double_{i}").alias("n_double"),
-            F.col(f"date_{i}").alias("n_date"),
-            F.col(f"timestamp_{i}").alias("n_timestamp"),
-            # format counts + decimal digit maxima feed only the
-            # decision, not the output
-            F.col(f"deci_{i}").alias("_di"),
-            F.col(f"decs_{i}").alias("_ds"),
-            F.col(f"gdeci_{i}").alias("_gdi"),
-            F.col(f"gdecs_{i}").alias("_gds"),
-            *[
-                F.col(f"fmt{j}_{i}").alias(f"_f{j}")
-                for j in range(len(DATE_FORMATS))
-            ],
-            *[
-                F.col(f"tfmt{j}_{i}").alias(f"_h{j}")
-                for j in range(len(TS_FORMATS))
-            ],
-            *[
-                F.col(f"grp{j}_{i}").alias(f"_g{j}")
-                for j in range(len(GROUPED_FORMATS))
-            ],
-        )
-        for i, c in enumerate(cols)
-    ]
-    return wide.select(F.explode(F.array(*entries)).alias("s")).select("s.*")
+    # bigint[grouped] needs CAST evidence, not just shape: a
+    # correctly-grouped integer past the bigint range must fall
+    # through to decimal(p,0)[grouped], mirroring the ungrouped
+    # order, instead of deciding a type whose view NULLs every value.
+    aggs.append(
+        F.expr(
+            "count(CASE WHEN _gi THEN "
+            "try_cast(replace(_c, ',', '') AS bigint) END)"
+        ).alias("_g0")
+    )
+    aggs.append(F.expr("count(CASE WHEN _gd THEN 1 END)").alias("_g1"))
+    aggs.append(F.expr("max(_dil)").alias("_di"))
+    aggs.append(F.expr("max(_dsl)").alias("_ds"))
+    aggs.append(F.expr("max(_gil)").alias("_gdi"))
+    aggs.append(F.expr("max(_gsl)").alias("_gds"))
+    grouped = safe.groupBy("column_name").agg(*aggs)
+    # column order pinned to the documented profile schema
+    return grouped.select(
+        "column_name",
+        *_SUM_COUNTERS,
+        *_MAX_COUNTERS,
+    )
+
 
 
 def merge_profiles(*profiles: DataFrame) -> DataFrame:
@@ -699,16 +706,21 @@ def typed_view(df: DataFrame, types: dict[str, str]) -> DataFrame:
                 p, s = (int(x) for x in t[len("decimal("):-1].split(","))
             except ValueError as exc:
                 raise ValueError(f"malformed decimal type: {t!r}") from exc
-            if not (0 <= s <= p <= DECIMAL_MAX_PRECISION):
+            if not (0 <= s <= p <= DECIMAL_MAX_PRECISION) or p == 0:
                 raise ValueError(f"invalid decimal precision: {t!r}")
             # digit-budget gate: values with more integer or fraction
             # digits than the profile decided become NULL — Spark's
             # ungated decimal cast would ROUND half-up instead, a
-            # silently wrong value under a sampled profile
+            # silently wrong value under a sampled profile.
+            # decimal(p,p) (all-fraction — valid Spark, reachable via
+            # OVERRIDES though never from a profile, whose maxi >= 1)
+            # gets a zero-width integer budget: at most a single
+            # leading '0' before the point.
             frac = f"([.][0-9]{{1,{s}}})?" if s else ""
-            shape = f"^[+-]?[0-9]{{1,{p - s}}}{frac}$" if p > s else ""
-            if not shape:
-                raise ValueError(f"invalid decimal precision: {t!r}")
+            if p > s:
+                shape = f"^[+-]?[0-9]{{1,{p - s}}}{frac}$"
+            else:
+                shape = f"^[+-]?0?{frac}$"
             out.append(
                 F.expr(
                     f"CASE WHEN trim({_quoted(c)}) rlike '{shape}' THEN "

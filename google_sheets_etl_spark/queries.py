@@ -2294,7 +2294,7 @@ ranked AS (
 _PQ_ENCODE_ORACLE = (
     _PQ_COMMON
     + """
-SELECT vec_id, list(j ORDER BY m) AS codes FROM codes GROUP BY vec_id"""
+SELECT vec_id, m, j AS code FROM codes"""
 )
 
 _PQ_ADC_ORACLE = (
@@ -2332,11 +2332,20 @@ def pq_encode_codes(spark: SparkSession, sf: str) -> DataFrame:
     lets 100 TB of embeddings be scanned as a few TB of codes. Exact
     integer micro-unit distances make the argmin and its code-asc
     tie-break cross-engine deterministic; the oracle rebuilds the
-    codebooks, the normalization, and every argmin in SQL."""
+    codebooks, the normalization, and every argmin in SQL.
+
+    Output is EXPLODED to scalar ``(vec_id, m, code)`` rows: the
+    driver's canonicalizer sorts output columns through pandas, which
+    cannot hash an ``array<int>`` cell (the round-6 red row). The
+    internal operator keeps the packed array shape (pq_topk_adc scans
+    it); only this certification row reshapes."""
     emb = t(spark, sf, "embeddings")
     c = emb.filter(F.col("vec_id") >= 10)
     cb = similarity._pq_codebooks(c, 8, 128, "vec_id", "embedding", 42)
-    return similarity.pq_encode(c, cb)
+    return similarity.pq_encode(c, cb).select(
+        "vec_id",
+        F.posexplode("codes").alias("m", "code"),
+    )
 
 
 @q("pq_topk_adc", _PQ_ADC_ORACLE)
@@ -4700,7 +4709,10 @@ def typed_view_apply(spark: SparkSession, sf: str) -> DataFrame:
     case."""
     from .operators import typed_views
 
-    wh = _varchar_warehouse(spark, sf)
+    # parallelize ONCE and share: the warehouse arrives as a single
+    # small scan partition, and both the sampled profile and the
+    # full-table view aggregate would otherwise run single-task
+    wh = typed_views.ensure_parallelism(_varchar_warehouse(spark, sf))
     types = typed_views.decide_types(wh, sample_fraction=0.1)
     tv = typed_views.typed_view(wh, types)
     return tv.agg(

@@ -385,12 +385,19 @@ def test_span_dedup_minlen_no_extra_exchange_for_run_windows(spark, sf_dir):
 
 def test_typed_view_profile_is_one_scan_partial_aggregate(spark, sf_dir):
     plan = explain_str(QUERIES["typed_view_cast_stats"](spark, sf_dir))
-    # ONE table scan, partial+final single-row aggregate, and the
-    # width-to-length explode happens on the 1-row result — never a
-    # per-column scan and never a shuffle keyed on data
+    # ONE table scan; the cells explode to LONG (column_name, value)
+    # rows consumed by a partial-aggregated groupBy(column_name) —
+    # the round-7 shape that keeps every probe inside whole-stage
+    # codegen (the wide per-column-aggregate form exceeded codegen's
+    # field limit). The ONLY data-keyed exchange is the final-agg
+    # hashpartitioning on column_name, whose input is one partial
+    # row per column per task — metadata-scale, not data-scale.
     assert plan.count("Location: InMemoryFileIndex") == 1  # one scan
-    assert "Exchange hashpartitioning" not in plan
-    assert "SinglePartition" in plan or "Exchange" not in plan
+    assert "hashpartitioning(column_name" in plan
+    # probes run codegen'd over the exploded stream, never per-column
+    assert "Generate" in plan
+    assert "explode" in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_semantic_dedup_cell_blocks_and_no_cartesian(spark, sf_dir):

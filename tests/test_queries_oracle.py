@@ -34,12 +34,27 @@ SF_OVERRIDE = {
 }
 
 
+def assert_scalar_schema(df, name):
+    """The driver sorts output columns through pandas, which cannot
+    hash list/dict cells: an array/map/struct column is driver-RED
+    even with correct values (round-6 ``pq_encode_codes``). Every
+    registered query's OUTPUT must therefore be scalar-only."""
+    from tools.driver_mimic import nonscalar_columns
+
+    bad = nonscalar_columns(df)
+    assert not bad, (
+        f"{name}: non-scalar output column(s) {bad} — the driver's "
+        "pandas canonicalizer rejects them; explode or concat_ws"
+    )
+
+
 @pytest.mark.parametrize("name", ORACLED)
 def test_query_matches_oracle(spark, sf_dir, duck, name):
     if name in SF_OVERRIDE:
         sf_dir = SF_OVERRIDE[name]
         duck = connect_views(sf_dir)
     qdf = entry_mod.queries()[name](spark, sf_dir)
+    assert_scalar_schema(qdf, name)
     spark_cols = qdf.columns
     spark_rows = [tuple(r) for r in qdf.collect()]
 
@@ -61,11 +76,24 @@ def test_rows_only_queries_run(spark, sf_dir, name):
     if name == "__all_oracled__":
         pytest.skip("every registered query currently has an oracle")
     df = entry_mod.queries()[name](spark, sf_dir)
+    assert_scalar_schema(df, name)
     # rows-only gate: the query must EXECUTE and produce a schema —
     # a 0-row result is legitimate for some ops, so the meaningful
     # floor is successful execution with named output columns
     assert isinstance(df.count(), int)
     assert len(df.columns) > 0
+
+
+def test_mimic_rejects_nonscalar_output(spark):
+    """tools/driver_mimic must FAIL a query whose output carries an
+    array column instead of stringifying it (the round-6 divergence:
+    the mimic green-lit a shape the real driver rejects)."""
+    from tools.driver_mimic import nonscalar_columns
+
+    df = spark.createDataFrame([(1, [1, 2])], "id int, xs array<int>")
+    assert nonscalar_columns(df) == ["xs"]
+    ok = spark.createDataFrame([(1, "a")], "id int, s string")
+    assert nonscalar_columns(ok) == []
 
 
 def test_entry_smoke(spark):

@@ -41,6 +41,19 @@ def connect_views(sf_dir: str):
     return con
 
 
+def nonscalar_columns(df) -> list[str]:
+    """Output columns the REAL driver's pandas canonicalizer cannot
+    sort (lists/dicts are unhashable in pandas' factorize) — any
+    array/map/struct column makes a query driver-RED even when its
+    values are correct. The round-6 ``pq_encode_codes`` red row was
+    exactly this shape."""
+    return [
+        f.name
+        for f in df.schema.fields
+        if f.dataType.typeName() in ("array", "map", "struct")
+    ]
+
+
 def normalize(v, from_pandas: bool = False):
     import datetime
     import decimal
@@ -127,6 +140,16 @@ def main() -> int:
         t0 = time.time()
         try:
             qdf = fn(spark, sf_dir)
+            # fail non-scalar outputs HERE so local green predicts
+            # driver green (this mimic used to stringify lists and
+            # green-lit a shape the driver rejects)
+            bad = nonscalar_columns(qdf)
+            if bad:
+                raise TypeError(
+                    f"non-scalar output column(s) {bad}: the driver's "
+                    "pandas canonicalizer cannot sort array/map/struct "
+                    "cells — explode or concat_ws to scalars"
+                )
             spark_cols = qdf.columns
             spark_rows = [tuple(r) for r in qdf.collect()]
             row["spark_rows"] = len(spark_rows)
