@@ -208,6 +208,7 @@ class SheetsEtlEngine:
         table: str,
         overrides: dict[str, str] | None = None,
         sample_fraction: float | str | None = "auto",
+        min_frac: float = 1.0,
     ) -> DataFrame:
         """TYPED VIEW over a loaded target table (round-4 verdict
         directive #2's engine surface): the stored table stays
@@ -222,13 +223,17 @@ class SheetsEtlEngine:
         seeded sample, small tables profile in full (see
         decide_types for the thresholds and the safe-degradation
         contract); pass ``None`` to force the full profile or a
-        float to pin a fraction."""
+        float to pin a fraction. ``min_frac`` relaxes the totality
+        rule — a column types when at least that fraction of its
+        non-blank values cast, the minority NULLing under the same
+        safe-degradation contract (see ``decide_profile``)."""
         from .operators import typed_views
 
         df = self.target(table).read()
         data_cols = [c for c in df.columns if not c.startswith("_")]
         types = typed_views.decide_types(
-            df, data_cols, sample_fraction=sample_fraction
+            df, data_cols, sample_fraction=sample_fraction,
+            min_frac=min_frac,
         )
         types.update(overrides or {})
         return typed_views.typed_view(df, types)

@@ -488,16 +488,44 @@ def merge_profiles(*profiles: DataFrame) -> DataFrame:
     )
 
 
-def decide_profile(counters: DataFrame) -> DataFrame:
+def decide_profile(
+    counters: DataFrame, min_frac: float = 1.0
+) -> DataFrame:
     """Turn a counter profile (fresh from :func:`profile_counters` or
     merged via :func:`merge_profiles`) into the decided per-column
     types — the same most-specific-first chain documented on the
-    module."""
+    module.
+
+    ``min_frac`` (round-6 verdict directive #4) relaxes the totality
+    rule: a candidate type wins when at least ``ceil(min_frac *
+    n_values)`` non-blank values survive its probe, instead of ALL of
+    them. The default 1.0 keeps totality — today's behavior, bit for
+    bit. The knob exists because messy sheets are the reference's
+    entire reason for a VARCHAR warehouse
+    (``DatabaseAgentMysql.php:172``): one dirty cell in a million
+    demoting a column to string makes the typed view useless exactly
+    where it matters most. Degradation stays SAFE under the existing
+    contract — the minority values that don't cast become NULL in the
+    view (``try_cast`` / the shape gates), never wrong values, and the
+    stored strings are untouched underneath. The slash-format evidence
+    rule generalizes: a format wins when it clears the threshold AND
+    parses strictly MORE values than its rival — at 1.0 this is
+    exactly the old ``us == n AND eu < n``; equal evidence (pure
+    ambiguity) still falls through to string at any threshold."""
+    if not (0.0 < min_frac <= 1.0):
+        raise ValueError(f"min_frac must be in (0, 1], got {min_frac}")
     long = counters
     n = F.col("n_values")
+    # ceil() would widen to double and risk ulp drift at huge n; the
+    # integer form ceil(a*n/b) = floor((a*n + b - 1)/b) over a
+    # rational min_frac = a/b (b = 10^6 fixes 6-decimal knob values
+    # exactly) keeps the threshold in exact integer arithmetic —
+    # and at min_frac=1.0 it is literally n
+    a = int(round(min_frac * 1_000_000))
+    thr = F.floor((F.lit(a) * n + F.lit(999_999)) / F.lit(1_000_000))
     decided = F.when(n == 0, F.lit("string"))
-    decided = decided.when(F.col("n_boolean") == n, F.lit("boolean"))
-    decided = decided.when(F.col("n_bigint") == n, F.lit("bigint"))
+    decided = decided.when(F.col("n_boolean") >= thr, F.lit("boolean"))
+    decided = decided.when(F.col("n_bigint") >= thr, F.lit("bigint"))
     # decimal between bigint and double: p = int digits + frac
     # digits, s = frac digits; only when the precision fits Spark's
     # 38-digit ceiling (a longer column falls through to double)
@@ -505,7 +533,7 @@ def decide_profile(counters: DataFrame) -> DataFrame:
         F.col("_ds"), F.lit(0)
     )
     decided = decided.when(
-        (F.col("n_decimal") == n) & (prec <= DECIMAL_MAX_PRECISION),
+        (F.col("n_decimal") >= thr) & (prec <= DECIMAL_MAX_PRECISION),
         F.concat(
             F.lit("decimal("),
             prec.cast("string"),
@@ -514,40 +542,41 @@ def decide_profile(counters: DataFrame) -> DataFrame:
             F.lit(")"),
         ),
     )
-    decided = decided.when(F.col("n_double") == n, F.lit("double"))
-    decided = decided.when(F.col("n_date") == n, F.lit("date"))
-    decided = decided.when(F.col("n_timestamp") == n, F.lit("timestamp"))
-    # slash pair by EVIDENCE: a format wins only when it parses every
-    # value AND the other does not (pure ambiguity falls through)
+    decided = decided.when(F.col("n_double") >= thr, F.lit("double"))
+    decided = decided.when(F.col("n_date") >= thr, F.lit("date"))
+    decided = decided.when(F.col("n_timestamp") >= thr, F.lit("timestamp"))
+    # slash pair by EVIDENCE: a format wins only when it clears the
+    # threshold AND out-parses its rival (equal evidence = pure
+    # ambiguity, falls through; at min_frac=1 this is us==n & eu<n)
     us, eu = F.col("_f0"), F.col("_f1")
     decided = decided.when(
-        (us == n) & (eu < n), F.lit(f"date[{DATE_FORMATS[0]}]")
+        (us >= thr) & (us > eu), F.lit(f"date[{DATE_FORMATS[0]}]")
     )
     decided = decided.when(
-        (eu == n) & (us < n), F.lit(f"date[{DATE_FORMATS[1]}]")
+        (eu >= thr) & (eu > us), F.lit(f"date[{DATE_FORMATS[1]}]")
     )
     decided = decided.when(
-        F.col("_f2") == n, F.lit(f"date[{DATE_FORMATS[2]}]")
+        F.col("_f2") >= thr, F.lit(f"date[{DATE_FORMATS[2]}]")
     )
     # HH:mm locale datetimes, same slash-evidence structure
     tus, teu = F.col("_h0"), F.col("_h1")
     decided = decided.when(
-        (tus == n) & (teu < n), F.lit(f"timestamp[{TS_FORMATS[0]}]")
+        (tus >= thr) & (tus > teu), F.lit(f"timestamp[{TS_FORMATS[0]}]")
     )
     decided = decided.when(
-        (teu == n) & (tus < n), F.lit(f"timestamp[{TS_FORMATS[1]}]")
+        (teu >= thr) & (teu > tus), F.lit(f"timestamp[{TS_FORMATS[1]}]")
     )
     decided = decided.when(
-        F.col("_h2") == n, F.lit(f"timestamp[{TS_FORMATS[2]}]")
+        F.col("_h2") >= thr, F.lit(f"timestamp[{TS_FORMATS[2]}]")
     )
     decided = decided.when(
-        F.col("_g0") == n, F.lit("bigint[grouped]")
+        F.col("_g0") >= thr, F.lit("bigint[grouped]")
     )
     gprec = F.coalesce(F.col("_gdi"), F.lit(0)) + F.coalesce(
         F.col("_gds"), F.lit(0)
     )
     decided = decided.when(
-        (F.col("_g1") == n) & (gprec <= DECIMAL_MAX_PRECISION),
+        (F.col("_g1") >= thr) & (gprec <= DECIMAL_MAX_PRECISION),
         F.concat(
             F.lit("decimal("),
             gprec.cast("string"),
@@ -556,7 +585,7 @@ def decide_profile(counters: DataFrame) -> DataFrame:
             F.lit(")[grouped]"),
         ),
     )
-    decided = decided.when(F.col("_g1") == n, F.lit("double[grouped]"))
+    decided = decided.when(F.col("_g1") >= thr, F.lit("double[grouped]"))
     return long.withColumn(
         "decided_type", decided.otherwise(F.lit("string"))
     ).drop(
@@ -571,15 +600,18 @@ def decide_profile(counters: DataFrame) -> DataFrame:
 
 
 def profile_cast_stats(
-    df: DataFrame, columns: list[str] | None = None
+    df: DataFrame,
+    columns: list[str] | None = None,
+    min_frac: float = 1.0,
 ) -> DataFrame:
     """Per-column castability profile, long format: ``column_name,
     n_values, n_boolean, n_bigint, n_decimal, n_double, n_date,
     n_timestamp, decided_type`` — counters + decision in one
     statement (:func:`profile_counters` → :func:`decide_profile`;
     profile per-load and :func:`merge_profiles` instead when the
-    table grows incrementally)."""
-    return decide_profile(profile_counters(df, columns))
+    table grows incrementally). ``min_frac`` relaxes totality (see
+    :func:`decide_profile`)."""
+    return decide_profile(profile_counters(df, columns), min_frac)
 
 
 # The auto-sampling contract (round-5 verdict directive #8): tables
@@ -599,6 +631,7 @@ def decide_types(
     columns: list[str] | None = None,
     sample_fraction: float | str | None = None,
     seed: int = 42,
+    min_frac: float = 1.0,
 ) -> dict[str, str]:
     """Run the profile and return ``{column: decided_type}``. The
     collect is one row per column — metadata-scale.
@@ -635,7 +668,7 @@ def decide_types(
         if sample_fraction is not None
         else df
     )
-    rows = profile_cast_stats(src, columns).collect()
+    rows = profile_cast_stats(src, columns, min_frac).collect()
     return {r["column_name"]: r["decided_type"] for r in rows}
 
 
@@ -752,11 +785,16 @@ def auto_typed_view(
     df: DataFrame,
     columns: list[str] | None = None,
     sample_fraction: float | str | None = "auto",
+    min_frac: float = 1.0,
 ) -> DataFrame:
     """profile → decide → typed view in one call. Profiles a seeded
     sample automatically for footer-stats-large tables (see
     :func:`decide_types`); pass ``sample_fraction=None`` to force the
-    full profile."""
+    full profile; ``min_frac`` relaxes the totality rule (see
+    :func:`decide_profile`)."""
     return typed_view(
-        df, decide_types(df, columns, sample_fraction=sample_fraction)
+        df,
+        decide_types(
+            df, columns, sample_fraction=sample_fraction, min_frac=min_frac
+        ),
     )

@@ -4627,6 +4627,92 @@ def typed_profile_incremental(spark: SparkSession, sf: str) -> DataFrame:
     return typed_views.decide_profile(merged)
 
 
+_MIN_FRAC_ORACLE = f"""WITH wh AS ({_VARCHAR_WAREHOUSE_SQL}),
+       d AS (
+         SELECT CASE WHEN CAST(order_key AS BIGINT) % 499 = 0
+                     THEN 'N/A' ELSE order_key END AS v
+         FROM wh),
+       c AS (
+         SELECT COUNT(NULLIF(trim(v), '')) AS n_values,
+                COUNT(CASE WHEN NULLIF(trim(v), '') IS NOT NULL
+                            AND {_SPARK_BOOL_SQL.format(v='v')}
+                           THEN 1 END) AS n_boolean,
+                COUNT(CASE WHEN NULLIF(trim(v), '') IS NOT NULL
+                            AND {_SPARK_BIGINT_SQL.format(v='v')}
+                           THEN 1 END) AS n_bigint,
+                COUNT(CASE WHEN regexp_matches(trim(v),
+                        '^[+-]?[0-9]+([.][0-9]+)?$')
+                      THEN 1 END) AS n_decimal,
+                COUNT(TRY_CAST(NULLIF(trim(v), '') AS DOUBLE)) AS n_double
+         FROM d),
+       f AS (SELECT CAST(m AS DOUBLE) AS min_frac,
+                    -- exact integer ceil(min_frac * n): the twin of
+                    -- the operator's rational-threshold arithmetic
+                    (CAST(m * 1000000 AS BIGINT) * n_values + 999999)
+                      // 1000000 AS thr,
+                    c.*
+             FROM c, (VALUES (1.0), (0.99)) AS t(m))
+       SELECT min_frac, 'almost_int' AS column_name, n_values,
+              n_boolean, n_bigint, n_decimal, n_double,
+              CASE WHEN n_values = 0 THEN 'string'
+                   WHEN n_boolean >= thr THEN 'boolean'
+                   WHEN n_bigint >= thr THEN 'bigint'
+                   WHEN n_decimal >= thr THEN 'decimal'
+                   WHEN n_double >= thr THEN 'double'
+                   ELSE 'string' END AS decided_type
+       FROM f"""
+
+
+@q("typed_profile_min_frac", _MIN_FRAC_ORACLE)
+def typed_profile_min_frac(spark: SparkSession, sf: str) -> DataFrame:
+    """Threshold typing (operators/typed_views.py decide_profile
+    ``min_frac``, round-6 verdict directive #4): the warehouse's clean
+    integer column with ~0.2% of its cells dirtied to 'N/A' — the
+    messy-sheet reality totality typing punishes hardest. At
+    ``min_frac=1.0`` (the default, totality) one dirty cell demotes
+    the column to string; at ``min_frac=0.99`` the column types bigint
+    and the dirty cells become NULL under the view's existing
+    safe-degradation contract (try_cast → NULL — never a wrong
+    value). ONE counter profile feeds BOTH decisions — the decision
+    layer is counter arithmetic, so re-deciding under a different
+    threshold costs nothing. The twin re-encodes the rational
+    threshold rule (exact integer ceil(min_frac·n)) and the same
+    most-specific-first chain."""
+    from .operators import typed_views
+
+    wh = _varchar_warehouse(spark, sf)
+    dirty = typed_views.ensure_parallelism(
+        wh.select(
+            F.when(
+                F.col("order_key").cast("long") % 499 == 0, F.lit("N/A")
+            )
+            .otherwise(F.col("order_key"))
+            .alias("almost_int")
+        )
+    )
+    counters = typed_views.profile_counters(dirty).localCheckpoint(
+        eager=True
+    )  # one scan, two decisions
+
+    def decide(mf: float) -> DataFrame:
+        return typed_views.decide_profile(counters, min_frac=mf).select(
+            F.lit(mf).alias("min_frac"),
+            "column_name",
+            "n_values",
+            "n_boolean",
+            "n_bigint",
+            "n_decimal",
+            "n_double",
+            # the oracle pins the FAMILY ('decimal', not the profiled
+            # (p,s) — that sizing is typed_view_cast_stats' contract)
+            F.regexp_extract(
+                "decided_type", "^([a-z]+)", 1
+            ).alias("decided_type"),
+        )
+
+    return decide(1.0).unionByName(decide(0.99))
+
+
 @q(
     "typed_view_apply",
     f"""WITH wh AS ({_VARCHAR_WAREHOUSE_SQL}),

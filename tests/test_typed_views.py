@@ -495,3 +495,47 @@ def test_merge_profiles_equals_full_profile(spark):
     assert dict(full)["b"] == "decimal(6,3)"
     assert dict(full)["c"] == "date[MM/dd/yyyy]"
     assert dict(full)["d"] == "decimal(9,2)[grouped]"
+
+
+def test_min_frac_threshold_typing(spark):
+    """Threshold typing (round-6 verdict directive #4): a 99%-clean
+    bigint column with one dirty cell types bigint at min_frac=0.99
+    (the dirty cell NULLs in the view — safe degradation) and string
+    at the default totality. The slash-evidence rule generalizes:
+    equal US/EU evidence stays ambiguous at ANY threshold."""
+    rows = [(str(i), "01/13/2020" if i else "N/A") for i in range(100)]
+    rows.append(("oops", "06/06/2020"))
+    df = _wh(spark, rows, "nums string, dates string")
+    strict = typed_views.decide_types(df)
+    assert strict == {"nums": "string", "dates": "string"}
+    loose = typed_views.decide_types(df, min_frac=0.98)
+    # dates: 99 values parse ONLY as MM/dd (day>12 evidence), the
+    # 'N/A' fails both, the ambiguous 06/06 parses under BOTH -> US
+    # clears the threshold and out-parses EU
+    assert loose == {"nums": "bigint", "dates": "date[MM/dd/yyyy]"}
+    out = typed_views.typed_view(df, loose).collect()
+    nums = [r["nums"] for r in out]
+    assert sorted(n for n in nums if n is not None) == list(range(100))
+    assert nums.count(None) == 1  # 'oops' -> NULL, never an error
+
+
+def test_min_frac_ambiguity_still_falls_through(spark):
+    """Pure slash ambiguity (every value day<=12 AND month<=12) stays
+    string even under a relaxed threshold — both formats clear the
+    bar with EQUAL evidence, so neither out-parses the other."""
+    df = _wh(
+        spark,
+        [("01/02/2020",), ("03/04/2021",), ("05/06/2019",)],
+        "amb string",
+    )
+    assert typed_views.decide_types(df, min_frac=0.6) == {"amb": "string"}
+
+
+def test_min_frac_validation(spark):
+    import pytest
+
+    df = _wh(spark, [("1",)], "a string")
+    with pytest.raises(ValueError, match="min_frac"):
+        typed_views.decide_types(df, min_frac=0.0)
+    with pytest.raises(ValueError, match="min_frac"):
+        typed_views.decide_types(df, min_frac=1.5)
