@@ -51,7 +51,7 @@ from .config import EtlJob
 from .operators import change_filter, rows as rows_ops, watermark
 from .operators.normalize import normalized_column_names
 from .plans.state_table import StateTable
-from .plans.target_table import TargetTable
+from .plans.target_table import PARTITION_COL, TargetTable
 from .sources.sheet_source import SheetSource, SpreadsheetMeta
 
 SPREADSHEETS_SCHEMA = StructType([
@@ -77,6 +77,31 @@ SHEET_SCHEMA = StructType([
 ])
 
 
+def _profiles_schema() -> StructType:
+    """Accounting schema for PER-LOAD typed-view profiles (round-6
+    verdict directive #8): one counter row per (target table, load,
+    column), stamped with the load's content hash so staleness is
+    self-detecting — a reload that changes a job's hash invalidates
+    exactly that job's rows. The counter columns are
+    ``operators.typed_views``' mergeable set; summing/maxing them
+    across loads (``merge_profiles``) reproduces the full-table
+    profile exactly, which is what makes re-typing after a new load an
+    O(new data) statement."""
+    from .operators.typed_views import _MAX_COUNTERS, _SUM_COUNTERS
+    from pyspark.sql.types import IntegerType
+
+    return StructType(
+        [
+            StructField("target_table", StringType()),
+            StructField("etl_job_id", LongType()),
+            StructField("raw_columns_rows_hash", StringType()),
+            StructField("column_name", StringType()),
+        ]
+        + [StructField(c, LongType()) for c in _SUM_COUNTERS]
+        + [StructField(c, IntegerType()) for c in _MAX_COUNTERS]
+    )
+
+
 @dataclass
 class LoadResult:
     job: EtlJob
@@ -97,6 +122,7 @@ class SheetsEtlEngine:
 
     SPREADSHEETS_TABLE = "__meta_spreadsheets"
     ETL_JOBS_TABLE = "__meta_etl_jobs"
+    PROFILES_TABLE = "__meta_profiles"
 
     def __init__(self, spark: SparkSession, warehouse_dir: str, source: SheetSource,
                  discovery_cap: int = 200, schema: str | None = None,
@@ -112,6 +138,8 @@ class SheetsEtlEngine:
             spark, self.table_path(self.SPREADSHEETS_TABLE), SPREADSHEETS_SCHEMA)
         self.etl_jobs = StateTable(
             spark, self.table_path(self.ETL_JOBS_TABLE), ETL_JOBS_SCHEMA)
+        self.profiles = StateTable(
+            spark, self.table_path(self.PROFILES_TABLE), _profiles_schema())
 
     # -- U8: identifier qualification ---------------------------------------
 
@@ -141,6 +169,7 @@ class SheetsEtlEngine:
         left between its data write and its accounting apply (U6)."""
         self.spreadsheets.create_if_not_exists()
         self.etl_jobs.create_if_not_exists()
+        self.profiles.create_if_not_exists()
         self._apply_pending_commits()
 
     # -- U6: per-job commit manifests ---------------------------------------
@@ -203,12 +232,94 @@ class SheetsEtlEngine:
     def target(self, table: str) -> TargetTable:
         return TargetTable(self.spark, self.table_path(table))
 
+    # -- per-load typed-view profiles (round-6 verdict directive #8) -------
+
+    def refresh_load_profiles(self, table: str) -> list[int]:
+        """Bring ``__meta_profiles`` up to date for ``table`` by
+        profiling ONLY the loads whose stored counter rows are missing
+        or stale (content hash differs from ``etl_jobs``' current
+        hash) — one partition-pruned scan over exactly those loads'
+        partitions, grouped by ``_origin_etl_job_id`` so N stale loads
+        still cost one pass. Returns the job ids re-profiled.
+
+        Staleness is self-detecting (hash-stamped rows), so the store
+        needs no transactional coupling to the load path: a crash
+        anywhere leaves rows that either match the committed hash
+        (valid) or don't (re-profiled here). Replacement is per
+        (table, job) — a reload that DROPS a column, or reloads to
+        zero rows, sheds the old column's counters instead of leaking
+        them into the merge; an empty load records a sentinel row
+        (NULL column_name) so it is not re-scanned forever."""
+        from .operators import typed_views
+        from .operators.typed_views import _MAX_COUNTERS, _SUM_COUNTERS
+
+        jobs = (
+            self.etl_jobs.read()
+            .filter(F.col("target_table") == table)
+            .select("id", "raw_columns_rows_hash")
+            .collect()
+        )  # metadata-scale: one row per (spreadsheet, sheet) job
+        want = {int(r["id"]): r["raw_columns_rows_hash"] for r in jobs}
+        current = self.profiles.read()
+        have = {
+            int(r["etl_job_id"]): r["raw_columns_rows_hash"]
+            for r in current.filter(F.col("target_table") == table)
+            .select("etl_job_id", "raw_columns_rows_hash")
+            .distinct()
+            .collect()
+        }
+        stale = sorted(j for j, h in want.items() if have.get(j) != h)
+        self.last_profiled_job_ids = stale
+        if not stale:
+            return []
+        slice_df = (
+            self.target(table)
+            .read()
+            .filter(F.col(PARTITION_COL).isin(stale))
+        )  # partition-pruned: only the stale loads' files are touched
+        self.last_profile_slice_df = slice_df
+        data_cols = [c for c in slice_df.columns if not c.startswith("_")]
+        counters = typed_views.profile_counters(
+            slice_df, data_cols, group_cols=[PARTITION_COL]
+        )
+        # (stale jobs × columns) rows — metadata-scale; collected so
+        # zero-row loads can be sentinel-marked exactly
+        crows = counters.collect()
+        profiled = {int(r[PARTITION_COL]) for r in crows}
+        fields = [f.name for f in _profiles_schema().fields]
+        nc = len(_SUM_COUNTERS) + len(_MAX_COUNTERS)
+        rows = [
+            tuple(
+                [table, int(r[PARTITION_COL]),
+                 want[int(r[PARTITION_COL])], r["column_name"]]
+                + [r[c] for c in _SUM_COUNTERS]
+                + [r[c] for c in _MAX_COUNTERS]
+            )
+            for r in crows
+        ] + [
+            (table, j, want[j], None) + (None,) * nc
+            for j in stale
+            if j not in profiled  # empty load → sentinel
+        ]
+        updates = self.spark.createDataFrame(rows, _profiles_schema())
+        # per-(table, job) REPLACE, not keyed upsert: a reload must
+        # shed counters for columns (or rows) it no longer has
+        kept = current.filter(
+            ~(
+                (F.col("target_table") == table)
+                & F.col("etl_job_id").isin(stale)
+            )
+        )
+        self.profiles.overwrite(kept.unionByName(updates))
+        return stale
+
     def typed_target(
         self,
         table: str,
         overrides: dict[str, str] | None = None,
         sample_fraction: float | str | None = "auto",
         min_frac: float = 1.0,
+        incremental: bool = True,
     ) -> DataFrame:
         """TYPED VIEW over a loaded target table (round-4 verdict
         directive #2's engine surface): the stored table stays
@@ -226,15 +337,51 @@ class SheetsEtlEngine:
         float to pin a fraction. ``min_frac`` relaxes the totality
         rule — a column types when at least that fraction of its
         non-blank values cast, the minority NULLing under the same
-        safe-degradation contract (see ``decide_profile``)."""
+        safe-degradation contract (see ``decide_profile``).
+
+        ``incremental`` (default, round-6 verdict directive #8): the
+        decision comes from the PER-LOAD profile store —
+        ``refresh_load_profiles`` profiles only loads whose counters
+        are missing or hash-stale (usually just the newest load, one
+        partition-pruned scan), and the decision merges the stored
+        counter rows (loads × columns — metadata-scale). Decisions
+        are EXACTLY the full-table profile's (the mergeable-counter
+        invariant ``typed_profile_incremental`` certifies), but after
+        N loads the Nth re-typing has scanned each load once total,
+        instead of the whole table N times. The sampled-profile path
+        (``incremental=False`` + ``sample_fraction``) remains for
+        tables not loaded through this engine's accounting."""
         from .operators import typed_views
+        from .operators.typed_views import _MAX_COUNTERS, _SUM_COUNTERS
 
         df = self.target(table).read()
         data_cols = [c for c in df.columns if not c.startswith("_")]
-        types = typed_views.decide_types(
-            df, data_cols, sample_fraction=sample_fraction,
-            min_frac=min_frac,
-        )
+        if incremental and self.profiles.exists():
+            self.refresh_load_profiles(table)
+            stored = (
+                self.profiles.read()
+                .filter(
+                    (F.col("target_table") == table)
+                    & F.col("column_name").isNotNull()  # sentinels out
+                )
+                .select("column_name", *_SUM_COUNTERS, *_MAX_COUNTERS)
+            )
+            merged = typed_views.merge_profiles(stored)
+            types = {
+                r["column_name"]: r["decided_type"]
+                for r in typed_views.decide_profile(
+                    merged, min_frac=min_frac
+                ).collect()
+            }
+            # a data column with no stored counters (every load
+            # predates it — can't happen via refresh, but belt and
+            # braces) passes through as stored
+            types = {c: types.get(c, "string") for c in data_cols}
+        else:
+            types = typed_views.decide_types(
+                df, data_cols, sample_fraction=sample_fraction,
+                min_frac=min_frac,
+            )
         types.update(overrides or {})
         return typed_views.typed_view(df, types)
 

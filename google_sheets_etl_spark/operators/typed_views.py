@@ -186,7 +186,9 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
 
 
 def profile_counters(
-    df: DataFrame, columns: list[str] | None = None
+    df: DataFrame,
+    columns: list[str] | None = None,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """The castability profile's MERGEABLE half: per-column counter
     rows (cast-survivor counts, format-validity counts, digit-run
@@ -207,11 +209,33 @@ def profile_counters(
     round-6 bench regression. Long form keeps every probe inside
     codegen; the shuffle carries one partial row per column per task
     (metadata-scale), and map-side partial aggregation consumes the
-    exploded rows without materializing them."""
+    exploded rows without materializing them.
+
+    ``group_cols`` (round-6 verdict directive #8) profiles GROUPED
+    slices in one scan — one counter row per (group, column) instead
+    of per column. This is the per-load profiling primitive the ETL
+    engine persists (grouped by ``_origin_etl_job_id``): all stale
+    loads re-profile in a single partition-pruned pass, and
+    :func:`merge_profiles` over the stored rows replaces any
+    full-table rescan. Group columns must not collide with counter
+    names, are excluded from the profiled set, and suppress the
+    empty-input template (group values are data-dependent; callers
+    profile slices that exist — an all-empty grouped input yields an
+    empty profile, which merges as zero contribution)."""
+    gcols = list(group_cols or [])
+    bad = set(gcols) & (
+        set(_SUM_COUNTERS) | set(_MAX_COUNTERS) | {"column_name", "_raw", "_c"}
+    )
+    if bad:
+        raise ValueError(f"group_cols collide with counter names: {bad}")
     cols = columns if columns is not None else list(df.columns)
+    cols = [c for c in cols if c not in gcols]
     spark = df.sparkSession
+    dtypes = dict(df.dtypes)
     empty_schema = (
-        "column_name string, "
+        ", ".join(f"`{g}` {dtypes[g]}" for g in gcols)
+        + (", " if gcols else "")
+        + "column_name string, "
         + ", ".join(f"{c} long" for c in _SUM_COUNTERS)
         + ", "
         + ", ".join(f"{c} int" for c in _MAX_COUNTERS)
@@ -235,19 +259,22 @@ def profile_counters(
         )
         for c in cols
     ]
+    gsel = [F.col(_quoted(g)).alias(g) for g in gcols]
     long = (
         ensure_parallelism(df)
-        .select(F.explode(F.array(*entries)).alias("s"))
-        .select("s.*")
+        .select(*gsel, F.explode(F.array(*entries)).alias("s"))
+        .select(*gcols, "s.*")
     )
-    template = spark.createDataFrame(
-        [(c, None) for c in cols], "column_name string, _raw string"
-    )
-    long = long.unionByName(template)
+    if not gcols:
+        template = spark.createDataFrame(
+            [(c, None) for c in cols], "column_name string, _raw string"
+        )
+        long = long.unionByName(template)
     # normalize ONCE in an explicit projection: referencing
     # nullif(trim(v),'') inside every aggregate makes Spark's CSE
     # emit a copy per reference (measured 5x the string work).
     norm = long.select(
+        *gcols,
         "column_name",
         F.nullif(F.trim(F.col("_raw")), F.lit("")).alias("_c"),
     )
@@ -273,6 +300,7 @@ def profile_counters(
     # regexes; the oracle twins keep their regexp_matches form, so
     # the differential gate certifies the fusion.
     shaped = norm.select(
+        *gcols,
         "column_name",
         "_c",
         F.expr(
@@ -457,9 +485,10 @@ def profile_counters(
     aggs.append(F.expr("max(_dsl)").alias("_ds"))
     aggs.append(F.expr("max(_gil)").alias("_gdi"))
     aggs.append(F.expr("max(_gsl)").alias("_gds"))
-    grouped = safe.groupBy("column_name").agg(*aggs)
+    grouped = safe.groupBy(*gcols, "column_name").agg(*aggs)
     # column order pinned to the documented profile schema
     return grouped.select(
+        *gcols,
         "column_name",
         *_SUM_COUNTERS,
         *_MAX_COUNTERS,

@@ -539,3 +539,96 @@ def test_min_frac_validation(spark):
         typed_views.decide_types(df, min_frac=0.0)
     with pytest.raises(ValueError, match="min_frac"):
         typed_views.decide_types(df, min_frac=1.5)
+
+
+def test_incremental_profile_store_lifecycle(spark, tmp_path):
+    """Round-6 verdict directive #8: per-load profile counters persist
+    in the ``__meta_profiles`` accounting table; ``typed_target``
+    decides from MERGED counters and re-profiles only loads whose
+    counters are missing or hash-stale. Lifecycle: load → type (one
+    load profiled) → re-type (nothing profiled) → second load → re-type
+    (ONLY the new load's partition scanned — plan-asserted) → decisions
+    equal the full-table profile; a reload re-profiles just that job."""
+    from pyspark.sql import functions as F
+    from google_sheets_etl_spark.config import EtlJob
+    from google_sheets_etl_spark.etl import SheetsEtlEngine
+    from google_sheets_etl_spark.sources import (
+        FixtureSheetSource, SpreadsheetMeta,
+    )
+
+    ss1 = "SSA" + "a" * 41
+    ss2 = "SSB" + "b" * 41
+    src = FixtureSheetSource()
+    src.put_sheet(
+        SpreadsheetMeta(ss1, "2026-05-01T00:00:00.000Z", "A"),
+        "S",
+        [["Qty", "When"], ["1", "2024-01-01"], ["2", "2024-02-03"]],
+    )
+    engine = SheetsEtlEngine(spark, str(tmp_path / "wh_inc"), src)
+    engine.set_up_accounting()
+    j1 = EtlJob(ss1, "S", "ledger", {"qty": "Qty", "when": "When"})
+    engine.find_updated_spreadsheets(now=1000)
+    engine.load_updated_spreadsheets([j1])
+
+    tv = engine.typed_target("ledger")
+    assert engine.last_profiled_job_ids == [1]
+    assert dict(tv.dtypes)["qty"] == "bigint"
+    assert dict(tv.dtypes)["when"] == "date"
+
+    # second call: counters are fresh — NOTHING re-profiled
+    engine.typed_target("ledger")
+    assert engine.last_profiled_job_ids == []
+
+    # a second spreadsheet loads into the same target; its dirty qty
+    # cell must flip the MERGED decision — proving the new load's
+    # counters actually participate
+    src.put_sheet(
+        SpreadsheetMeta(ss2, "2026-05-02T00:00:00.000Z", "B"),
+        "S",
+        [["Qty", "When"], ["x9", "2024-03-04"], ["4", "2024-04-05"]],
+    )
+    engine.find_updated_spreadsheets(now=2000)
+    j2 = EtlJob(ss2, "S", "ledger", {"qty": "Qty", "when": "When"})
+    engine.load_updated_spreadsheets([j2])
+    tv2 = engine.typed_target("ledger")
+    assert engine.last_profiled_job_ids == [2]
+    assert dict(tv2.dtypes)["qty"] == "string"  # merged totality
+    assert dict(tv2.dtypes)["when"] == "date"
+    # ... and the threshold knob re-decides from the SAME counters
+    tv2l = engine.typed_target("ledger", min_frac=0.75)
+    assert dict(tv2l.dtypes)["qty"] == "bigint"
+
+    # plan assert: the refresh scan was partition-PRUNED to job 2
+    plan = engine.last_profile_slice_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "_origin_etl_job_id" in plan
+
+    # decisions from merged counters == the full-table profile
+    stored = engine.target("ledger").read()
+    full = typed_views.decide_types(
+        stored, ["qty", "when"], sample_fraction=None
+    )
+    inc = {
+        c: t for c, t in
+        ((r["column_name"], r["decided_type"]) for r in
+         typed_views.decide_profile(
+             typed_views.merge_profiles(
+                 engine.profiles.read()
+                 .filter(F.col("column_name").isNotNull())
+                 .drop("target_table", "etl_job_id",
+                       "raw_columns_rows_hash"))).collect())
+    }
+    assert inc == full
+
+    # reload of spreadsheet 1 with a changed cell: hash changes, ONLY
+    # job 1 re-profiles, and its new value flips the date column
+    src.put_sheet(
+        SpreadsheetMeta(ss1, "2026-05-03T00:00:00.000Z", "A"),
+        "S",
+        [["Qty", "When"], ["1", "not-a-date"], ["2", "2024-02-03"]],
+    )
+    engine.find_updated_spreadsheets(now=3000)
+    engine.load_updated_spreadsheets([j1])
+    tv3 = engine.typed_target("ledger")
+    assert engine.last_profiled_job_ids == [1]
+    assert dict(tv3.dtypes)["when"] == "string"
