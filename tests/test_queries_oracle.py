@@ -31,6 +31,9 @@ SF_OVERRIDE = {
     "ann_lsh_topk": "/root/testdata/sf0.01",
     # literal-1.0 recall contract holds at the driver's gate scale
     "ann_recall_at_k": "/root/testdata/sf0.01",
+    # literal recall contract (seeded/trained/rerank) pinned at the
+    # driver's gate scale — recall is a property of the corpus
+    "pq_recall_at_k": "/root/testdata/sf0.01",
 }
 
 
