@@ -45,7 +45,12 @@ EXCLUDE = {"near_dup_jaccard_exact", "dedup_clusters_exact",
            # lifecycle, compaction_lifecycle's sibling); the key
            # computation it shares with zorder_layout_stats IS
            # benchmarked
-           "zorder_write_lifecycle"}
+           "zorder_write_lifecycle",
+           # trains to pair EXHAUSTION (~90 sequential greedy rounds
+           # — inherently iterative, ~45 s of per-round fixed
+           # overhead, not data-plane throughput); the SAME trainer
+           # at k=20 (bpe_learn_merges) IS benchmarked
+           "bpe_learn_merges_k200"}
 
 
 def main() -> None:

@@ -5866,6 +5866,53 @@ def bpe_learn_merges(spark: SparkSession, sf: str) -> DataFrame:
     return text_ops.bpe_learn_merges(wf, n_merges=20)
 
 
+def _bpe_k200_oracle() -> str:
+    """Literal-expected merge table regenerated by an INDEPENDENT
+    pure-Python Sennrich implementation (tools/gen_bpe_fixture.py) —
+    the multimodal-codec pattern applied to BPE (round-6 verdict
+    directive #7): the unrolled-CTE twin certifies the algorithm at
+    k=20; this fixture unlocks realistic k by pinning the full merge
+    sequence as ground truth instead of a 200-deep CTE chain. Pinned
+    at the driver's gate scale (sf0.01), where this corpus SATURATES
+    at 89 merges — the tail rows exercise the (count DESC, left,
+    right) tie-break down to the last singleton pair."""
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "fixtures",
+        "bpe_merges_k200_sf001.sql",
+    )
+    with open(path) as f:
+        return f.read()
+
+
+@q("bpe_learn_merges_k200", _bpe_k200_oracle())
+def bpe_learn_merges_k200(spark: SparkSession, sf: str) -> DataFrame:
+    """Realistic-k BPE training (round-6 verdict directive #7): the
+    SAME incremental trainer as ``bpe_learn_merges`` asked for 200
+    merges — past this corpus's saturation point, so training runs to
+    pair exhaustion (89 merges at the gate scale) and the returned
+    table is the complete merge history, deep-tie-breaks included.
+    Certified against a fixture regenerated by an independent
+    pure-Python implementation (see ``_bpe_k200_oracle``); the k=20
+    unrolled-CTE row remains the per-round algorithmic cross-check.
+    Per-round work stays proportional to the words the merge touches
+    (incremental pair maintenance), which is exactly what makes
+    hundreds of rounds tractable."""
+    docs = t(spark, sf, "documents")
+    wf = (
+        docs.select(F.explode(words_of(F.col("text"))).alias("word"))
+        .filter(
+            (F.length("word") >= 2)
+            & F.col("word").rlike("^[A-Za-z0-9]+$")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return text_ops.bpe_learn_merges(wf, n_merges=200)
+
+
 _BM25_TERMS = ["spark", "window", "merge"]
 
 

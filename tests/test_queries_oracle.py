@@ -34,6 +34,9 @@ SF_OVERRIDE = {
     # literal recall contract (seeded/trained/rerank) pinned at the
     # driver's gate scale — recall is a property of the corpus
     "pq_recall_at_k": "/root/testdata/sf0.01",
+    # literal-expected merge table regenerated from the sf0.01 corpus
+    # by tools/gen_bpe_fixture.py (fixture-freshness test below)
+    "bpe_learn_merges_k200": "/root/testdata/sf0.01",
 }
 
 
@@ -139,3 +142,32 @@ def test_driver_coverage_ordering_invariants():
             assert n in budget, f"never-checked {n} outside driver budget"
     for n in last_red & set(names):
         assert n in budget, f"red-at-last-check {n} outside driver budget"
+
+
+def test_bpe_fixture_is_fresh():
+    """The committed k=200 merge fixture must equal what the
+    independent pure-Python reference implementation produces from
+    the gate-scale corpus TODAY — a drifted fixture would certify
+    nothing (the multimodal regenerated-ground-truth discipline)."""
+    from tools.gen_bpe_fixture import (
+        FIXTURE, K, SF_DIR, corpus_word_freqs, merges_to_sql,
+        reference_bpe,
+    )
+
+    regenerated = merges_to_sql(reference_bpe(corpus_word_freqs(SF_DIR), K))
+    with open(FIXTURE) as f:
+        committed = f.read()
+    assert committed.strip() == regenerated.strip()
+
+
+def test_reference_bpe_greedy_nonoverlapping_semantics():
+    """Pin the reference implementation's OWN semantics on the corner
+    the regex trainer documents: chained identical symbols merge
+    left-to-right non-overlapping ('aaaa' -> 'aa','aa'), and a longer
+    right symbol sharing a prefix is never split."""
+    from tools.gen_bpe_fixture import reference_bpe
+
+    m = reference_bpe({"aaaa": 1}, 2)
+    # round 1: pair (a,a) count 3 -> 'aa','aa'; round 2: (aa,aa)
+    assert [(r, a, b, c) for r, a, b, _m, c in m] == [
+        (1, "a", "a", 3), (2, "aa", "aa", 1)]
