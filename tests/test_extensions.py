@@ -1101,3 +1101,35 @@ def test_pq_train_codebooks_improves_quantizer(spark, sf_dir):
     # monotone: more rounds never worsen the objective
     cb4 = similarity.pq_train_codebooks(c, 8, 128, n_iter=4)
     assert distortion(cb4) <= d2
+
+
+def test_wav_truncated_chunk_is_per_row_reject(spark):
+    """Round-6 advisory #4 confirmation: a WAV whose final data chunk
+    declares an optimistic size (header overruns the payload) raises
+    the strict ValueError in parse_wav_pcm16 — and ingestion wraps it
+    as a PER-ROW reject: the bad payload yields no rows while the
+    rest of the batch processes normally, the task never fails."""
+    import struct
+
+    import pytest
+
+    from google_sheets_etl_spark.operators import multimodal as mm
+    from google_sheets_etl_spark.operators.multimodal import parse_wav_pcm16
+
+    good = _wav_bytes([100] * 8)
+    # declare 8 extra bytes the payload doesn't have
+    data_hdr = b"data" + struct.pack("<I", 16)
+    truncated = good.replace(data_hdr, b"data" + struct.pack("<I", 24))
+    with pytest.raises(ValueError, match="truncated chunk"):
+        parse_wav_pcm16(truncated)
+
+    media = spark.createDataFrame(
+        [
+            (1, "audio", good, None),
+            (2, "audio", truncated, None),
+        ],
+        mm.MEDIA_SCHEMA,
+    )
+    rows = mm.wav_window_energy(media, window=4).collect()
+    assert {r["media_id"] for r in rows} == {1}  # bad row dropped
+    assert len(rows) == 2
