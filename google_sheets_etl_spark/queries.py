@@ -2379,6 +2379,85 @@ def pq_topk_rerank(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_IVF_PQ_ORACLE = (
+    _PQ_COMMON
+    + """,
+ivf_cents AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY md5(vec_id::VARCHAR || ':42'), vec_id) - 1 AS cell,
+         embedding
+  FROM embeddings WHERE vec_id >= 10 QUALIFY cell < 16),
+ivf_cassign AS (
+  SELECT vec_id, cell FROM (
+    SELECT c.vec_id, ivf_cents.cell,
+           ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+             list_dot_product(c.embedding, ivf_cents.embedding) /
+               (sqrt(list_dot_product(c.embedding, c.embedding)) *
+                sqrt(list_dot_product(ivf_cents.embedding,
+                                      ivf_cents.embedding))) DESC,
+             ivf_cents.cell ASC) AS rn
+    FROM embeddings c CROSS JOIN ivf_cents WHERE c.vec_id >= 10)
+  WHERE rn = 1),
+ivf_qprobe AS (
+  SELECT vec_id, cell FROM (
+    SELECT q.vec_id, ivf_cents.cell,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+             list_dot_product(q.embedding, ivf_cents.embedding) /
+               (sqrt(list_dot_product(q.embedding, q.embedding)) *
+                sqrt(list_dot_product(ivf_cents.embedding,
+                                      ivf_cents.embedding))) DESC,
+             ivf_cents.cell ASC) AS rn
+    FROM embeddings q CROSS JOIN ivf_cents WHERE q.vec_id < 10)
+  WHERE rn <= 4),
+ivf_adc AS (
+  SELECT l.query_id, c.vec_id AS neighbor_id,
+         CAST(SUM(l.d2u) AS BIGINT) AS adc_u6
+  FROM codes c
+  JOIN ivf_cassign ca ON ca.vec_id = c.vec_id
+  JOIN ivf_qprobe qp ON qp.cell = ca.cell
+  JOIN lut l ON l.m = c.m AND l.j = c.j AND l.query_id = qp.vec_id
+  GROUP BY l.query_id, c.vec_id),
+ivf_short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY adc_u6 ASC, neighbor_id ASC) AS rn
+    FROM ivf_adc) WHERE rn <= 100),
+ivf_rr AS (
+  SELECT s.query_id, s.neighbor_id,
+         list_dot_product(qe.embedding, ne.embedding) /
+           (sqrt(list_dot_product(qe.embedding, qe.embedding)) *
+            sqrt(list_dot_product(ne.embedding, ne.embedding))) AS cos
+  FROM ivf_short s
+  JOIN embeddings qe ON qe.vec_id = s.query_id
+  JOIN embeddings ne ON ne.vec_id = s.neighbor_id)
+SELECT query_id, neighbor_id,
+       ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY cos DESC, neighbor_id ASC) AS rank,
+       ROUND(cos, 4) AS cosine_r4
+FROM ivf_rr
+QUALIFY rank <= 5"""
+)
+
+
+@q("ivf_pq_search", _IVF_PQ_ORACLE)
+def ivf_pq_search(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-PQ (operators/similarity.py ivf_pq_topk — the full Jégou
+    IVFADC composition): coarse Voronoi probe (4 of 16 md5-seeded
+    cells) restricts WHICH corpus slice each query reads; PQ codes
+    restrict HOW MUCH is read per vector; exact integer micro-unit
+    ADC builds the shortlist; exact cosine re-ranks it. The oracle is
+    an ALGORITHMIC TWIN — both quantizers, the cell assignment, the
+    probe restriction, every per-subspace argmin, the bounded ADC
+    ranking, and the re-rank rebuilt in SQL — certifying the whole
+    composed pipeline exactly, which a recall row alone cannot."""
+    emb = t(spark, sf, "embeddings")
+    return similarity.ivf_pq_topk(
+        emb.filter(F.col("vec_id") < 10),
+        emb.filter(F.col("vec_id") >= 10),
+        k=5, n_cells=16, n_probe=4, shortlist=100,
+    )
+
+
 @q(
     "pq_recall_at_k",
     """SELECT * FROM (VALUES

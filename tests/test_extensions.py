@@ -1133,3 +1133,32 @@ def test_wav_truncated_chunk_is_per_row_reject(spark):
     rows = mm.wav_window_energy(media, window=4).collect()
     assert {r["media_id"] for r in rows} == {1}  # bad row dropped
     assert len(rows) == 2
+
+
+def test_ivf_pq_degenerates_to_flat_pq_when_probing_all_cells(spark, sf_dir):
+    """ivf_pq_topk with n_probe == n_cells reads every cell — the
+    probe restriction vanishes and the pipeline must produce EXACTLY
+    pq_topk_rerank's output (same codebooks, same ADC shortlist, same
+    exact re-rank); with a partial probe it returns k rows per query
+    drawn only from probed cells."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    c = emb.filter(F.col("vec_id") >= 5)
+    full = {
+        tuple(r)
+        for r in similarity.ivf_pq_topk(
+            q, c, k=3, n_cells=8, n_probe=8, shortlist=50
+        ).collect()
+    }
+    flat = {
+        tuple(r)
+        for r in similarity.pq_topk_rerank(
+            q, c, k=3, shortlist=50
+        ).collect()
+    }
+    assert full == flat
+    part = similarity.ivf_pq_topk(
+        q, c, k=3, n_cells=8, n_probe=2, shortlist=50
+    ).collect()
+    assert len(part) == 15  # 5 queries x k
+    assert {r["rank"] for r in part} == {1, 2, 3}
