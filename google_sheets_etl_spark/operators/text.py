@@ -967,3 +967,105 @@ def sliding_chunks(
             F.array_join("_cw", " ").alias("chunk_text"),
         )
     )
+
+
+def bigram_lm_bits(
+    docs: DataFrame,
+    train: DataFrame,
+    k_smooth: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style PERPLEXITY scoring (Wenzek et al. 2020 train a
+    KenLM and keep low-perplexity documents; the same filter with a
+    transparent in-engine model): an add-k-smoothed bigram LM is
+    trained on ``train`` and every document in ``docs`` is scored by
+    its average negative log2 bigram probability — ``bits_per_bigram``
+    (perplexity = 2^bits). Low bits = fluent under the training
+    distribution; high bits = gibberish/boilerplate/off-domain — the
+    quality signal a pretraining pipeline thresholds on.
+
+    Model: ``P(w2|w1) = (c(w1,w2) + k) / (c(w1) + k·V)`` with
+    ``c(w1) = Σ_w2 c(w1,w2)`` (left-occurrence count, so the
+    conditional sums to 1 over the train vocabulary) and V = distinct
+    train tokens. Unseen w1 degrades to the uniform 1/V; unseen w2
+    under a seen w1 gets the additive floor (OOV mass leaks slightly
+    — the UNK-token refinement — documented, not modeled). Documents
+    with fewer than 2 tokens carry no bigram evidence and are
+    excluded from the output.
+
+    CROSS-ENGINE EXACTNESS (the PQ micro-unit discipline): each
+    bigram's -log2(p) is rounded HALF-UP to integer micro-units
+    before the per-document sum, so the sum is exact integer
+    arithmetic — immune to FP summation-order drift — and only ~V²
+    distinct probability values ever meet the rounding boundary.
+    Every literal stays double; counts are exact longs.
+
+    Scale shape: the model is vocabulary-bounded (≤V² bigram rows —
+    driver/broadcast-scale for any real token vocabulary), built by
+    one partial-aggregated pass over the train split; scoring is two
+    BROADCAST joins on the bigram stream (the corpus never shuffles)
+    followed by one uniform-key groupBy(doc). Returns
+    ``(id, n_bigrams, bits_per_bigram)``.
+    """
+    if k_smooth <= 0:
+        raise ValueError("k_smooth must be > 0")
+
+    def pairs(df: DataFrame, with_id: bool) -> DataFrame:
+        lead = [F.col(id_col)] if with_id else []
+        t = df.select(
+            *lead, F.split(F.col(text_col), " ").alias("_t")
+        ).filter(F.size("_t") >= 2)  # also dodges sequence(1,0) DESC
+        return t.select(
+            *lead,
+            F.explode(
+                F.sequence(F.lit(1), F.size("_t") - 1)
+            ).alias("_i"),
+            "_t",
+        ).select(
+            *lead,
+            F.element_at("_t", F.col("_i")).alias("w1"),
+            F.element_at("_t", F.col("_i") + 1).alias("w2"),
+        )
+
+    c2 = (
+        pairs(train, with_id=False)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("_c2"))
+    )
+    c1 = c2.groupBy("w1").agg(F.sum("_c2").alias("_c1"))
+    # vocab size: one metadata-scale action (the count a tokenizer
+    # ships with its model card)
+    v = (
+        train.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .select("w")
+        .distinct()
+        .count()
+    )
+    kd = float(k_smooth)
+    scored = (
+        pairs(docs, with_id=True)
+        .join(F.broadcast(c2), ["w1", "w2"], "left")
+        .join(F.broadcast(c1), "w1", "left")
+        .select(
+            id_col,
+            (
+                (F.coalesce(F.col("_c2"), F.lit(0)) + F.lit(kd))
+                / (F.coalesce(F.col("_c1"), F.lit(0)) + F.lit(kd * v))
+            ).alias("_p"),
+        )
+        # half-up micro-units on the POSITIVE nll: floor(x*1e6 + 0.5)
+        # equals SQL round() for x >= 0 (the _sub_d2 rule)
+        .select(
+            id_col,
+            F.floor(-F.log2("_p") * F.lit(1e6) + F.lit(0.5))
+            .cast("long")
+            .alias("_nll_u6"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(
+            F.sum("_nll_u6") / F.lit(1e6) / F.count(F.lit(1)), 4
+        ).alias("bits_per_bigram"),
+    )

@@ -4968,6 +4968,59 @@ def typed_view_apply(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_PPL_ORACLE = """
+WITH s AS (
+  SELECT doc_id, text,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS b
+  FROM documents),
+tr AS (SELECT text FROM s WHERE b < 98),
+trp AS (
+  SELECT w[i] AS w1, w[i + 1] AS w2
+  FROM (SELECT string_split(text, ' ') AS w FROM tr),
+       unnest(range(1, len(w))) AS t(i)),
+c2 AS (SELECT w1, w2, COUNT(*)::BIGINT AS c2 FROM trp GROUP BY w1, w2),
+c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1),
+v AS (SELECT COUNT(DISTINCT w)::BIGINT AS v
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM tr)),
+dp AS (
+  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       unnest(range(1, len(w))) AS t(i)),
+sc AS (
+  SELECT dp.doc_id,
+         CAST(floor(-log2(
+                 (COALESCE(c2.c2, 0) + CAST(0.5 AS DOUBLE)) /
+                 (COALESCE(c1.c1, 0) + CAST(0.5 AS DOUBLE) * v.v))
+               * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+              AS BIGINT) AS nll
+  FROM dp LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1)
+  CROSS JOIN v)
+SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams,
+       ROUND(SUM(nll) / CAST(1000000 AS DOUBLE) / COUNT(*), 4)
+         AS bits_per_bigram
+FROM sc GROUP BY doc_id"""
+
+
+@q("doc_perplexity_bits", _PPL_ORACLE)
+def doc_perplexity_bits(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style perplexity filtering (operators/text.py
+    bigram_lm_bits; Wenzek et al. 2020): an add-0.5-smoothed bigram
+    LM trained on the hash-deterministic 'train' split scores EVERY
+    document by average bits per bigram — the fluency signal a
+    pretraining pipeline thresholds on. Per-bigram -log2 p rounds to
+    integer micro-units before the per-document sum (the PQ
+    discipline), so the aggregate is exact integer arithmetic in both
+    engines. Model is vocab-bounded and broadcast; the corpus never
+    shuffles until the final uniform-key per-doc aggregate."""
+    docs = t(spark, sf, "documents")
+    train = (
+        sampling.hash_split(docs)
+        .filter(F.col("split") == "train")
+        .select("text")
+    )
+    return text_ops.bigram_lm_bits(docs, train)
+
+
 @q(
     "epoch_shuffle_assign",
     """WITH e AS (SELECT * FROM (VALUES (0), (1)) AS t(epoch))

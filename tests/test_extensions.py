@@ -1162,3 +1162,40 @@ def test_ivf_pq_degenerates_to_flat_pq_when_probing_all_cells(spark, sf_dir):
     ).collect()
     assert len(part) == 15  # 5 queries x k
     assert {r["rank"] for r in part} == {1, 2, 3}
+
+
+def test_bigram_lm_bits_ranks_gibberish_above_fluent(spark):
+    """Perplexity filter behavior: a document drawn from the training
+    distribution scores fewer bits/bigram than token-salad over the
+    same vocabulary and than OOV gibberish; sub-2-token docs carry no
+    bigram evidence and are excluded; unseen-left-context bigrams get
+    the uniform 1/V floor."""
+    import math
+
+    from google_sheets_etl_spark.operators import text as text_ops
+
+    train = spark.createDataFrame(
+        [("the cat sat on the mat",), ("the cat ate the fish",)],
+        "text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),   # in-distribution
+            (2, "mat the on sat cat the"),   # same tokens, scrambled
+            (3, "zx qy zx qy zx"),           # fully OOV
+            (4, "solo"),                      # no bigram -> excluded
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["bits_per_bigram"])
+        for r in text_ops.bigram_lm_bits(docs, train).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert got[1][1] < got[2][1]  # fluent beats token-salad
+    # OOV: every bigram has unseen w1 -> p = k/(kV) = 1/V exactly.
+    # (With a 7-word toy vocab, log2 V = 2.8 bits undercuts the
+    # smoothed unseen-bigram floor — the documented small-V add-k
+    # artifact; on a real vocabulary log2 V dominates.)
+    v = len({"the", "cat", "sat", "on", "mat", "ate", "fish"})
+    assert got[3][1] == round(math.log2(v), 4)
