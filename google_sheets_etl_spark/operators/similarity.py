@@ -125,6 +125,56 @@ def cosine_topk_bruteforce(
     return _ranked_topk(scored, k)
 
 
+def knn_classify(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """kNN LABEL PROPAGATION over a labeled embedding corpus — the
+    weak-supervision / auto-labeling primitive of an embedding
+    pipeline (label the few, propagate to the many): each query takes
+    the MAJORITY label of its k nearest-by-cosine labeled neighbors,
+    ties broken (votes DESC, label ASC) so the prediction is
+    deterministic and cross-engine exact — every output column is an
+    integer, no FP leaves the ranking stage.
+
+    Built ON the exact top-k kernel (swap in :func:`cosine_topk_lsh`
+    / :func:`ivf_pq_topk`'s neighbor pairs upstream for the
+    approximate 100 TB path — any ``(query_id, neighbor_id)`` frame
+    composes): the vote join broadcasts the |Q|·k neighbor pairs into
+    the label table's scan, so the corpus never shuffles; the vote
+    count and argmax ride one uniform-key aggregate + window over
+    |Q|·k rows. Returns ``(query_id, label_pred, n_votes)``."""
+    topk = cosine_topk_bruteforce(
+        queries, candidates, k, id_col, vec_col
+    ).select("query_id", "neighbor_id")
+    labels = candidates.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("_lab"),
+    )
+    votes = (
+        F.broadcast(topk)
+        .join(labels, "neighbor_id")
+        .groupBy("query_id", "_lab")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("_lab").asc()
+    )
+    return (
+        votes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "query_id",
+            F.col("_lab").alias("label_pred"),
+            F.col("n_votes").cast("long").alias("n_votes"),
+        )
+    )
+
+
 def _hyperplanes(dim: int, n_bits: int, n_tables: int, seed: int) -> list[list[list[float]]]:
     rng = random.Random(seed)
     return [

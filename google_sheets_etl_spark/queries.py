@@ -2379,6 +2379,49 @@ def pq_topk_rerank(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "knn_label_propagation",
+    """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+       c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10),
+       scored AS (
+         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                list_dot_product(q.embedding, c.embedding) /
+                  (sqrt(list_dot_product(q.embedding, q.embedding)) *
+                   sqrt(list_dot_product(c.embedding, c.embedding))) AS cos
+         FROM q CROSS JOIN c),
+       topk AS (
+         SELECT query_id, neighbor_id FROM (
+           SELECT query_id, neighbor_id,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id ASC)
+                    AS rank
+           FROM scored) WHERE rank <= 10),
+       votes AS (
+         SELECT t.query_id, e.label, COUNT(*)::BIGINT AS n_votes
+         FROM topk t JOIN embeddings e ON e.vec_id = t.neighbor_id
+         GROUP BY t.query_id, e.label)
+       SELECT query_id, label AS label_pred, n_votes
+       FROM votes
+       QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY n_votes DESC, label ASC) = 1""",
+)
+def knn_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
+    """kNN label propagation (operators/similarity.py knn_classify):
+    each unlabeled query takes the majority label of its 10 nearest
+    labeled neighbors by cosine — the weak-supervision auto-labeling
+    primitive. Deterministic end to end: exact top-k (cos DESC, id
+    ASC), integer vote counts, majority ties (votes DESC, label ASC);
+    no FP value survives past the ranking stage, so the twin matches
+    bit for bit. The vote join broadcasts |Q|·k neighbor pairs into
+    the label scan — the corpus never shuffles."""
+    emb = t(spark, sf, "embeddings")
+    return similarity.knn_classify(
+        emb.filter(F.col("vec_id") < 10),
+        emb.filter(F.col("vec_id") >= 10),
+        k=10,
+    )
+
+
 _IVF_PQ_ORACLE = (
     _PQ_COMMON
     + """,

@@ -1199,3 +1199,32 @@ def test_bigram_lm_bits_ranks_gibberish_above_fluent(spark):
     # artifact; on a real vocabulary log2 V dominates.)
     v = len({"the", "cat", "sat", "on", "mat", "ate", "fish"})
     assert got[3][1] == round(math.log2(v), 4)
+
+
+def test_knn_classify_majority_and_tie_break(spark):
+    """Planted geometry: a query inside a cluster of label-7 vectors
+    takes 7 by majority; an equidistant 2-2 split breaks the tie to
+    the LOWER label deterministically."""
+    corpus = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0, 0.0], 7),
+            (11, [0.9, 0.1, 0.0], 7),
+            (12, [0.9, -0.1, 0.0], 7),
+            (13, [0.0, 1.0, 0.0], 3),
+            (20, [0.0, 0.0, 1.0], 5),
+            (21, [0.0, 0.05, 1.0], 9),
+            (22, [0.0, -0.05, 1.0], 9),
+            (23, [0.05, 0.0, 1.0], 5),
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    queries = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.0, 0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["query_id"]: (r["label_pred"], r["n_votes"])
+        for r in similarity.knn_classify(queries, corpus, k=4).collect()
+    }
+    assert got[1] == (7, 3)  # majority among {7,7,7,3}
+    assert got[2] == (5, 2)  # 2-2 tie between 5 and 9 -> lower label
