@@ -125,6 +125,156 @@ def cosine_topk_bruteforce(
     return _ranked_topk(scored, k)
 
 
+def embedding_gram_u6(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact second-moment (gram) matrix of the embedding column in
+    integer micro-units: per row, every pairwise product
+    ``x_i · x_j`` is rounded HALF-UP to 1e-6 units (the _sub_d2
+    rule, sign-safe via rounding the magnitude), then summed as
+    exact int64 — so the d×d aggregate is immune to FP
+    summation-order drift in any engine and at any parallelism.
+    This is the one-pass statistic PCA/whitening needs (covariance =
+    gram minus mean outer product; embeddings here are typically
+    centered-ish and the consumer can subtract means separately).
+
+    Scale shape: one narrow corpus scan; each Arrow batch folds into
+    a single d×d int64 accumulator and emits d² partial rows, which
+    partial-aggregate map-side to the d² result — the shuffle
+    carries (d² × tasks) rows, metadata-scale for any embedding
+    width. Returns ``(i, j, s_u6, n_rows)`` for i ≤ j (the matrix is
+    symmetric; consumers mirror)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        IntegerType, LongType, StructField, StructType,
+    )
+
+    schema = StructType([
+        StructField("i", IntegerType()),
+        StructField("j", IntegerType()),
+        StructField("s_u6", LongType()),
+        StructField("n_rows", LongType()),
+    ])
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            d = mat.shape[1]
+            # per-row outer products, each rounded to u6 BEFORE the
+            # sum: np.floor(x + 0.5) is half-up for x >= 0; for
+            # negative products round the magnitude and re-sign so
+            # both engines agree on every negative half boundary too
+            prods = mat[:, :, None] * mat[:, None, :]
+            u6 = (
+                np.sign(prods)
+                * np.floor(np.abs(prods) * 1e6 + 0.5)
+            ).astype(np.int64)
+            acc = u6.sum(axis=0)
+            iu, ju = np.triu_indices(d)
+            yield pd.DataFrame({
+                "i": iu.astype(np.int32),
+                "j": ju.astype(np.int32),
+                "s_u6": acc[iu, ju],
+                "n_rows": np.full(len(iu), len(pdf), dtype=np.int64),
+            })
+
+    return (
+        vectors.select(vec_col)
+        .mapInPandas(kernel, schema)
+        .groupBy("i", "j")
+        .agg(
+            F.sum("s_u6").alias("s_u6"),
+            F.sum("n_rows").alias("n_rows"),
+        )
+    )
+
+
+def pca_components(
+    vectors: DataFrame,
+    n_components: int,
+    vec_col: str = "embedding",
+):
+    """PCA of the (uncentered) embedding second-moment matrix — the
+    standard compression step before ANN indexing (and the rotation
+    behind OPQ): the d×d gram aggregates distributedly
+    (:func:`embedding_gram_u6`, exact integer micro-units), the
+    eigendecomposition runs on the DRIVER (a d×d symmetric problem —
+    microseconds, and d is model-fixed, never data-sized), and the
+    top ``n_components`` eigenvectors come back sign-FIXED (each
+    component's largest-|coordinate| entry is made positive, first
+    index on ties) so the basis is deterministic across runs,
+    partitionings, and engines up to eigenvalue degeneracy.
+
+    Returns ``(components, eigenvalues)``: numpy arrays of shape
+    (n_components, d) and (n_components,), eigenvalues descending =
+    per-component second moment (variance for centered inputs)."""
+    import numpy as np
+
+    rows = embedding_gram_u6(vectors, vec_col).collect()
+    n = rows[0]["n_rows"] if rows else 0
+    if n == 0:
+        raise ValueError("pca_components needs a non-empty corpus")
+    d = max(r["j"] for r in rows) + 1
+    g = np.zeros((d, d), dtype=np.float64)
+    for r in rows:
+        v = r["s_u6"] / 1e6 / n
+        g[r["i"], r["j"]] = v
+        g[r["j"], r["i"]] = v
+    if not (1 <= n_components <= d):
+        raise ValueError(f"n_components must be in [1, {d}]")
+    evals, evecs = np.linalg.eigh(g)  # ascending
+    order = np.argsort(evals)[::-1][:n_components]
+    comps = evecs[:, order].T  # (k, d)
+    evals = evals[order]
+    for c in comps:
+        # sign fix: largest-|coord| entry positive (first on ties)
+        pivot = np.argmax(np.abs(np.round(c, 12)))
+        if c[pivot] < 0:
+            c *= -1.0
+    return comps, evals
+
+
+def pca_project(
+    vectors: DataFrame,
+    components,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Project embeddings onto a PCA basis (from
+    :func:`pca_components`): one narrow Arrow pass, the (k × d)
+    component matrix rides the task closure — the dimensionality
+    reduction that shrinks ANN storage k/d-fold before encoding.
+    Returns ``(id, proj array<double>)``."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, StructField, StructType,
+    )
+
+    comps = np.asarray(components, dtype=np.float64)
+    schema = StructType([
+        StructField(id_col, vectors.schema[id_col].dataType),
+        StructField("proj", ArrayType(DoubleType())),
+    ])
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            proj = mat @ comps.T
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(),
+                "proj": list(proj),
+            })
+
+    return vectors.select(id_col, vec_col).mapInPandas(kernel, schema)
+
+
 def knn_classify(
     queries: DataFrame,
     candidates: DataFrame,

@@ -2380,6 +2380,70 @@ def pq_topk_rerank(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "embedding_gram_matrix",
+    """WITH ed AS (
+         SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         FROM embeddings),
+       pairs AS (
+         SELECT i, j, e[i + 1] * e[j + 1] AS p
+         FROM ed, range(0, 64) t(i), range(0, 64) tj(j)
+         WHERE j >= i)
+       SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
+              CAST(SUM(CASE WHEN p >= 0
+                            THEN floor(abs(p) * 1000000 + 0.5)
+                            ELSE -floor(abs(p) * 1000000 + 0.5) END)
+                   AS BIGINT) AS s_u6,
+              COUNT(*)::BIGINT AS n_rows
+       FROM pairs GROUP BY i, j""",
+)
+def embedding_gram_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact second-moment (gram) matrix of the embedding corpus in
+    integer micro-units (operators/similarity.py embedding_gram_u6) —
+    the one-pass statistic PCA/whitening consumes. Each row's
+    pairwise products round half-up (sign-safe) to 1e-6 units BEFORE
+    the sum, so the d×d aggregate is exact int64 arithmetic in both
+    engines at any parallelism; the shuffle carries d² rows per task,
+    metadata-scale for any embedding width."""
+    emb = t(spark, sf, "embeddings")
+    return similarity.embedding_gram_u6(emb)
+
+
+def _pca_fixture_oracle() -> str:
+    """Literal eigenvalue table regenerated by an independent local
+    recomputation (tools/gen_pca_fixture.py) — eigenVALUES are
+    Weyl-stable in the exact-integer gram input and safe to pin;
+    eigenvector coordinates are not (near-degenerate subspaces
+    rotate) and are certified by invariants in tests instead."""
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "fixtures",
+        "pca_eigenvalues_sf001.sql",
+    )
+    with open(path) as f:
+        return f.read()
+
+
+@q("pca_explained_variance", _pca_fixture_oracle())
+def pca_explained_variance(spark: SparkSession, sf: str) -> DataFrame:
+    """PCA of the embedding corpus (operators/similarity.py
+    pca_components): the d×d gram matrix aggregates distributedly in
+    exact integer micro-units (embedding_gram_matrix certifies that
+    plumbing), the d×d eigenproblem solves on the driver
+    (model-width-sized, never data-sized), and the top-8 explained
+    variances certify the decomposition against the independently
+    regenerated fixture. This is the compression step before ANN
+    indexing — and the rotation behind OPQ."""
+    emb = t(spark, sf, "embeddings")
+    _comps, evals = similarity.pca_components(emb, 8)
+    return spark.createDataFrame(
+        [(i + 1, round(float(v), 4)) for i, v in enumerate(evals)],
+        "component int, eigenvalue_r4 double",
+    )
+
+
+@q(
     "knn_label_propagation",
     """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
        c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10),

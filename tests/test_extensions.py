@@ -1228,3 +1228,42 @@ def test_knn_classify_majority_and_tie_break(spark):
     }
     assert got[1] == (7, 3)  # majority among {7,7,7,3}
     assert got[2] == (5, 2)  # 2-2 tie between 5 and 9 -> lower label
+
+
+def test_pca_components_invariants(spark, sf_dir):
+    """PCA contracts that eigenvalue pinning can't see: the component
+    basis is orthonormal, deterministic across input partitionings
+    (exact-integer gram + sign fix), eigenvalues descend, and
+    projecting preserves per-component second moments (the projected
+    variance IS the eigenvalue, within micro-unit rounding)."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    comps, evals = similarity.pca_components(emb, 4)
+    assert comps.shape == (4, 64) and evals.shape == (4,)
+    assert np.allclose(comps @ comps.T, np.eye(4), atol=1e-10)
+    assert all(evals[i] >= evals[i + 1] for i in range(3))
+    comps2, evals2 = similarity.pca_components(emb.repartition(7), 4)
+    assert np.array_equal(comps, comps2)
+    assert np.array_equal(evals, evals2)
+
+    proj = similarity.pca_project(emb, comps)
+    p = np.vstack([r["proj"] for r in proj.collect()])
+    assert p.shape[1] == 4
+    second_moment = (p * p).sum(axis=0) / len(p)
+    assert np.allclose(second_moment, evals, atol=1e-4)
+
+
+def test_pca_fixture_is_fresh():
+    """Committed eigenvalue fixture == the independent local
+    recomputation from the gate-scale corpus (regenerated-ground-
+    truth discipline)."""
+    from tools.gen_pca_fixture import (
+        FIXTURE, N_COMPONENTS, SF_DIR, eigs_to_sql,
+        reference_eigenvalues,
+    )
+
+    regenerated = eigs_to_sql(reference_eigenvalues(SF_DIR, N_COMPONENTS))
+    with open(FIXTURE) as f:
+        committed = f.read()
+    assert committed.strip() == regenerated.strip()
