@@ -1069,3 +1069,71 @@ def bigram_lm_bits(
             F.sum("_nll_u6") / F.lit(1e6) / F.count(F.lit(1)), 4
         ).alias("bits_per_bigram"),
     )
+
+
+def hashed_doc_vectors(
+    docs: DataFrame,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """FEATURE-HASHING document vectorization (Weinberger et al. 2009
+    "Feature Hashing for Large Scale Multitask Learning"): each token
+    hashes to a dimension (60-bit md5 prefix mod ``dim``) and a sign
+    (hash bit 53 — integer shift, independent of the dim field for
+    any realistic dim), and the document's vector is the signed
+    occurrence count per dimension — a model-free text→vector bridge
+    that gives every document an embedding WITHOUT a trained encoder,
+    good enough for cosine near-dup blocking, kNN label propagation,
+    and clustering at ingest time (the sign trick makes collisions
+    cancel in expectation, keeping inner products unbiased).
+
+    EXACT by construction: coordinates are integers (md5-derived, no
+    FP anywhere), bit-identical in any engine — and a downstream
+    fixed-order 64-term cosine fold is reproducible too. Pure JVM:
+    explode → two-key partial-aggregated count → dense array rebuild
+    per doc; the shuffle carries (doc × ≤dim) rows. Documents with no
+    tokens keep a zero vector (cosine guards zero norms downstream).
+
+    Returns ``(id, vec array<long>)``, dense ``dim`` entries."""
+    if dim < 1:
+        raise ValueError("dim must be >= 1")
+    h = F.conv(
+        F.substring(F.md5(F.col("_w")), 1, 15), 16, 10
+    ).cast("long")
+    long_rows = (
+        docs.select(
+            F.col(id_col),
+            F.explode(F.split(F.col(text_col), " ")).alias("_w"),
+        )
+        .filter(F.col("_w") != "")
+        .select(
+            id_col,
+            (h % dim).alias("_d"),
+            F.when(F.shiftright(h, 53) % 2 == 1, F.lit(1))
+            .otherwise(F.lit(-1))
+            .cast("long")
+            .alias("_s"),
+        )
+        .groupBy(id_col, "_d")
+        .agg(F.sum("_s").alias("_v"))
+    )
+    maps = long_rows.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("_d", "_v"))
+        ).alias("_m")
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: F.coalesce(
+            F.try_element_at(F.col("_m"), d.cast("long")),
+            F.lit(0).cast("long"),
+        ),
+    )
+    # every input doc appears, zero vector when it had no tokens
+    return (
+        docs.select(id_col)
+        .distinct()
+        .join(maps, id_col, "left")
+        .select(id_col, dense.alias("vec"))
+    )

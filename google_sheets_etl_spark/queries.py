@@ -2847,6 +2847,81 @@ def embedding_near_dup_lsh(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_HASHED_VEC_CNT = """
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+tv AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(w), 1, 15))::BIGINT % 64 AS d,
+         CASE WHEN ((('0x' || substr(md5(w), 1, 15))::BIGINT >> 53) & 1) = 1
+              THEN 1 ELSE -1 END AS s
+  FROM tok WHERE w != ''),
+cnt AS (
+  SELECT doc_id, d, CAST(SUM(s) AS BIGINT) AS v
+  FROM tv GROUP BY doc_id, d)"""
+
+
+@q(
+    "hashed_doc_vectors_long",
+    f"""WITH {_HASHED_VEC_CNT}
+       SELECT doc.doc_id, CAST(g.d AS INTEGER) AS d,
+              COALESCE(cnt.v, 0) AS v
+       FROM (SELECT DISTINCT doc_id FROM documents) doc
+       CROSS JOIN range(0, 64) g(d)
+       LEFT JOIN cnt ON cnt.doc_id = doc.doc_id AND cnt.d = g.d""",
+)
+def hashed_doc_vectors_long(spark: SparkSession, sf: str) -> DataFrame:
+    """Feature-hashing vectorization (operators/text.py
+    hashed_doc_vectors; Weinberger et al. 2009): every document gets
+    a 64-dim signed-count vector from token hashes alone — the
+    model-free text→embedding bridge for ingest-time near-dup
+    blocking, kNN labeling, and clustering. Coordinates are exact
+    integers (md5 dimension + sign-bit hash, no FP), so the twin
+    matches bit for bit; output exploded to scalar (doc, dim, value)
+    rows including explicit zeros (the dense-rebuild contract)."""
+    hv = text_ops.hashed_doc_vectors(t(spark, sf, "documents"))
+    return hv.select(
+        "doc_id", F.posexplode("vec").alias("d", "v")
+    )
+
+
+@q(
+    "hashed_vector_near_dup",
+    f"""WITH {_HASHED_VEC_CNT},
+       vecs AS (
+         SELECT doc.doc_id,
+                list(CAST(COALESCE(cnt.v, 0) AS DOUBLE) ORDER BY g.d)
+                  AS vec
+         FROM (SELECT DISTINCT doc_id FROM documents) doc
+         CROSS JOIN range(0, 64) g(d)
+         LEFT JOIN cnt ON cnt.doc_id = doc.doc_id AND cnt.d = g.d
+         GROUP BY doc.doc_id),
+       p AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                ROUND(list_dot_product(a.vec, b.vec) /
+                      (sqrt(list_dot_product(a.vec, a.vec)) *
+                       sqrt(list_dot_product(b.vec, b.vec))), 4)
+                  AS cosine_r4
+         FROM vecs a JOIN vecs b ON a.doc_id < b.doc_id)
+       SELECT id_a, id_b, cosine_r4 FROM p WHERE cosine_r4 >= 0.8""",
+)
+def hashed_vector_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """Text near-dup through the hashed-vector bridge: documents →
+    feature-hash vectors → exact cosine pairs ≥ 0.8 — the
+    embedding-near-dup machinery applied to documents WITHOUT a
+    model. Cross-engine exact in a way float embeddings can never
+    be: integer coordinates make every dot product an
+    exactly-representable integer, so the cosine is
+    summation-order-free BEFORE rounding. (The blocked-matmul /
+    LSH scale paths compose unchanged — same vec column contract.)"""
+    hv = (
+        text_ops.hashed_doc_vectors(t(spark, sf, "documents"))
+        .withColumnRenamed("doc_id", "vec_id")
+        .withColumnRenamed("vec", "embedding")
+    )
+    return similarity.embedding_near_dup_pairs(hv, threshold=0.8)
+
+
 @q(
     "bpe_token_count",
     r"""SELECT doc_id,

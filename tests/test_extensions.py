@@ -1267,3 +1267,41 @@ def test_pca_fixture_is_fresh():
     with open(FIXTURE) as f:
         committed = f.read()
     assert committed.strip() == regenerated.strip()
+
+
+def test_hashed_doc_vectors_contracts(spark):
+    """Feature-hashing contracts: identical texts -> identical
+    vectors; token ORDER is irrelevant (bag semantics); a tokenless
+    doc keeps an explicit zero vector; vectors are dense with the
+    requested dim; determinism across partitioning."""
+    from google_sheets_etl_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma alpha"),
+            (2, "alpha beta gamma alpha"),
+            (3, "beta alpha alpha gamma"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["vec"]
+        for r in text_ops.hashed_doc_vectors(docs, dim=16).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    assert all(len(v) == 16 for v in out.values())
+    assert out[1] == out[2] == out[3]   # bag-of-words: order-free
+    assert out[4] == [0] * 16           # tokenless -> zero vector
+    assert sum(abs(x) for x in out[1]) >= 2
+    out2 = {
+        r["doc_id"]: r["vec"]
+        for r in text_ops.hashed_doc_vectors(
+            docs.repartition(3), dim=16
+        ).collect()
+    }
+    assert out2 == out
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        text_ops.hashed_doc_vectors(docs, dim=0)
