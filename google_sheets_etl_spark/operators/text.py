@@ -1008,12 +1008,14 @@ def bigram_lm_bits(
     followed by one uniform-key groupBy(doc). Returns
     ``(id, n_bigrams, bits_per_bigram)``.
     """
+    from .typed_views import ensure_parallelism
+
     if k_smooth <= 0:
         raise ValueError("k_smooth must be > 0")
 
     def pairs(df: DataFrame, with_id: bool) -> DataFrame:
         lead = [F.col(id_col)] if with_id else []
-        t = df.select(
+        t = ensure_parallelism(df).select(
             *lead, F.split(F.col(text_col), " ").alias("_t")
         ).filter(F.size("_t") >= 2)  # also dodges sequence(1,0) DESC
         return t.select(
@@ -1096,13 +1098,16 @@ def hashed_doc_vectors(
     tokens keep a zero vector (cosine guards zero norms downstream).
 
     Returns ``(id, vec array<long>)``, dense ``dim`` entries."""
+    from .typed_views import ensure_parallelism
+
     if dim < 1:
         raise ValueError("dim must be >= 1")
     h = F.conv(
         F.substring(F.md5(F.col("_w")), 1, 15), 16, 10
     ).cast("long")
     long_rows = (
-        docs.select(
+        ensure_parallelism(docs)
+        .select(
             F.col(id_col),
             F.explode(F.split(F.col(text_col), " ")).alias("_w"),
         )
