@@ -351,9 +351,7 @@ def _with_lsh_buckets(
     """
     import numpy as np
     import pandas as pd
-    from pyspark.sql.types import (
-        ArrayType, FloatType, LongType, StructField, StructType,
-    )
+    from pyspark.sql.types import LongType, StructField, StructType
 
     n_tables = len(tables)
     n_bits = len(tables[0])
@@ -1460,10 +1458,6 @@ def pq_topk_adc(
     closure; the corpus encodes in place (narrow, no shuffle) and
     the query batch broadcasts into the scoring join — the code
     table never shuffles."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.types import DoubleType, StructField, StructType
-
     if train_iters > 0:
         # per-subspace k-means refinement (Jégou §II.C) — the
         # md5-seeded sample becomes the INIT instead of the quantizer
@@ -1475,15 +1469,12 @@ def pq_topk_adc(
         codebooks = _pq_codebooks(
             candidates, n_subspaces, n_codes, id_col, vec_col, seed
         )
-    n_sub, _, dsub = codebooks.shape
     codes = pq_encode(candidates, codebooks, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"), "codes"
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
-    from pyspark.sql.types import LongType as _Long
-
     # cross join: every query scores every CODE row
     return _pq_adc_rank(F.broadcast(q).join(codes), codebooks, k)
 
