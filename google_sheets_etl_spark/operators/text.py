@@ -1008,34 +1008,56 @@ def bigram_lm_bits(
     followed by one uniform-key groupBy(doc). Returns
     ``(id, n_bigrams, bits_per_bigram)``.
     """
+    model = bigram_lm_fit(train, k_smooth, text_col)
+    return bigram_lm_score(docs, model, text_col, id_col)
+
+
+def _bigram_pairs(
+    df: DataFrame, text_col: str, lead: list | None = None
+) -> DataFrame:
+    """Adjacent-token pairs ``(w1, w2)`` per row, optionally keeping
+    lead columns; <2-token rows yield nothing (and dodge Spark's
+    DESCENDING ``sequence(1, 0)``)."""
     from .typed_views import ensure_parallelism
 
+    lead = lead or []
+    t = ensure_parallelism(df).select(
+        *lead, F.split(F.col(text_col), " ").alias("_t")
+    ).filter(F.size("_t") >= 2)
+    return t.select(
+        *lead,
+        F.explode(F.sequence(F.lit(1), F.size("_t") - 1)).alias("_i"),
+        "_t",
+    ).select(
+        *lead,
+        F.element_at("_t", F.col("_i")).alias("w1"),
+        F.element_at("_t", F.col("_i") + 1).alias("w2"),
+    )
+
+
+def bigram_lm_fit(
+    train: DataFrame,
+    k_smooth: float = 0.5,
+    text_col: str = "text",
+):
+    """Train the add-k bigram LM ONCE and freeze it: returns a
+    ``(c2, c1, v, k)`` model tuple whose count tables are eagerly
+    materialized (localCheckpoint) — vocab-bounded state a deployed
+    pipeline fits offline and reuses across batches/micro-batches
+    instead of re-counting the train split per consumer."""
     if k_smooth <= 0:
         raise ValueError("k_smooth must be > 0")
-
-    def pairs(df: DataFrame, with_id: bool) -> DataFrame:
-        lead = [F.col(id_col)] if with_id else []
-        t = ensure_parallelism(df).select(
-            *lead, F.split(F.col(text_col), " ").alias("_t")
-        ).filter(F.size("_t") >= 2)  # also dodges sequence(1,0) DESC
-        return t.select(
-            *lead,
-            F.explode(
-                F.sequence(F.lit(1), F.size("_t") - 1)
-            ).alias("_i"),
-            "_t",
-        ).select(
-            *lead,
-            F.element_at("_t", F.col("_i")).alias("w1"),
-            F.element_at("_t", F.col("_i") + 1).alias("w2"),
-        )
-
     c2 = (
-        pairs(train, with_id=False)
+        _bigram_pairs(train, text_col)
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("_c2"))
+        .localCheckpoint(eager=True)
     )
-    c1 = c2.groupBy("w1").agg(F.sum("_c2").alias("_c1"))
+    c1 = (
+        c2.groupBy("w1")
+        .agg(F.sum("_c2").alias("_c1"))
+        .localCheckpoint(eager=True)
+    )
     # vocab size: one metadata-scale action (the count a tokenizer
     # ships with its model card)
     v = (
@@ -1044,9 +1066,21 @@ def bigram_lm_bits(
         .distinct()
         .count()
     )
-    kd = float(k_smooth)
+    return c2, c1, v, float(k_smooth)
+
+
+def bigram_lm_score(
+    docs: DataFrame,
+    model,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score documents under a frozen :func:`bigram_lm_fit` model:
+    two broadcast joins on the bigram stream + one uniform doc-key
+    aggregate. Returns ``(id, n_bigrams, bits_per_bigram)``."""
+    c2, c1, v, kd = model
     scored = (
-        pairs(docs, with_id=True)
+        _bigram_pairs(docs, text_col, [F.col(id_col)])
         .join(F.broadcast(c2), ["w1", "w2"], "left")
         .join(F.broadcast(c1), "w1", "left")
         .select(

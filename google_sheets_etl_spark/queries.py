@@ -5150,8 +5150,7 @@ def typed_view_apply(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-_PPL_ORACLE = """
-WITH s AS (
+_PPL_SCORING_CTES = """s AS (
   SELECT doc_id, text,
          ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS b
   FROM documents),
@@ -5176,11 +5175,92 @@ sc AS (
                * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
               AS BIGINT) AS nll
   FROM dp LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1)
-  CROSS JOIN v)
-SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams,
-       ROUND(SUM(nll) / CAST(1000000 AS DOUBLE) / COUNT(*), 4)
-         AS bits_per_bigram
-FROM sc GROUP BY doc_id"""
+  CROSS JOIN v),
+bits AS (
+  SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams,
+         ROUND(SUM(nll) / CAST(1000000 AS DOUBLE) / COUNT(*), 4)
+           AS bits_per_bigram
+  FROM sc GROUP BY doc_id)"""
+
+_PPL_ORACLE = f"""
+WITH {_PPL_SCORING_CTES}
+SELECT doc_id, n_bigrams, bits_per_bigram FROM bits"""
+
+
+@q(
+    "streaming_quality_admission",
+    f"""WITH {_PPL_SCORING_CTES},
+       firsts AS (
+         SELECT doc_id, content_hash FROM (
+           SELECT doc_id, md5(text) AS content_hash,
+                  ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                     ORDER BY doc_id) AS rn
+           FROM documents) WHERE rn = 1)
+       SELECT f.doc_id, f.content_hash, b.n_bigrams, b.bits_per_bigram
+       FROM firsts f JOIN bits b USING (doc_id)
+       WHERE b.bits_per_bigram <= 4.9""",
+)
+def streaming_quality_admission(spark: SparkSession, sf: str) -> DataFrame:
+    """The composed streaming INGEST GATE, driver-certified
+    (streaming/quality_gate_stream.py): every document is delivered
+    TWICE through separate micro-batches (maxFilesPerTrigger=1 over
+    two file copies — the at-least-once ingest case); per batch the
+    gate scores fluency under a FROZEN bigram LM (fitted once on the
+    hash-split train docs), exact-dedups by content hash against
+    everything ever admitted, and appends survivors (with their
+    scores) to the corpus table the next batch sees. The drained
+    corpus must hold each sufficiently-fluent document EXACTLY once —
+    the oracle is the single-copy score+dedup+threshold relation, so
+    both the quality cut and the cross-batch rejection are certified
+    in one row. Sub-2-token docs reject (no bigram evidence),
+    documented."""
+    import shutil
+    import tempfile
+
+    import os as _os
+
+    from .streaming.quality_gate_stream import quality_gate_stream
+
+    src = tempfile.mkdtemp(prefix="qg_src_")
+    for copy in ("a", "b"):
+        source = f"{sf}/documents.parquet"
+        dest = f"{src}/documents_{copy}.parquet"
+        if _os.path.isdir(source):
+            shutil.copytree(source, dest)
+        else:
+            shutil.copy(source, dest)
+    batch_fields = {
+        f.name: f
+        for f in spark.read.parquet(f"{sf}/documents.parquet").schema.fields
+    }
+    from pyspark.sql.types import StructType
+
+    schema = StructType([batch_fields["doc_id"], batch_fields["text"]])
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    docs = t(spark, sf, "documents")
+    train = (
+        sampling.hash_split(docs)
+        .filter(F.col("split") == "train")
+        .select("text")
+    )
+    model = text_ops.bigram_lm_fit(train)
+    corpus_path = _os.path.join(tempfile.mkdtemp(prefix="qg_"), "corpus")
+    handle = quality_gate_stream(
+        stream,
+        corpus_path,
+        model,
+        checkpoint=tempfile.mkdtemp(prefix="qg_ck_"),
+        max_bits=4.9,
+    )
+    handle.awaitTermination()
+    return spark.read.parquet(corpus_path).select(
+        "doc_id", "content_hash", "n_bigrams", "bits_per_bigram"
+    )
 
 
 @q("doc_perplexity_bits", _PPL_ORACLE)

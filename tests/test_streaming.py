@@ -536,3 +536,69 @@ def test_corpus_exists_probe(spark, tmp_path):
     present.mkdir()
     (present / "part-00000.parquet").write_bytes(b"x")
     assert _corpus_exists(spark, str(present))
+
+
+def test_quality_gate_stream_scores_and_dedups(spark, tmp_path):
+    """Composed ingest gate (streaming/quality_gate_stream.py): a
+    fluent document admits with its score; in-distribution text
+    re-delivered in a LATER drain rejects by content hash; OOV
+    gibberish rejects on the bits threshold; a sub-2-token doc
+    rejects for lack of bigram evidence; batch-internal dup keeps the
+    lowest id."""
+    import json as _json
+    import math
+
+    from google_sheets_etl_spark.operators.text import bigram_lm_fit
+    from google_sheets_etl_spark.streaming.quality_gate_stream import (
+        quality_gate_stream,
+    )
+
+    train = spark.createDataFrame(
+        [("the cat sat on the mat",), ("the cat ate the fish",)],
+        "text string",
+    )
+    model = bigram_lm_fit(train)
+    # OOV gibberish floor = log2(V) bits; fluent text scores below it
+    v = 7
+    max_bits = math.log2(v) - 0.2
+
+    feed = tmp_path / "qfeed"
+    feed.mkdir()
+    corpus = str(tmp_path / "qcorpus")
+    ckpt = str(tmp_path / "qck")
+
+    def drain(rows, name):
+        with open(feed / name, "w") as f:
+            for did, text in rows:
+                f.write(_json.dumps({"doc_id": did, "text": text}) + "\n")
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .json(str(feed))
+        )
+        quality_gate_stream(
+            stream, corpus, model, ckpt, max_bits=max_bits
+        ).awaitTermination()
+
+    drain(
+        [
+            (1, "the cat sat on the mat"),   # fluent -> admit
+            (2, "zx qy zx qy zx"),           # OOV -> reject (= log2 V)
+            (3, "solo"),                     # no bigram -> reject
+            (5, "the cat ate the fish"),     # fluent -> admit
+            (4, "the cat ate the fish"),     # batch dup -> lowest id wins
+        ],
+        "q1.json",
+    )
+    got1 = {r["doc_id"]: r["bits_per_bigram"]
+            for r in spark.read.parquet(corpus).collect()}
+    assert set(got1) == {1, 4}
+    assert all(b <= max_bits for b in got1.values())
+
+    # drain 2: re-delivery of admitted content (new id) rejects by
+    # hash; novel fluent text admits
+    drain(
+        [(10, "the cat sat on the mat"), (11, "the cat sat on the fish")],
+        "q2.json",
+    )
+    got2 = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+    assert got2 == {1, 4, 11}
