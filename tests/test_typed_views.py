@@ -632,3 +632,84 @@ def test_incremental_profile_store_lifecycle(spark, tmp_path):
     tv3 = engine.typed_target("ledger")
     assert engine.last_profiled_job_ids == [1]
     assert dict(tv3.dtypes)["when"] == "string"
+
+
+def test_profile_store_sheds_dropped_columns_and_marks_empty_loads(
+    spark, tmp_path
+):
+    """Edge contracts of the per-load profile store: (1) a reload that
+    DROPS a column sheds the old column's counters instead of leaking
+    them into the merge (per-(table, job) replacement); (2) a reload
+    to ZERO rows records a sentinel so the job is not re-scanned
+    forever, and its old counters vanish from the merge."""
+    from pyspark.sql import functions as F
+    from google_sheets_etl_spark.config import EtlJob
+    from google_sheets_etl_spark.etl import SheetsEtlEngine
+    from google_sheets_etl_spark.sources import (
+        FixtureSheetSource, SpreadsheetMeta,
+    )
+
+    ss = "SSC" + "c" * 41
+    src = FixtureSheetSource()
+    src.put_sheet(
+        SpreadsheetMeta(ss, "2026-06-01T00:00:00.000Z", "C"),
+        "S",
+        [["A", "B"], ["1", "x"], ["2", "y"]],
+    )
+    engine = SheetsEtlEngine(spark, str(tmp_path / "wh_shed"), src)
+    engine.set_up_accounting()
+    engine.find_updated_spreadsheets(now=1000)
+    j = EtlJob(ss, "S", "tbl", {"a": "A", "b": "B"})
+    engine.load_updated_spreadsheets([j])
+    engine.typed_target("tbl")
+    cols1 = {
+        r["column_name"]
+        for r in engine.profiles.read().collect()
+        if r["column_name"] is not None
+    }
+    assert cols1 == {"a", "b"}
+
+    # reload mapping only column A: column b's counters must vanish
+    src.put_sheet(
+        SpreadsheetMeta(ss, "2026-06-02T00:00:00.000Z", "C"),
+        "S",
+        [["A", "B"], ["7", "zz"]],
+    )
+    engine.find_updated_spreadsheets(now=2000)
+    j2 = EtlJob(ss, "S", "tbl", {"a": "A"})
+    engine.load_updated_spreadsheets([j2])
+    engine.typed_target("tbl")
+    rows = engine.profiles.read().collect()
+    assert {r["column_name"] for r in rows if r["column_name"]} == {"a"}
+
+    # a SECOND spreadsheet loads into the table, then reloads to ZERO
+    # data rows: its counters become a sentinel row (not re-scanned
+    # forever), while job 1 keeps the table non-empty
+    ss2 = "SSD" + "d" * 41
+    src.put_sheet(
+        SpreadsheetMeta(ss2, "2026-06-03T00:00:00.000Z", "D"),
+        "S",
+        [["A"], ["9"]],
+    )
+    engine.find_updated_spreadsheets(now=3000)
+    j3 = EtlJob(ss2, "S", "tbl", {"a": "A"})
+    engine.load_updated_spreadsheets([j3])
+    engine.typed_target("tbl")
+    assert engine.last_profiled_job_ids == [2]
+
+    src.put_sheet(
+        SpreadsheetMeta(ss2, "2026-06-04T00:00:00.000Z", "D"),
+        "S",
+        [["A"]],
+    )
+    engine.find_updated_spreadsheets(now=4000)
+    engine.load_updated_spreadsheets([j3])
+    engine.typed_target("tbl")
+    assert engine.last_profiled_job_ids == [2]
+    by_job = {}
+    for r in engine.profiles.read().collect():
+        by_job.setdefault(int(r["etl_job_id"]), []).append(r["column_name"])
+    assert by_job[2] == [None]            # sentinel for the empty load
+    assert set(by_job[1]) == {"a"}        # job 1 untouched
+    engine.typed_target("tbl")
+    assert engine.last_profiled_job_ids == []  # sentinel stops rescans
