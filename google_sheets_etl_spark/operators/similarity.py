@@ -275,6 +275,158 @@ def pca_project(
     return vectors.select(id_col, vec_col).mapInPandas(kernel, schema)
 
 
+def embedding_class_moments_u6(
+    vectors: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-class coordinate sums in exact integer micro-units — the
+    cross-moment ``X^T Y`` (one-hot labels) that closed-form linear
+    probe training needs next to the gram matrix: each row's
+    coordinates round half-up sign-safely to 1e-6 units, then sum as
+    exact int64 per (label, pos). One narrow pass; each Arrow batch
+    folds to a (classes-in-batch × d) accumulator; the shuffle
+    carries (≤classes × d) rows per task — metadata-scale. Returns
+    ``(label, pos, s_u6, n_rows)``."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        IntegerType, LongType, StructField, StructType,
+    )
+
+    label_type = vectors.schema[label_col].dataType
+    schema = StructType([
+        StructField("label", label_type),
+        StructField("pos", IntegerType()),
+        StructField("s_u6", LongType()),
+        StructField("n_rows", LongType()),
+    ])
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            u6 = (
+                np.sign(mat) * np.floor(np.abs(mat) * 1e6 + 0.5)
+            ).astype(np.int64)
+            labs = pdf[label_col].to_numpy()
+            frames = []
+            for lab in pd.unique(labs):
+                sel = labs == lab
+                s = u6[sel].sum(axis=0)
+                frames.append(pd.DataFrame({
+                    "label": np.repeat(lab, len(s)),
+                    "pos": np.arange(len(s), dtype=np.int32),
+                    "s_u6": s,
+                    "n_rows": np.full(len(s), int(sel.sum()),
+                                      dtype=np.int64),
+                }))
+            yield pd.concat(frames, ignore_index=True)
+
+    return (
+        vectors.select(label_col, vec_col)
+        .mapInPandas(kernel, schema)
+        .groupBy("label", "pos")
+        .agg(
+            F.sum("s_u6").alias("s_u6"),
+            F.sum("n_rows").alias("n_rows"),
+        )
+    )
+
+
+def linear_probe_fit(
+    train: DataFrame,
+    l2: float = 1.0,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+):
+    """Closed-form LINEAR PROBE training over labeled embeddings —
+    the quality-classifier-training primitive (FineWeb-Edu style:
+    freeze the embedding, fit a cheap linear head on the labels):
+    one-vs-rest ridge regression solved exactly from two distributed
+    exact-integer aggregates, ``X^T X`` (:func:`embedding_gram_u6`)
+    and ``X^T Y`` (:func:`embedding_class_moments_u6`) — no SGD, no
+    iteration, no learning-rate nondeterminism. The d×d solve runs on
+    the driver (model-width-sized); because both moment matrices are
+    exact integers at any parallelism, the learned weights are
+    bit-identical across runs, partitionings, and cluster layouts.
+
+    Returns ``(classes, W)``: the sorted class list and a
+    (n_classes, d) weight matrix, row c scoring class
+    ``classes[c]``."""
+    import numpy as np
+
+    if l2 <= 0:
+        raise ValueError("l2 must be > 0 (ridge conditioning)")
+    grows = embedding_gram_u6(train, vec_col).collect()
+    if not grows:
+        raise ValueError("linear_probe_fit needs a non-empty train set")
+    d = max(r["j"] for r in grows) + 1
+    g = np.zeros((d, d), dtype=np.float64)
+    for r in grows:
+        v = r["s_u6"] / 1e6
+        g[r["i"], r["j"]] = v
+        g[r["j"], r["i"]] = v
+    mrows = embedding_class_moments_u6(train, label_col, vec_col).collect()
+    classes = sorted({r["label"] for r in mrows})
+    b = np.zeros((d, len(classes)), dtype=np.float64)
+    cidx = {c: i for i, c in enumerate(classes)}
+    for r in mrows:
+        b[r["pos"], cidx[r["label"]]] = r["s_u6"] / 1e6
+    w = np.linalg.solve(g + l2 * np.eye(d), b)  # (d, C)
+    return classes, w.T
+
+
+def linear_probe_predict(
+    vectors: DataFrame,
+    classes,
+    weights,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Apply a trained probe: scores = x·wᵀ per class, argmax with
+    (score DESC, class index ASC) ties. One narrow Arrow pass, the
+    (C × d) weight matrix rides the task closure. Returns
+    ``(id, label_pred)``."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import StructField, StructType
+
+    w = np.asarray(weights, dtype=np.float64)
+    cls = np.asarray(classes)
+    # the prediction column carries the CLASSES' own type
+    from pyspark.sql.types import IntegerType, LongType, StringType
+
+    if isinstance(classes[0], str):
+        lab_t = StringType()
+    elif all(isinstance(c, int) and abs(c) < 2**31 for c in classes):
+        lab_t = IntegerType()
+    else:
+        lab_t = LongType()
+    schema = StructType([
+        StructField(id_col, vectors.schema[id_col].dataType),
+        StructField("label_pred", lab_t),
+    ])
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            scores = mat @ w.T  # (n, C)
+            # np.argmax takes the FIRST max: class-index-asc ties
+            pred = cls[np.argmax(scores, axis=1)]
+            if pred.dtype.kind == "i" and isinstance(lab_t, IntegerType):
+                pred = pred.astype(np.int32)
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(),
+                "label_pred": pred,
+            })
+
+    return vectors.select(id_col, vec_col).mapInPandas(kernel, schema)
+
+
 def knn_classify(
     queries: DataFrame,
     candidates: DataFrame,

@@ -2444,6 +2444,74 @@ def pca_explained_variance(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "embedding_class_moments",
+    """WITH ed AS (
+         SELECT vec_id, label,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         FROM embeddings WHERE vec_id % 5 != 0),
+       u AS (SELECT label, i AS pos, e[i + 1] AS x
+             FROM ed, range(0, 64) t(i))
+       SELECT label, CAST(pos AS INTEGER) AS pos,
+              CAST(SUM(CASE WHEN x >= 0
+                            THEN floor(x * 1000000 + 0.5)
+                            ELSE -floor(-x * 1000000 + 0.5) END)
+                   AS BIGINT) AS s_u6,
+              COUNT(*)::BIGINT AS n_rows
+       FROM u GROUP BY label, pos""",
+)
+def embedding_class_moments(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-class coordinate sums in exact integer micro-units
+    (operators/similarity.py embedding_class_moments_u6) — the X^T Y
+    cross-moment next to the gram matrix, the second of the two
+    distributed aggregates closed-form linear-probe training
+    consumes. Same micro-unit discipline as the gram twin: sign-safe
+    half-up per element, exact int64 sums, so the trainer's input is
+    bit-identical at any parallelism."""
+    emb = t(spark, sf, "embeddings")
+    return similarity.embedding_class_moments_u6(
+        emb.filter(F.col("vec_id") % 5 != 0)
+    )
+
+
+def _probe_fixture_oracle() -> str:
+    """Literal prediction table regenerated by an independent local
+    recomputation (tools/gen_probe_fixture.py). The synthetic corpus'
+    labels are noise (kNN sits at chance too), so this row pins
+    DETERMINISM of the full train→solve→predict pipeline — exact
+    distributed moments, driver ridge solve, argmax with first-index
+    ties — not model quality; the moments' own correctness is the
+    SQL-twinned embedding_class_moments row."""
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "fixtures",
+        "probe_predictions_sf001.sql",
+    )
+    with open(path) as f:
+        return f.read()
+
+
+@q("linear_probe_predictions", _probe_fixture_oracle())
+def linear_probe_predictions(spark: SparkSession, sf: str) -> DataFrame:
+    """Closed-form LINEAR PROBE (operators/similarity.py
+    linear_probe_fit/predict — the FineWeb-Edu-style
+    quality-classifier-training primitive with the SGD removed):
+    one-vs-rest ridge solved exactly from the two exact-integer
+    distributed aggregates (gram + class moments), weights therefore
+    bit-identical across partitionings and cluster layouts; the
+    held-out split's predictions match the independently regenerated
+    fixture row for row."""
+    emb = t(spark, sf, "embeddings")
+    classes, w = similarity.linear_probe_fit(
+        emb.filter(F.col("vec_id") % 5 != 0)
+    )
+    return similarity.linear_probe_predict(
+        emb.filter(F.col("vec_id") % 5 == 0), classes, w
+    )
+
+
+@q(
     "knn_label_propagation",
     """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
        c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10),

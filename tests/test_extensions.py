@@ -1305,3 +1305,35 @@ def test_hashed_doc_vectors_contracts(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         text_ops.hashed_doc_vectors(docs, dim=0)
+
+
+def test_linear_probe_learns_planted_separable_labels(spark):
+    """On SEPARABLE data the probe must actually classify (the
+    synthetic corpus' labels are noise, so the oracled rows only pin
+    determinism — this test pins learning): two clusters on opposite
+    axes, perfect held-out accuracy, deterministic weights across
+    partitionings."""
+    import numpy as np
+
+    rows = []
+    for i in range(40):
+        off = (i % 7) * 0.01
+        if i % 2 == 0:
+            rows.append((i, [1.0, off, 0.0, 0.0], 3))
+        else:
+            rows.append((i, [0.0, off, 1.0, 0.0], 8))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    train = df.filter(F.col("vec_id") < 30)
+    test = df.filter(F.col("vec_id") >= 30)
+    classes, w = similarity.linear_probe_fit(train, l2=0.1)
+    assert classes == [3, 8]
+    got = {
+        r["vec_id"]: r["label_pred"]
+        for r in similarity.linear_probe_predict(test, classes, w).collect()
+    }
+    truth = {i: (3 if i % 2 == 0 else 8) for i in range(30, 40)}
+    assert got == truth
+    c2, w2 = similarity.linear_probe_fit(train.repartition(5), l2=0.1)
+    assert c2 == classes and np.array_equal(w, w2)
