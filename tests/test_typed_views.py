@@ -713,3 +713,61 @@ def test_profile_store_sheds_dropped_columns_and_marks_empty_loads(
     assert set(by_job[1]) == {"a"}        # job 1 untouched
     engine.typed_target("tbl")
     assert engine.last_profiled_job_ids == []  # sentinel stops rescans
+
+
+def test_min_frac_monotone_specificity(spark):
+    """Relaxing the threshold can only move a column's decision
+    EARLIER in the most-specific-first chain (each branch's predicate
+    is monotone in the threshold; the slash-evidence out-parses-rival
+    conjunct is threshold-free) — randomized over 400 arbitrary
+    counter rows, including degenerate ones (n_values=0, counts at
+    the bounds)."""
+    import random
+
+    rng = random.Random(42)
+    SUM = list(typed_views._SUM_COUNTERS)
+    MAX = list(typed_views._MAX_COUNTERS)
+    rows = []
+    for i in range(400):
+        n = rng.randint(0, 50)
+        vals = {"n_values": n}
+        for c in SUM[1:]:
+            vals[c] = rng.randint(0, n) if n else 0
+        for c in MAX:
+            vals[c] = rng.randint(0, 40)
+        rows.append(
+            tuple([f"c{i}"] + [vals[c] for c in SUM] + [vals[c] for c in MAX])
+        )
+    schema = (
+        "column_name string, "
+        + ", ".join(f"{c} long" for c in SUM)
+        + ", "
+        + ", ".join(f"{c} int" for c in MAX)
+    )
+    df = spark.createDataFrame(rows, schema)
+
+    chain = [
+        "boolean", "bigint", "decimal(", "double", "date", "timestamp",
+        "date[MM/dd/yyyy]", "date[dd/MM/yyyy]", "date[dd.MM.yyyy]",
+        "timestamp[MM/dd/yyyy HH:mm]", "timestamp[dd/MM/yyyy HH:mm]",
+        "timestamp[dd.MM.yyyy HH:mm]", "bigint[grouped]",
+        "decimal)grouped", "double[grouped]", "string",
+    ]
+
+    def rank(t: str) -> int:
+        if t.endswith(")[grouped]"):
+            return chain.index("decimal)grouped")
+        if t.startswith("decimal("):
+            return chain.index("decimal(")
+        return chain.index(t)
+
+    decided = {}
+    for mf in (0.6, 0.8, 1.0):
+        decided[mf] = {
+            r["column_name"]: r["decided_type"]
+            for r in typed_views.decide_profile(df, min_frac=mf).collect()
+        }
+    for c in decided[1.0]:
+        r06, r08, r10 = (rank(decided[m][c]) for m in (0.6, 0.8, 1.0))
+        assert r06 <= r08 <= r10, (c, decided[0.6][c], decided[0.8][c],
+                                   decided[1.0][c])
