@@ -2443,6 +2443,103 @@ def pca_explained_variance(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_CMS_CELLS = """tok AS (
+  SELECT unnest(string_split(text, ' ')) AS it FROM documents),
+tk AS (SELECT it FROM tok WHERE it != ''),
+cells AS (
+  SELECT r,
+         ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || it), 1, 15))::BIGINT
+           % 16 AS b,
+         COUNT(*)::BIGINT AS cnt
+  FROM tk, range(0, 4) t(r) GROUP BY 1, 2)"""
+
+
+@q(
+    "cms_token_estimates",
+    f"""WITH {_CMS_CELLS},
+       q AS (SELECT DISTINCT it FROM tk
+             UNION ALL SELECT 'zzz_absent'),
+       probes AS (
+         SELECT it, r,
+                ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || it),
+                                1, 15))::BIGINT % 16 AS b
+         FROM q, range(0, 4) t(r)),
+       est AS (
+         SELECT it, MIN(COALESCE(cells.cnt, 0)) AS e
+         FROM probes LEFT JOIN cells USING (r, b) GROUP BY it),
+       ex AS (SELECT it, COUNT(*)::BIGINT AS c FROM tk GROUP BY it)
+       SELECT est.it AS token, CAST(e AS BIGINT) AS est,
+              COALESCE(ex.c, 0) AS exact_cnt,
+              CAST(e AS BIGINT) - COALESCE(ex.c, 0) AS overcount
+       FROM est LEFT JOIN ex ON est.it = ex.it""",
+)
+def cms_token_estimates(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-min sketch point estimates (operators/cms.py; Cormode &
+    Muthukrishnan 2005): token frequencies read from a 4×16 counter
+    grid instead of the stream — deliberately UNDER-sized so the
+    31-token vocabulary collides and the sketch's one-sided error is
+    visible and certified (``overcount = est − exact ≥ 0`` for every
+    token, including a guaranteed-absent probe whose entire estimate
+    is colliding mass). md5 row hashes + integer counters make the
+    whole grid bit-identical cross-engine, so the twin pins exact
+    values, not a tolerance band."""
+    from .operators import cms
+
+    toks = (
+        t(spark, sf, "documents")
+        .select(F.explode(F.split("text", " ")).alias("item"))
+        .filter(F.col("item") != "")
+    )
+    sk = cms.cms_build(toks, depth=4, width=16)
+    probes = toks.distinct().unionByName(
+        spark.createDataFrame([("zzz_absent",)], "item string")
+    )
+    est = cms.cms_estimate(sk, probes, depth=4, width=16)
+    exact = toks.groupBy("item").agg(F.count(F.lit(1)).alias("_c"))
+    return (
+        est.join(exact, "item", "left")
+        .select(
+            F.col("item").alias("token"),
+            "est",
+            F.coalesce(F.col("_c"), F.lit(0)).alias("exact_cnt"),
+            (F.col("est") - F.coalesce(F.col("_c"), F.lit(0))).alias(
+                "overcount"
+            ),
+        )
+    )
+
+
+@q(
+    "cms_merge_partitions",
+    f"""WITH {_CMS_CELLS}
+       SELECT r, b, cnt FROM cells""",
+)
+def cms_merge_partitions(spark: SparkSession, sf: str) -> DataFrame:
+    """CMS mergeability (the sketch sibling of
+    ``typed_profile_incremental``): sketches built over the even- and
+    odd-doc halves of the corpus merge by cell-wise addition into
+    EXACTLY the full-corpus sketch — the sum-decomposition that makes
+    corpus-wide frequency summaries O(sketch-merge) after each
+    incremental load instead of a rescan. The oracle is the
+    full-corpus sketch; row counts differ only if a cell exists in
+    one half and not the merge (impossible) or counts drift (the
+    red flag)."""
+    from .operators import cms
+
+    docs = t(spark, sf, "documents")
+
+    def half(pred):
+        return (
+            docs.filter(pred)
+            .select(F.explode(F.split("text", " ")).alias("item"))
+            .filter(F.col("item") != "")
+        )
+
+    even = cms.cms_build(half(F.col("doc_id") % 2 == 0), depth=4, width=16)
+    odd = cms.cms_build(half(F.col("doc_id") % 2 != 0), depth=4, width=16)
+    return cms.cms_merge(even, odd)
+
+
 @q(
     "embedding_class_moments",
     """WITH ed AS (

@@ -1337,3 +1337,48 @@ def test_linear_probe_learns_planted_separable_labels(spark):
     assert got == truth
     c2, w2 = similarity.linear_probe_fit(train.repartition(5), l2=0.1)
     assert c2 == classes and np.array_equal(w, w2)
+
+
+def test_cms_one_sided_error_and_merge(spark):
+    """CMS contracts: estimates never undercount (planted stream with
+    forced collisions at width=2); merging disjoint halves equals the
+    full-stream sketch cell for cell; weighted build sums weights;
+    validation rejects nonsense dimensions."""
+    from google_sheets_etl_spark.operators import cms
+
+    items = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 2 + [(None,)],
+        "item string",
+    )
+    sk = cms.cms_build(items, depth=3, width=2)
+    est = {
+        r["item"]: r["est"]
+        for r in cms.cms_estimate(
+            sk,
+            spark.createDataFrame([("a",), ("b",), ("c",), ("zz",)],
+                                  "item string"),
+            depth=3, width=2,
+        ).collect()
+    }
+    assert est["a"] >= 5 and est["b"] >= 3 and est["c"] >= 2
+    assert sum(v for v in est.values()) >= 10  # colliding mass only adds
+    assert est["zz"] >= 0
+
+    h1 = cms.cms_build(items.limit(6), depth=3, width=2)
+    h2 = cms.cms_build(items.exceptAll(items.limit(6)), depth=3, width=2)
+    merged = {(r["r"], r["b"]): r["cnt"]
+              for r in cms.cms_merge(h1, h2).collect()}
+    full = {(r["r"], r["b"]): r["cnt"] for r in sk.collect()}
+    assert merged == full
+
+    w = spark.createDataFrame([("a", 4), ("a", 1)], "item string, n int")
+    skw = cms.cms_build(w, depth=2, width=8, weight_col="n")
+    estw = cms.cms_estimate(
+        skw, spark.createDataFrame([("a",)], "item string"),
+        depth=2, width=8,
+    ).collect()[0]["est"]
+    assert estw == 5
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        cms.cms_build(items, depth=0)
