@@ -2443,6 +2443,59 @@ def pca_explained_variance(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "streaming_sketch_maintenance",
+    """WITH cells AS (
+         SELECT r,
+                ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || event_type),
+                                1, 15))::BIGINT % 32 AS b,
+                COUNT(*)::BIGINT AS cnt
+         FROM events, range(0, 4) t(r) GROUP BY 1, 2)
+       SELECT r, b, cnt FROM cells""",
+)
+def streaming_sketch_maintenance(spark: SparkSession, sf: str) -> DataFrame:
+    """Standing frequency sketch under at-least-once delivery,
+    driver-certified (streaming/sketch_stream.py): every event is
+    delivered TWICE through separate micro-batches; the stream first
+    dedups on event_id within the watermark (delivery becomes
+    exactly-once-per-key), then each batch folds into the count-min
+    grid via a batch-id-keyed OVERWRITE (processing becomes
+    exactly-once-per-batch — CMS addition is not idempotent, so a
+    bare append would double-count on replay). The standing sketch
+    must equal the single-copy corpus sketch CELL FOR CELL — the
+    oracle rebuilds that grid from the plain events relation."""
+    import shutil
+    import tempfile
+
+    import os as _os
+
+    from .streaming.events_stream import dedup_stream
+    from .streaming.sketch_stream import read_sketch, sketch_stream
+
+    src = tempfile.mkdtemp(prefix="sk_src_")
+    for copy in ("a", "b"):
+        source, dest = f"{sf}/events.parquet", f"{src}/events_{copy}.parquet"
+        if _os.path.isdir(source):
+            shutil.copytree(source, dest)
+        else:
+            shutil.copy(source, dest)
+    stream = _events_stream_adaptive(
+        spark, sf, src_dir=src, max_files_per_trigger=1
+    )
+    deduped = dedup_stream(stream, key_cols=["event_id"])
+    sketch_path = _os.path.join(tempfile.mkdtemp(prefix="sk_"), "sketch")
+    handle = sketch_stream(
+        deduped.select(F.col("event_type").alias("item")),
+        sketch_path,
+        checkpoint=tempfile.mkdtemp(prefix="sk_ck_"),
+        item_col="item",
+        depth=4,
+        width=32,
+    )
+    handle.awaitTermination()
+    return read_sketch(spark, sketch_path)
+
+
 _CMS_CELLS = """tok AS (
   SELECT unnest(string_split(text, ' ')) AS it FROM documents),
 tk AS (SELECT it FROM tok WHERE it != ''),

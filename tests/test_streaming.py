@@ -602,3 +602,49 @@ def test_quality_gate_stream_scores_and_dedups(spark, tmp_path):
     )
     got2 = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
     assert got2 == {1, 4, 11}
+
+
+def test_sketch_stream_maintains_standing_sketch(spark, tmp_path):
+    """Streaming CMS maintenance: drains accumulate into the standing
+    sketch exactly (cell-wise sums match a batch-built sketch over
+    everything seen); a re-drain with no new data changes nothing
+    (batch-keyed overwrite + checkpoint = idempotent)."""
+    import json as _json
+
+    from google_sheets_etl_spark.operators import cms
+    from google_sheets_etl_spark.streaming.sketch_stream import (
+        read_sketch, sketch_stream,
+    )
+
+    feed = tmp_path / "skfeed"
+    feed.mkdir()
+    path = str(tmp_path / "sketch")
+    ckpt = str(tmp_path / "skck")
+
+    def drain(items, name):
+        with open(feed / name, "w") as f:
+            for it in items:
+                f.write(_json.dumps({"item": it}) + "\n")
+        stream = spark.readStream.schema("item string").json(str(feed))
+        sketch_stream(
+            stream, path, ckpt, depth=2, width=4
+        ).awaitTermination()
+
+    drain(["a", "b", "a"], "s1.json")
+    drain(["c", "a"], "s2.json")
+    got = {(r["r"], r["b"]): r["cnt"]
+           for r in read_sketch(spark, path).collect()}
+    full = cms.cms_build(
+        spark.createDataFrame([("a",), ("b",), ("a",), ("c",), ("a",)],
+                              "item string"),
+        depth=2, width=4,
+    )
+    want = {(r["r"], r["b"]): r["cnt"] for r in full.collect()}
+    assert got == want
+
+    # no new files: a re-drain must not change the standing sketch
+    stream = spark.readStream.schema("item string").json(str(feed))
+    sketch_stream(stream, path, ckpt, depth=2, width=4).awaitTermination()
+    again = {(r["r"], r["b"]): r["cnt"]
+             for r in read_sketch(spark, path).collect()}
+    assert again == want
