@@ -515,3 +515,131 @@ def wav_window_energy(media: DataFrame, window: int = 256) -> DataFrame:
             })
 
     return media.select("media_id", "payload").mapInPandas(kernel, out_schema)
+
+
+def image_dhash(media: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Perceptual DIFFERENCE-HASH (dHash) over P6 payloads — the
+    image near-dup fingerprint: nearest-neighbor-sample the decoded
+    luminance onto a 9×8 grid (the same ``x·w//out`` index rule the
+    codec's resize uses), then one bit per horizontally adjacent pair
+    (``lum[y][x] > lum[y][x+1]``) — 64 bits total, emitted as a
+    16-hex-char string (row bytes ``Σ bit_x·2^x``, rows concatenated
+    — string form sidesteps signed-64 overflow and is band-sliceable
+    for the hamming LSH join downstream). dHash is GRADIENT-based, so
+    a uniform brightness shift (the classic re-encode artifact)
+    leaves the fingerprint untouched except at the rare 255→0 wrap —
+    exactly the invariance an image dedup pass wants.
+
+    Exact integer arithmetic end to end (parse → luminance //3 →
+    compare): deterministic per payload, reproducible in SQL from
+    regenerated pixels. Undecodable payloads are per-row rejects
+    (yield no row — the WAV kernel contract). Narrow kernel, no
+    shuffle."""
+    import pandas as pd
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    id_field = media.schema[id_col]
+    out_schema = StructType([
+        StructField(id_col, id_field.dataType),
+        StructField("dhash", StringType()),
+    ])
+    codec = PpmCodec()
+
+    def kernel(batches):
+        for pdf in batches:
+            ids, hashes = [], []
+            for mid, payload in zip(pdf[id_col], pdf["payload"]):
+                if payload is None:
+                    continue
+                try:
+                    w, h, raster = codec.parse(bytes(payload))
+                except ValueError:
+                    continue  # undecodable → per-row reject
+                if w < 1 or h < 1:
+                    continue
+                lum = [
+                    [
+                        (
+                            raster[3 * ((y * h // 8) * w + (x * w // 9))]
+                            + raster[3 * ((y * h // 8) * w + (x * w // 9)) + 1]
+                            + raster[3 * ((y * h // 8) * w + (x * w // 9)) + 2]
+                        )
+                        // 3
+                        for x in range(9)
+                    ]
+                    for y in range(8)
+                ]
+                out = []
+                for y in range(8):
+                    byte = 0
+                    for x in range(8):
+                        if lum[y][x] > lum[y][x + 1]:
+                            byte |= 1 << x
+                    out.append(f"{byte:02x}")
+                ids.append(mid)
+                hashes.append("".join(out))
+            yield pd.DataFrame({id_col: ids, "dhash": hashes})
+
+    return media.select(id_col, "payload").mapInPandas(kernel, out_schema)
+
+
+def dhash_near_dup_pairs(
+    hashes: DataFrame,
+    max_dist: int = 6,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Image near-dup pairs by dHash hamming distance ≤ ``max_dist``,
+    via the banded hamming-LSH join: the 16-hex hash splits into 8
+    one-byte bands; two hashes within distance d < 8 share at least
+    one UNTOUCHED band (pigeonhole — d bit errors can dirty at most d
+    bands), so the band-equality self-join has recall 1 for
+    ``max_dist ≤ 7`` and the exact per-band popcount verify keeps
+    precision exact: output EQUALS the all-pairs relation while the
+    join work is candidate-bounded, never n². Returns
+    ``(id_a, id_b, hamming)`` with id_a < id_b."""
+    if not (0 <= max_dist <= 7):
+        raise ValueError(
+            "max_dist must be in [0, 7]: 8 bands guarantee recall only "
+            "below 8 bit errors"
+        )
+    bands = hashes.select(
+        F.col(id_col).alias("_id"),
+        "dhash",
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("band"),
+    ).select(
+        "_id",
+        "dhash",
+        "band",
+        F.substring("dhash", F.col("band") * 2 + 1, 2).alias("bv"),
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a.dhash").alias("ha"),
+            F.col("b.dhash").alias("hb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = sum(
+        F.bit_count(
+            F.conv(F.substring("ha", i * 2 + 1, 2), 16, 10)
+            .cast("long")
+            .bitwiseXOR(
+                F.conv(F.substring("hb", i * 2 + 1, 2), 16, 10).cast("long")
+            )
+        )
+        for i in range(8)
+    )
+    return (
+        cand.withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= max_dist)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -3345,6 +3345,118 @@ _PPM_PIXELS_SQL = """
           FROM px)"""
 
 
+def _dhash_media(spark: SparkSession, sf: str) -> DataFrame:
+    """P6 payloads for the PERCEPTUAL-hash rows: consecutive doc
+    pairs (2j, 2j+1) render the SAME nonlinear pattern
+    (``(base·97 + k²·31) % 200``, base = doc_id//2) at the same
+    dimensions, the odd partner uniformly +40 brighter with NO
+    mod-256 wrap (pattern values stay ≤ 199, +40 ≤ 239) — the planted
+    ground truth: a brightness-shifted re-encode whose gradient hash
+    must come out IDENTICAL. Different bases give unrelated
+    patterns."""
+    d = t(spark, sf, "documents").select("doc_id")
+    base = (F.col("doc_id") / 2).cast("long")
+    shift = (F.col("doc_id") % 2) * 40
+    w = (F.lit(8) + base % 5).cast("int")
+    h = (F.lit(6) + base % 4).cast("int")
+    header = F.concat(
+        F.lit("P6\n"), w.cast("string"), F.lit(" "), h.cast("string"),
+        F.lit("\n255\n"),
+    )
+    pixels_hex = F.concat_ws(
+        "",
+        F.transform(
+            F.sequence(F.lit(0), (w * h * 3).cast("long") - 1),
+            lambda k: F.lpad(
+                F.hex((base * 97 + k * k * 31) % 200 + shift), 2, "0"
+            ),
+        ),
+    )
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.unhex(F.concat(F.hex(F.encode(header, "UTF-8")), pixels_hex))
+        .alias("payload"),
+        F.struct(
+            w.alias("width"), h.alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit("ppm").alias("format"),
+        ).alias("meta"),
+    )
+
+
+_DHASH_SQL = """WITH
+  dims AS (SELECT doc_id, doc_id // 2 AS base, (doc_id % 2) * 40 AS shift,
+                  8 + (doc_id // 2) % 5 AS w, 6 + (doc_id // 2) % 4 AS h
+           FROM documents),
+  g AS (SELECT doc_id, base, shift, w, h, y, x,
+               (y * h // 8) * w + (x * w // 9) AS sp
+        FROM dims, range(0, 8) ty(y), range(0, 9) tx(x)),
+  lm AS (SELECT doc_id, y, x,
+                (((base * 97 + (3 * sp) * (3 * sp) * 31) % 200 + shift)
+                 + ((base * 97 + (3 * sp + 1) * (3 * sp + 1) * 31) % 200
+                    + shift)
+                 + ((base * 97 + (3 * sp + 2) * (3 * sp + 2) * 31) % 200
+                    + shift)) // 3 AS l
+         FROM g),
+  rowbytes AS (
+    SELECT a.doc_id, a.y,
+           CAST(SUM(CASE WHEN a.l > b.l THEN (1 << a.x) ELSE 0 END)
+                AS BIGINT) AS byte
+    FROM lm a JOIN lm b
+      ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
+    WHERE a.x < 8 GROUP BY a.doc_id, a.y),
+  dh AS (SELECT doc_id, string_agg(printf('%02x', byte), '' ORDER BY y)
+                  AS dhash
+         FROM rowbytes GROUP BY doc_id)"""
+
+
+@q(
+    "image_dhash_fingerprints",
+    _DHASH_SQL + """
+       SELECT doc_id AS media_id, dhash FROM dh""",
+)
+def image_dhash_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    """Perceptual dHash over REAL decoded P6 rasters
+    (operators/multimodal.py image_dhash): luminance
+    nearest-neighbor-sampled onto a 9×8 grid, one bit per horizontal
+    gradient — the brightness-shift-invariant image near-dup
+    fingerprint. The oracle regenerates every sampled pixel from the
+    fixture formula and recomputes each row byte — the decode, the
+    sampling rule, and the bit packing certified against ground
+    truth, not the codec against itself."""
+    return multimodal.image_dhash(_dhash_media(spark, sf))
+
+
+@q(
+    "image_dhash_near_dup",
+    _DHASH_SQL + """,
+       ph AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                CAST(SUM(bit_count(xor(a.byte, b.byte))) AS BIGINT)
+                  AS hamming
+         FROM rowbytes a JOIN rowbytes b
+           ON a.doc_id < b.doc_id AND a.y = b.y
+         GROUP BY 1, 2)
+       SELECT id_a, id_b, hamming FROM ph WHERE hamming <= 2""",
+)
+def image_dhash_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """Image NEAR-DUP pairs by dHash hamming ≤ 2
+    (operators/multimodal.py dhash_near_dup_pairs): the banded
+    hamming-LSH self-join — 8 one-byte bands, pigeonhole recall 1
+    below 8 bit errors, exact per-band popcount verify — so the
+    bounded candidate join EQUALS the all-pairs relation the oracle
+    computes. The fixture plants ground truth: every (2j, 2j+1) pair
+    is the same image re-encoded +40 brighter with no wrap, and the
+    gradient hash finds ALL of them at hamming 0 (brightness-shift
+    invariance demonstrated, not asserted); small same-dimension
+    coincidences at these tiny raster sizes also surface, which the
+    exact hamming column makes auditable."""
+    hashes = multimodal.image_dhash(_dhash_media(spark, sf))
+    return multimodal.dhash_near_dup_pairs(hashes, max_dist=2)
+
+
 @q(
     "multimodal_ppm_decode_features",
     f"""WITH {_PPM_PIXELS_SQL},

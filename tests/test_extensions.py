@@ -1382,3 +1382,46 @@ def test_cms_one_sided_error_and_merge(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         cms.cms_build(items, depth=0)
+
+
+def test_image_dhash_brightness_invariance_and_banded_join(spark):
+    """dHash contracts: a uniform (wrap-free) brightness shift leaves
+    the hash IDENTICAL (gradient bits); an inverted-gradient image is
+    far; undecodable payloads are per-row rejects; the banded
+    hamming join returns exactly the threshold relation."""
+    import struct
+
+    def ppm(vals, w, h):
+        return (b"P6\n%d %d\n255\n" % (w, h)) + bytes(
+            v for v in vals for _ in range(3)
+        )
+
+    w, h = 9, 8
+    base = [(3 * i * i + 7 * (i // w)) % 200 for i in range(w * h)]
+    bright = [v + 40 for v in base]
+    inverted = [199 - v for v in base]
+    media = spark.createDataFrame(
+        [
+            (1, "image", ppm(base, w, h), None),
+            (2, "image", ppm(bright, w, h), None),
+            (3, "image", ppm(inverted, w, h), None),
+            (4, "image", b"not-a-ppm", None),
+        ],
+        multimodal.MEDIA_SCHEMA,
+    )
+    hashes = multimodal.image_dhash(media)
+    got = {r["media_id"]: r["dhash"] for r in hashes.collect()}
+    assert set(got) == {1, 2, 3}          # 4 rejected per-row
+    assert got[1] == got[2]               # shift-invariant
+    assert got[1] != got[3]
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in multimodal.dhash_near_dup_pairs(hashes, max_dist=2).collect()
+    }
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) not in pairs
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        multimodal.dhash_near_dup_pairs(hashes, max_dist=8)
