@@ -3458,6 +3458,42 @@ def image_dhash_near_dup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "image_dedup_clusters",
+    _DHASH_SQL.replace("WITH", "WITH RECURSIVE", 1) + """,
+       ph AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM rowbytes a JOIN rowbytes b
+           ON a.doc_id < b.doc_id AND a.y = b.y
+         GROUP BY 1, 2
+         HAVING CAST(SUM(bit_count(xor(a.byte, b.byte))) AS BIGINT) <= 2),
+       edges AS (
+         SELECT id_a AS node, id_b AS nb FROM ph
+         UNION ALL
+         SELECT id_b AS node, id_a AS nb FROM ph),
+       reach(node, r) AS (
+         SELECT node, node FROM (SELECT DISTINCT node FROM edges) nodes
+         UNION
+         SELECT e.node, reach.r FROM edges e JOIN reach ON reach.node = e.nb)
+       SELECT node AS doc_id, MIN(r) AS cluster_id
+       FROM reach GROUP BY node""",
+)
+def image_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """The complete IMAGE-dedup pipeline: perceptual dHash → banded
+    hamming pairs (≤ 2) → connected components, cluster_id = min
+    member ("keep one per cluster" = filter doc_id == cluster_id) —
+    the modality sibling of near_dup_clusters_lsh, sharing the same
+    clustering kernel. Every planted brightness-shifted re-encode
+    lands in its original's cluster. The oracle recomputes pixels,
+    hashes, pairs, AND the reachability fixpoint (recursive CTE) —
+    the whole pipeline cross-checked, not just the last stage."""
+    hashes = multimodal.image_dhash(_dhash_media(spark, sf))
+    pairs = multimodal.dhash_near_dup_pairs(hashes, max_dist=2).select(
+        "id_a", "id_b"
+    )
+    return dedup.connected_components(pairs)
+
+
+@q(
     "multimodal_ppm_decode_features",
     f"""WITH {_PPM_PIXELS_SQL},
        lum AS (SELECT doc_id, w * h AS n_px,
