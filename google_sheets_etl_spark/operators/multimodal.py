@@ -31,7 +31,7 @@ from collections.abc import Iterator
 from dataclasses import dataclass
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType, BinaryType, DoubleType, IntegerType, LongType,
@@ -642,4 +642,63 @@ def dhash_near_dup_pairs(
         cand.withColumn("hamming", ham.cast("long"))
         .filter(F.col("hamming") <= max_dist)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def audio_dhash(
+    media: DataFrame,
+    window: int = 256,
+    n_windows: int = 16,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Perceptual ENVELOPE hash for audio — dHash's idea applied to
+    the RMS energy envelope: decode PCM (:func:`wav_window_energy`'s
+    strict RIFF walk), take the first ``n_windows + 1`` window RMS
+    values, one bit per adjacent comparison (``rms[i] > rms[i+1]``).
+    Gradient bits make the signature GAIN-invariant — a re-encode at
+    different volume scales every RMS by the same factor and flips no
+    comparison (exactly so for power-of-two gains: integer square
+    sums and IEEE sqrt scale exactly) — the audio analogue of dHash's
+    brightness invariance. Payloads without a full
+    ``n_windows + 1``-window envelope yield no row (not enough
+    evidence — the sub-2-token rule of the quality gate).
+
+    RMS values are bit-exact cross-engine (the
+    ``multimodal_wav_energy`` contract: power-of-two window, exact
+    int64 square sums, IEEE sqrt), so the comparisons — and the hex
+    signature — reproduce exactly in SQL. Returns
+    ``(id, adhash)`` (lowercase hex, ``n_windows`` bits). Shuffle:
+    one bounded exchange on the media id for the envelope window."""
+    if not (1 <= n_windows <= 60):
+        raise ValueError("n_windows must be in [1, 60]")
+    e = wav_window_energy(media, window=window).filter(
+        F.col("win_idx") <= n_windows
+    )
+    w = Window.partitionBy(id_col).orderBy("win_idx")
+    bits = (
+        e.withColumn("_nxt", F.lead("rms").over(w))
+        .filter(F.col("win_idx") < n_windows)
+        .filter(F.col("_nxt").isNotNull())
+        .withColumn(
+            "_bit",
+            F.when(
+                F.col("rms") > F.col("_nxt"),
+                F.expr("shiftleft(1, cast(win_idx as int))"),
+            ).otherwise(F.lit(0)),
+        )
+    )
+    width = (n_windows + 3) // 4
+    return (
+        bits.groupBy(id_col)
+        .agg(
+            F.sum("_bit").alias("_v"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .filter(F.col("_n") == n_windows)  # full envelope only
+        .select(
+            id_col,
+            F.lower(F.lpad(F.hex(F.col("_v")), width, "0")).alias(
+                "adhash"
+            ),
+        )
     )

@@ -3660,6 +3660,130 @@ def multimodal_wav_energy(spark: SparkSession, sf: str) -> DataFrame:
     return multimodal.wav_window_energy(_wav_media(spark, sf), window=256)
 
 
+def _audio_dhash_media(spark: SparkSession, sf: str) -> DataFrame:
+    """WAV payloads for the audio-envelope-hash rows: consecutive doc
+    pairs (2j, 2j+1) carry the SAME sample pattern
+    (``((base+1)·k²) % 16384 − 8192`` — a per-base quadratic chirp,
+    |s| ≤ 8192), the odd
+    partner at exactly DOUBLE amplitude (no int16 clipping:
+    2·8192 ≤ 16384) — the planted ground truth: a louder re-encode
+    whose energy-gradient hash must come out identical (power-of-two
+    gain scales every RMS exactly). 17–19 full 256-sample windows per
+    payload."""
+    d = t(spark, sf, "documents").select("doc_id")
+    base = (F.col("doc_id") / 2).cast("long")
+    gain = F.lit(1) + F.col("doc_id") % 2
+    n = (F.lit(4352) + (base % 3) * 256).cast("long")
+    ascii_hex = lambda s: F.hex(F.encode(F.lit(s), "UTF-8"))  # noqa: E731
+    header_hex = F.concat(
+        ascii_hex("RIFF"), _le_hex(F.lit(36) + n * 2, 4),
+        ascii_hex("WAVEfmt "), _le_hex(F.lit(16), 4),
+        _le_hex(F.lit(1), 2), _le_hex(F.lit(1), 2),
+        _le_hex(F.lit(8000), 4), _le_hex(F.lit(16000), 4),
+        _le_hex(F.lit(2), 2), _le_hex(F.lit(16), 2),
+        ascii_hex("data"), _le_hex(n * 2, 4),
+    )
+    samples_hex = F.concat_ws(
+        "",
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda k: _le_hex(
+                (
+                    ((base + 1) * k * k % 16384 - 8192) * gain
+                    + 65536
+                )
+                % 65536,
+                2,
+            ),
+        ),
+    )
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        F.unhex(F.concat(header_hex, samples_hex)).alias("payload"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+            F.lit(8000).alias("sample_rate"),
+            F.lit("wav").alias("format"),
+        ).alias("meta"),
+    )
+
+
+_AUDIO_DHASH_SQL = """WITH
+  dims AS (SELECT doc_id, doc_id // 2 AS base, 1 + doc_id % 2 AS gain
+           FROM documents),
+  wins AS (SELECT doc_id, base, gain, UNNEST(range(0, 17)) AS w
+           FROM dims),
+  smp AS (SELECT doc_id, base, gain, w, UNNEST(range(0, 256)) AS j
+          FROM wins),
+  vals AS (SELECT doc_id, w,
+                  ((base + 1) * (w * 256 + j) * (w * 256 + j)
+                   % 16384 - 8192) * gain AS s
+           FROM smp),
+  rms AS (SELECT doc_id, w, sqrt(SUM(s * s) / 256.0) AS r
+          FROM vals GROUP BY 1, 2),
+  bits AS (SELECT a.doc_id,
+                  CAST(SUM(CASE WHEN a.r > b.r THEN (1 << a.w)
+                           ELSE 0 END) AS BIGINT) AS v
+           FROM rms a JOIN rms b
+             ON b.doc_id = a.doc_id AND b.w = a.w + 1
+           WHERE a.w < 16 GROUP BY a.doc_id),
+  adh AS (SELECT doc_id, printf('%04x', v) AS adhash FROM bits)"""
+
+
+@q(
+    "audio_dhash_fingerprints",
+    _AUDIO_DHASH_SQL + """
+       SELECT doc_id AS media_id, adhash FROM adh""",
+)
+def audio_dhash_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio ENVELOPE hash over real decoded PCM
+    (operators/multimodal.py audio_dhash): 16 energy-gradient bits
+    from the first 17 window RMS values — dHash's idea on the energy
+    envelope, GAIN-invariant because every RMS scales by the same
+    factor (exactly, for the fixture's power-of-two gain). The oracle
+    regenerates every sample from the fixture formula and recomputes
+    the envelope, comparisons, and hex packing — container parse,
+    windowing, and bit packing certified against ground truth."""
+    return multimodal.audio_dhash(
+        _audio_dhash_media(spark, sf), window=256, n_windows=16
+    )
+
+
+@q(
+    "audio_dhash_near_dup",
+    _AUDIO_DHASH_SQL + """
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.adhash
+       FROM adh a JOIN adh b
+         ON a.adhash = b.adhash AND a.doc_id < b.doc_id""",
+)
+def audio_dhash_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio near-dup pairs by envelope-hash EQUALITY (at 16 bits the
+    signature join is a plain group — no banding needed): every
+    planted double-amplitude re-encode pairs with its original (gain
+    invariance demonstrated on decoded PCM, not asserted), plus
+    whatever envelope collisions the 16-bit space admits —
+    auditable, since the shared hash rides along. One uniform-key
+    self-join; never n²."""
+    hashes = multimodal.audio_dhash(
+        _audio_dhash_media(spark, sf), window=256, n_windows=16
+    )
+    a = hashes.select(
+        F.col("media_id").alias("id_a"), F.col("adhash")
+    )
+    b = hashes.select(
+        F.col("media_id").alias("id_b"),
+        F.col("adhash").alias("_hb"),
+    )
+    return (
+        a.join(b, (F.col("adhash") == F.col("_hb"))
+               & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b", "adhash")
+    )
+
+
 @q(
     "embedding_centroids",
     """SELECT label, x.i - 1 AS pos, ROUND(AVG(x.e), 6) AS centroid_val

@@ -1425,3 +1425,44 @@ def test_image_dhash_brightness_invariance_and_banded_join(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         multimodal.dhash_near_dup_pairs(hashes, max_dist=8)
+
+
+def test_audio_dhash_gain_invariance(spark):
+    """Audio envelope hash: doubling the amplitude of every sample
+    leaves the signature IDENTICAL (power-of-two gain scales each
+    RMS exactly); a reversed envelope hashes differently; payloads
+    without a full envelope yield no row."""
+    from google_sheets_etl_spark.operators import multimodal as mm
+
+    def wav(samples):
+        return _wav_bytes(samples, extra_chunk=False)
+
+    # 5 windows of 4 samples with a rising-then-falling envelope
+    env = [10, 200, 400, 300, 50]
+    base = [a for a in env for _ in range(4)]
+    loud = [2 * s for s in base]
+    # NOT the reverse (this envelope's comparison bits are palindromic
+    # — reversal would collide legitimately); a spike-first shape
+    rev = [a for a in [400, 10, 200, 300, 50] for _ in range(4)]
+    short = base[:8]  # only 2 windows < n_windows+1
+    media = spark.createDataFrame(
+        [
+            (1, "audio", wav(base), None),
+            (2, "audio", wav(loud), None),
+            (3, "audio", wav(rev), None),
+            (4, "audio", wav(short), None),
+        ],
+        mm.MEDIA_SCHEMA,
+    )
+    got = {
+        r["media_id"]: r["adhash"]
+        for r in mm.audio_dhash(media, window=4, n_windows=4).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert got[1] == got[2]      # gain-invariant
+    assert got[1] != got[3]
+    assert len(got[1]) == 1      # 4 bits -> 1 hex char
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        mm.audio_dhash(media, n_windows=0)
