@@ -51,7 +51,13 @@ EXCLUDE = {"near_dup_jaccard_exact", "dedup_clusters_exact",
            # — inherently iterative, ~45 s of per-round fixed
            # overhead, not data-plane throughput); the SAME trainer
            # at k=20 (bpe_learn_merges) IS benchmarked
-           "bpe_learn_merges_k200"}
+           "bpe_learn_merges_k200",
+           # ~26 s each at sf0.1, >90% spent ASSEMBLING 5000 in-plan
+           # WAV payloads from the fixture formula (17+ windows × 256
+           # samples × hex-string concat per doc) — fixture
+           # construction, not data-plane throughput; the PCM decode
+           # path they exercise IS benchmarked (multimodal_wav_energy)
+           "audio_dhash_fingerprints", "audio_dhash_near_dup"}
 
 
 def main() -> None:
