@@ -129,6 +129,61 @@ class PilCodec(MediaCodec):  # pragma: no cover - PIL absent in this container
         return out.getvalue()
 
 
+def _p6_header(payload: bytes, pos: int) -> tuple[int, int, int]:
+    """Tokenize one P6 header starting at byte ``pos`` →
+    (width, height, raster_start). Skips whitespace runs and
+    ``#``-to-newline comments per the spec; exactly one whitespace
+    byte after maxval. The ONE header definition shared by the
+    single-image codec (:meth:`PpmCodec.parse`) and the video
+    container walk (:func:`parse_ppm_frames`) — two tokenizers would
+    drift."""
+    if payload[pos : pos + 2] != b"P6":
+        raise ValueError("not a P6 ppm payload")
+    pos += 2
+    vals: list[int] = []
+    while len(vals) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and payload[pos : pos + 1].isdigit():
+            pos += 1
+        if pos == start:
+            raise ValueError("malformed ppm header")
+        vals.append(int(payload[start:pos]))
+    w, h, maxval = vals
+    if maxval != 255:
+        raise ValueError("only maxval 255 ppm supported")
+    return w, h, pos + 1  # exactly one whitespace byte after maxval
+
+
+def parse_ppm_frames(payload: bytes) -> list[tuple[int, int, bytes]]:
+    """Strict walk of a concatenated-P6 VIDEO container →
+    [(width, height, standalone_p6_frame_bytes), ...] in stream
+    order. Each frame is a complete P6 image (header + raster) placed
+    back to back — the uncompressed interchange shape for frame
+    sequences (the video sibling of the WAV chunk walk). Strictness
+    contract matches :func:`parse_wav_pcm16`: a frame whose raster
+    overruns the remaining payload, trailing garbage that is not a P6
+    header, or an empty container all raise ValueError — per-row
+    rejects upstream, never silent partial decodes."""
+    frames: list[tuple[int, int, bytes]] = []
+    pos, n = 0, len(payload)
+    while pos < n:
+        w, h, start = _p6_header(payload, pos)
+        end = start + w * h * 3
+        if end > n:
+            raise ValueError("truncated video frame raster")
+        frames.append((w, h, bytes(payload[pos:end])))
+        pos = end
+    if not frames:
+        raise ValueError("empty video container")
+    return frames
+
+
 class PpmCodec(MediaCodec):
     """REAL image codec for binary PPM (P6) — pure Python, zero
     libraries, so real pixel arithmetic runs and is oracle-able in
@@ -159,28 +214,8 @@ class PpmCodec(MediaCodec):
     def parse(payload: bytes) -> tuple[int, int, memoryview]:
         """Header → (width, height, raw RGB bytes). Tokenizer skips
         whitespace runs and ``#``-to-newline comments per the spec."""
-        if payload[:2] != b"P6":
-            raise ValueError("not a P6 ppm payload")
-        pos = 2
-        vals: list[int] = []
-        while len(vals) < 3:
-            while pos < len(payload) and payload[pos : pos + 1].isspace():
-                pos += 1
-            if payload[pos : pos + 1] == b"#":
-                while pos < len(payload) and payload[pos] != 0x0A:
-                    pos += 1
-                continue
-            start = pos
-            while pos < len(payload) and payload[pos : pos + 1].isdigit():
-                pos += 1
-            if pos == start:
-                raise ValueError("malformed ppm header")
-            vals.append(int(payload[start:pos]))
-        w, h, maxval = vals
-        if maxval != 255:
-            raise ValueError("only maxval 255 ppm supported")
-        pos += 1  # exactly one whitespace byte after maxval, per spec
-        raster = memoryview(payload)[pos : pos + w * h * 3]
+        w, h, start = _p6_header(payload, 0)
+        raster = memoryview(payload)[start : start + w * h * 3]
         if len(raster) != w * h * 3:
             raise ValueError("truncated ppm raster")
         return w, h, raster
@@ -702,3 +737,160 @@ def audio_dhash(
             ),
         )
     )
+
+
+def video_frame_extract(
+    media: DataFrame, every_n: int = 1, id_col: str = "media_id"
+) -> DataFrame:
+    """REAL video frame extraction: walk each concatenated-P6
+    container (:func:`parse_ppm_frames`) and emit every ``every_n``-th
+    frame as a STANDALONE image row
+    ``(id, frame_idx, width, height, payload)`` — the payload is a
+    complete P6 image, so every image operator in this module
+    (:func:`image_features`, :func:`image_dhash`,
+    :func:`resize_images`) composes over frames unchanged. That
+    composition IS the video story: video ops = container walk +
+    image ops per frame; nothing image-shaped is reimplemented.
+
+    ``frame_idx`` is the index in the ORIGINAL stream (0, every_n,
+    2·every_n, ...), so downstream temporal joins keep real offsets.
+    Undecodable containers are per-row rejects (the WAV/dHash kernel
+    contract). Narrow Arrow kernel — scales with input splits, no
+    shuffle; output rows fan out ≤ frames-per-video per input row."""
+    import pandas as pd
+    from pyspark.sql.types import StructField, StructType
+
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
+    id_field = media.schema[id_col]
+    out_schema = StructType([
+        StructField(id_col, id_field.dataType),
+        StructField("frame_idx", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("payload", BinaryType()),
+    ])
+
+    def kernel(batches):
+        for pdf in batches:
+            ids, fidx, ws, hs, payloads = [], [], [], [], []
+            for mid, payload in zip(pdf[id_col], pdf["payload"]):
+                if payload is None:
+                    continue
+                try:
+                    frames = parse_ppm_frames(bytes(payload))
+                except ValueError:
+                    continue  # undecodable → per-row reject
+                for i in range(0, len(frames), every_n):
+                    w, h, fb = frames[i]
+                    ids.append(mid)
+                    fidx.append(i)
+                    ws.append(w)
+                    hs.append(h)
+                    payloads.append(fb)
+            yield pd.DataFrame({
+                id_col: ids, "frame_idx": fidx, "width": ws,
+                "height": hs, "payload": payloads,
+            })
+
+    return media.select(id_col, "payload").mapInPandas(kernel, out_schema)
+
+
+def image_luminance_sum(
+    frames: DataFrame, id_cols: list[str] | None = None
+) -> DataFrame:
+    """Exact-integer luminance mass per P6 payload:
+    ``lum_sum = Σ_pixels (r + g + b) // 3`` as int64 — the
+    summation-order-immune decode-certification stat (integer adds
+    commute exactly; a float mean would leak engine-ordering ulps).
+    Keys by ``id_cols`` (default ``["media_id"]``) so it serves both
+    whole images and (video_id, frame_idx) frame rows. Narrow
+    vectorized kernel; undecodable payloads are per-row rejects."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import StructField, StructType
+
+    ids = id_cols or ["media_id"]
+    out_schema = StructType(
+        [StructField(c, frames.schema[c].dataType) for c in ids]
+        + [StructField("lum_sum", LongType())]
+    )
+    codec = PpmCodec()
+
+    def kernel(batches):
+        for pdf in batches:
+            keep, sums = [], []
+            for j, payload in enumerate(pdf["payload"]):
+                if payload is None:
+                    continue
+                try:
+                    _, _, raster = codec.parse(bytes(payload))
+                except ValueError:
+                    continue
+                arr = np.frombuffer(raster, dtype=np.uint8).reshape(-1, 3)
+                sums.append(int((arr.astype(np.int64).sum(axis=1) // 3).sum()))
+                keep.append(j)
+            out = pdf.iloc[keep][ids].reset_index(drop=True)
+            out["lum_sum"] = pd.Series(sums, dtype="int64")
+            yield out
+
+    return frames.select(*ids, "payload").mapInPandas(kernel, out_schema)
+
+
+def video_frame_deltas(
+    media: DataFrame, id_col: str = "media_id"
+) -> DataFrame:
+    """Temporal difference per consecutive frame pair — the
+    scene-cut / motion primitive: for frames f and f+1 (same dims by
+    container construction; dimension changes raise),
+    ``delta_sum = Σ_pixels |lum_f - lum_{f+1}|`` exact int64, plus
+    ``n_px`` so callers threshold on MEAN abs change with integer
+    arithmetic (``delta_sum > tau * n_px``). One decode per video,
+    all deltas emitted from the same kernel invocation — narrow, no
+    shuffle, nothing re-parsed per pair. Single-frame videos emit no
+    row (no pair — not a zero)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import StructField, StructType
+
+    out_schema = StructType([
+        StructField(id_col, media.schema[id_col].dataType),
+        StructField("frame_idx", LongType()),
+        StructField("n_px", LongType()),
+        StructField("delta_sum", LongType()),
+    ])
+
+    def lum_of(frame_bytes: bytes):
+        _, _, raster = PpmCodec.parse(frame_bytes)
+        arr = np.frombuffer(raster, dtype=np.uint8).reshape(-1, 3)
+        return arr.astype(np.int64).sum(axis=1) // 3
+
+    def kernel(batches):
+        for pdf in batches:
+            ids, fidx, npx, deltas = [], [], [], []
+            for mid, payload in zip(pdf[id_col], pdf["payload"]):
+                if payload is None:
+                    continue
+                try:
+                    frames = parse_ppm_frames(bytes(payload))
+                except ValueError:
+                    continue
+                prev = lum_of(frames[0][2])
+                for i in range(1, len(frames)):
+                    if frames[i][:2] != frames[i - 1][:2]:
+                        raise ValueError(
+                            "frame dimensions changed mid-video"
+                        )
+                    cur = lum_of(frames[i][2])
+                    ids.append(mid)
+                    fidx.append(i - 1)
+                    npx.append(len(prev))
+                    deltas.append(int(np.abs(prev - cur).sum()))
+                    prev = cur
+            yield pd.DataFrame({
+                id_col: ids, "frame_idx": fidx,
+                "n_px": pd.Series(npx, dtype="int64"),
+                "delta_sum": pd.Series(deltas, dtype="int64"),
+            })
+
+    return media.select(id_col, "payload").mapInPandas(kernel, out_schema)

@@ -3784,6 +3784,272 @@ def audio_dhash_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _video_media(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL video payloads: concatenated-P6 frame containers (the
+    uncompressed frame-sequence shape operators/multimodal.py
+    parse_ppm_frames walks), one per fifth document row — 1/5 of the
+    corpus keeps the in-plan container assembly a fixture cost, not a
+    bench line. Per video: ``nf = 2 + doc_id % 3`` frames at fixed
+    w×h; raster byte k of frame f is the formula
+    ``(doc_id·53 + f·17 + k·7) % 256``, the LAST frame additionally
+    +128 (mod 256) — a planted SCENE CUT. Oracles regenerate pixels
+    from the formula (the PPM-fixture discipline): container walk and
+    frame decode certify against ground truth, never the codec
+    against itself."""
+    d = t(spark, sf, "documents").select("doc_id").filter(
+        F.col("doc_id") % 5 == 0
+    )
+    nf = (F.lit(2) + F.col("doc_id") % 3).cast("long")
+    w = (F.lit(4) + F.col("doc_id") % 3).cast("int")
+    h = (F.lit(3) + F.col("doc_id") % 2).cast("int")
+    header_hex = F.hex(F.encode(F.concat(
+        F.lit("P6\n"), w.cast("string"), F.lit(" "), h.cast("string"),
+        F.lit("\n255\n"),
+    ), "UTF-8"))
+    frames_hex = F.concat_ws(
+        "",
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), nf - 1),
+            lambda f: F.concat(
+                header_hex,
+                F.concat_ws("", F.transform(
+                    F.sequence(F.lit(0).cast("long"),
+                               (w * h * 3).cast("long") - 1),
+                    lambda k: F.lpad(F.hex(
+                        (F.col("doc_id") * 53 + f * 17 + k * 7
+                         + F.when(f == nf - 1, F.lit(128)).otherwise(0))
+                        % 256
+                    ), 2, "0"),
+                )),
+            ),
+        ),
+    )
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.unhex(frames_hex).alias("payload"),
+        F.struct(
+            w.alias("width"), h.alias("height"),
+            (nf * 1000).cast("int").alias("duration_ms"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit("ppmv").alias("format"),
+        ).alias("meta"),
+    )
+
+
+# the oracle's regeneration of the same frame stream: per-video dims,
+# frame index, per-pixel channel bytes (last frame +128 = the cut)
+_VIDEO_LUM_SQL = """
+  dims AS (SELECT doc_id, 2 + doc_id % 3 AS nf, 4 + doc_id % 3 AS w,
+                  3 + doc_id % 2 AS h
+           FROM documents WHERE doc_id % 5 = 0),
+  fr AS (SELECT doc_id, nf, w, h, UNNEST(range(0, nf)) AS f FROM dims),
+  px AS (SELECT doc_id, nf, w, h, f, UNNEST(range(0, w * h)) AS p
+         FROM fr),
+  lum AS (SELECT doc_id, f, w, h, p,
+                 ((doc_id*53 + f*17 + (3*p)*7
+                   + CASE WHEN f = nf - 1 THEN 128 ELSE 0 END) % 256
+                  + (doc_id*53 + f*17 + (3*p+1)*7
+                     + CASE WHEN f = nf - 1 THEN 128 ELSE 0 END) % 256
+                  + (doc_id*53 + f*17 + (3*p+2)*7
+                     + CASE WHEN f = nf - 1 THEN 128 ELSE 0 END) % 256)
+                 // 3 AS l
+          FROM px)"""
+
+
+@q(
+    "video_frame_extract_stats",
+    f"""WITH {_VIDEO_LUM_SQL}
+       SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_idx,
+              CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+              CAST(SUM(l) AS BIGINT) AS lum_sum
+       FROM lum GROUP BY 1, 2, 3, 4""",
+)
+def video_frame_extract_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL video frame extraction end-to-end
+    (operators/multimodal.py video_frame_extract): each
+    concatenated-P6 container is strictly walked (the WAV chunk-walk
+    contract — truncated frames are per-row rejects) and every frame
+    emitted as a STANDALONE image row, then the exact-integer
+    luminance mass per frame (image_luminance_sum — summation-order
+    immune int64) certifies each decoded raster against the oracle's
+    formula-regenerated pixels. Video ops = container walk + the
+    already-certified image ops per frame; both kernels narrow, no
+    shuffle."""
+    frames = multimodal.video_frame_extract(_video_media(spark, sf))
+    return multimodal.image_luminance_sum(
+        frames, ["media_id", "frame_idx", "width", "height"]
+    )
+
+
+@q(
+    "video_scene_cuts",
+    f"""WITH {_VIDEO_LUM_SQL},
+       d AS (SELECT a.doc_id, a.f,
+                    CAST(COUNT(*) AS BIGINT) AS n_px,
+                    CAST(SUM(ABS(a.l - b.l)) AS BIGINT) AS delta_sum
+             FROM lum a JOIN lum b
+               ON b.doc_id = a.doc_id AND b.p = a.p AND b.f = a.f + 1
+             GROUP BY 1, 2)
+       SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_idx,
+              n_px, delta_sum, delta_sum > 48 * n_px AS is_cut
+       FROM d""",
+)
+def video_scene_cuts(spark: SparkSession, sf: str) -> DataFrame:
+    """Scene-cut detection (operators/multimodal.py
+    video_frame_deltas): per consecutive frame pair the exact-int64
+    sum of absolute luminance differences, thresholded on MEAN abs
+    change > 48 in integer arithmetic (``delta_sum > 48·n_px`` — no
+    float division to drift cross-engine). The fixture plants one
+    cut per video (last frame +128); ordinary frame steps move bytes
+    by +17. One decode per video, all deltas from the same kernel
+    invocation — narrow, no shuffle; delta_sum rides along so every
+    verdict is auditable."""
+    deltas = multimodal.video_frame_deltas(_video_media(spark, sf))
+    return deltas.select(
+        "media_id", "frame_idx", "n_px", "delta_sum",
+        (F.col("delta_sum") > 48 * F.col("n_px")).alias("is_cut"),
+    )
+
+
+def _video_dup_media(spark: SparkSession, sf: str) -> DataFrame:
+    """Planted near-dup videos for the perceptual-signature row: doc
+    ids ``{5t, 5t+1}`` form pairs — both render the SAME nonlinear
+    per-frame pattern (``(base·89 + f·23 + k²·13 + base·k·7) % 200``,
+    base = doc_id // 5; the base·k cross term makes the GRADIENT
+    base-dependent, not just the offset — a plain additive base would
+    leave most luminance orderings intact and collide signatures
+    across bases) at the same dims, the odd partner uniformly
+    +40 brighter with NO mod-256 wrap (≤ 199 + 40 ≤ 239): a
+    brightness-shifted RE-ENCODE whose per-frame gradient hashes must
+    come out identical. Different bases give unrelated patterns."""
+    d = t(spark, sf, "documents").select("doc_id").filter(
+        F.col("doc_id") % 5 < 2
+    )
+    base = (F.col("doc_id") - F.col("doc_id") % 5) / 5
+    base = base.cast("long")
+    shift = (F.col("doc_id") % 5) * 40
+    nf = (F.lit(2) + base % 2).cast("long")
+    w = (F.lit(8) + base % 3).cast("int")
+    h = (F.lit(6) + base % 2).cast("int")
+    header_hex = F.hex(F.encode(F.concat(
+        F.lit("P6\n"), w.cast("string"), F.lit(" "), h.cast("string"),
+        F.lit("\n255\n"),
+    ), "UTF-8"))
+    frames_hex = F.concat_ws(
+        "",
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), nf - 1),
+            lambda f: F.concat(
+                header_hex,
+                F.concat_ws("", F.transform(
+                    F.sequence(F.lit(0).cast("long"),
+                               (w * h * 3).cast("long") - 1),
+                    lambda k: F.lpad(F.hex(
+                        (base * 89 + f * 23 + k * k * 13 + base * k * 7)
+                        % 200 + shift
+                    ), 2, "0"),
+                )),
+            ),
+        ),
+    )
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.unhex(frames_hex).alias("payload"),
+        F.struct(
+            w.alias("width"), h.alias("height"),
+            (nf * 1000).cast("int").alias("duration_ms"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit("ppmv").alias("format"),
+        ).alias("meta"),
+    )
+
+
+@q(
+    "video_signature_near_dup",
+    """WITH dims AS (
+         SELECT doc_id, doc_id // 5 AS base, (doc_id % 5) * 40 AS shift,
+                2 + (doc_id // 5) % 2 AS nf,
+                8 + (doc_id // 5) % 3 AS w, 6 + (doc_id // 5) % 2 AS h
+         FROM documents WHERE doc_id % 5 < 2),
+       fr AS (SELECT doc_id, base, shift, w, h, UNNEST(range(0, nf)) AS f
+              FROM dims),
+       g AS (SELECT doc_id, base, shift, w, h, f, y, x,
+                    (y * h // 8) * w + (x * w // 9) AS sp
+             FROM fr, range(0, 8) ty(y), range(0, 9) tx(x)),
+       lm AS (SELECT doc_id, f, y, x,
+                     (((base*89 + f*23 + (3*sp)*(3*sp)*13
+                        + base*(3*sp)*7) % 200 + shift)
+                      + ((base*89 + f*23 + (3*sp+1)*(3*sp+1)*13
+                          + base*(3*sp+1)*7) % 200 + shift)
+                      + ((base*89 + f*23 + (3*sp+2)*(3*sp+2)*13
+                          + base*(3*sp+2)*7) % 200 + shift)) // 3 AS l
+              FROM g),
+       rowbytes AS (
+         SELECT a.doc_id, a.f, a.y,
+                CAST(SUM(CASE WHEN a.l > b.l THEN (1 << a.x) ELSE 0 END)
+                     AS BIGINT) AS byte
+         FROM lm a JOIN lm b
+           ON b.doc_id = a.doc_id AND b.f = a.f AND b.y = a.y
+          AND b.x = a.x + 1
+         WHERE a.x < 8 GROUP BY 1, 2, 3),
+       fh AS (SELECT doc_id, f,
+                     string_agg(printf('%02x', byte), '' ORDER BY y) AS dh
+              FROM rowbytes GROUP BY 1, 2),
+       vh AS (SELECT doc_id, string_agg(dh, '' ORDER BY f) AS vhash
+              FROM fh GROUP BY 1)
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.vhash
+       FROM vh a JOIN vh b
+         ON a.vhash = b.vhash AND a.doc_id < b.doc_id""",
+)
+def video_signature_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """VIDEO near-dup pairs by perceptual signature — the modality
+    composition made literal: extract frames
+    (video_frame_extract), dHash each frame through the SAME
+    image_dhash kernel the image rows certify, concatenate per-video
+    frame hashes in frame order, and pair videos on signature
+    EQUALITY (one uniform-key self-join — at 64 bits/frame,
+    collisions are the auditable rarity; never n²). Every planted
+    brightness-shifted re-encode pairs with its original — dHash's
+    gradient invariance carries to video untouched. The oracle
+    regenerates pixels, per-frame hashes, and signatures from the
+    fixture formula. Frame identity rides through the id-generic
+    image kernel as the string key ``media_id:frame_idx`` (zero-padded
+    so no packing arithmetic can overflow) and unpacks exactly."""
+    frames = multimodal.video_frame_extract(_video_dup_media(spark, sf))
+    packed = frames.select(
+        F.concat_ws(
+            ":", F.col("media_id").cast("string"),
+            F.lpad(F.col("frame_idx").cast("string"), 6, "0"),
+        ).alias("media_id"),
+        "payload",
+    )
+    hashes = multimodal.image_dhash(packed)
+    sig = (
+        hashes.select(
+            F.split("media_id", ":").getItem(0).cast("long").alias("vid"),
+            F.split("media_id", ":").getItem(1).alias("fidx"),
+            "dhash",
+        )
+        .groupBy("vid")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("fidx", "dhash"))),
+                    lambda s: s["dhash"],
+                ),
+            ).alias("vhash"),
+        )
+    )
+    a = sig.select(F.col("vid").alias("id_a"), "vhash")
+    b = sig.select(F.col("vid").alias("id_b"), F.col("vhash").alias("_hb"))
+    return a.join(
+        b, (F.col("vhash") == F.col("_hb")) & (F.col("id_a") < F.col("id_b"))
+    ).select("id_a", "id_b", "vhash")
+
+
 @q(
     "embedding_centroids",
     """SELECT label, x.i - 1 AS pos, ROUND(AVG(x.e), 6) AS centroid_val

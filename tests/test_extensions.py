@@ -1466,3 +1466,118 @@ def test_audio_dhash_gain_invariance(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         mm.audio_dhash(media, n_windows=0)
+
+
+def test_parse_ppm_frames_walk_and_rejects():
+    """Video container walk contracts: frames parse in stream order
+    with correct dims and standalone-P6 payloads; a truncated final
+    raster, trailing non-P6 garbage, and an empty container all
+    raise (per-row-reject strictness, the WAV chunk-walk contract)."""
+    import pytest as _pt
+
+    from google_sheets_etl_spark.operators.multimodal import (
+        PpmCodec, parse_ppm_frames,
+    )
+
+    def frame(w, h, fill):
+        return (b"P6\n%d %d\n255\n" % (w, h)) + bytes(
+            [fill] * (w * h * 3)
+        )
+
+    video = frame(2, 2, 10) + frame(2, 2, 20) + frame(3, 1, 30)
+    frames = parse_ppm_frames(video)
+    assert [(w, h) for w, h, _ in frames] == [(2, 2), (2, 2), (3, 1)]
+    # each emitted frame is a complete standalone P6 image
+    for (w, h, fb), fill in zip(frames, (10, 20, 30)):
+        pw, ph, raster = PpmCodec.parse(fb)
+        assert (pw, ph) == (w, h)
+        assert bytes(raster) == bytes([fill] * (w * h * 3))
+
+    with _pt.raises(ValueError):
+        parse_ppm_frames(video[:-1])          # truncated last raster
+    with _pt.raises(ValueError):
+        parse_ppm_frames(video + b"JUNK")     # trailing garbage
+    with _pt.raises(ValueError):
+        parse_ppm_frames(b"")                 # empty container
+
+
+def test_video_frame_extract_composes_with_image_ops(spark):
+    """video_frame_extract emits every_n-sampled frames with ORIGINAL
+    stream indices; extracted frames flow through image_dhash
+    unchanged (the composition that IS the video story); undecodable
+    containers are per-row rejects; luminance sums are exact."""
+    import pytest as _pt
+
+    from google_sheets_etl_spark.operators import multimodal as mm
+
+    def frame(w, h, fill):
+        return (b"P6\n%d %d\n255\n" % (w, h)) + bytes(
+            [fill] * (w * h * 3)
+        )
+
+    video = b"".join(frame(2, 2, v) for v in (10, 20, 30, 40, 50))
+    media = spark.createDataFrame(
+        [
+            (1, "video", video, None),
+            (2, "video", b"not-a-container", None),
+        ],
+        mm.MEDIA_SCHEMA,
+    )
+    out = mm.video_frame_extract(media, every_n=2).collect()
+    assert {r["media_id"] for r in out} == {1}   # 2 rejected per-row
+    assert sorted(r["frame_idx"] for r in out) == [0, 2, 4]
+    assert all((r["width"], r["height"]) == (2, 2) for r in out)
+
+    frames = mm.video_frame_extract(media)
+    assert len(frames.collect()) == 5
+    # extracted frames are first-class image rows: dHash runs on them
+    hashed = mm.image_dhash(
+        frames.select(F.col("frame_idx").alias("media_id"), "payload")
+    ).collect()
+    assert len(hashed) == 5
+
+    sums = {
+        r["frame_idx"]: r["lum_sum"]
+        for r in mm.image_luminance_sum(
+            frames, ["media_id", "frame_idx"]
+        ).collect()
+    }
+    # uniform fill v -> lum v per pixel, 4 pixels
+    assert sums == {i: 4 * v for i, v in enumerate((10, 20, 30, 40, 50))}
+
+    with _pt.raises(ValueError):
+        mm.video_frame_extract(media, every_n=0)
+
+
+def test_video_frame_deltas_exact_and_dimension_guard(spark):
+    """Frame deltas: |Δlum| sums are exact per consecutive pair,
+    single-frame videos emit no row, and a mid-video dimension change
+    raises (containers are fixed-dims by contract)."""
+    import pytest as _pt
+
+    from google_sheets_etl_spark.operators import multimodal as mm
+
+    def frame(w, h, fill):
+        return (b"P6\n%d %d\n255\n" % (w, h)) + bytes(
+            [fill] * (w * h * 3)
+        )
+
+    good = b"".join(frame(2, 3, v) for v in (100, 130, 20))
+    single = frame(2, 3, 7)
+    media = spark.createDataFrame(
+        [(1, "video", good, None), (2, "video", single, None)],
+        mm.MEDIA_SCHEMA,
+    )
+    rows = {
+        (r["media_id"], r["frame_idx"]): (r["n_px"], r["delta_sum"])
+        for r in mm.video_frame_deltas(media).collect()
+    }
+    # 6 pixels; |100-130| = 30, |130-20| = 110 per pixel
+    assert rows == {(1, 0): (6, 180), (1, 1): (6, 660)}
+
+    bad = frame(2, 2, 5) + frame(3, 2, 5)
+    media_bad = spark.createDataFrame(
+        [(9, "video", bad, None)], mm.MEDIA_SCHEMA
+    )
+    with _pt.raises(Exception, match="dimensions changed"):
+        mm.video_frame_deltas(media_bad).collect()
