@@ -1119,6 +1119,66 @@ def window_running_revenue(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "matview_incremental_revenue",
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+              ROUND(SUM(l_quantity), 2) AS sum_qty,
+              ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+              epoch_us(MIN(l_shipdate)) AS min_ship_us,
+              epoch_us(MAX(l_shipdate)) AS max_ship_us,
+              ROUND(SUM(l_quantity) / COUNT(*), 6) AS avg_qty
+       FROM lineitem GROUP BY 1, 2""",
+)
+def matview_incremental_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental materialized-aggregate maintenance
+    (plans/matview.py): the standing rollup is kept in MERGEABLE form
+    (count/sum/min/max), each new load is summarized down to keyspace
+    scale, and summaries merge cell-wise — history is never rescanned.
+    Here three disjoint 'loads' (orderkey mod-4 slices 0+2 as the
+    standing table, 1 and 3 as two later deltas) are summarized
+    independently and three-way merged; the oracle aggregates all raw
+    rows in ONE pass — certifying the merge algebra (count cells ADD,
+    min/max survive reordering) and the read-time avg derivation
+    (avg = sum/n, never stored). Per load the cost is one delta scan
+    + a keyspace-sized re-aggregation; at 100 TB the summaries are
+    what lands per load (idempotent overwrite keyed by load id — the
+    streaming-CMS discipline) and the standing table is their fold."""
+    from .plans import matview
+
+    li = t(spark, sf, "lineitem")
+    keys = ["l_returnflag", "l_linestatus"]
+    ms = {
+        "n": matview.Measure("count"),
+        "sum_qty": matview.Measure("sum", "l_quantity"),
+        "sum_base_price": matview.Measure("sum", "l_extendedprice"),
+        "min_ship": matview.Measure("min", "l_shipdate"),
+        "max_ship": matview.Measure("max", "l_shipdate"),
+    }
+    loads = [
+        matview.summarize(
+            li.filter(F.col("l_orderkey") % 4 == m), keys, ms
+        )
+        for m in (0, 1, 3)
+    ]
+    standing = matview.summarize(
+        li.filter(F.col("l_orderkey") % 4 == 2), keys, ms
+    )
+    merged = matview.merge([standing, *loads], keys, ms)
+    return merged.select(
+        *keys,
+        "n",
+        F.round("sum_qty", 2).alias("sum_qty"),
+        F.round("sum_base_price", 2).alias("sum_base_price"),
+        # l_shipdate may arrive NTZ: wall-clock == UTC instant under
+        # the pinned UTC session, so the cast is instant-preserving
+        F.unix_micros(F.col("min_ship").cast("timestamp"))
+        .alias("min_ship_us"),
+        F.unix_micros(F.col("max_ship").cast("timestamp"))
+        .alias("max_ship_us"),
+        F.round(F.col("sum_qty") / F.col("n"), 6).alias("avg_qty"),
+    )
+
+
+@q(
     "rollup_order_revenue",
     """SELECT coalesce(o_orderstatus, 'ALL') AS status,
               coalesce(o_orderpriority, 'ALL') AS priority,

@@ -454,3 +454,60 @@ def test_pq_encode_narrow_and_adc_broadcast(spark, sf_dir):
     assert "BroadcastExchange" in adc_plan
     assert "SortMergeJoin" not in adc_plan
     assert "CartesianProduct" not in adc_plan
+
+
+def test_matview_merge_equals_direct_aggregate_any_order(spark):
+    """Mergeable-summary contract: per-load summaries merged in ANY
+    order and grouping equal one direct aggregation over all raw rows
+    (count cells add, sums add, min/max survive reordering)."""
+    from google_sheets_etl_spark.plans import matview
+
+    rows = spark.createDataFrame(
+        [(k % 3, float(k), k % 7) for k in range(200)],
+        "g int, v double, w int",
+    )
+    ms = {
+        "n": matview.Measure("count"),
+        "sum_v": matview.Measure("sum", "v"),
+        "min_w": matview.Measure("min", "w"),
+        "max_w": matview.Measure("max", "w"),
+    }
+    direct = {
+        r["g"]: (r["n"], r["sum_v"], r["min_w"], r["max_w"])
+        for r in matview.summarize(rows, ["g"], ms).collect()
+    }
+    loads = [
+        matview.summarize(rows.filter(F.col("v") % 4 == m), ["g"], ms)
+        for m in range(4)
+    ]
+    for order in ([0, 1, 2, 3], [3, 1, 0, 2]):
+        merged = matview.merge([loads[i] for i in order], ["g"], ms)
+        got = {
+            r["g"]: (r["n"], r["sum_v"], r["min_w"], r["max_w"])
+            for r in merged.collect()
+        }
+        assert got == direct
+    # nested fold (standing + one delta at a time) — associativity
+    standing = loads[0]
+    for d in loads[1:]:
+        standing = matview.merge([standing, d], ["g"], ms)
+    got = {
+        r["g"]: (r["n"], r["sum_v"], r["min_w"], r["max_w"])
+        for r in standing.collect()
+    }
+    assert got == direct
+
+
+def test_matview_measure_validation(spark):
+    """Measure contract: unmergeable kinds and malformed specs raise;
+    merging nothing raises."""
+    from google_sheets_etl_spark.plans import matview
+
+    with pytest.raises(ValueError, match="unmergeable"):
+        matview.Measure("avg", "v")
+    with pytest.raises(ValueError, match="count takes no"):
+        matview.Measure("count", "v")
+    with pytest.raises(ValueError, match="count takes no"):
+        matview.Measure("sum")
+    with pytest.raises(ValueError, match="nothing to merge"):
+        matview.merge([], ["g"], {})
