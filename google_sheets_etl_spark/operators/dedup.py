@@ -624,3 +624,83 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def edit_distance_near_dup(
+    rows: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "title",
+    max_dist: int = 1,
+) -> DataFrame:
+    """Fuzzy-string near-dup pairs at edit distance ≤ ``max_dist`` via
+    DELETION-NEIGHBORHOOD signatures (FastSS, Bocek et al. 2007
+    "Fast Similarity Search in Large Dictionaries", implemented from
+    the public algorithm statement): each string emits itself plus
+    every single-character-deletion variant; two strings are within
+    edit distance 1 IFF their neighborhoods intersect (substitution →
+    deleting the differing position from both yields the same string;
+    insert/delete → one string IS the other with a char deleted;
+    equality → the string itself is shared). The signature-equality
+    self-join is therefore recall 1 by construction, and the exact
+    JVM ``levenshtein`` verify on the candidates keeps precision
+    exact: the output EQUALS the all-pairs edit-distance relation
+    while the join is candidate-bounded, never n².
+
+    Returns ``(id_a, id_b, dist)`` with id_a < id_b, dist ≤ max_dist.
+    Only ``max_dist`` ∈ {0, 1} is supported: depth-d deletion
+    neighborhoods grow as len^d (FastSS's own design point is small
+    d over short strings — titles, names, codes); larger distances
+    belong to the n-gram/LSH family (:func:`near_dup_pairs`).
+
+    Scale shape: everything JVM-side (transform/explode/substr —
+    no Python in the plan). Signature rows fan out at (len+1) per
+    string; the join key is uniform (short variant strings), the
+    candidate set is pigeonhole-bounded, and dropDuplicates before
+    the verify keeps levenshtein calls to one per candidate pair.
+    """
+    if max_dist not in (0, 1):
+        raise ValueError(
+            "max_dist must be 0 or 1: deeper deletion neighborhoods "
+            "grow as len^d — use the n-gram/LSH near-dup family instead"
+        )
+    txt = F.col(text_col)
+    if max_dist == 0:
+        variants = F.array(txt)
+    else:
+        variants = F.concat(
+            F.array(txt),
+            F.transform(
+                F.sequence(F.lit(1), F.length(txt)),
+                lambda i: F.concat(
+                    txt.substr(F.lit(1), i - 1),
+                    txt.substr(i + 1, F.length(txt)),
+                ),
+            ),
+        )
+    sigs = rows.select(
+        F.col(id_col).alias("_id"),
+        txt.alias("_t"),
+        F.explode(F.array_distinct(variants)).alias("_sig"),
+    )
+    cand = (
+        sigs.alias("a")
+        .join(
+            sigs.alias("b"),
+            (F.col("a._sig") == F.col("b._sig"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._t").alias("_ta"),
+            F.col("b._t").alias("_tb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn(
+            "dist", F.levenshtein("_ta", "_tb").cast("long")
+        )
+        .filter(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "dist")
+    )

@@ -2288,6 +2288,65 @@ def simhash64(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.simhash64(t(spark, sf, "documents"))
 
 
+def _typo_titles(spark: SparkSession, sf: str) -> DataFrame:
+    """Planted-typo short strings for the fuzzy-match row: doc pairs
+    (2t, 2t+1) — the even partner is a 12-char formula title (char j
+    = ``chr(97 + ((base·7) % 97 + j²·3 + base·j) % 26)``, base =
+    doc_id // 2; the base·j cross term keeps titles across bases from
+    colliding), the odd partner is the SAME title with ONE character
+    deleted at position ``base % 12`` — a planted single-edit typo.
+    The oracle regenerates every title from the formula and runs
+    all-pairs levenshtein — candidate generation certified against
+    the full relation, not against itself."""
+    d = t(spark, sf, "documents").select("doc_id")
+    base = ((F.col("doc_id") - F.col("doc_id") % 2) / 2).cast("long")
+    is_odd = F.col("doc_id") % 2 == 1
+    js = F.sequence(F.lit(0).cast("long"), F.lit(11).cast("long"))
+    kept = F.filter(js, lambda j: ~is_odd | (j != base % 12))
+    title = F.concat_ws(
+        "",
+        F.transform(
+            kept,
+            lambda j: F.char(
+                F.lit(97) + ((base * 7) % 97 + j * j * 3 + base * j) % 26
+            ),
+        ),
+    )
+    return d.select("doc_id", title.alias("title"))
+
+
+@q(
+    "fuzzy_title_near_dup",
+    """WITH titles AS (
+         SELECT doc_id,
+                string_agg(
+                  chr(CAST(97 + ((doc_id // 2) * 7 % 97 + j*j*3
+                                 + (doc_id // 2) * j) % 26 AS INT)),
+                  '' ORDER BY j) AS title
+         FROM documents, range(0, 12) t(j)
+         WHERE doc_id % 2 = 0 OR j <> (doc_id // 2) % 12
+         GROUP BY doc_id)
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              CAST(levenshtein(a.title, b.title) AS BIGINT) AS dist
+       FROM titles a JOIN titles b ON a.doc_id < b.doc_id
+       WHERE levenshtein(a.title, b.title) <= 1""",
+)
+def fuzzy_title_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """Fuzzy-string near-dup at edit distance ≤ 1
+    (operators/dedup.py edit_distance_near_dup — FastSS deletion
+    neighborhoods): each title emits itself + every single-deletion
+    variant, candidates pair on signature equality (recall 1 by the
+    neighborhood-intersection theorem), and the exact JVM levenshtein
+    verify makes the bounded join EQUAL the all-pairs edit-distance
+    relation the oracle computes. Every planted typo pair (2t, 2t+1)
+    surfaces at dist 1. Entirely JVM-side — transform/explode/substr
+    + one uniform-key self-join; never n²."""
+    return dedup.edit_distance_near_dup(
+        _typo_titles(spark, sf), id_col="doc_id", text_col="title",
+        max_dist=1,
+    )
+
+
 _PQ_COMMON = """
 WITH ed AS (
   -- upcast BEFORE any arithmetic: the stored element type is float32

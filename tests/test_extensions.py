@@ -1581,3 +1581,46 @@ def test_video_frame_deltas_exact_and_dimension_guard(spark):
     )
     with _pt.raises(Exception, match="dimensions changed"):
         mm.video_frame_deltas(media_bad).collect()
+
+
+def test_edit_distance_near_dup_fastss_contracts(spark):
+    """FastSS contracts: substitution, insertion, deletion, and exact
+    duplicates all pair at their true distance; distance-2 strings do
+    NOT pair; max_dist=0 degrades to exact-match pairs; unsupported
+    depths raise."""
+    import pytest as _pt
+
+    rows = spark.createDataFrame(
+        [
+            (1, "spark"),
+            (2, "spork"),     # substitution: dist 1
+            (3, "sparks"),    # insertion: dist 1
+            (4, "spak"),      # deletion (of r): dist 1 from spark
+            (5, "spark"),     # exact duplicate: dist 0
+            (6, "sprocket"),  # far
+        ],
+        "doc_id long, title string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in dedup.edit_distance_near_dup(
+            rows, id_col="doc_id", text_col="title", max_dist=1
+        ).collect()
+    }
+    assert got[(1, 2)] == 1
+    assert got[(1, 3)] == 1
+    assert got[(1, 4)] == 1
+    assert got[(1, 5)] == 0
+    assert (2, 3) not in got          # spork→sparks is dist 2
+    assert all(b != 6 for _, b in got)
+
+    exact = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in dedup.edit_distance_near_dup(
+            rows, id_col="doc_id", text_col="title", max_dist=0
+        ).collect()
+    }
+    assert exact == {(1, 5): 0}
+
+    with _pt.raises(ValueError, match="max_dist"):
+        dedup.edit_distance_near_dup(rows, max_dist=2)
