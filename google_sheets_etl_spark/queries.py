@@ -2130,6 +2130,45 @@ def near_dup_jaccard_exact(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.jaccard_pairs_bruteforce(t(spark, sf, "documents"), threshold=0.5)
 
 
+@q(
+    "doc_containment_pairs",
+    """WITH sh AS (
+         SELECT doc_id,
+                list_distinct(list_transform(
+                  range(1, greatest(len(string_split(text,' ')) - 1, 1)),
+                  i -> (string_split(text,' '))[i] || ' ' ||
+                       (string_split(text,' '))[i+1] || ' ' ||
+                       (string_split(text,' '))[i+2])) AS s
+         FROM documents),
+       f AS (SELECT doc_id, s FROM sh WHERE len(s) >= 5),
+       inv AS (SELECT doc_id, unnest(s) AS g FROM f),
+       cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+                FROM inv a JOIN inv b
+                  ON a.g = b.g AND a.doc_id <> b.doc_id),
+       scored AS (SELECT c.ia AS contained_id, c.ib AS container_id,
+                         CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT)
+                           AS inter,
+                         CAST(len(sa.s) AS BIGINT) AS n_contained
+                  FROM cand c
+                  JOIN f sa ON sa.doc_id = c.ia
+                  JOIN f sb ON sb.doc_id = c.ib)
+       SELECT contained_id, container_id, inter, n_contained
+       FROM scored WHERE inter * 100 >= 90 * n_contained""",
+)
+def doc_containment_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """DIRECTIONAL containment (quote/excerpt) detection
+    (operators/dedup.py doc_containment_pairs): a short doc inside a
+    long one has tiny Jaccard (diluted by the container) but
+    containment |A∩B|/|A| near 1 — the case symmetric dedup
+    structurally misses. Candidates via the inverted 3-gram index
+    (uniform-key equality join, never all-pairs), verify via the
+    integer-exact rational test inter·100 ≥ 90·n (no float ratio to
+    drift cross-engine), min-5-gram floor against trivial
+    containment. One row per direction; mutual containment yields
+    both."""
+    return dedup.doc_containment_pairs(t(spark, sf, "documents"))
+
+
 @q("near_dup_lsh", _JACCARD_ORACLE)
 def near_dup_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash-LSH banded near-dup (the 100 TB path: candidates via

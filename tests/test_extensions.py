@@ -1624,3 +1624,35 @@ def test_edit_distance_near_dup_fastss_contracts(spark):
 
     with _pt.raises(ValueError, match="max_dist"):
         dedup.edit_distance_near_dup(rows, max_dist=2)
+
+
+def test_doc_containment_directional(spark):
+    """Containment contracts: an excerpt is detected as contained in
+    its source (one direction only) even though symmetric Jaccard is
+    tiny; identical docs contain each other mutually; docs under the
+    gram floor never pair."""
+    long_words = " ".join(f"w{i}" for i in range(60))
+    excerpt = " ".join(f"w{i}" for i in range(10, 20))   # 10 words
+    rows = spark.createDataFrame(
+        [
+            (1, long_words),
+            (2, excerpt),
+            (3, long_words),
+            (4, "tiny doc here"),   # 1 trigram < min_grams floor
+            (5, " ".join(f"z{i}" for i in range(30))),  # unrelated
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["contained_id"], r["container_id"]): (r["inter"], r["n_contained"])
+        for r in dedup.doc_containment_pairs(rows).collect()
+    }
+    assert (2, 1) in got              # excerpt ⊂ source
+    assert (1, 2) not in got          # NOT the other direction
+    assert got[(2, 1)] == (8, 8)      # all 8 excerpt trigrams shared
+    assert (1, 3) in got and (3, 1) in got   # mutual containment
+    assert all(4 not in pair and 5 not in pair for pair in got)
+
+    # the Jaccard the symmetric pass would compute: 8 / 58 — far
+    # below any dedup threshold; containment is what finds this pair
+    assert 8 / 58 < 0.5
