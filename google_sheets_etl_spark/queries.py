@@ -4815,6 +4815,60 @@ def heavy_hitter_tokens(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "events_value_outliers_mad",
+    """WITH med AS (SELECT event_type,
+                           quantile_cont(value, 0.5) AS med
+                    FROM events GROUP BY 1),
+       d AS (SELECT e.event_type, ABS(e.value - m.med) AS adev, m.med
+             FROM events e JOIN med m USING (event_type)),
+       mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+               FROM d GROUP BY 1)
+       SELECT d.event_type, COUNT(*) AS n,
+              CAST(SUM(CASE WHEN d.adev > 3 * mad.mad THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_outliers,
+              ROUND(ANY_VALUE(d.med), 6) AS med,
+              ROUND(ANY_VALUE(mad.mad), 6) AS mad
+       FROM d JOIN mad USING (event_type) GROUP BY 1""",
+)
+def events_value_outliers_mad(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust numeric outlier gate per group — median/MAD, the
+    data-quality primitive that mean/stddev z-scores get wrong (one
+    extreme value inflates the stddev and hides itself; the median
+    absolute deviation has a 50% breakdown point). Two exact
+    percentile aggregates (median, then median of |v − med|) and a
+    flag pass counting |v − med| > 3·MAD per event_type. The group
+    medians are a groups-sized table, so both enrichment joins
+    broadcast — the events stream shuffles only for the two grouped
+    aggregates. Exact ``percentile`` certifies the arithmetic here;
+    at 100 TB swap ``approx_percentile`` in (same plan shape — the
+    ``approx_quantile_contract`` row pins that estimator's rank-error
+    contract)."""
+    ev = t(spark, sf, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (F.col("adev") > 3 * F.col("mad")).cast("long")
+            ).alias("n_outliers"),
+            F.round(F.first("med"), 6).alias("med"),
+            F.round(F.first("mad"), 6).alias("mad"),
+        )
+    )
+
+
+@q(
     "user_rolling_7d_activity",
     """WITH d AS (SELECT user_id, date_trunc('day', ts) AS day,
                          COUNT(*) AS n
