@@ -1176,3 +1176,50 @@ def hashed_doc_vectors(
         .join(maps, id_col, "left")
         .select(id_col, dense.alias("vec"))
     )
+
+
+def phrase_match_counts(
+    docs: DataFrame,
+    phrase: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact phrase search over a POSITIONAL inverted index — the
+    retrieval primitive BM25's bag-of-words scoring cannot express
+    (term adjacency). The index is ``(doc, position, term)`` rows;
+    a k-word phrase matches wherever word i sits at position
+    start+i for all i, found by aligning each term's postings on the
+    derived ``start = pos - i`` key and joining — the classic
+    positional-postings intersection, not a regex rescan of the
+    corpus. Returns ``(id, n_matches)`` for docs with ≥ 1 occurrence
+    (overlapping occurrences count separately, one per start).
+
+    Scale shape: each phrase term's postings are FILTERED OUT of the
+    exploded index before any join (the selective-term pruning a real
+    inverted index gives you on disk — at 100 TB the index is the
+    persisted table and these filters are partition/row-group prunes
+    on the term key); the k−1 equi-joins then carry only
+    phrase-term postings, never the corpus, and join on the uniform
+    (doc, start) key. Duplicate phrase terms are correct by
+    construction: a (doc, start) key is unique within each posting
+    branch, so the join multiplicity is exactly the occurrence
+    count."""
+    terms = phrase.split()
+    if not terms:
+        raise ValueError("empty phrase")
+    idx = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "term"),
+    )
+    branches = [
+        idx.filter(F.col("term") == w).select(
+            id_col, (F.col("pos") - i).alias("start")
+        )
+        for i, w in enumerate(terms)
+    ]
+    matches = branches[0]
+    for b in branches[1:]:
+        matches = matches.join(b, [id_col, "start"])
+    return matches.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_matches")
+    )

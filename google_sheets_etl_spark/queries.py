@@ -4797,6 +4797,48 @@ def decontaminate_overlap_frac(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "phrase_search_counts",
+    """WITH idx AS (SELECT doc_id,
+                           unnest(range(0, len(string_split(text, ' '))))
+                             AS pos,
+                           unnest(string_split(text, ' ')) AS term
+                    FROM documents),
+       p0 AS (SELECT doc_id, pos AS start FROM idx WHERE term = 'value'),
+       p1 AS (SELECT doc_id, pos - 1 AS start FROM idx
+              WHERE term = 'table'),
+       p2 AS (SELECT doc_id, pos - 2 AS start FROM idx WHERE term = 'part'),
+       two AS (SELECT 'value table' AS phrase, p0.doc_id,
+                      COUNT(*) AS n_matches
+               FROM p0 JOIN p1 USING (doc_id, start) GROUP BY 2),
+       three AS (SELECT 'value table part' AS phrase, p0.doc_id,
+                        COUNT(*) AS n_matches
+                 FROM p0 JOIN p1 USING (doc_id, start)
+                         JOIN p2 USING (doc_id, start)
+                 GROUP BY 2)
+       SELECT * FROM two UNION ALL SELECT * FROM three""",
+)
+def phrase_search_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact phrase search (operators/text.py phrase_match_counts):
+    a 2-word and a 3-word phrase located via positional
+    inverted-index postings intersection — each term's postings
+    filter out of the index before any join (the pruning a persisted
+    term-keyed index gives on disk), then align on start = pos − i,
+    one equi-join per additional word. Term adjacency is what
+    bag-of-words retrieval (the BM25 row) cannot express; overlapping
+    occurrences count separately. The oracle rebuilds the same
+    positional index and intersections in SQL."""
+    docs = t(spark, sf, "documents")
+    out = []
+    for phrase in ("value table", "value table part"):
+        out.append(
+            text_ops.phrase_match_counts(docs, phrase).select(
+                F.lit(phrase).alias("phrase"), "doc_id", "n_matches"
+            )
+        )
+    return out[0].unionByName(out[1])
+
+
+@q(
     "heavy_hitter_tokens",
     """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
                     FROM documents),

@@ -1656,3 +1656,42 @@ def test_doc_containment_directional(spark):
     # the Jaccard the symmetric pass would compute: 8 / 58 — far
     # below any dedup threshold; containment is what finds this pair
     assert 8 / 58 < 0.5
+
+
+def test_phrase_match_counts_overlaps_and_duplicate_terms(spark):
+    """Positional phrase search contracts: overlapping occurrences
+    count separately; a phrase with a REPEATED word matches only true
+    adjacent runs; absent phrases yield no row; empty phrase raises."""
+    import pytest as _pt
+
+    from google_sheets_etl_spark.operators import text as tx
+
+    rows = spark.createDataFrame(
+        [
+            (1, "a b a b a"),      # "a b a": overlapping starts 0 and 2
+            (2, "a a a"),          # "a a": starts 0 and 1
+            (3, "b a b"),          # "a b a" absent; "a b" at start 1
+            (4, "x y z"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["n_matches"]
+        for r in tx.phrase_match_counts(rows, "a b a").collect()
+    }
+    assert got == {1: 2}
+
+    got2 = {
+        r["doc_id"]: r["n_matches"]
+        for r in tx.phrase_match_counts(rows, "a a").collect()
+    }
+    assert got2 == {2: 2}
+
+    got3 = {
+        r["doc_id"]: r["n_matches"]
+        for r in tx.phrase_match_counts(rows, "a b").collect()
+    }
+    assert got3 == {1: 2, 3: 1}
+
+    with _pt.raises(ValueError, match="empty phrase"):
+        tx.phrase_match_counts(rows, "  ")
