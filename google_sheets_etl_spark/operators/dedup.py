@@ -772,3 +772,60 @@ def doc_containment_pairs(
             F.col("_n").alias("n_contained"),
         )
     )
+
+
+def incremental_connected_components(
+    assignment: DataFrame,
+    new_pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    out_id: str = "doc_id",
+    out_cluster: str = "cluster_id",
+    max_iter: int = 25,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Merge a NEW batch of duplicate edges into a STANDING cluster
+    assignment without re-clustering history — the continuously-
+    ingesting sibling of :func:`connected_components` (the edge-level
+    analogue of the admission operators: corpus-side work bounded by
+    what the batch touches). At 100 TB the historical pair list is
+    gone (only the node→cluster table persists) and re-running CC over
+    every edge ever seen per batch is O(history); this pass is
+    O(touched components + batch).
+
+    Correctness by the star-edge argument: within each standing
+    component, connectivity is EXACTLY preserved by its star edges
+    (member → cluster label, the label being itself a member id), so
+    CC over (star edges of touched components ∪ new edges) assigns
+    every affected node the same min-label it would get from the full
+    historical edge set — merged components take the global min across
+    everything they absorb. Components no new edge touches cannot
+    change; their rows pass through untouched (one anti-join on the
+    cluster key — no CC rounds, no label shuffles for them). New nodes
+    (absent from the assignment) enter through the new edges alone.
+
+    Returns the refreshed full assignment ``(out_id, out_cluster)``.
+    ``max_iter`` / ``checkpoint_dir`` pass through to the CC kernel
+    (rounds ≈ O(log diameter of the MERGED components), not of
+    history)."""
+    new_nodes = (
+        new_pairs.select(F.col(id_a).alias(out_id))
+        .unionByName(new_pairs.select(F.col(id_b).alias(out_id)))
+        .distinct()
+    )
+    touched = (
+        assignment.join(new_nodes, out_id, "left_semi")
+        .select(out_cluster)
+        .distinct()
+    )
+    touched_assign = assignment.join(touched, out_cluster, "left_semi")
+    star = touched_assign.select(
+        F.col(out_id).alias(id_a), F.col(out_cluster).alias(id_b)
+    )
+    merged = connected_components(
+        new_pairs.select(id_a, id_b).unionByName(star),
+        id_a=id_a, id_b=id_b, out_id=out_id, out_cluster=out_cluster,
+        max_iter=max_iter, checkpoint_dir=checkpoint_dir,
+    )
+    untouched = assignment.join(touched, out_cluster, "left_anti")
+    return untouched.unionByName(merged)

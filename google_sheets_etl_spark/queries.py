@@ -2243,6 +2243,40 @@ def near_dup_clusters_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.connected_components(pairs)
 
 
+@q("incremental_dedup_clusters", _CLUSTERS_ORACLE)
+def incremental_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Cluster maintenance under continuous ingest
+    (operators/dedup.py incremental_connected_components): the
+    near-dup pair list splits deterministically into a 'historical'
+    ~70% (clustered into the standing assignment) and a 'new batch'
+    ~30% merged in WITHOUT re-clustering history — star edges preserve
+    each touched component's connectivity exactly, untouched
+    components pass through on one anti-join, and CC rounds run only
+    over (touched ∪ batch). The refreshed assignment must EQUAL the
+    full recursive-CTE clustering over every edge ever seen — the
+    incremental path certified against the from-scratch oracle. Same
+    LSH pair list as near_dup_clusters_lsh (recall 1.0 at these
+    parameters), so the exact-pair cluster oracle applies."""
+    from .operators.ckpt import make_ckpt
+
+    pairs = make_ckpt(None)(
+        dedup.near_dup_pairs(t(spark, sf, "documents"), threshold=0.5)
+        .select("id_a", "id_b")
+    )
+    gate = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("id_a"), F.col("id_b"))),
+                1, 8,
+            ), 16, 10,
+        ).cast("long") % 10
+    )
+    hist = pairs.filter(gate < 7)
+    batch = pairs.filter(gate >= 7)
+    assignment = dedup.connected_components(hist)
+    return dedup.incremental_connected_components(assignment, batch)
+
+
 @q(
     "dedup_keep_best_quality",
     _CLUSTERS_ORACLE.replace(

@@ -1695,3 +1695,33 @@ def test_phrase_match_counts_overlaps_and_duplicate_terms(spark):
 
     with _pt.raises(ValueError, match="empty phrase"):
         tx.phrase_match_counts(rows, "  ")
+
+
+def test_incremental_connected_components_merges_and_passthrough(spark):
+    """Incremental CC contracts: a batch edge bridging two standing
+    components merges them under the global min label; untouched
+    components pass through unchanged; brand-new node pairs form
+    their own cluster; result equals from-scratch CC over all edges."""
+    hist = spark.createDataFrame(
+        [(1, 2), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    assignment = dedup.connected_components(hist)
+    batch = spark.createDataFrame(
+        [(2, 3), (20, 21)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.incremental_connected_components(
+            assignment, batch
+        ).collect()
+    }
+    full = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.connected_components(
+            hist.unionByName(batch)
+        ).collect()
+    }
+    assert got == full
+    assert got[4] == 1            # merged across the bridge: min label
+    assert got[10] == 10 and got[11] == 10   # untouched passthrough
+    assert got[20] == 20 and got[21] == 20   # new nodes, new cluster
