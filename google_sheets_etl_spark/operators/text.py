@@ -1223,3 +1223,129 @@ def phrase_match_counts(
     return matches.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_matches")
     )
+
+
+def unigram_piece_table(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_k: int = 12,
+    max_piece_len: int = 3,
+) -> DataFrame:
+    """Deterministic unigram-LM piece vocabulary (the SentencePiece
+    model's data structure — Kudo 2018, "Subword Regularization":
+    pieces with unigram log-probabilities; implemented from the
+    public algorithm statement): every single character seen in the
+    corpus (the coverage guarantee — any word stays segmentable) plus
+    the ``top_k`` most frequent substrings of length 2..max_piece_len
+    (occurrence count summed over word OCCURRENCES, ties broken
+    piece-ascending). Piece cost is −ln(count/total) in integer
+    MICRO-UNITS over the chosen vocabulary's own total — integer
+    costs make every downstream Viterbi comparison exact arithmetic
+    (the doc_perplexity_bits discipline; the ln itself rounds at
+    micro-unit granularity where cross-libm ulps are measure-zero).
+
+    Returns ``(piece, cnt, cost_u6)`` — vocabulary-scale (a broadcast
+    ships it). The heavy input is one exploded substring pass over
+    the DISTINCT-word table weighted by word frequency — vocabulary
+    work, not corpus work."""
+    words = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # all (start, len) substrings of each distinct word, occurrence-
+    # weighted; length-1 pieces are the guaranteed char cover
+    subs = words.select(
+        "freq",
+        F.explode(
+            F.flatten(F.transform(
+                F.sequence(F.lit(1), F.least(
+                    F.length("w"), F.lit(max_piece_len)
+                )),
+                lambda ln: F.transform(
+                    F.sequence(F.lit(1), F.length("w") - ln + 1),
+                    lambda s: F.col("w").substr(s, ln),
+                ),
+            ))
+        ).alias("piece"),
+    ).groupBy("piece").agg(F.sum("freq").alias("cnt"))
+    chars = subs.filter(F.length("piece") == 1)
+    multi = (
+        subs.filter(F.length("piece") >= 2)
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.orderBy(F.col("cnt").desc(), F.col("piece").asc())
+            ),
+        )
+        .filter(F.col("_rk") <= top_k)
+        .drop("_rk")
+    )
+    vocab = chars.unionByName(multi)
+    total = vocab.agg(F.sum("cnt").alias("_t"))
+    return vocab.crossJoin(F.broadcast(total)).select(
+        "piece",
+        "cnt",
+        F.round(F.log(F.col("_t") / F.col("cnt")) * 1e6)
+        .cast("long")
+        .alias("cost_u6"),
+    )
+
+
+def unigram_viterbi_segment(
+    docs: DataFrame,
+    pieces: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Viterbi segmentation under a unigram piece model — the
+    tokenizer inference SentencePiece runs (max-probability = min
+    total integer cost), certified exactly: the DP compares integer
+    micro-unit costs with the lexicographic tie-break
+    (cost, n_pieces), so the optimum is engine-independent. Returns
+    one row per DISTINCT corpus word:
+    ``(word, freq, cost_u6, n_pieces)`` — tokenizer work is
+    vocabulary-scale (the BPE-trainer discipline); corpus token/bit
+    accounting derives as freq-weighted sums. The piece table rides
+    the task closure (vocab-scale, a few KB)."""
+    piece_rows = {r["piece"]: int(r["cost_u6"]) for r in pieces.collect()}
+    max_len = max((len(p) for p in piece_rows), default=1)
+
+    import pandas as pd
+
+    def kernel(batches):
+        for pdf in batches:
+            words, costs, nps = [], [], []
+            for w, freq in zip(pdf["w"], pdf["freq"]):
+                inf = (float("inf"), 0)
+                dp = [inf] * (len(w) + 1)
+                dp[0] = (0, 0)
+                for j in range(1, len(w) + 1):
+                    best = inf
+                    for i in range(max(0, j - max_len), j):
+                        c = piece_rows.get(w[i:j])
+                        if c is None or dp[i] == inf:
+                            continue
+                        cand = (dp[i][0] + c, dp[i][1] + 1)
+                        if cand < best:
+                            best = cand
+                    dp[j] = best
+                if dp[-1] == inf:
+                    continue  # unsegmentable (never: chars covered)
+                words.append(w)
+                costs.append(dp[-1][0])
+                nps.append(dp[-1][1])
+            out = pdf.set_index("w").loc[words][["freq"]].reset_index()
+            out["cost_u6"] = pd.Series(costs, dtype="int64")
+            out["n_pieces"] = pd.Series(nps, dtype="int64")
+            yield out.rename(columns={"w": "word"})
+
+    words = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return words.mapInPandas(
+        kernel, "word string, freq long, cost_u6 long, n_pieces long"
+    )

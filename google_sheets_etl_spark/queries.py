@@ -7325,6 +7325,67 @@ def _bpe_k200_oracle() -> str:
         return f.read()
 
 
+@q(
+    "unigram_tokenize_stats",
+    """WITH RECURSIVE wf AS (
+         SELECT w, COUNT(*) AS freq
+         FROM (SELECT unnest(string_split(text, ' ')) AS w
+               FROM documents)
+         WHERE w <> '' GROUP BY w),
+       subs AS (
+         SELECT substr(w, s, l) AS piece, SUM(freq) AS cnt
+         FROM wf, range(1, 4) tl(l), range(1, 33) ts(s)
+         WHERE l <= len(w) AND s <= len(w) - l + 1
+         GROUP BY 1),
+       multi AS (
+         SELECT piece, cnt,
+                row_number() OVER (ORDER BY cnt DESC, piece ASC) AS rk
+         FROM subs WHERE len(piece) >= 2),
+       vocab AS (
+         SELECT piece, cnt FROM subs WHERE len(piece) = 1
+         UNION ALL
+         SELECT piece, cnt FROM multi WHERE rk <= 12),
+       vc AS (
+         SELECT piece, cnt,
+                CAST(ROUND(ln((SELECT SUM(cnt) FROM vocab) * 1.0 / cnt)
+                           * 1e6) AS BIGINT) AS cost_u6
+         FROM vocab),
+       reach(w, pos, cost, np) AS (
+         SELECT w, 0, CAST(0 AS BIGINT), 0 FROM wf
+         UNION
+         SELECT r.w, r.pos + len(v.piece), r.cost + v.cost_u6, r.np + 1
+         FROM reach r JOIN vc v
+           ON substr(r.w, r.pos + 1, len(v.piece)) = v.piece
+         WHERE r.pos < len(r.w)),
+       done AS (SELECT w, cost, np FROM reach WHERE pos = len(w)),
+       best AS (SELECT w, MIN(cost) AS cost_u6 FROM done GROUP BY w),
+       bestnp AS (
+         SELECT d.w, b.cost_u6, MIN(d.np) AS n_pieces
+         FROM done d JOIN best b ON d.w = b.w AND d.cost = b.cost_u6
+         GROUP BY 1, 2)
+       SELECT bn.w AS word, wf.freq, bn.cost_u6,
+              CAST(bn.n_pieces AS BIGINT) AS n_pieces
+       FROM bestnp bn JOIN wf ON wf.w = bn.w""",
+)
+def unigram_tokenize_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Unigram-LM tokenization (operators/text.py — Kudo 2018, the
+    SentencePiece model family; BPE's complement: merges vs
+    probabilities): a deterministic piece vocabulary (every corpus
+    character for coverage + the 12 most frequent 2-3 char
+    substrings, occurrence-weighted, tie-broken piece-asc) with
+    −ln(p) costs in integer micro-units, then per distinct word the
+    VITERBI min-cost segmentation under the lexicographic
+    (cost, n_pieces) tie-break — integer DP, so the optimum is
+    engine-independent. The oracle rebuilds the piece table AND runs
+    the DP as a recursive shortest-path CTE — vocabulary, costs, and
+    the optimization itself all cross-checked. Tokenizer work is
+    vocabulary-scale throughout (the BPE-trainer discipline); corpus
+    token/bit accounting derives as freq-weighted sums."""
+    docs = t(spark, sf, "documents")
+    pieces = text_ops.unigram_piece_table(docs, top_k=12, max_piece_len=3)
+    return text_ops.unigram_viterbi_segment(docs, pieces)
+
+
 @q("bpe_learn_merges_k200", _bpe_k200_oracle())
 def bpe_learn_merges_k200(spark: SparkSession, sf: str) -> DataFrame:
     """Realistic-k BPE training (round-6 verdict directive #7): the

@@ -1725,3 +1725,66 @@ def test_incremental_connected_components_merges_and_passthrough(spark):
     assert got[4] == 1            # merged across the bridge: min label
     assert got[10] == 10 and got[11] == 10   # untouched passthrough
     assert got[20] == 20 and got[21] == 20   # new nodes, new cluster
+
+
+def test_unigram_viterbi_picks_min_cost_with_tie_break(spark):
+    """Viterbi contracts on a hand-computed vocabulary: the cheaper
+    multi-char segmentation beats char-by-char; exact cost adds; the
+    (cost, n_pieces) tie-break is lexicographic; char coverage keeps
+    every word segmentable."""
+    from google_sheets_etl_spark.operators import text as tx
+
+    docs = spark.createDataFrame([(1, "abab ab x")], "id long, text string")
+    pieces = spark.createDataFrame(
+        [
+            ("a", 10, 100),
+            ("b", 10, 100),
+            ("x", 1, 500),
+            ("ab", 8, 150),     # cheaper than a+b (200)
+            ("ba", 8, 150),
+        ],
+        "piece string, cnt long, cost_u6 long",
+    )
+    got = {
+        r["word"]: (r["freq"], r["cost_u6"], r["n_pieces"])
+        for r in tx.unigram_viterbi_segment(docs, pieces).collect()
+    }
+    # abab: ab+ab = 300/2 pieces beats a+ba+b (400/3) and chars (400/4)
+    assert got["abab"] == (1, 300, 2)
+    assert got["ab"] == (1, 150, 1)
+    assert got["x"] == (1, 500, 1)
+
+    # tie-break: with ab priced exactly a+b, prefer FEWER pieces
+    tie = spark.createDataFrame(
+        [("a", 1, 100), ("b", 1, 100), ("ab", 1, 200)],
+        "piece string, cnt long, cost_u6 long",
+    )
+    docs2 = spark.createDataFrame([(1, "ab")], "id long, text string")
+    r = tx.unigram_viterbi_segment(docs2, tie).collect()[0]
+    assert (r["cost_u6"], r["n_pieces"]) == (200, 1)
+
+
+def test_unigram_piece_table_coverage_and_costs(spark):
+    """Piece-table contracts: every corpus character is present
+    (coverage guarantee), multi-char pieces are capped at top_k with
+    the (cnt desc, piece asc) tie-break, and costs are
+    -ln(cnt/total) in micro-units."""
+    import math
+
+    from google_sheets_etl_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [(1, "aa ab aa"), (2, "ab aa")], "id long, text string"
+    )
+    rows = {
+        r["piece"]: (r["cnt"], r["cost_u6"])
+        for r in tx.unigram_piece_table(
+            docs, top_k=1, max_piece_len=2
+        ).collect()
+    }
+    # chars: a appears 2 per 'aa' (x3) + 1 per 'ab' (x2) = 8; b = 2
+    # multi: 'aa' cnt 3 beats 'ab' cnt 2 -> only 'aa' survives top_k=1
+    assert rows["a"][0] == 8 and rows["b"][0] == 2
+    assert "aa" in rows and "ab" not in rows
+    total = 8 + 2 + 3
+    assert rows["aa"][1] == round(math.log(total / 3) * 1e6)
