@@ -1349,3 +1349,131 @@ def unigram_viterbi_segment(
     return words.mapInPandas(
         kernel, "word string, freq long, cost_u6 long, n_pieces long"
     )
+
+
+def _viterbi_best_path(w: str, pieces: dict, max_len: int):
+    """The ONE Viterbi path definition training and its fixture
+    contract share: minimize (cost, n_pieces) lexicographically; among
+    full ties prefer the candidate whose LAST piece starts earliest
+    (smallest i) — by induction on dp[i]'s own unique path this pins
+    one segmentation per word, so hard-EM counts are deterministic on
+    any engine. Returns the piece list, or None if unsegmentable."""
+    inf = (float("inf"), 0)
+    dp = [inf] * (len(w) + 1)
+    back = [None] * (len(w) + 1)
+    dp[0] = (0, 0)
+    for j in range(1, len(w) + 1):
+        best, arg = inf, None
+        for i in range(max(0, j - max_len), j):
+            c = pieces.get(w[i:j])
+            if c is None or dp[i] == inf:
+                continue
+            cand = (dp[i][0] + c, dp[i][1] + 1)
+            if cand < best:  # strict: ties keep the smallest i seen
+                best, arg = cand, i
+        dp[j], back[j] = best, arg
+    if dp[-1] == inf:
+        return None
+    path, j = [], len(w)
+    while j > 0:
+        i = back[j]
+        path.append(w[i:j])
+        j = i
+    return path[::-1]
+
+
+def unigram_train_hard_em(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_rounds: int = 2,
+    top_k: int = 12,
+    max_piece_len: int = 3,
+) -> DataFrame:
+    """HARD-EM (Viterbi-EM) refinement of the unigram piece model —
+    the training half of the SentencePiece family (Kudo 2018 trains
+    with soft EM; the Viterbi-count variant is the standard
+    deterministic alternative, and determinism is what makes the
+    result certifiable bit-exactly): per round, segment every
+    distinct word under the current integer costs (the shared
+    :func:`_viterbi_best_path` rule), count piece occurrences
+    weighted by word frequency, re-estimate
+    ``cost = −ln((cnt+1)/total)`` in micro-units over add-one
+    SMOOTHED counts (chars must stay finite for the coverage
+    guarantee even when longer pieces absorb all their mass), and
+    PRUNE multi-char pieces Viterbi stopped using (cnt 0) — the
+    vocabulary shrinks toward pieces that earn their place, exactly
+    the EM-prune loop's purpose.
+
+    Scale shape: the corpus is touched ONCE (word-frequency table);
+    every round is vocabulary-scale — a Viterbi kernel over distinct
+    words with the piece dict in the task closure, one piece-count
+    aggregation, one driver-side cost re-estimation of a KB-sized
+    table. Returns the final ``(piece, cnt, cost_u6)`` with cnt the
+    smoothed count the final costs used."""
+    import math
+
+    import pandas as pd
+
+    if n_rounds < 1:
+        raise ValueError("n_rounds must be >= 1")
+    init = unigram_piece_table(docs, text_col, top_k, max_piece_len)
+    pieces = {r["piece"]: int(r["cost_u6"]) for r in init.collect()}
+    words = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    spark = docs.sparkSession
+    for _ in range(n_rounds):
+        cur = dict(pieces)
+        max_len = max((len(p) for p in cur), default=1)
+
+        def kernel(batches, cur=cur, max_len=max_len):
+            for pdf in batches:
+                ws, ps, ks = [], [], []
+                for w, freq in zip(pdf["w"], pdf["freq"]):
+                    path = _viterbi_best_path(w, cur, max_len)
+                    if path is None:
+                        continue
+                    seen: dict[str, int] = {}
+                    for p in path:
+                        seen[p] = seen.get(p, 0) + 1
+                    for p, k in seen.items():
+                        ws.append(int(freq))
+                        ps.append(p)
+                        ks.append(k)
+                yield pd.DataFrame({
+                    "freq": pd.Series(ws, dtype="int64"),
+                    "piece": ps,
+                    "k": pd.Series(ks, dtype="int64"),
+                })
+
+        counts = {
+            r["piece"]: int(r["cnt"])
+            for r in words.mapInPandas(
+                kernel, "freq long, piece string, k long"
+            )
+            .groupBy("piece")
+            .agg(F.sum(F.col("freq") * F.col("k")).alias("cnt"))
+            .collect()
+        }
+        survivors = {
+            p: counts.get(p, 0) + 1
+            for p in cur
+            if len(p) == 1 or counts.get(p, 0) > 0
+        }
+        total = sum(survivors.values())
+        # half-UP like F.round / SQL ROUND (python round() is
+        # half-even — it would diverge from the init costs' rule)
+        pieces = {
+            p: int(math.floor(math.log(total / c) * 1e6 + 0.5))
+            for p, c in survivors.items()
+        }
+        last_counts = survivors
+    return spark.createDataFrame(
+        sorted(
+            (p, last_counts[p], pieces[p]) for p in pieces
+        ),
+        "piece string, cnt long, cost_u6 long",
+    )

@@ -7386,6 +7386,46 @@ def unigram_tokenize_stats(spark: SparkSession, sf: str) -> DataFrame:
     return text_ops.unigram_viterbi_segment(docs, pieces)
 
 
+def _unigram_em_oracle() -> str:
+    """Literal-expected trained piece table regenerated by an
+    independent pure-Python hard-EM implementation
+    (tools/gen_unigram_fixture.py) — the regenerated-ground-truth
+    discipline (multimodal codecs / PCA / BPE k=200). The Viterbi
+    tie-break contract (min (cost, n_pieces), full ties to the
+    earliest last-piece start) is shared by necessity: an
+    equally-reasonable alternative rule picks different paths on
+    exact cost ties and trains different counts. A freshness test
+    re-runs the reference and fails on drift."""
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "fixtures",
+        "unigram_hard_em_sf001.sql",
+    )
+    with open(path) as f:
+        return f.read()
+
+
+@q("unigram_train_hard_em", _unigram_em_oracle())
+def unigram_train_hard_em(spark: SparkSession, sf: str) -> DataFrame:
+    """Unigram-LM TRAINING (operators/text.py unigram_train_hard_em):
+    hard-EM (Viterbi-EM) refinement of the seeded piece model — per
+    round, segment every distinct word under the current integer
+    costs, count pieces frequency-weighted, re-estimate −ln(p)
+    micro-unit costs over add-one smoothed counts, prune multi-char
+    pieces Viterbi stopped using. Deterministic end to end (integer
+    DP + pinned tie-break), which is what makes the trained table
+    certifiable bit-exactly against the independently-implemented
+    fixture. With unigram_tokenize_stats this completes the
+    SentencePiece-family story the way the BPE pair does: trainer +
+    applier, both oracled. Corpus touched once; every round is
+    vocabulary-scale."""
+    return text_ops.unigram_train_hard_em(
+        t(spark, sf, "documents"), n_rounds=2, top_k=12, max_piece_len=3
+    )
+
+
 @q("bpe_learn_merges_k200", _bpe_k200_oracle())
 def bpe_learn_merges_k200(spark: SparkSession, sf: str) -> DataFrame:
     """Realistic-k BPE training (round-6 verdict directive #7): the

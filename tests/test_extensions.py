@@ -1788,3 +1788,44 @@ def test_unigram_piece_table_coverage_and_costs(spark):
     assert "aa" in rows and "ab" not in rows
     total = 8 + 2 + 3
     assert rows["aa"][1] == round(math.log(total / 3) * 1e6)
+
+
+def test_unigram_fixture_is_fresh():
+    """Committed hard-EM fixture == a live regeneration by the
+    independent reference implementation (regenerated-ground-truth
+    discipline)."""
+    from tools.gen_unigram_fixture import (
+        FIXTURE, SF_DIR, reference_hard_em, rows_to_sql,
+    )
+
+    regenerated = rows_to_sql(reference_hard_em(SF_DIR))
+    with open(FIXTURE) as f:
+        committed = f.read()
+    assert committed.strip() == regenerated.strip()
+
+
+def test_unigram_hard_em_prunes_and_keeps_coverage(spark):
+    """Hard-EM contracts: multi-char pieces Viterbi never uses are
+    pruned; every corpus character survives (coverage) even at zero
+    Viterbi count (smoothed, finite cost); counts reflect the
+    frequency-weighted Viterbi segmentation."""
+    from google_sheets_etl_spark.operators import text as tx
+
+    # 'ab' dominates: every word segments as ab(+ab...), so chars get
+    # zero Viterbi count but must survive smoothed; 'ba' never wins a
+    # segmentation and must be pruned (it only occurs inside 'abab',
+    # where ab+ab is strictly cheaper than a+ba+b)
+    docs = spark.createDataFrame(
+        [(1, "ab abab ab"), (2, "abab")], "id long, text string"
+    )
+    rows = {
+        r["piece"]: (r["cnt"], r["cost_u6"])
+        for r in tx.unigram_train_hard_em(
+            docs, n_rounds=2, top_k=2, max_piece_len=2
+        ).collect()
+    }
+    assert "ba" not in rows                   # pruned
+    assert rows["a"][0] == 1 and rows["b"][0] == 1   # smoothed floor
+    # 'ab' count: freq-weighted ab occurrences = 2*1 + 2*2 = 6, +1
+    assert rows["ab"][0] == 7
+    assert all(c > 0 for _, c in rows.values())      # finite costs
