@@ -511,3 +511,26 @@ def test_matview_measure_validation(spark):
         matview.Measure("sum")
     with pytest.raises(ValueError, match="nothing to merge"):
         matview.merge([], ["g"], {})
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_new_candidate_joins_have_no_cartesian(spark, sf_dir):
+    """The r7 candidate-bounded joins must stay equi-joins: FastSS
+    signature join, containment gram join, phrase postings
+    intersection, and the video signature join may never degrade to
+    CartesianProduct / BroadcastNestedLoop (the n-squared failure
+    mode their designs exist to avoid)."""
+    for name in (
+        "fuzzy_title_near_dup",
+        "doc_containment_pairs",
+        "phrase_search_counts",
+        "video_signature_near_dup",
+    ):
+        plan = _plan(QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoop" not in plan, name
