@@ -666,7 +666,8 @@ def _events_stream_adaptive(
     (the sniff still reads the canonical ``{sf}/events.parquet``
     footer — copies share it)."""
     from pyspark.sql.types import (
-        LongType, StringType, StructField, StructType, TimestampNTZType,
+        DoubleType, LongType, StringType, StructField, StructType,
+        TimestampNTZType,
     )
 
     try:
@@ -690,7 +691,8 @@ def _events_stream_adaptive(
         # TIMESTAMP exactly as t() does under the UTC pin
         batch_fields = {f.name: f for f in spark.read.parquet(path).schema.fields}
         raw_schema = StructType(
-            [batch_fields[n] for n in ("event_id", "ts", "user_id", "event_type")]
+            [batch_fields[n]
+             for n in ("event_id", "ts", "user_id", "event_type", "value")]
         )
         conv = (
             (lambda df: df.withColumn("ts", F.col("ts").cast("timestamp")))
@@ -703,6 +705,7 @@ def _events_stream_adaptive(
             StructField("ts", LongType()),
             StructField("user_id", LongType()),
             StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
         ])
         conv = lambda df: df.withColumn("ts", _ts_to_micros_col(unit))  # noqa: E731
     import os
@@ -2686,6 +2689,69 @@ def streaming_sketch_maintenance(spark: SparkSession, sf: str) -> DataFrame:
     )
     handle.awaitTermination()
     return read_sketch(spark, sketch_path)
+
+
+@q(
+    "streaming_matview_maintenance",
+    """SELECT event_type, COUNT(*) AS n,
+              ROUND(SUM(value), 4) AS sum_value,
+              MIN(value) AS min_value, MAX(value) AS max_value
+       FROM events GROUP BY 1""",
+)
+def streaming_matview_maintenance(spark: SparkSession, sf: str) -> DataFrame:
+    """Standing materialized aggregate under at-least-once delivery,
+    driver-certified (streaming/matview_stream.py): every event is
+    delivered TWICE through separate micro-batches; the stream dedups
+    on event_id within the watermark (delivery exactly-once-per-key),
+    each batch lands its keyspace-scale mergeable summary under a
+    batch-id-keyed OVERWRITE (processing exactly-once-per-batch —
+    count/sum summaries are not idempotent under append), and the
+    standing aggregate is the combiner fold over landed summaries.
+    Must equal one direct aggregation over the single-copy relation —
+    the streaming sibling of matview_incremental_revenue, same
+    algebra, produced continuously."""
+    import shutil
+    import tempfile
+
+    import os as _os
+
+    from .plans import matview
+    from .streaming.events_stream import dedup_stream
+    from .streaming.matview_stream import matview_stream, read_matview
+
+    src = tempfile.mkdtemp(prefix="mv_src_")
+    for copy in ("a", "b"):
+        source, dest = f"{sf}/events.parquet", f"{src}/events_{copy}.parquet"
+        if _os.path.isdir(source):
+            shutil.copytree(source, dest)
+        else:
+            shutil.copy(source, dest)
+    stream = _events_stream_adaptive(
+        spark, sf, src_dir=src, max_files_per_trigger=1
+    )
+    deduped = dedup_stream(stream, key_cols=["event_id"])
+    keys = ["event_type"]
+    ms = {
+        "n": matview.Measure("count"),
+        "sum_value": matview.Measure("sum", "value"),
+        "min_value": matview.Measure("min", "value"),
+        "max_value": matview.Measure("max", "value"),
+    }
+    path = _os.path.join(tempfile.mkdtemp(prefix="mv_"), "summary")
+    handle = matview_stream(
+        deduped.select("event_type", "value"),
+        path,
+        checkpoint=tempfile.mkdtemp(prefix="mv_ck_"),
+        keys=keys,
+        measures=ms,
+    )
+    handle.awaitTermination()
+    out = read_matview(spark, path, keys, ms)
+    return out.select(
+        "event_type", "n",
+        F.round("sum_value", 4).alias("sum_value"),
+        "min_value", "max_value",
+    )
 
 
 _CMS_CELLS = """tok AS (
