@@ -96,3 +96,68 @@ def test_misra_gries_superset_guarantee(tokens, k):
     for tok, freq in true.items():
         if freq * k > n:
             assert tok in summary, (tok, freq, n, k)
+
+
+@given(
+    st.text(alphabet="abc", min_size=1, max_size=8),
+    st.integers(min_value=0, max_value=2),   # 0=sub 1=ins 2=del
+    st.integers(min_value=0, max_value=8),
+    st.sampled_from("abcx"),
+)
+@settings(max_examples=300, deadline=None)
+def test_deletion_neighborhood_covers_edit_distance_one(s, kind, pos, ch):
+    """The FastSS recall theorem edit_distance_near_dup relies on:
+    any single edit (substitution, insertion, deletion) leaves the
+    deletion neighborhoods D1(s) = {s} ∪ single-deletions
+    intersecting — so the signature join has recall 1 at distance 1
+    by construction, for EVERY string and edit position."""
+    pos = pos % (len(s) + 1)
+    if kind == 0 and pos < len(s):
+        t = s[:pos] + ch + s[pos + 1:]
+    elif kind == 1:
+        t = s[:pos] + ch + s[pos:]
+    elif kind == 2 and pos < len(s) and len(s) > 1:
+        t = s[:pos] + s[pos + 1:]
+    else:
+        t = s
+
+    def d1(x):
+        return {x} | {x[:i] + x[i + 1:] for i in range(len(x))}
+
+    assert d1(s) & d1(t)
+
+
+@given(
+    st.text(alphabet="ab", min_size=1, max_size=6),
+    st.dictionaries(
+        st.text(alphabet="ab", min_size=1, max_size=3),
+        st.integers(min_value=1, max_value=1000),
+        min_size=0, max_size=8,
+    ),
+)
+@settings(max_examples=300, deadline=None)
+def test_viterbi_best_path_optimal_vs_enumeration(word, extra):
+    """_viterbi_best_path returns a true segmentation (pieces
+    concatenate to the word) achieving the lexicographic minimum
+    (cost, n_pieces) over ALL segmentations — checked against
+    brute-force enumeration; char coverage guarantees feasibility."""
+    from google_sheets_etl_spark.operators.text import _viterbi_best_path
+
+    pieces = {"a": 7, "b": 11, **extra}
+    max_len = max(len(p) for p in pieces)
+
+    def enumerate_all(w):
+        if not w:
+            yield (0, 0)
+            return
+        for ln in range(1, min(max_len, len(w)) + 1):
+            c = pieces.get(w[:ln])
+            if c is None:
+                continue
+            for cost, np_ in enumerate_all(w[ln:]):
+                yield (c + cost, 1 + np_)
+
+    best = min(enumerate_all(word))
+    path = _viterbi_best_path(word, pieces, max_len)
+    assert "".join(path) == word
+    assert (sum(pieces[p] for p in path), len(path)) == best
