@@ -3108,6 +3108,75 @@ def pq_recall_at_k(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "opq_recall_at_k",
+    """SELECT * FROM (VALUES
+         ('adc_seeded',     5, CAST(0.22 AS DOUBLE)),
+         ('adc_rotated',    5, CAST(0.32 AS DOUBLE)),
+         ('rerank_rotated', 5, CAST(0.94 AS DOUBLE)))
+       AS t(variant, k, recall)""",
+)
+def opq_recall_at_k(spark: SparkSession, sf: str) -> DataFrame:
+    """OPQ-lite rotation certification (operators/similarity.py
+    opq_rotation_components — Ge et al. 2013, the eigenvalue-
+    allocation variant): PQ quantizes subspaces independently, so
+    variance concentrated in one subspace wastes code budget;
+    rotating into the full sign-fixed PCA basis and dealing
+    components round-robin by descending eigenvalue balances every
+    subspace's share. On this corpus the rotation lifts seeded
+    raw-ADC recall@5 0.22 → 0.32 and the deployed rerank path
+    0.92 → 0.94, for ONE extra narrow projection pass (orthogonal
+    rotation preserves norms and inner products, so cosine semantics
+    and the integer micro-unit contract carry over unchanged). The
+    oracle is the literal contract at the gate scale (the
+    pq_recall_at_k pattern); exact ground truth is computed on the
+    UNROTATED corpus — rotation invariance of the true top-k is part
+    of what's certified."""
+    emb = t(spark, sf, "embeddings")
+    q_ = emb.filter(F.col("vec_id") < 10)
+    c = emb.filter(F.col("vec_id") >= 10)
+    exact = (
+        similarity.cosine_topk_bruteforce(q_, c, k=5)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+    rot = similarity.pca_project(
+        emb, similarity.opq_rotation_components(emb, 8)
+    ).select("vec_id", F.col("proj").alias("embedding"))
+    qr = rot.filter(F.col("vec_id") < 10)
+    cr = rot.filter(F.col("vec_id") >= 10)
+
+    def row(variant: str, approx: DataFrame) -> DataFrame:
+        joined = exact.join(
+            approx.select(
+                "query_id", "neighbor_id", F.lit(1).alias("_hit")
+            ),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        return joined.agg(
+            F.lit(variant).alias("variant"),
+            F.lit(5).cast("int").alias("k"),
+            (
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+                / F.count(F.lit(1))
+            ).alias("recall"),
+        )
+
+    return (
+        row("adc_seeded", similarity.pq_topk_adc(q_, c, k=5))
+        .unionByName(
+            row("adc_rotated", similarity.pq_topk_adc(qr, cr, k=5))
+        )
+        .unionByName(
+            row(
+                "rerank_rotated",
+                similarity.pq_topk_rerank(qr, cr, k=5, shortlist=100),
+            )
+        )
+    )
+
+
 _COSINE_ORACLE = """
 WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
      c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10),

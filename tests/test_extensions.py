@@ -1829,3 +1829,27 @@ def test_unigram_hard_em_prunes_and_keeps_coverage(spark):
     # 'ab' count: freq-weighted ab occurrences = 2*1 + 2*2 = 6, +1
     assert rows["ab"][0] == 7
     assert all(c > 0 for _, c in rows.values())      # finite costs
+
+
+def test_opq_rotation_is_orthonormal_and_balanced(spark, sf_dir):
+    """OPQ rotation contracts: the component matrix is orthonormal
+    (norms and inner products preserved — the property that lets PQ
+    semantics carry over), and the round-robin allocation deals the
+    top-m eigencomponents one per subspace (balanced variance)."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    R = similarity.opq_rotation_components(emb, 8)
+    d = R.shape[0]
+    assert R.shape == (d, d)
+    assert np.allclose(R @ R.T, np.eye(d), atol=1e-9)
+    comps, _ = similarity.pca_components(emb, d)
+    dsub = d // 8
+    # output coordinate s*dsub (first coord of subspace s) carries
+    # eigencomponent s — the round-robin deal
+    for s_ in range(8):
+        assert np.allclose(R[s_ * dsub], comps[s_])
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="divide"):
+        similarity.opq_rotation_components(emb, 7)
