@@ -5008,6 +5008,86 @@ def phrase_search_counts(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "token_cooccurrence_lift",
+    """WITH dt AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' '))
+                     AS tok
+               FROM documents),
+       dt2 AS (SELECT doc_id, tok FROM dt WHERE tok <> ''),
+       df AS (SELECT tok, COUNT(*) AS n_tok FROM dt2 GROUP BY 1),
+       nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM dt2),
+       pair AS (SELECT a.tok AS tok_a, b.tok AS tok_b,
+                       COUNT(*) AS n_ab
+                FROM dt2 a JOIN dt2 b
+                  ON a.doc_id = b.doc_id AND a.tok < b.tok
+                GROUP BY 1, 2),
+       out AS (SELECT tok_a, tok_b, n_ab, fa.n_tok AS n_a,
+                      fb.n_tok AS n_b, nd.n_docs
+               FROM pair JOIN df fa ON fa.tok = pair.tok_a
+                         JOIN df fb ON fb.tok = pair.tok_b, nd)
+       SELECT tok_a, tok_b, n_ab, n_a, n_b,
+              (n_docs * n_ab * 1000000) // (n_a * n_b) AS lift_u6
+       FROM out WHERE n_ab * 100 >= 60 * n_docs""",
+)
+def token_cooccurrence_lift(spark: SparkSession, sf: str) -> DataFrame:
+    """Token CO-OCCURRENCE with integer-exact lift — the association-
+    mining primitive (market-basket support/lift over the document-
+    term relation): per document the DISTINCT token set, unordered
+    pairs counted across documents, support-filtered at ≥60% of docs
+    (integer rational test) with
+    ``lift_u6 = ⌊n_docs·n_ab·10⁶ / (n_a·n_b)⌋`` — floor division on
+    exact integers, so no rounding rule can diverge cross-engine
+    (lift > 1e6 ⇔ positively associated). Scale shape: the pair join
+    is per-document (doc_id equi-join, never cross-document); fan-out
+    is Σ(distinct tokens per doc)² — at web scale you df-cap to the
+    top-V vocabulary first, exactly as the heavy-hitter row's sketch
+    does, which bounds the quadratic at V."""
+    dt = (
+        t(spark, sf, "documents")
+        .select(
+            "doc_id",
+            F.explode(F.split(F.col("text"), " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    from .operators.ckpt import make_ckpt
+
+    dt = make_ckpt(None)(dt)  # three consumers: df, n_docs, pair join
+    df = dt.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
+    n_docs = dt.select("doc_id").distinct().count()
+    pair = (
+        dt.alias("a")
+        .join(
+            dt.alias("b"),
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.tok") < F.col("b.tok")),
+        )
+        .groupBy(
+            F.col("a.tok").alias("tok_a"), F.col("b.tok").alias("tok_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    out = (
+        pair.join(
+            F.broadcast(df.withColumnRenamed("tok", "tok_a")
+                        .withColumnRenamed("n_tok", "n_a")), "tok_a"
+        )
+        .join(
+            F.broadcast(df.withColumnRenamed("tok", "tok_b")
+                        .withColumnRenamed("n_tok", "n_b")), "tok_b"
+        )
+        .filter(F.col("n_ab") * 100 >= 60 * F.lit(n_docs))
+        .select(
+            "tok_a", "tok_b", "n_ab", "n_a", "n_b",
+            F.expr(
+                f"({n_docs}L * n_ab * 1000000L) div (n_a * n_b)"
+            ).alias("lift_u6"),
+        )
+    )
+    return out
+
+
+@q(
     "heavy_hitter_tokens",
     """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
                     FROM documents),
@@ -5075,6 +5155,58 @@ def events_value_outliers_mad(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("n_outliers"),
             F.round(F.first("med"), 6).alias("med"),
             F.round(F.first("mad"), 6).alias("mad"),
+        )
+    )
+
+
+@q(
+    "attribution_last_touch",
+    """WITH ordered AS (
+         SELECT user_id, event_id, event_type, ts,
+                LAST_VALUE(CASE WHEN event_type = 'click'
+                                THEN event_id END IGNORE NULLS)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) AS attributed_click
+         FROM events)
+       SELECT event_id AS purchase_id, user_id,
+              COALESCE(attributed_click, -1) AS attributed_click
+       FROM ordered WHERE event_type = 'purchase'""",
+)
+def attribution_last_touch(spark: SparkSession, sf: str) -> DataFrame:
+    """LAST-TOUCH ATTRIBUTION — the marketing-analytics archetype the
+    funnel/cohort rows don't cover: each purchase is credited to the
+    user's most recent STRICTLY-PRIOR click (conditional carry-
+    forward: last_value(... ignore nulls) over rows unbounded
+    preceding to 1 preceding, ordered (ts, event_id) so same-
+    timestamp rows resolve deterministically). Purchases with no
+    prior click carry the explicit -1 sentinel — unattributed, not
+    dropped (a bare NULL int round-trips as float through pandas and
+    would break the type-sensitive compare). ONE window
+    over the per-user ordered stream: the shuffle key is user_id, no
+    self-join, no per-purchase rescans; at 100 TB this is a single
+    exchange + sort, the same shape as sessionization."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ev = t(spark, sf, "events")
+    return (
+        ev.withColumn(
+            "attributed_click",
+            F.last(
+                F.when(F.col("event_type") == "click", F.col("event_id")),
+                ignorenulls=True,
+            ).over(w),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.coalesce("attributed_click", F.lit(-1)).alias(
+                "attributed_click"
+            ),
         )
     )
 

@@ -530,6 +530,7 @@ def test_new_candidate_joins_have_no_cartesian(spark, sf_dir):
         "doc_containment_pairs",
         "phrase_search_counts",
         "video_signature_near_dup",
+        "token_cooccurrence_lift",
     ):
         plan = _plan(QUERIES[name](spark, sf_dir))
         assert "CartesianProduct" not in plan, name
