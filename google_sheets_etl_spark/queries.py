@@ -6799,6 +6799,77 @@ def quality_classifier_score(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "curriculum_decile_counts",
+    """WITH f AS (
+         SELECT doc_id,
+                len(string_split(text, ' '))::BIGINT AS nt,
+                len(list_filter(string_split(text, ' '),
+                    w -> list_contains(['the','a','of','and','to','in','is',
+                                        'that','it','for'], w)))::BIGINT AS sh,
+                list_max(list_transform(string_split(text, ' '),
+                                        w -> len(w)))::BIGINT AS mx
+         FROM documents),
+       sc AS (SELECT doc_id,
+                     (1000 * sh - 36 * nt - 5 * nt * mx)::BIGINT AS s
+              FROM f),
+       b AS (SELECT quantile_cont(s, [0.1,0.2,0.3,0.4,0.5,
+                                      0.6,0.7,0.8,0.9]) AS bs
+             FROM sc),
+       d AS (SELECT doc_id, s,
+                    (1 + len(list_filter(bs, x -> s > x)))::BIGINT
+                      AS decile
+             FROM sc, b)
+       SELECT decile, COUNT(*) AS n, MIN(s) AS min_score,
+              MAX(s) AS max_score
+       FROM d GROUP BY 1""",
+)
+def curriculum_decile_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """CURRICULUM BINNING — deciles of the integer quality score for
+    difficulty-ordered training schedules, in the shape that scales:
+    a global NTILE needs a total order (one-partition window — the
+    anti-pattern); instead the 9 exact percentile BOUNDARIES compute
+    in one aggregate, broadcast (9 doubles), and every doc assigns
+    narrowly as ``decile = 1 + #(boundaries strictly below score)``.
+    Integer scores (the quality_classifier_score contract) make the
+    boundary comparisons engine-exact: both engines interpolate the
+    same two integers with the same formula, and an integer score
+    never straddles a half-unit boundary. Ties share a decile (same
+    score ⇒ same bin — rank-splitting ties would be
+    partition-order-dependent); bins are therefore equal-sized only
+    up to tie mass, which min/max per bin makes auditable."""
+    scored = text_ops.quality_classifier(
+        t(spark, sf, "documents")
+    ).select("doc_id", "quality_score")
+    bounds = scored.agg(
+        F.expr(
+            "percentile(quality_score, "
+            "array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D))"
+        ).alias("bs")
+    )
+    return (
+        scored.crossJoin(F.broadcast(bounds))
+        .select(
+            "quality_score",
+            (
+                F.lit(1)
+                + F.aggregate(
+                    "bs",
+                    F.lit(0),
+                    lambda acc, b: acc
+                    + F.when(F.col("quality_score") > b, 1).otherwise(0),
+                )
+            ).cast("long").alias("decile"),
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("quality_score").alias("min_score"),
+            F.max("quality_score").alias("max_score"),
+        )
+    )
+
+
+@q(
     "context_pack_chunks",
     """WITH tok AS (
          SELECT doc_id, source,
