@@ -894,3 +894,63 @@ def video_frame_deltas(
             })
 
     return media.select(id_col, "payload").mapInPandas(kernel, out_schema)
+
+
+def payload_decode_audit(
+    media: DataFrame, id_col: str = "media_id"
+) -> DataFrame:
+    """The REJECT CHANNEL for strict per-row decoding — the
+    dead-letter table a production ingest needs next to the silent
+    per-row-reject kernels (which yield no row for undecodable
+    payloads; right for the data path, wrong for operations, which
+    must SEE what was rejected and why). One narrow pass dispatches
+    on magic bytes (P6 → the strict PPM parse, RIFF → the strict WAV
+    chunk walk) and emits ``(id, ok, err)`` for EVERY input row, with
+    ``err`` the decoder's own pinned ValueError message ('' when ok)
+    — so the audit relation is deterministic, oracle-able, and
+    filters compose (``filter(~ok)`` IS the dead-letter queue; its
+    complement is exactly the row set the decode kernels keep).
+
+    Scale shape: parse-only (headers + bounds checks — no feature
+    math), no shuffle; at 100 TB this runs as the admission gate's
+    side output and lands partitioned by err for triage."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        BooleanType, StringType, StructField, StructType,
+    )
+
+    out_schema = StructType([
+        StructField(id_col, media.schema[id_col].dataType),
+        StructField("ok", BooleanType()),
+        StructField("err", StringType()),
+    ])
+
+    def verdict(payload) -> tuple[bool, str]:
+        if payload is None:
+            return False, "null payload"
+        b = bytes(payload)
+        try:
+            if b[:2] == b"P6":
+                PpmCodec.parse(b)
+            elif b[:4] == b"RIFF":
+                parse_wav_pcm16(b)
+            else:
+                return False, "unsupported payload format"
+        except ValueError as exc:
+            return False, str(exc)
+        return True, ""
+
+    def kernel(batches):
+        for pdf in batches:
+            oks, errs = [], []
+            for payload in pdf["payload"]:
+                ok, err = verdict(payload)
+                oks.append(ok)
+                errs.append(err)
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "ok": pd.Series(oks, dtype="bool"),
+                "err": errs,
+            })
+
+    return media.select(id_col, "payload").mapInPandas(kernel, out_schema)

@@ -4111,6 +4111,55 @@ def audio_dhash_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "multimodal_decode_audit",
+    """SELECT doc_id AS media_id,
+              (doc_id % 4) = 0 AS ok,
+              CASE doc_id % 4
+                WHEN 0 THEN ''
+                WHEN 1 THEN 'truncated ppm raster'
+                WHEN 2 THEN 'unsupported payload format'
+                ELSE 'null payload' END AS err
+       FROM documents""",
+)
+def multimodal_decode_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """The decode REJECT CHANNEL (operators/multimodal.py
+    payload_decode_audit): the strict per-row-reject kernels yield no
+    row for undecodable payloads — right for the data path, but
+    operations must SEE what was rejected and why. The audit pass
+    emits (id, ok, err) for EVERY row, err being the decoder's own
+    pinned ValueError message, so ``filter(~ok)`` IS the dead-letter
+    queue and its complement is exactly the row set the kernels keep.
+    The fixture plants one failure class per residue: valid P6,
+    truncated raster, non-media junk, NULL payload — the oracle
+    regenerates each verdict from the class."""
+    d = t(spark, sf, "documents").select("doc_id")
+    header = F.encode(F.lit("P6\n2 2\n255\n"), "UTF-8")
+    pixels_hex = F.concat_ws(
+        "",
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), F.lit(11).cast("long")),
+            lambda k: F.lpad(F.hex((F.col("doc_id") * 11 + k) % 256), 2, "0"),
+        ),
+    )
+    valid = F.unhex(F.concat(F.hex(header), pixels_hex))
+    truncated = F.unhex(
+        F.concat(F.hex(header), F.substring(pixels_hex, 1, 22))
+    )
+    junk = F.encode(F.lit("XXnot-media"), "UTF-8")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.when(F.col("doc_id") % 4 == 0, valid)
+        .when(F.col("doc_id") % 4 == 1, truncated)
+        .when(F.col("doc_id") % 4 == 2, junk)
+        .otherwise(F.lit(None).cast("binary"))
+        .alias("payload"),
+        F.lit(None).cast(multimodal.META_STRUCT).alias("meta"),
+    )
+    return multimodal.payload_decode_audit(media)
+
+
 def _video_media(spark: SparkSession, sf: str) -> DataFrame:
     """REAL video payloads: concatenated-P6 frame containers (the
     uncompressed frame-sequence shape operators/multimodal.py

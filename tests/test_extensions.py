@@ -1853,3 +1853,43 @@ def test_opq_rotation_is_orthonormal_and_balanced(spark, sf_dir):
     import pytest as _pt
     with _pt.raises(ValueError, match="divide"):
         similarity.opq_rotation_components(emb, 7)
+
+
+def test_payload_decode_audit_wav_and_classes(spark):
+    """Audit channel contracts: RIFF payloads route through the
+    strict WAV walk (valid ok, truncated chunk carries the WAV
+    error), P6 through the PPM parse, junk and NULL get their pinned
+    classes — and the ok set equals the rows the decode kernels
+    keep."""
+    from google_sheets_etl_spark.operators import multimodal as mm
+
+    wav = _wav_bytes([1, 2, 3, 4], extra_chunk=False)
+    ppm = b"P6\n1 1\n255\n\x01\x02\x03"
+    rows = [
+        (1, "audio", wav, None),
+        (2, "audio", wav[:-2], None),        # truncated data chunk
+        (3, "image", ppm, None),
+        (4, "image", ppm[:-1], None),        # truncated raster
+        (5, "image", b"ZZ", None),
+        (6, "image", None, None),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    got = {
+        r["media_id"]: (r["ok"], r["err"])
+        for r in mm.payload_decode_audit(media).collect()
+    }
+    assert got[1] == (True, "")
+    assert got[2][0] is False and "chunk" in got[2][1]
+    assert got[3] == (True, "")
+    assert got[4] == (False, "truncated ppm raster")
+    assert got[5] == (False, "unsupported payload format")
+    assert got[6] == (False, "null payload")
+    # complement contract: kernels keep exactly the ok rows
+    kept = {
+        r["media_id"]
+        for r in mm.image_dhash(
+            media.filter(F.col("kind") == "image")
+        ).collect()
+    }
+    ok_images = {m for m, (ok, _) in got.items() if ok and m >= 3}
+    assert kept == ok_images
