@@ -47,3 +47,41 @@ def table_profile(df: DataFrame, cols: list[str]) -> DataFrame:
         for c in cols
     ])
     return one.select(F.explode(rows).alias("s")).select("s.*")
+
+
+def expectations_report(
+    df: DataFrame, rules: list[tuple[str, "F.Column"]]
+) -> DataFrame:
+    """Declarative data-quality EXPECTATIONS evaluated in ONE scan —
+    the ops-facing contract layer over a table (the
+    Great-Expectations idea expressed as a conditional-aggregate
+    projection): each rule is ``(name, boolean Column)`` where the
+    column is TRUE when a row SATISFIES the expectation; NULL counts
+    as a violation (an expectation that cannot be evaluated on a row
+    is not met — the strict reading). Returns one row per rule:
+    ``(rule, n_rows, n_violations, pass)``.
+
+    Scale shape: all rules fold into a single aggregate over one
+    table scan (conditional sums — map-side combine, one exchange of
+    ONE row), then explode to the rules-sized report. Adding a rule
+    adds a column to the same pass, never a scan."""
+    if not rules:
+        raise ValueError("no rules")
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i, (_name, cond) in enumerate(rules):
+        aggs.append(
+            F.sum(
+                F.when(~F.coalesce(cond, F.lit(False)), 1).otherwise(0)
+            ).alias(f"_v_{i}")
+        )
+    one = df.agg(*aggs)
+    rows = F.array(*[
+        F.struct(
+            F.lit(name).alias("rule"),
+            F.col("_n").alias("n_rows"),
+            F.col(f"_v_{i}").alias("n_violations"),
+            (F.col(f"_v_{i}") == 0).alias("pass"),
+        )
+        for i, (name, _cond) in enumerate(rules)
+    ])
+    return one.select(F.explode(rows).alias("s")).select("s.*")

@@ -5593,6 +5593,55 @@ def mixture_sample_applied(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "table_expectations_report",
+    """WITH agg AS (
+         SELECT COUNT(*) AS n,
+                SUM(CASE WHEN NOT COALESCE(l_orderkey IS NOT NULL, FALSE)
+                         THEN 1 ELSE 0 END) AS v0,
+                SUM(CASE WHEN NOT COALESCE(l_quantity BETWEEN 1 AND 50,
+                                           FALSE)
+                         THEN 1 ELSE 0 END) AS v1,
+                SUM(CASE WHEN NOT COALESCE(
+                           l_returnflag IN ('A', 'N', 'R'), FALSE)
+                         THEN 1 ELSE 0 END) AS v2,
+                SUM(CASE WHEN NOT COALESCE(
+                           l_shipdate >= TIMESTAMP '1992-01-01', FALSE)
+                         THEN 1 ELSE 0 END) AS v3,
+                SUM(CASE WHEN NOT COALESCE(l_discount < 0.09, FALSE)
+                         THEN 1 ELSE 0 END) AS v4
+         FROM lineitem)
+       SELECT t.rule, agg.n AS n_rows,
+              CAST(t.v AS BIGINT) AS n_violations, t.v = 0 AS pass
+       FROM agg, LATERAL (VALUES
+         ('orderkey_not_null', v0), ('quantity_1_50', v1),
+         ('returnflag_domain', v2), ('shipdate_floor', v3),
+         ('discount_under_9pct', v4)) AS t(rule, v)""",
+)
+def table_expectations_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Declarative data-quality EXPECTATIONS (plans/stats.py
+    expectations_report — the Great-Expectations idea as a
+    conditional-aggregate projection): five contracts over lineitem
+    (not-null key, quantity bounds, returnflag domain, shipdate
+    floor, and a deliberately-violated discount ceiling so the
+    report's failure path is exercised, not just asserted) evaluated
+    in ONE scan — all rules fold into a single aggregate (map-side
+    combine, one exchange of one row) and explode to the rules-sized
+    report. NULL rule results count as violations (an expectation
+    that cannot be evaluated is not met)."""
+    from .plans.stats import expectations_report
+
+    li = t(spark, sf, "lineitem")
+    rules = [
+        ("orderkey_not_null", F.col("l_orderkey").isNotNull()),
+        ("quantity_1_50", F.col("l_quantity").between(1, 50)),
+        ("returnflag_domain", F.col("l_returnflag").isin("A", "N", "R")),
+        ("shipdate_floor", F.col("l_shipdate") >= F.lit("1992-01-01")),
+        ("discount_under_9pct", F.col("l_discount") < 0.09),
+    ]
+    return expectations_report(li, rules)
+
+
+@q(
     "table_profile_documents",
     """SELECT 'doc_id' AS column,
               CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)

@@ -535,3 +535,32 @@ def test_new_candidate_joins_have_no_cartesian(spark, sf_dir):
         plan = _plan(QUERIES[name](spark, sf_dir))
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoop" not in plan, name
+
+
+def test_expectations_report_single_scan_and_null_semantics(spark):
+    """Expectations contracts: all rules evaluate in ONE aggregate
+    over one scan (exactly one Exchange in the plan); NULL rule
+    results count as violations; empty rule list raises."""
+    import pytest as _pt
+
+    from google_sheets_etl_spark.plans.stats import expectations_report
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, 60.0)], "id long, v double"
+    )
+    rep = expectations_report(df, [
+        ("v_under_50", F.col("v") < 50),
+        ("id_positive", F.col("id") > 0),
+    ])
+    got = {r["rule"]: (r["n_violations"], r["pass"]) for r in rep.collect()}
+    # NULL v fails the bound (cannot evaluate => not met) + 60 fails
+    assert got["v_under_50"] == (2, False)
+    assert got["id_positive"] == (0, True)
+    # count shuffle STAGES in the FINAL plan only — AQE's formatted
+    # output repeats every node under "Initial Plan", and each
+    # ShuffleQueryStage prints its child Exchange too
+    final = _plan(rep).split("Initial Plan")[0]
+    assert final.count("ShuffleQueryStage") == 1, final
+
+    with _pt.raises(ValueError, match="no rules"):
+        expectations_report(df, [])
