@@ -888,6 +888,135 @@ def streaming_interval_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "streaming_interval_join_left",
+    """WITH e AS (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'error'),
+         c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+       SELECT e.event_id AS err_event_id,
+              CAST(SUM(CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END)
+                   AS BIGINT) AS n_clicks
+       FROM e LEFT JOIN c
+         ON e.user_id = c.user_id
+        AND c.ts >= e.ts AND c.ts <= e.ts + INTERVAL 1 HOUR
+       GROUP BY 1""",
+)
+def streaming_interval_join_left(spark: SparkSession, sf: str) -> DataFrame:
+    """LEFT-OUTER stream-stream interval join — the semantics the
+    inner row can't certify: an error with NO click within the hour
+    must still emit (null click side), and a streaming engine can
+    only do that once the JOIN watermark (min of both streams') has
+    passed the error's whole match window — null-side emission IS
+    watermark eviction. End-of-stream tail rows are the classic
+    silent-loss trap: state pending when the source drains would
+    never emit, so the fixture appends two far-future SENTINEL files
+    (non-joining user −1, processed as their own trailing
+    micro-batches via maxFilesPerTrigger=1) that push the watermark
+    past every real window before the drain ends; sentinels filter
+    out of the result by id. Certified against the batch LEFT range
+    join: matched errors carry their click counts, unmatched carry
+    n_clicks = 0 — both paths, not just the happy one."""
+    import datetime
+    import shutil
+    import tempfile
+
+    import os as _os
+
+    src = tempfile.mkdtemp(prefix="sij_src_")
+    canonical = f"{sf}/events.parquet"
+    if _os.path.isdir(canonical):
+        shutil.copytree(canonical, f"{src}/a_events.parquet")
+    else:
+        shutil.copy(canonical, f"{src}/a_events.parquet")
+    # sentinels must carry the CANONICAL file's physical arrow schema
+    # (the adaptive reader's schema comes from that footer) AND land
+    # as single parquet FILES — a Spark-written directory next to a
+    # plain-file copy breaks the file source's listing (observed: only
+    # the first batch ran), so write through pyarrow directly
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(canonical)
+    pa_schema = tbl.schema
+    mx = max(
+        v for v in tbl.column("ts").to_pylist() if v is not None
+    )
+    for i, days in enumerate((10, 20)):
+        if isinstance(mx, (int,)):
+            # integer epoch column: unit-agnostic upper bound (ns)
+            sts = int(mx) + days * 86_400 * 1_000_000_000
+        else:
+            sts = mx + datetime.timedelta(days=days)
+        cols = {
+            "event_id": [-(2 * i + 1), -(2 * i + 2)],
+            "ts": [sts, sts],
+            "user_id": [-1, -1],
+            "event_type": ["click", "error"],
+            "value": [0.0, 0.0],
+            "props": [None, None],
+        }
+        sent = pa.table(
+            {f.name: pa.array(cols[f.name], type=f.type)
+             for f in pa_schema},
+            schema=pa_schema,
+        )
+        pq.write_table(sent, f"{src}/zzz_sentinel_{i}.parquet")
+    # the file SOURCE orders batches by modification time, and
+    # shutil.copy does not preserve the original's mtime — without an
+    # explicit ordering a sentinel can process BEFORE the real data,
+    # advance the watermark, and silently drop real rows as late.
+    # Pin: events oldest, sentinels strictly after, in order.
+    now = __import__("time").time()
+    offsets = {"a_events.parquet": -300, "zzz_sentinel_0.parquet": -200,
+               "zzz_sentinel_1.parquet": -100}
+    for entry, off in offsets.items():
+        p = f"{src}/{entry}"
+        targets = (
+            [_os.path.join(dp, f) for dp, _dn, fn in _os.walk(p)
+             for f in fn]
+            if _os.path.isdir(p) else [p]
+        )
+        for tpath in targets:
+            _os.utime(tpath, (now + off, now + off))
+    stream = _events_stream_adaptive(
+        spark, sf, src_dir=src, max_files_per_trigger=1
+    )
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    errors = (
+        stream.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("err_event_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", "2 hours")
+    )
+    pairs = errors.join(
+        clicks,
+        F.expr(
+            "e_user = c_user AND c_ts >= e_ts "
+            "AND c_ts <= e_ts + INTERVAL 1 HOUR"
+        ),
+        "leftOuter",
+    )
+    sink = _drain_to_memory(pairs, "stream_loj", "append")
+    return (
+        sink.filter(F.col("err_event_id") >= 0)
+        .groupBy("err_event_id")
+        .agg(
+            F.sum(
+                F.when(F.col("c_user").isNotNull(), 1).otherwise(0)
+            ).alias("n_clicks")
+        )
+    )
+
+
 _FIXTURES_DIR = __import__("os").path.join(
     __import__("os").path.dirname(__import__("os").path.abspath(__file__)),
     "..", "fixtures",
