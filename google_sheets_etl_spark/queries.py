@@ -7515,6 +7515,81 @@ def training_prep_pipeline_e2e(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "scd2_dimension_versions",
+    """WITH c AS (SELECT c_custkey AS custkey, c_mktsegment AS seg
+                  FROM customer),
+       base AS (
+         SELECT custkey, seg AS segment, CAST(0 AS BIGINT) AS valid_from_us,
+                CASE WHEN custkey % 3 = 0 THEN 1000000
+                     ELSE 253402300799000000 END AS valid_to_us
+         FROM c),
+       v1 AS (
+         SELECT custkey, 'MOVED1' AS segment,
+                CAST(1000000 AS BIGINT) AS valid_from_us,
+                CASE WHEN custkey % 6 = 0 THEN 2000000
+                     ELSE 253402300799000000 END AS valid_to_us
+         FROM c WHERE custkey % 3 = 0),
+       v2 AS (
+         SELECT custkey, 'MOVED2' AS segment,
+                CAST(2000000 AS BIGINT) AS valid_from_us,
+                CAST(253402300799000000 AS BIGINT) AS valid_to_us
+         FROM c WHERE custkey % 6 = 0),
+       fresh AS (
+         SELECT custkey + 100000 AS custkey, 'FRESH' AS segment,
+                CAST(2000000 AS BIGINT) AS valid_from_us,
+                CAST(253402300799000000 AS BIGINT) AS valid_to_us
+         FROM c WHERE custkey % 6 = 0)
+       SELECT * FROM base UNION ALL SELECT * FROM v1
+       UNION ALL SELECT * FROM v2 UNION ALL SELECT * FROM fresh""",
+)
+def scd2_dimension_versions(spark: SparkSession, sf: str) -> DataFrame:
+    """SLOWLY-CHANGING DIMENSION Type 2 (plans/scd.py scd2_apply):
+    attribute changes close the current version's validity interval
+    and open a new one, so facts join as-was
+    (``ts BETWEEN valid_from AND valid_to``). Two update batches
+    exercise every path: batch 1 moves every third customer to a new
+    segment AND redelivers unchanged rows for every seventh (the
+    no-op must NOT mint a spurious version — idempotence under
+    redelivery); batch 2 moves every sixth again (closing a version
+    opened by batch 1) and inserts brand-new keys. The oracle
+    reconstructs the full version history per residue class from the
+    fixture formula. One broadcast join per batch against only the
+    CURRENT rows; history is never rewritten."""
+    from .plans.scd import OPEN_END_US, scd2_apply
+
+    c = t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    dim = c.select(
+        "custkey", "segment",
+        F.lit(0).cast("long").alias("valid_from_us"),
+        F.lit(OPEN_END_US).alias("valid_to_us"),
+    )
+    b1 = c.filter(
+        (F.col("custkey") % 3 == 0) | (F.col("custkey") % 7 == 1)
+    ).select(
+        "custkey",
+        F.when(F.col("custkey") % 3 == 0, F.lit("MOVED1"))
+        .otherwise(F.col("segment")).alias("segment"),
+        F.lit(1_000_000).cast("long").alias("ts_us"),
+    )
+    dim = scd2_apply(dim, b1, "custkey", ["segment"])
+    moved2 = c.filter(F.col("custkey") % 6 == 0)
+    b2 = moved2.select(
+        "custkey", F.lit("MOVED2").alias("segment"),
+        F.lit(2_000_000).cast("long").alias("ts_us"),
+    ).unionByName(
+        moved2.select(
+            (F.col("custkey") + 100_000).alias("custkey"),
+            F.lit("FRESH").alias("segment"),
+            F.lit(2_000_000).cast("long").alias("ts_us"),
+        )
+    )
+    return scd2_apply(dim, b2, "custkey", ["segment"])
+
+
+@q(
     "snapshot_diff",
     """WITH old AS (
          SELECT doc_id,

@@ -564,3 +564,37 @@ def test_expectations_report_single_scan_and_null_semantics(spark):
 
     with _pt.raises(ValueError, match="no rules"):
         expectations_report(df, [])
+
+
+def test_scd2_apply_contracts(spark):
+    """SCD2 contracts: no-op redelivery mints no version; NULL→value
+    and value→NULL both count as changes (eqNullSafe); duplicate
+    updates for one key in a batch raise; re-applying the same batch
+    is idempotent."""
+    from google_sheets_etl_spark.plans.scd import OPEN_END_US, scd2_apply
+
+    dim = spark.createDataFrame(
+        [(1, "A", 0, OPEN_END_US), (2, None, 0, OPEN_END_US)],
+        "k long, attr string, valid_from_us long, valid_to_us long",
+    )
+    batch = spark.createDataFrame(
+        [(1, "A", 10), (2, "B", 10)], "k long, attr string, ts_us long"
+    )
+    out = scd2_apply(dim, batch, "k", ["attr"])
+    rows = {(r["k"], r["attr"], r["valid_from_us"], r["valid_to_us"])
+            for r in out.collect()}
+    assert (1, "A", 0, OPEN_END_US) in rows          # no-op: untouched
+    assert (2, None, 0, 10) in rows                  # NULL→B closed
+    assert (2, "B", 10, OPEN_END_US) in rows
+    assert len(rows) == 3
+
+    again = scd2_apply(out, batch, "k", ["attr"])
+    assert {(r["k"], r["attr"], r["valid_from_us"], r["valid_to_us"])
+            for r in again.collect()} == rows        # idempotent
+
+    import pytest as _pt
+    dup = spark.createDataFrame(
+        [(1, "X", 10), (1, "Y", 11)], "k long, attr string, ts_us long"
+    )
+    with _pt.raises(ValueError, match="multiple updates"):
+        scd2_apply(dim, dup, "k", ["attr"])
