@@ -2493,6 +2493,38 @@ def simhash64(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.simhash64(t(spark, sf, "documents"))
 
 
+@q(
+    "simhash_near_dup",
+    _SIMHASH_ORACLE.replace(
+        "SELECT doc_id,\n       CAST(SUM(CASE WHEN set_bit THEN "
+        "(1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash\n"
+        "FROM votes GROUP BY doc_id",
+        """, sh AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN set_bit THEN (1::BIGINT << b) ELSE 0 END)
+              AS BIGINT) AS s
+  FROM votes GROUP BY doc_id)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.s, b.s)) <= 3""",
+    ),
+)
+def simhash_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup pairs (operators/dedup.py
+    simhash_near_dup_pairs — Manku et al. 2007's banded-table
+    composition over the Charikar fingerprint): 10 six-bit bands give
+    pigeonhole recall 1 below 10 bit errors, the exact popcount
+    verify makes the bounded join EQUAL the all-pairs hamming
+    relation the oracle computes at distance ≤ 3. Completes SimHash
+    from fingerprint row to full dedup path — the third independent
+    near-dup family (token-set MinHash, gradient dHash, bit-vote
+    SimHash) sharing the band-then-verify skeleton."""
+    return dedup.simhash_near_dup_pairs(
+        t(spark, sf, "documents"), max_dist=3
+    )
+
+
 def _typo_titles(spark: SparkSession, sf: str) -> DataFrame:
     """Planted-typo short strings for the fuzzy-match row: doc pairs
     (2t, 2t+1) — the even partner is a 12-char formula title (char j

@@ -1893,3 +1893,29 @@ def test_payload_decode_audit_wav_and_classes(spark):
     }
     ok_images = {m for m, (ok, _) in got.items() if ok and m >= 3}
     assert kept == ok_images
+
+
+def test_simhash_near_dup_banding_recall_and_verify(spark):
+    """Banded SimHash contracts: identical docs pair at hamming 0, a
+    lightly perturbed doc pairs within threshold, an unrelated doc
+    does not, and out-of-range thresholds raise (banding guarantees
+    recall only below the band count)."""
+    import pytest as _pt
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    near = " ".join(f"tok{i}" for i in range(39)) + " zz"
+    far = " ".join(f"zz{i}" for i in range(40))
+    rows = spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, far)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_near_dup_pairs(rows, max_dist=9).collect()
+    }
+    assert got[(1, 2)] == 0
+    assert (1, 3) in got and got[(1, 3)] <= 9
+    assert all(4 not in p for p in got)
+
+    with _pt.raises(ValueError, match="max_dist"):
+        dedup.simhash_near_dup_pairs(rows, max_dist=10)
