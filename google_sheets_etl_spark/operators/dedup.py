@@ -631,6 +631,7 @@ def edit_distance_near_dup(
     id_col: str = "doc_id",
     text_col: str = "title",
     max_dist: int = 1,
+    block_cols: list[str] | None = None,
 ) -> DataFrame:
     """Fuzzy-string near-dup pairs at edit distance ≤ ``max_dist`` via
     DELETION-NEIGHBORHOOD signatures (FastSS, Bocek et al. 2007
@@ -652,6 +653,14 @@ def edit_distance_near_dup(
     d over short strings — titles, names, codes); larger distances
     belong to the n-gram/LSH family (:func:`near_dup_pairs`).
 
+    ``block_cols`` is the RECORD-LINKAGE composition: candidates must
+    additionally agree EXACTLY on every block column (the classic
+    blocking-key × fuzzy-field shape — match on nation + name-typo,
+    never name-typo across nations). Blocking composes into the join
+    KEY, so it both restricts the relation AND shrinks candidate
+    fan-out; exactness of the output relation is unchanged within
+    each block.
+
     Scale shape: everything JVM-side (transform/explode/substr —
     no Python in the plan). Signature rows fan out at (len+1) per
     string; the join key is uniform (short variant strings), the
@@ -663,6 +672,7 @@ def edit_distance_near_dup(
             "max_dist must be 0 or 1: deeper deletion neighborhoods "
             "grow as len^d — use the n-gram/LSH near-dup family instead"
         )
+    blocks = list(block_cols or [])
     txt = F.col(text_col)
     if max_dist == 0:
         variants = F.array(txt)
@@ -680,15 +690,19 @@ def edit_distance_near_dup(
     sigs = rows.select(
         F.col(id_col).alias("_id"),
         txt.alias("_t"),
+        *blocks,
         F.explode(F.array_distinct(variants)).alias("_sig"),
     )
+    join_cond = (F.col("a._sig") == F.col("b._sig")) & (
+        F.col("a._id") < F.col("b._id")
+    )
+    for c in blocks:
+        join_cond = join_cond & F.col(f"a.{c}").eqNullSafe(
+            F.col(f"b.{c}")
+        )
     cand = (
         sigs.alias("a")
-        .join(
-            sigs.alias("b"),
-            (F.col("a._sig") == F.col("b._sig"))
-            & (F.col("a._id") < F.col("b._id")),
-        )
+        .join(sigs.alias("b"), join_cond)
         .select(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),

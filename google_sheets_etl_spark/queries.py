@@ -2525,6 +2525,97 @@ def simhash_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _entity_records(spark: SparkSession, sf: str) -> DataFrame:
+    """Contact-style records for the RECORD-LINKAGE row: every
+    customer gets a 10-char formula name (char j =
+    ``chr(97 + (k·13 + j²·5 + k·j·3) % 26)``) and its nation as the
+    blocking key. Planted ground truth: every fourth customer has a
+    TWIN record (id + 500000) with one name character deleted at
+    position k % 10 and the SAME nation — a true duplicate entity;
+    every (4t+1)-th customer has a DECOY (id + 600000) with the same
+    one-edit name but a DIFFERENT nation — which blocking must
+    exclude (matching typo names across nations is the classic
+    record-linkage false positive)."""
+    c = t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("k"), F.col("c_nationkey").alias("nat")
+    )
+
+    def name_col(k, dropped: bool):
+        js = F.sequence(F.lit(0).cast("long"), F.lit(9).cast("long"))
+        kept = F.filter(js, lambda j: F.lit(not dropped) | (j != k % 10))
+        return F.concat_ws(
+            "",
+            F.transform(
+                kept,
+                lambda j: F.char(
+                    F.lit(97) + (k * 13 + j * j * 5 + k * j * 3) % 26
+                ),
+            ),
+        )
+
+    base = c.select(
+        F.col("k").alias("rec_id"), "nat",
+        name_col(F.col("k"), False).alias("name"),
+    )
+    twins = c.filter(F.col("k") % 4 == 0).select(
+        (F.col("k") + 500_000).alias("rec_id"), "nat",
+        name_col(F.col("k"), True).alias("name"),
+    )
+    decoys = c.filter(F.col("k") % 4 == 1).select(
+        (F.col("k") + 600_000).alias("rec_id"),
+        ((F.col("nat") + 1) % 25).alias("nat"),
+        name_col(F.col("k"), True).alias("name"),
+    )
+    return base.unionByName(twins).unionByName(decoys)
+
+
+@q(
+    "entity_match_pairs",
+    """WITH c AS (SELECT c_custkey AS k, c_nationkey AS nat
+                  FROM customer),
+       base AS (
+         SELECT k AS rec_id, nat,
+                string_agg(chr(CAST(97 + (k*13 + j*j*5 + k*j*3) % 26
+                                    AS INT)), '' ORDER BY j) AS name
+         FROM c, range(0, 10) t(j) GROUP BY 1, 2),
+       twin AS (
+         SELECT k + 500000 AS rec_id, nat,
+                string_agg(chr(CAST(97 + (k*13 + j*j*5 + k*j*3) % 26
+                                    AS INT)), '' ORDER BY j) AS name
+         FROM c, range(0, 10) t(j)
+         WHERE k % 4 = 0 AND j <> k % 10 GROUP BY 1, 2),
+       decoy AS (
+         SELECT k + 600000 AS rec_id, (nat + 1) % 25 AS nat,
+                string_agg(chr(CAST(97 + (k*13 + j*j*5 + k*j*3) % 26
+                                    AS INT)), '' ORDER BY j) AS name
+         FROM c, range(0, 10) t(j)
+         WHERE k % 4 = 1 AND j <> k % 10 GROUP BY 1, 2),
+       r AS (SELECT * FROM base UNION ALL SELECT * FROM twin
+             UNION ALL SELECT * FROM decoy)
+       SELECT a.rec_id AS id_a, b.rec_id AS id_b,
+              CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+       FROM r a JOIN r b ON a.rec_id < b.rec_id AND a.nat = b.nat
+       WHERE levenshtein(a.name, b.name) <= 1""",
+)
+def entity_match_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """RECORD LINKAGE (operators/dedup.py edit_distance_near_dup with
+    ``block_cols`` — the blocking-key × fuzzy-field composition every
+    entity-resolution pipeline runs): candidates must agree EXACTLY
+    on the nation block and within edit distance 1 on the name, via
+    deletion-neighborhood signatures extended with the block columns
+    in the join key (blocking restricts the relation AND shrinks
+    candidate fan-out). Every planted same-nation twin matches; every
+    cross-nation decoy with the identical typo name is excluded — the
+    false positive blocking exists to prevent, demonstrated not
+    asserted. Oracle: all-pairs levenshtein within nations over
+    formula-regenerated records."""
+    return dedup.edit_distance_near_dup(
+        _entity_records(spark, sf),
+        id_col="rec_id", text_col="name", max_dist=1,
+        block_cols=["nat"],
+    )
+
+
 def _typo_titles(spark: SparkSession, sf: str) -> DataFrame:
     """Planted-typo short strings for the fuzzy-match row: doc pairs
     (2t, 2t+1) — the even partner is a 12-char formula title (char j

@@ -1962,3 +1962,27 @@ def test_rate_change_cusum_detects_planted_burst(spark):
     # logic would drain it; equal-to-reference rate neither grows nor
     # shrinks the statistic)
     assert got[("burst", 10)] == (48, True)
+
+
+def test_edit_distance_blocking_excludes_cross_block(spark):
+    """block_cols contract: one-edit names match only within the same
+    block; identical typo names across blocks never pair; NULL blocks
+    match each other (eqNullSafe)."""
+    rows = spark.createDataFrame(
+        [
+            (1, "spark", 10),
+            (2, "spork", 10),    # same block, dist 1 -> match
+            (3, "spork", 20),    # different block -> excluded
+            (4, "sparky", None),
+            (5, "sparks", None),  # NULL blocks pair together (dist 1)
+        ],
+        "rec_id long, name string, nat int",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in dedup.edit_distance_near_dup(
+            rows, id_col="rec_id", text_col="name", max_dist=1,
+            block_cols=["nat"],
+        ).collect()
+    }
+    assert got == {(1, 2): 1, (4, 5): 1}
