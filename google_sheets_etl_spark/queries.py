@@ -3611,6 +3611,43 @@ def lang_id(spark: SparkSession, sf: str) -> DataFrame:
     return text_ops.lang_id(t(spark, sf, "documents"))
 
 
+@q(
+    "langid_confusion_matrix",
+    f"""WITH pred AS ({_lang_id_oracle()})
+       SELECT d.lang AS true_lang, pred.pred_lang,
+              COUNT(*) AS n,
+              CAST(SUM(CASE WHEN d.lang = pred.pred_lang
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+       FROM pred JOIN documents d ON d.doc_id = pred.doc_id
+       GROUP BY 1, 2""",
+)
+def langid_confusion_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """MODEL-EVALUATION tooling — the confusion matrix for the
+    language-ID classifier against the corpus's stored labels:
+    ``(true_lang, pred_lang, n, n_correct)`` where n_correct makes
+    accuracy/precision/recall integer-derivable per class without a
+    float in the relation. One classifier pass + one grouped count;
+    the matrix is classes², metadata-scale at any corpus size. The
+    oracle reuses the lang_id prediction CTE verbatim — classifier
+    and evaluation certified together."""
+    preds = text_ops.lang_id(t(spark, sf, "documents")).select(
+        "doc_id", "pred_lang"
+    )
+    labels = t(spark, sf, "documents").select("doc_id", "lang")
+    return (
+        preds.join(labels, "doc_id")
+        .groupBy(
+            F.col("lang").alias("true_lang"), F.col("pred_lang")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (F.col("lang") == F.col("pred_lang")).cast("long")
+            ).alias("n_correct"),
+        )
+    )
+
+
 _EMB_NEAR_DUP_ORACLE = """
 WITH p AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
