@@ -5934,6 +5934,70 @@ def mixture_sample_applied(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "fk_integrity_audit",
+    """SELECT 'lineitem->orders' AS relationship,
+              (SELECT COUNT(*) FROM lineitem) AS n_child,
+              (SELECT COUNT(*) FROM lineitem l
+               WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                 WHERE o.o_orderkey = l.l_orderkey))
+                AS n_orphans
+       UNION ALL
+       SELECT 'orders->customer',
+              (SELECT COUNT(*) FROM orders),
+              (SELECT COUNT(*) FROM orders o
+               WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                 WHERE c.c_custkey = o.o_custkey))
+       UNION ALL
+       SELECT 'customer->nation',
+              (SELECT COUNT(*) FROM customer),
+              (SELECT COUNT(*) FROM customer c
+               WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                 WHERE n.n_nationkey = c.c_nationkey))
+       UNION ALL
+       SELECT 'supplier->nation',
+              (SELECT COUNT(*) FROM supplier),
+              (SELECT COUNT(*) FROM supplier s
+               WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                 WHERE n.n_nationkey = s.s_nationkey))""",
+)
+def fk_integrity_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """REFERENTIAL-INTEGRITY audit — the cross-TABLE expectations the
+    single-scan report can't express: orphaned foreign keys per
+    relationship, each measured as one anti-join against the parent
+    key set (dims broadcast; the fact side never shuffles). A
+    continuously-loaded warehouse runs this next to ingestion —
+    partial loads and out-of-order jobs manifest exactly as orphan
+    counts ticking up. NULL FKs count as orphans here (strict read:
+    a child that cannot name its parent fails the relationship)."""
+    rels = [
+        ("lineitem->orders", "lineitem", "l_orderkey",
+         "orders", "o_orderkey"),
+        ("orders->customer", "orders", "o_custkey",
+         "customer", "c_custkey"),
+        ("customer->nation", "customer", "c_nationkey",
+         "nation", "n_nationkey"),
+        ("supplier->nation", "supplier", "s_nationkey",
+         "nation", "n_nationkey"),
+    ]
+    out = None
+    for name, child, ck, parent, pk in rels:
+        ch = t(spark, sf, child).select(F.col(ck).alias("_k"))
+        pa = t(spark, sf, parent).select(F.col(pk).alias("_k")).distinct()
+        row = (
+            ch.join(F.broadcast(pa), "_k", "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            .crossJoin(
+                ch.agg(F.count(F.lit(1)).alias("n_child"))
+            )
+            .select(
+                F.lit(name).alias("relationship"), "n_child", "n_orphans"
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+@q(
     "table_expectations_report",
     """WITH agg AS (
          SELECT COUNT(*) AS n,
