@@ -5550,6 +5550,54 @@ def rate_change_cusum(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "winsorized_value_stats",
+    """WITH b AS (SELECT event_type,
+                         quantile_cont(value, 0.05) AS lo,
+                         quantile_cont(value, 0.95) AS hi
+                  FROM events GROUP BY 1),
+       w AS (SELECT e.event_type, e.value,
+                    LEAST(GREATEST(e.value, b.lo), b.hi) AS wv,
+                    b.lo, b.hi
+             FROM events e JOIN b USING (event_type))
+       SELECT event_type, COUNT(*) AS n,
+              CAST(SUM(CASE WHEN value <> wv THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_clipped,
+              ROUND(AVG(value), 6) AS mean_raw,
+              ROUND(AVG(wv), 6) AS mean_winsorized,
+              ROUND(ANY_VALUE(lo), 6) AS p05, ROUND(ANY_VALUE(hi), 6) AS p95
+       FROM w GROUP BY 1""",
+)
+def winsorized_value_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """WINSORIZED aggregates — the robust-statistics sibling of the
+    MAD gate: instead of FLAGGING outliers, clip values to the
+    per-group [p05, p95] band so downstream means stop being hostage
+    to tails (the metric-dashboard standard for heavy-tailed value
+    columns). Boundaries are one exact-percentile aggregate,
+    broadcast; clipping is narrow; the clipped count rides along so
+    the clip rate is auditable. Same plan shape as the MAD row —
+    swap approx_percentile at 100 TB."""
+    ev = t(spark, sf, "events").select("event_type", "value")
+    b = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05D)").alias("lo"),
+        F.expr("percentile(value, 0.95D)").alias("hi"),
+    )
+    w = ev.join(F.broadcast(b), "event_type").select(
+        "event_type", "value", "lo", "hi",
+        F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+        .alias("wv"),
+    )
+    return w.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("value") != F.col("wv")).cast("long"))
+        .alias("n_clipped"),
+        F.round(F.avg("value"), 6).alias("mean_raw"),
+        F.round(F.avg("wv"), 6).alias("mean_winsorized"),
+        F.round(F.first("lo"), 6).alias("p05"),
+        F.round(F.first("hi"), 6).alias("p95"),
+    )
+
+
+@q(
     "attribution_last_touch",
     """WITH ordered AS (
          SELECT user_id, event_id, event_type, ts,
