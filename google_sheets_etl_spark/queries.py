@@ -5550,6 +5550,39 @@ def rate_change_cusum(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "event_transition_matrix",
+    """WITH seq AS (
+         SELECT user_id, event_type,
+                LEAD(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS nxt
+         FROM events)
+       SELECT event_type AS from_type, nxt AS to_type,
+              COUNT(*) AS n
+       FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2""",
+)
+def event_transition_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """SEQUENCE MINING — the first-order Markov transition counts
+    over per-user event streams (what funnel analysis generalizes
+    to): consecutive event-type pairs under the deterministic
+    (ts, event_id) order, counted across users. ONE window over the
+    per-user ordered stream (the sessionization/attribution shape —
+    one exchange on user_id, no self-join) then a types²-sized
+    aggregate; transition PROBABILITIES derive at read time as
+    n / row-marginal, integers until the last step."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        t(spark, sf, "events")
+        .withColumn("nxt", F.lead("event_type").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("nxt").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@q(
     "winsorized_value_stats",
     """WITH b AS (SELECT event_type,
                          quantile_cont(value, 0.05) AS lo,
