@@ -465,6 +465,67 @@ def linear_probe_predict(
     return vectors.select(id_col, vec_col).mapInPandas(kernel, schema)
 
 
+def linear_probe_margins(
+    vectors: DataFrame,
+    classes,
+    weights,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-item CLASSIFICATION MARGIN under a trained probe — the
+    active-learning selection signal (uncertainty sampling, Lewis &
+    Gale 1994: annotate where the model is least sure): margin =
+    top score − runner-up score, in integer MICRO-UNITS (half-up) so
+    downstream bottom-k selection compares exact integers. Small
+    margin = ambiguous item = most informative label to buy. Returns
+    ``(id, label_pred, margin_u6)``; one narrow Arrow pass, weights
+    in the task closure."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        IntegerType, LongType, StringType, StructField, StructType,
+    )
+
+    w = np.asarray(weights, dtype=np.float64)
+    cls = np.asarray(classes)
+    if len(cls) < 2:
+        raise ValueError("margins need at least two classes")
+    if isinstance(classes[0], str):
+        lab_t = StringType()
+    elif all(isinstance(c, int) and abs(c) < 2**31 for c in classes):
+        lab_t = IntegerType()
+    else:
+        lab_t = LongType()
+    schema = StructType([
+        StructField(id_col, vectors.schema[id_col].dataType),
+        StructField("label_pred", lab_t),
+        StructField("margin_u6", LongType()),
+    ])
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            scores = mat @ w.T  # (n, C)
+            order = np.argsort(-scores, axis=1, kind="stable")
+            top = scores[np.arange(len(mat)), order[:, 0]]
+            second = scores[np.arange(len(mat)), order[:, 1]]
+            margin = np.floor((top - second) * 1e6 + 0.5).astype(
+                np.int64
+            )
+            pred = cls[np.argmax(scores, axis=1)]
+            if pred.dtype.kind == "i" and isinstance(lab_t, IntegerType):
+                pred = pred.astype(np.int32)
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(),
+                "label_pred": pred,
+                "margin_u6": margin,
+            })
+
+    return vectors.select(id_col, vec_col).mapInPandas(kernel, schema)
+
+
 def knn_classify(
     queries: DataFrame,
     candidates: DataFrame,

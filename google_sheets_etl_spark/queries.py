@@ -3171,6 +3171,47 @@ def linear_probe_predictions(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _al_fixture_oracle() -> str:
+    """Literal bottom-20-margin selection regenerated by the
+    independent dense-numpy probe pipeline (tools/gen_al_fixture.py;
+    freshness test in tests)."""
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "fixtures",
+        "al_selection_sf001.sql",
+    )
+    with open(path) as f:
+        return f.read()
+
+
+@q("active_learning_selection", _al_fixture_oracle())
+def active_learning_selection(spark: SparkSession, sf: str) -> DataFrame:
+    """ACTIVE-LEARNING selection (operators/similarity.py
+    linear_probe_margins — uncertainty sampling, Lewis & Gale 1994):
+    the annotation-budget allocator every labeled-data pipeline runs
+    — train the probe on the labeled split, score the unlabeled
+    split, and buy labels for the 20 SMALLEST-margin items
+    (top score − runner-up, half-up micro-units; ties vec_id ASC).
+    Margins are integer so the bottom-k cut is an exact comparison;
+    the selection matches the independently regenerated fixture row
+    for row. Scale shape: margins are one narrow Arrow pass; the
+    bottom-k is a TakeOrdered, never a global sort."""
+    emb = t(spark, sf, "embeddings")
+    classes, w = similarity.linear_probe_fit(
+        emb.filter(F.col("vec_id") % 5 != 0)
+    )
+    m = similarity.linear_probe_margins(
+        emb.filter(F.col("vec_id") % 5 == 0), classes, w
+    )
+    return (
+        m.orderBy(F.col("margin_u6").asc(), F.col("vec_id").asc())
+        .limit(20)
+        .select("vec_id", "margin_u6")
+    )
+
+
 @q(
     "knn_label_propagation",
     """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),

