@@ -7424,6 +7424,71 @@ def quality_classifier_score(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "dataset_card_report",
+    """WITH f AS (
+         SELECT doc_id, source, lang,
+                CASE WHEN text IS NULL THEN 0
+                     ELSE len(string_split(text, ' ')) END::BIGINT AS nt,
+                len(list_filter(string_split(text, ' '),
+                    w -> list_contains(['the','a','of','and','to','in','is',
+                                        'that','it','for'], w)))::BIGINT AS sh,
+                list_max(list_transform(string_split(text, ' '),
+                                        w -> len(w)))::BIGINT AS mx,
+                sha256(text) AS fp
+         FROM documents),
+       dup AS (SELECT fp, COUNT(*) AS copies FROM f GROUP BY fp)
+       SELECT f.source, f.lang,
+              COUNT(*) AS n_docs,
+              CAST(SUM(f.nt) AS BIGINT) AS total_tokens,
+              CAST(SUM(CASE WHEN 1000 * f.sh - 36 * f.nt - 5 * f.nt * f.mx
+                            >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_quality_keep,
+              CAST(SUM(CASE WHEN dup.copies > 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_exact_dup_docs
+       FROM f JOIN dup ON dup.fp = f.fp
+       GROUP BY 1, 2""",
+)
+def dataset_card_report(spark: SparkSession, sf: str) -> DataFrame:
+    """The DATASET CARD — the per-(source, lang) accounting every
+    dataset release ships, composed from the certified primitives:
+    document and token counts, quality-gate keeps (the integer-exact
+    classifier boundary), and exact-duplicate membership (docs whose
+    content hash has >1 copy). One scan + one uniform hash-key join
+    for dup membership + one grouped aggregate; every number is an
+    integer, so the card is reproducible to the digit on any engine
+    or cluster layout — what a release artifact must be."""
+    docs = t(spark, sf, "documents")
+    scored = text_ops.quality_classifier(docs).select(
+        "doc_id", "keep"
+    )
+    copies = (
+        docs.select(F.sha2(F.col("text"), 256).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("copies"))
+    )
+    nt = F.when(F.col("text").isNull(), F.lit(0)).otherwise(
+        F.size(F.split(F.col("text"), " "))
+    ).cast("long")
+    base = docs.select(
+        "doc_id", "source", "lang", nt.alias("nt"),
+        F.sha2(F.col("text"), 256).alias("fp"),
+    )
+    return (
+        base.join(scored, "doc_id")
+        .join(copies, "fp")
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("total_tokens"),
+            F.sum(F.col("keep").cast("long")).alias("n_quality_keep"),
+            F.sum((F.col("copies") > 1).cast("long")).alias(
+                "n_exact_dup_docs"
+            ),
+        )
+    )
+
+
+@q(
     "curriculum_decile_counts",
     """WITH f AS (
          SELECT doc_id,
