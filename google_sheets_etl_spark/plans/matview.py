@@ -34,13 +34,20 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_COMBINERS = {"count": F.sum, "sum": F.sum, "min": F.min, "max": F.max}
+_COMBINERS = {
+    "count": F.sum, "sum": F.sum, "min": F.min, "max": F.max,
+    # Datasketches HLL: union is the lossless merge — COUNT DISTINCT
+    # becomes mergeable the moment it is kept as a sketch cell
+    # (estimate at READ time via matview.estimate_distinct)
+    "approx_distinct": F.hll_union_agg,
+}
 
 
 @dataclass(frozen=True)
 class Measure:
-    """One mergeable measure: ``kind`` in {count, sum, min, max};
-    ``col`` is the source column (None for count)."""
+    """One mergeable measure: ``kind`` in {count, sum, min, max,
+    approx_distinct}; ``col`` is the source column (None for
+    count)."""
 
     kind: str
     col: str | None = None
@@ -50,7 +57,8 @@ class Measure:
             raise ValueError(
                 f"unmergeable measure kind {self.kind!r}: only "
                 f"{sorted(_COMBINERS)} decompose cell-wise (derive avg "
-                "from sum/count; use sketches for distinct/median)"
+                "from sum/count; approx_distinct IS the sketch path "
+                "for COUNT DISTINCT; exact median does not decompose)"
             )
         if (self.kind == "count") != (self.col is None):
             raise ValueError(
@@ -65,11 +73,16 @@ def summarize(
     per-load summary that gets merged instead of the load itself.
     One shuffle on the grouping keys (map-side combine first);
     output is |keyspace| rows regardless of load size."""
-    aggs = [
-        (F.count(F.lit(1)) if m.kind == "count"
-         else getattr(F, m.kind)(m.col)).alias(alias)
-        for alias, m in measures.items()
-    ]
+    aggs = []
+    for alias, m in measures.items():
+        if m.kind == "count":
+            aggs.append(F.count(F.lit(1)).alias(alias))
+        elif m.kind == "approx_distinct":
+            # lgK=12 (~1.6% rsd) — the binary sketch IS the summary
+            # cell; estimates derive at read time, never stored
+            aggs.append(F.hll_sketch_agg(m.col, 12).alias(alias))
+        else:
+            aggs.append(getattr(F, m.kind)(m.col).alias(alias))
     return rows.groupBy(*keys).agg(*aggs)
 
 
@@ -94,3 +107,10 @@ def merge(
         for alias, m in measures.items()
     ]
     return u.groupBy(*keys).agg(*aggs)
+
+
+def estimate_distinct(summary: DataFrame, alias: str):
+    """Read-time estimate for an ``approx_distinct`` summary cell —
+    the derive-at-read rule applied to sketches (avg = sum/n; distinct
+    = estimate(sketch)). Returns a Column."""
+    return F.hll_sketch_estimate(F.col(alias))

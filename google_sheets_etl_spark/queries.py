@@ -1311,6 +1311,62 @@ def matview_incremental_revenue(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "matview_approx_distinct",
+    """SELECT event_type, COUNT(*) AS n,
+              COUNT(DISTINCT user_id)::BIGINT AS exact_distinct,
+              TRUE AS merge_ok
+       FROM events GROUP BY 1""",
+)
+def matview_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """COUNT DISTINCT made mergeable (plans/matview.py
+    ``approx_distinct`` — the measure kind that closes the classic
+    incremental-aggregate gap: distinct counts don't add, but their
+    HLL sketches UNION losslessly): three disjoint event loads are
+    summarized independently, each carrying a per-type
+    distinct-users sketch cell, merged cell-wise like any other
+    measure, and estimated at read time. ``merge_ok`` asserts the
+    merged estimate lands within ±10% of exact (lgK=12 ~1.6% rsd) —
+    a red row means the sketch path or its merge broke contract.
+    Per load: one summary scan; the standing card never rescans
+    history for its distinct counts."""
+    from .plans import matview
+
+    ev = t(spark, sf, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    keys = ["event_type"]
+    ms = {
+        "n": matview.Measure("count"),
+        "du": matview.Measure("approx_distinct", "user_id"),
+    }
+    loads = [
+        matview.summarize(
+            ev.filter(F.col("event_id") % 3 == m), keys, ms
+        )
+        for m in (0, 1, 2)
+    ]
+    merged = matview.merge(loads, keys, ms)
+    exact = (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("exact_distinct"))
+    )
+    est = merged.select(
+        "event_type", "n",
+        matview.estimate_distinct(merged, "du").alias("_est"),
+    )
+    joined = est.join(exact, "event_type")
+    ok = (
+        F.abs(F.col("_est") - F.col("exact_distinct"))
+        <= F.lit(0.10) * F.col("exact_distinct")
+    )
+    return joined.select(
+        "event_type", "n", "exact_distinct", ok.alias("merge_ok")
+    )
+
+
+@q(
     "rollup_order_revenue",
     """SELECT coalesce(o_orderstatus, 'ALL') AS status,
               coalesce(o_orderpriority, 'ALL') AS priority,

@@ -598,3 +598,33 @@ def test_scd2_apply_contracts(spark):
     )
     with _pt.raises(ValueError, match="multiple updates"):
         scd2_apply(dim, dup, "k", ["attr"])
+
+
+def test_matview_approx_distinct_merges_like_full(spark):
+    """approx_distinct contract: merging per-load sketch summaries
+    estimates the SAME value as one full-data sketch (union is
+    lossless), and the estimate is exact at small cardinalities."""
+    from google_sheets_etl_spark.plans import matview
+
+    rows = spark.createDataFrame(
+        [(k % 2, k % 37) for k in range(500)], "g int, u int"
+    )
+    ms = {"du": matview.Measure("approx_distinct", "u")}
+    full = matview.summarize(rows, ["g"], ms)
+    loads = [
+        matview.summarize(rows.filter(F.col("u") % 3 == m), ["g"], ms)
+        for m in range(3)
+    ]
+    merged = matview.merge(loads, ["g"], ms)
+
+    def est(df):
+        return {
+            r["g"]: r["e"]
+            for r in df.select(
+                "g", matview.estimate_distinct(df, "du").alias("e")
+            ).collect()
+        }
+
+    assert est(merged) == est(full)
+    # 37 distinct values: HLL at lgK=12 is exact in sparse mode
+    assert all(round(v) == 37 for v in est(full).values())
