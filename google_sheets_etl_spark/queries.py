@@ -6112,6 +6112,70 @@ def mixture_sample_applied(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "functional_dependency_check",
+    """WITH checks AS (
+         SELECT 'o_custkey->o_orderstatus' AS dependency,
+                (SELECT COUNT(*) FROM (
+                   SELECT o_custkey FROM orders GROUP BY o_custkey
+                   HAVING COUNT(DISTINCT o_orderstatus) > 1)) AS n_violating
+         UNION ALL
+         SELECT 'o_orderkey->o_orderdate',
+                (SELECT COUNT(*) FROM (
+                   SELECT o_orderkey FROM orders GROUP BY o_orderkey
+                   HAVING COUNT(DISTINCT o_orderdate) > 1))
+         UNION ALL
+         SELECT 'l_orderkey->l_returnflag',
+                (SELECT COUNT(*) FROM (
+                   SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+                   HAVING COUNT(DISTINCT l_returnflag) > 1))
+         UNION ALL
+         SELECT 'c_nationkey->c_mktsegment',
+                (SELECT COUNT(*) FROM (
+                   SELECT c_nationkey FROM customer GROUP BY c_nationkey
+                   HAVING COUNT(DISTINCT c_mktsegment) > 1)))
+       SELECT dependency, CAST(n_violating AS BIGINT) AS n_violating,
+              n_violating = 0 AS holds
+       FROM checks""",
+)
+def functional_dependency_check(spark: SparkSession, sf: str) -> DataFrame:
+    """FUNCTIONAL-DEPENDENCY discovery (the Metanome-style profiling
+    primitive schema inference runs before normalization): A → B
+    holds iff no A-group contains two distinct B values, measured as
+    the count of violating groups — candidates that HOLD reveal
+    hidden keys and denormalization (order key determines order
+    date); candidates that FAIL quantify how far (one order's lines
+    carry many return flags). Each check is one grouped
+    count-distinct on the determinant key — uniform shuffle,
+    map-side partial; violating-group counts are exact integers."""
+    checks = [
+        ("o_custkey->o_orderstatus", "orders",
+         "o_custkey", "o_orderstatus"),
+        ("o_orderkey->o_orderdate", "orders",
+         "o_orderkey", "o_orderdate"),
+        ("l_orderkey->l_returnflag", "lineitem",
+         "l_orderkey", "l_returnflag"),
+        ("c_nationkey->c_mktsegment", "customer",
+         "c_nationkey", "c_mktsegment"),
+    ]
+    out = None
+    for name, table, det, dep in checks:
+        v = (
+            t(spark, sf, table)
+            .groupBy(det)
+            .agg(F.countDistinct(dep).alias("_d"))
+            .filter(F.col("_d") > 1)
+            .agg(F.count(F.lit(1)).alias("n_violating"))
+            .select(
+                F.lit(name).alias("dependency"),
+                "n_violating",
+                (F.col("n_violating") == 0).alias("holds"),
+            )
+        )
+        out = v if out is None else out.unionByName(v)
+    return out
+
+
+@q(
     "fk_integrity_audit",
     """SELECT 'lineitem->orders' AS relationship,
               (SELECT COUNT(*) FROM lineitem) AS n_child,
