@@ -5157,6 +5157,47 @@ def split_assign(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "kfold_assign",
+    """WITH f AS (SELECT doc_id,
+                         ('0x' || substr(md5('fold:' || doc_id::VARCHAR),
+                                         1, 15))::BIGINT % 5 AS fold
+              FROM documents)
+       SELECT fold, COUNT(*) AS n,
+              MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+       FROM f GROUP BY fold""",
+)
+def kfold_assign(spark: SparkSession, sf: str) -> DataFrame:
+    """K-FOLD cross-validation assignment — the evaluation sibling of
+    the train/val/test split: fold = md5('fold:' || id) % k, salted
+    with a purpose prefix so fold membership is INDEPENDENT of the
+    split row's hash (reusing the same hash would correlate fold 0
+    with the test split — the classic silent CV leak). Deterministic,
+    engine-exact, stable under corpus growth; folds are disjoint and
+    exhaustive BY CONSTRUCTION (a total function of the id), so the
+    per-fold counts + id ranges are the entire audit surface. Narrow
+    map + one grouped count."""
+    d = t(spark, sf, "documents").select("doc_id")
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("fold:"),
+                               F.col("doc_id").cast("string"))),
+                1, 15,
+            ), 16, 10,
+        ).cast("long") % 5
+    )
+    return (
+        d.select("doc_id", fold.alias("fold"))
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+
+
+@q(
     "lang_capped_sample",
     """SELECT doc_id, lang FROM (
          SELECT doc_id, lang,
