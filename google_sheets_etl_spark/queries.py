@@ -6153,6 +6153,70 @@ def mixture_sample_applied(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "join_key_skew_report",
+    """WITH k1 AS (SELECT SUM(c) AS n_rows, COUNT(*) AS n_keys,
+                          MAX(c) AS max_per_key
+                   FROM (SELECT l_orderkey, COUNT(*) AS c FROM lineitem
+                         GROUP BY 1)),
+       k2 AS (SELECT SUM(c) AS n_rows, COUNT(*) AS n_keys,
+                     MAX(c) AS max_per_key
+              FROM (SELECT l_suppkey, COUNT(*) AS c FROM lineitem
+                    GROUP BY 1)),
+       k3 AS (SELECT SUM(c) AS n_rows, COUNT(*) AS n_keys,
+                     MAX(c) AS max_per_key
+              FROM (SELECT o_custkey, COUNT(*) AS c FROM orders
+                    GROUP BY 1))
+       SELECT 'lineitem.l_orderkey' AS join_key,
+              CAST(n_rows AS BIGINT) AS n_rows,
+              CAST(n_keys AS BIGINT) AS n_keys,
+              CAST(max_per_key AS BIGINT) AS max_per_key,
+              max_per_key * n_keys > 4 * n_rows AS skewed
+       FROM k1
+       UNION ALL
+       SELECT 'lineitem.l_suppkey', CAST(n_rows AS BIGINT),
+              CAST(n_keys AS BIGINT), CAST(max_per_key AS BIGINT),
+              max_per_key * n_keys > 4 * n_rows FROM k2
+       UNION ALL
+       SELECT 'orders.o_custkey', CAST(n_rows AS BIGINT),
+              CAST(n_keys AS BIGINT), CAST(max_per_key AS BIGINT),
+              max_per_key * n_keys > 4 * n_rows FROM k3""",
+)
+def join_key_skew_report(spark: SparkSession, sf: str) -> DataFrame:
+    """JOIN-KEY SKEW diagnosis — the report that decides whether a
+    join needs the salted rewrite (skew_salted_type_join is the FIX;
+    this is the detector a pipeline runs first): per candidate key,
+    total rows, distinct keys, and the hottest key's row count, with
+    the integer-exact verdict ``max_per_key · n_keys > 4 · n_rows``
+    (hottest key > 4× the mean — no float division). One grouped
+    count per key column, map-side combined; the per-key count table
+    never leaves the executors (the final agg is one row)."""
+    specs = [
+        ("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+        ("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+        ("orders.o_custkey", "orders", "o_custkey"),
+    ]
+    out = None
+    for name, table, key in specs:
+        per = t(spark, sf, table).groupBy(key).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        row = per.agg(
+            F.sum("c").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("c").alias("max_per_key"),
+        ).select(
+            F.lit(name).alias("join_key"),
+            "n_rows", "n_keys", "max_per_key",
+            (
+                F.col("max_per_key") * F.col("n_keys")
+                > 4 * F.col("n_rows")
+            ).alias("skewed"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+@q(
     "functional_dependency_check",
     """WITH checks AS (
          SELECT 'o_custkey->o_orderstatus' AS dependency,
