@@ -8606,6 +8606,53 @@ def bpe_doc_token_counts(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _bpe_fertility_oracle(k: int) -> str:
+    """Twin of the per-language fertility report: the doc-tokens
+    oracle's word/token accounting grouped by the stored language."""
+    doc = _bpe_doc_tokens_oracle(k)
+    with_part = doc[: doc.rindex("\n       SELECT")]
+    return (
+        with_part
+        + """
+       SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+              CAST(SUM(COALESCE(n_tok, 1)) AS BIGINT) AS n_bpe_tokens
+       FROM dw LEFT JOIN vt ON dw.w = vt.word
+       JOIN documents d ON d.doc_id = dw.doc_id
+       GROUP BY d.lang"""
+    )
+
+
+@q("tokenizer_fertility_by_lang", _bpe_fertility_oracle(5))
+def tokenizer_fertility_by_lang(spark: SparkSession, sf: str) -> DataFrame:
+    """TOKENIZER FERTILITY per language — the multilingual-equity
+    metric every tokenizer evaluation reports (fertility = BPE tokens
+    per word; a vocabulary trained on one language inflates others'
+    token bills): the certified BPE apply path's word/token
+    accounting grouped by the stored language, exact integer sums so
+    fertility derives at read time as n_bpe_tokens / n_words without
+    a float in the relation. Same joins as the per-document row —
+    vocabulary segmented once, never per occurrence."""
+    wf, merges = _bpe_corpus_merges(spark, sf, k=5)
+    vt = text_ops.bpe_apply_merges(wf, merges).select(
+        "word", F.col("n_tokens").cast("long").alias("n_tok")
+    )
+    dw = t(spark, sf, "documents").select(
+        "doc_id", F.explode(words_of(F.col("text"))).alias("word")
+    )
+    labels = t(spark, sf, "documents").select("doc_id", "lang")
+    return (
+        dw.join(vt, "word", "left")
+        .join(labels, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.coalesce(F.col("n_tok"), F.lit(1))).alias(
+                "n_bpe_tokens"
+            ),
+        )
+    )
+
+
 @q("bpe_learn_merges", _bpe_learn_oracle(20))
 def bpe_learn_merges(spark: SparkSession, sf: str) -> DataFrame:
     """Iterated BPE merge-table training over the corpus vocabulary
