@@ -5636,6 +5636,61 @@ def events_value_outliers_mad(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "event_gap_report",
+    """WITH b AS (SELECT event_type,
+                         date_trunc('hour', MIN(ts)) AS lo,
+                         date_trunc('hour', MAX(ts)) AS hi
+                  FROM events GROUP BY 1),
+       expected AS (
+         SELECT event_type,
+                unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+         FROM b),
+       observed AS (SELECT DISTINCT event_type,
+                           date_trunc('hour', ts) AS hour
+                    FROM events)
+       SELECT e.event_type,
+              COUNT(*) AS n_expected_hours,
+              CAST(SUM(CASE WHEN o.hour IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_missing_hours
+       FROM expected e LEFT JOIN observed o
+         ON o.event_type = e.event_type AND o.hour = e.hour
+       GROUP BY 1""",
+)
+def event_gap_report(spark: SparkSession, sf: str) -> DataFrame:
+    """DATA-COMPLETENESS gaps — the ingestion-health check CUSUM's
+    rate shifts don't cover (a feed that silently stops emits no
+    anomaly, just absence): per event type, the expected hour grid
+    from first to last observation versus the hours actually seen,
+    missing hours counted exactly. The expected grid is
+    span-of-hours-sized (metadata scale — sequence+explode from two
+    aggregated bounds, never from the events themselves); observed
+    hours are the same grouped distinct the hourly rows reduce to."""
+    ev = t(spark, sf, "events").select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    )
+    bounds = ev.groupBy("event_type").agg(
+        F.min("hour").alias("lo"), F.max("hour").alias("hi")
+    )
+    expected = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour"),
+    )
+    observed = ev.distinct().withColumn("_seen", F.lit(1))
+    return (
+        expected.join(observed, ["event_type", "hour"], "left")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_expected_hours"),
+            F.sum(
+                F.when(F.col("_seen").isNull(), 1).otherwise(0)
+            ).alias("n_missing_hours"),
+        )
+    )
+
+
+@q(
     "rate_change_cusum",
     """WITH RECURSIVE hourly AS (
          SELECT event_type AS key, date_trunc('hour', ts) AS hour,
