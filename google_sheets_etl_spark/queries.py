@@ -2151,6 +2151,74 @@ def events_sessionize(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "session_length_stats",
+    """WITH marked AS (
+         SELECT user_id, event_id, epoch_us(ts) AS us,
+                CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                          > 1800000000
+                     OR LAG(epoch_us(ts)) OVER w IS NULL
+                     THEN 1 ELSE 0 END AS new_s
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       sess AS (
+         SELECT user_id,
+                SUM(new_s) OVER (PARTITION BY user_id
+                                 ORDER BY us, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+         FROM marked),
+       lens AS (SELECT user_id, sid, COUNT(*) AS n_events
+                FROM sess GROUP BY 1, 2)
+       SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+              CAST(SUM(n_events) AS BIGINT) AS n_events,
+              CAST(MAX(n_events) AS BIGINT) AS max_events,
+              ROUND(quantile_cont(n_events, 0.5), 6) AS p50_events,
+              ROUND(quantile_cont(n_events, 0.9), 6) AS p90_events
+       FROM lens""",
+)
+def session_length_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """SESSION-LENGTH distribution — the engagement report the
+    per-user session counts feed into: sessions numbered by a
+    running sum over the certified gap markers, events counted per
+    (user, session), then one global summary (count, total, max,
+    exact p50/p90). Integer gap math end to end; the percentile runs
+    over the sessions-sized table (already reduced), not the events.
+    The running-sum session id is the standard gaps-and-islands
+    numbering — same exchange the sessionize row already pays."""
+    e = t(spark, sf, "events").select(
+        "user_id", "event_id", F.unix_micros(F.col("ts")).alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    marked = e.withColumn(
+        "new_s",
+        F.when(
+            (F.col("us") - F.lag("us").over(w) > 1_800_000_000)
+            | F.lag("us").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "sid",
+        F.sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    lens = sess.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return lens.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        F.max("n_events").alias("max_events"),
+        F.round(F.expr("percentile(n_events, 0.5D)"), 6).alias(
+            "p50_events"
+        ),
+        F.round(F.expr("percentile(n_events, 0.9D)"), 6).alias(
+            "p90_events"
+        ),
+    )
+
+
+@q(
     "events_json_extract",
     """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_val
        FROM events""",
