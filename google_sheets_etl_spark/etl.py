@@ -249,7 +249,10 @@ class SheetsEtlEngine:
         (table, job) — a reload that DROPS a column, or reloads to
         zero rows, sheds the old column's counters instead of leaking
         them into the merge; an empty load records a sentinel row
-        (NULL column_name) so it is not re-scanned forever."""
+        (NULL column_name) so it is not re-scanned forever. Profile
+        rows whose job id has DISAPPEARED from ``etl_jobs`` (a
+        deregistered load) are shed on the same rewrite — orphaned
+        counters must not keep voting in typing decisions."""
         from .operators import typed_views
         from .operators.typed_views import _MAX_COUNTERS, _SUM_COUNTERS
 
@@ -269,8 +272,22 @@ class SheetsEtlEngine:
             .collect()
         }
         stale = sorted(j for j, h in want.items() if have.get(j) != h)
+        # profile rows whose job no longer exists in etl_jobs (a
+        # deregistered / replaced load) must be SHED, not merged —
+        # orphaned counters would keep voting in typing decisions for
+        # data that is no longer in the table
+        orphans = sorted(j for j in have if j not in want)
         self.last_profiled_job_ids = stale
+        if not stale and not orphans:
+            return []
         if not stale:
+            kept = current.filter(
+                ~(
+                    (F.col("target_table") == table)
+                    & F.col("etl_job_id").isin(orphans)
+                )
+            )
+            self.profiles.overwrite(kept)
             return []
         slice_df = (
             self.target(table)
@@ -307,7 +324,7 @@ class SheetsEtlEngine:
         kept = current.filter(
             ~(
                 (F.col("target_table") == table)
-                & F.col("etl_job_id").isin(stale)
+                & F.col("etl_job_id").isin(stale + orphans)
             )
         )
         self.profiles.overwrite(kept.unionByName(updates))

@@ -848,7 +848,11 @@ def video_frame_deltas(
     arithmetic (``delta_sum > tau * n_px``). One decode per video,
     all deltas emitted from the same kernel invocation — narrow, no
     shuffle, nothing re-parsed per pair. Single-frame videos emit no
-    row (no pair — not a zero)."""
+    row (no pair — not a zero). A mid-video frame-dimension change is
+    a PER-ROW reject like every other malformed payload (the whole
+    video is skipped — no partial delta rows; decode errors are data,
+    not crashes), surfaced with a pinned message through
+    :func:`payload_decode_audit`."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import StructField, StructType
@@ -875,12 +879,15 @@ def video_frame_deltas(
                     frames = parse_ppm_frames(bytes(payload))
                 except ValueError:
                     continue
+                if any(
+                    frames[i][:2] != frames[0][:2]
+                    for i in range(1, len(frames))
+                ):
+                    continue  # dimension change mid-video → whole
+                    # payload rejected (no partial delta rows);
+                    # payload_decode_audit carries the pinned message
                 prev = lum_of(frames[0][2])
                 for i in range(1, len(frames)):
-                    if frames[i][:2] != frames[i - 1][:2]:
-                        raise ValueError(
-                            "frame dimensions changed mid-video"
-                        )
                     cur = lum_of(frames[i][2])
                     ids.append(mid)
                     fidx.append(i - 1)
@@ -931,7 +938,22 @@ def payload_decode_audit(
         b = bytes(payload)
         try:
             if b[:2] == b"P6":
-                PpmCodec.parse(b)
+                w, h, _ = PpmCodec.parse(b)
+                _, _, start = _p6_header(b, 0)
+                # payload extends past the first frame → it is a
+                # concatenated-P6 VIDEO container: walk ALL frames
+                # (pinned truncation / trailing-garbage messages) and
+                # apply the strictest consumer's contract —
+                # video_frame_deltas per-row-rejects a mid-video
+                # dimension change, so the audit must surface it.
+                # Single-frame images never enter this branch, so
+                # their verdicts (and pinned messages) are unchanged.
+                if len(b) > start + w * h * 3:
+                    frames = parse_ppm_frames(b)
+                    if any(f[:2] != frames[0][:2] for f in frames[1:]):
+                        return False, (
+                            "frame dimensions changed mid-video"
+                        )
             elif b[:4] == b"RIFF":
                 parse_wav_pcm16(b)
             else:

@@ -549,9 +549,13 @@ def decide_profile(
     # integer form ceil(a*n/b) = floor((a*n + b - 1)/b) over a
     # rational min_frac = a/b (b = 10^6 fixes 6-decimal knob values
     # exactly) keeps the threshold in exact integer arithmetic —
-    # and at min_frac=1.0 it is literally n
+    # and at min_frac=1.0 it is literally n. `div` (not `/` + floor:
+    # Spark `/` is DOUBLE division, and a*n + 999999 exceeds 2^53
+    # once a column holds ~9e9 non-blank values — real at 100 TB)
+    # keeps the whole expression in int64 end to end, matching the
+    # DuckDB oracle's integer `//`.
     a = int(round(min_frac * 1_000_000))
-    thr = F.floor((F.lit(a) * n + F.lit(999_999)) / F.lit(1_000_000))
+    thr = F.expr(f"({a}L * n_values + 999999L) div 1000000L")
     decided = F.when(n == 0, F.lit("string"))
     decided = decided.when(F.col("n_boolean") >= thr, F.lit("boolean"))
     decided = decided.when(F.col("n_bigint") >= thr, F.lit("bigint"))

@@ -68,6 +68,21 @@ def scd2_apply(
         [F.col(c).eqNullSafe(F.col(f"_u_{c}")) for c in attrs],
     )
     changed = F.col("_u_ts").isNotNull() & ~same
+    # late / out-of-order updates are a caller bug, not data: an
+    # update whose ts is <= the current version's valid_from_us would
+    # close that version with valid_to_us <= valid_from_us — an
+    # INVERTED validity interval that silently corrupts every as-was
+    # (BETWEEN) join downstream. Raise with the duplicate-key guard's
+    # strictness; apply batches in timestamp order instead.
+    late = joined.filter(
+        changed & (F.col("_u_ts") <= F.col("valid_from_us"))
+    )
+    if late.head(1):
+        raise ValueError(
+            "scd2_apply: update timestamp <= the current version's "
+            "valid_from_us — out-of-order batch; apply update batches "
+            "in ascending timestamp order"
+        )
     # untouched keys + no-op updates pass through as-is
     kept_cur = joined.filter(~changed).select(*cur.columns)
     closed = joined.filter(changed).select(

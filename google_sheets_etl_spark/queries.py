@@ -8831,9 +8831,12 @@ def _bpe_k200_oracle() -> str:
                FROM documents)
          WHERE w <> '' GROUP BY w),
        subs AS (
-         SELECT substr(w, s, l) AS piece, SUM(freq) AS cnt
-         FROM wf, range(1, 4) tl(l), range(1, 33) ts(s)
-         WHERE l <= len(w) AND s <= len(w) - l + 1
+         SELECT piece, SUM(freq) AS cnt FROM (
+           SELECT unnest([substr(w, s, l)
+                          FOR s IN range(1, len(w) - l + 2)]) AS piece,
+                  freq
+           FROM wf, range(1, 4) tl(l)
+           WHERE l <= len(w))
          GROUP BY 1),
        multi AS (
          SELECT piece, cnt,

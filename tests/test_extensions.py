@@ -1552,9 +1552,10 @@ def test_video_frame_extract_composes_with_image_ops(spark):
 def test_video_frame_deltas_exact_and_dimension_guard(spark):
     """Frame deltas: |Δlum| sums are exact per consecutive pair,
     single-frame videos emit no row, and a mid-video dimension change
-    raises (containers are fixed-dims by contract)."""
-    import pytest as _pt
-
+    is a PER-ROW reject — the bad video yields NO rows (not partial
+    ones) while good videos in the SAME batch still decode (decode
+    errors are data, not crashes), and the audit channel carries the
+    pinned message."""
     from google_sheets_etl_spark.operators import multimodal as mm
 
     def frame(w, h, fill):
@@ -1564,23 +1565,30 @@ def test_video_frame_deltas_exact_and_dimension_guard(spark):
 
     good = b"".join(frame(2, 3, v) for v in (100, 130, 20))
     single = frame(2, 3, 7)
+    bad = frame(2, 2, 5) + frame(3, 2, 5)
     media = spark.createDataFrame(
-        [(1, "video", good, None), (2, "video", single, None)],
+        [
+            (1, "video", good, None),
+            (2, "video", single, None),
+            (9, "video", bad, None),  # dims change mid-video
+        ],
         mm.MEDIA_SCHEMA,
-    )
+    ).coalesce(1)  # one task: the bad payload must not sink the good
     rows = {
         (r["media_id"], r["frame_idx"]): (r["n_px"], r["delta_sum"])
         for r in mm.video_frame_deltas(media).collect()
     }
-    # 6 pixels; |100-130| = 30, |130-20| = 110 per pixel
+    # 6 pixels; |100-130| = 30, |130-20| = 110 per pixel; media 9
+    # contributes NOTHING — not even the (valid) first pair
     assert rows == {(1, 0): (6, 180), (1, 1): (6, 660)}
 
-    bad = frame(2, 2, 5) + frame(3, 2, 5)
-    media_bad = spark.createDataFrame(
-        [(9, "video", bad, None)], mm.MEDIA_SCHEMA
-    )
-    with _pt.raises(Exception, match="dimensions changed"):
-        mm.video_frame_deltas(media_bad).collect()
+    audit = {
+        r["media_id"]: (r["ok"], r["err"])
+        for r in mm.payload_decode_audit(media).collect()
+    }
+    assert audit[1] == (True, "")
+    assert audit[2] == (True, "")
+    assert audit[9] == (False, "frame dimensions changed mid-video")
 
 
 def test_edit_distance_near_dup_fastss_contracts(spark):
@@ -2024,3 +2032,81 @@ def test_linear_probe_margins_contracts(spark):
 
     with _pt.raises(ValueError, match="two classes"):
         similarity.linear_probe_margins(vecs, [0], [[1.0, 0.0]])
+
+
+def test_malformed_media_never_fails_the_task(spark):
+    """PER-ROW reject contract, pinned end to end (round-7 verdict
+    directive #8): a truncated WAV and non-media junk share ONE task
+    with a valid WAV through wav_window_energy AND audio_dhash — the
+    valid payload's rows come through, the malformed ones yield no
+    rows, and payload_decode_audit carries one reject row per
+    failure. A regression to whole-task failure fails this test."""
+    from google_sheets_etl_spark.operators import multimodal as mm
+
+    good = _wav_bytes(list(range(16)), extra_chunk=False)
+    media = spark.createDataFrame(
+        [
+            (1, "audio", good, None),
+            (2, "audio", good[:-3], None),   # truncated data chunk
+            (3, "audio", b"\x00\x01junk", None),
+        ],
+        mm.MEDIA_SCHEMA,
+    ).coalesce(1)  # one task: the bad payloads must not sink it
+
+    energy_ids = {
+        r["media_id"]
+        for r in mm.wav_window_energy(media, window=8).collect()
+    }
+    assert energy_ids == {1}
+    dhash_ids = {
+        r["media_id"]
+        for r in mm.audio_dhash(media, window=4, n_windows=2).collect()
+    }
+    assert dhash_ids == {1}
+    audit = {
+        r["media_id"]: (r["ok"], r["err"])
+        for r in mm.payload_decode_audit(media).collect()
+    }
+    assert audit[1] == (True, "")
+    assert audit[2][0] is False and audit[2][1] != ""
+    assert audit[3] == (False, "unsupported payload format")
+
+
+def test_pq_codebooks_zero_norm_sample_guard(spark):
+    """A zero vector landing in the md5-seeded codebook sample must
+    not NaN-poison the codebooks (round-7 verdict directive #2): all
+    codebook entries stay finite and encoding still yields valid
+    codes for every vector."""
+    import numpy as np
+
+    rows = [
+        (i, [0.0] * 4 if i == 3 else [float(i + 1), 0.5, 1.0, 2.0])
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    cb = similarity._pq_codebooks(df, 2, 8, "vec_id", "embedding", 42)
+    assert np.isfinite(cb).all()
+    got = {
+        r["vec_id"]: r["codes"]
+        for r in similarity.pq_encode(df, cb).collect()
+    }
+    assert set(got) == set(range(8))
+    for codes in got.values():
+        assert all(0 <= c < 8 for c in codes)
+
+
+def test_sub_d2_half_micro_unit_rounds_half_up():
+    """Exact-.5 boundary for the micro-unit squared distance (round-7
+    verdict directive #3): d2·1e6 == 2.5 exactly in doubles must
+    round to 3 (half-UP, matching SQL round()), where np.rint's
+    half-to-even would give 2."""
+    import numpy as np
+
+    a = 0.0015811388300841897     # a*a * 1e6 == 2.5 exactly (double)
+    sub = np.array([[a]])
+    cb = np.array([[0.0]])
+    assert (sub[0, 0] ** 2) * 1e6 == 2.5  # the boundary really is hit
+    assert similarity._sub_d2(sub, cb)[0, 0] == 3
+    assert np.rint(2.5) == 2.0            # the rule this pins against

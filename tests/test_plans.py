@@ -599,6 +599,22 @@ def test_scd2_apply_contracts(spark):
     with _pt.raises(ValueError, match="multiple updates"):
         scd2_apply(dim, dup, "k", ["attr"])
 
+    # out-of-order guard: a genuinely-changed update whose ts is <=
+    # the current version's valid_from_us would mint an INVERTED
+    # validity interval (valid_to < valid_from) — it must raise, not
+    # silently corrupt as-was joins. Equal-ts no-ops (the redelivery
+    # case above) stay fine because nothing changed.
+    late = spark.createDataFrame(
+        [(2, "C", 5)], "k long, attr string, ts_us long"
+    )
+    with _pt.raises(ValueError, match="out-of-order"):
+        scd2_apply(out, late, "k", ["attr"])
+    boundary = spark.createDataFrame(
+        [(2, "C", 10)], "k long, attr string, ts_us long"
+    )  # ts == valid_from_us would make a zero-width current version
+    with _pt.raises(ValueError, match="out-of-order"):
+        scd2_apply(out, boundary, "k", ["attr"])
+
 
 def test_matview_approx_distinct_merges_like_full(spark):
     """approx_distinct contract: merging per-load sketch summaries

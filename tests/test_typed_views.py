@@ -771,3 +771,119 @@ def test_min_frac_monotone_specificity(spark):
         r06, r08, r10 = (rank(decided[m][c]) for m in (0.6, 0.8, 1.0))
         assert r06 <= r08 <= r10, (c, decided[0.6][c], decided[0.8][c],
                                    decided[1.0][c])
+
+
+def test_min_frac_threshold_exact_int64_at_huge_n(spark):
+    """The ceil(a·n/10^6) threshold must be integer end to end
+    (ADVICE r7): at n_values ≈ 1.6e12 the numerator exceeds 2^53 and
+    DOUBLE division drifts by 1 — n = 1_604_699_000_084 is a concrete
+    witness where floor(double-div) = exact+1, so a column with
+    exactly threshold-many castable values would wrongly fall to
+    string. Pin the exact-integer decision on hand-built counters."""
+    n = 1_604_699_000_084
+    thr = (999_999 * n + 999_999) // 10**6   # 1_604_697_395_385
+    assert (999_999 * n + 999_999) > 2**53   # the overflow is real
+    import math
+    assert math.floor((999_999 * n + 999_999) / 10**6) == thr + 1
+
+    counters = spark.createDataFrame(
+        [("c", n, 0, thr, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+          None, None, None, None)],
+        "column_name string, n_values long, n_boolean long, "
+        "n_bigint long, n_decimal long, n_double long, n_date long, "
+        "n_timestamp long, _f0 long, _f1 long, _f2 long, _h0 long, "
+        "_h1 long, _h2 long, _g0 long, _g1 long, _di int, _ds int, "
+        "_gdi int, _gds int",
+    )
+    got = {
+        r["column_name"]: r["decided_type"]
+        for r in typed_views.decide_profile(
+            counters, min_frac=0.999999
+        ).collect()
+    }
+    assert got == {"c": "bigint"}  # double division would say string
+
+
+def test_decimal_p_p_override_all_fraction(spark):
+    """decimal(p,p) — zero integer digits — is valid Spark and must be
+    accepted as an OVERRIDE (round-7 verdict directive #7; a profile
+    never emits it since its integer-digit max is >= 1): values
+    within the all-fraction budget cast, everything else NULLs under
+    the digit-budget gate (never rounds)."""
+    df = _wh(
+        spark,
+        [("0.99",), (".5",), ("0",), ("1.5",), ("12.34",), ("",)],
+        "c string",
+    )
+    tv = typed_views.typed_view(df, {"c": "decimal(2,2)"})
+    assert dict(tv.dtypes)["c"] == "decimal(2,2)"
+    vals = [r["c"] for r in tv.collect()]
+    from decimal import Decimal
+
+    assert vals[0] == Decimal("0.99")
+    assert vals[1] == Decimal("0.50")
+    assert vals[2] == Decimal("0.00")
+    assert vals[3] is None   # integer digit exceeds the zero budget
+    assert vals[4] is None
+    assert vals[5] is None   # blank -> NULL
+
+
+def test_profile_store_sheds_orphaned_jobs(spark, tmp_path):
+    """A job that DISAPPEARS from etl_jobs (deregistered load) must
+    have its profile rows shed on the next refresh (ADVICE r7) —
+    orphaned counters would otherwise keep voting in typing decisions
+    forever. Build two loads where load 2's dirty cell flips a column
+    to string, drop job 2 from the accounting table, and assert the
+    next typed_target decides from job 1's counters alone."""
+    from pyspark.sql import functions as F
+    from google_sheets_etl_spark.config import EtlJob
+    from google_sheets_etl_spark.etl import SheetsEtlEngine
+    from google_sheets_etl_spark.sources import (
+        FixtureSheetSource, SpreadsheetMeta,
+    )
+
+    ss1 = "SSA" + "a" * 41
+    ss2 = "SSB" + "b" * 41
+    src = FixtureSheetSource()
+    src.put_sheet(
+        SpreadsheetMeta(ss1, "2026-05-01T00:00:00.000Z", "A"),
+        "S",
+        [["Qty"], ["1"], ["2"]],
+    )
+    src.put_sheet(
+        SpreadsheetMeta(ss2, "2026-05-02T00:00:00.000Z", "B"),
+        "S",
+        [["Qty"], ["x9"], ["4"]],
+    )
+    engine = SheetsEtlEngine(spark, str(tmp_path / "wh_orph"), src)
+    engine.set_up_accounting()
+    engine.find_updated_spreadsheets(now=1000)
+    engine.load_updated_spreadsheets([
+        EtlJob(ss1, "S", "ledger", {"qty": "Qty"}),
+        EtlJob(ss2, "S", "ledger", {"qty": "Qty"}),
+    ])
+    tv = engine.typed_target("ledger")
+    assert dict(tv.dtypes)["qty"] == "string"  # x9 vetoes totality
+
+    # deregister job 2: drop its accounting row, as a replaced /
+    # retired load would
+    jobs = engine.etl_jobs.read()
+    sheet_ids = {
+        r["google_spreadsheet_id"]: int(r["id"])
+        for r in engine.spreadsheets.read().collect()
+    }
+    job2 = [
+        int(r["id"]) for r in jobs.collect()
+        if int(r["spreadsheet_id"]) == sheet_ids[ss2]
+    ][0]
+    engine.etl_jobs.overwrite(jobs.filter(F.col("id") != job2))
+
+    tv2 = engine.typed_target("ledger")
+    assert dict(tv2.dtypes)["qty"] == "bigint"  # orphan counters shed
+    remaining = {
+        int(r["etl_job_id"])
+        for r in engine.profiles.read()
+        .filter(F.col("target_table") == "ledger")
+        .select("etl_job_id").distinct().collect()
+    }
+    assert job2 not in remaining
