@@ -150,14 +150,65 @@ def main() -> None:
     }
     if errors:
         detail["errors"] = errors
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
+    repo = os.path.dirname(os.path.abspath(__file__))
+    detail_path = os.path.join(repo, "BENCH_DETAIL.json")
+    # per-round archive (round-7 verdict directive #6): BENCH_DETAIL
+    # used to be overwritten every round, making per-query regressions
+    # unattributable. The round number is the driver's next
+    # BENCH_r{N}.json slot (max existing + 1); re-runs within a round
+    # overwrite the same archive, which is the desired semantics.
+    rounds = [
+        int(m.group(1))
+        for n in os.listdir(repo)
+        if (m := re.fullmatch(r"BENCH_r(\d+)\.json", n))
+    ]
+    this_round = (max(rounds) + 1) if rounds else 1
     try:
         with open(detail_path, "w") as fh:
             json.dump(detail, fh, indent=2, sort_keys=True)
+        with open(
+            os.path.join(repo, f"BENCH_DETAIL_r{this_round:02d}.json"), "w"
+        ) as fh:
+            json.dump(detail, fh, indent=2, sort_keys=True)
     except OSError:
         pass  # read-only checkout: the stdout line still carries the totals
+    # top-20 round-over-round deltas to STDERR (the stdout contract
+    # stays ONE JSON line): prior round = the newest archived detail
+    # older than this round
+    prior = sorted(
+        (
+            int(m.group(1))
+            for n in os.listdir(repo)
+            if (m := re.fullmatch(r"BENCH_DETAIL_r(\d+)\.json", n))
+            and int(m.group(1)) < this_round
+        ),
+        reverse=True,
+    )
+    if prior:
+        try:
+            with open(
+                os.path.join(repo, f"BENCH_DETAIL_r{prior[0]:02d}.json")
+            ) as fh:
+                prev = json.load(fh).get("queries", {})
+            deltas = sorted(
+                (
+                    (timings[q] - prev[q], q)
+                    for q in timings.keys() & prev.keys()
+                ),
+                key=lambda t: abs(t[0]),
+                reverse=True,
+            )[:20]
+            print(
+                f"-- top deltas vs r{prior[0]:02d} (sec; +slower) --",
+                file=sys.stderr,
+            )
+            for d, q in deltas:
+                print(
+                    f"{d:+8.2f}  {q}  ({prev[q]:.2f} -> {timings[q]:.2f})",
+                    file=sys.stderr,
+                )
+        except (OSError, json.JSONDecodeError):
+            pass
     top10 = dict(
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
     )

@@ -4359,6 +4359,169 @@ def multimodal_ppm_resize_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _png_media(spark: SparkSession, sf: str, dhash_pattern: bool = False):
+    """REAL PNG payloads, one per document row: the SAME pixel
+    formulas the P6 fixtures use (``(doc_id*31+k) % 256``, or the
+    dHash pattern when ``dhash_pattern``), zlib-deflated behind
+    CYCLING scanline filters (y % 5 → None/Sub/Up/Average/Paeth — all
+    five reconstruction paths exercised on every image taller than 4
+    rows). Assembly runs in a small Arrow kernel (zlib + CRC32 are
+    not SQL-expressible), but the ORACLE never sees the binary: it
+    regenerates pixels from the formula, so the decoder —
+    chunk walk, CRC check, inflate, filter reconstruction — is
+    certified against ground truth, not against the encoder."""
+    import pandas as pd
+
+    from .operators.multimodal import encode_png
+
+    d = t(spark, sf, "documents").select("doc_id")
+
+    def kernel(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                if dhash_pattern:
+                    base, shift = doc_id // 2, (doc_id % 2) * 40
+                    w, h = 8 + base % 5, 6 + base % 4
+                    raster = bytes(
+                        (base * 97 + k * k * 31) % 200 + shift
+                        for k in range(w * h * 3)
+                    )
+                else:
+                    w, h = 4 + doc_id % 5, 3 + doc_id % 4
+                    raster = bytes(
+                        (doc_id * 31 + k) % 256 for k in range(w * h * 3)
+                    )
+                payloads.append(
+                    encode_png(
+                        w, h, raster, [y % 5 for y in range(h)]
+                    )
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return d.mapInPandas(kernel, "media_id long, payload binary")
+
+
+@q(
+    "png_decode_features",
+    f"""WITH {_PPM_PIXELS_SQL}
+       SELECT doc_id AS media_id,
+              CAST(SUM((r + g + b) // 3) AS BIGINT) AS lum_sum
+       FROM rgb GROUP BY 1""",
+)
+def png_decode_features(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL PNG decode end-to-end (operators/multimodal.py parse_png,
+    round-7 verdict directive #4): truecolor-PNG payloads — zlib
+    inflate, CRC-verified chunk walk, and all five scanline filter
+    reconstructions (the fixture cycles them per row) — reduced to
+    the exact-integer luminance mass Σ(r+g+b)//3 per image. The
+    oracle regenerates every pixel from the fixture formula, so a
+    single wrong byte anywhere in the filter math shifts the sum and
+    reddens the row. Same narrow-kernel shape as the P6 path; the
+    image operator surface (dHash/near-dup/clusters/luminance) gains
+    PNG through the shared decode_image dispatch."""
+    return multimodal.image_luminance_sum(
+        _png_media(spark, sf), ["media_id"]
+    )
+
+
+@q(
+    "png_dhash_fingerprints",
+    _DHASH_SQL + """
+       SELECT doc_id AS media_id, dhash FROM dh""",
+)
+def png_dhash_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    """The perceptual-hash surface over PNG payloads: the SAME
+    planted brightness-shift pattern as image_dhash_fingerprints,
+    PNG-encoded behind cycling filters, decoded through
+    decode_image's magic dispatch — and the oracle is LITERALLY the
+    P6 row's oracle (same formula, same sampled-pixel recompute),
+    certifying that dHash is payload-format-invariant: a P6 and a
+    PNG encoding of the same pixels fingerprint identically, which
+    is exactly what cross-format image dedup at 100 TB requires."""
+    return multimodal.image_dhash(
+        _png_media(spark, sf, dhash_pattern=True)
+    )
+
+
+@q(
+    "png_decode_audit",
+    """SELECT doc_id AS media_id,
+              (doc_id % 5) = 0 AS ok,
+              CASE doc_id % 5
+                WHEN 0 THEN ''
+                WHEN 1 THEN 'png chunk crc mismatch'
+                WHEN 2 THEN 'truncated png chunk'
+                WHEN 3 THEN 'corrupt png idat stream'
+                ELSE 'unsupported payload format' END AS err
+       FROM documents""",
+)
+def png_decode_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """The decode REJECT CHANNEL for PNG (payload_decode_audit's PNG
+    branch): one planted failure class per doc_id residue — valid,
+    CRC-flipped byte, truncated chunk, CRC-valid-but-garbage IDAT
+    (inflate failure), and non-media junk — each mapping to the
+    parser's pinned ValueError message. The oracle regenerates each
+    verdict from the class, so any drift in the strictness contract
+    (a class silently passing, a message changing) reddens the row."""
+    import pandas as pd
+
+    from .operators.multimodal import PNG_SIG, encode_png
+
+    d = t(spark, sf, "documents").select("doc_id")
+
+    def kernel(batches):
+        import struct
+        import zlib
+
+        def chunk(typ, data):
+            return (
+                struct.pack(">I", len(data)) + typ + data
+                + struct.pack(
+                    ">I", zlib.crc32(typ + data) & 0xFFFFFFFF
+                )
+            )
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = 2 + doc_id % 3, 2
+                good = encode_png(
+                    w, h,
+                    bytes((doc_id * 7 + k) % 256 for k in range(w * h * 3)),
+                )
+                cls = doc_id % 5
+                if cls == 0:
+                    payloads.append(good)
+                elif cls == 1:
+                    bad = bytearray(good)
+                    # IEND is the trailing 12 bytes, so -13 lands on
+                    # the IDAT chunk's last stored-CRC byte: the CRC
+                    # no longer matches the (intact) chunk data
+                    bad[-13] ^= 0xFF
+                    payloads.append(bytes(bad))
+                elif cls == 2:
+                    payloads.append(good[:-4])
+                elif cls == 3:
+                    payloads.append(
+                        good[: 8 + 25]  # signature + IHDR chunk
+                        + chunk(b"IDAT", b"garbage")
+                        + chunk(b"IEND", b"")
+                    )
+                else:
+                    payloads.append(b"ZZnot-media")
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = d.mapInPandas(kernel, "media_id long, payload binary")
+    return multimodal.payload_decode_audit(media)
+
+
 def _le_hex(x, n_bytes: int):
     """Little-endian hex of an int Column, JVM-side — the byte
     assembler for binary fixture containers (WAV here, the PPM

@@ -2110,3 +2110,83 @@ def test_sub_d2_half_micro_unit_rounds_half_up():
     assert (sub[0, 0] ** 2) * 1e6 == 2.5  # the boundary really is hit
     assert similarity._sub_d2(sub, cb)[0, 0] == 3
     assert np.rint(2.5) == 2.0            # the rule this pins against
+
+
+def _png_of(w, h, raster, filters=None):
+    from google_sheets_etl_spark.operators.multimodal import encode_png
+
+    return encode_png(w, h, raster, filters)
+
+
+def test_png_roundtrip_all_filters_and_strict_rejects():
+    """parse_png ∘ encode_png is identity for every filter type and
+    for the cycling mix (all five reconstruction paths), and each
+    malformed shape raises its pinned ValueError."""
+    import random
+
+    import pytest as _pt
+
+    from google_sheets_etl_spark.operators.multimodal import (
+        encode_png, parse_png,
+    )
+
+    random.seed(11)
+    for w, h in [(1, 1), (4, 3), (9, 8)]:
+        raster = bytes(random.randrange(256) for _ in range(w * h * 3))
+        for ft in range(5):
+            assert parse_png(encode_png(w, h, raster, [ft] * h)) == (
+                w, h, raster
+            )
+        assert parse_png(
+            encode_png(w, h, raster, [y % 5 for y in range(h)])
+        ) == (w, h, raster)
+
+    good = encode_png(2, 2, bytes(range(12)))
+    for payload, msg in [
+        (b"XXjunk", "not a png payload"),
+        (good[:-4], "truncated png chunk"),
+        (good + b"x", "trailing bytes after png iend"),
+    ]:
+        with _pt.raises(ValueError, match=msg):
+            parse_png(payload)
+    flipped = bytearray(good)
+    flipped[-13] ^= 0xFF  # IDAT's stored crc
+    with _pt.raises(ValueError, match="crc mismatch"):
+        parse_png(bytes(flipped))
+
+
+def test_png_image_operators_match_ppm(spark):
+    """Format invariance: the SAME pixels as P6 and as PNG produce
+    identical dHash fingerprints and luminance sums through the
+    shared decode_image dispatch — the cross-format dedup contract —
+    and SniffCodec routes PNG features to the real decoder."""
+    from google_sheets_etl_spark.operators import multimodal as mm
+
+    w, h = 9, 8
+    raster = bytes((k * 37 + 11) % 256 for k in range(w * h * 3))
+    ppm = (b"P6\n%d %d\n255\n" % (w, h)) + raster
+    png = _png_of(w, h, raster, [y % 5 for y in range(h)])
+    media = spark.createDataFrame(
+        [(1, "image", ppm, None), (2, "image", png, None)],
+        mm.MEDIA_SCHEMA,
+    )
+    hashes = {
+        r["media_id"]: r["dhash"]
+        for r in mm.image_dhash(media).collect()
+    }
+    assert hashes[1] == hashes[2]
+    sums = {
+        r["media_id"]: r["lum_sum"]
+        for r in mm.image_luminance_sum(media).collect()
+    }
+    assert sums[1] == sums[2]
+
+    sniff = mm.default_codec()
+    assert sniff.image_features(png, 16) == sniff.image_features(ppm, 16)
+    # resize through the PNG path re-encodes as PNG with the exact
+    # nearest-neighbor raster the PPM path produces
+    rp = mm.PngCodec().resize(png, 4, 4)
+    w2, h2, r2 = mm.parse_png(rp)
+    ref = mm.PpmCodec().resize(ppm, 4, 4)
+    assert (w2, h2) == (4, 4)
+    assert ref.endswith(r2)  # same raster behind the P6 header
