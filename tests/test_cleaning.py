@@ -509,3 +509,36 @@ def test_boilerplate_removal_deletes_all_occurrences(spark):
     assert out[4] == (1, 0, "completely different body text with tail x")
     # sub-chunk doc passes through with zero chunks
     assert out[5] == (0, 0, "tiny doc")
+
+
+def test_bpe_train_driver_equals_distributed_trainer(spark):
+    """The driver-side trainer (collect vocabulary, incremental
+    pair-count + pair-to-words index) and the fully-distributed
+    regex trainer must learn IDENTICAL merge tables — same greedy
+    semantics, same (count DESC, left, right) tie-break — on a
+    vocabulary with repeat chains, ties, and shared prefixes. Also
+    pins the per-round timing hook's shape (rank, n_affected, sec)."""
+    from google_sheets_etl_spark.operators import text as text_ops
+
+    wf = spark.createDataFrame(
+        [("lower", 5), ("low", 7), ("newest", 6), ("widest", 3),
+         ("aaaa", 2), ("ab", 5), ("abab", 4)],
+        "word string, freq long",
+    )
+    dist = [
+        tuple(r)
+        for r in text_ops.bpe_learn_merges(wf, n_merges=12)
+        .orderBy("merge_rank").collect()
+    ]
+    timings: list = []
+    local = [
+        tuple(r)
+        for r in text_ops.bpe_train_driver(wf, 12, timings=timings)
+        .orderBy("merge_rank").collect()
+    ]
+    assert local == dist
+    assert len(timings) == len(local)
+    assert all(
+        rank >= 1 and n_aff >= 1 and sec >= 0.0
+        for rank, n_aff, sec in timings
+    )

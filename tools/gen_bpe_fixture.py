@@ -60,6 +60,33 @@ def corpus_word_freqs(sf_dir: str) -> dict[str, int]:
     }
 
 
+def corpus_word_freqs_with_bigrams(sf_dir: str) -> dict[str, int]:
+    """The k=1000 row's ENLARGED vocabulary: corpus words PLUS
+    adjacent-word concatenations (compound words), under the same
+    alphanumeric gate — the corpus's 30 gated words saturate BPE at
+    89 merges, while words ∪ bigrams (946 entries) exhausts at 1023,
+    so k=1000 trains a full realistic-depth merge sequence from the
+    same parquet inputs with no hand-planted data."""
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""WITH toks AS (
+              SELECT string_split(text, ' ') AS ws
+              FROM read_parquet('{sf_dir}/documents.parquet')),
+            all_w AS (
+              SELECT unnest(ws) AS w FROM toks
+              UNION ALL
+              SELECT ws[i] || ws[i + 1] AS w
+              FROM toks, LATERAL unnest(range(1, len(ws))) t(i))
+            SELECT w, COUNT(*) FROM all_w GROUP BY w"""
+    ).fetchall()
+    con.close()
+    return {
+        w: int(n) for w, n in rows if len(w) >= 2 and _WORD_RE.match(w)
+    }
+
+
 def reference_bpe(
     word_freqs: dict[str, int], k: int
 ) -> list[tuple[int, str, str, str, int]]:
@@ -104,7 +131,9 @@ def reference_bpe(
     return merges
 
 
-def merges_to_sql(merges: list[tuple[int, str, str, str, int]]) -> str:
+def merges_to_sql(
+    merges: list[tuple[int, str, str, str, int]], k: int = K
+) -> str:
     def esc(s: str) -> str:
         return s.replace("'", "''")
 
@@ -114,7 +143,7 @@ def merges_to_sql(merges: list[tuple[int, str, str, str, int]]) -> str:
     )
     return (
         "-- GENERATED by tools/gen_bpe_fixture.py from "
-        f"{SF_DIR}/documents.parquet at k={K}; do not hand-edit\n"
+        f"{SF_DIR}/documents.parquet at k={k}; do not hand-edit\n"
         "SELECT CAST(merge_rank AS INTEGER) AS merge_rank, left_sym, "
         "right_sym, merged,\n       CAST(pair_count AS BIGINT) AS "
         "pair_count\nFROM (VALUES\n  "
@@ -123,12 +152,24 @@ def merges_to_sql(merges: list[tuple[int, str, str, str, int]]) -> str:
     )
 
 
+K1000 = 1000
+FIXTURE_K1000 = os.path.join(
+    os.path.dirname(FIXTURE), "bpe_merges_k1000_sf001.sql"
+)
+
+
 def main() -> None:
     merges = reference_bpe(corpus_word_freqs(SF_DIR), K)
     sql = merges_to_sql(merges)
     with open(FIXTURE, "w") as f:
         f.write(sql + "\n")
     print(f"wrote {len(merges)} merges to {FIXTURE}")
+    merges1k = reference_bpe(
+        corpus_word_freqs_with_bigrams(SF_DIR), K1000
+    )
+    with open(FIXTURE_K1000, "w") as f:
+        f.write(merges_to_sql(merges1k, K1000) + "\n")
+    print(f"wrote {len(merges1k)} merges to {FIXTURE_K1000}")
 
 
 if __name__ == "__main__":
