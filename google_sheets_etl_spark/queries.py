@@ -3694,6 +3694,184 @@ def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_NSW_ORACLE = """
+WITH RECURSIVE ed AS (
+  -- upcast BEFORE any arithmetic (the _PQ_COMMON discipline): the
+  -- stored element type is float32; micro-unit rounding needs both
+  -- engines carrying double-precision noise
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings),
+q AS (SELECT vec_id, e FROM ed WHERE vec_id < 10),
+c AS (SELECT vec_id, e FROM ed WHERE vec_id >= 10),
+cents AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY md5(vec_id::VARCHAR || ':42'),
+                            vec_id) - 1 AS cell, e
+  FROM c QUALIFY cell < 4),
+cassign AS (
+  SELECT vec_id, e, cell FROM (
+    SELECT c.vec_id, c.e, cents.cell,
+           ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+             list_dot_product(c.e, cents.e) /
+               (sqrt(list_dot_product(c.e, c.e)) *
+                sqrt(list_dot_product(cents.e, cents.e))) DESC,
+             cents.cell ASC) AS rn
+    FROM c CROSS JOIN cents) WHERE rn = 1),
+qprobe AS (
+  SELECT vec_id, e, cell FROM (
+    SELECT q.vec_id, q.e, cents.cell,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+             list_dot_product(q.e, cents.e) /
+               (sqrt(list_dot_product(q.e, q.e)) *
+                sqrt(list_dot_product(cents.e, cents.e))) DESC,
+             cents.cell ASC) AS rn
+    FROM q CROSS JOIN cents) WHERE rn <= 2),
+ordered AS (
+  SELECT vec_id, e, cell,
+         ROW_NUMBER() OVER (PARTITION BY cell ORDER BY vec_id) AS ord
+  FROM cassign),
+gpairs AS (
+  SELECT a.cell, a.vec_id AS src, b.vec_id AS dst,
+         CAST(FLOOR(list_dot_product(a.e, b.e) /
+           (sqrt(list_dot_product(a.e, a.e)) *
+            sqrt(list_dot_product(b.e, b.e))) * 1000000 + 0.5)
+           AS BIGINT) AS w
+  FROM ordered a JOIN ordered b ON a.cell = b.cell AND b.ord < a.ord),
+sel AS (
+  SELECT cell, src, dst FROM (
+    SELECT cell, src, dst,
+           ROW_NUMBER() OVER (PARTITION BY cell, src
+                              ORDER BY w DESC, dst ASC) AS rn
+    FROM gpairs) WHERE rn <= 6),
+edges AS (
+  SELECT cell, src, dst FROM sel
+  UNION
+  SELECT cell, dst AS src, src AS dst FROM sel),
+entries AS (SELECT cell, vec_id FROM ordered WHERE ord <= 2),
+qd AS (
+  SELECT qprobe.vec_id AS query_id, cassign.cell,
+         cassign.vec_id AS nid,
+         list_dot_product(qprobe.e, cassign.e) /
+           (sqrt(list_dot_product(qprobe.e, qprobe.e)) *
+            sqrt(list_dot_product(cassign.e, cassign.e))) AS cosf,
+         CAST(FLOOR(list_dot_product(qprobe.e, cassign.e) /
+           (sqrt(list_dot_product(qprobe.e, qprobe.e)) *
+            sqrt(list_dot_product(cassign.e, cassign.e)))
+           * 1000000 + 0.5) AS BIGINT) AS cu6
+  FROM qprobe JOIN cassign USING (cell)),
+reach(query_id, cell, node) AS (
+  SELECT qp.vec_id AS query_id, en.cell, en.vec_id AS node
+  FROM qprobe qp JOIN entries en ON en.cell = qp.cell
+  UNION
+  SELECT r.query_id, r.cell, e2.dst AS node
+  FROM reach r
+  JOIN edges e2 ON e2.cell = r.cell AND e2.src = r.node
+  JOIN qd d1 ON d1.query_id = r.query_id AND d1.cell = r.cell
+            AND d1.nid = r.node
+  JOIN qd d2 ON d2.query_id = r.query_id AND d2.cell = r.cell
+            AND d2.nid = e2.dst
+  WHERE d2.cu6 > d1.cu6),
+scored AS (
+  SELECT r.query_id, r.node AS neighbor_id, qd.cosf
+  FROM reach r JOIN qd ON qd.query_id = r.query_id
+                      AND qd.cell = r.cell AND qd.nid = r.node)
+SELECT query_id, neighbor_id,
+       ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY cosf DESC, neighbor_id ASC) AS rank,
+       ROUND(cosf, 4) AS cosine_r4
+FROM scored
+QUALIFY rank <= 5"""
+
+
+@q("nsw_topk", _NSW_ORACLE)
+def nsw_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """GRAPH-family ANN (operators/similarity.py cosine_topk_nsw —
+    round-7 verdict "missing #3"): partitioned navigable-small-world
+    search. Build is NSW insertion made declarative (each node links
+    to its 6 nearest predecessors in id order, micro-unit cosine,
+    edges symmetrized); search is strict-improvement REACHABILITY
+    from the 2 oldest nodes per probed cell — a superset of every
+    greedy best-first walk from those entries, reformulated so the
+    whole index (coarse cells, graph edges, routing, rerank) has
+    this exact SQL twin: the oracle rebuilds centroids, cell
+    assignment, the edge set (window over predecessor pairs), the
+    improving-reachability closure (recursive CTE), and the final
+    ranking. Value-hash equality here certifies the approximate
+    STRUCTURE itself, not just its recall."""
+    emb = t(spark, sf, "embeddings")
+    return similarity.cosine_topk_nsw(
+        emb.filter(F.col("vec_id") < 10),
+        emb.filter(F.col("vec_id") >= 10),
+        k=5, n_cells=4, n_probe=2, m_neighbors=6, n_entries=2,
+    )
+
+
+@q(
+    "nsw_recall_at_k",
+    """SELECT * FROM (VALUES
+         ('graph_probe_all',  5, CAST(1.0 AS DOUBLE)),
+         ('graph_sparse',     5, CAST(0.84 AS DOUBLE)),
+         ('cells_probe_2of4', 5, CAST(0.56 AS DOUBLE)))
+       AS t(variant, k, recall)""",
+)
+def nsw_recall_at_k(spark: SparkSession, sf: str) -> DataFrame:
+    """NSW quality certification (the pq_recall_at_k pattern — the
+    oracle is the LITERAL contract at the gate scale): recall@5 vs
+    exact brute force for (a) the pure graph walk over one cell
+    (m=6, 2 entries — the walk alone recovers every true neighbor
+    while visiting ~41% of the corpus), (b) a sparser graph (m=4,
+    1 entry — recall 0.84 at ~25% visited: the m/entries knobs are
+    real), and (c) the celled config nsw_topk runs (recall bounded
+    by probing 2 of 4 cells — the IVF tradeoff, not the graph's).
+    Any regression in graph build or routing flips this row red."""
+    emb = t(spark, sf, "embeddings")
+    q_ = emb.filter(F.col("vec_id") < 10)
+    c_ = emb.filter(F.col("vec_id") >= 10)
+    exact = similarity.cosine_topk_bruteforce(q_, c_, k=5).select(
+        "query_id", "neighbor_id"
+    )
+
+    def row(variant: str, approx: DataFrame) -> DataFrame:
+        joined = exact.join(
+            approx.select(
+                "query_id", "neighbor_id", F.lit(1).alias("_hit")
+            ),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        return joined.agg(
+            F.lit(variant).alias("variant"),
+            F.lit(5).cast("int").alias("k"),
+            (
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+                / F.count(F.lit(1))
+            ).alias("recall"),
+        )
+
+    return (
+        row(
+            "graph_probe_all",
+            similarity.cosine_topk_nsw(
+                q_, c_, k=5, n_cells=1, n_probe=1,
+                m_neighbors=6, n_entries=2,
+            ),
+        )
+        .unionByName(row(
+            "graph_sparse",
+            similarity.cosine_topk_nsw(
+                q_, c_, k=5, n_cells=1, n_probe=1,
+                m_neighbors=4, n_entries=1,
+            ),
+        ))
+        .unionByName(row(
+            "cells_probe_2of4",
+            similarity.cosine_topk_nsw(
+                q_, c_, k=5, n_cells=4, n_probe=2,
+                m_neighbors=6, n_entries=2,
+            ),
+        ))
+    )
+
+
 @q(
     "text_token_stats",
     """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,

@@ -2190,3 +2190,52 @@ def test_png_image_operators_match_ppm(spark):
     ref = mm.PpmCodec().resize(ppm, 4, 4)
     assert (w2, h2) == (4, 4)
     assert ref.endswith(r2)  # same raster behind the P6 header
+
+
+def test_nsw_topk_contracts(spark):
+    """Partitioned-NSW contracts: (1) with every cell probed, a full
+    clique (m >= cell size) and all-nodes entries it EQUALS exact
+    brute force; (2) the result is invariant to input partitioning
+    (graph build and routing are deterministic functions of ids and
+    micro-unit distances); (3) zero-norm vectors neither crash nor
+    rank."""
+    import random
+
+    random.seed(23)
+    rows = [
+        (i, [random.uniform(-1, 1) for _ in range(8)]) for i in range(40)
+    ]
+    rows.append((40, [0.0] * 8))  # zero-norm candidate
+    vecs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    q = vecs.filter(F.col("vec_id") < 5)
+    c = vecs.filter(F.col("vec_id") >= 5)
+
+    exact = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in similarity.cosine_topk_bruteforce(q, c, k=5).collect()
+    }
+    degen = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in similarity.cosine_topk_nsw(
+            q, c, k=5, n_cells=1, n_probe=1,
+            m_neighbors=100, n_entries=100,
+        ).collect()
+    }
+    assert degen == exact
+
+    base = sorted(
+        tuple(r)
+        for r in similarity.cosine_topk_nsw(
+            q, c, k=5, n_cells=2, n_probe=2, m_neighbors=4, n_entries=2
+        ).collect()
+    )
+    shuffled = sorted(
+        tuple(r)
+        for r in similarity.cosine_topk_nsw(
+            q.repartition(7), c.repartition(13),
+            k=5, n_cells=2, n_probe=2, m_neighbors=4, n_entries=2,
+        ).collect()
+    )
+    assert base == shuffled
