@@ -4537,12 +4537,17 @@ def multimodal_ppm_resize_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _png_media(spark: SparkSession, sf: str, dhash_pattern: bool = False):
+def _png_media(
+    spark: SparkSession, sf: str, pattern: str = "linear",
+    only_odd: bool = False,
+):
     """REAL PNG payloads, one per document row: the SAME pixel
-    formulas the P6 fixtures use (``(doc_id*31+k) % 256``, or the
-    dHash pattern when ``dhash_pattern``), zlib-deflated behind
-    CYCLING scanline filters (y % 5 → None/Sub/Up/Average/Paeth — all
-    five reconstruction paths exercised on every image taller than 4
+    formulas the P6 fixtures use (``pattern='linear'`` →
+    ``(doc_id*31+k) % 256``; ``'dhash'`` → the brightness-shift pair
+    pattern; ``'dhash_noshift'`` → the base pattern with no shift,
+    for cross-format pairing), zlib-deflated behind CYCLING scanline
+    filters (y % 5 → None/Sub/Up/Average/Paeth — all five
+    reconstruction paths exercised on every image taller than 4
     rows). Assembly runs in a small Arrow kernel (zlib + CRC32 are
     not SQL-expressible), but the ORACLE never sees the binary: it
     regenerates pixels from the formula, so the decoder —
@@ -4553,14 +4558,19 @@ def _png_media(spark: SparkSession, sf: str, dhash_pattern: bool = False):
     from .operators.multimodal import encode_png
 
     d = t(spark, sf, "documents").select("doc_id")
+    if only_odd:
+        d = d.filter(F.col("doc_id") % 2 == 1)
 
     def kernel(batches):
         for pdf in batches:
             payloads = []
             for doc_id in pdf["doc_id"]:
                 doc_id = int(doc_id)
-                if dhash_pattern:
-                    base, shift = doc_id // 2, (doc_id % 2) * 40
+                if pattern in ("dhash", "dhash_noshift"):
+                    base = doc_id // 2
+                    shift = (
+                        (doc_id % 2) * 40 if pattern == "dhash" else 0
+                    )
                     w, h = 8 + base % 5, 6 + base % 4
                     raster = bytes(
                         (base * 97 + k * k * 31) % 200 + shift
@@ -4621,8 +4631,113 @@ def png_dhash_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     PNG encoding of the same pixels fingerprint identically, which
     is exactly what cross-format image dedup at 100 TB requires."""
     return multimodal.image_dhash(
-        _png_media(spark, sf, dhash_pattern=True)
+        _png_media(spark, sf, pattern="dhash")
     )
+
+
+@q(
+    "png_resize_luminance",
+    f"""WITH {_PPM_PIXELS_SQL},
+       grid AS (SELECT doc_id, w, h, UNNEST(range(0, 20)) AS o
+                FROM dims),
+       src AS (SELECT doc_id, w, h, o,
+                      ((o // 5) * h // 4) * w + ((o % 5) * w // 5) AS sp
+               FROM grid)
+       SELECT doc_id AS media_id,
+              CAST(SUM((((doc_id * 31 + 3 * sp) % 256)
+                      + ((doc_id * 31 + 3 * sp + 1) % 256)
+                      + ((doc_id * 31 + 3 * sp + 2) % 256)) // 3)
+                   AS BIGINT) AS lum_sum
+       FROM src GROUP BY 1""",
+)
+def png_resize_luminance(spark: SparkSession, sf: str) -> DataFrame:
+    """PNG resize ROUND-TRIP certification: decode (inflate + filter
+    reconstruction) → nearest-neighbor resample to 5×4 → RE-ENCODE as
+    PNG (PngCodec.resize) → decode again → exact luminance mass. The
+    oracle computes the sampled source pixels straight from the
+    fixture formula (the multimodal_ppm_resize_stats sampling rule),
+    so a single byte off anywhere in decode→resample→encode→decode
+    shifts the sum. This is the transform-step parity the P6 path
+    has, closed over the compressed format."""
+    media = _png_media(spark, sf).select(
+        "media_id",
+        F.lit("image").alias("kind"),
+        "payload",
+        F.lit(None).cast(multimodal.META_STRUCT).alias("meta"),
+    )
+    resized = multimodal.resize_images(
+        media, width=5, height=4, codec=multimodal.default_codec()
+    )
+    return multimodal.image_luminance_sum(resized, ["media_id"])
+
+
+_MIXED_DHASH_SQL = """WITH
+  dims AS (SELECT doc_id, doc_id // 2 AS base,
+                  8 + (doc_id // 2) % 5 AS w, 6 + (doc_id // 2) % 4 AS h
+           FROM documents),
+  g AS (SELECT doc_id, base, w, h, y, x,
+               (y * h // 8) * w + (x * w // 9) AS sp
+        FROM dims, range(0, 8) ty(y), range(0, 9) tx(x)),
+  lm AS (SELECT doc_id, y, x,
+                (((base * 97 + (3 * sp) * (3 * sp) * 31) % 200)
+                 + ((base * 97 + (3 * sp + 1) * (3 * sp + 1) * 31) % 200)
+                 + ((base * 97 + (3 * sp + 2) * (3 * sp + 2) * 31) % 200))
+                // 3 AS l
+         FROM g),
+  rowbytes AS (
+    SELECT a.doc_id, a.y,
+           CAST(SUM(CASE WHEN a.l > b.l THEN (1 << a.x) ELSE 0 END)
+                AS BIGINT) AS byte
+    FROM lm a JOIN lm b
+      ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
+    WHERE a.x < 8 GROUP BY a.doc_id, a.y),
+  dh AS (SELECT doc_id, string_agg(printf('%02x', byte), '' ORDER BY y)
+                  AS dhash
+         FROM rowbytes GROUP BY doc_id)
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(0 AS BIGINT) AS hamming
+  FROM dh a JOIN dh b ON a.doc_id < b.doc_id AND a.dhash = b.dhash"""
+
+
+@q("mixed_format_image_dedup", _MIXED_DHASH_SQL)
+def mixed_format_image_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """CROSS-FORMAT image dedup — the reason the decode dispatch
+    exists: the same pixel pattern rendered as P6 for even doc ids
+    and as truecolor PNG (cycling filters) for odd ones; dHash over
+    the mixed corpus + the banded hamming join at distance 0 must
+    pair every (2j, 2j+1) re-encode across the FORMAT boundary. The
+    oracle knows nothing about either container — it recomputes
+    hashes from the shared pixel formula and pairs equal ones — so
+    any PNG/P6 decode divergence breaks the planted pairs or mints
+    false ones. (Cross-base accidental hash equals are legitimate
+    and appear on both sides.)"""
+    d = t(spark, sf, "documents").select("doc_id").filter(
+        F.col("doc_id") % 2 == 0
+    )
+    base = (F.col("doc_id") / 2).cast("long")
+    w = (F.lit(8) + base % 5).cast("int")
+    h = (F.lit(6) + base % 4).cast("int")
+    header = F.concat(
+        F.lit("P6\n"), w.cast("string"), F.lit(" "), h.cast("string"),
+        F.lit("\n255\n"),
+    )
+    pixels_hex = F.concat_ws(
+        "",
+        F.transform(
+            F.sequence(F.lit(0), (w * h * 3).cast("long") - 1),
+            lambda k: F.lpad(
+                F.hex((base * 97 + k * k * 31) % 200), 2, "0"
+            ),
+        ),
+    )
+    p6 = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.unhex(F.concat(F.hex(F.encode(header, "UTF-8")), pixels_hex))
+        .alias("payload"),
+    )
+    png = _png_media(spark, sf, pattern="dhash_noshift", only_odd=True)
+    hashes = multimodal.image_dhash(p6.unionByName(png))
+    return multimodal.dhash_near_dup_pairs(hashes, max_dist=0)
 
 
 @q(
