@@ -1,0 +1,505 @@
+"""Pure-Python BASELINE JPEG codec (ITU-T T.81 sequential DCT,
+Huffman, 8-bit, 3-component 4:4:4) — the most common real-world image
+container, decoded with zero dependencies so the whole image-operator
+surface (dHash, luminance, near-dup, clusters, decode audit) composes
+over JPEG payloads exactly as it does over P6 and PNG
+(``multimodal.decode_image`` dispatches on the FFD8 magic).
+
+Reference parity: the reference system stores media as opaque blobs
+and never decodes (GoogleSheetsAgent.php handles cell text only); this
+module is part of the training-data-pipeline extension surface.
+
+Scope and strictness contract:
+
+- Baseline sequential DCT only (SOF0), 8-bit samples, 1 or 3
+  components, no chroma subsampling (all h=v=1), no restart intervals,
+  no progressive/arithmetic coding. Everything outside that scope and
+  every malformed shape raises a PINNED ValueError (the PPM/WAV/PNG
+  discipline) — per-row rejects upstream, surfaced by
+  ``payload_decode_audit``.
+- DECODE DETERMINISM: the IDCT is float64 separable (matrix form),
+  sample reconstruction rounds HALF-UP then clamps to [0, 255], and
+  YCbCr→RGB uses the JFIF constants with the same rounding. Exact
+  rounding rules are part of the codec contract (shared by necessity
+  with the independent fixture decoder in tools/gen_jpeg_fixture.py —
+  like the unigram Viterbi tie-break, an equally-reasonable alternative
+  rule reconstructs different pixels); the two implementations share
+  no code (numpy matrix IDCT + dict-keyed Huffman here vs scalar
+  separable loops + canonical-code-range navigation there).
+- ENCODE (fixture assembly + resize re-encode) uses the T.81 Annex K
+  quantization tables and the spec's "typical" Huffman tables — public
+  constants. JPEG is lossy, so oracles certify the DECODER against an
+  independently-decoded literal fixture, never against the pixel
+  formula directly.
+
+Scale shape: per-payload work inside Arrow batches (the multimodal
+kernel contract) — embarrassingly parallel across input splits, no
+shuffle. Huffman entropy decode is inherently sequential PER PAYLOAD
+(a bitstream), which is the correct grain: one pathological mega-image
+bounds one task, never a stage. Clusters with Pillow installed take
+the PilCodec path; this is the zero-dependency floor.
+"""
+
+from __future__ import annotations
+
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# T.81 Annex K.1 — example luminance / chrominance quantization tables
+QUANT_LUM = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+QUANT_CHROMA = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+# T.81 Annex K.3 — "typical" Huffman tables: (BITS counts per code
+# length 1..16, HUFFVAL symbol list)
+DC_LUM_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUM_VALS = list(range(12))
+DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROMA_VALS = list(range(12))
+AC_LUM_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUM_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
+def _huffman_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical code assignment (T.81 C.2): symbol -> (length, code)."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (length, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol, for the dict-keyed decoder."""
+    return {
+        (ln, code): sym for sym, (ln, code) in _huffman_codes(bits, vals).items()
+    }
+
+
+def _dct_matrix():
+    import numpy as np
+
+    C = np.zeros((8, 8), dtype=np.float64)
+    for u in range(8):
+        alpha = (1.0 / (2.0 * np.sqrt(2.0))) if u == 0 else 0.5
+        for x in range(8):
+            C[u, x] = alpha * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    return C
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """JPEG magnitude coding: value -> (category, appended bits)."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    cat = a.bit_length()
+    bits = v if v > 0 else v + (1 << cat) - 1
+    return cat, bits
+
+
+def _extend(bits: int, cat: int) -> int:
+    """Inverse of _magnitude (T.81 F.2.2.1 EXTEND)."""
+    if cat == 0:
+        return 0
+    if bits < (1 << (cat - 1)):
+        return bits - (1 << cat) + 1
+    return bits
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # 1-fill per spec
+        return bytes(self.out)
+
+
+class _BitReader:
+    """Entropy-segment bit reader with FF00 de-stuffing; raises the
+    pinned truncation error when bits run out mid-symbol."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def read_bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated jpeg entropy stream")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.data):
+                    raise ValueError("truncated jpeg entropy stream")
+                marker = self.data[self.pos]
+                self.pos += 1
+                if marker != 0x00:
+                    raise ValueError("unexpected marker in jpeg entropy stream")
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def read_bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _decode_symbol(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid jpeg huffman code")
+
+
+def encode_jpeg(w: int, h: int, raster: bytes) -> bytes:
+    """Encode an RGB raster as baseline JFIF (4:4:4, Annex K quant
+    tables, typical Huffman tables). Non-multiple-of-8 dimensions are
+    edge-padded to full MCUs; SOF0 records the true dimensions."""
+    import struct
+
+    import numpy as np
+
+    if len(raster) != w * h * 3:
+        raise ValueError("raster size mismatch")
+    rgb = np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3).astype(np.float64)
+    # JFIF RGB -> YCbCr
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    planes = [
+        0.299 * r + 0.587 * g + 0.114 * b,
+        128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b,
+        128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b,
+    ]
+    wb, hb = (w + 7) // 8, (h + 7) // 8
+    C = _dct_matrix()
+    qts = [np.array(QUANT_LUM, dtype=np.float64).reshape(8, 8),
+           np.array(QUANT_CHROMA, dtype=np.float64).reshape(8, 8)]
+    dc_tabs = [_huffman_codes(DC_LUM_BITS, DC_LUM_VALS),
+               _huffman_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)]
+    ac_tabs = [_huffman_codes(AC_LUM_BITS, AC_LUM_VALS),
+               _huffman_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)]
+    writer = _BitWriter()
+    prev_dc = [0, 0, 0]
+    for by in range(hb):
+        for bx in range(wb):
+            for ci, plane in enumerate(planes):
+                tsel = 0 if ci == 0 else 1
+                # edge-replicated 8x8 block
+                ys = np.clip(np.arange(by * 8, by * 8 + 8), 0, h - 1)
+                xs = np.clip(np.arange(bx * 8, bx * 8 + 8), 0, w - 1)
+                block = plane[ys[:, None], xs[None, :]] - 128.0
+                coeffs = C @ block @ C.T
+                q = np.round(coeffs / qts[tsel]).astype(np.int64)
+                zz = [int(q.reshape(-1)[ZIGZAG[i]]) for i in range(64)]
+                diff = zz[0] - prev_dc[ci]
+                prev_dc[ci] = zz[0]
+                cat, bits = _magnitude(diff)
+                ln, code = dc_tabs[tsel][cat]
+                writer.write(code, ln)
+                if cat:
+                    writer.write(bits, cat)
+                run = 0
+                last_nz = 0
+                for i in range(63, 0, -1):
+                    if zz[i]:
+                        last_nz = i
+                        break
+                for i in range(1, last_nz + 1):
+                    if zz[i] == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        ln, code = ac_tabs[tsel][0xF0]  # ZRL
+                        writer.write(code, ln)
+                        run -= 16
+                    cat, bits = _magnitude(zz[i])
+                    ln, code = ac_tabs[tsel][(run << 4) | cat]
+                    writer.write(code, ln)
+                    writer.write(bits, cat)
+                    run = 0
+                if last_nz < 63:
+                    ln, code = ac_tabs[tsel][0x00]  # EOB
+                    writer.write(code, ln)
+    entropy = writer.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    for tid, table in ((0, QUANT_LUM), (1, QUANT_CHROMA)):
+        zz_t = bytes(table[ZIGZAG[i]] for i in range(64))
+        out += seg(0xFFDB, bytes([tid]) + zz_t)
+    out += seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    for tc_th, bits, vals in (
+        (0x00, DC_LUM_BITS, DC_LUM_VALS),
+        (0x10, AC_LUM_BITS, AC_LUM_VALS),
+        (0x01, DC_CHROMA_BITS, DC_CHROMA_VALS),
+        (0x11, AC_CHROMA_BITS, AC_CHROMA_VALS),
+    ):
+        out += seg(0xFFC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
+    out += seg(
+        0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    )
+    out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def parse_jpeg(payload: bytes) -> tuple[int, int, bytes]:
+    """Strict baseline-JPEG decode → (width, height, raw RGB bytes).
+    Pinned ValueErrors for every out-of-scope or malformed shape."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a jpeg payload")
+    pos = 2
+    qtables: dict[int, "np.ndarray"] = {}
+    htables: dict[int, dict[tuple[int, int], int]] = {}
+    w = h = None
+    comps: list[tuple[int, int]] = []  # (component id, quant table id)
+    scan: list[tuple[int, int, int]] = []  # (comp idx, dc table, ac table)
+    entropy_start = None
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("malformed jpeg marker stream")
+        marker = payload[pos + 1] if pos + 1 < len(payload) else None
+        if marker is None:
+            raise ValueError("truncated jpeg marker")
+        if marker == 0xFF:  # fill byte (B.1.1.2) — realign
+            pos += 1
+            continue
+        pos += 2
+        if marker == 0xD9:  # EOI without SOS
+            raise ValueError("jpeg missing scan data")
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue  # standalone markers
+        if pos + 2 > len(payload):
+            raise ValueError("truncated jpeg marker")
+        (seglen,) = struct.unpack(">H", payload[pos:pos + 2])
+        if seglen < 2 or pos + seglen > len(payload):
+            raise ValueError("truncated jpeg segment")
+        data = payload[pos + 2:pos + seglen]
+        pos += seglen
+        if marker == 0xDB:  # DQT (possibly multiple tables)
+            dpos = 0
+            while dpos < len(data):
+                pq_tq = data[dpos]
+                if pq_tq >> 4:
+                    raise ValueError("16-bit jpeg quant tables unsupported")
+                if dpos + 65 > len(data):
+                    raise ValueError("truncated jpeg segment")
+                zz = data[dpos + 1:dpos + 65]
+                q = np.zeros(64, dtype=np.float64)
+                for i in range(64):
+                    q[ZIGZAG[i]] = zz[i]
+                qtables[pq_tq & 0x0F] = q.reshape(8, 8)
+                dpos += 65
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = struct.unpack(">BHHB", data[:6])
+            if prec != 8:
+                raise ValueError("only 8-bit jpeg supported")
+            if nc not in (1, 3):
+                raise ValueError("unsupported jpeg component count")
+            for i in range(nc):
+                cid, hv, tq = data[6 + 3 * i:9 + 3 * i]
+                if hv != 0x11:
+                    raise ValueError("subsampled jpeg unsupported")
+                comps.append((cid, tq))
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("only baseline jpeg supported")
+        elif marker == 0xC4:  # DHT (possibly multiple tables)
+            dpos = 0
+            while dpos < len(data):
+                tc_th = data[dpos]
+                bits = list(data[dpos + 1:dpos + 17])
+                nsym = sum(bits)
+                vals = list(data[dpos + 17:dpos + 17 + nsym])
+                if len(vals) != nsym:
+                    raise ValueError("truncated jpeg segment")
+                htables[tc_th] = _decode_table(bits, vals)
+                dpos += 17 + nsym
+        elif marker == 0xDD:
+            raise ValueError("jpeg restart intervals unsupported")
+        elif marker == 0xDA:  # SOS
+            ns = data[0]
+            if ns != len(comps):
+                raise ValueError("jpeg scan component mismatch")
+            for i in range(ns):
+                cs, tsel = data[1 + 2 * i], data[2 + 2 * i]
+                idx = next(
+                    (j for j, (cid, _) in enumerate(comps) if cid == cs),
+                    None,
+                )
+                if idx is None:
+                    raise ValueError("jpeg scan component mismatch")
+                scan.append((idx, tsel >> 4, tsel & 0x0F))
+            entropy_start = pos
+            break
+        # APPn / COM / others: skipped
+    if w is None or h is None:
+        raise ValueError("jpeg missing sof0")
+    if entropy_start is None:
+        raise ValueError("jpeg missing scan data")
+    # locate EOI: entropy data runs to the final FFD9
+    end = payload.rfind(b"\xff\xd9")
+    if end < entropy_start:
+        raise ValueError("jpeg missing eoi")
+    reader = _BitReader(payload[entropy_start:end])
+    C = _dct_matrix()
+    wb, hb = (w + 7) // 8, (h + 7) // 8
+    nc = len(comps)
+    planes = [np.zeros((hb * 8, wb * 8), dtype=np.float64) for _ in range(nc)]
+    prev_dc = [0] * nc
+    for by in range(hb):
+        for bx in range(wb):
+            for si, (ci, dct, act) in enumerate(scan):
+                dc_tab = htables.get(0x00 | dct)
+                ac_tab = htables.get(0x10 | act)
+                qt = qtables.get(comps[ci][1])
+                if dc_tab is None or ac_tab is None or qt is None:
+                    raise ValueError("jpeg table reference undefined")
+                zz = [0] * 64
+                cat = _decode_symbol(reader, dc_tab)
+                diff = _extend(reader.read_bits(cat), cat)
+                prev_dc[ci] += diff
+                zz[0] = prev_dc[ci]
+                i = 1
+                while i < 64:
+                    sym = _decode_symbol(reader, ac_tab)
+                    if sym == 0x00:  # EOB
+                        break
+                    if sym == 0xF0:  # ZRL
+                        i += 16
+                        continue
+                    run, cat = sym >> 4, sym & 0x0F
+                    i += run
+                    if i > 63:
+                        raise ValueError("jpeg coefficient index overflow")
+                    zz[i] = _extend(reader.read_bits(cat), cat)
+                    i += 1
+                coeffs = np.zeros(64, dtype=np.float64)
+                for i in range(64):
+                    coeffs[ZIGZAG[i]] = zz[i]
+                block = C.T @ (coeffs.reshape(8, 8) * qt) @ C
+                planes[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = block
+    # reconstruction contract: +128 level shift, round HALF-UP, clamp
+    recon = [
+        np.clip(np.floor(p[:h, :w] + 128.0 + 0.5), 0, 255) for p in planes
+    ]
+    if nc == 1:
+        y = recon[0].astype(np.uint8)
+        return w, h, np.repeat(y[:, :, None], 3, axis=2).tobytes()
+    y, cb, cr = recon
+    r = np.clip(np.floor(y + 1.402 * (cr - 128.0) + 0.5), 0, 255)
+    g = np.clip(
+        np.floor(
+            y - 0.344136286 * (cb - 128.0) - 0.714136286 * (cr - 128.0) + 0.5
+        ),
+        0,
+        255,
+    )
+    b = np.clip(np.floor(y + 1.772 * (cb - 128.0) + 0.5), 0, 255)
+    out = np.stack([r, g, b], axis=2).astype(np.uint8)
+    return w, h, out.tobytes()

@@ -494,6 +494,45 @@ class PngCodec(MediaCodec):
         )
 
 
+class JpegCodec(MediaCodec):
+    """Real baseline-JPEG codec (see :mod:`.jpeg`): same feature and
+    resize arithmetic as Ppm/PngCodec over :func:`jpeg.parse_jpeg`
+    rasters; ``resize`` re-encodes as baseline JPEG (lossy — the
+    format's contract, exactly like every production thumbnailer)."""
+
+    def __init__(self) -> None:
+        super().__init__(name="jpeg")
+
+    @staticmethod
+    def parse(payload: bytes) -> tuple[int, int, bytes]:
+        from . import jpeg as _jpeg
+
+        return _jpeg.parse_jpeg(payload)
+
+    def image_features(self, payload: bytes, n_bins: int) -> list[float]:
+        import numpy as np
+
+        w, h, px = self.parse(payload)
+        arr = np.frombuffer(px, dtype=np.uint8).reshape(-1, 3)
+        lum = arr.astype(np.int64).sum(axis=1) // 3
+        counts = np.bincount(lum * n_bins // 256, minlength=n_bins)
+        total = w * h or 1
+        return (counts / float(total)).tolist()
+
+    def resize(self, payload: bytes, width: int, height: int) -> bytes:
+        import numpy as np
+
+        from . import jpeg as _jpeg
+
+        w, h, px = self.parse(payload)
+        arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
+        sy = (np.arange(height, dtype=np.int64) * h) // height
+        sx = (np.arange(width, dtype=np.int64) * w) // width
+        return _jpeg.encode_jpeg(
+            width, height, arr[sy[:, None], sx[None, :]].tobytes()
+        )
+
+
 def decode_image(payload: bytes) -> tuple[int, int, bytes]:
     """THE image-decode dispatch for raster kernels: magic-byte sniff
     → the matching strict parser → (w, h, raw RGB bytes). One
@@ -503,6 +542,10 @@ def decode_image(payload: bytes) -> tuple[int, int, bytes]:
         return PpmCodec.parse(payload)
     if payload[:8] == PNG_SIG:
         return parse_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from . import jpeg as _jpeg
+
+        return _jpeg.parse_jpeg(payload)
     raise ValueError("unsupported payload format")
 
 
@@ -525,6 +568,7 @@ class SniffCodec(MediaCodec):
         super().__init__(name=f"sniff({fallback.name})")
         self._ppm = PpmCodec()
         self._png = PngCodec()
+        self._jpeg = JpegCodec()
         self._fallback = fallback
 
     def _pick(self, payload: bytes) -> MediaCodec | None:
@@ -532,6 +576,8 @@ class SniffCodec(MediaCodec):
             return self._ppm
         if payload[:8] == PNG_SIG:
             return self._png
+        if payload[:2] == b"\xff\xd8":
+            return self._jpeg
         return None
 
     def image_features(self, payload: bytes, n_bins: int) -> list[float]:
@@ -1202,6 +1248,10 @@ def payload_decode_audit(
                         )
             elif b[:8] == PNG_SIG:
                 parse_png(b)
+            elif b[:2] == b"\xff\xd8":
+                from . import jpeg as _jpeg
+
+                _jpeg.parse_jpeg(b)
             elif b[:4] == b"RIFF":
                 parse_wav_pcm16(b)
             else:

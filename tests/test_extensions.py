@@ -2239,3 +2239,67 @@ def test_nsw_topk_contracts(spark):
         ).collect()
     )
     assert base == shuffled
+
+
+def test_jpeg_codec_contracts(spark):
+    """Baseline-JPEG contracts: (1) the operator decoder and the
+    independent fixture decoder agree PIXEL-FOR-PIXEL (the shared
+    decode contract, two implementations); (2) smooth images survive
+    the lossy round trip within a small bound while dims round-trip
+    exactly, including non-multiple-of-8 (MCU padding + crop); (3)
+    strict pinned rejects; (4) a malformed JPEG in a batch is a
+    per-row reject through the image kernels and surfaces in the
+    audit; (5) JpegCodec.resize re-encodes at the target dims."""
+    import numpy as np
+    import pytest as _pt
+
+    from google_sheets_etl_spark.operators import multimodal as mm
+    from google_sheets_etl_spark.operators.jpeg import (
+        encode_jpeg, parse_jpeg,
+    )
+    from tools.gen_jpeg_fixture import reference_decode_jpeg
+
+    for w, h in [(8, 8), (12, 10), (16, 12)]:
+        smooth = bytes(
+            min(255, x * 4 + y * 3 + c)
+            for y in range(h) for x in range(w) for c in range(3)
+        )
+        payload = encode_jpeg(w, h, smooth)
+        w2, h2, rgb = parse_jpeg(payload)
+        assert (w2, h2) == (w, h)
+        a = np.frombuffer(smooth, dtype=np.uint8).astype(int)
+        b = np.frombuffer(rgb, dtype=np.uint8).astype(int)
+        assert np.abs(a - b).mean() < 4.0  # lossy but close on smooth
+        wr, hr, ref = reference_decode_jpeg(payload)
+        assert (wr, hr) == (w, h)
+        assert np.array_equal(np.array(ref), b)  # decoders bit-agree
+
+    good = encode_jpeg(8, 8, bytes(range(192)))
+    with _pt.raises(ValueError, match="not a jpeg payload"):
+        parse_jpeg(b"XX")
+    with _pt.raises(ValueError, match="truncated jpeg segment"):
+        parse_jpeg(good[:10])
+    with _pt.raises(ValueError, match="jpeg missing eoi"):
+        parse_jpeg(good[:-2])
+
+    resized = mm.JpegCodec().resize(good, 4, 4)
+    assert parse_jpeg(resized)[:2] == (4, 4)
+
+    media = spark.createDataFrame(
+        [
+            (1, "image", good, None),
+            (2, "image", good[:10], None),   # truncated mid-DQT
+        ],
+        mm.MEDIA_SCHEMA,
+    ).coalesce(1)
+    sums = {
+        r["media_id"]: r["lum_sum"]
+        for r in mm.image_luminance_sum(media).collect()
+    }
+    assert set(sums) == {1}
+    audit = {
+        r["media_id"]: (r["ok"], r["err"])
+        for r in mm.payload_decode_audit(media).collect()
+    }
+    assert audit[1] == (True, "")
+    assert audit[2] == (False, "truncated jpeg segment")
