@@ -4562,6 +4562,8 @@ def _png_media(
         d = d.filter(F.col("doc_id") % 2 == 1)
 
     def kernel(batches):
+        import numpy as np
+
         for pdf in batches:
             payloads = []
             for doc_id in pdf["doc_id"]:
@@ -4572,14 +4574,17 @@ def _png_media(
                         (doc_id % 2) * 40 if pattern == "dhash" else 0
                     )
                     w, h = 8 + base % 5, 6 + base % 4
-                    raster = bytes(
-                        (base * 97 + k * k * 31) % 200 + shift
-                        for k in range(w * h * 3)
+                    k = np.arange(w * h * 3, dtype=np.int64)
+                    raster = (
+                        ((base * 97 + k * k * 31) % 200 + shift)
+                        .astype(np.uint8).tobytes()
                     )
                 else:
                     w, h = 4 + doc_id % 5, 3 + doc_id % 4
-                    raster = bytes(
-                        (doc_id * 31 + k) % 256 for k in range(w * h * 3)
+                    k = np.arange(w * h * 3, dtype=np.int64)
+                    raster = (
+                        ((doc_id * 31 + k) % 256)
+                        .astype(np.uint8).tobytes()
                     )
                 payloads.append(
                     encode_png(
@@ -4854,17 +4859,23 @@ def jpeg_decode_features(spark: SparkSession, sf: str) -> DataFrame:
     d = t(spark, sf, "documents").select("doc_id")
 
     def kernel(batches):
+        import numpy as np
+
         for pdf in batches:
             payloads = []
             for doc_id in pdf["doc_id"]:
                 doc_id = int(doc_id)
                 w = 8 + 4 * (doc_id % 3)
                 h = 8 + 4 * (doc_id % 2)
-                raster = bytes(
-                    (doc_id + x * 7 + y * 13 + c * 37) % 256
-                    for y in range(h)
-                    for x in range(w)
-                    for c in range(3)
+                y, x, c = np.meshgrid(
+                    np.arange(h, dtype=np.int64),
+                    np.arange(w, dtype=np.int64),
+                    np.arange(3, dtype=np.int64),
+                    indexing="ij",
+                )
+                raster = (
+                    ((doc_id + x * 7 + y * 13 + c * 37) % 256)
+                    .astype(np.uint8).tobytes()
                 )
                 payloads.append(encode_jpeg(w, h, raster))
             yield pd.DataFrame(
