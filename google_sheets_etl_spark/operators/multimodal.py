@@ -184,6 +184,298 @@ def parse_ppm_frames(payload: bytes) -> list[tuple[int, int, bytes]]:
     return frames
 
 
+GIF_SIGS = (b"GIF87a", b"GIF89a")
+_GIF_MAX_CODE_WIDTH = 12  # spec cap: codes never exceed 12 bits
+
+
+def _lzw_decode(data: bytes, min_code_size: int, expected: int) -> bytes:
+    """GIF-flavor LZW decode (LSB-first variable-width codes,
+    CLEAR/EOI control codes, early-change width growth) → exactly
+    ``expected`` index bytes. Strict: an out-of-range code, output
+    overrun, or stream exhaustion before ``expected`` indices all
+    raise the pinned ``ValueError('invalid lzw code stream')`` — the
+    per-row reject contract every codec in this module follows.
+
+    Width-growth fine print (the classic off-by-one): the DECODER's
+    dictionary lags the encoder's by one entry at read time, so it
+    widens at ``next_code == (1 << width) - 1`` while the encoder
+    widens at ``next_code == 1 << width`` — the pairing Pillow's
+    GifDecode.c/GifEncode.c and giflib both use, so this decoder
+    reads real-world GIF streams, not just our own encoder's."""
+    if not 2 <= min_code_size <= 8:
+        raise ValueError("invalid lzw code stream")
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    base = [bytes([i]) for i in range(clear)]
+    table: list[bytes] = []
+    width = min_code_size + 1
+    out = bytearray()
+    prev: bytes | None = None
+    acc = bits = 0
+    pos, n = 0, len(data)
+    while True:
+        while bits < width:
+            if pos >= n:
+                raise ValueError("invalid lzw code stream")
+            acc |= data[pos] << bits
+            pos += 1
+            bits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        bits -= width
+        if code == clear:
+            table = []
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < clear:
+            entry = base[code]
+        elif eoi < code < eoi + 1 + len(table):
+            entry = table[code - eoi - 1]
+        elif code == eoi + 1 + len(table) and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError("invalid lzw code stream")
+        if prev is not None and len(table) < 4096 - eoi - 1:
+            table.append(prev + entry[:1])
+            if (
+                eoi + 1 + len(table) == (1 << width) - 1
+                and width < _GIF_MAX_CODE_WIDTH
+            ):
+                width += 1
+        out += entry
+        if len(out) > expected:
+            raise ValueError("invalid lzw code stream")
+        prev = entry
+        if len(out) == expected:
+            break
+    if len(out) != expected:
+        raise ValueError("invalid lzw code stream")
+    return bytes(out)
+
+
+def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """Real greedy-longest-match GIF LZW encoder (fixture assembly +
+    :meth:`GifCodec.resize` re-encode): dictionary hits emit multi-
+    pixel codes, so decode exercises the table-extension and KwKwK
+    paths — not the degenerate all-literals 'uncompressed GIF'
+    stream. Emits CLEAR up front and whenever the table fills (4096),
+    EOI at the end; width grows at ``next_code == 1 << width``
+    (matched to the decoder's early-change rule above)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = bits = 0
+
+    def put(code: int, width: int) -> None:
+        nonlocal acc, bits
+        acc |= code << bits
+        bits += width
+        while bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    put(clear, width)
+    w = b""
+    for b in indices:
+        wk = w + bytes([b])
+        if wk in table:
+            w = wk
+            continue
+        put(table[w], width)
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+            if next_code == (1 << width) and width < _GIF_MAX_CODE_WIDTH:
+                width += 1
+        else:  # table full → reset, exactly like production encoders
+            put(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        w = bytes([b])
+    if w:
+        put(table[w], width)
+    put(eoi, width)
+    if bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def parse_gif_indexed(
+    payload: bytes,
+) -> tuple[int, int, list[bytes], bytes]:
+    """Strict pure-Python GIF87a/89a parser → ``(width, height,
+    [frame index bytes, ...], palette rgb bytes)`` — the palette-
+    indexed core the RGB views layer over (resize resamples INDICES
+    and keeps the palette, so a GIF round-trip is lossless, unlike
+    JPEG). Real container walk: logical screen descriptor, global /
+    per-frame local color tables, extension blocks (GCE/comment/
+    application) skipped sub-block-exactly, LZW-compressed image
+    data, trailer.
+
+    Strictness contract matches the PPM/PNG/WAV parsers — pinned
+    ValueErrors for: bad signature, truncated header/blocks, missing
+    color table, interlaced images, non-full-canvas frames (the
+    container shape every frame-composition op in this module
+    assumes, like the concatenated-P6 walk), corrupt LZW streams,
+    out-of-palette indices, missing trailer, trailing bytes."""
+    import struct
+
+    if payload[:6] not in GIF_SIGS:
+        raise ValueError("not a gif payload")
+    if len(payload) < 13:
+        raise ValueError("truncated gif header")
+    w, h, packed, _bg, _aspect = struct.unpack(
+        "<HHBBB", payload[6:13]
+    )
+    pos = 13
+    gct: bytes | None = None
+    if packed & 0x80:
+        n_ent = 2 << (packed & 0x07)
+        gct = payload[pos:pos + 3 * n_ent]
+        if len(gct) != 3 * n_ent:
+            raise ValueError("truncated gif color table")
+        pos += 3 * n_ent
+
+    def sub_blocks(p: int) -> tuple[bytes, int]:
+        chunks = []
+        while True:
+            if p >= len(payload):
+                raise ValueError("truncated gif block")
+            ln = payload[p]
+            p += 1
+            if ln == 0:
+                return b"".join(chunks), p
+            if p + ln > len(payload):
+                raise ValueError("truncated gif block")
+            chunks.append(payload[p:p + ln])
+            p += ln
+
+    frames: list[bytes] = []
+    palette: bytes | None = None
+    seen_trailer = False
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            seen_trailer = True
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            if pos >= len(payload):
+                raise ValueError("truncated gif block")
+            pos += 1  # label byte
+            _, pos = sub_blocks(pos)
+            continue
+        if block != 0x2C:
+            raise ValueError("unknown gif block")
+        if pos + 9 > len(payload):
+            raise ValueError("truncated gif block")
+        fx, fy, fw, fh, fpacked = struct.unpack(
+            "<HHHHB", payload[pos:pos + 9]
+        )
+        pos += 9
+        if fpacked & 0x40:
+            raise ValueError("interlaced gif unsupported")
+        if (fx, fy, fw, fh) != (0, 0, w, h):
+            raise ValueError("gif frame not full-canvas")
+        lct = gct
+        if fpacked & 0x80:
+            n_ent = 2 << (fpacked & 0x07)
+            lct = payload[pos:pos + 3 * n_ent]
+            if len(lct) != 3 * n_ent:
+                raise ValueError("truncated gif color table")
+            pos += 3 * n_ent
+        if lct is None:
+            raise ValueError("gif missing color table")
+        if palette is None:
+            palette = lct
+        elif palette != lct:
+            # one palette per container keeps the indexed view
+            # meaningful; real multi-palette GIFs are rare and can
+            # take the RGB path once a consumer needs them
+            raise ValueError("gif palette changed mid-stream")
+        if pos >= len(payload):
+            raise ValueError("truncated gif block")
+        min_code = payload[pos]
+        pos += 1
+        data, pos = sub_blocks(pos)
+        idx = _lzw_decode(data, min_code, w * h)
+        if max(idx, default=0) * 3 >= len(palette):
+            raise ValueError("gif index out of palette")
+        frames.append(idx)
+    if not seen_trailer:
+        raise ValueError("gif missing trailer")
+    if pos != len(payload):
+        raise ValueError("trailing bytes after gif trailer")
+    if not frames or palette is None:
+        raise ValueError("empty gif container")
+    return w, h, frames, palette
+
+
+def _gif_frame_rgb(idx: bytes, palette: bytes) -> bytes:
+    import numpy as np
+
+    pal = np.frombuffer(palette, dtype=np.uint8).reshape(-1, 3)
+    return pal[np.frombuffer(idx, dtype=np.uint8)].tobytes()
+
+
+def parse_gif(payload: bytes) -> tuple[int, int, bytes]:
+    """First frame of a GIF as ``(w, h, raw RGB bytes)`` — the same
+    raster shape every other image parser returns, so the whole image
+    operator surface (dHash / luminance / near-dup / clusters /
+    resize) gains GIF through the :func:`decode_image` dispatch."""
+    w, h, frames, palette = parse_gif_indexed(payload)
+    return w, h, _gif_frame_rgb(frames[0], palette)
+
+
+def encode_gif(
+    w: int, h: int, frames: list[bytes], palette: bytes,
+    delay_cs: int = 4,
+) -> bytes:
+    """GIF89a encoder — :func:`parse_gif_indexed`'s inverse, used by
+    fixture assembly (oracles certify the DECODER against formula-
+    regenerated pixels) and :meth:`GifCodec.resize`. ``frames`` are
+    palette-index rasters; >1 frame emits an animated GIF with a real
+    graphic-control extension per frame (+ NETSCAPE2.0 loop block),
+    exercising the extension-skip walk on every animated fixture."""
+    import struct
+
+    n_ent = len(palette) // 3
+    if n_ent & (n_ent - 1) or not 2 <= n_ent <= 256:
+        raise ValueError("palette size must be a power of two in [2,256]")
+    size_field = n_ent.bit_length() - 2  # 2<<f entries
+    min_code = max(2, n_ent.bit_length() - 1)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | size_field, 0, 0)
+    out += palette
+    if len(frames) > 1:
+        out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for idx in frames:
+        if len(idx) != w * h:
+            raise ValueError("frame size mismatch")
+        if len(frames) > 1:
+            out += b"\x21\xf9" + struct.pack(
+                "<BBHBB", 4, 0, delay_cs, 0, 0
+            )
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out.append(min_code)
+        data = _lzw_encode(idx, min_code)
+        for i in range(0, len(data), 255):
+            chunk = data[i:i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)
+
+
 class PpmCodec(MediaCodec):
     """REAL image codec for binary PPM (P6) — pure Python, zero
     libraries, so real pixel arithmetic runs and is oracle-able in
@@ -533,6 +825,42 @@ class JpegCodec(MediaCodec):
         )
 
 
+class GifCodec(MediaCodec):
+    """Real GIF codec (pure Python LZW): same feature and resize
+    arithmetic as Ppm/Png/JpegCodec over :func:`parse_gif` rasters.
+    ``resize`` resamples the palette INDEX raster and re-encodes with
+    the same palette — exact (GIF is lossless), no re-quantization."""
+
+    def __init__(self) -> None:
+        super().__init__(name="gif")
+
+    @staticmethod
+    def parse(payload: bytes) -> tuple[int, int, bytes]:
+        return parse_gif(payload)
+
+    def image_features(self, payload: bytes, n_bins: int) -> list[float]:
+        import numpy as np
+
+        w, h, px = parse_gif(payload)
+        arr = np.frombuffer(px, dtype=np.uint8).reshape(-1, 3)
+        lum = arr.astype(np.int64).sum(axis=1) // 3
+        counts = np.bincount(lum * n_bins // 256, minlength=n_bins)
+        total = w * h or 1
+        return (counts / float(total)).tolist()
+
+    def resize(self, payload: bytes, width: int, height: int) -> bytes:
+        import numpy as np
+
+        w, h, frames, palette = parse_gif_indexed(payload)
+        sy = (np.arange(height, dtype=np.int64) * h) // height
+        sx = (np.arange(width, dtype=np.int64) * w) // width
+        out = []
+        for idx in frames:
+            arr = np.frombuffer(idx, dtype=np.uint8).reshape(h, w)
+            out.append(arr[sy[:, None], sx[None, :]].tobytes())
+        return encode_gif(width, height, out, palette)
+
+
 def decode_image(payload: bytes) -> tuple[int, int, bytes]:
     """THE image-decode dispatch for raster kernels: magic-byte sniff
     → the matching strict parser → (w, h, raw RGB bytes). One
@@ -546,6 +874,27 @@ def decode_image(payload: bytes) -> tuple[int, int, bytes]:
         from . import jpeg as _jpeg
 
         return _jpeg.parse_jpeg(payload)
+    if payload[:6] in GIF_SIGS:
+        return parse_gif(payload)
+    raise ValueError("unsupported payload format")
+
+
+def parse_video_frames(payload: bytes) -> list[tuple[int, int, bytes]]:
+    """THE video-container dispatch: magic-byte sniff → the matching
+    strict frame walk → ``[(w, h, standalone P6 frame bytes), ...]``.
+    Animated GIF frames are re-wrapped as canonical P6 payloads (the
+    uncompressed interchange raster), so every image operator
+    composes over frames of EITHER container unchanged — the same
+    composition contract :func:`video_frame_extract` documents."""
+    if payload[:2] == b"P6":
+        return parse_ppm_frames(payload)
+    if payload[:6] in GIF_SIGS:
+        w, h, frames, palette = parse_gif_indexed(payload)
+        head = b"P6\n%d %d\n255\n" % (w, h)
+        return [
+            (w, h, head + _gif_frame_rgb(idx, palette))
+            for idx in frames
+        ]
     raise ValueError("unsupported payload format")
 
 
@@ -569,6 +918,7 @@ class SniffCodec(MediaCodec):
         self._ppm = PpmCodec()
         self._png = PngCodec()
         self._jpeg = JpegCodec()
+        self._gif = GifCodec()
         self._fallback = fallback
 
     def _pick(self, payload: bytes) -> MediaCodec | None:
@@ -578,6 +928,8 @@ class SniffCodec(MediaCodec):
             return self._png
         if payload[:2] == b"\xff\xd8":
             return self._jpeg
+        if payload[:6] in GIF_SIGS:
+            return self._gif
         return None
 
     def image_features(self, payload: bytes, n_bins: int) -> list[float]:
@@ -1071,7 +1423,7 @@ def video_frame_extract(
                 if payload is None:
                     continue
                 try:
-                    frames = parse_ppm_frames(bytes(payload))
+                    frames = parse_video_frames(bytes(payload))
                 except ValueError:
                     continue  # undecodable → per-row reject
                 for i in range(0, len(frames), every_n):
@@ -1168,7 +1520,7 @@ def video_frame_deltas(
                 if payload is None:
                     continue
                 try:
-                    frames = parse_ppm_frames(bytes(payload))
+                    frames = parse_video_frames(bytes(payload))
                 except ValueError:
                     continue
                 if any(
@@ -1252,6 +1604,8 @@ def payload_decode_audit(
                 from . import jpeg as _jpeg
 
                 _jpeg.parse_jpeg(b)
+            elif b[:6] in GIF_SIGS:
+                parse_gif_indexed(b)  # all frames, full strict walk
             elif b[:4] == b"RIFF":
                 parse_wav_pcm16(b)
             else:

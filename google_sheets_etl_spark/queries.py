@@ -4935,6 +4935,209 @@ def jpeg_decode_audit(spark: SparkSession, sf: str) -> DataFrame:
     return multimodal.payload_decode_audit(media)
 
 
+# GIF fixtures: palette entry i is (r,g,b) = ((i·7+11)%256,
+# (i·57+2)%256, (i·33+5)%256) and pixel j of frame f carries palette
+# INDEX (doc_id·31 + f·17 + j) % 256 — so the oracle regenerates
+# every pixel arithmetically and the decoder (LZW variable-width
+# codes, sub-block walk, extension skipping, palette expansion) is
+# certified against ground truth, never against the encoder.
+_GIF_LUM_SQL = """
+  dims AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+           FROM documents),
+  px AS (SELECT doc_id, UNNEST(range(0, w * h)) AS j FROM dims),
+  gidx AS (SELECT doc_id, (doc_id * 31 + j) % 256 AS i FROM px)"""
+
+
+def _gif_media(spark: SparkSession, sf: str, animated: bool = False):
+    """REAL GIF payloads, one per document row — single-frame
+    truecolor-palette GIF87a-style stills, or (``animated=True``)
+    GIF89a animations with 2 + doc_id % 3 full-canvas frames behind
+    real graphic-control + NETSCAPE loop extension blocks (the
+    extension-skip walk is exercised on every animated row). LZW and
+    sub-block framing are not SQL-expressible, so assembly runs in a
+    small Arrow kernel; the ORACLE never sees the binary (see
+    _GIF_LUM_SQL)."""
+    import pandas as pd
+
+    from .operators.multimodal import encode_gif
+
+    pal = bytes(
+        ((i * 7 + 11) % 256, (i * 57 + 2) % 256, (i * 33 + 5) % 256)[c]
+        for i in range(256)
+        for c in range(3)
+    )
+    d = t(spark, sf, "documents").select("doc_id")
+
+    def kernel(batches):
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                if animated:
+                    w, h = 5 + doc_id % 4, 4 + doc_id % 3
+                    n_frames = 2 + doc_id % 3
+                else:
+                    w, h = 4 + doc_id % 5, 3 + doc_id % 4
+                    n_frames = 1
+                j = np.arange(w * h, dtype=np.int64)
+                frames = [
+                    ((doc_id * 31 + f * 17 + j) % 256)
+                    .astype(np.uint8).tobytes()
+                    for f in range(n_frames)
+                ]
+                payloads.append(encode_gif(w, h, frames, pal))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return d.mapInPandas(kernel, "media_id long, payload binary")
+
+
+@q(
+    "gif_decode_features",
+    f"""WITH {_GIF_LUM_SQL}
+       SELECT doc_id AS media_id,
+              CAST(SUM(((i * 7 + 11) % 256 + (i * 57 + 2) % 256
+                        + (i * 33 + 5) % 256) // 3) AS BIGINT)
+                AS lum_sum
+       FROM gidx GROUP BY 1""",
+)
+def gif_decode_features(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL GIF decode end-to-end (operators/multimodal.py parse_gif
+    — the third real-world container after PNG/JPEG, closing the
+    round-7 'real media' gap across the dominant web image formats):
+    LSB-first variable-width LZW with early-change growth, sub-block
+    reassembly, global-color-table palette expansion — reduced to the
+    exact-integer luminance mass per image. The oracle regenerates
+    every pixel from the palette/index formulas, so one wrong bit
+    anywhere in the code stream walk shifts the sum. The GIF magic in
+    decode_image gives dHash/near-dup/clusters/resize the format for
+    free (SniffCodec routes it the same way)."""
+    return multimodal.image_luminance_sum(
+        _gif_media(spark, sf), ["media_id"]
+    )
+
+
+@q(
+    "gif_animation_frame_stats",
+    """WITH dims AS (SELECT doc_id, 5 + doc_id % 4 AS w,
+                            4 + doc_id % 3 AS h, 2 + doc_id % 3 AS nf
+                     FROM documents),
+       fr AS (SELECT doc_id, w, h, UNNEST(range(0, nf)) AS f
+              FROM dims),
+       px AS (SELECT doc_id, f, UNNEST(range(0, w * h)) AS j
+              FROM fr),
+       gidx AS (SELECT doc_id, f, (doc_id * 31 + f * 17 + j) % 256 AS i
+                FROM px)
+       SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_idx,
+              CAST(SUM(((i * 7 + 11) % 256 + (i * 57 + 2) % 256
+                        + (i * 33 + 5) % 256) // 3) AS BIGINT)
+                AS lum_sum
+       FROM gidx GROUP BY 1, 2""",
+)
+def gif_animation_frame_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """ANIMATED GIF through the video surface: parse_video_frames'
+    magic dispatch walks the 89a container — graphic-control and
+    NETSCAPE loop extensions skipped sub-block-exactly, every frame
+    LZW-decoded and re-wrapped as a standalone P6 payload — then
+    video_frame_extract fans frames out and the per-frame luminance
+    is certified against formula-regenerated pixels. One decode
+    pipeline, two containers: this is the composition contract
+    (video ops = container walk + image ops) proven across a REAL
+    compressed animation format, not just the concatenated-P6
+    fixture shape."""
+    frames = multimodal.video_frame_extract(
+        _gif_media(spark, sf, animated=True), every_n=1
+    )
+    return multimodal.image_luminance_sum(
+        frames, ["media_id", "frame_idx"]
+    )
+
+
+@q(
+    "gif_decode_audit",
+    """SELECT doc_id AS media_id,
+              (doc_id % 5) = 0 AS ok,
+              CASE doc_id % 5
+                WHEN 0 THEN ''
+                WHEN 1 THEN 'gif missing trailer'
+                WHEN 2 THEN 'invalid lzw code stream'
+                WHEN 3 THEN 'interlaced gif unsupported'
+                ELSE 'unsupported payload format' END AS err
+       FROM documents""",
+)
+def gif_decode_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """The decode REJECT CHANNEL for GIF (payload_decode_audit's GIF
+    branch): planted failure classes per doc_id residue — a valid
+    2-frame animation (extension walk audited too), a sliced-off
+    trailer, a well-formed container whose LZW stream opens with an
+    out-of-range code, an interlace flag the parser refuses, and
+    non-media junk — each mapping to the parser's pinned ValueError
+    message, so strictness drift reddens the row."""
+    import pandas as pd
+
+    from .operators.multimodal import encode_gif
+
+    pal = bytes(
+        ((i * 7 + 11) % 256, (i * 57 + 2) % 256, (i * 33 + 5) % 256)[c]
+        for i in range(256)
+        for c in range(3)
+    )
+    d = t(spark, sf, "documents").select("doc_id")
+
+    def kernel(batches):
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = 3 + doc_id % 3, 2
+                j = np.arange(w * h, dtype=np.int64)
+                idx = (doc_id * 13 + j) % 256  # int64; cast at use
+                cls = doc_id % 5
+                if cls == 0:
+                    payloads.append(
+                        encode_gif(
+                            w, h,
+                            [
+                                idx.astype(np.uint8).tobytes(),
+                                ((idx + 9) % 256)
+                                .astype(np.uint8).tobytes(),
+                            ],
+                            pal,
+                        )
+                    )
+                    continue
+                good = encode_gif(
+                    w, h, [idx.astype(np.uint8).tobytes()], pal
+                )
+                idesc = 13 + 768  # header+LSD+GCT → image descriptor
+                if cls == 1:
+                    payloads.append(good[:-1])  # trailer sliced off
+                elif cls == 2:
+                    payloads.append(
+                        good[:idesc + 10]        # ...through packed
+                        + bytes([8])             # min code size 8
+                        + bytes([2, 0xFF, 0xFF, 0])  # 9-bit code 511:
+                        + b"\x3b"                # beyond any table
+                    )
+                elif cls == 3:
+                    bad = bytearray(good)
+                    bad[idesc + 9] |= 0x40       # interlace flag
+                    payloads.append(bytes(bad))
+                else:
+                    payloads.append(b"ZZnot-media")
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = d.mapInPandas(kernel, "media_id long, payload binary")
+    return multimodal.payload_decode_audit(media)
+
+
 def _le_hex(x, n_bytes: int):
     """Little-endian hex of an int Column, JVM-side — the byte
     assembler for binary fixture containers (WAV here, the PPM

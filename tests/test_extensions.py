@@ -2303,3 +2303,144 @@ def test_jpeg_codec_contracts(spark):
     }
     assert audit[1] == (True, "")
     assert audit[2] == (False, "truncated jpeg segment")
+
+
+def test_gif_roundtrip_and_strict_rejects():
+    """GIF LZW contracts: (1) encode→decode is identity over random
+    index rasters, palettes of every power-of-two size, and multi-
+    frame animations (GIF is lossless); (2) a >4096-code stream
+    forces mid-stream CLEAR/table-reset and still round-trips; (3)
+    every malformed shape raises its pinned ValueError."""
+    import random
+    import struct
+
+    import pytest as _pt
+
+    from google_sheets_etl_spark.operators.multimodal import (
+        _lzw_decode, _lzw_encode, encode_gif, parse_gif,
+        parse_gif_indexed,
+    )
+
+    random.seed(29)
+    pal256 = bytes(
+        ((i * 7 + 11) % 256, (i * 57 + 2) % 256, (i * 33 + 5) % 256)[c]
+        for i in range(256) for c in range(3)
+    )
+    for w, h, nf in [(1, 1, 1), (7, 5, 1), (6, 4, 3), (16, 9, 2)]:
+        frames = [
+            bytes(random.randrange(256) for _ in range(w * h))
+            for _ in range(nf)
+        ]
+        g = encode_gif(w, h, frames, pal256)
+        assert parse_gif_indexed(g) == (w, h, frames, pal256)
+
+    # small palette → narrow starting code width
+    pal4 = bytes(range(12))
+    idx4 = bytes(k % 4 for k in range(60))
+    g4 = encode_gif(6, 10, [idx4], pal4)
+    assert parse_gif_indexed(g4) == (6, 10, [idx4], pal4)
+    # rgb expansion matches the palette lookup
+    _, _, rgb = parse_gif(g4)
+    assert rgb == b"".join(
+        pal4[3 * i: 3 * i + 3] for i in idx4
+    )
+
+    # long repetitive stream → dictionary fills → CLEAR reset path
+    big = bytes((k * k) % 11 % 256 for k in range(150_000))
+    assert _lzw_decode(_lzw_encode(big, 8), 8, len(big)) == big
+
+    good = encode_gif(4, 3, [bytes(range(12))], pal256)
+    idesc = 13 + 768
+    bad_interlace = bytearray(good)
+    bad_interlace[idesc + 9] |= 0x40
+    bad_canvas = bytearray(good)
+    struct.pack_into("<H", bad_canvas, idesc + 1, 1)
+    for payload, msg in [
+        (b"XXjunk", "not a gif payload"),
+        (good[:10], "truncated gif header"),
+        (good[:-1], "gif missing trailer"),
+        (good + b"x", "trailing bytes after gif trailer"),
+        (good[:idesc + 15], "truncated gif block"),
+        (bytes(bad_interlace), "interlaced gif unsupported"),
+        (bytes(bad_canvas), "gif frame not full-canvas"),
+        (
+            good[:idesc + 10] + bytes([8, 2, 0xFF, 0xFF, 0]) + b"\x3b",
+            "invalid lzw code stream",
+        ),
+    ]:
+        with _pt.raises(ValueError, match=msg):
+            parse_gif_indexed(payload)
+
+
+def test_gif_image_and_video_composition(spark):
+    """Format invariance + the video dispatch: (1) the SAME pixels as
+    P6 and as GIF share one dHash and luminance sum through
+    decode_image (cross-format dedup); (2) an animated GIF through
+    video_frame_extract yields per-frame standalone P6 payloads whose
+    rasters equal the palette expansion, and frame deltas flow
+    through video_frame_deltas unchanged; (3) GifCodec.resize
+    resamples indices losslessly; (4) a malformed GIF in a batch is a
+    per-row reject that surfaces in the audit."""
+    from google_sheets_etl_spark.operators import multimodal as mm
+
+    pal = bytes(
+        ((i * 7 + 11) % 256, (i * 57 + 2) % 256, (i * 33 + 5) % 256)[c]
+        for i in range(256) for c in range(3)
+    )
+    w, h = 9, 8
+    idx = bytes((k * 37 + 5) % 256 for k in range(w * h))
+    raster = b"".join(pal[3 * i: 3 * i + 3] for i in idx)
+    ppm = (b"P6\n%d %d\n255\n" % (w, h)) + raster
+    gif = mm.encode_gif(w, h, [idx], pal)
+    media = spark.createDataFrame(
+        [(1, "image", ppm, None), (2, "image", gif, None)],
+        mm.MEDIA_SCHEMA,
+    )
+    hashes = {
+        r["media_id"]: r["dhash"]
+        for r in mm.image_dhash(media).collect()
+    }
+    assert hashes[1] == hashes[2]
+    sums = {
+        r["media_id"]: r["lum_sum"]
+        for r in mm.image_luminance_sum(media).collect()
+    }
+    assert sums[1] == sums[2]
+    sniff = mm.default_codec()
+    assert sniff.image_features(gif, 16) == sniff.image_features(ppm, 16)
+
+    # animated: frames through the video surface
+    f2 = bytes((i + 40) % 256 for i in idx)
+    anim = mm.encode_gif(w, h, [idx, f2], pal)
+    vm = spark.createDataFrame(
+        [(7, "video", anim, None)], mm.MEDIA_SCHEMA
+    )
+    frames = {
+        r["frame_idx"]: bytes(r["payload"])
+        for r in mm.video_frame_extract(vm, every_n=1).collect()
+    }
+    assert set(frames) == {0, 1}
+    assert frames[0].startswith(b"P6") and frames[0].endswith(raster)
+    deltas = mm.video_frame_deltas(vm).collect()
+    assert len(deltas) == 1 and deltas[0]["n_px"] == w * h
+
+    small = mm.GifCodec().resize(gif, 3, 2)
+    w2, h2, fr2, pal2 = mm.parse_gif_indexed(small)
+    assert (w2, h2, pal2) == (3, 2, pal)
+    assert len(fr2) == 1 and all(b in idx for b in fr2[0])
+
+    bad = spark.createDataFrame(
+        [(1, "image", gif, None), (2, "image", gif[:-1], None)],
+        mm.MEDIA_SCHEMA,
+    ).coalesce(1)
+    sums2 = {
+        r["media_id"]: r["lum_sum"]
+        for r in mm.image_luminance_sum(bad).collect()
+    }
+    assert set(sums2) == {1}
+    audit = {
+        r["media_id"]: (r["ok"], r["err"])
+        for r in mm.payload_decode_audit(bad).collect()
+    }
+    assert audit[1] == (True, "")
+    assert audit[2] == (False, "gif missing trailer")
