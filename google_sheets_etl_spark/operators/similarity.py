@@ -2050,6 +2050,111 @@ def pq_topk_rerank(
     return _ranked_topk(scored, k)
 
 
+def sq8_bounds(
+    candidates: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Per-dimension (min, max) over the L2-NORMALIZED corpus — the
+    trained state of 8-bit SCALAR quantization (SQ8: the
+    industry-default lossy embedding compression next to PQ — 4x over
+    float32 at near-exact recall, faiss's ScalarQuantizer /
+    Lucene/Elasticsearch int8_hnsw shape). Entirely JVM-side:
+    cast→normalize→posexplode→groupBy(dim).agg(min,max) — the
+    explode feeds a PARTIAL aggregation, so the shuffle carries ~dim
+    rows per task, not n·dim (metadata-scale at 100 TB, one corpus
+    pass). min/max are order-insensitive (no float-summation drift),
+    so the bounds are bit-identical in any engine: the cross-engine
+    anchor everything downstream quantizes against.
+
+    Returns a driver-side ``(2, dim)`` float64 array (KBs)."""
+    import numpy as np
+
+    e = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    norm = F.sqrt(
+        F.aggregate(
+            e, F.lit(0.0), lambda acc, x: acc + x * x
+        )
+    )
+    rows = (
+        candidates.select(
+            F.posexplode(e).alias("d", "x"), norm.alias("nrm")
+        )
+        .select("d", (F.col("x") / F.col("nrm")).alias("x"))
+        .groupBy("d")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .collect()
+    )
+    out = np.zeros((2, dim), dtype=np.float64)
+    for r in rows:
+        out[0, r["d"]] = r["mn"]
+        out[1, r["d"]] = r["mx"]
+    return out
+
+
+def sq8_grid_codebooks(bounds):
+    """The SQ8 reconstruction grid as PQ codebooks of shape
+    ``(dim, 256, 1)``: grid[d][c] = mn_d + (c · span_d) / 255 —
+    scalar quantization IS product quantization degenerated to
+    dim subspaces of width 1 with a UNIFORM grid in place of k-means
+    centroids, so the certified PQ kernels (argmin encode with
+    micro-unit distances + LUT ADC with batch-local top-k) run SQ8
+    verbatim — no new distributed machinery, one arithmetic contract.
+    Expression order (c · span first, divide by 255 second) is pinned
+    because the SQL twin must replay the identical IEEE ops."""
+    import numpy as np
+
+    mn, mx = bounds[0], bounds[1]
+    c = np.arange(256, dtype=np.float64)
+    grid = mn[:, None] + (c[None, :] * (mx - mn)[:, None]) / 255.0
+    return grid[:, :, None]  # (dim, 256, dsub=1)
+
+
+def sq8_encode(
+    vectors: DataFrame,
+    bounds,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Quantize each normalized vector to one uint8 code per
+    dimension — nearest grid point by micro-unit squared distance
+    (== round-to-nearest on a uniform grid; exact midpoints take the
+    lower code, the argmin tie rule both engines share). 64-dim
+    float32 embeddings (256 B) become 64 B of codes."""
+    return pq_encode(
+        vectors, sq8_grid_codebooks(bounds), id_col, vec_col
+    )
+
+
+def sq8_topk_adc(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SQ8 asymmetric top-k: the corpus is scanned as one byte per
+    dimension; each query sums per-dimension lookup-table distances
+    in exact integer micro-units. Unlike PQ's 32x shortlist (recall
+    ~0.2 raw), SQ8's 4x compression is nearly rank-preserving —
+    the quality/compression point between exact scan and PQ on the
+    deployed curve. Same scale shape as pq_topk_adc: bounds are one
+    partial-agg pass, the grid rides the task closure, queries
+    broadcast over the code table (never shuffled), and the per-batch
+    local top-k bounds the ranking exchange."""
+    bounds = sq8_bounds(candidates, dim, id_col, vec_col)
+    grid = sq8_grid_codebooks(bounds)
+    codes = pq_encode(candidates, grid, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "codes"
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    return _pq_adc_rank(F.broadcast(q).join(codes), grid, k)
+
+
 def ivf_pq_topk(
     queries: DataFrame,
     candidates: DataFrame,

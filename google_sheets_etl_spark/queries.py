@@ -2950,6 +2950,102 @@ def pq_topk_rerank(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_SQ8_COMMON = """
+WITH ed AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings),
+nv AS (
+  SELECT vec_id,
+         list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS v
+  FROM ed),
+dims AS (
+  SELECT vec_id, d, v[d + 1] AS x FROM nv, range(0, 64) t(d)),
+bounds AS (
+  SELECT d, MIN(x) AS mn, MAX(x) AS mx
+  FROM dims WHERE vec_id >= 10 GROUP BY d),
+grid AS (
+  SELECT d, c, mn + (c * (mx - mn)) / 255.0 AS g
+  FROM bounds, range(0, 256) t(c)),
+cd AS (
+  SELECT s.vec_id, s.d, g.c,
+         CAST(round((s.x * s.x - 2 * s.x * g.g + g.g * g.g) * 1000000)
+              AS BIGINT) AS d2u
+  FROM dims s JOIN grid g ON g.d = s.d
+  WHERE s.vec_id >= 10),
+codes AS (
+  SELECT vec_id, d, c FROM (
+    SELECT vec_id, d, c,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, d
+                              ORDER BY d2u ASC, c ASC) AS rn
+    FROM cd) x
+  WHERE rn = 1),
+lut AS (
+  SELECT q.vec_id AS query_id, q.d, g.c,
+         CAST(round((q.x * q.x - 2 * q.x * g.g + g.g * g.g) * 1000000)
+              AS BIGINT) AS d2u
+  FROM dims q JOIN grid g ON g.d = q.d
+  WHERE q.vec_id < 10),
+adc AS (
+  SELECT l.query_id, c.vec_id AS neighbor_id,
+         CAST(SUM(l.d2u) AS BIGINT) AS adc_u6
+  FROM codes c JOIN lut l ON l.d = c.d AND l.c = c.c
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, neighbor_id, adc_u6,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adc_u6 ASC, neighbor_id ASC)
+           AS rank
+  FROM adc)"""
+
+
+@q(
+    "sq8_encode_codes",
+    _SQ8_COMMON + """
+SELECT vec_id, d, c AS code FROM codes""",
+)
+def sq8_encode_codes(spark: SparkSession, sf: str) -> DataFrame:
+    """8-bit SCALAR quantization encode (operators/similarity.py
+    sq8_encode — faiss ScalarQuantizer / Lucene int8_hnsw's
+    compression point): per-dimension min/max over the normalized
+    corpus anchor a 256-point uniform grid; each coordinate becomes
+    its nearest grid code. SQ8 is PQ degenerated to width-1 subspaces
+    with a uniform grid, so the CERTIFIED PQ kernels run it verbatim
+    — the oracle rebuilds normalization, bounds, grid, and every
+    micro-unit argmin in SQL. Scalar (vec_id, d, code) rows (the
+    driver canonicalizer contract)."""
+    emb = t(spark, sf, "embeddings")
+    c = emb.filter(F.col("vec_id") >= 10)
+    bounds = similarity.sq8_bounds(c, 64)
+    return similarity.sq8_encode(c, bounds).select(
+        "vec_id",
+        F.posexplode("codes").alias("d", "code"),
+    )
+
+
+@q(
+    "sq8_topk_adc",
+    _SQ8_COMMON + """
+SELECT query_id, neighbor_id, rank, adc_u6 FROM ranked
+WHERE rank <= 5""",
+)
+def sq8_topk_adc(spark: SparkSession, sf: str) -> DataFrame:
+    """SQ8 asymmetric top-5: corpus scanned as one byte per dimension
+    (4x over float32 — the nearly rank-preserving point on the
+    compression/recall curve, vs PQ's 32x shortlist-grade ranking),
+    per-dimension LUT distances summed in exact integer micro-units.
+    Bounds are one partial-agg corpus pass (the shuffle carries ~64
+    rows per task); the grid rides the task closure; queries
+    broadcast over the code table; batch-local top-k bounds the
+    ranking exchange — the pq_topk_adc scale shape at a different
+    fidelity point, certified against the full SQL rebuild."""
+    emb = t(spark, sf, "embeddings")
+    return similarity.sq8_topk_adc(
+        emb.filter(F.col("vec_id") < 10),
+        emb.filter(F.col("vec_id") >= 10),
+        k=5, dim=64,
+    )
+
+
 @q(
     "embedding_gram_matrix",
     """WITH ed AS (

@@ -2444,3 +2444,64 @@ def test_gif_image_and_video_composition(spark):
     }
     assert audit[1] == (True, "")
     assert audit[2] == (False, "gif missing trailer")
+
+
+def test_sq8_contracts(spark):
+    """SQ8 contracts: (1) near-rank-preservation — 8-bit scalar
+    quantization's ADC top-5 matches exact brute-force cosine top-5
+    on a random corpus (the fidelity point PQ trades away); (2)
+    result invariant to input partitioning; (3) a constant dimension
+    (mx == mn → zero span) neither crashes nor poisons codes (all
+    land on code 0 by the argmin tie rule)."""
+    import random
+
+    from google_sheets_etl_spark.operators import similarity as sim
+
+    random.seed(31)
+    rows = [
+        (i, [random.uniform(-1, 1) for _ in range(15)] + [0.5])
+        for i in range(60)
+    ]
+    vecs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    q = vecs.filter(F.col("vec_id") < 5)
+    c = vecs.filter(F.col("vec_id") >= 5)
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.cosine_topk_bruteforce(q, c, k=5).collect()
+    }
+    sq = sim.sq8_topk_adc(q, c, k=5, dim=16)
+    got = {(r["query_id"], r["neighbor_id"]) for r in sq.collect()}
+    hits = len(exact & got)
+    assert hits >= 23, f"SQ8 recall@5 too low: {hits}/25"
+
+    shuffled = {
+        (r["query_id"], r["neighbor_id"], r["rank"], r["adc_u6"])
+        for r in sim.sq8_topk_adc(
+            q.repartition(7), c.repartition(13), k=5, dim=16
+        ).collect()
+    }
+    base = {
+        (r["query_id"], r["neighbor_id"], r["rank"], r["adc_u6"])
+        for r in sq.collect()
+    }
+    assert shuffled == base
+
+    bounds = sim.sq8_bounds(c, 16)
+    # dim 15 is constant 0.5 pre-normalization but varies after
+    # normalization; plant a truly constant dim via a tiny frame
+    const = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    b2 = sim.sq8_bounds(const, 2)
+    assert b2[0, 1] == b2[1, 1] == 0.0
+    codes = {
+        r["vec_id"]: r["codes"]
+        for r in sim.sq8_encode(const, b2).collect()
+    }
+    assert codes[1] == codes[2]
+    assert codes[1][1] == 0  # zero-span dim → lowest code, no NaN
+    assert bounds.shape == (2, 16)
