@@ -1197,6 +1197,85 @@ def wav_window_energy(media: DataFrame, window: int = 256) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(kernel, out_schema)
 
 
+def wav_hadamard_bands(
+    media: DataFrame, window: int = 64, n_bands: int = 8
+) -> DataFrame:
+    """SPECTRAL energy bands per audio window via the Walsh-Hadamard
+    transform — the integer-exact spectral primitive (WHT is what
+    audio fingerprinting and codec SATD use when they need spectral
+    shape without trig): coefficient r of a window is
+    ``Σ_k s_k · (−1)^popcount(r AND k)`` (natural Hadamard order),
+    band b aggregates ``Σ coeff² `` over its ``window/n_bands``
+    consecutive coefficients. Everything is int64 — a cos/sin DFT is
+    NOT bit-reproducible across engines (libm sin/cos are not
+    correctly-rounded, unlike sqrt), while the WHT's ±1 kernel makes
+    the whole spectrum exact in any engine and any summation order;
+    Parseval (Σ_r coeff² = window · Σ_k s²) ties the bands back to
+    the certified RMS row. Bounds: |coeff| ≤ window·2^15, so band
+    energy ≤ window²·2^30·window/n_bands — int64-safe through
+    window = 512.
+
+    Emits ``(media_id, win_idx, band, energy)`` for FULL windows
+    (the wav_window_energy drop-partial contract). Narrow Arrow
+    kernel: one matmul per payload batch against the window×window
+    sign matrix (driver-closure KBs); no shuffle."""
+    if window & (window - 1):
+        raise ValueError("window must be a power of two")
+    if window % n_bands:
+        raise ValueError("n_bands must divide window")
+    import numpy as np
+
+    out_schema = StructType([
+        StructField("media_id", LongType()),
+        StructField("win_idx", LongType()),
+        StructField("band", LongType()),
+        StructField("energy", LongType()),
+    ])
+    idx = np.arange(window)
+    pop = np.array(
+        [bin(v).count("1") for v in range(window)], dtype=np.int64
+    )
+    hmat = 1 - 2 * (pop[idx[:, None] & idx[None, :]] % 2)  # (w, w) ±1
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, wins, bands, vals = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                try:
+                    _, v = parse_wav_pcm16(bytes(payload))
+                except ValueError:
+                    continue  # undecodable payload → no rows
+                n_full = len(v) // window
+                if n_full == 0:
+                    continue
+                m = (
+                    v[: n_full * window]
+                    .astype(np.int64)
+                    .reshape(-1, window)
+                )
+                coeff = m @ hmat.T  # int64-exact (±1 kernel)
+                energy = (
+                    (coeff * coeff)
+                    .reshape(n_full, n_bands, window // n_bands)
+                    .sum(axis=2)
+                )
+                for w_i in range(n_full):
+                    ids.extend([mid] * n_bands)
+                    wins.extend([w_i] * n_bands)
+                    bands.extend(range(n_bands))
+                    vals.extend(energy[w_i].tolist())
+            yield pd.DataFrame({
+                "media_id": pd.Series(ids, dtype="int64"),
+                "win_idx": pd.Series(wins, dtype="int64"),
+                "band": pd.Series(bands, dtype="int64"),
+                "energy": pd.Series(vals, dtype="int64"),
+            })
+
+    return media.select("media_id", "payload").mapInPandas(kernel, out_schema)
+
+
 def image_dhash(media: DataFrame, id_col: str = "media_id") -> DataFrame:
     """Perceptual DIFFERENCE-HASH (dHash) over P6/PNG payloads
     (:func:`decode_image` magic-byte dispatch) — the

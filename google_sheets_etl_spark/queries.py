@@ -5316,6 +5316,48 @@ def multimodal_wav_energy(spark: SparkSession, sf: str) -> DataFrame:
     return multimodal.wav_window_energy(_wav_media(spark, sf), window=256)
 
 
+@q(
+    "audio_spectral_bands",
+    """WITH dims AS (SELECT doc_id, 512 + (doc_id % 5) * 100 AS n
+                     FROM documents),
+       smp AS (SELECT doc_id, w, j,
+                      CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s
+               FROM (SELECT doc_id, UNNEST(range(0, n // 64)) AS w, n
+                     FROM dims),
+                    LATERAL (SELECT UNNEST(range(0, 64)) AS j) tj,
+                    LATERAL (SELECT (doc_id * 7 + (w * 64 + j) * 13)
+                                    % 65536 AS u) tu),
+       c AS (SELECT doc_id, w, r,
+                    SUM(s * (CASE WHEN bit_count(CAST(r AS BIGINT)
+                                               & CAST(j AS BIGINT))
+                                       % 2 = 0
+                                  THEN 1 ELSE -1 END)) AS coeff
+             FROM smp, range(0, 64) tr(r)
+             GROUP BY 1, 2, 3)
+       SELECT doc_id AS media_id, CAST(w AS BIGINT) AS win_idx,
+              CAST(r // 8 AS BIGINT) AS band,
+              CAST(SUM(coeff * coeff) AS BIGINT) AS energy
+       FROM c GROUP BY 1, 2, 3""",
+)
+def audio_spectral_bands(spark: SparkSession, sf: str) -> DataFrame:
+    """SPECTRAL analysis over real decoded audio
+    (operators/multimodal.py wav_hadamard_bands): per 64-sample
+    window, the Walsh-Hadamard coefficient spectrum grouped into 8
+    energy bands — the integer-exact spectral fingerprint (a cos/sin
+    DFT is not bit-reproducible across engines; the WHT's ±1 kernel
+    is, and it is what audio fingerprinting / codec SATD reach for
+    when trig adds nothing). The oracle regenerates every PCM sample
+    from the fixture formula and rebuilds the ENTIRE transform —
+    bit_count sign kernel, coefficient sums, band energies — so any
+    drift in the container walk, the sample decode, or the transform
+    arithmetic reddens the row. Downstream these bands are the
+    feature vector for audio near-dup / genre-ish clustering at
+    100 TB: int64 columns, mergeable, no floats to drift."""
+    return multimodal.wav_hadamard_bands(
+        _wav_media(spark, sf), window=64, n_bands=8
+    )
+
+
 def _audio_dhash_media(spark: SparkSession, sf: str) -> DataFrame:
     """WAV payloads for the audio-envelope-hash rows: consecutive doc
     pairs (2j, 2j+1) carry the SAME sample pattern

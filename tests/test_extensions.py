@@ -2505,3 +2505,41 @@ def test_sq8_contracts(spark):
     assert codes[1] == codes[2]
     assert codes[1][1] == 0  # zero-span dim → lowest code, no NaN
     assert bounds.shape == (2, 16)
+
+
+def test_wav_hadamard_bands_parseval(spark):
+    """WHT band contract: (1) Parseval — band energies of a window
+    sum to window · Σs² (ties the spectrum to the certified RMS
+    surface); (2) a constant (DC) window puts ALL energy in band 0's
+    first coefficient; (3) malformed payloads are per-row rejects."""
+    import struct
+
+    from google_sheets_etl_spark.operators import multimodal as mm
+
+    def wav(samples):
+        n = len(samples)
+        return (
+            b"RIFF" + struct.pack("<I", 36 + n * 2) + b"WAVEfmt "
+            + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+            + b"data" + struct.pack("<I", n * 2)
+            + b"".join(struct.pack("<h", s) for s in samples)
+        )
+
+    ramp = [((k * 37) % 200) - 100 for k in range(64)]
+    dc = [77] * 64
+    media = spark.createDataFrame(
+        [
+            (1, "audio", wav(ramp), None),
+            (2, "audio", wav(dc), None),
+            (3, "audio", b"RIFFbroken", None),
+        ],
+        mm.MEDIA_SCHEMA,
+    ).coalesce(1)
+    rows = mm.wav_hadamard_bands(media, window=64, n_bands=8).collect()
+    by_id: dict = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], {})[r["band"]] = r["energy"]
+    assert set(by_id) == {1, 2}
+    assert sum(by_id[1].values()) == 64 * sum(s * s for s in ramp)
+    assert by_id[2][0] == (64 * 77) ** 2  # DC coefficient only
+    assert all(by_id[2][b] == 0 for b in range(1, 8))
