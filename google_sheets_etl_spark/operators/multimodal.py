@@ -1342,6 +1342,79 @@ def image_dhash(media: DataFrame, id_col: str = "media_id") -> DataFrame:
     return media.select(id_col, "payload").mapInPandas(kernel, out_schema)
 
 
+def image_whash(media: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Perceptual SPECTRAL hash (wHash family) — the second,
+    independent perceptual-hash axis next to :func:`image_dhash`'s
+    gradient bits: nearest-neighbor-sample the decoded luminance onto
+    an 8×8 grid (the codec's ``x·w//out`` rule), take the 2-D
+    Walsh-Hadamard spectrum ``C = H·L·Hᵀ`` (the integer-exact stand-in
+    for pHash's DCT — libm cosines are not cross-engine
+    bit-reproducible, ±1 kernels are), and emit one bit per non-DC
+    coefficient: 1 iff it exceeds the MEDIAN (32nd-smallest of the 63
+    non-DC values — a deterministic rank statistic, no float mean).
+    Bit (r,c) lives at row r, column c of the same 16-hex-char layout
+    dHash uses (DC bit fixed 0), so :func:`dhash_near_dup_pairs`'
+    banded hamming join consumes either family unchanged.
+
+    A uniform brightness shift moves ONLY the DC coefficient (every
+    other Walsh row sums to zero), so the hash is exactly
+    shift-invariant — same planted-pair contract as dHash but through
+    global spectral shape rather than local gradients: the two
+    families fail on different distortions, which is why image dedup
+    stacks run both. Exact integers end to end; reproducible in SQL
+    from regenerated pixels; per-row rejects; narrow kernel."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    id_field = media.schema[id_col]
+    out_schema = StructType([
+        StructField(id_col, id_field.dataType),
+        StructField("whash", StringType()),
+    ])
+    idx = np.arange(8)
+    pop = np.array([bin(v).count("1") for v in range(8)], dtype=np.int64)
+    h8 = 1 - 2 * (pop[idx[:, None] & idx[None, :]] % 2)  # (8, 8) ±1
+
+    def kernel(batches):
+        for pdf in batches:
+            ids, hashes = [], []
+            for mid, payload in zip(pdf[id_col], pdf["payload"]):
+                if payload is None:
+                    continue
+                try:
+                    w, h, raster = decode_image(bytes(payload))
+                except ValueError:
+                    continue  # undecodable → per-row reject
+                if w < 1 or h < 1:
+                    continue
+                rast = np.frombuffer(raster, dtype=np.uint8)
+                ys = (idx * h) // 8
+                xs = (idx * w) // 8
+                base = 3 * (ys[:, None] * w + xs[None, :])
+                lum = (
+                    rast[base].astype(np.int64)
+                    + rast[base + 1] + rast[base + 2]
+                ) // 3
+                coeff = h8 @ lum @ h8.T  # int64-exact 2-D WHT
+                flat = coeff.ravel()
+                med = np.sort(flat[1:], kind="stable")[31]  # 32nd-smallest non-DC
+                bits = (flat > med).reshape(8, 8)
+                bits[0, 0] = False  # DC bit pinned 0
+                out = []
+                for y in range(8):
+                    byte = 0
+                    for x in range(8):
+                        if bits[y][x]:
+                            byte |= 1 << x
+                    out.append(f"{byte:02x}")
+                ids.append(mid)
+                hashes.append("".join(out))
+            yield pd.DataFrame({id_col: ids, "whash": hashes})
+
+    return media.select(id_col, "payload").mapInPandas(kernel, out_schema)
+
+
 def dhash_near_dup_pairs(
     hashes: DataFrame,
     max_dist: int = 6,

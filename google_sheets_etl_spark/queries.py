@@ -4842,6 +4842,72 @@ def mixed_format_image_dedup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "image_whash_fingerprints",
+    """WITH dims AS (SELECT doc_id, doc_id // 2 AS base,
+                            (doc_id % 2) * 40 AS shift,
+                            8 + (doc_id // 2) % 5 AS w,
+                            6 + (doc_id // 2) % 4 AS h
+                     FROM documents),
+       g AS (SELECT doc_id, base, shift, y, x,
+                    (y * h // 8) * w + (x * w // 8) AS sp
+             FROM dims, range(0, 8) ty(y), range(0, 8) tx(x)),
+       lm AS (SELECT doc_id, y, x,
+                     shift
+                     + (((base * 97 + (3 * sp) * (3 * sp) * 31) % 200)
+                      + ((base * 97
+                          + (3 * sp + 1) * (3 * sp + 1) * 31) % 200)
+                      + ((base * 97
+                          + (3 * sp + 2) * (3 * sp + 2) * 31) % 200))
+                       // 3 AS l
+              FROM g),
+       co AS (SELECT a.doc_id, r.r, c.c,
+                     SUM(a.l
+                         * (CASE WHEN bit_count(CAST(r.r AS BIGINT)
+                                              & CAST(a.y AS BIGINT))
+                                      % 2 = 0 THEN 1 ELSE -1 END)
+                         * (CASE WHEN bit_count(CAST(c.c AS BIGINT)
+                                              & CAST(a.x AS BIGINT))
+                                      % 2 = 0 THEN 1 ELSE -1 END))
+                       AS coeff
+              FROM lm a, range(0, 8) r(r), range(0, 8) c(c)
+              GROUP BY 1, 2, 3),
+       med AS (SELECT doc_id, coeff AS m FROM (
+                 SELECT doc_id, coeff,
+                        ROW_NUMBER() OVER (PARTITION BY doc_id
+                                           ORDER BY coeff, r, c) AS rn
+                 FROM co WHERE NOT (r = 0 AND c = 0)) x
+               WHERE rn = 32),
+       bits AS (SELECT co.doc_id, co.r, co.c,
+                       CASE WHEN co.r = 0 AND co.c = 0 THEN 0
+                            WHEN co.coeff > med.m THEN 1
+                            ELSE 0 END AS b
+                FROM co JOIN med ON med.doc_id = co.doc_id),
+       rowbytes AS (SELECT doc_id, r,
+                           CAST(SUM(b * (1 << c)) AS BIGINT) AS byte
+                    FROM bits GROUP BY 1, 2)
+       SELECT doc_id AS media_id,
+              string_agg(printf('%02x', byte), '' ORDER BY r) AS whash
+       FROM rowbytes GROUP BY doc_id""",
+)
+def image_whash_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    """The SECOND perceptual-hash family
+    (operators/multimodal.py image_whash — wHash/pHash's spectral
+    axis, with the 2-D Walsh-Hadamard spectrum as the integer-exact
+    stand-in for the DCT): 8×8 sampled luminance → H·L·Hᵀ → one bit
+    per non-DC coefficient against the deterministic rank-32 median.
+    Runs over the SAME planted brightness-pair fixture as
+    image_dhash_fingerprints, and because a uniform shift moves only
+    the DC coefficient, each (2j, 2j+1) pair hashes IDENTICALLY —
+    visible in the compared values, certifying exact shift
+    invariance through a completely different mechanism than dHash's
+    gradients (stacked families catch different distortions; the
+    oracle rebuilds sampling, spectrum, median, and bit packing).
+    Same 16-hex layout, so the banded hamming join consumes either
+    family unchanged."""
+    return multimodal.image_whash(_dhash_media(spark, sf))
+
+
+@q(
     "png_decode_audit",
     """SELECT doc_id AS media_id,
               (doc_id % 5) = 0 AS ok,

@@ -2543,3 +2543,44 @@ def test_wav_hadamard_bands_parseval(spark):
     assert sum(by_id[1].values()) == 64 * sum(s * s for s in ramp)
     assert by_id[2][0] == (64 * 77) ** 2  # DC coefficient only
     assert all(by_id[2][b] == 0 for b in range(1, 8))
+
+
+def test_image_whash_contracts(spark):
+    """wHash contracts: (1) exact brightness-shift invariance — only
+    the DC Walsh coefficient moves under a uniform shift; (2) format
+    invariance through decode_image (P6 == GIF of the same pixels);
+    (3) the DC bit is pinned 0; (4) distinct patterns get distinct
+    hashes (not a constant function)."""
+    from google_sheets_etl_spark.operators import multimodal as mm
+
+    w, h = 10, 9
+    base = bytes((k * k * 7 + 3) % 200 for k in range(w * h * 3))
+    shifted = bytes(v + 40 for v in base)  # <= 239: no wrap
+    other = bytes((k * 31 + 5) % 256 for k in range(w * h * 3))
+    head = b"P6\n%d %d\n255\n" % (w, h)
+    pal = bytes(
+        (i % 256) for i in range(256) for _ in range(3)
+    )  # grayscale palette: index i -> (i,i,i)
+    gray_idx = bytes(
+        (base[3 * p] + base[3 * p + 1] + base[3 * p + 2]) // 3
+        for p in range(w * h)
+    )
+    media = spark.createDataFrame(
+        [
+            (1, "image", head + base, None),
+            (2, "image", head + shifted, None),
+            (3, "image", head + other, None),
+            (4, "image",
+             head + b"".join(bytes([v, v, v]) for v in gray_idx), None),
+            (5, "image", mm.encode_gif(w, h, [gray_idx], pal), None),
+        ],
+        mm.MEDIA_SCHEMA,
+    )
+    hashes = {
+        r["media_id"]: r["whash"]
+        for r in mm.image_whash(media).collect()
+    }
+    assert hashes[1] == hashes[2]          # shift invariance
+    assert hashes[1] != hashes[3]          # discriminative
+    assert hashes[4] == hashes[5]          # P6 == GIF, same pixels
+    assert int(hashes[1][:2], 16) & 1 == 0  # DC bit pinned 0
