@@ -1455,6 +1455,131 @@ def unigram_viterbi_segment(
     )
 
 
+def wordpiece_vocab(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_k: int = 12,
+    max_piece_len: int = 3,
+) -> DataFrame:
+    """Deterministic WordPiece vocabulary — the BERT tokenizer's data
+    structure (Devlin et al. 2019; Schuster & Nakajima 2012):
+    position-split pieces, word-INITIAL vs ``##``-CONTINUATION forms
+    counted separately because greedy matching consults different
+    sets at pos 0 vs pos > 0. Construction mirrors
+    :func:`unigram_piece_table`'s discipline: every observed
+    (char, form) pair is in (the coverage guarantee — a word's own
+    occurrences put its first char in the initial set and every later
+    char in the continuation set, so greedy segmentation never UNKs),
+    plus the joint ``top_k`` most frequent multi-char (piece, form)
+    entries (cnt desc, piece asc, initial-first ties). Occurrence
+    counts are summed over word frequency on the DISTINCT-word table
+    — vocabulary work, not corpus work.
+
+    Returns ``(piece, initial, cnt)``; greedy inference needs only
+    the SET, cnt documents the selection."""
+    words = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    subs = (
+        words.select(
+            "freq",
+            F.explode(
+                F.flatten(F.transform(
+                    F.sequence(F.lit(1), F.least(
+                        F.length("w"), F.lit(max_piece_len)
+                    )),
+                    lambda ln: F.transform(
+                        F.sequence(F.lit(1), F.length("w") - ln + 1),
+                        lambda s: F.struct(
+                            F.col("w").substr(s, ln).alias("piece"),
+                            (s == 1).alias("initial"),
+                        ),
+                    ),
+                ))
+            ).alias("pf"),
+        )
+        .select("freq", "pf.piece", "pf.initial")
+        .groupBy("piece", "initial")
+        .agg(F.sum("freq").alias("cnt"))
+    )
+    chars = subs.filter(F.length("piece") == 1)
+    multi = (
+        subs.filter(F.length("piece") >= 2)
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.orderBy(
+                    F.col("cnt").desc(),
+                    F.col("piece").asc(),
+                    F.col("initial").desc(),
+                )
+            ),
+        )
+        .filter(F.col("_rk") <= top_k)
+        .drop("_rk")
+    )
+    return chars.unionByName(multi)
+
+
+def wordpiece_segment(
+    docs: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """GREEDY longest-match-first WordPiece segmentation — the exact
+    inference rule BERT's tokenizer runs (at each position take the
+    LONGEST vocab piece of the position's form; repeat from the end
+    of the match): deterministic by construction — no costs, no
+    tie-breaks, just the longest set member — so any engine replays
+    it identically (the oracle walks the same transition table as a
+    recursive CTE). Returns one row per DISTINCT corpus word:
+    ``(word, freq, n_pieces)`` — corpus token accounting derives as
+    freq-weighted sums (fertility = n_pieces). The vocab rides the
+    task closure (KBs); kernel work is vocabulary-scale."""
+    rows = vocab.select("piece", "initial").collect()
+    init_set = {r["piece"] for r in rows if r["initial"]}
+    cont_set = {r["piece"] for r in rows if not r["initial"]}
+    max_len = max((len(p) for p in init_set | cont_set), default=1)
+
+    import pandas as pd
+
+    def kernel(batches):
+        for pdf in batches:
+            words, nps = [], []
+            for w in pdf["w"]:
+                pos, n = 0, 0
+                ok = True
+                while pos < len(w):
+                    table = init_set if pos == 0 else cont_set
+                    ln = min(max_len, len(w) - pos)
+                    while ln > 0 and w[pos:pos + ln] not in table:
+                        ln -= 1
+                    if ln == 0:  # unreachable under observed cover
+                        ok = False
+                        break
+                    pos += ln
+                    n += 1
+                if ok:
+                    words.append(w)
+                    nps.append(n)
+            out = pdf.set_index("w").loc[words][["freq"]].reset_index()
+            out["n_pieces"] = pd.Series(nps, dtype="int64")
+            yield out.rename(columns={"w": "word"})
+
+    words = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return words.mapInPandas(
+        kernel, "word string, freq long, n_pieces long"
+    )
+
+
 def _viterbi_best_path(w: str, pieces: dict, max_len: int):
     """The ONE Viterbi path definition training and its fixture
     contract share: minimize (cost, n_pieces) lexicographically; among

@@ -9998,6 +9998,71 @@ def bpe_learn_merges_k1000(spark: SparkSession, sf: str) -> DataFrame:
     return text_ops.bpe_train_driver(wf, n_merges=1000)
 
 
+@q(
+    "wordpiece_tokenize_stats",
+    """WITH RECURSIVE wf AS (
+         SELECT w, COUNT(*) AS freq
+         FROM (SELECT unnest(string_split(text, ' ')) AS w
+               FROM documents)
+         WHERE w <> '' GROUP BY w),
+       subs AS (
+         SELECT substr(w, s, l) AS piece, (s = 1) AS init,
+                SUM(freq) AS cnt
+         FROM wf, range(1, 4) tl(l),
+              LATERAL (SELECT unnest(range(1, len(w) - l + 2)) AS s) ts
+         WHERE l <= len(w)
+         GROUP BY 1, 2),
+       vocab AS (
+         SELECT piece, init FROM subs WHERE len(piece) = 1
+         UNION ALL
+         SELECT piece, init FROM (
+           SELECT piece, init,
+                  row_number() OVER (ORDER BY cnt DESC, piece ASC,
+                                     init DESC) AS rk
+           FROM subs WHERE len(piece) >= 2) x
+         WHERE rk <= 12),
+       best AS (
+         SELECT w, s, l FROM (
+           SELECT c.w, c.s, len(v.piece) AS l,
+                  row_number() OVER (PARTITION BY c.w, c.s
+                                     ORDER BY len(v.piece) DESC) AS rk
+           FROM (SELECT w, unnest(range(1, len(w) + 1)) AS s
+                 FROM wf) c
+           JOIN vocab v
+             ON v.init = (c.s = 1)
+            AND substr(c.w, c.s, len(v.piece)) = v.piece) x
+         WHERE rk = 1),
+       walk AS (
+         SELECT w, CAST(1 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS n
+         FROM wf
+         UNION ALL
+         SELECT wk.w, wk.pos + b.l, wk.n + 1
+         FROM walk wk JOIN best b ON b.w = wk.w AND b.s = wk.pos)
+       SELECT wk.w AS word, wf.freq, wk.n AS n_pieces
+       FROM walk wk JOIN wf ON wf.w = wk.w
+       WHERE wk.pos = len(wk.w) + 1""",
+)
+def wordpiece_tokenize_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """WORDPIECE — the third tokenizer family next to BPE (greedy
+    merge training) and unigram-LM (Viterbi inference), completing
+    the set real models actually ship (BERT's tokenizer): a
+    position-split vocabulary (word-initial vs ##-continuation
+    forms, operators/text.py wordpiece_vocab — observed chars of both
+    forms guarantee coverage, joint top-12 multi-char pieces) applied
+    by GREEDY longest-match-first segmentation (wordpiece_segment).
+    Greedy needs no costs and no tie-breaks — the longest set member
+    is unique — so the whole pipeline is deterministic integer/string
+    work; the oracle rebuilds the vocabulary AND replays the greedy
+    walk as a precomputed longest-match transition table + recursive
+    CTE. Per-word fertility (n_pieces) with corpus frequency, the
+    tokenizer-equity accounting surface."""
+    docs = t(spark, sf, "documents")
+    vocab = text_ops.wordpiece_vocab(
+        docs, top_k=12, max_piece_len=3
+    )
+    return text_ops.wordpiece_segment(docs, vocab)
+
+
 _BM25_TERMS = ["spark", "window", "merge"]
 
 

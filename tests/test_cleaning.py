@@ -542,3 +542,36 @@ def test_bpe_train_driver_equals_distributed_trainer(spark):
         rank >= 1 and n_aff >= 1 and sec >= 0.0
         for rank, n_aff, sec in timings
     )
+
+
+def test_wordpiece_greedy_longest_match(spark):
+    """WordPiece contracts: (1) greedy longest-match-first — a word
+    whose prefix has a longer vocab match takes it even when a
+    shorter split would yield fewer pieces downstream (the classic
+    greedy-vs-optimal divergence unigram Viterbi would resolve
+    differently); (2) position forms — an initial-only piece never
+    matches mid-word; (3) observed-char coverage means no word is
+    dropped; (4) fertility counts are exact."""
+    from google_sheets_etl_spark.operators import text as text_ops
+
+    # corpus chosen so 'abc' (initial) and '##bc' exist but '##c'
+    # only via single-char cover; 'abcd': greedy eats 'abc' then
+    # needs '##d'
+    docs = spark.createDataFrame(
+        [(1, "abc abc abc abcd bc bc xbc")],
+        "doc_id long, text string",
+    )
+    vocab = text_ops.wordpiece_vocab(docs, top_k=4, max_piece_len=3)
+    rows = {
+        (r["piece"], r["initial"]) for r in vocab.collect()
+    }
+    assert ("abc", True) in rows       # frequent initial trigram
+    seg = {
+        r["word"]: (r["freq"], r["n_pieces"])
+        for r in text_ops.wordpiece_segment(docs, vocab).collect()
+    }
+    assert set(seg) == {"abc", "abcd", "bc", "xbc"}
+    assert seg["abc"] == (3, 1)        # one piece: the whole word
+    assert seg["bc"][0] == 2
+    # 'abcd' greedily takes 'abc' then continuation 'd'
+    assert seg["abcd"] == (1, 2)
