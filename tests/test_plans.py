@@ -456,6 +456,40 @@ def test_pq_encode_narrow_and_adc_broadcast(spark, sf_dir):
     assert "CartesianProduct" not in adc_plan
 
 
+def test_sq8_bounds_partial_agg_and_encode_narrow(spark, sf_dir):
+    """SQ8 scale shapes: the bounds pass is explode → PARTIAL min/max
+    (the shuffle carries per-task partials over ~dim keys, never
+    n·dim rows — 'partial_min/max' must appear below the exchange);
+    encode is a narrow Arrow kernel (grid rides the closure); the ADC
+    join broadcasts queries so the code table never shuffles."""
+    from google_sheets_etl_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    c = emb.filter(F.col("vec_id") >= 10)
+
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    norm = F.sqrt(
+        F.aggregate(e, F.lit(0.0), lambda a, x: a + x * x)
+    )
+    bounds_plan = explain_str(
+        c.select(F.posexplode(e).alias("d", "x"), norm.alias("n"))
+        .select("d", (F.col("x") / F.col("n")).alias("x"))
+        .groupBy("d")
+        .agg(F.min("x"), F.max("x"))
+    )
+    assert "partial_min" in bounds_plan
+    assert "partial_max" in bounds_plan
+
+    bounds = similarity.sq8_bounds(c, 64)
+    enc_plan = explain_str(similarity.sq8_encode(c, bounds))
+    assert "Exchange" not in enc_plan
+
+    adc_plan = explain_str(QUERIES["sq8_topk_adc"](spark, sf_dir))
+    assert "BroadcastExchange" in adc_plan
+    assert "SortMergeJoin" not in adc_plan
+    assert "CartesianProduct" not in adc_plan
+
+
 def test_matview_merge_equals_direct_aggregate_any_order(spark):
     """Mergeable-summary contract: per-load summaries merged in ANY
     order and grouping equal one direct aggregation over all raw rows
