@@ -161,3 +161,50 @@ def test_viterbi_best_path_optimal_vs_enumeration(word, extra):
     path = _viterbi_best_path(word, pieces, max_len)
     assert "".join(path) == word
     assert (sum(pieces[p] for p in path), len(path)) == best
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    mcs=st.integers(min_value=2, max_value=8),
+    data=st.binary(min_size=0, max_size=600),
+)
+def test_gif_lzw_roundtrip_any_code_size(mcs, data):
+    """LZW encode∘decode is identity for every legal min-code-size
+    and arbitrary index streams (values capped to the alphabet), so
+    dictionary growth, width changes, the KwKwK case, and table
+    resets all hold under adversarial inputs — not just fixtures."""
+    from google_sheets_etl_spark.operators.multimodal import (
+        _lzw_decode, _lzw_encode,
+    )
+
+    idx = bytes(b % (1 << mcs) for b in data)
+    assert _lzw_decode(_lzw_encode(idx, mcs), mcs, len(idx)) == idx
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=17),
+    h=st.integers(min_value=1, max_value=13),
+    nf=st.integers(min_value=1, max_value=3),
+    pal_bits=st.integers(min_value=1, max_value=8),
+    seed=st.integers(min_value=0, max_value=10**6),
+)
+def test_gif_container_roundtrip(w, h, nf, pal_bits, seed):
+    """parse_gif_indexed ∘ encode_gif is identity over random frame
+    rasters at every power-of-two palette size, single and animated
+    (extension blocks on the animated path)."""
+    import random
+
+    from google_sheets_etl_spark.operators.multimodal import (
+        encode_gif, parse_gif_indexed,
+    )
+
+    rng = random.Random(seed)
+    n_ent = 1 << pal_bits
+    pal = bytes(rng.randrange(256) for _ in range(3 * n_ent))
+    frames = [
+        bytes(rng.randrange(n_ent) for _ in range(w * h))
+        for _ in range(nf)
+    ]
+    g = encode_gif(w, h, frames, pal)
+    assert parse_gif_indexed(g) == (w, h, frames, pal)
