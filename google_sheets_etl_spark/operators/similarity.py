@@ -2196,6 +2196,69 @@ def ivf_pq_topk(
 
     Returns ``(query_id, neighbor_id, rank, cosine_r4)``.
     """
+    if train_iters > 0:
+        codebooks = pq_train_codebooks(
+            candidates, n_subspaces, n_codes, id_col, vec_col, seed,
+            n_iter=train_iters,
+        )
+    else:
+        codebooks = _pq_codebooks(
+            candidates, n_subspaces, n_codes, id_col, vec_col, seed
+        )
+    return _ivf_adc_topk(
+        queries, candidates, codebooks, k, n_cells, n_probe,
+        shortlist, id_col, vec_col, seed,
+    )
+
+
+def ivf_sq8_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    shortlist: int = 100,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-SQ8 — the faiss ``IVF…,SQ8`` index shape, completing the
+    composed-index matrix next to IVF-PQ: the coarse Voronoi probe
+    prunes WHICH corpus slice each query reads, SCALAR quantization
+    prunes HOW MUCH per vector (1 B/dim — nearly rank-preserving, vs
+    PQ's shortlist-grade 32x), ADC shortlists, exact cosine re-ranks.
+    The practical middle of the deployed curve: when 4x compression
+    fits the I/O budget, SQ8's shortlist is faithful enough that the
+    re-rank pass is a formality — same plan shape, better recall per
+    probed byte. Composition = the shared :func:`_ivf_adc_topk`
+    machinery with the uniform grid in place of k-means codebooks;
+    every stage keeps its certified twin."""
+    bounds = sq8_bounds(candidates, dim, id_col, vec_col)
+    return _ivf_adc_topk(
+        queries, candidates, sq8_grid_codebooks(bounds), k, n_cells,
+        n_probe, shortlist, id_col, vec_col, seed,
+    )
+
+
+def _ivf_adc_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    codebooks,
+    k: int,
+    n_cells: int,
+    n_probe: int,
+    shortlist: int,
+    id_col: str,
+    vec_col: str,
+    seed: int,
+) -> DataFrame:
+    """The shared IVF×ADC composition behind :func:`ivf_pq_topk` and
+    :func:`ivf_sq8_topk` — coarse seeded-sample Voronoi cells, one
+    corpus pass assigning cell + fine codes, broadcast probe join,
+    ADC shortlist with batch-local top-k, exact cosine re-rank.
+    Pure extraction of the round-7 ivf_pq_topk body: any codebooks
+    array (k-means subspaces or uniform grid) rides the closure."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import (
@@ -2217,15 +2280,6 @@ def ivf_pq_topk(
     cnorms = np.linalg.norm(cents, axis=1, keepdims=True)
     cnorms[cnorms == 0] = 1.0
     cents = cents / cnorms
-    if train_iters > 0:
-        codebooks = pq_train_codebooks(
-            candidates, n_subspaces, n_codes, id_col, vec_col, seed,
-            n_iter=train_iters,
-        )
-    else:
-        codebooks = _pq_codebooks(
-            candidates, n_subspaces, n_codes, id_col, vec_col, seed
-        )
     n_sub, _, dsub = codebooks.shape
 
     id_type = candidates.schema[id_col].dataType

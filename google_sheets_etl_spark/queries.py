@@ -3554,6 +3554,89 @@ def ivf_pq_search(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_IVF_SQ8_ORACLE = (
+    _SQ8_COMMON
+    + """,
+ivf_cents AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY md5(vec_id::VARCHAR || ':42'),
+                            vec_id) - 1 AS cell,
+         embedding
+  FROM embeddings WHERE vec_id >= 10 QUALIFY cell < 16),
+ivf_cassign AS (
+  SELECT vec_id, cell FROM (
+    SELECT c.vec_id, ivf_cents.cell,
+           ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+             list_dot_product(c.embedding, ivf_cents.embedding) /
+               (sqrt(list_dot_product(c.embedding, c.embedding)) *
+                sqrt(list_dot_product(ivf_cents.embedding,
+                                      ivf_cents.embedding))) DESC,
+             ivf_cents.cell ASC) AS rn
+    FROM embeddings c CROSS JOIN ivf_cents WHERE c.vec_id >= 10)
+  WHERE rn = 1),
+ivf_qprobe AS (
+  SELECT vec_id, cell FROM (
+    SELECT q.vec_id, ivf_cents.cell,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+             list_dot_product(q.embedding, ivf_cents.embedding) /
+               (sqrt(list_dot_product(q.embedding, q.embedding)) *
+                sqrt(list_dot_product(ivf_cents.embedding,
+                                      ivf_cents.embedding))) DESC,
+             ivf_cents.cell ASC) AS rn
+    FROM embeddings q CROSS JOIN ivf_cents WHERE q.vec_id < 10)
+  WHERE rn <= 4),
+ivf_adc AS (
+  SELECT l.query_id, c.vec_id AS neighbor_id,
+         CAST(SUM(l.d2u) AS BIGINT) AS adc_u6
+  FROM codes c
+  JOIN ivf_cassign ca ON ca.vec_id = c.vec_id
+  JOIN ivf_qprobe qp ON qp.cell = ca.cell
+  JOIN lut l ON l.d = c.d AND l.c = c.c AND l.query_id = qp.vec_id
+  GROUP BY 1, 2),
+ivf_short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY adc_u6 ASC, neighbor_id ASC)
+             AS rn
+    FROM ivf_adc) WHERE rn <= 100),
+ivf_rr AS (
+  SELECT s.query_id, s.neighbor_id,
+         list_dot_product(qe.embedding, ne.embedding) /
+           (sqrt(list_dot_product(qe.embedding, qe.embedding)) *
+            sqrt(list_dot_product(ne.embedding, ne.embedding))) AS cos
+  FROM ivf_short s
+  JOIN embeddings qe ON qe.vec_id = s.query_id
+  JOIN embeddings ne ON ne.vec_id = s.neighbor_id)
+SELECT query_id, neighbor_id,
+       ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY cos DESC, neighbor_id ASC) AS rank,
+       ROUND(cos, 4) AS cosine_r4
+FROM ivf_rr
+QUALIFY rank <= 5"""
+)
+
+
+@q("ivf_sq8_search", _IVF_SQ8_ORACLE)
+def ivf_sq8_search(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-SQ8 (operators/similarity.py ivf_sq8_topk — the faiss
+    ``IVF16,SQ8`` index shape, completing the composed-index matrix:
+    flat / LSH / IVF / PQ / IVF-PQ / OPQ / SQ8 / NSW / IVF-SQ8): the
+    coarse Voronoi probe restricts WHICH corpus slice is read, scalar
+    quantization restricts HOW MUCH per vector (1 B/dim, nearly
+    rank-preserving — the practical middle of the compression curve),
+    integer micro-unit ADC shortlists, exact cosine re-ranks. Same
+    shared _ivf_adc_topk machinery as IVF-PQ with the uniform grid in
+    place of k-means codebooks, and the oracle is the same
+    ALGORITHMIC-TWIN discipline: bounds, grid, both quantizers,
+    probe, bounded ranking, and re-rank all rebuilt in SQL."""
+    emb = t(spark, sf, "embeddings")
+    return similarity.ivf_sq8_topk(
+        emb.filter(F.col("vec_id") < 10),
+        emb.filter(F.col("vec_id") >= 10),
+        k=5, n_cells=16, n_probe=4, shortlist=100, dim=64,
+    )
+
+
 @q(
     "pq_recall_at_k",
     """SELECT * FROM (VALUES
