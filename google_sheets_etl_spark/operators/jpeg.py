@@ -396,11 +396,15 @@ def parse_jpeg(payload: bytes) -> tuple[int, int, bytes]:
                 qtables[pq_tq & 0x0F] = q.reshape(8, 8)
                 dpos += 65
         elif marker == 0xC0:  # SOF0 baseline
+            if len(data) < 6:
+                raise ValueError("truncated jpeg segment")
             prec, h, w, nc = struct.unpack(">BHHB", data[:6])
             if prec != 8:
                 raise ValueError("only 8-bit jpeg supported")
             if nc not in (1, 3):
                 raise ValueError("unsupported jpeg component count")
+            if len(data) < 6 + 3 * nc:
+                raise ValueError("truncated jpeg segment")
             for i in range(nc):
                 cid, hv, tq = data[6 + 3 * i:9 + 3 * i]
                 if hv != 0x11:
@@ -412,6 +416,8 @@ def parse_jpeg(payload: bytes) -> tuple[int, int, bytes]:
         elif marker == 0xC4:  # DHT (possibly multiple tables)
             dpos = 0
             while dpos < len(data):
+                if dpos + 17 > len(data):
+                    raise ValueError("truncated jpeg segment")
                 tc_th = data[dpos]
                 bits = list(data[dpos + 1:dpos + 17])
                 nsym = sum(bits)
@@ -423,9 +429,13 @@ def parse_jpeg(payload: bytes) -> tuple[int, int, bytes]:
         elif marker == 0xDD:
             raise ValueError("jpeg restart intervals unsupported")
         elif marker == 0xDA:  # SOS
+            if not data:
+                raise ValueError("truncated jpeg segment")
             ns = data[0]
             if ns != len(comps):
                 raise ValueError("jpeg scan component mismatch")
+            if len(data) < 1 + 2 * ns:
+                raise ValueError("truncated jpeg segment")
             for i in range(ns):
                 cs, tsel = data[1 + 2 * i], data[2 + 2 * i]
                 idx = next(

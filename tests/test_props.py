@@ -208,3 +208,78 @@ def test_gif_container_roundtrip(w, h, nf, pal_bits, seed):
     ]
     g = encode_gif(w, h, frames, pal)
     assert parse_gif_indexed(g) == (w, h, frames, pal)
+
+
+@settings(max_examples=120, deadline=None)
+@given(data=st.binary(min_size=0, max_size=300))
+def test_media_parsers_reject_with_valueerror_only(data):
+    """The per-row reject contract that keeps a 100 TB decode pass
+    alive: every strict parser either returns or raises ValueError —
+    never IndexError/struct.error/KeyError, which would escape the
+    kernels' `except ValueError` and fail the whole task. Pure
+    adversarial bytes."""
+    from google_sheets_etl_spark.operators import jpeg as jpeg_mod
+    from google_sheets_etl_spark.operators.multimodal import (
+        parse_gif_indexed, parse_png, parse_ppm_frames, parse_wav_pcm16,
+    )
+
+    for parser in (
+        parse_gif_indexed, parse_png, parse_ppm_frames,
+        parse_wav_pcm16, jpeg_mod.parse_jpeg,
+    ):
+        try:
+            parser(data)
+        except ValueError:
+            pass
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    pos=st.integers(min_value=0, max_value=10**6),
+    val=st.integers(min_value=0, max_value=255),
+    cut=st.integers(min_value=0, max_value=10**6),
+    fmt=st.sampled_from(["gif", "png", "ppm", "wav", "jpeg"]),
+)
+def test_media_parsers_survive_mutated_valid_payloads(pos, val, cut, fmt):
+    """Same contract under the nastier distribution: take a VALID
+    payload of each format, flip one byte and/or truncate, and the
+    parser still either returns or raises ValueError — the mutation
+    space where magic bytes match and deep parser paths run."""
+    import struct
+
+    from google_sheets_etl_spark.operators import jpeg as jpeg_mod
+    from google_sheets_etl_spark.operators.multimodal import (
+        encode_gif, encode_png, parse_gif_indexed, parse_png,
+        parse_ppm_frames, parse_wav_pcm16,
+    )
+
+    if fmt == "gif":
+        pal = bytes((i % 256) for i in range(768))
+        good = encode_gif(5, 4, [bytes(range(20))], pal)
+        parser = parse_gif_indexed
+    elif fmt == "png":
+        good = encode_png(5, 4, bytes(k % 256 for k in range(60)),
+                          [y % 5 for y in range(4)])
+        parser = parse_png
+    elif fmt == "ppm":
+        good = (b"P6\n5 4\n255\n" + bytes(range(60))) * 2  # 2 frames
+        parser = parse_ppm_frames
+    elif fmt == "wav":
+        samples = b"".join(struct.pack("<h", (k * 91) % 1000 - 500)
+                           for k in range(64))
+        good = (b"RIFF" + struct.pack("<I", 36 + len(samples))
+                + b"WAVEfmt "
+                + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+                + b"data" + struct.pack("<I", len(samples)) + samples)
+        parser = parse_wav_pcm16
+    else:
+        good = jpeg_mod.encode_jpeg(8, 8, bytes(range(192)))
+        parser = jpeg_mod.parse_jpeg
+
+    bad = bytearray(good)
+    bad[pos % len(bad)] ^= val
+    payload = bytes(bad)[: 1 + cut % len(bad)]
+    try:
+        parser(payload)
+    except ValueError:
+        pass
