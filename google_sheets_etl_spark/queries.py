@@ -8673,6 +8673,119 @@ def streaming_quality_admission(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "streaming_media_admission",
+    """SELECT doc_id AS media_id,
+              (doc_id % 5) < 3 AS admitted,
+              CASE doc_id % 5
+                WHEN 3 THEN 'gif missing trailer'
+                WHEN 4 THEN 'unsupported payload format'
+                ELSE '' END AS err
+       FROM documents""",
+)
+def streaming_media_admission(spark: SparkSession, sf: str) -> DataFrame:
+    """The streaming MULTIMODAL front door, driver-certified
+    (streaming/media_gate_stream.py — quality_gate_stream's contract
+    transplanted to binary media): every payload is delivered TWICE
+    through separate micro-batches (at-least-once ingest); per batch
+    the gate runs the parse-only decode audit across THREE formats in
+    one mixed stream (valid GIF / PNG / P6 per doc residue), dedups
+    by payload hash against everything ever landed, routes decodable
+    payloads to the admitted table and rejects (a truncated GIF, junk
+    bytes) to the DEAD-LETTER table with the parser's pinned error.
+    The drained union must hold each payload EXACTLY once on exactly
+    one channel — the oracle is the per-residue verdict relation, so
+    format dispatch, strictness, cross-batch dedup, and the reject
+    channel are certified in one streaming row."""
+    import shutil as _shutil
+    import tempfile
+
+    import os as _os
+
+    import pandas as pd
+
+    from .operators.multimodal import encode_gif, encode_png
+    from .streaming.media_gate_stream import media_gate_stream
+
+    pal = bytes(
+        ((i * 7 + 11) % 256, (i * 57 + 2) % 256, (i * 33 + 5) % 256)[c]
+        for i in range(256)
+        for c in range(3)
+    )
+    d = t(spark, sf, "documents").select("doc_id")
+
+    def kernel(batches):
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = 3 + doc_id % 3, 2
+                j = np.arange(w * h, dtype=np.int64)
+                idx = ((doc_id * 13 + j) % 256).astype(np.uint8)
+                raster = (
+                    ((doc_id * 31 + np.arange(w * h * 3)) % 256)
+                    .astype(np.uint8).tobytes()
+                )
+                cls = doc_id % 5
+                if cls == 0:
+                    payloads.append(
+                        encode_gif(
+                            w, h,
+                            [idx.tobytes(),
+                             ((idx + 9) % 256).astype(np.uint8).tobytes()],
+                            pal,
+                        )
+                    )
+                elif cls == 1:
+                    payloads.append(encode_png(w, h, raster))
+                elif cls == 2:
+                    payloads.append(
+                        b"P6\n%d %d\n255\n" % (w, h) + raster
+                    )
+                elif cls == 3:
+                    payloads.append(
+                        encode_gif(w, h, [idx.tobytes()], pal)[:-1]
+                    )
+                else:  # junk must be DOC-UNIQUE or the hash dedup
+                    # would (correctly) collapse identical junk rows
+                    payloads.append(b"ZZnot-media:%d" % doc_id)
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = d.mapInPandas(kernel, "media_id long, payload binary")
+    src = tempfile.mkdtemp(prefix="mg_src_")
+    media.write.parquet(f"{src}/copy_a")
+    _shutil.copytree(f"{src}/copy_a", f"{src}/copy_b")
+    stream = (
+        spark.readStream.schema("media_id long, payload binary")
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(f"{src}/copy_*")
+    )
+    base = tempfile.mkdtemp(prefix="mg_")
+    admitted_path = _os.path.join(base, "admitted")
+    deadletter_path = _os.path.join(base, "deadletter")
+    handle = media_gate_stream(
+        stream,
+        admitted_path,
+        deadletter_path,
+        checkpoint=tempfile.mkdtemp(prefix="mg_ck_"),
+    )
+    handle.awaitTermination()
+    admitted = spark.read.parquet(admitted_path).select(
+        "media_id",
+        F.lit(True).alias("admitted"),
+        F.lit("").alias("err"),
+    )
+    dead = spark.read.parquet(deadletter_path).select(
+        "media_id", F.lit(False).alias("admitted"), "err"
+    )
+    return admitted.unionByName(dead)
+
+
 @q("doc_perplexity_bits", _PPL_ORACLE)
 def doc_perplexity_bits(spark: SparkSession, sf: str) -> DataFrame:
     """CCNet-style perplexity filtering (operators/text.py
