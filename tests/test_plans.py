@@ -490,6 +490,21 @@ def test_sq8_bounds_partial_agg_and_encode_narrow(spark, sf_dir):
     assert "CartesianProduct" not in adc_plan
 
 
+def test_round8_media_kernels_are_narrow(spark, sf_dir):
+    """GIF decode, WHT spectral bands, and wHash are per-payload
+    Arrow kernels over the scan — no exchange anywhere; they scale
+    purely with input splits (the PPM/WAV/dHash contract extended to
+    the round-8 formats)."""
+    for name in (
+        "gif_decode_features",
+        "audio_spectral_bands",
+        "image_whash_fingerprints",
+    ):
+        plan = explain_str(QUERIES[name](spark, sf_dir))
+        assert "Exchange" not in plan, name
+        assert "MapInPandas" in plan or "mapInPandas" in plan, name
+
+
 def test_matview_merge_equals_direct_aggregate_any_order(spark):
     """Mergeable-summary contract: per-load summaries merged in ANY
     order and grouping equal one direct aggregation over all raw rows
