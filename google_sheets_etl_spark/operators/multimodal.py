@@ -900,7 +900,8 @@ def parse_video_frames(payload: bytes) -> list[tuple[int, int, bytes]]:
 
 class SniffCodec(MediaCodec):
     """Per-payload magic-byte dispatch: P6 payloads decode through
-    the real :class:`PpmCodec`, PNG through :class:`PngCodec`;
+    the real :class:`PpmCodec`, PNG through :class:`PngCodec`, JPEG
+    through :class:`JpegCodec`, GIF through :class:`GifCodec`;
     everything else falls back (PIL when installed, stub otherwise).
     This is what :func:`default_codec` returns, so the stub is now
     strictly a FALLBACK.
@@ -952,9 +953,9 @@ class SniffCodec(MediaCodec):
 
 
 def default_codec() -> MediaCodec:
-    """P6 and PNG decode for real everywhere (pure Python); other
-    formats use PIL when available, the stub otherwise
-    (import-gated)."""
+    """P6, PNG, JPEG, and GIF decode for real everywhere (pure
+    Python); other formats use PIL when available, the stub
+    otherwise (import-gated)."""
     try:
         from PIL import Image  # noqa: F401
 
@@ -1277,8 +1278,8 @@ def wav_hadamard_bands(
 
 
 def image_dhash(media: DataFrame, id_col: str = "media_id") -> DataFrame:
-    """Perceptual DIFFERENCE-HASH (dHash) over P6/PNG payloads
-    (:func:`decode_image` magic-byte dispatch) — the
+    """Perceptual DIFFERENCE-HASH (dHash) over P6/PNG/JPEG/GIF
+    payloads (:func:`decode_image` magic-byte dispatch) — the
     image near-dup fingerprint: nearest-neighbor-sample the decoded
     luminance onto a 9×8 grid (the same ``x·w//out`` index rule the
     codec's resize uses), then one bit per horizontally adjacent pair
