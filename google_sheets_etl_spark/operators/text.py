@@ -1375,16 +1375,15 @@ def unigram_piece_table(
         ).alias("piece"),
     ).groupBy("piece").agg(F.sum("freq").alias("cnt"))
     chars = subs.filter(F.length("piece") == 1)
+    # Global top-k via orderBy+limit — Spark plans this as
+    # TakeOrderedAndProject (per-partition partial top-k merged on the
+    # driver), NOT a single-task Window sort over the full candidate
+    # set; the sort key is a total order so the selected SET is
+    # identical to the row_number formulation it replaces.
     multi = (
         subs.filter(F.length("piece") >= 2)
-        .withColumn(
-            "_rk",
-            F.row_number().over(
-                Window.orderBy(F.col("cnt").desc(), F.col("piece").asc())
-            ),
-        )
-        .filter(F.col("_rk") <= top_k)
-        .drop("_rk")
+        .orderBy(F.col("cnt").desc(), F.col("piece").asc())
+        .limit(top_k)
     )
     vocab = chars.unionByName(multi)
     total = vocab.agg(F.sum("cnt").alias("_t"))
@@ -1506,20 +1505,19 @@ def wordpiece_vocab(
         .agg(F.sum("freq").alias("cnt"))
     )
     chars = subs.filter(F.length("piece") == 1)
+    # Global top-k via orderBy+limit (TakeOrderedAndProject): partial
+    # per-partition top-k merged on the driver instead of a
+    # single-task Window sort over every distinct substring — the sort
+    # key is a total order, so the selected set matches the
+    # row_number formulation exactly.
     multi = (
         subs.filter(F.length("piece") >= 2)
-        .withColumn(
-            "_rk",
-            F.row_number().over(
-                Window.orderBy(
-                    F.col("cnt").desc(),
-                    F.col("piece").asc(),
-                    F.col("initial").desc(),
-                )
-            ),
+        .orderBy(
+            F.col("cnt").desc(),
+            F.col("piece").asc(),
+            F.col("initial").desc(),
         )
-        .filter(F.col("_rk") <= top_k)
-        .drop("_rk")
+        .limit(top_k)
     )
     return chars.unionByName(multi)
 
