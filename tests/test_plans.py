@@ -693,3 +693,20 @@ def test_matview_approx_distinct_merges_like_full(spark):
     assert est(merged) == est(full)
     # 37 distinct values: HLL at lgK=12 is exact in sparse mode
     assert all(round(v) == 37 for v in est(full).values())
+
+
+def test_tokenizer_vocab_topk_is_take_ordered(spark, sf_dir):
+    """Vocab selection must plan as TakeOrderedAndProject (distributed
+    partial top-k, driver merge) — never a row_number over an
+    unpartitioned Window, which funnels every distinct substring of
+    the corpus vocabulary through one task."""
+    from google_sheets_etl_spark.operators import text as T
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for builder in (
+        lambda: T.wordpiece_vocab(docs, top_k=50),
+        lambda: T.unigram_piece_table(docs, top_k=50),
+    ):
+        plan = explain_str(builder())
+        assert "TakeOrderedAndProject" in plan
+        assert "row_number" not in plan
