@@ -1,0 +1,114 @@
+"""Distributed graph analytics over edge-list DataFrames.
+
+PageRank here is the classic synchronous power iteration (Page,
+Brin, Motwani, Winograd 1999), expressed as the standard
+Spark/Pregel join-aggregate shape: per iteration, ranks join the
+edge list on ``src`` (one shuffle, or ZERO exchanges when ranks and
+edges are co-partitioned on ``src``), contributions partial-aggregate
+on ``dst`` (map-side combined), and a left join back onto the node
+set restores zero-in-degree nodes at the teleport floor. Nothing is
+ever collected — the rank vector lives as a DataFrame end to end, so
+the operator's ceiling is the cluster's, not the driver's.
+
+Exactness contract: ranks are int64 **pico-units** (total initial
+mass 10^12) and every step is integer arithmetic — ``div`` for the
+per-edge split and the damping factor 85/100 — so the fixpoint
+trajectory is bit-identical on any engine, any partitioning, any
+parallelism (float PageRank would drift across summation orders;
+the floor losses are deterministic and identical everywhere).
+Dangling mass (out-degree-0 nodes) deliberately evaporates, exactly
+as the SQL twin specifies; callers wanting the textbook
+redistribution add a dangling term the same integer way.
+
+Reference parity note: the reference engine (PHP ETL, see
+``GoogleSheetsAgent.php``) has no graph surface — this module is
+part of the training-data-pipeline extension set (link-graph
+authority scoring for crawl/document corpora).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: total initial rank mass: 10^12 integer pico-units.
+MASS = 1_000_000_000_000
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_iter: int = 6,
+    damping_pct: int = 85,
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    materialize_every: int = 3,
+) -> DataFrame:
+    """``n_iter`` synchronous PageRank iterations in exact int64
+    pico-units; returns ``(node, r)``.
+
+    Shape per iteration: ranks ⋈ edges on src (hash join; at 100 TB
+    pre-bucket both on src for a zero-exchange join), contributions
+    ``r div out_degree`` partial-aggregated on dst, node-set left
+    join restores sources nobody links to. The out-degree is folded
+    into the edge list ONCE up front (it never changes), so each
+    iteration is exactly one join + one aggregate + one restore join.
+    ``n_iter`` is a small constant, so lineage stays bounded; the
+    rank vector is persisted+materialized every ``materialize_every``
+    iterations — on a big cluster each eager cut costs a full job
+    launch, and a few lazily-chained iterations amortize that while
+    keeping the plan shallow enough for Catalyst (set it to 1 for the
+    classic checkpoint-per-step cadence, or higher when iterations
+    are cheap relative to job overhead).
+    """
+    n = nodes.select(F.col(node_col).alias("node"))
+    # materialize the weighted edge list ONCE — the iteration loop
+    # joins it n_iter times, and an expensive edge derivation (a kNN
+    # build, a candidate join) must not re-run per iteration; folding
+    # out_deg in here removes a per-iteration join entirely
+    e0 = edges.select(
+        F.col(src_col).alias("node"), F.col(dst_col).alias("dst")
+    )
+    deg = e0.groupBy("node").agg(F.count(F.lit(1)).alias("out_deg"))
+    e = e0.join(deg, "node").persist()
+    e.count()
+
+    init = n.crossJoin(
+        F.broadcast(n.agg(F.count(F.lit(1)).alias("_n")))
+    ).select("node", F.expr(f"{MASS}L div _n").alias("r"), "_n")
+    teleport = F.expr(f"(({100 - damping_pct}) * ({MASS}L div _n)) div 100")
+
+    ranks = init
+    kept: DataFrame | None = None
+    for i in range(n_iter):
+        contrib = (
+            ranks.select("node", "r")
+            .join(e, "node")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.expr("r div out_deg")).alias("s"))
+        )
+        ranks = (
+            init.select("node", "_n")
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                (teleport + F.expr(
+                    f"({damping_pct} * coalesce(s, 0L)) div 100"
+                )).alias("r"),
+                "_n",
+            )
+        )
+        if (i + 1) % materialize_every == 0 and i + 1 < n_iter:
+            nxt = ranks.persist()
+            nxt.count()
+            if kept is not None:
+                kept.unpersist()
+            kept = nxt
+            ranks = nxt
+    out = ranks.select("node", "r").persist()
+    out.count()
+    if kept is not None:
+        kept.unpersist()
+    e.unpersist()
+    return out

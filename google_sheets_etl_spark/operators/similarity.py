@@ -111,16 +111,27 @@ def cosine_topk_bruteforce(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query (queries broadcast)."""
+    from ..functions.vectors import l2_norm
+
+    # norms are precomputed PER SIDE (|Q| + |C| sqrt-of-self-dots)
+    # instead of inside the pair expression (which would redo both
+    # self-dots for every one of the |Q|x|C| pairs — a 3x blowup of
+    # the dominant cost). Same doubles, same product/division order,
+    # so the scores — and the certified oracle alignment — are
+    # bit-identical to the inline form.
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
     )
     c = candidates.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        l2_norm(F.col(vec_col)).alias("_cn"),
     )
+    denom = F.col("_qn") * F.col("_cn")
     scored = c.crossJoin(F.broadcast(q)).select(
         "query_id",
         "neighbor_id",
-        cosine_similarity(F.col("qv"), F.col("cv")).alias("cos"),
+        F.when(denom != 0, dot(F.col("qv"), F.col("cv")) / denom).alias("cos"),
     )
     return _ranked_topk(scored, k)
 

@@ -10725,6 +10725,281 @@ def streaming_static_enrich(spark: SparkSession, sf: str) -> DataFrame:
     return _drain_to_memory(agg, "stream_enrich", "complete")
 
 
+_GAPFILL_GRID = """
+hourly AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+                  SUM(value) AS v
+           FROM events GROUP BY 1, 2),
+b AS (SELECT event_type, MIN(hour) AS lo, MAX(hour) AS hi
+      FROM hourly GROUP BY 1),
+grid AS (SELECT event_type,
+                unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+         FROM b),
+j AS (SELECT g.event_type, g.hour, h.v
+      FROM grid g LEFT JOIN hourly h
+        ON h.event_type = g.event_type AND h.hour = g.hour)"""
+
+
+def _gapfill_grid(spark: SparkSession, sf: str) -> DataFrame:
+    """Shared gap-fill scaffold: hourly per-type sums densified onto
+    the full first-to-last hour grid (grid rows are span-of-hours
+    sized — sequence+explode from two aggregated bounds, never from
+    the events themselves; the ``event_gap_report`` shape)."""
+    hourly = (
+        t(spark, sf, "events")
+        .select("event_type", F.date_trunc("hour", F.col("ts")).alias("hour"),
+                "value")
+        .groupBy("event_type", "hour")
+        .agg(F.sum("value").alias("v"))
+    )
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("hour").alias("lo"), F.max("hour").alias("hi")
+    )
+    expected = bounds.select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour"),
+    )
+    return expected.join(hourly, ["event_type", "hour"], "left")
+
+
+@q(
+    "events_gapfill_locf",
+    f"""WITH {_GAPFILL_GRID}
+       SELECT event_type, epoch_us(hour) AS hour_us,
+              v IS NOT NULL AS observed,
+              ROUND(last_value(v IGNORE NULLS) OVER (
+                PARTITION BY event_type ORDER BY hour
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                4) AS value_locf_r4
+       FROM j""",
+)
+def events_gapfill_locf(spark: SparkSession, sf: str) -> DataFrame:
+    """GAP FILL, last-observation-carried-forward — the densification
+    step time-series stores (timescaledb ``locf(time_bucket_gapfill)``)
+    bolt onto rollups: every hour in each type's observed span gets a
+    row, holes carry the previous hourly sum forward. The fill window
+    is PARTITIONED by the series key (never a global sort); the grid
+    is metadata-scale; the first grid hour is by construction observed
+    (lo = first observation), so the fill never emits NULL. At 100 TB
+    the span grid stays tiny while the hourly rollup is the same
+    partial-aggregated shuffle every hourly query here runs."""
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return _gapfill_grid(spark, sf).select(
+        "event_type",
+        F.unix_micros(F.col("hour")).alias("hour_us"),
+        F.col("v").isNotNull().alias("observed"),
+        F.round(F.last("v", ignorenulls=True).over(w), 4).alias("value_locf_r4"),
+    )
+
+
+@q(
+    "events_gapfill_interpolate",
+    f"""WITH {_GAPFILL_GRID},
+       k AS (SELECT event_type, hour, v,
+               last_value(v IGNORE NULLS) OVER w_prev AS pv,
+               last_value(CASE WHEN v IS NOT NULL THEN hour END
+                          IGNORE NULLS) OVER w_prev AS ph,
+               first_value(v IGNORE NULLS) OVER w_next AS nv,
+               first_value(CASE WHEN v IS NOT NULL THEN hour END
+                           IGNORE NULLS) OVER w_next AS nh
+             FROM j
+             WINDOW w_prev AS (PARTITION BY event_type ORDER BY hour
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW),
+                    w_next AS (PARTITION BY event_type ORDER BY hour
+                               ROWS BETWEEN CURRENT ROW
+                               AND UNBOUNDED FOLLOWING))
+       SELECT event_type, epoch_us(hour) AS hour_us,
+              v IS NOT NULL AS observed,
+              CASE WHEN v IS NOT NULL
+                   THEN CAST(floor(v * 1000000 + 0.5) AS BIGINT)
+                   ELSE CAST(floor(
+                     CAST(floor(pv * 1000000 + 0.5) AS BIGINT)
+                     + (CAST(floor(nv * 1000000 + 0.5) AS BIGINT)
+                        - CAST(floor(pv * 1000000 + 0.5) AS BIGINT))
+                       * ((epoch_us(hour) - epoch_us(ph)) // 3600000000)
+                       / ((epoch_us(nh) - epoch_us(ph)) // 3600000000)
+                     + 0.5) AS BIGINT) END AS value_interp_u6
+       FROM k""",
+)
+def events_gapfill_interpolate(spark: SparkSession, sf: str) -> DataFrame:
+    """GAP FILL, linear interpolation (timescaledb ``interpolate``):
+    holes take the line between the previous and next observed hourly
+    sums. Exactness: the bracketing sums are converted to int64
+    MICRO-UNITS first (half-up floor — safe because 2-dp inputs can
+    never sit on a 1e-6 boundary), so the interpolation formula
+    ``pv + (nv - pv) * dt / DT`` runs over exact INTEGER inputs and
+    both engines produce the bit-identical double before the final
+    half-up floor — a plain ROUND(x, 4) here provably diverges: a
+    2-hour gap's midpoint of 2-dp sums lands exactly on .xxxx5, where
+    Spark's HALF_UP decimal rounding and DuckDB's binary-double round
+    disagree (caught by the sf0.001 oracle gate). dt/DT are integer
+    HOUR counts (micros div 3600000000). Both bracketing neighbors
+    exist by construction (the grid spans first..last observation);
+    observed rows pass their own value through, dodging the 0/0 the
+    formula would hit when prev == next == self. Two per-key fill
+    windows over the same partitioning — one sort, both frames."""
+    w = Window.partitionBy("event_type").orderBy("hour")
+    w_prev = w.rowsBetween(Window.unboundedPreceding, 0)
+    w_next = w.rowsBetween(0, Window.unboundedFollowing)
+    obs_hour = F.when(F.col("v").isNotNull(), F.col("hour"))
+    k = _gapfill_grid(spark, sf).select(
+        "event_type", "hour", "v",
+        F.last("v", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(obs_hour, ignorenulls=True).over(w_prev).alias("ph"),
+        F.first("v", ignorenulls=True).over(w_next).alias("nv"),
+        F.first(obs_hour, ignorenulls=True).over(w_next).alias("nh"),
+    )
+    def u6(c):  # half-up int64 micro-units (2-dp inputs: never boundary)
+        return F.floor(c * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+
+    dt = F.expr(
+        "(unix_micros(hour) - unix_micros(ph)) div 3600000000"
+    )
+    DT = F.expr("(unix_micros(nh) - unix_micros(ph)) div 3600000000")
+    interp_u6 = F.floor(
+        u6(F.col("pv"))
+        + (u6(F.col("nv")) - u6(F.col("pv"))) * dt / DT
+        + F.lit(0.5)
+    ).cast("long")
+    return k.select(
+        "event_type",
+        F.unix_micros(F.col("hour")).alias("hour_us"),
+        F.col("v").isNotNull().alias("observed"),
+        F.when(F.col("v").isNotNull(), u6(F.col("v")))
+        .otherwise(interp_u6)
+        .alias("value_interp_u6"),
+    )
+
+
+@q(
+    "priority_weighted_sample",
+    """SELECT doc_id, lang, n_chars,
+              (n_chars * 4294967296)
+                // (('0x' || substr(md5('wsamp:' || doc_id::VARCHAR),
+                                    1, 8))::BIGINT + 1) AS priority
+       FROM documents
+       ORDER BY priority DESC, doc_id ASC
+       LIMIT 100""",
+)
+def priority_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """WEIGHTED sampling without replacement by PRIORITY SAMPLING
+    (Duffield, Lund, Thorup, JACM 2007): per item, priority
+    q_i = w_i / u_i with u_i uniform, keep the top-k priorities —
+    inclusion probability is proportional-ish to weight with unbiased
+    subset-sum estimation. Weight here is n_chars (length-weighted
+    corpus sampling — the proxy for token-budget-proportional
+    selection in LLM data curation). EXACT and engine-free: u_i is
+    the md5-derived 32-bit integer h+1, and the priority is the
+    integer division (w << 32) div (h+1) — no pow/log whose last-ulp
+    libm differences could flip a rank across engines — with doc_id
+    breaking exact priority ties. Top-k plans as
+    TakeOrderedAndProject (partial per-partition top-k, driver merge
+    of k rows/partition): a narrow scan at any corpus size, no
+    shuffle at all."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("wsamp:"), F.col("doc_id").cast("string"))),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("long")
+    return (
+        t(spark, sf, "documents")
+        .withColumn("_h", h)
+        .select(
+            "doc_id", "lang", "n_chars",
+            F.expr("(n_chars * 4294967296L) div (_h + 1)").alias("priority"),
+        )
+        .orderBy(F.col("priority").desc(), F.col("doc_id").asc())
+        .limit(100)
+    )
+
+
+def _pagerank_oracle(n_iter: int = 6) -> str:
+    """Unrolled-CTE twin of operators/graph.py pagerank over the
+    3-NN cosine graph: DuckDB's recursive CTEs forbid aggregation
+    over the recursive term, so the fixed iteration count is unrolled
+    — one CTE per step, each the literal join-aggregate the Spark
+    loop runs, in the same exact int64 pico-unit arithmetic."""
+    head = """
+scored AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         list_dot_product(a.embedding, b.embedding) /
+           (sqrt(list_dot_product(a.embedding, a.embedding)) *
+            sqrt(list_dot_product(b.embedding, b.embedding))) AS cos
+  FROM embeddings a CROSS JOIN embeddings b),
+edges AS (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           ROW_NUMBER() OVER (PARTITION BY src
+                              ORDER BY cos DESC, dst ASC) AS rk
+    FROM scored) WHERE rk BETWEEN 2 AND 4),
+deg AS (SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY 1),
+nodes AS (SELECT vec_id AS node FROM embeddings),
+it0 AS (SELECT node,
+               1000000000000 // (SELECT COUNT(*) FROM nodes) AS r
+        FROM nodes)"""
+    step = """,
+it{i} AS (
+  SELECT n.node,
+         CAST((15 * (1000000000000 // (SELECT COUNT(*) FROM nodes))) // 100
+              + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS r
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst, CAST(SUM(p.r // d.out_deg) AS BIGINT) AS s
+    FROM it{p} p
+    JOIN deg d ON d.src = p.node
+    JOIN edges e ON e.src = p.node
+    GROUP BY 1) c
+  ON c.dst = n.node)"""
+    body = "".join(step.format(i=i, p=i - 1) for i in range(1, n_iter + 1))
+    return (
+        "WITH " + head + body
+        + f"\nSELECT node AS vec_id, r AS pagerank_p12 FROM it{n_iter}"
+    )
+
+
+@q("simgraph_pagerank", _pagerank_oracle(6))
+def simgraph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """PAGERANK over the similarity graph (operators/graph.py) — the
+    link-graph authority score crawl-corpus curation ranks documents
+    by, run here on the 3-NN cosine graph of the embeddings table
+    (every node out-degree 3, no dangling mass). Six synchronous
+    power iterations in exact int64 pico-units: each iteration is
+    ranks ⋈ edges on src + a partial-aggregated contribution shuffle
+    on dst + a node-set left join for zero-in-degree nodes — the
+    Pregel shape, rank vector distributed end to end, nothing
+    collected. Integer ``div`` everywhere makes the trajectory
+    bit-identical across engines and partitionings (float PageRank
+    drifts with summation order); the oracle unrolls the same six
+    join-aggregates as CTEs. Edge construction: ranks 2..4 of the
+    self-inclusive exact cosine ranking (the certified cosine_topk
+    relation, self at rank 1); at 100 TB the edge list comes from the
+    certified ANN path (IVF/NSW) instead of brute force, and
+    ranks+edges pre-bucket on src for zero-exchange iteration joins."""
+    emb = t(spark, sf, "embeddings")
+    from .operators import graph as graph_ops
+
+    # the corpus side of the all-vs-all build must be spread across
+    # the cluster BEFORE the broadcast crossJoin expands it |Q|-fold —
+    # a single-file local read would otherwise compute every pair in
+    # one task (at production scale the corpus arrives pre-split and
+    # this repartition is a no-op-sized safeguard)
+    corpus = emb.repartition(spark.sparkContext.defaultParallelism)
+    knn = similarity.cosine_topk_bruteforce(emb, corpus, k=4)
+    edges = knn.filter(F.col("rank").between(2, 4)).select(
+        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    nodes = emb.select(F.col("vec_id").alias("node"))
+    ranks = graph_ops.pagerank(nodes, edges, n_iter=6)
+    return ranks.select(
+        F.col("node").alias("vec_id"), F.col("r").alias("pagerank_p12")
+    )
+
+
 def _reorder_for_driver_coverage() -> None:
     """Registration-order post-pass. The correctness driver walks
     ``queries()`` in definition order under a bounded budget (~50

@@ -2584,3 +2584,89 @@ def test_image_whash_contracts(spark):
     assert hashes[1] != hashes[3]          # discriminative
     assert hashes[4] == hashes[5]          # P6 == GIF, same pixels
     assert int(hashes[1][:2], 16) & 1 == 0  # DC bit pinned 0
+
+
+# ---------------------------------------------------------------- graph
+
+
+def _pagerank_py(nodes, edges, n_iter, damping_pct=85, mass=10**12):
+    """Independent pure-Python int reference of operators/graph.py's
+    exact pico-unit PageRank rule (floor div everywhere)."""
+    n = len(nodes)
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    r = {v: mass // n for v in nodes}
+    tele = ((100 - damping_pct) * (mass // n)) // 100
+    for _ in range(n_iter):
+        s = {v: 0 for v in nodes}
+        for a, b in edges:
+            s[b] += r[a] // deg[a]
+        r = {v: tele + (damping_pct * s[v]) // 100 for v in nodes}
+    return r
+
+
+def test_pagerank_exact_integer_trajectory(spark):
+    from google_sheets_etl_spark.operators import graph
+
+    nodes = [1, 2, 3, 4]  # 4 is dangling (out-degree 0) AND unlinked
+    edges = [(1, 2), (2, 1), (2, 3), (3, 1)]
+    ndf = spark.createDataFrame([(v,) for v in nodes], "node long")
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    for iters in (1, 3):
+        got = {
+            r["node"]: r["r"]
+            for r in graph.pagerank(ndf, edf, n_iter=iters).collect()
+        }
+        assert got == _pagerank_py(nodes, edges, iters)
+    # node 4: nobody links to it -> the teleport floor exactly
+    assert got[4] == ((100 - 85) * (10**12 // 4)) // 100
+
+
+def test_pagerank_partitioning_invariance(spark):
+    """Bit-identical ranks at any parallelism — the integer-arithmetic
+    exactness claim, checked by re-running the same graph at 1 and 16
+    shuffle partitions."""
+    from google_sheets_etl_spark.operators import graph
+
+    nodes = [(v,) for v in range(30)]
+    edges = [((7 * v + 3) % 30, (11 * v + 5) % 30) for v in range(90)]
+    edges = [(a, b) for a, b in edges if a != b]
+    ndf = spark.createDataFrame(nodes, "node long")
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    expected = _pagerank_py([v for (v,) in nodes], edges, 4)
+    got = {
+        r["node"]: r["r"]
+        for r in graph.pagerank(
+            ndf.repartition(16), edf.repartition(16), n_iter=4
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_priority_weighted_sample_properties(spark, sf_dir):
+    """Duffield-Lund-Thorup priority sampling: the kept set is exactly
+    the top-100 of the full priority ranking (verified against a full
+    in-Python recompute of the integer priorities), and long docs are
+    overrepresented vs a uniform draw (the weighting actually bites)."""
+    import hashlib
+
+    from google_sheets_etl_spark.queries import QUERIES
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "n_chars"
+    ).collect()
+
+    def prio(doc_id, n_chars):
+        h = int(hashlib.md5(f"wsamp:{doc_id}".encode()).hexdigest()[:8], 16)
+        return (n_chars * 4294967296) // (h + 1)
+
+    full = sorted(
+        ((prio(r["doc_id"], r["n_chars"]), r["doc_id"]) for r in docs),
+        key=lambda t: (-t[0], t[1]),
+    )
+    got = QUERIES["priority_weighted_sample"](spark, sf_dir).collect()
+    assert [(r["priority"], r["doc_id"]) for r in got] == full[:100]
+    mean_all = sum(r["n_chars"] for r in docs) / len(docs)
+    mean_kept = sum(r["n_chars"] for r in got) / len(got)
+    assert mean_kept > mean_all  # weight = length must shift the sample
