@@ -74,9 +74,12 @@ def pagerank(
     e = e0.join(deg, "node").persist()
     e.count()
 
+    # the node set (with the broadcast count) anchors every
+    # iteration's restore join — persist it once instead of
+    # re-scanning the node source per iteration
     init = n.crossJoin(
         F.broadcast(n.agg(F.count(F.lit(1)).alias("_n")))
-    ).select("node", F.expr(f"{MASS}L div _n").alias("r"), "_n")
+    ).select("node", F.expr(f"{MASS}L div _n").alias("r"), "_n").persist()
     teleport = F.expr(f"(({100 - damping_pct}) * ({MASS}L div _n)) div 100")
 
     ranks = init
@@ -111,4 +114,5 @@ def pagerank(
     if kept is not None:
         kept.unpersist()
     e.unpersist()
+    init.unpersist()
     return out
