@@ -699,6 +699,89 @@ def cosine_topk_lsh(
     return _ranked_topk(scored, k)
 
 
+def _seeded_centroid_matrix(
+    candidates: DataFrame,
+    n: int,
+    id_col: str,
+    vec_col: str,
+    seed: int,
+) -> "np.ndarray":
+    """Driver-side seeded-sample coarse quantizer shared by every IVF-
+    family index (cosine_topk_ivf, _ivf_adc_topk, cosine_topk_nsw):
+    the md5("id:seed") ordering is engine-neutral, so each consumer's
+    SQL twin reproduces the same sample and cell numbering. Rows are
+    L2-normalized with the zero-norm guard — a zero vector landing in
+    the sample must not NaN-poison every assignment (the same guard
+    _pq_codebooks carries; round-7 advisory class)."""
+    import numpy as np
+
+    rows = (
+        candidates.select(id_col, vec_col)
+        .orderBy(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))),
+            F.col(id_col),
+        )
+        .limit(n)
+        .collect()
+    )
+    cents = np.array([r[1] for r in rows], dtype=np.float64)
+    if cents.size:
+        norms = np.linalg.norm(cents, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        cents = cents / norms
+    return cents
+
+
+def _probe_assign(
+    df: DataFrame,
+    cents: "np.ndarray",
+    out_id: str,
+    out_vec: str,
+    n_cells: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared cell-assignment kernel: each vector fans out to its
+    ``n_cells`` nearest centroids (stable argsort — equal sims break
+    ties by cell index asc, matching every twin's (sim DESC, cell ASC)
+    window). ``n_cells`` is clamped to the number of centroids that
+    actually exist — a corpus smaller than the configured probe count
+    must degrade to probing every cell, not crash the frame
+    constructor with mismatched column lengths. The element type of
+    ``vec_col`` is carried through: declaring float here would
+    silently truncate double embeddings and drift the exact re-rank's
+    tie-break (the bug _with_lsh_buckets fixed for the LSH path)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType([
+        StructField(out_id, df.schema[id_col].dataType),
+        StructField(out_vec, df.schema[vec_col].dataType),
+        StructField("cell", LongType()),
+    ])
+    eff = int(min(n_cells, cents.shape[0])) if cents.size else 0
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0 or eff == 0:
+                continue
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            sims = (mat / norms) @ cents.T
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :eff]
+            n = len(pdf)
+            idx = np.repeat(np.arange(n), eff)
+            yield pd.DataFrame({
+                out_id: pdf[id_col].to_numpy()[idx],
+                out_vec: pdf[vec_col].iloc[idx].to_numpy(),
+                "cell": top.reshape(-1).astype(np.int64),
+            })
+
+    return df.select(id_col, vec_col).mapInPandas(kernel, schema)
+
+
 def cosine_topk_ivf(
     queries: DataFrame,
     candidates: DataFrame,
@@ -723,64 +806,19 @@ def cosine_topk_ivf(
     shuffles; raising ``n_probe`` trades cost for recall
     (n_probe == n_centroids degenerates to exact brute force).
     """
-    import numpy as np
-
-    # --- quantizer: seeded sample of candidate vectors (driver-side,
-    # n_centroids rows — metadata-scale collect). Ordering key is the
-    # md5 hex of "id:seed" (engine-neutral — any ANSI SQL engine can
-    # reproduce the same sample and cell numbering, so the whole IVF
-    # search has an exact algorithmic twin in the oracle), vec_id as a
-    # collision tie-break. Cell index = position in that ordering.
-    cent_rows = (
-        candidates.select(id_col, vec_col)
-        .orderBy(
-            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))),
-            F.col(id_col),
-        )
-        .limit(n_centroids)
-        .collect()
+    # quantizer: the shared seeded sample (driver-side, n_centroids
+    # rows — metadata-scale collect; cell index = position in the
+    # md5("id:seed") ordering, so the whole IVF search has an exact
+    # algorithmic twin in the oracle)
+    cents = _seeded_centroid_matrix(
+        candidates, n_centroids, id_col, vec_col, seed
     )
-    cents = np.array([r[1] for r in cent_rows], dtype=np.float64)
-    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
-
-    def assign(df: DataFrame, out_id: str, out_vec: str, n_cells: int) -> DataFrame:
-        import pandas as pd
-        from pyspark.sql.types import LongType, StructField, StructType
-
-        id_field = df.schema[id_col]
-        # carry the INPUT element type through: declaring float here
-        # would silently truncate double embeddings and drift the
-        # exact re-rank's tie-break (the same bug _with_lsh_buckets
-        # fixed for the LSH path)
-        schema = StructType([
-            StructField(out_id, id_field.dataType),
-            StructField(out_vec, df.schema[vec_col].dataType),
-            StructField("cell", LongType()),
-        ])
-
-        def kernel(batches):
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
-                norms = np.linalg.norm(mat, axis=1, keepdims=True)
-                norms[norms == 0] = 1.0
-                sims = (mat / norms) @ cents.T  # (n, n_centroids)
-                # stable: equal sims break ties by cell index asc,
-                # matching the oracle's (sim DESC, cell ASC) window
-                top = np.argsort(-sims, axis=1, kind="stable")[:, :n_cells]
-                n = len(pdf)
-                idx = np.repeat(np.arange(n), n_cells)
-                yield pd.DataFrame({
-                    out_id: pdf[id_col].to_numpy()[idx],
-                    out_vec: pdf[vec_col].iloc[idx].to_numpy(),
-                    "cell": top.reshape(-1),
-                })
-
-        return df.select(id_col, vec_col).mapInPandas(kernel, schema)
-
-    c = assign(candidates, "neighbor_id", "cv", 1)          # 1 cell per vector
-    q = assign(queries, "query_id", "qv", n_probe)          # n_probe cells per query
+    c = _probe_assign(
+        candidates, cents, "neighbor_id", "cv", 1, id_col, vec_col
+    )   # 1 cell per vector
+    q = _probe_assign(
+        queries, cents, "query_id", "qv", n_probe, id_col, vec_col
+    )   # n_probe cells per query
     if broadcast_queries:
         q = F.broadcast(q)
     scored = (
@@ -842,58 +880,26 @@ def cosine_topk_nsw(
     bounded by cell size (the semantic-dedup task contract), boolean-
     matrix frontier steps inside. n_probe == n_cells with
     m_neighbors >= cell size degenerates to exact brute force over
-    probed cells. At 100 TB the per-cell edge lists would persist as
+    probed cells. Zero-norm fine print: emitted cosines mirror the
+    brute-force/oracle contract (undefined angle -> NULL, ranked
+    last); ROUTING treats a zero-norm vector as cosine 0.0 to keep
+    the graph walk finite, so such a degenerate vector is still
+    reachable-and-emitted exactly when a 0.0-scoring one would be. At 100 TB the per-cell edge lists would persist as
     a table and amortize across query batches; graph build here is
     in-plan so the operator stays a pure function of its inputs."""
     import numpy as np
     import pandas as pd
-    from pyspark.sql.types import (
-        DoubleType, LongType, StructField, StructType,
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    cents = _seeded_centroid_matrix(
+        candidates, n_cells, id_col, vec_col, seed
     )
-
-    cent_rows = (
-        candidates.select(id_col, vec_col)
-        .orderBy(
-            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))),
-            F.col(id_col),
-        )
-        .limit(n_cells)
-        .collect()
+    c = _probe_assign(
+        candidates, cents, "neighbor_id", "cv", 1, id_col, vec_col
     )
-    cents = np.array([r[1] for r in cent_rows], dtype=np.float64)
-    norms = np.linalg.norm(cents, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    cents /= norms
-
-    def assign(df: DataFrame, out_id: str, out_vec: str, n_c: int) -> DataFrame:
-        id_field = df.schema[id_col]
-        schema = StructType([
-            StructField(out_id, id_field.dataType),
-            StructField(out_vec, df.schema[vec_col].dataType),
-            StructField("cell", LongType()),
-        ])
-
-        def kernel(batches):
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
-                nn = np.linalg.norm(mat, axis=1, keepdims=True)
-                nn[nn == 0] = 1.0
-                sims = (mat / nn) @ cents.T
-                top = np.argsort(-sims, axis=1, kind="stable")[:, :n_c]
-                n = len(pdf)
-                idx = np.repeat(np.arange(n), n_c)
-                yield pd.DataFrame({
-                    out_id: pdf[id_col].to_numpy()[idx],
-                    out_vec: pdf[vec_col].iloc[idx].to_numpy(),
-                    "cell": top.reshape(-1),
-                })
-
-        return df.select(id_col, vec_col).mapInPandas(kernel, schema)
-
-    c = assign(candidates, "neighbor_id", "cv", 1)
-    q = assign(queries, "query_id", "qv", n_probe)
+    q = _probe_assign(
+        queries, cents, "query_id", "qv", n_probe, id_col, vec_col
+    )
 
     out_schema = StructType([
         StructField(
@@ -917,7 +923,8 @@ def cosine_topk_nsw(
         nc = len(cpdf)
         cmat = np.vstack(cpdf["cv"].to_numpy()).astype(np.float64)
         cn = np.sqrt((cmat * cmat).sum(axis=1))
-        cn[cn == 0] = 1.0
+        c_zero = cn == 0
+        cn[c_zero] = 1.0
         # cosine as dot / (|a|·|b|) — the SAME operation order as the
         # SQL twin's list_dot_product / (sqrt·sqrt), so both engines
         # carry identical FP noise into the micro-unit rounding (the
@@ -934,8 +941,17 @@ def cosine_topk_nsw(
         ne = min(n_entries, nc)
         qmat = np.vstack(qpdf["qv"].to_numpy()).astype(np.float64)
         qn = np.sqrt((qmat * qmat).sum(axis=1))
-        qn[qn == 0] = 1.0
+        q_zero = qn == 0
+        qn[q_zero] = 1.0
         qcos = (qmat @ cmat.T) / (qn[:, None] * cn[None, :])
+        # ROUTING uses the finite 0.0-convention scores; EMISSION
+        # mirrors the brute-force/oracle contract — a zero-norm side
+        # has an undefined angle, so its cosine surfaces as NULL
+        # (NaN here; _ranked_topk normalizes NaN -> NULL and ranks it
+        # last, exactly where the window puts the brute-force NULLs)
+        qcos_emit = qcos.copy()
+        qcos_emit[:, c_zero] = np.nan
+        qcos_emit[q_zero, :] = np.nan
         qcu6 = u6(qcos)
         out_q, out_n, out_c = [], [], []
         nid = cpdf["neighbor_id"].to_numpy()
@@ -953,13 +969,15 @@ def cosine_topk_nsw(
                 reached |= nxt
                 frontier = nxt
             idx = np.flatnonzero(reached)
-            cos = qcos[qi, idx]
+            cos = qcos_emit[qi, idx]
             # local top-k trim (cos desc, id asc) — ids ascend with
-            # idx, so stable argsort keeps the tie-break
+            # idx, so stable argsort keeps the tie-break; NaN (the
+            # NULL-to-be) sorts last under argsort, matching the
+            # global window's NULLs-last
             keep = idx[np.argsort(-cos, kind="stable")[:k]]
             out_q.extend([qpdf["query_id"].iloc[qi]] * len(keep))
             out_n.extend(nid[keep])
-            out_c.extend(qcos[qi, keep])
+            out_c.extend(qcos_emit[qi, keep])
         return pd.DataFrame(
             {"query_id": out_q, "neighbor_id": out_n, "cos": out_c}
         )
@@ -2276,21 +2294,11 @@ def _ivf_adc_topk(
         ArrayType, IntegerType, LongType, StructField, StructType,
     )
 
-    # coarse quantizer: same seeded-sample discipline (and therefore
-    # the same SQL twin shape) as cosine_topk_ivf
-    cent_rows = (
-        candidates.select(id_col, vec_col)
-        .orderBy(
-            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))),
-            F.col(id_col),
-        )
-        .limit(n_cells)
-        .collect()
+    # coarse quantizer: the shared seeded-sample discipline (and
+    # therefore the same SQL twin shape) as cosine_topk_ivf
+    cents = _seeded_centroid_matrix(
+        candidates, n_cells, id_col, vec_col, seed
     )
-    cents = np.array([r[1] for r in cent_rows], dtype=np.float64)
-    cnorms = np.linalg.norm(cents, axis=1, keepdims=True)
-    cnorms[cnorms == 0] = 1.0
-    cents = cents / cnorms
     n_sub, _, dsub = codebooks.shape
 
     id_type = candidates.schema[id_col].dataType
@@ -2332,31 +2340,8 @@ def _ivf_adc_topk(
         corpus_kernel, corpus_schema
     )
 
-    q_schema = StructType([
-        StructField("query_id", queries.schema[id_col].dataType),
-        StructField("qv", queries.schema[vec_col].dataType),
-        StructField("cell", LongType()),
-    ])
-
-    def probe_kernel(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
-            norms = np.linalg.norm(mat, axis=1, keepdims=True)
-            norms[norms == 0] = 1.0
-            sims = (mat / norms) @ cents.T
-            top = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
-            n = len(pdf)
-            idx = np.repeat(np.arange(n), n_probe)
-            yield pd.DataFrame({
-                "query_id": pdf[id_col].to_numpy()[idx],
-                "qv": pdf[vec_col].iloc[idx].to_numpy(),
-                "cell": top.reshape(-1).astype(np.int64),
-            })
-
-    qprobe = queries.select(id_col, vec_col).mapInPandas(
-        probe_kernel, q_schema
+    qprobe = _probe_assign(
+        queries, cents, "query_id", "qv", n_probe, id_col, vec_col
     )
     # probe join on cell: the code table never shuffles (broadcast
     # queries), and a corpus vector lives in exactly ONE cell so no

@@ -2670,3 +2670,31 @@ def test_priority_weighted_sample_properties(spark, sf_dir):
     mean_all = sum(r["n_chars"] for r in docs) / len(docs)
     mean_kept = sum(r["n_chars"] for r in got) / len(got)
     assert mean_kept > mean_all  # weight = length must shift the sample
+
+
+def test_ann_probe_count_exceeding_corpus_degrades_not_crashes(spark):
+    """n_probe / n_cells larger than the corpus must clamp to probing
+    every existing cell (the review-caught frame-length crash class in
+    the shared _probe_assign), and a zero-norm vector sampled into the
+    coarse quantizer must not NaN-poison assignments."""
+    from google_sheets_etl_spark.operators import similarity as sim
+
+    rows = [(i, [float(i + 1), 1.0, 0.0, 2.0]) for i in range(3)]
+    rows.append((99, [0.0, 0.0, 0.0, 0.0]))  # zero-norm corpus vector
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id") == 0)
+    c = emb.filter(F.col("vec_id") > 0)
+
+    got = sim.cosine_topk_ivf(q, c, k=3, n_centroids=16, n_probe=8).collect()
+    assert len(got) == 3
+    got_nsw = sim.cosine_topk_nsw(
+        q, c, k=4, n_cells=16, n_probe=8, m_neighbors=8, n_entries=8
+    ).collect()
+    # degenerate config == brute force: all three finite neighbors
+    # present, and the zero-norm vector (undefined angle) emits a
+    # NULL cosine ranked LAST — the brute-force/oracle contract
+    assert [r["neighbor_id"] for r in got_nsw][-1] == 99
+    assert got_nsw[-1]["cosine_r4"] is None
+    assert all(r["cosine_r4"] is not None for r in got_nsw[:-1])
+    exact = sim.cosine_topk_bruteforce(q, c, k=4).collect()
+    assert sorted(tuple(r) for r in got_nsw) == sorted(tuple(r) for r in exact)
