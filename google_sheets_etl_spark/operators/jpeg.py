@@ -452,10 +452,30 @@ def parse_jpeg(payload: bytes) -> tuple[int, int, bytes]:
         raise ValueError("jpeg missing sof0")
     if entropy_start is None:
         raise ValueError("jpeg missing scan data")
-    # locate EOI: entropy data runs to the final FFD9
-    end = payload.rfind(b"\xff\xd9")
-    if end < entropy_start:
-        raise ValueError("jpeg missing eoi")
+    # locate EOI by FORWARD scan: inside entropy-coded data FF is
+    # always followed by 00 (byte stuffing) or D0-D7 (restart), so the
+    # first other marker is the segment end and must be the EOI — and
+    # nothing may follow it. The earlier rfind(FFD9) silently accepted
+    # trailing garbage (unlike the PNG/GIF parsers' pinned rejections)
+    # and let junk containing FF D9 extend or truncate the entropy
+    # segment, making the admit/reject verdict a function of bytes
+    # AFTER the image.
+    end = None
+    p = entropy_start
+    while True:
+        p = payload.find(b"\xff", p)
+        if p < 0 or p + 1 >= len(payload):
+            raise ValueError("jpeg missing eoi")
+        nxt = payload[p + 1]
+        if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+            p += 2
+            continue
+        if nxt == 0xD9:
+            end = p
+            break
+        raise ValueError("unexpected marker in jpeg entropy stream")
+    if end + 2 != len(payload):
+        raise ValueError("trailing bytes after jpeg eoi")
     reader = _BitReader(payload[entropy_start:end])
     C = _dct_matrix()
     wb, hb = (w + 7) // 8, (h + 7) // 8

@@ -476,6 +476,40 @@ def encode_gif(
     return bytes(out)
 
 
+def _raster_luminance_features(
+    w: int, h: int, px, n_bins: int
+) -> list[float]:
+    """THE certified luminance-histogram contract, shared by every
+    raster codec (review finding: four verbatim copies): per pixel
+    ``lum = (r+g+b)//3``, bin ``lum·n_bins//256``, counts normalized
+    by pixel count. Numpy-vectorized; all-integer arithmetic, so it
+    is bit-identical to the scalar twin PpmCodec keeps as its
+    equivalence oracle."""
+    import numpy as np
+
+    arr = np.frombuffer(px, dtype=np.uint8).reshape(-1, 3)
+    lum = arr.astype(np.int64).sum(axis=1) // 3
+    counts = np.bincount(lum * n_bins // 256, minlength=n_bins)
+    total = w * h or 1
+    return (counts / float(total)).tolist()
+
+
+def _resample_raster(
+    w: int, h: int, px, width: int, height: int
+) -> bytes:
+    """THE nearest-neighbor resample rule shared by every raster
+    codec's resize: output pixel (x, y) reads source pixel
+    ``(x·w//width, y·h//height)`` — index-grid fancy-indexing,
+    bit-identical to the scalar rule. Returns raw RGB bytes; each
+    codec re-encodes in its own container."""
+    import numpy as np
+
+    arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
+    sy = (np.arange(height, dtype=np.int64) * h) // height
+    sx = (np.arange(width, dtype=np.int64) * w) // width
+    return arr[sy[:, None], sx[None, :]].tobytes()
+
+
 class PpmCodec(MediaCodec):
     """REAL image codec for binary PPM (P6) — pure Python, zero
     libraries, so real pixel arithmetic runs and is oracle-able in
@@ -513,31 +547,13 @@ class PpmCodec(MediaCodec):
         return w, h, raster
 
     def image_features(self, payload: bytes, n_bins: int) -> list[float]:
-        # numpy-vectorized (round-5 verdict directive #3): one
-        # frombuffer + vectorized luminance + bincount, like the WAV
-        # sibling — the scalar per-pixel loop was ~50-100x slower on
-        # megapixel payloads. Bit-identical: all-integer arithmetic,
-        # same (r+g+b)//3 and lum*n_bins//256 binning.
-        import numpy as np
-
-        w, h, px = self.parse(payload)
-        arr = np.frombuffer(px, dtype=np.uint8).reshape(-1, 3)
-        lum = arr.astype(np.int64).sum(axis=1) // 3
-        counts = np.bincount(lum * n_bins // 256, minlength=n_bins)
-        total = w * h or 1
-        return (counts / float(total)).tolist()
+        return _raster_luminance_features(*self.parse(payload), n_bins)
 
     def resize(self, payload: bytes, width: int, height: int) -> bytes:
-        # index-grid nearest-neighbor fancy-indexing — bit-identical
-        # to the scalar (x*w//out_w, y*h//out_h) source-pixel rule
-        import numpy as np
-
         w, h, px = self.parse(payload)
-        arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
-        sy = (np.arange(height, dtype=np.int64) * h) // height
-        sx = (np.arange(width, dtype=np.int64) * w) // width
-        out_px = arr[sy[:, None], sx[None, :]]
-        return b"P6\n%d %d\n255\n" % (width, height) + out_px.tobytes()
+        return b"P6\n%d %d\n255\n" % (width, height) + _resample_raster(
+            w, h, px, width, height
+        )
 
     # scalar formulations kept as the equivalence oracle for the
     # vectorized kernels above (tests assert bit-identity on random
@@ -765,24 +781,12 @@ class PngCodec(MediaCodec):
         return parse_png(payload)
 
     def image_features(self, payload: bytes, n_bins: int) -> list[float]:
-        import numpy as np
-
-        w, h, px = parse_png(payload)
-        arr = np.frombuffer(px, dtype=np.uint8).reshape(-1, 3)
-        lum = arr.astype(np.int64).sum(axis=1) // 3
-        counts = np.bincount(lum * n_bins // 256, minlength=n_bins)
-        total = w * h or 1
-        return (counts / float(total)).tolist()
+        return _raster_luminance_features(*parse_png(payload), n_bins)
 
     def resize(self, payload: bytes, width: int, height: int) -> bytes:
-        import numpy as np
-
         w, h, px = parse_png(payload)
-        arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
-        sy = (np.arange(height, dtype=np.int64) * h) // height
-        sx = (np.arange(width, dtype=np.int64) * w) // width
         return encode_png(
-            width, height, arr[sy[:, None], sx[None, :]].tobytes()
+            width, height, _resample_raster(w, h, px, width, height)
         )
 
 
@@ -802,26 +806,14 @@ class JpegCodec(MediaCodec):
         return _jpeg.parse_jpeg(payload)
 
     def image_features(self, payload: bytes, n_bins: int) -> list[float]:
-        import numpy as np
-
-        w, h, px = self.parse(payload)
-        arr = np.frombuffer(px, dtype=np.uint8).reshape(-1, 3)
-        lum = arr.astype(np.int64).sum(axis=1) // 3
-        counts = np.bincount(lum * n_bins // 256, minlength=n_bins)
-        total = w * h or 1
-        return (counts / float(total)).tolist()
+        return _raster_luminance_features(*self.parse(payload), n_bins)
 
     def resize(self, payload: bytes, width: int, height: int) -> bytes:
-        import numpy as np
-
         from . import jpeg as _jpeg
 
         w, h, px = self.parse(payload)
-        arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
-        sy = (np.arange(height, dtype=np.int64) * h) // height
-        sx = (np.arange(width, dtype=np.int64) * w) // width
         return _jpeg.encode_jpeg(
-            width, height, arr[sy[:, None], sx[None, :]].tobytes()
+            width, height, _resample_raster(w, h, px, width, height)
         )
 
 
@@ -839,14 +831,7 @@ class GifCodec(MediaCodec):
         return parse_gif(payload)
 
     def image_features(self, payload: bytes, n_bins: int) -> list[float]:
-        import numpy as np
-
-        w, h, px = parse_gif(payload)
-        arr = np.frombuffer(px, dtype=np.uint8).reshape(-1, 3)
-        lum = arr.astype(np.int64).sum(axis=1) // 3
-        counts = np.bincount(lum * n_bins // 256, minlength=n_bins)
-        total = w * h or 1
-        return (counts / float(total)).tolist()
+        return _raster_luminance_features(*parse_gif(payload), n_bins)
 
     def resize(self, payload: bytes, width: int, height: int) -> bytes:
         import numpy as np
@@ -861,22 +846,52 @@ class GifCodec(MediaCodec):
         return encode_gif(width, height, out, palette)
 
 
+def sniff_format(payload: bytes) -> str | None:
+    """THE magic-byte classifier — the single definition every
+    dispatch surface consults (:func:`decode_image`,
+    :class:`SniffCodec`, :func:`payload_decode_audit`,
+    :func:`parse_video_frames`). The review-caught hazard this
+    removes: the sniff used to be written out four times, so a new
+    format (or a prefix tweak) wired into the decode path but missed
+    in the audit made the reject channel silently disagree with the
+    kernels it audits."""
+    if payload[:2] == b"P6":
+        return "ppm"
+    if payload[:8] == PNG_SIG:
+        return "png"
+    if payload[:2] == b"\xff\xd8":
+        return "jpeg"
+    if payload[:6] in GIF_SIGS:
+        return "gif"
+    if payload[:4] == b"RIFF":
+        return "wav"
+    return None
+
+
+def _parse_jpeg(payload: bytes) -> tuple[int, int, bytes]:
+    from . import jpeg as _jpeg
+
+    return _jpeg.parse_jpeg(payload)
+
+
+#: strict image parsers by sniffed format — decode_image's table.
+_IMAGE_PARSERS = {
+    "ppm": lambda b: PpmCodec.parse(b),
+    "png": parse_png,
+    "jpeg": _parse_jpeg,
+    "gif": parse_gif,
+}
+
+
 def decode_image(payload: bytes) -> tuple[int, int, bytes]:
     """THE image-decode dispatch for raster kernels: magic-byte sniff
     → the matching strict parser → (w, h, raw RGB bytes). One
     definition so dHash / luminance / near-dup / cluster kernels all
     gain a format the moment its parser registers here."""
-    if payload[:2] == b"P6":
-        return PpmCodec.parse(payload)
-    if payload[:8] == PNG_SIG:
-        return parse_png(payload)
-    if payload[:2] == b"\xff\xd8":
-        from . import jpeg as _jpeg
-
-        return _jpeg.parse_jpeg(payload)
-    if payload[:6] in GIF_SIGS:
-        return parse_gif(payload)
-    raise ValueError("unsupported payload format")
+    parser = _IMAGE_PARSERS.get(sniff_format(payload))
+    if parser is None:
+        raise ValueError("unsupported payload format")
+    return parser(payload)
 
 
 def parse_video_frames(payload: bytes) -> list[tuple[int, int, bytes]]:
@@ -886,9 +901,10 @@ def parse_video_frames(payload: bytes) -> list[tuple[int, int, bytes]]:
     uncompressed interchange raster), so every image operator
     composes over frames of EITHER container unchanged — the same
     composition contract :func:`video_frame_extract` documents."""
-    if payload[:2] == b"P6":
+    fmt = sniff_format(payload)
+    if fmt == "ppm":
         return parse_ppm_frames(payload)
-    if payload[:6] in GIF_SIGS:
+    if fmt == "gif":
         w, h, frames, palette = parse_gif_indexed(payload)
         head = b"P6\n%d %d\n255\n" % (w, h)
         return [
@@ -923,15 +939,12 @@ class SniffCodec(MediaCodec):
         self._fallback = fallback
 
     def _pick(self, payload: bytes) -> MediaCodec | None:
-        if payload[:2] == b"P6":
-            return self._ppm
-        if payload[:8] == PNG_SIG:
-            return self._png
-        if payload[:2] == b"\xff\xd8":
-            return self._jpeg
-        if payload[:6] in GIF_SIGS:
-            return self._gif
-        return None
+        return {
+            "ppm": self._ppm,
+            "png": self._png,
+            "jpeg": self._jpeg,
+            "gif": self._gif,
+        }.get(sniff_format(payload))
 
     def image_features(self, payload: bytes, n_bins: int) -> list[float]:
         real = self._pick(payload)
@@ -1420,6 +1433,7 @@ def dhash_near_dup_pairs(
     hashes: DataFrame,
     max_dist: int = 6,
     id_col: str = "media_id",
+    hash_col: str = "dhash",
 ) -> DataFrame:
     """Image near-dup pairs by dHash hamming distance ≤ ``max_dist``,
     via the banded hamming-LSH join: the 16-hex hash splits into 8
@@ -1429,7 +1443,10 @@ def dhash_near_dup_pairs(
     ``max_dist ≤ 7`` and the exact per-band popcount verify keeps
     precision exact: output EQUALS the all-pairs relation while the
     join work is candidate-bounded, never n². Returns
-    ``(id_a, id_b, hamming)`` with id_a < id_b."""
+    ``(id_a, id_b, hamming)`` with id_a < id_b. ``hash_col`` names
+    the 16-hex fingerprint column — "dhash" by default,
+    ``hash_col="whash"`` consumes :func:`image_whash`'s spectral
+    family through the identical banded join."""
     if not (0 <= max_dist <= 7):
         raise ValueError(
             "max_dist must be in [0, 7]: 8 bands guarantee recall only "
@@ -1437,13 +1454,13 @@ def dhash_near_dup_pairs(
         )
     bands = hashes.select(
         F.col(id_col).alias("_id"),
-        "dhash",
+        F.col(hash_col).alias("_h"),
         F.explode(F.sequence(F.lit(0), F.lit(7))).alias("band"),
     ).select(
         "_id",
-        "dhash",
+        "_h",
         "band",
-        F.substring("dhash", F.col("band") * 2 + 1, 2).alias("bv"),
+        F.substring("_h", F.col("band") * 2 + 1, 2).alias("bv"),
     )
     cand = (
         bands.alias("a")
@@ -1456,8 +1473,8 @@ def dhash_near_dup_pairs(
         .select(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
-            F.col("a.dhash").alias("ha"),
-            F.col("b.dhash").alias("hb"),
+            F.col("a._h").alias("ha"),
+            F.col("b._h").alias("hb"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
@@ -1729,40 +1746,45 @@ def payload_decode_audit(
         StructField("err", StringType()),
     ])
 
+    def _audit_ppm(b: bytes) -> None:
+        w, h, _ = PpmCodec.parse(b)
+        _, _, start = _p6_header(b, 0)
+        # payload extends past the first frame → it is a
+        # concatenated-P6 VIDEO container: walk ALL frames
+        # (pinned truncation / trailing-garbage messages) and
+        # apply the strictest consumer's contract —
+        # video_frame_deltas per-row-rejects a mid-video
+        # dimension change, so the audit must surface it.
+        # Single-frame images never enter this branch, so
+        # their verdicts (and pinned messages) are unchanged.
+        if len(b) > start + w * h * 3:
+            frames = parse_ppm_frames(b)
+            if any(f[:2] != frames[0][:2] for f in frames[1:]):
+                raise ValueError("frame dimensions changed mid-video")
+
+    # strict parse-only entry per sniffable format: the audit walks
+    # the SAME recognizer (sniff_format) as the decode dispatch, so a
+    # format added there without an audit entry fails loudly at the
+    # KeyError below instead of silently reporting 'unsupported'
+    # while the kernels decode it. GIF audits via the indexed parse
+    # (all frames, full strict walk).
+    strict = {
+        "ppm": _audit_ppm,
+        "png": parse_png,
+        "jpeg": _parse_jpeg,
+        "gif": parse_gif_indexed,
+        "wav": parse_wav_pcm16,
+    }
+
     def verdict(payload) -> tuple[bool, str]:
         if payload is None:
             return False, "null payload"
         b = bytes(payload)
+        fmt = sniff_format(b)
+        if fmt is None:
+            return False, "unsupported payload format"
         try:
-            if b[:2] == b"P6":
-                w, h, _ = PpmCodec.parse(b)
-                _, _, start = _p6_header(b, 0)
-                # payload extends past the first frame → it is a
-                # concatenated-P6 VIDEO container: walk ALL frames
-                # (pinned truncation / trailing-garbage messages) and
-                # apply the strictest consumer's contract —
-                # video_frame_deltas per-row-rejects a mid-video
-                # dimension change, so the audit must surface it.
-                # Single-frame images never enter this branch, so
-                # their verdicts (and pinned messages) are unchanged.
-                if len(b) > start + w * h * 3:
-                    frames = parse_ppm_frames(b)
-                    if any(f[:2] != frames[0][:2] for f in frames[1:]):
-                        return False, (
-                            "frame dimensions changed mid-video"
-                        )
-            elif b[:8] == PNG_SIG:
-                parse_png(b)
-            elif b[:2] == b"\xff\xd8":
-                from . import jpeg as _jpeg
-
-                _jpeg.parse_jpeg(b)
-            elif b[:6] in GIF_SIGS:
-                parse_gif_indexed(b)  # all frames, full strict walk
-            elif b[:4] == b"RIFF":
-                parse_wav_pcm16(b)
-            else:
-                return False, "unsupported payload format"
+            strict[fmt](b)
         except ValueError as exc:
             return False, str(exc)
         return True, ""

@@ -62,7 +62,12 @@ def scd2_apply(
         *[F.col(a).alias(f"_u_{a}") for a in attrs],
         F.col(ts_col).alias("_u_ts"),
     )
-    joined = cur.join(F.broadcast(u), key, "left")
+    # persisted: the out-of-order guard action below doubles as the
+    # materialization, so the cur-join-updates broadcast join is
+    # evaluated ONCE instead of once for the guard and once per output
+    # branch (kept/closed/opened); cache entry is released by the
+    # caller's clearCache, the bench/driver-loop convention
+    joined = cur.join(F.broadcast(u), key, "left").persist()
     same = reduce(
         lambda a, b: a & b,
         [F.col(c).eqNullSafe(F.col(f"_u_{c}")) for c in attrs],

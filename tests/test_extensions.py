@@ -2698,3 +2698,45 @@ def test_ann_probe_count_exceeding_corpus_degrades_not_crashes(spark):
     assert all(r["cosine_r4"] is not None for r in got_nsw[:-1])
     exact = sim.cosine_topk_bruteforce(q, c, k=4).collect()
     assert sorted(tuple(r) for r in got_nsw) == sorted(tuple(r) for r in exact)
+
+
+def test_whash_composes_through_banded_near_dup(spark):
+    """The docstring-advertised composition: image_whash's spectral
+    hashes flow through dhash_near_dup_pairs via hash_col="whash"
+    (review finding: the column name previously failed to resolve).
+    Planted brightness-shifted re-encodes must pair at hamming 0."""
+    from google_sheets_etl_spark.operators import multimodal as mm
+
+    w, h = 16, 16
+    base = b"".join(
+        bytes([(x * 16 + y * 3) % 200] * 3) for y in range(h) for x in range(w)
+    )
+    shifted = bytes(min(255, b + 30) for b in base)
+    head = f"P6\n{w} {h}\n255\n".encode()
+    media = spark.createDataFrame(
+        [(1, "image", head + base, None), (2, "image", head + shifted, None)],
+        mm.MEDIA_SCHEMA,
+    )
+    pairs = mm.dhash_near_dup_pairs(
+        mm.image_whash(media), max_dist=0, hash_col="whash"
+    ).collect()
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in pairs] == [(1, 2, 0)]
+
+
+def test_jpeg_trailing_bytes_rejected_like_png_gif():
+    """Review finding: rfind(FFD9) accepted trailing garbage and let
+    junk containing FF D9 move the entropy segment end. The forward
+    scan pins both: junk after EOI is a reject regardless of content,
+    and the verdict no longer depends on bytes after the image."""
+    import pytest
+
+    from google_sheets_etl_spark.operators.jpeg import encode_jpeg, parse_jpeg
+
+    good = encode_jpeg(8, 8, bytes((3 * k) % 256 for k in range(192)))
+    w, h, raster = parse_jpeg(good)
+    assert (w, h, len(raster)) == (8, 8, 192)
+    for junk in (b"x", b"\xff\xd9", b"\x00" * 5 + b"\xff\xd9"):
+        with pytest.raises(ValueError, match="trailing bytes after jpeg eoi"):
+            parse_jpeg(good + junk)
+    with pytest.raises(ValueError, match="jpeg missing eoi"):
+        parse_jpeg(good[:-2])
