@@ -108,6 +108,11 @@ class TargetTable:
                         base = existing.agg(
                             F.coalesce(F.max(ROWID_COL), F.lit(0))
                         ).first()[0]
+            # single-partition window is deliberate and BOUNDED: the
+            # frame is one load batch — one spreadsheet's rows (the
+            # Sheets product caps a file at ~10M cells), never the
+            # accumulated table — and _rowid must be a gapless
+            # sequential allocation over exactly that batch
             w = Window.orderBy(PARTITION_COL, "_origin_row")
             data = data.withColumn(
                 ROWID_COL, (F.lit(int(base)) + F.row_number().over(w)).cast("long")
