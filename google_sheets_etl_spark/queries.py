@@ -9564,9 +9564,7 @@ def training_prep_pipeline_e2e(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@q(
-    "scd2_dimension_versions",
-    """WITH c AS (SELECT c_custkey AS custkey, c_mktsegment AS seg
+_SCD2_DIM_SQL = """c AS (SELECT c_custkey AS custkey, c_mktsegment AS seg
                   FROM customer),
        base AS (
          SELECT custkey, seg AS segment, CAST(0 AS BIGINT) AS valid_from_us,
@@ -9588,9 +9586,15 @@ def training_prep_pipeline_e2e(spark: SparkSession, sf: str) -> DataFrame:
          SELECT custkey + 100000 AS custkey, 'FRESH' AS segment,
                 CAST(2000000 AS BIGINT) AS valid_from_us,
                 CAST(253402300799000000 AS BIGINT) AS valid_to_us
-         FROM c WHERE custkey % 6 = 0)
-       SELECT * FROM base UNION ALL SELECT * FROM v1
-       UNION ALL SELECT * FROM v2 UNION ALL SELECT * FROM fresh""",
+         FROM c WHERE custkey % 6 = 0),
+       dim AS (
+         SELECT * FROM base UNION ALL SELECT * FROM v1
+         UNION ALL SELECT * FROM v2 UNION ALL SELECT * FROM fresh)"""
+
+
+@q(
+    "scd2_dimension_versions",
+    f"WITH {_SCD2_DIM_SQL} SELECT * FROM dim",
 )
 def scd2_dimension_versions(spark: SparkSession, sf: str) -> DataFrame:
     """SLOWLY-CHANGING DIMENSION Type 2 (plans/scd.py scd2_apply):
@@ -9605,6 +9609,13 @@ def scd2_dimension_versions(spark: SparkSession, sf: str) -> DataFrame:
     reconstructs the full version history per residue class from the
     fixture formula. One broadcast join per batch against only the
     CURRENT rows; history is never rewritten."""
+    return _scd2_demo_dim(spark, sf)
+
+
+def _scd2_demo_dim(spark: SparkSession, sf: str) -> DataFrame:
+    """The two-batch SCD2 demo dimension shared by the version-history
+    and as-was-join rows (its literal version history is
+    ``_SCD2_DIM_SQL`` in both oracles)."""
     from .plans.scd import OPEN_END_US, scd2_apply
 
     c = t(spark, sf, "customer").select(
@@ -9637,6 +9648,49 @@ def scd2_dimension_versions(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return scd2_apply(dim, b2, "custkey", ["segment"])
+
+
+@q(
+    "scd2_asof_join",
+    f"""WITH {_SCD2_DIM_SQL},
+       probes AS (
+         SELECT c_custkey AS custkey,
+                unnest([CAST(500000 AS BIGINT), 1500000, 2500000]) AS ts_us
+         FROM customer)
+       SELECT p.custkey, p.ts_us, d.segment
+       FROM probes p JOIN dim d
+         ON d.custkey = p.custkey
+        AND p.ts_us >= d.valid_from_us AND p.ts_us < d.valid_to_us""",
+)
+def scd2_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    """The READ side of SCD2 — the as-was fact enrichment the whole
+    versioning exercise exists for: each fact timestamp joins the
+    dimension version whose validity interval contains it
+    (HALF-OPEN ``from <= ts < to``: scd2_apply closes a version at
+    the update's exact timestamp and opens the successor at the same
+    instant, so BETWEEN would double-match on the boundary). Probes
+    at t=0.5s/1.5s/2.5s land before, between, and after the two
+    update batches, exercising original/MOVED1/MOVED2 per residue
+    class. Scale shape: the version table is dimension-sized, so the
+    fact stream broadcast-probes it and never shuffles — the
+    standard fact-to-SCD2 join plan."""
+    dim = _scd2_demo_dim(spark, sf)
+    probes = t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.explode(
+            F.array(
+                F.lit(500_000).cast("long"),
+                F.lit(1_500_000).cast("long"),
+                F.lit(2_500_000).cast("long"),
+            )
+        ).alias("ts_us"),
+    )
+    return probes.join(
+        F.broadcast(dim),
+        (probes.custkey == dim.custkey)
+        & (probes.ts_us >= dim.valid_from_us)
+        & (probes.ts_us < dim.valid_to_us),
+    ).select(probes.custkey, probes.ts_us, dim.segment)
 
 
 @q(
