@@ -1116,6 +1116,92 @@ def bigram_lm_bits(
     return bigram_lm_score(docs, model, text_col, id_col)
 
 
+def kn_bigram_lm_bits(
+    docs: DataFrame,
+    train: DataFrame,
+    discount: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Interpolated KNESER-NEY bigram scoring — the smoothing real LM
+    filters actually ship (KenLM, the model CCNet trains, is modified
+    KN; :func:`bigram_lm_bits`' add-k is the transparent baseline):
+
+        P(w2|w1) = max(c(w1,w2) − D, 0)/c(w1)
+                   + D·N1+(w1,·)/c(w1) · P_cont(w2)
+
+    with absolute discount D = 0.75 (Ney/Kneser's canonical value —
+    exactly representable in binary, so no literal noise) and the
+    CONTINUATION probability P_cont(w2) ∝ how many distinct contexts
+    w2 follows — the insight that separates KN from add-k: "Francisco"
+    is frequent but follows only "San", so its unigram backoff weight
+    should be tiny. P_cont is add-0.5 smoothed over the train vocab
+    (``(N1+(·,w2) + 0.5)/(T + 0.5·V)``, T = distinct bigram types) so
+    unseen events keep positive mass; an unseen context w1 backs off
+    to P_cont entirely.
+
+    Exactness: every model quantity is an exact integer count (c2,
+    c1, follow-type and precede-type counts, T, V); the probability
+    expression is written with the IDENTICAL operation order in both
+    engines, and each bigram's −log2 p rounds HALF-UP to integer
+    micro-units before the per-document sum (the bigram_lm_bits /
+    PQ discipline), so doc aggregates are exact integer arithmetic.
+
+    Scale shape: model tables are vocab-bounded (≤T bigram rows) and
+    BROADCAST; scoring is three broadcast joins on the corpus bigram
+    stream + one uniform doc-key aggregate — the corpus never
+    shuffles until that final groupBy. Returns
+    ``(id, n_bigrams, bits_per_bigram_kn)``; <2-token docs carry no
+    bigram evidence and are excluded (the bigram_lm_bits contract)."""
+    c2 = (
+        _bigram_pairs(train, text_col)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("_c2"))
+        .localCheckpoint(eager=True)
+    )
+    c1 = c2.groupBy("w1").agg(
+        F.sum("_c2").alias("_c1"),
+        F.count(F.lit(1)).alias("_nf"),   # N1+(w1, ·): follow types
+    ).localCheckpoint(eager=True)
+    right = c2.groupBy("w2").agg(
+        F.count(F.lit(1)).alias("_np"),   # N1+(·, w2): precede types
+    ).localCheckpoint(eager=True)
+    n_types = c2.count()
+    v = (
+        train.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .distinct()
+        .count()
+    )
+    d = float(discount)
+    pcont = (F.coalesce(F.col("_np"), F.lit(0)) + F.lit(0.5)) / F.lit(
+        n_types + 0.5 * v
+    )
+    p = F.when(F.col("_c1").isNull(), pcont).otherwise(
+        F.greatest(
+            F.coalesce(F.col("_c2"), F.lit(0)) - F.lit(d), F.lit(0.0)
+        ) / F.col("_c1")
+        + F.lit(d) * F.col("_nf") / F.col("_c1") * pcont
+    )
+    scored = (
+        _bigram_pairs(docs, text_col, [F.col(id_col)])
+        .join(F.broadcast(c2), ["w1", "w2"], "left")
+        .join(F.broadcast(c1), "w1", "left")
+        .join(F.broadcast(right), "w2", "left")
+        .select(
+            id_col,
+            F.floor(-F.log2(p) * F.lit(1e6) + F.lit(0.5))
+            .cast("long")
+            .alias("_nll_u6"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(
+            F.sum("_nll_u6") / F.lit(1e6) / F.count(F.lit(1)), 4
+        ).alias("bits_per_bigram_kn"),
+    )
+
+
 def _bigram_pairs(
     df: DataFrame, text_col: str, lead: list | None = None
 ) -> DataFrame:

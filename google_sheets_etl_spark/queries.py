@@ -8786,6 +8786,73 @@ def streaming_media_admission(spark: SparkSession, sf: str) -> DataFrame:
     return admitted.unionByName(dead)
 
 
+_KN_ORACLE = """
+WITH s AS (
+  SELECT doc_id, text,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS b
+  FROM documents),
+tr AS (SELECT text FROM s WHERE b < 98),
+trp AS (
+  SELECT w[i] AS w1, w[i + 1] AS w2
+  FROM (SELECT string_split(text, ' ') AS w FROM tr),
+       unnest(range(1, len(w))) AS t(i)),
+c2 AS (SELECT w1, w2, COUNT(*)::BIGINT AS c2 FROM trp GROUP BY w1, w2),
+c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1,
+              COUNT(*)::BIGINT AS nf
+       FROM c2 GROUP BY w1),
+rt AS (SELECT w2, COUNT(*)::BIGINT AS np FROM c2 GROUP BY w2),
+tv AS (SELECT COUNT(*)::BIGINT AS t FROM c2),
+v AS (SELECT COUNT(DISTINCT w)::BIGINT AS v
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM tr)),
+dp AS (
+  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       unnest(range(1, len(w))) AS t(i)),
+sc AS (
+  SELECT dp.doc_id,
+         CAST(floor(-log2(
+           CASE WHEN c1.c1 IS NULL
+             THEN (COALESCE(rt.np, 0) + CAST(0.5 AS DOUBLE))
+                  / (tv.t + CAST(0.5 AS DOUBLE) * v.v)
+             ELSE GREATEST(COALESCE(c2.c2, 0) - CAST(0.75 AS DOUBLE),
+                           CAST(0.0 AS DOUBLE)) / c1.c1
+                  + CAST(0.75 AS DOUBLE) * c1.nf / c1.c1
+                    * ((COALESCE(rt.np, 0) + CAST(0.5 AS DOUBLE))
+                       / (tv.t + CAST(0.5 AS DOUBLE) * v.v))
+           END) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+              AS BIGINT) AS nll
+  FROM dp LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1)
+          LEFT JOIN rt USING (w2)
+  CROSS JOIN tv CROSS JOIN v)
+SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams,
+       ROUND(SUM(nll) / CAST(1000000 AS DOUBLE) / COUNT(*), 4)
+         AS bits_per_bigram_kn
+FROM sc GROUP BY doc_id"""
+
+
+@q("kn_bigram_perplexity", _KN_ORACLE)
+def kn_bigram_perplexity(spark: SparkSession, sf: str) -> DataFrame:
+    """Interpolated KNESER-NEY perplexity scoring (operators/text.py
+    kn_bigram_lm_bits) — the smoothing the production LM filter
+    (KenLM, CCNet's choice) actually uses, next to
+    doc_perplexity_bits' transparent add-k baseline: absolute
+    discount D=0.75 with continuation-probability backoff (how many
+    distinct contexts a word FOLLOWS, not how often it occurs — the
+    'Francisco' correction). Every model quantity is an exact count;
+    the probability expression runs in the identical operation order
+    in both engines and each bigram's -log2 p rounds half-up to
+    integer micro-units before the per-doc sum. Model tables are
+    vocab-bounded broadcasts; the corpus shuffles only for the final
+    per-doc aggregate."""
+    docs = t(spark, sf, "documents")
+    train = (
+        sampling.hash_split(docs)
+        .filter(F.col("split") == "train")
+        .select("text")
+    )
+    return text_ops.kn_bigram_lm_bits(docs, train)
+
+
 @q("doc_perplexity_bits", _PPL_ORACLE)
 def doc_perplexity_bits(spark: SparkSession, sf: str) -> DataFrame:
     """CCNet-style perplexity filtering (operators/text.py

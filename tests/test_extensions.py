@@ -2740,3 +2740,29 @@ def test_jpeg_trailing_bytes_rejected_like_png_gif():
             parse_jpeg(good + junk)
     with pytest.raises(ValueError, match="jpeg missing eoi"):
         parse_jpeg(good[:-2])
+
+
+def test_kn_bigram_continuation_backoff(spark):
+    """The Kneser-Ney point: backoff mass follows CONTEXT DIVERSITY,
+    not raw frequency. 'francisco' appears 50x but only ever after
+    'san', so under an unseen context it gets exactly the backoff
+    mass of a once-seen single-context word — while the strong seen
+    bigram stays cheap."""
+    from google_sheets_etl_spark.operators.text import kn_bigram_lm_bits
+
+    train_rows = [("san francisco",)] * 50 + [("the cat",)]
+    train = spark.createDataFrame(train_rows, "text string")
+    docs = spark.createDataFrame(
+        [(1, "zzz francisco"), (2, "zzz cat"), (3, "san francisco")],
+        "doc_id long, text string",
+    )
+    bits = {
+        r["doc_id"]: r["bits_per_bigram_kn"]
+        for r in kn_bigram_lm_bits(docs, train).collect()
+    }
+    # unseen context 'zzz': both words back off to P_cont, and both
+    # follow exactly ONE distinct context — 50 occurrences of
+    # 'francisco' buy it nothing (the correction add-k cannot make)
+    assert bits[1] == bits[2]
+    # the strong seen bigram is far cheaper than any backoff
+    assert bits[3] < bits[1] - 1.0
