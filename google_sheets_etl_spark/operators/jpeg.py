@@ -470,6 +470,9 @@ def parse_jpeg(payload: bytes) -> tuple[int, int, bytes]:
         if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
             p += 2
             continue
+        if nxt == 0xFF:  # fill byte (B.1.1.2) — realign, like the
+            p += 1       # pre-SOS marker walker above
+            continue
         if nxt == 0xD9:
             end = p
             break

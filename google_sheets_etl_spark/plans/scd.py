@@ -65,8 +65,13 @@ def scd2_apply(
     # persisted: the out-of-order guard action below doubles as the
     # materialization, so the cur-join-updates broadcast join is
     # evaluated ONCE instead of once for the guard and once per output
-    # branch (kept/closed/opened); cache entry is released by the
-    # caller's clearCache, the bench/driver-loop convention
+    # branch (kept/closed/opened). Lifecycle contract: a guard raise
+    # unpersists before propagating (an unreachable handle could never
+    # be released); on success the returned plan reads the cached join,
+    # so a caller looping over many batches releases it by evaluating/
+    # writing the returned dimension and then clearCache (the repo-wide
+    # loop convention) — an unreleased entry is LRU-evictable, so it
+    # degrades, never breaks.
     joined = cur.join(F.broadcast(u), key, "left").persist()
     same = reduce(
         lambda a, b: a & b,
@@ -82,7 +87,13 @@ def scd2_apply(
     late = joined.filter(
         changed & (F.col("_u_ts") <= F.col("valid_from_us"))
     )
-    if late.head(1):
+    try:
+        has_late = bool(late.head(1))
+    except Exception:
+        joined.unpersist()
+        raise
+    if has_late:
+        joined.unpersist()
         raise ValueError(
             "scd2_apply: update timestamp <= the current version's "
             "valid_from_us — out-of-order batch; apply update batches "

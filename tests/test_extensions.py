@@ -2740,6 +2740,11 @@ def test_jpeg_trailing_bytes_rejected_like_png_gif():
             parse_jpeg(good + junk)
     with pytest.raises(ValueError, match="jpeg missing eoi"):
         parse_jpeg(good[:-2])
+    # spec-legal fill bytes (B.1.1.2) before the EOI must still parse
+    # (the strict scan realigns on FF FF exactly like the pre-SOS
+    # marker walker) — and the decoded pixels are unaffected
+    filled = good[:-2] + b"\xff\xff" + good[-2:]
+    assert parse_jpeg(filled) == (w, h, raster)
 
 
 def test_kn_bigram_continuation_backoff(spark):
