@@ -710,3 +710,34 @@ def test_tokenizer_vocab_topk_is_take_ordered(spark, sf_dir):
         plan = explain_str(builder())
         assert "TakeOrderedAndProject" in plan
         assert "row_number" not in plan
+
+
+def test_gapfill_window_is_key_partitioned(spark, sf_dir):
+    """The fill window must be partitioned by the series key — an
+    unpartitioned fill would funnel the whole grid through one task."""
+    for name in ("events_gapfill_locf", "events_gapfill_interpolate"):
+        plan = explain_str(QUERIES[name](spark, sf_dir))
+        specs = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+        assert specs, name
+        assert all("event_type" in l.split("windowspecdefinition")[1][:40]
+                   for l in specs), name
+
+
+def test_priority_sample_is_take_ordered_no_exchange(spark, sf_dir):
+    """Weighted top-k must plan as TakeOrderedAndProject over the bare
+    scan — a narrow map + partial top-k with NO shuffle anywhere."""
+    plan = explain_str(QUERIES["priority_weighted_sample"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+
+
+def test_scd2_asof_join_broadcasts_dimension(spark, sf_dir):
+    """Facts probe the broadcast version table with the half-open
+    range residual riding the equi-join — the fact side never
+    shuffles for the enrichment."""
+    plan = explain_str(QUERIES["scd2_asof_join"](spark, sf_dir))
+    assert "BroadcastHashJoin Inner" in plan
+    assert "valid_to_us" in plan and ">=" in plan
+    # no sort-merge join anywhere: every join in the plan (demo-dim
+    # build included) broadcasts its small side
+    assert "SortMergeJoin" not in plan
