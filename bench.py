@@ -96,14 +96,26 @@ def main() -> None:
             continue
         best = float("inf")
         try:
-            for _ in range(2):
+            # adaptive iteration count (round-9 drift root cause): some
+            # queries have a MULTI-iteration warm-up curve (Python
+            # worker fleet reuse + JIT), e.g. typed_profile_incremental
+            # at sf0.1 runs 13.2 → 6.0 → 3.9 → 3.7 → 3.2 s — a fixed
+            # min-of-2 reports the curve's SECOND point and looks like a
+            # +73% regression when nothing changed (the r7→r8 "drift").
+            # Keep iterating while the min is still improving by >12%,
+            # up to 4 iterations; stable queries still stop after 2.
+            for it in range(4):
                 start = time.perf_counter()
                 fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-                best = min(best, time.perf_counter() - start)
+                t = time.perf_counter() - start
                 # operators that persist() intermediates (LSH candidate
                 # reuse) would otherwise accumulate cache blocks across
                 # queries and distort later timings
                 spark.catalog.clearCache()
+                still_warming = t < best * 0.88
+                best = min(best, t)
+                if it >= 1 and not still_warming:
+                    break
             timings[name] = round(best, 3)
         except Exception as exc:  # noqa: BLE001 — survive any one query
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
@@ -126,7 +138,9 @@ def main() -> None:
     # artifacts drifted a UNIFORM ~1.5× from machine load alone; these
     # fields let a reader attribute cross-round drift to environment
     # vs plan without redoing that analysis.
-    env: dict = {"iterations_per_query": 2, "spark": spark.version}
+    env: dict = {"iterations_per_query": "2-4 adaptive (stop when min "
+                                          "stops improving >12%)",
+                 "spark": spark.version}
     try:
         env["loadavg_1m_5m_15m"] = [round(x, 2) for x in os.getloadavg()]
     except OSError:
