@@ -62,6 +62,12 @@ def pagerank(
     classic checkpoint-per-step cadence, or higher when iterations
     are cheap relative to job overhead).
     """
+    if materialize_every < 1:
+        raise ValueError(
+            "pagerank: materialize_every must be >= 1 (got "
+            f"{materialize_every}); 1 = checkpoint every iteration, "
+            "larger values amortize job-launch cost"
+        )
     n = nodes.select(F.col(node_col).alias("node"))
     # materialize the weighted edge list ONCE — the iteration loop
     # joins it n_iter times, and an expensive edge derivation (a kNN

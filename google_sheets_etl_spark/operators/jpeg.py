@@ -467,9 +467,16 @@ def parse_jpeg(payload: bytes) -> tuple[int, int, bytes]:
         if p < 0 or p + 1 >= len(payload):
             raise ValueError("jpeg missing eoi")
         nxt = payload[p + 1]
-        if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+        if nxt == 0x00:
             p += 2
             continue
+        if 0xD0 <= nxt <= 0xD7:
+            # restart markers are only legal after a DRI segment, and
+            # DRI is rejected above — reject here too, so an RST-bearing
+            # payload fails with THIS message instead of passing the
+            # scan and dying mid-decode with _BitReader's generic
+            # "unexpected marker" (round-9 advisory)
+            raise ValueError("jpeg restart intervals unsupported")
         if nxt == 0xFF:  # fill byte (B.1.1.2) — realign, like the
             p += 1       # pre-SOS marker walker above
             continue
@@ -479,6 +486,12 @@ def parse_jpeg(payload: bytes) -> tuple[int, int, bytes]:
         raise ValueError("unexpected marker in jpeg entropy stream")
     if end + 2 != len(payload):
         raise ValueError("trailing bytes after jpeg eoi")
+    # trailing fill bytes (FF FF ... D9) are marker padding, not entropy
+    # data — exclude them from the slice handed to _BitReader rather
+    # than relying on decode stopping at the last block (round-9
+    # advisory)
+    while end > entropy_start and payload[end - 1] == 0xFF:
+        end -= 1
     reader = _BitReader(payload[entropy_start:end])
     C = _dct_matrix()
     wb, hb = (w + 7) // 8, (h + 7) // 8

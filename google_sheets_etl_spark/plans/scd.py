@@ -26,7 +26,9 @@ the (much smaller, usually broadcastable) update batch, plus a union
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 from functools import reduce
+from typing import Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -48,7 +50,87 @@ def scd2_apply(
     rows: (key, attrs..., ts_col) — at most ONE update per key per
     batch (raise otherwise: intra-batch ordering is the caller's
     contract, exactly the upsert sink's rule). Returns the refreshed
-    dimension."""
+    dimension.
+
+    Cache lifecycle: NONE — this variant leaves no executor-storage
+    residue. The out-of-order guard evaluates the cur⋈updates
+    broadcast join once; the returned plan re-derives its branches
+    (each a narrow broadcast-join scan of ``cur``) on materialization.
+    For the evaluate-once cached variant use ``scd2_batch`` (scoped
+    context manager) or ``scd2_apply_batches`` (owned batch loop)."""
+    result, _ = _scd2_build(dim, updates, key, attrs, ts_col, cache=False)
+    return result
+
+
+@contextmanager
+def scd2_batch(
+    dim: DataFrame,
+    updates: DataFrame,
+    key: str,
+    attrs: list[str],
+    ts_col: str = "ts_us",
+) -> Iterator[DataFrame]:
+    """``scd2_apply`` with the cur⋈updates join cached for the scope
+    of the ``with`` block: the guard's evaluation is reused by every
+    output branch, and the cache entry is released on exit — the
+    context manager owns the lifecycle, no caller convention needed.
+
+    >>> with scd2_batch(dim, batch, "k", ["attr"]) as refreshed:
+    ...     refreshed.write.parquet(path)   # reads the cached join
+    """
+    result, joined = _scd2_build(dim, updates, key, attrs, ts_col,
+                                 cache=True)
+    try:
+        yield result
+    finally:
+        joined.unpersist()
+
+
+def scd2_apply_batches(
+    dim: DataFrame,
+    batches: list[DataFrame],
+    key: str,
+    attrs: list[str],
+    ts_col: str = "ts_us",
+) -> DataFrame:
+    """Apply update batches in (ascending-timestamp) order, owning the
+    whole cache lifecycle: each batch's cur⋈updates join is released
+    as soon as the refreshed dimension is materialized, and each
+    intermediate dimension is released when its successor lands — a
+    thousand-batch loop holds at most two cache entries at any moment.
+    Returns the final dimension PERSISTED and materialized (the one
+    documented handle, same contract as ``pagerank``); the caller
+    unpersists it after writing, or lets LRU eviction reclaim it."""
+    cur = dim
+    prev: DataFrame | None = None
+    for b in batches:
+        result, joined = _scd2_build(cur, b, key, attrs, ts_col,
+                                     cache=True)
+        try:
+            nxt = result.persist()
+            nxt.count()  # materialize THROUGH the cached join
+        finally:
+            joined.unpersist()
+        if prev is not None:
+            prev.unpersist()
+        prev = nxt
+        cur = nxt
+    return cur
+
+
+def _scd2_build(
+    dim: DataFrame,
+    updates: DataFrame,
+    key: str,
+    attrs: list[str],
+    ts_col: str,
+    cache: bool,
+) -> tuple[DataFrame, DataFrame]:
+    """Core plan builder. Returns ``(result, joined)``; with
+    ``cache=True`` the cur⋈updates join is persisted (guard evaluation
+    doubles as the materialization) and the CALLER owns the release —
+    a guard raise unpersists before propagating, since an unreachable
+    handle could never be released."""
     dup = updates.groupBy(key).count().filter(F.col("count") > 1)
     if dup.head(1):
         raise ValueError(
@@ -62,17 +144,9 @@ def scd2_apply(
         *[F.col(a).alias(f"_u_{a}") for a in attrs],
         F.col(ts_col).alias("_u_ts"),
     )
-    # persisted: the out-of-order guard action below doubles as the
-    # materialization, so the cur-join-updates broadcast join is
-    # evaluated ONCE instead of once for the guard and once per output
-    # branch (kept/closed/opened). Lifecycle contract: a guard raise
-    # unpersists before propagating (an unreachable handle could never
-    # be released); on success the returned plan reads the cached join,
-    # so a caller looping over many batches releases it by evaluating/
-    # writing the returned dimension and then clearCache (the repo-wide
-    # loop convention) — an unreleased entry is LRU-evictable, so it
-    # degrades, never breaks.
-    joined = cur.join(F.broadcast(u), key, "left").persist()
+    joined = cur.join(F.broadcast(u), key, "left")
+    if cache:
+        joined = joined.persist()
     same = reduce(
         lambda a, b: a & b,
         [F.col(c).eqNullSafe(F.col(f"_u_{c}")) for c in attrs],
@@ -118,6 +192,7 @@ def scd2_apply(
         F.col("_u_ts").alias("valid_from_us"),
         F.lit(OPEN_END_US).alias("valid_to_us"),
     ).select(*cur.columns)
-    return hist.unionByName(kept_cur).unionByName(closed).unionByName(
+    result = hist.unionByName(kept_cur).unionByName(closed).unionByName(
         opened
     ).unionByName(new_keys)
+    return result, joined

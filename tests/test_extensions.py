@@ -2621,6 +2621,13 @@ def test_pagerank_exact_integer_trajectory(spark):
         assert got == _pagerank_py(nodes, edges, iters)
     # node 4: nobody links to it -> the teleport floor exactly
     assert got[4] == ((100 - 85) * (10**12 // 4)) // 100
+    # round-9 advisory: materialize_every is validated at entry —
+    # 0 used to ZeroDivisionError at the modulo, negatives silently
+    # never materialized
+    import pytest
+    for bad in (0, -1):
+        with pytest.raises(ValueError, match="materialize_every"):
+            graph.pagerank(ndf, edf, n_iter=2, materialize_every=bad)
 
 
 def test_pagerank_partitioning_invariance(spark):
@@ -2745,6 +2752,13 @@ def test_jpeg_trailing_bytes_rejected_like_png_gif():
     # marker walker) — and the decoded pixels are unaffected
     filled = good[:-2] + b"\xff\xff" + good[-2:]
     assert parse_jpeg(filled) == (w, h, raster)
+    # round-9 advisory: RST markers (FF D0-D7) in entropy data are only
+    # legal after a DRI segment, and DRI is rejected — the EOI scan must
+    # reject them with the SAME message instead of letting the payload
+    # pass the scan and die mid-decode on a generic _BitReader error
+    rst = good[:-2] + b"\xff\xd3" + good[-2:]
+    with pytest.raises(ValueError, match="restart intervals unsupported"):
+        parse_jpeg(rst)
 
 
 def test_kn_bigram_continuation_backoff(spark):

@@ -665,6 +665,71 @@ def test_scd2_apply_contracts(spark):
         scd2_apply(out, boundary, "k", ["attr"])
 
 
+def _n_persistent_rdds(spark) -> int:
+    return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+
+def test_scd2_cache_lifecycle(spark):
+    """Round-9 advisory: the SCD2 plans OWN their cache lifecycle.
+    Plain scd2_apply leaves zero executor-storage residue; scd2_batch
+    caches the cur⋈updates join for the with-block and releases it on
+    exit; scd2_apply_batches returns the same dimension as chained
+    scd2_apply with at most one handle (the documented persisted
+    result) left standing."""
+    from google_sheets_etl_spark.plans.scd import (
+        OPEN_END_US,
+        scd2_apply,
+        scd2_apply_batches,
+        scd2_batch,
+    )
+
+    spark.catalog.clearCache()
+    base = _n_persistent_rdds(spark)
+    dim = spark.createDataFrame(
+        [(1, "A", 0, OPEN_END_US), (2, "B", 0, OPEN_END_US)],
+        "k long, attr string, valid_from_us long, valid_to_us long",
+    )
+    b1 = spark.createDataFrame(
+        [(1, "X", 10), (3, "C", 10)], "k long, attr string, ts_us long"
+    )
+    b2 = spark.createDataFrame(
+        [(2, "Y", 20)], "k long, attr string, ts_us long"
+    )
+
+    # plain apply: materialize the result, then assert no residue
+    out = scd2_apply(dim, b1, "k", ["attr"])
+    plain_rows = {tuple(r) for r in out.collect()}
+    assert _n_persistent_rdds(spark) == base
+
+    # scoped: cached INSIDE the block, released on exit
+    with scd2_batch(dim, b1, "k", ["attr"]) as scoped:
+        scoped_rows = {tuple(r) for r in scoped.collect()}
+        assert _n_persistent_rdds(spark) > base
+    assert scoped_rows == plain_rows
+    assert _n_persistent_rdds(spark) == base
+
+    # scoped guard raise still releases (no unreachable handle)
+    dup = spark.createDataFrame(
+        [(1, "P", 30), (1, "Q", 31)], "k long, attr string, ts_us long"
+    )
+    import pytest as _pt
+    with _pt.raises(ValueError, match="multiple updates"):
+        with scd2_batch(dim, dup, "k", ["attr"]):
+            pass  # pragma: no cover — guard raises before yield
+    assert _n_persistent_rdds(spark) == base
+
+    # batch loop: equals chained applies; only the documented final
+    # handle remains, and releasing it restores the baseline
+    chained = {tuple(r) for r in
+               scd2_apply(scd2_apply(dim, b1, "k", ["attr"]),
+                          b2, "k", ["attr"]).collect()}
+    looped_df = scd2_apply_batches(dim, [b1, b2], "k", ["attr"])
+    assert {tuple(r) for r in looped_df.collect()} == chained
+    assert _n_persistent_rdds(spark) == base + 1
+    looped_df.unpersist()
+    assert _n_persistent_rdds(spark) == base
+
+
 def test_matview_approx_distinct_merges_like_full(spark):
     """approx_distinct contract: merging per-load sketch summaries
     estimates the SAME value as one full-data sketch (union is
