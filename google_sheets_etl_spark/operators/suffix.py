@@ -1,0 +1,273 @@
+"""Variable-length EXACT substring dedup — the Lee et al. 2021
+("Deduplicating Training Data Makes Language Models Better",
+arXiv:2107.06499) training-data pass the ``span_dedup`` family only
+approximates: find every maximal span whose length-``min_len`` windows
+all occur elsewhere in the corpus, at any alignment, across documents.
+
+Reference parity note: the reference engine (PHP ETL, see
+``GoogleSheetsAgent.php``) has no text surface — this module is part
+of the training-data-pipeline extension set. ``cleaning.py:149``
+documents that ``span_dedup`` trades away "suffix-array cost" by
+fixing span boundaries; this module pays that cost, distributed.
+
+Algorithm — distributed prefix doubling with EXACT min-position
+labels (Manber-Myers doubling, the standard distributed
+suffix-structure construction, cf. Flick & Aluru SC'15 — re-expressed
+join/agg-style, and simplified by the observation that *duplicate
+detection needs equality classes, not lexicographic order*):
+
+- round 0: every corpus position labels itself with its next three
+  code points packed 21 bits apiece into one long (exact: a code
+  point is <= 0x10FFFF < 2^21) — two positions share a base label iff
+  their length-3 windows are equal; assembled with per-document
+  window leads, one shuffle, no joins;
+- round k→2k: a position's length-2k label is the EQUALITY CLASS of
+  the pair (label_k(pos), label_k(pos+k)), represented exactly by the
+  class's minimum ``(doc_id, pos)`` — deterministic, integer-exact,
+  partitioning-invariant, and collision-FREE (unlike any hash): by
+  induction two positions share a label iff their windows match
+  byte-for-byte;
+- a non-power-of-two target length L combines the two overlapping
+  2^a-windows that tile it (the suffix-array sparse-table trick):
+  label_L(pos) = class of (label_{2^a}(pos), label_{2^a}(pos+L-2^a));
+- positions whose length-L window class has >= min_count members are
+  duplicated; consecutive duplicated positions merge into maximal
+  spans per document (gaps-and-islands).
+
+Why fixed-L window marking equals "duplicated substring of length
+>= L": any substring of length M >= L occurring twice covers all its
+L-windows twice, so both occurrences are marked end to end and merge
+into one span; conversely every marked char sits inside some
+duplicated L-window. This is exactly the byte-range-removal semantics
+the Lee et al. pipeline applies (their suffix array also only feeds
+"which byte ranges are covered by a >=L duplicate").
+
+Scale shape (100 TB): the working set is ONE ROW PER CORPUS CHARACTER
+(~16-24 B packed columnar) and ceil(log2 L)+1 rounds, each round =
+one self-join on (doc_id, pos) + one partial-aggregated groupBy on
+the 4-long label pair + one join back (Catalyst reuses the groupBy
+exchange) — all uniform keys, no skew hot-spots (label classes shrink
+every round; the biggest base class is "most common 3-gram",
+which partial aggregation absorbs map-side). Positions advance to the
+next round only while their window still occurs >= min_count times,
+so the working set collapses to the near-duplicate regions within a
+few rounds. Lineage is CHECKPOINT-cut per round (see the function
+docstring for why persist alone exponentially explodes the plan), so
+the plan never deepens past one round. For token corpora run the same
+operator over per-TOKEN rows (ids from ``token_vocabulary``) — 5-10x
+fewer rows for the same dedup semantics (Lee et al. use 50 tokens);
+the operator is agnostic to what one "position" holds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+def duplicate_spans(
+    docs: DataFrame,
+    min_len: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+) -> DataFrame:
+    """Maximal duplicated spans (window length ``min_len``, >=
+    ``min_count`` occurrences corpus-wide) per document.
+
+    Returns ``(doc_id, span_start, span_end, span_len)`` with 1-based
+    INCLUSIVE character positions (``substr(text, span_start,
+    span_len)`` is the span), MATERIALIZED via checkpoint (lineage
+    truncated; span-table-sized, its blocks are reclaimed when the
+    DataFrame is garbage-collected) — every intermediate doubling
+    round's storage is released explicitly before return.
+
+    Checkpointing, not persist, is load-bearing here: each round
+    references its predecessor FOUR times (t twice in the self-join,
+    pairs twice in agg + join-back), so an uncut logical plan grows
+    ~4^round — by round 4, AQE's per-update ``explainString`` alone
+    OOMs a default driver. Rounds use the reliable ``checkpoint()``
+    when ``sparkContext.setCheckpointDir`` is configured (survives
+    executor loss — set it on a real cluster), else
+    ``localCheckpoint`` (executor-local blocks; an executor loss
+    fails the query and it must be rerun — the same trade GraphX
+    iterative jobs make)."""
+    if min_len < 2:
+        raise ValueError(f"duplicate_spans: min_len must be >= 2, got {min_len}")
+    if min_count < 2:
+        raise ValueError(
+            f"duplicate_spans: min_count must be >= 2, got {min_count}"
+        )
+
+    # one row per corpus character: (doc, pos 1-based, la, lb) where
+    # (la, lb) is the equality-class label of the window starting at
+    # pos, tagged la=-1 at the base (labels and positions share a
+    # value space otherwise). Base width: THREE code points packed
+    # 21 bits each into one long — exact for ALL of Unicode (a code
+    # point is <= 0x10FFFF < 2^21; ``split(text, '')`` yields
+    # code-point-grained chars, surrogate pairs intact, and ``ascii``
+    # returns the full code point — a 16-bit/4-unit pack would alias
+    # astral-plane chars with their low 16 bits). Assembled by
+    # per-document window leads: one shuffle on doc replaces the two
+    # widest-fanout doubling rounds, the ones where class pruning
+    # hasn't bitten yet because short grams are almost all above
+    # min_count. The per-doc window grain bounds a task by the
+    # longest document — the span_dedup family's documented contract.
+    # Positions without a full base window drop here, which seeds the
+    # inner-join induction below.
+    chars = docs.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(F.split(F.col(text_col), "")).alias("p0", "ch"),
+    ).select(
+        "doc",
+        (F.col("p0") + 1).cast("long").alias("pos"),
+        F.ascii("ch").cast("long").alias("u"),
+    )
+    # strictly greater: at min_len == 3 the packed base would BE the
+    # final width with zero class rounds, skipping the min_count
+    # filter entirely
+    base_width = 3 if min_len > 3 else 1
+    if base_width == 3:
+        wdoc = Window.partitionBy("doc").orderBy("pos")
+        base = (
+            chars.select(
+                "doc", "pos", "u",
+                F.lead("u", 1).over(wdoc).alias("_u1"),
+                F.lead("u", 2).over(wdoc).alias("_u2"),
+            )
+            .filter(F.col("_u2").isNotNull())
+            .select(
+                "doc", "pos",
+                F.lit(-1).cast("long").alias("la"),
+                (
+                    F.shiftleft(F.col("u"), 42)
+                    + F.shiftleft(F.col("_u1"), 21)
+                    + F.col("_u2")
+                ).alias("lb"),
+            )
+        )
+    else:
+        base = chars.select(
+            "doc", "pos",
+            F.lit(-1).cast("long").alias("la"),
+            F.col("u").alias("lb"),
+        )
+
+    sc = docs.sparkSession.sparkContext
+    jsc = sc._jsc.sc()
+    use_reliable = sc.getCheckpointDir() is not None
+
+    def _pids() -> set:
+        m = jsc.getPersistentRDDs()
+        it = m.keysIterator()
+        out = set()
+        while it.hasNext():
+            out.add(it.next())
+        return out
+
+    def _cut(df: DataFrame) -> tuple[DataFrame, set]:
+        """Materialize with TRUNCATED lineage; return (df, the block
+        ids this cut pinned) so a superseded round can be freed
+        deterministically (unpersist() is a no-op on checkpoint
+        blocks — they belong to the RDD, not the cache manager)."""
+        before = _pids()
+        cut = (df.checkpoint(eager=True) if use_reliable
+               else df.localCheckpoint(eager=True))
+        return cut, _pids() - before
+
+    def _free(ids: set) -> None:
+        for rid in ids:
+            jsc.unpersistRDD(rid, False)
+
+    t, t_ids = _cut(base)
+    # doubling rounds to the largest power of two <= min_len, then one
+    # overlapping combine to exactly min_len (no-op when it IS a power)
+    steps = []
+    k = base_width
+    while k * 2 <= min_len:
+        steps.append((k, k))   # combine two k-windows -> 2k
+        k *= 2
+    if k < min_len:
+        steps.append((k, min_len - k))  # overlap: 2^a + (L - 2^a)
+    for width, shift in steps:
+        shifted = t.select(
+            "doc",
+            (F.col("pos") - shift).alias("pos"),
+            F.col("la").alias("ra"),
+            F.col("lb").alias("rb"),
+        )
+        # INNER self-join: by induction t holds exactly the positions
+        # whose current-width window (a) lies fully inside its
+        # document and (b) still occurs >= min_count times corpus-wide
+        # — so a position advances iff BOTH its sub-windows do. (a) is
+        # sound because every sub-window a surviving final window
+        # composes from lies inside it; (b) because an occurrence of
+        # wider content is an occurrence of each sub-content, so a
+        # sub-window class under min_count bounds every composed class
+        # under min_count. The working set therefore SHRINKS
+        # monotonically — after a few rounds only the near-duplicate
+        # regions of the corpus are still in flight, which is what
+        # makes log-round doubling affordable at 100 TB.
+        #
+        # merge hint on BOTH round joins: the static planner otherwise
+        # BROADCASTS the corpus-sized shifted side (and the class
+        # table, which grows toward corpus size as rounds refine) —
+        # one pinned corpus-sized HashedRelation per round OOMs even
+        # a small driver, and is plan suicide at 100 TB. With the
+        # hint, rounds are co-partitioned shuffle joins on uniform
+        # keys; AQE still converts a genuinely small side to
+        # broadcast at runtime (its conversion sees REAL sizes).
+        pairs = t.join(
+            shifted.hint("merge"), ["doc", "pos"], "inner"
+        ).persist()
+        classes = (
+            pairs.groupBy("la", "lb", "ra", "rb")
+            .agg(
+                F.min(F.struct("doc", "pos")).alias("m"),
+                F.count(F.lit(1)).alias("_n"),
+            )
+            .filter(F.col("_n") >= min_count)
+        )
+        nxt, nxt_ids = _cut(
+            pairs.join(classes.hint("merge"),
+                       ["la", "lb", "ra", "rb"]).select(
+                "doc", "pos",
+                F.col("m.doc").alias("la"),
+                F.col("m.pos").alias("lb"),
+            )
+        )
+        pairs.unpersist()
+        _free(t_ids)
+        t, t_ids = nxt, nxt_ids
+
+    # t now holds exactly the duplicated full-window start positions
+    # at width min_len — no length re-check, no recount needed
+    marked = t.select("doc", "pos")
+
+    # gaps-and-islands per document on COVERAGE: two duplicated window
+    # starts whose covered char ranges overlap or touch (start delta
+    # <= min_len) belong to one span, so the output is the union of
+    # duplicated-window coverage as maximal disjoint intervals — every
+    # char inside a span is covered by at least one duplicated window,
+    # and no two spans overlap (emitting raw per-start islands would
+    # overlap whenever starts sit 2..min_len apart)
+    w = Window.partitionBy("doc").orderBy("pos")
+    brk = F.when(
+        F.col("pos") - F.lag("pos").over(w) > min_len, 1
+    ).otherwise(0)
+    spans = (
+        marked.withColumn("_grp", F.sum(brk).over(w))
+        .groupBy("doc", "_grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + min_len - 1).alias("span_end"),
+        )
+        .select(
+            F.col("doc").alias(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_len"),
+        )
+    )
+    out, _ = _cut(spans)    # self-contained: safe to free every round
+    _free(t_ids)
+    return out

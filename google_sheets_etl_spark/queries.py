@@ -8019,6 +8019,57 @@ def span_dedup_minlen(spark: SparkSession, sf: str) -> DataFrame:
     return cleaning.span_dedup_cdc(t(spark, sf, "documents"), min_tokens=50)
 
 
+@q(
+    "suffix_dedup_spans",
+    """WITH pos AS (
+         SELECT doc_id, UNNEST(range(1, length(text) - 40 + 2)) AS i,
+                text
+         FROM documents),
+       grams AS (
+         SELECT doc_id, CAST(i AS BIGINT) AS i,
+                substr(text, CAST(i AS INT), 40) AS gram
+         FROM pos),
+       dup AS (SELECT gram FROM grams GROUP BY gram
+               HAVING count(*) >= 2),
+       marked AS (SELECT g.doc_id, g.i FROM grams g
+                  JOIN dup d USING (gram)),
+       lagged AS (
+         SELECT doc_id, i,
+                CASE WHEN i - lag(i) OVER
+                       (PARTITION BY doc_id ORDER BY i) > 40
+                     THEN 1 ELSE 0 END AS brk
+         FROM marked),
+       isl AS (
+         SELECT doc_id, i,
+                SUM(brk) OVER
+                  (PARTITION BY doc_id ORDER BY i) AS grp
+         FROM lagged)
+       SELECT doc_id, min(i) AS span_start,
+              max(i) + 39 AS span_end,
+              max(i) + 39 - min(i) + 1 AS span_len
+       FROM isl GROUP BY doc_id, grp""",
+)
+def suffix_dedup_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """VARIABLE-LENGTH exact substring dedup (operators/suffix.py
+    duplicate_spans) — the canonical Lee-et-al 2021 training-data
+    pass the span_dedup family only approximates (cleaning.py:149
+    documents trading away "suffix-array cost"; this row pays it):
+    every maximal char range covered by a length-40 window that
+    occurs >= 2 times ANYWHERE in the corpus, at ANY alignment,
+    within or across documents. Spark side: distributed prefix
+    doubling — ceil(log2 40)+1 = 6 rounds of (self-join on position,
+    partial-agg groupBy on the label pair, join back), labels being
+    the EXACT min-(doc,pos) of each equality class (collision-free,
+    integer-exact, partitioning-invariant; no hash, no global sort) —
+    then coverage-union gaps-and-islands per doc. The oracle
+    materializes the 40-grams directly (O(N*L) bytes — fine for
+    DuckDB at sf, the exact blowup the doubling path avoids at
+    100 TB, where per-round state stays 2 longs per corpus char)."""
+    from .operators.suffix import duplicate_spans
+
+    return duplicate_spans(t(spark, sf, "documents"), min_len=40)
+
+
 def _varchar_warehouse(spark: SparkSession, sf: str) -> DataFrame:
     """A reference-shaped ALL-VARCHAR warehouse synthesized from
     orders — the day-one reality of the string warehouse the typed

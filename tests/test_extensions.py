@@ -2651,6 +2651,101 @@ def test_pagerank_partitioning_invariance(spark):
     assert got == expected
 
 
+def _brute_duplicate_spans(rows, L, min_count=2):
+    """Reference implementation: mark every position whose L-window
+    (code-point grain) occurs >= min_count times corpus-wide, merge
+    coverage-touching starts into maximal spans."""
+    grams: dict = {}
+    for did, tx in rows:
+        cps = list(tx)
+        for i in range(len(cps) - L + 1):
+            grams.setdefault(tuple(cps[i:i + L]), []).append((did, i + 1))
+    marked: dict = {}
+    for occ in grams.values():
+        if len(occ) >= min_count:
+            for did, i in occ:
+                marked.setdefault(did, set()).add(i)
+    out = []
+    for did, ps in marked.items():
+        ps = sorted(ps)
+        s, last = ps[0], ps[0]
+        for p in ps[1:]:
+            if p - last <= L:
+                last = p
+            else:
+                out.append((did, s, last + L - 1, last + L - s))
+                s = last = p
+        out.append((did, s, last + L - 1, last + L - s))
+    return sorted(out)
+
+
+def test_suffix_duplicate_spans_matches_brute_force(spark):
+    """Distributed prefix doubling == per-position L-gram brute force,
+    across window lengths spanning the packed base (L<=3), the
+    base-only+overlap path, power-of-two targets, and the overlap
+    combine; includes within-doc self-repeats, cross-doc duplicates,
+    empty docs, and ASTRAL-PLANE code points (the 21-bit pack must
+    not alias U+1D11E with its low 16 bits)."""
+    from google_sheets_etl_spark.operators.suffix import duplicate_spans
+
+    rows = [
+        (1, "abcdefghijXYhello world this is a duplicated phrase!ZZtail"),
+        (2, "prefix--hello world this is a duplicated phrase!--suffix"),
+        (3, "completely unique content with no repeats at all here 12345"),
+        (4, "abcdefghijabcdefghij"),
+        (5, ""),
+        (6, "abcdefghij....efghijklmnXX"),
+        (7, "zzzzefghijklmnqq"),
+        (8, "astral \U0001D11E\U0001D11F music \U0001D11E\U0001D11E clef!"),
+        (9, "more astral \U0001D11E\U0001D11F music \U0001D11E\U0001D11E x"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for L in (2, 3, 4, 5, 10, 16):
+        got = sorted(tuple(r) for r in
+                     duplicate_spans(docs, min_len=L).collect())
+        assert got == _brute_duplicate_spans(rows, L), f"L={L}"
+    # min_count=3: the phrase shared by only two docs drops out
+    got3 = sorted(tuple(r) for r in
+                  duplicate_spans(docs, min_len=10, min_count=3).collect())
+    assert got3 == _brute_duplicate_spans(rows, 10, min_count=3)
+
+
+def test_suffix_duplicate_spans_contracts(spark):
+    """Lifecycle + validation: every doubling round's checkpoint
+    blocks are freed (only the returned spans table remains pinned);
+    a no-duplicate corpus yields zero rows; bad args raise."""
+    import pytest
+
+    from google_sheets_etl_spark.operators.suffix import duplicate_spans
+
+    def n_pinned():
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    spark.catalog.clearCache()
+    spark.sparkContext._jvm.java.lang.System.gc()
+    docs = spark.createDataFrame(
+        [(1, "xyxyxyxyxyxyxyxyxyxy"), (2, "xyxyxyxyxy-unique-tail")],
+        "doc_id long, text string",
+    )
+    base = n_pinned()
+    out = duplicate_spans(docs, min_len=8)
+    assert out.count() >= 1
+    # intermediates freed: at most the one returned handle was added
+    assert n_pinned() <= base + 1
+
+    none = duplicate_spans(
+        spark.createDataFrame([(1, "abcdefghijklmnopqrstuvwxyz")],
+                              "doc_id long, text string"),
+        min_len=6,
+    )
+    assert none.count() == 0
+
+    with pytest.raises(ValueError, match="min_len"):
+        duplicate_spans(docs, min_len=1)
+    with pytest.raises(ValueError, match="min_count"):
+        duplicate_spans(docs, min_len=8, min_count=1)
+
+
 def test_priority_weighted_sample_properties(spark, sf_dir):
     """Duffield-Lund-Thorup priority sampling: the kept set is exactly
     the top-100 of the full priority ranking (verified against a full
