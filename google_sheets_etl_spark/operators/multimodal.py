@@ -846,6 +846,114 @@ class GifCodec(MediaCodec):
         return encode_gif(width, height, out, palette)
 
 
+def encode_avi_mjpeg(
+    width: int,
+    height: int,
+    jpeg_frames: list[bytes],
+    fps: int = 25,
+) -> bytes:
+    """Minimal MJPEG-in-AVI writer — :func:`parse_avi_mjpeg`'s inverse
+    for fixtures and tests (the encode_gif / encode_jpeg pattern):
+    RIFF('AVI ') with an hdrl LIST (avih + one 'vids'/'MJPG' strl) and
+    a movi LIST of one '00dc' chunk per frame, word-aligned. No idx1
+    (optional per spec; the parser never needs it)."""
+    import struct
+
+    if not jpeg_frames:
+        raise ValueError("encode_avi_mjpeg: need at least one frame")
+    n = len(jpeg_frames)
+    max_sz = max(len(f) for f in jpeg_frames)
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // fps, max_sz * fps, 0, 0x10, n, 0, 1, max_sz,
+        width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n,
+                      max_sz, 0, 0, 0)
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII",
+        40, width, height, 1, 24, b"MJPG", width * height * 3,
+        0, 0, 0, 0,
+    )
+    strl = chunk(b"LIST", b"strl" + chunk(b"strh", strh)
+                 + chunk(b"strf", strf))
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih) + strl)
+    movi = chunk(
+        b"LIST",
+        b"movi" + b"".join(chunk(b"00dc", f) for f in jpeg_frames),
+    )
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def parse_avi_mjpeg(payload: bytes) -> list[tuple[int, int, bytes]]:
+    """Strict MJPEG-in-AVI frame walk — the RIFF chunk discipline of
+    :func:`parse_wav_pcm16` composed with the baseline-JPEG decoder
+    (``operators/jpeg.py``): each '##dc'/'##db' chunk inside the movi
+    LIST is a standalone JPEG, decoded strictly. Returns
+    ``[(w, h, raw RGB bytes), ...]`` in stream order.
+
+    Strictness contract (pinned messages, same style as PNG/GIF):
+    the RIFF size must cover the payload exactly (truncated →
+    'truncated chunk', junk after → 'trailing bytes after avi riff');
+    a movi LIST with at least one video frame is required; every
+    frame must decode (the JPEG parser's own pinned errors
+    propagate); frame dimensions must not change mid-video (the
+    video_frame_deltas reject, surfaced at parse time)."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    if len(payload) < 12:
+        raise ValueError("truncated chunk")
+    (riff_size,) = struct.unpack("<I", payload[4:8])
+    if 8 + riff_size > len(payload):
+        raise ValueError("truncated chunk")
+    if 8 + riff_size < len(payload):
+        raise ValueError("trailing bytes after avi riff")
+
+    frames: list[tuple[int, int, bytes]] = []
+    saw_movi = False
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        if pos + 8 + size > len(payload):
+            raise ValueError("truncated chunk")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"LIST" and body[:4] == b"movi":
+            saw_movi = True
+            sub = 4
+            while sub + 8 <= len(body):
+                scid = body[sub : sub + 4]
+                (ssz,) = struct.unpack("<I", body[sub + 4 : sub + 8])
+                if sub + 8 + ssz > len(body):
+                    raise ValueError("truncated chunk")
+                if scid[2:4] in (b"dc", b"db"):
+                    w, h, rgb = _parse_jpeg(
+                        bytes(body[sub + 8 : sub + 8 + ssz])
+                    )
+                    frames.append((w, h, rgb))
+                sub += 8 + ssz + (ssz & 1)  # word-aligned
+        pos += 8 + size + (size & 1)
+    if not saw_movi:
+        raise ValueError("missing avi movi list")
+    if not frames:
+        raise ValueError("empty avi movi list")
+    if any(f[:2] != frames[0][:2] for f in frames[1:]):
+        raise ValueError("frame dimensions changed mid-video")
+    return frames
+
+
 def sniff_format(payload: bytes) -> str | None:
     """THE magic-byte classifier — the single definition every
     dispatch surface consults (:func:`decode_image`,
@@ -864,7 +972,10 @@ def sniff_format(payload: bytes) -> str | None:
     if payload[:6] in GIF_SIGS:
         return "gif"
     if payload[:4] == b"RIFF":
-        return "wav"
+        # RIFF is a family: the form type at offset 8 splits WAVE
+        # audio from AVI video; anything else stays on the wav path
+        # so its strict parser reports the familiar RIFF error
+        return "avi" if payload[8:12] == b"AVI " else "wav"
     return None
 
 
@@ -911,6 +1022,11 @@ def parse_video_frames(payload: bytes) -> list[tuple[int, int, bytes]]:
             (w, h, head + _gif_frame_rgb(idx, palette))
             for idx in frames
         ]
+    if fmt == "avi":
+        decoded = parse_avi_mjpeg(payload)
+        w, h = decoded[0][0], decoded[0][1]
+        head = b"P6\n%d %d\n255\n" % (w, h)
+        return [(w, h, head + rgb) for (w, h, rgb) in decoded]
     raise ValueError("unsupported payload format")
 
 
@@ -1774,6 +1890,7 @@ def payload_decode_audit(
         "jpeg": _parse_jpeg,
         "gif": parse_gif_indexed,
         "wav": parse_wav_pcm16,
+        "avi": parse_avi_mjpeg,
     }
 
     def verdict(payload) -> tuple[bool, str]:

@@ -2856,6 +2856,98 @@ def test_jpeg_trailing_bytes_rejected_like_png_gif():
         parse_jpeg(rst)
 
 
+def test_avi_mjpeg_container_contracts():
+    """MJPEG-in-AVI: encode→parse round trip is pixel-identical to
+    decoding the member JPEGs directly; the strict walk rejects every
+    malformation class with its pinned message; sniff_format splits
+    the RIFF family (AVI vs WAVE) without disturbing the wav path."""
+    import struct
+
+    import pytest
+
+    from google_sheets_etl_spark.operators.jpeg import (
+        encode_jpeg, parse_jpeg,
+    )
+    from google_sheets_etl_spark.operators.multimodal import (
+        encode_avi_mjpeg, parse_avi_mjpeg, parse_video_frames,
+        sniff_format,
+    )
+
+    w, h = 8, 8
+    jpegs = [
+        encode_jpeg(w, h, bytes((f * 29 + k * 7) % 256
+                                for k in range(w * h * 3)))
+        for f in range(3)
+    ]
+    avi = encode_avi_mjpeg(w, h, jpegs)
+    assert sniff_format(avi) == "avi"
+    assert sniff_format(b"RIFF\x04\x00\x00\x00WAVE") == "wav"
+    decoded = parse_avi_mjpeg(avi)
+    assert len(decoded) == 3
+    for f, j in enumerate(jpegs):
+        assert decoded[f] == parse_jpeg(j), f
+    # the video dispatch wraps frames as standalone P6 payloads
+    frames = parse_video_frames(avi)
+    assert [fr[2][:10] for fr in frames] == [b"P6\n8 8\n255"] * 3
+
+    for payload, msg in [
+        (avi + b"x", "trailing bytes after avi riff"),
+        (avi[:-3], "truncated chunk"),
+        (encode_avi_mjpeg(w, h, [jpegs[0][:-2]]), "jpeg missing eoi"),
+        (b"RIFF" + struct.pack("<I", 4) + b"AVI ",
+         "missing avi movi list"),
+        (encode_avi_mjpeg(w, h, [
+            jpegs[0], encode_jpeg(12, 8, bytes(12 * 8 * 3))]),
+         "frame dimensions changed mid-video"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            parse_avi_mjpeg(payload)
+
+
+def test_avi_frames_compose_through_image_ops(spark):
+    """The composition contract: AVI frames flow through
+    video_frame_extract into the SAME image kernels every other
+    container feeds — dHash over extracted frames equals dHash over
+    the member JPEGs decoded directly."""
+    from google_sheets_etl_spark.operators import multimodal as mm
+    from google_sheets_etl_spark.operators.jpeg import encode_jpeg
+
+    w, h = 16, 12
+    jpegs = [
+        encode_jpeg(w, h, bytes((f * 31 + (k % 97) * 5) % 256
+                                for k in range(w * h * 3)))
+        for f in range(2)
+    ]
+    avi = mm.encode_avi_mjpeg(w, h, jpegs)
+    media = spark.createDataFrame(
+        [(1, "video", avi, None)], mm.MEDIA_SCHEMA
+    )
+    frames = mm.video_frame_extract(media)
+    got = {
+        r["media_id"]: r["dhash"]
+        for r in mm.image_dhash(
+            frames.select(
+                F.col("frame_idx").alias("media_id"),
+                F.lit("image").alias("kind"),
+                "payload",
+                F.lit(None).cast(
+                    mm.MEDIA_SCHEMA["meta"].dataType
+                ).alias("meta"),
+            )
+        ).collect()
+    }
+    direct = {
+        f: r["dhash"]
+        for f, j in enumerate(jpegs)
+        for r in mm.image_dhash(
+            spark.createDataFrame(
+                [(f, "image", j, None)], mm.MEDIA_SCHEMA
+            )
+        ).collect()
+    }
+    assert got == direct and len(got) == 2
+
+
 def test_kn_bigram_continuation_backoff(spark):
     """The Kneser-Ney point: backoff mass follows CONTEXT DIVERSITY,
     not raw frequency. 'francisco' appears 50x but only ever after
