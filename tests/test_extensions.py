@@ -2802,6 +2802,62 @@ def test_ann_probe_count_exceeding_corpus_degrades_not_crashes(spark):
     assert sorted(tuple(r) for r in got_nsw) == sorted(tuple(r) for r in exact)
 
 
+def test_nsw_beam_contracts(spark):
+    """Best-first beam: (a) ef >= k validated; (b) with ef = corpus
+    size the beam explores the entries' whole connected component, so
+    on a connected graph it recovers exact brute-force top-k; (c) the
+    beam's distance-computation count is strictly below the
+    reachability walk's SCORED count on the same graph; (d) results
+    are partitioning-invariant."""
+    import pytest
+
+    from google_sheets_etl_spark.operators import similarity
+
+    rng_rows = [
+        (i, [float((i * 7 + j * 3) % 11 - 5) for j in range(8)])
+        for i in range(60)
+    ]
+    emb = spark.createDataFrame(
+        rng_rows, "vec_id long, embedding array<double>"
+    )
+    q_ = emb.filter(F.col("vec_id") < 5)
+    c_ = emb.filter(F.col("vec_id") >= 5)
+
+    with pytest.raises(ValueError, match="ef"):
+        similarity.cosine_topk_nsw_beam(q_, c_, k=5, ef=3)
+
+    exact = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in
+             similarity.cosine_topk_bruteforce(q_, c_, k=3).collect()}
+    full = similarity.cosine_topk_nsw_beam(
+        q_, c_, k=3, n_cells=1, n_probe=1, m_neighbors=6,
+        n_entries=2, ef=55,
+    )
+    assert {(r["query_id"], r["neighbor_id"], r["rank"])
+            for r in full.collect()} == exact
+
+    kw = dict(k=3, n_cells=1, n_probe=1, m_neighbors=6, n_entries=2,
+              include_stats=True)
+    beam_stats = similarity.cosine_topk_nsw_beam(
+        q_, c_, ef=8, **kw).collect()
+    reach_stats = similarity.cosine_topk_nsw(q_, c_, **kw).collect()
+    beam_vis = {r["query_id"]: r["n_visited"] for r in beam_stats}
+    reach_vis = {r["query_id"]: r["n_visited"] for r in reach_stats}
+    assert set(beam_vis) == set(reach_vis)
+    assert all(beam_vis[q] < reach_vis[q] for q in beam_vis), (
+        beam_vis, reach_vis)
+
+    again = similarity.cosine_topk_nsw_beam(
+        q_.repartition(7), c_.repartition(13), k=3, n_cells=1,
+        n_probe=1, m_neighbors=6, n_entries=2, ef=8,
+    )
+    once = similarity.cosine_topk_nsw_beam(
+        q_, c_, k=3, n_cells=1, n_probe=1, m_neighbors=6,
+        n_entries=2, ef=8,
+    )
+    assert sorted(map(tuple, again.collect())) == sorted(
+        map(tuple, once.collect()))
+
+
 def test_whash_composes_through_banded_near_dup(spark):
     """The docstring-advertised composition: image_whash's spectral
     hashes flow through dhash_near_dup_pairs via hash_col="whash"
