@@ -53,6 +53,12 @@ EXCLUDE = {"near_dup_jaccard_exact", "dedup_clusters_exact",
            # overhead, not data-plane throughput); the SAME trainer
            # at k=20 (bpe_learn_merges) IS benchmarked
            "bpe_learn_merges_k200",
+           # 10 000 sequential greedy rounds on the driver (~13 s,
+           # >95% the one-time vocab collect + early wide rounds —
+           # SCALE.md has the per-round evidence); same trainer
+           # benchmarked at k=20, and the distributed corpus pass it
+           # shares is benchmarked via wordpiece_vocab_k4000
+           "bpe_learn_merges_k10000",
            # ~26 s each at sf0.1, >90% spent ASSEMBLING 5000 in-plan
            # WAV payloads from the fixture formula (17+ windows × 256
            # samples × hex-string concat per doc) — fixture

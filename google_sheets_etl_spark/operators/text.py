@@ -907,6 +907,7 @@ def bpe_train_driver(
     pairs from scratch every round over symbol tuples): the literal
     fixture certifies this trainer's full merge sequence without the
     two sharing a line of update logic."""
+    import heapq as _heapq
     import time as _time
 
     spark = word_freqs.sparkSession
@@ -928,13 +929,33 @@ def bpe_train_driver(
             pair_counts[p] = pair_counts.get(p, 0) + k * freqs[wi]
             pair_words.setdefault(p, set()).add(wi)
 
+    # top-1 selection via a LAZY-INVALIDATION heap (round-9: the
+    # previous full scan of pair_counts made late rounds O(|pairs|)
+    # even when ONE word was affected, flattening the ∝-affected-
+    # words cost curve the timings hook exists to prove). Entries
+    # are (-count, pair) — heap order == the documented tie-break
+    # (count DESC, then (left, right) binary-ascending). A pair is
+    # re-pushed whenever its count changes; stale entries (stored
+    # count != current, or <= 0) are popped and skipped. Same merge
+    # sequence by construction — the k=1000 literal fixture row
+    # certifies it end to end.
+    heap: list[tuple[int, tuple[str, str]]] = [
+        (-c, p) for p, c in pair_counts.items() if c > 0
+    ]
+    _heapq.heapify(heap)
+
     merges: list[tuple[int, str, str, str, int]] = []
     for rank in range(1, n_merges + 1):
         t0 = _time.perf_counter()
-        live = [(p, c) for p, c in pair_counts.items() if c > 0]
-        if not live:
+        while heap:
+            negc, p = heap[0]
+            if pair_counts.get(p, 0) == -negc and -negc > 0:
+                break
+            _heapq.heappop(heap)  # stale or dead entry
+        if not heap:
             break
-        (a, b), cnt = min(live, key=lambda kv: (-kv[1], kv[0]))
+        negc, (a, b) = _heapq.heappop(heap)
+        cnt = -negc
         merged = a + b
         merges.append((rank, a, b, merged, cnt))
         affected = sorted(pair_words.get((a, b), ()))
@@ -959,7 +980,10 @@ def bpe_train_driver(
             for p in before.keys() | after.keys():
                 d = after.get(p, 0) - before.get(p, 0)
                 if d:
-                    pair_counts[p] = pair_counts.get(p, 0) + d * freqs[wi]
+                    c = pair_counts.get(p, 0) + d * freqs[wi]
+                    pair_counts[p] = c
+                    if c > 0:
+                        _heapq.heappush(heap, (-c, p))
                 if after.get(p, 0) and p not in before:
                     pair_words.setdefault(p, set()).add(wi)
                 elif before.get(p, 0) and not after.get(p, 0):
@@ -1541,10 +1565,11 @@ def unigram_viterbi_segment(
 
 
 def wordpiece_vocab(
-    docs: DataFrame,
+    docs: DataFrame | None = None,
     text_col: str = "text",
     top_k: int = 12,
     max_piece_len: int = 3,
+    word_freqs: DataFrame | None = None,
 ) -> DataFrame:
     """Deterministic WordPiece vocabulary — the BERT tokenizer's data
     structure (Devlin et al. 2019; Schuster & Nakajima 2012):
@@ -1561,13 +1586,21 @@ def wordpiece_vocab(
     — vocabulary work, not corpus work.
 
     Returns ``(piece, initial, cnt)``; greedy inference needs only
-    the SET, cnt documents the selection."""
-    words = (
-        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
-        .filter(F.col("w") != "")
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("freq"))
-    )
+    the SET, cnt documents the selection. Pass ``word_freqs`` (a
+    ``(w, freq)`` table) to train on a pre-aggregated vocabulary
+    instead of splitting ``docs`` — the production-scale path where
+    the corpus pass lives upstream (the bpe_train_driver split)."""
+    if word_freqs is not None:
+        words = word_freqs.select("w", "freq")
+    else:
+        words = (
+            docs.select(
+                F.explode(F.split(F.col(text_col), " ")).alias("w")
+            )
+            .filter(F.col("w") != "")
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("freq"))
+        )
     subs = (
         words.select(
             "freq",

@@ -156,6 +156,39 @@ K1000 = 1000
 FIXTURE_K1000 = os.path.join(
     os.path.dirname(FIXTURE), "bpe_merges_k1000_sf001.sql"
 )
+K10000 = 10000
+FIXTURE_K10000 = os.path.join(
+    os.path.dirname(FIXTURE), "bpe_merges_k10000_sf001.sql"
+)
+
+
+def corpus_word_freqs_with_trigrams(sf_dir: str) -> dict[str, int]:
+    """The k=10000 row's PRODUCTION-SCALE vocabulary: corpus words
+    plus adjacent bi- AND tri-gram concatenations under the same
+    alphanumeric gate — 17 191 word types from the same parquet
+    inputs with no hand-planted data (the bigram vocabulary exhausts
+    at 1023 merges; this one trains past 10k)."""
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""WITH toks AS (
+              SELECT string_split(text, ' ') AS ws
+              FROM read_parquet('{sf_dir}/documents.parquet')),
+            all_w AS (
+              SELECT unnest(ws) AS w FROM toks
+              UNION ALL
+              SELECT ws[i] || ws[i + 1] AS w
+              FROM toks, LATERAL unnest(range(1, len(ws))) t(i)
+              UNION ALL
+              SELECT ws[i] || ws[i + 1] || ws[i + 2] AS w
+              FROM toks, LATERAL unnest(range(1, len(ws) - 1)) t(i))
+            SELECT w, COUNT(*) FROM all_w GROUP BY w"""
+    ).fetchall()
+    con.close()
+    return {
+        w: int(n) for w, n in rows if len(w) >= 2 and _WORD_RE.match(w)
+    }
 
 
 def main() -> None:
@@ -170,6 +203,12 @@ def main() -> None:
     with open(FIXTURE_K1000, "w") as f:
         f.write(merges_to_sql(merges1k, K1000) + "\n")
     print(f"wrote {len(merges1k)} merges to {FIXTURE_K1000}")
+    merges10k = reference_bpe(
+        corpus_word_freqs_with_trigrams(SF_DIR), K10000
+    )
+    with open(FIXTURE_K10000, "w") as f:
+        f.write(merges_to_sql(merges10k, K10000) + "\n")
+    print(f"wrote {len(merges10k)} merges to {FIXTURE_K10000}")
 
 
 if __name__ == "__main__":
