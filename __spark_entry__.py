@@ -3,7 +3,7 @@
 ``entry(spark)`` runs the flagship query on sf0.001; ``queries()`` /
 ``oracle_sql()`` expose the operator inventory from SURVEY.md §2 plus
 the north-star extensions, each cross-checked against DuckDB at sf0.01.
-Implementation lives in ``google_sheets_etl_spark/queries.py``.
+Implementation lives in the ``google_sheets_etl_spark/queries`` package.
 """
 
 from __future__ import annotations

@@ -1,0 +1,92 @@
+"""Driver-contract query inventory — the queries/ package
+(split from the former 11.6k-line queries.py, round-8 verdict
+directive #7: pure file move, registry and oracles unchanged).
+
+Import order below IS registration order; the
+_reorder_for_driver_coverage post-pass then re-sorts the
+registry for the driver's bounded per-round budget."""
+
+from ._core import *  # noqa: F401,F403
+from ._core import (  # noqa: F401 — test surface
+    _EVENTS_RAW_SCHEMA,
+    _TS_UNIT_CACHE,
+    _resolve_events_unit,
+    _ts_to_micros_col,
+)
+from .reference_ops import *  # noqa: F401,F403
+from .relational import *  # noqa: F401,F403
+from .events import *  # noqa: F401,F403
+from .dedup_q import *  # noqa: F401,F403
+from .ann_q import *  # noqa: F401,F403
+from .text_q import *  # noqa: F401,F403
+from .media_q import *  # noqa: F401,F403
+from .semantic_q import *  # noqa: F401,F403
+from .analytics_q import *  # noqa: F401,F403
+from .typed_q import *  # noqa: F401,F403
+from .training_q import *  # noqa: F401,F403
+from .tokenizer_q import *  # noqa: F401,F403
+from .tail_q import *  # noqa: F401,F403
+
+def _reorder_for_driver_coverage() -> None:
+    """Registration-order post-pass. The correctness driver walks
+    ``queries()`` in definition order under a bounded budget (~50
+    entries per round), so ordering IS the coverage policy. Derive it
+    from the committed ``CORRECTNESS_r*.json`` artifacts — fully
+    self-maintaining across rounds:
+
+    1. never-checked queries (new this round) first;
+    2. queries RED at their latest driver check (a fix landed — the
+       driver must re-verify it);
+    3. greens, stalest-checked round first, so long-unchecked rows get
+       refreshed before recently-certified ones.
+
+    Within each tier: oracled before rows-only, then definition order.
+    """
+    import glob
+    import json
+    import os
+    import re as _re
+
+    root = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "..")
+    last_checked: dict[str, int] = {}
+    last_green: dict[str, bool] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = _re.search(r"r(\d+)", os.path.basename(path))
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            last_checked[name] = rnd
+            last_green[name] = (
+                row.get("err") is None
+                and row.get("rows_match") is not False
+                and row.get("schema_match") is not False
+                and row.get("hash_match") is not False
+            )
+
+    def key(name: str) -> tuple:
+        if name not in last_checked:
+            tier, staleness = 0, 0
+        elif not last_green[name]:
+            tier, staleness = 1, last_checked[name]
+        else:
+            tier, staleness = 2, last_checked[name]
+        return (
+            tier,
+            staleness,
+            0 if name in ORACLE else 1,
+            list(QUERIES).index(name),
+        )
+
+    ordered = sorted(QUERIES, key=key)
+    snapshot = dict(QUERIES)
+    QUERIES.clear()
+    QUERIES.update({k: snapshot[k] for k in ordered})
+_reorder_for_driver_coverage()

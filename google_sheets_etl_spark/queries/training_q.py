@@ -1,0 +1,1083 @@
+"""Query registry — training_q section (split from the former
+queries.py; see queries/__init__.py for the package map
+and _core for shared helpers)."""
+
+from ._core import *  # noqa: F401,F403 — shared registry/helpers
+from .ann_q import ann_lsh_topk, cosine_topk  # noqa: E501
+from .media_q import _docs_as_media  # noqa: E501
+from .typed_q import _PPL_ORACLE  # noqa: E501
+
+_KN_ORACLE = """
+WITH s AS (
+  SELECT doc_id, text,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS b
+  FROM documents),
+tr AS (SELECT text FROM s WHERE b < 98),
+trp AS (
+  SELECT w[i] AS w1, w[i + 1] AS w2
+  FROM (SELECT string_split(text, ' ') AS w FROM tr),
+       unnest(range(1, len(w))) AS t(i)),
+c2 AS (SELECT w1, w2, COUNT(*)::BIGINT AS c2 FROM trp GROUP BY w1, w2),
+c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1,
+              COUNT(*)::BIGINT AS nf
+       FROM c2 GROUP BY w1),
+rt AS (SELECT w2, COUNT(*)::BIGINT AS np FROM c2 GROUP BY w2),
+tv AS (SELECT COUNT(*)::BIGINT AS t FROM c2),
+v AS (SELECT COUNT(DISTINCT w)::BIGINT AS v
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM tr)),
+dp AS (
+  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       unnest(range(1, len(w))) AS t(i)),
+sc AS (
+  SELECT dp.doc_id,
+         CAST(floor(-log2(
+           CASE WHEN c1.c1 IS NULL
+             THEN (COALESCE(rt.np, 0) + CAST(0.5 AS DOUBLE))
+                  / (tv.t + CAST(0.5 AS DOUBLE) * v.v)
+             ELSE GREATEST(COALESCE(c2.c2, 0) - CAST(0.75 AS DOUBLE),
+                           CAST(0.0 AS DOUBLE)) / c1.c1
+                  + CAST(0.75 AS DOUBLE) * c1.nf / c1.c1
+                    * ((COALESCE(rt.np, 0) + CAST(0.5 AS DOUBLE))
+                       / (tv.t + CAST(0.5 AS DOUBLE) * v.v))
+           END) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+              AS BIGINT) AS nll
+  FROM dp LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1)
+          LEFT JOIN rt USING (w2)
+  CROSS JOIN tv CROSS JOIN v)
+SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams,
+       ROUND(SUM(nll) / CAST(1000000 AS DOUBLE) / COUNT(*), 4)
+         AS bits_per_bigram_kn
+FROM sc GROUP BY doc_id"""
+
+
+@q("kn_bigram_perplexity", _KN_ORACLE)
+def kn_bigram_perplexity(spark: SparkSession, sf: str) -> DataFrame:
+    """Interpolated KNESER-NEY perplexity scoring (operators/text.py
+    kn_bigram_lm_bits) — the smoothing the production LM filter
+    (KenLM, CCNet's choice) actually uses, next to
+    doc_perplexity_bits' transparent add-k baseline: absolute
+    discount D=0.75 with continuation-probability backoff (how many
+    distinct contexts a word FOLLOWS, not how often it occurs — the
+    'Francisco' correction). Every model quantity is an exact count;
+    the probability expression runs in the identical operation order
+    in both engines and each bigram's -log2 p rounds half-up to
+    integer micro-units before the per-doc sum. Model tables are
+    vocab-bounded broadcasts; the corpus shuffles only for the final
+    per-doc aggregate."""
+    docs = t(spark, sf, "documents")
+    train = (
+        sampling.hash_split(docs)
+        .filter(F.col("split") == "train")
+        .select("text")
+    )
+    return text_ops.kn_bigram_lm_bits(docs, train)
+
+
+@q("doc_perplexity_bits", _PPL_ORACLE)
+def doc_perplexity_bits(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style perplexity filtering (operators/text.py
+    bigram_lm_bits; Wenzek et al. 2020): an add-0.5-smoothed bigram
+    LM trained on the hash-deterministic 'train' split scores EVERY
+    document by average bits per bigram — the fluency signal a
+    pretraining pipeline thresholds on. Per-bigram -log2 p rounds to
+    integer micro-units before the per-document sum (the PQ
+    discipline), so the aggregate is exact integer arithmetic in both
+    engines. Model is vocab-bounded and broadcast; the corpus never
+    shuffles until the final uniform-key per-doc aggregate."""
+    docs = t(spark, sf, "documents")
+    train = (
+        sampling.hash_split(docs)
+        .filter(F.col("split") == "train")
+        .select("text")
+    )
+    return text_ops.bigram_lm_bits(docs, train)
+
+
+@q(
+    "epoch_shuffle_assign",
+    """WITH e AS (SELECT * FROM (VALUES (0), (1)) AS t(epoch))
+       SELECT doc_id, epoch,
+              md5(doc_id::VARCHAR || ':' || epoch::VARCHAR) AS order_key,
+              ('0x' || substr(md5(doc_id::VARCHAR || ':' ||
+                 epoch::VARCHAR), 1, 15))::BIGINT % 8 AS reader
+       FROM documents, e""",
+)
+def epoch_shuffle_assign(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic per-epoch training shuffle (operators/
+    sampling.py): a different md5 permutation per epoch, identical
+    across runs/engines/retries; readers sort their own slice — no
+    global sort in the plan, narrow end to end."""
+    return sampling.epoch_shuffle(
+        t(spark, sf, "documents"), n_readers=8, epochs=2
+    )
+
+
+@q(
+    "incremental_exact_dedup",
+    """SELECT b.doc_id, md5(b.text) AS content_hash
+       FROM documents b
+       WHERE b.doc_id % 10 >= 8
+         AND NOT EXISTS (
+               SELECT 1 FROM documents c
+               WHERE c.doc_id % 10 < 8 AND md5(c.text) = md5(b.text))""",
+)
+def incremental_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental-ingest dedup: a new batch (docs with id%10 ∈ {8,9})
+    is admitted only where its content hash is absent from the
+    existing corpus (id%10 < 8) — the anti-join shape every
+    continuously-ingesting pipeline runs per increment, vs
+    ``dedup_exact_groups``' whole-corpus self-grouping. One shuffle on
+    the uniform hash key; the corpus side is aggregated to distinct
+    hashes BEFORE the join (hash-sized, not corpus-sized)."""
+    docs = t(spark, sf, "documents")
+    batch = docs.filter(F.col("doc_id") % 10 >= 8).select(
+        "doc_id", F.md5("text").alias("content_hash")
+    )
+    corpus_hashes = (
+        docs.filter(F.col("doc_id") % 10 < 8)
+        .select(F.md5("text").alias("content_hash"))
+        .distinct()
+    )
+    return batch.join(corpus_hashes, "content_hash", "left_anti").select(
+        "doc_id", "content_hash"
+    )
+
+
+@q(
+    "incremental_near_dup_admission",
+    """WITH sh AS (
+         SELECT doc_id,
+                list_distinct(list_transform(
+                  range(1, greatest(len(string_split(text,' ')) - 1, 1)),
+                  i -> (string_split(text,' '))[i] || ' ' ||
+                       (string_split(text,' '))[i+1] || ' ' ||
+                       (string_split(text,' '))[i+2])) AS s
+         FROM documents
+       ), inv AS (
+         SELECT doc_id, unnest(s) AS g FROM sh
+       ), cand AS (
+         SELECT DISTINCT b.doc_id AS bid, c.doc_id AS cid
+         FROM inv b JOIN inv c ON b.g = c.g
+         WHERE b.doc_id % 10 >= 8 AND c.doc_id % 10 < 8
+       ), rejected AS (
+         SELECT DISTINCT cand.bid
+         FROM cand
+         JOIN sh sb ON sb.doc_id = cand.bid
+         JOIN sh sc ON sc.doc_id = cand.cid
+         WHERE len(list_distinct(list_concat(sb.s, sc.s))) > 0
+           AND CAST(len(list_intersect(sb.s, sc.s)) AS DOUBLE) /
+               CAST(len(list_distinct(list_concat(sb.s, sc.s))) AS DOUBLE)
+               >= 0.5
+       )
+       SELECT d.doc_id FROM documents d
+       WHERE d.doc_id % 10 >= 8
+         AND d.doc_id NOT IN (SELECT bid FROM rejected)""",
+)
+def incremental_near_dup_admission(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental NEAR-dup admission (operators/dedup.py): the minhash
+    twin of ``incremental_exact_dedup`` — a new batch (id%10 ∈ {8,9})
+    is admitted unless an exact-Jaccard-verified near-duplicate exists
+    in the corpus (id%10 < 8). Corpus reduced to a distinct
+    (band, bucket, id) index BEFORE the join (batch×bands work, never
+    corpus×corpus); verify shingles gated to candidates. The oracle is
+    the exact-Jaccard admission set — equal because LSH recall is 1.0
+    at these banding params on this corpus (tests/test_extensions.py)
+    and the verify trims candidates to truth."""
+    docs = t(spark, sf, "documents")
+    return dedup.incremental_near_dup_admission(
+        corpus=docs.filter(F.col("doc_id") % 10 < 8),
+        batch=docs.filter(F.col("doc_id") % 10 >= 8),
+        threshold=0.5,
+    )
+
+
+@q("ann_recall_at_k", "SELECT 5 AS k, 1.0 AS recall")
+def ann_recall_at_k(spark: SparkSession, sf: str) -> DataFrame:
+    """The approximation contract behind ``ann_lsh_topk``'s exact-SQL
+    oracle, registered as its own driver row (round-3 verdict directive
+    #8): recall@5 of the LSH path against exact brute force at the gate
+    parameters (n_bits=3, n_tables=16). The oracle is the LITERAL
+    contract — recall must be exactly 1.0 at the driver's gate scale;
+    any bucket-recall regression flips this row red instead of
+    silently weakening the ann_lsh_topk check."""
+    exact = cosine_topk(spark, sf).select("query_id", "neighbor_id")
+    approx = ann_lsh_topk(spark, sf).select(
+        "query_id", "neighbor_id", F.lit(1).alias("_hit")
+    )
+    # one LEFT join + one aggregate: numerator (matched rows) and
+    # denominator (all exact rows) come out of a single pass, so the
+    # brute-force side is computed once, not once per term
+    joined = exact.join(approx, ["query_id", "neighbor_id"], "left")
+    return joined.agg(
+        F.lit(5).cast("int").alias("k"),
+        (F.sum(F.coalesce(F.col("_hit"), F.lit(0))) / F.count(F.lit(1))).alias(
+            "recall"
+        ),
+    )
+
+
+@q(
+    "decontaminate_bloom",
+    """WITH s AS (
+         SELECT doc_id, text,
+                CASE WHEN b < 98 THEN 'train'
+                     WHEN b < 99 THEN 'val'
+                     ELSE 'test' END AS split
+         FROM (SELECT doc_id, text,
+                      ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS b
+               FROM documents)),
+       tok AS (SELECT doc_id, split, string_split(text, ' ') AS w FROM s),
+       grams AS (SELECT doc_id, split,
+                        unnest(list_transform(range(1, greatest(len(w) - 3, 1)),
+                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                                    w[i+3] || ' ' || w[i+4])) AS g
+                 FROM tok),
+       tg AS (SELECT DISTINCT g FROM grams WHERE split = 'train')
+       SELECT DISTINCT doc_id, split
+       FROM grams JOIN tg USING (g) WHERE split != 'train'""",
+)
+def decontaminate_bloom(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-accelerated decontamination (operators/bloom.py): the
+    100 TB shape of ``decontaminate_eval``. That query distincts the
+    FULL train-gram set (a corpus-sized shuffle) before the semi-join;
+    here a sparse broadcast Bloom filter of the SMALL eval-gram set
+    prefilters train grams at the scan — pure-JVM broadcast hash
+    joins, so the train side never shuffles — and only the surviving
+    sliver is distinct'd and exact-verified against the eval grams.
+
+    The oracle is the plain exact decontamination SQL: Bloom has no
+    false negatives and the final semi-join removes false positives,
+    so the filter is structurally invisible in the result — same
+    sketch-then-verify contract as ``heavy_hitter_tokens``."""
+    docs = t(spark, sf, "documents")
+    s = sampling.hash_split(docs).select("doc_id", "split", "text")
+    grams = s.withColumn("_w", words_of(F.col("text"))).select(
+        "doc_id", "split",
+        F.explode(word_shingles(F.col("_w"), 5)).alias("g"),
+    )
+    eval_grams = grams.filter(F.col("split") != "train")
+    train_grams = grams.filter(F.col("split") == "train").select("g")
+    filt = bloom.bloom_build(
+        eval_grams.select("g").distinct(), "g", m_bits=1 << 20, k=3
+    )
+    survivors = (
+        bloom.bloom_probe(train_grams, "g", filt, m_bits=1 << 20, k=3)
+        .select("g")
+        .distinct()
+    )
+    return (
+        eval_grams.join(survivors, "g", "left_semi")
+        .select("doc_id", "split")
+        .distinct()
+    )
+
+
+@q(
+    "quality_classifier_score",
+    """WITH f AS (
+         SELECT doc_id,
+                len(string_split(text, ' '))::BIGINT AS nt,
+                len(list_filter(string_split(text, ' '),
+                    w -> list_contains(['the','a','of','and','to','in','is',
+                                        'that','it','for'], w)))::BIGINT AS sh,
+                list_max(list_transform(string_split(text, ' '),
+                                        w -> len(w)))::BIGINT AS mx
+         FROM documents)
+       SELECT doc_id,
+              (1000 * sh - 36 * nt - 5 * nt * mx)::BIGINT AS quality_score,
+              COALESCE((1000 * sh - 36 * nt - 5 * nt * mx) >= 0, FALSE) AS keep
+       FROM f""",
+)
+def quality_classifier_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Linear quality classifier (operators/text.py
+    quality_classifier): fasttext-style keep/drop scoring with the
+    whole inequality multiplied through by n_tokens — pure 64-bit
+    integer arithmetic, no float can flip a boundary doc between
+    engines. One codegen pass, zero shuffle."""
+    return text_ops.quality_classifier(t(spark, sf, "documents"))
+
+
+@q(
+    "dataset_card_report",
+    """WITH f AS (
+         SELECT doc_id, source, lang,
+                CASE WHEN text IS NULL THEN 0
+                     ELSE len(string_split(text, ' ')) END::BIGINT AS nt,
+                len(list_filter(string_split(text, ' '),
+                    w -> list_contains(['the','a','of','and','to','in','is',
+                                        'that','it','for'], w)))::BIGINT AS sh,
+                list_max(list_transform(string_split(text, ' '),
+                                        w -> len(w)))::BIGINT AS mx,
+                sha256(text) AS fp
+         FROM documents),
+       dup AS (SELECT fp, COUNT(*) AS copies FROM f GROUP BY fp)
+       SELECT f.source, f.lang,
+              COUNT(*) AS n_docs,
+              CAST(SUM(f.nt) AS BIGINT) AS total_tokens,
+              CAST(SUM(CASE WHEN 1000 * f.sh - 36 * f.nt - 5 * f.nt * f.mx
+                            >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_quality_keep,
+              CAST(SUM(CASE WHEN dup.copies > 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_exact_dup_docs
+       FROM f JOIN dup ON dup.fp = f.fp
+       GROUP BY 1, 2""",
+)
+def dataset_card_report(spark: SparkSession, sf: str) -> DataFrame:
+    """The DATASET CARD — the per-(source, lang) accounting every
+    dataset release ships, composed from the certified primitives:
+    document and token counts, quality-gate keeps (the integer-exact
+    classifier boundary), and exact-duplicate membership (docs whose
+    content hash has >1 copy). One scan + one uniform hash-key join
+    for dup membership + one grouped aggregate; every number is an
+    integer, so the card is reproducible to the digit on any engine
+    or cluster layout — what a release artifact must be."""
+    docs = t(spark, sf, "documents")
+    scored = text_ops.quality_classifier(docs).select(
+        "doc_id", "keep"
+    )
+    copies = (
+        docs.select(F.sha2(F.col("text"), 256).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("copies"))
+    )
+    nt = F.when(F.col("text").isNull(), F.lit(0)).otherwise(
+        F.size(F.split(F.col("text"), " "))
+    ).cast("long")
+    base = docs.select(
+        "doc_id", "source", "lang", nt.alias("nt"),
+        F.sha2(F.col("text"), 256).alias("fp"),
+    )
+    return (
+        base.join(scored, "doc_id")
+        .join(copies, "fp")
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("total_tokens"),
+            F.sum(F.col("keep").cast("long")).alias("n_quality_keep"),
+            F.sum((F.col("copies") > 1).cast("long")).alias(
+                "n_exact_dup_docs"
+            ),
+        )
+    )
+
+
+@q(
+    "curriculum_decile_counts",
+    """WITH f AS (
+         SELECT doc_id,
+                len(string_split(text, ' '))::BIGINT AS nt,
+                len(list_filter(string_split(text, ' '),
+                    w -> list_contains(['the','a','of','and','to','in','is',
+                                        'that','it','for'], w)))::BIGINT AS sh,
+                list_max(list_transform(string_split(text, ' '),
+                                        w -> len(w)))::BIGINT AS mx
+         FROM documents),
+       sc AS (SELECT doc_id,
+                     (1000 * sh - 36 * nt - 5 * nt * mx)::BIGINT AS s
+              FROM f),
+       b AS (SELECT quantile_cont(s, [0.1,0.2,0.3,0.4,0.5,
+                                      0.6,0.7,0.8,0.9]) AS bs
+             FROM sc),
+       d AS (SELECT doc_id, s,
+                    (1 + len(list_filter(bs, x -> s > x)))::BIGINT
+                      AS decile
+             FROM sc, b)
+       SELECT decile, COUNT(*) AS n, MIN(s) AS min_score,
+              MAX(s) AS max_score
+       FROM d GROUP BY 1""",
+)
+def curriculum_decile_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """CURRICULUM BINNING — deciles of the integer quality score for
+    difficulty-ordered training schedules, in the shape that scales:
+    a global NTILE needs a total order (one-partition window — the
+    anti-pattern); instead the 9 exact percentile BOUNDARIES compute
+    in one aggregate, broadcast (9 doubles), and every doc assigns
+    narrowly as ``decile = 1 + #(boundaries strictly below score)``.
+    Integer scores (the quality_classifier_score contract) make the
+    boundary comparisons engine-exact: both engines interpolate the
+    same two integers with the same formula, and an integer score
+    never straddles a half-unit boundary. Ties share a decile (same
+    score ⇒ same bin — rank-splitting ties would be
+    partition-order-dependent); bins are therefore equal-sized only
+    up to tie mass, which min/max per bin makes auditable."""
+    scored = text_ops.quality_classifier(
+        t(spark, sf, "documents")
+    ).select("doc_id", "quality_score")
+    bounds = scored.agg(
+        F.expr(
+            "percentile(quality_score, "
+            "array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D))"
+        ).alias("bs")
+    )
+    return (
+        scored.crossJoin(F.broadcast(bounds))
+        .select(
+            "quality_score",
+            (
+                F.lit(1)
+                + F.aggregate(
+                    "bs",
+                    F.lit(0),
+                    lambda acc, b: acc
+                    + F.when(F.col("quality_score") > b, 1).otherwise(0),
+                )
+            ).cast("long").alias("decile"),
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("quality_score").alias("min_score"),
+            F.max("quality_score").alias("max_score"),
+        )
+    )
+
+
+@q(
+    "context_pack_chunks",
+    """WITH tok AS (
+         SELECT doc_id, source,
+                CASE WHEN text IS NULL THEN 0
+                     ELSE len(string_split(text, ' ')) END::BIGINT AS nt
+         FROM documents),
+       ch AS (SELECT doc_id, source, nt,
+                     greatest(1, (nt + 63) // 64)::BIGINT AS nc
+              FROM tok),
+       rows_ AS (SELECT doc_id, source, nt, nc,
+                        unnest(range(0, nc)) AS chunk_idx
+                 FROM ch),
+       lens AS (SELECT doc_id, source, chunk_idx,
+                       (CASE WHEN chunk_idx < nc - 1 THEN 64
+                             ELSE nt - 64 * (nc - 1) END)::BIGINT AS chunk_len
+                FROM rows_)
+       SELECT doc_id, source, chunk_idx, chunk_len,
+              CAST(FLOOR((SUM(chunk_len) OVER (
+                            PARTITION BY source
+                            ORDER BY doc_id, chunk_idx
+                            ROWS UNBOUNDED PRECEDING) - chunk_len)
+                         / 512.0) AS BIGINT) AS seq
+       FROM lens""",
+)
+def context_pack_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """Context-length packing (operators/sampling.py
+    pack_context_chunks): split docs into ≤64-token chunks, pack
+    chunks into 512-token training sequences via a per-source
+    running-sum window. Narrow explode + one group-partitioned window
+    shuffle; power-of-two budgets keep every division binary-exact."""
+    return sampling.pack_context_chunks(
+        t(spark, sf, "documents"), ctx_len=64, seq_budget=512
+    ).select("doc_id", "source", "chunk_idx", "chunk_len", "seq")
+
+
+@q(
+    "doc_sliding_chunks",
+    """SELECT doc_id,
+              CAST(s // 48 AS BIGINT) AS chunk_idx,
+              CAST(len(cw) AS BIGINT) AS n_chunk_words,
+              array_to_string(cw, ' ') AS chunk_text
+       FROM (SELECT doc_id, s, list_slice(w, s + 1, s + 64) AS cw
+             FROM (SELECT doc_id, string_split(text, ' ') AS w
+                   FROM documents),
+                  unnest(range(0, len(w), 48)) AS t(s))""",
+)
+def doc_sliding_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """OVERLAPPING sliding-window chunking (operators/text.py
+    sliding_chunks): windows of up to 64 words starting every 48 —
+    consecutive chunks share 16 words of context, the standard
+    pre-embedding pass for RAG indexes (context_pack_chunks is the
+    NON-overlapping training-sequence sibling). Narrow split →
+    explode → slice projection, no shuffle at any scale; the oracle
+    compares every chunk's exact text, index, and width."""
+    return text_ops.sliding_chunks(
+        t(spark, sf, "documents"), chunk_words=64, stride=48
+    )
+
+
+@q(
+    "approx_quantile_contract",
+    """SELECT l_returnflag,
+              quantile_cont(l_quantity, 0.25) AS q25,
+              quantile_cont(l_quantity, 0.50) AS q50,
+              quantile_cont(l_quantity, 0.75) AS q75,
+              TRUE AS sketch_ok
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def approx_quantile_contract(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantile-sketch certification row (the ann_recall_at_k pattern
+    applied to percentile_approx): per group, the exact continuous
+    quantiles ARE the result, and ``sketch_ok`` asserts the
+    Greenwald-Khanna sketch's answer lands within the exact values at
+    p ± 0.005 — 50× the sketch's configured 1e-4 rank error, so a
+    pass certifies the sketch and a red row means Spark's sketch
+    violated its own contract. Exact interpolation on small-int
+    quantities with binary-exact fractions (p ∈ {.25,.5,.75}) makes
+    the exact quantiles engine-identical. Single partial-aggregated
+    groupBy — sketches merge map-side; no second scan for the exact
+    path (same aggregate)."""
+    li = t(spark, sf, "lineitem").select("l_returnflag", "l_quantity")
+    qty = F.col("l_quantity")
+    agg = li.groupBy("l_returnflag").agg(
+        F.percentile(qty, F.lit(0.25)).alias("q25"),
+        F.percentile(qty, F.lit(0.50)).alias("q50"),
+        F.percentile(qty, F.lit(0.75)).alias("q75"),
+        F.percentile(qty, F.lit(0.245)).alias("_lo25"),
+        F.percentile(qty, F.lit(0.255)).alias("_hi25"),
+        F.percentile(qty, F.lit(0.495)).alias("_lo50"),
+        F.percentile(qty, F.lit(0.505)).alias("_hi50"),
+        F.percentile(qty, F.lit(0.745)).alias("_lo75"),
+        F.percentile(qty, F.lit(0.755)).alias("_hi75"),
+        F.percentile_approx(qty, F.array(
+            F.lit(0.25), F.lit(0.50), F.lit(0.75)), F.lit(10000)
+        ).alias("_apx"),
+    )
+    ok = (
+        (F.col("_apx")[0] >= F.col("_lo25")) & (F.col("_apx")[0] <= F.col("_hi25"))
+        & (F.col("_apx")[1] >= F.col("_lo50")) & (F.col("_apx")[1] <= F.col("_hi50"))
+        & (F.col("_apx")[2] >= F.col("_lo75")) & (F.col("_apx")[2] <= F.col("_hi75"))
+    )
+    return agg.select(
+        "l_returnflag", "q25", "q50", "q75", ok.alias("sketch_ok")
+    )
+
+
+@q(
+    "hll_distinct_contract",
+    """SELECT o_orderpriority,
+              COUNT(DISTINCT o_custkey)::BIGINT AS exact_distinct,
+              TRUE AS hll_ok
+       FROM orders GROUP BY o_orderpriority""",
+)
+def hll_distinct_contract(spark: SparkSession, sf: str) -> DataFrame:
+    """HyperLogLog certification row: exact distinct customers per
+    order priority, with ``hll_ok`` asserting
+    ``approx_count_distinct`` (rsd = 2 %) lands within ±10 % of exact
+    — 5σ of its configured error, so a red row means the sketch broke
+    its contract, not data drift.
+
+    Plan shape: ONE distinct over (priority, custkey) feeds BOTH
+    aggregates — exact distinct becomes a plain count (no Expand
+    rewrite) and HLL is duplicate-insensitive, so sketching the
+    deduped rows is the same sketch cheaper. rsd below 2 % flips
+    Spark's HLL++ into a dense high-precision register path measured
+    ~4× slower here for accuracy this contract doesn't need; at
+    100 TB the HLL answer is the one you'd serve, and this row is the
+    standing proof it tracks exact."""
+    o = t(spark, sf, "orders")
+    d = o.select("o_orderpriority", "o_custkey").distinct()
+    agg = d.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("exact_distinct"),
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("_apx"),
+    )
+    ok = (
+        F.abs(F.col("_apx") - F.col("exact_distinct"))
+        <= F.lit(0.10) * F.col("exact_distinct")
+    )
+    return agg.select("o_orderpriority", "exact_distinct", ok.alias("hll_ok"))
+
+
+@q(
+    "hll_sketch_partition_merge",
+    """SELECT o_orderpriority,
+              COUNT(DISTINCT o_custkey)::BIGINT AS exact_distinct,
+              TRUE AS merge_ok
+       FROM orders GROUP BY o_orderpriority""",
+)
+def hll_sketch_partition_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """MERGEABLE-sketch rollup — the pattern that actually powers
+    distinct counting at 100 TB: per-(priority, month) Datasketches
+    HLL sketches built once with ``hll_sketch_agg`` (the
+    pre-aggregated sketch table a pipeline materializes daily), then
+    rolled up to per-priority totals with ``hll_union_agg`` — NO
+    rescan of the fact table for the coarser grain, sketches merge
+    losslessly. ``merge_ok`` asserts the merged estimate lands within
+    ±10 % of exact (generous vs lgK=12's ~1.6 % rsd), so a red row
+    means the sketch or its merge broke contract. Two shuffles, both
+    partial-aggregated; the month grain exists only to force real
+    merges."""
+    o = t(spark, sf, "orders").select(
+        "o_orderpriority",
+        F.date_trunc("month", F.col("o_orderdate")).alias("_m"),
+        "o_custkey",
+    )
+    monthly = o.groupBy("o_orderpriority", "_m").agg(
+        F.hll_sketch_agg("o_custkey", 12).alias("_sk"),
+    )
+    merged = monthly.groupBy("o_orderpriority").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("_est"),
+    )
+    exact = (
+        o.select("o_orderpriority", "o_custkey")
+        .distinct()
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("exact_distinct"))
+    )
+    joined = exact.join(merged, "o_orderpriority")
+    ok = (
+        F.abs(F.col("_est") - F.col("exact_distinct"))
+        <= F.lit(0.10) * F.col("exact_distinct")
+    )
+    return joined.select(
+        "o_orderpriority", "exact_distinct", ok.alias("merge_ok")
+    )
+
+
+@q(
+    "theta_sketch_overlap",
+    """SELECT CAST((SELECT COUNT(*) FROM
+                (SELECT DISTINCT o_custkey FROM orders
+                 WHERE EXTRACT(year FROM o_orderdate) = 1996
+                 INTERSECT
+                 SELECT DISTINCT o_custkey FROM orders
+                 WHERE EXTRACT(year FROM o_orderdate) = 1997)) AS BIGINT)
+              AS exact_overlap,
+              TRUE AS theta_ok""",
+)
+def theta_sketch_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Theta-sketch SET ALGEBRA — the capability HLL lacks: estimate
+    the intersection cardinality of two distinct-sets (customers
+    active in both 1996 and 1997 — the audience-overlap question)
+    from two independently-built sketches, no join of the raw sets.
+    At 100 TB each segment keeps one tiny theta sketch and any
+    pairwise overlap is sketch arithmetic, not a shuffle.
+    ``theta_ok`` asserts the estimate within ±10 % of the exact
+    intersection (sketches at lgK=12 on these cardinalities are
+    ~exact); the exact side is the oracle's INTERSECT."""
+    o = t(spark, sf, "orders").select(
+        F.year("o_orderdate").alias("_y"), "o_custkey"
+    )
+    sk = (
+        o.filter(F.col("_y").isin(1996, 1997))
+        .groupBy("_y")
+        .agg(F.theta_sketch_agg("o_custkey").alias("_sk"))
+    )
+    a = sk.filter(F.col("_y") == 1996).select(F.col("_sk").alias("_sa"))
+    b = sk.filter(F.col("_y") == 1997).select(F.col("_sk").alias("_sb"))
+    est = a.crossJoin(b).select(
+        F.theta_sketch_estimate(
+            F.theta_intersection(F.col("_sa"), F.col("_sb"))
+        ).alias("_est")
+    )
+    exact = (
+        o.filter(F.col("_y") == 1996)
+        .select("o_custkey")
+        .intersect(o.filter(F.col("_y") == 1997).select("o_custkey"))
+        .agg(F.count(F.lit(1)).alias("exact_overlap"))
+    )
+    joined = exact.crossJoin(F.broadcast(est))
+    ok = (
+        F.abs(F.col("_est") - F.col("exact_overlap"))
+        <= F.lit(0.10) * F.col("exact_overlap")
+    )
+    return joined.select("exact_overlap", ok.alias("theta_ok"))
+
+
+@q(
+    "modern_aggregates",
+    """SELECT l_returnflag,
+              median(l_quantity) AS median_qty,
+              string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus)
+                AS statuses
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def modern_aggregates(spark: SparkSession, sf: str) -> DataFrame:
+    """Spark 4 aggregate surface: ``median`` (exact continuous — the
+    interpolation arithmetic is binary-exact on integral quantities,
+    same argument as approx_quantile_contract) and ``listagg
+    DISTINCT ... WITHIN GROUP`` (deterministic ordered concatenation;
+    unordered listagg would be shuffle-order-dependent and
+    un-oracle-able). One partial-aggregated shuffle; the WITHIN GROUP
+    syntax rides F.expr inside a DataFrame agg — no temp view."""
+    li = t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("median(l_quantity)").alias("median_qty"),
+        F.expr(
+            "listagg(DISTINCT l_linestatus, ',') "
+            "WITHIN GROUP (ORDER BY l_linestatus)"
+        ).alias("statuses"),
+    )
+
+
+@q(
+    "zorder_write_lifecycle",
+    """SELECT COUNT(*) AS n_rows,
+              MIN(l_orderkey) AS min_ok, MAX(l_orderkey) AS max_ok,
+              MIN(l_partkey) AS min_pk, MAX(l_partkey) AS max_pk,
+              TRUE AS both_dims_bounded
+       FROM lineitem""",
+)
+def zorder_write_lifecycle(spark: SparkSession, sf: str) -> DataFrame:
+    """The REAL z-order write path (operators/layout.py
+    zorder_write), driver-certified end-to-end like
+    ``compaction_lifecycle``: write lineitem's keys into 16 z-curve
+    TILES (hive partition dirs on the top Morton bits — guaranteed
+    per-tile bounds, see zorder_write's docstring for why not
+    quantile ranges), read the table back, and assert IN-FUNCTION the
+    layout property the parquet footers will serve: every tile's
+    span on EACH dimension is at most half the global span (a linear
+    sort would leave the non-leading dimension's span at ~100 % in
+    every file). The returned row is content-level (count + global
+    bounds — write-invariant) plus the asserted flag; the oracle is
+    the same aggregate over the source table, proving the write was
+    lossless."""
+    import shutil
+    import tempfile
+
+    from ..operators import layout
+
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    path = tempfile.mkdtemp(prefix="zorder_")
+    try:
+        layout.zorder_write(li, path, "l_orderkey", "l_partkey", file_bits=4)
+        back = spark.read.parquet(path)
+        per_file = back.groupBy("_tile").agg(
+            F.min("l_orderkey").alias("x0"), F.max("l_orderkey").alias("x1"),
+            F.min("l_partkey").alias("y0"), F.max("l_partkey").alias("y1"),
+        )
+        g = back.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_orderkey").alias("gx0"), F.max("l_orderkey").alias("gx1"),
+            F.min("l_partkey").alias("gy0"), F.max("l_partkey").alias("gy1"),
+        ).first()
+        spans = per_file.select(
+            (F.col("x1") - F.col("x0")).alias("sx"),
+            (F.col("y1") - F.col("y0")).alias("sy"),
+        ).agg(F.max("sx").alias("mx"), F.max("sy").alias("my")).first()
+        # the z-layout property: NO file spans more than half of either
+        # dimension (16 files on the z-curve ≈ quarter x quarter tiles;
+        # half is the generous bound that survives range-sampler skew)
+        assert spans["mx"] <= (g["gx1"] - g["gx0"]) / 2 + 1, spans
+        assert spans["my"] <= (g["gy1"] - g["gy0"]) / 2 + 1, spans
+        # Materialize the 1-row result EAGERLY so the temp write dir
+        # can be removed here: the returned frame must not lazily scan
+        # a path this function is responsible for cleaning up (the
+        # correctness driver invokes this repeatedly; leaked zorder_*
+        # dirs in /tmp accumulated before).
+        summary = back.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_orderkey").alias("min_ok"),
+            F.max("l_orderkey").alias("max_ok"),
+            F.min("l_partkey").alias("min_pk"),
+            F.max("l_partkey").alias("max_pk"),
+            F.lit(True).alias("both_dims_bounded"),
+        )
+        rows, schema = summary.collect(), summary.schema
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+@q(
+    "training_prep_pipeline_e2e",
+    """WITH f AS (
+         SELECT doc_id,
+                len(string_split(text, ' '))::BIGINT AS nt,
+                len(list_filter(string_split(text, ' '),
+                    w -> list_contains(['the','a','of','and','to','in','is',
+                                        'that','it','for'], w)))::BIGINT AS sh,
+                list_max(list_transform(string_split(text, ' '),
+                                        w -> len(w)))::BIGINT AS mx
+         FROM documents),
+       gated AS (
+         SELECT d.doc_id, d.source, d.text FROM documents d JOIN f USING (doc_id)
+         WHERE COALESCE(1000 * sh - 36 * nt - 5 * nt * mx >= 0, FALSE)),
+       deduped AS (
+         SELECT doc_id, source, text FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY sha256(text)
+                                        ORDER BY doc_id) AS rn
+           FROM gated) WHERE rn = 1),
+       split AS (
+         SELECT doc_id, source, text,
+                CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                          % 100 < 98 THEN 'train'
+                     WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                          % 100 < 99 THEN 'val'
+                     ELSE 'test' END AS split
+         FROM deduped),
+       tok AS (SELECT doc_id, split,
+                      CASE WHEN text IS NULL THEN 0
+                           ELSE len(string_split(text, ' ')) END::BIGINT AS ntk
+               FROM split),
+       ch AS (SELECT doc_id, split, ntk,
+                     greatest(1, (ntk + 63) // 64)::BIGINT AS nc
+              FROM tok),
+       rows_ AS (SELECT doc_id, split, ntk, nc,
+                        unnest(range(0, nc)) AS chunk_idx
+                 FROM ch),
+       lens AS (SELECT doc_id, split, chunk_idx,
+                       (CASE WHEN chunk_idx < nc - 1 THEN 64
+                             ELSE ntk - 64 * (nc - 1) END)::BIGINT AS chunk_len
+                FROM rows_),
+       packed AS (SELECT split, doc_id, chunk_idx, chunk_len,
+                         CAST(FLOOR((SUM(chunk_len) OVER (
+                                       PARTITION BY split
+                                       ORDER BY doc_id, chunk_idx
+                                       ROWS UNBOUNDED PRECEDING) - chunk_len)
+                                    / 512.0) AS BIGINT) AS seq
+                  FROM lens)
+       SELECT split, COUNT(DISTINCT doc_id) AS n_docs,
+              COUNT(*) AS n_chunks,
+              COUNT(DISTINCT seq) AS n_sequences,
+              CAST(SUM(chunk_len) AS BIGINT) AS n_tokens
+       FROM packed GROUP BY split""",
+)
+def training_prep_pipeline_e2e(spark: SparkSession, sf: str) -> DataFrame:
+    """The ROUND-4 operator set composed end-to-end — classifier gate
+    (integer-exact, narrow) → exact content dedup (one sha256
+    shuffle) → deterministic md5 split (narrow) → context-length
+    chunking + sequence packing per split (narrow explode + one
+    window shuffle) → per-split corpus accounting. Five library
+    stages, three shuffles; each stage is the individually-certified
+    operator, the oracle is the same composition as one SQL CTE
+    chain — the "prep a training corpus on this engine" certification
+    curation_pipeline_e2e started, extended to the tokenized
+    sequence level."""
+    docs = t(spark, sf, "documents")
+    gate = (
+        text_ops.quality_classifier(docs)
+        .filter(F.col("keep"))
+        .select("doc_id")
+    )
+    kept = docs.join(gate, "doc_id", "left_semi")
+    deduped = dedup.exact_dedup(kept)
+    split = sampling.hash_split(deduped).select("doc_id", "split", "text")
+    packed = sampling.pack_context_chunks(
+        split, ctx_len=64, seq_budget=512, group_col="split"
+    )
+    return packed.groupBy("split").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.countDistinct("seq").alias("n_sequences"),
+        F.sum("chunk_len").alias("n_tokens"),
+    )
+
+
+_SCD2_DIM_SQL = """c AS (SELECT c_custkey AS custkey, c_mktsegment AS seg
+                  FROM customer),
+       base AS (
+         SELECT custkey, seg AS segment, CAST(0 AS BIGINT) AS valid_from_us,
+                CASE WHEN custkey % 3 = 0 THEN 1000000
+                     ELSE 253402300799000000 END AS valid_to_us
+         FROM c),
+       v1 AS (
+         SELECT custkey, 'MOVED1' AS segment,
+                CAST(1000000 AS BIGINT) AS valid_from_us,
+                CASE WHEN custkey % 6 = 0 THEN 2000000
+                     ELSE 253402300799000000 END AS valid_to_us
+         FROM c WHERE custkey % 3 = 0),
+       v2 AS (
+         SELECT custkey, 'MOVED2' AS segment,
+                CAST(2000000 AS BIGINT) AS valid_from_us,
+                CAST(253402300799000000 AS BIGINT) AS valid_to_us
+         FROM c WHERE custkey % 6 = 0),
+       fresh AS (
+         SELECT custkey + 100000 AS custkey, 'FRESH' AS segment,
+                CAST(2000000 AS BIGINT) AS valid_from_us,
+                CAST(253402300799000000 AS BIGINT) AS valid_to_us
+         FROM c WHERE custkey % 6 = 0),
+       dim AS (
+         SELECT * FROM base UNION ALL SELECT * FROM v1
+         UNION ALL SELECT * FROM v2 UNION ALL SELECT * FROM fresh)"""
+
+
+@q(
+    "scd2_dimension_versions",
+    f"WITH {_SCD2_DIM_SQL} SELECT * FROM dim",
+)
+def scd2_dimension_versions(spark: SparkSession, sf: str) -> DataFrame:
+    """SLOWLY-CHANGING DIMENSION Type 2 (plans/scd.py scd2_apply):
+    attribute changes close the current version's validity interval
+    and open a new one, so facts join as-was
+    (``ts BETWEEN valid_from AND valid_to``). Two update batches
+    exercise every path: batch 1 moves every third customer to a new
+    segment AND redelivers unchanged rows for every seventh (the
+    no-op must NOT mint a spurious version — idempotence under
+    redelivery); batch 2 moves every sixth again (closing a version
+    opened by batch 1) and inserts brand-new keys. The oracle
+    reconstructs the full version history per residue class from the
+    fixture formula. One broadcast join per batch against only the
+    CURRENT rows; history is never rewritten."""
+    return _scd2_demo_dim(spark, sf)
+
+
+def _scd2_demo_dim(spark: SparkSession, sf: str) -> DataFrame:
+    """The two-batch SCD2 demo dimension shared by the version-history
+    and as-was-join rows (its literal version history is
+    ``_SCD2_DIM_SQL`` in both oracles)."""
+    from ..plans.scd import OPEN_END_US, scd2_apply
+
+    c = t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    dim = c.select(
+        "custkey", "segment",
+        F.lit(0).cast("long").alias("valid_from_us"),
+        F.lit(OPEN_END_US).alias("valid_to_us"),
+    )
+    b1 = c.filter(
+        (F.col("custkey") % 3 == 0) | (F.col("custkey") % 7 == 1)
+    ).select(
+        "custkey",
+        F.when(F.col("custkey") % 3 == 0, F.lit("MOVED1"))
+        .otherwise(F.col("segment")).alias("segment"),
+        F.lit(1_000_000).cast("long").alias("ts_us"),
+    )
+    dim = scd2_apply(dim, b1, "custkey", ["segment"])
+    moved2 = c.filter(F.col("custkey") % 6 == 0)
+    b2 = moved2.select(
+        "custkey", F.lit("MOVED2").alias("segment"),
+        F.lit(2_000_000).cast("long").alias("ts_us"),
+    ).unionByName(
+        moved2.select(
+            (F.col("custkey") + 100_000).alias("custkey"),
+            F.lit("FRESH").alias("segment"),
+            F.lit(2_000_000).cast("long").alias("ts_us"),
+        )
+    )
+    return scd2_apply(dim, b2, "custkey", ["segment"])
+
+
+@q(
+    "scd2_asof_join",
+    f"""WITH {_SCD2_DIM_SQL},
+       probes AS (
+         SELECT c_custkey AS custkey,
+                unnest([CAST(500000 AS BIGINT), 1500000, 2500000]) AS ts_us
+         FROM customer)
+       SELECT p.custkey, p.ts_us, d.segment
+       FROM probes p JOIN dim d
+         ON d.custkey = p.custkey
+        AND p.ts_us >= d.valid_from_us AND p.ts_us < d.valid_to_us""",
+)
+def scd2_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    """The READ side of SCD2 — the as-was fact enrichment the whole
+    versioning exercise exists for: each fact timestamp joins the
+    dimension version whose validity interval contains it
+    (HALF-OPEN ``from <= ts < to``: scd2_apply closes a version at
+    the update's exact timestamp and opens the successor at the same
+    instant, so BETWEEN would double-match on the boundary). Probes
+    at t=0.5s/1.5s/2.5s land before, between, and after the two
+    update batches, exercising original/MOVED1/MOVED2 per residue
+    class. Scale shape: the version table is dimension-sized, so the
+    fact stream broadcast-probes it and never shuffles — the
+    standard fact-to-SCD2 join plan."""
+    dim = _scd2_demo_dim(spark, sf)
+    probes = t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.explode(
+            F.array(
+                F.lit(500_000).cast("long"),
+                F.lit(1_500_000).cast("long"),
+                F.lit(2_500_000).cast("long"),
+            )
+        ).alias("ts_us"),
+    )
+    return probes.join(
+        F.broadcast(dim),
+        (probes.custkey == dim.custkey)
+        & (probes.ts_us >= dim.valid_from_us)
+        & (probes.ts_us < dim.valid_to_us),
+    ).select(probes.custkey, probes.ts_us, dim.segment)
+
+
+@q(
+    "snapshot_diff",
+    """WITH old AS (
+         SELECT doc_id,
+                CASE WHEN doc_id % 5 = 0 THEN upper(text) ELSE text END AS text
+         FROM documents WHERE doc_id % 7 != 0),
+       new AS (SELECT doc_id, text FROM documents WHERE doc_id % 11 != 3)
+       SELECT CASE WHEN o.doc_id IS NULL THEN 'added'
+                   WHEN n.doc_id IS NULL THEN 'removed'
+                   WHEN o.text IS DISTINCT FROM n.text THEN 'changed'
+                   ELSE 'unchanged' END AS status,
+              COUNT(*) AS n
+       FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+       GROUP BY 1""",
+)
+def snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Snapshot reconciliation (CDC diff): FULL OUTER join of two
+    table versions on the key, each row classified
+    added/removed/changed/unchanged, counts out — the audit every
+    incremental pipeline runs to certify a sync. The "old" snapshot is
+    a deterministic projection of the same table (doc_id%7 rows
+    dropped → 'added'; doc_id%11==3 rows absent from "new" →
+    'removed'; doc_id%5 texts case-flipped → 'changed'), so all four
+    classes occur and both engines derive identical inputs from
+    shared parquet. One
+    shuffle on the uniform key; null-safe comparison via IS DISTINCT
+    FROM semantics (``eqNullSafe``)."""
+    d = t(spark, sf, "documents").select("doc_id", "text")
+    old = (
+        d.filter(F.col("doc_id") % 7 != 0)
+        .select(
+            F.col("doc_id").alias("o_id"),
+            F.when(F.col("doc_id") % 5 == 0, F.upper("text"))
+            .otherwise(F.col("text"))
+            .alias("o_text"),
+        )
+    )
+    new = d.filter(F.col("doc_id") % 11 != 3).select(
+        F.col("doc_id").alias("n_id"), F.col("text").alias("n_text")
+    )
+    joined = old.join(new, old.o_id == new.n_id, "full_outer")
+    status = (
+        F.when(F.col("o_id").isNull(), F.lit("added"))
+        .when(F.col("n_id").isNull(), F.lit("removed"))
+        .when(~F.col("o_text").eqNullSafe(F.col("n_text")), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.groupBy(status.alias("status")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@q(
+    "multimodal_audio_energy",
+    """WITH pos AS (
+         SELECT doc_id, text,
+                unnest(range(0, (len(text) // 128) * 128)) AS i
+         FROM documents WHERE len(text) >= 128),
+       v AS (SELECT doc_id, i // 128 AS win_idx,
+                    ascii(substr(text, CAST(i + 1 AS INT), 1)) AS val
+             FROM pos)
+       SELECT doc_id AS media_id, win_idx,
+              sqrt(SUM(val * val) / 128.0) AS rms
+       FROM v GROUP BY doc_id, win_idx""",
+)
+def multimodal_audio_energy(spark: SparkSession, sf: str) -> DataFrame:
+    """Windowed RMS energy through the audio kernel (operators/
+    multimodal.py audio_window_energy): payload bytes as u8 samples,
+    128-sample frames, partial trailing frame dropped. ASCII payloads
+    make byte == codepoint, so the oracle recomputes the energy
+    character-wise; power-of-two frames + IEEE sqrt make the doubles
+    BIT-EXACT across engines (no rounding anywhere). Narrow Arrow
+    kernel, no shuffle."""
+    media = _docs_as_media(t(spark, sf, "documents"), "audio")
+    return multimodal.audio_window_energy(media, window=128)
+
+
+@q(
+    "mixture_weights_temperature",
+    """WITH per_key AS (
+         SELECT lang, SUM(n_chars)::BIGINT AS domain_size
+         FROM documents GROUP BY lang),
+       tot AS (SELECT SUM(domain_size)::BIGINT AS total,
+                      SUM(sqrt(CAST(domain_size AS DOUBLE))) AS sq_total
+               FROM per_key)
+       SELECT lang, domain_size,
+              ROUND(LEAST(CAST(1.0 AS DOUBLE),
+                    (CAST(total AS DOUBLE) *
+                     (sqrt(CAST(domain_size AS DOUBLE)) / sq_total))
+                    / CAST(domain_size AS DOUBLE)), 6) AS sample_rate
+       FROM per_key, tot""",
+)
+def mixture_weights_temperature(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-2 (α = 1/2) mixture planning (operators/sampling.py
+    mixture_weights_temperature): target share ∝ sqrt(actual) — the
+    multilingual-training softening between proportional and uniform.
+    α = 1/2 because sqrt is IEEE-correctly-rounded (exact oracle)
+    where general pow is not. One low-cardinality aggregate + 1-row
+    broadcast."""
+    return sampling.mixture_weights_temperature(t(spark, sf, "documents"))

@@ -241,7 +241,10 @@ def test_ns_fallback_verified_against_engine(spark, tmp_path, monkeypatch):
     d.mkdir()
     path = str(d / "events.parquet")
     pq.write_table(_table(pa.array(_US, pa.timestamp("us"))), path)
-    monkeypatch.setattr(q, "events_ts_unit", lambda p: "ns")
+    # patch the DEFINING module (queries._core): since the round-9
+    # package split, _resolve_events_unit resolves events_ts_unit in
+    # its own module globals, not through the package re-export
+    monkeypatch.setattr(q._core, "events_ts_unit", lambda p: "ns")
     assert q._resolve_events_unit(spark, path) == "us"
     df = q.t(spark, str(d), "events")
     got = sorted(
