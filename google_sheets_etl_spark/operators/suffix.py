@@ -271,3 +271,65 @@ def duplicate_spans(
     out, _ = _cut(spans)    # self-contained: safe to free every round
     _free(t_ids)
     return out
+
+
+def apply_span_removal(
+    docs: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """APPLY the dedup: rewrite each document with its duplicated
+    spans cut out — the byte-removal step the Lee et al. pipeline
+    runs on :func:`duplicate_spans`' output. Returns
+    ``(doc_id, text_clean, n_removed)``; documents without spans pass
+    through with ``n_removed = 0``.
+
+    Shape: spans collect_list per doc (bounded by spans-per-doc, not
+    corpus), one join onto the document table (broadcast when the
+    span table is small — the usual case; dedup output is sparse),
+    then the rebuild is ONE JVM-side ``F.aggregate`` over the sorted
+    span list (cursor + accumulated text) — no Python in the path,
+    no shuffle beyond the join. Spans are disjoint and sorted by
+    construction (coverage-union islands), which the fold relies on."""
+    sp = spans.groupBy(id_col).agg(
+        F.sort_array(
+            F.collect_list(F.struct("span_start", "span_end"))
+        ).alias("_sp")
+    )
+    joined = docs.select(id_col, text_col).join(sp, id_col, "left")
+    rebuilt = F.aggregate(
+        F.col("_sp"),
+        F.struct(
+            F.lit(1).cast("long").alias("cur"),
+            F.lit("").alias("acc"),
+        ),
+        lambda a, s: F.struct(
+            (s["span_end"] + 1).cast("long").alias("cur"),
+            F.concat(
+                a["acc"],
+                F.col(text_col).substr(
+                    a["cur"], s["span_start"] - a["cur"]
+                ),
+            ).alias("acc"),
+        ),
+        lambda a: F.concat(
+            a["acc"],
+            F.col(text_col).substr(
+                a["cur"],
+                (F.length(text_col) - a["cur"] + 1).cast("int"),
+            ),
+        ),
+    )
+    return joined.select(
+        id_col,
+        F.when(F.col("_sp").isNull(), F.col(text_col))
+        .otherwise(rebuilt).alias("text_clean"),
+        F.when(F.col("_sp").isNull(), F.lit(0).cast("long"))
+        .otherwise(
+            F.aggregate(
+                "_sp", F.lit(0).cast("long"),
+                lambda a, s: a + (s["span_end"] - s["span_start"] + 1),
+            )
+        ).alias("n_removed"),
+    )

@@ -1249,9 +1249,9 @@ def span_dedup_minlen(spark: SparkSession, sf: str) -> DataFrame:
     return cleaning.span_dedup_cdc(t(spark, sf, "documents"), min_tokens=50)
 
 
-@q(
-    "suffix_dedup_spans",
-    """WITH pos AS (
+#: the L=40 duplicated-span derivation shared by the spans row and the
+#: apply row (one definition, two projections)
+_SUFFIX_SPAN_CTES = """pos AS (
          SELECT doc_id, UNNEST(range(1, length(text) - 40 + 2)) AS i,
                 text
          FROM documents),
@@ -1273,11 +1273,19 @@ def span_dedup_minlen(spark: SparkSession, sf: str) -> DataFrame:
          SELECT doc_id, i,
                 SUM(brk) OVER
                   (PARTITION BY doc_id ORDER BY i) AS grp
-         FROM lagged)
-       SELECT doc_id, min(i) AS span_start,
-              max(i) + 39 AS span_end,
-              max(i) + 39 - min(i) + 1 AS span_len
-       FROM isl GROUP BY doc_id, grp""",
+         FROM lagged),
+       spans AS (
+         SELECT doc_id, min(i) AS span_start,
+                max(i) + 39 AS span_end
+         FROM isl GROUP BY doc_id, grp)"""
+
+
+@q(
+    "suffix_dedup_spans",
+    f"""WITH {_SUFFIX_SPAN_CTES}
+       SELECT doc_id, span_start, span_end,
+              span_end - span_start + 1 AS span_len
+       FROM spans""",
 )
 def suffix_dedup_spans(spark: SparkSession, sf: str) -> DataFrame:
     """VARIABLE-LENGTH exact substring dedup (operators/suffix.py
@@ -1298,3 +1306,56 @@ def suffix_dedup_spans(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.suffix import duplicate_spans
 
     return duplicate_spans(t(spark, sf, "documents"), min_len=40)
+
+
+@q(
+    "suffix_dedup_apply",
+    f"""WITH {_SUFFIX_SPAN_CTES},
+       tail AS (
+         SELECT s.doc_id, max(s.span_end) + 1 AS seg_start
+         FROM spans s GROUP BY s.doc_id),
+       segs AS (
+         SELECT doc_id,
+                coalesce(lag(span_end) OVER
+                           (PARTITION BY doc_id ORDER BY span_start)
+                         + 1, 1) AS seg_start,
+                span_start - 1 AS seg_end
+         FROM spans
+         UNION ALL
+         SELECT tl.doc_id, tl.seg_start,
+                CAST(length(d.text) AS BIGINT) AS seg_end
+         FROM tail tl JOIN documents d USING (doc_id)),
+       rebuilt AS (
+         SELECT g.doc_id,
+                string_agg(
+                  substr(d.text, CAST(g.seg_start AS INT),
+                         CAST(greatest(g.seg_end - g.seg_start + 1,
+                                       0) AS INT)),
+                  '' ORDER BY g.seg_start) AS text_clean
+         FROM segs g JOIN documents d USING (doc_id)
+         GROUP BY g.doc_id)
+       SELECT d.doc_id,
+              coalesce(r.text_clean, d.text) AS text_clean,
+              CAST(length(d.text)
+                   - length(coalesce(r.text_clean, d.text))
+                   AS BIGINT) AS n_removed
+       FROM documents d LEFT JOIN rebuilt r USING (doc_id)""",
+)
+def suffix_dedup_apply(spark: SparkSession, sf: str) -> DataFrame:
+    """APPLY the exact substring dedup — the byte-removal step the
+    Lee-et-al pipeline runs on the span table
+    (operators/suffix.py apply_span_removal): every duplicated span
+    is cut and each document's surviving segments are re-joined.
+    Spark side: spans collect_list per doc (bounded by spans-per-doc,
+    dedup output is sparse), one join onto documents, then the
+    rebuild is a single JVM-side F.aggregate fold over the sorted
+    disjoint span list — no Python, no extra shuffle. The oracle
+    rebuilds the same text from inter-span segments (lag window +
+    ordered string_agg), so the value-hash certifies the
+    reconstructed BYTES, not just counts."""
+    from ..operators.suffix import apply_span_removal, duplicate_spans
+
+    docs = t(spark, sf, "documents")
+    return apply_span_removal(
+        docs, duplicate_spans(docs, min_len=40)
+    )

@@ -2710,6 +2710,40 @@ def test_suffix_duplicate_spans_matches_brute_force(spark):
     assert got3 == _brute_duplicate_spans(rows, 10, min_count=3)
 
 
+def test_suffix_apply_span_removal(spark):
+    """apply_span_removal == the Python cut-and-rejoin reference over
+    duplicate_spans' output: multi-span docs, whole-doc removal,
+    span-free pass-through, empty docs."""
+    from google_sheets_etl_spark.operators.suffix import (
+        apply_span_removal, duplicate_spans,
+    )
+
+    rows = [
+        (1, "abcdefghijXYhello world this is a duplicated phrase!ZZt"),
+        (2, "prefix--hello world this is a duplicated phrase!--suffix"),
+        (3, "completely unique content with no repeats at all here 1"),
+        (4, "abcdefghijabcdefghij"),
+        (5, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = duplicate_spans(docs, min_len=10)
+    got = {r["doc_id"]: (r["text_clean"], r["n_removed"])
+           for r in apply_span_removal(docs, spans).collect()}
+    sp: dict = {}
+    for r in spans.collect():
+        sp.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"]))
+    for did, tx in rows:
+        segs, cur = [], 1
+        for s, e in sorted(sp.get(did, [])):
+            segs.append(tx[cur - 1:s - 1])
+            cur = e + 1
+        segs.append(tx[cur - 1:])
+        clean = "".join(segs)
+        assert got[did] == (clean, len(tx) - len(clean)), did
+    assert got[3][1] == 0 and got[3][0] == rows[2][1]  # pass-through
+
+
 def test_suffix_duplicate_spans_contracts(spark):
     """Lifecycle + validation: every doubling round's checkpoint
     blocks are freed (only the returned spans table remains pinned);
