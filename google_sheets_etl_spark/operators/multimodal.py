@@ -954,6 +954,240 @@ def parse_avi_mjpeg(payload: bytes) -> list[tuple[int, int, bytes]]:
     return frames
 
 
+def encode_mp4_mjpeg(
+    width: int,
+    height: int,
+    jpeg_frames: list[bytes],
+    fps: int = 25,
+) -> bytes:
+    """Minimal MJPEG-in-MP4 writer — :func:`parse_mp4_mjpeg`'s
+    inverse for fixtures and tests (the encode_avi_mjpeg pattern on
+    the ISO-BMFF side): ftyp('isom') + mdat of concatenated JPEG
+    samples + a moov whose single 'vide' trak carries a 'jpeg'
+    VisualSampleEntry and a one-chunk sample table (stts/stsc/stsz/
+    stco). mdat precedes moov so the chunk offset is known when the
+    table is written — the layout a progressive writer emits."""
+    import struct
+
+    if not jpeg_frames:
+        raise ValueError("encode_mp4_mjpeg: need at least one frame")
+    n = len(jpeg_frames)
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    def fbox(btype: bytes, body: bytes, version: int = 0) -> bytes:
+        return box(btype, struct.pack(">B3x", version) + body)
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isom")
+    mdat = box(b"mdat", b"".join(jpeg_frames))
+    first_sample_off = len(ftyp) + 8  # mdat header is 8 bytes
+
+    # 'jpeg' VisualSampleEntry (ISO 14496-12 §12.1.3 layout)
+    sample_entry = box(
+        b"jpeg",
+        struct.pack(">6xH", 1)              # data_reference_index
+        + struct.pack(">16x")               # pre_defined/reserved
+        + struct.pack(">HH", width, height)
+        + struct.pack(">IIIH", 0x480000, 0x480000, 0, 1)
+        + b"\x00" * 32                      # compressorname
+        + struct.pack(">Hh", 24, -1),
+    )
+    stsd = fbox(b"stsd", struct.pack(">I", 1) + sample_entry)
+    stts = fbox(b"stts", struct.pack(">III", 1, n, 1))
+    stsc = fbox(b"stsc", struct.pack(">IIII", 1, 1, n, 1))
+    stsz = fbox(
+        b"stsz",
+        struct.pack(">II", 0, n)
+        + b"".join(struct.pack(">I", len(f)) for f in jpeg_frames),
+    )
+    stco = fbox(b"stco", struct.pack(">II", 1, first_sample_off))
+    stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+
+    dref = fbox(b"dref", struct.pack(">I", 1) + fbox(b"url ", b""))
+    dinf = box(b"dinf", dref)
+    vmhd = box(
+        b"vmhd", struct.pack(">BBBB8x", 0, 0, 0, 1)
+    )
+    minf = box(b"minf", vmhd + dinf + stbl)
+    hdlr = fbox(b"hdlr", struct.pack(">4x") + b"vide"
+                + struct.pack(">12x") + b"\x00")
+    mdhd = fbox(
+        b"mdhd", struct.pack(">IIIIHH", 0, 0, fps, n, 0x55C4, 0)
+    )
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    tkhd = fbox(
+        b"tkhd",
+        struct.pack(">IIII4xII", 0, 0, 1, 0, n, 0)
+        + struct.pack(">HHHH", 0, 0, 0, 0)
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                      0x40000000)
+        + struct.pack(">II", width << 16, height << 16),
+        version=0,
+    )
+    trak = box(b"trak", tkhd + mdia)
+    mvhd = fbox(
+        b"mvhd",
+        struct.pack(">IIII", 0, 0, fps, n)
+        + struct.pack(">IH2x8x", 0x10000, 0x100)
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                      0x40000000)
+        + struct.pack(">6I", 0, 0, 0, 0, 0, 0)
+        + struct.pack(">I", 2),
+    )
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def _mp4_boxes(buf: bytes, start: int, end: int):
+    """Walk one ISO-BMFF box level in ``buf[start:end]``, yielding
+    ``(type, body_start, body_end)``. Strict: every box must declare
+    size >= 8 and lie entirely inside the level; a leftover tail
+    shorter than a box header is a truncation, not slack."""
+    import struct
+
+    pos = start
+    while pos < end:
+        if pos + 8 > end:
+            raise ValueError("truncated mp4 box")
+        (size,) = struct.unpack(">I", buf[pos : pos + 4])
+        if size < 8:
+            raise ValueError("unsupported mp4 box size")
+        if pos + size > end:
+            raise ValueError("truncated mp4 box")
+        yield buf[pos + 4 : pos + 8], pos + 8, pos + size
+        pos += size
+
+
+def _mp4_find(buf: bytes, start: int, end: int, btype: bytes):
+    """First child box of the given type at this level, or None."""
+    for t, b0, b1 in _mp4_boxes(buf, start, end):
+        if t == btype:
+            return b0, b1
+    return None
+
+
+def parse_mp4_mjpeg(payload: bytes) -> list[tuple[int, int, bytes]]:
+    """Strict MJPEG-in-MP4 frame walk — the ISO-BMFF twin of
+    :func:`parse_avi_mjpeg`: descend moov→trak→mdia→minf→stbl, demand
+    a 'jpeg' VisualSampleEntry in stsd, expand the real sample table
+    (stsc chunk runs × stco chunk offsets × stsz sample sizes — the
+    general expansion, not just the one-chunk layout the writer
+    emits), slice each sample out of the file body, and decode it
+    through the certified baseline-JPEG path. Returns
+    ``[(w, h, raw RGB bytes), ...]`` in sample order.
+
+    Strictness contract (pinned messages): the first box must be
+    ftyp ('not an mp4 payload'); every box must fit its level
+    ('truncated mp4 box' / 'unsupported mp4 box size'); moov and the
+    full stbl path are required ('missing mp4 moov box' / 'missing
+    mp4 sample table'); the sample format must be jpeg ('unsupported
+    mp4 sample format'); the table must be non-empty ('empty mp4
+    sample table'), internally consistent ('mp4 sample table
+    mismatch'), and every sample must lie inside the payload ('mp4
+    sample out of range'); frames must decode (the JPEG parser's own
+    pinned errors propagate) at constant dimensions ('frame
+    dimensions changed mid-video')."""
+    import struct
+
+    if len(payload) < 8 or payload[4:8] != b"ftyp":
+        raise ValueError("not an mp4 payload")
+    moov = None
+    for t, b0, b1 in _mp4_boxes(payload, 0, len(payload)):
+        if t == b"moov" and moov is None:
+            moov = (b0, b1)
+    if moov is None:
+        raise ValueError("missing mp4 moov box")
+
+    span = moov
+    for child in (b"trak", b"mdia", b"minf", b"stbl"):
+        span = _mp4_find(payload, span[0], span[1], child)
+        if span is None:
+            raise ValueError("missing mp4 sample table")
+    stbl0, stbl1 = span
+    tables = {}
+    for t, b0, b1 in _mp4_boxes(payload, stbl0, stbl1):
+        if t in (b"stsd", b"stsc", b"stsz", b"stco"):
+            tables[t] = (b0, b1)
+    if any(k not in tables for k in (b"stsd", b"stsc", b"stsz", b"stco")):
+        raise ValueError("missing mp4 sample table")
+
+    def full(t: bytes) -> tuple[int, int]:
+        b0, b1 = tables[t]
+        if b1 - b0 < 8:
+            raise ValueError("truncated mp4 box")
+        return b0 + 4, b1  # skip version/flags
+
+    p, e = full(b"stsd")
+    (n_entries,) = struct.unpack(">I", payload[p : p + 4])
+    if n_entries < 1 or e - p < 16:
+        raise ValueError("missing mp4 sample table")
+    if payload[p + 8 : p + 12] != b"jpeg":
+        raise ValueError("unsupported mp4 sample format")
+
+    p, e = full(b"stsz")
+    if e - p < 8:
+        raise ValueError("truncated mp4 box")
+    fixed, count = struct.unpack(">II", payload[p : p + 8])
+    if count == 0:
+        raise ValueError("empty mp4 sample table")
+    if fixed:
+        sizes = [fixed] * count
+    else:
+        if e - p < 8 + 4 * count:
+            raise ValueError("truncated mp4 box")
+        sizes = list(
+            struct.unpack(f">{count}I", payload[p + 8 : p + 8 + 4 * count])
+        )
+
+    p, e = full(b"stco")
+    (n_chunks,) = struct.unpack(">I", payload[p : p + 4])
+    if e - p < 4 + 4 * n_chunks:
+        raise ValueError("truncated mp4 box")
+    offsets = list(
+        struct.unpack(f">{n_chunks}I", payload[p + 4 : p + 4 + 4 * n_chunks])
+    )
+
+    p, e = full(b"stsc")
+    (n_runs,) = struct.unpack(">I", payload[p : p + 4])
+    if e - p < 4 + 12 * n_runs or n_runs == 0:
+        raise ValueError("truncated mp4 box" if n_runs else
+                         "mp4 sample table mismatch")
+    runs = [
+        struct.unpack(">III", payload[p + 4 + 12 * i : p + 16 + 12 * i])
+        for i in range(n_runs)
+    ]
+
+    # expand: chunk i (1-based) takes samples_per_chunk from the run
+    # with the greatest first_chunk <= i (ISO 14496-12 §8.7.4)
+    spc_by_chunk = []
+    for i in range(1, n_chunks + 1):
+        spc = None
+        for first, per, _sdi in runs:
+            if first <= i:
+                spc = per
+        if spc is None:
+            raise ValueError("mp4 sample table mismatch")
+        spc_by_chunk.append(spc)
+    if sum(spc_by_chunk) != count:
+        raise ValueError("mp4 sample table mismatch")
+
+    frames: list[tuple[int, int, bytes]] = []
+    si = 0
+    for chunk_off, spc in zip(offsets, spc_by_chunk):
+        off = chunk_off
+        for _ in range(spc):
+            size = sizes[si]
+            if off + size > len(payload):
+                raise ValueError("mp4 sample out of range")
+            frames.append(_parse_jpeg(bytes(payload[off : off + size])))
+            off += size
+            si += 1
+    if any(f[:2] != frames[0][:2] for f in frames[1:]):
+        raise ValueError("frame dimensions changed mid-video")
+    return frames
+
+
 def sniff_format(payload: bytes) -> str | None:
     """THE magic-byte classifier — the single definition every
     dispatch surface consults (:func:`decode_image`,
@@ -976,6 +1210,9 @@ def sniff_format(payload: bytes) -> str | None:
         # audio from AVI video; anything else stays on the wav path
         # so its strict parser reports the familiar RIFF error
         return "avi" if payload[8:12] == b"AVI " else "wav"
+    if payload[4:8] == b"ftyp":
+        # ISO-BMFF signature lives at offset 4 (the first box's type)
+        return "mp4"
     return None
 
 
@@ -1022,8 +1259,9 @@ def parse_video_frames(payload: bytes) -> list[tuple[int, int, bytes]]:
             (w, h, head + _gif_frame_rgb(idx, palette))
             for idx in frames
         ]
-    if fmt == "avi":
-        decoded = parse_avi_mjpeg(payload)
+    if fmt in ("avi", "mp4"):
+        parse = parse_avi_mjpeg if fmt == "avi" else parse_mp4_mjpeg
+        decoded = parse(payload)
         w, h = decoded[0][0], decoded[0][1]
         head = b"P6\n%d %d\n255\n" % (w, h)
         return [(w, h, head + rgb) for (w, h, rgb) in decoded]
@@ -1891,6 +2129,7 @@ def payload_decode_audit(
         "gif": parse_gif_indexed,
         "wav": parse_wav_pcm16,
         "avi": parse_avi_mjpeg,
+        "mp4": parse_mp4_mjpeg,
     }
 
     def verdict(payload) -> tuple[bool, str]:

@@ -1686,6 +1686,141 @@ def avi_decode_audit(spark: SparkSession, sf: str) -> DataFrame:
     return multimodal.payload_decode_audit(media)
 
 
+def _mp4_media(spark: SparkSession, sf: str) -> DataFrame:
+    """MJPEG-in-MP4 (ISO-BMFF) twins of :func:`_avi_media`: the SAME
+    doc subset, frame plan, and JPEG encodes, wrapped in an ftyp +
+    mdat + moov box tree (multimodal.encode_mp4_mjpeg) instead of a
+    RIFF. Because the samples are byte-identical to the AVI frames,
+    the AVI fixture's independent-decoder ground truth certifies the
+    MP4 path too — what changes between the two rows is EXACTLY the
+    container walk under test (moov→trak→…→stbl descent + stsc/stsz/
+    stco sample-table expansion vs the RIFF movi chunk scan)."""
+    import pandas as pd
+
+    d = t(spark, sf, "documents").select("doc_id").filter(
+        F.col("doc_id") % 5 == 0
+    )
+
+    def kernel(batches):
+        import numpy as np
+
+        from ..operators.jpeg import encode_jpeg
+        from ..operators.multimodal import encode_mp4_mjpeg
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                nf = 2 + doc_id % 3
+                w = 8 + 4 * (doc_id % 3)
+                h = 8 + 4 * (doc_id % 2)
+                y, x, c = np.meshgrid(
+                    np.arange(h, dtype=np.int64),
+                    np.arange(w, dtype=np.int64),
+                    np.arange(3, dtype=np.int64),
+                    indexing="ij",
+                )
+                jpegs = []
+                for f in range(nf):
+                    cut = 128 if f == nf - 1 else 0
+                    raster = (
+                        ((doc_id + x * 7 + y * 13 + c * 37
+                          + f * 29 + cut) % 256)
+                        .astype(np.uint8).tobytes()
+                    )
+                    jpegs.append(encode_jpeg(w, h, raster))
+                payloads.append(encode_mp4_mjpeg(w, h, jpegs))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return d.mapInPandas(kernel, "media_id long, payload binary")
+
+
+@q(
+    "mp4_mjpeg_frame_stats",
+    f"""WITH base AS ({_AVI_ORACLE})
+       SELECT media_id, frame_idx, width, height, lum_sum
+       FROM base""",
+)
+def mp4_mjpeg_frame_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """MJPEG-in-MP4 frame extraction end-to-end: the strict ISO-BMFF
+    walk (multimodal.parse_mp4_mjpeg — moov→trak→mdia→minf→stbl
+    descent, 'jpeg' VisualSampleEntry demanded in stsd, the GENERAL
+    stsc×stco×stsz sample-table expansion) slices each sample out of
+    mdat, decodes it through the certified baseline-JPEG path, and
+    re-wraps frames as standalone P6 rows via parse_video_frames'
+    dispatch — so every image operator composes over MP4 frames
+    unchanged. The oracle is the AVI fixture verbatim: the samples
+    are byte-identical across containers, so the independent
+    decoder's literal ground truth isolates the box walk as the only
+    code under test. Narrow per-payload kernel, no shuffle."""
+    frames = multimodal.video_frame_extract(_mp4_media(spark, sf))
+    return multimodal.image_luminance_sum(
+        frames, ["media_id", "frame_idx", "width", "height"]
+    )
+
+
+@q(
+    "mp4_decode_audit",
+    """SELECT doc_id AS media_id,
+              (doc_id % 5) = 0 AS ok,
+              CASE doc_id % 5
+                WHEN 0 THEN ''
+                WHEN 1 THEN 'truncated mp4 box'
+                WHEN 2 THEN 'unsupported mp4 sample format'
+                WHEN 3 THEN 'jpeg missing eoi'
+                ELSE 'missing mp4 moov box' END AS err
+       FROM documents""",
+)
+def mp4_decode_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """The decode REJECT CHANNEL for MP4 (payload_decode_audit's
+    ftyp branch): planted failure classes per doc_id residue — a
+    valid container, trailing bytes shorter than a box header (the
+    box-level truncation), an avc1 sample entry the MJPEG walk must
+    refuse (the codec-mismatch reject a real pipeline hits first), a
+    sample whose JPEG EOI is sliced off (the inner codec's pinned
+    message surfacing THROUGH the sample table), and a moov-less
+    ftyp+mdat prefix (the progressive-download torso)."""
+    import pandas as pd
+
+    d = t(spark, sf, "documents").select("doc_id")
+
+    def kernel(batches):
+        from ..operators.jpeg import encode_jpeg
+        from ..operators.multimodal import encode_mp4_mjpeg
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                jpeg = encode_jpeg(
+                    8, 8, bytes((doc_id * 3 + k) % 256 for k in range(192))
+                )
+                good = encode_mp4_mjpeg(8, 8, [jpeg, jpeg])
+                cls = doc_id % 5
+                if cls == 0:
+                    payloads.append(good)
+                elif cls == 1:
+                    payloads.append(good + b"jnk")
+                elif cls == 2:
+                    # patch the stsd sample-entry type in place; rfind
+                    # because mdat precedes moov and entropy bytes may
+                    # collide with any 4-byte tag
+                    i = good.rfind(b"stsd") + 16
+                    payloads.append(good[:i] + b"avc1" + good[i + 4:])
+                elif cls == 3:
+                    payloads.append(encode_mp4_mjpeg(8, 8, [jpeg[:-2]]))
+                else:
+                    payloads.append(good[: good.rfind(b"moov") - 4])
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = d.mapInPandas(kernel, "media_id long, payload binary")
+    return multimodal.payload_decode_audit(media)
+
+
 def _video_dup_media(spark: SparkSession, sf: str) -> DataFrame:
     """Planted near-dup videos for the perceptual-signature row: doc
     ids ``{5t, 5t+1}`` form pairs — both render the SAME nonlinear

@@ -243,7 +243,7 @@ _TYPED_PROFILE_ORACLE = f"""WITH wh AS ({_VARCHAR_WAREHOUSE_SQL}),
                       THEN 1 END) AS n_eu_slash,
                 COUNT(CASE WHEN
                         regexp_matches(trim(v),
-                                       '^[0-9]{{2}}\.[0-9]{{2}}\.[0-9]{{4}}$')
+                                       '^[0-9]{{2}}\\.[0-9]{{2}}\\.[0-9]{{4}}$')
                         AND try_strptime(trim(v), '%d.%m.%Y') IS NOT NULL
                       THEN 1 END) AS n_dot,
                 COUNT(CASE WHEN
@@ -259,8 +259,8 @@ _TYPED_PROFILE_ORACLE = f"""WITH wh AS ({_VARCHAR_WAREHOUSE_SQL}),
                             IS NOT NULL
                       THEN 1 END) AS n_heu,
                 COUNT(CASE WHEN
-                        regexp_matches(trim(v), '^[0-9]{{2}}\.[0-9]{{2}}'
-                          || '\.[0-9]{{4}} [0-9]{{2}}:[0-9]{{2}}$')
+                        regexp_matches(trim(v), '^[0-9]{{2}}\\.[0-9]{{2}}'
+                          || '\\.[0-9]{{4}} [0-9]{{2}}:[0-9]{{2}}$')
                         AND try_strptime(trim(v), '%d.%m.%Y %H:%M')
                             IS NOT NULL
                       THEN 1 END) AS n_hdot,

@@ -3038,6 +3038,125 @@ def test_avi_frames_compose_through_image_ops(spark):
     assert got == direct and len(got) == 2
 
 
+def test_mp4_mjpeg_container_contracts():
+    """MJPEG-in-MP4 (ISO-BMFF): the box-tree walk returns frames
+    byte-identical to the AVI walk over the SAME member JPEGs (the
+    container-independence contract that lets the AVI fixture certify
+    the MP4 path); the strict parse rejects every malformation class
+    with its pinned message; the GENERAL stsc sample-table expansion
+    handles a multi-chunk layout the writer itself never emits."""
+    import struct
+
+    import pytest
+
+    from google_sheets_etl_spark.operators.jpeg import encode_jpeg
+    from google_sheets_etl_spark.operators.multimodal import (
+        encode_avi_mjpeg, encode_mp4_mjpeg, parse_avi_mjpeg,
+        parse_mp4_mjpeg, parse_video_frames, sniff_format,
+    )
+
+    w, h = 8, 8
+    jpegs = [
+        encode_jpeg(w, h, bytes((f * 29 + k * 7) % 256
+                                for k in range(w * h * 3)))
+        for f in range(3)
+    ]
+    mp4 = encode_mp4_mjpeg(w, h, jpegs)
+    assert sniff_format(mp4) == "mp4"
+    assert parse_mp4_mjpeg(mp4) == parse_avi_mjpeg(
+        encode_avi_mjpeg(w, h, jpegs)
+    )
+    frames = parse_video_frames(mp4)
+    assert [fr[2][:10] for fr in frames] == [b"P6\n8 8\n255"] * 3
+
+    # multi-chunk stsc expansion: split the 3 samples as 2 + 1 into
+    # two chunks (two stco offsets, two stsc runs) — the layout a
+    # real muxer interleaving audio would produce
+    def box(btype, body):
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    i = mp4.rfind(b"stsc") - 4
+    (old_sz,) = struct.unpack(">I", mp4[i : i + 4])
+    stsc2 = box(b"stsc", struct.pack(">B3xI", 0, 2)
+                + struct.pack(">III", 1, 2, 1)
+                + struct.pack(">III", 2, 1, 1))
+    j = mp4.rfind(b"stco") - 4
+    (old_co_sz,) = struct.unpack(">I", mp4[j : j + 4])
+    (first_off,) = struct.unpack(">I", mp4[j + 16 : j + 20])
+    stco2 = box(b"stco", struct.pack(">B3xI", 0, 2)
+                + struct.pack(">II", first_off,
+                              first_off + len(jpegs[0]) + len(jpegs[1])))
+    patched = (mp4[:i] + stsc2 + mp4[i + old_sz : j] + stco2
+               + mp4[j + old_co_sz :])
+    # grow every ancestor box size (stbl/minf/mdia/trak/moov) by delta
+    delta = (len(stsc2) - old_sz) + (len(stco2) - old_co_sz)
+    out = patched
+    for anc in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+        k = out.rfind(anc) - 4
+        (sz,) = struct.unpack(">I", out[k : k + 4])
+        out = out[:k] + struct.pack(">I", sz + delta) + out[k + 4 :]
+    assert parse_mp4_mjpeg(out) == parse_mp4_mjpeg(mp4)
+
+    stsd_fmt = mp4.rfind(b"stsd") + 16
+    for payload, msg in [
+        (b"\x00\x00\x00\x08xxxx", "not an mp4 payload"),
+        (mp4 + b"jnk", "truncated mp4 box"),
+        (mp4[:-5], "truncated mp4 box"),
+        (mp4[: mp4.rfind(b"moov") - 4], "missing mp4 moov box"),
+        (mp4[:stsd_fmt] + b"avc1" + mp4[stsd_fmt + 4 :],
+         "unsupported mp4 sample format"),
+        (encode_mp4_mjpeg(w, h, [jpegs[0][:-2]]), "jpeg missing eoi"),
+        (encode_mp4_mjpeg(w, h, [
+            jpegs[0], encode_jpeg(12, 8, bytes(12 * 8 * 3))]),
+         "frame dimensions changed mid-video"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            parse_mp4_mjpeg(payload)
+
+
+def test_mp4_frames_compose_through_image_ops(spark):
+    """The composition contract for the ISO-BMFF container: dHash
+    over MP4-extracted frames equals dHash over the member JPEGs
+    decoded directly — same invariant the AVI twin pins."""
+    from google_sheets_etl_spark.operators import multimodal as mm
+    from google_sheets_etl_spark.operators.jpeg import encode_jpeg
+
+    w, h = 16, 12
+    jpegs = [
+        encode_jpeg(w, h, bytes((f * 31 + (k % 97) * 5) % 256
+                                for k in range(w * h * 3)))
+        for f in range(2)
+    ]
+    mp4 = mm.encode_mp4_mjpeg(w, h, jpegs)
+    media = spark.createDataFrame(
+        [(1, "video", mp4, None)], mm.MEDIA_SCHEMA
+    )
+    frames = mm.video_frame_extract(media)
+    got = {
+        r["media_id"]: r["dhash"]
+        for r in mm.image_dhash(
+            frames.select(
+                F.col("frame_idx").alias("media_id"),
+                F.lit("image").alias("kind"),
+                "payload",
+                F.lit(None).cast(
+                    mm.MEDIA_SCHEMA["meta"].dataType
+                ).alias("meta"),
+            )
+        ).collect()
+    }
+    direct = {
+        f: r["dhash"]
+        for f, j in enumerate(jpegs)
+        for r in mm.image_dhash(
+            spark.createDataFrame(
+                [(f, "image", j, None)], mm.MEDIA_SCHEMA
+            )
+        ).collect()
+    }
+    assert got == direct and len(got) == 2
+
+
 def test_kn_bigram_continuation_backoff(spark):
     """The Kneser-Ney point: backoff mass follows CONTEXT DIVERSITY,
     not raw frequency. 'francisco' appears 50x but only ever after

@@ -665,8 +665,18 @@ def test_scd2_apply_contracts(spark):
         scd2_apply(out, boundary, "k", ["attr"])
 
 
-def _n_persistent_rdds(spark) -> int:
-    return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+def _persistent_rdd_ids(spark) -> set[int]:
+    """IDs of currently persistent RDDs. Assertions below diff these
+    sets rather than compare counts: other tests' leftover handles
+    can be unpersisted ASYNCHRONOUSLY mid-test by the ContextCleaner
+    when Python GC drops their references, so absolute counts flake
+    under full-suite ordering — but concurrent cleanup only ever
+    REMOVES ids, so 'no NEW ids beyond ours' stays sound."""
+    it = spark.sparkContext._jsc.sc().getPersistentRDDs().keysIterator()
+    ids = set()
+    while it.hasNext():
+        ids.add(it.next())
+    return ids
 
 
 def test_scd2_cache_lifecycle(spark):
@@ -683,8 +693,7 @@ def test_scd2_cache_lifecycle(spark):
         scd2_batch,
     )
 
-    spark.catalog.clearCache()
-    base = _n_persistent_rdds(spark)
+    base = _persistent_rdd_ids(spark)
     dim = spark.createDataFrame(
         [(1, "A", 0, OPEN_END_US), (2, "B", 0, OPEN_END_US)],
         "k long, attr string, valid_from_us long, valid_to_us long",
@@ -699,14 +708,15 @@ def test_scd2_cache_lifecycle(spark):
     # plain apply: materialize the result, then assert no residue
     out = scd2_apply(dim, b1, "k", ["attr"])
     plain_rows = {tuple(r) for r in out.collect()}
-    assert _n_persistent_rdds(spark) == base
+    assert not (_persistent_rdd_ids(spark) - base)
 
     # scoped: cached INSIDE the block, released on exit
     with scd2_batch(dim, b1, "k", ["attr"]) as scoped:
         scoped_rows = {tuple(r) for r in scoped.collect()}
-        assert _n_persistent_rdds(spark) > base
+        inside = _persistent_rdd_ids(spark) - base
+        assert inside
     assert scoped_rows == plain_rows
-    assert _n_persistent_rdds(spark) == base
+    assert not (_persistent_rdd_ids(spark) & inside)
 
     # scoped guard raise still releases (no unreachable handle)
     dup = spark.createDataFrame(
@@ -716,18 +726,18 @@ def test_scd2_cache_lifecycle(spark):
     with _pt.raises(ValueError, match="multiple updates"):
         with scd2_batch(dim, dup, "k", ["attr"]):
             pass  # pragma: no cover — guard raises before yield
-    assert _n_persistent_rdds(spark) == base
+    assert not (_persistent_rdd_ids(spark) - base)
 
     # batch loop: equals chained applies; only the documented final
-    # handle remains, and releasing it restores the baseline
+    # handle remains, and releasing it removes every id we created
     chained = {tuple(r) for r in
                scd2_apply(scd2_apply(dim, b1, "k", ["attr"]),
                           b2, "k", ["attr"]).collect()}
     looped_df = scd2_apply_batches(dim, [b1, b2], "k", ["attr"])
     assert {tuple(r) for r in looped_df.collect()} == chained
-    assert _n_persistent_rdds(spark) == base + 1
+    assert len(_persistent_rdd_ids(spark) - base) == 1
     looped_df.unpersist()
-    assert _n_persistent_rdds(spark) == base
+    assert not (_persistent_rdd_ids(spark) - base)
 
 
 def test_matview_approx_distinct_merges_like_full(spark):
