@@ -1512,6 +1512,207 @@ def parse_wav_pcm16(payload: bytes) -> tuple[int, "object"]:
     return sample_rate, np.frombuffer(data, dtype="<i2")
 
 
+#: IMA ADPCM quantizer step table (IMA Digital Audio Pack 4:1, 1992;
+#: the table every DVI/IMA decoder ships — spec data, not code).
+_IMA_STEP_TABLE = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767,
+)
+_IMA_INDEX_TABLE = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def _ima_step(pred: int, index: int, delta: int) -> tuple[int, int]:
+    """One IMA ADPCM state transition: apply 4-bit ``delta`` to
+    ``(pred, index)`` with the spec's separate-shift reconstruction
+    (step>>3 + bit-gated step, step>>1, step>>2 — NOT the fused
+    (2d+1)·step/8, which rounds differently). Shared by encoder and
+    decoder so the encoder's predictor tracks the decoder exactly."""
+    step = _IMA_STEP_TABLE[index]
+    diff = step >> 3
+    if delta & 4:
+        diff += step
+    if delta & 2:
+        diff += step >> 1
+    if delta & 1:
+        diff += step >> 2
+    pred = pred - diff if delta & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + _IMA_INDEX_TABLE[delta & 7]))
+    return pred, index
+
+
+def encode_wav_ima_adpcm(
+    sample_rate: int,
+    samples,
+    samples_per_block: int = 129,
+) -> bytes:
+    """IMA ADPCM (WAVE format 0x11) mono encoder —
+    :func:`parse_wav_ima_adpcm`'s inverse for fixtures and tests:
+    4 bits per sample (4x over PCM16), block-structured so any block
+    decodes independently (the seek/parallel-decode property the
+    format exists for). Each block: 4-byte header (first sample
+    verbatim as int16 LE + step index u8 + reserved) then two
+    low-nibble-first samples per byte. ``len(samples)`` must be a
+    multiple of ``samples_per_block`` (which must be odd so nibble
+    pairs fill bytes exactly) — strict, no silent padding."""
+    import struct
+
+    samples = [int(s) for s in samples]
+    if samples_per_block < 3 or samples_per_block % 2 == 0:
+        raise ValueError("samples_per_block must be odd and >= 3")
+    if not samples or len(samples) % samples_per_block:
+        raise ValueError(
+            "sample count must be a positive multiple of samples_per_block"
+        )
+    if any(s < -32768 or s > 32767 for s in samples):
+        raise ValueError("sample out of int16 range")
+    block_align = 4 + (samples_per_block - 1) // 2
+
+    index = 0
+    body = bytearray()
+    for b0 in range(0, len(samples), samples_per_block):
+        block = samples[b0 : b0 + samples_per_block]
+        pred = block[0]
+        body += struct.pack("<hBB", pred, index, 0)
+        nibbles = []
+        for s in block[1:]:
+            step = _IMA_STEP_TABLE[index]
+            diff = s - pred
+            delta = 8 if diff < 0 else 0
+            diff = abs(diff)
+            if diff >= step:
+                delta |= 4
+                diff -= step
+            if diff >= step >> 1:
+                delta |= 2
+                diff -= step >> 1
+            if diff >= step >> 2:
+                delta |= 1
+            pred, index = _ima_step(pred, index, delta)
+            nibbles.append(delta)
+        for lo, hi in zip(nibbles[::2], nibbles[1::2]):
+            body.append(lo | (hi << 4))
+
+    byte_rate = sample_rate * block_align // samples_per_block
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, 1, sample_rate, byte_rate, block_align, 4,
+        2, samples_per_block,
+    )
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(body)) + bytes(body)
+    )
+    return (b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE"
+            + chunks)
+
+
+def parse_wav_ima_adpcm(payload: bytes) -> tuple[int, "object"]:
+    """Strict IMA ADPCM (WAVE format 0x11) mono decode — the
+    COMPRESSED-audio sibling of :func:`parse_wav_pcm16`: same RIFF
+    chunk discipline, then per-block state-machine reconstruction
+    (header sample verbatim, then the spec's separate-shift delta
+    arithmetic per nibble, low nibble first). Returns
+    ``(sample_rate, np.int16 array)``.
+
+    Strictness contract: container errors reuse the WAV parser's
+    pinned messages ('not a RIFF/WAVE payload', 'truncated chunk',
+    'truncated fmt chunk', 'missing fmt/data chunk'); format 0x11
+    mono 4-bit is demanded ('only IMA ADPCM mono supported'); the fmt
+    extension must carry samples_per_block consistent with
+    block_align ('adpcm block size mismatch'); the data chunk must be
+    whole blocks ('truncated adpcm block'); every block header's step
+    index must be in table range ('adpcm step index out of range')."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt_body, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        if pos + 8 + size > len(payload):
+            raise ValueError("truncated chunk")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated fmt chunk")
+            fmt_body = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if fmt_body is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, sample_rate, _, block_align, bits = (
+        struct.unpack("<HHIIHH", fmt_body[:16])
+    )
+    if (audio_format, channels, bits) != (0x11, 1, 4):
+        raise ValueError("only IMA ADPCM mono supported")
+    if len(fmt_body) < 20:
+        raise ValueError("truncated fmt chunk")
+    (samples_per_block,) = struct.unpack("<H", fmt_body[18:20])
+    if samples_per_block != (block_align - 4) * 2 + 1:
+        raise ValueError("adpcm block size mismatch")
+    if not data or len(data) % block_align:
+        raise ValueError("truncated adpcm block")
+
+    out = np.empty(len(data) // block_align * samples_per_block,
+                   dtype=np.int16)
+    oi = 0
+    for b0 in range(0, len(data), block_align):
+        pred, index, _ = struct.unpack(
+            "<hBB", data[b0 : b0 + 4]
+        )
+        if index > 88:
+            raise ValueError("adpcm step index out of range")
+        out[oi] = pred
+        oi += 1
+        for byte in data[b0 + 4 : b0 + block_align]:
+            for delta in (byte & 0x0F, byte >> 4):
+                pred, index = _ima_step(pred, index, delta)
+                out[oi] = pred
+                oi += 1
+    return sample_rate, out
+
+
+def parse_wav_samples(payload: bytes) -> tuple[int, "object"]:
+    """THE WAV decode dispatch — the audio analogue of
+    :func:`decode_image`: one cheap fmt-tag probe routes to the
+    matching strict parser (1 → PCM16, 0x11 → IMA ADPCM), so every
+    energy/spectral/envelope operator gains a WAV codec the moment
+    its parser registers here. Unknown format tags reject with a
+    pinned message; container malformations surface the chosen
+    parser's own errors."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, tag = 12, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        if pos + 8 + size > len(payload):
+            break  # the strict parser reports 'truncated chunk'
+        if cid == b"fmt " and size >= 2:
+            (tag,) = struct.unpack("<H", payload[pos + 8 : pos + 10])
+            break
+        pos += 8 + size + (size & 1)
+    if tag == 0x11:
+        return parse_wav_ima_adpcm(payload)
+    if tag in (1, None):
+        # None (no fmt found) falls through so the strict parser
+        # reports its own pinned missing-chunk/truncation message
+        return parse_wav_pcm16(payload)
+    raise ValueError("unsupported wav audio format")
+
+
 def wav_window_energy(media: DataFrame, window: int = 256) -> DataFrame:
     """Windowed RMS over REAL decoded WAV payloads — the container-
     parsing upgrade of :func:`audio_window_energy` (which treats raw
@@ -1543,7 +1744,7 @@ def wav_window_energy(media: DataFrame, window: int = 256) -> DataFrame:
                 if payload is None:
                     continue
                 try:
-                    rate, v = parse_wav_pcm16(bytes(payload))
+                    rate, v = parse_wav_samples(bytes(payload))
                 except ValueError:
                     continue  # undecodable payload → no rows
                 n_full = len(v) // window
@@ -1612,7 +1813,7 @@ def wav_hadamard_bands(
                 if payload is None:
                     continue
                 try:
-                    _, v = parse_wav_pcm16(bytes(payload))
+                    _, v = parse_wav_samples(bytes(payload))
                 except ValueError:
                     continue  # undecodable payload → no rows
                 n_full = len(v) // window
@@ -2127,7 +2328,7 @@ def payload_decode_audit(
         "png": parse_png,
         "jpeg": _parse_jpeg,
         "gif": parse_gif_indexed,
-        "wav": parse_wav_pcm16,
+        "wav": parse_wav_samples,
         "avi": parse_avi_mjpeg,
         "mp4": parse_mp4_mjpeg,
     }

@@ -1380,6 +1380,139 @@ def multimodal_decode_audit(spark: SparkSession, sf: str) -> DataFrame:
     return multimodal.payload_decode_audit(media)
 
 
+def _adpcm_oracle() -> str:
+    """Literal-expected per-window RMS for the IMA-ADPCM payloads,
+    regenerated by the INDEPENDENT table-driven decoder
+    (tools/gen_adpcm_fixture.py — per-(index, code) magnitude/next
+    lookup tables, no shared code with the package's inline bit-test
+    decoder). ADPCM is lossy, so ground truth is the second decoder,
+    not the input samples (the JPEG/AVI discipline on audio)."""
+    import os
+
+    path = os.path.join(_FIXTURES_DIR, "wav_adpcm_sf001.sql")
+    with open(path) as f:
+        return f.read()
+
+
+_ADPCM_ORACLE = _adpcm_oracle()
+
+
+def _adpcm_media(spark: SparkSession, sf: str) -> DataFrame:
+    """COMPRESSED audio containers: IMA ADPCM in WAV (format 0x11 —
+    the first compressed audio byte a pipeline sees after PCM), one
+    per document. Per payload: nblocks = 2 + doc_id % 3 blocks of 129
+    samples, sample k = ((doc_id·7 + k·13) % 16384) − 8192 (mod-wrap
+    jumps exercise step adaptation hard), through the package encoder
+    at 4 bits/sample. Definition shared verbatim with
+    tools/gen_adpcm_fixture.py, whose independent decoder supplies
+    the literal ground truth."""
+    import pandas as pd
+
+    d = t(spark, sf, "documents").select("doc_id")
+
+    def kernel(batches):
+        from ..operators.multimodal import encode_wav_ima_adpcm
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n = 129 * (2 + doc_id % 3)
+                samples = [
+                    ((doc_id * 7 + k * 13) % 16384) - 8192
+                    for k in range(n)
+                ]
+                payloads.append(encode_wav_ima_adpcm(8000, samples, 129))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return d.mapInPandas(kernel, "media_id long, payload binary")
+
+
+@q(
+    "wav_adpcm_energy",
+    f"""WITH base AS ({_ADPCM_ORACLE})
+       SELECT media_id, win_idx, rms, sample_rate FROM base""",
+)
+def wav_adpcm_energy(spark: SparkSession, sf: str) -> DataFrame:
+    """COMPRESSED-audio decode end-to-end through the SHARED energy
+    surface: parse_wav_samples' fmt-tag dispatch routes format 0x11
+    to the strict IMA-ADPCM block decoder (4 bits/sample, per-block
+    header state, the spec's separate-shift reconstruction — NOT the
+    fused (2d+1)·step/8, which rounds differently), and
+    wav_window_energy computes the same bit-exact windowed RMS it
+    computes over PCM16 — the composition contract: every audio
+    operator gained a codec with zero operator changes. Certified
+    against the independent table-driven decoder's literal fixture.
+    Narrow per-payload Arrow kernel, no shuffle; at 100 TB the 4x
+    byte shrink vs PCM16 is 4x less scan I/O for the same audio."""
+    return multimodal.wav_window_energy(_adpcm_media(spark, sf), window=64)
+
+
+@q(
+    "wav_adpcm_audit",
+    """SELECT doc_id AS media_id,
+              (doc_id % 4) = 0 AS ok,
+              CASE doc_id % 4
+                WHEN 0 THEN ''
+                WHEN 1 THEN 'adpcm step index out of range'
+                WHEN 2 THEN 'truncated adpcm block'
+                ELSE 'unsupported wav audio format' END AS err
+       FROM documents""",
+)
+def wav_adpcm_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """The decode REJECT CHANNEL for compressed audio
+    (payload_decode_audit's WAV branch now routing through
+    parse_wav_samples): planted failure classes per doc_id residue —
+    a valid ADPCM container, a block header whose step index exceeds
+    the 89-entry table (the classic corrupted-header failure), a data
+    chunk cut mid-block (seek-table corruption), and an MS-ADPCM
+    format tag (0x02) the IMA walk must refuse rather than mis-decode."""
+    import pandas as pd
+
+    d = t(spark, sf, "documents").select("doc_id")
+
+    def kernel(batches):
+        import struct
+
+        from ..operators.multimodal import encode_wav_ima_adpcm
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                samples = [
+                    ((doc_id * 11 + k * 13) % 16384) - 8192
+                    for k in range(258)
+                ]
+                good = encode_wav_ima_adpcm(8000, samples, 129)
+                cls = doc_id % 4
+                if cls == 0:
+                    payloads.append(good)
+                elif cls == 1:
+                    i = good.find(b"data") + 8
+                    payloads.append(good[: i + 2] + bytes([120])
+                                    + good[i + 3 :])
+                elif cls == 2:
+                    bad = bytearray(good[:-3])
+                    struct.pack_into("<I", bad, 4, len(bad) - 8)
+                    di = good.find(b"data")
+                    (dsz,) = struct.unpack("<I", good[di + 4 : di + 8])
+                    struct.pack_into("<I", bad, di + 4, dsz - 3)
+                    payloads.append(bytes(bad))
+                else:
+                    fi = good.find(b"fmt ") + 8
+                    payloads.append(good[:fi] + struct.pack("<H", 2)
+                                    + good[fi + 2 :])
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = d.mapInPandas(kernel, "media_id long, payload binary")
+    return multimodal.payload_decode_audit(media)
+
+
 def _video_media(spark: SparkSession, sf: str) -> DataFrame:
     """REAL video payloads: concatenated-P6 frame containers (the
     uncompressed frame-sequence shape operators/multimodal.py

@@ -3157,6 +3157,81 @@ def test_mp4_frames_compose_through_image_ops(spark):
     assert got == direct and len(got) == 2
 
 
+def test_ima_adpcm_codec_contracts():
+    """IMA ADPCM (WAV format 0x11): the encoder's predictor tracks
+    the decoder exactly (shared _ima_step), so decode error is
+    bounded by quantizer granularity on smooth signals; each block
+    decodes independently (seek property); parse_wav_samples routes
+    fmt tags to the right strict parser; every malformation class
+    rejects with its pinned message."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from google_sheets_etl_spark.operators.multimodal import (
+        encode_wav_ima_adpcm, parse_wav_ima_adpcm, parse_wav_pcm16,
+        parse_wav_samples, sniff_format,
+    )
+
+    # smooth signal: decode tracks within a few quantizer steps
+    s = [int(6000 * np.sin(k / 9.0)) for k in range(258)]
+    wav = encode_wav_ima_adpcm(8000, s, 129)
+    assert sniff_format(wav) == "wav"
+    rate, dec = parse_wav_ima_adpcm(wav)
+    assert rate == 8000 and len(dec) == 258
+    err = np.abs(np.asarray(s) - dec.astype(np.int64))
+    # the step index starts at 0, so the first samples of an attack
+    # lag while the quantizer step grows (correct ADPCM behavior);
+    # past the transient the tracker stays within a few steps
+    assert err[32:].max() < 512 and err.max() < 4096
+    # 4 bits/sample: container is ~4x smaller than the PCM16 twin
+    assert len(wav) < (44 + 2 * 258) / 3
+
+    # block independence: decoding block 2's bytes alone (re-wrapped)
+    # equals the tail of the full decode — the seek contract
+    block_align = 4 + 64
+    di = wav.find(b"data")
+    blk2 = wav[di + 8 + block_align : di + 8 + 2 * block_align]
+    solo = encode_wav_ima_adpcm(8000, [0] * 129, 129)
+    sdi = solo.find(b"data")
+    rewrapped = solo[: sdi + 8] + blk2
+    _, dec2 = parse_wav_ima_adpcm(rewrapped)
+    assert (dec2 == dec[129:]).all()
+
+    # dispatch: PCM16 payloads still take the PCM16 path
+    pcm = (b"RIFF" + struct.pack("<I", 36 + 8) + b"WAVEfmt "
+           + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+           + b"data" + struct.pack("<I", 8)
+           + struct.pack("<4h", 1, -2, 3, -4))
+    assert (parse_wav_samples(pcm)[1] == parse_wav_pcm16(pcm)[1]).all()
+
+    fi = wav.find(b"fmt ") + 8
+    i = wav.find(b"data") + 8
+    trunc = bytearray(wav[:-3])
+    struct.pack_into("<I", trunc, 4, len(trunc) - 8)
+    (dsz,) = struct.unpack("<I", wav[di + 4 : di + 8])
+    struct.pack_into("<I", trunc, di + 4, dsz - 3)
+    for payload, msg in [
+        (wav[: i + 2] + bytes([120]) + wav[i + 3 :],
+         "adpcm step index out of range"),
+        (bytes(trunc), "truncated adpcm block"),
+        (wav[:fi] + struct.pack("<H", 2) + wav[fi + 2 :],
+         "unsupported wav audio format"),
+        (wav[: fi + 2] + struct.pack("<H", 2) + wav[fi + 4 :],
+         "only IMA ADPCM mono supported"),
+        (wav[: fi + 18] + struct.pack("<H", 999) + wav[fi + 20 :],
+         "adpcm block size mismatch"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            parse_wav_samples(payload)
+
+    with pytest.raises(ValueError, match="multiple of samples_per_block"):
+        encode_wav_ima_adpcm(8000, [0] * 100, 129)
+    with pytest.raises(ValueError, match="odd"):
+        encode_wav_ima_adpcm(8000, [0] * 128, 128)
+
+
 def test_kn_bigram_continuation_backoff(spark):
     """The Kneser-Ney point: backoff mass follows CONTEXT DIVERSITY,
     not raw frequency. 'francisco' appears 50x but only ever after
