@@ -1377,3 +1377,152 @@ def nsw_beam_recall_at_k(spark: SparkSession, sf: str) -> DataFrame:
             n_entries=2, include_stats=True,
         ),
     ))
+
+
+_HYBRID_TERMS = ["spark", "window", "merge"]
+
+# the BM25 leg of the hybrid oracle: the SAME generator that builds
+# bm25_retrieval_scores' twin (tokenizer_q._bm25_oracle — one
+# formulation, zero drift between the standalone row and the hybrid
+# leg), restricted to the corpus side (doc_id >= 10) so the key space
+# matches the dense leg's candidate vectors
+def _hybrid_bm25_sql() -> str:
+    from .tokenizer_q import _bm25_oracle
+
+    return _bm25_oracle(_HYBRID_TERMS).replace(
+        "FROM documents",
+        "FROM (SELECT * FROM documents WHERE doc_id >= 10)",
+    )
+
+
+_HYBRID_BM25_SQL = _hybrid_bm25_sql()
+
+
+@q(
+    "hybrid_rrf_fusion",
+    f"""WITH q AS (SELECT vec_id, embedding FROM embeddings
+                  WHERE vec_id < 10),
+       c AS (SELECT vec_id, embedding FROM embeddings
+             WHERE vec_id >= 10),
+       dense AS (
+         SELECT query_id, doc_id, "rank" AS dense_rank FROM (
+           SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+                  ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                    list_dot_product(q.embedding, c.embedding) /
+                      (sqrt(list_dot_product(q.embedding, q.embedding)) *
+                       sqrt(list_dot_product(c.embedding, c.embedding)))
+                    DESC, c.vec_id ASC) AS rank
+           FROM q CROSS JOIN c) WHERE rank <= 20),
+       lexs AS ({_HYBRID_BM25_SQL}),
+       lex AS (
+         SELECT doc_id,
+                ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC)
+                  AS lex_rank
+         FROM lexs QUALIFY lex_rank <= 20),
+       pairs AS (
+         SELECT query_id, doc_id FROM dense
+         UNION
+         SELECT qq.vec_id AS query_id, lex.doc_id FROM q qq, lex),
+       fused AS (
+         SELECT p.query_id, p.doc_id,
+                COALESCE(d.dense_rank, 0) AS dense_rank,
+                COALESCE(l.lex_rank, 0) AS lex_rank,
+                COALESCE(1000000 // (60 + d.dense_rank), 0)
+                + COALESCE(1000000 // (60 + l.lex_rank), 0) AS rrf_micro
+         FROM pairs p
+         LEFT JOIN dense d
+           ON d.query_id = p.query_id AND d.doc_id = p.doc_id
+         LEFT JOIN lex l ON l.doc_id = p.doc_id)
+       SELECT query_id, doc_id, dense_rank, lex_rank, rrf_micro,
+              fused_rank
+       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY rrf_micro DESC, doc_id ASC)
+                       AS fused_rank
+             FROM fused) WHERE fused_rank <= 5""",
+)
+def hybrid_rrf_fusion(spark: SparkSession, sf: str) -> DataFrame:
+    """HYBRID retrieval — reciprocal-rank fusion (Cormack et al.
+    SIGIR'09) of a lexical BM25 leg and a dense cosine leg, the
+    standard two-tower RAG retrieval shape. Each leg produces its
+    top-20 ranking independently (dense: broadcast queries + batch-
+    local top-k; lexical: one O(1) stats row + narrow scoring pass
+    into orderBy+limit = TakeOrderedAndProject); fusion is pure
+    integer arithmetic — rrf = Σ 1000000 div (60 + rank) in int64
+    micro-units, so no float drift can reorder engines — over
+    METADATA-SCALE relations (10 queries × 20 + 20 rows; the
+    broadcast cross of query ids × lexical ranks is 200 rows by
+    construction, never corpus-sized). At 100 TB each leg scales on
+    its own machinery (ANN index for dense, inverted-index/BM25 scan
+    for lexical) and the fusion cost never grows: it only ever sees
+    top-k lists. Ranks are returned per leg (NULL when a doc reached
+    the fused top-5 through one leg only) so the row is auditable."""
+    emb = t(spark, sf, "embeddings")
+    docs = t(spark, sf, "documents")
+
+    dense = similarity.cosine_topk_bruteforce(
+        emb.filter(F.col("vec_id") < 10),
+        emb.filter(F.col("vec_id") >= 10), k=20,
+    ).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("dense_rank"),
+    )
+    lex = (
+        text_ops.bm25_scores(
+            docs.filter(F.col("doc_id") >= 10), _HYBRID_TERMS
+        )
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(20)
+        # the window runs over the 20 surviving rows only — bounded
+        # single partition by construction, not a corpus sort
+        .select(
+            "doc_id",
+            F.row_number().over(
+                Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+            ).cast("long").alias("lex_rank"),
+        )
+    )
+    q_ids = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id")
+    )
+    # 10 query ids x 20 lexical ranks = 200 rows: a documented
+    # metadata-scale broadcast cross, never corpus-sized
+    lex_per_q = q_ids.crossJoin(F.broadcast(lex))
+    pairs = (
+        dense.select("query_id", "doc_id")
+        .union(lex_per_q.select("query_id", "doc_id"))
+        .distinct()
+    )
+    fused = (
+        pairs
+        .join(dense, ["query_id", "doc_id"], "left")
+        .join(lex, ["doc_id"], "left")
+        .withColumn(
+            "rrf_micro",
+            F.coalesce(
+                F.expr("1000000 div (60 + dense_rank)"), F.lit(0)
+            )
+            + F.coalesce(
+                F.expr("1000000 div (60 + lex_rank)"), F.lit(0)
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_micro"), F.asc("doc_id")
+    )
+    return (
+        fused.withColumn(
+            "fused_rank", F.row_number().over(w).cast("long")
+        )
+        .filter(F.col("fused_rank") <= 5)
+        .select(
+            "query_id", "doc_id",
+            # rank 0 = absent from that leg's top-20 (a sentinel, not
+            # a rank): keeps both columns non-null so the pandas
+            # fetch path never widens them to float
+            F.coalesce("dense_rank", F.lit(0)).cast("long")
+            .alias("dense_rank"),
+            F.coalesce("lex_rank", F.lit(0)).cast("long")
+            .alias("lex_rank"),
+            "rrf_micro", "fused_rank",
+        )
+    )

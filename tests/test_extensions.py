@@ -3232,6 +3232,46 @@ def test_ima_adpcm_codec_contracts():
         encode_wav_ima_adpcm(8000, [0] * 128, 128)
 
 
+def test_hybrid_rrf_fusion_invariants(spark):
+    """RRF fusion contract over the registered query at gate scale:
+    exactly 5 fused rows per query in strict fused order; rrf_micro
+    is EXACTLY the integer sum of the per-leg reciprocal ranks
+    (sentinel 0 = absent from that leg's top-20 contributes 0); and a
+    doc present in BOTH legs always outranks a doc whose single leg
+    rank is no better — the property fusion exists for."""
+    from google_sheets_etl_spark.queries import QUERIES
+
+    rows = QUERIES["hybrid_rrf_fusion"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(len(v) for v in by_q.values()) == {5}
+    for rs in by_q.values():
+        rs.sort(key=lambda r: r["fused_rank"])
+        assert [r["fused_rank"] for r in rs] == [1, 2, 3, 4, 5]
+        micros = []
+        for r in rs:
+            exp = 0
+            if r["dense_rank"]:
+                exp += 1000000 // (60 + r["dense_rank"])
+            if r["lex_rank"]:
+                exp += 1000000 // (60 + r["lex_rank"])
+            assert r["rrf_micro"] == exp, r
+            micros.append(r["rrf_micro"])
+        assert micros == sorted(micros, reverse=True)
+        both = [r for r in rs if r["dense_rank"] and r["lex_rank"]]
+        single = [r for r in rs
+                  if bool(r["dense_rank"]) != bool(r["lex_rank"])]
+        for b in both:
+            worst = max(b["dense_rank"], b["lex_rank"])
+            for s in single:
+                s_rank = s["dense_rank"] or s["lex_rank"]
+                if s_rank >= worst:
+                    assert b["rrf_micro"] > s["rrf_micro"]
+
+
 def test_kn_bigram_continuation_backoff(spark):
     """The Kneser-Ney point: backoff mass follows CONTEXT DIVERSITY,
     not raw frequency. 'francisco' appears 50x but only ever after
