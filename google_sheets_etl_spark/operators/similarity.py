@@ -1173,6 +1173,227 @@ def cosine_topk_nsw_beam(
     return _ranked_topk(scored, k, bound=False)
 
 
+def cosine_topk_hnsw(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    m_neighbors: int = 6,
+    ef: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    include_stats: bool = False,
+) -> DataFrame:
+    """HIERARCHICAL NSW (Malkov & Yashunin 2018) — the multi-layer
+    upgrade of :func:`cosine_topk_nsw_beam`: instead of entering the
+    base graph at the n_entries oldest hubs, a logarithmic stack of
+    sparser layers routes each query DOWN to a near-optimal entry,
+    and only the base layer runs the ef-bounded beam. What the
+    hierarchy buys is entry quality: the beam starts next to the
+    answer, so it converges scoring fewer nodes at equal recall —
+    the property the recall row certifies against the flat beam.
+
+    Everything that made the flat graph certifiable is preserved:
+
+    - LEVELS are deterministic, not random: node level = trailing
+      zero bits of md5(id:seed:lvl) (a geometric(1/2) draw any engine
+      reproduces — HNSW's mL = 1/ln 2 choice), capped at
+      floor(log2(cell size)).
+    - Each layer's graph is the SAME order-deterministic NSW
+      insertion rule (m nearest predecessors by micro-unit cosine,
+      symmetrized) restricted to nodes of that level or higher.
+    - DESCENT is HNSW's ef=1 greedy: at each upper layer, move to
+      the strictly-best-scoring neighbor until a local optimum, then
+      drop a layer. Entry = the max-level node (tie: min id).
+    - The BASE layer runs the exact beam of
+      :func:`cosine_topk_nsw_beam`, seeded with the descent's exit.
+
+    ``n_visited`` counts every DISTINCT node scored anywhere in the
+    stack (upper-layer probes included — the honest total a real
+    deployment meters; a node re-seen on a lower layer is cached,
+    not re-scored). Per-cell Arrow tasks, corpus never shuffles —
+    the working-set contract of the whole NSW family."""
+    import hashlib
+    import heapq
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType,
+    )
+
+    if ef < k:
+        raise ValueError(f"cosine_topk_hnsw: ef ({ef}) must be >= k ({k})")
+
+    cents = _seeded_centroid_matrix(
+        candidates, n_cells, id_col, vec_col, seed
+    )
+    c = _probe_assign(
+        candidates, cents, "neighbor_id", "cv", 1, id_col, vec_col
+    )
+    q = _probe_assign(
+        queries, cents, "query_id", "qv", n_probe, id_col, vec_col
+    )
+
+    fields = [
+        StructField("query_id", queries.schema[id_col].dataType),
+        StructField("neighbor_id", candidates.schema[id_col].dataType),
+        StructField("cos", DoubleType()),
+    ]
+    if include_stats:
+        fields += [
+            StructField("n_visited", LongType()),
+            StructField("cell_n", LongType()),
+        ]
+    out_schema = StructType(fields)
+
+    def u6(x: "np.ndarray") -> "np.ndarray":
+        return np.floor(x * 1e6 + 0.5).astype(np.int64)
+
+    def node_level(node_id: int, cap: int) -> int:
+        h = int(hashlib.md5(
+            f"{node_id}:{seed}:lvl".encode()
+        ).hexdigest()[:16], 16)
+        lvl = 0
+        while h & 1 and lvl < cap:
+            lvl += 1
+            h >>= 1
+        return lvl
+
+    def build_adj(gsim: "np.ndarray", members: "np.ndarray") -> dict:
+        """NSW insertion rule restricted to ``members`` (ascending
+        node index = ascending id): each member links to its m
+        nearest PREDECESSOR members, symmetrized."""
+        neigh: dict[int, list[int]] = {int(i): [] for i in members}
+        for pos in range(1, len(members)):
+            i = int(members[pos])
+            preds = members[:pos]
+            order = np.argsort(-gsim[i, preds], kind="stable")
+            for oj in order[:m_neighbors]:
+                j = int(preds[oj])
+                neigh[i].append(j)
+                neigh[j].append(i)
+        return neigh
+
+    def cell_kernel(qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        cols = [f.name for f in fields]
+        if len(qpdf) == 0 or len(cpdf) == 0:
+            return pd.DataFrame({name: [] for name in cols})
+        cpdf = cpdf.sort_values("neighbor_id").reset_index(drop=True)
+        nc = len(cpdf)
+        cmat = np.vstack(cpdf["cv"].to_numpy()).astype(np.float64)
+        cn = np.sqrt((cmat * cmat).sum(axis=1))
+        c_zero = cn == 0
+        cn[c_zero] = 1.0
+        gsim = u6((cmat @ cmat.T) / (cn[:, None] * cn[None, :]))
+        nid = cpdf["neighbor_id"].to_numpy()
+        cap = max(0, int(np.log2(nc))) if nc > 1 else 0
+        levels = np.array(
+            [node_level(int(x), cap) for x in nid], dtype=np.int64
+        )
+        top = int(levels.max())
+        # entry: the max-level node, tie min id (ids ascend w/ index)
+        entry0 = int(np.flatnonzero(levels == top)[0])
+        layer_adj = {
+            lvl: build_adj(gsim, np.flatnonzero(levels >= lvl))
+            for lvl in range(1, top + 1)
+        }
+        # base layer: dense adjacency over all nodes (the flat graph)
+        base_neigh: list[list[int]] = [[] for _ in range(nc)]
+        for i in range(1, nc):
+            order = np.argsort(-gsim[i, :i], kind="stable")
+            for j in order[:m_neighbors]:
+                j = int(j)
+                base_neigh[i].append(j)
+                base_neigh[j].append(i)
+
+        qmat = np.vstack(qpdf["qv"].to_numpy()).astype(np.float64)
+        qn = np.sqrt((qmat * qmat).sum(axis=1))
+        q_zero = qn == 0
+        qn[q_zero] = 1.0
+        qcos = (qmat @ cmat.T) / (qn[:, None] * cn[None, :])
+        qcos_emit = qcos.copy()
+        qcos_emit[:, c_zero] = np.nan
+        qcos_emit[q_zero, :] = np.nan
+        qcu6 = u6(qcos)
+        out = {name: [] for name in cols}
+        for qi in range(len(qpdf)):
+            cu = qcu6[qi]
+            seen = np.zeros(nc, dtype=bool)
+            cur = entry0
+            seen[cur] = True
+            n_scored = 1
+            # greedy ef=1 descent through the upper layers
+            for lvl in range(top, 0, -1):
+                adj = layer_adj[lvl]
+                improved = True
+                while improved:
+                    improved = False
+                    best, best_s = cur, int(cu[cur])
+                    for n in adj[cur]:
+                        if not seen[n]:
+                            seen[n] = True
+                            n_scored += 1
+                        s = int(cu[n])
+                        if s > best_s or (s == best_s and n < best):
+                            best, best_s = n, s
+                    if best != cur and int(cu[best]) > int(cu[cur]):
+                        cur = best
+                        improved = True
+            # base-layer beam (cosine_topk_nsw_beam's loop), seeded
+            # with EVERY node the descent scored — their distance
+            # computations are already paid, and omitting them would
+            # silently drop a descent-scored true neighbor from the
+            # result set (the seen guard blocks re-entry)
+            scored0 = np.flatnonzero(seen)
+            cand = [(-int(cu[i]), int(i)) for i in scored0]
+            heapq.heapify(cand)
+            W = [(int(cu[i]), -int(i)) for i in scored0]
+            heapq.heapify(W)
+            while len(W) > ef:
+                heapq.heappop(W)
+            while cand:
+                negs, i = heapq.heappop(cand)
+                if len(W) == ef and -negs < W[0][0]:
+                    break
+                for n in base_neigh[i]:
+                    if seen[n]:
+                        continue
+                    seen[n] = True
+                    n_scored += 1
+                    s = int(cu[n])
+                    if len(W) < ef or s > W[0][0] or (
+                        s == W[0][0] and -n > W[0][1]
+                    ):
+                        heapq.heappush(W, (s, -n))
+                        if len(W) > ef:
+                            heapq.heappop(W)
+                        heapq.heappush(cand, (-s, n))
+            found = np.array(sorted(-negi for _, negi in W), dtype=int)
+            cos = qcos_emit[qi, found]
+            keep = found[np.argsort(-cos, kind="stable")[:k]]
+            out["query_id"].extend([qpdf["query_id"].iloc[qi]] * len(keep))
+            out["neighbor_id"].extend(nid[keep])
+            out["cos"].extend(qcos_emit[qi, keep])
+            if include_stats:
+                out["n_visited"].extend([n_scored] * len(keep))
+                out["cell_n"].extend([nc] * len(keep))
+        return pd.DataFrame(out)
+
+    scored = (
+        q.groupBy("cell")
+        .cogroup(c.groupBy("cell"))
+        .applyInPandas(
+            lambda left, right: cell_kernel(left, right), out_schema
+        )
+    )
+    if include_stats:
+        return scored
+    return _ranked_topk(scored, k, bound=False)
+
+
 def embedding_near_dup_pairs(
     vectors: DataFrame,
     threshold: float = 0.45,

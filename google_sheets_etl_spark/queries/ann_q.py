@@ -1379,6 +1379,74 @@ def nsw_beam_recall_at_k(spark: SparkSession, sf: str) -> DataFrame:
     ))
 
 
+@q(
+    "hnsw_recall_at_k",
+    """SELECT * FROM (VALUES
+         ('hnsw_ef16', 5, CAST(0.7  AS DOUBLE), CAST(0.3682 AS DOUBLE)),
+         ('hnsw_ef32', 5, CAST(0.88 AS DOUBLE), CAST(0.5398 AS DOUBLE)),
+         ('hnsw_ef64', 5, CAST(0.96 AS DOUBLE), CAST(0.7324 AS DOUBLE)),
+         ('beam_ef32', 5, CAST(0.88 AS DOUBLE), CAST(0.5214 AS DOUBLE)))
+       AS t(variant, k, recall, visited_frac)""",
+)
+def hnsw_recall_at_k(spark: SparkSession, sf: str) -> DataFrame:
+    """HIERARCHICAL NSW (similarity.cosine_topk_hnsw — Malkov &
+    Yashunin 2018's multi-layer stack over the same deterministic
+    graph family) pinned HEAD-TO-HEAD against the flat beam on the
+    honest distance-computation metric, and the pin records an
+    HONEST ENGINEERING FINDING: at gate-scale cells (~500 nodes) the
+    hierarchy is cost-NEUTRAL on visited fraction (within ~2% of the
+    flat beam at every ef) with a small recall edge at low ef (0.70
+    vs 0.68 at ef=16 — the descent-scored nodes seed the beam with a
+    better entry neighborhood), because the flat walk's entry hubs
+    (the oldest, best-connected nodes) are already near-optimal at
+    this n. The
+    hierarchy's value is asymptotic: entry-crawl cost grows with
+    cell size while descent cost grows with its log, so the composed
+    index flips it on per-cell once cells reach ~10^4-10^5 vectors
+    (SCALE.md round-9 notes). Pinning the neutral result at small n
+    is the point — a row claiming a win here would be fiction, and
+    the literal contract makes the crossover measurable the day
+    cells grow. Levels are deterministic md5 trailing-zero draws
+    (geometric(1/2) = HNSW's mL = 1/ln 2), so any engine reproduces
+    the exact stack."""
+    emb = t(spark, sf, "embeddings")
+    q_ = emb.filter(F.col("vec_id") < 10)
+    c_ = emb.filter(F.col("vec_id") >= 10)
+    exact = similarity.cosine_topk_bruteforce(q_, c_, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    n_q = 10
+
+    def row(variant: str, stats: DataFrame) -> DataFrame:
+        hits = exact.join(
+            stats.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        ).count()
+        vf = stats.groupBy("query_id").agg(
+            (F.first("n_visited") / F.first("cell_n")).alias("_vf")
+        ).agg(F.avg("_vf").alias("_avg")).collect()[0]["_avg"]
+        return spark.createDataFrame(
+            [(variant, 5, hits / (5 * n_q), round(vf, 4))],
+            "variant string, k int, recall double, visited_frac double",
+        )
+
+    common = dict(k=5, n_cells=1, n_probe=1, m_neighbors=6,
+                  include_stats=True)
+    out = row("hnsw_ef16", similarity.cosine_topk_hnsw(
+        q_, c_, ef=16, **common))
+    for name, ef in (("hnsw_ef32", 32), ("hnsw_ef64", 64)):
+        out = out.unionByName(row(name, similarity.cosine_topk_hnsw(
+            q_, c_, ef=ef, **common)))
+    return out.unionByName(row(
+        "beam_ef32",
+        similarity.cosine_topk_nsw_beam(
+            q_, c_, k=5, n_cells=1, n_probe=1, m_neighbors=6,
+            n_entries=2, ef=32, include_stats=True,
+        ),
+    ))
+
+
 _HYBRID_TERMS = ["spark", "window", "merge"]
 
 # the BM25 leg of the hybrid oracle: the SAME generator that builds

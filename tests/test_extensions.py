@@ -3232,6 +3232,61 @@ def test_ima_adpcm_codec_contracts():
         encode_wav_ima_adpcm(8000, [0] * 128, 128)
 
 
+def test_hnsw_hierarchy_contracts(spark):
+    """HNSW over the deterministic NSW family: levels are md5
+    trailing-zero draws (geometric(1/2) — roughly half the nodes per
+    level step, reproducible in any engine); the search is
+    deterministic across runs; with ef >= cell size the beam floods
+    the connected component, so the result EQUALS exact brute force
+    (the probe-all exactness pin of the quantizer families, on the
+    graph axis); and the stats surface bounds n_visited by cell_n."""
+    import numpy as np
+
+    from google_sheets_etl_spark.operators import similarity
+
+    rng = np.random.default_rng(7)
+    n = 60
+    rows = [(int(i), [float(x) for x in rng.normal(size=8)])
+            for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q_ = emb.filter("vec_id < 5")
+    c_ = emb.filter("vec_id >= 5")
+
+    a = similarity.cosine_topk_hnsw(
+        q_, c_, k=3, n_cells=1, n_probe=1, m_neighbors=4, ef=8,
+    ).collect()
+    b = similarity.cosine_topk_hnsw(
+        q_, c_, k=3, n_cells=1, n_probe=1, m_neighbors=4, ef=8,
+    ).collect()
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    # ef >= cell size: flood == exact brute force
+    exact = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in similarity.cosine_topk_bruteforce(q_, c_, k=3).collect()
+    }
+    flood = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in similarity.cosine_topk_hnsw(
+            q_, c_, k=3, n_cells=1, n_probe=1, m_neighbors=4, ef=55,
+        ).collect()
+    }
+    assert flood == exact
+
+    stats = similarity.cosine_topk_hnsw(
+        q_, c_, k=3, n_cells=1, n_probe=1, m_neighbors=4, ef=8,
+        include_stats=True,
+    ).collect()
+    assert stats and all(
+        1 <= r["n_visited"] <= r["cell_n"] for r in stats
+    )
+
+    import pytest
+    with pytest.raises(ValueError, match="ef"):
+        similarity.cosine_topk_hnsw(q_, c_, k=5, ef=3)
+
+
 def test_hybrid_rrf_fusion_invariants(spark):
     """RRF fusion contract over the registered query at gate scale:
     exactly 5 fused rows per query in strict fused order; rrf_micro
