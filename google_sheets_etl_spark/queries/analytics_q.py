@@ -1359,3 +1359,74 @@ def suffix_dedup_apply(spark: SparkSession, sf: str) -> DataFrame:
     return apply_span_removal(
         docs, duplicate_spans(docs, min_len=40)
     )
+
+
+def _moji_snippets() -> tuple[str, str, str]:
+    """(clean, latin1-corrupted, cp1252-corrupted) snippet constants,
+    derived at import from one clean literal via Python's codecs —
+    the corruption DEFINITIONS (strict latin-1; lenient cp1252 with
+    the five undefined bytes passed through as C1 controls, the way
+    real-world decoders produced the corpus damage being modeled).
+    Because repair(corrupt(x)) == x exactly, the oracle needs only
+    these CONSTANTS — expected outputs are expressible in pure SQL
+    with no fixture file and no second decoder."""
+    clean = " don’t say “café” — naïve €5 ñ§"
+    bs = clean.encode("utf-8")
+    latin1 = bs.decode("latin-1")
+    undef = (0x81, 0x8D, 0x8F, 0x90, 0x9D)
+    cp1252 = "".join(
+        chr(b) if b < 0x80 or b >= 0xA0 or b in undef
+        else bytes([b]).decode("cp1252")
+        for b in bs
+    )
+    return clean, latin1, cp1252
+
+
+_MOJI_CLEAN, _MOJI_LATIN1, _MOJI_CP1252 = _moji_snippets()
+
+
+def _sqlq(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+@q(
+    "mojibake_repair_stats",
+    f"""SELECT doc_id,
+              CASE doc_id % 4
+                WHEN 0 THEN text
+                WHEN 1 THEN text || {_sqlq(_MOJI_CLEAN)}
+                ELSE text || {_sqlq(_MOJI_CLEAN)} END AS text_clean,
+              (doc_id % 4) >= 2 AS is_mojibake,
+              CASE WHEN doc_id % 4 = 2
+                   THEN CAST({len(_MOJI_LATIN1) - len(_MOJI_CLEAN)}
+                        AS BIGINT)
+                   WHEN doc_id % 4 = 3
+                   THEN CAST({len(_MOJI_CP1252) - len(_MOJI_CLEAN)}
+                        AS BIGINT)
+                   ELSE CAST(0 AS BIGINT) END AS n_collapsed
+       FROM documents""",
+)
+def mojibake_repair_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """ENCODING-DAMAGE repair (operators/cleaning.py mojibake_repair
+    — the ftfy pass): planted corruption classes per doc_id residue —
+    pure ASCII (untouched), CLEAN accented text whose é bytes are NOT
+    well-formed UTF-8 (the false-positive guard: must pass through
+    unrepaired), UTF-8-as-Latin-1 damage, and UTF-8-as-lenient-CP1252
+    damage (€/’/“ smart-quote flavor). The repair runs entirely
+    JVM-side (translate + one well-formedness regex over chars-as-
+    bytes + gated decode∘encode); the oracle needs no second decoder
+    because repair(corrupt(x)) == x EXACTLY — expected text is the
+    clean definition itself, so the value hash certifies recovered
+    BYTES. One narrow codegen pass, no shuffle at any scale."""
+    docs = t(spark, sf, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit(""))
+            .when(F.col("doc_id") % 4 == 1, F.lit(_MOJI_CLEAN))
+            .when(F.col("doc_id") % 4 == 2, F.lit(_MOJI_LATIN1))
+            .otherwise(F.lit(_MOJI_CP1252)),
+        ).alias("text"),
+    )
+    return cleaning.mojibake_repair(planted)

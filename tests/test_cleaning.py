@@ -575,3 +575,51 @@ def test_wordpiece_greedy_longest_match(spark):
     assert seg["bc"][0] == 2
     # 'abcd' greedily takes 'abc' then continuation 'd'
     assert seg["abcd"] == (1, 2)
+
+
+def test_mojibake_repair_contracts(spark):
+    """The ftfy pass: both corruption flavors (UTF-8 read as strict
+    Latin-1; UTF-8 read as lenient CP1252 with undefined bytes passed
+    through) repair back to the EXACT original; pure ASCII and clean
+    accented text pass through untouched (the false-positive guard —
+    'café' alone is not well-formed UTF-8 bytewise and chars > U+00FF
+    fail the Latin-1 gate); n_collapsed counts the byte shrink; a
+    double-corrupted text repairs one layer per pass."""
+    from google_sheets_etl_spark.operators.cleaning import mojibake_repair
+
+    UNDEF = (0x81, 0x8D, 0x8F, 0x90, 0x9D)
+
+    def lenient_cp1252(bs: bytes) -> str:
+        return "".join(
+            chr(b) if b < 0x80 or b >= 0xA0 or b in UNDEF
+            else bytes([b]).decode("cp1252")
+            for b in bs
+        )
+
+    orig = 'don’t say “café” — naïve €5 §'
+    m_lat = orig.encode("utf-8").decode("latin-1")
+    m_cp = lenient_cp1252(orig.encode("utf-8"))
+    m_double = lenient_cp1252(m_cp.encode("utf-8"))
+    rows = [
+        (0, "plain ascii"),
+        (1, "café naïve clean"),
+        (2, m_lat),
+        (3, m_cp),
+        (4, m_double),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in mojibake_repair(df).collect()}
+
+    assert not out[0]["is_mojibake"] and out[0]["text_clean"] == rows[0][1]
+    assert not out[1]["is_mojibake"] and out[1]["text_clean"] == rows[1][1]
+    for i, src in ((2, m_lat), (3, m_cp)):
+        assert out[i]["is_mojibake"]
+        assert out[i]["text_clean"] == orig
+        assert out[i]["n_collapsed"] == len(src) - len(orig)
+    assert out[4]["is_mojibake"] and out[4]["text_clean"] == m_cp
+    # fixpoint: a second pass finishes the double-corrupted layer
+    again = mojibake_repair(
+        spark.createDataFrame([(4, out[4]["text_clean"])],
+                              "doc_id long, text string")
+    ).collect()[0]
+    assert again["text_clean"] == orig
