@@ -816,3 +816,49 @@ def test_scd2_asof_join_broadcasts_dimension(spark, sf_dir):
     # no sort-merge join anywhere: every join in the plan (demo-dim
     # build included) broadcasts its small side
     assert "SortMergeJoin" not in plan
+
+
+def test_round9_media_kernels_are_narrow(spark, sf_dir):
+    """MP4 frame decode and ADPCM energy are per-payload Arrow
+    kernels over the scan — no exchange anywhere (the PPM/WAV/AVI
+    contract extended to the round-9 container + codec); the audits
+    share the same shape."""
+    for name in (
+        "mp4_mjpeg_frame_stats",
+        "wav_adpcm_energy",
+        "mp4_decode_audit",
+        "wav_adpcm_audit",
+    ):
+        plan = explain_str(QUERIES[name](spark, sf_dir))
+        assert "Exchange" not in plan, name
+        assert "MapInPandas" in plan or "mapInPandas" in plan, name
+
+
+def test_mojibake_repair_is_codegen_narrow(spark, sf_dir):
+    """The ftfy pass is one narrow whole-stage-codegen projection:
+    no exchange, no Python (no MapInPandas/ArrowEvalPython) — the
+    repair rides the scan."""
+    plan = explain_str(QUERIES["mojibake_repair_stats"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+    # formatted explain marks codegen stages with the '*' prefix
+    assert "* Project" in plan
+
+
+def test_hybrid_rrf_fusion_no_cartesian_beyond_documented(spark, sf_dir):
+    """The fusion's nested-loop joins are all DOCUMENTED broadcast
+    crosses of a tiny build side (the dense leg's queries-broadcast
+    pattern shared with cosine_topk, and the 10x20 query-ids x
+    lexical-ranks cross); nothing may plan as a non-broadcast
+    CartesianProduct, and the lexical selection must stay
+    TakeOrderedAndProject (no global sort of the corpus)."""
+    plan = explain_str(QUERIES["hybrid_rrf_fusion"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    # every nested loop must be a broadcast build, never a shuffled
+    # cartesian of two large sides: each BNLJ appears twice in the
+    # formatted output (tree line with "Cross Build<side>" + bare
+    # detail header), so the counts must pair off exactly
+    assert plan.count("BroadcastNestedLoopJoin Cross Build") * 2 == (
+        plan.count("BroadcastNestedLoopJoin")
+    )
