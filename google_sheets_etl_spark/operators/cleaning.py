@@ -426,3 +426,87 @@ def mojibake_repair(
         is_moji.alias("is_mojibake"),
         (F.length(raw) - F.length(clean)).cast("long").alias("n_collapsed"),
     )
+
+
+#: fixed HTML entity set decoded by html_to_text — deliberately a
+#: CLOSED list (the high-frequency entities web text actually carries)
+#: so both engines decode identically; numeric charrefs would need a
+#: compute-in-replace no regex engine shares.
+HTML_ENTITIES = [
+    ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+    ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'"), ("&amp;", "&"),
+]
+
+
+def html_to_text(col):
+    """HTML → text extraction (the trafilatura-lite step between raw
+    web ingest and every text operator): drop script/style/comment
+    subtrees, turn block-closing tags into newlines, strip remaining
+    tags, decode the fixed entity set, collapse whitespace. A COLUMN
+    function (returns an expression), so it composes into any
+    projection — one codegen pass, no UDF, no shuffle.
+
+    Every regex stays in the Java ∩ RE2 subset (dotall+lazy
+    subtree removal, no lookaround) so the DuckDB twin runs the SAME
+    patterns; ``&amp;`` decodes LAST, matching the once-through
+    sequential replace a streaming decoder performs (``&amp;lt;`` →
+    ``&lt;``, never ``<``)."""
+    step = F.regexp_replace(col, r"(?s)<script[^>]*>.*?</script>", " ")
+    step = F.regexp_replace(step, r"(?s)<style[^>]*>.*?</style>", " ")
+    step = F.regexp_replace(step, r"(?s)<!--.*?-->", " ")
+    step = F.regexp_replace(
+        step, r"(?i)<(?:br|/p|/div|/h[1-6]|/li|/tr|/table|/ul|/ol)[^>]*>",
+        "\n",
+    )
+    step = F.regexp_replace(step, r"(?s)<[^>]+>", " ")
+    for ent, ch in HTML_ENTITIES:
+        step = F.replace(step, F.lit(ent), F.lit(ch))
+    step = F.regexp_replace(step, r"[ \t\f\r]+", " ")
+    step = F.regexp_replace(step, r" ?\n[ \n]*", "\n")
+    return F.trim(step)
+
+
+def warc_response_records(
+    warcs: DataFrame, warc_col: str = "warc", id_col: str = "doc_id"
+) -> DataFrame:
+    """WARC (ISO 28500) record walk — the web-archive front door of a
+    pretraining pipeline (Common Crawl arrives as WARC): split a
+    WARC/1.0 capture into records, keep ``WARC-Type: response``
+    records, strip the HTTP response envelope, and return the inner
+    payload per record. Returns ``(id, record_idx, warc_type,
+    payload)`` for ALL records (the type column is the audit surface;
+    filter ``warc_type = 'response'`` for the data path).
+
+    Declarative on purpose: records split on the version leader
+    (RE2-safe — no lookaround), WARC headers part from the body at
+    the first blank line, the HTTP envelope at ITS first blank line
+    (dotall-lazy prefix strip). One explode + codegen projections —
+    the record walk costs one pass regardless of archive size, and
+    at 100 TB each WARC file is one row so parallelism = file count,
+    the same grain Common Crawl shards naturally provide."""
+    rec = F.posexplode(
+        F.slice(
+            F.split(F.col(warc_col), "WARC/1\\.0\r\n"),
+            2, 2147483646,  # element 1 is the pre-leader prefix: ''
+        )
+    )
+    base = warcs.select(F.col(id_col), rec.alias("record_idx", "_rec"))
+    headers = F.regexp_replace(
+        F.col("_rec"), r"(?s)\r\n\r\n.*$", ""
+    )
+    body = F.regexp_replace(F.col("_rec"), r"(?s)^.*?\r\n\r\n", "")
+    wtype = F.regexp_extract(headers, r"WARC-Type: ([a-z]+)", 1)
+    # response bodies are HTTP messages: strip status line + headers;
+    # non-response bodies (warcinfo, request, metadata) pass through
+    payload = F.when(
+        wtype == "response",
+        F.regexp_replace(body, r"(?s)^.*?\r\n\r\n", ""),
+    ).otherwise(body)
+    # records end with CRLF CRLF per spec — trim the trailing pair
+    payload = F.regexp_replace(payload, r"(\r\n)+$", "")
+    return base.select(
+        id_col,
+        (F.col("record_idx") + 1).cast("long").alias("record_idx"),
+        wtype.alias("warc_type"),
+        payload.alias("payload"),
+    )

@@ -1430,3 +1430,178 @@ def mojibake_repair_stats(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("text"),
     )
     return cleaning.mojibake_repair(planted)
+
+
+#: the planted-HTML construction shared by both web-ingest rows: doc
+#: text wrapped in a page with script/style/comment subtrees, block
+#: structure, and entities — every removal class exercised
+_HTML_PLANT_SQL = """'<html><head><title>Doc ' || doc_id ||
+    '</title><style>p {{margin:0}}</style>' ||
+    '<script>var x = "<p>not text</p>";</script></head>' ||
+    '<body><h1>Doc ' || doc_id || ' &amp; friends</h1><p>' || text ||
+    '</p><ul><li>alpha</li><li>beta &lt;tag&gt;</li></ul>' ||
+    '<!-- hidden --><p>fin&nbsp;&quot;q&#39;</p></body></html>'"""
+
+#: the html_to_text regex chain as DuckDB SQL over a column expr —
+#: the SAME patterns the operator runs (Java ∩ RE2 subset), entities
+#: decoded in the same order (&amp; last)
+def _html_to_text_sql(col: str) -> str:
+    s = f"regexp_replace({col}, '(?s)<script[^>]*>.*?</script>', ' ', 'g')"
+    s = f"regexp_replace({s}, '(?s)<style[^>]*>.*?</style>', ' ', 'g')"
+    s = f"regexp_replace({s}, '(?s)<!--.*?-->', ' ', 'g')"
+    s = (f"regexp_replace({s}, '(?i)<(?:br|/p|/div|/h[1-6]|/li|/tr|"
+         f"/table|/ul|/ol)[^>]*>', chr(10), 'g')")
+    s = f"regexp_replace({s}, '(?s)<[^>]+>', ' ', 'g')"
+    for ent, ch in [("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+                    ("&quot;", '"'), ("&#39;", "''"),
+                    ("&apos;", "''"), ("&amp;", "&")]:
+        s = f"replace({s}, '{ent}', '{ch}')"
+    s = f"regexp_replace({s}, '[ \\t\\f\\r]+', ' ', 'g')"
+    s = f"regexp_replace({s}, ' ?\\n[ \\n]*', chr(10), 'g')"
+    return f"trim({s})"
+
+
+@q(
+    "html_text_extract",
+    f"""SELECT doc_id,
+              {_html_to_text_sql(_HTML_PLANT_SQL.format())} AS text_clean
+       FROM documents""",
+)
+def html_text_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """HTML → text extraction (operators/cleaning.py html_to_text —
+    the trafilatura-lite step between web ingest and every text
+    operator): planted pages carry every removal class — script and
+    style subtrees (including a decoy '<p>' INSIDE a script string,
+    which naive tag-stripping would surface as text), comments,
+    block-closing tags that must become newlines, inline tags that
+    must become spaces, and the fixed entity set with &amp; decoded
+    last (streaming-decoder order: '&amp;lt;' yields '&lt;', never
+    '<'). Both engines run the SAME Java ∩ RE2 regex chain, so the
+    value hash certifies cross-engine regex semantics along with the
+    extraction. One codegen projection, no shuffle."""
+    docs = t(spark, sf, "documents")
+    page = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit('</title><style>p {margin:0}</style>'
+              '<script>var x = "<p>not text</p>";</script></head>'
+              "<body><h1>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit(" &amp; friends</h1><p>"),
+        F.col("text"),
+        F.lit("</p><ul><li>alpha</li><li>beta &lt;tag&gt;</li></ul>"
+              "<!-- hidden --><p>fin&nbsp;&quot;q&#39;</p></body></html>"),
+    )
+    return docs.select(
+        "doc_id", cleaning.html_to_text(page).alias("text_clean")
+    )
+
+
+@q(
+    "warc_html_ingest",
+    f"""WITH pages AS (
+         SELECT doc_id, {_HTML_PLANT_SQL.format()} AS html
+         FROM documents),
+       warcs AS (
+         SELECT doc_id,
+                'WARC/1.0' || chr(13) || chr(10) ||
+                'WARC-Type: warcinfo' || chr(13) || chr(10) ||
+                'Content-Length: 11' || chr(13) || chr(10) ||
+                chr(13) || chr(10) || 'software: x' ||
+                chr(13) || chr(10) || chr(13) || chr(10) ||
+                'WARC/1.0' || chr(13) || chr(10) ||
+                'WARC-Type: request' || chr(13) || chr(10) ||
+                'WARC-Target-URI: http://ex.com/' || doc_id ||
+                chr(13) || chr(10) || chr(13) || chr(10) ||
+                'GET / HTTP/1.1' ||
+                chr(13) || chr(10) || chr(13) || chr(10) ||
+                'WARC/1.0' || chr(13) || chr(10) ||
+                'WARC-Type: response' || chr(13) || chr(10) ||
+                'WARC-Target-URI: http://ex.com/' || doc_id ||
+                chr(13) || chr(10) || chr(13) || chr(10) ||
+                'HTTP/1.1 200 OK' || chr(13) || chr(10) ||
+                'Content-Type: text/html' ||
+                chr(13) || chr(10) || chr(13) || chr(10) ||
+                html || chr(13) || chr(10) || chr(13) || chr(10)
+                AS warc
+         FROM pages),
+       recs AS (
+         SELECT doc_id, u.rec, u.record_idx
+         FROM warcs,
+              LATERAL (
+                SELECT unnest(string_split(warc,
+                         'WARC/1.0' || chr(13) || chr(10))
+                       [2:]) AS rec,
+                       generate_subscripts(string_split(warc,
+                         'WARC/1.0' || chr(13) || chr(10))[2:], 1)
+                       AS record_idx) u),
+       typed AS (
+         SELECT doc_id, CAST(record_idx AS BIGINT) AS record_idx,
+                regexp_extract(
+                  regexp_replace(rec, '(?s)' || chr(13) || chr(10) ||
+                    chr(13) || chr(10) || '.*$', '', 'g'),
+                  'WARC-Type: ([a-z]+)', 1) AS warc_type,
+                regexp_replace(rec, '(?s)^.*?' || chr(13) || chr(10)
+                  || chr(13) || chr(10), '') AS body
+         FROM recs),
+       payloads AS (
+         SELECT doc_id, record_idx,
+                regexp_replace(
+                  regexp_replace(body, '(?s)^.*?' || chr(13) ||
+                    chr(10) || chr(13) || chr(10), ''),
+                  '(' || chr(13) || chr(10) || ')+$', '')
+                AS payload
+         FROM typed WHERE warc_type = 'response')
+       SELECT doc_id, record_idx,
+              {_html_to_text_sql("payload")} AS text_clean
+       FROM payloads""",
+)
+def warc_html_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    """The WEB-INGEST front door end-to-end (operators/cleaning.py
+    warc_response_records + html_to_text): a planted WARC/1.0 capture
+    per document (warcinfo + request + response records — the
+    Common-Crawl record mix) is walked declaratively, response
+    records keep only their HTTP payload, and the HTML extraction
+    chain produces the text every downstream operator consumes. The
+    oracle re-runs the ENTIRE path — record split, type extraction,
+    envelope strip, tag/entity chain — in SQL, so the value hash
+    certifies the full ingest pipe. At 100 TB each WARC file is one
+    row and parallelism is file count — Common Crawl's natural shard
+    grain; everything after the explode is codegen-narrow."""
+    docs = t(spark, sf, "documents")
+    crlf = "\r\n"
+    page = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit('</title><style>p {margin:0}</style>'
+              '<script>var x = "<p>not text</p>";</script></head>'
+              "<body><h1>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit(" &amp; friends</h1><p>"),
+        F.col("text"),
+        F.lit("</p><ul><li>alpha</li><li>beta &lt;tag&gt;</li></ul>"
+              "<!-- hidden --><p>fin&nbsp;&quot;q&#39;</p></body></html>"),
+    )
+    warc = F.concat(
+        F.lit("WARC/1.0" + crlf + "WARC-Type: warcinfo" + crlf
+              + "Content-Length: 11" + crlf + crlf + "software: x"
+              + crlf + crlf
+              + "WARC/1.0" + crlf + "WARC-Type: request" + crlf
+              + "WARC-Target-URI: http://ex.com/"),
+        F.col("doc_id").cast("string"),
+        F.lit(crlf + crlf + "GET / HTTP/1.1" + crlf + crlf
+              + "WARC/1.0" + crlf + "WARC-Type: response" + crlf
+              + "WARC-Target-URI: http://ex.com/"),
+        F.col("doc_id").cast("string"),
+        F.lit(crlf + crlf + "HTTP/1.1 200 OK" + crlf
+              + "Content-Type: text/html" + crlf + crlf),
+        page,
+        F.lit(crlf + crlf),
+    )
+    recs = cleaning.warc_response_records(
+        docs.select("doc_id", warc.alias("warc"))
+    )
+    return recs.filter(F.col("warc_type") == "response").select(
+        "doc_id", "record_idx",
+        cleaning.html_to_text(F.col("payload")).alias("text_clean"),
+    )

@@ -623,3 +623,61 @@ def test_mojibake_repair_contracts(spark):
                               "doc_id long, text string")
     ).collect()[0]
     assert again["text_clean"] == orig
+
+
+def test_html_to_text_contracts(spark):
+    """The extraction chain's sharp edges: a '<p>' decoy INSIDE a
+    script string never surfaces as text; entities decode in
+    streaming order ('&amp;lt;' -> '&lt;', never '<'); block-closing
+    tags become newlines while inline tags become spaces; comments
+    vanish; whitespace collapses."""
+    from pyspark.sql import functions as F
+
+    from google_sheets_etl_spark.operators.cleaning import html_to_text
+
+    html = (
+        '<html><head><script>document.write("<p>DECOY</p>");</script>'
+        "<style>h1 {color:red}</style></head><body>"
+        "<h1>A &amp;lt;title&amp;gt;</h1>"
+        "<p>one</p><p>two<br>three</p>"
+        "<span>same</span> <b>line</b>"
+        "<!-- gone --></body></html>"
+    )
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    out = df.select(html_to_text(F.col("html")).alias("t")).collect()[0]["t"]
+    assert "DECOY" not in out and "color:red" not in out
+    assert "A &lt;title&gt;" in out          # NOT 'A <title>'
+    assert "one\ntwo\nthree" in out
+    assert "same line" in out
+    assert "gone" not in out
+
+
+def test_warc_record_walk_contracts(spark):
+    """The WARC walk keeps every record with its type (the audit
+    surface), strips the HTTP envelope from responses ONLY, and
+    leaves non-response bodies intact (warcinfo fields, request
+    lines)."""
+    from google_sheets_etl_spark.operators.cleaning import (
+        warc_response_records,
+    )
+
+    def rec(headers: str, body: str) -> str:
+        return "WARC/1.0\r\n" + headers + "\r\n\r\n" + body + "\r\n\r\n"
+
+    warc = (
+        rec("WARC-Type: warcinfo", "software: test")
+        + rec("WARC-Type: request\r\nWARC-Target-URI: http://e.com",
+              "GET /x HTTP/1.1")
+        + rec("WARC-Type: response\r\nWARC-Target-URI: http://e.com",
+              "HTTP/1.1 200 OK\r\nServer: s\r\n\r\n<html>hi</html>")
+        + rec("WARC-Type: metadata", "fetchTimeMs: 12")
+    )
+    df = spark.createDataFrame([(7, warc)], "doc_id long, warc string")
+    rows = {r["record_idx"]: r for r in warc_response_records(df).collect()}
+    assert [rows[i]["warc_type"] for i in (1, 2, 3, 4)] == [
+        "warcinfo", "request", "response", "metadata"
+    ]
+    assert rows[1]["payload"] == "software: test"
+    assert rows[2]["payload"] == "GET /x HTTP/1.1"
+    assert rows[3]["payload"] == "<html>hi</html>"   # envelope stripped
+    assert rows[4]["payload"] == "fetchTimeMs: 12"

@@ -862,3 +862,15 @@ def test_hybrid_rrf_fusion_no_cartesian_beyond_documented(spark, sf_dir):
     assert plan.count("BroadcastNestedLoopJoin Cross Build") * 2 == (
         plan.count("BroadcastNestedLoopJoin")
     )
+
+
+def test_web_ingest_is_codegen_narrow(spark, sf_dir):
+    """HTML extraction is one codegen projection (no Python, no
+    exchange); the WARC walk adds exactly one Generate (the record
+    explode) and stays narrow end to end."""
+    plan = explain_str(QUERIES["html_text_extract"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+    plan = explain_str(QUERIES["warc_html_ingest"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Generate" in plan and "MapInPandas" not in plan
