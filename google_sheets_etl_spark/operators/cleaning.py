@@ -510,3 +510,71 @@ def warc_response_records(
         wtype.alias("warc_type"),
         payload.alias("payload"),
     )
+
+
+#: fixed public-suffix mini-list for registered-domain extraction —
+#: like HTML_ENTITIES, a deliberately CLOSED list (the multi-label
+#: suffixes that actually dominate web corpora) so both engines make
+#: identical calls; a production deployment swaps in the full PSL
+#: as a broadcast table without changing the operator shape.
+PUBLIC_SUFFIXES_2 = (
+    "co.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp", "com.br", "com.cn", "co.in", "co.kr",
+)
+
+
+def url_normalize(col):
+    """URL canonicalization (the CCNet URL-dedup key): lowercase
+    scheme+host, strip a leading ``www.``, drop default ports
+    (:80 http / :443 https), drop the fragment, drop ``utm_*``
+    tracking params EXACTLY (query split → filter → rejoin — an HOF,
+    not a fragile separator-patchup regex, so consecutive tracking
+    params and dangling separators cannot mis-normalize), and trim
+    the trailing path slash. A COLUMN function — one codegen chain;
+    regexes in the Java ∩ RE2 subset and the HOF has a
+    list_filter/array_to_string twin, so the SQL oracle runs the
+    same algorithm."""
+    # lowercase scheme://host prefix only (path stays case-sensitive)
+    s = F.concat(
+        F.lower(F.regexp_extract(col, r"^([a-zA-Z]+://[^/?#]*)", 1)),
+        F.regexp_replace(col, r"^[a-zA-Z]+://[^/?#]*", ""),
+    )
+    s = F.regexp_replace(s, r"^([a-z]+://)www\.", r"$1")
+    s = F.regexp_replace(s, r"^(http://[^/?#:]*):80(/|\?|$)", r"$1$2")
+    s = F.regexp_replace(s, r"^(https://[^/?#:]*):443(/|\?|$)", r"$1$2")
+    s = F.regexp_replace(s, r"#.*$", "")
+    base = F.regexp_replace(s, r"\?.*$", "")
+    base = F.regexp_replace(base, r"([^/:])/$", r"$1")
+    query = F.regexp_extract(s, r"\?(.*)$", 1)
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.startswith("utm_"),
+    )
+    return F.concat(
+        base,
+        F.when(
+            F.size(kept) > 0,
+            F.concat(F.lit("?"), F.array_join(kept, "&")),
+        ).otherwise(F.lit("")),
+    )
+
+
+def registered_domain(col):
+    """Registered domain (eTLD+1 under the fixed mini-PSL) of a URL
+    column: the per-site aggregation key for domain filtering /
+    per-domain caps. Two-label public suffixes from
+    :data:`PUBLIC_SUFFIXES_2` take three labels; everything else
+    takes the last two."""
+    host = F.lower(
+        F.regexp_replace(
+            F.regexp_extract(col, r"^[a-zA-Z]+://([^/?#:]*)", 1),
+            r"^www\.", "",
+        )
+    )
+    two_label = "|".join(s.replace(".", r"\.") for s in PUBLIC_SUFFIXES_2)
+    three = F.regexp_extract(
+        host, r"([^.]+\.(?:" + two_label + r"))$", 1
+    )
+    return F.when(three != "", three).otherwise(
+        F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    )

@@ -1605,3 +1605,112 @@ def warc_html_ingest(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", "record_idx",
         cleaning.html_to_text(F.col("payload")).alias("text_clean"),
     )
+
+
+@q(
+    "url_normalize_dedup",
+    """WITH base AS (
+         SELECT doc_id, doc_id // 2 AS site,
+                ['example.com', 'news.bbc.co.uk', 'shop.com.au',
+                 'docs.example.io'][(doc_id // 2) % 4 + 1] AS host
+         FROM documents),
+       planted AS (
+         SELECT doc_id, site, host,
+                CASE WHEN doc_id % 2 = 0
+                     THEN 'HTTPS://WWW.' || upper(host) || ':443/p/'
+                          || site || '/?utm_source=a&id=' || site
+                          || '#x'
+                     ELSE 'https://' || host || '/p/' || site
+                          || '?id=' || site END AS url
+         FROM base),
+       norm AS (
+         SELECT doc_id,
+                (SELECT lower(regexp_extract(u, '^([a-zA-Z]+://[^/?#]*)', 1))
+                        || regexp_replace(u, '^[a-zA-Z]+://[^/?#]*', '')
+                 FROM (SELECT url AS u)) AS s
+         FROM planted),
+       steps AS (
+         SELECT doc_id,
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(s, '^([a-z]+://)www\\.', '\\1'),
+                      '^(http://[^/?#:]*):80(/|\\?|$)', '\\1\\2'),
+                    '^(https://[^/?#:]*):443(/|\\?|$)', '\\1\\2'),
+                  '#.*$', '') AS s
+         FROM norm),
+       parts AS (
+         SELECT doc_id,
+                regexp_replace(regexp_replace(s, '\\?.*$', ''),
+                               '([^/:])/$', '\\1') AS b,
+                list_filter(
+                  string_split(regexp_extract(s, '\\?(.*)$', 1), '&'),
+                  p -> p <> '' AND NOT starts_with(p, 'utm_'))
+                AS kept
+         FROM steps),
+       normed AS (
+         SELECT doc_id,
+                b || CASE WHEN len(kept) > 0
+                          THEN '?' || array_to_string(kept, '&')
+                          ELSE '' END AS url_norm
+         FROM parts),
+       dom AS (
+         SELECT doc_id, url_norm,
+                (SELECT CASE WHEN m <> '' THEN m
+                        ELSE regexp_extract(h, '([^.]+\\.[^.]+)$', 1) END
+                 FROM (SELECT
+                   lower(regexp_replace(regexp_extract(url_norm,
+                     '^[a-zA-Z]+://([^/?#:]*)', 1), '^www\\.', '')) AS h),
+                 (SELECT regexp_extract(h,
+                   '([^.]+\\.(?:co\\.uk|ac\\.uk|gov\\.uk|com\\.au|net\\.au|org\\.au|co\\.jp|ne\\.jp|or\\.jp|com\\.br|com\\.cn|co\\.in|co\\.kr))$',
+                   1) AS m)) AS domain
+         FROM normed)
+       SELECT doc_id, url_norm, domain,
+              doc_id = min(doc_id) OVER (PARTITION BY url_norm)
+                AS is_canonical
+       FROM dom""",
+)
+def url_normalize_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """URL canonicalization + dedup (operators/cleaning.py
+    url_normalize / registered_domain — the CCNet URL-dedup key and
+    the per-site aggregation key): planted variant PAIRS (uppercase
+    scheme/host + www + default port + utm params + fragment vs the
+    already-canonical form) must normalize identically, so
+    ``is_canonical`` keeps exactly one of each pair. Tracking params
+    are removed by query split → HOF filter → rejoin (exact under
+    consecutive utm params, where separator-patchup regexes
+    mis-normalize — both engines run the same algorithm:
+    F.filter/list_filter). One codegen chain + one uniform-key
+    window shuffle for the dedup verdict; at 100 TB the url_norm key
+    is the dedup partition key, skew-free by construction."""
+    docs = t(spark, sf, "documents")
+    site = (F.col("doc_id") / 2).cast("long")
+    hosts = F.array(
+        F.lit("example.com"), F.lit("news.bbc.co.uk"),
+        F.lit("shop.com.au"), F.lit("docs.example.io"),
+    )
+    host = F.element_at(hosts, (site % 4 + 1).cast("int"))
+    url = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            F.lit("HTTPS://WWW."), F.upper(host), F.lit(":443/p/"),
+            site.cast("string"), F.lit("/?utm_source=a&id="),
+            site.cast("string"), F.lit("#x"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("https://"), host, F.lit("/p/"), site.cast("string"),
+            F.lit("?id="), site.cast("string"),
+        )
+    )
+    planted = docs.select("doc_id", url.alias("url"))
+    normed = planted.select(
+        "doc_id",
+        cleaning.url_normalize(F.col("url")).alias("url_norm"),
+        cleaning.registered_domain(F.col("url")).alias("domain"),
+    )
+    w = Window.partitionBy("url_norm")
+    return normed.select(
+        "doc_id", "url_norm", "domain",
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_canonical"),
+    )

@@ -681,3 +681,43 @@ def test_warc_record_walk_contracts(spark):
     assert rows[2]["payload"] == "GET /x HTTP/1.1"
     assert rows[3]["payload"] == "<html>hi</html>"   # envelope stripped
     assert rows[4]["payload"] == "fetchTimeMs: 12"
+
+
+def test_url_normalize_and_domain_contracts(spark):
+    """URL canonicalization invariants: case/www/default-port/utm/
+    fragment variants collapse to one key; non-default ports and
+    path case survive; consecutive utm params vanish exactly (the
+    HOF-filter property); eTLD+1 honors the two-label suffix list."""
+    from pyspark.sql import functions as F
+
+    from google_sheets_etl_spark.operators.cleaning import (
+        registered_domain, url_normalize,
+    )
+
+    cases = [
+        ("HTTPS://WWW.Example.COM:443/A/B/?utm_source=x&id=7#f",
+         "https://example.com/A/B?id=7", "example.com"),
+        ("https://example.com/A/B?id=7",
+         "https://example.com/A/B?id=7", "example.com"),
+        ("http://news.BBC.co.uk:80/s?utm_a=1&utm_b=2",
+         "http://news.bbc.co.uk/s", "bbc.co.uk"),
+        ("http://host.com:8080/keep:port",
+         "http://host.com:8080/keep:port", "host.com"),
+        ("https://a.b.example.io/p?utm_a=1&q=1&utm_b=2&r=3",
+         "https://a.b.example.io/p?q=1&r=3", "example.io"),
+        ("https://plain.org/", "https://plain.org", "plain.org"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _, _) in enumerate(cases)],
+        "i long, url string",
+    )
+    got = {
+        r["i"]: (r["n"], r["d"])
+        for r in df.select(
+            "i",
+            url_normalize(F.col("url")).alias("n"),
+            registered_domain(F.col("url")).alias("d"),
+        ).collect()
+    }
+    for i, (_, want_n, want_d) in enumerate(cases):
+        assert got[i] == (want_n, want_d), (i, got[i])
