@@ -578,3 +578,63 @@ def registered_domain(col):
     return F.when(three != "", three).otherwise(
         F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
     )
+
+
+def gunzip_members(data: bytes) -> bytes:
+    """Strict multi-member gzip decompression — the Common Crawl
+    byte format (each WARC record is its own gzip member, making
+    records independently seekable): decompress every member and
+    concatenate. Pinned errors: 'not a gzip payload' (bad magic),
+    'truncated gzip member' (stream ends mid-member), 'trailing
+    bytes after gzip members' (garbage after the last member)."""
+    import zlib
+
+    if data[:2] != b"\x1f\x8b":
+        raise ValueError("not a gzip payload")
+    out = []
+    rest = bytes(data)
+    while rest:
+        if rest[:2] != b"\x1f\x8b":
+            raise ValueError("trailing bytes after gzip members")
+        d = zlib.decompressobj(wbits=31)
+        try:
+            out.append(d.decompress(rest))
+        except zlib.error as exc:
+            raise ValueError("truncated gzip member") from exc
+        if not d.eof:
+            raise ValueError("truncated gzip member")
+        rest = d.unused_data
+    return b"".join(out)
+
+
+def warc_gz_to_text(
+    warcs: DataFrame, gz_col: str = "warc_gz", id_col: str = "doc_id"
+) -> DataFrame:
+    """Decompress multi-member gzip WARC payloads to text — the step
+    between a Common Crawl download and :func:`warc_response_records`.
+    Per-payload Arrow kernel (zlib is the only place Python is
+    needed; everything after is the declarative walk); payloads that
+    fail the strict member walk yield no row (decode errors are
+    data; pair with an audit query for the dead-letter view)."""
+    import pandas as pd
+
+    def kernel(batches):
+        for pdf in batches:
+            ids, texts = [], []
+            for i, gz in zip(pdf[id_col], pdf[gz_col]):
+                if gz is None:
+                    continue
+                try:
+                    texts.append(
+                        gunzip_members(bytes(gz)).decode(
+                            "utf-8", errors="strict"
+                        )
+                    )
+                except (ValueError, UnicodeDecodeError):
+                    continue
+                ids.append(i)
+            yield pd.DataFrame({id_col: ids, "warc": texts})
+
+    return warcs.select(id_col, gz_col).mapInPandas(
+        kernel, f"{id_col} long, warc string"
+    )

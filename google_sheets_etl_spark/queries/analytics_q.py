@@ -1497,9 +1497,7 @@ def html_text_extract(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@q(
-    "warc_html_ingest",
-    f"""WITH pages AS (
+_WARC_INGEST_ORACLE = f"""WITH pages AS (
          SELECT doc_id, {_HTML_PLANT_SQL.format()} AS html
          FROM documents),
        warcs AS (
@@ -1554,8 +1552,10 @@ def html_text_extract(spark: SparkSession, sf: str) -> DataFrame:
          FROM typed WHERE warc_type = 'response')
        SELECT doc_id, record_idx,
               {_html_to_text_sql("payload")} AS text_clean
-       FROM payloads""",
-)
+       FROM payloads"""
+
+
+@q("warc_html_ingest", _WARC_INGEST_ORACLE)
 def warc_html_ingest(spark: SparkSession, sf: str) -> DataFrame:
     """The WEB-INGEST front door end-to-end (operators/cleaning.py
     warc_response_records + html_to_text): a planted WARC/1.0 capture
@@ -1713,4 +1713,72 @@ def url_normalize_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return normed.select(
         "doc_id", "url_norm", "domain",
         (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_canonical"),
+    )
+
+
+@q("warc_gz_ingest", _WARC_INGEST_ORACLE)
+def warc_gz_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    """The web-ingest front door at Common Crawl's ACTUAL byte format
+    — multi-member gzip WARC, one gzip member per record (the layout
+    that makes records independently seekable): the planted capture
+    of `warc_html_ingest` is compressed member-per-record in the
+    plant kernel, decompressed by the strict member walk
+    (operators/cleaning.py gunzip_members — pinned magic/truncation/
+    trailing-garbage rejects), and flows through the SAME declarative
+    record walk + HTML extraction. The oracle is warc_html_ingest's
+    verbatim: compression must be INVISIBLE to the contract, so a
+    value-hash match certifies the gzip walk in isolation (the
+    AVI-fixture-reuse discipline applied to compression). zlib is
+    the only Python in the path — one per-payload Arrow kernel,
+    everything after is codegen."""
+    import pandas as pd
+
+    docs = t(spark, sf, "documents")
+
+    def kernel(batches):
+        import zlib
+
+        crlf = "\r\n"
+        for pdf in batches:
+            ids, gzs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                page = (
+                    f"<html><head><title>Doc {doc_id}</title>"
+                    '<style>p {margin:0}</style>'
+                    '<script>var x = "<p>not text</p>";</script></head>'
+                    f"<body><h1>Doc {doc_id} &amp; friends</h1><p>{text}"
+                    "</p><ul><li>alpha</li><li>beta &lt;tag&gt;</li></ul>"
+                    "<!-- hidden --><p>fin&nbsp;&quot;q&#39;</p>"
+                    "</body></html>"
+                )
+                records = [
+                    "WARC/1.0" + crlf + "WARC-Type: warcinfo" + crlf
+                    + "Content-Length: 11" + crlf + crlf + "software: x"
+                    + crlf + crlf,
+                    "WARC/1.0" + crlf + "WARC-Type: request" + crlf
+                    + f"WARC-Target-URI: http://ex.com/{doc_id}"
+                    + crlf + crlf + "GET / HTTP/1.1" + crlf + crlf,
+                    "WARC/1.0" + crlf + "WARC-Type: response" + crlf
+                    + f"WARC-Target-URI: http://ex.com/{doc_id}"
+                    + crlf + crlf + "HTTP/1.1 200 OK" + crlf
+                    + "Content-Type: text/html" + crlf + crlf + page
+                    + crlf + crlf,
+                ]
+                members = []
+                for rec in records:
+                    c = zlib.compressobj(9, zlib.DEFLATED, 31)
+                    members.append(c.compress(rec.encode()) + c.flush())
+                ids.append(doc_id)
+                gzs.append(b"".join(members))
+            yield pd.DataFrame({"doc_id": ids, "warc_gz": gzs})
+
+    gz = docs.select("doc_id", "text").mapInPandas(
+        kernel, "doc_id long, warc_gz binary"
+    )
+    warcs = cleaning.warc_gz_to_text(gz)
+    recs = cleaning.warc_response_records(warcs)
+    return recs.filter(F.col("warc_type") == "response").select(
+        "doc_id", "record_idx",
+        cleaning.html_to_text(F.col("payload")).alias("text_clean"),
     )

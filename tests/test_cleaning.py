@@ -721,3 +721,28 @@ def test_url_normalize_and_domain_contracts(spark):
     }
     for i, (_, want_n, want_d) in enumerate(cases):
         assert got[i] == (want_n, want_d), (i, got[i])
+
+
+def test_gunzip_members_contracts():
+    """Multi-member gzip walk (Common Crawl's record-per-member
+    layout): members concatenate in order; every malformation class
+    rejects with its pinned message."""
+    import zlib
+
+    import pytest
+
+    from google_sheets_etl_spark.operators.cleaning import gunzip_members
+
+    def member(b: bytes) -> bytes:
+        c = zlib.compressobj(9, zlib.DEFLATED, 31)
+        return c.compress(b) + c.flush()
+
+    payload = member(b"alpha") + member(b"beta") + member(b"")
+    assert gunzip_members(payload) == b"alphabeta"
+    for bad, msg in [
+        (b"xx" + payload, "not a gzip payload"),
+        (payload[:-4], "truncated gzip member"),
+        (payload + b"junk", "trailing bytes after gzip members"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            gunzip_members(bad)
