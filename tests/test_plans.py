@@ -874,3 +874,16 @@ def test_web_ingest_is_codegen_narrow(spark, sf_dir):
     plan = explain_str(QUERIES["warc_html_ingest"](spark, sf_dir))
     assert "Exchange" not in plan
     assert "Generate" in plan and "MapInPandas" not in plan
+
+
+def test_warc_gz_and_url_plan_shapes(spark, sf_dir):
+    """gz-WARC ingest: one Arrow kernel (the zlib walk) + the record
+    Generate, zero exchanges. URL dedup: pure codegen normalization
+    into EXACTLY one uniform-key exchange (the canonical-verdict
+    window) — never a second shuffle, never Python."""
+    plan = explain_str(QUERIES["warc_gz_ingest"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan and "Generate" in plan
+    plan = explain_str(QUERIES["url_normalize_dedup"](spark, sf_dir))
+    assert plan.count("+- Exchange") == 1
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
