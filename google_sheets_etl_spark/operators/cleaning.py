@@ -638,3 +638,57 @@ def warc_gz_to_text(
     return warcs.select(id_col, gz_col).mapInPandas(
         kernel, f"{id_col} long, warc string"
     )
+
+
+def warc_payload_audit(
+    media: DataFrame, id_col: str = "media_id"
+) -> DataFrame:
+    """Parse-only admission verdict for gzip-WARC payloads — the web
+    front door's reject channel (payload_decode_audit's contract on
+    the web axis): per row, walk the gzip members strictly, demand
+    valid UTF-8, demand a WARC/1.0 leader and at least one response
+    record. Emits ``(id, ok, err)`` for EVERY row with the walk's
+    pinned message ('' when ok) — ``filter(~ok)`` IS the dead-letter
+    queue. Parse-only and narrow: no HTML extraction, no shuffle."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        BooleanType, StringType, StructField, StructType,
+    )
+
+    out_schema = StructType([
+        StructField(id_col, media.schema[id_col].dataType),
+        StructField("ok", BooleanType()),
+        StructField("err", StringType()),
+    ])
+
+    def verdict(payload) -> tuple[bool, str]:
+        if payload is None:
+            return False, "null payload"
+        try:
+            raw = gunzip_members(bytes(payload))
+        except ValueError as exc:
+            return False, str(exc)
+        try:
+            text = raw.decode("utf-8", errors="strict")
+        except UnicodeDecodeError:
+            return False, "invalid utf-8 in warc"
+        if not text.startswith("WARC/1.0\r\n"):
+            return False, "not a warc payload"
+        if "WARC-Type: response" not in text:
+            return False, "no response records"
+        return True, ""
+
+    def kernel(batches):
+        for pdf in batches:
+            oks, errs = [], []
+            for payload in pdf["payload"]:
+                ok, err = verdict(payload)
+                oks.append(ok)
+                errs.append(err)
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "ok": pd.Series(oks, dtype="bool"),
+                "err": errs,
+            })
+
+    return media.select(id_col, "payload").mapInPandas(kernel, out_schema)

@@ -769,3 +769,96 @@ def streaming_media_admission(spark: SparkSession, sf: str) -> DataFrame:
         "media_id", F.lit(False).alias("admitted"), "err"
     )
     return admitted.unionByName(dead)
+
+
+@q(
+    "streaming_web_admission",
+    """SELECT doc_id AS media_id,
+              (doc_id % 5) < 3 AS admitted,
+              CASE doc_id % 5
+                WHEN 3 THEN 'truncated gzip member'
+                WHEN 4 THEN 'not a gzip payload'
+                ELSE '' END AS err
+       FROM documents""",
+)
+def streaming_web_admission(spark: SparkSession, sf: str) -> DataFrame:
+    """The streaming WEB front door, driver-certified — the media
+    admission gate's machinery (streaming/media_gate_stream.py, now
+    audit-generic) with the gzip-WARC verdict function
+    (cleaning.warc_payload_audit): every payload is delivered TWICE
+    through separate micro-batches (at-least-once ingest); per batch
+    the gate walks gzip members, demands UTF-8 + a WARC leader + a
+    response record, dedups by payload hash against everything ever
+    landed, and routes valid captures to the admitted table and
+    rejects (a member truncated mid-stream, junk bytes) to the
+    DEAD-LETTER table with the walk's pinned error. The drained
+    union must hold each payload EXACTLY once on exactly one channel."""
+    import shutil as _shutil
+    import tempfile
+    import zlib
+
+    import os as _os
+
+    import pandas as pd
+
+    from ..streaming.media_gate_stream import media_gate_stream
+    from ..operators.cleaning import warc_payload_audit
+
+    d = t(spark, sf, "documents").select("doc_id")
+
+    def kernel(batches):
+        crlf = "\r\n"
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                rec = (
+                    "WARC/1.0" + crlf + "WARC-Type: response" + crlf
+                    + f"WARC-Target-URI: http://ex.com/{doc_id}"
+                    + crlf + crlf + "HTTP/1.1 200 OK" + crlf + crlf
+                    + f"<html><p>doc {doc_id}</p></html>" + crlf + crlf
+                )
+                c = zlib.compressobj(9, zlib.DEFLATED, 31)
+                gz = c.compress(rec.encode()) + c.flush()
+                cls = doc_id % 5
+                if cls < 3:
+                    payloads.append(gz)
+                elif cls == 3:
+                    payloads.append(gz[:-4])
+                else:  # junk must be DOC-UNIQUE or the hash dedup
+                    # would (correctly) collapse identical junk rows
+                    payloads.append(b"ZZnot-warc:%d" % doc_id)
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = d.mapInPandas(kernel, "media_id long, payload binary")
+    src = tempfile.mkdtemp(prefix="wg_src_")
+    media.write.parquet(f"{src}/copy_a")
+    _shutil.copytree(f"{src}/copy_a", f"{src}/copy_b")
+    stream = (
+        spark.readStream.schema("media_id long, payload binary")
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(f"{src}/copy_*")
+    )
+    base = tempfile.mkdtemp(prefix="wg_")
+    admitted_path = _os.path.join(base, "admitted")
+    deadletter_path = _os.path.join(base, "deadletter")
+    handle = media_gate_stream(
+        stream,
+        admitted_path,
+        deadletter_path,
+        checkpoint=tempfile.mkdtemp(prefix="wg_ck_"),
+        audit_fn=warc_payload_audit,
+    )
+    handle.awaitTermination()
+    admitted = spark.read.parquet(admitted_path).select(
+        "media_id",
+        F.lit(True).alias("admitted"),
+        F.lit("").alias("err"),
+    )
+    dead = spark.read.parquet(deadletter_path).select(
+        "media_id", F.lit(False).alias("admitted"), "err"
+    )
+    return admitted.unionByName(dead).dropDuplicates(["media_id"])

@@ -36,11 +36,18 @@ def media_gate_stream(
     checkpoint: str,
     id_col: str = "media_id",
     trigger: dict | None = None,
+    audit_fn=None,
 ):
     """Attach the decode+dedup gate to a streaming DataFrame of
     ``(id_col, payload)`` rows. Admitted rows ``(id, content_hash)``
     append to ``admitted_path``; rejects ``(id, content_hash, err)``
-    to ``deadletter_path``. Returns the started StreamingQuery."""
+    to ``deadletter_path``. Returns the started StreamingQuery.
+
+    ``audit_fn`` is the verdict function — any parse-only
+    ``(df, id_col) -> (id, ok, err)`` relation (default: the media
+    decode audit; pass ``cleaning.warc_payload_audit`` for the web
+    front door). The gate's dedup/replay/routing machinery is
+    format-agnostic: verdicts are pure functions of payload bytes."""
     spark = stream_df.sparkSession
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
@@ -70,7 +77,9 @@ def media_gate_stream(
                 "content_hash",
                 "left_anti",
             )
-        verdicts = payload_decode_audit(firsts, id_col=id_col)
+        verdicts = (audit_fn or payload_decode_audit)(
+            firsts, id_col=id_col
+        )
         routed = firsts.join(verdicts, id_col).localCheckpoint(eager=True)
         # localCheckpoint: both sinks commit from ONE computed batch —
         # re-deriving per sink would parse every payload twice
