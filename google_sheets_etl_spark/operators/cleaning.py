@@ -1,10 +1,14 @@
-"""Corpus-cleaning operators: PII redaction and span-level substring
-dedup (north-star extension; no reference counterpart — these are the
-C4/RefinedWeb-style passes a training-data pipeline runs between raw
-ingest and tokenization).
+"""Corpus-cleaning operators (north-star extension; no reference
+counterpart — the C4/RefinedWeb-style passes a training-data pipeline
+runs between raw ingest and tokenization): PII redaction, span-level
+substring dedup (fixed / CDC / min-run), C4 global boilerplate
+removal, mojibake repair (the ftfy pass), and the web-ingest front
+door — multi-member gzip WARC walk, declarative WARC/1.0 record
+parse + admission audit, HTML→text extraction, and URL
+canonicalization with eTLD+1 extraction.
 
-Both are exact-arithmetic, hash-deterministic, and have ANSI-SQL twins
-(``queries.py``). Regex patterns stay inside the Java-regex ∩ RE2
+All exact-arithmetic and hash-deterministic, with ANSI-SQL twins
+(``queries/``). Regex patterns stay inside the Java-regex ∩ RE2
 common subset (character classes, bounded repetition, ``\\b``; no
 lookaround, no backreferences) so Spark and DuckDB replace the same
 spans.
