@@ -543,7 +543,7 @@ def url_normalize(col):
         F.lower(F.regexp_extract(col, r"^([a-zA-Z]+://[^/?#]*)", 1)),
         F.regexp_replace(col, r"^[a-zA-Z]+://[^/?#]*", ""),
     )
-    s = F.regexp_replace(s, r"^([a-z]+://)www\.", r"$1")
+    s = F.regexp_replace(s, r"^([a-z]+://)(?:www\.)+", r"$1")
     s = F.regexp_replace(s, r"^(http://[^/?#:]*):80(/|\?|$)", r"$1$2")
     s = F.regexp_replace(s, r"^(https://[^/?#:]*):443(/|\?|$)", r"$1$2")
     s = F.regexp_replace(s, r"#.*$", "")
@@ -572,7 +572,7 @@ def registered_domain(col):
     host = F.lower(
         F.regexp_replace(
             F.regexp_extract(col, r"^[a-zA-Z]+://([^/?#:]*)", 1),
-            r"^www\.", "",
+            r"^(?:www\.)+", "",
         )
     )
     two_label = "|".join(s.replace(".", r"\.") for s in PUBLIC_SUFFIXES_2)

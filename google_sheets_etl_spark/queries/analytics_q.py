@@ -1634,7 +1634,7 @@ def warc_html_ingest(spark: SparkSession, sf: str) -> DataFrame:
                 regexp_replace(
                   regexp_replace(
                     regexp_replace(
-                      regexp_replace(s, '^([a-z]+://)www\\.', '\\1'),
+                      regexp_replace(s, '^([a-z]+://)(?:www\\.)+', '\\1'),
                       '^(http://[^/?#:]*):80(/|\\?|$)', '\\1\\2'),
                     '^(https://[^/?#:]*):443(/|\\?|$)', '\\1\\2'),
                   '#.*$', '') AS s
@@ -1660,7 +1660,7 @@ def warc_html_ingest(spark: SparkSession, sf: str) -> DataFrame:
                         ELSE regexp_extract(h, '([^.]+\\.[^.]+)$', 1) END
                  FROM (SELECT
                    lower(regexp_replace(regexp_extract(url_norm,
-                     '^[a-zA-Z]+://([^/?#:]*)', 1), '^www\\.', '')) AS h),
+                     '^[a-zA-Z]+://([^/?#:]*)', 1), '^(?:www\\.)+', '')) AS h),
                  (SELECT regexp_extract(h,
                    '([^.]+\\.(?:co\\.uk|ac\\.uk|gov\\.uk|com\\.au|net\\.au|org\\.au|co\\.jp|ne\\.jp|or\\.jp|com\\.br|com\\.cn|co\\.in|co\\.kr))$',
                    1) AS m)) AS domain

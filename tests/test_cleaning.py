@@ -746,3 +746,68 @@ def test_gunzip_members_contracts():
     ]:
         with pytest.raises(ValueError, match=msg):
             gunzip_members(bad)
+
+
+def test_url_normalize_is_idempotent(spark):
+    """Canonicalization fixpoint: normalize(normalize(u)) ==
+    normalize(u) over a diverse URL batch (one DataFrame pass, the
+    property-test shape for a Column function) — a canonical form
+    that keeps moving is not a dedup key."""
+    from pyspark.sql import functions as F
+
+    from google_sheets_etl_spark.operators.cleaning import url_normalize
+
+    urls = []
+    for i in range(40):
+        host = ["Example.COM", "www.news.bbc.CO.UK", "a.b.io",
+                "X.shop.com.au"][i % 4]
+        port = ["", ":80", ":443", ":8080"][i % 4]
+        scheme = ["http://", "HTTPS://", "https://WWW.", "http://www."][
+            (i // 4) % 4
+        ]
+        q = ["", "?utm_a=1", "?id=%d&utm_b=2" % i,
+             "?utm_a=1&utm_b=2&z=%d" % i][(i // 16) % 4]
+        urls.append((i, f"{scheme}{host}{port}/P{i}/{q}#frag{i}"))
+    df = spark.createDataFrame(urls, "i long, url string")
+    once = df.select("i", url_normalize(F.col("url")).alias("u1"))
+    twice = once.select(
+        "i", "u1", url_normalize(F.col("u1")).alias("u2")
+    )
+    bad = twice.filter(F.col("u1") != F.col("u2")).collect()
+    assert not bad, bad[:3]
+
+
+def test_mojibake_repair_fixpoint_property(spark):
+    """repair(corrupt(x)) == x over a batch of generated clean texts
+    mixing ASCII, Latin accents, and CP1252-flavor punctuation — and
+    a second repair pass is a no-op (clean text is a fixpoint)."""
+    from pyspark.sql import functions as F
+
+    from google_sheets_etl_spark.operators.cleaning import mojibake_repair
+
+    UNDEF = (0x81, 0x8D, 0x8F, 0x90, 0x9D)
+
+    def lenient_cp1252(bs: bytes) -> str:
+        return "".join(
+            chr(b) if b < 0x80 or b >= 0xA0 or b in UNDEF
+            else bytes([b]).decode("cp1252")
+            for b in bs
+        )
+
+    pieces = ["plain", "café", "naïve", "déjà-vu", "’quote’",
+              "“fancy”", "—dash—", "€9.99", "ñandú", "§1.2"]
+    rows = []
+    for i in range(40):
+        orig = " ".join(pieces[(i + k) % len(pieces)]
+                        for k in range(1 + i % 5)) + f" #{i}"
+        rows.append((i, orig, lenient_cp1252(orig.encode("utf-8"))))
+    df = spark.createDataFrame(rows, "i long, orig string, text string")
+    out = mojibake_repair(df.select("i", F.col("orig"), "text"),
+                          text_col="text", id_col="i")
+    joined = out.join(df.select("i", "orig"), "i")
+    bad = joined.filter(F.col("text_clean") != F.col("orig")).collect()
+    assert not bad, bad[:3]
+    again = mojibake_repair(
+        out.select("i", F.col("text_clean").alias("text")), id_col="i"
+    )
+    assert again.filter(F.col("is_mojibake")).count() == 0

@@ -283,3 +283,80 @@ def test_media_parsers_survive_mutated_valid_payloads(pos, val, cut, fmt):
         parser(payload)
     except ValueError:
         pass
+
+
+@given(
+    st.lists(st.binary(max_size=200), min_size=1, max_size=5),
+    st.integers(min_value=1, max_value=9),
+)
+@settings(max_examples=60, deadline=None)
+def test_gzip_member_walk_roundtrip(chunks, level):
+    """Multi-member gzip: compressing each chunk as its own member
+    and walking them back yields the exact concatenation, at any
+    compression level and member count (the Common Crawl layout)."""
+    import zlib
+
+    from google_sheets_etl_spark.operators.cleaning import gunzip_members
+
+    members = []
+    for b in chunks:
+        c = zlib.compressobj(level, zlib.DEFLATED, 31)
+        members.append(c.compress(b) + c.flush())
+    assert gunzip_members(b"".join(members)) == b"".join(chunks)
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-32768, max_value=32767),
+        min_size=129 * 2, max_size=129 * 2,
+    ),
+)
+@settings(max_examples=40, deadline=None)
+def test_adpcm_decode_blocks_are_independent(samples):
+    """IMA ADPCM block independence (the seek property): decoding
+    block 2's bytes alone, re-wrapped as a one-block file, equals the
+    tail of the full decode — for ANY input signal, including
+    clipping-range extremes the quantizer saturates on."""
+    from google_sheets_etl_spark.operators.multimodal import (
+        encode_wav_ima_adpcm, parse_wav_ima_adpcm,
+    )
+
+    wav = encode_wav_ima_adpcm(8000, samples, 129)
+    _, full = parse_wav_ima_adpcm(wav)
+    block_align = 4 + 64
+    di = wav.find(b"data")
+    blk2 = wav[di + 8 + block_align : di + 8 + 2 * block_align]
+    solo = encode_wav_ima_adpcm(8000, [0] * 129, 129)
+    sdi = solo.find(b"data")
+    _, dec2 = parse_wav_ima_adpcm(solo[: sdi + 8] + blk2)
+    assert (dec2 == full[129:]).all()
+
+
+@given(
+    st.integers(min_value=1, max_value=4),
+    st.integers(min_value=8, max_value=24),
+    st.integers(min_value=8, max_value=16),
+    st.integers(min_value=0, max_value=10**6),
+)
+@settings(max_examples=25, deadline=None)
+def test_mp4_container_roundtrip_matches_avi(nf, w, h, seed):
+    """Container independence for ANY frame plan: the same JPEG
+    frames wrapped as MP4 and as AVI decode to identical frame
+    lists — the property that lets one fixture certify both walks."""
+    from google_sheets_etl_spark.operators.jpeg import encode_jpeg
+    from google_sheets_etl_spark.operators.multimodal import (
+        encode_avi_mjpeg, encode_mp4_mjpeg, parse_avi_mjpeg,
+        parse_mp4_mjpeg,
+    )
+
+    jpegs = [
+        encode_jpeg(
+            w, h,
+            bytes((seed + f * 31 + k * 7) % 256
+                  for k in range(w * h * 3)),
+        )
+        for f in range(nf)
+    ]
+    mp4 = parse_mp4_mjpeg(encode_mp4_mjpeg(w, h, jpegs))
+    avi = parse_avi_mjpeg(encode_avi_mjpeg(w, h, jpegs))
+    assert mp4 == avi and len(mp4) == nf
