@@ -256,3 +256,39 @@ def rolling_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     """Order-sensitive Rabin-Karp fingerprint; md5 word hashes + exact
     integer fold arithmetic reproduce bit-for-bit in ANSI SQL."""
     return text_ops.rolling_fingerprint(t(spark, sf, "documents"))
+
+
+_BLOCKLIST_TERMS = ["merge", "scan", "window", "error"]
+
+
+@q(
+    "blocklist_gate_stats",
+    """WITH hits AS (
+         SELECT doc_id, COUNT(*)::BIGINT AS n_hits,
+                COUNT(DISTINCT tok)::BIGINT AS n_distinct_terms
+         FROM (SELECT doc_id,
+                      unnest(string_split(lower(text), ' ')) AS tok
+               FROM documents)
+         WHERE tok IN ('merge', 'scan', 'window', 'error')
+         GROUP BY doc_id)
+       SELECT d.doc_id,
+              COALESCE(h.n_hits, 0) AS n_hits,
+              COALESCE(h.n_distinct_terms, 0) AS n_distinct_terms,
+              COALESCE(h.n_hits, 0) <= 2 AS keep
+       FROM documents d LEFT JOIN hits h USING (doc_id)""",
+)
+def blocklist_gate_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Banned-term filtering (operators/text.py blocklist_gate — the
+    C4 "bad words list" gate): per-document blocklist hit counts and
+    the keep verdict at max_hits=2, over a term TABLE joined on the
+    exploded-token key instead of a regex alternation — the shape
+    that survives the 10^5-term lists real deployments carry
+    (Catalyst broadcasts a small list, shuffle-joins a huge one on
+    uniform token hashes, zero operator changes). Every document
+    gets a verdict row, so kept set, reject set, and per-term triage
+    derive from one relation."""
+    docs = t(spark, sf, "documents")
+    terms = spark.createDataFrame(
+        [(w,) for w in _BLOCKLIST_TERMS], "term string"
+    )
+    return text_ops.blocklist_gate(docs, terms, max_hits=2)

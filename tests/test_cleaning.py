@@ -811,3 +811,31 @@ def test_mojibake_repair_fixpoint_property(spark):
         out.select("i", F.col("text_clean").alias("text")), id_col="i"
     )
     assert again.filter(F.col("is_mojibake")).count() == 0
+
+
+def test_blocklist_gate_contracts(spark):
+    """The C4 banned-words gate: exact-token matching (no substring
+    false positives — 'scandal' never hits 'scan'), case-insensitive
+    on both sides, every doc gets a verdict row, and max_hits
+    thresholds the keep flag."""
+    from google_sheets_etl_spark.operators.text import blocklist_gate
+
+    docs = spark.createDataFrame(
+        [
+            (0, "clean text only"),
+            (1, "one BAD word"),
+            (2, "bad bad ugly repeat"),
+            (3, "scandal scanner badge badly uglyish"),
+        ],
+        "doc_id long, text string",
+    )
+    terms = spark.createDataFrame(
+        [("bad",), ("UGLY",), ("scan",)], "term string"
+    )
+    out = {r["doc_id"]: r for r in
+           blocklist_gate(docs, terms, max_hits=1).collect()}
+    assert out[0]["n_hits"] == 0 and out[0]["keep"]
+    assert out[1]["n_hits"] == 1 and out[1]["keep"]
+    assert (out[2]["n_hits"], out[2]["n_distinct_terms"]) == (3, 2)
+    assert not out[2]["keep"]
+    assert out[3]["n_hits"] == 0 and out[3]["keep"]  # no substring hits
