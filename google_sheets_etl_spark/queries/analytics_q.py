@@ -1782,3 +1782,79 @@ def warc_gz_ingest(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", "record_idx",
         cleaning.html_to_text(F.col("payload")).alias("text_clean"),
     )
+
+
+#: the planted page for main-content extraction: nav bar + two prose
+#: blocks (one with an inline link) + link-farm footer
+_DENSITY_PAGE_SQL = """'<html><body>'
+    || '<div><a href=h>Home</a> <a href=a>About</a> '
+    || '<a href=c>Contact us</a></div>'
+    || '<p>' || text || ' with an <a href=q>inline link</a> inside'
+    || ' ordinary prose that keeps the density low.</p>'
+    || '<p>Second block ' || doc_id || ' of genuine content with'
+    || ' enough words to pass the length floor.</p>'
+    || '<div><a>Privacy</a> | <a>Terms</a> | <a>Imprint</a></div>'
+    || '</body></html>'"""
+
+
+@q(
+    "main_content_extract_stats",
+    f"""WITH pages AS (
+         SELECT doc_id, {_DENSITY_PAGE_SQL} AS html FROM documents),
+       blocks AS (
+         SELECT doc_id,
+                list_transform(
+                  string_split_regex(html,
+                    '(?i)</(?:p|div|h[1-6]|li|tr|table|ul|ol)>'),
+                  g -> struct_pack(
+                    t := {_html_to_text_sql("g")},
+                    al := coalesce(list_sum(list_transform(
+                            regexp_extract_all(g,
+                              '(?is)<a[^>]*>(.*?)</a>', 1),
+                            x -> len(regexp_replace(x,
+                                   '(?s)<[^>]+>', ' ', 'g')))), 0)))
+                AS bs
+         FROM pages),
+       kept AS (
+         SELECT doc_id, bs,
+                list_filter(bs, s -> len(s.t) >= 25
+                                 AND s.al * 3 <= len(s.t)) AS ks
+         FROM blocks)
+       SELECT doc_id,
+              array_to_string(list_transform(ks, s -> s.t), chr(10))
+                AS main_text,
+              CAST(len(bs) AS BIGINT) AS n_segments,
+              CAST(len(ks) AS BIGINT) AS n_kept
+       FROM kept""",
+)
+def main_content_extract_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """DENSITY-based main-content extraction (operators/cleaning.py
+    main_content_extract — the boilerpipe/readability step): planted
+    pages carry a nav bar and a link-farm footer (high anchor share —
+    must drop) around two prose blocks, one with an inline link (low
+    anchor share — must survive). The keep rule is integer-exact
+    (3·anchor_len <= text_len), and the ENTIRE extraction — block
+    split, per-block tag-strip + anchor accounting, density filter,
+    page-order rejoin — replays in SQL through the
+    list_transform/list_filter twins of the Spark HOFs, so the value
+    hash certifies the whole chain cross-engine. Array-native, one
+    projection, zero shuffle."""
+    docs = t(spark, sf, "documents")
+    page = F.concat(
+        F.lit("<html><body>"
+              "<div><a href=h>Home</a> <a href=a>About</a> "
+              "<a href=c>Contact us</a></div>"
+              "<p>"),
+        F.col("text"),
+        F.lit(" with an <a href=q>inline link</a> inside"
+              " ordinary prose that keeps the density low.</p>"
+              "<p>Second block "),
+        F.col("doc_id").cast("string"),
+        F.lit(" of genuine content with"
+              " enough words to pass the length floor.</p>"
+              "<div><a>Privacy</a> | <a>Terms</a> | <a>Imprint</a></div>"
+              "</body></html>"),
+    )
+    return cleaning.main_content_extract(
+        docs.select("doc_id", page.alias("html"))
+    )

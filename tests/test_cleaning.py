@@ -839,3 +839,34 @@ def test_blocklist_gate_contracts(spark):
     assert (out[2]["n_hits"], out[2]["n_distinct_terms"]) == (3, 2)
     assert not out[2]["keep"]
     assert out[3]["n_hits"] == 0 and out[3]["keep"]  # no substring hits
+
+
+def test_main_content_extract_contracts(spark):
+    """The density gate's point: nav bars and link-farm footers
+    (anchor-dominated blocks) drop; prose survives even WITH an
+    inline link; short fragments fail the length floor; kept blocks
+    rejoin in page order."""
+    from google_sheets_etl_spark.operators.cleaning import (
+        main_content_extract,
+    )
+
+    html = (
+        "<html><body>"
+        "<div><a>Home</a> <a>About</a> <a>Contact page</a></div>"
+        "<p>First real paragraph has plenty of prose and an "
+        "<a href=x>inline link</a> but stays link-sparse.</p>"
+        "<p>short</p>"
+        "<p>Second real paragraph continues the article with more "
+        "ordinary words.</p>"
+        "<div><a>Privacy</a> | <a>Terms of use</a></div>"
+        "</body></html>"
+    )
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    r = main_content_extract(df).collect()[0]
+    assert r["n_kept"] == 2
+    parts = r["main_text"].split("\n")
+    assert parts[0].startswith("First real paragraph")
+    assert parts[1].startswith("Second real paragraph")
+    assert "Home" not in r["main_text"]
+    assert "Privacy" not in r["main_text"]
+    assert "short" not in r["main_text"]

@@ -887,3 +887,12 @@ def test_warc_gz_and_url_plan_shapes(spark, sf_dir):
     plan = explain_str(QUERIES["url_normalize_dedup"](spark, sf_dir))
     assert plan.count("+- Exchange") == 1
     assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_main_content_extract_is_narrow(spark, sf_dir):
+    """Density-based extraction is array-native: one projection, no
+    explode-and-regroup, no exchange, no Python evaluator."""
+    plan = explain_str(QUERIES["main_content_extract_stats"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+    assert "Generate" not in plan  # array HOFs, not explode+groupBy
