@@ -1858,3 +1858,61 @@ def main_content_extract_stats(spark: SparkSession, sf: str) -> DataFrame:
     return cleaning.main_content_extract(
         docs.select("doc_id", page.alias("html"))
     )
+
+
+@q(
+    "domain_capped_sample",
+    """WITH base AS (
+         SELECT doc_id,
+                ['example.com', 'news.bbc.co.uk', 'shop.com.au',
+                 'docs.example.io'][(doc_id // 2) % 4 + 1] AS host
+         FROM documents),
+       planted AS (
+         SELECT doc_id,
+                'https://' || host || '/p/' || doc_id AS url
+         FROM base),
+       dom AS (
+         SELECT doc_id,
+                (SELECT CASE WHEN m <> '' THEN m
+                        ELSE regexp_extract(h, '([^.]+\\.[^.]+)$', 1) END
+                 FROM (SELECT
+                   lower(regexp_replace(regexp_extract(url,
+                     '^[a-zA-Z]+://([^/?#:]*)', 1), '^(?:www\\.)+', ''))
+                   AS h),
+                 (SELECT regexp_extract(h,
+                   '([^.]+\\.(?:co\\.uk|ac\\.uk|gov\\.uk|com\\.au|net\\.au|org\\.au|co\\.jp|ne\\.jp|or\\.jp|com\\.br|com\\.cn|co\\.in|co\\.kr))$',
+                   1) AS m)) AS domain
+         FROM planted)
+       SELECT doc_id, domain FROM (
+         SELECT doc_id, domain,
+                ROW_NUMBER() OVER (PARTITION BY domain
+                                   ORDER BY md5(doc_id::VARCHAR), doc_id)
+                  AS rk
+         FROM dom) WHERE rk <= 60""",
+)
+def domain_capped_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """PER-DOMAIN capped sampling — RefinedWeb's domain-dominance
+    guard (no single site may flood the corpus), composed from two
+    certified pieces: registered_domain (eTLD+1 under the fixed
+    mini-PSL) keys the cap, capped_per_key picks an unbiased
+    deterministic-hash sample of at most 60 docs per domain (never
+    "first N by storage order" — that samples whatever crawled
+    first). One shuffle on the domain key; the domain extraction
+    rides the scan. The twin replays extraction AND cap selection
+    row-for-row under the same md5 order."""
+    docs = t(spark, sf, "documents")
+    hosts = F.array(
+        F.lit("example.com"), F.lit("news.bbc.co.uk"),
+        F.lit("shop.com.au"), F.lit("docs.example.io"),
+    )
+    site = (F.col("doc_id") / 2).cast("long")
+    url = F.concat(
+        F.lit("https://"), F.element_at(hosts, (site % 4 + 1).cast("int")),
+        F.lit("/p/"), F.col("doc_id").cast("string"),
+    )
+    with_domain = docs.select(
+        "doc_id", cleaning.registered_domain(url).alias("domain")
+    )
+    return sampling.capped_per_key(
+        with_domain, key_col="domain", cap=60
+    ).select("doc_id", "domain")
