@@ -481,19 +481,64 @@ def warc_response_records(
     payload)`` for ALL records (the type column is the audit surface;
     filter ``warc_type = 'response'`` for the data path).
 
-    Declarative on purpose: records split on the version leader
-    (RE2-safe — no lookaround), WARC headers part from the body at
+    Declarative on purpose: candidate segments split on the version
+    leader (RE2-safe — no lookaround), then a JVM-side ``aggregate``
+    fold re-merges segments whose record declares a ``Content-Length``
+    its body hasn't reached yet — a response payload that itself
+    contains the byte sequence ``WARC/1.0\\r\\n`` (arbitrary web
+    content in a Common Crawl capture) is reassembled byte-exactly
+    instead of silently splitting into bogus records. Records WITHOUT
+    a Content-Length header (off-spec; ISO 28500 mandates it) fall
+    back to leader-split boundaries — that residual ambiguity is
+    inherent and documented here. WARC headers part from the body at
     the first blank line, the HTTP envelope at ITS first blank line
-    (dotall-lazy prefix strip). One explode + codegen projections —
-    the record walk costs one pass regardless of archive size, and
-    at 100 TB each WARC file is one row so parallelism = file count,
-    the same grain Common Crawl shards naturally provide."""
-    rec = F.posexplode(
-        F.slice(
-            F.split(F.col(warc_col), "WARC/1\\.0\r\n"),
-            2, 2147483646,  # element 1 is the pre-leader prefix: ''
+    (dotall-lazy prefix strip); the record-terminating CRLF CRLF is
+    trimmed EXACTLY once (content-owned trailing CRLFs survive). One
+    fold + explode + codegen projections — the record walk costs one
+    pass regardless of archive size, and at 100 TB each WARC file is
+    one row so parallelism = file count, the same grain Common Crawl
+    shards naturally provide."""
+    _LEADER = "WARC/1.0\r\n"
+
+    def _complete(rec):
+        # a candidate is a complete record iff its headers terminate
+        # (blank line present) and, when Content-Length is declared,
+        # the body has reached CL + 4 bytes (content + CRLF CRLF
+        # record terminator). Byte lengths (octet_length), not chars.
+        hdrs = F.regexp_replace(rec, r"(?s)\r\n\r\n.*$", "")
+        body = F.regexp_replace(rec, r"(?s)^.*?\r\n\r\n", "")
+        cl = F.regexp_extract(hdrs, r"Content-Length: (\d+)", 1)
+        return (F.instr(rec, "\r\n\r\n") > 0) & (
+            (cl == "") | (F.octet_length(body) >= cl.cast("long") + 4)
         )
+
+    segs = F.slice(
+        F.split(F.col(warc_col), "WARC/1\\.0\r\n"),
+        2, 2147483646,  # element 1 is the pre-leader prefix: ''
     )
+    records = F.aggregate(
+        segs,
+        F.struct(
+            F.array().cast("array<string>").alias("done"),
+            F.lit("").alias("cur"),
+        ),
+        lambda acc, seg: F.struct(
+            F.when(
+                (acc["cur"] != "") & _complete(acc["cur"]),
+                F.array_append(acc["done"], acc["cur"]),
+            ).otherwise(acc["done"]).alias("done"),
+            F.when(
+                (acc["cur"] == "") | _complete(acc["cur"]), seg
+            ).otherwise(
+                # the split ate an in-payload leader: glue it back
+                F.concat(acc["cur"], F.lit(_LEADER), seg)
+            ).alias("cur"),
+        ),
+        lambda acc: F.when(
+            acc["cur"] == "", acc["done"]
+        ).otherwise(F.array_append(acc["done"], acc["cur"])),
+    )
+    rec = F.posexplode(records)
     base = warcs.select(F.col(id_col), rec.alias("record_idx", "_rec"))
     headers = F.regexp_replace(
         F.col("_rec"), r"(?s)\r\n\r\n.*$", ""
@@ -506,8 +551,9 @@ def warc_response_records(
         wtype == "response",
         F.regexp_replace(body, r"(?s)^.*?\r\n\r\n", ""),
     ).otherwise(body)
-    # records end with CRLF CRLF per spec — trim the trailing pair
-    payload = F.regexp_replace(payload, r"(\r\n)+$", "")
+    # records end with exactly CRLF CRLF per spec — trim ONE pair;
+    # '(\r\n)+$' would eat content-owned trailing CRLFs too
+    payload = F.regexp_replace(payload, r"\r\n\r\n$", "")
     return base.select(
         id_col,
         (F.col("record_idx") + 1).cast("long").alias("record_idx"),
@@ -544,8 +590,11 @@ def url_normalize(col):
         F.regexp_replace(col, r"^[a-zA-Z]+://[^/?#]*", ""),
     )
     s = F.regexp_replace(s, r"^([a-z]+://)(?:www\.)+", r"$1")
-    s = F.regexp_replace(s, r"^(http://[^/?#:]*):80(/|\?|$)", r"$1$2")
-    s = F.regexp_replace(s, r"^(https://[^/?#:]*):443(/|\?|$)", r"$1$2")
+    # '#' in the terminator alternation: a default port immediately
+    # followed by the fragment ('http://h:80#x') must still strip, or
+    # ':80'/':443' survive into the dedup key (fragment drops next)
+    s = F.regexp_replace(s, r"^(http://[^/?#:]*):80(/|\?|#|$)", r"$1$2")
+    s = F.regexp_replace(s, r"^(https://[^/?#:]*):443(/|\?|#|$)", r"$1$2")
     s = F.regexp_replace(s, r"#.*$", "")
     base = F.regexp_replace(s, r"\?.*$", "")
     base = F.regexp_replace(base, r"([^/:])/$", r"$1")
@@ -621,6 +670,14 @@ def warc_gz_to_text(
     fail the strict member walk yield no row (decode errors are
     data; pair with an audit query for the dead-letter view)."""
     import pandas as pd
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    # carry the input id type through (audit-operator contract) — a
+    # hardcoded 'long' would Arrow-mismatch any non-bigint id column
+    out_schema = StructType([
+        StructField(id_col, warcs.schema[id_col].dataType),
+        StructField("warc", StringType()),
+    ])
 
     def kernel(batches):
         for pdf in batches:
@@ -639,9 +696,7 @@ def warc_gz_to_text(
                 ids.append(i)
             yield pd.DataFrame({id_col: ids, "warc": texts})
 
-    return warcs.select(id_col, gz_col).mapInPandas(
-        kernel, f"{id_col} long, warc string"
-    )
+    return warcs.select(id_col, gz_col).mapInPandas(kernel, out_schema)
 
 
 def warc_payload_audit(

@@ -1018,7 +1018,10 @@ def encode_mp4_mjpeg(
     mdia = box(b"mdia", mdhd + hdlr + minf)
     tkhd = fbox(
         b"tkhd",
-        struct.pack(">IIII4xII", 0, 0, 1, 0, n, 0)
+        # v0 layout: creation, modification, track_ID, reserved(4),
+        # duration, THEN reserved(8) — duration must precede the
+        # 8-byte reserved block or external tools read duration 0
+        struct.pack(">IIIII8x", 0, 0, 1, 0, n)
         + struct.pack(">HHHH", 0, 0, 0, 0)
         + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
                       0x40000000)

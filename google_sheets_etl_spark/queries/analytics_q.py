@@ -1547,7 +1547,7 @@ _WARC_INGEST_ORACLE = f"""WITH pages AS (
                 regexp_replace(
                   regexp_replace(body, '(?s)^.*?' || chr(13) ||
                     chr(10) || chr(13) || chr(10), ''),
-                  '(' || chr(13) || chr(10) || ')+$', '')
+                  chr(13) || chr(10) || chr(13) || chr(10) || '$', '')
                 AS payload
          FROM typed WHERE warc_type = 'response')
        SELECT doc_id, record_idx,
@@ -1635,8 +1635,8 @@ def warc_html_ingest(spark: SparkSession, sf: str) -> DataFrame:
                   regexp_replace(
                     regexp_replace(
                       regexp_replace(s, '^([a-z]+://)(?:www\\.)+', '\\1'),
-                      '^(http://[^/?#:]*):80(/|\\?|$)', '\\1\\2'),
-                    '^(https://[^/?#:]*):443(/|\\?|$)', '\\1\\2'),
+                      '^(http://[^/?#:]*):80(/|\\?|#|$)', '\\1\\2'),
+                    '^(https://[^/?#:]*):443(/|\\?|#|$)', '\\1\\2'),
                   '#.*$', '') AS s
          FROM norm),
        parts AS (
@@ -1781,6 +1781,73 @@ def warc_gz_ingest(spark: SparkSession, sf: str) -> DataFrame:
     return recs.filter(F.col("warc_type") == "response").select(
         "doc_id", "record_idx",
         cleaning.html_to_text(F.col("payload")).alias("text_clean"),
+    )
+
+
+@q(
+    "warc_content_length_walk",
+    """WITH p AS (
+         SELECT doc_id,
+                'pre WARC/1.0' || chr(13) || chr(10) || 'X-Fake: '
+                || doc_id || chr(13) || chr(10) || chr(13) || chr(10)
+                || 'post-' || left(text, 40) || ' end'
+                || chr(13) || chr(10) AS payload
+         FROM documents)
+       SELECT doc_id, CAST(1 AS BIGINT) AS record_idx,
+              'warcinfo' AS warc_type, 'software: x' AS payload
+       FROM documents
+       UNION ALL
+       SELECT doc_id, CAST(2 AS BIGINT), 'response', payload FROM p
+       UNION ALL
+       SELECT doc_id, CAST(3 AS BIGINT), 'metadata', 'via: crawler'
+       FROM documents""",
+)
+def warc_content_length_walk(spark: SparkSession, sf: str) -> DataFrame:
+    """Content-Length-delimited WARC record walk under LEADER
+    COLLISION (operators/cleaning.py warc_response_records): every
+    response payload deliberately CONTAINS the byte sequence
+    'WARC/1.0\\r\\n' followed by header-shaped text and a blank line
+    — the worst case for a split-based walk, and a real one (web
+    content in Common Crawl captures can embed anything) — plus a
+    content-owned trailing CRLF. The fold must reassemble the record
+    byte-exactly from its declared Content-Length, keep the record
+    AFTER it aligned, and trim only the record terminator. The oracle
+    does not walk at all: it states the expected rows BY CONSTRUCTION
+    from the same plant — ground truth, not a twin — so a value-hash
+    match certifies the reassembly against an independent source of
+    truth. Shape: the fold is one JVM-side `aggregate` over the
+    segment array; per-file cost stays linear in record count and
+    parallelism stays at Common Crawl's file grain."""
+    docs = t(spark, sf, "documents")
+    crlf = "\r\n"
+    payload = F.concat(
+        F.lit("pre WARC/1.0" + crlf + "X-Fake: "),
+        F.col("doc_id").cast("string"),
+        F.lit(crlf + crlf + "post-"),
+        F.substring(F.col("text"), 1, 40),
+        F.lit(" end" + crlf),
+    )
+    body2 = F.concat(
+        F.lit("HTTP/1.1 200 OK" + crlf + "Content-Type: text/html"
+              + crlf + crlf),
+        payload,
+    )
+    warc = F.concat(
+        F.lit("WARC/1.0" + crlf + "WARC-Type: warcinfo" + crlf
+              + "Content-Length: 11" + crlf + crlf + "software: x"
+              + crlf + crlf
+              + "WARC/1.0" + crlf + "WARC-Type: response" + crlf
+              + "Content-Length: "),
+        F.octet_length(body2).cast("string"),
+        F.lit(crlf + crlf),
+        body2,
+        F.lit(crlf + crlf
+              + "WARC/1.0" + crlf + "WARC-Type: metadata" + crlf
+              + "Content-Length: 12" + crlf + crlf + "via: crawler"
+              + crlf + crlf),
+    )
+    return cleaning.warc_response_records(
+        docs.select("doc_id", warc.alias("warc"))
     )
 
 

@@ -683,6 +683,64 @@ def test_warc_record_walk_contracts(spark):
     assert rows[4]["payload"] == "fetchTimeMs: 12"
 
 
+def test_warc_content_length_reassembly(spark):
+    """Content-Length honored (ISO 28500 §4: the header is mandatory
+    and delimits the record block): a response payload that itself
+    contains the byte sequence 'WARC/1.0\\r\\n' — arbitrary web
+    content in a real Common Crawl capture — reassembles byte-exactly
+    instead of splitting into bogus records; the record AFTER it
+    realigns; and the record-terminating CRLF CRLF trims EXACTLY once
+    (content-owned trailing CRLFs survive)."""
+    from google_sheets_etl_spark.operators.cleaning import (
+        warc_response_records,
+    )
+
+    def rec(headers: str, body: str) -> str:
+        return (
+            "WARC/1.0\r\n" + headers
+            + f"\r\nContent-Length: {len(body.encode())}"
+            + "\r\n\r\n" + body + "\r\n\r\n"
+        )
+
+    envelope = "HTTP/1.1 200 OK\r\nServer: s\r\n\r\n"
+    # worst case: the embedded leader is followed by header-shaped
+    # text AND a blank line — a naive split sees a plausible record
+    payload = "before WARC/1.0\r\nX-Fake: h\r\n\r\nafter tail\r\n"
+    warc = (
+        rec("WARC-Type: warcinfo", "software: test")
+        + rec("WARC-Type: response\r\nWARC-Target-URI: http://e.com",
+              envelope + payload)
+        + rec("WARC-Type: metadata", "fetchTimeMs: 12")
+    )
+    df = spark.createDataFrame([(7, warc)], "doc_id long, warc string")
+    rows = {r["record_idx"]: r for r in warc_response_records(df).collect()}
+    assert [rows[i]["warc_type"] for i in (1, 2, 3)] == [
+        "warcinfo", "response", "metadata"
+    ], rows
+    # byte-exact reassembly INCLUDING the embedded leader and the
+    # content-owned trailing CRLF (trim took exactly the terminator)
+    assert rows[2]["payload"] == payload
+    assert rows[3]["payload"] == "fetchTimeMs: 12"
+
+
+def test_warc_gz_to_text_id_type_passthrough(spark):
+    """warc_gz_to_text carries a non-bigint id column through (same
+    contract as warc_payload_audit) instead of hardcoding 'long'."""
+    import gzip
+
+    from google_sheets_etl_spark.operators.cleaning import warc_gz_to_text
+
+    warc = ("WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 24\r\n"
+            "\r\nHTTP/1.1 200 OK\r\n\r\nhi\r\n\r\n")
+    gz = gzip.compress(warc.encode())
+    df = spark.createDataFrame(
+        [("doc-a", bytearray(gz))], "doc_id string, warc_gz binary"
+    )
+    out = warc_gz_to_text(df).collect()
+    assert dict(warc_gz_to_text(df).dtypes)["doc_id"] == "string"
+    assert [(r["doc_id"], r["warc"]) for r in out] == [("doc-a", warc)]
+
+
 def test_url_normalize_and_domain_contracts(spark):
     """URL canonicalization invariants: case/www/default-port/utm/
     fragment variants collapse to one key; non-default ports and
@@ -706,6 +764,10 @@ def test_url_normalize_and_domain_contracts(spark):
         ("https://a.b.example.io/p?utm_a=1&q=1&utm_b=2&r=3",
          "https://a.b.example.io/p?q=1&r=3", "example.io"),
         ("https://plain.org/", "https://plain.org", "plain.org"),
+        # default port immediately followed by the fragment: the port
+        # must still strip (fragment is NOT part of the dedup key)
+        ("http://host.com:80#frag", "http://host.com", "host.com"),
+        ("https://host.com:443#frag", "https://host.com", "host.com"),
     ]
     df = spark.createDataFrame(
         [(i, u) for i, (u, _, _) in enumerate(cases)],

@@ -3066,6 +3066,11 @@ def test_mp4_mjpeg_container_contracts():
     assert parse_mp4_mjpeg(mp4) == parse_avi_mjpeg(
         encode_avi_mjpeg(w, h, jpegs)
     )
+    # tkhd v0 duration sits AFTER creation/mod/track_ID/reserved(4)
+    # and BEFORE the 8 reserved bytes — external tools (ffprobe)
+    # read track duration from exactly this slot
+    tk = mp4.rfind(b"tkhd") + 4  # past tag: ver/flags, then fields
+    assert struct.unpack(">I", mp4[tk + 4 + 16 : tk + 4 + 20])[0] == 3
     frames = parse_video_frames(mp4)
     assert [fr[2][:10] for fr in frames] == [b"P6\n8 8\n255"] * 3
 
