@@ -26,6 +26,7 @@ from .typed_q import *  # noqa: F401,F403
 from .training_q import *  # noqa: F401,F403
 from .tokenizer_q import *  # noqa: F401,F403
 from .tail_q import *  # noqa: F401,F403
+from .web_q import *  # noqa: F401,F403
 
 def _reorder_for_driver_coverage() -> None:
     """Registration-order post-pass. The correctness driver walks

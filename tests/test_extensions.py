@@ -3356,3 +3356,41 @@ def test_kn_bigram_continuation_backoff(spark):
     assert bits[1] == bits[2]
     # the strong seen bigram is far cheaper than any backoff
     assert bits[3] < bits[1] - 1.0
+
+
+def test_web_pretraining_pipeline_e2e_invariants(spark, sf_dir):
+    """The end-to-end web pipeline's accounting obeys the physics of
+    its stages: doc counts monotonically non-increasing from repair
+    onward; suffix dedup removes tokens without dropping docs; context
+    packing PARTITIONS the surviving tokens (per-split packed token
+    sums re-add to the decontaminated total); every stage nonempty at
+    sf0.001; and the returned frame is eagerly materialized (a local
+    relation — the WARC front door can never be re-scanned by a
+    downstream consumer)."""
+    from google_sheets_etl_spark.queries import QUERIES
+
+    rows = QUERIES["web_pretraining_pipeline_e2e"](spark, sf_dir).collect()
+    by = {r["stage"]: r for r in rows}
+    order = ["ingested", "main_content", "mojibake_repaired",
+             "url_deduped", "blocklist_gated", "quality_gated",
+             "exact_deduped", "suffix_deduped", "decontaminated"]
+    assert [r["stage"] for r in sorted(rows, key=lambda r: (
+        r["stage_ord"], r["stage"]))][: len(order)] == order
+    # doc counts: stages 1-3 identical, then monotone non-increasing
+    assert by["ingested"]["n_docs"] == by["main_content"]["n_docs"] \
+        == by["mojibake_repaired"]["n_docs"]
+    docs_seq = [by[s]["n_docs"] for s in order[2:]]
+    assert docs_seq == sorted(docs_seq, reverse=True), docs_seq
+    assert all(by[s]["n_docs"] > 0 for s in order)
+    # url dedup halves paired sites; blocklist drops the %7 plant
+    assert by["url_deduped"]["n_docs"] < by["mojibake_repaired"]["n_docs"]
+    assert by["blocklist_gated"]["n_docs"] < by["url_deduped"]["n_docs"]
+    # exact dedup collapses the constant-body class
+    assert by["exact_deduped"]["n_docs"] < by["quality_gated"]["n_docs"]
+    # suffix dedup cuts tokens, keeps docs
+    assert by["suffix_deduped"]["n_docs"] == by["exact_deduped"]["n_docs"]
+    assert by["suffix_deduped"]["n_tokens"] < by["exact_deduped"]["n_tokens"]
+    # packing partitions the decontaminated tokens exactly
+    packed = [r for r in rows if r["stage"].startswith("packed_")]
+    assert packed and sum(r["n_tokens"] for r in packed) \
+        == by["decontaminated"]["n_tokens"]
