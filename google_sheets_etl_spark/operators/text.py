@@ -1825,6 +1825,91 @@ def unigram_train_hard_em(
     )
 
 
+#: GPT-2 pre-tokenizer (Radford et al. 2019, the public regex from the
+#: GPT-2/RoBERTa/GPT-3 tokenizer family), restricted to the Java ∩ RE2
+#: subset so the DuckDB oracle runs the SAME pattern. DOCUMENTED
+#: DEVIATION: the original's ``\s+(?!\S)`` branch (hold the LAST space
+#: of a whitespace run for the following word) uses lookahead, which
+#: RE2 lacks — it is dropped, so a run of 2+ spaces tokenizes as one
+#: whitespace token instead of donating its last space onward. For
+#: single-space-separated text (this corpus, and most cleaned web
+#: text) the two patterns tokenize IDENTICALLY: a lone space is
+#: consumed by the following token's `` ?`` prefix and the ``\s+``
+#: branch never fires mid-text.
+GPT2_PRETOKEN_RE = (
+    "'(?:s|t|re|ve|m|ll|d)"
+    "| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+)
+
+
+def gpt2_bytes_to_unicode() -> dict[int, str]:
+    """The GPT-2 byte→unicode table (public spec: every byte gets a
+    PRINTABLE character so byte-level BPE can treat bytes as chars —
+    visible ASCII and the printable Latin-1 range map to themselves;
+    the 68 others map to U+0100.. in byte order; space becomes 'Ġ',
+    newline 'Ċ'). Exact bijection over all 256 bytes."""
+    keep = (
+        set(range(0x21, 0x7F)) | set(range(0xA1, 0xAD))
+        | set(range(0xAE, 0x100))
+    )
+    table: dict[int, str] = {}
+    n = 0
+    for b in range(256):
+        if b in keep:
+            table[b] = chr(b)
+        else:
+            table[b] = chr(0x100 + n)
+            n += 1
+    return table
+
+
+def gpt2_byte_encode(col):
+    """Byte-level encode a string column through the GPT-2 byte→
+    unicode table, entirely JVM-side: ``encode(s, UTF-8)`` exposes
+    the bytes, ``decode(bytes, ISO-8859-1)`` turns each byte into the
+    char with its code point (latin-1 is the identity byte↔char map,
+    and can never throw — every byte sequence is valid), and ONE
+    ``translate`` rewrites the 68 non-printable byte chars to their
+    table images. A COLUMN function: one codegen projection, no UDF,
+    composes into any pipeline. Multi-byte UTF-8 input comes out as
+    one table char PER BYTE — exactly byte-level BPE's alphabet."""
+    table = gpt2_bytes_to_unicode()
+    changed = [(b, c) for b, c in table.items() if c != chr(b)]
+    src = "".join(chr(b) for b, _ in changed)
+    dst = "".join(c for _, c in changed)
+    return F.translate(
+        F.decode(F.encode(col, "UTF-8"), "ISO-8859-1"), src, dst
+    )
+
+
+def gpt2_pretokens(col):
+    """All GPT-2 pre-tokens of a text column, in order (COLUMN
+    function returning ``array<string>``): contractions, optionally
+    space-prefixed letter/digit/punctuation runs, whitespace runs —
+    :data:`GPT2_PRETOKEN_RE`'s partition of the input."""
+    return F.regexp_extract_all(col, F.lit(GPT2_PRETOKEN_RE), 0)
+
+
+def gpt2_word_freqs(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """The byte-level BPE trainer's corpus pass: GPT-2 pre-tokenize,
+    byte-encode each pre-token through the bytes→unicode table, count
+    types. Returns ``(word, freq)`` — the vocabulary table
+    :func:`bpe_train_driver` / :func:`bpe_learn_merges` consume (a
+    leading space arrives as the 'Ġ'-prefixed variant, so the learned
+    merges are the GPT-2 family's space-aware kind). One corpus scan,
+    one partial-aggregated shuffle on the token key."""
+    return (
+        docs.select(
+            F.explode(gpt2_pretokens(F.col(text_col))).alias("_tok")
+        )
+        .select(gpt2_byte_encode(F.col("_tok")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
 def blocklist_gate(
     docs: DataFrame,
     terms: DataFrame,

@@ -825,3 +825,96 @@ def zorder_layout_stats(spark: SparkSession, sf: str) -> DataFrame:
         "l_partkey",
         file_bits=6,
     )
+
+
+def _bytelevel_fixture(name: str) -> str:
+    """Literal-expected byte-level BPE fixtures, regenerated by
+    tools/gen_bytelevel_bpe_fixture.py (independent scanner + public
+    byte table + full-recount reference); freshness-tested like the
+    word-level k-series."""
+    import os
+
+    with open(os.path.join(_FIXTURES_DIR, name)) as f:
+        return f.read()
+
+
+def _bytelevel_plant(spark: SparkSession, sf: str) -> DataFrame:
+    """The byte-level corpus: documents.text with the mojibake CLEAN
+    snippet appended — its real multi-byte UTF-8 chars (’ “ é € ñ §)
+    exercise the bytes→unicode table's non-ASCII rows, which the
+    pure-ASCII corpus never would. Same plant in the fixture
+    generator."""
+    from .analytics_q import _MOJI_CLEAN
+
+    return t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(_MOJI_CLEAN)).alias("text"),
+    )
+
+
+@q(
+    "bpe_bytelevel_learn_merges",
+    _bytelevel_fixture("bpe_bytelevel_merges_sf001.sql"),
+)
+def bpe_bytelevel_learn_merges(spark: SparkSession, sf: str) -> DataFrame:
+    """BYTE-LEVEL BPE training — the GPT-2/GPT-3/RoBERTa tokenizer
+    family, completing the matrix (word-BPE / unigram / WordPiece are
+    certified; this is the variant modern LLMs actually ship): GPT-2
+    pre-tokenization (operators/text.py GPT2_PRETOKEN_RE — Java∩RE2
+    subset with the documented no-lookahead deviation), bytes→unicode
+    table (gpt2_byte_encode: encode∘decode exposes bytes as chars,
+    ONE translate maps the 68 non-printables — no UDF), then the
+    certified production trainer (bpe_train_driver: distributed
+    corpus pass, driver merge loop, incremental pair maintenance).
+    Space-aware 'Ġ'-prefixed types and multi-byte UTF-8 chars (the
+    planted moji snippet) train REAL byte-level merges — rank 6 is
+    'â'+'Ġ' (the E2 80 prefix of ’/“/”), unreachable by any
+    char-level tokenizer. k=100 stays below this corpus's saturation
+    so the apply row segments nontrivially; the oracle is the
+    100-rank literal fixture from the independent full-recount
+    reference (tools/gen_bytelevel_bpe_fixture.py)."""
+    wf = text_ops.gpt2_word_freqs(_bytelevel_plant(spark, sf))
+    return text_ops.bpe_train_driver(wf, n_merges=100)
+
+
+@q(
+    "bpe_bytelevel_token_count",
+    _bytelevel_fixture("bpe_bytelevel_tokens_sf001.sql"),
+)
+def bpe_bytelevel_token_count(spark: SparkSession, sf: str) -> DataFrame:
+    """The INFERENCE half of the byte-level tokenizer, per document:
+    learn the k=100 merge table, segment the byte-encoded vocabulary
+    ONCE (bpe_apply_merges — k chained boundary-anchored replaces,
+    one JVM projection), then join every pre-token occurrence back to
+    its piece count — (doc_id, n_pretokens, n_bpe_tokens), the
+    accounting a context-packing budgeter consumes. At k=100, 38 of
+    74 types stay multi-piece, so the counts certify real partial
+    segmentation, not saturation. The oracle joins the same per-doc
+    pre-tokens against the independent reference's literal
+    vocabulary piece table (multi-byte moji tokens emitted as
+    literals — byte encoding is beyond SQL's reach; ASCII tokens
+    byte-encode as the space→'Ġ' replace, the only ASCII char the
+    table moves)."""
+    docs = _bytelevel_plant(spark, sf)
+    wf = text_ops.gpt2_word_freqs(docs).localCheckpoint(eager=True)
+    merge_rows = (
+        text_ops.bpe_train_driver(wf, n_merges=100)
+        .orderBy("merge_rank")
+        .collect()
+    )
+    merges = [(r["left_sym"], r["right_sym"]) for r in merge_rows]
+    vt = text_ops.bpe_apply_merges(wf, merges).select(
+        "word", F.col("n_tokens").cast("long").alias("n_tok")
+    )
+    dw = docs.select(
+        "doc_id",
+        F.explode(text_ops.gpt2_pretokens(F.col("text"))).alias("_tok"),
+    ).select("doc_id", text_ops.gpt2_byte_encode(F.col("_tok")).alias("word"))
+    return (
+        dw.join(vt, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pretokens"),
+            F.sum("n_tok").alias("n_bpe_tokens"),
+        )
+    )

@@ -3394,3 +3394,53 @@ def test_web_pretraining_pipeline_e2e_invariants(spark, sf_dir):
     packed = [r for r in rows if r["stage"].startswith("packed_")]
     assert packed and sum(r["n_tokens"] for r in packed) \
         == by["decontaminated"]["n_tokens"]
+
+
+def test_gpt2_byte_table_and_encode_contracts(spark):
+    """The GPT-2 byte plumbing: the bytes→unicode table is a
+    bijection with the published fixed points (space→'Ġ',
+    newline→'Ċ', printable ASCII identity); the JVM-side
+    gpt2_byte_encode (encode∘decode + one translate) equals the
+    fixture generator's independent per-byte Python mapping on
+    multi-byte UTF-8 input; and the Java pre-tokenizer regex equals
+    the generator's hand-written scanner on contractions,
+    punctuation, digits, accented letters, and the documented
+    multi-space deviation case."""
+    from pyspark.sql import functions as F
+
+    from google_sheets_etl_spark.operators.text import (
+        gpt2_byte_encode, gpt2_bytes_to_unicode, gpt2_pretokens,
+    )
+    from tools.gen_bytelevel_bpe_fixture import (
+        byte_encode as ref_encode, scan_pretokens,
+    )
+
+    table = gpt2_bytes_to_unicode()
+    assert len(set(table.values())) == 256
+    assert table[0x20] == "Ġ" and table[0x0A] == "Ċ"
+    assert all(table[b] == chr(b) for b in range(0x21, 0x7F))
+
+    cases = [
+        "the quick brown fox",
+        "it's a test, isn't it? we'll see; they've 42 items.",
+        " don’t say “café” — naïve €5 ñ§",
+        "a  double  space run",          # deviation: ws runs merge
+        "'hello 'tis x'd",
+        "tabs\tand\nnewlines stay bytes",
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(cases)], "i long, s string"
+    )
+    got = {
+        r["i"]: (r["enc"], r["toks"])
+        for r in df.select(
+            "i",
+            gpt2_byte_encode(F.col("s")).alias("enc"),
+            gpt2_pretokens(F.col("s")).alias("toks"),
+        ).collect()
+    }
+    for i, s in enumerate(cases):
+        assert got[i][0] == ref_encode(s), (i, got[i][0], ref_encode(s))
+        assert got[i][1] == scan_pretokens(s), (i, got[i][1])
+        # the pre-tokenization is a partition of the input
+        assert "".join(got[i][1]) == s
