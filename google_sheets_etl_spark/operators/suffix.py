@@ -273,6 +273,89 @@ def duplicate_spans(
     return out
 
 
+def incremental_duplicate_spans(
+    corpus: DataFrame,
+    batch: DataFrame,
+    min_len: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+    touched: list | None = None,
+) -> DataFrame:
+    """INCREMENTAL admission for variable-length substring dedup
+    (the batch-vs-corpus sibling of :func:`duplicate_spans`, matching
+    ``incremental_exact_dedup`` / ``incremental_near_dup_admission``'s
+    contract): find every duplicated span IN THE BATCH documents,
+    counting occurrences against batch ∪ corpus — without running the
+    doubling rounds over the whole corpus.
+
+    EXACTNESS argument: a batch window of length ``min_len`` is
+    duplicated iff it occurs >= ``min_count`` times in batch ∪ corpus.
+    Restricting the corpus to any SUPERSET of the documents containing
+    a batch window verbatim preserves every occurrence that can
+    co-count with a batch window, so running :func:`duplicate_spans`
+    over batch ∪ touched-corpus and keeping batch rows is EQUAL to
+    the from-scratch union run's batch rows (certified by the driver
+    row's full-union oracle). The touched set here is the corpus
+    documents sharing an ``xxhash64``-ed ``min_len``-window with the
+    batch: equal windows always hash equal (no false negative — the
+    superset property holds unconditionally), a hash collision only
+    admits a harmless extra document into the doubling rounds.
+    Corpus-only duplicates are out of contract — the corpus is
+    already deduplicated by the batch pipeline's own prior passes.
+
+    Scale shape: ONE narrow corpus pass (per-position window hash,
+    pipelined explode — the transient 8-byte probe rows never
+    materialize) filtered against a BROADCAST batch window-hash set:
+    no corpus shuffle, no wide rows; only matching positions' doc
+    ids shuffle for the distinct. The doubling rounds then run over
+    |batch| + |touched| documents only — and touched is exactly the
+    documents with REAL shared windows (modulo hash collisions), so
+    the expensive rounds track the near-duplicate footprint, not the
+    corpus. A standing window-hash→doc inverted index (the postings
+    pattern) would remove even that one scan; this operator states
+    the stateless contract. Pass ``touched`` (a list) to receive
+    ``[n_corpus_docs_touched]`` evidence."""
+
+    def window_hashes(df: DataFrame):
+        last = F.length(text_col) - (min_len - 1)
+        idx = F.when(
+            last >= 1, F.sequence(F.lit(1), last)
+        ).otherwise(F.array().cast("array<int>"))
+        return df.select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.xxhash64(
+                        F.col(text_col).substr(i, F.lit(min_len))
+                    ),
+                )
+            ).alias("_h"),
+        )
+
+    seeds = window_hashes(batch).select("_h").distinct()
+    affected = (
+        window_hashes(corpus)
+        .join(F.broadcast(seeds), "_h", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    touched_corpus = corpus.join(affected, id_col, "left_semi")
+    if touched is not None:
+        touched.append(touched_corpus.count())
+    union = touched_corpus.select(id_col, text_col).unionByName(
+        batch.select(id_col, text_col)
+    )
+    spans = duplicate_spans(
+        union, min_len, text_col=text_col, id_col=id_col,
+        min_count=min_count,
+    )
+    return spans.join(
+        batch.select(id_col), id_col, "left_semi"
+    )
+
+
 def apply_span_removal(
     docs: DataFrame,
     spans: DataFrame,

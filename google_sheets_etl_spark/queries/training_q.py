@@ -1081,3 +1081,41 @@ def mixture_weights_temperature(spark: SparkSession, sf: str) -> DataFrame:
     where general pow is not. One low-cardinality aggregate + 1-row
     broadcast."""
     return sampling.mixture_weights_temperature(t(spark, sf, "documents"))
+
+
+def _incr_suffix_oracle() -> str:
+    from .analytics_q import _SUFFIX_SPAN_CTES
+
+    return (
+        f"""WITH {_SUFFIX_SPAN_CTES}
+       SELECT doc_id, span_start, span_end,
+              span_end - span_start + 1 AS span_len
+       FROM spans WHERE doc_id % 10 >= 8"""
+    )
+
+
+@q("incremental_suffix_admission", _incr_suffix_oracle())
+def incremental_suffix_admission(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental VARIABLE-LENGTH substring admission
+    (operators/suffix.py incremental_duplicate_spans — the suffix
+    sibling of incremental_exact_dedup / incremental_near_dup_
+    admission, round-10 directive #4): a new batch (id%10 ∈ {8,9})
+    is scanned for every maximal span whose 40-char windows occur
+    >= 2 times against batch ∪ corpus (id%10 < 8) — WITHOUT running
+    the doubling rounds over the corpus. One narrow corpus pass
+    probes seed 8-grams against the BROADCAST batch-seed set (no
+    corpus shuffle); the prefix-doubling machinery then runs over
+    batch ∪ touched-corpus only (~a third of the corpus at gate
+    scale — SCALE.md has the touched-set evidence). The oracle is
+    the FROM-SCRATCH union derivation (the 40-gram materialization
+    of suffix_dedup_spans) filtered to batch documents, so the value
+    hash certifies the seed-restriction exactness argument, not just
+    plausibility."""
+    from ..operators.suffix import incremental_duplicate_spans
+
+    docs = t(spark, sf, "documents")
+    return incremental_duplicate_spans(
+        corpus=docs.filter(F.col("doc_id") % 10 < 8),
+        batch=docs.filter(F.col("doc_id") % 10 >= 8),
+        min_len=40,
+    )

@@ -3444,3 +3444,33 @@ def test_gpt2_byte_table_and_encode_contracts(spark):
         assert got[i][1] == scan_pretokens(s), (i, got[i][1])
         # the pre-tokenization is a partition of the input
         assert "".join(got[i][1]) == s
+
+
+def test_incremental_suffix_admission_equals_from_scratch(spark, sf_dir):
+    """The seed-restriction exactness contract: batch spans from
+    incremental_duplicate_spans (doubling over batch ∪ touched-corpus
+    only) equal the from-scratch union run's batch rows EXACTLY, and
+    the touched corpus set is a strict subset — the incremental pass
+    must not silently degenerate into the full run."""
+    from pyspark.sql import functions as F
+
+    from google_sheets_etl_spark.operators.suffix import (
+        duplicate_spans, incremental_duplicate_spans,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 10 < 8)
+    batch = docs.filter(F.col("doc_id") % 10 >= 8)
+    touched: list = []
+    inc = incremental_duplicate_spans(
+        corpus, batch, min_len=40, touched=touched
+    ).collect()
+    full = (
+        duplicate_spans(docs, min_len=40)
+        .filter(F.col("doc_id") % 10 >= 8)
+        .collect()
+    )
+    key = lambda r: (r["doc_id"], r["span_start"], r["span_end"])  # noqa: E731
+    assert sorted(map(key, inc)) == sorted(map(key, full))
+    n_corpus = corpus.count()
+    assert touched and touched[0] < n_corpus, (touched, n_corpus)
