@@ -845,6 +845,7 @@ def cosine_topk_nsw(
     vec_col: str = "embedding",
     seed: int = 42,
     include_stats: bool = False,
+    max_cell_nodes: int = 16384,
 ) -> DataFrame:
     """GRAPH-family ANN (round-7 verdict "missing #3"): partitioned
     navigable-small-world search — IVF coarse cells bound the working
@@ -937,6 +938,18 @@ def cosine_topk_nsw(
             return pd.DataFrame({name: [] for name in cols})
         cpdf = cpdf.sort_values("neighbor_id").reset_index(drop=True)
         nc = len(cpdf)
+        if nc > max_cell_nodes:
+            # cell-size guard (round-10 directive #7): the graph
+            # build is a cell×cell cosine matrix — past this bound a
+            # mis-set n_cells would allocate O(cell²) in one task.
+            # Same stance as semantic_dedup's skew guard: fail with
+            # the fix named instead of OOMing an executor.
+            raise ValueError(
+                f"graph build: cell has {nc} nodes > max_cell_nodes="
+                f"{max_cell_nodes}; raise n_cells (size cells "
+                "~sqrt(corpus)) or pre-band oversized cells (the "
+                "semantic_dedup_banded pattern)"
+            )
         cmat = np.vstack(cpdf["cv"].to_numpy()).astype(np.float64)
         cn = np.sqrt((cmat * cmat).sum(axis=1))
         c_zero = cn == 0
@@ -1025,6 +1038,7 @@ def cosine_topk_nsw_beam(
     vec_col: str = "embedding",
     seed: int = 42,
     include_stats: bool = False,
+    max_cell_nodes: int = 16384,
 ) -> DataFrame:
     """TRUE best-first beam search over the SAME deterministic NSW
     graph :func:`cosine_topk_nsw` builds (round-8 verdict missing #4)
@@ -1093,6 +1107,18 @@ def cosine_topk_nsw_beam(
             return pd.DataFrame({name: [] for name in cols})
         cpdf = cpdf.sort_values("neighbor_id").reset_index(drop=True)
         nc = len(cpdf)
+        if nc > max_cell_nodes:
+            # cell-size guard (round-10 directive #7): the graph
+            # build is a cell×cell cosine matrix — past this bound a
+            # mis-set n_cells would allocate O(cell²) in one task.
+            # Same stance as semantic_dedup's skew guard: fail with
+            # the fix named instead of OOMing an executor.
+            raise ValueError(
+                f"graph build: cell has {nc} nodes > max_cell_nodes="
+                f"{max_cell_nodes}; raise n_cells (size cells "
+                "~sqrt(corpus)) or pre-band oversized cells (the "
+                "semantic_dedup_banded pattern)"
+            )
         cmat = np.vstack(cpdf["cv"].to_numpy()).astype(np.float64)
         cn = np.sqrt((cmat * cmat).sum(axis=1))
         c_zero = cn == 0
@@ -1185,6 +1211,7 @@ def cosine_topk_hnsw(
     vec_col: str = "embedding",
     seed: int = 42,
     include_stats: bool = False,
+    max_cell_nodes: int = 16384,
 ) -> DataFrame:
     """HIERARCHICAL NSW (Malkov & Yashunin 2018) — the multi-layer
     upgrade of :func:`cosine_topk_nsw_beam`: instead of entering the
@@ -1283,6 +1310,18 @@ def cosine_topk_hnsw(
             return pd.DataFrame({name: [] for name in cols})
         cpdf = cpdf.sort_values("neighbor_id").reset_index(drop=True)
         nc = len(cpdf)
+        if nc > max_cell_nodes:
+            # cell-size guard (round-10 directive #7): the graph
+            # build is a cell×cell cosine matrix — past this bound a
+            # mis-set n_cells would allocate O(cell²) in one task.
+            # Same stance as semantic_dedup's skew guard: fail with
+            # the fix named instead of OOMing an executor.
+            raise ValueError(
+                f"graph build: cell has {nc} nodes > max_cell_nodes="
+                f"{max_cell_nodes}; raise n_cells (size cells "
+                "~sqrt(corpus)) or pre-band oversized cells (the "
+                "semantic_dedup_banded pattern)"
+            )
         cmat = np.vstack(cpdf["cv"].to_numpy()).astype(np.float64)
         cn = np.sqrt((cmat * cmat).sum(axis=1))
         c_zero = cn == 0

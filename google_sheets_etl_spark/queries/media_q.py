@@ -2090,3 +2090,148 @@ def video_signature_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     return a.join(
         b, (F.col("vhash") == F.col("_hb")) & (F.col("id_a") < F.col("id_b"))
     ).select("id_a", "id_b", "vhash")
+
+
+def _pdf_text_oracle() -> str:
+    """Literal expected page texts regenerated by the INDEPENDENT
+    extractor in tools/gen_pdf_fixture.py (object-region regex scan +
+    stream inflate + string-literal collection — no xref walk, no
+    object graph, no shared code with operators/pdf.py's strict
+    parser); freshness-tested like the JPEG/AVI fixtures."""
+    import os
+
+    with open(os.path.join(_FIXTURES_DIR, "pdf_text_sf001.sql")) as f:
+        return f.read()
+
+
+def _pdf_payloads(d: DataFrame):
+    """The shared PDF plant: two pages per doc (page 2 exercises the
+    paren/backslash escape path), FlateDecode for even ids, TJ-array
+    shows for every third id — same formula as the fixture
+    generator's pdf_payload_for_doc."""
+    import pandas as pd
+
+    from ..operators.pdf import encode_pdf_text
+
+    def kernel(batches):
+        for pdf_ in batches:
+            ids, payloads = [], []
+            for doc_id, text in zip(pdf_["doc_id"], pdf_["text"]):
+                doc_id = int(doc_id)
+                pages = [
+                    f"Doc {doc_id}: {text[:60]}",
+                    f"page2 (q) \\ of {doc_id}: {text[60:140]}",
+                ]
+                ids.append(doc_id)
+                payloads.append(
+                    encode_pdf_text(
+                        pages,
+                        compress=doc_id % 2 == 0,
+                        use_tj_array=doc_id % 3 == 0,
+                    )
+                )
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return d.select("doc_id", "text").mapInPandas(
+        kernel, "media_id long, payload binary"
+    )
+
+
+@q("pdf_text_extract", _pdf_text_oracle())
+def pdf_text_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """PDF TEXT EXTRACTION end-to-end (operators/pdf.py — round-10
+    directive #6: Common Crawl-adjacent corpora carry PDF, and the
+    WARC/ADPCM strict-parse discipline extends to it): spec-valid
+    PDFs written per document (classic xref, correct /Length and
+    offsets; FlateDecode via stdlib zlib for even ids; TJ kerned
+    array shows for every third id; page 2 carries escaped parens and
+    backslashes), then the strict parser walks header → startxref →
+    xref table → trailer → catalog → page tree → content streams and
+    collects Tj/TJ shown strings per page. The oracle is the
+    INDEPENDENT extractor's literal fixture (no xref walk — object
+    regex scan), so a writer+parser pair that co-drifted off spec
+    would still redden. Per-payload Arrow kernel, embarrassingly
+    parallel — the media-codec grain."""
+    from ..operators.pdf import pdf_text_extract as extract
+
+    media = _pdf_payloads(t(spark, sf, "documents"))
+    return extract(media).select(
+        F.col("media_id").alias("doc_id"), "page_idx", "text"
+    )
+
+
+@q(
+    "pdf_decode_audit",
+    """SELECT doc_id,
+              doc_id % 7 = 0 AS ok,
+              CAST(CASE WHEN doc_id % 7 = 0 THEN 2 ELSE 0 END
+                   AS BIGINT) AS n_pages,
+              CASE doc_id % 7
+                WHEN 0 THEN ''
+                WHEN 1 THEN 'not a pdf payload'
+                WHEN 2 THEN 'encrypted pdf'
+                WHEN 3 THEN 'unsupported pdf filter: LZWDecodeee'
+                WHEN 4 THEN 'corrupt pdf flate stream'
+                WHEN 5 THEN 'truncated pdf stream'
+                ELSE 'missing pdf startxref' END AS err
+       FROM documents""",
+)
+def pdf_decode_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Parse-only admission verdict for PDFs — the dead-letter
+    channel (payload_decode_audit's contract on the PDF axis): seven
+    planted classes per doc_id residue — valid, non-PDF header,
+    /Encrypt in trailer, unsupported filter name, corrupted flate
+    bytes, truncated stream, missing startxref — each rejecting with
+    its PINNED message; filter(~ok) IS the reject queue. The oracle
+    states the verdicts by construction of the plant."""
+    import pandas as pd
+
+    from ..operators.pdf import encode_pdf_text, pdf_decode_audit as audit
+
+    d = t(spark, sf, "documents")
+
+    def kernel(batches):
+        for pdf_ in batches:
+            ids, payloads = [], []
+            for doc_id, text in zip(pdf_["doc_id"], pdf_["text"]):
+                doc_id = int(doc_id)
+                good = encode_pdf_text(
+                    [
+                        f"Doc {doc_id}: {text[:60]}",
+                        f"page2 (q) \\ of {doc_id}: {text[60:140]}",
+                    ],
+                    compress=True,
+                )
+                cls = doc_id % 7
+                if cls == 0:
+                    p = good
+                elif cls == 1:
+                    p = b"%QDF-" + good[5:]
+                elif cls == 2:
+                    p = good.replace(b"/Size", b"/Encrypt 9 0 R /Size")
+                elif cls == 3:
+                    p = good.replace(
+                        b"/FlateDecode", b"/LZWDecodeee", 1
+                    )
+                elif cls == 4:
+                    i = good.find(b"stream\n") + 7
+                    p = (
+                        good[:i]
+                        + bytes([good[i] ^ 0xFF, good[i + 1] ^ 0xFF])
+                        + good[i + 2 :]
+                    )
+                elif cls == 5:
+                    j = good.find(b"endstream")
+                    p = good[:j] + b"endstreXm" + good[j + 9 :]
+                else:
+                    p = good[: good.rfind(b"startxref")]
+                ids.append(doc_id)
+                payloads.append(p)
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = d.select("doc_id", "text").mapInPandas(
+        kernel, "media_id long, payload binary"
+    )
+    return audit(media).select(
+        F.col("media_id").alias("doc_id"), "ok", "n_pages", "err"
+    )

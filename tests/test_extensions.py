@@ -3474,3 +3474,70 @@ def test_incremental_suffix_admission_equals_from_scratch(spark, sf_dir):
     assert sorted(map(key, inc)) == sorted(map(key, full))
     n_corpus = corpus.count()
     assert touched and touched[0] < n_corpus, (touched, n_corpus)
+
+
+def test_graph_build_cell_size_guard(spark):
+    """The NSW/beam/HNSW graph build rejects a cell larger than
+    max_cell_nodes with the fix named (raise n_cells / pre-band) —
+    the O(cell²) matrix must fail fast, not OOM an executor — and
+    still runs when the bound accommodates the cell."""
+    import pytest
+
+    from google_sheets_etl_spark.operators.similarity import (
+        cosine_topk_hnsw, cosine_topk_nsw, cosine_topk_nsw_beam,
+    )
+
+    rows = [(i, [float((i * 7 + j) % 5) for j in range(4)])
+            for i in range(30)]
+    vecs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    qs = spark.createDataFrame(
+        rows[:2], "vec_id long, embedding array<float>"
+    )
+    for fn in (cosine_topk_nsw, cosine_topk_nsw_beam, cosine_topk_hnsw):
+        with pytest.raises(Exception, match="max_cell_nodes"):
+            fn(qs, vecs, k=3, n_cells=1, max_cell_nodes=10).collect()
+    assert cosine_topk_nsw(
+        qs, vecs, k=3, n_cells=1, max_cell_nodes=64
+    ).count() > 0
+
+
+def test_pdf_codec_contracts():
+    """The strict PDF subset round-trips (plain / FlateDecode / TJ
+    arrays / escape-needing strings), and every malformation class
+    rejects with its pinned message — the WARC/ADPCM strict-parse
+    discipline on the PDF axis."""
+    import pytest
+
+    from google_sheets_etl_spark.operators.pdf import (
+        encode_pdf_text, parse_pdf_text,
+    )
+
+    pages = [
+        "Doc 1: hello world",
+        "p2 (nested (parens)) and \\ backslash \\( literal",
+        "third page",
+    ]
+    for comp in (False, True):
+        for tj in (False, True):
+            pdf = encode_pdf_text(pages, compress=comp, use_tj_array=tj)
+            assert parse_pdf_text(pdf) == pages, (comp, tj)
+
+    pdf = encode_pdf_text(pages, compress=True)
+    i = pdf.find(b"stream\n") + 7
+    j = pdf.find(b"endstream")
+    for bad, msg in [
+        (b"%QDF-" + pdf[5:], "not a pdf payload"),
+        (pdf[: pdf.rfind(b"startxref")], "missing pdf startxref"),
+        (pdf.replace(b"trailer", b"trailex", 1), "bad pdf xref table"),
+        (pdf.replace(b"/Size", b"/Encrypt 9 0 R /Size"),
+         "encrypted pdf"),
+        (pdf.replace(b"/FlateDecode", b"/LZWDecodeee", 1),
+         "unsupported pdf filter: LZWDecodeee"),
+        (pdf[:i] + bytes([pdf[i] ^ 0xFF, pdf[i + 1] ^ 0xFF])
+         + pdf[i + 2:], "corrupt pdf flate stream"),
+        (pdf[:j] + b"endstreXm" + pdf[j + 9:], "truncated pdf stream"),
+    ]:
+        with pytest.raises(ValueError, match=msg.replace("(", "\\(")):
+            parse_pdf_text(bad)
