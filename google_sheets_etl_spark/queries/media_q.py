@@ -1518,7 +1518,7 @@ def _video_media(spark: SparkSession, sf: str) -> DataFrame:
     uncompressed frame-sequence shape operators/multimodal.py
     parse_ppm_frames walks), one per fifth document row — 1/5 of the
     corpus keeps the in-plan container assembly a fixture cost, not a
-    bench line. Per video: ``nf = 2 + doc_id % 3`` frames at fixed
+    bench line. Per video: ``nf = 2 + (doc_id // 6) % 3`` frames at fixed
     w×h; raster byte k of frame f is the formula
     ``(doc_id·53 + f·17 + k·7) % 256``, the LAST frame additionally
     +128 (mod 256) — a planted SCENE CUT. Oracles regenerate pixels
@@ -1663,7 +1663,7 @@ def _avi_media(spark: SparkSession, sf: str) -> DataFrame:
     """REAL video containers: MJPEG-in-AVI (the first real video byte
     a pipeline sees — round-8 verdict missing #3), one per fifth
     document. Same frame plan as the concatenated-P6 family
-    (nf = 2 + doc_id % 3 formula frames, last frame +128 = the
+    (nf = 2 + (doc_id // 6) % 3 formula frames, last frame +128 = the
     planted scene cut) but each frame is BASELINE JPEG
     (operators/jpeg.py encoder) inside a strict RIFF/AVI movi walk
     (multimodal.encode_avi_mjpeg). The definition is shared verbatim
@@ -1685,7 +1685,7 @@ def _avi_media(spark: SparkSession, sf: str) -> DataFrame:
             payloads = []
             for doc_id in pdf["doc_id"]:
                 doc_id = int(doc_id)
-                nf = 2 + doc_id % 3
+                nf = 2 + (doc_id // 6) % 3
                 w = 8 + 4 * (doc_id % 3)
                 h = 8 + 4 * (doc_id % 2)
                 y, x, c = np.meshgrid(
@@ -1819,6 +1819,220 @@ def avi_decode_audit(spark: SparkSession, sf: str) -> DataFrame:
     return multimodal.payload_decode_audit(media)
 
 
+def _cram_oracle() -> str:
+    """Literal-expected per-frame luminance + block-mode census for
+    the CRAM-AVI payloads, regenerated by the INDEPENDENT Microsoft
+    Video 1 decoder (tools/gen_cram_fixture.py — own RIFF walk, own
+    skip state, per-pixel int loops; no shared code with
+    operators/multimodal.py). The census columns certify the
+    TEMPORAL path: skip blocks only sum to the right luminance if
+    both engines carry the previous frame forward identically."""
+    import os
+
+    path = os.path.join(_FIXTURES_DIR, "avi_cram_sf001.sql")
+    with open(path) as f:
+        return f.read()
+
+
+_CRAM_ORACLE = _cram_oracle()
+
+
+def _cram_media(spark: SparkSession, sf: str) -> DataFrame:
+    """Microsoft Video 1 (CRAM) in AVI — the first TEMPORAL codec in
+    the media family (round-9 verdict missing #6): one video per
+    sixth document, w ∈ {8, 12} × h = 8, nf = 2 + (doc_id // 6) % 3 frames.
+    Frame 0 mixes all three intra modes per block (mode = (block +
+    doc_id) % 3: solid / checkerboard 2-color / quadrant-striped
+    8-color); later frames re-draw only blocks with (block + k +
+    doc_id) % 3 == 0, so the unchanged majority becomes inter-frame
+    skip runs. Channel values are exact 5-bit expansions (RGB555
+    quantization is lossless). The definition is shared verbatim
+    with tools/gen_cram_fixture.py (cram_frame_rasters), whose
+    independent decoder supplies the oracle's literal ground
+    truth."""
+    import pandas as pd
+
+    d = t(spark, sf, "documents").select("doc_id").filter(
+        F.col("doc_id") % 6 == 0
+    )
+
+    def kernel(batches):
+        from ..operators.multimodal import encode_avi_cram
+
+        def x5(v5: int) -> int:
+            return (v5 << 3) | (v5 >> 2)
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w = 8 + 4 * (doc_id % 2)
+                h = 8
+                nf = 2 + (doc_id // 6) % 3
+                bw, bh = w // 4, h // 4
+                px = [(0, 0, 0)] * (w * h)
+                rasters = []
+                for f in range(nf):
+                    seed = doc_id + 17 * f
+                    for by in range(bh):
+                        for bx in range(bw):
+                            bi = by * bw + bx
+                            if f > 0 and (bi + f + doc_id) % 3 != 0:
+                                continue
+                            mode = (bi + doc_id) % 3
+                            for k in range(16):
+                                y, x = divmod(k, 4)
+                                if mode == 0:
+                                    v = (seed + bi) % 32
+                                elif mode == 1:
+                                    v = (
+                                        (seed + bi) % 32,
+                                        (seed + bi + 5) % 32,
+                                    )[(x + y) % 2]
+                                else:
+                                    qd = (y >= 2) * 2 + (x >= 2)
+                                    v = (
+                                        (seed + bi + qd) % 32,
+                                        (seed + bi + qd + 9) % 32,
+                                    )[x % 2]
+                                px[(by * 4 + y) * w + bx * 4 + x] = (
+                                    x5(v), x5((v * 3) % 32),
+                                    x5((v * 7) % 32),
+                                )
+                    rasters.append(bytes(c for t_ in px for c in t_))
+                payloads.append(encode_avi_cram(w, h, rasters))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return d.mapInPandas(kernel, "media_id long, payload binary")
+
+
+@q(
+    "avi_cram_frame_stats",
+    f"""WITH base AS ({_CRAM_ORACLE})
+       SELECT media_id, frame_idx, width, height, lum_sum
+       FROM base""",
+)
+def avi_cram_frame_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """TEMPORAL video decode end-to-end: the CRAM frame walk
+    (multimodal.parse_avi_cram behind the parse_avi_frames fourcc
+    router) reconstructs every frame STATEFULLY — skip blocks copy
+    pixels from the previous decoded frame — then frames re-wrap as
+    standalone P6 rows (parse_video_frames) so the whole image
+    operator family composes over a temporal codec unchanged. The
+    exact-int64 luminance mass per frame certifies the stateful
+    chain against the independent decoder's literal fixture: a skip
+    run mis-carried by one block anywhere flips the sum. Narrow
+    per-payload kernel, no shuffle."""
+    frames = multimodal.video_frame_extract(_cram_media(spark, sf))
+    return multimodal.image_luminance_sum(
+        frames, ["media_id", "frame_idx", "width", "height"]
+    )
+
+
+@q(
+    "avi_cram_temporal_reuse",
+    f"""WITH base AS ({_CRAM_ORACLE})
+       SELECT media_id, frame_idx, n_blocks, skip_blocks,
+              solid_blocks, two_color_blocks, eight_color_blocks
+       FROM base""",
+)
+def avi_cram_temporal_reuse(spark: SparkSession, sf: str) -> DataFrame:
+    """The temporal-reuse meter: per-frame block-mode census straight
+    from the CRAM bitstream (multimodal.video_cram_block_stats) —
+    skip_blocks / n_blocks is the fraction of each frame the codec
+    carried forward from its predecessor, i.e. the inter-frame
+    compression a temporal codec exists to deliver. Certified against
+    the independent fixture decoder's own census (both engines walk
+    the bitstream, not the pixels, so a mode mis-parse cannot
+    cancel). Keyframes pin skip_blocks = 0 by format rule."""
+    return multimodal.video_cram_block_stats(_cram_media(spark, sf))
+
+
+@q(
+    "cram_decode_audit",
+    """SELECT doc_id AS media_id,
+              (doc_id % 6) = 0 AS ok,
+              CASE doc_id % 6
+                WHEN 0 THEN ''
+                WHEN 1 THEN 'cram dimensions not multiple of 4'
+                WHEN 2 THEN 'skip block in first cram frame'
+                WHEN 3 THEN 'cram skip run past frame end'
+                WHEN 4 THEN 'truncated cram frame'
+                ELSE 'trailing bytes in cram frame' END AS err
+       FROM documents""",
+)
+def cram_decode_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """The decode REJECT CHANNEL for the temporal codec
+    (payload_decode_audit through the parse_avi_frames router):
+    planted CRAM failure classes per doc_id residue — valid video,
+    6-pixel-wide dimensions (blocks don't tile), a skip code on the
+    keyframe (no predecessor to copy from), a skip run overrunning
+    the frame's block count, a frame cut mid-word, and unconsumed
+    words after the last block. Malformed frame payloads are
+    assembled raw via the container writer (the encoder refuses to
+    produce them)."""
+    import pandas as pd
+
+    d = t(spark, sf, "documents").select("doc_id")
+
+    def kernel(batches):
+        import struct
+
+        from ..operators.multimodal import (
+            _avi_cram_container, encode_avi_cram,
+        )
+
+        def solid_frame(n_blocks: int, color: int) -> bytes:
+            return struct.pack(
+                f"<{n_blocks}H", *([0x8000 | color] * n_blocks)
+            )
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                cls = doc_id % 6
+                if cls == 0:
+                    raster = bytes(
+                        ((doc_id + p) % 32) << 3 for p in range(192)
+                    )
+                    payloads.append(encode_avi_cram(8, 8, [raster, raster]))
+                elif cls == 1:
+                    payloads.append(
+                        _avi_cram_container(6, 8, [solid_frame(4, 1)])
+                    )
+                elif cls == 2:
+                    payloads.append(
+                        _avi_cram_container(
+                            8, 8, [struct.pack("<H", 0x8401)]
+                        )
+                    )
+                elif cls == 3:
+                    payloads.append(
+                        _avi_cram_container(
+                            8, 8,
+                            [solid_frame(4, 2),
+                             struct.pack("<H", 0x8405)],
+                        )
+                    )
+                elif cls == 4:
+                    payloads.append(
+                        _avi_cram_container(8, 8, [solid_frame(3, 3)])
+                    )
+                else:
+                    payloads.append(
+                        _avi_cram_container(8, 8, [solid_frame(5, 4)])
+                    )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = d.mapInPandas(kernel, "media_id long, payload binary")
+    return multimodal.payload_decode_audit(media)
+
+
 def _mp4_media(spark: SparkSession, sf: str) -> DataFrame:
     """MJPEG-in-MP4 (ISO-BMFF) twins of :func:`_avi_media`: the SAME
     doc subset, frame plan, and JPEG encodes, wrapped in an ftyp +
@@ -1844,7 +2058,7 @@ def _mp4_media(spark: SparkSession, sf: str) -> DataFrame:
             payloads = []
             for doc_id in pdf["doc_id"]:
                 doc_id = int(doc_id)
-                nf = 2 + doc_id % 3
+                nf = 2 + (doc_id // 6) % 3
                 w = 8 + 4 * (doc_id % 3)
                 h = 8 + 4 * (doc_id % 2)
                 y, x, c = np.meshgrid(

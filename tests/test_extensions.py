@@ -3541,3 +3541,107 @@ def test_pdf_codec_contracts():
     ]:
         with pytest.raises(ValueError, match=msg.replace("(", "\\(")):
             parse_pdf_text(bad)
+
+
+def test_avi_cram_codec_contracts():
+    """Microsoft Video 1 (CRAM) — the temporal codec: encode→parse
+    round trip is pixel-exact for 5-bit-expansion content; skip runs
+    copy blocks from the PREVIOUS frame (the stateful path); the
+    block census counts what the bitstream says; every malformation
+    class rejects with its pinned message; the fourcc router sends
+    CRAM AVIs to the stateful parser and MJPEG AVIs to the legacy
+    walk unchanged."""
+    import struct
+
+    import pytest
+
+    from google_sheets_etl_spark.operators.jpeg import encode_jpeg
+    from google_sheets_etl_spark.operators.multimodal import (
+        _avi_cram_container, _avi_vids_fourcc, encode_avi_cram,
+        encode_avi_mjpeg, parse_avi_cram, parse_avi_frames,
+        parse_video_frames,
+    )
+
+    def x5(v5: int) -> int:
+        return (v5 << 3) | (v5 >> 2)
+
+    w, h = 8, 8
+    # representable content: within each block, color depends only on
+    # x parity → ≤2 distinct colors per 2×2 quadrant, so the encoder
+    # never takes its documented lossy >2-colors-per-quadrant path
+    f0 = bytes(
+        c
+        for y in range(h)
+        for x in range(w)
+        for c in (
+            x5(((x // 4) * 5 + (y // 4) * 11 + (x % 2) * 7) % 32),
+            x5(((x // 4) * 3 + (x % 2) * 9) % 32),
+            x5(((y // 4) * 13 + (x % 2) * 4) % 32),
+        )
+    )
+    # frame 1: identical except the top-left block — rest skip-encodes
+    f1 = bytearray(f0)
+    for y in range(4):
+        for x in range(4):
+            p = (y * w + x) * 3
+            f1[p : p + 3] = bytes([x5(1), x5(2), x5(3)])
+    f1 = bytes(f1)
+
+    avi = encode_avi_cram(w, h, [f0, f1])
+    assert _avi_vids_fourcc(avi) == b"CRAM"
+    frames, stats = parse_avi_cram(avi, with_stats=True)
+    assert [fr[2] for fr in frames] == [f0, f1]
+    # keyframe: no skips by format rule; frame 1: 3 of 4 blocks skip
+    assert stats[0][1] == 0
+    assert stats[1][0] == 4 and stats[1][1] == 3
+    # the video dispatch wraps frames as standalone P6 payloads
+    assert [fr[2][:10] for fr in parse_video_frames(avi)] == [
+        b"P6\n8 8\n255"
+    ] * 2
+    # router: MJPEG AVIs still take the legacy walk
+    jpeg = encode_jpeg(8, 8, bytes(192))
+    mjpg = encode_avi_mjpeg(8, 8, [jpeg])
+    assert _avi_vids_fourcc(mjpg) == b"MJPG"
+    assert len(parse_avi_frames(mjpg)) == 1
+
+    solid = struct.pack("<4H", *([0x8001] * 4))
+    for payload, msg in [
+        (_avi_cram_container(6, 8, [solid]),
+         "cram dimensions not multiple of 4"),
+        (_avi_cram_container(8, 8, [struct.pack("<H", 0x8401)]),
+         "skip block in first cram frame"),
+        (_avi_cram_container(8, 8, [solid, struct.pack("<H", 0x8400)]),
+         "zero-length cram skip run"),
+        (_avi_cram_container(8, 8, [solid, struct.pack("<H", 0x8405)]),
+         "cram skip run past frame end"),
+        (_avi_cram_container(8, 8, [solid[:6]]),
+         "truncated cram frame"),
+        (_avi_cram_container(8, 8, [solid + b"\x01\x80"]),
+         "trailing bytes in cram frame"),
+        (avi + b"x", "trailing bytes after avi riff"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            parse_avi_cram(payload)
+
+
+def test_cram_solid_skip_range_collision_falls_back():
+    """RGB555 colors whose flagged solid word would land in the skip
+    range 0x8400-0x87FF (red5 == 1, i.e. color & 0x7C00 == 0x0400)
+    must round-trip via the 2-color fallback the encoder documents —
+    emitting them as solids would decode as skip runs."""
+    from google_sheets_etl_spark.operators.multimodal import (
+        encode_avi_cram, parse_avi_cram,
+    )
+
+    def x5(v5: int) -> int:
+        return (v5 << 3) | (v5 >> 2)
+
+    # every pixel (r5, g5, b5) = (1, 2, 3): color 0x0443 → flagged
+    # word 0x8443 sits in the skip band; a uniform frame makes all
+    # four blocks solid candidates
+    rgb = bytes([x5(1), x5(2), x5(3)]) * 64
+    avi = encode_avi_cram(8, 8, [rgb])
+    frames, stats = parse_avi_cram(avi, with_stats=True)
+    assert frames[0][2] == rgb
+    # all four blocks took the 2-color fallback, none parsed as skip
+    assert stats[0] == (4, 0, 0, 4, 0)

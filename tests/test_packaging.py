@@ -52,3 +52,22 @@ def test_sdist_package_discovery_finds_all_subpackages():
 
     for sub in ("operators", "sources", "functions", "plans", "streaming"):
         importlib.import_module(f"google_sheets_etl_spark.{sub}")
+
+
+def test_readme_query_count_matches_registry():
+    """README's 'N queries' claims must track the live registry —
+    round-9 advisory (README.md:219 said 256 while 257 were
+    registered); derived here so the count can never drift again."""
+    import os
+    import re
+
+    from google_sheets_etl_spark.queries import ORACLE, QUERIES
+
+    root = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+    with open(os.path.join(root, "README.md")) as fh:
+        readme = fh.read()
+    claimed = {int(m) for m in re.findall(r"(\d+) queries", readme)}
+    assert claimed == {len(QUERIES)}, (
+        f"README claims {sorted(claimed)} queries; registry has "
+        f"{len(QUERIES)} ({len(ORACLE)} oracled)"
+    )

@@ -1,111 +1,112 @@
-#!/usr/bin/env python
-"""One-off evidence run (round-10 directive #5): beam vs HNSW
-visited fractions at MATCHED recall on a >=10^4-node cell — the
-scale regime where the hierarchy's entry-quality win is claimed
-(similarity.py cosine_topk_hnsw defers the asymptotic claim to this
-experiment; gate-scale cells were cost-neutral).
+"""One-off scale evidence for the HNSW hierarchy (round-10 verdict
+directive #5): at gate-scale cells (~60-250 nodes) the r9 head-to-head
+honestly certified the multi-layer stack COST-NEUTRAL vs the flat NSW
+beam; the claimed asymptotic win needs a >=10^4-node cell. The sf0.1
+embeddings table tops out at 2 000 rows, so this run builds a
+deterministic 16 384-node corpus (seeded numpy, dim 64 — the same shape
+as the testdata embeddings; NOT a driver query input) and runs BOTH
+searchers through the real operators at n_cells=1.
 
-Corpus: sf0.1 embeddings (2000 x 64) expanded x8 with small
-deterministic perturbations -> 16 000 vectors in ONE cell
-(n_cells=1). Queries: 48 of the original vectors. Ground truth:
-exact brute-force cosine top-10 in numpy. For each ef, run the flat
-beam and HNSW with include_stats=True, compute recall@10 from the
-locally-kept rows and the mean scored fraction from n_visited.
+Prints a markdown table of (method, ef, recall@10, mean visited
+fraction, mean nodes scored) ready for SCALE.md. Evidence only — not a
+bench row, not registered.
 
-Results land in SCALE.md (round-10 section). Not a registered query:
-this is evidence, not a gate.
+Usage: python tools/hnsw_scale_evidence.py [n_nodes] [n_queries]
 """
-
 from __future__ import annotations
 
 import os
 import sys
+import time
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
-SF_DIR = "/root/testdata/sf0.1"
-EXPAND = 8
-K = 10
-N_QUERIES = 48
-EF_SETTINGS = (16, 64, 128)
-M_NEIGHBORS = 8
+from pyspark.sql import SparkSession
+
+from google_sheets_etl_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_hnsw,
+    cosine_topk_nsw_beam,
+    recall_at_k,
+)
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 16384
+NQ = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+DIM, K, SEED = 64, 10, 42
+EFS = (16, 32, 64)
 
 
 def main() -> None:
-    import duckdb
-
-    from google_sheets_etl_spark.session import get_spark
-
-    rows = duckdb.sql(
-        f"SELECT vec_id, embedding FROM "
-        f"read_parquet('{SF_DIR}/embeddings.parquet') ORDER BY vec_id"
-    ).fetchall()
-    base = np.array([r[1] for r in rows], dtype=np.float64)
-    n0, dim = base.shape
-    rng = np.random.default_rng(42)  # deterministic one-off
-    vecs = np.repeat(base, EXPAND, axis=0) + rng.normal(
-        0, 0.02, size=(n0 * EXPAND, dim)
+    spark = (
+        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "48g")
+        .appName("hnsw-scale-evidence")
+        .getOrCreate()
     )
-    n = len(vecs)
-    qidx = np.arange(0, n, n // N_QUERIES)[:N_QUERIES]
-    qmat = vecs[qidx]
+    rng = np.random.default_rng(SEED)
+    # clustered corpus (mixture of 64 gaussians) — a pure-isotropic
+    # cloud has no neighborhood structure for ANY graph index to
+    # exploit; real embedding spaces are clustered, so the evidence
+    # corpus should be too.
+    centers = rng.normal(size=(64, DIM))
+    assign = rng.integers(0, 64, size=N)
+    corpus = centers[assign] + 0.35 * rng.normal(size=(N, DIM))
+    qidx = rng.choice(N, size=NQ, replace=False)
+    queries = corpus[qidx] + 0.05 * rng.normal(size=(NQ, DIM))
 
-    norms = np.linalg.norm(vecs, axis=1)
-    qn = np.linalg.norm(qmat, axis=1)
-    cos = (qmat @ vecs.T) / (qn[:, None] * norms[None, :])
-    u6 = np.floor(cos * 1e6 + 0.5).astype(np.int64)
-    truth = {}
-    for i, qi in enumerate(qidx):
-        order = np.lexsort((np.arange(n), -u6[i]))
-        truth[int(qi)] = set(int(x) for x in order[:K])
-
-    spark = get_spark("hnsw-evidence")
-    spark.sparkContext.setLogLevel("ERROR")
-    cand = spark.createDataFrame(
-        [(int(i), [float(x) for x in vecs[i]]) for i in range(n)],
+    cdf = spark.createDataFrame(
+        [(int(i), [float(x) for x in corpus[i]]) for i in range(N)],
         "vec_id long, embedding array<double>",
-    ).repartition(4).cache()
-    qs = spark.createDataFrame(
-        [(int(i), [float(x) for x in vecs[i]]) for i in qidx],
+    ).repartition(8).cache()
+    qdf = spark.createDataFrame(
+        [(int(1_000_000 + i), [float(x) for x in queries[i]]) for i in range(NQ)],
         "vec_id long, embedding array<double>",
     ).cache()
-    cand.count(), qs.count()
+    cdf.count(), qdf.count()
 
-    from google_sheets_etl_spark.operators.similarity import (
-        cosine_topk_hnsw, cosine_topk_nsw_beam,
-    )
+    exact = cosine_topk_bruteforce(qdf, cdf, k=K).cache()
+    exact.count()
 
-    print(f"cell_n={n} dim={dim} k={K} m={M_NEIGHBORS} "
-          f"queries={N_QUERIES}")
-    print(f"{'algo':6} {'ef':>4} {'recall@10':>10} {'visited':>9} "
-          f"{'frac':>8}")
-    for ef in EF_SETTINGS:
-        for label, fn in (("beam", cosine_topk_nsw_beam),
-                          ("hnsw", cosine_topk_hnsw)):
-            out = fn(
-                qs, cand, k=K, n_cells=1, n_probe=1,
-                m_neighbors=M_NEIGHBORS, ef=ef,
-                include_stats=True, max_cell_nodes=n,
-            ).collect()
-            per_q: dict[int, list] = {}
-            visited: dict[int, int] = {}
-            for r in out:
-                per_q.setdefault(r["query_id"], []).append(
-                    (r["cos"] if r["cos"] is not None else -2.0,
-                     r["neighbor_id"])
-                )
-                visited[r["query_id"]] = r["n_visited"]
-            hits = tot = 0
-            for qi, lst in per_q.items():
-                lst.sort(key=lambda t: (-t[0], t[1]))
-                got = set(nid for _, nid in lst[:K])
-                hits += len(got & truth[qi])
-                tot += K
-            mv = sum(visited.values()) / max(len(visited), 1)
-            print(f"{label:6} {ef:>4} {hits / tot:>10.3f} "
-                  f"{mv:>9.0f} {mv / n:>8.3f}")
+    print(f"corpus={N} nodes, dim={DIM}, {NQ} queries, k={K}, n_cells=1, m=6")
+    print("| method | ef | recall@10 | mean visited frac | mean nodes scored | wall s |")
+    print("|---|---|---|---|---|---|")
+    for fn, label in ((cosine_topk_nsw_beam, "flat beam"), (cosine_topk_hnsw, "hnsw")):
+        for ef in EFS:
+            t0 = time.time()
+            res = fn(
+                qdf, cdf, k=K, n_cells=1, n_probe=1, ef=ef,
+                include_stats=True, max_cell_nodes=N,
+            ).cache()
+            stats = (
+                res.groupBy("query_id")
+                .agg({"n_visited": "max", "cell_n": "max"})
+                .collect()
+            )
+            wall = time.time() - t0
+            from pyspark.sql import Window
+            from pyspark.sql import functions as F
+
+            ranked = res.withColumn(
+                "rank",
+                F.row_number().over(
+                    Window.partitionBy("query_id").orderBy(
+                        F.col("cos").desc(), F.col("neighbor_id")
+                    )
+                ),
+            )
+            rec = recall_at_k(exact, ranked, K)
+            visited = np.array([r[1] for r in stats], dtype=float)
+            celln = np.array([r[2] for r in stats], dtype=float)
+            res.unpersist()
+            print(
+                f"| {label} | {ef} | {rec:.3f} | "
+                f"{float((visited / celln).mean()):.4f} | "
+                f"{float(visited.mean()):.0f} | {wall:.1f} |"
+            )
+    spark.stop()
 
 
 if __name__ == "__main__":
