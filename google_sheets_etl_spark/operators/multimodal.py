@@ -2094,10 +2094,61 @@ def parse_wav_ima_adpcm(payload: bytes) -> tuple[int, "object"]:
     return sample_rate, out
 
 
+def parse_wav_mulaw(payload: bytes) -> tuple[int, "object"]:
+    """Strict G.711 μ-law (WAVE format 7) mono decode — the
+    TELEPHONY-audio sibling of :func:`parse_wav_ima_adpcm`: same RIFF
+    chunk discipline, then the CCITT expansion per 8-bit code
+    (u = ~code; t = ((u & 15) << 3 | 0x84) << ((u >> 4) & 7);
+    sample = ±(t − 0x84), bias 0x84 = 132 — the standard 16-bit
+    expansion, max magnitude 32124). STATELESS per sample, unlike
+    ADPCM, so the DuckDB oracle is a full algorithmic twin in SQL
+    rather than a fixture. Returns ``(sample_rate, np.int16 array)``.
+
+    Strictness contract: container errors reuse the WAV parser's
+    pinned messages ('not a RIFF/WAVE payload', 'truncated chunk',
+    'truncated fmt chunk', 'missing fmt/data chunk'); format 7 mono
+    is demanded ('only mulaw mono supported'); bits per sample must
+    be 8 ('mulaw bits per sample must be 8')."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt_body, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        if pos + 8 + size > len(payload):
+            raise ValueError("truncated chunk")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated fmt chunk")
+            fmt_body = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if fmt_body is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    tag, channels, rate = struct.unpack("<HHI", fmt_body[:8])
+    (bits,) = struct.unpack("<H", fmt_body[14:16])
+    if tag != 7 or channels != 1:
+        raise ValueError("only mulaw mono supported")
+    if bits != 8:
+        raise ValueError("mulaw bits per sample must be 8")
+    codes = np.frombuffer(bytes(data), dtype=np.uint8)
+    u = (~codes).astype(np.int64) & 0xFF
+    t = (((u & 0x0F) << 3) | 0x84) << ((u >> 4) & 0x07)
+    samples = np.where(u & 0x80, 0x84 - t, t - 0x84)
+    return int(rate), samples.astype(np.int16)
+
+
 def parse_wav_samples(payload: bytes) -> tuple[int, "object"]:
     """THE WAV decode dispatch — the audio analogue of
     :func:`decode_image`: one cheap fmt-tag probe routes to the
-    matching strict parser (1 → PCM16, 0x11 → IMA ADPCM), so every
+    matching strict parser (1 → PCM16, 0x11 → IMA ADPCM, 7 → G.711
+    μ-law), so every
     energy/spectral/envelope operator gains a WAV codec the moment
     its parser registers here. Unknown format tags reject with a
     pinned message; container malformations surface the chosen
@@ -2118,6 +2169,8 @@ def parse_wav_samples(payload: bytes) -> tuple[int, "object"]:
         pos += 8 + size + (size & 1)
     if tag == 0x11:
         return parse_wav_ima_adpcm(payload)
+    if tag == 7:
+        return parse_wav_mulaw(payload)
     if tag in (1, None):
         # None (no fmt found) falls through so the strict parser
         # reports its own pinned missing-chunk/truncation message
