@@ -1513,6 +1513,142 @@ def wav_adpcm_audit(spark: SparkSession, sf: str) -> DataFrame:
     return multimodal.payload_decode_audit(media)
 
 
+def _mulaw_media(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL G.711 μ-law WAV payloads (WAVE format 7, the telephony
+    codec), one per document row, assembled entirely JVM-side like
+    :func:`_wav_media`: 44-byte header (tag 7, mono, 8 kHz, 8-bit,
+    block align 1) + n code bytes from the deterministic formula
+    ``code = (doc_id*11 + k*17) % 256`` (k coprime step sweeps all
+    256 codes). n = 300 + (doc_id % 5) * 64, so trailing partial
+    windows are exercised. μ-law expansion is STATELESS, so the
+    oracle is the full CCITT decode formula in SQL — an algorithmic
+    twin, not a fixture."""
+    d = t(spark, sf, "documents").select("doc_id")
+    n = (F.lit(300) + F.col("doc_id") % 5 * 64).cast("long")
+    ascii_hex = lambda s: F.hex(F.encode(F.lit(s), "UTF-8"))  # noqa: E731
+    header_hex = F.concat(
+        ascii_hex("RIFF"), _le_hex(F.lit(36) + n, 4),
+        ascii_hex("WAVEfmt "), _le_hex(F.lit(16), 4),
+        _le_hex(F.lit(7), 2), _le_hex(F.lit(1), 2),      # μ-law, mono
+        _le_hex(F.lit(8000), 4), _le_hex(F.lit(8000), 4),
+        _le_hex(F.lit(1), 2), _le_hex(F.lit(8), 2),      # align, bits
+        ascii_hex("data"), _le_hex(n, 4),
+    )
+    codes_hex = F.concat_ws(
+        "",
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda k: _le_hex((F.col("doc_id") * 11 + k * 17) % 256, 1),
+        ),
+    )
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        F.unhex(F.concat(header_hex, codes_hex)).alias("payload"),
+    )
+
+
+@q(
+    "wav_mulaw_energy",
+    """WITH dims AS (SELECT doc_id, 300 + (doc_id % 5) * 64 AS n
+                     FROM documents),
+       wins AS (SELECT doc_id, UNNEST(range(0, n // 128)) AS w
+                FROM dims),
+       smp AS (SELECT doc_id, w, UNNEST(range(0, 128)) AS j
+               FROM wins),
+       dec AS (SELECT doc_id, w,
+                      CASE WHEN (u & 128) != 0 THEN 132 - t
+                           ELSE t - 132 END AS s
+               FROM (SELECT doc_id, w, u,
+                            (((u & 15) * 8 + 132)
+                             * (1 << ((u // 16) & 7))) AS t
+                     FROM (SELECT doc_id, w,
+                                  255 - ((doc_id * 11
+                                          + (w * 128 + j) * 17) % 256)
+                                  AS u
+                           FROM smp)))
+       SELECT doc_id AS media_id, CAST(w AS BIGINT) AS win_idx,
+              sqrt(SUM(s * s) / 128.0) AS rms,
+              CAST(8000 AS INT) AS sample_rate
+       FROM dec GROUP BY doc_id, w""",
+)
+def wav_mulaw_energy(spark: SparkSession, sf: str) -> DataFrame:
+    """G.711 μ-law decode end-to-end (multimodal.parse_wav_mulaw
+    behind parse_wav_samples' fmt-tag dispatch): RIFF walk → CCITT
+    expansion per code byte → per-window RMS, bit-exact doubles
+    (power-of-two window, exact int64 square sums, IEEE sqrt). The
+    oracle re-derives every sample with the expansion formula IN SQL
+    — both engines run the whole algorithm independently, the
+    strongest twin class (no fixture, no shared code). Narrow Arrow
+    kernel, no shuffle."""
+    return multimodal.wav_window_energy(_mulaw_media(spark, sf), window=128)
+
+
+@q(
+    "wav_mulaw_audit",
+    """SELECT doc_id AS media_id,
+              (doc_id % 4) = 0 AS ok,
+              CASE doc_id % 4
+                WHEN 0 THEN ''
+                WHEN 1 THEN 'only mulaw mono supported'
+                WHEN 2 THEN 'mulaw bits per sample must be 8'
+                ELSE 'unsupported wav audio format' END AS err
+       FROM documents""",
+)
+def wav_mulaw_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """The decode REJECT CHANNEL for telephony audio
+    (payload_decode_audit's WAV branch through parse_wav_samples):
+    planted failure classes per doc_id residue — a valid μ-law
+    container, a stereo fmt the mono walk refuses, a 16-bit
+    bits-per-sample header on a μ-law tag (codec/width contradiction),
+    and an A-law format tag (6) the dispatch rejects rather than
+    mis-expanding with the wrong curve."""
+    import pandas as pd
+
+    d = t(spark, sf, "documents").select("doc_id")
+
+    def kernel(batches):
+        import struct
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                codes = bytes(
+                    (doc_id * 11 + k * 17) % 256 for k in range(160)
+                )
+                hdr = (
+                    b"RIFF" + struct.pack("<I", 36 + len(codes))
+                    + b"WAVEfmt " + struct.pack("<I", 16)
+                    + struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)
+                    + b"data" + struct.pack("<I", len(codes))
+                )
+                good = hdr + codes
+                cls = doc_id % 4
+                if cls == 0:
+                    payloads.append(good)
+                elif cls == 1:
+                    i = good.find(b"fmt ") + 8 + 2
+                    payloads.append(
+                        good[:i] + struct.pack("<H", 2) + good[i + 2 :]
+                    )
+                elif cls == 2:
+                    i = good.find(b"data") - 2
+                    payloads.append(
+                        good[:i] + struct.pack("<H", 16) + good[i + 2 :]
+                    )
+                else:
+                    i = good.find(b"fmt ") + 8
+                    payloads.append(
+                        good[:i] + struct.pack("<H", 6) + good[i + 2 :]
+                    )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = d.mapInPandas(kernel, "media_id long, payload binary")
+    return multimodal.payload_decode_audit(media)
+
+
 def _video_media(spark: SparkSession, sf: str) -> DataFrame:
     """REAL video payloads: concatenated-P6 frame containers (the
     uncompressed frame-sequence shape operators/multimodal.py

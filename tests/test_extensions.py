@@ -3645,3 +3645,41 @@ def test_cram_solid_skip_range_collision_falls_back():
     assert frames[0][2] == rgb
     # all four blocks took the 2-color fallback, none parsed as skip
     assert stats[0] == (4, 0, 0, 4, 0)
+
+
+def test_wav_mulaw_decode_contracts():
+    """G.711 μ-law: spec-pinned code points (0x00 → −32124, 0x80 →
+    +32124, 0xFF/0x7F → ±0 — the CCITT expansion's extremes and
+    zeros), the fmt-tag dispatch routes tag 7, and the strict parser
+    rejects stereo / non-8-bit / unknown-tag containers with pinned
+    messages."""
+    import struct
+
+    import pytest
+
+    from google_sheets_etl_spark.operators.multimodal import (
+        parse_wav_mulaw, parse_wav_samples,
+    )
+
+    def wav(codes: bytes, tag: int = 7, ch: int = 1, bits: int = 8) -> bytes:
+        return (
+            b"RIFF" + struct.pack("<I", 36 + len(codes))
+            + b"WAVEfmt " + struct.pack("<I", 16)
+            + struct.pack("<HHIIHH", tag, ch, 8000, 8000, 1, bits)
+            + b"data" + struct.pack("<I", len(codes)) + codes
+        )
+
+    rate, s = parse_wav_mulaw(wav(bytes([0x00, 0x80, 0xFF, 0x7F])))
+    assert rate == 8000
+    assert s.tolist() == [-32124, 32124, 0, 0]
+    # mid-scale spot value: code 0x9A → u=0x65, exp 6, man 5 → t =
+    # (45 | 132) << 6 ... = ((5<<3)+132)<<6 = 11008; sign clear → +10876
+    _, s2 = parse_wav_samples(wav(bytes([0x9A])))
+    assert s2.tolist() == [((5 << 3) + 132 << 6) - 132]
+    for payload, msg in [
+        (wav(b"\x00", ch=2), "only mulaw mono supported"),
+        (wav(b"\x00", bits=16), "mulaw bits per sample must be 8"),
+        (wav(b"\x00", tag=6), "unsupported wav audio format"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            parse_wav_samples(payload)
