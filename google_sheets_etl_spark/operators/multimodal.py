@@ -2144,11 +2144,64 @@ def parse_wav_mulaw(payload: bytes) -> tuple[int, "object"]:
     return int(rate), samples.astype(np.int16)
 
 
+def parse_wav_alaw(payload: bytes) -> tuple[int, "object"]:
+    """Strict G.711 A-law (WAVE format 6) mono decode — μ-law's
+    European twin (:func:`parse_wav_mulaw`), same RIFF discipline,
+    CCITT expansion per 8-bit code: a = code XOR 0x55; segment
+    s = (a >> 4) & 7; mantissa m = a & 15; magnitude
+    t = (m << 4) + 8 for s = 0, else ((m << 4) + 0x108) << (s − 1);
+    sample = +t when a's bit 7 is set, −t otherwise (max ±32256,
+    min step 8). STATELESS per sample → full algorithmic SQL twin.
+    Returns ``(sample_rate, np.int16 array)``.
+
+    Pinned rejects mirror μ-law: 'only alaw mono supported', 'alaw
+    bits per sample must be 8', plus the shared container messages."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt_body, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        if pos + 8 + size > len(payload):
+            raise ValueError("truncated chunk")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated fmt chunk")
+            fmt_body = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if fmt_body is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    tag, channels, rate = struct.unpack("<HHI", fmt_body[:8])
+    (bits,) = struct.unpack("<H", fmt_body[14:16])
+    if tag != 6 or channels != 1:
+        raise ValueError("only alaw mono supported")
+    if bits != 8:
+        raise ValueError("alaw bits per sample must be 8")
+    codes = np.frombuffer(bytes(data), dtype=np.uint8)
+    a = (codes ^ 0x55).astype(np.int64)
+    seg = (a >> 4) & 0x07
+    man = a & 0x0F
+    t = np.where(
+        seg == 0,
+        (man << 4) + 8,
+        ((man << 4) + 0x108) << np.maximum(seg - 1, 0),
+    )
+    samples = np.where(a & 0x80, t, -t)
+    return int(rate), samples.astype(np.int16)
+
+
 def parse_wav_samples(payload: bytes) -> tuple[int, "object"]:
     """THE WAV decode dispatch — the audio analogue of
     :func:`decode_image`: one cheap fmt-tag probe routes to the
     matching strict parser (1 → PCM16, 0x11 → IMA ADPCM, 7 → G.711
-    μ-law), so every
+    μ-law, 6 → G.711 A-law), so every
     energy/spectral/envelope operator gains a WAV codec the moment
     its parser registers here. Unknown format tags reject with a
     pinned message; container malformations surface the chosen
@@ -2171,6 +2224,8 @@ def parse_wav_samples(payload: bytes) -> tuple[int, "object"]:
         return parse_wav_ima_adpcm(payload)
     if tag == 7:
         return parse_wav_mulaw(payload)
+    if tag == 6:
+        return parse_wav_alaw(payload)
     if tag in (1, None):
         # None (no fmt found) falls through so the strict parser
         # reports its own pinned missing-chunk/truncation message

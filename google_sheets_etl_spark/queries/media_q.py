@@ -1600,8 +1600,8 @@ def wav_mulaw_audit(spark: SparkSession, sf: str) -> DataFrame:
     planted failure classes per doc_id residue — a valid μ-law
     container, a stereo fmt the mono walk refuses, a 16-bit
     bits-per-sample header on a μ-law tag (codec/width contradiction),
-    and an A-law format tag (6) the dispatch rejects rather than
-    mis-expanding with the wrong curve."""
+    and an IEEE-float format tag (3) the dispatch rejects rather than
+    mis-decoding."""
     import pandas as pd
 
     d = t(spark, sf, "documents").select("doc_id")
@@ -1639,7 +1639,7 @@ def wav_mulaw_audit(spark: SparkSession, sf: str) -> DataFrame:
                 else:
                     i = good.find(b"fmt ") + 8
                     payloads.append(
-                        good[:i] + struct.pack("<H", 6) + good[i + 2 :]
+                        good[:i] + struct.pack("<H", 3) + good[i + 2 :]
                     )
             yield pd.DataFrame(
                 {"media_id": pdf["doc_id"], "payload": payloads}
@@ -1647,6 +1647,65 @@ def wav_mulaw_audit(spark: SparkSession, sf: str) -> DataFrame:
 
     media = d.mapInPandas(kernel, "media_id long, payload binary")
     return multimodal.payload_decode_audit(media)
+
+
+@q(
+    "wav_alaw_energy",
+    """WITH dims AS (SELECT doc_id, 300 + (doc_id % 5) * 64 AS n
+                     FROM documents),
+       wins AS (SELECT doc_id, UNNEST(range(0, n // 128)) AS w
+                FROM dims),
+       smp AS (SELECT doc_id, w, UNNEST(range(0, 128)) AS j
+               FROM wins),
+       dec AS (SELECT doc_id, w,
+                      CASE WHEN (a & 128) != 0 THEN t ELSE -t END AS s
+               FROM (SELECT doc_id, w, a,
+                            CASE WHEN ((a // 16) & 7) = 0
+                                 THEN (a & 15) * 16 + 8
+                                 ELSE ((a & 15) * 16 + 264)
+                                      * (1 << (((a // 16) & 7) - 1))
+                            END AS t
+                     FROM (SELECT doc_id, w,
+                                  xor((doc_id * 13
+                                       + (w * 128 + j) * 19) % 256,
+                                      85) AS a
+                           FROM smp)))
+       SELECT doc_id AS media_id, CAST(w AS BIGINT) AS win_idx,
+              sqrt(SUM(s * s) / 128.0) AS rms,
+              CAST(8000 AS INT) AS sample_rate
+       FROM dec GROUP BY doc_id, w""",
+)
+def wav_alaw_energy(spark: SparkSession, sf: str) -> DataFrame:
+    """G.711 A-law decode end-to-end — μ-law's European twin through
+    the same fmt-tag dispatch (multimodal.parse_wav_alaw): RIFF walk
+    → XOR-0x55 segment/mantissa expansion → per-window RMS. The
+    oracle re-derives every sample with the CCITT formula IN SQL
+    (code = (doc_id*13 + k*19) % 256 sweeps all codes; the segment-0
+    short form and the shifted segments both exercise). Narrow Arrow
+    kernel, no shuffle."""
+    d = t(spark, sf, "documents").select("doc_id")
+    n = (F.lit(300) + F.col("doc_id") % 5 * 64).cast("long")
+    ascii_hex = lambda s: F.hex(F.encode(F.lit(s), "UTF-8"))  # noqa: E731
+    header_hex = F.concat(
+        ascii_hex("RIFF"), _le_hex(F.lit(36) + n, 4),
+        ascii_hex("WAVEfmt "), _le_hex(F.lit(16), 4),
+        _le_hex(F.lit(6), 2), _le_hex(F.lit(1), 2),      # A-law, mono
+        _le_hex(F.lit(8000), 4), _le_hex(F.lit(8000), 4),
+        _le_hex(F.lit(1), 2), _le_hex(F.lit(8), 2),      # align, bits
+        ascii_hex("data"), _le_hex(n, 4),
+    )
+    codes_hex = F.concat_ws(
+        "",
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda k: _le_hex((F.col("doc_id") * 13 + k * 19) % 256, 1),
+        ),
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.unhex(F.concat(header_hex, codes_hex)).alias("payload"),
+    )
+    return multimodal.wav_window_energy(media, window=128)
 
 
 def _video_media(spark: SparkSession, sf: str) -> DataFrame:

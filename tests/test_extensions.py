@@ -3679,7 +3679,43 @@ def test_wav_mulaw_decode_contracts():
     for payload, msg in [
         (wav(b"\x00", ch=2), "only mulaw mono supported"),
         (wav(b"\x00", bits=16), "mulaw bits per sample must be 8"),
-        (wav(b"\x00", tag=6), "unsupported wav audio format"),
+        (wav(b"\x00", tag=3), "unsupported wav audio format"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            parse_wav_samples(payload)
+
+
+def test_wav_alaw_decode_contracts():
+    """G.711 A-law: spec-pinned code points (0x55 → −8 and 0xD5 → +8,
+    the quiet codes; 0x2A → −32256 and 0xAA → +32256, the loud
+    extremes), tag-6 dispatch, and pinned stereo/bits rejects."""
+    import struct
+
+    import pytest
+
+    from google_sheets_etl_spark.operators.multimodal import (
+        parse_wav_alaw, parse_wav_samples,
+    )
+
+    def wav(codes: bytes, tag: int = 6, ch: int = 1, bits: int = 8) -> bytes:
+        return (
+            b"RIFF" + struct.pack("<I", 36 + len(codes))
+            + b"WAVEfmt " + struct.pack("<I", 16)
+            + struct.pack("<HHIIHH", tag, ch, 8000, 8000, 1, bits)
+            + b"data" + struct.pack("<I", len(codes)) + codes
+        )
+
+    rate, s = parse_wav_alaw(wav(bytes([0x55, 0xD5, 0x2A, 0xAA])))
+    assert rate == 8000
+    assert s.tolist() == [-8, 8, -32256, 32256]
+    # dispatch routes tag 6; segment-1 spot value: code 0x6A → a =
+    # 0x3F... check: 0x6A ^ 0x55 = 0x3F → seg 3, man 15 →
+    # ((15<<4)+264) << 2 = 2016; bit7 clear → −2016
+    _, s2 = parse_wav_samples(wav(bytes([0x6A])))
+    assert s2.tolist() == [-(((15 << 4) + 264) << 2)]
+    for payload, msg in [
+        (wav(b"\x00", ch=2), "only alaw mono supported"),
+        (wav(b"\x00", bits=16), "alaw bits per sample must be 8"),
     ]:
         with pytest.raises(ValueError, match=msg):
             parse_wav_samples(payload)
