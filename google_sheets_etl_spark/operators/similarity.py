@@ -1639,6 +1639,62 @@ def embedding_near_dup_auto(
     )
 
 
+def matryoshka_recall(
+    queries: DataFrame,
+    candidates: DataFrame,
+    dims: list[int] = (8, 16, 32, 64),
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka (MRL, Kusupati et al. 2022) truncation evaluation:
+    recall@k of exact cosine top-k computed on the FIRST ``d``
+    dimensions against the full-dimension top-k, one row per d —
+    the table that tells a deployment how short it can cut its
+    embeddings (and its ANN index, and its shuffle width) before
+    retrieval quality moves. Returns ``(dim, hits, total, recall)``
+    with integer numerator/denominator (hash-stable) plus the
+    rounded ratio.
+
+    Plan shape: one broadcast brute-force per d over PRE-SLICED
+    vectors (``F.slice`` — the slice happens before the |Q|×|C| pair
+    expression, so each pair multiplies d-wide arrays, not 64-wide),
+    one left join per d against the shared full-dim result, a 4-row
+    union. At scale the same contract runs over any ANN family's
+    output instead of brute force — recall_at_k composes; this
+    operator certifies the TRUNCATION, isolated from index error."""
+    full = cosine_topk_bruteforce(
+        queries, candidates, k=k, id_col=id_col, vec_col=vec_col
+    ).select("query_id", "neighbor_id")
+    out = None
+    for d in dims:
+        qd = queries.select(
+            id_col, F.slice(F.col(vec_col), 1, d).alias(vec_col)
+        )
+        cd = candidates.select(
+            id_col, F.slice(F.col(vec_col), 1, d).alias(vec_col)
+        )
+        approx = cosine_topk_bruteforce(
+            qd, cd, k=k, id_col=id_col, vec_col=vec_col
+        ).select("query_id", "neighbor_id", F.lit(1).alias("_hit"))
+        row = (
+            full.join(approx, ["query_id", "neighbor_id"], "left")
+            .agg(
+                F.lit(d).cast("int").alias("dim"),
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+                .cast("long").alias("hits"),
+                F.count(F.lit(1)).cast("long").alias("total"),
+                F.round(
+                    F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+                    / F.count(F.lit(1)),
+                    4,
+                ).alias("recall"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 def recall_at_k(exact: DataFrame, approx: DataFrame, k: int) -> float:
     """Fraction of exact top-k pairs recovered by the approximate
     result (driver-side scalar; for tests/tuning)."""

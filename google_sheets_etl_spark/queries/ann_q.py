@@ -1056,6 +1056,67 @@ FROM scored
 QUALIFY rank <= 5"""
 
 
+@q(
+    "matryoshka_recall_curve",
+    """WITH q AS (SELECT vec_id, embedding FROM embeddings
+                  WHERE vec_id < 10),
+        c AS (SELECT vec_id, embedding FROM embeddings
+              WHERE vec_id >= 10),
+        full_tk AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY list_dot_product(q.embedding, c.embedding) /
+                       (sqrt(list_dot_product(q.embedding, q.embedding)) *
+                        sqrt(list_dot_product(c.embedding, c.embedding)))
+                       DESC, c.vec_id ASC) AS rank
+            FROM q CROSS JOIN c) WHERE rank <= 5),
+        dims AS (SELECT UNNEST([8, 16, 32, 64]) AS dim),
+        trunc_tk AS (
+          SELECT dim, query_id, neighbor_id FROM (
+            SELECT d.dim, q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY d.dim, q.vec_id
+                     ORDER BY
+                       list_dot_product(q.embedding[1:d.dim],
+                                        c.embedding[1:d.dim]) /
+                       (sqrt(list_dot_product(q.embedding[1:d.dim],
+                                              q.embedding[1:d.dim])) *
+                        sqrt(list_dot_product(c.embedding[1:d.dim],
+                                              c.embedding[1:d.dim])))
+                       DESC, c.vec_id ASC) AS rank
+            FROM dims d CROSS JOIN q CROSS JOIN c) WHERE rank <= 5)
+        SELECT CAST(d.dim AS INT) AS dim,
+               CAST(SUM(CASE WHEN t.neighbor_id IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+               CAST(COUNT(*) AS BIGINT) AS total,
+               ROUND(SUM(CASE WHEN t.neighbor_id IS NOT NULL
+                              THEN 1 ELSE 0 END) / COUNT(*), 4) AS recall
+        FROM dims d CROSS JOIN full_tk f
+        LEFT JOIN trunc_tk t
+          ON t.dim = d.dim AND t.query_id = f.query_id
+         AND t.neighbor_id = f.neighbor_id
+        GROUP BY d.dim""",
+)
+def matryoshka_recall_curve(spark: SparkSession, sf: str) -> DataFrame:
+    """Matryoshka truncation curve (similarity.matryoshka_recall):
+    exact top-5 on the first {8, 16, 32, 64} dimensions vs the
+    full-dimension top-5, one (dim, hits, total, recall) row each —
+    how short the embeddings can be cut before retrieval moves. The
+    oracle is the whole evaluation re-run in SQL (list slicing, same
+    cosine arithmetic order, same (cos DESC, id ASC) tie-break) —
+    the strongest twin class. dim=64 pins recall = 1.0 by identity,
+    an in-row sanity anchor."""
+    emb = t(spark, sf, "embeddings")
+    return similarity.matryoshka_recall(
+        emb.filter(F.col("vec_id") < 10),
+        emb.filter(F.col("vec_id") >= 10),
+        dims=[8, 16, 32, 64],
+        k=5,
+    )
+
+
 @q("cosine_topk", _COSINE_ORACLE)
 def cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Exact brute-force cosine top-5 (queries broadcast; the ANN twin

@@ -3719,3 +3719,45 @@ def test_wav_alaw_decode_contracts():
     ]:
         with pytest.raises(ValueError, match=msg):
             parse_wav_samples(payload)
+
+
+def test_matryoshka_recall_identity_and_truncation(spark):
+    """matryoshka_recall: the full-dimension row is recall 1.0 by
+    identity; a corpus whose ordering is decided entirely in the
+    first two dimensions gives recall 1.0 already at d=2; a tail
+    dimension that REVERSES the ordering drags truncated recall
+    below 1 — the curve measures truncation, not index error."""
+    from google_sheets_etl_spark.operators.similarity import (
+        matryoshka_recall,
+    )
+
+    # neighbor order decided by dim 0; dims 2-3 are constant noise
+    rows = [(0, [1.0, 0.0, 0.5, 0.5])] + [
+        (i, [1.0 - 0.1 * i, 0.1 * i, 0.5, 0.5]) for i in range(1, 6)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter("vec_id = 0")
+    c = df.filter("vec_id > 0")
+    out = {
+        r["dim"]: (r["hits"], r["total"], r["recall"])
+        for r in matryoshka_recall(q, c, dims=[2, 4], k=3).collect()
+    }
+    assert out[4] == (3, 3, 1.0)
+    assert out[2] == (3, 3, 1.0)
+
+    # now the LAST dim decides the ranking (favoring HIGH ids, so the
+    # truncated tie-break to low ids cannot accidentally agree):
+    # truncation must lose it
+    rows2 = [(0, [1.0, 0.0, 0.0, 5.0])] + [
+        (i, [1.0, 0.0, 0.0, float(i)]) for i in range(1, 6)
+    ]
+    df2 = spark.createDataFrame(rows2, "vec_id long, embedding array<double>")
+    out2 = {
+        r["dim"]: r["recall"]
+        for r in matryoshka_recall(
+            df2.filter("vec_id = 0"), df2.filter("vec_id > 0"),
+            dims=[3, 4], k=2,
+        ).collect()
+    }
+    assert out2[4] == 1.0
+    assert out2[3] < 1.0
