@@ -1666,7 +1666,11 @@ def matryoshka_recall(
     full = cosine_topk_bruteforce(
         queries, candidates, k=k, id_col=id_col, vec_col=vec_col
     ).select("query_id", "neighbor_id")
-    out = None
+    # ONE dim-tagged union of the truncated legs, joined ONCE against
+    # a single full-dim subtree (computing `full` inside each union
+    # branch would replicate its brute-force pass per dim — the plan
+    # pin counts the broadcast crosses: len(dims) legs + 1 anchor)
+    approx_all = None
     for d in dims:
         qd = queries.select(
             id_col, F.slice(F.col(vec_col), 1, d).alias(vec_col)
@@ -1674,25 +1678,33 @@ def matryoshka_recall(
         cd = candidates.select(
             id_col, F.slice(F.col(vec_col), 1, d).alias(vec_col)
         )
-        approx = cosine_topk_bruteforce(
+        leg = cosine_topk_bruteforce(
             qd, cd, k=k, id_col=id_col, vec_col=vec_col
-        ).select("query_id", "neighbor_id", F.lit(1).alias("_hit"))
-        row = (
-            full.join(approx, ["query_id", "neighbor_id"], "left")
-            .agg(
-                F.lit(d).cast("int").alias("dim"),
-                F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
-                .cast("long").alias("hits"),
-                F.count(F.lit(1)).cast("long").alias("total"),
-                F.round(
-                    F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
-                    / F.count(F.lit(1)),
-                    4,
-                ).alias("recall"),
-            )
+        ).select(
+            F.lit(d).cast("int").alias("dim"),
+            "query_id",
+            "neighbor_id",
+            F.lit(1).alias("_hit"),
         )
-        out = row if out is None else out.unionByName(row)
-    return out
+        approx_all = leg if approx_all is None else approx_all.unionByName(leg)
+    spark = queries.sparkSession
+    dims_df = spark.createDataFrame([(int(d),) for d in dims], "dim int")
+    return (
+        full.crossJoin(F.broadcast(dims_df))
+        .join(approx_all, ["dim", "query_id", "neighbor_id"], "left")
+        .groupBy("dim")
+        .agg(
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("long").alias("hits"),
+            F.count(F.lit(1)).cast("long").alias("total"),
+            F.round(
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+                / F.count(F.lit(1)),
+                4,
+            ).alias("recall"),
+        )
+        .select("dim", "hits", "total", "recall")
+    )
 
 
 def recall_at_k(exact: DataFrame, approx: DataFrame, k: int) -> float:

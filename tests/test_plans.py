@@ -896,3 +896,36 @@ def test_main_content_extract_is_narrow(spark, sf_dir):
     assert "Exchange" not in plan
     assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
     assert "Generate" not in plan  # array HOFs, not explode+groupBy
+
+
+def test_round10_media_kernels_are_narrow(spark, sf_dir):
+    """CRAM frame decode (stateful WITHIN a payload, embarrassingly
+    parallel ACROSS payloads), the block-mode census, and the G.711
+    mu-law/A-law energy rows are all per-payload Arrow kernels over
+    the scan — no exchange anywhere; the audits share the shape."""
+    for name in (
+        "avi_cram_frame_stats",
+        "avi_cram_temporal_reuse",
+        "cram_decode_audit",
+        "wav_mulaw_energy",
+        "wav_alaw_energy",
+        "wav_mulaw_audit",
+    ):
+        plan = explain_str(QUERIES[name](spark, sf_dir))
+        assert "Exchange" not in plan, name
+        assert "MapInPandas" in plan or "mapInPandas" in plan, name
+
+
+def test_matryoshka_recall_broadcasts_queries_only(spark, sf_dir):
+    """The truncation curve's only nested-loop joins are the
+    documented queries-broadcast crosses of the brute-force legs
+    (one per dim + the full-dim anchor); the corpus side is never
+    broadcast and never cartesian'd against itself."""
+    plan = explain_str(QUERIES["matryoshka_recall_curve"](spark, sf_dir))
+    # 6 physical crosses — 4 truncated legs + the full-dim anchor +
+    # the 4-row dims broadcast — each listed twice by formatted
+    # explain (tree + details sections)
+    n_cross = plan.count("BroadcastNestedLoopJoin")
+    assert 0 < n_cross <= 12, n_cross
+    # the hits/total join is a plain (broadcastable) equi-join
+    assert "CartesianProduct" not in plan
