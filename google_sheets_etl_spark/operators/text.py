@@ -1226,6 +1226,130 @@ def kn_bigram_lm_bits(
     )
 
 
+def kn_trigram_lm_bits(
+    docs: DataFrame,
+    train: DataFrame,
+    discount: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Interpolated KNESER-NEY TRIGRAM scoring — the full
+    Chen & Goodman recursion :func:`kn_bigram_lm_bits` bottoms out
+    of, i.e. the order KenLM ships by default (CCNet trains 5-gram
+    KN; 3 is where the recursion's defining trick first appears
+    twice):
+
+        P(w3|w1,w2) = max(c(w1w2w3) − D, 0)/c(w1w2)
+                      + D·N1+(w1w2,·)/c(w1w2) · P_mid(w3|w2)
+        P_mid(w3|w2) = max(N1+(·w2w3) − D, 0)/N1+(·w2·)
+                      + D·N1+c(w2,·)/N1+(·w2·) · P_cont(w3)
+
+    The MIDDLE order uses CONTINUATION counts, not raw counts
+    (Kneser-Ney's core move): N1+(·w2w3) = how many distinct w1
+    precede the bigram, so a bigram frequent in only one context
+    contributes little backoff mass. P_cont(w3) = (N1+(··w3) + 0.5)
+    / (T + 0.5·V) with T = distinct continuation-bigram types —
+    add-0.5 smoothed exactly like the bigram operator, so unseen
+    events keep positive mass. Unseen (w1,w2) context backs off to
+    P_mid entirely; unseen w2 context backs off to P_cont.
+
+    Exactness contract: every model quantity is an exact integer
+    count; D = 0.75 is binary-exact; identical operation order in
+    both engines; each trigram's −log2 p rounds half-up to integer
+    micro-units before the per-doc sum. Scale shape: all model
+    tables are vocab-bounded (≤ trigram types) BROADCASTs; scoring
+    is four broadcast joins on the corpus trigram stream + one
+    uniform doc-key aggregate — the corpus never shuffles before it.
+    Returns ``(id, n_trigrams, bits_per_trigram_kn)``; <3-token docs
+    carry no trigram evidence and are excluded."""
+    c3 = (
+        _trigram_triples(train, text_col)
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("_c3"))
+        .localCheckpoint(eager=True)
+    )
+    ctx12 = c3.groupBy("w1", "w2").agg(
+        F.sum("_c3").alias("_c12"),
+        F.count(F.lit(1)).alias("_nf12"),  # N1+(w1 w2, ·)
+    ).localCheckpoint(eager=True)
+    cc = c3.groupBy("w2", "w3").agg(
+        F.count(F.lit(1)).alias("_cc"),    # N1+(· w2 w3)
+    ).localCheckpoint(eager=True)
+    ccctx = cc.groupBy("w2").agg(
+        F.sum("_cc").alias("_ccs"),        # N1+(· w2 ·)
+        F.count(F.lit(1)).alias("_nf2"),   # continuation follow types
+    ).localCheckpoint(eager=True)
+    np3 = cc.groupBy("w3").agg(
+        F.count(F.lit(1)).alias("_np"),    # N1+(· · w3)
+    ).localCheckpoint(eager=True)
+    n_types = cc.count()
+    v = (
+        train.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .distinct()
+        .count()
+    )
+    d = float(discount)
+    pcont = (F.coalesce(F.col("_np"), F.lit(0)) + F.lit(0.5)) / F.lit(
+        n_types + 0.5 * v
+    )
+    pmid = F.when(F.col("_ccs").isNull(), pcont).otherwise(
+        F.greatest(
+            F.coalesce(F.col("_cc"), F.lit(0)) - F.lit(d), F.lit(0.0)
+        ) / F.col("_ccs")
+        + F.lit(d) * F.col("_nf2") / F.col("_ccs") * pcont
+    )
+    p = F.when(F.col("_c12").isNull(), pmid).otherwise(
+        F.greatest(
+            F.coalesce(F.col("_c3"), F.lit(0)) - F.lit(d), F.lit(0.0)
+        ) / F.col("_c12")
+        + F.lit(d) * F.col("_nf12") / F.col("_c12") * pmid
+    )
+    scored = (
+        _trigram_triples(docs, text_col, [F.col(id_col)])
+        .join(F.broadcast(c3), ["w1", "w2", "w3"], "left")
+        .join(F.broadcast(ctx12), ["w1", "w2"], "left")
+        .join(F.broadcast(cc), ["w2", "w3"], "left")
+        .join(F.broadcast(ccctx), "w2", "left")
+        .join(F.broadcast(np3), "w3", "left")
+        .select(
+            id_col,
+            F.floor(-F.log2(p) * F.lit(1e6) + F.lit(0.5))
+            .cast("long")
+            .alias("_nll_u6"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_trigrams"),
+        F.round(
+            F.sum("_nll_u6") / F.lit(1e6) / F.count(F.lit(1)), 4
+        ).alias("bits_per_trigram_kn"),
+    )
+
+
+def _trigram_triples(
+    df: DataFrame, text_col: str, lead: list | None = None
+) -> DataFrame:
+    """Adjacent-token triples ``(w1, w2, w3)`` per row, optionally
+    keeping lead columns; <3-token rows yield nothing (the
+    :func:`_bigram_pairs` contract one order up)."""
+    from .typed_views import ensure_parallelism
+
+    lead = lead or []
+    t = ensure_parallelism(df).select(
+        *lead, F.split(F.col(text_col), " ").alias("_t")
+    ).filter(F.size("_t") >= 3)
+    return t.select(
+        *lead,
+        F.explode(F.sequence(F.lit(1), F.size("_t") - 2)).alias("_i"),
+        "_t",
+    ).select(
+        *lead,
+        F.element_at("_t", F.col("_i")).alias("w1"),
+        F.element_at("_t", F.col("_i") + 1).alias("w2"),
+        F.element_at("_t", F.col("_i") + 2).alias("w3"),
+    )
+
+
 def _bigram_pairs(
     df: DataFrame, text_col: str, lead: list | None = None
 ) -> DataFrame:

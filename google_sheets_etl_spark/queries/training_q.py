@@ -51,6 +51,95 @@ SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams,
 FROM sc GROUP BY doc_id"""
 
 
+_KN3_ORACLE = """
+WITH s AS (
+  SELECT doc_id, text,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS b
+  FROM documents),
+tr AS (SELECT text FROM s WHERE b < 98),
+trp AS (
+  SELECT w[i] AS w1, w[i + 1] AS w2, w[i + 2] AS w3
+  FROM (SELECT string_split(text, ' ') AS w FROM tr),
+       unnest(range(1, len(w) - 1)) AS t(i)),
+c3 AS (SELECT w1, w2, w3, COUNT(*)::BIGINT AS c3
+       FROM trp GROUP BY w1, w2, w3),
+ctx12 AS (SELECT w1, w2, CAST(SUM(c3) AS BIGINT) AS c12,
+                 COUNT(*)::BIGINT AS nf12
+          FROM c3 GROUP BY w1, w2),
+cc AS (SELECT w2, w3, COUNT(*)::BIGINT AS cc FROM c3 GROUP BY w2, w3),
+ccctx AS (SELECT w2, CAST(SUM(cc) AS BIGINT) AS ccs,
+                 COUNT(*)::BIGINT AS nf2
+          FROM cc GROUP BY w2),
+np3 AS (SELECT w3, COUNT(*)::BIGINT AS np FROM cc GROUP BY w3),
+tv AS (SELECT COUNT(*)::BIGINT AS t FROM cc),
+v AS (SELECT COUNT(DISTINCT w)::BIGINT AS v
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM tr)),
+dp AS (
+  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2, w[i + 2] AS w3
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       unnest(range(1, len(w) - 1)) AS t(i)),
+sc AS (
+  SELECT dp.doc_id,
+         CAST(floor(-log2(
+           CASE WHEN ctx12.c12 IS NULL THEN
+             CASE WHEN ccctx.ccs IS NULL
+               THEN (COALESCE(np3.np, 0) + CAST(0.5 AS DOUBLE))
+                    / (tv.t + CAST(0.5 AS DOUBLE) * v.v)
+               ELSE GREATEST(COALESCE(cc.cc, 0) - CAST(0.75 AS DOUBLE),
+                             CAST(0.0 AS DOUBLE)) / ccctx.ccs
+                    + CAST(0.75 AS DOUBLE) * ccctx.nf2 / ccctx.ccs
+                      * ((COALESCE(np3.np, 0) + CAST(0.5 AS DOUBLE))
+                         / (tv.t + CAST(0.5 AS DOUBLE) * v.v))
+             END
+           ELSE GREATEST(COALESCE(c3.c3, 0) - CAST(0.75 AS DOUBLE),
+                         CAST(0.0 AS DOUBLE)) / ctx12.c12
+                + CAST(0.75 AS DOUBLE) * ctx12.nf12 / ctx12.c12
+                  * (CASE WHEN ccctx.ccs IS NULL
+                       THEN (COALESCE(np3.np, 0) + CAST(0.5 AS DOUBLE))
+                            / (tv.t + CAST(0.5 AS DOUBLE) * v.v)
+                       ELSE GREATEST(COALESCE(cc.cc, 0)
+                                     - CAST(0.75 AS DOUBLE),
+                                     CAST(0.0 AS DOUBLE)) / ccctx.ccs
+                            + CAST(0.75 AS DOUBLE) * ccctx.nf2 / ccctx.ccs
+                              * ((COALESCE(np3.np, 0)
+                                  + CAST(0.5 AS DOUBLE))
+                                 / (tv.t + CAST(0.5 AS DOUBLE) * v.v))
+                     END)
+           END) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+              AS BIGINT) AS nll
+  FROM dp LEFT JOIN c3 USING (w1, w2, w3)
+          LEFT JOIN ctx12 USING (w1, w2)
+          LEFT JOIN cc USING (w2, w3)
+          LEFT JOIN ccctx USING (w2)
+          LEFT JOIN np3 USING (w3)
+  CROSS JOIN tv CROSS JOIN v)
+SELECT doc_id, COUNT(*)::BIGINT AS n_trigrams,
+       ROUND(SUM(nll) / CAST(1000000 AS DOUBLE) / COUNT(*), 4)
+         AS bits_per_trigram_kn
+FROM sc GROUP BY doc_id"""
+
+
+@q("kn_trigram_perplexity", _KN3_ORACLE)
+def kn_trigram_perplexity(spark: SparkSession, sf: str) -> DataFrame:
+    """Interpolated Kneser-Ney TRIGRAM perplexity (operators/text.py
+    kn_trigram_lm_bits) — the order KenLM actually ships, with the
+    full two-level recursion: raw counts at the top, CONTINUATION
+    counts in the middle (N1+(·w2w3) distinct-predecessor types, the
+    Kneser-Ney correction applied where it matters twice), add-0.5
+    continuation unigram at the bottom. Same exactness contract as
+    the bigram row (integer counts, binary-exact D=0.75, identical
+    operation order, micro-unit half-up rounding per trigram); model
+    tables are vocab-bounded broadcasts, corpus shuffles only at the
+    final per-doc aggregate."""
+    docs = t(spark, sf, "documents")
+    train = (
+        sampling.hash_split(docs)
+        .filter(F.col("split") == "train")
+        .select("text")
+    )
+    return text_ops.kn_trigram_lm_bits(docs, train)
+
+
 @q("kn_bigram_perplexity", _KN_ORACLE)
 def kn_bigram_perplexity(spark: SparkSession, sf: str) -> DataFrame:
     """Interpolated KNESER-NEY perplexity scoring (operators/text.py

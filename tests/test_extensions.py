@@ -3761,3 +3761,32 @@ def test_matryoshka_recall_identity_and_truncation(spark):
     }
     assert out2[4] == 1.0
     assert out2[3] < 1.0
+
+
+def test_kn_trigram_lm_bits_semantics(spark):
+    """Trigram KN: a document made of train trigrams scores fewer
+    bits per trigram than one of unseen words; <3-token docs carry no
+    evidence and vanish; the middle order backs off through
+    CONTINUATION counts (an unseen (w1,w2) context with a seen
+    (w2,w3) continuation scores better than fully-unseen text)."""
+    from google_sheets_etl_spark.operators.text import kn_trigram_lm_bits
+
+    train = spark.createDataFrame(
+        [("a b c a b c a b c",), ("x y z x y z",)], "text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b c"),      # pure train trigrams
+            (2, "q r s t"),          # fully unseen
+            (3, "q b c"),            # unseen context, seen continuation
+            (4, "a b"),              # too short: no row
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_trigrams"], r["bits_per_trigram_kn"])
+        for r in kn_trigram_lm_bits(docs, train).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1][0] == 4 and out[3][0] == 1
+    assert out[1][1] < out[3][1] < out[2][1]
