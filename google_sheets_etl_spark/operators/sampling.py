@@ -338,3 +338,114 @@ def mixture_weights_temperature(
             ).alias("sample_rate"),
         )
     )
+
+
+def dsir_log_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    raw: DataFrame,
+    dim: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.
+    2023, the method behind many modern pretraining-mix selections):
+    score every document by how much more likely its hashed-feature
+    bag is under a TARGET distribution (the domain you want more of)
+    than under the RAW pool it came from,
+
+        logw(doc) = Σ_tokens log2 p_target(bucket) − log2 p_raw(bucket)
+
+    with tokens feature-hashed to ``dim`` buckets (the 60-bit-md5
+    convention of :func:`~..operators.text.hashed_doc_vectors`, so
+    any engine reproduces the buckets) and add-0.5 smoothing on both
+    categorical models (the LM rows' convention; every bucket keeps
+    positive mass, so unseen features penalize rather than NaN).
+
+    Exactness: per-BUCKET log-ratios round half-up to integer
+    micro-units ONCE (a dim-bounded table), and each document's
+    weight is an exact int64 dot product of its integer bucket
+    counts with that table — summation-order-free, hash-stable.
+
+    Scale shape: both models are dim-bounded aggregates (≤ ``dim``
+    rows each) joined into ONE broadcast log-ratio table built over
+    ``spark.range(dim)`` (buckets unseen by both sides still get the
+    smoothed ratio); scoring is one narrow explode + a (doc, bucket)
+    partial-aggregated count + one broadcast join + one uniform
+    doc-key aggregate. The corpus never shuffles wider than
+    (doc × ≤dim) rows. Returns ``(id, n_tokens, dsir_logw_u6,
+    bits_per_token)``; empty docs carry no evidence and are excluded.
+    """
+    from .typed_views import ensure_parallelism
+
+    if dim < 1:
+        raise ValueError("dim must be >= 1")
+
+    def buckets(df: DataFrame, lead: list | None = None) -> DataFrame:
+        lead = lead or []
+        return (
+            ensure_parallelism(df)
+            .select(
+                *lead,
+                F.explode(F.split(F.col(text_col), " ")).alias("_w"),
+            )
+            .filter(F.col("_w") != "")
+            .select(
+                *lead,
+                (
+                    F.conv(
+                        F.substring(F.md5(F.col("_w")), 1, 15), 16, 10
+                    ).cast("long")
+                    % dim
+                ).alias("_b"),
+            )
+        )
+
+    t_counts = buckets(target).groupBy("_b").agg(
+        F.count(F.lit(1)).alias("_tc")
+    )
+    r_counts = buckets(raw).groupBy("_b").agg(
+        F.count(F.lit(1)).alias("_rc")
+    )
+    t_total = buckets(target).count()
+    r_total = buckets(raw).count()
+    spark = docs.sparkSession
+    table = (
+        spark.range(dim).select(F.col("id").alias("_b"))
+        .join(t_counts, "_b", "left")
+        .join(r_counts, "_b", "left")
+        .select(
+            "_b",
+            F.floor(
+                (
+                    F.log2(
+                        (F.coalesce(F.col("_tc"), F.lit(0)) + F.lit(0.5))
+                        / F.lit(t_total + 0.5 * dim)
+                    )
+                    - F.log2(
+                        (F.coalesce(F.col("_rc"), F.lit(0)) + F.lit(0.5))
+                        / F.lit(r_total + 0.5 * dim)
+                    )
+                )
+                * F.lit(1e6)
+                + F.lit(0.5)
+            ).cast("long").alias("_lr_u6"),
+        )
+    )
+    doc_counts = buckets(docs, [F.col(id_col)]).groupBy(
+        id_col, "_b"
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    return (
+        doc_counts.join(F.broadcast(table), "_b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_c").alias("n_tokens"),
+            F.sum(F.col("_c") * F.col("_lr_u6")).alias("dsir_logw_u6"),
+            F.round(
+                F.sum(F.col("_c") * F.col("_lr_u6"))
+                / F.lit(1e6)
+                / F.sum("_c"),
+                4,
+            ).alias("bits_per_token"),
+        )
+    )

@@ -51,6 +51,88 @@ SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams,
 FROM sc GROUP BY doc_id"""
 
 
+_DSIR_ORACLE = """
+WITH tb AS (
+  SELECT ('0x' || substr(md5(w), 1, 15))::BIGINT % 1024 AS b
+  FROM (SELECT unnest(string_split(text, ' ')) AS w
+        FROM documents WHERE doc_id % 10 = 0)
+  WHERE w != ''),
+rb AS (
+  SELECT ('0x' || substr(md5(w), 1, 15))::BIGINT % 1024 AS b
+  FROM (SELECT unnest(string_split(text, ' ')) AS w
+        FROM documents WHERE doc_id % 10 != 0)
+  WHERE w != ''),
+tc AS (SELECT b, COUNT(*)::BIGINT AS c FROM tb GROUP BY b),
+rc AS (SELECT b, COUNT(*)::BIGINT AS c FROM rb GROUP BY b),
+tt AS (SELECT COUNT(*)::BIGINT AS t FROM tb),
+rt AS (SELECT COUNT(*)::BIGINT AS t FROM rb),
+lr AS (
+  SELECT g.b,
+         CAST(floor((log2((COALESCE(tc.c, 0) + CAST(0.5 AS DOUBLE))
+                          / (tt.t + CAST(0.5 AS DOUBLE) * 1024))
+                     - log2((COALESCE(rc.c, 0) + CAST(0.5 AS DOUBLE))
+                            / (rt.t + CAST(0.5 AS DOUBLE) * 1024)))
+                    * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+              AS BIGINT) AS lr
+  FROM range(0, 1024) g(b)
+  LEFT JOIN tc ON tc.b = g.b
+  LEFT JOIN rc ON rc.b = g.b
+  CROSS JOIN tt CROSS JOIN rt),
+dc AS (
+  SELECT doc_id, b, COUNT(*)::BIGINT AS c
+  FROM (SELECT doc_id,
+               ('0x' || substr(md5(w), 1, 15))::BIGINT % 1024 AS b
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents)
+        WHERE w != '')
+  GROUP BY doc_id, b)
+SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(SUM(c * lr) AS BIGINT) AS dsir_logw_u6,
+       ROUND(CAST(SUM(c * lr) AS BIGINT) / CAST(1000000 AS DOUBLE)
+             / CAST(SUM(c) AS BIGINT), 4) AS bits_per_token
+FROM dc JOIN lr USING (b) GROUP BY doc_id"""
+
+
+@q("dsir_log_weights", _DSIR_ORACLE)
+def dsir_log_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023; operators/sampling.py
+    dsir_log_weights): every document scored by how much likelier its
+    hashed-feature bag is under the target subset (doc_id % 10 == 0,
+    the quality proxy) than under the raw pool — the selection signal
+    modern pretraining mixes are drawn with. Bucket log-ratios round
+    to micro-units once in a dim-bounded broadcast table; doc weights
+    are exact int64 dot products. The oracle re-runs the whole method
+    in SQL (same md5 buckets, same smoothing, same rounding)."""
+    docs = t(spark, sf, "documents")
+    return sampling.dsir_log_weights(
+        docs,
+        target=docs.filter(F.col("doc_id") % 10 == 0),
+        raw=docs.filter(F.col("doc_id") % 10 != 0),
+        dim=1024,
+    )
+
+
+@q(
+    "dsir_selection",
+    f"""WITH w AS ({_DSIR_ORACLE})
+       SELECT doc_id, dsir_logw_u6 FROM w
+       ORDER BY dsir_logw_u6 DESC, doc_id ASC LIMIT 100""",
+)
+def dsir_selection(spark: SparkSession, sf: str) -> DataFrame:
+    """The DSIR SELECTION step: top-100 documents by importance
+    weight (weight DESC, id ASC — fully deterministic, no sampling
+    noise; the deterministic-top-k variant of the paper's gumbel
+    resampling, same shape the priority_sample row uses). Plan:
+    TakeOrderedAndProject over the weight aggregate — no global
+    sort."""
+    w = dsir_log_weights(spark, sf)
+    return (
+        w.orderBy(F.col("dsir_logw_u6").desc(), F.col("doc_id").asc())
+        .select("doc_id", "dsir_logw_u6")
+        .limit(100)
+    )
+
+
 _KN3_ORACLE = """
 WITH s AS (
   SELECT doc_id, text,

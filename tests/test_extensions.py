@@ -3790,3 +3790,32 @@ def test_kn_trigram_lm_bits_semantics(spark):
     assert set(out) == {1, 2, 3}
     assert out[1][0] == 4 and out[3][0] == 1
     assert out[1][1] < out[3][1] < out[2][1]
+
+
+def test_dsir_log_weights_semantics(spark):
+    """DSIR: documents that look like the target distribution carry
+    higher importance weight than documents that look like the raw
+    pool; token counts are exact; empty docs vanish."""
+    from google_sheets_etl_spark.operators.sampling import (
+        dsir_log_weights,
+    )
+
+    target = spark.createDataFrame(
+        [(100 + i, "alpha beta gamma alpha beta") for i in range(3)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [(200 + i, "zeta eta theta zeta eta") for i in range(3)],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "zeta eta zeta"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["dsir_logw_u6"])
+        for r in dsir_log_weights(docs, target, raw, dim=64).collect()
+    }
+    assert set(out) == {1, 2}
+    assert out[1][0] == 3 and out[2][0] == 3
+    assert out[1][1] > 0 > out[2][1]

@@ -929,3 +929,14 @@ def test_matryoshka_recall_broadcasts_queries_only(spark, sf_dir):
     assert 0 < n_cross <= 12, n_cross
     # the hits/total join is a plain (broadcastable) equi-join
     assert "CartesianProduct" not in plan
+
+
+def test_dsir_selection_is_take_ordered_with_broadcast_table(spark, sf_dir):
+    """DSIR's plan contract: the bucket log-ratio table is a
+    dim-bounded BROADCAST into the (doc, bucket) count stream, and
+    the selection is TakeOrderedAndProject — no global sort, no
+    corpus-side broadcast."""
+    plan = explain_str(QUERIES["dsir_selection"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
