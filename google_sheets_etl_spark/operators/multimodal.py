@@ -846,6 +846,77 @@ class GifCodec(MediaCodec):
         return encode_gif(width, height, out, palette)
 
 
+def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
+    """Minimal 24-bit uncompressed Windows BMP writer —
+    :func:`parse_bmp`'s inverse for fixtures and tests: BITMAPFILEHEADER
+    + BITMAPINFOHEADER(40), bottom-up rows, BGR byte order, rows padded
+    to 4-byte boundaries (the format's three classic traps, all
+    round-trip-tested)."""
+    import struct
+
+    if len(rgb) != width * height * 3:
+        raise ValueError("encode_bmp: bad raster size")
+    pad = (-(width * 3)) % 4
+    rows = []
+    for y in range(height - 1, -1, -1):
+        row = bytearray()
+        for x in range(width):
+            p = (y * width + x) * 3
+            row += bytes((rgb[p + 2], rgb[p + 1], rgb[p]))  # BGR
+        rows.append(bytes(row) + b"\x00" * pad)
+    data = b"".join(rows)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(data),
+        2835, 2835, 0, 0,
+    )
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(data), 0, 0, 54)
+    return header + info + data
+
+
+def parse_bmp(payload: bytes) -> tuple[int, int, bytes]:
+    """Strict 24-bit uncompressed Windows BMP decode → (w, h, raw RGB
+    bytes): BITMAPFILEHEADER sanity, BITMAPINFOHEADER(40) only,
+    biBitCount 24 / biCompression BI_RGB only (pinned 'only 24-bit
+    uncompressed bmp supported' — paletted/RLE/V4+ headers reject
+    rather than mis-decode), positive height only (bottom-up, the
+    overwhelmingly common layout; top-down negative-height files
+    reject with the same message), row stride padded to 4 bytes, BGR
+    → RGB. Pinned container messages: 'not a bmp payload',
+    'truncated bmp', 'trailing bytes after bmp pixel data'."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a bmp payload")
+    if len(payload) < 54:
+        raise ValueError("truncated bmp")
+    (offset,) = struct.unpack("<I", payload[10:14])
+    (hsize,) = struct.unpack("<I", payload[14:18])
+    if hsize != 40:
+        raise ValueError("only 24-bit uncompressed bmp supported")
+    width, height = struct.unpack("<ii", payload[18:26])
+    planes, bitcount = struct.unpack("<HH", payload[26:30])
+    (compression,) = struct.unpack("<I", payload[30:34])
+    if bitcount != 24 or compression != 0 or planes != 1 or height <= 0:
+        raise ValueError("only 24-bit uncompressed bmp supported")
+    if width <= 0:
+        raise ValueError("only 24-bit uncompressed bmp supported")
+    stride = width * 3 + ((-(width * 3)) % 4)
+    if offset < 54 or offset + stride * height > len(payload):
+        raise ValueError("truncated bmp")
+    if offset + stride * height < len(payload):
+        raise ValueError("trailing bytes after bmp pixel data")
+    rgb = bytearray(width * height * 3)
+    for y in range(height):
+        src = offset + (height - 1 - y) * stride
+        row = payload[src : src + width * 3]
+        for x in range(width):
+            p = (y * width + x) * 3
+            rgb[p] = row[3 * x + 2]
+            rgb[p + 1] = row[3 * x + 1]
+            rgb[p + 2] = row[3 * x]
+    return width, height, bytes(rgb)
+
+
 def encode_avi_mjpeg(
     width: int,
     height: int,
@@ -1617,6 +1688,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "jpeg"
     if payload[:6] in GIF_SIGS:
         return "gif"
+    if payload[:2] == b"BM":
+        return "bmp"
     if payload[:4] == b"RIFF":
         # RIFF is a family: the form type at offset 8 splits WAVE
         # audio from AVI video; anything else stays on the wav path
@@ -1640,6 +1713,7 @@ _IMAGE_PARSERS = {
     "png": parse_png,
     "jpeg": _parse_jpeg,
     "gif": parse_gif,
+    "bmp": parse_bmp,
 }
 
 
@@ -2899,6 +2973,7 @@ def payload_decode_audit(
         "png": parse_png,
         "jpeg": _parse_jpeg,
         "gif": parse_gif_indexed,
+        "bmp": parse_bmp,
         "wav": parse_wav_samples,
         "avi": parse_avi_frames,
         "mp4": parse_mp4_mjpeg,

@@ -690,6 +690,126 @@ def image_whash_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     return multimodal.image_whash(_dhash_media(spark, sf))
 
 
+def _bmp_media(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL 24-bit Windows BMP payloads (multimodal.encode_bmp), one
+    per document: w = 5 + doc_id % 4 (odd widths exercise the 4-byte
+    row padding, the format's classic trap), h = 4 + doc_id % 3,
+    raster byte k = (doc_id*5 + k*11) % 256. The oracle regenerates
+    pixels from the formula (the PPM discipline) — BGR order,
+    bottom-up rows, and stride padding are all the decoder's to get
+    right."""
+    import pandas as pd
+
+    d = t(spark, sf, "documents").select("doc_id")
+
+    def kernel(batches):
+        from ..operators.multimodal import encode_bmp
+
+        for pdf in batches:
+            payloads, ws, hs = [], [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w = 5 + doc_id % 4
+                h = 4 + doc_id % 3
+                rgb = bytes(
+                    (doc_id * 5 + k * 11) % 256 for k in range(w * h * 3)
+                )
+                payloads.append(encode_bmp(w, h, rgb))
+                ws.append(w)
+                hs.append(h)
+            yield pd.DataFrame({
+                "media_id": pdf["doc_id"], "width": ws, "height": hs,
+                "payload": payloads,
+            })
+
+    return d.mapInPandas(
+        kernel, "media_id long, width int, height int, payload binary"
+    )
+
+
+@q(
+    "bmp_image_features",
+    """WITH dims AS (SELECT doc_id, 5 + doc_id % 4 AS w,
+                            4 + doc_id % 3 AS h
+                     FROM documents),
+       px AS (SELECT doc_id, w, h, UNNEST(range(0, w * h)) AS p
+              FROM dims),
+       lm AS (SELECT doc_id, w, h,
+                     (((doc_id * 5 + (3 * p) * 11) % 256)
+                      + ((doc_id * 5 + (3 * p + 1) * 11) % 256)
+                      + ((doc_id * 5 + (3 * p + 2) * 11) % 256)) // 3
+                       AS l
+              FROM px)
+       SELECT doc_id AS media_id, CAST(w AS INT) AS width,
+              CAST(h AS INT) AS height,
+              CAST(SUM(l) AS BIGINT) AS lum_sum
+       FROM lm GROUP BY doc_id, w, h""",
+)
+def bmp_image_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Windows BMP decode end-to-end (multimodal.parse_bmp behind the
+    decode_image magic-byte dispatch — registering the parser gave
+    every image operator BMP for free): strict header checks, BGR →
+    RGB, bottom-up row flip, 4-byte stride padding skipped, and the
+    exact-int64 luminance mass certifies all of it against pixels
+    regenerated from the formula in SQL (a padding byte leaking into
+    the raster or a flipped row order flips the sum). Narrow Arrow
+    kernel, no shuffle."""
+    return multimodal.image_luminance_sum(
+        _bmp_media(spark, sf), ["media_id", "width", "height"]
+    )
+
+
+@q(
+    "bmp_decode_audit",
+    """SELECT doc_id AS media_id,
+              (doc_id % 4) = 0 AS ok,
+              CASE doc_id % 4
+                WHEN 0 THEN ''
+                WHEN 1 THEN 'truncated bmp'
+                WHEN 2 THEN 'trailing bytes after bmp pixel data'
+                ELSE 'only 24-bit uncompressed bmp supported' END AS err
+       FROM documents""",
+)
+def bmp_decode_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """The decode REJECT CHANNEL for BMP (payload_decode_audit's
+    'BM' branch): planted failure classes per doc_id residue — a
+    valid file, pixel data cut short, junk after the pixel array,
+    and an 8-bit paletted header the 24-bit walk must refuse rather
+    than mis-decode."""
+    import pandas as pd
+
+    d = t(spark, sf, "documents").select("doc_id")
+
+    def kernel(batches):
+        import struct
+
+        from ..operators.multimodal import encode_bmp
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                rgb = bytes((doc_id * 3 + k) % 256 for k in range(8 * 4 * 3))
+                good = encode_bmp(8, 4, rgb)
+                cls = doc_id % 4
+                if cls == 0:
+                    payloads.append(good)
+                elif cls == 1:
+                    payloads.append(good[:-2])
+                elif cls == 2:
+                    payloads.append(good + b"xx")
+                else:
+                    bad = bytearray(good)
+                    struct.pack_into("<H", bad, 28, 8)
+                    payloads.append(bytes(bad))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = d.mapInPandas(kernel, "media_id long, payload binary")
+    return multimodal.payload_decode_audit(media)
+
+
 @q(
     "png_decode_audit",
     """SELECT doc_id AS media_id,

@@ -3819,3 +3819,40 @@ def test_dsir_log_weights_semantics(spark):
     assert set(out) == {1, 2}
     assert out[1][0] == 3 and out[2][0] == 3
     assert out[1][1] > 0 > out[2][1]
+
+
+def test_bmp_codec_contracts():
+    """BMP: encode→parse round trip is byte-exact through BGR order,
+    bottom-up rows, and 4-byte stride padding (odd widths); the
+    magic-byte dispatch gives every image op BMP for free; every
+    malformation class rejects with its pinned message."""
+    import struct
+
+    import pytest
+
+    from google_sheets_etl_spark.operators.multimodal import (
+        decode_image, encode_bmp, parse_bmp, sniff_format,
+    )
+
+    for w, h in ((3, 5), (4, 2), (5, 1), (8, 8)):
+        rgb = bytes((x * 7 + y * 13 + c * 37) % 256
+                    for y in range(h) for x in range(w) for c in range(3))
+        bmp = encode_bmp(w, h, rgb)
+        assert sniff_format(bmp) == "bmp"
+        assert parse_bmp(bmp) == (w, h, rgb), (w, h)
+        assert decode_image(bmp) == (w, h, rgb)
+
+    bmp = encode_bmp(3, 2, bytes(18))
+    bad8 = bytearray(bmp)
+    struct.pack_into("<H", bad8, 28, 8)
+    topdown = bytearray(bmp)
+    struct.pack_into("<i", topdown, 22, -2)
+    for payload, msg in [
+        (b"BMxx", "truncated bmp"),
+        (bmp[:-1], "truncated bmp"),
+        (bmp + b"z", "trailing bytes after bmp pixel data"),
+        (bytes(bad8), "only 24-bit uncompressed bmp supported"),
+        (bytes(topdown), "only 24-bit uncompressed bmp supported"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            parse_bmp(payload)
