@@ -1445,6 +1445,65 @@ def bigram_lm_score(
     )
 
 
+def moore_lewis_bits(
+    docs: DataFrame,
+    target: DataFrame,
+    raw: DataFrame,
+    k_smooth: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Moore-Lewis cross-entropy difference selection (Moore & Lewis
+    2010, "Intelligent Selection of Language Model Training Data") —
+    the LM-based ancestor of DSIR (:func:`~.sampling.dsir_log_weights`
+    is the hashed-features descendant): score every document by
+
+        score = bits(doc | raw LM) − bits(doc | target LM)
+
+    so documents the TARGET model finds easier than the RAW model
+    score positive and get selected. Both models are the frozen add-k
+    bigram LM of :func:`bigram_lm_fit` (same smoothing, same
+    vocab-bounded broadcast tables), scored off ONE shared bigram
+    stream — four broadcast joins, one uniform doc-key aggregate;
+    the corpus never shuffles before it.
+
+    Exactness: each bigram's −log2 p rounds half-up to integer
+    micro-units under EACH model first, and the score is the exact
+    int64 sum of differences — summation-order-free, hash-stable.
+    Returns ``(id, n_bigrams, ml_u6, ml_bits_per_bigram)``; <2-token
+    docs carry no evidence and are excluded."""
+    tc2, tc1, tv, kd = bigram_lm_fit(target, k_smooth, text_col)
+    rc2, rc1, rv, _ = bigram_lm_fit(raw, k_smooth, text_col)
+    tc2 = tc2.withColumnRenamed("_c2", "_tc2")
+    tc1 = tc1.withColumnRenamed("_c1", "_tc1")
+    rc2 = rc2.withColumnRenamed("_c2", "_rc2")
+    rc1 = rc1.withColumnRenamed("_c1", "_rc1")
+    pt = (F.coalesce(F.col("_tc2"), F.lit(0)) + F.lit(kd)) / (
+        F.coalesce(F.col("_tc1"), F.lit(0)) + F.lit(kd * tv)
+    )
+    pr = (F.coalesce(F.col("_rc2"), F.lit(0)) + F.lit(kd)) / (
+        F.coalesce(F.col("_rc1"), F.lit(0)) + F.lit(kd * rv)
+    )
+    u6 = lambda p: F.floor(  # noqa: E731 — the bigram_lm_score rule
+        -F.log2(p) * F.lit(1e6) + F.lit(0.5)
+    ).cast("long")
+    scored = (
+        _bigram_pairs(docs, text_col, [F.col(id_col)])
+        .join(F.broadcast(tc2), ["w1", "w2"], "left")
+        .join(F.broadcast(tc1), "w1", "left")
+        .join(F.broadcast(rc2), ["w1", "w2"], "left")
+        .join(F.broadcast(rc1), "w1", "left")
+        .select(id_col, (u6(pr) - u6(pt)).alias("_ml_u6"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("_ml_u6").alias("ml_u6"),
+        F.round(
+            F.sum("_ml_u6") / F.lit(1e6) / F.count(F.lit(1)), 4
+        ).alias("ml_bits_per_bigram"),
+    )
+
+
 def hashed_doc_vectors(
     docs: DataFrame,
     dim: int = 64,

@@ -51,6 +51,68 @@ SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams,
 FROM sc GROUP BY doc_id"""
 
 
+_ML_ORACLE = """
+WITH tr AS (SELECT text FROM documents WHERE doc_id % 10 = 0),
+rw AS (SELECT text FROM documents WHERE doc_id % 10 != 0),
+tp AS (SELECT w[i] AS w1, w[i + 1] AS w2
+       FROM (SELECT string_split(text, ' ') AS w FROM tr),
+            unnest(range(1, len(w))) AS t(i)),
+rp AS (SELECT w[i] AS w1, w[i + 1] AS w2
+       FROM (SELECT string_split(text, ' ') AS w FROM rw),
+            unnest(range(1, len(w))) AS t(i)),
+tc2 AS (SELECT w1, w2, COUNT(*)::BIGINT AS c FROM tp GROUP BY w1, w2),
+tc1 AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS c FROM tc2 GROUP BY w1),
+rc2 AS (SELECT w1, w2, COUNT(*)::BIGINT AS c FROM rp GROUP BY w1, w2),
+rc1 AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS c FROM rc2 GROUP BY w1),
+tv AS (SELECT COUNT(DISTINCT w)::BIGINT AS v
+       FROM (SELECT unnest(string_split(text, ' ')) AS w FROM tr)),
+rv AS (SELECT COUNT(DISTINCT w)::BIGINT AS v
+       FROM (SELECT unnest(string_split(text, ' ')) AS w FROM rw)),
+dp AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+       FROM (SELECT doc_id, string_split(text, ' ') AS w
+             FROM documents),
+            unnest(range(1, len(w))) AS t(i)),
+sc AS (
+  SELECT dp.doc_id,
+         CAST(floor(-log2(
+                 (COALESCE(rc2.c, 0) + CAST(0.5 AS DOUBLE)) /
+                 (COALESCE(rc1.c, 0) + CAST(0.5 AS DOUBLE) * rv.v))
+               * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+              AS BIGINT)
+         - CAST(floor(-log2(
+                 (COALESCE(tc2.c, 0) + CAST(0.5 AS DOUBLE)) /
+                 (COALESCE(tc1.c, 0) + CAST(0.5 AS DOUBLE) * tv.v))
+               * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+              AS BIGINT) AS ml
+  FROM dp LEFT JOIN tc2 USING (w1, w2) LEFT JOIN tc1 USING (w1)
+          LEFT JOIN rc2 USING (w1, w2) LEFT JOIN rc1 USING (w1)
+  CROSS JOIN tv CROSS JOIN rv)
+SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams,
+       CAST(SUM(ml) AS BIGINT) AS ml_u6,
+       ROUND(CAST(SUM(ml) AS BIGINT) / CAST(1000000 AS DOUBLE)
+             / COUNT(*), 4) AS ml_bits_per_bigram
+FROM sc GROUP BY doc_id"""
+
+
+@q("moore_lewis_score", _ML_ORACLE)
+def moore_lewis_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Moore-Lewis cross-entropy difference (operators/text.py
+    moore_lewis_bits) — the 2010 LM-based data-selection method DSIR
+    descends from, on the SAME target/raw split as dsir_log_weights
+    (doc_id % 10), so the two selection signals are directly
+    comparable row-for-row: bits under the raw add-k bigram LM minus
+    bits under the target LM, positive = target-like. Both models
+    broadcast; one shared bigram stream, four broadcast joins, exact
+    int64 micro-unit difference sums; the oracle re-runs both models
+    and the subtraction in SQL."""
+    docs = t(spark, sf, "documents")
+    return text_ops.moore_lewis_bits(
+        docs,
+        target=docs.filter(F.col("doc_id") % 10 == 0),
+        raw=docs.filter(F.col("doc_id") % 10 != 0),
+    )
+
+
 _DSIR_ORACLE = """
 WITH tb AS (
   SELECT ('0x' || substr(md5(w), 1, 15))::BIGINT % 1024 AS b

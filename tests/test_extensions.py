@@ -3856,3 +3856,31 @@ def test_bmp_codec_contracts():
     ]:
         with pytest.raises(ValueError, match=msg):
             parse_bmp(payload)
+
+
+def test_moore_lewis_bits_semantics(spark):
+    """Moore-Lewis: target-like documents score positive (raw LM
+    finds them harder than the target LM), raw-like documents score
+    negative, and the sign separation mirrors DSIR's on the same
+    shape of data."""
+    from google_sheets_etl_spark.operators.text import moore_lewis_bits
+
+    target = spark.createDataFrame(
+        [(100 + i, "alpha beta gamma alpha beta") for i in range(3)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [(200 + i, "zeta eta theta zeta eta") for i in range(3)],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "zeta eta theta"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_bigrams"], r["ml_u6"])
+        for r in moore_lewis_bits(docs, target, raw).collect()
+    }
+    assert set(out) == {1, 2}  # <2-token doc carries no evidence
+    assert out[1][0] == 2 and out[2][0] == 2
+    assert out[1][1] > 0 > out[2][1]
