@@ -1707,6 +1707,77 @@ def matryoshka_recall(
     )
 
 
+def ranking_metrics(
+    run: DataFrame,
+    qrels: DataFrame,
+    k: int = 20,
+) -> DataFrame:
+    """IR ranking metrics per query — MRR, recall@k, nDCG@k — of a
+    retrieval ``run`` (query_id, neighbor_id, rank) against binary
+    relevance judgments ``qrels`` (query_id, neighbor_id): the
+    standard evaluation triple recall rows alone don't capture
+    (recall says how MANY truths an index returned; nDCG/MRR say how
+    WELL-ORDERED they arrived — the quantity a RAG reranker budget
+    actually depends on).
+
+    Exactness: the log2 discount is transcendental, so per-position
+    discounts round half-up to integer micro-units FIRST
+    (``floor(1e6/log2(rank+1) + 0.5)`` — the LM-bits rule) and DCG /
+    ideal-DCG are exact int64 sums; nDCG is then one division of
+    identical integers. MRR uses the exact integer first-relevant
+    rank. Returns ``(query_id, n_rel, hits, first_rel_rank,
+    recall_r4, mrr_r4, ndcg_r4)`` — first_rel_rank NULL and
+    mrr/ndcg 0.0 when nothing relevant was retrieved.
+
+    Scale shape: one left join of qrels (small by construction —
+    judgments are human-bounded) against the run's top-k lists, two
+    bounded window ranks, one per-query aggregate.
+
+    ``first_rel_rank`` is 0 (not NULL) when no relevant document was
+    retrieved — a nullable int column would surface as float64
+    through any pandas fetch (the driver's canonicalizer), silently
+    type-drifting the artifact."""
+    run_k = run.filter(F.col("rank") <= k).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    disc = lambda r: F.floor(  # noqa: E731 — micro-unit discount
+        F.lit(1e6) / F.log2(r + F.lit(1.0)) + F.lit(0.5)
+    ).cast("long")
+    ideal_pos = F.row_number().over(
+        Window.partitionBy("query_id").orderBy("neighbor_id")
+    )
+    joined = (
+        qrels.select("query_id", "neighbor_id")
+        .withColumn("_ipos", ideal_pos)
+        .join(run_k, ["query_id", "neighbor_id"], "left")
+    )
+    agg = joined.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_rel"),
+        F.count("rank").alias("hits"),
+        F.coalesce(F.min("rank"), F.lit(0)).cast("long")
+        .alias("first_rel_rank"),
+        F.sum(
+            F.when(F.col("rank").isNotNull(), disc(F.col("rank")))
+            .otherwise(F.lit(0))
+        ).alias("_dcg_u6"),
+        F.sum(disc(F.col("_ipos"))).alias("_idcg_u6"),
+    )
+    return agg.select(
+        "query_id",
+        "n_rel",
+        "hits",
+        "first_rel_rank",
+        F.round(F.col("hits") / F.col("n_rel"), 4).alias("recall_r4"),
+        F.round(
+            F.when(
+                F.col("first_rel_rank") > 0, 1.0 / F.col("first_rel_rank")
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("mrr_r4"),
+        F.round(F.col("_dcg_u6") / F.col("_idcg_u6"), 4).alias("ndcg_r4"),
+    )
+
+
 def recall_at_k(exact: DataFrame, approx: DataFrame, k: int) -> float:
     """Fraction of exact top-k pairs recovered by the approximate
     result (driver-side scalar; for tests/tuning)."""

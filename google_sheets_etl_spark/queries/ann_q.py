@@ -1185,6 +1185,105 @@ FROM scored
 QUALIFY rank <= 5"""
 
 
+@q(
+    "retrieval_ranking_metrics",
+    """WITH q AS (SELECT vec_id, embedding FROM embeddings
+                  WHERE vec_id < 10),
+     c AS (SELECT vec_id, embedding FROM embeddings
+           WHERE vec_id >= 10),
+cents AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY md5(vec_id::VARCHAR || ':42'),
+                            vec_id) - 1 AS cell, embedding
+  FROM c QUALIFY cell < 16),
+cassign AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT c.vec_id, c.embedding, cents.cell,
+           ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+             list_dot_product(c.embedding, cents.embedding) /
+               (sqrt(list_dot_product(c.embedding, c.embedding)) *
+                sqrt(list_dot_product(cents.embedding,
+                                      cents.embedding))) DESC,
+             cents.cell ASC) AS rn
+    FROM c CROSS JOIN cents) WHERE rn = 1),
+qprobe AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT q.vec_id, q.embedding, cents.cell,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+             list_dot_product(q.embedding, cents.embedding) /
+               (sqrt(list_dot_product(q.embedding, q.embedding)) *
+                sqrt(list_dot_product(cents.embedding,
+                                      cents.embedding))) DESC,
+             cents.cell ASC) AS rn
+    FROM q CROSS JOIN cents) WHERE rn <= 2),
+run AS (
+  SELECT query_id, neighbor_id, rank FROM (
+    SELECT qprobe.vec_id AS query_id, cassign.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY qprobe.vec_id ORDER BY
+             list_dot_product(qprobe.embedding, cassign.embedding) /
+               (sqrt(list_dot_product(qprobe.embedding,
+                                      qprobe.embedding)) *
+                sqrt(list_dot_product(cassign.embedding,
+                                      cassign.embedding))) DESC,
+             cassign.vec_id ASC) AS rank
+    FROM qprobe JOIN cassign USING (cell)) WHERE rank <= 20),
+qrels AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY neighbor_id) AS ipos
+  FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+             list_dot_product(q.embedding, c.embedding) /
+               (sqrt(list_dot_product(q.embedding, q.embedding)) *
+                sqrt(list_dot_product(c.embedding, c.embedding))) DESC,
+             c.vec_id ASC) AS rank
+    FROM q CROSS JOIN c) WHERE rank <= 5),
+j AS (
+  SELECT qrels.query_id, qrels.ipos, run.rank
+  FROM qrels LEFT JOIN run USING (query_id, neighbor_id)),
+a AS (
+  SELECT query_id, COUNT(*)::BIGINT AS n_rel,
+         COUNT(rank)::BIGINT AS hits,
+         CAST(COALESCE(MIN(rank), 0) AS BIGINT) AS first_rel_rank,
+         CAST(SUM(CASE WHEN rank IS NOT NULL THEN
+           CAST(floor(CAST(1000000 AS DOUBLE) / log2(rank + 1.0)
+                      + CAST(0.5 AS DOUBLE)) AS BIGINT)
+           ELSE 0 END) AS BIGINT) AS dcg_u6,
+         CAST(SUM(
+           CAST(floor(CAST(1000000 AS DOUBLE) / log2(ipos + 1.0)
+                      + CAST(0.5 AS DOUBLE)) AS BIGINT))
+              AS BIGINT) AS idcg_u6
+  FROM j GROUP BY query_id)
+SELECT query_id, n_rel, hits, first_rel_rank,
+       ROUND(hits / n_rel, 4) AS recall_r4,
+       ROUND(CASE WHEN first_rel_rank > 0
+                  THEN 1.0 / first_rel_rank ELSE 0.0 END, 4) AS mrr_r4,
+       ROUND(dcg_u6 / idcg_u6, 4) AS ndcg_r4
+FROM a""",
+)
+def retrieval_ranking_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    """IR ranking metrics (similarity.ranking_metrics): MRR, recall@20
+    and nDCG@20 of the IVF index at a DELIBERATELY tight probe budget
+    (2 of 16 cells — the missing-neighbors regime) against exact
+    top-5 relevance, per query. Recall rows already say how many
+    truths an index returns; this row certifies the ORDERING quality
+    metrics a reranker budget depends on, with the transcendental
+    log2 discounts rounded to integer micro-units per position before
+    the exact int64 DCG/IDCG sums. The oracle re-runs the whole
+    stack in SQL: the IVF algorithm, the brute-force qrels, and the
+    metric arithmetic."""
+    emb = t(spark, sf, "embeddings")
+    q_ = emb.filter(F.col("vec_id") < 10)
+    c = emb.filter(F.col("vec_id") >= 10)
+    run = similarity.cosine_topk_ivf(
+        q_, c, k=20, n_centroids=16, n_probe=2
+    )
+    qrels = similarity.cosine_topk_bruteforce(q_, c, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    return similarity.ranking_metrics(run, qrels, k=20)
+
+
 @q("ann_ivf_topk", _IVF_ORACLE)
 def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Inverted-file ANN twin of ann_lsh_topk: Voronoi-cell probe join

@@ -3884,3 +3884,37 @@ def test_moore_lewis_bits_semantics(spark):
     assert set(out) == {1, 2}  # <2-token doc carries no evidence
     assert out[1][0] == 2 and out[2][0] == 2
     assert out[1][1] > 0 > out[2][1]
+
+
+def test_ranking_metrics_contracts(spark):
+    """ranking_metrics: a perfect run scores MRR/recall/nDCG 1.0; a
+    run that retrieves the relevant docs late scores nDCG below a run
+    that retrieves them early at equal recall; a query with nothing
+    retrieved carries the 0 sentinel (never a nullable int)."""
+    from google_sheets_etl_spark.operators.similarity import (
+        ranking_metrics,
+    )
+
+    qrels = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (3, 30)],
+        "query_id long, neighbor_id long",
+    )
+    run = spark.createDataFrame(
+        [
+            (1, 10, 1), (1, 11, 2),   # perfect
+            (2, 99, 1), (2, 20, 9),   # late single hit
+            # query 3: nothing relevant retrieved
+            (3, 98, 1),
+        ],
+        "query_id long, neighbor_id long, rank long",
+    )
+    out = {r["query_id"]: r.asDict() for r in
+           ranking_metrics(run, qrels, k=10).collect()}
+    assert out[1]["recall_r4"] == 1.0
+    assert out[1]["mrr_r4"] == 1.0 and out[1]["ndcg_r4"] == 1.0
+    assert out[2]["recall_r4"] == 1.0 and out[2]["mrr_r4"] == round(1 / 9, 4)
+    assert 0 < out[2]["ndcg_r4"] < 1.0
+    assert out[3] == {
+        "query_id": 3, "n_rel": 1, "hits": 0, "first_rel_rank": 0,
+        "recall_r4": 0.0, "mrr_r4": 0.0, "ndcg_r4": 0.0,
+    }
