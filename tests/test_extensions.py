@@ -3918,3 +3918,59 @@ def test_ranking_metrics_contracts(spark):
         "query_id": 3, "n_rel": 1, "hits": 0, "first_rel_rank": 0,
         "recall_r4": 0.0, "mrr_r4": 0.0, "ndcg_r4": 0.0,
     }
+
+
+def test_hilbert_key_matches_reference_walk(spark):
+    """with_hilbert_key equals the textbook xy2d walk on random
+    16-bit points (identity normalization over the full span), and
+    consecutive Hilbert indices on a small grid are GRID-ADJACENT —
+    the curve property Morton lacks and the locality row banks on."""
+    import random
+
+    from google_sheets_etl_spark.operators.layout import with_hilbert_key
+
+    def xy2d(x, y, order=16):
+        d, s = 0, 1 << (order - 1)
+        while s > 0:
+            rx = 1 if x & s else 0
+            ry = 1 if y & s else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    random.seed(7)
+    pts = [(i, random.randrange(65536), random.randrange(65536))
+           for i in range(40)] + [(40, 0, 0), (41, 65535, 65535)]
+    df = spark.createDataFrame(pts, "id long, x long, y long")
+    out = {r["id"]: r["_hkey"]
+           for r in with_hilbert_key(df, "x", "y").collect()}
+    assert out == {i: xy2d(x, y) for i, x, y in pts}
+
+    # adjacency on the full 2^16 grid along a sampled stretch of
+    # the curve: d and d+1 always map to 4-neighbors (via the
+    # reference inverse walk)
+    def d2xy(d, order=16):
+        x = y = 0
+        s = 1
+        while s < (1 << order):
+            rx = 1 & (d // 2)
+            ry = 1 & (d ^ rx)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+            x += s * rx
+            y += s * ry
+            d //= 4
+            s *= 2
+        return x, y
+
+    for d in range(123456, 123456 + 64):
+        x0, y0 = d2xy(d)
+        x1, y1 = d2xy(d + 1)
+        assert abs(x0 - x1) + abs(y0 - y1) == 1, d
+        assert xy2d(x0, y0) == d  # inverse consistency
