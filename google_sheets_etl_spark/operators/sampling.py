@@ -449,3 +449,58 @@ def dsir_log_weights(
             ).alias("bits_per_token"),
         )
     )
+
+
+def perplexity_bucket_sample(
+    docs: DataFrame,
+    train: DataFrame,
+    rates: tuple = (1.0, 0.5, 0.0),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet's perplexity-bucket selection (Wenzek et al. 2020): rank
+    every document by bits-per-bigram under a frozen LM trained on
+    the reference corpus, split the ranking into equal-count
+    head/middle/tail terciles, and keep each bucket at its own rate —
+    the canonical "keep what reads like Wikipedia, downsample the
+    middle, drop the tail" gate (CCNet keeps head+middle; the exact
+    rates are policy, exposed as ``rates``).
+
+    Determinism: the tercile is an NTILE over (bits, id) — bits are
+    the micro-unit-exact values of the certified scoring row, so the
+    ordering is engine-identical, and ties break on the id; the
+    per-bucket keep is the md5 gate of :func:`hash_split` (never
+    ``rand()``). Returns kept rows only:
+    ``(id, n_bigrams, bits_per_bigram, bucket)`` with bucket ∈
+    {'head', 'middle', 'tail'}.
+
+    Scale shape: scoring is the LM row's broadcast-join pass; the
+    tercile is ONE measurement sort over (doc, bits) pairs — doc-count
+    rows, not corpus text (at 100 TB: ids + one double per doc; the
+    write path's distributed equivalent is repartitionByRange on the
+    score, same as the curve-locality row's tiling note)."""
+    from .text import bigram_lm_fit, bigram_lm_score
+
+    if len(rates) != 3:
+        raise ValueError("rates must be (head, middle, tail)")
+    model = bigram_lm_fit(train, text_col=text_col)
+    scored = bigram_lm_score(docs, model, text_col=text_col, id_col=id_col)
+    tercile = F.ntile(3).over(
+        Window.orderBy(F.col("bits_per_bigram"), F.col(id_col))
+    )
+    bucketed = scored.withColumn("_t", tercile).withColumn(
+        "bucket",
+        F.when(F.col("_t") == 1, F.lit("head"))
+        .when(F.col("_t") == 2, F.lit("middle"))
+        .otherwise(F.lit("tail")),
+    )
+    gate = _hash_bucket(F.col(id_col), 100, ":ccnet")
+    keep = (
+        F.when(F.col("_t") == 1, F.lit(int(rates[0] * 100)))
+        .when(F.col("_t") == 2, F.lit(int(rates[1] * 100)))
+        .otherwise(F.lit(int(rates[2] * 100)))
+    )
+    return (
+        bucketed.filter(gate < keep)
+        .select(id_col, "n_bigrams", "bits_per_bigram", "bucket")
+    )

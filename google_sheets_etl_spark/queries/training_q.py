@@ -5,7 +5,7 @@ and _core for shared helpers)."""
 from ._core import *  # noqa: F401,F403 — shared registry/helpers
 from .ann_q import ann_lsh_topk, cosine_topk  # noqa: E501
 from .media_q import _docs_as_media  # noqa: E501
-from .typed_q import _PPL_ORACLE  # noqa: E501
+from .typed_q import _PPL_ORACLE, _PPL_SCORING_CTES  # noqa: E501
 
 _KN_ORACLE = """
 WITH s AS (
@@ -49,6 +49,42 @@ SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams,
        ROUND(SUM(nll) / CAST(1000000 AS DOUBLE) / COUNT(*), 4)
          AS bits_per_bigram_kn
 FROM sc GROUP BY doc_id"""
+
+
+_CCNET_BUCKET_ORACLE = f"""
+WITH {_PPL_SCORING_CTES},
+bk AS (SELECT doc_id, n_bigrams, bits_per_bigram,
+              NTILE(3) OVER (ORDER BY bits_per_bigram, doc_id) AS t
+       FROM bits),
+g AS (SELECT *,
+             ('0x' || substr(md5(doc_id::VARCHAR || ':ccnet'), 1, 15))
+               ::BIGINT % 100 AS h
+      FROM bk)
+SELECT doc_id, n_bigrams, bits_per_bigram,
+       CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+              ELSE 'tail' END AS bucket
+FROM g
+WHERE h < (CASE t WHEN 1 THEN 100 WHEN 2 THEN 50 ELSE 0 END)"""
+
+
+@q("ccnet_bucket_sample", _CCNET_BUCKET_ORACLE)
+def ccnet_bucket_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet's perplexity-bucket gate (Wenzek et al. 2020;
+    operators/sampling.py perplexity_bucket_sample): documents ranked
+    by bits-per-bigram under the frozen train-split LM, cut into
+    equal-count head/middle/tail terciles, kept at (100%, 50%, 0%) —
+    keep what reads like the reference corpus, downsample the middle,
+    drop the tail. The tercile orders by the micro-unit-exact bits of
+    the certified scoring row (ties on doc_id), the keep decision is
+    the md5 gate — fully deterministic, engine-identical, and the
+    oracle re-runs LM + tercile + gate end to end in SQL."""
+    docs = t(spark, sf, "documents")
+    train = (
+        sampling.hash_split(docs)
+        .filter(F.col("split") == "train")
+        .select("text")
+    )
+    return sampling.perplexity_bucket_sample(docs, train)
 
 
 _ML_ORACLE = """

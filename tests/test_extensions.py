@@ -3974,3 +3974,37 @@ def test_hilbert_key_matches_reference_walk(spark):
         x1, y1 = d2xy(d + 1)
         assert abs(x0 - x1) + abs(y0 - y1) == 1, d
         assert xy2d(x0, y0) == d  # inverse consistency
+
+
+def test_perplexity_bucket_sample_semantics(spark):
+    """CCNet buckets: terciles are equal-count over the bits ranking,
+    head keeps everything at rate 1.0, tail vanishes at rate 0.0, and
+    bucket membership follows fluency (train-like docs land in head,
+    gibberish in tail)."""
+    from google_sheets_etl_spark.operators.sampling import (
+        perplexity_bucket_sample,
+    )
+
+    train = spark.createDataFrame(
+        [(i, "the cat sat on the mat " * 3) for i in range(3)],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the cat sat on the mat"),
+         (3, "cat the mat sat the on"), (4, "zz qq xx vv ww yy"),
+         (5, "the cat sat on the mat"), (6, "zz the qq cat xx sat")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["bucket"]
+        for r in perplexity_bucket_sample(
+            docs, train, rates=(1.0, 1.0, 0.0)
+        ).collect()
+    }
+    # 6 docs -> terciles of 2; tail (2 docs) dropped entirely
+    assert len(out) == 4
+    assert sorted(out.values()) == ["head", "head", "middle", "middle"]
+    assert out[1] == "head"  # pure train text is maximally fluent
+    # the dropped tail comes from the disfluent docs, never from the
+    # verbatim-train trio (1, 2, 5)
+    assert {1, 2, 5} <= set(out)
