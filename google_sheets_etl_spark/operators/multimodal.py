@@ -846,6 +846,138 @@ class GifCodec(MediaCodec):
         return encode_gif(width, height, out, palette)
 
 
+def encode_tar(members: list[tuple[str, bytes]]) -> bytes:
+    """Minimal POSIX ustar writer — :func:`parse_tar_members`' inverse
+    for fixtures and tests: one 512-byte ustar header per member
+    (octal size, computed checksum, typeflag '0', magic 'ustar'),
+    data padded to 512, two zero blocks at the end."""
+    out = bytearray()
+    for name, data in members:
+        nb = name.encode()
+        if len(nb) > 100:
+            raise ValueError("encode_tar: name too long")
+        hdr = bytearray(512)
+        hdr[0 : len(nb)] = nb
+        hdr[100:108] = b"0000644\x00"
+        hdr[108:116] = b"0000000\x00"
+        hdr[116:124] = b"0000000\x00"
+        hdr[124:136] = (b"%011o" % len(data)) + b"\x00"
+        hdr[136:148] = b"00000000000\x00"
+        hdr[148:156] = b" " * 8  # checksum computed over spaces
+        hdr[156] = ord("0")
+        hdr[257:263] = b"ustar\x00"
+        hdr[263:265] = b"00"
+        chk = sum(hdr)
+        hdr[148:156] = (b"%06o" % chk) + b"\x00 "
+        out += hdr + data
+        pad = (-len(data)) % 512
+        out += b"\x00" * pad
+    out += b"\x00" * 1024
+    return bytes(out)
+
+
+def parse_tar_members(payload: bytes) -> list[tuple[str, bytes]]:
+    """Strict POSIX ustar walk → ``[(member name, bytes), ...]`` —
+    the WebDataset front door: multimodal training corpora ship as
+    tar shards of ``key.jpg`` / ``key.txt`` / ``key.json`` member
+    groups, and this is the container walk that turns one shard
+    payload into per-member rows (grouping back into samples is the
+    relational layer's job — see the webdataset queries).
+
+    Strictness contract (pinned messages, the RIFF/PNG style): every
+    header must carry the 'ustar' magic ('not a ustar archive'), a
+    valid checksum over the spaced-out checksum field ('bad tar
+    checksum'), a regular-file typeflag '0'/NUL ('unsupported tar
+    entry type' — links/dirs/PAX extensions reject rather than
+    mis-walk), an octal size ('bad tar size'); data must fit
+    ('truncated tar archive'); the archive must end with the two-zero-
+    block terminator ('truncated tar archive') and nothing after it
+    ('trailing bytes after tar archive')."""
+    pos = 0
+    members: list[tuple[str, bytes]] = []
+    while True:
+        if pos + 512 > len(payload):
+            raise ValueError("truncated tar archive")
+        hdr = payload[pos : pos + 512]
+        if hdr == b"\x00" * 512:
+            # terminator: require the second zero block, allow
+            # nothing after it
+            if pos + 1024 > len(payload) or payload[
+                pos + 512 : pos + 1024
+            ] != b"\x00" * 512:
+                raise ValueError("truncated tar archive")
+            if pos + 1024 != len(payload):
+                raise ValueError("trailing bytes after tar archive")
+            return members
+        if hdr[257:262] != b"ustar":
+            raise ValueError("not a ustar archive")
+        stored = hdr[148:156]
+        spaced = hdr[:148] + b" " * 8 + hdr[156:]
+        try:
+            chk = int(stored.rstrip(b"\x00 ").lstrip(b" ") or b"0", 8)
+        except ValueError:
+            raise ValueError("bad tar checksum") from None
+        if sum(spaced) != chk:
+            raise ValueError("bad tar checksum")
+        if hdr[156] not in (ord("0"), 0):
+            raise ValueError("unsupported tar entry type")
+        try:
+            size = int(
+                hdr[124:136].rstrip(b"\x00 ").lstrip(b" ") or b"0", 8
+            )
+        except ValueError:
+            raise ValueError("bad tar size") from None
+        name = hdr[:100].split(b"\x00", 1)[0].decode("utf-8", "replace")
+        data_end = pos + 512 + size
+        if data_end > len(payload):
+            raise ValueError("truncated tar archive")
+        members.append((name, bytes(payload[pos + 512 : data_end])))
+        pos = data_end + ((-size) % 512)
+
+
+def tar_members(
+    media: DataFrame, id_col: str = "media_id"
+) -> DataFrame:
+    """Per-member rows from tar-shard payloads: ``(id, member_idx,
+    name, payload)`` via the strict ustar walk — the same
+    container→rows shape as :func:`video_frame_extract` (undecodable
+    shards are per-row rejects; the audit channel sees why). Narrow
+    Arrow kernel, no shuffle; output fans out ≤ members-per-shard
+    per input row."""
+    import pandas as pd
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    id_field = media.schema[id_col]
+    out_schema = StructType([
+        StructField(id_col, id_field.dataType),
+        StructField("member_idx", LongType()),
+        StructField("name", StringType()),
+        StructField("payload", BinaryType()),
+    ])
+
+    def kernel(batches):
+        for pdf in batches:
+            ids, idxs, names, payloads = [], [], [], []
+            for mid, payload in zip(pdf[id_col], pdf["payload"]):
+                if payload is None:
+                    continue
+                try:
+                    ms = parse_tar_members(bytes(payload))
+                except ValueError:
+                    continue  # undecodable → per-row reject
+                for i, (name, data) in enumerate(ms):
+                    ids.append(mid)
+                    idxs.append(i)
+                    names.append(name)
+                    payloads.append(data)
+            yield pd.DataFrame({
+                id_col: ids, "member_idx": idxs, "name": names,
+                "payload": payloads,
+            })
+
+    return media.select(id_col, "payload").mapInPandas(kernel, out_schema)
+
+
 def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
     """Minimal 24-bit uncompressed Windows BMP writer —
     :func:`parse_bmp`'s inverse for fixtures and tests: BITMAPFILEHEADER

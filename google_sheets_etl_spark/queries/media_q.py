@@ -810,6 +810,164 @@ def bmp_decode_audit(spark: SparkSession, sf: str) -> DataFrame:
     return multimodal.payload_decode_audit(media)
 
 
+def _wds_media(spark: SparkSession, sf: str) -> DataFrame:
+    """WebDataset-style tar shards (the container multimodal training
+    corpora actually ship in): one ustar shard per document, ns =
+    2 + doc_id % 2 samples, each sample a ``sNNN.ppm`` P6 image (6×4,
+    raster byte k = (doc_id*7 + j*31 + k*11) % 256) plus a
+    ``sNNN.txt`` caption of length 5 + (doc_id + j) % 7. The oracle
+    regenerates both from the formulas — the ustar walk, the member
+    grouping, and the image decode all certify against ground
+    truth."""
+    import pandas as pd
+
+    d = t(spark, sf, "documents").select("doc_id")
+
+    def kernel(batches):
+        from ..operators.multimodal import encode_tar
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                members = []
+                for j in range(2 + doc_id % 2):
+                    raster = bytes(
+                        (doc_id * 7 + j * 31 + k * 11) % 256
+                        for k in range(6 * 4 * 3)
+                    )
+                    members.append(
+                        (f"s{j:03d}.ppm", b"P6\n6 4\n255\n" + raster)
+                    )
+                    members.append(
+                        (f"s{j:03d}.txt",
+                         bytes(97 + (doc_id + j + i) % 26
+                               for i in range(5 + (doc_id + j) % 7)))
+                    )
+                payloads.append(encode_tar(members))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return d.mapInPandas(kernel, "media_id long, payload binary")
+
+
+@q(
+    "webdataset_sample_stats",
+    """WITH dims AS (SELECT doc_id,
+                            UNNEST(range(0, 2 + doc_id % 2)) AS j
+                     FROM documents),
+       px AS (SELECT doc_id, j, UNNEST(range(0, 24)) AS p FROM dims),
+       lm AS (SELECT doc_id, j,
+                     (((doc_id * 7 + j * 31 + (3 * p) * 11) % 256)
+                      + ((doc_id * 7 + j * 31 + (3 * p + 1) * 11) % 256)
+                      + ((doc_id * 7 + j * 31 + (3 * p + 2) * 11) % 256))
+                       // 3 AS l
+              FROM px)
+       SELECT doc_id AS media_id,
+              printf('s%03d', j) AS sample_key,
+              CAST(SUM(l) AS BIGINT) AS lum_sum,
+              CAST(5 + (doc_id + j) % 7 AS BIGINT) AS caption_len
+       FROM lm GROUP BY doc_id, j""",
+)
+def webdataset_sample_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """WebDataset ingest end-to-end: the strict ustar walk
+    (multimodal.tar_members) turns each shard into member rows, the
+    relational layer regroups them into SAMPLES by basename (the
+    WebDataset convention: key.ppm + key.txt belong together), the
+    image leg decodes through the magic-byte dispatch, and the join
+    yields one (sample_key, lum_sum, caption_len) row per sample —
+    exactly the shape a multimodal training loader consumes. One
+    narrow kernel + one bounded join per shard's members; the oracle
+    regenerates every pixel and caption from the formulas."""
+    members = multimodal.tar_members(_wds_media(spark, sf))
+    keyed = members.select(
+        "media_id",
+        F.substring_index(F.col("name"), ".", 1).alias("sample_key"),
+        F.substring_index(F.col("name"), ".", -1).alias("ext"),
+        "payload",
+    )
+    images = multimodal.image_luminance_sum(
+        keyed.filter(F.col("ext") == "ppm"), ["media_id", "sample_key"]
+    )
+    captions = keyed.filter(F.col("ext") == "txt").select(
+        "media_id",
+        "sample_key",
+        F.length(F.col("payload")).cast("long").alias("caption_len"),
+    )
+    return images.join(captions, ["media_id", "sample_key"])
+
+
+@q(
+    "tar_decode_audit",
+    """SELECT doc_id AS media_id,
+              (doc_id % 5) = 0 AS ok,
+              CASE doc_id % 5
+                WHEN 0 THEN ''
+                WHEN 1 THEN 'truncated tar archive'
+                WHEN 2 THEN 'trailing bytes after tar archive'
+                WHEN 3 THEN 'bad tar checksum'
+                ELSE 'unsupported tar entry type' END AS err
+       FROM documents""",
+)
+def tar_decode_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """The decode REJECT CHANNEL for tar shards: planted failure
+    classes per doc_id residue — a valid shard, an archive cut before
+    the terminator, junk after the two zero blocks, a corrupted
+    header byte (checksum catches it), and a directory-typeflag
+    member the regular-file walk refuses (with its checksum
+    recomputed, so the TYPE check is what fires)."""
+    import pandas as pd
+
+    d = t(spark, sf, "documents").select("doc_id")
+
+    def kernel(batches):
+        from ..operators.multimodal import encode_tar, parse_tar_members
+
+        def audit(payload: bytes) -> tuple:
+            try:
+                parse_tar_members(payload)
+                return True, ""
+            except ValueError as exc:
+                return False, str(exc)
+
+        for pdf in batches:
+            ids, oks, errs = [], [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                good = encode_tar([
+                    ("a.txt", bytes((doc_id + k) % 256
+                                    for k in range(40))),
+                ])
+                cls = doc_id % 5
+                if cls == 0:
+                    payload = good
+                elif cls == 1:
+                    payload = good[:-700]
+                elif cls == 2:
+                    payload = good + b"x"
+                elif cls == 3:
+                    payload = b"\x01" + good[1:]
+                else:
+                    hdr = bytearray(good[:512])
+                    hdr[156] = ord("5")
+                    hdr[148:156] = b" " * 8
+                    chk = sum(hdr)
+                    hdr[148:156] = (b"%06o" % chk) + b"\x00 "
+                    payload = bytes(hdr) + good[512:]
+                ok, err = audit(payload)
+                ids.append(doc_id)
+                oks.append(ok)
+                errs.append(err)
+            yield pd.DataFrame({
+                "media_id": pd.Series(ids, dtype="int64"),
+                "ok": pd.Series(oks, dtype="bool"),
+                "err": errs,
+            })
+
+    return d.mapInPandas(kernel, "media_id long, ok boolean, err string")
+
+
 @q(
     "png_decode_audit",
     """SELECT doc_id AS media_id,

@@ -4008,3 +4008,46 @@ def test_perplexity_bucket_sample_semantics(spark):
     # the dropped tail comes from the disfluent docs, never from the
     # verbatim-train trio (1, 2, 5)
     assert {1, 2, 5} <= set(out)
+
+
+def test_tar_codec_contracts():
+    """ustar: encode→parse round trip equals the STDLIB tarfile
+    reader on the same bytes (an independent implementation — the
+    strongest codec cross-check available in-container); every
+    malformation class rejects with its pinned message."""
+    import io
+    import tarfile
+
+    import pytest
+
+    from google_sheets_etl_spark.operators.multimodal import (
+        encode_tar, parse_tar_members,
+    )
+
+    members = [
+        ("s000.ppm", b"P6\n2 2\n255\n" + bytes(range(12))),
+        ("s000.txt", b"hello world"),
+        ("empty.txt", b""),
+        ("exactly512.bin", bytes(512)),
+    ]
+    tar = encode_tar(members)
+    assert parse_tar_members(tar) == members
+    with tarfile.open(fileobj=io.BytesIO(tar)) as tf:
+        assert [
+            (m.name, tf.extractfile(m).read()) for m in tf.getmembers()
+        ] == members
+
+    dirhdr = bytearray(tar[:512])
+    dirhdr[156] = ord("5")
+    dirhdr[148:156] = b" " * 8
+    chk = sum(dirhdr)
+    dirhdr[148:156] = (b"%06o" % chk) + b"\x00 "
+    for payload, msg in [
+        (tar[:-700], "truncated tar archive"),
+        (tar + b"x", "trailing bytes after tar archive"),
+        (b"\x01" + tar[1:], "bad tar checksum"),
+        (bytes(dirhdr) + tar[512:], "unsupported tar entry type"),
+        (b"Z" * 512 + tar, "not a ustar archive"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            parse_tar_members(payload)
