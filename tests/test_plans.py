@@ -952,3 +952,16 @@ def test_hilbert_key_is_codegen_narrow(spark, sf_dir):
     # one hash exchange for the file-id aggregate; the bounds row is
     # a broadcast, not a data exchange of the corpus
     assert plan.count("+- Exchange") <= 2
+
+
+def test_webdataset_pipeline_plan_shape(spark, sf_dir):
+    """WebDataset ingest: the ustar walk and image decode are narrow
+    Arrow kernels; the sample regrouping is a plain equi-join (no
+    cartesian, no corpus broadcast beyond the bounded member rows);
+    the audit is exchange-free."""
+    plan = explain_str(QUERIES["webdataset_sample_stats"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "MapInPandas" in plan
+    audit = explain_str(QUERIES["tar_decode_audit"](spark, sf_dir))
+    assert "Exchange" not in audit
