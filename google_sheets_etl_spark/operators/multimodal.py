@@ -2403,11 +2403,62 @@ def parse_wav_alaw(payload: bytes) -> tuple[int, "object"]:
     return int(rate), samples.astype(np.int16)
 
 
+def parse_wav_float32(payload: bytes) -> tuple[int, "object"]:
+    """Strict IEEE-float (WAVE format 3) mono decode — the studio /
+    DAW interchange format (WAVE_FORMAT_IEEE_FLOAT; the other common
+    uncompressed WAV besides PCM): same RIFF chunk discipline as
+    :func:`parse_wav_pcm16`, then ``np.frombuffer('<f4')`` over the
+    data chunk. Returns ``(sample_rate, np.float64 array)`` — the
+    float64 upcast is lossless for every float32 value and keeps the
+    downstream square/sum arithmetic in one precision.
+
+    Strictness contract: container errors reuse the WAV parser's
+    pinned messages ('not a RIFF/WAVE payload', 'truncated chunk',
+    'truncated fmt chunk', 'missing fmt/data chunk'); format 3 mono
+    is demanded ('only float32 mono supported'); bits per sample
+    must be 32 ('float32 bits per sample must be 32'); the data
+    chunk must be whole samples ('float32 byte length not a
+    multiple of 4')."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt_body, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        if pos + 8 + size > len(payload):
+            raise ValueError("truncated chunk")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated fmt chunk")
+            fmt_body = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if fmt_body is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    tag, channels, rate = struct.unpack("<HHI", fmt_body[:8])
+    (bits,) = struct.unpack("<H", fmt_body[14:16])
+    if tag != 3 or channels != 1:
+        raise ValueError("only float32 mono supported")
+    if bits != 32:
+        raise ValueError("float32 bits per sample must be 32")
+    if len(data) % 4:
+        raise ValueError("float32 byte length not a multiple of 4")
+    return int(rate), np.frombuffer(bytes(data), dtype="<f4").astype(
+        np.float64
+    )
+
+
 def parse_wav_samples(payload: bytes) -> tuple[int, "object"]:
     """THE WAV decode dispatch — the audio analogue of
     :func:`decode_image`: one cheap fmt-tag probe routes to the
     matching strict parser (1 → PCM16, 0x11 → IMA ADPCM, 7 → G.711
-    μ-law, 6 → G.711 A-law), so every
+    μ-law, 6 → G.711 A-law, 3 → IEEE float32), so every
     energy/spectral/envelope operator gains a WAV codec the moment
     its parser registers here. Unknown format tags reject with a
     pinned message; container malformations surface the chosen
@@ -2432,6 +2483,8 @@ def parse_wav_samples(payload: bytes) -> tuple[int, "object"]:
         return parse_wav_mulaw(payload)
     if tag == 6:
         return parse_wav_alaw(payload)
+    if tag == 3:
+        return parse_wav_float32(payload)
     if tag in (1, None):
         # None (no fmt found) falls through so the strict parser
         # reports its own pinned missing-chunk/truncation message
@@ -2443,10 +2496,15 @@ def wav_window_energy(media: DataFrame, window: int = 256) -> DataFrame:
     """Windowed RMS over REAL decoded WAV payloads — the container-
     parsing upgrade of :func:`audio_window_energy` (which treats raw
     bytes as u8 samples): per payload, chunk-walk the RIFF container,
-    decode int16 PCM, emit one row per FULL window. Same bit-exact
+    decode samples, emit one row per FULL window. Same bit-exact
     contract: power-of-two ``window`` divides exactly in binary FP,
     sums of int64 squares are exact, IEEE sqrt is correctly rounded —
     any engine reproduces the doubles bit-for-bit from the samples.
+    Float decoders (WAVE format 3) square/sum in float64; the sum is
+    engine-order-free whenever the squares land on a common dyadic
+    grid with headroom under 2^53 (the float fixture's contract —
+    sample magnitudes are ¼-grid values below 2^7, so every partial
+    sum is exact), the same exactness argument in float clothing.
 
     Narrow Arrow kernel (one frombuffer + reshape + vectorized
     reduction per payload); undecodable payloads yield no rows
@@ -2476,7 +2534,8 @@ def wav_window_energy(media: DataFrame, window: int = 256) -> DataFrame:
                 n_full = len(v) // window
                 if n_full == 0:
                     continue
-                m = v[: n_full * window].astype(np.int64).reshape(-1, window)
+                acc = np.float64 if v.dtype.kind == "f" else np.int64
+                m = v[: n_full * window].astype(acc).reshape(-1, window)
                 rms = np.sqrt((m * m).sum(axis=1) / float(window))
                 ids.extend([mid] * n_full)
                 wins.extend(range(n_full))
@@ -2542,6 +2601,13 @@ def wav_hadamard_bands(
                     _, v = parse_wav_samples(bytes(payload))
                 except ValueError:
                     continue  # undecodable payload → no rows
+                if v.dtype.kind == "f":
+                    # the WHT band contract is INT-exact energies; a
+                    # float decode (WAVE format 3) silently truncated
+                    # to int64 would emit plausible-but-wrong bands —
+                    # route float payloads to the no-rows channel like
+                    # any other shape this operator can't certify
+                    continue
                 n_full = len(v) // window
                 if n_full == 0:
                     continue

@@ -1878,8 +1878,11 @@ def wav_mulaw_audit(spark: SparkSession, sf: str) -> DataFrame:
     planted failure classes per doc_id residue — a valid μ-law
     container, a stereo fmt the mono walk refuses, a 16-bit
     bits-per-sample header on a μ-law tag (codec/width contradiction),
-    and an IEEE-float format tag (3) the dispatch rejects rather than
-    mis-decoding."""
+    and an MS-ADPCM format tag (2, unregistered in the dispatch) the
+    walk rejects rather than mis-decoding. (The tag-3 payload this
+    row used to plant became a REAL codec when IEEE-float WAV
+    registered — parse_wav_float32 — so the planted unknown moved to
+    a tag that stays unknown.)"""
     import pandas as pd
 
     d = t(spark, sf, "documents").select("doc_id")
@@ -1917,7 +1920,7 @@ def wav_mulaw_audit(spark: SparkSession, sf: str) -> DataFrame:
                 else:
                     i = good.find(b"fmt ") + 8
                     payloads.append(
-                        good[:i] + struct.pack("<H", 3) + good[i + 2 :]
+                        good[:i] + struct.pack("<H", 2) + good[i + 2 :]
                     )
             yield pd.DataFrame(
                 {"media_id": pdf["doc_id"], "payload": payloads}
@@ -1982,6 +1985,80 @@ def wav_alaw_energy(spark: SparkSession, sf: str) -> DataFrame:
     media = d.select(
         F.col("doc_id").alias("media_id"),
         F.unhex(F.concat(header_hex, codes_hex)).alias("payload"),
+    )
+    return multimodal.wav_window_energy(media, window=128)
+
+
+@q(
+    "wav_float32_energy",
+    """WITH dims AS (SELECT doc_id, 256 + (doc_id % 3) * 128 AS n
+                     FROM documents),
+       wins AS (SELECT doc_id, UNNEST(range(0, n // 128)) AS w
+                FROM dims),
+       smp AS (SELECT doc_id, w, UNNEST(range(0, 128)) AS j
+               FROM wins),
+       dec AS (SELECT doc_id, w,
+                      CASE WHEN a % 2 = 1 THEN -mag ELSE mag END AS s
+               FROM (SELECT doc_id, w, a,
+                            CASE WHEN a >= 128
+                                 THEN 64 + (a % 128) / CAST(2 AS DOUBLE)
+                                 ELSE 32 + (a % 128) / CAST(4 AS DOUBLE)
+                            END AS mag
+                     FROM (SELECT doc_id, w,
+                                  (doc_id * 29 + (w * 128 + j) * 23)
+                                    % 256 AS a
+                           FROM smp)))
+       SELECT doc_id AS media_id, CAST(w AS BIGINT) AS win_idx,
+              sqrt(SUM(s * s) / 128.0) AS rms,
+              CAST(48000 AS INT) AS sample_rate
+       FROM dec GROUP BY doc_id, w""",
+)
+def wav_float32_energy(spark: SparkSession, sf: str) -> DataFrame:
+    """IEEE-float WAV decode end-to-end (WAVE format 3 —
+    multimodal.parse_wav_float32 behind parse_wav_samples' fmt-tag
+    dispatch, completing the WAVE format matrix {1 PCM, 3 float,
+    6 A-law, 7 μ-law, 0x11 IMA ADPCM}): RIFF walk → ``<f4`` samples
+    → per-window RMS. The fixture drives the general float decoder
+    with EXACTLY-REPRESENTABLE values: each sample's 4 LE bytes are
+    ``00 00 c b3`` with ``c = (doc_id·29 + k·23) % 256`` and
+    ``b3 = 0x42 + 0x80·(c mod 2)``, which IEEE-754 decodes to
+    ``±(32 + c/4)`` (c < 128) or ``±(64 + (c−128)/2)`` (c ≥ 128) —
+    ¼-grid magnitudes below 2⁷, so every square lands on a 1/16
+    dyadic grid and all 128-window square-sums are EXACT in float64
+    regardless of summation order (the engine-order-free contract
+    int16 paths get from int64 sums). The oracle re-derives every
+    sample from the bit-pattern formula IN SQL — both engines run
+    decode + energy independently. Narrow Arrow kernel, no
+    shuffle."""
+    d = t(spark, sf, "documents").select("doc_id")
+    n = (F.lit(256) + F.col("doc_id") % 3 * 128).cast("long")
+    ascii_hex = lambda s: F.hex(F.encode(F.lit(s), "UTF-8"))  # noqa: E731
+    header_hex = F.concat(
+        ascii_hex("RIFF"), _le_hex(F.lit(36) + n * 4, 4),
+        ascii_hex("WAVEfmt "), _le_hex(F.lit(16), 4),
+        _le_hex(F.lit(3), 2), _le_hex(F.lit(1), 2),        # float, mono
+        _le_hex(F.lit(48000), 4), _le_hex(F.lit(192000), 4),
+        _le_hex(F.lit(4), 2), _le_hex(F.lit(32), 2),       # align, bits
+        ascii_hex("data"), _le_hex(n * 4, 4),
+    )
+    samples_hex = F.concat_ws(
+        "",
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda k: F.concat(
+                F.lit("0000"),
+                _le_hex((F.col("doc_id") * 29 + k * 23) % 256, 1),
+                _le_hex(
+                    F.lit(66)
+                    + (F.col("doc_id") * 29 + k * 23) % 256 % 2 * 128,
+                    1,
+                ),
+            ),
+        ),
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.unhex(F.concat(header_hex, samples_hex)).alias("payload"),
     )
     return multimodal.wav_window_energy(media, window=128)
 

@@ -313,6 +313,84 @@ def top_terms_per_lang(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "tfidf_doc_keywords",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                    FROM documents),
+       tf AS (SELECT doc_id, term, COUNT(*)::BIGINT AS tf
+              FROM tok WHERE term <> '' GROUP BY doc_id, term),
+       dfq AS (SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY term),
+       n AS (SELECT COUNT(*)::BIGINT AS nd FROM documents),
+       sc AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+                     tf.tf * CAST(floor(log2(nd / CAST(df AS DOUBLE))
+                                        * 1000000.0 + 0.5) AS BIGINT)
+                       AS tfidf_u6
+              FROM tf JOIN dfq USING (term) CROSS JOIN n)
+       SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, tf, df, tfidf_u6
+       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                        ORDER BY tfidf_u6 DESC, term) AS rk
+             FROM sc)
+       WHERE rk <= 3""",
+)
+def tfidf_doc_keywords(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document KEYWORD EXTRACTION — top-3 terms by tf·idf, the
+    metadata-enrichment primitive (topic tagging, index pruning,
+    facet generation) the term-level rows (term_doc_freq, top_terms_
+    per_lang) don't cover: those rank terms ACROSS documents; this
+    ranks terms WITHIN each document against corpus rarity. The
+    transcendental idf rounds to integer micro-units BEFORE the
+    tf multiply (``idf_u6 = floor(log2(N/df)·10⁶ + ½)``, the
+    moore_lewis_score discipline), so scores are exact int64 and the
+    (score desc, term asc) ordering is engine-order-free.
+
+    Scale shape: explode → one (doc, term) combine (map-side
+    partials bound the shuffle at Σ|vocab(doc)|, not Σ|tokens|);
+    the df relation is VOCABULARY-sized, so its join back onto tf
+    broadcasts (AQE picks it at any honest vocab:corpus ratio); N
+    rides a broadcast single-row cross join (never a collect); the
+    only doc-sized exchanges are the tf groupBy and the per-doc
+    ranking window — two shuffles end to end at 100 TB."""
+    docs = t(spark, sf, "documents")
+    tf = (
+        docs.select(
+            "doc_id", F.explode(words_of(F.col("text"))).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("_nd"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf_u6",
+            F.col("tf")
+            * F.floor(
+                F.log2(F.col("_nd").cast("double") / F.col("df"))
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            ).cast("long"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf_u6").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "doc_id",
+            F.col("rk").cast("long").alias("rk"),
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            F.col("tfidf_u6").cast("long").alias("tfidf_u6"),
+        )
+    )
+
+
+@q(
     "embedding_meta",
     """SELECT vec_id, label, len(embedding) AS dim,
               ROUND(sqrt(list_dot_product(embedding, embedding)), 4) AS norm_r4

@@ -3679,7 +3679,9 @@ def test_wav_mulaw_decode_contracts():
     for payload, msg in [
         (wav(b"\x00", ch=2), "only mulaw mono supported"),
         (wav(b"\x00", bits=16), "mulaw bits per sample must be 8"),
-        (wav(b"\x00", tag=3), "unsupported wav audio format"),
+        # tag 3 became a REAL codec (parse_wav_float32); tag 2
+        # (MS ADPCM) stays the dispatch's pinned unknown
+        (wav(b"\x00", tag=2), "unsupported wav audio format"),
     ]:
         with pytest.raises(ValueError, match=msg):
             parse_wav_samples(payload)
@@ -3719,6 +3721,78 @@ def test_wav_alaw_decode_contracts():
     ]:
         with pytest.raises(ValueError, match=msg):
             parse_wav_samples(payload)
+
+
+def test_wav_float32_decode_contracts():
+    """IEEE-float WAV (format 3): round-trips struct-packed float32
+    values exactly (including sign, subnormal-free extremes, and the
+    fixture's ¼-grid bit-pattern family), tag-3 dispatch routes to
+    the float parser, pinned rejects for stereo / non-32-bit /
+    ragged data length, and the WHT band operator refuses float
+    payloads (int-exact contract) instead of truncating."""
+    import struct
+
+    import pytest
+
+    from google_sheets_etl_spark.operators.multimodal import (
+        parse_wav_float32, parse_wav_samples,
+    )
+
+    def wav(data: bytes, tag: int = 3, ch: int = 1, bits: int = 32) -> bytes:
+        return (
+            b"RIFF" + struct.pack("<I", 36 + len(data))
+            + b"WAVEfmt " + struct.pack("<I", 16)
+            + struct.pack("<HHIIHH", tag, ch, 48000, 192000, 4, bits)
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+
+    vals = [0.0, -1.0, 0.5, 32.25, -95.75, 3.14159]
+    rate, s = parse_wav_float32(wav(struct.pack("<6f", *vals)))
+    assert rate == 48000
+    assert s.tolist() == [struct.unpack("<f", struct.pack("<f", v))[0]
+                          for v in vals]
+    # dispatch routes tag 3; fixture bit-pattern family decodes per
+    # the documented formula (c=200 → exponent 0x85, negative? c even
+    # → positive 64 + (200-128)/2 = 100.0)
+    _, s2 = parse_wav_samples(wav(bytes([0, 0, 200, 0x42])))
+    assert s2.tolist() == [100.0]
+    for payload, msg in [
+        (wav(b"\x00" * 4, ch=2), "only float32 mono supported"),
+        (wav(b"\x00" * 4, bits=16), "float32 bits per sample must be 32"),
+        (wav(b"\x00" * 6), "float32 byte length not a multiple of 4"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            parse_wav_samples(payload)
+
+
+def test_wav_hadamard_bands_refuse_float_payloads(spark):
+    """The WHT band operator's int-exact contract: a decodable
+    float32 WAV yields NO band rows (refused, not truncated to
+    int64), while an int16 PCM payload in the same frame yields the
+    full band set."""
+    import struct
+
+    from google_sheets_etl_spark.operators.multimodal import (
+        wav_hadamard_bands,
+    )
+
+    def wav(tag: int, bits: int, align: int, data: bytes) -> bytes:
+        return (
+            b"RIFF" + struct.pack("<I", 36 + len(data))
+            + b"WAVEfmt " + struct.pack("<I", 16)
+            + struct.pack("<HHIIHH", tag, 1, 8000, 8000, align, bits)
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+
+    float_wav = wav(3, 32, 4, struct.pack("<64f", *([1.0] * 64)))
+    pcm_wav = wav(1, 16, 2, struct.pack("<64h", *range(64)))
+    media = spark.createDataFrame(
+        [(1, bytearray(float_wav)), (2, bytearray(pcm_wav))],
+        "media_id long, payload binary",
+    )
+    out = wav_hadamard_bands(media, window=64, n_bands=8).collect()
+    assert {r.media_id for r in out} == {2}
+    assert len(out) == 8
 
 
 def test_matryoshka_recall_identity_and_truncation(spark):
