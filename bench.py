@@ -39,7 +39,7 @@ EXCLUDE = {"near_dup_jaccard_exact", "dedup_clusters_exact",
            "streaming_discovery_cursor", "streaming_quality_admission",
            "streaming_sketch_maintenance", "streaming_matview_maintenance",
            "streaming_interval_join_left", "streaming_media_admission",
-           "streaming_web_admission",
+           "streaming_web_admission", "streaming_suffix_admission",
            # rewrites two bucketed tables per call (pay-shuffle-once
            # WRITE path); the exchange-free join property is plan-
            # asserted in-function and in tests

@@ -862,3 +862,99 @@ def streaming_web_admission(spark: SparkSession, sf: str) -> DataFrame:
         "media_id", F.lit(False).alias("admitted"), "err"
     )
     return admitted.unionByName(dead).dropDuplicates(["media_id"])
+
+
+def _stream_suffix_oracle() -> str:
+    from .analytics_q import _SUFFIX_SPAN_CTES
+
+    first_half = _SUFFIX_SPAN_CTES.replace(
+        "FROM documents",
+        "FROM (SELECT * FROM documents WHERE doc_id % 10 < 5)",
+    )
+    return f"""SELECT * FROM (
+         WITH {first_half}
+         SELECT doc_id, span_start, span_end,
+                span_end - span_start + 1 AS span_len
+         FROM spans)
+       UNION ALL
+       SELECT * FROM (
+         WITH {_SUFFIX_SPAN_CTES}
+         SELECT doc_id, span_start, span_end,
+                span_end - span_start + 1 AS span_len
+         FROM spans WHERE doc_id % 10 >= 5)"""
+
+
+@q("streaming_suffix_admission", _stream_suffix_oracle())
+def streaming_suffix_admission(spark: SparkSession, sf: str) -> DataFrame:
+    """The streaming SUFFIX front door, driver-certified
+    (streaming/suffix_stream.py — incremental_duplicate_spans driven
+    per micro-batch, completing the admission matrix: exact, MinHash,
+    embedding, semantic AND variable-length substring dedup now all
+    have batch-vs-corpus + streaming drivers): the corpus arrives in
+    TWO ordered halves (doc_id%10 < 5 then >= 5, mtime-ordered files
+    under maxFilesPerTrigger=1), each half REDELIVERED once
+    (at-least-once ingest); per batch, fresh documents are scanned
+    for maximal spans whose 40-char windows occur >= 2 times against
+    batch ∪ everything-admitted, spans append to a verdict table and
+    the documents append to the corpus the next batch sees.
+    Redelivered batches are emptied by the left_anti on admitted ids
+    (no span re-appends); the spans read collapses crash-window
+    physical duplicates (deterministic rows). The oracle derives the
+    SAME two-stage relation from scratch: first-half spans against
+    the first half only, second-half spans against the full corpus —
+    so batch ordering, cross-batch state, and redelivery healing are
+    all certified in one row."""
+    import shutil as _shutil
+    import tempfile
+
+    import os as _os
+
+    from ..streaming.suffix_stream import (
+        read_spans, suffix_admission_stream,
+    )
+
+    docs = t(spark, sf, "documents").select("doc_id", "text")
+    src = tempfile.mkdtemp(prefix="sfx_src_")
+    stamp = 1_600_000_000
+    for seq, (name, lo, hi) in enumerate([
+        ("a", 0, 5), ("b", 5, 10),      # first delivery, in order
+        ("a2", 0, 5), ("b2", 5, 10),    # redelivery of each half
+    ]):
+        tmp = tempfile.mkdtemp(prefix=f"sfx_half_{name}_")
+        (
+            docs.filter(
+                (F.col("doc_id") % 10 >= lo) & (F.col("doc_id") % 10 < hi)
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        part = next(
+            p for p in sorted(_os.listdir(tmp)) if p.endswith(".parquet")
+        )
+        dest = _os.path.join(src, f"{name}.parquet")
+        _shutil.copy(_os.path.join(tmp, part), dest)
+        # FileStreamSource orders by (modification time, path): pin
+        # mtimes 100 s apart so the two halves arrive in the order
+        # the oracle's two-stage derivation assumes
+        _os.utime(dest, (stamp + seq * 100, stamp + seq * 100))
+        _shutil.rmtree(tmp)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    work = tempfile.mkdtemp(prefix="sfx_")
+    spans_path = _os.path.join(work, "spans")
+    handle = suffix_admission_stream(
+        stream,
+        corpus_path=_os.path.join(work, "corpus"),
+        spans_path=spans_path,
+        checkpoint=tempfile.mkdtemp(prefix="sfx_ck_"),
+        min_len=40,
+    )
+    handle.awaitTermination()
+    return read_spans(spark, spans_path).select(
+        "doc_id", "span_start", "span_end", "span_len"
+    )

@@ -648,3 +648,78 @@ def test_sketch_stream_maintains_standing_sketch(spark, tmp_path):
     again = {(r["r"], r["b"]): r["cnt"]
              for r in read_sketch(spark, path).collect()}
     assert again == want
+
+
+def test_suffix_admission_stream_cross_batch_and_redelivery(spark, tmp_path):
+    """Streaming suffix admission: (1) a span duplicated only ACROSS
+    batches is found when the second copy arrives (cross-batch state
+    works); (2) a batch-internal duplicate is found on arrival;
+    (3) redelivering an already-admitted document appends NOTHING
+    (left_anti healing) — spans and corpus are unchanged after a
+    replay drain."""
+    import json as _json
+
+    from google_sheets_etl_spark.streaming.suffix_stream import (
+        read_spans, suffix_admission_stream,
+    )
+
+    # APERIODIC 45-char runs (a repeated-char run self-matches: its
+    # overlapping 40-grams are identical within one document)
+    dup = "qwertyuiopasdfghjklzxcvbnm1234567890QWERTYUIO"
+    solo = "QAZWSXEDCRFVTGBYHNUJMIKOLP0987654321qazwsxed!"
+    assert len(dup) == 45 and len(solo) == 45
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    corpus = str(tmp_path / "corpus")
+    spans = str(tmp_path / "spans")
+    ckpt = str(tmp_path / "ck")
+
+    def drain(rows, name):
+        with open(feed / name, "w") as f:
+            for did, text in rows:
+                f.write(_json.dumps({"doc_id": did, "text": text}) + "\n")
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(feed))
+        )
+        suffix_admission_stream(
+            stream, corpus, spans, ckpt, min_len=40
+        ).awaitTermination()
+
+    # batch 1: doc 1 carries the run; docs 2+3 duplicate each other.
+    # pads are distinct per role AND aperiodic — a shared or periodic
+    # pad would itself be a duplicated >=40-char span
+    pad = "".join(chr(33 + (i * 11) % 90) for i in range(90))
+    pad1 = "".join(chr(33 + (i * 7) % 90) for i in range(90))
+    drain([(1, "A" + solo + pad1),
+           (2, "B" + pad + dup),
+           (3, "B" + pad + dup)], "b1.json")
+    got1 = {(r.doc_id, r.span_start) for r in
+            read_spans(spark, spans).collect()}
+    # batch-internal: docs 2 and 3 share text beyond 40 chars from
+    # position 1; doc 1's run has no second occurrence YET
+    assert {d for d, _ in got1} == {2, 3}
+
+    # batch 2: doc 4 repeats doc 1's run -> BOTH get nothing new for
+    # doc 1 (its spans were computed when fresh) but doc 4's copy is
+    # found against the admitted corpus
+    pad4 = "".join(chr(33 + (i * 13) % 94) for i in range(100))
+    drain([(4, "C" + pad4 + solo)], "b2.json")
+    got2 = {(r.doc_id, r.span_start) for r in
+            read_spans(spark, spans).collect()}
+    assert (4, 102) in got2  # solo starts after "C" + 100 pad chars
+
+    # redelivery: replaying batch 1's rows must change nothing
+    before_spans = sorted(map(tuple, read_spans(spark, spans).collect()))
+    before_corpus = sorted(
+        r.doc_id for r in spark.read.parquet(corpus).collect()
+    )
+    drain([(1, "A" + solo + pad1),
+           (2, "B" + pad + dup),
+           (3, "B" + pad + dup)], "b1_replay.json")
+    assert sorted(map(tuple, read_spans(spark, spans).collect())) \
+        == before_spans
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(corpus).collect()
+    ) == before_corpus
