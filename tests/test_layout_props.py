@@ -49,3 +49,50 @@ def test_morton_is_bijective_on_sample(spark):
             da |= ((z >> (2 * i)) & 1) << i
             db |= ((z >> (2 * i + 1)) & 1) << i
         assert (da, db) == (a, b)
+
+
+def _xy2d_py(x: int, y: int, order: int = 16) -> int:
+    """Independent Python reference: the textbook xy2d walk."""
+    d = 0
+    s = 1 << (order - 1)
+    while s > 0:
+        rx = 1 if x & s else 0
+        ry = 1 if y & s else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = s - 1 - y, s - 1 - x
+            else:
+                x, y = y, x
+        s >>= 1
+    return d
+
+
+def test_hilbert_prefix_scan_matches_walk_and_reference(spark):
+    """with_hilbert_key's affine parallel-prefix evaluation must be
+    bit-for-bit the textbook walk: checked against BOTH the in-repo
+    sequential-walk implementation (_with_hilbert_key_walk) and an
+    independent Python xy2d, on an exhaustive 32x32 grid plus random
+    16-bit corners. The grid is fed through an identity-normalizing
+    frame (corners 0 and 65535 present) so _with_norm16 is a no-op
+    and raw coordinates reach the curve."""
+    from google_sheets_etl_spark.operators.layout import (
+        _with_hilbert_key_walk, with_hilbert_key,
+    )
+
+    rng = random.Random(11)
+    pts = [(x, y) for x in range(32) for y in range(32)]
+    pts += [(rng.randrange(1 << 16), rng.randrange(1 << 16))
+            for _ in range(300)]
+    pts += [(0, 0), (0xFFFF, 0xFFFF), (0xFFFF, 0), (0, 0xFFFF)]
+    # make the span exactly 2^16-1 so normalization is identity
+    df = spark.createDataFrame(
+        sorted(set(pts)), "cx long, cy long"
+    ).coalesce(4)
+    fast = {(r.cx, r.cy): r._hkey
+            for r in with_hilbert_key(df, "cx", "cy").collect()}
+    slow = {(r.cx, r.cy): r._hkey
+            for r in _with_hilbert_key_walk(df, "cx", "cy").collect()}
+    assert fast == slow
+    for (x, y), k in fast.items():
+        assert k == _xy2d_py(x, y), (x, y)

@@ -943,10 +943,11 @@ def test_dsir_selection_is_take_ordered_with_broadcast_table(spark, sf_dir):
 
 
 def test_hilbert_key_is_codegen_narrow(spark, sf_dir):
-    """The 16-step Hilbert walk must stay a chain of narrow JVM
-    projections: no Python anywhere, and the only exchanges are the
-    O(1) bounds broadcast and the final layout aggregate — never a
-    corpus shuffle inside the walk."""
+    """The Hilbert key (affine parallel-prefix evaluation of the
+    xy2d walk) must stay a chain of narrow JVM projections: no
+    Python anywhere, and the only exchanges are the O(1) bounds
+    broadcast and the final layout aggregate — never a corpus
+    shuffle inside the key computation."""
     plan = explain_str(QUERIES["hilbert_layout_stats"](spark, sf_dir))
     assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
     # one hash exchange for the file-id aggregate; the bounds row is
