@@ -493,3 +493,66 @@ def fuzzy_title_near_dup(spark: SparkSession, sf: str) -> DataFrame:
         _typo_titles(spark, sf), id_col="doc_id", text_col="title",
         max_dist=1,
     )
+
+
+@q(
+    "split_leakage_audit",
+    _CLUSTERS_ORACLE.replace(
+        "SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node",
+        """, cl AS (SELECT node AS doc_id, MIN(r) AS cluster_id
+              FROM reach GROUP BY node),
+       sp AS (SELECT doc_id,
+                     CASE WHEN b < 98 THEN 'train'
+                          WHEN b < 99 THEN 'val'
+                          ELSE 'test' END AS split
+              FROM (SELECT doc_id,
+                           ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))
+                             ::BIGINT % 100 AS b
+                    FROM documents))
+       SELECT cl.cluster_id,
+              COUNT(*)::BIGINT AS n_docs,
+              CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_train,
+              CAST(SUM(CASE WHEN split <> 'train' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_eval,
+              (SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) > 0 AND
+               SUM(CASE WHEN split <> 'train' THEN 1 ELSE 0 END) > 0)
+                AS leaked
+       FROM cl JOIN sp USING (doc_id)
+       GROUP BY cl.cluster_id""",
+    ),
+)
+def split_leakage_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Train/eval LEAKAGE audit — the Dodge-et-al C4 finding as a
+    first-class check: a near-duplicate cluster whose members land on
+    BOTH sides of the train/eval split is test-set contamination that
+    per-document dedup and n-gram decontamination each miss when run
+    in the wrong order (dedup keeps one member per cluster, but if
+    the kept member is in train and a dropped member's near-twin
+    survives in test, the eval is compromised). Composes two
+    certified operators — the LSH near-dup clustering
+    (near_dup_clusters_lsh's kernel) and the deterministic md5
+    hash_split — into per-cluster split occupancy with a ``leaked``
+    verdict. Scale shape: adds ONE broadcast-sized join (split labels
+    project from doc_id, no data movement) and one cluster-key
+    aggregate on top of the already-benched clustering pass."""
+    docs = t(spark, sf, "documents")
+    clusters = dedup.connected_components(
+        dedup.near_dup_pairs(docs, threshold=0.5)
+    )
+    sp = sampling.hash_split(docs.select("doc_id")).select(
+        "doc_id", "split"
+    )
+    is_train = (F.col("split") == "train").cast("long")
+    return (
+        clusters.join(sp, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(is_train).alias("n_train"),
+            F.sum(F.lit(1) - is_train).alias("n_eval"),
+        )
+        .withColumn(
+            "leaked", (F.col("n_train") > 0) & (F.col("n_eval") > 0)
+        )
+    )
