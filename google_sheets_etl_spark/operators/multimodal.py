@@ -1006,15 +1006,18 @@ def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
 
 
 def parse_bmp(payload: bytes) -> tuple[int, int, bytes]:
-    """Strict 24-bit uncompressed Windows BMP decode → (w, h, raw RGB
-    bytes): BITMAPFILEHEADER sanity, BITMAPINFOHEADER(40) only,
-    biBitCount 24 / biCompression BI_RGB only (pinned 'only 24-bit
-    uncompressed bmp supported' — paletted/RLE/V4+ headers reject
-    rather than mis-decode), positive height only (bottom-up, the
-    overwhelmingly common layout; top-down negative-height files
-    reject with the same message), row stride padded to 4 bytes, BGR
-    → RGB. Pinned container messages: 'not a bmp payload',
-    'truncated bmp', 'trailing bytes after bmp pixel data'."""
+    """Strict Windows BMP decode → (w, h, raw RGB bytes):
+    BITMAPFILEHEADER sanity, BITMAPINFOHEADER(40) only, then a
+    two-way dispatch on (biBitCount, biCompression): 24/BI_RGB is
+    decoded here (row stride padded to 4 bytes, BGR → RGB, bottom-up
+    flip); 8/BI_RLE8 routes to :func:`parse_bmp_rle8` (the paletted
+    run-length variant). Every other combination rejects with the
+    pinned 'only 24-bit uncompressed bmp supported' (the message
+    predates the RLE8 parser and is pinned in the bmp_decode_audit
+    oracle — paletted-uncompressed/V4+/top-down headers still reject
+    rather than mis-decode). Pinned container messages: 'not a bmp
+    payload', 'truncated bmp', 'trailing bytes after bmp pixel
+    data'."""
     import struct
 
     if payload[:2] != b"BM":
@@ -1028,6 +1031,8 @@ def parse_bmp(payload: bytes) -> tuple[int, int, bytes]:
     width, height = struct.unpack("<ii", payload[18:26])
     planes, bitcount = struct.unpack("<HH", payload[26:30])
     (compression,) = struct.unpack("<I", payload[30:34])
+    if (bitcount, compression, planes) == (8, 1, 1) and height > 0:
+        return parse_bmp_rle8(payload)
     if bitcount != 24 or compression != 0 or planes != 1 or height <= 0:
         raise ValueError("only 24-bit uncompressed bmp supported")
     if width <= 0:
@@ -1047,6 +1052,173 @@ def parse_bmp(payload: bytes) -> tuple[int, int, bytes]:
             rgb[p + 1] = row[3 * x + 1]
             rgb[p + 2] = row[3 * x]
     return width, height, bytes(rgb)
+
+
+def parse_bmp_rle8(payload: bytes) -> tuple[int, int, bytes]:
+    """Strict 8-bit RLE-compressed Windows BMP decode → (w, h, raw
+    RGB bytes) — the paletted RUN-LENGTH sibling of the 24-bit walk
+    (biCompression BI_RLE8, the other BMP variant found in the wild;
+    reached through :func:`parse_bmp`'s header dispatch, so every
+    image operator gains it with zero changes). Walks the escape
+    grammar per spec: ``(n>0, v)`` encoded run, ``(0,0)`` end of
+    line, ``(0,1)`` end of bitmap, ``(0,2,dx,dy)`` delta (skipped
+    cells read as palette index 0, the de-facto fill), ``(0,n≥3)``
+    absolute mode with word padding. Bottom-up rows, BGRX palette
+    (biClrUsed entries, 256 when 0) mapped to RGB.
+
+    Pinned rejects: 'truncated bmp' (header/palette short),
+    'truncated bmp rle8 stream' (opcode or operand bytes missing),
+    'bmp rle8 run past row end', 'bmp rle8 rows past image end',
+    'bmp rle8 delta out of bounds', 'bmp rle8 palette index out of
+    range', 'missing bmp rle8 end marker', and the shared 'trailing
+    bytes after bmp pixel data'."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a bmp payload")
+    if len(payload) < 54:
+        raise ValueError("truncated bmp")
+    (offset,) = struct.unpack("<I", payload[10:14])
+    width, height = struct.unpack("<ii", payload[18:26])
+    (clr_used,) = struct.unpack("<I", payload[46:50])
+    if width <= 0 or height <= 0:
+        raise ValueError("only 24-bit uncompressed bmp supported")
+    ncolors = clr_used or 256
+    pal_end = 54 + 4 * ncolors
+    if len(payload) < pal_end or offset < pal_end:
+        raise ValueError("truncated bmp")
+    palette = payload[54:pal_end]
+    stream = payload[offset:]
+    idx = bytearray(width * height)  # bottom-up rows, index-0 fill
+    pos, x, y = 0, 0, 0
+    while True:
+        if pos >= len(stream):
+            raise ValueError("missing bmp rle8 end marker")
+        if pos + 2 > len(stream):
+            raise ValueError("truncated bmp rle8 stream")
+        c, v = stream[pos], stream[pos + 1]
+        pos += 2
+        if c > 0:
+            if y >= height:
+                raise ValueError("bmp rle8 rows past image end")
+            if x + c > width:
+                raise ValueError("bmp rle8 run past row end")
+            if v >= ncolors:
+                raise ValueError("bmp rle8 palette index out of range")
+            start = y * width + x
+            idx[start : start + c] = bytes([v]) * c
+            x += c
+        elif v == 0:  # end of line
+            x, y = 0, y + 1
+            if y > height:
+                raise ValueError("bmp rle8 rows past image end")
+        elif v == 1:  # end of bitmap
+            break
+        elif v == 2:  # delta
+            if pos + 2 > len(stream):
+                raise ValueError("truncated bmp rle8 stream")
+            dx, dy = stream[pos], stream[pos + 1]
+            pos += 2
+            x, y = x + dx, y + dy
+            if x > width or y > height:
+                raise ValueError("bmp rle8 delta out of bounds")
+        else:  # absolute mode: v literal indices, word-aligned
+            need = v + (v & 1)
+            if pos + need > len(stream):
+                raise ValueError("truncated bmp rle8 stream")
+            if y >= height:
+                raise ValueError("bmp rle8 rows past image end")
+            if x + v > width:
+                raise ValueError("bmp rle8 run past row end")
+            lit = stream[pos : pos + v]
+            if max(lit) >= ncolors:
+                raise ValueError("bmp rle8 palette index out of range")
+            start = y * width + x
+            idx[start : start + v] = lit
+            x += v
+            pos += need
+    if pos != len(stream):
+        raise ValueError("trailing bytes after bmp pixel data")
+    rgb = bytearray(width * height * 3)
+    for yy in range(height):
+        src_row = (height - 1 - yy) * width  # bottom-up flip
+        for xx in range(width):
+            i = idx[src_row + xx] * 4
+            p = (yy * width + xx) * 3
+            rgb[p] = palette[i + 2]      # R
+            rgb[p + 1] = palette[i + 1]  # G
+            rgb[p + 2] = palette[i]      # B
+    return width, height, bytes(rgb)
+
+
+def encode_bmp_rle8(
+    width: int, height: int, indices: bytes, palette: list
+) -> bytes:
+    """Minimal BI_RLE8 writer — :func:`parse_bmp_rle8`'s inverse for
+    fixtures and tests (the encode_bmp / encode_gif pattern):
+    ``indices`` is top-down row-major palette indices, ``palette`` a
+    list of (r, g, b). Greedy per-row encoding: repeats of ≥2 become
+    encoded runs; isolated stretches become absolute mode when ≥3
+    long (else count-1 encoded runs), so BOTH grammar paths are
+    exercised by any fixture with mixed content. EOL after every
+    row, then EOB."""
+    import struct
+
+    if len(indices) != width * height:
+        raise ValueError("encode_bmp_rle8: indices length mismatch")
+    pal = bytearray()
+    for r, g, b in palette:
+        pal += bytes((b, g, r, 0))
+    out = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up
+        row = indices[y * width : (y + 1) * width]
+        x = 0
+        lits: list[int] = []
+
+        def flush_lits() -> None:
+            i = 0
+            while len(lits) - i >= 3:
+                n = min(len(lits) - i, 255)
+                if n < 3:
+                    break
+                out.append(0)
+                out.append(n)
+                out.extend(lits[i : i + n])
+                if n & 1:
+                    out.append(0)
+                i += n
+            for v in lits[i:]:
+                out.append(1)
+                out.append(v)
+            lits.clear()
+
+        while x < width:
+            run = 1
+            while (
+                x + run < width
+                and run < 255
+                and row[x + run] == row[x]
+            ):
+                run += 1
+            if run >= 2:
+                flush_lits()
+                out.append(run)
+                out.append(row[x])
+            else:
+                lits.append(row[x])
+            x += run
+        flush_lits()
+        out += b"\x00\x00"  # EOL
+    out += b"\x00\x01"  # EOB
+    offset = 54 + len(pal)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 8, 1, len(out),
+        2835, 2835, len(palette), 0,
+    )
+    header = struct.pack(
+        "<2sIHHI", b"BM", offset + len(out), 0, 0, offset
+    )
+    return header + info + bytes(pal) + bytes(out)
 
 
 def encode_avi_mjpeg(

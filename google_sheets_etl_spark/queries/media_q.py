@@ -2999,3 +2999,82 @@ def pdf_decode_audit(spark: SparkSession, sf: str) -> DataFrame:
     return audit(media).select(
         F.col("media_id").alias("doc_id"), "ok", "n_pages", "err"
     )
+
+
+@q(
+    "bmp_rle8_features",
+    """WITH dims AS (SELECT doc_id, 6 + doc_id % 3 AS w,
+                            4 + doc_id % 2 AS h
+                     FROM documents),
+       cells AS (SELECT doc_id, w, h, p % w AS x, p // w AS y
+                 FROM (SELECT doc_id, w, h, UNNEST(range(0, w * h)) AS p
+                       FROM dims)),
+       pix AS (SELECT doc_id, w, h,
+                      (doc_id + CASE WHEN y % 2 = 1 THEN x // 2 ELSE x END
+                       + y * 3) % 8 AS i
+               FROM cells),
+       lm AS (SELECT doc_id, w, h,
+                     ((doc_id * 3 + 29 * i) % 256
+                      + (doc_id * 2 + 23 * i) % 256
+                      + (doc_id + 17 * i) % 256) // 3 AS l
+              FROM pix)
+       SELECT doc_id AS media_id, CAST(w AS INT) AS width,
+              CAST(h AS INT) AS height,
+              CAST(SUM(l) AS BIGINT) AS lum_sum
+       FROM lm GROUP BY doc_id, w, h""",
+)
+def bmp_rle8_features(spark: SparkSession, sf: str) -> DataFrame:
+    """RLE-compressed BMP decode end-to-end (multimodal.
+    parse_bmp_rle8 behind parse_bmp's header dispatch behind the
+    decode_image magic-byte dispatch — the paletted run-length
+    variant; registering it gave every image operator BI_RLE8 for
+    free): escape-grammar walk (runs / absolute mode / EOL / EOB),
+    palette lookup, bottom-up flip, all certified by the exact-int64
+    luminance mass against pixels regenerated from the index+palette
+    formulas in SQL. The index formula alternates per row between
+    pairwise runs (y odd: x//2 — encoded-run path) and distinct
+    cells (y even — absolute-mode path), so BOTH grammar branches
+    carry pixels in every payload; the in-repo encoder is the
+    fixture writer, with hand-built spec vectors (delta escapes,
+    truncations, bad indices) pinned in unit tests. Narrow Arrow
+    kernel, no shuffle."""
+    import pandas as pd
+
+    d = t(spark, sf, "documents").select("doc_id")
+
+    def kernel(batches):
+        from ..operators.multimodal import encode_bmp_rle8
+
+        for pdf in batches:
+            payloads, ws, hs = [], [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w = 6 + doc_id % 3
+                h = 4 + doc_id % 2
+                idx = bytes(
+                    (doc_id + (x >> (y % 2)) + y * 3) % 8
+                    for y in range(h)
+                    for x in range(w)
+                )
+                pal = [
+                    (
+                        (doc_id * 3 + 29 * i) % 256,
+                        (doc_id * 2 + 23 * i) % 256,
+                        (doc_id + 17 * i) % 256,
+                    )
+                    for i in range(8)
+                ]
+                payloads.append(encode_bmp_rle8(w, h, idx, pal))
+                ws.append(w)
+                hs.append(h)
+            yield pd.DataFrame({
+                "media_id": pdf["doc_id"], "width": ws, "height": hs,
+                "payload": payloads,
+            })
+
+    media = d.mapInPandas(
+        kernel, "media_id long, width int, height int, payload binary"
+    )
+    return multimodal.image_luminance_sum(
+        media, ["media_id", "width", "height"]
+    )

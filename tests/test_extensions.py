@@ -4125,3 +4125,66 @@ def test_tar_codec_contracts():
     ]:
         with pytest.raises(ValueError, match=msg):
             parse_tar_members(payload)
+
+
+def test_bmp_rle8_decode_contracts():
+    """BI_RLE8: encoder↔decoder round-trip on random paletted images
+    (both grammar paths), a hand-built vector with a DELTA escape
+    (skipped cells read as palette index 0), bottom-up flip, and the
+    pinned reject classes (missing EOB, truncated operands, run past
+    row end, bad palette index, trailing bytes)."""
+    import random
+    import struct
+
+    import pytest
+
+    from google_sheets_etl_spark.operators.multimodal import (
+        encode_bmp_rle8, parse_bmp, parse_bmp_rle8,
+    )
+
+    rng = random.Random(5)
+    for _ in range(25):
+        w = rng.randrange(1, 12)
+        h = rng.randrange(1, 9)
+        idx = bytes(
+            rng.randrange(0, 16) if rng.random() < 0.5 else 3
+            for _ in range(w * h)
+        )
+        pal = [
+            (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+            for _ in range(16)
+        ]
+        w2, h2, rgb = parse_bmp(encode_bmp_rle8(w, h, idx, pal))
+        assert (w2, h2) == (w, h)
+        assert rgb == b"".join(bytes(pal[i]) for i in idx)
+
+    def rle8(stream: bytes, w: int = 4, h: int = 2,
+             pal=((10, 20, 30), (40, 50, 60), (70, 80, 90))) -> bytes:
+        palb = b"".join(bytes((b, g, r, 0)) for r, g, b in pal)
+        off = 54 + len(palb)
+        info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 1,
+                           len(stream), 0, 0, len(pal), 0)
+        hdr = struct.pack("<2sIHHI", b"BM", off + len(stream), 0, 0, off)
+        return hdr + info + palb + stream
+
+    # delta escape: bottom row [1,1,<skip 2 -> 0,0>], top row abs[2,1,2]+run1[0]
+    pal = [(10, 20, 30), (40, 50, 60), (70, 80, 90)]
+    stream = bytes([2, 1, 0, 2, 2, 0, 0, 0,
+                    0, 3, 2, 1, 2, 0, 1, 0, 0, 0, 0, 1])
+    _, _, rgb = parse_bmp_rle8(rle8(stream))
+    px = lambda i: bytes(pal[i])  # noqa: E731
+    assert rgb == (px(2) + px(1) + px(2) + px(0)
+                   + px(1) + px(1) + px(0) + px(0))
+
+    for stream, msg in [
+        (bytes([2, 1, 0, 0, 2, 1, 0, 0]), "missing bmp rle8 end marker"),
+        (bytes([2, 1, 0]), "truncated bmp rle8 stream"),
+        (bytes([0, 3, 1, 1]), "truncated bmp rle8 stream"),
+        (bytes([5, 1, 0, 1]), "bmp rle8 run past row end"),
+        (bytes([2, 7, 0, 1]), "bmp rle8 palette index out of range"),
+        (bytes([0, 0, 0, 0, 0, 0, 2, 1]), "bmp rle8 rows past image end"),
+        (bytes([0, 2, 9, 9, 0, 1]), "bmp rle8 delta out of bounds"),
+        (bytes([2, 1, 0, 1, 0, 0]), "trailing bytes after bmp pixel data"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            parse_bmp_rle8(rle8(stream))
