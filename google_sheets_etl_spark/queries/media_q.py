@@ -3078,3 +3078,87 @@ def bmp_rle8_features(spark: SparkSession, sf: str) -> DataFrame:
     return multimodal.image_luminance_sum(
         media, ["media_id", "width", "height"]
     )
+
+
+@q(
+    "audio_silence_trim",
+    """WITH wins AS (SELECT doc_id, UNNEST(range(0, 6)) AS w
+                     FROM documents),
+       smp AS (SELECT doc_id, w, UNNEST(range(0, 128)) AS j
+               FROM wins),
+       dec AS (SELECT doc_id, w,
+                      CASE WHEN (doc_id + w) % 3 = 0
+                           THEN CASE WHEN u >= 32768 THEN u - 65536
+                                     ELSE u END
+                           ELSE ((w * 128 + j) * 7) % 3 END AS s
+               FROM (SELECT doc_id, w, j,
+                            (1000 + ((w * 128 + j) * 13) % 256) AS u
+                     FROM smp)),
+       act AS (SELECT doc_id, w,
+                      (SUM(s * s) >= 1280000) AS active
+               FROM dec GROUP BY doc_id, w)
+       SELECT doc_id AS media_id,
+              COUNT(*)::BIGINT AS n_windows,
+              CAST(SUM(CASE WHEN active THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_active,
+              CAST(MIN(CASE WHEN active THEN w END) AS BIGINT)
+                AS first_active,
+              CAST(MAX(CASE WHEN active THEN w END) AS BIGINT)
+                AS last_active
+       FROM act GROUP BY doc_id""",
+)
+def audio_silence_trim(spark: SparkSession, sf: str) -> DataFrame:
+    """SILENCE TRIMMING over strictly-parsed PCM — the energy-gate
+    VAD every speech/ASR corpus pass runs before feature extraction:
+    per payload, windowed RMS through the certified
+    wav_window_energy surface, an integer-exact activity gate, and
+    the trim verdict (first/last active window + activity count) a
+    downstream slicer consumes. The fixture plants silence
+    deterministically: window w is LOUD iff (doc_id + w) % 3 == 0
+    (samples 1000 + (k·13)%256), quiet otherwise (samples (k·7)%3 —
+    near-zero), so every payload has interior silence to trim on
+    both sides. The gate compares rms ≥ 100, which is EXACTLY the
+    integer test Σs² ≥ 100²·128 both engines run (power-of-two
+    divide is lossless, IEEE sqrt is monotone and the fixture's
+    energies sit far from the boundary) — the oracle uses the
+    integer form directly. One Arrow decode kernel + one media-key
+    aggregate; no shuffle beyond the aggregate."""
+    d = t(spark, sf, "documents").select("doc_id")
+    n = F.lit(768).cast("long")  # 6 full 128-sample windows
+    ascii_hex = lambda s: F.hex(F.encode(F.lit(s), "UTF-8"))  # noqa: E731
+    header_hex = F.concat(
+        ascii_hex("RIFF"), _le_hex(F.lit(36) + n * 2, 4),
+        ascii_hex("WAVEfmt "), _le_hex(F.lit(16), 4),
+        _le_hex(F.lit(1), 2), _le_hex(F.lit(1), 2),      # PCM, mono
+        _le_hex(F.lit(8000), 4), _le_hex(F.lit(16000), 4),
+        _le_hex(F.lit(2), 2), _le_hex(F.lit(16), 2),     # align, bits
+        ascii_hex("data"), _le_hex(n * 2, 4),
+    )
+    samples_hex = F.concat_ws(
+        "",
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda k: _le_hex(
+                F.when(
+                    (F.col("doc_id") + F.floor(k / 128)) % 3 == 0,
+                    (F.lit(1000) + (k * 13) % 256),
+                ).otherwise((k * 7) % 3),
+                2,
+            ),
+        ),
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.unhex(F.concat(header_hex, samples_hex)).alias("payload"),
+    )
+    energy = multimodal.wav_window_energy(media, window=128)
+    active = F.col("rms") >= 100.0
+    return (
+        energy.groupBy(F.col("media_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(active.cast("long")).alias("n_active"),
+            F.min(F.when(active, F.col("win_idx"))).alias("first_active"),
+            F.max(F.when(active, F.col("win_idx"))).alias("last_active"),
+        )
+    )
