@@ -930,3 +930,66 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_dist)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def incremental_simhash_admission(
+    corpus: DataFrame,
+    batch: DataFrame,
+    max_dist: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Batch-vs-corpus SimHash ADMISSION — the Charikar-fingerprint
+    twin of :func:`incremental_near_dup_admission`, completing the
+    admission matrix (exact / MinHash / SimHash / embedding /
+    semantic / suffix all have batch-vs-corpus increments): a batch
+    document is admitted unless a corpus fingerprint within hamming
+    distance ``max_dist`` exists. Returns the admitted batch ids
+    (one ``id_col`` column).
+
+    Scale shape mirrors the pairs operator
+    (:func:`simhash_near_dup_pairs`): the corpus side reduces to a
+    distinct (band, bucket, simhash) INDEX — 10 six-bit bands over
+    the 60-bit fingerprint; pigeonhole gives the band join recall 1
+    for ``max_dist ≤ 9`` and the popcount verify trims candidates to
+    the exact hamming relation, so the admitted set EQUALS the
+    all-pairs admission the SQL oracle computes. In a deployed
+    pipeline the index persists and appends per admitted batch;
+    per-increment work is batch×bands against it — never
+    batch×corpus, never corpus×corpus."""
+    if not (0 <= max_dist <= 9):
+        raise ValueError(
+            "max_dist must be in [0, 9]: 10 bands guarantee recall "
+            "only below 10 bit errors"
+        )
+
+    def bands_of(docs: DataFrame, out_id: str) -> DataFrame:
+        return (
+            simhash64(docs, text_col, id_col)
+            .filter(F.col("simhash").isNotNull())
+            .select(
+                F.col(id_col).alias(out_id),
+                F.col("simhash").alias(f"_h_{out_id}"),
+                F.explode(F.sequence(F.lit(0), F.lit(9))).alias("band"),
+            )
+            .withColumn(
+                "bv", F.expr(f"shiftright(_h_{out_id}, band * 6) & 63")
+            )
+        )
+
+    corpus_index = bands_of(corpus, "corpus_id").distinct()
+    cand = (
+        bands_of(batch, "batch_id")
+        .join(corpus_index, on=["band", "bv"])
+        .select("batch_id", "_h_batch_id", "_h_corpus_id")
+        .dropDuplicates(["batch_id", "_h_corpus_id"])
+    )
+    rejected = (
+        cand.filter(
+            hamming64(F.col("_h_batch_id"), F.col("_h_corpus_id"))
+            <= max_dist
+        )
+        .select(F.col("batch_id").alias(id_col))
+        .distinct()
+    )
+    return batch.select(id_col).join(rejected, on=id_col, how="left_anti")

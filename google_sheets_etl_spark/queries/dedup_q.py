@@ -556,3 +556,40 @@ def split_leakage_audit(spark: SparkSession, sf: str) -> DataFrame:
             "leaked", (F.col("n_train") > 0) & (F.col("n_eval") > 0)
         )
     )
+
+
+@q(
+    "incremental_simhash_admission",
+    _SIMHASH_ORACLE.replace(
+        "SELECT doc_id,\n       CAST(SUM(CASE WHEN set_bit THEN "
+        "(1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash\n"
+        "FROM votes GROUP BY doc_id",
+        """, sh AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN set_bit THEN (1::BIGINT << b) ELSE 0 END)
+              AS BIGINT) AS s
+  FROM votes GROUP BY doc_id)
+SELECT b.doc_id FROM sh b
+WHERE b.doc_id % 10 >= 8
+  AND NOT EXISTS (SELECT 1 FROM sh c
+                  WHERE c.doc_id % 10 < 8
+                    AND bit_count(xor(b.s, c.s)) <= 3)""",
+    ),
+)
+def incremental_simhash_admission(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch-vs-corpus SimHash admission (operators/dedup.py
+    incremental_simhash_admission) — the LAST missing cell of the
+    admission matrix: exact, MinHash, SimHash, embedding, semantic
+    and suffix dedup now ALL have batch-vs-corpus increments
+    (plus streaming drivers where registered). A new batch
+    (doc_id%10 ∈ {8,9}) is admitted unless a corpus (doc_id%10 < 8)
+    fingerprint sits within hamming 3 — banded-table candidates
+    (pigeonhole recall 1) + exact popcount verify, so the admitted
+    set EQUALS the all-pairs NOT-EXISTS relation the oracle runs
+    over the same md5 bit-vote fingerprints."""
+    docs = t(spark, sf, "documents")
+    return dedup.incremental_simhash_admission(
+        corpus=docs.filter(F.col("doc_id") % 10 < 8),
+        batch=docs.filter(F.col("doc_id") % 10 >= 8),
+        max_dist=3,
+    )
