@@ -122,3 +122,50 @@ def pagerank(
     e.unpersist()
     init.unpersist()
     return out
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node TRIANGLE counts over an undirected edge list — the
+    clustering-density primitive (community detection, dedup-cluster
+    diagnostics, spam-graph features). Input edges are canonicalized
+    (src < dst, distinct) so each undirected edge appears once; each
+    triangle {a < b < c} is then enumerated EXACTLY once as the
+    ordered wedge (a,b)+(b,c) closed by the probe edge (a,c), and
+    contributes 1 to each of its three corners.
+
+    Scale shape: two equi-joins on node keys — the wedge join fans
+    out Σ_b d⁻(b)·d⁺(b) rows (id-ordering splits each node's degree,
+    the standard ~4× wedge reduction vs unordered; production systems
+    order by DEGREE instead, which this operator accepts by relabeled
+    input), and the closing probe is a hash join against the edge
+    list itself. No state, no iteration, no driver participation —
+    at 100 TB the edge list pre-buckets on the join keys and both
+    joins are co-partitioned."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    wedges = (
+        e.select(F.col("a").alias("wa"), F.col("b").alias("wb"))
+        .join(
+            e.select(F.col("a").alias("wb"), F.col("b").alias("wc")),
+            on="wb",
+        )
+    )
+    tri = wedges.join(
+        e.select(F.col("a").alias("wa"), F.col("b").alias("wc")),
+        on=["wa", "wc"],
+    )
+    return (
+        tri.select(
+            F.explode(F.array("wa", "wb", "wc")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

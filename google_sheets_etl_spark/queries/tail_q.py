@@ -573,3 +573,55 @@ def simgraph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     return ranks.select(
         F.col("node").alias("vec_id"), F.col("r").alias("pagerank_p12")
     )
+
+
+@q(
+    "copurchase_triangles",
+    """WITH e AS (
+         SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS a,
+                GREATEST(a.l_partkey, b.l_partkey) AS b
+         FROM lineitem a JOIN lineitem b
+           ON a.l_orderkey = b.l_orderkey
+          AND a.l_partkey < b.l_partkey
+         WHERE a.l_partkey <= 1000 AND b.l_partkey <= 1000),
+       w AS (SELECT e1.a AS wa, e1.b AS wb, e2.b AS wc
+             FROM e e1 JOIN e e2 ON e1.b = e2.a),
+       tri AS (SELECT w.wa, w.wb, w.wc
+               FROM w JOIN e ON w.wa = e.a AND w.wc = e.b),
+       corners AS (
+         SELECT wa AS node FROM tri
+         UNION ALL SELECT wb FROM tri
+         UNION ALL SELECT wc FROM tri)
+       SELECT node, COUNT(*)::BIGINT AS n_triangles
+       FROM corners GROUP BY node""",
+)
+def copurchase_triangles(spark: SparkSession, sf: str) -> DataFrame:
+    """TRIANGLE COUNTING (operators/graph.py triangle_counts) over
+    the co-purchase graph — the graph-analytics census PageRank and
+    connected components don't give: per-node triangle membership
+    (the clustering-coefficient numerator; community density, spam
+    features, dedup-cluster diagnostics). The graph: parts ≤ 1000
+    are nodes, an edge joins two parts bought in the same order (the
+    market-basket projection; the bound DEFINES the graph — node set
+    stays fixed across sf while density grows, keeping the wedge
+    fan-out proportional to edges, not corpus²). Each triangle
+    {a<b<c} enumerates once as an ordered wedge + closing probe —
+    two co-partitionable equi-joins, no iteration; the oracle runs
+    the identical ordered enumeration in SQL."""
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    small = li.filter(F.col("l_partkey") <= 1000)
+    edges = (
+        small.alias("x")
+        .join(
+            small.alias("y"),
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .select(
+            F.col("x.l_partkey").alias("src"),
+            F.col("y.l_partkey").alias("dst"),
+        )
+    )
+    from ..operators.graph import triangle_counts
+
+    return triangle_counts(edges)

@@ -4188,3 +4188,16 @@ def test_bmp_rle8_decode_contracts():
     ]:
         with pytest.raises(ValueError, match=msg):
             parse_bmp_rle8(rle8(stream))
+
+
+def test_triangle_counts_known_graph(spark):
+    """triangle_counts on a hand-built graph: K4 has 4 triangles,
+    every node in 3; a pendant node is in none (absent from output);
+    duplicate and reversed input edges collapse."""
+    from google_sheets_etl_spark.operators.graph import triangle_counts
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = k4 + [(3, 2), (0, 1), (3, 4)]  # reversed dup, dup, pendant
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
