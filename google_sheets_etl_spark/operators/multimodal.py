@@ -1994,6 +1994,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "gif"
     if payload[:2] == b"BM":
         return "bmp"
+    if payload[:4] == b"II*\x00":
+        return "tiff"
     if payload[:4] == b"RIFF":
         # RIFF is a family: the form type at offset 8 splits WAVE
         # audio from AVI video; anything else stays on the wav path
@@ -2018,6 +2020,7 @@ _IMAGE_PARSERS = {
     "jpeg": _parse_jpeg,
     "gif": parse_gif,
     "bmp": parse_bmp,
+    "tiff": lambda b: parse_tiff(b),
 }
 
 
@@ -3344,6 +3347,7 @@ def payload_decode_audit(
         "jpeg": _parse_jpeg,
         "gif": parse_gif_indexed,
         "bmp": parse_bmp,
+        "tiff": parse_tiff,
         "wav": parse_wav_samples,
         "avi": parse_avi_frames,
         "mp4": parse_mp4_mjpeg,
@@ -3376,3 +3380,160 @@ def payload_decode_audit(
             })
 
     return media.select(id_col, "payload").mapInPandas(kernel, out_schema)
+
+
+def parse_tiff(payload: bytes) -> tuple[int, int, bytes]:
+    """Strict uncompressed RGB TIFF decode → (w, h, raw RGB bytes) —
+    the scanned-document container (TIFF 6.0 baseline, the format
+    digitization corpora ship): little-endian 'II*\\0' header, ONE
+    IFD walked tag-by-tag (12-byte entries), strip-based pixel
+    layout reassembled via StripOffsets × StripByteCounts ×
+    RowsPerStrip. Baseline subset pinned: Compression 1 (none),
+    PhotometricInterpretation 2 (RGB), SamplesPerPixel 3,
+    BitsPerSample (8,8,8), top-down rows (TIFF's native orientation
+    — no flip, unlike BMP).
+
+    Pinned rejects: 'not a tiff payload', 'big-endian tiff
+    unsupported', 'truncated tiff', 'multi-page tiff unsupported',
+    'missing tiff tag', 'only uncompressed rgb tiff supported',
+    'tiff strip layout mismatch'."""
+    import struct
+
+    if payload[:2] == b"MM":
+        raise ValueError("big-endian tiff unsupported")
+    if payload[:4] != b"II*\x00":
+        raise ValueError("not a tiff payload")
+    if len(payload) < 8:
+        raise ValueError("truncated tiff")
+    (ifd_off,) = struct.unpack("<I", payload[4:8])
+    if ifd_off + 2 > len(payload):
+        raise ValueError("truncated tiff")
+    (n_entries,) = struct.unpack("<H", payload[ifd_off : ifd_off + 2])
+    ifd_end = ifd_off + 2 + 12 * n_entries
+    if ifd_end + 4 > len(payload):
+        raise ValueError("truncated tiff")
+    (next_ifd,) = struct.unpack("<I", payload[ifd_end : ifd_end + 4])
+    if next_ifd != 0:
+        raise ValueError("multi-page tiff unsupported")
+
+    _SIZES = {1: 1, 3: 2, 4: 4}  # BYTE, SHORT, LONG
+
+    def values(tag_type: int, count: int, raw: bytes) -> list[int]:
+        size = _SIZES.get(tag_type)
+        if size is None:
+            raise ValueError("only uncompressed rgb tiff supported")
+        total = size * count
+        if total <= 4:
+            buf = raw[:total]
+        else:
+            (off,) = struct.unpack("<I", raw)
+            if off + total > len(payload):
+                raise ValueError("truncated tiff")
+            buf = payload[off : off + total]
+        fmt = {1: "B", 3: "H", 4: "I"}[tag_type]
+        return list(struct.unpack(f"<{count}{fmt}", buf))
+
+    tags: dict[int, list[int]] = {}
+    for i in range(n_entries):
+        e = payload[ifd_off + 2 + 12 * i : ifd_off + 2 + 12 * (i + 1)]
+        tag, tag_type, count = struct.unpack("<HHI", e[:8])
+        tags[tag] = values(tag_type, count, e[8:12])
+
+    def one(tag: int) -> int:
+        if tag not in tags:
+            raise ValueError("missing tiff tag")
+        return tags[tag][0]
+
+    width, height = one(256), one(257)
+    if width <= 0 or height <= 0:
+        raise ValueError("missing tiff tag")
+    if one(259) != 1 or one(262) != 2 or tags.get(277, [3])[0] != 3:
+        raise ValueError("only uncompressed rgb tiff supported")
+    if tags.get(258, [8, 8, 8]) != [8, 8, 8]:
+        raise ValueError("only uncompressed rgb tiff supported")
+    if 273 not in tags or 279 not in tags:
+        raise ValueError("missing tiff tag")
+    offsets, counts = tags[273], tags[279]
+    rows_per_strip = tags.get(278, [height])[0]
+    if len(offsets) != len(counts):
+        raise ValueError("tiff strip layout mismatch")
+    expected_strips = (height + rows_per_strip - 1) // rows_per_strip
+    if len(offsets) != expected_strips:
+        raise ValueError("tiff strip layout mismatch")
+    rgb = bytearray()
+    for s_idx, (off, cnt) in enumerate(zip(offsets, counts)):
+        rows = min(rows_per_strip, height - s_idx * rows_per_strip)
+        if cnt != rows * width * 3:
+            raise ValueError("tiff strip layout mismatch")
+        if off + cnt > len(payload):
+            raise ValueError("truncated tiff")
+        rgb += payload[off : off + cnt]
+    return width, height, bytes(rgb)
+
+
+def encode_tiff(
+    width: int, height: int, rgb: bytes, rows_per_strip: int = 2
+) -> bytes:
+    """Minimal baseline-TIFF writer — :func:`parse_tiff`'s inverse
+    for fixtures and tests: little-endian, one IFD, uncompressed RGB
+    strips of ``rows_per_strip`` rows (default 2, so multi-strip
+    reassembly is exercised by any fixture taller than 2 rows)."""
+    import struct
+
+    if len(rgb) != width * height * 3:
+        raise ValueError("encode_tiff: rgb length mismatch")
+    n_strips = (height + rows_per_strip - 1) // rows_per_strip
+    entries = []  # (tag, type, count, packed-value-or-offset-fixup)
+    # layout: header(8) + IFD + [offset arrays] + strip data
+    n_entries = 9
+    ifd_off = 8
+    ifd_end = ifd_off + 2 + 12 * n_entries + 4
+    # BitsPerSample (3 SHORTs = 6 bytes > 4) lives out-of-line
+    bps_off = ifd_end
+    arrays_off = bps_off + 6
+    if n_strips > 1:
+        strip_off_arr = arrays_off
+        strip_cnt_arr = arrays_off + 4 * n_strips
+        data_off = arrays_off + 8 * n_strips
+    else:
+        strip_off_arr = strip_cnt_arr = 0
+        data_off = arrays_off
+    strip_offsets, strip_counts = [], []
+    pos = data_off
+    for s in range(n_strips):
+        rows = min(rows_per_strip, height - s * rows_per_strip)
+        strip_offsets.append(pos)
+        strip_counts.append(rows * width * 3)
+        pos += rows * width * 3
+
+    def entry(tag: int, tag_type: int, count: int, value: int) -> bytes:
+        return struct.pack("<HHII", tag, tag_type, count, value)
+
+    entries.append(entry(256, 4, 1, width))
+    entries.append(entry(257, 4, 1, height))
+    entries.append(entry(258, 3, 3, bps_off))
+    entries.append(entry(259, 3, 1, 1))
+    entries.append(entry(262, 3, 1, 2))
+    entries.append(
+        entry(273, 4, n_strips,
+              strip_offsets[0] if n_strips == 1 else strip_off_arr)
+    )
+    entries.append(entry(277, 3, 1, 3))
+    entries.append(entry(278, 4, 1, rows_per_strip))
+    entries.append(
+        entry(279, 4, n_strips,
+              strip_counts[0] if n_strips == 1 else strip_cnt_arr)
+    )
+    out = bytearray()
+    out += b"II*\x00" + struct.pack("<I", ifd_off)
+    out += struct.pack("<H", n_entries) + b"".join(entries)
+    out += struct.pack("<I", 0)  # next IFD
+    out += struct.pack("<3H", 8, 8, 8)
+    if n_strips > 1:
+        out += struct.pack(f"<{n_strips}I", *strip_offsets)
+        out += struct.pack(f"<{n_strips}I", *strip_counts)
+    for s in range(n_strips):
+        rows = min(rows_per_strip, height - s * rows_per_strip)
+        start = s * rows_per_strip * width * 3
+        out += rgb[start : start + rows * width * 3]
+    return bytes(out)

@@ -3162,3 +3162,123 @@ def audio_silence_trim(spark: SparkSession, sf: str) -> DataFrame:
             F.max(F.when(active, F.col("win_idx"))).alias("last_active"),
         )
     )
+
+
+@q(
+    "tiff_image_features",
+    """WITH dims AS (SELECT doc_id, 5 + doc_id % 4 AS w,
+                            4 + doc_id % 3 AS h
+                     FROM documents),
+       px AS (SELECT doc_id, w, h, UNNEST(range(0, w * h)) AS p
+              FROM dims),
+       lm AS (SELECT doc_id, w, h,
+                     (((doc_id * 7 + (3 * p) * 13) % 256)
+                      + ((doc_id * 7 + (3 * p + 1) * 13) % 256)
+                      + ((doc_id * 7 + (3 * p + 2) * 13) % 256)) // 3
+                       AS l
+              FROM px)
+       SELECT doc_id AS media_id, CAST(w AS INT) AS width,
+              CAST(h AS INT) AS height,
+              CAST(SUM(l) AS BIGINT) AS lum_sum
+       FROM lm GROUP BY doc_id, w, h""",
+)
+def tiff_image_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Baseline TIFF decode end-to-end (multimodal.parse_tiff behind
+    the decode_image 'II*\\0' dispatch — the scanned-document
+    container; registering the parser gave every image operator TIFF
+    for free): IFD tag walk, BitsPerSample/Photometric/Compression
+    pinning, and STRIP reassembly (rows_per_strip=2, so every
+    fixture image taller than 2 rows crosses strip boundaries) all
+    certified by the exact-int64 luminance mass against pixels
+    regenerated from the formula in SQL. TIFF rows are top-down
+    native — no flip, the opposite of BMP, which the formula
+    ordering pins. Narrow Arrow kernel, no shuffle."""
+    import pandas as pd
+
+    d = t(spark, sf, "documents").select("doc_id")
+
+    def kernel(batches):
+        from ..operators.multimodal import encode_tiff
+
+        for pdf in batches:
+            payloads, ws, hs = [], [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w = 5 + doc_id % 4
+                h = 4 + doc_id % 3
+                rgb = bytes(
+                    (doc_id * 7 + k * 13) % 256 for k in range(w * h * 3)
+                )
+                payloads.append(encode_tiff(w, h, rgb, rows_per_strip=2))
+                ws.append(w)
+                hs.append(h)
+            yield pd.DataFrame({
+                "media_id": pdf["doc_id"], "width": ws, "height": hs,
+                "payload": payloads,
+            })
+
+    media = d.mapInPandas(
+        kernel, "media_id long, width int, height int, payload binary"
+    )
+    return multimodal.image_luminance_sum(
+        media, ["media_id", "width", "height"]
+    )
+
+
+@q(
+    "tiff_decode_audit",
+    """SELECT doc_id AS media_id,
+              (doc_id % 4) = 0 AS ok,
+              CASE doc_id % 4
+                WHEN 0 THEN ''
+                WHEN 1 THEN 'truncated tiff'
+                WHEN 2 THEN 'only uncompressed rgb tiff supported'
+                ELSE 'multi-page tiff unsupported' END AS err
+       FROM documents""",
+)
+def tiff_decode_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """The decode REJECT CHANNEL for TIFF (payload_decode_audit's
+    'II*\\0' branch): planted failure classes per doc_id residue — a
+    valid file, strip data cut short, an LZW compression tag the
+    baseline walk refuses rather than mis-decoding, and a chained
+    second IFD (multi-page) the single-page contract rejects."""
+    import pandas as pd
+
+    d = t(spark, sf, "documents").select("doc_id")
+
+    def kernel(batches):
+        import struct
+
+        from ..operators.multimodal import encode_tiff
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                rgb = bytes(
+                    (doc_id * 7 + k) % 256 for k in range(6 * 4 * 3)
+                )
+                good = encode_tiff(6, 4, rgb, rows_per_strip=2)
+                cls = doc_id % 4
+                if cls == 0:
+                    payloads.append(good)
+                elif cls == 1:
+                    payloads.append(good[:-2])
+                elif cls == 2:
+                    bad = bytearray(good)
+                    # entry 3 (tag 259 Compression) value -> 5 (LZW)
+                    off = 8 + 2 + 12 * 3 + 8
+                    struct.pack_into("<I", bad, off, 5)
+                    payloads.append(bytes(bad))
+                else:
+                    bad = bytearray(good)
+                    # next-IFD pointer after the 9 entries -> self
+                    off = 8 + 2 + 12 * 9
+                    struct.pack_into("<I", bad, off, 8)
+                    payloads.append(bytes(bad))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = d.mapInPandas(kernel, "media_id long, payload binary")
+    return multimodal.payload_decode_audit(media)

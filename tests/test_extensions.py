@@ -4201,3 +4201,48 @@ def test_triangle_counts_known_graph(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
     assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_tiff_decode_contracts():
+    """Baseline TIFF: encoder↔decoder round-trip across strip
+    layouts (1-row, 2-row, single-strip), top-down row order pinned
+    (first rgb byte = pixel (0,0)), dispatch via the II*\\0 magic,
+    and the pinned reject classes (big-endian, LZW tag, multi-page,
+    strip truncation, missing tags)."""
+    import struct
+
+    import pytest
+
+    from google_sheets_etl_spark.operators.multimodal import (
+        decode_image, encode_tiff, parse_tiff, sniff_format,
+    )
+
+    rgb = bytes((k * 7) % 256 for k in range(5 * 4 * 3))
+    for rps in (1, 2, 100):
+        payload = encode_tiff(5, 4, rgb, rows_per_strip=rps)
+        assert sniff_format(payload) == "tiff"
+        assert decode_image(payload) == (5, 4, rgb)
+    # top-down: byte 0 of the raster is pixel (0,0)'s R
+    w, h, raster = parse_tiff(encode_tiff(5, 4, rgb, rows_per_strip=2))
+    assert raster[0] == rgb[0] and raster[-1] == rgb[-1]
+
+    good = encode_tiff(5, 4, rgb, rows_per_strip=2)
+    with pytest.raises(ValueError, match="big-endian tiff unsupported"):
+        parse_tiff(b"MM\x00*" + good[4:])
+    with pytest.raises(ValueError, match="not a tiff payload"):
+        parse_tiff(b"II+\x00" + good[4:])
+    bad = bytearray(good)
+    struct.pack_into("<I", bad, 8 + 2 + 12 * 3 + 8, 5)  # Compression=LZW
+    with pytest.raises(ValueError,
+                       match="only uncompressed rgb tiff supported"):
+        parse_tiff(bytes(bad))
+    bad = bytearray(good)
+    struct.pack_into("<I", bad, 8 + 2 + 12 * 9, 8)  # chained IFD
+    with pytest.raises(ValueError, match="multi-page tiff unsupported"):
+        parse_tiff(bytes(bad))
+    with pytest.raises(ValueError, match="truncated tiff"):
+        parse_tiff(good[:-2])
+    bad = bytearray(good)
+    struct.pack_into("<H", bad, 8 + 2 + 12 * 0, 999)  # width tag renamed
+    with pytest.raises(ValueError, match="missing tiff tag"):
+        parse_tiff(bytes(bad))
