@@ -813,3 +813,68 @@ def main_content_extract(
         F.size(segs).cast("long").alias("n_segments"),
         F.size(kept).cast("long").alias("n_kept"),
     )
+
+
+def robots_url_gate(
+    urls: DataFrame,
+    rules: DataFrame,
+    id_col: str = "url_id",
+    domain_col: str = "domain",
+    path_col: str = "path",
+) -> DataFrame:
+    """robots.txt-style URL gating — the crawl-POLITENESS filter a
+    web pipeline runs before (or when re-auditing) fetches, the
+    complement of the C4 blocklist (which gates CONTENT after the
+    fetch): per URL, apply the domain's Allow/Disallow path-prefix
+    rules under the REP longest-match-wins algorithm (RFC 9309 §2.2.2
+    / Google's documented tiebreak): the rule with the longest
+    matching ``path_prefix`` decides; at equal length Allow wins;
+    no matching rule means allowed.
+
+    ``rules`` rows: (domain_col, directive ∈ {'allow','disallow'},
+    path_prefix). Returns urls + ``allowed`` boolean +
+    ``matched_prefix`` (longest winner, '' when none — the audit
+    column an operator reviewing a crawl wants).
+
+    Scale shape: one equi-join on the domain key (rules are
+    per-domain and SMALL — real robots files are KBs, so the rules
+    side broadcasts; a pathological domain's rule list only fans out
+    its own URLs), prefix match in codegen (startswith — no regex),
+    one window over (url, match-length, directive) to pick the
+    winner. No data-sized shuffle beyond the url key."""
+    matches = (
+        urls.select(id_col, domain_col, path_col)
+        .join(F.broadcast(rules), on=domain_col, how="left")
+        .withColumn(
+            "_hit",
+            F.col(path_col).startswith(F.col("path_prefix")),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.when(F.col("_hit"), F.length("path_prefix"))
+        .otherwise(F.lit(-1))
+        .desc(),
+        # equal length: allow outranks disallow (REP tiebreak)
+        F.when(F.col("directive") == "allow", F.lit(0))
+        .otherwise(F.lit(1))
+        .asc(),
+    )
+    best = (
+        matches.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .withColumn(
+            "allowed",
+            F.when(
+                F.col("_hit").isNull() | ~F.col("_hit"), F.lit(True)
+            ).otherwise(F.col("directive") == "allow"),
+        )
+        .withColumn(
+            "matched_prefix",
+            F.when(
+                F.col("_hit").isNotNull() & F.col("_hit"),
+                F.col("path_prefix"),
+            ).otherwise(F.lit("")),
+        )
+    )
+    return best.select(id_col, domain_col, path_col, "allowed",
+                       "matched_prefix")

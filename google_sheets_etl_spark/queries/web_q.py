@@ -486,3 +486,88 @@ def web_pretraining_pipeline_e2e(spark: SparkSession, sf: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "stage_ord long, stage string, n_docs long, n_tokens long"
     )
+
+
+@q(
+    "robots_url_gate",
+    """WITH urls AS (
+         SELECT doc_id AS url_id, doc_id % 3 AS domain,
+                CASE doc_id % 5
+                  WHEN 0 THEN '/public/page' || doc_id
+                  WHEN 1 THEN '/private/page' || doc_id
+                  WHEN 2 THEN '/private/ok/' || doc_id
+                  WHEN 3 THEN '/tmp/x' || doc_id
+                  ELSE '/dup/x' || doc_id END AS path
+         FROM documents),
+       rules(domain, directive, path_prefix) AS (VALUES
+         (0, 'disallow', '/private/'), (0, 'allow', '/private/ok/'),
+         (0, 'allow', '/dup/'), (0, 'disallow', '/dup/'),
+         (0, 'disallow', '/tmp/'),
+         (1, 'disallow', '/private/'), (1, 'allow', '/private/ok/'),
+         (1, 'allow', '/dup/'), (1, 'disallow', '/dup/'),
+         (2, 'disallow', '/private/'), (2, 'allow', '/private/ok/'),
+         (2, 'allow', '/dup/'), (2, 'disallow', '/dup/'),
+         (2, 'disallow', '/tmp/')),
+       m AS (SELECT u.url_id, u.domain, u.path, r.directive,
+                    r.path_prefix,
+                    CASE WHEN r.path_prefix IS NOT NULL
+                              AND starts_with(u.path, r.path_prefix)
+                         THEN len(r.path_prefix) ELSE -1 END AS mlen
+             FROM urls u LEFT JOIN rules r USING (domain)),
+       best AS (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY url_id
+                  ORDER BY mlen DESC,
+                           CASE WHEN directive = 'allow'
+                                THEN 0 ELSE 1 END) AS rk
+                FROM m)
+       SELECT url_id, domain, path,
+              CASE WHEN mlen < 0 THEN TRUE
+                   ELSE directive = 'allow' END AS allowed,
+              CASE WHEN mlen < 0 THEN ''
+                   ELSE path_prefix END AS matched_prefix
+       FROM best WHERE rk = 1""",
+)
+def robots_url_gate(spark: SparkSession, sf: str) -> DataFrame:
+    """robots.txt-style URL gating (cleaning.robots_url_gate) — the
+    crawl-POLITENESS filter, completing the web front door's other
+    gate axis (the C4 blocklist gates CONTENT after the fetch; this
+    gates the FETCH itself, and re-audits an existing crawl): REP
+    longest-match-wins (RFC 9309 §2.2.2) with the Allow-wins-ties
+    tiebreak, default allow. The fixture exercises every branch:
+    unmatched paths (default allow), a plain Disallow, a LONGER
+    Allow overriding a shorter Disallow (/private/ok/ vs /private/),
+    a domain-conditional rule (/tmp/ blocked on two of three
+    domains), and an exact-length Allow/Disallow TIE on /dup/ that
+    the tiebreak must resolve to allow. Rules broadcast (real robots
+    files are KBs); prefix match is codegen startswith, the winner
+    one window over the url key."""
+    docs = t(spark, sf, "documents").select("doc_id")
+    urls = docs.select(
+        F.col("doc_id").alias("url_id"),
+        (F.col("doc_id") % 3).alias("domain"),
+        F.concat(
+            F.element_at(
+                F.array(
+                    F.lit("/public/page"), F.lit("/private/page"),
+                    F.lit("/private/ok/"), F.lit("/tmp/x"),
+                    F.lit("/dup/x"),
+                ),
+                (F.col("doc_id") % 5 + 1).cast("int"),
+            ),
+            F.col("doc_id").cast("string"),
+        ).alias("path"),
+    )
+    rule_rows = []
+    for d in (0, 1, 2):
+        rule_rows += [
+            (d, "disallow", "/private/"),
+            (d, "allow", "/private/ok/"),
+            (d, "allow", "/dup/"),
+            (d, "disallow", "/dup/"),
+        ]
+        if d != 1:
+            rule_rows.append((d, "disallow", "/tmp/"))
+    rules = spark.createDataFrame(
+        rule_rows, "domain long, directive string, path_prefix string"
+    )
+    return cleaning.robots_url_gate(urls, rules)
