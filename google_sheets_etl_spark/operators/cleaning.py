@@ -844,7 +844,21 @@ def robots_url_gate(
     winner. No data-sized shuffle beyond the url key."""
     matches = (
         urls.select(id_col, domain_col, path_col)
-        .join(F.broadcast(rules), on=domain_col, how="left")
+        .join(
+            # an empty path_prefix would match EVERY path via
+            # startswith('') at match length 0 — but RFC 9309 defines
+            # an empty 'Disallow:' line as allow-everything, i.e. a
+            # no-op rule. Dropping empty prefixes realizes that for
+            # both directives (no matching rule => allowed).
+            F.broadcast(
+                rules.filter(
+                    F.col("path_prefix").isNotNull()
+                    & (F.length("path_prefix") > 0)
+                )
+            ),
+            on=domain_col,
+            how="left",
+        )
         .withColumn(
             "_hit",
             F.col(path_col).startswith(F.col("path_prefix")),

@@ -982,7 +982,16 @@ def incremental_simhash_admission(
             )
         )
 
-    corpus_index = bands_of(corpus, "corpus_id").distinct()
+    # the index is keyed by (band, bucket, fingerprint) ONLY — drop
+    # corpus_id before distinct so duplicate fingerprints across
+    # corpus docs collapse to one index row (otherwise candidate
+    # fan-out grows with fingerprint copy count, exactly the
+    # near-dup-heavy case the operator exists for).
+    corpus_index = (
+        bands_of(corpus, "corpus_id")
+        .select("band", "bv", "_h_corpus_id")
+        .distinct()
+    )
     # verify BEFORE deduplicating candidates: the popcount filter is
     # one codegen projection over the joined stream (no exchange),
     # while a dropDuplicates on the raw candidates is a shuffle of

@@ -1081,6 +1081,14 @@ def parse_bmp_rle8(payload: bytes) -> tuple[int, int, bytes]:
     (offset,) = struct.unpack("<I", payload[10:14])
     width, height = struct.unpack("<ii", payload[18:26])
     (clr_used,) = struct.unpack("<I", payload[46:50])
+    # re-validate the header HERE, not only in parse_bmp's dispatch:
+    # called directly on an 8-bit UNCOMPRESSED bmp this would walk
+    # raw pixels as an RLE opcode stream — a garbled decode instead
+    # of the pinned strict reject.
+    planes, bitcount = struct.unpack("<HH", payload[26:30])
+    (compression,) = struct.unpack("<I", payload[30:34])
+    if (bitcount, compression, planes) != (8, 1, 1):
+        raise ValueError("only 24-bit uncompressed bmp supported")
     if width <= 0 or height <= 0:
         raise ValueError("only 24-bit uncompressed bmp supported")
     ncolors = clr_used or 256
@@ -3433,10 +3441,17 @@ def parse_tiff(payload: bytes) -> tuple[int, int, bytes]:
         fmt = {1: "B", 3: "H", 4: "I"}[tag_type]
         return list(struct.unpack(f"<{count}{fmt}", buf))
 
+    # only decode the tag IDs the parser consumes; real scanner TIFFs
+    # carry RATIONAL XResolution/YResolution (and other) tags the
+    # layout never reads — skipping them instead of rejecting keeps
+    # recall on baseline files while the pinned subset stays strict.
+    _USED_TAGS = {256, 257, 258, 259, 262, 273, 277, 278, 279}
     tags: dict[int, list[int]] = {}
     for i in range(n_entries):
         e = payload[ifd_off + 2 + 12 * i : ifd_off + 2 + 12 * (i + 1)]
         tag, tag_type, count = struct.unpack("<HHI", e[:8])
+        if tag not in _USED_TAGS:
+            continue
         tags[tag] = values(tag_type, count, e[8:12])
 
     def one(tag: int) -> int:

@@ -4246,3 +4246,95 @@ def test_tiff_decode_contracts():
     struct.pack_into("<H", bad, 8 + 2 + 12 * 0, 999)  # width tag renamed
     with pytest.raises(ValueError, match="missing tiff tag"):
         parse_tiff(bytes(bad))
+
+
+def test_tiff_skips_unused_tags():
+    """Real scanner TIFFs carry RATIONAL XResolution/YResolution tags
+    the layout never reads — the parser must SKIP unknown tags/types
+    instead of rejecting, while still rejecting a bad type on a tag
+    it consumes (r10 ADVICE)."""
+    import struct
+
+    import pytest
+
+    from google_sheets_etl_spark.operators.multimodal import parse_tiff
+
+    rgb = bytes((k * 7) % 256 for k in range(5 * 4 * 3))
+    from google_sheets_etl_spark.operators.multimodal import encode_tiff
+
+    # single-strip fixture so dropping RowsPerStrip (entry 7) is safe
+    good = bytearray(encode_tiff(5, 4, rgb, rows_per_strip=100))
+    # overwrite the optional 278 entry with XResolution, type RATIONAL
+    struct.pack_into("<HHII", good, 8 + 2 + 12 * 7, 282, 5, 1, 0)
+    assert parse_tiff(bytes(good)) == (5, 4, rgb)
+    # but a RATIONAL type on a CONSUMED tag (256 width) still rejects
+    bad = bytearray(encode_tiff(5, 4, rgb, rows_per_strip=100))
+    struct.pack_into("<HHII", bad, 8 + 2 + 12 * 0, 256, 5, 1, 0)
+    with pytest.raises(ValueError,
+                       match="only uncompressed rgb tiff supported"):
+        parse_tiff(bytes(bad))
+
+
+def test_bmp_rle8_direct_call_revalidates_header():
+    """parse_bmp_rle8 called DIRECTLY (bypassing parse_bmp's
+    dispatch) on an 8-bit UNCOMPRESSED bmp must strict-reject, not
+    walk raw pixels as an opcode stream (r10 ADVICE)."""
+    import struct
+
+    import pytest
+
+    from google_sheets_etl_spark.operators.multimodal import parse_bmp_rle8
+
+    pal = [(10, 20, 30), (40, 50, 60)]
+    palb = b"".join(bytes((b, g, r, 0)) for r, g, b in pal)
+    off = 54 + len(palb)
+    pixels = bytes([0, 1, 0, 0, 1, 0, 1, 0])  # 4x2, stride 4
+    info = struct.pack("<IiiHHIIiiII", 40, 4, 2, 1, 8, 0,
+                       len(pixels), 0, 0, len(pal), 0)
+    hdr = struct.pack("<2sIHHI", b"BM", off + len(pixels), 0, 0, off)
+    with pytest.raises(ValueError,
+                       match="only 24-bit uncompressed bmp supported"):
+        parse_bmp_rle8(hdr + info + palb + pixels)
+
+
+def test_robots_gate_empty_prefix_is_noop(spark):
+    """An empty path_prefix rule (RFC 9309: empty 'Disallow:' means
+    allow-everything) must be a NO-OP, not a match-everything rule
+    (r10 ADVICE): a URL matched by no other rule stays allowed."""
+    from google_sheets_etl_spark.operators.cleaning import robots_url_gate
+
+    urls = spark.createDataFrame(
+        [(1, "a.com", "/open/x"), (2, "a.com", "/private/y")],
+        "url_id long, domain string, path string",
+    )
+    rules = spark.createDataFrame(
+        [("a.com", "disallow", ""), ("a.com", "disallow", "/private")],
+        "domain string, directive string, path_prefix string",
+    )
+    got = {r.url_id: (r.allowed, r.matched_prefix)
+           for r in robots_url_gate(urls, rules).collect()}
+    assert got == {1: (True, ""), 2: (False, "/private")}
+
+
+def test_simhash_admission_corpus_dup_fingerprints(spark):
+    """incremental_simhash_admission: duplicate fingerprints across
+    corpus docs collapse into ONE index row (r10 ADVICE) — the
+    admitted set is unchanged whether the corpus holds a near-dup
+    text once or five times."""
+    from google_sheets_etl_spark.operators.dedup import (
+        incremental_simhash_admission,
+    )
+
+    text = "the quick brown fox jumps over the lazy dog " * 8
+    fresh = "completely different content about spark shuffles " * 8
+    corpus1 = spark.createDataFrame(
+        [(100, text)], "doc_id long, text string")
+    corpus5 = spark.createDataFrame(
+        [(100 + i, text) for i in range(5)], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(1, text), (2, fresh)], "doc_id long, text string")
+    got1 = {r.doc_id for r in
+            incremental_simhash_admission(corpus1, batch).collect()}
+    got5 = {r.doc_id for r in
+            incremental_simhash_admission(corpus5, batch).collect()}
+    assert got1 == got5 == {2}
