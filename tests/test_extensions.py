@@ -4338,3 +4338,70 @@ def test_simhash_admission_corpus_dup_fingerprints(spark):
     got5 = {r.doc_id for r in
             incremental_simhash_admission(corpus5, batch).collect()}
     assert got1 == got5 == {2}
+
+
+def test_jpeg420_codec_contracts():
+    """4:2:0 / 4:2:2 chroma-subsampled JPEG (r10 verdict missing #1):
+    (1) operator and independent fixture decoders bit-agree on random
+    subsampled payloads including odd / non-multiple-of-16 dims; (2)
+    a flat image survives subsampling near-exactly (flat blocks are
+    DC-only and chroma mean == sample value); (3) the strictness
+    boundary: out-of-scope sampling factor sets reject with the
+    pinned message; (4) the 4:4:4 encoder output is BYTE-IDENTICAL to
+    the pre-420 encoder (regression pin for the committed fixture)."""
+    import hashlib
+    import random
+
+    import numpy as np
+    import pytest as _pt
+
+    from google_sheets_etl_spark.operators.jpeg import (
+        encode_jpeg, parse_jpeg,
+    )
+    from tools.gen_jpeg_fixture import reference_decode_jpeg
+
+    rng = random.Random(17)
+    for trial in range(6):
+        w = rng.randrange(9, 26)
+        h = rng.randrange(9, 22)
+        mode = ["422", "420"][trial % 2]
+        raster = bytes(rng.randrange(256) for _ in range(w * h * 3))
+        payload = encode_jpeg(w, h, raster, mode)
+        w1, h1, rgb = parse_jpeg(payload)
+        w2, h2, ref = reference_decode_jpeg(payload)
+        assert (w1, h1) == (w2, h2) == (w, h)
+        assert np.array_equal(
+            np.frombuffer(rgb, dtype=np.uint8).astype(int), np.array(ref)
+        ), (trial, mode)
+
+    flat = bytes([120, 80, 200]) * (19 * 13)
+    _, _, rgb = parse_jpeg(encode_jpeg(19, 13, flat, "420"))
+    a = np.frombuffer(flat, dtype=np.uint8).astype(int)
+    b = np.frombuffer(rgb, dtype=np.uint8).astype(int)
+    assert np.abs(a - b).max() <= 2
+
+    good = encode_jpeg(16, 16, bytes(range(256)) * 3, "420")
+    sof = good.find(b"\xff\xc0")
+    for patch_off, patch_val in [
+        (sof + 11, 0x42),  # luma 4x2
+        (sof + 11, 0x12),  # luma 1x2 (chroma pyramid shape)
+        (sof + 14, 0x21),  # Cb 2x1 under luma 2x2
+    ]:
+        bad = bytearray(good)
+        bad[patch_off] = patch_val
+        with _pt.raises(ValueError,
+                        match="unsupported jpeg sampling factors"):
+            parse_jpeg(bytes(bad))
+
+    h = hashlib.sha256()
+    for doc_id in range(10):
+        w_, h_ = 8 + 4 * (doc_id % 3), 8 + 4 * (doc_id % 2)
+        raster = bytes(
+            (doc_id + x * 7 + y * 13 + c * 37) % 256
+            for y in range(h_) for x in range(w_) for c in range(3)
+        )
+        h.update(encode_jpeg(w_, h_, raster))
+    assert h.hexdigest() == (
+        "82630bf52dee3499d6dacbaaf75f891b"
+        "deb327189717cc7217d33a9ae3c67798"
+    )

@@ -78,7 +78,9 @@ class _CanonicalHuff:
 
 def reference_decode_jpeg(payload: bytes) -> tuple[int, int, list[int]]:
     """Scalar baseline decoder → (w, h, flat RGB list). Supports the
-    same scope as the operator (SOF0, 8-bit, 4:4:4, no restarts)."""
+    same scope as the operator (SOF0, 8-bit, 4:4:4 / 4:2:2 / 4:2:0
+    with MCU interleave and nearest-neighbor chroma replication, no
+    restarts)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a jpeg payload")
     pos = 2
@@ -115,7 +117,10 @@ def reference_decode_jpeg(payload: bytes) -> tuple[int, int, list[int]]:
             w = (data[3] << 8) | data[4]
             nc = data[5]
             for i in range(nc):
-                comps.append((data[6 + 3 * i], data[8 + 3 * i]))
+                hv = data[7 + 3 * i]
+                comps.append(
+                    (data[6 + 3 * i], data[8 + 3 * i], hv >> 4, hv & 0x0F)
+                )
         elif marker == 0xC4:
             d = 0
             while d < len(data):
@@ -129,7 +134,7 @@ def reference_decode_jpeg(payload: bytes) -> tuple[int, int, list[int]]:
             ns = data[0]
             for i in range(ns):
                 cs, tsel = data[1 + 2 * i], data[2 + 2 * i]
-                idx = [j for j, (cid, _) in enumerate(comps) if cid == cs][0]
+                idx = [j for j, c in enumerate(comps) if c[0] == cs][0]
                 scan.append((idx, tsel >> 4, tsel & 0x0F))
             entropy_start = pos
             break
@@ -185,15 +190,22 @@ def reference_decode_jpeg(payload: bytes) -> tuple[int, int, list[int]]:
                 out[y][x] = s
         return out
 
-    wb, hb = (w + 7) // 8, (h + 7) // 8
     nc = len(comps)
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    mx_n = (w + 8 * hmax - 1) // (8 * hmax)
+    my_n = (h + 8 * vmax - 1) // (8 * vmax)
     planes = [
-        [[0] * (wb * 8) for _ in range(hb * 8)] for _ in range(nc)
+        [[0] * (mx_n * c[2] * 8) for _ in range(my_n * c[3] * 8)]
+        for c in comps
     ]
     prev_dc = [0] * nc
-    for by in range(hb):
-        for bx in range(wb):
-            for ci, dct, act in scan:
+    for my in range(my_n):
+      for mx in range(mx_n):
+        for ci, dct, act in scan:
+            hi, vi = comps[ci][2], comps[ci][3]
+            for vb in range(vi):
+              for hb in range(hi):
                 dtab = huff[0x00 | dct]
                 atab = huff[0x10 | act]
                 q = qt[comps[ci][1]]
@@ -216,6 +228,7 @@ def reference_decode_jpeg(payload: bytes) -> tuple[int, int, list[int]]:
                 for i in range(64):
                     coef[_ZIGZAG[i]] = float(zz[i]) * q[_ZIGZAG[i]]
                 blk = idct_block(coef)
+                by, bx = my * vi + vb, mx * hi + hb
                 for y in range(8):
                     for x in range(8):
                         # reconstruction contract: +128, half-up, clamp
@@ -230,9 +243,17 @@ def reference_decode_jpeg(payload: bytes) -> tuple[int, int, list[int]]:
                 yv = planes[0][y][x]
                 out += [yv, yv, yv]
             else:
-                yv = planes[0][y][x]
-                cb = planes[1][y][x]
-                cr = planes[2][y][x]
+                # pinned upsampling contract: nearest-neighbor sample
+                # replication — pixel (x, y) reads component sample
+                # (y*vi//vmax, x*hi//hmax), realized here as scalar
+                # per-pixel index arithmetic (the operator uses
+                # numpy repeat — different structure, same rule)
+                yv = planes[0][y * comps[0][3] // vmax][
+                    x * comps[0][2] // hmax]
+                cb = planes[1][y * comps[1][3] // vmax][
+                    x * comps[1][2] // hmax]
+                cr = planes[2][y * comps[2][3] // vmax][
+                    x * comps[2][2] // hmax]
                 r = math.floor(yv + 1.402 * (cr - 128.0) + 0.5)
                 g = math.floor(
                     yv - 0.344136286 * (cb - 128.0)
@@ -245,6 +266,32 @@ def reference_decode_jpeg(payload: bytes) -> tuple[int, int, list[int]]:
                     min(255, max(0, int(b))),
                 ]
     return w, h, out
+
+
+FIXTURE_420 = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "fixtures",
+    "jpeg420_lum_sf001.sql",
+)
+
+
+def jpeg420_payload_for_doc(doc_id: int) -> bytes:
+    """The payload DEFINITION shared with the jpeg420_decode_features
+    query: formula pixels through the package encoder at 4:2:0. Dims
+    cycle 14/19/24 x 13/18 — odd widths/heights exercise the chroma
+    crop and non-multiple-of-16 dims exercise 16x16-MCU edge padding
+    with subsampled interleave."""
+    from google_sheets_etl_spark.operators.jpeg import encode_jpeg
+
+    w = 14 + 5 * (doc_id % 3)
+    h = 13 + 5 * (doc_id % 2)
+    raster = bytes(
+        (doc_id + x * 7 + y * 13 + c * 37) % 256
+        for y in range(h)
+        for x in range(w)
+        for c in range(3)
+    )
+    return encode_jpeg(w, h, raster, subsampling="420")
 
 
 def jpeg_payload_for_doc(doc_id: int) -> bytes:
@@ -263,7 +310,7 @@ def jpeg_payload_for_doc(doc_id: int) -> bytes:
     return encode_jpeg(w, h, raster)
 
 
-def expected_lum_sums(sf_dir: str) -> list[tuple[int, int]]:
+def expected_lum_sums(sf_dir: str, payload_fn=None) -> list[tuple[int, int]]:
     import duckdb
 
     con = duckdb.connect()
@@ -275,9 +322,10 @@ def expected_lum_sums(sf_dir: str) -> list[tuple[int, int]]:
         ).fetchall()
     ]
     con.close()
+    payload_fn = payload_fn or jpeg_payload_for_doc
     out = []
     for doc_id in ids:
-        _, _, rgb = reference_decode_jpeg(jpeg_payload_for_doc(doc_id))
+        _, _, rgb = reference_decode_jpeg(payload_fn(doc_id))
         lum = sum(
             (rgb[3 * p] + rgb[3 * p + 1] + rgb[3 * p + 2]) // 3
             for p in range(len(rgb) // 3)
@@ -304,6 +352,10 @@ def main() -> None:
     with open(FIXTURE, "w") as f:
         f.write(sums_to_sql(sums) + "\n")
     print(f"wrote {len(sums)} rows to {FIXTURE}")
+    sums420 = expected_lum_sums(SF_DIR, jpeg420_payload_for_doc)
+    with open(FIXTURE_420, "w") as f:
+        f.write(sums_to_sql(sums420) + "\n")
+    print(f"wrote {len(sums420)} rows to {FIXTURE_420}")
 
 
 if __name__ == "__main__":
