@@ -1,9 +1,10 @@
 #!/usr/bin/env python
-"""Round-9 drift attribution: idle-machine re-run of the queries that
-drifted between BENCH_r07 and BENCH_r08 (VERDICT.md round 8, 'What's
-wrong' #1), at 3 iterations each, recording loadavg before/after.
+"""Cross-round drift attribution: idle-machine re-run of the queries
+that drifted between two bench rounds with ZERO source change on
+their paths, at 3 iterations each, recording loadavg before/after.
 
 Usage: python tools/drift_rerun.py [sf_dir] > DRIFT_r09.json
+       DRIFT_ROUND=r10 python tools/drift_rerun.py [sf_dir] > DRIFT_r10.json
 """
 from __future__ import annotations
 
@@ -51,8 +52,37 @@ R8 = {"typed_profile_incremental": 6.16, "near_dup_clusters_lsh": 4.09,
       "image_dhash_near_dup": 5.04, "typed_view_apply": 4.97}
 
 
+# round-10 drifted cogroup rows (VERDICT.md round 10, "What's wrong"
+# #2: +0.8-2.3 s vs r9 with zero source change), plus the same two
+# stable anchors
+TARGETS_R10 = [
+    "suffix_dedup_spans",
+    "suffix_dedup_apply",
+    "near_dup_clusters_lsh",
+    "simgraph_pagerank",
+    "incremental_near_dup_admission",
+    "typed_profile_incremental",
+    "bpe_learn_merges",
+    # anchors: control for machine-wide noise
+    "events_hourly",
+    "cosine_topk",
+]
+
+R9 = {"suffix_dedup_spans": 5.25, "suffix_dedup_apply": 5.60,
+      "near_dup_clusters_lsh": 2.39, "simgraph_pagerank": 4.56,
+      "incremental_near_dup_admission": 1.63,
+      "typed_profile_incremental": 3.86, "bpe_learn_merges": 6.02}
+R10 = {"suffix_dedup_spans": 7.50, "suffix_dedup_apply": 6.85,
+       "near_dup_clusters_lsh": 3.44, "simgraph_pagerank": 5.53,
+       "incremental_near_dup_admission": 2.50,
+       "typed_profile_incremental": 4.63, "bpe_learn_merges": 7.18}
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    rnd = os.environ.get("DRIFT_ROUND", "r9")
+    targets = TARGETS_R10 if rnd == "r10" else TARGETS
+    base_lo, base_hi = (R9, R10) if rnd == "r10" else (R7, R8)
     iters = int(os.environ.get("DRIFT_ITERS", "3"))
     spark = get_spark("drift-rerun")
     spark.sparkContext.setLogLevel("ERROR")
@@ -64,7 +94,7 @@ def main() -> None:
 
     load_before = os.getloadavg()
     out = {}
-    for name in TARGETS:
+    for name in targets:
         fn = QUERIES[name]
         times = []
         for _ in range(iters):
@@ -75,11 +105,13 @@ def main() -> None:
             times.append(round(time.monotonic() - t0, 3))
         out[name] = {"times": times, "min": min(times),
                      "median": sorted(times)[len(times) // 2],
-                     "r7": R7.get(name), "r8": R8.get(name)}
-        print(f"  {name}: {times}  (r7={R7.get(name)} r8={R8.get(name)})",
+                     "prior": base_lo.get(name),
+                     "drifted": base_hi.get(name)}
+        print(f"  {name}: {times}  (prior={base_lo.get(name)}"
+              f" drifted={base_hi.get(name)})",
               file=sys.stderr)
     load_after = os.getloadavg()
-    print(json.dumps({"sf_dir": sf_dir, "iters": iters,
+    print(json.dumps({"round": rnd, "sf_dir": sf_dir, "iters": iters,
                       "loadavg_before": load_before,
                       "loadavg_after": load_after,
                       "results": out}))
