@@ -1754,3 +1754,198 @@ def hybrid_rrf_fusion(spark: SparkSession, sf: str) -> DataFrame:
             "rrf_micro", "fused_rank",
         )
     )
+
+
+# Persisted-index lifecycle twins (operators/ann_index.py): the
+# quantizer sample comes from the BUILD slice (vec_id % 4 != 3) while
+# codes/assignments cover the GROWN corpus — the exact contract
+# ann_index_admit realizes by encoding batches under the STORED
+# quantizers (never refitting).
+_ANN_STORE_COMMON = """
+WITH ed AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings),
+bld AS (SELECT vec_id, e FROM ed WHERE vec_id >= 10 AND vec_id % 4 != 3),
+corp AS (SELECT vec_id, e FROM ed WHERE vec_id >= 10),
+cbs AS (
+  SELECT vec_id, e FROM bld
+  ORDER BY md5(CAST(vec_id AS VARCHAR) || ':42'), vec_id LIMIT 128),
+cb AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR) || ':42'),
+                            vec_id) - 1 AS j,
+         list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS cv
+  FROM cbs),
+cbm AS (
+  SELECT j, m, list_slice(cv, m * 8 + 1, (m + 1) * 8) AS sub
+  FROM cb, range(8) t(m)),
+corpm AS (
+  SELECT vec_id, m,
+         list_slice(list_transform(e,
+             x -> x / sqrt(list_dot_product(e, e))),
+             m * 8 + 1, (m + 1) * 8) AS sub
+  FROM corp, range(8) t(m)),
+cd AS (
+  SELECT c.vec_id, c.m, b.j,
+         CAST(round((list_dot_product(c.sub, c.sub)
+                     - 2 * list_dot_product(c.sub, b.sub)
+                     + list_dot_product(b.sub, b.sub)) * 1000000)
+              AS BIGINT) AS d2u
+  FROM corpm c JOIN cbm b ON c.m = b.m),
+pcodes AS (
+  SELECT vec_id, m, j FROM (
+    SELECT vec_id, m, j,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                              ORDER BY d2u ASC, j ASC) AS rn
+    FROM cd) x
+  WHERE rn = 1),
+ivf_cents AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY md5(vec_id::VARCHAR || ':42'),
+                            vec_id) - 1 AS cell, e
+  FROM bld QUALIFY cell < 16),
+cassign AS (
+  SELECT vec_id, cell FROM (
+    SELECT c.vec_id, ivf_cents.cell,
+           ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+             list_dot_product(c.e, ivf_cents.e) /
+               (sqrt(list_dot_product(c.e, c.e)) *
+                sqrt(list_dot_product(ivf_cents.e, ivf_cents.e))) DESC,
+             ivf_cents.cell ASC) AS rn
+    FROM corp c CROSS JOIN ivf_cents)
+  WHERE rn = 1)"""
+
+
+@q(
+    "ann_index_build_lifecycle",
+    _ANN_STORE_COMMON
+    + """
+SELECT p.vec_id, a.cell, CAST(p.m AS INTEGER) AS m,
+       CAST(p.j AS INTEGER) AS code
+FROM pcodes p JOIN cassign a USING (vec_id)""",
+)
+def ann_index_build_lifecycle(spark: SparkSession, sf: str) -> DataFrame:
+    """PERSISTED ANN index lifecycle (operators/ann_index.py — r10
+    verdict missing #3: every ANN row rebuilt its index in-query; a
+    real pipeline materializes it): build IVF-PQ on the corpus's
+    build slice (vec_id % 4 != 3) persisting centroids + codebooks +
+    codes as StateTables, assert the index is STALE for exactly the
+    held-out slice, batch-admit that slice (encoded under the STORED
+    quantizers — the faiss add semantics, never a refit), assert
+    staleness drains to zero, and return the stored code table
+    unnested. The oracle recomputes every (cell, code) from scratch
+    under BUILD-slice quantizers over the GROWN corpus — equality
+    certifies that admission under stored quantizers IS the
+    from-scratch encoding (quantizer persistence is lossless and the
+    two encode paths cannot drift)."""
+    import tempfile
+
+    from ..operators import ann_index as ai
+
+    emb = t(spark, sf, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    build = corpus.filter(F.col("vec_id") % 4 != 3)
+    batch = corpus.filter(F.col("vec_id") % 4 == 3)
+    path = tempfile.mkdtemp(prefix="annix_")
+
+    ai.ann_index_build(spark, build, path)
+    n_batch = batch.count()
+    missing, indexed = ai.ann_index_staleness(spark, path, corpus)
+    if missing != n_batch:
+        raise AssertionError(
+            f"index staleness after build: missing={missing}, "
+            f"want the full held-out batch {n_batch}"
+        )
+    ai.ann_index_admit(spark, path, batch)
+    missing2, indexed2 = ai.ann_index_staleness(spark, path, corpus)
+    if missing2 != 0 or indexed2 != indexed + n_batch:
+        raise AssertionError(
+            f"index staleness after admit: missing={missing2} "
+            f"indexed={indexed2}, want 0/{indexed + n_batch}"
+        )
+    stored = ai._tables(spark, path, corpus.schema["vec_id"])[2].read()
+    return stored.select(
+        "vec_id", "cell", F.posexplode("codes").alias("m", "code")
+    )
+
+
+@q(
+    "ann_index_search_stored",
+    _ANN_STORE_COMMON
+    + """,
+qm AS (
+  SELECT vec_id AS query_id, m,
+         list_slice(list_transform(e,
+             x -> x / sqrt(list_dot_product(e, e))),
+             m * 8 + 1, (m + 1) * 8) AS sub
+  FROM ed, range(8) t(m) WHERE vec_id < 10),
+lut AS (
+  SELECT q.query_id, q.m, b.j,
+         CAST(round((list_dot_product(q.sub, q.sub)
+                     - 2 * list_dot_product(q.sub, b.sub)
+                     + list_dot_product(b.sub, b.sub)) * 1000000)
+              AS BIGINT) AS d2u
+  FROM qm q JOIN cbm b ON q.m = b.m),
+qprobe AS (
+  SELECT vec_id, cell FROM (
+    SELECT q.vec_id, ivf_cents.cell,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+             list_dot_product(q.e, ivf_cents.e) /
+               (sqrt(list_dot_product(q.e, q.e)) *
+                sqrt(list_dot_product(ivf_cents.e, ivf_cents.e))) DESC,
+             ivf_cents.cell ASC) AS rn
+    FROM ed q CROSS JOIN ivf_cents WHERE q.vec_id < 10)
+  WHERE rn <= 4),
+adc AS (
+  SELECT l.query_id, c.vec_id AS neighbor_id,
+         CAST(SUM(l.d2u) AS BIGINT) AS adc_u6
+  FROM pcodes c
+  JOIN cassign ca ON ca.vec_id = c.vec_id
+  JOIN lut l ON l.m = c.m AND l.j = c.j
+  JOIN qprobe qp ON qp.cell = ca.cell AND qp.vec_id = l.query_id
+  GROUP BY l.query_id, c.vec_id),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY adc_u6 ASC, neighbor_id ASC) AS rn
+    FROM adc) WHERE rn <= 100),
+rr AS (
+  SELECT s.query_id, s.neighbor_id,
+         list_dot_product(qe.e, ne.e) /
+           (sqrt(list_dot_product(qe.e, qe.e)) *
+            sqrt(list_dot_product(ne.e, ne.e))) AS cos
+  FROM short s
+  JOIN ed qe ON qe.vec_id = s.query_id
+  JOIN ed ne ON ne.vec_id = s.neighbor_id)
+SELECT query_id, neighbor_id,
+       ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY cos DESC, neighbor_id ASC) AS rank,
+       ROUND(cos, 4) AS cosine_r4
+FROM rr
+QUALIFY rank <= 5""",
+)
+def ann_index_search_stored(spark: SparkSession, sf: str) -> DataFrame:
+    """Search FROM THE STORED index (the serving half of the
+    persisted lifecycle): build + admit as in
+    ann_index_build_lifecycle, then answer queries (vec_id < 10) by
+    reading the materialized centroids/codebooks/codes — probe the
+    stored centroids, broadcast the probe onto the stored code table
+    (codes never shuffle), integer micro-unit ADC shortlist, exact
+    cosine re-rank. The oracle rebuilds the ENTIRE composed path in
+    SQL with build-slice quantizers over the grown corpus — the
+    algorithmic-twin certification ivf_pq_search gives the in-query
+    index, now for the persisted one."""
+    import tempfile
+
+    from ..operators import ann_index as ai
+
+    emb = t(spark, sf, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    path = tempfile.mkdtemp(prefix="annix_")
+    ai.ann_index_build(spark, corpus.filter(F.col("vec_id") % 4 != 3), path)
+    ai.ann_index_admit(
+        spark, path, corpus.filter(F.col("vec_id") % 4 == 3)
+    )
+    return ai.ann_index_search(
+        spark, path, emb.filter(F.col("vec_id") < 10), corpus,
+        k=5, n_probe=4, shortlist=100,
+    )

@@ -4469,3 +4469,54 @@ def test_langid_nb_learns_real_languages(spark):
     }
     want = {100: "en", 101: "de", 102: "fr", 103: "es"}
     assert got == want
+
+
+def test_ann_index_persisted_lifecycle(spark):
+    """Persisted IVF-PQ lifecycle contracts: (1) staleness gate
+    tracks exactly the unindexed ids through build → admit; (2)
+    admission encodes under the STORED quantizers — the grown code
+    table equals a from-scratch encode of the grown corpus under
+    build-time quantizers; (3) re-admitting a batch is idempotent
+    (upsert by id, row count stable); (4) search-from-store returns
+    well-formed ranked rows for every query."""
+    import tempfile
+
+    from google_sheets_etl_spark.operators import ann_index as ai
+    from google_sheets_etl_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = emb.filter("vec_id >= 5")
+    build = corpus.filter("vec_id % 3 != 2")
+    batch = corpus.filter("vec_id % 3 = 2")
+    path = tempfile.mkdtemp(prefix="annix_t_")
+
+    ai.ann_index_build(spark, build, path, n_cells=8, n_codes=32)
+    n_b = batch.count()
+    assert ai.ann_index_staleness(spark, path, corpus)[0] == n_b
+    ai.ann_index_admit(spark, path, batch)
+    missing, indexed = ai.ann_index_staleness(spark, path, corpus)
+    assert (missing, indexed) == (0, corpus.count())
+
+    cents = sim._seeded_centroid_matrix(build, 8, "vec_id", "embedding", 42)
+    cbs = sim._pq_codebooks(build, 8, 32, "vec_id", "embedding", 42)
+    fresh = {
+        (r.vec_id, r.cell, tuple(r.codes))
+        for r in ai._encode(corpus, cents, cbs, "vec_id", "embedding")
+        .collect()
+    }
+    kt = ai._tables(spark, path, corpus.schema["vec_id"])[2]
+    stored = {(r.vec_id, r.cell, tuple(r.codes)) for r in kt.read().collect()}
+    assert stored == fresh
+
+    ai.ann_index_admit(spark, path, batch)  # idempotent re-admit
+    again = {(r.vec_id, r.cell, tuple(r.codes)) for r in kt.read().collect()}
+    assert again == fresh
+
+    res = ai.ann_index_search(
+        spark, path, emb.filter("vec_id < 5"), corpus, k=3
+    ).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
