@@ -91,13 +91,6 @@ def duplicate_spans(
     ``localCheckpoint`` (executor-local blocks; an executor loss
     fails the query and it must be rerun — the same trade GraphX
     iterative jobs make)."""
-    if min_len < 2:
-        raise ValueError(f"duplicate_spans: min_len must be >= 2, got {min_len}")
-    if min_count < 2:
-        raise ValueError(
-            f"duplicate_spans: min_count must be >= 2, got {min_count}"
-        )
-
     # one row per corpus character: (doc, pos 1-based, la, lb) where
     # (la, lb) is the equality-class label of the window starting at
     # pos, tagged la=-1 at the base (labels and positions share a
@@ -122,6 +115,60 @@ def duplicate_spans(
         (F.col("p0") + 1).cast("long").alias("pos"),
         F.ascii("ch").cast("long").alias("u"),
     )
+    return _spans_from_symbols(chars, min_len, min_count, id_col)
+
+
+def duplicate_spans_tokens(
+    tokens: DataFrame,
+    min_len: int,
+    id_col: str = "doc_id",
+    pos_col: str = "pos",
+    tok_col: str = "tok_id",
+    min_count: int = 2,
+) -> DataFrame:
+    """:func:`duplicate_spans` over a TOKEN stream — the module
+    docstring's claim ("the operator is agnostic to what one position
+    holds") made a certified surface: one row per (doc, 1-based token
+    position, small integer token id), spans returned in TOKEN
+    coordinates. This is the grain Lee et al. actually run (their
+    50-token threshold): 5-10x fewer positions than the char pass for
+    the same dedup semantics, so at 100 TB the per-round state drops
+    by the same factor.
+
+    Token ids must fit the 21-bit symbol pack that makes the 3-symbol
+    base label exact (true for any real vocabulary — 2M entries;
+    enforced per row with a raise, not silent aliasing)."""
+    lim = (1 << 21) - 1
+    syms = tokens.select(
+        F.col(id_col).alias("doc"),
+        F.col(pos_col).cast("long").alias("pos"),
+        F.when(
+            (F.col(tok_col) >= 0) & (F.col(tok_col) <= lim),
+            F.col(tok_col).cast("long"),
+        )
+        .otherwise(
+            F.raise_error(F.lit(
+                "duplicate_spans_tokens: token id outside [0, 2^21)"
+            ))
+        )
+        .alias("u"),
+    )
+    return _spans_from_symbols(syms, min_len, min_count, id_col)
+
+
+def _spans_from_symbols(
+    symbols: DataFrame, min_len: int, min_count: int, id_col: str
+) -> DataFrame:
+    """The shared prefix-doubling body behind the char and token
+    entry points: ``symbols`` is (doc, pos 1-based, u < 2^21). One
+    definition so the two grains cannot drift."""
+    if min_len < 2:
+        raise ValueError(f"duplicate_spans: min_len must be >= 2, got {min_len}")
+    if min_count < 2:
+        raise ValueError(
+            f"duplicate_spans: min_count must be >= 2, got {min_count}"
+        )
+    chars = symbols
     # strictly greater: at min_len == 3 the packed base would BE the
     # final width with zero class rounds, skipping the min_count
     # filter entirely
@@ -152,7 +199,7 @@ def duplicate_spans(
             F.col("u").alias("lb"),
         )
 
-    sc = docs.sparkSession.sparkContext
+    sc = symbols.sparkSession.sparkContext
     jsc = sc._jsc.sc()
     use_reliable = sc.getCheckpointDir() is not None
 

@@ -2303,3 +2303,43 @@ def langid_nb_predict(
             })
 
     return docs.select(id_col, text_col).mapInPandas(kernel, schema)
+
+
+def token_vocabulary(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """``(token, tok_id)`` — dense integer ids for the corpus's
+    whitespace token vocabulary, assigned by token ASC so the mapping
+    is deterministic across runs/partitionings/engines (row_number
+    over sorted distinct — a vocabulary is metadata-scale, so the
+    single-partition window is bounded by construction; open-vocab
+    corpora use feature hashing instead, ``hashed_doc_vectors``).
+    The id space is exactly what :func:`~.suffix.duplicate_spans_tokens`
+    consumes (ids < 2^21 for any real vocabulary)."""
+    toks = (
+        docs.select(
+            F.explode(F.split(F.col(text_col), " ")).alias("token")
+        )
+        .distinct()
+    )
+    w = Window.orderBy("token")
+    return toks.select(
+        "token",
+        (F.row_number().over(w) - 1).cast("long").alias("tok_id"),
+    )
+
+
+def doc_token_positions(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per (doc, 1-based token position, token) — the token
+    stream :func:`token_vocabulary` ids join onto. Narrow explode,
+    no shuffle."""
+    return docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("p0", "token"),
+    ).select(
+        id_col,
+        (F.col("p0") + 1).cast("long").alias("pos"),
+        "token",
+    )

@@ -4520,3 +4520,43 @@ def test_ann_index_persisted_lifecycle(spark):
         by_q.setdefault(r.query_id, []).append(r.rank)
     assert set(by_q) == {0, 1, 2, 3, 4}
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
+
+
+def test_duplicate_spans_tokens_grain(spark):
+    """Token-grain suffix dedup: a 4-token phrase planted in two docs
+    is found at its TOKEN coordinates in both; a token id >= 2^21
+    raises the pinned guard instead of silently aliasing in the
+    21-bit symbol pack."""
+    import pytest
+
+    from google_sheets_etl_spark.operators.suffix import (
+        duplicate_spans_tokens,
+    )
+    from google_sheets_etl_spark.operators.text import (
+        doc_token_positions, token_vocabulary,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb cc dd ee ff gg hh"),
+            (2, "xx yy cc dd ee ff zz qq"),
+        ],
+        "doc_id long, text string",
+    )
+    vocab = token_vocabulary(docs)
+    toks = doc_token_positions(docs).join(vocab, "token").select(
+        "doc_id", "pos", "tok_id"
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.span_len)
+        for r in duplicate_spans_tokens(toks, min_len=4).collect()
+    }
+    # "cc dd ee ff" sits at token positions 3-6 in both docs
+    assert got == {(1, 3, 6, 4), (2, 3, 6, 4)}
+
+    bad = spark.createDataFrame(
+        [(1, 1, 1 << 21), (1, 2, 3), (1, 3, 4), (1, 4, 5)],
+        "doc_id long, pos long, tok_id long",
+    )
+    with pytest.raises(Exception, match="token id outside"):
+        duplicate_spans_tokens(bad, min_len=4).collect()
