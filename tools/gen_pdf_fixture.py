@@ -61,6 +61,28 @@ def pdf_payload_for_doc(doc_id: int, text: str) -> bytes:
     )
 
 
+FIXTURE_15 = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "fixtures",
+    "pdf15_text_sf001.sql",
+)
+
+
+def pdf15_payload_for_doc(doc_id: int, text: str) -> bytes:
+    """The PDF 1.5 plant: same pages as the classic plant, laid out
+    with a cross-reference STREAM; odd ids pack the non-stream
+    objects into an ObjStm (type-2 entries), ids ≡ 1 (mod 3) add the
+    PNG-Up predictor to the xref stream."""
+    return encode_pdf_text(
+        pdf_pages_for_doc(doc_id, text),
+        compress=doc_id % 2 == 0,
+        use_tj_array=doc_id % 3 == 0,
+        xref_stream=True,
+        objstm=doc_id % 2 == 1,
+        predictor=doc_id % 3 == 1,
+    )
+
+
 def _unescape(raw: bytes) -> str:
     out = bytearray()
     i = 1  # skip '('
@@ -80,7 +102,11 @@ def independent_extract(data: bytes) -> list[str]:
     """Text per page WITHOUT the engine's xref/object-graph walk:
     content streams found by object-region scan (object numbers
     ascend with page order in these payloads), strings collected in
-    stream order."""
+    stream order. Handles the 1.5 layouts by the same xref-free
+    principle — content streams remain regular objects there (only
+    NON-stream objects move into an ObjStm), so the scan simply
+    skips the /XRef and /ObjStm bookkeeping streams by header name
+    and never touches a cross-reference."""
     pages: list[tuple[int, bytes]] = []
     for m in _OBJ_RE.finditer(data):
         body = m.group(2)
@@ -88,6 +114,8 @@ def independent_extract(data: bytes) -> list[str]:
         if not sm:
             continue
         head = body[: sm.start()]
+        if b"/XRef" in head or b"/ObjStm" in head:
+            continue
         lm = _LEN_RE.search(head)
         raw = body[sm.end() : sm.end() + int(lm.group(1))]
         if b"/FlateDecode" in head:
@@ -99,7 +127,9 @@ def independent_extract(data: bytes) -> list[str]:
     ]
 
 
-def corpus_rows(sf_dir: str) -> list[tuple[int, int, str]]:
+def corpus_rows(
+    sf_dir: str, payload_fn=None
+) -> list[tuple[int, int, str]]:
     import duckdb
 
     con = duckdb.connect()
@@ -108,9 +138,10 @@ def corpus_rows(sf_dir: str) -> list[tuple[int, int, str]]:
         f"read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"
     ).fetchall()
     con.close()
+    payload_fn = payload_fn or pdf_payload_for_doc
     out: list[tuple[int, int, str]] = []
     for doc_id, text in docs:
-        got = independent_extract(pdf_payload_for_doc(int(doc_id), text))
+        got = independent_extract(payload_fn(int(doc_id), text))
         for i, t in enumerate(got):
             out.append((int(doc_id), i + 1, t))
     return out
@@ -137,6 +168,10 @@ def main() -> None:
     with open(FIXTURE, "w") as f:
         f.write(fixture_sql(rows) + "\n")
     print(f"wrote {len(rows)} page rows to {FIXTURE}")
+    rows15 = corpus_rows(SF_DIR, pdf15_payload_for_doc)
+    with open(FIXTURE_15, "w") as f:
+        f.write(fixture_sql(rows15) + "\n")
+    print(f"wrote {len(rows15)} page rows to {FIXTURE_15}")
 
 
 if __name__ == "__main__":
