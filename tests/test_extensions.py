@@ -4607,3 +4607,43 @@ def test_pdf15_xref_stream_contracts():
         assert mutated != good
         with _pt.raises(ValueError, match=msg):
             parse_pdf_text(mutated)
+
+
+def test_wet_conversion_records_walk(spark):
+    """WET walk contracts: warcinfo rows surface on the audit axis
+    with empty target_uri; conversion rows carry uri + plain-text
+    body with NO HTTP-envelope strip; a conversion body containing
+    the WARC/1.0 leader byte sequence reassembles byte-exactly
+    (the Content-Length re-merge shared with the response walk)."""
+    from google_sheets_etl_spark.operators.cleaning import (
+        wet_conversion_records,
+    )
+
+    crlf = "\r\n"
+
+    def rec(typ, body, uri=None):
+        h = "WARC/1.0" + crlf + f"WARC-Type: {typ}" + crlf
+        if uri:
+            h += f"WARC-Target-URI: {uri}" + crlf
+        h += f"Content-Length: {len(body.encode())}" + crlf + crlf
+        return h + body + crlf + crlf
+
+    tricky = "leader WARC/1.0\r\n inside the text"
+    http_shaped = "HTTP/1.1 200 OK\r\n\r\nnot an envelope"
+    wet = (
+        rec("warcinfo", "software: x")
+        + rec("conversion", "plain text", "http://a.com/1")
+        + rec("conversion", tricky, "http://a.com/2")
+        + rec("conversion", http_shaped, "http://a.com/3")
+    )
+    df = spark.createDataFrame([(1, wet)], "doc_id long, wet string")
+    got = {
+        r.record_idx: (r.warc_type, r.target_uri, r.text)
+        for r in wet_conversion_records(df).collect()
+    }
+    assert got[1] == ("warcinfo", "", "software: x")
+    assert got[2] == ("conversion", "http://a.com/1", "plain text")
+    assert got[3] == ("conversion", "http://a.com/2", tricky)
+    # the grammar difference from WARC: conversion bodies are NOT
+    # HTTP messages — an HTTP-shaped text must come through verbatim
+    assert got[4] == ("conversion", "http://a.com/3", http_shaped)
