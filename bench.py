@@ -65,7 +65,15 @@ EXCLUDE = {"near_dup_jaccard_exact", "dedup_clusters_exact",
            # samples × hex-string concat per doc) — fixture
            # construction, not data-plane throughput; the PCM decode
            # path they exercise IS benchmarked (multimodal_wav_energy)
-           "audio_dhash_fingerprints", "audio_dhash_near_dup"}
+           "audio_dhash_fingerprints", "audio_dhash_near_dup",
+           # multi-pass persisted-index LIFECYCLE checks (build ->
+           # staleness -> admit -> staleness -> read / search), each
+           # call writing three StateTables to a temp dir — the
+           # compaction_lifecycle / zorder_write_lifecycle class of
+           # maintenance machinery; the IVF-PQ data-plane kernels
+           # they share (cell assign, PQ encode, ADC shortlist,
+           # re-rank) ARE benchmarked via ivf_pq_search
+           "ann_index_build_lifecycle", "ann_index_search_stored"}
 
 
 def main() -> None:
