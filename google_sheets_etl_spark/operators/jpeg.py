@@ -15,7 +15,9 @@ Scope and strictness contract:
   components, sampling factors pinned to 4:4:4 (all h=v=1), 4:2:2
   (luma 2x1) and 4:2:0 (luma 2x2 — the dominant real-web JPEG shape,
   added round 11 on the r10 verdict's "missing #1"), MCU-interleaved
-  per T.81 A.2.3; no restart intervals, no progressive/arithmetic
+  per T.81 A.2.3; restart intervals (DRI + byte-aligned RSTn with the
+  modulo-8 cycle check and per-interval DC reset — round 11; RST
+  without DRI stays a pinned reject); no progressive/arithmetic
   coding. Everything outside that scope and every malformed shape
   raises a PINNED ValueError (the PPM/WAV/PNG discipline) — per-row
   rejects upstream, surfaced by ``payload_decode_audit``.
@@ -204,10 +206,20 @@ class _BitWriter:
             self.n -= 8
         self.acc &= (1 << self.n) - 1
 
-    def flush(self) -> bytes:
+    def align(self) -> None:
+        """Pad the current partial byte with 1-bits (B.2.1) — the
+        byte alignment a restart marker requires."""
         if self.n:
             pad = 8 - self.n
-            self.write((1 << pad) - 1, pad)  # 1-fill per spec
+            self.write((1 << pad) - 1, pad)
+
+    def raw(self, b: bytes) -> None:
+        """Append marker bytes verbatim (no stuffing). Caller must be
+        byte-aligned (``align()`` first)."""
+        self.out += b
+
+    def flush(self) -> bytes:
+        self.align()
         return bytes(self.out)
 
 
@@ -257,7 +269,11 @@ def _decode_symbol(reader: _BitReader, table: dict[tuple[int, int], int]) -> int
 
 
 def encode_jpeg(
-    w: int, h: int, raster: bytes, subsampling: str = "444"
+    w: int,
+    h: int,
+    raster: bytes,
+    subsampling: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode an RGB raster as baseline JFIF (Annex K quant tables,
     typical Huffman tables). ``subsampling``: ``'444'`` (h=v=1
@@ -270,7 +286,12 @@ def encode_jpeg(
     PINNED chroma downsample rule (part of the codec contract, shared
     by necessity with the independent fixture decoder's expectation):
     the float64 ARITHMETIC MEAN over each fh x fv pixel block of the
-    edge-PADDED chroma plane, no intermediate rounding."""
+    edge-PADDED chroma plane, no intermediate rounding.
+
+    ``restart_interval`` > 0 (round 11): emit a DRI segment and a
+    byte-aligned RSTn marker (n cycling 0-7) after every
+    ``restart_interval`` MCUs, resetting the DC predictors — the
+    error-resilience layout real camera/libjpeg output carries."""
     import struct
 
     import numpy as np
@@ -314,8 +335,21 @@ def encode_jpeg(
                _huffman_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)]
     writer = _BitWriter()
     prev_dc = [0, 0, 0]
+    mcu_count = 0
     for my in range(my_n):
       for mx in range(mx_n):
+        if (
+            restart_interval
+            and mcu_count
+            and mcu_count % restart_interval == 0
+        ):
+            writer.align()
+            writer.raw(bytes([
+                0xFF,
+                0xD0 + (mcu_count // restart_interval - 1) % 8,
+            ]))
+            prev_dc = [0, 0, 0]
+        mcu_count += 1
         for ci, plane in enumerate(planes):
             hi, vi = factors[ci]
             tsel = 0 if ci == 0 else 1
@@ -364,6 +398,8 @@ def encode_jpeg(
     for tid, table in ((0, QUANT_LUM), (1, QUANT_CHROMA)):
         zz_t = bytes(table[ZIGZAG[i]] for i in range(64))
         out += seg(0xFFDB, bytes([tid]) + zz_t)
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
     out += seg(
         0xFFC0,
         struct.pack(">BHHB", 8, h, w, 3)
@@ -396,6 +432,7 @@ def parse_jpeg(payload: bytes) -> tuple[int, int, bytes]:
     pos = 2
     qtables: dict[int, "np.ndarray"] = {}
     htables: dict[int, dict[tuple[int, int], int]] = {}
+    restart_interval = 0
     w = h = None
     comps: list[tuple[int, int]] = []  # (component id, quant table id)
     scan: list[tuple[int, int, int]] = []  # (comp idx, dc table, ac table)
@@ -476,8 +513,10 @@ def parse_jpeg(payload: bytes) -> tuple[int, int, bytes]:
                     raise ValueError("truncated jpeg segment")
                 htables[tc_th] = _decode_table(bits, vals)
                 dpos += 17 + nsym
-        elif marker == 0xDD:
-            raise ValueError("jpeg restart intervals unsupported")
+        elif marker == 0xDD:  # DRI (round 11: restarts supported)
+            if len(data) < 2:
+                raise ValueError("truncated jpeg segment")
+            restart_interval = struct.unpack(">H", data[:2])[0]
         elif marker == 0xDA:  # SOS
             if not data:
                 raise ValueError("truncated jpeg segment")
@@ -521,12 +560,14 @@ def parse_jpeg(payload: bytes) -> tuple[int, int, bytes]:
             p += 2
             continue
         if 0xD0 <= nxt <= 0xD7:
-            # restart markers are only legal after a DRI segment, and
-            # DRI is rejected above — reject here too, so an RST-bearing
-            # payload fails with THIS message instead of passing the
-            # scan and dying mid-decode with _BitReader's generic
-            # "unexpected marker" (round-9 advisory)
-            raise ValueError("jpeg restart intervals unsupported")
+            # restart markers are only legal after a DRI segment
+            # declaring a nonzero interval; without one, reject at the
+            # scan instead of dying mid-decode with _BitReader's
+            # generic "unexpected marker" (round-9 advisory shape)
+            if not restart_interval:
+                raise ValueError("jpeg restart marker without dri")
+            p += 2
+            continue
         if nxt == 0xFF:  # fill byte (B.1.1.2) — realign, like the
             p += 1       # pre-SOS marker walker above
             continue
@@ -542,7 +583,7 @@ def parse_jpeg(payload: bytes) -> tuple[int, int, bytes]:
     # advisory)
     while end > entropy_start and payload[end - 1] == 0xFF:
         end -= 1
-    reader = _BitReader(payload[entropy_start:end])
+    entropy = payload[entropy_start:end]
     C = _dct_matrix()
     nc = len(comps)
     hmax = max(c[2] for c in comps)
@@ -551,6 +592,37 @@ def parse_jpeg(payload: bytes) -> tuple[int, int, bytes]:
     # contributes hi*vi blocks per MCU in raster order (T.81 A.2.3)
     mx_n = (w + 8 * hmax - 1) // (8 * hmax)
     my_n = (h + 8 * vmax - 1) // (8 * vmax)
+    if restart_interval:
+        # restart markers are byte-aligned: split the entropy slice at
+        # every FF D0-D7 (FF 00 is stuffed data, skipped), check the
+        # marker modulo-8 cycle, and hand each interval its own reader
+        # with fresh DC predictors (F.2.1.3.1)
+        segments: list[bytes] = []
+        markers: list[int] = []
+        p = start = 0
+        while True:
+            fpos = entropy.find(b"\xff", p)
+            if fpos < 0 or fpos + 1 >= len(entropy):
+                segments.append(entropy[start:])
+                break
+            nxt2 = entropy[fpos + 1]
+            if 0xD0 <= nxt2 <= 0xD7:
+                segments.append(entropy[start:fpos])
+                markers.append(nxt2 - 0xD0)
+                p = start = fpos + 2
+            else:
+                p = fpos + 2
+        n_mcus = mx_n * my_n
+        expected = (n_mcus + restart_interval - 1) // restart_interval
+        if len(segments) != expected or any(
+            m != k % 8 for k, m in enumerate(markers)
+        ):
+            raise ValueError("jpeg restart marker sequence broken")
+    else:
+        segments = [entropy]
+    reader = _BitReader(segments[0])
+    seg_idx = 0
+    mcu_count = 0
     planes = [
         np.zeros((my_n * c[3] * 8, mx_n * c[2] * 8), dtype=np.float64)
         for c in comps
@@ -558,6 +630,15 @@ def parse_jpeg(payload: bytes) -> tuple[int, int, bytes]:
     prev_dc = [0] * nc
     for my in range(my_n):
         for mx in range(mx_n):
+            if (
+                restart_interval
+                and mcu_count
+                and mcu_count % restart_interval == 0
+            ):
+                seg_idx += 1
+                reader = _BitReader(segments[seg_idx])
+                prev_dc = [0] * nc
+            mcu_count += 1
             for si, (ci, dct, act) in enumerate(scan):
                 _, tq, hi, vi = comps[ci]
                 dc_tab = htables.get(0x00 | dct)

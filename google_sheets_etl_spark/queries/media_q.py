@@ -1276,6 +1276,121 @@ def jpeg420_decode_audit(spark: SparkSession, sf: str) -> DataFrame:
     return multimodal.payload_decode_audit(media)
 
 
+def _jpegdri_oracle() -> str:
+    """Literal luminance sums for the restart-interval payloads,
+    regenerated by the independent scalar decoder (which realizes the
+    restart split as a scalar byte walk + segment-pointer bit state
+    vs the operator's pre-split list of _BitReaders)."""
+    import os
+
+    with open(os.path.join(_FIXTURES_DIR, "jpegdri_lum_sf001.sql")) as f:
+        return f.read()
+
+
+@q("jpeg_dri_decode_features", _jpegdri_oracle())
+def jpeg_dri_decode_features(spark: SparkSession, sf: str) -> DataFrame:
+    """RESTART-INTERVAL JPEG decode (round 11): DRI + byte-aligned
+    RSTn markers with modulo-8 cycle check, per-interval DC-predictor
+    reset, one fresh entropy reader per interval — the
+    error-resilience layout real camera/libjpeg output carries, which
+    previously dead-lettered ('restart intervals unsupported').
+    Payloads cycle subsampling 444/420/422 x interval 1/2/3 MCUs over
+    30/35/40 x 29/34 images (several MCUs at every mode). Oracle: the
+    independent scalar decoder's literal sums."""
+    import pandas as pd
+
+    from ..operators.jpeg import encode_jpeg
+
+    d = t(spark, sf, "documents").select("doc_id")
+
+    def kernel(batches):
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w = 30 + 5 * (doc_id % 3)
+                h = 29 + 5 * (doc_id % 2)
+                y, x, c = np.meshgrid(
+                    np.arange(h, dtype=np.int64),
+                    np.arange(w, dtype=np.int64),
+                    np.arange(3, dtype=np.int64),
+                    indexing="ij",
+                )
+                raster = (
+                    ((doc_id + x * 7 + y * 13 + c * 37) % 256)
+                    .astype(np.uint8).tobytes()
+                )
+                payloads.append(
+                    encode_jpeg(
+                        w, h, raster,
+                        ["444", "420", "422"][doc_id % 3],
+                        restart_interval=1 + doc_id % 3,
+                    )
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = d.mapInPandas(kernel, "media_id long, payload binary")
+    return multimodal.image_luminance_sum(media, ["media_id"])
+
+
+@q(
+    "jpeg_dri_decode_audit",
+    """SELECT doc_id AS media_id,
+              (doc_id % 4) = 0 AS ok,
+              CASE doc_id % 4
+                WHEN 0 THEN ''
+                WHEN 1 THEN 'jpeg restart marker sequence broken'
+                WHEN 2 THEN 'jpeg restart marker without dri'
+                ELSE 'unsupported payload format' END AS err
+       FROM documents""",
+)
+def jpeg_dri_decode_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """The restart-machinery reject channel: planted classes — a
+    valid 420+DRI payload (2x2 MCUs, interval 1); its first RST
+    marker renumbered D0→D3 (modulo-8 cycle broken); an RST spliced
+    before the EOI of a payload with NO DRI segment (the round-9
+    advisory shape, now with its own pinned message); junk."""
+    import pandas as pd
+
+    from ..operators.jpeg import encode_jpeg
+
+    d = t(spark, sf, "documents").select("doc_id")
+
+    def kernel(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                raster = bytes(
+                    (doc_id * 3 + k) % 256 for k in range(32 * 32 * 3)
+                )
+                good = encode_jpeg(32, 32, raster, "420",
+                                   restart_interval=1)
+                cls = doc_id % 4
+                if cls == 0:
+                    payloads.append(good)
+                elif cls == 1:
+                    i = good.find(b"\xff\xd0")
+                    payloads.append(good[:i + 1] + b"\xd3" + good[i + 2:])
+                elif cls == 2:
+                    nodri = encode_jpeg(32, 32, raster, "420")
+                    payloads.append(
+                        nodri[:-2] + b"\xff\xd3" + nodri[-2:]
+                    )
+                else:
+                    payloads.append(b"ZZnot-media")
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = d.mapInPandas(kernel, "media_id long, payload binary")
+    return multimodal.payload_decode_audit(media)
+
+
 # GIF fixtures: palette entry i is (r,g,b) = ((i·7+11)%256,
 # (i·57+2)%256, (i·33+5)%256) and pixel j of frame f carries palette
 # INDEX (doc_id·31 + f·17 + j) % 256 — so the oracle regenerates

@@ -2937,12 +2937,12 @@ def test_jpeg_trailing_bytes_rejected_like_png_gif():
     # marker walker) — and the decoded pixels are unaffected
     filled = good[:-2] + b"\xff\xff" + good[-2:]
     assert parse_jpeg(filled) == (w, h, raster)
-    # round-9 advisory: RST markers (FF D0-D7) in entropy data are only
-    # legal after a DRI segment, and DRI is rejected — the EOI scan must
-    # reject them with the SAME message instead of letting the payload
-    # pass the scan and die mid-decode on a generic _BitReader error
+    # round-9 advisory shape, round-11 message: RST markers in entropy
+    # data are only legal after a DRI segment declaring an interval —
+    # without one the EOI scan rejects with the pinned message instead
+    # of letting the payload die mid-decode on a generic reader error
     rst = good[:-2] + b"\xff\xd3" + good[-2:]
-    with pytest.raises(ValueError, match="restart intervals unsupported"):
+    with pytest.raises(ValueError, match="restart marker without dri"):
         parse_jpeg(rst)
 
 
@@ -4647,3 +4647,58 @@ def test_wet_conversion_records_walk(spark):
     # the grammar difference from WARC: conversion bodies are NOT
     # HTTP messages — an HTTP-shaped text must come through verbatim
     assert got[4] == ("conversion", "http://a.com/3", http_shaped)
+
+
+def test_jpeg_restart_interval_contracts():
+    """DRI/RSTn (round 11): (1) restart layouts decode
+    pixel-identically to their no-restart siblings across
+    subsampling x interval combinations, and both decoders bit-agree;
+    (2) a broken modulo-8 marker cycle rejects with the pinned
+    message; (3) no-restart encoder output is byte-identical to
+    pre-DRI output (regression pin)."""
+    import hashlib
+    import random
+
+    import numpy as np
+    import pytest as _pt
+
+    from google_sheets_etl_spark.operators.jpeg import (
+        encode_jpeg, parse_jpeg,
+    )
+    from tools.gen_jpeg_fixture import reference_decode_jpeg
+
+    rng = random.Random(23)
+    for trial in range(6):
+        w = rng.randrange(17, 40)
+        h = rng.randrange(17, 40)
+        mode = ["444", "420", "422"][trial % 3]
+        ri = 1 + trial % 3
+        raster = bytes(rng.randrange(256) for _ in range(w * h * 3))
+        p = encode_jpeg(w, h, raster, mode, restart_interval=ri)
+        assert b"\xff\xdd" in p
+        assert parse_jpeg(p) == parse_jpeg(encode_jpeg(w, h, raster, mode))
+        a = parse_jpeg(p)
+        b = reference_decode_jpeg(p)
+        assert np.array_equal(
+            np.frombuffer(a[2], dtype=np.uint8).astype(int),
+            np.array(b[2]),
+        ), (trial, mode, ri)
+
+    raster = bytes((k * 11) % 256 for k in range(32 * 32 * 3))
+    good = encode_jpeg(32, 32, raster, "420", restart_interval=1)
+    i = good.find(b"\xff\xd0")
+    with _pt.raises(ValueError, match="restart marker sequence broken"):
+        parse_jpeg(good[:i + 1] + b"\xd3" + good[i + 2:])
+
+    hsh = hashlib.sha256()
+    for doc_id in range(10):
+        w_, h_ = 8 + 4 * (doc_id % 3), 8 + 4 * (doc_id % 2)
+        r = bytes(
+            (doc_id + x * 7 + y * 13 + c * 37) % 256
+            for y in range(h_) for x in range(w_) for c in range(3)
+        )
+        hsh.update(encode_jpeg(w_, h_, r))
+    assert hsh.hexdigest() == (
+        "82630bf52dee3499d6dacbaaf75f891b"
+        "deb327189717cc7217d33a9ae3c67798"
+    )

@@ -86,6 +86,7 @@ def reference_decode_jpeg(payload: bytes) -> tuple[int, int, list[int]]:
     pos = 2
     qt: dict[int, list[int]] = {}
     huff: dict[int, _CanonicalHuff] = {}
+    ri = 0
     w = h = None
     comps: list[tuple[int, int]] = []
     scan: list[tuple[int, int, int]] = []
@@ -130,6 +131,8 @@ def reference_decode_jpeg(payload: bytes) -> tuple[int, int, list[int]]:
                 vals = list(data[d + 17:d + 17 + nsym])
                 huff[tc_th] = _CanonicalHuff(bits, vals)
                 d += 17 + nsym
+        elif marker == 0xDD:
+            ri = (data[0] << 8) | data[1]
         elif marker == 0xDA:
             ns = data[0]
             for i in range(ns):
@@ -139,12 +142,29 @@ def reference_decode_jpeg(payload: bytes) -> tuple[int, int, list[int]]:
             entropy_start = pos
             break
     end = payload.rfind(b"\xff\xd9")
-    data = payload[entropy_start:end]
+    entropy = payload[entropy_start:end]
+    # restart intervals: scalar split at byte-aligned FF D0-D7
+    # boundaries (FF 00 is stuffed data)
+    segs: list[bytes] = []
+    if ri:
+        k = s0 = 0
+        while k + 1 < len(entropy):
+            if entropy[k] == 0xFF and 0xD0 <= entropy[k + 1] <= 0xD7:
+                segs.append(entropy[s0:k])
+                k = s0 = k + 2
+            elif entropy[k] == 0xFF:
+                k += 2
+            else:
+                k += 1
+        segs.append(entropy[s0:])
+    else:
+        segs.append(entropy)
 
-    state = {"pos": 0, "acc": 0, "n": 0}
+    state = {"seg": 0, "pos": 0, "acc": 0, "n": 0}
 
     def nextbit() -> int:
         if state["n"] == 0:
+            data = segs[state["seg"]]
             b = data[state["pos"]]
             state["pos"] += 1
             if b == 0xFF:
@@ -153,6 +173,11 @@ def reference_decode_jpeg(payload: bytes) -> tuple[int, int, list[int]]:
             state["n"] = 8
         state["n"] -= 1
         return (state["acc"] >> state["n"]) & 1
+
+    def next_segment() -> None:
+        state["seg"] += 1
+        state["pos"] = 0
+        state["n"] = 0
 
     def receive_extend(cat: int) -> int:
         if cat == 0:
@@ -200,8 +225,13 @@ def reference_decode_jpeg(payload: bytes) -> tuple[int, int, list[int]]:
         for c in comps
     ]
     prev_dc = [0] * nc
+    mcu_count = 0
     for my in range(my_n):
       for mx in range(mx_n):
+        if ri and mcu_count and mcu_count % ri == 0:
+            next_segment()
+            prev_dc = [0] * nc
+        mcu_count += 1
         for ci, dct, act in scan:
             hi, vi = comps[ci][2], comps[ci][3]
             for vb in range(vi):
@@ -294,6 +324,35 @@ def jpeg420_payload_for_doc(doc_id: int) -> bytes:
     return encode_jpeg(w, h, raster, subsampling="420")
 
 
+FIXTURE_DRI = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "fixtures",
+    "jpegdri_lum_sf001.sql",
+)
+
+
+def jpegdri_payload_for_doc(doc_id: int) -> bytes:
+    """The restart-interval plant: dims 30/35/40 x 29/34 (several
+    MCUs at every subsampling), the subsampling mode cycling
+    444/420/422 and the restart interval cycling 1/2/3 MCUs — every
+    (mode, interval) pair appears across the corpus."""
+    from google_sheets_etl_spark.operators.jpeg import encode_jpeg
+
+    w = 30 + 5 * (doc_id % 3)
+    h = 29 + 5 * (doc_id % 2)
+    raster = bytes(
+        (doc_id + x * 7 + y * 13 + c * 37) % 256
+        for y in range(h)
+        for x in range(w)
+        for c in range(3)
+    )
+    return encode_jpeg(
+        w, h, raster,
+        subsampling=["444", "420", "422"][doc_id % 3],
+        restart_interval=1 + doc_id % 3,
+    )
+
+
 def jpeg_payload_for_doc(doc_id: int) -> bytes:
     """The payload DEFINITION shared with the jpeg_decode_features
     query: formula pixels through the package encoder."""
@@ -356,6 +415,10 @@ def main() -> None:
     with open(FIXTURE_420, "w") as f:
         f.write(sums_to_sql(sums420) + "\n")
     print(f"wrote {len(sums420)} rows to {FIXTURE_420}")
+    sumsdri = expected_lum_sums(SF_DIR, jpegdri_payload_for_doc)
+    with open(FIXTURE_DRI, "w") as f:
+        f.write(sums_to_sql(sumsdri) + "\n")
+    print(f"wrote {len(sumsdri)} rows to {FIXTURE_DRI}")
 
 
 if __name__ == "__main__":
