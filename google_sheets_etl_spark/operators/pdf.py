@@ -11,11 +11,12 @@ Subset (ISO 32000-1): classic cross-reference TABLE or (round 11,
 verdict missing #5 — the post-2005 default) a cross-reference STREAM
 (§7.5.8: /Type /XRef, FlateDecode, W field widths, optional PNG-Up
 /Predictor 12) with objects optionally packed into /Type /ObjStm
-object streams (§7.5.7, type-2 entries); uncompressed or FlateDecode
-content streams (stdlib zlib — the WARC gzip stance), text-showing
-operators ``Tj`` and ``TJ`` inside ``BT``/``ET`` blocks, literal
-strings with the standard escape set. Encrypted documents, other
-filters, other predictors, and incremental-update /Prev chains are
+object streams (§7.5.7, type-2 entries); incremental-update /Prev
+chains (§7.5.6 — both layout families, newest entry wins, cycles
+rejected); uncompressed or FlateDecode content streams (stdlib zlib —
+the WARC gzip stance), text-showing operators ``Tj`` and ``TJ``
+inside ``BT``/``ET`` blocks, literal strings with the standard escape
+set. Encrypted documents, other filters, and other predictors are
 PINNED REJECTS, not silent skips.
 
 Reference parity note: the reference engine (PHP ETL; see
@@ -200,6 +201,76 @@ def encode_pdf_text(
         + body + b"\nendstream\nendobj\n"
     )
     out += f"startxref\n{xref_off}\n%%EOF\n".encode()
+    return bytes(out)
+
+
+def append_incremental_update(
+    base: bytes, page_idx: int, new_text: str, compress: bool = False
+) -> bytes:
+    """Append an INCREMENTAL UPDATE (ISO 32000-1 §7.5.6) replacing
+    page ``page_idx``'s content stream — the save-in-place layout
+    PDF editors produce: the original bytes stay untouched, a
+    replacement object and a new cross-reference section carrying
+    ``/Prev`` land after ``%%EOF``. Matches the base's layout family:
+    a classic base gets a classic one-subsection update table, a 1.5
+    base gets an update /Type /XRef stream (its own object number,
+    ``/Index`` covering the two new entries)."""
+    m = re.search(rb"startxref\s+(\d+)", base[base.rfind(b"startxref"):])
+    if not m:
+        raise ValueError("missing pdf startxref")
+    prev_off = int(m.group(1))
+    cont_num = 4 + 2 * page_idx
+    stream = (
+        f"BT /F1 12 Tf 72 720 Td ({_esc_pdf_string(new_text)}) Tj ET"
+    ).encode("latin-1")
+    if compress:
+        body = zlib.compress(stream, 9)
+        head = f"<< /Length {len(body)} /Filter /FlateDecode >>".encode()
+    else:
+        body = stream
+        head = f"<< /Length {len(body)} >>".encode()
+    out = bytearray(base)
+    obj_off = len(out)
+    out += (
+        f"{cont_num} 0 obj\n".encode()
+        + head + b"\nstream\n" + body + b"\nendstream\nendobj\n"
+    )
+    classic = base[prev_off : prev_off + 4] == b"xref"
+    if classic:
+        sm = re.search(rb"/Size (\d+)", base[prev_off:])
+        size = int(sm.group(1)) if sm else cont_num + 1
+        new_xref = len(out)
+        out += (
+            f"xref\n{cont_num} 1\n{obj_off:010d} 00000 n \n"
+            f"trailer\n<< /Size {size} /Root 1 0 R "
+            f"/Prev {prev_off} >>\n"
+            f"startxref\n{new_xref}\n%%EOF\n"
+        ).encode()
+        return bytes(out)
+    # 1.5 base: the update xref is itself a stream object with a NEW
+    # object number (= the base's /Size), /Index covering exactly the
+    # replaced object and the update xref itself
+    import struct
+
+    sm = re.search(rb"/Size (\d+)", base[prev_off:])
+    if not sm:
+        raise ValueError("bad pdf xref stream")
+    old_size = int(sm.group(1))
+    xref_num = old_size
+    new_xref = len(out)
+    rows = (
+        struct.pack(">BIH", 1, obj_off, 0)
+        + struct.pack(">BIH", 1, new_xref, 0)
+    )
+    zbody = zlib.compress(rows, 9)
+    out += (
+        f"{xref_num} 0 obj\n<< /Type /XRef /Size {old_size + 1} "
+        f"/W [ 1 4 2 ] /Index [ {cont_num} 1 {xref_num} 1 ] "
+        f"/Root 1 0 R /Prev {prev_off} /Filter /FlateDecode "
+        f"/Length {len(zbody)} >>\nstream\n".encode()
+        + zbody + b"\nendstream\nendobj\n"
+    )
+    out += f"startxref\n{new_xref}\n%%EOF\n".encode()
     return bytes(out)
 
 
@@ -416,130 +487,160 @@ def parse_pdf_text(data: bytes) -> list[str]:
         return val, None
 
     # entry per object: ('o', byte offset) or ('s', objstm num, idx)
-    offsets: dict[int, tuple] = {}
-    if data.startswith(b"xref", xref_off):
-        # -- classic cross-reference table (PDF 1.0-1.4) --
-        lex = _Lexer(data, xref_off + 4)
-        lex._skip_ws()
-        m = _INT_RE.match(data, lex.pos)
-        if not m:
-            raise ValueError("bad pdf xref table")
-        start_num = int(m.group(0))
-        lex.pos = m.end()
-        lex._skip_ws()
-        m = _INT_RE.match(data, lex.pos)
-        if not m:
-            raise ValueError("bad pdf xref table")
-        count = int(m.group(0))
-        lex.pos = m.end()
-        # entries: exactly 20 bytes each
-        if data[lex.pos] in b"\r\n":
-            lex.pos += 1
-        entries = data[lex.pos : lex.pos + 20 * count]
-        if len(entries) < 20 * count:
-            raise ValueError("bad pdf xref table")
-        for k in range(count):
-            row = entries[20 * k : 20 * k + 20]
-            if row[17:18] == b"n":
-                offsets[start_num + k] = ("o", int(row[:10]))
-        lex.pos += 20 * count
-        lex._skip_ws()
-        if not data.startswith(b"trailer", lex.pos):
-            raise ValueError("bad pdf xref table")
-        lex.pos += len(b"trailer")
-        trailer = lex.value()
-        if not isinstance(trailer, dict):
-            raise ValueError("bad pdf dictionary")
-    else:
-        # -- cross-reference STREAM (PDF 1.5+, ISO 32000-1 §7.5.8) --
-        try:
-            xdict, xbody = _obj_at(xref_off, None)
-        except ValueError:
-            raise ValueError("bad pdf xref table")
-        if (
-            not isinstance(xdict, dict)
-            or xdict.get("Type") != ("name", "XRef")
-            or xbody is None
-        ):
-            raise ValueError("bad pdf xref table")
-        filt = xdict.get("Filter")
-        if filt is not None:
-            if filt != ("name", "FlateDecode"):
-                name = filt[1] if isinstance(filt, tuple) else str(filt)
-                raise ValueError(f"unsupported pdf filter: {name}")
-            try:
-                xbody = zlib.decompress(xbody)
-            except zlib.error as exc:
-                raise ValueError("corrupt pdf flate stream") from exc
-        w = xdict.get("W")
-        size = xdict.get("Size")
-        if (
-            not isinstance(w, list) or len(w) != 3
-            or not all(isinstance(x, int) and x >= 0 for x in w)
-            or not isinstance(size, int)
-        ):
-            raise ValueError("bad pdf xref stream")
-        parms = xdict.get("DecodeParms")
-        if isinstance(parms, dict) and parms.get("Predictor", 1) != 1:
-            pred = parms.get("Predictor")
-            cols = parms.get("Columns")
-            if pred != 12 or cols != sum(w):
-                raise ValueError("unsupported pdf xref predictor")
-            # PNG row predictors: per-row filter tag + Columns bytes;
-            # strict subset accepts tags 0 (None) and 2 (Up)
-            rowlen = cols + 1
-            if len(xbody) % rowlen:
-                raise ValueError("bad pdf xref stream")
-            prev = bytearray(cols)
-            flat = bytearray()
-            for r0 in range(0, len(xbody), rowlen):
-                tag = xbody[r0]
-                row = bytearray(xbody[r0 + 1 : r0 + rowlen])
-                if tag == 2:
-                    for i in range(cols):
-                        row[i] = (row[i] + prev[i]) & 0xFF
-                elif tag != 0:
-                    raise ValueError("unsupported pdf xref predictor")
-                flat += row
-                prev = row
-            xbody = bytes(flat)
-        rowlen = sum(w)
-        if rowlen == 0 or len(xbody) % rowlen:
-            raise ValueError("bad pdf xref stream")
-        index = xdict.get("Index", [0, size])
-        if (
-            not isinstance(index, list) or len(index) % 2
-            or not all(isinstance(x, int) for x in index)
-        ):
-            raise ValueError("bad pdf xref stream")
-        spans = [
-            (index[k], index[k + 1]) for k in range(0, len(index), 2)
-        ]
-        if sum(c for _, c in spans) != len(xbody) // rowlen:
-            raise ValueError("bad pdf xref stream")
-        pos = 0
-
-        def field(width: int, default: int) -> int:
-            nonlocal pos
-            if width == 0:
-                return default
-            v = int.from_bytes(xbody[pos : pos + width], "big")
-            pos += width
-            return v
-
-        for first, count in spans:
+    def _xref_section(xref_off: int):
+        """Parse ONE cross-reference section (classic table or xref
+        stream) at a byte offset -> (entries, trailer dict) — called
+        once per section along an incremental-update /Prev chain
+        (ISO 32000-1 §7.5.6), newest section first."""
+        offsets: dict[int, tuple] = {}
+        if data.startswith(b"xref", xref_off):
+            # -- classic cross-reference table (PDF 1.0-1.4) --
+            lex = _Lexer(data, xref_off + 4)
+            lex._skip_ws()
+            m = _INT_RE.match(data, lex.pos)
+            if not m:
+                raise ValueError("bad pdf xref table")
+            start_num = int(m.group(0))
+            lex.pos = m.end()
+            lex._skip_ws()
+            m = _INT_RE.match(data, lex.pos)
+            if not m:
+                raise ValueError("bad pdf xref table")
+            count = int(m.group(0))
+            lex.pos = m.end()
+            # entries: exactly 20 bytes each
+            if data[lex.pos] in b"\r\n":
+                lex.pos += 1
+            entries = data[lex.pos : lex.pos + 20 * count]
+            if len(entries) < 20 * count:
+                raise ValueError("bad pdf xref table")
             for k in range(count):
-                typ = field(w[0], 1)
-                f2 = field(w[1], 0)
-                f3 = field(w[2], 0)
-                num = first + k
-                if typ == 1:
-                    offsets[num] = ("o", f2)
-                elif typ == 2:
-                    offsets[num] = ("s", f2, f3)
-                elif typ != 0:
+                row = entries[20 * k : 20 * k + 20]
+                if row[17:18] == b"n":
+                    offsets[start_num + k] = ("o", int(row[:10]))
+            lex.pos += 20 * count
+            lex._skip_ws()
+            if not data.startswith(b"trailer", lex.pos):
+                raise ValueError("bad pdf xref table")
+            lex.pos += len(b"trailer")
+            trailer = lex.value()
+            if not isinstance(trailer, dict):
+                raise ValueError("bad pdf dictionary")
+        else:
+            # -- cross-reference STREAM (PDF 1.5+, ISO 32000-1 §7.5.8) --
+            try:
+                xdict, xbody = _obj_at(xref_off, None)
+            except ValueError:
+                raise ValueError("bad pdf xref table")
+            if (
+                not isinstance(xdict, dict)
+                or xdict.get("Type") != ("name", "XRef")
+                or xbody is None
+            ):
+                raise ValueError("bad pdf xref table")
+            filt = xdict.get("Filter")
+            if filt is not None:
+                if filt != ("name", "FlateDecode"):
+                    name = filt[1] if isinstance(filt, tuple) else str(filt)
+                    raise ValueError(f"unsupported pdf filter: {name}")
+                try:
+                    xbody = zlib.decompress(xbody)
+                except zlib.error as exc:
+                    raise ValueError("corrupt pdf flate stream") from exc
+            w = xdict.get("W")
+            size = xdict.get("Size")
+            if (
+                not isinstance(w, list) or len(w) != 3
+                or not all(isinstance(x, int) and x >= 0 for x in w)
+                or not isinstance(size, int)
+            ):
+                raise ValueError("bad pdf xref stream")
+            parms = xdict.get("DecodeParms")
+            if isinstance(parms, dict) and parms.get("Predictor", 1) != 1:
+                pred = parms.get("Predictor")
+                cols = parms.get("Columns")
+                if pred != 12 or cols != sum(w):
+                    raise ValueError("unsupported pdf xref predictor")
+                # PNG row predictors: per-row filter tag + Columns bytes;
+                # strict subset accepts tags 0 (None) and 2 (Up)
+                rowlen = cols + 1
+                if len(xbody) % rowlen:
                     raise ValueError("bad pdf xref stream")
-        trailer = xdict
+                prev = bytearray(cols)
+                flat = bytearray()
+                for r0 in range(0, len(xbody), rowlen):
+                    tag = xbody[r0]
+                    row = bytearray(xbody[r0 + 1 : r0 + rowlen])
+                    if tag == 2:
+                        for i in range(cols):
+                            row[i] = (row[i] + prev[i]) & 0xFF
+                    elif tag != 0:
+                        raise ValueError("unsupported pdf xref predictor")
+                    flat += row
+                    prev = row
+                xbody = bytes(flat)
+            rowlen = sum(w)
+            if rowlen == 0 or len(xbody) % rowlen:
+                raise ValueError("bad pdf xref stream")
+            index = xdict.get("Index", [0, size])
+            if (
+                not isinstance(index, list) or len(index) % 2
+                or not all(isinstance(x, int) for x in index)
+            ):
+                raise ValueError("bad pdf xref stream")
+            spans = [
+                (index[k], index[k + 1]) for k in range(0, len(index), 2)
+            ]
+            if sum(c for _, c in spans) != len(xbody) // rowlen:
+                raise ValueError("bad pdf xref stream")
+            pos = 0
+
+            def field(width: int, default: int) -> int:
+                nonlocal pos
+                if width == 0:
+                    return default
+                v = int.from_bytes(xbody[pos : pos + width], "big")
+                pos += width
+                return v
+
+            for first, count in spans:
+                for k in range(count):
+                    typ = field(w[0], 1)
+                    f2 = field(w[1], 0)
+                    f3 = field(w[2], 0)
+                    num = first + k
+                    if typ == 1:
+                        offsets[num] = ("o", f2)
+                    elif typ == 2:
+                        offsets[num] = ("s", f2, f3)
+                    elif typ != 0:
+                        raise ValueError("bad pdf xref stream")
+            trailer = xdict
+        return offsets, trailer
+
+    # incremental updates: walk the /Prev chain newest-first;
+    # an object number's NEWEST entry wins (setdefault), the
+    # newest trailer supplies /Root and /Encrypt, and a cycle or
+    # out-of-range /Prev is a pinned reject
+    offsets: dict[int, tuple] = {}
+    trailer: dict | None = None
+    _seen_sections: set[int] = set()
+    cur_off = xref_off
+    while True:
+        if cur_off in _seen_sections:
+            raise ValueError("bad pdf xref table")
+        _seen_sections.add(cur_off)
+        sec_entries, sec_trailer = _xref_section(cur_off)
+        for num, ent in sec_entries.items():
+            offsets.setdefault(num, ent)
+        if trailer is None:
+            trailer = sec_trailer
+        prev = sec_trailer.get("Prev")
+        if prev is None:
+            break
+        if not isinstance(prev, int) or prev < 0 or prev >= len(data):
+            raise ValueError("bad pdf xref table")
+        cur_off = prev
     if "Encrypt" in trailer:
         raise ValueError("encrypted pdf")
 

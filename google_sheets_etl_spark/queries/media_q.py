@@ -3651,3 +3651,63 @@ def tiff_decode_audit(spark: SparkSession, sf: str) -> DataFrame:
 
     media = d.mapInPandas(kernel, "media_id long, payload binary")
     return multimodal.payload_decode_audit(media)
+
+
+@q(
+    "pdf_incremental_update_extract",
+    """SELECT doc_id, 1 AS page_idx,
+              'rev2 of ' || doc_id || ': ' || substr(text, 141, 60)
+                AS text
+       FROM documents
+       UNION ALL
+       SELECT doc_id, 2 AS page_idx,
+              'page2 (q) \\ of ' || doc_id || ': ' || substr(text, 61, 80)
+                AS text
+       FROM documents""",
+)
+def pdf_incremental_update_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """INCREMENTAL-UPDATE PDFs (ISO 32000-1 §7.5.6 — the save-in-place
+    layout editors produce, previously a silent wrong-read risk):
+    each document's base PDF (classic table for even ids, full 1.5
+    xref-stream+ObjStm+predictor for odd) gets an appended update
+    section replacing PAGE 1's content; the parser walks the /Prev
+    chain newest-first, so page 1 must read as the REVISED text while
+    page 2 resolves through /Prev to the original. Oracle states both
+    pages by construction of the plant."""
+    import pandas as pd
+
+    from ..operators.pdf import append_incremental_update, encode_pdf_text
+    from ..operators.pdf import pdf_text_extract as extract
+
+    d = t(spark, sf, "documents")
+
+    def kernel(batches):
+        for pdf_ in batches:
+            ids, payloads = [], []
+            for doc_id, text in zip(pdf_["doc_id"], pdf_["text"]):
+                doc_id = int(doc_id)
+                base = encode_pdf_text(
+                    [
+                        f"Doc {doc_id}: {text[:60]}",
+                        f"page2 (q) \\ of {doc_id}: {text[60:140]}",
+                    ],
+                    compress=doc_id % 2 == 0,
+                    xref_stream=doc_id % 2 == 1,
+                    objstm=doc_id % 2 == 1,
+                    predictor=doc_id % 2 == 1,
+                )
+                upd = append_incremental_update(
+                    base, 0,
+                    f"rev2 of {doc_id}: {text[140:200]}",
+                    compress=doc_id % 3 == 0,
+                )
+                ids.append(doc_id)
+                payloads.append(upd)
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = d.select("doc_id", "text").mapInPandas(
+        kernel, "media_id long, payload binary"
+    )
+    return extract(media).select(
+        F.col("media_id").alias("doc_id"), "page_idx", "text"
+    )

@@ -4702,3 +4702,53 @@ def test_jpeg_restart_interval_contracts():
         "82630bf52dee3499d6dacbaaf75f891b"
         "deb327189717cc7217d33a9ae3c67798"
     )
+
+
+def test_pdf_incremental_updates():
+    """Incremental-update /Prev chains (ISO 32000-1 §7.5.6): the
+    newest section's entry wins for the replaced object while
+    untouched objects resolve through /Prev; both layout families
+    (classic table base -> classic update, 1.5 xref-stream base ->
+    update xref stream); chained double updates; the original base
+    still parses to the originals (append-only); a /Prev cycle is a
+    pinned reject."""
+    import re as _re
+
+    import pytest as _pt
+
+    from google_sheets_etl_spark.operators.pdf import (
+        append_incremental_update, encode_pdf_text, parse_pdf_text,
+    )
+
+    pages = ["original page one", "page two stays", "page three"]
+    for basekw in [
+        dict(),
+        dict(compress=True, use_tj_array=True),
+        dict(xref_stream=True),
+        dict(xref_stream=True, objstm=True, predictor=True),
+    ]:
+        base = encode_pdf_text(pages, **basekw)
+        upd = append_incremental_update(
+            base, 0, "REVISED page one", compress=True
+        )
+        assert parse_pdf_text(upd) == [
+            "REVISED page one", "page two stays", "page three",
+        ], basekw
+        assert parse_pdf_text(base) == pages
+        upd2 = append_incremental_update(upd, 1, "rev2 page two")
+        assert parse_pdf_text(upd2) == [
+            "REVISED page one", "rev2 page two", "page three",
+        ], basekw
+
+    base = encode_pdf_text(pages)
+    upd = append_incremental_update(base, 0, "X")
+    m = _re.search(rb"startxref\s+(\d+)", upd[upd.rfind(b"startxref"):])
+    new_off = int(m.group(1))
+    pm = _re.search(rb"/Prev (\d+)", upd[new_off:])
+    cyc = upd[:new_off] + upd[new_off:].replace(
+        b"/Prev " + pm.group(1),
+        b"/Prev " + str(new_off).encode().rjust(len(pm.group(1)), b"0"),
+        1,
+    )
+    with _pt.raises(ValueError, match="bad pdf xref table"):
+        parse_pdf_text(cyc)
