@@ -657,3 +657,123 @@ def wet_text_ingest(spark: SparkSession, sf: str) -> DataFrame:
             F.length("text").cast("long").alias("n_chars"),
         )
     )
+
+
+_WETC = "wet shared body alpha beta gamma delta epsilon zeta eta theta iota kappa"
+
+
+@q(
+    "wet_pipeline_e2e",
+    f"""WITH ct AS (
+         SELECT doc_id,
+                CASE WHEN doc_id % 7 = 0
+                     THEN substr(CASE WHEN doc_id % 5 = 3
+                                      THEN '{_WETC}'
+                                      ELSE substr(text, 1, 90) END, 1, 20)
+                     ELSE CASE WHEN doc_id % 5 = 3
+                               THEN '{_WETC}'
+                               ELSE substr(text, 1, 90) END END AS t
+         FROM documents),
+       f AS (
+         SELECT doc_id, t,
+                len(string_split(t, ' ')) AS n_tok,
+                len(string_split(t, ' ')) >= 10 AS q_pass
+         FROM ct),
+       k AS (
+         SELECT doc_id, t, n_tok, q_pass,
+                q_pass AND ROW_NUMBER() OVER (
+                  PARTITION BY q_pass, t ORDER BY doc_id) = 1 AS kept
+         FROM f)
+       SELECT 1 AS stage_ord, 'wet_ingest' AS stage,
+              COUNT(*) AS n_docs,
+              CAST(SUM(n_tok) AS BIGINT) AS n_tokens FROM k
+       UNION ALL
+       SELECT 2, 'quality_gate', COUNT(*) FILTER (q_pass),
+              CAST(COALESCE(SUM(n_tok) FILTER (q_pass), 0) AS BIGINT)
+       FROM k
+       UNION ALL
+       SELECT 3, 'exact_dedup', COUNT(*) FILTER (kept),
+              CAST(COALESCE(SUM(n_tok) FILTER (kept), 0) AS BIGINT)
+       FROM k""",
+)
+def wet_pipeline_e2e(spark: SparkSession, sf: str) -> DataFrame:
+    """WET-to-training-set composition (the verdict's "feeding the
+    existing quality/dedup back half", the text-only sibling of
+    web_pretraining_pipeline_e2e): gz-WET bytes → member walk →
+    conversion-record fold → token-count quality gate (docs planted
+    with doc_id % 7 == 0 are truncated below the 10-token floor) →
+    exact keep-first dedup (doc_id % 5 == 3 docs share one planted
+    body) — with per-stage accounting rows (stage_ord, stage, n_docs,
+    n_tokens). Shape: the record walk materializes once; gates and
+    the keep-first verdict compose in ONE frame (one window on the
+    text key, one conditional aggregation) — three stage rows cost
+    one pass, the dataset_card_report discipline."""
+    import pandas as pd
+
+    docs = t(spark, sf, "documents")
+
+    def kernel(batches):
+        import zlib
+
+        crlf = "\r\n"
+        for pdf in batches:
+            ids, gzs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                base = _WETC if doc_id % 5 == 3 else text[:90]
+                ct = base[:20] if doc_id % 7 == 0 else base
+                body = ct
+                rec = (
+                    "WARC/1.0" + crlf + "WARC-Type: conversion" + crlf
+                    + f"WARC-Target-URI: http://w.com/{doc_id}" + crlf
+                    + f"Content-Length: {len(body.encode('utf-8'))}"
+                    + crlf + crlf + body + crlf + crlf
+                )
+                c = zlib.compressobj(9, zlib.DEFLATED, 31)
+                ids.append(doc_id)
+                gzs.append(c.compress(rec.encode()) + c.flush())
+            yield pd.DataFrame({"doc_id": ids, "warc_gz": gzs})
+
+    gz = docs.select("doc_id", "text").mapInPandas(
+        kernel, "doc_id long, warc_gz binary"
+    )
+    wets = cleaning.warc_gz_to_text(gz).withColumnRenamed("warc", "wet")
+    recs = (
+        cleaning.wet_conversion_records(wets)
+        .filter(F.col("warc_type") == "conversion")
+        .select("doc_id", F.col("text").alias("t"))
+    )
+    n_tok = F.size(F.split("t", " ")).cast("long")
+    f = recs.select("doc_id", "t", n_tok.alias("n_tok")).withColumn(
+        "q_pass", F.col("n_tok") >= 10
+    )
+    w = Window.partitionBy("q_pass", "t").orderBy("doc_id")
+    k = f.withColumn(
+        "kept", F.col("q_pass") & (F.row_number().over(w) == 1)
+    )
+    agg = k.agg(
+        F.count(F.lit(1)).alias("n1"),
+        F.sum("n_tok").alias("t1"),
+        F.sum(F.col("q_pass").cast("long")).alias("n2"),
+        F.coalesce(
+            F.sum(F.when(F.col("q_pass"), F.col("n_tok"))), F.lit(0)
+        ).alias("t2"),
+        F.sum(F.col("kept").cast("long")).alias("n3"),
+        F.coalesce(
+            F.sum(F.when(F.col("kept"), F.col("n_tok"))), F.lit(0)
+        ).alias("t3"),
+    )
+    stages = F.array(
+        F.struct(F.lit(1).cast("long").alias("stage_ord"),
+                 F.lit("wet_ingest").alias("stage"),
+                 F.col("n1").alias("n_docs"), F.col("t1").alias("n_tokens")),
+        F.struct(F.lit(2).cast("long").alias("stage_ord"),
+                 F.lit("quality_gate").alias("stage"),
+                 F.col("n2").alias("n_docs"), F.col("t2").alias("n_tokens")),
+        F.struct(F.lit(3).cast("long").alias("stage_ord"),
+                 F.lit("exact_dedup").alias("stage"),
+                 F.col("n3").alias("n_docs"), F.col("t3").alias("n_tokens")),
+    )
+    return agg.select(F.explode(stages).alias("s")).select(
+        "s.stage_ord", "s.stage", "s.n_docs", "s.n_tokens"
+    )
