@@ -11,8 +11,10 @@ module is part of the training-data-pipeline extension surface.
 
 Scope and strictness contract:
 
-- Baseline sequential DCT only (SOF0), 8-bit samples, 1 or 3
-  components, sampling factors pinned to 4:4:4 (all h=v=1), 4:2:2
+- Baseline sequential DCT (SOF0) here; PROGRESSIVE (SOF2) payloads
+  dispatch to :mod:`.jpeg_progressive` (round 11 — spectral
+  selection, successive approximation, EOB runs). 8-bit samples, 1
+  or 3 components, sampling factors pinned to 4:4:4 (all h=v=1), 4:2:2
   (luma 2x1) and 4:2:0 (luma 2x2 — the dominant real-web JPEG shape,
   added round 11 on the r10 verdict's "missing #1"), MCU-interleaved
   per T.81 A.2.3; restart intervals (DRI + byte-aligned RSTn with the
@@ -497,7 +499,11 @@ def parse_jpeg(payload: bytes) -> tuple[int, int, bytes]:
                 [(2, 2), (1, 1), (1, 1)],
             ):
                 raise ValueError("unsupported jpeg sampling factors")
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker == 0xC2:  # progressive (SOF2): own walk, shared
+            from .jpeg_progressive import parse_jpeg_progressive
+
+            return parse_jpeg_progressive(payload)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("only baseline jpeg supported")
         elif marker == 0xC4:  # DHT (possibly multiple tables)

@@ -1391,6 +1391,118 @@ def jpeg_dri_decode_audit(spark: SparkSession, sf: str) -> DataFrame:
     return multimodal.payload_decode_audit(media)
 
 
+@q("jpeg_progressive_decode_features", _jpeg420_oracle())
+def jpeg_progressive_decode_features(spark: SparkSession, sf: str) -> DataFrame:
+    """PROGRESSIVE JPEG decode (SOF2 — with 4:2:0 the other dominant
+    real-web shape; large web images are routinely saved progressive):
+    multi-scan spectral selection, successive approximation on DC
+    (arithmetic-shift transform + bit refinement) AND AC (magnitude
+    transform + the G.1.2.3 correction-bit refinement), EOB-run
+    coding across blocks, interleaved DC scans on the MCU grid,
+    non-interleaved AC scans on each component's own grid.
+
+    Certification: progressive transmission REORDERS the same
+    quantized coefficients baseline carries, so these payloads — the
+    jpeg420 row's exact pixel formula and dims, encoded progressive
+    at 4:2:0 — must reproduce the committed 4:2:0 fixture (generated
+    by the INDEPENDENT scalar decoder from baseline payloads)
+    bit-for-bit. Any drift in either progressive codec half changes
+    pixels and reddens the row against that cross-implementation
+    ground truth."""
+    import pandas as pd
+
+    from ..operators.jpeg_progressive import encode_jpeg_progressive
+
+    d = t(spark, sf, "documents").select("doc_id")
+
+    def kernel(batches):
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w = 14 + 5 * (doc_id % 3)
+                h = 13 + 5 * (doc_id % 2)
+                y, x, c = np.meshgrid(
+                    np.arange(h, dtype=np.int64),
+                    np.arange(w, dtype=np.int64),
+                    np.arange(3, dtype=np.int64),
+                    indexing="ij",
+                )
+                raster = (
+                    ((doc_id + x * 7 + y * 13 + c * 37) % 256)
+                    .astype(np.uint8).tobytes()
+                )
+                payloads.append(
+                    encode_jpeg_progressive(w, h, raster, "420")
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = d.mapInPandas(kernel, "media_id long, payload binary")
+    return multimodal.image_luminance_sum(media, ["media_id"])
+
+
+@q(
+    "jpeg_progressive_decode_audit",
+    """SELECT doc_id AS media_id,
+              (doc_id % 4) = 0 AS ok,
+              CASE doc_id % 4
+                WHEN 0 THEN ''
+                WHEN 1 THEN 'bad jpeg progressive scan'
+                WHEN 2 THEN
+                  'jpeg restart intervals in progressive unsupported'
+                ELSE 'unsupported payload format' END AS err
+       FROM documents""",
+)
+def jpeg_progressive_decode_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """The progressive-machinery reject channel: planted classes — a
+    valid SOF2 payload; its first AC SOS header rewritten to the
+    illegal (Ss=0, Se=63) spectral band; a DRI segment spliced into a
+    progressive payload (restarts in progressive are a pinned
+    reject); junk."""
+    import pandas as pd
+
+    from ..operators.jpeg_progressive import encode_jpeg_progressive
+
+    d = t(spark, sf, "documents").select("doc_id")
+
+    def kernel(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                good = encode_jpeg_progressive(
+                    16, 16,
+                    bytes((doc_id * 3 + k) % 256 for k in range(16 * 16 * 3)),
+                    "420",
+                )
+                cls = doc_id % 4
+                if cls == 0:
+                    payloads.append(good)
+                elif cls == 1:
+                    i = good.find(b"\xff\xda\x00\x08")
+                    bad = bytearray(good)
+                    bad[i + 7] = 0  # Ss=0 with Se=63: illegal band
+                    payloads.append(bytes(bad))
+                elif cls == 2:
+                    payloads.append(
+                        good[:2]
+                        + b"\xff\xdd\x00\x04\x00\x02"
+                        + good[2:]
+                    )
+                else:
+                    payloads.append(b"ZZnot-media")
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = d.mapInPandas(kernel, "media_id long, payload binary")
+    return multimodal.payload_decode_audit(media)
+
+
 # GIF fixtures: palette entry i is (r,g,b) = ((i·7+11)%256,
 # (i·57+2)%256, (i·33+5)%256) and pixel j of frame f carries palette
 # INDEX (doc_id·31 + f·17 + j) % 256 — so the oracle regenerates

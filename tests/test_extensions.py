@@ -4752,3 +4752,57 @@ def test_pdf_incremental_updates():
     )
     with _pt.raises(ValueError, match="bad pdf xref table"):
         parse_pdf_text(cyc)
+
+
+def test_jpeg_progressive_contracts():
+    """Progressive JPEG (SOF2): (1) the coefficient-reordering
+    identity — progressive encoding of any raster decodes to EXACTLY
+    the baseline pixels, across random/smooth/flat content and all
+    three sampling modes (the co-drift kill switch: baseline decode
+    is certified against the independent scalar decoder); (2) pinned
+    rejects for an illegal spectral band and for DRI-in-progressive;
+    (3) dispatch flows through parse_jpeg's FFD8 entry (so dHash /
+    near-dup / audit gain SOF2 for free)."""
+    import random
+
+    import pytest as _pt
+
+    from google_sheets_etl_spark.operators.jpeg import (
+        encode_jpeg, parse_jpeg,
+    )
+    from google_sheets_etl_spark.operators.jpeg_progressive import (
+        encode_jpeg_progressive,
+    )
+
+    rng = random.Random(41)
+    for trial in range(6):
+        w = rng.randrange(8, 44)
+        h = rng.randrange(8, 44)
+        mode = ["444", "422", "420"][trial % 3]
+        raster = bytes(rng.randrange(256) for _ in range(w * h * 3))
+        assert parse_jpeg(encode_jpeg_progressive(w, h, raster, mode)) \
+            == parse_jpeg(encode_jpeg(w, h, raster, mode)), (trial, mode)
+    smooth = bytes(
+        min(255, (x + y) // 2) for y in range(33) for x in range(40)
+        for c in range(3)
+    )
+    assert parse_jpeg(encode_jpeg_progressive(40, 33, smooth, "420")) \
+        == parse_jpeg(encode_jpeg(40, 33, smooth, "420"))
+    flat = bytes([120, 80, 200]) * (48 * 48)
+    assert parse_jpeg(encode_jpeg_progressive(48, 48, flat, "444")) \
+        == parse_jpeg(encode_jpeg(48, 48, flat, "444"))
+
+    good = encode_jpeg_progressive(
+        16, 16, bytes(k % 256 for k in range(16 * 16 * 3)), "420"
+    )
+    i = good.find(b"\xff\xda\x00\x08")
+    bad = bytearray(good)
+    bad[i + 7] = 0  # Ss=0, Se=63
+    with _pt.raises(ValueError, match="bad jpeg progressive scan"):
+        parse_jpeg(bytes(bad))
+    dri = good[:2] + b"\xff\xdd\x00\x04\x00\x02" + good[2:]
+    with _pt.raises(ValueError,
+                    match="restart intervals in progressive"):
+        parse_jpeg(dri)
+    with _pt.raises(ValueError, match="trailing bytes after jpeg eoi"):
+        parse_jpeg(good + b"x")
