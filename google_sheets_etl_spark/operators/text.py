@@ -2212,7 +2212,10 @@ def langid_nb_fit(
     )
     vocab = sorted(r["gram"] for r in vocab_rows)
     vset = set(vocab)
-    crows = counts.collect()
+    # collect ONLY vocabulary rows: the driver-side state is then
+    # L x V, not the corpus's full distinct-gram count (which is
+    # unbounded on a real unicode corpus)
+    crows = counts.filter(F.col("gram").isin(vocab)).collect()
     doc_counts = {
         r["label"]: r["n_docs"]
         for r in train.groupBy(F.col(label_col).alias("label"))
