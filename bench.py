@@ -169,6 +169,34 @@ def main() -> None:
                     break
     except OSError:
         pass
+    # host-speed calibration (round-11, the DRIFT_r10 lesson: shared
+    # rows drifted +1-2 s across rounds with zero source change and
+    # loadavg alone could not attribute it): three ~100-500 ms probes
+    # whose cross-round RATIO normalizes query deltas for host speed
+    # before any regression hunt
+    try:
+        import hashlib as _hl
+        import time as _t
+
+        import numpy as _np
+
+        t0 = _t.monotonic()
+        _h = _hl.sha256()
+        for i in range(200000):
+            _h.update(str(i).encode() * 20)
+        env["calib_sha_ms"] = round((_t.monotonic() - t0) * 1000, 1)
+        t0 = _t.monotonic()
+        x = 0
+        for i in range(2_000_000):
+            x += i * i
+        env["calib_pyloop_ms"] = round((_t.monotonic() - t0) * 1000, 1)
+        _a = _np.arange(1_000_000, dtype=_np.float64).reshape(1000, 1000)
+        t0 = _t.monotonic()
+        for _ in range(4):
+            _a @ _a
+        env["calib_matmul_ms"] = round((_t.monotonic() - t0) * 1000, 1)
+    except Exception:
+        pass
     detail = {
         "metric": "headline_queries_total_wall",
         "value": total,
