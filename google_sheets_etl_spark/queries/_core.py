@@ -252,3 +252,22 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # =====================================================================
 # Reference-parity relational operators (SURVEY.md §2)
 # =====================================================================
+
+
+def t_par(spark: SparkSession, sf_dir: str, name: str, *cols: str) -> DataFrame:
+    """Table scan REPARTITIONED to the session's parallelism — the
+    input stage for heavy per-row Python kernels (payload synthesis,
+    media decode). A small driving table arrives as ONE file
+    partition (the sf corpora are single parquet files), and without
+    an exchange the kernel's parallelism is bound by FILE COUNT, not
+    cores — measured round 11: jpeg_dri_decode_features ran its whole
+    27 s of per-payload CPU on one worker (23.3 s wall) because
+    documents.parquet is one split. The exchange carries only the
+    named columns (ids, maybe text — KBs), bought against seconds of
+    per-row work. The same discipline applies at 100 TB whenever a
+    compact manifest drives expensive per-row synthesis: repartition
+    the MANIFEST, not the heavy output."""
+    df = t(spark, sf_dir, name)
+    if cols:
+        df = df.select(*cols)
+    return df.repartition(spark.sparkContext.defaultParallelism)

@@ -1832,7 +1832,9 @@ def warc_gz_ingest(spark: SparkSession, sf: str) -> DataFrame:
                 gzs.append(b"".join(members))
             yield pd.DataFrame({"doc_id": ids, "warc_gz": gzs})
 
-    gz = docs.select("doc_id", "text").mapInPandas(
+    gz = docs.select("doc_id", "text").repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(
         kernel, "doc_id long, warc_gz binary"
     )
     warcs = cleaning.warc_gz_to_text(gz)

@@ -139,7 +139,7 @@ def _ppm_media(spark: SparkSession, sf: str) -> DataFrame:
     discipline) instead of parsing binary in SQL — so the codec's
     decode is certified against ground-truth pixel values, not
     against itself."""
-    d = t(spark, sf, "documents").select("doc_id")
+    d = t_par(spark, sf, "documents", "doc_id")
     w = (F.lit(4) + F.col("doc_id") % 5).cast("int")
     h = (F.lit(3) + F.col("doc_id") % 4).cast("int")
     header = F.concat(
@@ -192,7 +192,7 @@ def _dhash_media(spark: SparkSession, sf: str) -> DataFrame:
     ground truth: a brightness-shifted re-encode whose gradient hash
     must come out IDENTICAL. Different bases give unrelated
     patterns."""
-    d = t(spark, sf, "documents").select("doc_id")
+    d = t_par(spark, sf, "documents", "doc_id")
     base = (F.col("doc_id") / 2).cast("long")
     shift = (F.col("doc_id") % 2) * 40
     w = (F.lit(8) + base % 5).cast("int")
@@ -436,7 +436,7 @@ def _png_media(
 
     from ..operators.multimodal import encode_png
 
-    d = t(spark, sf, "documents").select("doc_id")
+    d = t_par(spark, sf, "documents", "doc_id")
     if only_odd:
         d = d.filter(F.col("doc_id") % 2 == 1)
 
@@ -595,7 +595,7 @@ def mixed_format_image_dedup(spark: SparkSession, sf: str) -> DataFrame:
     any PNG/P6 decode divergence breaks the planted pairs or mints
     false ones. (Cross-base accidental hash equals are legitimate
     and appear on both sides.)"""
-    d = t(spark, sf, "documents").select("doc_id").filter(
+    d = t_par(spark, sf, "documents", "doc_id").filter(
         F.col("doc_id") % 2 == 0
     )
     base = (F.col("doc_id") / 2).cast("long")
@@ -700,7 +700,7 @@ def _bmp_media(spark: SparkSession, sf: str) -> DataFrame:
     right."""
     import pandas as pd
 
-    d = t(spark, sf, "documents").select("doc_id")
+    d = t_par(spark, sf, "documents", "doc_id")
 
     def kernel(batches):
         from ..operators.multimodal import encode_bmp
@@ -778,7 +778,7 @@ def bmp_decode_audit(spark: SparkSession, sf: str) -> DataFrame:
     than mis-decode."""
     import pandas as pd
 
-    d = t(spark, sf, "documents").select("doc_id")
+    d = t_par(spark, sf, "documents", "doc_id")
 
     def kernel(batches):
         import struct
@@ -821,7 +821,7 @@ def _wds_media(spark: SparkSession, sf: str) -> DataFrame:
     truth."""
     import pandas as pd
 
-    d = t(spark, sf, "documents").select("doc_id")
+    d = t_par(spark, sf, "documents", "doc_id")
 
     def kernel(batches):
         from ..operators.multimodal import encode_tar
@@ -919,7 +919,7 @@ def tar_decode_audit(spark: SparkSession, sf: str) -> DataFrame:
     recomputed, so the TYPE check is what fires)."""
     import pandas as pd
 
-    d = t(spark, sf, "documents").select("doc_id")
+    d = t_par(spark, sf, "documents", "doc_id")
 
     def kernel(batches):
         from ..operators.multimodal import encode_tar, parse_tar_members
@@ -992,7 +992,7 @@ def png_decode_audit(spark: SparkSession, sf: str) -> DataFrame:
 
     from ..operators.multimodal import PNG_SIG, encode_png
 
-    d = t(spark, sf, "documents").select("doc_id")
+    d = t_par(spark, sf, "documents", "doc_id")
 
     def kernel(batches):
         import struct
@@ -1079,7 +1079,7 @@ def jpeg_decode_features(spark: SparkSession, sf: str) -> DataFrame:
 
     from ..operators.jpeg import encode_jpeg
 
-    d = t(spark, sf, "documents").select("doc_id")
+    d = t_par(spark, sf, "documents", "doc_id")
 
     def kernel(batches):
         import numpy as np
@@ -1130,7 +1130,7 @@ def jpeg_decode_audit(spark: SparkSession, sf: str) -> DataFrame:
 
     from ..operators.jpeg import encode_jpeg
 
-    d = t(spark, sf, "documents").select("doc_id")
+    d = t_par(spark, sf, "documents", "doc_id")
 
     def kernel(batches):
         for pdf in batches:
@@ -1192,7 +1192,7 @@ def jpeg420_decode_features(spark: SparkSession, sf: str) -> DataFrame:
 
     from ..operators.jpeg import encode_jpeg
 
-    d = t(spark, sf, "documents").select("doc_id")
+    d = t_par(spark, sf, "documents", "doc_id")
 
     def kernel(batches):
         import numpy as np
@@ -1244,7 +1244,7 @@ def jpeg420_decode_audit(spark: SparkSession, sf: str) -> DataFrame:
 
     from ..operators.jpeg import encode_jpeg
 
-    d = t(spark, sf, "documents").select("doc_id")
+    d = t_par(spark, sf, "documents", "doc_id")
 
     def kernel(batches):
         for pdf in batches:
@@ -1301,7 +1301,7 @@ def jpeg_dri_decode_features(spark: SparkSession, sf: str) -> DataFrame:
 
     from ..operators.jpeg import encode_jpeg
 
-    d = t(spark, sf, "documents").select("doc_id")
+    d = t_par(spark, sf, "documents", "doc_id")
 
     def kernel(batches):
         import numpy as np
@@ -1358,7 +1358,7 @@ def jpeg_dri_decode_audit(spark: SparkSession, sf: str) -> DataFrame:
 
     from ..operators.jpeg import encode_jpeg
 
-    d = t(spark, sf, "documents").select("doc_id")
+    d = t_par(spark, sf, "documents", "doc_id")
 
     def kernel(batches):
         for pdf in batches:
@@ -1413,7 +1413,7 @@ def jpeg_progressive_decode_features(spark: SparkSession, sf: str) -> DataFrame:
 
     from ..operators.jpeg_progressive import encode_jpeg_progressive
 
-    d = t(spark, sf, "documents").select("doc_id")
+    d = t_par(spark, sf, "documents", "doc_id")
 
     def kernel(batches):
         import numpy as np
@@ -1467,7 +1467,7 @@ def jpeg_progressive_decode_audit(spark: SparkSession, sf: str) -> DataFrame:
 
     from ..operators.jpeg_progressive import encode_jpeg_progressive
 
-    d = t(spark, sf, "documents").select("doc_id")
+    d = t_par(spark, sf, "documents", "doc_id")
 
     def kernel(batches):
         for pdf in batches:
@@ -1534,7 +1534,7 @@ def _gif_media(spark: SparkSession, sf: str, animated: bool = False):
         for i in range(256)
         for c in range(3)
     )
-    d = t(spark, sf, "documents").select("doc_id")
+    d = t_par(spark, sf, "documents", "doc_id")
 
     def kernel(batches):
         import numpy as np
@@ -1653,7 +1653,7 @@ def gif_decode_audit(spark: SparkSession, sf: str) -> DataFrame:
         for i in range(256)
         for c in range(3)
     )
-    d = t(spark, sf, "documents").select("doc_id")
+    d = t_par(spark, sf, "documents", "doc_id")
 
     def kernel(batches):
         import numpy as np
@@ -1726,7 +1726,7 @@ def _wav_media(spark: SparkSession, sf: str) -> DataFrame:
     trailing partial windows are exercised. The oracle regenerates
     samples from the formula — container parse certified against
     ground truth, like the PPM fixtures."""
-    d = t(spark, sf, "documents").select("doc_id")
+    d = t_par(spark, sf, "documents", "doc_id")
     n = (F.lit(512) + F.col("doc_id") % 5 * 100).cast("long")
     ascii_hex = lambda s: F.hex(F.encode(F.lit(s), "UTF-8"))  # noqa: E731
     header_hex = F.concat(
@@ -1840,7 +1840,7 @@ def _audio_dhash_media(spark: SparkSession, sf: str) -> DataFrame:
     whose energy-gradient hash must come out identical (power-of-two
     gain scales every RMS exactly). 17–19 full 256-sample windows per
     payload."""
-    d = t(spark, sf, "documents").select("doc_id")
+    d = t_par(spark, sf, "documents", "doc_id")
     base = (F.col("doc_id") / 2).cast("long")
     gain = F.lit(1) + F.col("doc_id") % 2
     n = (F.lit(4352) + (base % 3) * 256).cast("long")
@@ -1976,7 +1976,7 @@ def multimodal_decode_audit(spark: SparkSession, sf: str) -> DataFrame:
     The fixture plants one failure class per residue: valid P6,
     truncated raster, non-media junk, NULL payload — the oracle
     regenerates each verdict from the class."""
-    d = t(spark, sf, "documents").select("doc_id")
+    d = t_par(spark, sf, "documents", "doc_id")
     header = F.encode(F.lit("P6\n2 2\n255\n"), "UTF-8")
     pixels_hex = F.concat_ws(
         "",
@@ -2031,7 +2031,7 @@ def _adpcm_media(spark: SparkSession, sf: str) -> DataFrame:
     the literal ground truth."""
     import pandas as pd
 
-    d = t(spark, sf, "documents").select("doc_id")
+    d = t_par(spark, sf, "documents", "doc_id")
 
     def kernel(batches):
         from ..operators.multimodal import encode_wav_ima_adpcm
@@ -2094,7 +2094,7 @@ def wav_adpcm_audit(spark: SparkSession, sf: str) -> DataFrame:
     format tag (0x02) the IMA walk must refuse rather than mis-decode."""
     import pandas as pd
 
-    d = t(spark, sf, "documents").select("doc_id")
+    d = t_par(spark, sf, "documents", "doc_id")
 
     def kernel(batches):
         import struct
@@ -2146,7 +2146,7 @@ def _mulaw_media(spark: SparkSession, sf: str) -> DataFrame:
     windows are exercised. μ-law expansion is STATELESS, so the
     oracle is the full CCITT decode formula in SQL — an algorithmic
     twin, not a fixture."""
-    d = t(spark, sf, "documents").select("doc_id")
+    d = t_par(spark, sf, "documents", "doc_id")
     n = (F.lit(300) + F.col("doc_id") % 5 * 64).cast("long")
     ascii_hex = lambda s: F.hex(F.encode(F.lit(s), "UTF-8"))  # noqa: E731
     header_hex = F.concat(
@@ -2230,7 +2230,7 @@ def wav_mulaw_audit(spark: SparkSession, sf: str) -> DataFrame:
     a tag that stays unknown.)"""
     import pandas as pd
 
-    d = t(spark, sf, "documents").select("doc_id")
+    d = t_par(spark, sf, "documents", "doc_id")
 
     def kernel(batches):
         import struct
@@ -2309,7 +2309,7 @@ def wav_alaw_energy(spark: SparkSession, sf: str) -> DataFrame:
     (code = (doc_id*13 + k*19) % 256 sweeps all codes; the segment-0
     short form and the shifted segments both exercise). Narrow Arrow
     kernel, no shuffle."""
-    d = t(spark, sf, "documents").select("doc_id")
+    d = t_par(spark, sf, "documents", "doc_id")
     n = (F.lit(300) + F.col("doc_id") % 5 * 64).cast("long")
     ascii_hex = lambda s: F.hex(F.encode(F.lit(s), "UTF-8"))  # noqa: E731
     header_hex = F.concat(
@@ -2375,7 +2375,7 @@ def wav_float32_energy(spark: SparkSession, sf: str) -> DataFrame:
     sample from the bit-pattern formula IN SQL — both engines run
     decode + energy independently. Narrow Arrow kernel, no
     shuffle."""
-    d = t(spark, sf, "documents").select("doc_id")
+    d = t_par(spark, sf, "documents", "doc_id")
     n = (F.lit(256) + F.col("doc_id") % 3 * 128).cast("long")
     ascii_hex = lambda s: F.hex(F.encode(F.lit(s), "UTF-8"))  # noqa: E731
     header_hex = F.concat(
@@ -2420,7 +2420,7 @@ def _video_media(spark: SparkSession, sf: str) -> DataFrame:
     from the formula (the PPM-fixture discipline): container walk and
     frame decode certify against ground truth, never the codec
     against itself."""
-    d = t(spark, sf, "documents").select("doc_id").filter(
+    d = t_par(spark, sf, "documents", "doc_id").filter(
         F.col("doc_id") % 5 == 0
     )
     nf = (F.lit(2) + F.col("doc_id") % 3).cast("long")
@@ -2566,7 +2566,7 @@ def _avi_media(spark: SparkSession, sf: str) -> DataFrame:
     the oracle's literal ground truth."""
     import pandas as pd
 
-    d = t(spark, sf, "documents").select("doc_id").filter(
+    d = t_par(spark, sf, "documents", "doc_id").filter(
         F.col("doc_id") % 5 == 0
     )
 
@@ -2673,7 +2673,7 @@ def avi_decode_audit(spark: SparkSession, sf: str) -> DataFrame:
     a header-only AVI with no movi list."""
     import pandas as pd
 
-    d = t(spark, sf, "documents").select("doc_id")
+    d = t_par(spark, sf, "documents", "doc_id")
 
     def kernel(batches):
         import struct
@@ -2747,7 +2747,7 @@ def _cram_media(spark: SparkSession, sf: str) -> DataFrame:
     truth."""
     import pandas as pd
 
-    d = t(spark, sf, "documents").select("doc_id").filter(
+    d = t_par(spark, sf, "documents", "doc_id").filter(
         F.col("doc_id") % 6 == 0
     )
 
@@ -2870,7 +2870,7 @@ def cram_decode_audit(spark: SparkSession, sf: str) -> DataFrame:
     produce them)."""
     import pandas as pd
 
-    d = t(spark, sf, "documents").select("doc_id")
+    d = t_par(spark, sf, "documents", "doc_id")
 
     def kernel(batches):
         import struct
@@ -2939,7 +2939,7 @@ def _mp4_media(spark: SparkSession, sf: str) -> DataFrame:
     stco sample-table expansion vs the RIFF movi chunk scan)."""
     import pandas as pd
 
-    d = t(spark, sf, "documents").select("doc_id").filter(
+    d = t_par(spark, sf, "documents", "doc_id").filter(
         F.col("doc_id") % 5 == 0
     )
 
@@ -3026,7 +3026,7 @@ def mp4_decode_audit(spark: SparkSession, sf: str) -> DataFrame:
     ftyp+mdat prefix (the progressive-download torso)."""
     import pandas as pd
 
-    d = t(spark, sf, "documents").select("doc_id")
+    d = t_par(spark, sf, "documents", "doc_id")
 
     def kernel(batches):
         from ..operators.jpeg import encode_jpeg
@@ -3074,7 +3074,7 @@ def _video_dup_media(spark: SparkSession, sf: str) -> DataFrame:
     +40 brighter with NO mod-256 wrap (≤ 199 + 40 ≤ 239): a
     brightness-shifted RE-ENCODE whose per-frame gradient hashes must
     come out identical. Different bases give unrelated patterns."""
-    d = t(spark, sf, "documents").select("doc_id").filter(
+    d = t_par(spark, sf, "documents", "doc_id").filter(
         F.col("doc_id") % 5 < 2
     )
     base = (F.col("doc_id") - F.col("doc_id") % 5) / 5
@@ -3297,7 +3297,7 @@ def pdf_decode_audit(spark: SparkSession, sf: str) -> DataFrame:
 
     from ..operators.pdf import encode_pdf_text, pdf_decode_audit as audit
 
-    d = t(spark, sf, "documents")
+    d = t_par(spark, sf, "documents", "doc_id", "text")
 
     def kernel(batches):
         for pdf_ in batches:
@@ -3377,7 +3377,7 @@ def pdf15_text_extract(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.pdf import encode_pdf_text
     from ..operators.pdf import pdf_text_extract as extract
 
-    d = t(spark, sf, "documents")
+    d = t_par(spark, sf, "documents", "doc_id", "text")
 
     def kernel(batches):
         for pdf_ in batches:
@@ -3436,7 +3436,7 @@ def pdf15_decode_audit(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.pdf import encode_pdf_text
     from ..operators.pdf import pdf_decode_audit as audit
 
-    d = t(spark, sf, "documents")
+    d = t_par(spark, sf, "documents", "doc_id", "text")
 
     def kernel(batches):
         for pdf_ in batches:
@@ -3521,7 +3521,7 @@ def bmp_rle8_features(spark: SparkSession, sf: str) -> DataFrame:
     kernel, no shuffle."""
     import pandas as pd
 
-    d = t(spark, sf, "documents").select("doc_id")
+    d = t_par(spark, sf, "documents", "doc_id")
 
     def kernel(batches):
         from ..operators.multimodal import encode_bmp_rle8
@@ -3604,7 +3604,7 @@ def audio_silence_trim(spark: SparkSession, sf: str) -> DataFrame:
     energies sit far from the boundary) — the oracle uses the
     integer form directly. One Arrow decode kernel + one media-key
     aggregate; no shuffle beyond the aggregate."""
-    d = t(spark, sf, "documents").select("doc_id")
+    d = t_par(spark, sf, "documents", "doc_id")
     n = F.lit(768).cast("long")  # 6 full 128-sample windows
     ascii_hex = lambda s: F.hex(F.encode(F.lit(s), "UTF-8"))  # noqa: E731
     header_hex = F.concat(
@@ -3676,7 +3676,7 @@ def tiff_image_features(spark: SparkSession, sf: str) -> DataFrame:
     ordering pins. Narrow Arrow kernel, no shuffle."""
     import pandas as pd
 
-    d = t(spark, sf, "documents").select("doc_id")
+    d = t_par(spark, sf, "documents", "doc_id")
 
     def kernel(batches):
         from ..operators.multimodal import encode_tiff
@@ -3725,7 +3725,7 @@ def tiff_decode_audit(spark: SparkSession, sf: str) -> DataFrame:
     second IFD (multi-page) the single-page contract rejects."""
     import pandas as pd
 
-    d = t(spark, sf, "documents").select("doc_id")
+    d = t_par(spark, sf, "documents", "doc_id")
 
     def kernel(batches):
         import struct
@@ -3791,7 +3791,7 @@ def pdf_incremental_update_extract(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.pdf import append_incremental_update, encode_pdf_text
     from ..operators.pdf import pdf_text_extract as extract
 
-    d = t(spark, sf, "documents")
+    d = t_par(spark, sf, "documents", "doc_id", "text")
 
     def kernel(batches):
         for pdf_ in batches:

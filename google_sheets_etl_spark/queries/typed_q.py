@@ -697,7 +697,7 @@ def streaming_media_admission(spark: SparkSession, sf: str) -> DataFrame:
         for i in range(256)
         for c in range(3)
     )
-    d = t(spark, sf, "documents").select("doc_id")
+    d = t_par(spark, sf, "documents", "doc_id")
 
     def kernel(batches):
         import numpy as np
@@ -804,7 +804,7 @@ def streaming_web_admission(spark: SparkSession, sf: str) -> DataFrame:
     from ..streaming.media_gate_stream import media_gate_stream
     from ..operators.cleaning import warc_payload_audit
 
-    d = t(spark, sf, "documents").select("doc_id")
+    d = t_par(spark, sf, "documents", "doc_id")
 
     def kernel(batches):
         crlf = "\r\n"

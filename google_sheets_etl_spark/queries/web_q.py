@@ -323,7 +323,9 @@ def web_pretraining_pipeline_e2e(spark: SparkSession, sf: str) -> DataFrame:
                 gzs.append(b"".join(members))
             yield pd.DataFrame({"doc_id": ids, "warc_gz": gzs})
 
-    gz = docs.select("doc_id", "text").mapInPandas(
+    gz = docs.select("doc_id", "text").repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(
         kernel, "doc_id long, warc_gz binary"
     )
     warcs = cleaning.warc_gz_to_text(gz)
@@ -642,7 +644,9 @@ def wet_text_ingest(spark: SparkSession, sf: str) -> DataFrame:
                 gzs.append(b"".join(members))
             yield pd.DataFrame({"doc_id": ids, "warc_gz": gzs})
 
-    gz = docs.select("doc_id", "text").mapInPandas(
+    gz = docs.select("doc_id", "text").repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(
         kernel, "doc_id long, warc_gz binary"
     )
     wets = cleaning.warc_gz_to_text(gz).withColumnRenamed("warc", "wet")
@@ -734,7 +738,9 @@ def wet_pipeline_e2e(spark: SparkSession, sf: str) -> DataFrame:
                 gzs.append(c.compress(rec.encode()) + c.flush())
             yield pd.DataFrame({"doc_id": ids, "warc_gz": gzs})
 
-    gz = docs.select("doc_id", "text").mapInPandas(
+    gz = docs.select("doc_id", "text").repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(
         kernel, "doc_id long, warc_gz binary"
     )
     wets = cleaning.warc_gz_to_text(gz).withColumnRenamed("warc", "wet")
