@@ -354,7 +354,6 @@ def parse_jpeg_progressive(payload: bytes) -> tuple[int, int, bytes]:
     w = h = None
     comps: list[tuple[int, int, int, int]] = []
     coef: list["np.ndarray"] = []
-    eobrun = 0
     saw_scan = False
     geom = None  # (hmax, vmax, mx_n, my_n)
     while True:
@@ -494,11 +493,10 @@ def parse_jpeg_progressive(payload: bytes) -> tuple[int, int, bytes]:
             seg_end = end
             while seg_end > pos and payload[seg_end - 1] == 0xFF:
                 seg_end -= 1  # trailing fill bytes are marker padding
-            eobrun = _decode_scan(
+            _decode_scan(
                 payload[pos:seg_end], comps, coef, scomps,
                 ss, se, ah, al, htables, geom, w, h,
             )
-            del eobrun  # per-scan state, reset inside
             saw_scan = True
             pos = end
         # APPn / COM: skipped
@@ -514,7 +512,6 @@ def parse_jpeg_progressive(payload: bytes) -> tuple[int, int, bytes]:
             raise ValueError("jpeg table reference undefined")
         bh, bw = p_arr.shape[0], p_arr.shape[1]
         plane = np.zeros((bh * 8, bw * 8), dtype=np.float64)
-        dezz = np.zeros(64, dtype=np.int64)
         for by in range(bh):
             for bx in range(bw):
                 zz = p_arr[by, bx]
@@ -523,7 +520,6 @@ def parse_jpeg_progressive(payload: bytes) -> tuple[int, int, bytes]:
                     coeffs[ZIGZAG[i]] = zz[i]
                 block = C.T @ (coeffs.reshape(8, 8) * qt) @ C
                 plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = block
-        del dezz
         s = np.clip(np.floor(plane + 128.0 + 0.5), 0, 255)
         fy, fx = vmax // c[3], hmax // c[2]
         if fy > 1:
@@ -577,8 +573,13 @@ def _decode_scan(entropy, comps, coef, scomps, ss, se, ah, al,
                             for hb in range(hi):
                                 walk.append((ci, my * vi + vb, mx * hi + hb))
         else:
+            # non-interleaved DC scan: the component's NATURAL grid
+            # (ceil(comp_dim/8)), NOT the MCU-padded one — T.81 A.2.2
             ci = scomps[0][0]
-            bh, bw = coef[ci].shape[0], coef[ci].shape[1]
+            _, _, hi, vi = comps[ci]
+            cw = (w * hi + hmax - 1) // hmax
+            ch = (h * vi + vmax - 1) // vmax
+            bw, bh = (cw + 7) // 8, (ch + 7) // 8
             walk = [(ci, by, bx) for by in range(bh) for bx in range(bw)]
         for ci, by, bx in walk:
             if ah == 0:
