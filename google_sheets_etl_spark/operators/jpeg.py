@@ -302,6 +302,10 @@ def encode_jpeg(
         fh, fv = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}[subsampling]
     except KeyError:
         raise ValueError("encode_jpeg: unknown subsampling mode")
+    if not (0 <= restart_interval <= 0xFFFF):
+        raise ValueError(
+            "encode_jpeg: restart_interval must be in [0, 65535]"
+        )
     if len(raster) != w * h * 3:
         raise ValueError("raster size mismatch")
     rgb = np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3).astype(np.float64)

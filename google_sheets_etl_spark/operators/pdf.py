@@ -495,32 +495,38 @@ def parse_pdf_text(data: bytes) -> list[str]:
         offsets: dict[int, tuple] = {}
         if data.startswith(b"xref", xref_off):
             # -- classic cross-reference table (PDF 1.0-1.4) --
+            # SUBSECTIONS loop (§7.5.4): an update section touching
+            # non-contiguous objects carries one "start count" header
+            # per contiguous run — all of them before 'trailer'
             lex = _Lexer(data, xref_off + 4)
             lex._skip_ws()
-            m = _INT_RE.match(data, lex.pos)
-            if not m:
-                raise ValueError("bad pdf xref table")
-            start_num = int(m.group(0))
-            lex.pos = m.end()
-            lex._skip_ws()
-            m = _INT_RE.match(data, lex.pos)
-            if not m:
-                raise ValueError("bad pdf xref table")
-            count = int(m.group(0))
-            lex.pos = m.end()
-            # entries: exactly 20 bytes each
-            if data[lex.pos] in b"\r\n":
-                lex.pos += 1
-            entries = data[lex.pos : lex.pos + 20 * count]
-            if len(entries) < 20 * count:
-                raise ValueError("bad pdf xref table")
-            for k in range(count):
-                row = entries[20 * k : 20 * k + 20]
-                if row[17:18] == b"n":
-                    offsets[start_num + k] = ("o", int(row[:10]))
-            lex.pos += 20 * count
-            lex._skip_ws()
-            if not data.startswith(b"trailer", lex.pos):
+            saw_subsection = False
+            while not data.startswith(b"trailer", lex.pos):
+                m = _INT_RE.match(data, lex.pos)
+                if not m:
+                    raise ValueError("bad pdf xref table")
+                start_num = int(m.group(0))
+                lex.pos = m.end()
+                lex._skip_ws()
+                m = _INT_RE.match(data, lex.pos)
+                if not m:
+                    raise ValueError("bad pdf xref table")
+                count = int(m.group(0))
+                lex.pos = m.end()
+                # entries: exactly 20 bytes each
+                if data[lex.pos] in b"\r\n":
+                    lex.pos += 1
+                entries = data[lex.pos : lex.pos + 20 * count]
+                if len(entries) < 20 * count:
+                    raise ValueError("bad pdf xref table")
+                for k in range(count):
+                    row = entries[20 * k : 20 * k + 20]
+                    if row[17:18] == b"n":
+                        offsets[start_num + k] = ("o", int(row[:10]))
+                lex.pos += 20 * count
+                lex._skip_ws()
+                saw_subsection = True
+            if not saw_subsection:
                 raise ValueError("bad pdf xref table")
             lex.pos += len(b"trailer")
             trailer = lex.value()

@@ -4806,3 +4806,45 @@ def test_jpeg_progressive_contracts():
         parse_jpeg(dri)
     with _pt.raises(ValueError, match="trailing bytes after jpeg eoi"):
         parse_jpeg(good + b"x")
+
+
+def test_pdf_multi_subsection_xref():
+    """Classic xref tables with MULTIPLE subsections (§7.5.4 — what a
+    multi-object incremental update produces): a hand-built update
+    replacing pages 1 and 3 through two 'start count' runs parses
+    with both revisions applied; an empty table (no subsection before
+    'trailer') stays a pinned reject."""
+    import re as _re
+
+    import pytest as _pt
+
+    from google_sheets_etl_spark.operators.pdf import (
+        encode_pdf_text, parse_pdf_text,
+    )
+
+    pages = ["one", "two", "three"]
+    base = encode_pdf_text(pages)
+    m = _re.search(rb"startxref\s+(\d+)", base[base.rfind(b"startxref"):])
+    prev = int(m.group(1))
+    out = bytearray(base)
+    offs = {}
+    for page_idx, txt in [(0, "ONE-rev"), (2, "THREE-rev")]:
+        num = 4 + 2 * page_idx
+        offs[num] = len(out)
+        stream = f"BT /F1 12 Tf 72 720 Td ({txt}) Tj ET".encode()
+        out += (
+            f"{num} 0 obj\n<< /Length {len(stream)} >>\nstream\n".encode()
+            + stream + b"\nendstream\nendobj\n"
+        )
+    new_xref = len(out)
+    out += b"xref\n"
+    for num in sorted(offs):
+        out += f"{num} 1\n{offs[num]:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size 10 /Root 1 0 R /Prev {prev} >>\n"
+        f"startxref\n{new_xref}\n%%EOF\n"
+    ).encode()
+    assert parse_pdf_text(bytes(out)) == ["ONE-rev", "two", "THREE-rev"]
+
+    with _pt.raises(ValueError, match="bad pdf xref table"):
+        parse_pdf_text(base.replace(b"xref\n0 ", b"xref\ntrailer", 1))
