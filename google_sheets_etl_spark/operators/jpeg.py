@@ -19,8 +19,8 @@ Scope and strictness contract:
   added round 11 on the r10 verdict's "missing #1"), MCU-interleaved
   per T.81 A.2.3; restart intervals (DRI + byte-aligned RSTn with the
   modulo-8 cycle check and per-interval DC reset — round 11; RST
-  without DRI stays a pinned reject); no progressive/arithmetic
-  coding. Everything outside that scope and every malformed shape
+  without DRI stays a pinned reject); no arithmetic coding (SOF9+
+  rejects). Everything outside that scope and every malformed shape
   raises a PINNED ValueError (the PPM/WAV/PNG discipline) — per-row
   rejects upstream, surfaced by ``payload_decode_audit``.
 - UPSAMPLING DETERMINISM: subsampled chroma is reconstructed by
