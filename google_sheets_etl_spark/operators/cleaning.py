@@ -598,7 +598,13 @@ def wet_conversion_records(
     the leader byte sequence reassembles byte-exactly); gzipped WET
     arrives through the same :func:`warc_gz_to_text` member walk.
     One pass per file, parallelism = file count — Common Crawl's
-    natural shard grain."""
+    natural shard grain.
+
+    This is the generic SIDECAR walk: WAT files (the metadata
+    sibling) flow through unchanged — their ``WARC-Type: metadata``
+    records surface the JSON envelope in ``text``, which JVM
+    ``get_json_object`` extraction consumes downstream
+    (``wat_metadata_ingest``)."""
     base, headers, body, wtype = _warc_record_base(wets, wet_col, id_col)
     uri = F.regexp_extract(headers, r"WARC-Target-URI: (\S+)", 1)
     text = F.regexp_replace(body, r"\r\n\r\n$", "")

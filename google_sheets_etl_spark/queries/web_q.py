@@ -783,3 +783,101 @@ def wet_pipeline_e2e(spark: SparkSession, sf: str) -> DataFrame:
     return agg.select(F.explode(stages).alias("s")).select(
         "s.stage_ord", "s.stage", "s.n_docs", "s.n_tokens"
     )
+
+
+@q(
+    "wat_metadata_ingest",
+    """SELECT doc_id, 2 AS record_idx,
+              'http://ex' || (doc_id % 7) || '.com/page/' || doc_id
+                AS target_uri,
+              'Title of doc ' || doc_id AS title,
+              CAST(1 + doc_id % 4 AS BIGINT) AS n_links
+       FROM documents""",
+)
+def wat_metadata_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    """WAT ingestion — the third Common Crawl sibling (WARC captures,
+    WET text, WAT per-URL METADATA as JSON envelopes), completing the
+    container triple over the SAME ISO 28500 record fold: each
+    document's gzipped WAT file carries a warcinfo record plus one
+    ``WARC-Type: metadata`` record whose body is the CC-style JSON
+    envelope (Envelope → Payload-Metadata → HTTP-Response-Metadata →
+    HTML-Metadata with Head.Title and Links). The walk surfaces the
+    JSON in the record-stream's text column; field extraction is
+    JVM-side ``get_json_object`` + ``json_array_length`` — no Python
+    past the gunzip kernel. Oracle states (uri, title, link count) by
+    construction of the plant."""
+    import json as _json
+
+    import pandas as pd
+
+    docs = t(spark, sf, "documents")
+
+    def kernel(batches):
+        import zlib
+
+        crlf = "\r\n"
+
+        def rec(typ: str, body: str, uri: str | None = None) -> str:
+            h = "WARC/1.0" + crlf + f"WARC-Type: {typ}" + crlf
+            if uri is not None:
+                h += f"WARC-Target-URI: {uri}" + crlf
+            h += f"Content-Length: {len(body.encode('utf-8'))}" + crlf
+            return h + crlf + body + crlf + crlf
+
+        for pdf in batches:
+            ids, gzs = [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                uri = f"http://ex{doc_id % 7}.com/page/{doc_id}"
+                env = _json.dumps({
+                    "Envelope": {
+                        "WARC-Header-Metadata": {
+                            "WARC-Target-URI": uri,
+                            "WARC-Type": "response",
+                        },
+                        "Payload-Metadata": {
+                            "HTTP-Response-Metadata": {
+                                "HTML-Metadata": {
+                                    "Head": {
+                                        "Title": f"Title of doc {doc_id}",
+                                    },
+                                    "Links": [
+                                        {"url": f"/l{k}"}
+                                        for k in range(1 + doc_id % 4)
+                                    ],
+                                },
+                            },
+                        },
+                    },
+                })
+                records = [
+                    rec("warcinfo", "software: wat-plant"),
+                    rec("metadata", env, uri),
+                ]
+                members = []
+                for r in records:
+                    c = zlib.compressobj(9, zlib.DEFLATED, 31)
+                    members.append(c.compress(r.encode()) + c.flush())
+                ids.append(doc_id)
+                gzs.append(b"".join(members))
+            yield pd.DataFrame({"doc_id": ids, "warc_gz": gzs})
+
+    gz = docs.select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(kernel, "doc_id long, warc_gz binary")
+    wats = cleaning.warc_gz_to_text(gz).withColumnRenamed("warc", "wet")
+    recs = cleaning.wet_conversion_records(wats).filter(
+        F.col("warc_type") == "metadata"
+    )
+    html_meta = (
+        "$.Envelope.Payload-Metadata.HTTP-Response-Metadata.HTML-Metadata"
+    )
+    return recs.select(
+        "doc_id",
+        "record_idx",
+        "target_uri",
+        F.get_json_object("text", html_meta + ".Head.Title").alias("title"),
+        F.json_array_length(
+            F.get_json_object("text", html_meta + ".Links")
+        ).cast("long").alias("n_links"),
+    )

@@ -4848,3 +4848,43 @@ def test_pdf_multi_subsection_xref():
 
     with _pt.raises(ValueError, match="bad pdf xref table"):
         parse_pdf_text(base.replace(b"xref\n0 ", b"xref\ntrailer", 1))
+
+
+def test_wat_metadata_records_flow(spark):
+    """WAT (metadata sibling) flows through the generic sidecar walk:
+    a metadata record's JSON envelope surfaces verbatim in text, and
+    JVM get_json_object extraction reads the CC envelope nesting."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from google_sheets_etl_spark.operators.cleaning import (
+        wet_conversion_records,
+    )
+
+    crlf = "\r\n"
+    env = json.dumps({
+        "Envelope": {"Payload-Metadata": {"HTTP-Response-Metadata": {
+            "HTML-Metadata": {"Head": {"Title": "T1"},
+                              "Links": [{"url": "/a"}, {"url": "/b"}]},
+        }}},
+    })
+    rec = ("WARC/1.0" + crlf + "WARC-Type: metadata" + crlf
+           + "WARC-Target-URI: http://x/1" + crlf
+           + f"Content-Length: {len(env.encode())}" + crlf + crlf
+           + env + crlf + crlf)
+    df = spark.createDataFrame([(1, rec)], "doc_id long, wet string")
+    got = (
+        wet_conversion_records(df)
+        .filter(F.col("warc_type") == "metadata")
+        .select(
+            "target_uri",
+            F.get_json_object(
+                "text",
+                "$.Envelope.Payload-Metadata.HTTP-Response-Metadata"
+                ".HTML-Metadata.Head.Title",
+            ).alias("title"),
+        )
+        .collect()
+    )
+    assert [(r.target_uri, r.title) for r in got] == [("http://x/1", "T1")]
