@@ -549,6 +549,11 @@ def _decode_scan(entropy, comps, coef, scomps, ss, se, ah, al,
     """Decode ONE progressive scan into the coefficient planes.
     Validates the (Ss, Se, Ah, Al) grammar strictly."""
     hmax, vmax, mx_n, my_n = geom
+    # successive-approximation grammar (T.81 G.1.1.1): Al in 0..13;
+    # a refinement scan refines exactly one bit, so Ah == Al + 1
+    # (r11 ADVICE strictness gap)
+    if al > 13 or (ah != 0 and ah != al + 1):
+        raise ValueError("bad jpeg progressive scan")
     reader = _BitReader(entropy)
     if ss == 0:
         if se != 0:
@@ -675,4 +680,9 @@ def _decode_scan(entropy, comps, coef, scomps, ss, se, ah, al,
                                     zz[k] += p1 if zz[k] >= 0 else m1
                         k += 1
                     eobrun -= 1
+    # an EOB-run may not extend past the scan's final block — a
+    # leftover count means the encoder claimed blocks that don't
+    # exist (r11 ADVICE strictness gap)
+    if eobrun > 0:
+        raise ValueError("bad jpeg progressive scan")
     return 0

@@ -27,6 +27,7 @@ of the training-data-pipeline extension set.
 from __future__ import annotations
 
 import re
+import struct
 import zlib
 
 __all__ = [
@@ -214,12 +215,25 @@ def append_incremental_update(
     ``/Prev`` land after ``%%EOF``. Matches the base's layout family:
     a classic base gets a classic one-subsection update table, a 1.5
     base gets an update /Type /XRef stream (its own object number,
-    ``/Index`` covering the two new entries)."""
+    ``/Index`` covering the two new entries).
+
+    ENCODER-ONLY CONTRACT (r11 ADVICE): the page->object mapping
+    (content stream = object ``4 + 2*page_idx``, ``/Root 1 0 R``) is
+    :func:`encode_pdf_text`'s fixed layout, not general PDF — this is
+    a fixture builder, like ``encode_pdf_text`` itself. The base is
+    validated (the replaced object's header must exist) so calling it
+    on a foreign PDF raises instead of silently pointing the update
+    section at the wrong objects."""
     m = re.search(rb"startxref\s+(\d+)", base[base.rfind(b"startxref"):])
     if not m:
         raise ValueError("missing pdf startxref")
     prev_off = int(m.group(1))
     cont_num = 4 + 2 * page_idx
+    if (
+        re.search(rb"(?m)^%d 0 obj\b" % cont_num, base) is None
+        or b"/Root 1 0 R" not in base
+    ):
+        raise ValueError("pdf base is not encode_pdf_text output")
     stream = (
         f"BT /F1 12 Tf 72 720 Td ({_esc_pdf_string(new_text)}) Tj ET"
     ).encode("latin-1")
@@ -513,7 +527,12 @@ def parse_pdf_text(data: bytes) -> list[str]:
                     raise ValueError("bad pdf xref table")
                 count = int(m.group(0))
                 lex.pos = m.end()
-                # entries: exactly 20 bytes each
+                # entries: exactly 20 bytes each.  Bounds-check before
+                # the single-byte peek: a payload truncated right after
+                # the "start count" header would otherwise IndexError
+                # out of the task instead of dead-lettering (r11 ADVICE)
+                if lex.pos >= len(data):
+                    raise ValueError("bad pdf xref table")
                 if data[lex.pos] in b"\r\n":
                     lex.pos += 1
                 entries = data[lex.pos : lex.pos + 20 * count]
@@ -828,6 +847,14 @@ def pdf_decode_audit(media, payload_col="payload", id_col="media_id"):
                     oks.append(False)
                     nps.append(0)
                     errs.append(str(exc))
+                except (IndexError, struct.error):
+                    # backstop for slicing/unpack escapes the strict
+                    # parser misses (parse_mp4's pattern,
+                    # multimodal.py:1732) — a malformed web PDF must
+                    # dead-letter, never crash the Spark task
+                    oks.append(False)
+                    nps.append(0)
+                    errs.append("malformed pdf")
             yield pd.DataFrame({
                 id_col: ids,
                 "ok": pd.Series(oks, dtype="bool"),

@@ -2264,6 +2264,15 @@ def langid_nb_predict(
     integer arithmetic end to end, so the SQL twin (weights as
     literals) reproduces every score bit-for-bit.
 
+    CASEFOLD CONTRACT (r11 ADVICE): the lowercasing happens in Spark
+    (``F.lower``) BEFORE the Arrow kernel — the exact same engine and
+    mapping as training's :func:`char_bigram_counts` — so train-time
+    and serve-time gram streams agree by construction on every code
+    point (Python ``str.lower`` can diverge from JVM ``lower`` on
+    Turkic/combining cases like 'İ'). The DuckDB oracle's ``lower``
+    remains the cross-engine comparison point, exercised on the
+    ASCII fixture corpus.
+
     Scale shape: one narrow Arrow pass; the (L × V) integer weight
     matrix rides the task closure (KBs). No shuffle, no join — the
     brute-force-cosine/linear-probe serving shape. Returns
@@ -2294,9 +2303,9 @@ def langid_nb_predict(
                 ids.append(i)
                 cnt = np.zeros(len(gidx), dtype=np.int64)
                 if txt is not None:
-                    t = txt.lower()
-                    for p in range(len(t) - 1):
-                        j = gidx.get(t[p:p + 2])
+                    # already lowercased JVM-side (casefold contract)
+                    for p in range(len(txt) - 1):
+                        j = gidx.get(txt[p:p + 2])
                         if j is not None:
                             cnt[j] += 1
                 sc = pvec + wmat @ cnt
@@ -2309,7 +2318,9 @@ def langid_nb_predict(
                 id_col: ids, "pred_lang": preds, "lang_score": scores,
             })
 
-    return docs.select(id_col, text_col).mapInPandas(kernel, schema)
+    return docs.select(
+        id_col, F.lower(F.col(text_col)).alias(text_col)
+    ).mapInPandas(kernel, schema)
 
 
 def token_vocabulary(

@@ -4888,3 +4888,181 @@ def test_wat_metadata_records_flow(spark):
         .collect()
     )
     assert [(r.target_uri, r.title) for r in got] == [("http://x/1", "T1")]
+
+
+def test_pdf_truncated_xref_header_is_value_error():
+    """r11 ADVICE #1: a payload truncated right after a classic xref
+    subsection's 'start count' header must raise the pinned
+    ValueError('bad pdf xref table'), NOT IndexError (which would
+    crash the Spark task instead of dead-lettering the row). The
+    truncated table sits AFTER the rfind'd startxref so the section
+    walk genuinely reaches the end-of-data peek."""
+    import pytest as _pt
+
+    from google_sheets_etl_spark.operators.pdf import (
+        encode_pdf_text, parse_pdf_text,
+    )
+
+    base = encode_pdf_text(["one"])
+    off = len(base) + len(b"startxref\n") + 12 + len(b"\n%%EOF\n")
+    craft = (
+        base + b"startxref\n" + str(off).zfill(12).encode()
+        + b"\n%%EOF\n" + b"xref\n4 1"
+    )
+    assert craft[off:off + 4] == b"xref"
+    with _pt.raises(ValueError, match="bad pdf xref table"):
+        parse_pdf_text(craft)
+
+
+def test_pdf_incremental_update_rejects_foreign_base():
+    """r11 ADVICE #4: append_incremental_update's page->object
+    mapping is encode_pdf_text's fixed layout; a foreign PDF base
+    (valid startxref, different object numbering) must raise instead
+    of silently emitting an update section pointing at the wrong
+    objects."""
+    import pytest as _pt
+
+    from google_sheets_etl_spark.operators.pdf import (
+        append_incremental_update, encode_pdf_text,
+    )
+
+    foreign = (
+        b"%PDF-1.4\n9 0 obj\n<< /Length 4 >>\nstream\nBT ET\n"
+        b"endstream\nendobj\nxref\n0 1\n0000000000 65535 f \n"
+        b"trailer\n<< /Size 10 /Root 9 0 R >>\n"
+        b"startxref\n47\n%%EOF\n"
+    )
+    with _pt.raises(ValueError, match="not encode_pdf_text output"):
+        append_incremental_update(foreign, 0, "x")
+    # the real thing still works
+    base = encode_pdf_text(["one", "two"])
+    append_incremental_update(base, 1, "TWO-rev")
+
+
+def test_jpeg_progressive_sa_grammar_rejects():
+    """r11 ADVICE #3 (successive-approximation grammar, T.81
+    G.1.1.1): Al > 13 and a refinement scan with Ah != Al + 1 are
+    pinned rejects, patched onto an otherwise-valid SOF2 stream's
+    first SOS header (3-component DC scan, AhAl at byte 13 of the
+    FFDA segment)."""
+    import pytest as _pt
+
+    from google_sheets_etl_spark.operators.jpeg import parse_jpeg
+    from google_sheets_etl_spark.operators.jpeg_progressive import (
+        encode_jpeg_progressive,
+    )
+
+    good = encode_jpeg_progressive(
+        16, 16, bytes(k % 256 for k in range(16 * 16 * 3)), "420"
+    )
+    i = good.find(b"\xff\xda\x00\x0c\x03")
+    assert i > 0 and good[i + 13] == 0x01  # DC first scan, Ah=0 Al=1
+    for ahal in (0x0E, 0x31):  # Al=14; refinement Ah=3 over Al=1
+        bad = bytearray(good)
+        bad[i + 13] = ahal
+        with _pt.raises(ValueError, match="bad jpeg progressive scan"):
+            parse_jpeg(bytes(bad))
+    parse_jpeg(good)  # the unpatched stream still decodes
+
+
+def test_jpeg_progressive_eobrun_overrun_rejects():
+    """r11 ADVICE #3 (EOB-run strictness): an AC first scan whose
+    EOB-run claims more blocks than the scan contains is a pinned
+    reject; the EOB0 twin (run exactly covers the final block)
+    decodes. Hand-built minimal grayscale 8x8 SOF2 stream (one
+    block) using the module's own Huffman/bit-writer primitives."""
+    import struct as _st
+
+    import pytest as _pt
+
+    from google_sheets_etl_spark.operators.jpeg import (
+        DC_LUM_BITS, DC_LUM_VALS, QUANT_LUM, ZIGZAG, parse_jpeg,
+        _BitWriter, _huffman_codes,
+    )
+    from google_sheets_etl_spark.operators.jpeg_progressive import (
+        PROG_AC_BITS, PROG_AC_VALS,
+    )
+
+    dc_tab = _huffman_codes(DC_LUM_BITS, DC_LUM_VALS)
+    ac_tab = _huffman_codes(PROG_AC_BITS, PROG_AC_VALS)
+
+    def seg(marker, payload):
+        return _st.pack(">HH", marker, len(payload) + 2) + payload
+
+    def build(eob_r):
+        out = bytearray(b"\xff\xd8")
+        out += seg(0xFFDB, bytes([0]) + bytes(
+            QUANT_LUM[ZIGZAG[i]] for i in range(64)
+        ))
+        out += seg(0xFFC2, _st.pack(">BHHB", 8, 8, 8, 1)
+                   + bytes([1, 0x11, 0]))
+        out += seg(0xFFC4, bytes([0x00]) + bytes(DC_LUM_BITS)
+                   + bytes(DC_LUM_VALS))
+        out += seg(0xFFC4, bytes([0x10]) + bytes(PROG_AC_BITS)
+                   + bytes(PROG_AC_VALS))
+        # DC first scan: one cat-0 symbol (diff 0)
+        out += seg(0xFFDA, bytes([1, 1, 0x00, 0, 0, 0x00]))
+        w = _BitWriter()
+        ln, code = dc_tab[0]
+        w.write(code, ln)
+        out += w.flush()
+        # AC first scan: a single EOBn symbol
+        out += seg(0xFFDA, bytes([1, 1, 0x00, 1, 63, 0x00]))
+        w = _BitWriter()
+        ln, code = ac_tab[eob_r << 4]
+        w.write(code, ln)
+        if eob_r:
+            w.write(0, eob_r)  # low bits: eobrun = (1<<r)-1 + 0
+        out += w.flush()
+        out += b"\xff\xd9"
+        return bytes(out)
+
+    w_, h_, px = parse_jpeg(build(0))  # EOB0: exactly this block
+    assert (w_, h_) == (8, 8) and len(px) == 8 * 8 * 3
+    with _pt.raises(ValueError, match="bad jpeg progressive scan"):
+        parse_jpeg(build(1))  # EOB1: claims a block past the end
+
+
+def test_langid_predict_casefolds_jvm_side(spark):
+    """r11 ADVICE #2 (casefold contract): serving lowercases in Spark
+    — the same engine as training's char_bigram_counts — so
+    predictions are invariant to input case and cannot diverge from
+    the trained gram stream on exotic code points. Uppercased twins
+    of held-out sentences must score IDENTICALLY (same pred, same
+    integer score), and a non-ASCII Turkic 'İ' document must flow
+    through without error."""
+    from google_sheets_etl_spark.operators.text import (
+        langid_nb_fit, langid_nb_predict,
+    )
+
+    rows = [
+        (0, "the cat sat on the mat and looked at the door", "en"),
+        (1, "the children were playing in the garden today", "en"),
+        (2, "der hund lief schnell durch den dunklen wald", "de"),
+        (3, "die kinder spielten den ganzen nachmittag dort", "de"),
+    ]
+    train = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    )
+    model = langid_nb_fit(train, vocab_size=64)
+    held = [
+        (10, "it is often said that history repeats itself"),
+        (11, "sie konnte sich nicht erinnern wo sie waren"),
+    ]
+    lower = spark.createDataFrame(held, "doc_id long, text string")
+    upper = spark.createDataFrame(
+        [(i, t.upper()) for i, t in held], "doc_id long, text string"
+    )
+    got_l = {
+        r["doc_id"]: (r["pred_lang"], r["lang_score"])
+        for r in langid_nb_predict(lower, *model).collect()
+    }
+    got_u = {
+        r["doc_id"]: (r["pred_lang"], r["lang_score"])
+        for r in langid_nb_predict(upper, *model).collect()
+    }
+    assert got_l == got_u
+    turkic = spark.createDataFrame(
+        [(20, "İSTANBUL İ TEST DOCUMENT")], "doc_id long, text string"
+    )
+    assert len(langid_nb_predict(turkic, *model).collect()) == 1

@@ -78,12 +78,67 @@ R10 = {"suffix_dedup_spans": 7.50, "suffix_dedup_apply": 6.85,
        "typed_profile_incremental": 4.63, "bpe_learn_merges": 7.18}
 
 
+# round-11 contention-inflated rows (VERDICT.md round 11, "What's
+# wrong" #1: BENCH_r11.json ran at loadavg 11.7 with calib_matmul_ms
+# 702.7 vs the 275 ms steady state; these rows exceeded 2x r10 on the
+# official artifact with zero source change on their paths), plus the
+# same two stable anchors
+TARGETS_R11 = [
+    "typed_view_apply",
+    "opq_recall_at_k",
+    "nsw_recall_at_k",
+    "typed_view_cast_stats",
+    "ivf_pq_search",
+    # anchors: control for machine-wide noise
+    "events_hourly",
+    "cosine_topk",
+]
+
+R10B = {"typed_view_apply": 3.823, "opq_recall_at_k": 4.019,
+        "nsw_recall_at_k": 1.785, "typed_view_cast_stats": 2.158,
+        "ivf_pq_search": 0.953}
+R11 = {"typed_view_apply": 11.835, "opq_recall_at_k": 10.749,
+       "nsw_recall_at_k": 4.994, "typed_view_cast_stats": 5.67,
+       "ivf_pq_search": 1.834}
+
+
+def _calibration() -> dict:
+    """Same three host-speed probes as bench.py (round-11), so the
+    drift artifact carries the normalization denominators itself."""
+    import hashlib as _hl
+
+    import numpy as _np
+
+    out = {}
+    t0 = time.monotonic()
+    h = _hl.sha256()
+    for i in range(200000):
+        h.update(str(i).encode() * 20)
+    out["calib_sha_ms"] = round((time.monotonic() - t0) * 1000, 1)
+    t0 = time.monotonic()
+    x = 0
+    for i in range(2_000_000):
+        x += i * i
+    out["calib_pyloop_ms"] = round((time.monotonic() - t0) * 1000, 1)
+    a = _np.arange(1_000_000, dtype=_np.float64).reshape(1000, 1000)
+    t0 = time.monotonic()
+    for _ in range(4):
+        a @ a
+    out["calib_matmul_ms"] = round((time.monotonic() - t0) * 1000, 1)
+    return out
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     rnd = os.environ.get("DRIFT_ROUND", "r9")
-    targets = TARGETS_R10 if rnd == "r10" else TARGETS
-    base_lo, base_hi = (R9, R10) if rnd == "r10" else (R7, R8)
+    if rnd == "r11":
+        targets, base_lo, base_hi = TARGETS_R11, R10B, R11
+    elif rnd == "r10":
+        targets, base_lo, base_hi = TARGETS_R10, R9, R10
+    else:
+        targets, base_lo, base_hi = TARGETS, R7, R8
     iters = int(os.environ.get("DRIFT_ITERS", "3"))
+    calib = _calibration() if rnd == "r11" else None
     spark = get_spark("drift-rerun")
     spark.sparkContext.setLogLevel("ERROR")
     # same warm-up as bench.py
@@ -111,10 +166,13 @@ def main() -> None:
               f" drifted={base_hi.get(name)})",
               file=sys.stderr)
     load_after = os.getloadavg()
-    print(json.dumps({"round": rnd, "sf_dir": sf_dir, "iters": iters,
-                      "loadavg_before": load_before,
-                      "loadavg_after": load_after,
-                      "results": out}))
+    payload = {"round": rnd, "sf_dir": sf_dir, "iters": iters,
+               "loadavg_before": load_before,
+               "loadavg_after": load_after,
+               "results": out}
+    if calib is not None:
+        payload["calibration"] = calib
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":
