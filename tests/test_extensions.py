@@ -5066,3 +5066,33 @@ def test_langid_predict_casefolds_jvm_side(spark):
         [(20, "İSTANBUL İ TEST DOCUMENT")], "doc_id long, text string"
     )
     assert len(langid_nb_predict(turkic, *model).collect()) == 1
+
+
+def test_quality_classifier_trained_distills_the_gate(spark):
+    """The trained quality NB (r11 verdict missing #3) must actually
+    LEARN the heuristic gate it distills: agreement with the
+    fixed-weight keep/drop decision on the full sf0.001 corpus must
+    beat the majority-class floor by a clear margin (char bigrams are
+    weak features for a token-ratio threshold, so perfect agreement
+    is not expected — generalization past the hard threshold is the
+    point of the distillation)."""
+    from pyspark.sql import functions as F
+
+    from google_sheets_etl_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    pred = QUERIES["quality_classifier_trained"](spark, sf)
+    heur = QUERIES["quality_classifier_score"](spark, sf).select(
+        "doc_id", "keep"
+    )
+    j = pred.join(heur, "doc_id").select(
+        (F.col("keep_pred") == F.col("keep")).cast("long").alias("ok"),
+        F.col("keep").cast("long").alias("k"),
+    )
+    row = j.agg(
+        F.sum("ok").alias("agree"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("n_keep"),
+    ).collect()[0]
+    majority = max(row["n_keep"], row["n"] - row["n_keep"]) / row["n"]
+    assert row["agree"] / row["n"] >= max(0.72, majority + 0.03)
