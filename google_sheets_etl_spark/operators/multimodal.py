@@ -584,7 +584,8 @@ PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 def parse_png(payload: bytes) -> tuple[int, int, bytes]:
     """Strict pure-Python decoder for TRUECOLOR 8-bit PNG (color type
-    2, no interlace) → (width, height, raw RGB bytes) — the same
+    2, sequential OR Adam7-interlaced) → (width, height, raw RGB
+    bytes) — the same
     raster shape :meth:`PpmCodec.parse` returns, so every image
     operator composes over PNG unchanged (round-7 verdict directive
     #4: a real pipeline's first byte is PNG/JPEG, not P6). zlib is
@@ -594,8 +595,9 @@ def parse_png(payload: bytes) -> tuple[int, int, bytes]:
 
     Strictness contract matches the PPM/WAV parsers: every malformed
     shape raises a PINNED ValueError (bad signature, truncated chunk,
-    CRC mismatch, unsupported depth/color/interlace, corrupt IDAT
-    stream, raster size mismatch, trailing bytes after IEND) — the
+    CRC mismatch, unsupported depth/color/interlace-method, corrupt
+    IDAT stream, raster size mismatch — per pass under Adam7 —
+    trailing bytes after IEND) — the
     per-row reject channel :func:`payload_decode_audit` surfaces.
 
     Scale note: Sub/Average/Paeth reconstruction carries a per-pixel
@@ -611,6 +613,7 @@ def parse_png(payload: bytes) -> tuple[int, int, bytes]:
         raise ValueError("not a png payload")
     pos = 8
     w = h = None
+    interlaced = False
     idat: list[bytes] = []
     seen_iend = False
     while pos < len(payload):
@@ -635,8 +638,9 @@ def parse_png(payload: bytes) -> tuple[int, int, bytes]:
                 raise ValueError("only 8-bit truecolor png supported")
             if comp or filt:
                 raise ValueError("unsupported png compression method")
-            if inter:
-                raise ValueError("interlaced png unsupported")
+            if inter not in (0, 1):
+                raise ValueError("unsupported png interlace method")
+            interlaced = inter == 1
         elif typ == b"IDAT":
             idat.append(data)
         elif typ == b"IEND":
@@ -655,11 +659,55 @@ def parse_png(payload: bytes) -> tuple[int, int, bytes]:
     except zlib.error as exc:
         raise ValueError("corrupt png idat stream") from exc
     stride = 3 * w
-    if len(raw) != h * (stride + 1):
-        raise ValueError("png raster size mismatch")
+    if not interlaced:
+        if len(raw) != h * (stride + 1):
+            raise ValueError("png raster size mismatch")
+        return w, h, bytes(_png_defilter(raw, h, stride))
+    # -- Adam7 (interlace method 1): seven independent sub-images,
+    # each filtered against ITS OWN previous scanline, scattered
+    # back onto the canvas on the pass grid --
     out = bytearray(h * stride)
+    pos = 0
+    for x0, y0, dx, dy in ADAM7_PASSES:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue  # empty pass contributes ZERO bytes (spec)
+        pstride = 3 * pw
+        need = ph * (pstride + 1)
+        sub = raw[pos:pos + need]
+        if len(sub) != need:
+            raise ValueError("png raster size mismatch")
+        pos += need
+        recon = _png_defilter(sub, ph, pstride)
+        for r in range(ph):
+            y = y0 + r * dy
+            for c in range(pw):
+                x = x0 + c * dx
+                o = 3 * (y * w + x)
+                s = r * pstride + 3 * c
+                out[o:o + 3] = recon[s:s + 3]
+    if pos != len(raw):
+        raise ValueError("png raster size mismatch")
+    return w, h, bytes(out)
+
+
+# Adam7 pass grid (PNG spec §8.2): (x-origin, y-origin, x-step,
+# y-step), newest-coarsest first
+ADAM7_PASSES = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_defilter(raw: bytes, nrows: int, stride: int) -> bytearray:
+    """Reconstruct ``nrows`` scanlines of ``stride`` bytes from the
+    filtered stream (1 filter-type byte + stride bytes per line,
+    bpp = 3). Shared by the sequential and Adam7 paths — each Adam7
+    pass is its own filter scope with its own zero previous row."""
+    out = bytearray(nrows * stride)
     prev = bytes(stride)
-    for y in range(h):
+    for y in range(nrows):
         ft = raw[y * (stride + 1)]
         row = bytearray(raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)])
         if ft == 0:
@@ -689,7 +737,7 @@ def parse_png(payload: bytes) -> tuple[int, int, bytes]:
             raise ValueError("unknown png filter type")
         out[y * stride:(y + 1) * stride] = row
         prev = bytes(row)
-    return w, h, bytes(out)
+    return out
 
 
 def encode_png(
@@ -711,9 +759,33 @@ def encode_png(
     fts = filters if filters is not None else [0] * h
     if len(fts) != h:
         raise ValueError("one filter type per scanline required")
+    lines = _png_filter_scanlines(raster, h, stride, fts)
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_filter_scanlines(
+    raster: bytes, nrows: int, stride: int, fts: list[int]
+) -> bytearray:
+    """Apply per-scanline filters (RFC 2083 §6, bpp = 3) — the exact
+    inverse of :func:`_png_defilter`. Shared by the sequential
+    encoder and the per-pass Adam7 encoder (each pass filters
+    against its OWN previous row)."""
     lines = bytearray()
     prev = bytes(stride)
-    for y in range(h):
+    for y in range(nrows):
         row = raster[y * stride:(y + 1) * stride]
         ft = fts[y]
         lines.append(ft)
@@ -750,6 +822,41 @@ def encode_png(
         else:
             raise ValueError("unknown png filter type")
         prev = row
+    return lines
+
+
+def encode_png_adam7(w: int, h: int, raster: bytes) -> bytes:
+    """Adam7-INTERLACED truecolor-PNG encoder (interlace method 1) —
+    the fixture twin for :func:`parse_png`'s interlaced path: the
+    SAME raster encoded on the seven-pass grid must decode bit-equal
+    to its sequential sibling (the progressive-JPEG equality
+    discipline — encoder and decoder written from the spec
+    independently, both must land on the sequential pixels). Each
+    pass gathers its sub-image from the canvas, then filters with
+    the cycling pass-row filter (r % 5 — all five filter paths
+    exercised inside pass scopes on any image with a tall pass)."""
+    import struct
+    import zlib
+
+    stride = 3 * w
+    if len(raster) != h * stride:
+        raise ValueError("raster size mismatch")
+    lines = bytearray()
+    for x0, y0, dx, dy in ADAM7_PASSES:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        sub = bytearray()
+        for r in range(ph):
+            y = y0 + r * dy
+            for c in range(pw):
+                x = x0 + c * dx
+                o = 3 * (y * w + x)
+                sub += raster[o:o + 3]
+        lines += _png_filter_scanlines(
+            bytes(sub), ph, 3 * pw, [r % 5 for r in range(ph)]
+        )
 
     def chunk(typ: bytes, data: bytes) -> bytes:
         return (
@@ -757,7 +864,7 @@ def encode_png(
             + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)
     return (
         PNG_SIG
         + chunk(b"IHDR", ihdr)

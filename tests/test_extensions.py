@@ -5173,3 +5173,66 @@ def test_mp3_walk_contracts():
                            xing="Xing", seed=4)
     st = parse_mp3_stream(crc)
     assert st["has_xing"] and st["has_crc"]
+
+
+def test_png_adam7_equality_and_strictness():
+    """Adam7 interlaced PNG (r11 verdict missing #2): (1) the
+    interlace-reordering identity — for any raster the Adam7
+    encoding decodes BIT-EQUAL to the sequential encoding and the
+    source (the progressive-JPEG equality discipline), across random
+    sizes including ones with empty passes (w or h < 5); (2) strict
+    per-pass raster accounting — a truncated interlaced IDAT is a
+    pinned reject; (3) interlace method 2 stays rejected."""
+    import random
+    import struct as _st
+    import zlib as _zl
+
+    import pytest as _pt
+
+    from google_sheets_etl_spark.operators.multimodal import (
+        encode_png, encode_png_adam7, parse_png,
+    )
+
+    rng = random.Random(19)
+    for _ in range(20):
+        w, h = rng.randrange(1, 24), rng.randrange(1, 24)
+        raster = bytes(rng.randrange(256) for _ in range(w * h * 3))
+        assert parse_png(encode_png_adam7(w, h, raster)) \
+            == parse_png(encode_png(w, h, raster)) == (w, h, raster)
+
+    good = encode_png_adam7(9, 7, bytes(k % 256 for k in range(9 * 7 * 3)))
+
+    def rebuild(payload, mutate_idat=None, mutate_ihdr=None):
+        pos = 8
+        out = bytearray(payload[:8])
+        while pos < len(payload):
+            ln, typ = _st.unpack(">I4s", payload[pos:pos + 8])
+            data = bytearray(payload[pos + 8:pos + 8 + ln])
+            if typ == b"IDAT" and mutate_idat:
+                data = bytearray(mutate_idat(bytes(data)))
+            if typ == b"IHDR" and mutate_ihdr:
+                data = bytearray(mutate_ihdr(bytes(data)))
+            out += _st.pack(">I", len(data)) + typ + data
+            out += _st.pack(
+                ">I", _zl.crc32(typ + bytes(data)) & 0xFFFFFFFF
+            )
+            pos += 12 + ln
+        return bytes(out)
+
+    cut = rebuild(
+        good,
+        mutate_idat=lambda d: _zl.compress(_zl.decompress(d)[:-4]),
+    )
+    with _pt.raises(ValueError, match="png raster size mismatch"):
+        parse_png(cut)
+    grown = rebuild(
+        good,
+        mutate_idat=lambda d: _zl.compress(_zl.decompress(d) + b"\0" * 7),
+    )
+    with _pt.raises(ValueError, match="png raster size mismatch"):
+        parse_png(grown)
+    meth2 = rebuild(
+        good, mutate_ihdr=lambda d: d[:12] + b"\x02"
+    )
+    with _pt.raises(ValueError, match="unsupported png interlace method"):
+        parse_png(meth2)
