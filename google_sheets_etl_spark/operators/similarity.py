@@ -1199,6 +1199,111 @@ def cosine_topk_nsw_beam(
     return _ranked_topk(scored, k, bound=False)
 
 
+def _hnsw_node_level(node_id: int, cap: int, seed: int) -> int:
+    """Deterministic HNSW level draw: trailing ONE bits of
+    md5(id:seed:lvl) — a geometric(1/2) draw any engine reproduces
+    (HNSW's mL = 1/ln 2 choice) — capped at the cell's cap. Shared
+    by the in-query index and the persisted one (frozen-cap
+    admission must reproduce build-time levels exactly)."""
+    import hashlib
+
+    h = int(hashlib.md5(
+        f"{node_id}:{seed}:lvl".encode()
+    ).hexdigest()[:16], 16)
+    lvl = 0
+    while h & 1 and lvl < cap:
+        lvl += 1
+        h >>= 1
+    return lvl
+
+
+def _hnsw_build_adj(gsim, members, m_neighbors: int) -> dict:
+    """NSW insertion rule restricted to ``members`` (ascending node
+    index = ascending id): each member links to its m nearest
+    PREDECESSOR members by micro-unit cosine (stable ties: lower
+    id), symmetrized. The rule is a pure function of the member
+    VECTORS and id order — which is what makes append-only admission
+    into a stored graph equal the from-scratch build."""
+    import numpy as np
+
+    neigh: dict[int, list[int]] = {int(i): [] for i in members}
+    for pos in range(1, len(members)):
+        i = int(members[pos])
+        preds = members[:pos]
+        order = np.argsort(-gsim[i, preds], kind="stable")
+        for oj in order[:m_neighbors]:
+            j = int(preds[oj])
+            neigh[i].append(j)
+            neigh[j].append(i)
+    return neigh
+
+
+def _hnsw_walk(cu, nc, entry0, top, layer_adj, base_neigh, ef):
+    """ONE query's HNSW traversal over a prepared per-cell graph —
+    the greedy ef=1 descent through the upper layers followed by the
+    ef-bounded base-layer beam (cosine_topk_nsw_beam's loop), seeded
+    with EVERY node the descent scored (their distance computations
+    are already paid, and omitting them would silently drop a
+    descent-scored true neighbor). Factored out of
+    :func:`cosine_topk_hnsw` so the PERSISTED-index search
+    (``operators/hnsw_index.py``) runs the IDENTICAL walk over the
+    stored adjacency — the two serve paths cannot drift.
+
+    ``cu``: int64 micro-unit query->node scores; ``layer_adj``:
+    {lvl >= 1: {node: [nbrs]}}; ``base_neigh``: list of lists.
+    Returns (found node indices ascending, n_scored)."""
+    import heapq
+
+    import numpy as np
+
+    seen = np.zeros(nc, dtype=bool)
+    cur = entry0
+    seen[cur] = True
+    n_scored = 1
+    for lvl in range(top, 0, -1):
+        adj = layer_adj[lvl]
+        improved = True
+        while improved:
+            improved = False
+            best, best_s = cur, int(cu[cur])
+            for n in adj[cur]:
+                if not seen[n]:
+                    seen[n] = True
+                    n_scored += 1
+                s = int(cu[n])
+                if s > best_s or (s == best_s and n < best):
+                    best, best_s = n, s
+            if best != cur and int(cu[best]) > int(cu[cur]):
+                cur = best
+                improved = True
+    scored0 = np.flatnonzero(seen)
+    cand = [(-int(cu[i]), int(i)) for i in scored0]
+    heapq.heapify(cand)
+    W = [(int(cu[i]), -int(i)) for i in scored0]
+    heapq.heapify(W)
+    while len(W) > ef:
+        heapq.heappop(W)
+    while cand:
+        negs, i = heapq.heappop(cand)
+        if len(W) == ef and -negs < W[0][0]:
+            break
+        for n in base_neigh[i]:
+            if seen[n]:
+                continue
+            seen[n] = True
+            n_scored += 1
+            s = int(cu[n])
+            if len(W) < ef or s > W[0][0] or (
+                s == W[0][0] and -n > W[0][1]
+            ):
+                heapq.heappush(W, (s, -n))
+                if len(W) > ef:
+                    heapq.heappop(W)
+                heapq.heappush(cand, (-s, n))
+    found = np.array(sorted(-negi for _, negi in W), dtype=int)
+    return found, n_scored
+
+
 def cosine_topk_hnsw(
     queries: DataFrame,
     candidates: DataFrame,
@@ -1242,9 +1347,6 @@ def cosine_topk_hnsw(
     deployment meters; a node re-seen on a lower layer is cached,
     not re-scored). Per-cell Arrow tasks, corpus never shuffles —
     the working-set contract of the whole NSW family."""
-    import hashlib
-    import heapq
-
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import (
@@ -1280,29 +1382,10 @@ def cosine_topk_hnsw(
         return np.floor(x * 1e6 + 0.5).astype(np.int64)
 
     def node_level(node_id: int, cap: int) -> int:
-        h = int(hashlib.md5(
-            f"{node_id}:{seed}:lvl".encode()
-        ).hexdigest()[:16], 16)
-        lvl = 0
-        while h & 1 and lvl < cap:
-            lvl += 1
-            h >>= 1
-        return lvl
+        return _hnsw_node_level(node_id, cap, seed)
 
     def build_adj(gsim: "np.ndarray", members: "np.ndarray") -> dict:
-        """NSW insertion rule restricted to ``members`` (ascending
-        node index = ascending id): each member links to its m
-        nearest PREDECESSOR members, symmetrized."""
-        neigh: dict[int, list[int]] = {int(i): [] for i in members}
-        for pos in range(1, len(members)):
-            i = int(members[pos])
-            preds = members[:pos]
-            order = np.argsort(-gsim[i, preds], kind="stable")
-            for oj in order[:m_neighbors]:
-                j = int(preds[oj])
-                neigh[i].append(j)
-                neigh[j].append(i)
-        return neigh
+        return _hnsw_build_adj(gsim, members, m_neighbors)
 
     def cell_kernel(qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
         cols = [f.name for f in fields]
@@ -1360,57 +1443,9 @@ def cosine_topk_hnsw(
         out = {name: [] for name in cols}
         for qi in range(len(qpdf)):
             cu = qcu6[qi]
-            seen = np.zeros(nc, dtype=bool)
-            cur = entry0
-            seen[cur] = True
-            n_scored = 1
-            # greedy ef=1 descent through the upper layers
-            for lvl in range(top, 0, -1):
-                adj = layer_adj[lvl]
-                improved = True
-                while improved:
-                    improved = False
-                    best, best_s = cur, int(cu[cur])
-                    for n in adj[cur]:
-                        if not seen[n]:
-                            seen[n] = True
-                            n_scored += 1
-                        s = int(cu[n])
-                        if s > best_s or (s == best_s and n < best):
-                            best, best_s = n, s
-                    if best != cur and int(cu[best]) > int(cu[cur]):
-                        cur = best
-                        improved = True
-            # base-layer beam (cosine_topk_nsw_beam's loop), seeded
-            # with EVERY node the descent scored — their distance
-            # computations are already paid, and omitting them would
-            # silently drop a descent-scored true neighbor from the
-            # result set (the seen guard blocks re-entry)
-            scored0 = np.flatnonzero(seen)
-            cand = [(-int(cu[i]), int(i)) for i in scored0]
-            heapq.heapify(cand)
-            W = [(int(cu[i]), -int(i)) for i in scored0]
-            heapq.heapify(W)
-            while len(W) > ef:
-                heapq.heappop(W)
-            while cand:
-                negs, i = heapq.heappop(cand)
-                if len(W) == ef and -negs < W[0][0]:
-                    break
-                for n in base_neigh[i]:
-                    if seen[n]:
-                        continue
-                    seen[n] = True
-                    n_scored += 1
-                    s = int(cu[n])
-                    if len(W) < ef or s > W[0][0] or (
-                        s == W[0][0] and -n > W[0][1]
-                    ):
-                        heapq.heappush(W, (s, -n))
-                        if len(W) > ef:
-                            heapq.heappop(W)
-                        heapq.heappush(cand, (-s, n))
-            found = np.array(sorted(-negi for _, negi in W), dtype=int)
+            found, n_scored = _hnsw_walk(
+                cu, nc, entry0, top, layer_adj, base_neigh, ef
+            )
             cos = qcos_emit[qi, found]
             keep = found[np.argsort(-cos, kind="stable")[:k]]
             out["query_id"].extend([qpdf["query_id"].iloc[qi]] * len(keep))

@@ -1949,3 +1949,238 @@ def ann_index_search_stored(spark: SparkSession, sf: str) -> DataFrame:
         spark, path, emb.filter(F.col("vec_id") < 10), corpus,
         k=5, n_probe=4, shortlist=100,
     )
+
+
+# ------------------------------------------------- persisted HNSW index
+
+
+_HNSW_STORE_ORACLE = """
+WITH ed AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings),
+bld AS (SELECT vec_id, e FROM ed WHERE vec_id >= 10 AND vec_id < 380),
+corp AS (SELECT vec_id, e FROM ed WHERE vec_id >= 10),
+hcents AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY md5(vec_id::VARCHAR || ':42'),
+                            vec_id) - 1 AS cell, e
+  FROM bld QUALIFY cell < 8),
+cassign AS (
+  SELECT vec_id, cell, e FROM (
+    SELECT c.vec_id, hcents.cell, c.e,
+           ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+             list_dot_product(c.e, hcents.e) /
+               (sqrt(list_dot_product(c.e, c.e)) *
+                sqrt(list_dot_product(hcents.e, hcents.e))) DESC,
+             hcents.cell ASC) AS rn
+    FROM corp c CROSS JOIN hcents) WHERE rn = 1),
+ccap AS (
+  SELECT cell,
+         CASE WHEN COUNT(*) > 1
+              THEN CAST(floor(log2(COUNT(*))) AS BIGINT)
+              ELSE 0 END AS cap
+  FROM cassign WHERE vec_id < 380 GROUP BY cell),
+lvls AS (
+  SELECT a.vec_id, a.cell, a.e,
+         LEAST(c.cap, COALESCE(
+           (SELECT MIN(i) FROM range(20) t(i)
+            WHERE ((a.h >> i) & 1) = 0), 20)) AS level
+  FROM (SELECT *,
+          ('0x' || substr(md5(vec_id::VARCHAR || ':42:lvl'), 2, 15))
+            ::BIGINT AS h
+        FROM cassign) a
+  JOIN ccap c USING (cell)),
+nl AS (
+  SELECT vec_id, cell, level,
+         list_transform(e, x -> x / CASE
+           WHEN sqrt(list_dot_product(e, e)) = 0 THEN 1
+           ELSE sqrt(list_dot_product(e, e)) END) AS nrm
+  FROM lvls),
+layers AS (
+  SELECT vec_id, cell, level, nrm, t.lvl
+  FROM nl, UNNEST(range(level + 1)) t(lvl)),
+pairs AS (
+  SELECT i.vec_id AS src, i.lvl, j.vec_id AS dst,
+         CAST(floor(list_dot_product(i.nrm, j.nrm) * 1000000
+                    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS u6
+  FROM layers i
+  JOIN nl j ON j.cell = i.cell AND j.level >= i.lvl
+           AND j.vec_id < i.vec_id),
+chosen AS (
+  SELECT src, lvl, dst FROM (
+    SELECT src, lvl, dst,
+           ROW_NUMBER() OVER (PARTITION BY src, lvl
+                              ORDER BY u6 DESC, dst ASC) AS rn
+    FROM pairs) WHERE rn <= 6),
+edges AS (
+  SELECT src AS vec_id, lvl, dst AS nbr FROM chosen
+  UNION ALL
+  SELECT dst AS vec_id, lvl, src AS nbr FROM chosen)
+SELECT l.vec_id, l.cell, CAST(l.level AS BIGINT) AS level,
+       CAST(l.lvl AS BIGINT) AS lvl,
+       COALESCE(e.nbr, -1) AS nbr
+FROM layers l LEFT JOIN edges e
+  ON e.vec_id = l.vec_id AND e.lvl = l.lvl"""
+
+
+@q("hnsw_index_build_lifecycle", _HNSW_STORE_ORACLE)
+def hnsw_index_build_lifecycle(spark: SparkSession, sf: str) -> DataFrame:
+    """PERSISTED GRAPH-ANN index lifecycle (operators/hnsw_index.py —
+    r11 verdict missing #4, the ann_index.py template applied to the
+    HNSW family): build the multi-layer graph on the corpus's id
+    PREFIX (10 <= vec_id < 380) persisting cells (centroid + FROZEN
+    level cap) and nodes (level, vector, per-layer adjacency) as
+    StateTables, assert staleness equals exactly the held-out id
+    suffix, admit that suffix in TWO batches under the frozen
+    assignment (stored centroids, stored caps, append-only ids — the
+    contract the module docstring pins: the insertion rule links
+    each node to its m nearest id-PREDECESSORS, so appending larger
+    ids extends the stored insertion sequence), assert staleness
+    drains to zero, and return the stored graph unnested to
+    (vec_id, cell, level, lvl, nbr) rows. The oracle rebuilds the
+    ENTIRE graph from scratch in SQL — seeded centroids, frozen
+    caps, md5 trailing-bit levels, per-layer m-nearest-predecessor
+    insertion with micro-unit cosine and (u6 DESC, id ASC) ties,
+    symmetrized — over the GROWN corpus: equality certifies that
+    incremental admission into the stored graph IS the from-scratch
+    build (the id split is ORDERED, unlike the IVF row's residue
+    split, because graph admission is append-only by contract where
+    code admission is order-free)."""
+    import tempfile
+
+    from ..operators import hnsw_index as hi
+
+    emb = t(spark, sf, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    build = corpus.filter(F.col("vec_id") < 380)
+    batch = corpus.filter(F.col("vec_id") >= 380)
+    path = tempfile.mkdtemp(prefix="hnswix_")
+
+    hi.hnsw_index_build(spark, build, path)
+    n_batch = batch.count()
+    missing, indexed = hi.hnsw_index_staleness(spark, path, corpus)
+    if missing != n_batch:
+        raise AssertionError(
+            f"hnsw staleness after build: missing={missing}, "
+            f"want {n_batch}"
+        )
+    hi.hnsw_index_admit(spark, path, batch.filter(F.col("vec_id") < 440))
+    hi.hnsw_index_admit(spark, path, batch.filter(F.col("vec_id") >= 440))
+    missing2, indexed2 = hi.hnsw_index_staleness(spark, path, corpus)
+    if missing2 != 0 or indexed2 != indexed + n_batch:
+        raise AssertionError(
+            f"hnsw staleness after admit: missing={missing2} "
+            f"indexed={indexed2}, want 0/{indexed + n_batch}"
+        )
+    stored = hi._tables(spark, path, corpus.schema["vec_id"])[1].read()
+    return stored.select(
+        "vec_id", "cell", F.col("level").cast("long").alias("level"),
+        F.posexplode("adj").alias("lvl", "nbrs"),
+    ).select(
+        "vec_id", "cell", "level",
+        F.col("lvl").cast("long").alias("lvl"),
+        F.explode_outer("nbrs").alias("nbr"),
+    ).withColumn(
+        # -1 sentinel, not NULL: a nullable BIGINT degrades to float64
+        # through the oracle's pandas fetch and every row's type tag
+        # would mismatch (empty layers must still surface — a missing
+        # row would hide a dropped singleton node)
+        "nbr", F.coalesce(F.col("nbr"), F.lit(-1).cast("long"))
+    )
+
+
+@q(
+    "hnsw_index_search_stored",
+    """SELECT * FROM (VALUES
+         (0, 365, CAST(1 AS BIGINT), CAST(0.37 AS DOUBLE)),
+         (0, 423, CAST(2 AS BIGINT), CAST(0.2969 AS DOUBLE)),
+         (0, 73, CAST(3 AS BIGINT), CAST(0.2954 AS DOUBLE)),
+         (0, 388, CAST(4 AS BIGINT), CAST(0.2763 AS DOUBLE)),
+         (0, 483, CAST(5 AS BIGINT), CAST(0.2567 AS DOUBLE)),
+         (1, 27, CAST(1 AS BIGINT), CAST(0.3482 AS DOUBLE)),
+         (1, 124, CAST(2 AS BIGINT), CAST(0.3028 AS DOUBLE)),
+         (1, 402, CAST(3 AS BIGINT), CAST(0.2923 AS DOUBLE)),
+         (1, 203, CAST(4 AS BIGINT), CAST(0.2682 AS DOUBLE)),
+         (1, 363, CAST(5 AS BIGINT), CAST(0.2633 AS DOUBLE)),
+         (2, 188, CAST(1 AS BIGINT), CAST(0.2633 AS DOUBLE)),
+         (2, 320, CAST(2 AS BIGINT), CAST(0.255 AS DOUBLE)),
+         (2, 418, CAST(3 AS BIGINT), CAST(0.254 AS DOUBLE)),
+         (2, 471, CAST(4 AS BIGINT), CAST(0.2472 AS DOUBLE)),
+         (2, 112, CAST(5 AS BIGINT), CAST(0.2453 AS DOUBLE)),
+         (3, 207, CAST(1 AS BIGINT), CAST(0.2917 AS DOUBLE)),
+         (3, 192, CAST(2 AS BIGINT), CAST(0.2908 AS DOUBLE)),
+         (3, 437, CAST(3 AS BIGINT), CAST(0.2805 AS DOUBLE)),
+         (3, 474, CAST(4 AS BIGINT), CAST(0.2767 AS DOUBLE)),
+         (3, 463, CAST(5 AS BIGINT), CAST(0.2609 AS DOUBLE)),
+         (4, 496, CAST(1 AS BIGINT), CAST(0.3412 AS DOUBLE)),
+         (4, 89, CAST(2 AS BIGINT), CAST(0.266 AS DOUBLE)),
+         (4, 288, CAST(3 AS BIGINT), CAST(0.2286 AS DOUBLE)),
+         (4, 403, CAST(4 AS BIGINT), CAST(0.2159 AS DOUBLE)),
+         (4, 434, CAST(5 AS BIGINT), CAST(0.2087 AS DOUBLE)),
+         (5, 419, CAST(1 AS BIGINT), CAST(0.3192 AS DOUBLE)),
+         (5, 157, CAST(2 AS BIGINT), CAST(0.3113 AS DOUBLE)),
+         (5, 33, CAST(3 AS BIGINT), CAST(0.311 AS DOUBLE)),
+         (5, 487, CAST(4 AS BIGINT), CAST(0.263 AS DOUBLE)),
+         (5, 433, CAST(5 AS BIGINT), CAST(0.2403 AS DOUBLE)),
+         (6, 350, CAST(1 AS BIGINT), CAST(0.3245 AS DOUBLE)),
+         (6, 386, CAST(2 AS BIGINT), CAST(0.2752 AS DOUBLE)),
+         (6, 268, CAST(3 AS BIGINT), CAST(0.2599 AS DOUBLE)),
+         (6, 381, CAST(4 AS BIGINT), CAST(0.2238 AS DOUBLE)),
+         (6, 105, CAST(5 AS BIGINT), CAST(0.2078 AS DOUBLE)),
+         (7, 340, CAST(1 AS BIGINT), CAST(0.4928 AS DOUBLE)),
+         (7, 381, CAST(2 AS BIGINT), CAST(0.3452 AS DOUBLE)),
+         (7, 445, CAST(3 AS BIGINT), CAST(0.3408 AS DOUBLE)),
+         (7, 332, CAST(4 AS BIGINT), CAST(0.2854 AS DOUBLE)),
+         (7, 423, CAST(5 AS BIGINT), CAST(0.2349 AS DOUBLE)),
+         (8, 39, CAST(1 AS BIGINT), CAST(0.3847 AS DOUBLE)),
+         (8, 138, CAST(2 AS BIGINT), CAST(0.3567 AS DOUBLE)),
+         (8, 61, CAST(3 AS BIGINT), CAST(0.2437 AS DOUBLE)),
+         (8, 367, CAST(4 AS BIGINT), CAST(0.2218 AS DOUBLE)),
+         (8, 78, CAST(5 AS BIGINT), CAST(0.2144 AS DOUBLE)),
+         (9, 489, CAST(1 AS BIGINT), CAST(0.3435 AS DOUBLE)),
+         (9, 386, CAST(2 AS BIGINT), CAST(0.3221 AS DOUBLE)),
+         (9, 256, CAST(3 AS BIGINT), CAST(0.2845 AS DOUBLE)),
+         (9, 198, CAST(4 AS BIGINT), CAST(0.2587 AS DOUBLE)),
+         (9, 438, CAST(5 AS BIGINT), CAST(0.2224 AS DOUBLE)))
+       AS t(query_id, neighbor_id, rank, cosine_r4)""",
+)
+def hnsw_index_search_stored(spark: SparkSession, sf: str) -> DataFrame:
+    """Search FROM THE STORED graph (the serving half): build over
+    the full corpus, then answer queries (vec_id < 10) by reading
+    the materialized cells/nodes tables — probe the stored
+    centroids, cogroup per cell, run the IDENTICAL extracted walk
+    (similarity._hnsw_walk) over STORED levels and adjacency;
+    nothing is rebuilt at query time. Certification is two-layer:
+    (1) IN-PLAN EQUALITY — this query also runs the certified
+    in-query cosine_topk_hnsw at identical parameters and raises if
+    the stored-serve rows differ (the two paths share the walk by
+    construction; this pins that the stored graph feeds it the same
+    inputs); (2) the literal oracle pins the end-to-end result so
+    any drift in either path reddens at the driver. The graph walk
+    itself is not SQL-expressible (iterative traversal); the graph
+    STRUCTURE the walk consumes is certified from scratch by
+    hnsw_index_build_lifecycle's full SQL twin."""
+    import tempfile
+
+    from ..operators import hnsw_index as hi
+
+    emb = t(spark, sf, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    queries = emb.filter(F.col("vec_id") < 10)
+    path = tempfile.mkdtemp(prefix="hnswsrv_")
+    hi.hnsw_index_build(spark, corpus, path)
+    got = hi.hnsw_index_search(spark, path, queries, k=5, ef=16, n_probe=2)
+    want = similarity.cosine_topk_hnsw(
+        queries, corpus, k=5, n_cells=8, n_probe=2, m_neighbors=6, ef=16
+    )
+    a = sorted(
+        map(tuple, got.select("query_id", "neighbor_id", "rank").collect())
+    )
+    b = sorted(
+        map(tuple, want.select("query_id", "neighbor_id", "rank").collect())
+    )
+    if a != b:
+        raise AssertionError(
+            "stored-graph search diverged from in-query hnsw: "
+            f"{len(a)} vs {len(b)} rows"
+        )
+    return got
