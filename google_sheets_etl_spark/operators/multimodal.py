@@ -2113,9 +2113,14 @@ def sniff_format(payload: bytes) -> str | None:
         return "tiff"
     if payload[:4] == b"RIFF":
         # RIFF is a family: the form type at offset 8 splits WAVE
-        # audio from AVI video; anything else stays on the wav path
-        # so its strict parser reports the familiar RIFF error
-        return "avi" if payload[8:12] == b"AVI " else "wav"
+        # audio, AVI video and WebP images; anything else stays on
+        # the wav path so its strict parser reports the familiar
+        # RIFF error
+        if payload[8:12] == b"AVI ":
+            return "avi"
+        if payload[8:12] == b"WEBP":
+            return "webp"
+        return "wav"
     if payload[4:8] == b"ftyp":
         # ISO-BMFF signature lives at offset 4 (the first box's type)
         return "mp4"
@@ -2128,6 +2133,12 @@ def _parse_jpeg(payload: bytes) -> tuple[int, int, bytes]:
     return _jpeg.parse_jpeg(payload)
 
 
+def _parse_webp(payload: bytes) -> tuple[int, int, bytes]:
+    from . import webp as _webp
+
+    return _webp.parse_webp(payload)
+
+
 #: strict image parsers by sniffed format — decode_image's table.
 _IMAGE_PARSERS = {
     "ppm": lambda b: PpmCodec.parse(b),
@@ -2136,6 +2147,7 @@ _IMAGE_PARSERS = {
     "gif": parse_gif,
     "bmp": parse_bmp,
     "tiff": lambda b: parse_tiff(b),
+    "webp": lambda b: _parse_webp(b),
 }
 
 
@@ -3463,6 +3475,7 @@ def payload_decode_audit(
         "gif": parse_gif_indexed,
         "bmp": parse_bmp,
         "tiff": parse_tiff,
+        "webp": _parse_webp,
         "wav": parse_wav_samples,
         "avi": parse_avi_frames,
         "mp4": parse_mp4_mjpeg,

@@ -3984,3 +3984,228 @@ def mp3_decode_audit(spark: SparkSession, sf: str) -> DataFrame:
 
     media = d.mapInPandas(kernel, "media_id long, payload binary")
     return mp3_ops.mp3_decode_audit(media)
+
+
+# --------------------------------------------------------------- webp
+
+
+_WEBP_PIXELS_SQL = """
+  dims AS (SELECT doc_id,
+                  CASE WHEN doc_id % 6 = 5 THEN 8 + doc_id % 4
+                       ELSE 4 + doc_id % 5 END AS w,
+                  CASE WHEN doc_id % 6 = 5 THEN 6
+                       ELSE 3 + doc_id % 4 END AS h
+           FROM documents),
+  px AS (SELECT doc_id, w, h, UNNEST(range(0, w * h)) AS p
+         FROM dims),
+  rgb AS (SELECT doc_id, w, h, p,
+                 CASE WHEN doc_id % 6 = 5
+                      THEN (doc_id * 31 + (3 * p) % 24) % 256
+                      ELSE (doc_id * 31 + 3 * p) % 256 END AS r,
+                 CASE WHEN doc_id % 6 = 5
+                      THEN (doc_id * 31 + (3 * p + 1) % 24) % 256
+                      ELSE (doc_id * 31 + 3 * p + 1) % 256 END AS g,
+                 CASE WHEN doc_id % 6 = 5
+                      THEN (doc_id * 31 + (3 * p + 2) % 24) % 256
+                      ELSE (doc_id * 31 + 3 * p + 2) % 256 END AS b
+          FROM px)"""
+
+
+def _webp_media(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL WebP (VP8L lossless) payloads, one per document: the
+    linear pixel formula behind a per-residue TRANSFORM MIX — plain
+    stream, subtract-green, per-block predictor plane (all 14 modes
+    cycle), per-block color-transform plane (signed 3.5 deltas),
+    subtract-green + color cache, and a short-period tiled pattern
+    that forces 2D-neighborhood LZ77 backward references — so every
+    decoder path decodes on every run. Assembly runs in a small
+    Arrow kernel; the ORACLE never sees the binary (lossless ⇒ the
+    formula IS ground truth, the PNG discipline)."""
+    import pandas as pd
+
+    d = t_par(spark, sf, "documents", "doc_id")
+
+    def kernel(batches):
+        from ..operators.webp import encode_webp_vp8l
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                var = doc_id % 6
+                if var == 5:
+                    w, h = 8 + doc_id % 4, 6
+                    raster = bytes(
+                        (doc_id * 31 + (k % 24)) % 256
+                        for k in range(w * h * 3)
+                    )
+                    payloads.append(encode_webp_vp8l(
+                        w, h, raster, cache_bits=3, lz77=True
+                    ))
+                    continue
+                w, h = 4 + doc_id % 5, 3 + doc_id % 4
+                raster = bytes(
+                    (doc_id * 31 + k) % 256 for k in range(w * h * 3)
+                )
+                if var == 0:
+                    p = encode_webp_vp8l(w, h, raster)
+                elif var == 1:
+                    p = encode_webp_vp8l(w, h, raster, subtract_green=True)
+                elif var == 2:
+                    p = encode_webp_vp8l(
+                        w, h, raster, predictor_bits=2,
+                        predictor_mode=lambda bx, by, d_=doc_id: (
+                            d_ + bx + 3 * by
+                        ) % 14,
+                    )
+                elif var == 3:
+                    p = encode_webp_vp8l(
+                        w, h, raster, color_bits=2,
+                        color_element=lambda bx, by, d_=doc_id: (
+                            ((d_ + bx * 7 + by * 3) % 64) - 32,
+                            ((d_ * 3 + bx * 5 + by * 11) % 64) - 32,
+                            ((d_ * 5 + bx + by * 13) % 64) - 32,
+                        ),
+                    )
+                else:
+                    p = encode_webp_vp8l(
+                        w, h, raster, subtract_green=True, cache_bits=3
+                    )
+                payloads.append(p)
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return d.mapInPandas(kernel, "media_id long, payload binary")
+
+
+@q(
+    "webp_decode_features",
+    f"""WITH {_WEBP_PIXELS_SQL}
+       SELECT doc_id AS media_id,
+              CAST(SUM((r + g + b) // 3) AS BIGINT) AS lum_sum
+       FROM rgb GROUP BY 1""",
+)
+def webp_decode_features(spark: SparkSession, sf: str) -> DataFrame:
+    """WebP VP8L decode end-to-end (operators/webp.py — r11 verdict
+    missing #1, the largest remaining real-web image format): RIFF
+    walk, LSB-first bit reading, canonical prefix codes (simple and
+    code-length-coded with repeats + max-symbol), color cache, 2D
+    LZ77, and all three spatial transforms (every one exercised by
+    the per-residue payload mix, all 14 predictor modes cycling) —
+    reduced to the exact-integer luminance mass per image. VP8L is
+    LOSSLESS, so the oracle regenerates every pixel from the fixture
+    formula (the PNG discipline): one wrong bit anywhere in the
+    prefix-code machinery, transform inverses, or distance map
+    shifts the sum and reddens the row. The format rides the shared
+    decode_image dispatch, so dHash / near-dup / resize gain WebP
+    for free."""
+    return multimodal.image_luminance_sum(
+        _webp_media(spark, sf), ["media_id"]
+    )
+
+
+@q(
+    "webp_decode_audit",
+    """SELECT doc_id AS media_id,
+              (doc_id % 6) = 0 AS ok,
+              CASE doc_id % 6
+                WHEN 0 THEN ''
+                WHEN 1 THEN 'lossy webp unsupported'
+                WHEN 2 THEN 'animated webp unsupported'
+                WHEN 3 THEN 'truncated vp8l bitstream'
+                WHEN 4 THEN 'bad webp container'
+                ELSE 'webp color indexing unsupported' END AS err
+       FROM documents""",
+)
+def webp_decode_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """The decode REJECT CHANNEL for WebP: planted classes per doc_id
+    residue — a valid VP8L image, a lossy VP8 chunk (the single most
+    common real-web reject for a lossless-only path), a VP8X
+    animation container, a VP8L stream cut mid-bitstream
+    (range-request truncation), a non-WebP RIFF-less payload, and a
+    color-indexing (palette) transform — the documented
+    subset-boundary reject, surfaced explicitly rather than
+    mis-decoded. Flows through the SHARED payload_decode_audit
+    dispatch (sniff_format routes RIFF....WEBP here), certifying the
+    audit and the kernels consult the same recognizer."""
+    import struct as _st
+
+    import pandas as pd
+
+    d = t_par(spark, sf, "documents", "doc_id")
+
+    def kernel(batches):
+        from ..operators.webp import encode_webp_vp8l
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                cls = doc_id % 6
+                w, h = 4 + doc_id % 5, 3 + doc_id % 4
+                raster = bytes(
+                    (doc_id * 31 + k) % 256 for k in range(w * h * 3)
+                )
+                valid = encode_webp_vp8l(w, h, raster)
+                if cls == 0:
+                    p = valid
+                elif cls == 1:
+                    body = b"\x00" * 10
+                    ck = b"VP8 " + _st.pack("<I", len(body)) + body
+                    p = (b"RIFF" + _st.pack("<I", 4 + len(ck))
+                         + b"WEBP" + ck)
+                elif cls == 2:
+                    body = bytes([0x02, 0, 0, 0]) + b"\x00" * 6
+                    ck = b"VP8X" + _st.pack("<I", len(body)) + body
+                    p = (b"RIFF" + _st.pack("<I", 4 + len(ck))
+                         + b"WEBP" + ck)
+                elif cls == 3:
+                    # cut the VP8L stream mid-bitstream, fix the sizes
+                    cut = valid[:-6]
+                    vp8l_len = len(cut) - 20
+                    p = (b"RIFF" + _st.pack("<I", len(cut) - 8)
+                         + b"WEBP" + b"VP8L"
+                         + _st.pack("<I", vp8l_len) + cut[20:])
+                elif cls == 4:
+                    # declared RIFF size disagrees with the payload —
+                    # the container-level reject (raw junk without the
+                    # RIFF+WEBP magic never routes here through
+                    # sniff_format, so the in-parser 'not a webp
+                    # payload' class is dispatch-unreachable by
+                    # construction; it is pinned by the unit test)
+                    p = valid[:4] + _st.pack(
+                        "<I", len(valid) - 4
+                    ) + valid[8:]
+                else:
+                    bw_bits = bytearray()
+                    # hand-build: sig + 14/14 dims + alpha + version,
+                    # then transform-present=1, type=3 (color index)
+                    from ..operators.webp import _LsbWriter
+
+                    lw = _LsbWriter()
+                    lw.write(w - 1, 14)
+                    lw.write(h - 1, 14)
+                    lw.write(0, 1)
+                    lw.write(0, 3)
+                    lw.write(1, 1)
+                    lw.write(3, 2)
+                    body = b"\x2f" + lw.flush()
+                    ck = b"VP8L" + _st.pack("<I", len(body)) + body
+                    if len(body) & 1:
+                        ck += b"\x00"
+                    p = (b"RIFF" + _st.pack("<I", 4 + len(ck))
+                         + b"WEBP" + ck)
+                ids.append(doc_id)
+                payloads.append(p)
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = d.mapInPandas(
+        kernel, "media_id long, payload binary"
+    ).select(
+        "media_id",
+        F.lit("image").alias("kind"),
+        "payload",
+        F.lit(None).cast(multimodal.META_STRUCT).alias("meta"),
+    )
+    return multimodal.payload_decode_audit(media)
