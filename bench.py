@@ -73,7 +73,12 @@ EXCLUDE = {"near_dup_jaccard_exact", "dedup_clusters_exact",
            # maintenance machinery; the IVF-PQ data-plane kernels
            # they share (cell assign, PQ encode, ADC shortlist,
            # re-rank) ARE benchmarked via ivf_pq_search
-           "ann_index_build_lifecycle", "ann_index_search_stored"}
+           "ann_index_build_lifecycle", "ann_index_search_stored",
+           # same class for the persisted GRAPH index (r12): the
+           # graph data-plane kernels they share (cell assign, graph
+           # build, descent+beam walk) ARE benchmarked via
+           # hnsw_recall_at_k / nsw_beam_recall_at_k
+           "hnsw_index_build_lifecycle", "hnsw_index_search_stored"}
 
 
 def main() -> None:
