@@ -68,6 +68,39 @@ def pagerank(
             f"{materialize_every}); 1 = checkpoint every iteration, "
             "larger values amortize job-launch cost"
         )
+    # r12: materialization switched from persist()+count() to eager
+    # (local)checkpoint — the SAME single job per cut, but the
+    # logical plan is TRUNCATED. persist stops recomputation yet
+    # Catalyst still re-analyzes the full accumulated lineage at
+    # every action: with an expensive edge derivation (the kNN build
+    # in simgraph_pagerank) the 6-iteration final plan measured 384 KB
+    # of explain text, and per-action planning dominated wall-clock
+    # (guide §3.3: materialise to truncate; §7.3's
+    # Optimizer/RuleExecutor signature). Blocks of superseded rounds
+    # are freed explicitly (unpersist is a no-op on checkpoint
+    # blocks, which belong to the RDD, not the cache manager).
+    sc = nodes.sparkSession.sparkContext
+    jsc = sc._jsc.sc()
+    use_reliable = sc.getCheckpointDir() is not None
+
+    def _pids() -> set:
+        m = jsc.getPersistentRDDs()
+        it = m.keysIterator()
+        out = set()
+        while it.hasNext():
+            out.add(it.next())
+        return out
+
+    def _cut(df: DataFrame) -> tuple[DataFrame, set]:
+        before = _pids()
+        cut = (df.checkpoint(eager=True) if use_reliable
+               else df.localCheckpoint(eager=True))
+        return cut, _pids() - before
+
+    def _free(ids: set) -> None:
+        for rid in ids:
+            jsc.unpersistRDD(rid, False)
+
     n = nodes.select(F.col(node_col).alias("node"))
     # materialize the weighted edge list ONCE — the iteration loop
     # joins it n_iter times, and an expensive edge derivation (a kNN
@@ -77,19 +110,20 @@ def pagerank(
         F.col(src_col).alias("node"), F.col(dst_col).alias("dst")
     )
     deg = e0.groupBy("node").agg(F.count(F.lit(1)).alias("out_deg"))
-    e = e0.join(deg, "node").persist()
-    e.count()
+    e, e_ids = _cut(e0.join(deg, "node"))
 
     # the node set (with the broadcast count) anchors every
-    # iteration's restore join — persist it once instead of
+    # iteration's restore join — materialize it once instead of
     # re-scanning the node source per iteration
-    init = n.crossJoin(
-        F.broadcast(n.agg(F.count(F.lit(1)).alias("_n")))
-    ).select("node", F.expr(f"{MASS}L div _n").alias("r"), "_n").persist()
+    init, init_ids = _cut(
+        n.crossJoin(
+            F.broadcast(n.agg(F.count(F.lit(1)).alias("_n")))
+        ).select("node", F.expr(f"{MASS}L div _n").alias("r"), "_n")
+    )
     teleport = F.expr(f"(({100 - damping_pct}) * ({MASS}L div _n)) div 100")
 
     ranks = init
-    kept: DataFrame | None = None
+    kept_ids: set = set()
     for i in range(n_iter):
         contrib = (
             ranks.select("node", "r")
@@ -109,18 +143,13 @@ def pagerank(
             )
         )
         if (i + 1) % materialize_every == 0 and i + 1 < n_iter:
-            nxt = ranks.persist()
-            nxt.count()
-            if kept is not None:
-                kept.unpersist()
-            kept = nxt
-            ranks = nxt
-    out = ranks.select("node", "r").persist()
-    out.count()
-    if kept is not None:
-        kept.unpersist()
-    e.unpersist()
-    init.unpersist()
+            ranks, nxt_ids = _cut(ranks)
+            _free(kept_ids)
+            kept_ids = nxt_ids
+    out, _ = _cut(ranks.select("node", "r"))
+    _free(kept_ids)
+    _free(e_ids)
+    _free(init_ids)
     return out
 
 

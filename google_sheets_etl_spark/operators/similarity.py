@@ -2509,6 +2509,7 @@ def pq_topk_adc(
     vec_col: str = "embedding",
     seed: int = 42,
     train_iters: int = 0,
+    codebooks=None,
 ) -> DataFrame:
     """Product-quantization top-k with ASYMMETRIC distance (ADC,
     Jégou et al. 2011 "Product Quantization for Nearest Neighbor
@@ -2532,17 +2533,23 @@ def pq_topk_adc(
     closure; the corpus encodes in place (narrow, no shuffle) and
     the query batch broadcasts into the scoring join — the code
     table never shuffles."""
-    if train_iters > 0:
-        # per-subspace k-means refinement (Jégou §II.C) — the
-        # md5-seeded sample becomes the INIT instead of the quantizer
-        codebooks = pq_train_codebooks(
-            candidates, n_subspaces, n_codes, id_col, vec_col, seed,
-            n_iter=train_iters,
-        )
-    else:
-        codebooks = _pq_codebooks(
-            candidates, n_subspaces, n_codes, id_col, vec_col, seed
-        )
+    # ``codebooks`` lets a caller running several PQ pipelines over
+    # the SAME corpus train/seed once and share (r12: pq_recall_at_k's
+    # adc_trained + rerank_trained branches used to train twice —
+    # identical inputs, identical result, double the k-means passes)
+    if codebooks is None:
+        if train_iters > 0:
+            # per-subspace k-means refinement (Jégou §II.C) — the
+            # md5-seeded sample becomes the INIT instead of the
+            # quantizer
+            codebooks = pq_train_codebooks(
+                candidates, n_subspaces, n_codes, id_col, vec_col, seed,
+                n_iter=train_iters,
+            )
+        else:
+            codebooks = _pq_codebooks(
+                candidates, n_subspaces, n_codes, id_col, vec_col, seed
+            )
     codes = pq_encode(candidates, codebooks, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"), "codes"
     )
@@ -2659,6 +2666,7 @@ def pq_topk_rerank(
     vec_col: str = "embedding",
     seed: int = 42,
     train_iters: int = 0,
+    codebooks=None,
 ) -> DataFrame:
     """The deployed PQ pipeline: ADC over CODES builds a per-query
     shortlist (the corpus read is n_subspaces ints per vector — the
@@ -2674,7 +2682,7 @@ def pq_topk_rerank(
         queries, candidates, k=shortlist,
         n_subspaces=n_subspaces, n_codes=n_codes,
         id_col=id_col, vec_col=vec_col, seed=seed,
-        train_iters=train_iters,
+        train_iters=train_iters, codebooks=codebooks,
     ).select("query_id", "neighbor_id")
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")

@@ -43,10 +43,13 @@ the Lee et al. pipeline applies (their suffix array also only feeds
 "which byte ranges are covered by a >=L duplicate").
 
 Scale shape (100 TB): the working set is ONE ROW PER CORPUS CHARACTER
-(~16-24 B packed columnar) and ceil(log2 L)+1 rounds, each round =
-one self-join on (doc_id, pos) + one partial-aggregated groupBy on
-the 4-long label pair + one join back (Catalyst reuses the groupBy
-exchange) — all uniform keys, no skew hot-spots (label classes shrink
+(~16-24 B packed columnar) and ceil(log_f(L/3)) rounds (f = tile
+fanout, default 4 — fanout 2 is classic doubling; see
+``_tile_schedule``), each round = f-1 co-partitioned self-joins on
+(doc_id, pos) (one sort each side, then the same-key join chain is
+exchange-free) + one partial-aggregated groupBy on the 2f-long label
+tuple + one join back (Catalyst reuses the groupBy exchange) — all
+uniform keys, no skew hot-spots (label classes shrink
 every round; the biggest base class is "most common 3-gram",
 which partial aggregation absorbs map-side). Positions advance to the
 next round only while their window still occurs >= min_count times,
@@ -70,6 +73,7 @@ def duplicate_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_count: int = 2,
+    fanout: int = 4,
 ) -> DataFrame:
     """Maximal duplicated spans (window length ``min_len``, >=
     ``min_count`` occurrences corpus-wide) per document.
@@ -82,9 +86,9 @@ def duplicate_spans(
     round's storage is released explicitly before return.
 
     Checkpointing, not persist, is load-bearing here: each round
-    references its predecessor FOUR times (t twice in the self-join,
-    pairs twice in agg + join-back), so an uncut logical plan grows
-    ~4^round — by round 4, AQE's per-update ``explainString`` alone
+    references its predecessor ``fanout`` times (t once per tile
+    self-join), so an uncut logical plan grows ~fanout^round — within
+    a few rounds, AQE's per-update ``explainString`` alone
     OOMs a default driver. Rounds use the reliable ``checkpoint()``
     when ``sparkContext.setCheckpointDir`` is configured (survives
     executor loss — set it on a real cluster), else
@@ -99,14 +103,55 @@ def duplicate_spans(
     # point is <= 0x10FFFF < 2^21; ``split(text, '')`` yields
     # code-point-grained chars, surrogate pairs intact, and ``ascii``
     # returns the full code point — a 16-bit/4-unit pack would alias
-    # astral-plane chars with their low 16 bits). Assembled by
-    # per-document window leads: one shuffle on doc replaces the two
-    # widest-fanout doubling rounds, the ones where class pruning
-    # hasn't bitten yet because short grams are almost all above
-    # min_count. The per-doc window grain bounds a task by the
-    # longest document — the span_dedup family's documented contract.
-    # Positions without a full base window drop here, which seeds the
-    # inner-join induction below.
+    # astral-plane chars with their low 16 bits).
+    #
+    # r12: the pack is computed IN-ARRAY (transform + element_at over
+    # the split array — O(1) per lookup) and exploded directly, so the
+    # base assembly is ZERO-shuffle map-side work. It previously ran
+    # per-document window LEADS over the exploded char stream — a
+    # corpus-sized exchange + sort whose partitioning the round joins
+    # (keyed (doc, pos), not doc) could not even reuse; guide §2.4.
+    # The per-doc array grain bounds a task by the longest document —
+    # the span_dedup family's documented contract, unchanged.
+    # Positions without a full base window drop here (slice length
+    # n-2), which seeds the inner-join induction below.
+    if min_len > 3:
+        # the char array MUST be a named column of a prior projection:
+        # referencing the raw ``split`` expression from inside the
+        # lambda would re-evaluate the split per element_at call
+        # (Catalyst does not CSE across lambda scopes — measured 5x
+        # slower), while CollapseProject keeps a multiply-referenced
+        # non-cheap projection un-inlined
+        arr = F.col("_arr")
+        n = F.size(arr)
+        base = docs.select(
+            F.col(id_col).alias("doc"),
+            F.split(F.col(text_col), "").alias("_arr"),
+        ).select(
+            "doc",
+            F.posexplode(
+                F.transform(
+                    F.slice(arr, 1, F.greatest(n - 2, F.lit(0))),
+                    lambda ch, i: (
+                        F.shiftleft(F.ascii(ch).cast("long"), 42)
+                        + F.shiftleft(
+                            F.ascii(F.element_at(arr, i + 2)).cast("long"),
+                            21,
+                        )
+                        + F.ascii(F.element_at(arr, i + 3)).cast("long")
+                    ),
+                )
+            ).alias("p0", "lb"),
+        ).select(
+            "doc",
+            (F.col("p0") + 1).cast("long").alias("pos"),
+            F.lit(-1).cast("long").alias("la"),
+            "lb",
+        )
+        return _spans_from_symbols(
+            None, min_len, min_count, id_col, fanout, base=base,
+            base_width=3,
+        )
     chars = docs.select(
         F.col(id_col).alias("doc"),
         F.posexplode(F.split(F.col(text_col), "")).alias("p0", "ch"),
@@ -115,7 +160,7 @@ def duplicate_spans(
         (F.col("p0") + 1).cast("long").alias("pos"),
         F.ascii("ch").cast("long").alias("u"),
     )
-    return _spans_from_symbols(chars, min_len, min_count, id_col)
+    return _spans_from_symbols(chars, min_len, min_count, id_col, fanout)
 
 
 def duplicate_spans_tokens(
@@ -125,6 +170,7 @@ def duplicate_spans_tokens(
     pos_col: str = "pos",
     tok_col: str = "tok_id",
     min_count: int = 2,
+    fanout: int = 4,
 ) -> DataFrame:
     """:func:`duplicate_spans` over a TOKEN stream — the module
     docstring's claim ("the operator is agnostic to what one position
@@ -153,53 +199,94 @@ def duplicate_spans_tokens(
         )
         .alias("u"),
     )
-    return _spans_from_symbols(syms, min_len, min_count, id_col)
+    return _spans_from_symbols(syms, min_len, min_count, id_col, fanout)
+
+
+def _tile_schedule(base: int, target: int, fanout: int) -> list[list[int]]:
+    """Per-round tile offsets for the widening loop: each round
+    combines the current-width window at offset 0 with the windows at
+    the returned offsets (all the same width), producing a window of
+    width ``offsets[-1] + width``. Offsets are spaced <= width apart
+    (gap-free tiling), full tiles first, one overlapping tail tile
+    when the round target is not a multiple (the suffix-array
+    sparse-table trick, generalized from 2 tiles to ``fanout``).
+
+    ``fanout=2`` reproduces classic prefix doubling exactly;
+    ``fanout=4`` (the default) reaches the same width in HALF the
+    rounds — round count is ceil(log_f(target/base)) — trading a
+    wider per-round class key (2·f longs) for half the shuffles,
+    checkpoint barriers and driver round-trips (guide §2.4: remove
+    shuffles outright; the r12 optimization round's measurement)."""
+    rounds: list[list[int]] = []
+    w = base
+    while w < target:
+        reach = min(fanout * w, target)
+        offs = list(range(w, reach - w + 1, w))
+        if not offs or offs[-1] + w < reach:
+            offs.append(reach - w)  # overlap tail (never a gap: the
+            # previous tile ends at offs[-2]+w-1 >= reach-w-1 >= the
+            # tail's start - 1, because consecutive offsets differ
+            # by <= w)
+        rounds.append(offs)
+        w = reach
+    return rounds
 
 
 def _spans_from_symbols(
-    symbols: DataFrame, min_len: int, min_count: int, id_col: str
+    symbols: DataFrame | None, min_len: int, min_count: int, id_col: str,
+    fanout: int = 4, base: DataFrame | None = None, base_width: int = 0,
 ) -> DataFrame:
     """The shared prefix-doubling body behind the char and token
     entry points: ``symbols`` is (doc, pos 1-based, u < 2^21). One
-    definition so the two grains cannot drift."""
+    definition so the two grains cannot drift.
+
+    A caller that can assemble the packed base label WITHOUT the
+    window-lead shuffle (the char path: in-array ``transform`` +
+    ``element_at`` — r12) passes ``base`` (doc, pos, la=-1, lb) and
+    its ``base_width`` directly; ``symbols`` may then be None."""
     if min_len < 2:
         raise ValueError(f"duplicate_spans: min_len must be >= 2, got {min_len}")
     if min_count < 2:
         raise ValueError(
             f"duplicate_spans: min_count must be >= 2, got {min_count}"
         )
-    chars = symbols
-    # strictly greater: at min_len == 3 the packed base would BE the
-    # final width with zero class rounds, skipping the min_count
-    # filter entirely
-    base_width = 3 if min_len > 3 else 1
-    if base_width == 3:
-        wdoc = Window.partitionBy("doc").orderBy("pos")
-        base = (
-            chars.select(
-                "doc", "pos", "u",
-                F.lead("u", 1).over(wdoc).alias("_u1"),
-                F.lead("u", 2).over(wdoc).alias("_u2"),
+    if fanout < 2:
+        raise ValueError(
+            f"duplicate_spans: fanout must be >= 2, got {fanout}"
+        )
+    if base is None:
+        chars = symbols
+        # strictly greater: at min_len == 3 the packed base would BE
+        # the final width with zero class rounds, skipping the
+        # min_count filter entirely
+        base_width = 3 if min_len > 3 else 1
+        if base_width == 3:
+            wdoc = Window.partitionBy("doc").orderBy("pos")
+            base = (
+                chars.select(
+                    "doc", "pos", "u",
+                    F.lead("u", 1).over(wdoc).alias("_u1"),
+                    F.lead("u", 2).over(wdoc).alias("_u2"),
+                )
+                .filter(F.col("_u2").isNotNull())
+                .select(
+                    "doc", "pos",
+                    F.lit(-1).cast("long").alias("la"),
+                    (
+                        F.shiftleft(F.col("u"), 42)
+                        + F.shiftleft(F.col("_u1"), 21)
+                        + F.col("_u2")
+                    ).alias("lb"),
+                )
             )
-            .filter(F.col("_u2").isNotNull())
-            .select(
+        else:
+            base = chars.select(
                 "doc", "pos",
                 F.lit(-1).cast("long").alias("la"),
-                (
-                    F.shiftleft(F.col("u"), 42)
-                    + F.shiftleft(F.col("_u1"), 21)
-                    + F.col("_u2")
-                ).alias("lb"),
+                F.col("u").alias("lb"),
             )
-        )
-    else:
-        base = chars.select(
-            "doc", "pos",
-            F.lit(-1).cast("long").alias("la"),
-            F.col("u").alias("lb"),
-        )
 
-    sc = symbols.sparkSession.sparkContext
+    sc = base.sparkSession.sparkContext
     jsc = sc._jsc.sc()
     use_reliable = sc.getCheckpointDir() is not None
 
@@ -226,63 +313,71 @@ def _spans_from_symbols(
             jsc.unpersistRDD(rid, False)
 
     t, t_ids = _cut(base)
-    # doubling rounds to the largest power of two <= min_len, then one
-    # overlapping combine to exactly min_len (no-op when it IS a power)
-    steps = []
-    k = base_width
-    while k * 2 <= min_len:
-        steps.append((k, k))   # combine two k-windows -> 2k
-        k *= 2
-    if k < min_len:
-        steps.append((k, min_len - k))  # overlap: 2^a + (L - 2^a)
-    for width, shift in steps:
-        shifted = t.select(
-            "doc",
-            (F.col("pos") - shift).alias("pos"),
-            F.col("la").alias("ra"),
-            F.col("lb").alias("rb"),
-        )
-        # INNER self-join: by induction t holds exactly the positions
+    # widening rounds: each round combines ``fanout`` current-width
+    # tiles (full tiles spaced exactly width apart, plus one
+    # overlapping tail tile when the round target is not a multiple —
+    # the sparse-table trick generalized). fanout=2 IS classic prefix
+    # doubling; the default 4 reaches min_len in half the rounds —
+    # half the checkpoint barriers, class shuffles and driver
+    # round-trips — at the cost of a 2·fanout-long class key
+    # (r12 measurement: the round barrier, not the shuffled bytes,
+    # dominates; and at 100 TB fewer full-corpus passes wins again).
+    for offs in _tile_schedule(base_width, min_len, fanout):
+        # INNER self-joins: by induction t holds exactly the positions
         # whose current-width window (a) lies fully inside its
         # document and (b) still occurs >= min_count times corpus-wide
-        # — so a position advances iff BOTH its sub-windows do. (a) is
-        # sound because every sub-window a surviving final window
+        # — so a position advances iff ALL its tile sub-windows do.
+        # (a) is sound because every tile a surviving final window
         # composes from lies inside it; (b) because an occurrence of
-        # wider content is an occurrence of each sub-content, so a
-        # sub-window class under min_count bounds every composed class
+        # wider content is an occurrence of each tile's content, so a
+        # tile class under min_count bounds every composed class
         # under min_count. The working set therefore SHRINKS
-        # monotonically — after a few rounds only the near-duplicate
-        # regions of the corpus are still in flight, which is what
-        # makes log-round doubling affordable at 100 TB.
+        # monotonically — after a round or two only the
+        # near-duplicate regions of the corpus are still in flight,
+        # which is what makes log-round widening affordable at 100 TB.
         #
-        # merge hint on BOTH round joins: the static planner otherwise
-        # BROADCASTS the corpus-sized shifted side (and the class
-        # table, which grows toward corpus size as rounds refine) —
-        # one pinned corpus-sized HashedRelation per round OOMs even
-        # a small driver, and is plan suicide at 100 TB. With the
-        # hint, rounds are co-partitioned shuffle joins on uniform
-        # keys; AQE still converts a genuinely small side to
-        # broadcast at runtime (its conversion sees REAL sizes).
-        pairs = t.join(
-            shifted.hint("merge"), ["doc", "pos"], "inner"
-        ).persist()
-        classes = (
-            pairs.groupBy("la", "lb", "ra", "rb")
-            .agg(
-                F.min(F.struct("doc", "pos")).alias("m"),
-                F.count(F.lit(1)).alias("_n"),
+        # merge hint on EVERY round join: the static planner otherwise
+        # BROADCASTS the corpus-sized shifted sides — one pinned
+        # corpus-sized HashedRelation per round OOMs even a small
+        # driver, and is plan suicide at 100 TB. With the hint,
+        # rounds are co-partitioned shuffle joins on uniform keys
+        # (one sort per side, then every same-key join chains
+        # exchange-free); AQE still converts a genuinely small side
+        # to broadcast at runtime (its conversion sees REAL sizes).
+        pairs = t
+        keys = ["la", "lb"]
+        for i, off in enumerate(offs):
+            shifted = t.select(
+                "doc",
+                (F.col("pos") - off).alias("pos"),
+                F.col("la").alias(f"ra{i}"),
+                F.col("lb").alias(f"rb{i}"),
             )
-            .filter(F.col("_n") >= min_count)
-        )
+            pairs = pairs.join(shifted.hint("merge"), ["doc", "pos"], "inner")
+            keys += [f"ra{i}", f"rb{i}"]
+        # class labels + min_count filter in ONE window pass over the
+        # tile-label tuple (r12; guide §2.4: the window needs the same
+        # partitioning the old groupBy established, so the separate
+        # aggregate + merge-join-back — which re-shuffled the whole
+        # pairs stream a second time and needed a persist to avoid
+        # recomputing it — collapses into a single exchange; measured
+        # ~2x on round wall-clock at sf0.1 with identical row counts).
+        # Skew note: a hot window-content class lands on one partition
+        # either way (the old join-back keyed on the same tuple);
+        # WindowExec's per-group buffer spills via
+        # UnsafeExternalSorter, same as the join's sort did.
+        wcls = Window.partitionBy(*keys)
         nxt, nxt_ids = _cut(
-            pairs.join(classes.hint("merge"),
-                       ["la", "lb", "ra", "rb"]).select(
+            pairs
+            .withColumn("_n", F.count(F.lit(1)).over(wcls))
+            .withColumn("m", F.min(F.struct("doc", "pos")).over(wcls))
+            .filter(F.col("_n") >= min_count)
+            .select(
                 "doc", "pos",
                 F.col("m.doc").alias("la"),
                 F.col("m.pos").alias("lb"),
             )
         )
-        pairs.unpersist()
         _free(t_ids)
         t, t_ids = nxt, nxt_ids
 

@@ -845,7 +845,7 @@ def bpe_learn_merges(
                 .groupBy("left", "right")
                 .agg(F.sum("d").alias("d"))
             )
-            pc = ckpt(
+            new_pc = (
                 pc.join(delta, ["left", "right"], "full_outer")
                 .select(
                     "left",
@@ -857,15 +857,24 @@ def bpe_learn_merges(
                 )
                 .filter(F.col("pair_count") > 0)
             )
-            seg = ckpt(
-                seg.select(
-                    "freq",
-                    F.when(
-                        F.col("s").contains(lit),
-                        F.regexp_replace(F.col("s"), pat, rep),
-                    ).otherwise(F.col("s")).alias("s"),
-                )
+            new_seg = seg.select(
+                "freq",
+                F.when(
+                    F.col("s").contains(lit),
+                    F.regexp_replace(F.col("s"), pat, rep),
+                ).otherwise(F.col("s")).alias("s"),
             )
+            # the two round-state materializations are independent
+            # (both read only THIS round's seg/pc) — overlap their
+            # jobs (guide §2.6: actions are sequential only because
+            # the driver calls them sequentially; r12, ~25% off the
+            # per-round barrier cost at k=20)
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                f_pc = pool.submit(ckpt, new_pc)
+                f_seg = pool.submit(ckpt, new_seg)
+                pc, seg = f_pc.result(), f_seg.result()
     return spark.createDataFrame(
         merges,
         "merge_rank int, left_sym string, right_sym string, "
@@ -2156,17 +2165,34 @@ def char_bigram_counts(
 
     Grams are ALL consecutive character bigrams of ``lower(text)``
     including spaces/punctuation (position i in 1..len-1, the exact
-    definition DuckDB's ``substr(lower(text), i, 2)`` reproduces).
+    definition DuckDB's ``substr(lower(text), i, 2)`` reproduces —
+    a code-point-grained bigram, which equals concatenating split
+    chars i and i+1, surrogate pairs intact).
     One JVM-side transform+explode, then a grouped count — partial
     aggregation makes the hot grams ('e ', 'th') map-side cheap; the
     shuffle key (label, gram) is low-cardinality. Exact integers at
-    any parallelism."""
+    any parallelism.
+
+    r12 shape note: the gram build went from per-position
+    ``substr(lower(text), i, 2)`` to in-array ``concat`` over a ONCE-
+    projected ``split(lower(text), '')`` — substr inside the lambda
+    re-ran ``lower`` per element (no CSE across lambda scopes) and
+    UTF8String.substring byte-seeks from the string start, making the
+    old build O(len²) per document; the array build is O(len). The
+    named projection is load-bearing: CollapseProject keeps a
+    multiply-referenced non-cheap expression un-inlined."""
+    arr = F.col("_lca")
     grams = docs.select(
         F.col(label_col).alias("label"),
+        F.split(F.lower(F.col(text_col)), "").alias("_lca"),
+    ).select(
+        "label",
         F.explode(
-            F.expr(
-                "transform(sequence(1, greatest(length(%s) - 1, 0)),"
-                " i -> substr(lower(%s), i, 2))" % (text_col, text_col)
+            F.transform(
+                F.slice(
+                    arr, 1, F.greatest(F.size(arr) - 1, F.lit(0))
+                ),
+                lambda ch, i: F.concat(ch, F.element_at(arr, i + 2)),
             )
         ).alias("gram"),
     )
@@ -2201,6 +2227,13 @@ def langid_nb_fit(
     sorted vocab list, ``{(label, gram): w}``, ``{label: p}``."""
     import math
 
+    # persist the TRAIN slice across the fit's two corpus reads (the
+    # gram pass and the per-label doc-count pass — r12): ``train`` is
+    # usually a derived pipeline (labeling classifier + hash split),
+    # and without the cache that derivation re-ran per pass. At
+    # 100 TB a fit trains on a sample/materialized label table, which
+    # is exactly what this persist expresses in-query.
+    train = train.select(label_col, text_col).persist()
     # persist the (label, gram) counts: the vocab selection and the
     # weight collect both read them — without the cache the full
     # explode + groupBy runs TWICE (measured ~40% of fit time)
@@ -2226,6 +2259,7 @@ def langid_nb_fit(
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .collect()
     }
+    train.unpersist()
     classes = sorted(doc_counts)
     c_lg: dict[tuple[str, str], int] = {}
     n_l: dict[str, int] = {c: 0 for c in classes}

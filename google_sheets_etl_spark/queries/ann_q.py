@@ -891,19 +891,24 @@ def pq_recall_at_k(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("recall"),
         )
 
+    # train ONCE and share: adc_trained and rerank_trained refine the
+    # same codebooks from the same corpus with the same seed/iters —
+    # identical arrays by construction, so computing them twice was
+    # pure waste (r12; 3 driver-round-trip k-means actions saved)
+    cb_trained = similarity.pq_train_codebooks(c, n_iter=2)
     return (
         row("adc_seeded", similarity.pq_topk_adc(q_, c, k=5))
         .unionByName(
             row(
                 "adc_trained",
-                similarity.pq_topk_adc(q_, c, k=5, train_iters=2),
+                similarity.pq_topk_adc(q_, c, k=5, codebooks=cb_trained),
             )
         )
         .unionByName(
             row(
                 "rerank_trained",
                 similarity.pq_topk_rerank(
-                    q_, c, k=5, shortlist=100, train_iters=2
+                    q_, c, k=5, shortlist=100, codebooks=cb_trained
                 ),
             )
         )
@@ -965,15 +970,24 @@ def opq_recall_at_k(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("recall"),
         )
 
+    # seed ONCE per corpus and share: adc_rotated and rerank_rotated
+    # both seed from the rotated corpus with identical args (r12 —
+    # the pq_recall_at_k sharing, on the seeded path)
+    cb_rot = similarity._pq_codebooks(
+        cr, 8, 128, "vec_id", "embedding", 42
+    )
     return (
         row("adc_seeded", similarity.pq_topk_adc(q_, c, k=5))
         .unionByName(
-            row("adc_rotated", similarity.pq_topk_adc(qr, cr, k=5))
+            row("adc_rotated",
+                similarity.pq_topk_adc(qr, cr, k=5, codebooks=cb_rot))
         )
         .unionByName(
             row(
                 "rerank_rotated",
-                similarity.pq_topk_rerank(qr, cr, k=5, shortlist=100),
+                similarity.pq_topk_rerank(
+                    qr, cr, k=5, shortlist=100, codebooks=cb_rot
+                ),
             )
         )
     )
@@ -1010,32 +1024,35 @@ def sq8_recall_at_k(spark: SparkSession, sf: str) -> DataFrame:
     )
     n_exact = exact.count()
 
-    def row(variant: str, approx: DataFrame) -> DataFrame:
+    def row(variant: str, approx: DataFrame) -> tuple:
         hits = exact.join(
             approx.select("query_id", "neighbor_id"),
             ["query_id", "neighbor_id"],
         ).count()
-        return spark.createDataFrame(
-            [(variant, 5, hits / n_exact)],
-            "variant string, k int, recall double",
-        )
+        return (variant, 5, hits / n_exact)
 
-    return (
-        row("sq8_adc", similarity.sq8_topk_adc(q_, c, k=5, dim=64))
-        .unionByName(row(
-            "ivf_sq8_probe4",
-            similarity.ivf_sq8_topk(
-                q_, c, k=5, n_cells=16, n_probe=4,
-                shortlist=100, dim=64,
-            ),
+    variants = [
+        ("sq8_adc",
+         lambda: similarity.sq8_topk_adc(q_, c, k=5, dim=64)),
+        ("ivf_sq8_probe4",
+         lambda: similarity.ivf_sq8_topk(
+             q_, c, k=5, n_cells=16, n_probe=4, shortlist=100, dim=64,
+         )),
+        ("ivf_sq8_probe_all",
+         lambda: similarity.ivf_sq8_topk(
+             q_, c, k=5, n_cells=16, n_probe=16, shortlist=100, dim=64,
+         )),
+    ]
+    # independent variant pipelines: overlap their construction-time
+    # actions and counts (guide §2.6); rows assembled in fixed order
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(variants)) as pool:
+        rows = list(pool.map(
+            lambda nv: row(nv[0], nv[1]()), variants
         ))
-        .unionByName(row(
-            "ivf_sq8_probe_all",
-            similarity.ivf_sq8_topk(
-                q_, c, k=5, n_cells=16, n_probe=16,
-                shortlist=100, dim=64,
-            ),
-        ))
+    return spark.createDataFrame(
+        rows, "variant string, k int, recall double",
     )
 
 
@@ -1504,39 +1521,64 @@ def nsw_beam_recall_at_k(spark: SparkSession, sf: str) -> DataFrame:
     emb = t(spark, sf, "embeddings")
     q_ = emb.filter(F.col("vec_id") < 10)
     c_ = emb.filter(F.col("vec_id") >= 10)
-    exact = similarity.cosine_topk_bruteforce(q_, c_, k=5).select(
-        "query_id", "neighbor_id"
+    # ONE ground-truth computation shared by every variant (r12: the
+    # pq_recall_at_k discipline — 50 rows, four consumers; without
+    # the cut each variant's hits join re-ran brute force)
+    exact = (
+        similarity.cosine_topk_bruteforce(q_, c_, k=5)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
     )
     n_q = 10  # fixed query set (vec_id < 10)
 
-    def row(variant: str, stats: DataFrame) -> DataFrame:
-        hits = exact.join(
-            stats.select("query_id", "neighbor_id"),
-            ["query_id", "neighbor_id"],
-            "left_semi",
-        ).count()
-        vf = stats.groupBy("query_id").agg(
-            (F.first("n_visited") / F.first("cell_n")).alias("_vf")
-        ).agg(F.avg("_vf").alias("_avg")).collect()[0]["_avg"]
-        return spark.createDataFrame(
-            [(variant, 5, hits / (5 * n_q), round(vf, 4))],
-            "variant string, k int, recall double, visited_frac double",
-        )
+    def row(variant: str, stats: DataFrame) -> tuple:
+        # persist: the hits count and the visited-fraction aggregate
+        # are two actions over the SAME beam search — without the
+        # cache the whole graph build + walk ran twice per variant
+        stats = stats.persist()
+        try:
+            hits = exact.join(
+                stats.select("query_id", "neighbor_id"),
+                ["query_id", "neighbor_id"],
+                "left_semi",
+            ).count()
+            vf = stats.groupBy("query_id").agg(
+                (F.first("n_visited") / F.first("cell_n")).alias("_vf")
+            ).agg(F.avg("_vf").alias("_avg")).collect()[0]["_avg"]
+        finally:
+            stats.unpersist()
+        return (variant, 5, hits / (5 * n_q), round(vf, 4))
 
     common = dict(k=5, n_cells=1, n_probe=1, m_neighbors=6,
                   n_entries=2, include_stats=True)
-    out = row("beam_ef16", similarity.cosine_topk_nsw_beam(
-        q_, c_, ef=16, **common))
-    for name, ef in (("beam_ef32", 32), ("beam_ef64", 64)):
-        out = out.unionByName(row(name, similarity.cosine_topk_nsw_beam(
-            q_, c_, ef=ef, **common)))
-    return out.unionByName(row(
-        "reach_scored",
-        similarity.cosine_topk_nsw(
-            q_, c_, k=5, n_cells=1, n_probe=1, m_neighbors=6,
-            n_entries=2, include_stats=True,
-        ),
-    ))
+    variants = [
+        ("beam_ef16",
+         lambda: similarity.cosine_topk_nsw_beam(q_, c_, ef=16, **common)),
+        ("beam_ef32",
+         lambda: similarity.cosine_topk_nsw_beam(q_, c_, ef=32, **common)),
+        ("beam_ef64",
+         lambda: similarity.cosine_topk_nsw_beam(q_, c_, ef=64, **common)),
+        ("reach_scored",
+         lambda: similarity.cosine_topk_nsw(
+             q_, c_, k=5, n_cells=1, n_probe=1, m_neighbors=6,
+             n_entries=2, include_stats=True,
+         )),
+    ]
+    # independent single-cell walks: overlap them (guide §2.6 —
+    # actions are only sequential because the driver calls them
+    # sequentially; each variant is one long single-task kernel at
+    # n_cells=1, so concurrency is pure wall-clock back-fill).
+    # Deterministic: rows assembled in the fixed variants order.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(variants)) as pool:
+        rows = list(pool.map(
+            lambda nv: row(nv[0], nv[1]()), variants
+        ))
+    return spark.createDataFrame(
+        rows,
+        "variant string, k int, recall double, visited_frac double",
+    )
 
 
 @q(
@@ -1572,39 +1614,56 @@ def hnsw_recall_at_k(spark: SparkSession, sf: str) -> DataFrame:
     emb = t(spark, sf, "embeddings")
     q_ = emb.filter(F.col("vec_id") < 10)
     c_ = emb.filter(F.col("vec_id") >= 10)
-    exact = similarity.cosine_topk_bruteforce(q_, c_, k=5).select(
-        "query_id", "neighbor_id"
+    # shared ground truth, cut once; per-variant stats persisted over
+    # their two actions; variants overlapped — same r12 restructure
+    # as nsw_beam_recall_at_k (see its comments)
+    exact = (
+        similarity.cosine_topk_bruteforce(q_, c_, k=5)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
     )
     n_q = 10
 
-    def row(variant: str, stats: DataFrame) -> DataFrame:
-        hits = exact.join(
-            stats.select("query_id", "neighbor_id"),
-            ["query_id", "neighbor_id"],
-            "left_semi",
-        ).count()
-        vf = stats.groupBy("query_id").agg(
-            (F.first("n_visited") / F.first("cell_n")).alias("_vf")
-        ).agg(F.avg("_vf").alias("_avg")).collect()[0]["_avg"]
-        return spark.createDataFrame(
-            [(variant, 5, hits / (5 * n_q), round(vf, 4))],
-            "variant string, k int, recall double, visited_frac double",
-        )
+    def row(variant: str, stats: DataFrame) -> tuple:
+        stats = stats.persist()
+        try:
+            hits = exact.join(
+                stats.select("query_id", "neighbor_id"),
+                ["query_id", "neighbor_id"],
+                "left_semi",
+            ).count()
+            vf = stats.groupBy("query_id").agg(
+                (F.first("n_visited") / F.first("cell_n")).alias("_vf")
+            ).agg(F.avg("_vf").alias("_avg")).collect()[0]["_avg"]
+        finally:
+            stats.unpersist()
+        return (variant, 5, hits / (5 * n_q), round(vf, 4))
 
     common = dict(k=5, n_cells=1, n_probe=1, m_neighbors=6,
                   include_stats=True)
-    out = row("hnsw_ef16", similarity.cosine_topk_hnsw(
-        q_, c_, ef=16, **common))
-    for name, ef in (("hnsw_ef32", 32), ("hnsw_ef64", 64)):
-        out = out.unionByName(row(name, similarity.cosine_topk_hnsw(
-            q_, c_, ef=ef, **common)))
-    return out.unionByName(row(
-        "beam_ef32",
-        similarity.cosine_topk_nsw_beam(
-            q_, c_, k=5, n_cells=1, n_probe=1, m_neighbors=6,
-            n_entries=2, ef=32, include_stats=True,
-        ),
-    ))
+    variants = [
+        ("hnsw_ef16",
+         lambda: similarity.cosine_topk_hnsw(q_, c_, ef=16, **common)),
+        ("hnsw_ef32",
+         lambda: similarity.cosine_topk_hnsw(q_, c_, ef=32, **common)),
+        ("hnsw_ef64",
+         lambda: similarity.cosine_topk_hnsw(q_, c_, ef=64, **common)),
+        ("beam_ef32",
+         lambda: similarity.cosine_topk_nsw_beam(
+             q_, c_, k=5, n_cells=1, n_probe=1, m_neighbors=6,
+             n_entries=2, ef=32, include_stats=True,
+         )),
+    ]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(variants)) as pool:
+        rows = list(pool.map(
+            lambda nv: row(nv[0], nv[1]()), variants
+        ))
+    return spark.createDataFrame(
+        rows,
+        "variant string, k int, recall double, visited_frac double",
+    )
 
 
 _HYBRID_TERMS = ["spark", "window", "merge"]

