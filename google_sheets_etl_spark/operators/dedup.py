@@ -500,9 +500,15 @@ def connected_components(
 
 
 def _cc_rounds(pairs, ckpt, id_a, id_b, out_id, out_cluster, max_iter):
+    # cut the pair list BEFORE the symmetrizing union (r12): both
+    # union branches read ``pairs``, whose plan is usually the
+    # expensive part (an LSH verify, an image-decode hamming join) —
+    # un-cut, that pipeline executed TWICE inside the edges job. One
+    # cheap extra materialization of the (id, id) list buys running
+    # the candidate pipeline once.
+    p0 = ckpt(pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")))
     edges = ckpt(
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        p0.union(p0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
     )  # cut the (possibly LSH) input plan
     labels = ckpt(

@@ -3101,6 +3101,13 @@ def dhash_near_dup_pairs(
             "max_dist must be in [0, 7]: 8 bands guarantee recall only "
             "below 8 bit errors"
         )
+    # materialize the fingerprints before the self-join (r12): both
+    # band sides derive from ``hashes``, whose pipeline is usually an
+    # image-decode Arrow kernel — un-cut, the decode ran TWICE in the
+    # join job (and persist alone is not enough: within one job the
+    # two branches race the cache, the near_dup_pairs lesson). The
+    # table is one 16-hex row per image — metadata-scale.
+    hashes = hashes.select(id_col, hash_col).localCheckpoint(eager=True)
     bands = hashes.select(
         F.col(id_col).alias("_id"),
         F.col(hash_col).alias("_h"),

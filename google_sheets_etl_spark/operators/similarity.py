@@ -1491,7 +1491,13 @@ def embedding_near_dup_pairs(
     """
     import numpy as np
 
-    rows = vectors.select(id_col, vec_col).collect()
+    # materialize the (id, vec) projection ONCE (r12): the collect and
+    # the distributed block pass both consume it, and a derived input
+    # (hashed_doc_vectors' Arrow kernel in hashed_vector_near_dup)
+    # otherwise computed its whole pipeline twice. Within this
+    # operator's documented ~10^6-vector cap the blocks are small.
+    vectors = vectors.select(id_col, vec_col).localCheckpoint(eager=True)
+    rows = vectors.collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([r[1] for r in rows], dtype=np.float64)
     norms = np.sqrt((mat * mat).sum(axis=1))

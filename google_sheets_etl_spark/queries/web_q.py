@@ -445,7 +445,11 @@ def web_pretraining_pipeline_e2e(spark: SparkSession, sf: str) -> DataFrame:
             .select("doc_id")
             .distinct()
         )
-        s9 = s8.join(contam, "doc_id", "left_anti")
+        # persist: the decontaminated set feeds TWO actions (the
+        # stage-9 accounting and the packing pass) — without the
+        # cache the 5-gram shingle explode + semi-join re-ran in the
+        # packing job (r12)
+        s9 = s8.join(contam, "doc_id", "left_anti").persist()
         c = s9.agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(tok(F.col("text"))).alias("t"),
@@ -483,6 +487,7 @@ def web_pretraining_pipeline_e2e(spark: SparkSession, sf: str) -> DataFrame:
         try:
             wide3.unpersist()
             s8.unpersist()
+            s9.unpersist()
         except NameError:
             pass
     return spark.createDataFrame(
