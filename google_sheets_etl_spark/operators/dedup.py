@@ -693,12 +693,19 @@ def edit_distance_near_dup(
                 ),
             ),
         )
+    # materialize the signature table before the self-join (r12):
+    # with a broadcast build side there is no exchange to reuse, so
+    # BOTH join sides re-derived the signature generation (and its
+    # whole input pipeline — formula synthesis, upstream joins)
+    # inside the one candidate job. The cut table is (id, string,
+    # block keys) × (len+1) short variant rows — bounded by the
+    # dictionary, never the corpus payload.
     sigs = rows.select(
         F.col(id_col).alias("_id"),
         txt.alias("_t"),
         *blocks,
         F.explode(F.array_distinct(variants)).alias("_sig"),
-    )
+    ).localCheckpoint(eager=True)
     join_cond = (F.col("a._sig") == F.col("b._sig")) & (
         F.col("a._id") < F.col("b._id")
     )

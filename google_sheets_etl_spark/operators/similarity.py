@@ -408,6 +408,12 @@ def linear_probe_fit(
 
     if l2 <= 0:
         raise ValueError("l2 must be > 0 (ridge conditioning)")
+    # materialize the projected train slice ONCE (r12): the gram
+    # collect and the class-moments collect are two separate actions
+    # over the same (usually filtered/derived) input — un-cut, the
+    # filter + scan ran twice. The cut table is the (label, vec)
+    # projection only.
+    train = train.select(label_col, vec_col).localCheckpoint(eager=True)
     grows = embedding_gram_u6(train, vec_col).collect()
     if not grows:
         raise ValueError("linear_probe_fit needs a non-empty train set")

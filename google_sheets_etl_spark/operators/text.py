@@ -40,10 +40,22 @@ def stopword_hits(text_col: Column, stopwords: list[str] = EN_STOPWORDS) -> Colu
     return F.size(F.filter(words_of(text_col), lambda w: F.array_contains(stop_arr, w)))
 
 
-def quality_features(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def quality_features(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    carry_cols: tuple = (),
+) -> DataFrame:
     """Integer-valued quality signals (ratios left to the consumer so
     the oracle comparison stays float-free): token counts, stopword
     hits, max token length, and a language guess from stopword density.
+
+    ``carry_cols`` passes input columns through the projection
+    unchanged — a downstream consumer that needs both features and
+    payload (e.g. a trainer labeling its own corpus) reads ONE
+    projection instead of joining the features back to the corpus on
+    the id (that join shuffles the whole corpus twice just to
+    re-attach columns that were already on the row — guide §2.4).
     """
     words = words_of(F.col(text_col))
     n_tokens = F.size(words)
@@ -62,6 +74,7 @@ def quality_features(docs: DataFrame, text_col: str = "text", id_col: str = "doc
         hits.cast("long").alias("stop_hits"),
         max_tok.cast("long").alias("max_token_len"),
         lang_guess.alias("lang_guess"),
+        *[F.col(c) for c in carry_cols],
     )
 
 
@@ -575,7 +588,10 @@ def heavy_hitter_tokens(docs: DataFrame, k: int = 50, text_col: str = "text") ->
 
 
 def quality_classifier(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    carry_cols: tuple = (),
 ) -> DataFrame:
     """Linear quality classifier over per-doc features (the
     fasttext-style "keep/drop" scorer every web-scale pipeline runs
@@ -600,7 +616,7 @@ def quality_classifier(
     select below fuses into the same codegen pass; nothing is
     materialized between the two operators).
     """
-    feats = quality_features(docs, text_col, id_col)
+    feats = quality_features(docs, text_col, id_col, carry_cols=carry_cols)
     nt = F.col("n_tokens")
     sh = F.col("stop_hits")
     mx = F.col("max_token_len")
@@ -609,6 +625,9 @@ def quality_classifier(
         F.col(id_col),
         score.alias("quality_score"),
         F.coalesce(score >= 0, F.lit(False)).alias("keep"),
+        # carry_cols: see quality_features — lets the trained-gate
+        # consumer label without a corpus self-join (r12)
+        *[F.col(c) for c in carry_cols],
     )
 
 

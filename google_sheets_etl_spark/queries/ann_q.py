@@ -947,9 +947,15 @@ def opq_recall_at_k(spark: SparkSession, sf: str) -> DataFrame:
         .select("query_id", "neighbor_id")
         .localCheckpoint(eager=True)
     )
+    # cut the rotated corpus ONCE (r12): the rotation is an Arrow
+    # projection consumed by the codebook seeding, the ADC branch and
+    # the rerank branch — un-cut it re-ran per consumer inside the
+    # one result job. The cut table is (vec_id, d floats) per row.
     rot = similarity.pca_project(
         emb, similarity.opq_rotation_components(emb, 8)
-    ).select("vec_id", F.col("proj").alias("embedding"))
+    ).select("vec_id", F.col("proj").alias("embedding")).localCheckpoint(
+        eager=True
+    )
     qr = rot.filter(F.col("vec_id") < 10)
     cr = rot.filter(F.col("vec_id") >= 10)
 

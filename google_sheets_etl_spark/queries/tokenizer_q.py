@@ -263,12 +263,10 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf: str) -> DataFrame:
         "word", F.col("n_tokens").cast("long").alias("n_tok")
     )
     dw = t(spark, sf, "documents").select(
-        "doc_id", F.explode(words_of(F.col("text"))).alias("word")
+        "lang", F.explode(words_of(F.col("text"))).alias("word")
     )
-    labels = t(spark, sf, "documents").select("doc_id", "lang")
     return (
         dw.join(vt, "word", "left")
-        .join(labels, "doc_id")
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_words"),

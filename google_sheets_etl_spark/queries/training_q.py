@@ -626,9 +626,13 @@ def quality_classifier_trained(spark: SparkSession, sf: str) -> DataFrame:
     (label, gram) groupBy; serve is shuffle-free — identical cost
     envelope to langid_trained_predictions at any corpus size."""
     docs = t(spark, sf, "documents")
-    labeled = docs.join(
-        text_ops.quality_classifier(docs).select("doc_id", "keep"),
-        "doc_id",
+    # carry text through the labeling projection instead of joining
+    # the keep verdict back to the corpus on doc_id (r12): the old
+    # self-join shuffled the whole corpus twice to re-attach columns
+    # the classifier's input row already had — now labeling is one
+    # shuffle-free codegen pass (guide §2.4)
+    labeled = text_ops.quality_classifier(
+        docs, carry_cols=("text",)
     ).withColumn(
         "q_label",
         F.when(F.col("keep"), F.lit("keep")).otherwise(F.lit("drop")),

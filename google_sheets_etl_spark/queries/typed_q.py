@@ -531,8 +531,14 @@ def typed_view_apply(spark: SparkSession, sf: str) -> DataFrame:
 
     # parallelize ONCE and share: the warehouse arrives as a single
     # small scan partition, and both the sampled profile and the
-    # full-table view aggregate would otherwise run single-task
-    wh = typed_views.ensure_parallelism(_varchar_warehouse(spark, sf))
+    # full-table view aggregate would otherwise run single-task.
+    # r12: eager-localCheckpoint the synthesized warehouse — the
+    # profile collect and the final aggregate are two ACTIONS, and
+    # un-cut each re-ran the 13-column string-assembly synthesis (and
+    # its repartition exchange) from the orders scan.
+    wh = typed_views.ensure_parallelism(
+        _varchar_warehouse(spark, sf)
+    ).localCheckpoint(eager=True)
     types = typed_views.decide_types(wh, sample_fraction=0.1)
     tv = typed_views.typed_view(wh, types)
     return tv.agg(

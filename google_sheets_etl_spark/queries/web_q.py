@@ -340,10 +340,19 @@ def web_pretraining_pipeline_e2e(spark: SparkSession, sf: str) -> DataFrame:
         return F.size(F.split(c, " ")).cast("long")
 
     try:
-        main = cleaning.main_content_extract(recs, html_col="html")
+        # cut the extraction outputs ONCE (r12): ``wide`` references
+        # the extract→repair chain directly AND under rep, and wide
+        # itself fans out three ways (direct, blocklist, gopher) —
+        # un-cut, the regex-heavy HTML block extraction evaluated ~6x
+        # inside the wide3 materialization job (persist doesn't help:
+        # branches within one job race the cache). The cut tables are
+        # one narrow (doc_id, text) row per page.
+        main = cleaning.main_content_extract(recs, html_col="html").select(
+            "doc_id", "main_text"
+        ).localCheckpoint(eager=True)
         rep = cleaning.mojibake_repair(
             main.select("doc_id", F.col("main_text").alias("text"))
-        )
+        ).select("doc_id", "text_clean").localCheckpoint(eager=True)
         site = F.expr("doc_id div 2")
         host = F.element_at(
             F.array(*[F.lit(h) for h in _E2E_HOSTS]),
@@ -364,19 +373,22 @@ def web_pretraining_pipeline_e2e(spark: SparkSession, sf: str) -> DataFrame:
         )
         wide = (
             recs
-            .join(main.select("doc_id", "main_text"), "doc_id")
-            .join(rep.select("doc_id", "text_clean"), "doc_id")
+            .join(main, "doc_id")
+            .join(rep, "doc_id")
             .withColumn("url_norm", cleaning.url_normalize(url))
         )
         terms = spark.createDataFrame(
             [(_E2E_BLOCK_TERM,)], "term string"
         )
+        # the gates only read text_clean — feed them the narrow cut
+        # table instead of the wide join (r12), so neither gate
+        # re-evaluates the join or the url projection
         bl = text_ops.blocklist_gate(
-            wide.select("doc_id", F.col("text_clean").alias("text")),
+            rep.select("doc_id", F.col("text_clean").alias("text")),
             terms, max_hits=0,
         ).select("doc_id", F.col("keep").alias("_bl"))
         gq = text_ops.gopher_quality_filter(
-            wide.select("doc_id", F.col("text_clean").alias("text"))
+            rep.select("doc_id", F.col("text_clean").alias("text"))
         ).select("doc_id", F.col("keep").alias("_gq"))
         w_url = Window.partitionBy("url_norm").orderBy("doc_id")
         wide3 = (
