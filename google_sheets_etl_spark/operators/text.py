@@ -1205,25 +1205,37 @@ def kn_bigram_lm_bits(
     shuffles until that final groupBy. Returns
     ``(id, n_bigrams, bits_per_bigram_kn)``; <2-token docs carry no
     bigram evidence and are excluded (the bigram_lm_bits contract)."""
-    c2 = (
-        _bigram_pairs(train, text_col)
-        .groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("_c2"))
-        .localCheckpoint(eager=True)
-    )
-    c1 = c2.groupBy("w1").agg(
-        F.sum("_c2").alias("_c1"),
-        F.count(F.lit(1)).alias("_nf"),   # N1+(w1, ·): follow types
-    ).localCheckpoint(eager=True)
-    right = c2.groupBy("w2").agg(
-        F.count(F.lit(1)).alias("_np"),   # N1+(·, w2): precede types
-    ).localCheckpoint(eager=True)
-    n_types = c2.count()
-    v = (
-        train.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
-        .distinct()
-        .count()
-    )
+    # same dependency-DAG overlap as the trigram fit (guide §2.6):
+    # v needs only train; c1/right/n_types need only c2
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_v = pool.submit(
+            lambda: train.select(
+                F.explode(F.split(F.col(text_col), " ")).alias("w")
+            )
+            .distinct()
+            .count()
+        )
+        c2 = (
+            _bigram_pairs(train, text_col)
+            .groupBy("w1", "w2")
+            .agg(F.count(F.lit(1)).alias("_c2"))
+            .localCheckpoint(eager=True)
+        )
+        f_c1 = pool.submit(
+            lambda: c2.groupBy("w1").agg(
+                F.sum("_c2").alias("_c1"),
+                F.count(F.lit(1)).alias("_nf"),   # N1+(w1, ·): follow types
+            ).localCheckpoint(eager=True)
+        )
+        f_right = pool.submit(
+            lambda: c2.groupBy("w2").agg(
+                F.count(F.lit(1)).alias("_np"),   # N1+(·, w2): precede types
+            ).localCheckpoint(eager=True)
+        )
+        n_types = c2.count()
+        c1, right, v = f_c1.result(), f_right.result(), f_v.result()
     d = float(discount)
     pcont = (F.coalesce(F.col("_np"), F.lit(0)) + F.lit(0.5)) / F.lit(
         n_types + 0.5 * v
@@ -1290,32 +1302,56 @@ def kn_trigram_lm_bits(
     uniform doc-key aggregate — the corpus never shuffles before it.
     Returns ``(id, n_trigrams, bits_per_trigram_kn)``; <3-token docs
     carry no trigram evidence and are excluded."""
-    c3 = (
-        _trigram_triples(train, text_col)
-        .groupBy("w1", "w2", "w3")
-        .agg(F.count(F.lit(1)).alias("_c3"))
-        .localCheckpoint(eager=True)
-    )
-    ctx12 = c3.groupBy("w1", "w2").agg(
-        F.sum("_c3").alias("_c12"),
-        F.count(F.lit(1)).alias("_nf12"),  # N1+(w1 w2, ·)
-    ).localCheckpoint(eager=True)
-    cc = c3.groupBy("w2", "w3").agg(
-        F.count(F.lit(1)).alias("_cc"),    # N1+(· w2 w3)
-    ).localCheckpoint(eager=True)
-    ccctx = cc.groupBy("w2").agg(
-        F.sum("_cc").alias("_ccs"),        # N1+(· w2 ·)
-        F.count(F.lit(1)).alias("_nf2"),   # continuation follow types
-    ).localCheckpoint(eager=True)
-    np3 = cc.groupBy("w3").agg(
-        F.count(F.lit(1)).alias("_np"),    # N1+(· · w3)
-    ).localCheckpoint(eager=True)
-    n_types = cc.count()
-    v = (
-        train.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
-        .distinct()
-        .count()
-    )
+    # the model-table derivations form a dependency DAG, not a chain:
+    # v needs only train; ctx12/cc need only c3; ccctx/np3/n_types
+    # need only cc. Overlap each independent level on driver threads
+    # (guide §2.6) instead of paying 7 sequential job barriers.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _ckpt(df):
+        return df.localCheckpoint(eager=True)
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_v = pool.submit(
+            lambda: train.select(
+                F.explode(F.split(F.col(text_col), " ")).alias("w")
+            )
+            .distinct()
+            .count()
+        )
+        c3 = _ckpt(
+            _trigram_triples(train, text_col)
+            .groupBy("w1", "w2", "w3")
+            .agg(F.count(F.lit(1)).alias("_c3"))
+        )
+        f_ctx12 = pool.submit(
+            _ckpt,
+            c3.groupBy("w1", "w2").agg(
+                F.sum("_c3").alias("_c12"),
+                F.count(F.lit(1)).alias("_nf12"),  # N1+(w1 w2, ·)
+            ),
+        )
+        cc = _ckpt(
+            c3.groupBy("w2", "w3").agg(
+                F.count(F.lit(1)).alias("_cc"),    # N1+(· w2 w3)
+            )
+        )
+        f_ccctx = pool.submit(
+            _ckpt,
+            cc.groupBy("w2").agg(
+                F.sum("_cc").alias("_ccs"),        # N1+(· w2 ·)
+                F.count(F.lit(1)).alias("_nf2"),   # continuation follow types
+            ),
+        )
+        f_np3 = pool.submit(
+            _ckpt,
+            cc.groupBy("w3").agg(
+                F.count(F.lit(1)).alias("_np"),    # N1+(· · w3)
+            ),
+        )
+        n_types = cc.count()
+        ctx12, ccctx, np3 = f_ctx12.result(), f_ccctx.result(), f_np3.result()
+        v = f_v.result()
     d = float(discount)
     pcont = (F.coalesce(F.col("_np"), F.lit(0)) + F.lit(0.5)) / F.lit(
         n_types + 0.5 * v
@@ -1413,25 +1449,38 @@ def bigram_lm_fit(
     instead of re-counting the train split per consumer."""
     if k_smooth <= 0:
         raise ValueError("k_smooth must be > 0")
-    c2 = (
-        _bigram_pairs(train, text_col)
-        .groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("_c2"))
-        .localCheckpoint(eager=True)
-    )
-    c1 = (
-        c2.groupBy("w1")
-        .agg(F.sum("_c2").alias("_c1"))
-        .localCheckpoint(eager=True)
-    )
-    # vocab size: one metadata-scale action (the count a tokenizer
-    # ships with its model card)
-    v = (
-        train.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
-        .select("w")
-        .distinct()
-        .count()
-    )
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _counts():
+        c2 = (
+            _bigram_pairs(train, text_col)
+            .groupBy("w1", "w2")
+            .agg(F.count(F.lit(1)).alias("_c2"))
+            .localCheckpoint(eager=True)
+        )
+        c1 = (
+            c2.groupBy("w1")
+            .agg(F.sum("_c2").alias("_c1"))
+            .localCheckpoint(eager=True)
+        )
+        return c2, c1
+
+    def _vocab():
+        # vocab size: one metadata-scale action (the count a tokenizer
+        # ships with its model card)
+        return (
+            train.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+            .select("w")
+            .distinct()
+            .count()
+        )
+
+    # the count chain and the vocab count are independent actions over
+    # the same train split — overlap them on driver threads (guide
+    # §2.6) instead of paying three sequential job barriers
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_counts, f_v = pool.submit(_counts), pool.submit(_vocab)
+        (c2, c1), v = f_counts.result(), f_v.result()
     return c2, c1, v, float(k_smooth)
 
 
@@ -1500,8 +1549,16 @@ def moore_lewis_bits(
     int64 sum of differences — summation-order-free, hash-stable.
     Returns ``(id, n_bigrams, ml_u6, ml_bits_per_bigram)``; <2-token
     docs carry no evidence and are excluded."""
-    tc2, tc1, tv, kd = bigram_lm_fit(target, k_smooth, text_col)
-    rc2, rc1, rv, _ = bigram_lm_fit(raw, k_smooth, text_col)
+    # the target and raw fits are fully independent jobs — overlap
+    # them on driver threads (guide §2.6; each fit internally overlaps
+    # its own counts/vocab actions too)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _ft = _pool.submit(bigram_lm_fit, target, k_smooth, text_col)
+        _fr = _pool.submit(bigram_lm_fit, raw, k_smooth, text_col)
+        tc2, tc1, tv, kd = _ft.result()
+        rc2, rc1, rv, _ = _fr.result()
     tc2 = tc2.withColumnRenamed("_c2", "_tc2")
     tc1 = tc1.withColumnRenamed("_c1", "_tc1")
     rc2 = rc2.withColumnRenamed("_c2", "_rc2")
