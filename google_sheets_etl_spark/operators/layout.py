@@ -213,7 +213,20 @@ def with_hilbert_key(
     sequential walk — measured 6-7× faster at sf0.1), no Python, no
     shuffle, no branches; at 100 TB the key is pure map-side
     codegen work like the Morton kernel."""
-    keyed = _with_norm16(df, cx, cy)
+    return _hilbert_from_norm(
+        _with_norm16(df, cx, cy), key_col
+    ).drop("_xn", "_yn")
+
+
+def _hilbert_from_norm(
+    keyed: DataFrame, key_col: str
+) -> DataFrame:
+    """:func:`with_hilbert_key`'s body over an ALREADY-normalized
+    frame (``_xn``/``_yn`` present, kept on the output) — split out
+    so :func:`curve_locality_stats` can derive BOTH curves' keys
+    from one normalization pass instead of re-running the bounds
+    aggregate and shift mapping per curve (r12 optimization round,
+    guide §2.4)."""
     M = F.lit(0xFFFF)
 
     def bxor(a: Column, b: Column) -> Column:
@@ -268,8 +281,7 @@ def with_hilbert_key(
     return out.withColumn(
         key_col,
         F.shiftleft(_spread16(rx), 1).bitwiseOR(_spread16(F.col("_t"))),
-    ).drop("_xn", "_yn", "_t", "_m00", "_m01", "_m10", "_m11",
-           "_k0", "_k1")
+    ).drop("_t", "_m00", "_m01", "_m10", "_m11", "_k0", "_k1")
 
 
 def _with_hilbert_key_walk(
@@ -347,6 +359,74 @@ def hilbert_file_stats(
     )
 
 
+def _exact_ntile(
+    df: DataFrame,
+    order_by: list,
+    n: int,
+    bucket: Column,
+    out_col: str = "_tile",
+) -> DataFrame:
+    """EXACT ``ntile(n) OVER (ORDER BY order_by)`` without the
+    single-partition global window sort (r12 optimization round —
+    a global window funnels every row through ONE task, the guide
+    §2.5 straggler shape and a non-starter at 100 TB).
+
+    ``bucket`` must be a DETERMINISTIC, order-consistent coarsening
+    of the leading sort key (b(r1) <= b(r2) whenever r1 sorts before
+    r2; equal keys share a bucket) — e.g. the top bits of an integer
+    key. Rows are ranked within each bucket in parallel
+    (``row_number`` over a hash-partitioned window), bucket offsets
+    come from a bucket-count-sized cumulative sum broadcast back,
+    and the tile is the closed-form ntile assignment from the global
+    0-based index: with q = N div n, r = N mod n, the first r tiles
+    hold q+1 rows — all integral ``div`` arithmetic, engine-exact
+    (ties beyond ``order_by`` are interchangeable rows, same
+    contract as the window form)."""
+    b = df.withColumn("_bkt", bucket)
+    wcum = Window.orderBy("_bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    # bucket-count rows: the two tiny windows below run over at most
+    # one row per distinct bucket value, never over the data
+    offs = (
+        b.groupBy("_bkt")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .select(
+            "_bkt",
+            F.coalesce(F.sum("_c").over(wcum), F.lit(0)).alias("_off"),
+            F.sum("_c").over(
+                Window.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ).alias("_N"),
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("_bkt").orderBy(*order_by)
+    )
+    return (
+        b.join(F.broadcast(offs), "_bkt")
+        .withColumn("_idx", F.col("_off") + rn - 1)
+        .withColumn("_q", F.expr(f"_N div {n}"))
+        .withColumn("_r", F.col("_N") % n)
+        .withColumn("_cut", F.col("_r") * (F.col("_q") + 1))
+        .withColumn(
+            out_col,
+            (
+                F.when(
+                    F.col("_idx") < F.col("_cut"),
+                    F.expr("_idx div (_q + 1)"),
+                ).otherwise(
+                    F.col("_r")
+                    + F.expr("(_idx - _cut) div greatest(_q, 1L)")
+                )
+                + 1
+            ).cast("int"),
+        )
+        .drop("_bkt", "_off", "_N", "_idx", "_q", "_r", "_cut")
+    )
+
+
 def curve_locality_stats(
     df: DataFrame,
     cx: str,
@@ -370,16 +450,34 @@ def curve_locality_stats(
     quadrant jumps and a Hilbert range stays adjacent. The ntile is
     a bounded measurement sort (ties broken by (key, cx, cy);
     identical rows are interchangeable between adjacent tiles, so
-    the aggregate is order-deterministic); the write path's
-    distributed equivalent is repartitionByRange."""
+    the aggregate is order-deterministic); r12: the ntile runs as
+    :func:`_exact_ntile` (per-bucket parallel ranking off the keys'
+    top bits), not a single-partition global window, and BOTH
+    curves' keys derive from ONE normalization pass."""
     n_files = 2 ** file_bits
+    # cut the narrow key table ONCE (4 ints/row): each curve branch
+    # consumes it twice (ranking + bucket counts), and the Hilbert
+    # parallel-prefix chain is a large expression tree — un-cut, the
+    # four consumers re-plan and re-run bounds + both key kernels
+    # (guide §3.3: materialize to truncate a plan that outgrows its
+    # usefulness; the cut is keys only, never payload)
+    both = _hilbert_from_norm(
+        _with_norm16(df.select(cx, cy), cx, cy).withColumn(
+            "_zk", morton_key(F.col("_xn"), F.col("_yn"))
+        ),
+        "_hk",
+    ).select(cx, cy, "_zk", "_hk").localCheckpoint(eager=True)
 
-    def spans(keyed: DataFrame, key: str, curve: str) -> DataFrame:
-        tile = F.ntile(n_files).over(
-            Window.orderBy(F.col(key), F.col(cx), F.col(cy))
-        )
+    def spans(key: str, curve: str) -> DataFrame:
+        # both curve keys are 32-bit; top 10 bits give <= 1024
+        # order-consistent buckets for the parallel ranking
         stats = (
-            keyed.select(cx, cy, tile.alias("_tile"))
+            _exact_ntile(
+                both.select(cx, cy, key),
+                [F.col(key), F.col(cx), F.col(cy)],
+                n_files,
+                bucket=F.shiftrightunsigned(F.col(key), 22),
+            )
             .groupBy("_tile")
             .agg(
                 F.min(cx).alias("_mnx"),
@@ -398,8 +496,4 @@ def curve_locality_stats(
             F.sum((sx + 1) * (sy + 1)).cast("long").alias("sum_area"),
         )
 
-    return spans(
-        with_morton_key(df, cx, cy, key_col="_k"), "_k", "morton"
-    ).unionByName(
-        spans(with_hilbert_key(df, cx, cy, key_col="_k"), "_k", "hilbert")
-    )
+    return spans("_zk", "morton").unionByName(spans("_hk", "hilbert"))

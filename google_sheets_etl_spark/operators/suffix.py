@@ -67,6 +67,38 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# Strategy dispatch (r12 optimization round): for windows this short,
+# grouping positions by the RAW window content in ONE exchange beats
+# prefix doubling outright — round 1 of the doubling alone shuffles
+# ~4 sorted 24 B/position copies plus a ~64 B/position class-window
+# pass (~170 B/position before the later rounds and their checkpoint
+# barriers), while the direct pass shuffles one (doc, pos, window)
+# row of ~min_len+16 B/position and needs NO self-joins and NO
+# checkpoint rounds (guide §2.3 "shuffle fewer bytes" + §2.4 "remove
+# shuffles outright"). Equality of the marked set is by construction:
+# two positions share a width-L equality class iff their L-windows
+# are byte-equal — exactly the direct groupBy key, no hashing
+# anywhere. Doubling stays the path for LARGE windows, where
+# per-round label state (~24 B) undercuts shipping window content
+# and the working set shrinks round over round.
+_DIRECT_MAX_LEN = 128
+
+
+def _validate(min_len: int, min_count: int, fanout: int) -> None:
+    """Shared eager argument contract for every strategy (the direct
+    path must reject exactly what the doubling path rejects)."""
+    if min_len < 2:
+        raise ValueError(f"duplicate_spans: min_len must be >= 2, got {min_len}")
+    if min_count < 2:
+        raise ValueError(
+            f"duplicate_spans: min_count must be >= 2, got {min_count}"
+        )
+    if fanout < 2:
+        raise ValueError(
+            f"duplicate_spans: fanout must be >= 2, got {fanout}"
+        )
+
+
 def duplicate_spans(
     docs: DataFrame,
     min_len: int,
@@ -74,6 +106,7 @@ def duplicate_spans(
     id_col: str = "doc_id",
     min_count: int = 2,
     fanout: int = 4,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Maximal duplicated spans (window length ``min_len``, >=
     ``min_count`` occurrences corpus-wide) per document.
@@ -94,7 +127,71 @@ def duplicate_spans(
     executor loss — set it on a real cluster), else
     ``localCheckpoint`` (executor-local blocks; an executor loss
     fails the query and it must be rerun — the same trade GraphX
-    iterative jobs make)."""
+    iterative jobs make).
+
+    ``strategy``: ``"auto"`` (default) picks the DIRECT single-pass
+    plan for ``min_len <= _DIRECT_MAX_LEN`` and prefix doubling
+    beyond it; ``"direct"`` / ``"doubling"`` force a path (the
+    equivalence test pins direct == doubling == brute force). Both
+    strategies compute the identical exact marked set — the choice
+    is purely a physical-plan trade (see ``_DIRECT_MAX_LEN``)."""
+    _validate(min_len, min_count, fanout)
+    if strategy not in ("auto", "direct", "doubling"):
+        raise ValueError(
+            f"duplicate_spans: unknown strategy {strategy!r}"
+        )
+    if strategy == "direct" or (
+        strategy == "auto" and min_len <= _DIRECT_MAX_LEN
+    ):
+        # DIRECT: one row per (position, raw window content), one
+        # exchange (the class window), zero joins, zero doubling
+        # rounds. Construction measured at sf0.1: per-position
+        # ``substr`` windows 3.4x faster than assembling each window
+        # from the split char array (slice+concat_ws pays an object
+        # array allocation per position). substr's start-offset is a
+        # code-point walk from the string head, so a single document
+        # costs O(n·L + n²/2) byte steps — fine through ~100 KB
+        # docs (the media-grain family's per-payload bound is the
+        # same class); corpora of mega-docs should run the token
+        # grain or force ``strategy="doubling"``, both linear.
+        #
+        # The class window partitions on (xxhash64(w), w) — the
+        # 8-byte hash LEADS the sort key so the sorter's binary
+        # prefix comparator resolves almost every comparison without
+        # touching the strings (overlapping text windows share long
+        # prefixes; measured ~12% on the pass). Exactness is
+        # untouched: w is still in the key, the hash only reorders
+        # classes.
+        n = F.length(F.col(text_col))
+        last = (n - (min_len - 1)).cast("int")
+        idx = F.when(
+            last >= 1, F.sequence(F.lit(1), last)
+        ).otherwise(F.array().cast("array<int>"))
+        marked = (
+            docs.select(
+                F.col(id_col).alias("doc"),
+                F.posexplode(
+                    F.transform(
+                        idx,
+                        lambda i: F.col(text_col).substr(
+                            i, F.lit(min_len)
+                        ),
+                    )
+                ).alias("p0", "w"),
+            )
+            .select(
+                "doc", (F.col("p0") + 1).cast("long").alias("pos"), "w"
+            )
+            .withColumn(
+                "_n",
+                F.count(F.lit(1)).over(
+                    Window.partitionBy(F.xxhash64("w"), F.col("w"))
+                ),
+            )
+            .filter(F.col("_n") >= min_count)
+            .select("doc", "pos")
+        )
+        return _spans_from_marked(marked, min_len, id_col)
     # one row per corpus character: (doc, pos 1-based, la, lb) where
     # (la, lb) is the equality-class label of the window starting at
     # pos, tagged la=-1 at the base (labels and positions share a
@@ -171,6 +268,7 @@ def duplicate_spans_tokens(
     tok_col: str = "tok_id",
     min_count: int = 2,
     fanout: int = 4,
+    strategy: str = "auto",
 ) -> DataFrame:
     """:func:`duplicate_spans` over a TOKEN stream — the module
     docstring's claim ("the operator is agnostic to what one position
@@ -183,7 +281,20 @@ def duplicate_spans_tokens(
 
     Token ids must fit the 21-bit symbol pack that makes the 3-symbol
     base label exact (true for any real vocabulary — 2M entries;
-    enforced per row with a raise, not silent aliasing)."""
+    enforced per row with a raise, not silent aliasing — the range
+    contract holds on EVERY strategy, direct included).
+
+    ``strategy`` as in :func:`duplicate_spans`: short windows
+    (``min_len <= _DIRECT_MAX_LEN // 8`` id-longs, i.e. the same
+    ~128 B content-key budget) group positions by the raw id
+    sequence in one exchange instead of running doubling rounds;
+    positions are the dense 1-based token grid (the module
+    contract both strategies rely on for window adjacency)."""
+    _validate(min_len, min_count, fanout)
+    if strategy not in ("auto", "direct", "doubling"):
+        raise ValueError(
+            f"duplicate_spans_tokens: unknown strategy {strategy!r}"
+        )
     lim = (1 << 21) - 1
     syms = tokens.select(
         F.col(id_col).alias("doc"),
@@ -199,6 +310,46 @@ def duplicate_spans_tokens(
         )
         .alias("u"),
     )
+    if strategy == "direct" or (
+        strategy == "auto" and min_len * 8 <= _DIRECT_MAX_LEN
+    ):
+        # DIRECT at token grain: assemble each document's id array
+        # once (one exchange, keyed doc), then mark positions by the
+        # raw length-``min_len`` id slice — content-exact, no
+        # doubling rounds (see _DIRECT_MAX_LEN; an id slice is 8 B
+        # per token, hence the /8 budget above).
+        us = F.col("_us")
+        last = F.size(us) - (min_len - 1)
+        marked = (
+            syms.groupBy("doc")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "u"))),
+                    lambda s: s["u"],
+                ).alias("_us"),
+                F.min("pos").alias("_p1"),
+            )
+            .select(
+                "doc", "_p1",
+                F.posexplode(
+                    F.transform(
+                        F.slice(us, 1, F.greatest(last, F.lit(0))),
+                        lambda _u, i: F.slice(us, i + 1, min_len),
+                    )
+                ).alias("p0", "w"),
+            )
+            .select(
+                "doc",
+                (F.col("p0") + F.col("_p1")).cast("long").alias("pos"),
+                "w",
+            )
+            .withColumn(
+                "_n", F.count(F.lit(1)).over(Window.partitionBy("w"))
+            )
+            .filter(F.col("_n") >= min_count)
+            .select("doc", "pos")
+        )
+        return _spans_from_marked(marked, min_len, id_col)
     return _spans_from_symbols(syms, min_len, min_count, id_col, fanout)
 
 
@@ -244,16 +395,7 @@ def _spans_from_symbols(
     window-lead shuffle (the char path: in-array ``transform`` +
     ``element_at`` — r12) passes ``base`` (doc, pos, la=-1, lb) and
     its ``base_width`` directly; ``symbols`` may then be None."""
-    if min_len < 2:
-        raise ValueError(f"duplicate_spans: min_len must be >= 2, got {min_len}")
-    if min_count < 2:
-        raise ValueError(
-            f"duplicate_spans: min_count must be >= 2, got {min_count}"
-        )
-    if fanout < 2:
-        raise ValueError(
-            f"duplicate_spans: fanout must be >= 2, got {fanout}"
-        )
+    _validate(min_len, min_count, fanout)
     if base is None:
         chars = symbols
         # strictly greater: at min_len == 3 the packed base would BE
@@ -286,32 +428,7 @@ def _spans_from_symbols(
                 F.col("u").alias("lb"),
             )
 
-    sc = base.sparkSession.sparkContext
-    jsc = sc._jsc.sc()
-    use_reliable = sc.getCheckpointDir() is not None
-
-    def _pids() -> set:
-        m = jsc.getPersistentRDDs()
-        it = m.keysIterator()
-        out = set()
-        while it.hasNext():
-            out.add(it.next())
-        return out
-
-    def _cut(df: DataFrame) -> tuple[DataFrame, set]:
-        """Materialize with TRUNCATED lineage; return (df, the block
-        ids this cut pinned) so a superseded round can be freed
-        deterministically (unpersist() is a no-op on checkpoint
-        blocks — they belong to the RDD, not the cache manager)."""
-        before = _pids()
-        cut = (df.checkpoint(eager=True) if use_reliable
-               else df.localCheckpoint(eager=True))
-        return cut, _pids() - before
-
-    def _free(ids: set) -> None:
-        for rid in ids:
-            jsc.unpersistRDD(rid, False)
-
+    _cut, _free = _cut_tools(base)
     t, t_ids = _cut(base)
     # widening rounds: each round combines ``fanout`` current-width
     # tiles (full tiles spaced exactly width apart, plus one
@@ -383,15 +500,56 @@ def _spans_from_symbols(
 
     # t now holds exactly the duplicated full-window start positions
     # at width min_len — no length re-check, no recount needed
-    marked = t.select("doc", "pos")
+    out = _spans_from_marked(t.select("doc", "pos"), min_len, id_col)
+    _free(t_ids)    # out is checkpoint-materialized: rounds can go
+    return out
 
-    # gaps-and-islands per document on COVERAGE: two duplicated window
-    # starts whose covered char ranges overlap or touch (start delta
-    # <= min_len) belong to one span, so the output is the union of
-    # duplicated-window coverage as maximal disjoint intervals — every
-    # char inside a span is covered by at least one duplicated window,
-    # and no two spans overlap (emitting raw per-start islands would
-    # overlap whenever starts sit 2..min_len apart)
+
+def _cut_tools(df: DataFrame):
+    """The checkpoint-cut machinery both strategies share: returns
+    ``(_cut, _free)`` where ``_cut`` materializes a DataFrame with
+    TRUNCATED lineage and returns (df, the block ids it pinned) so a
+    superseded round can be freed deterministically (unpersist() is a
+    no-op on checkpoint blocks — they belong to the RDD, not the
+    cache manager), and ``_free`` releases those blocks."""
+    sc = df.sparkSession.sparkContext
+    jsc = sc._jsc.sc()
+    use_reliable = sc.getCheckpointDir() is not None
+
+    def _pids() -> set:
+        m = jsc.getPersistentRDDs()
+        it = m.keysIterator()
+        out = set()
+        while it.hasNext():
+            out.add(it.next())
+        return out
+
+    def _cut(d: DataFrame) -> tuple[DataFrame, set]:
+        before = _pids()
+        cut = (d.checkpoint(eager=True) if use_reliable
+               else d.localCheckpoint(eager=True))
+        return cut, _pids() - before
+
+    def _free(ids: set) -> None:
+        for rid in ids:
+            jsc.unpersistRDD(rid, False)
+
+    return _cut, _free
+
+
+def _spans_from_marked(
+    marked: DataFrame, min_len: int, id_col: str
+) -> DataFrame:
+    """Duplicated-window start positions -> maximal disjoint spans,
+    checkpoint-materialized — the shared tail of every strategy.
+
+    Gaps-and-islands per document on COVERAGE: two duplicated window
+    starts whose covered char ranges overlap or touch (start delta
+    <= min_len) belong to one span, so the output is the union of
+    duplicated-window coverage as maximal disjoint intervals — every
+    char inside a span is covered by at least one duplicated window,
+    and no two spans overlap (emitting raw per-start islands would
+    overlap whenever starts sit 2..min_len apart)."""
     w = Window.partitionBy("doc").orderBy("pos")
     brk = F.when(
         F.col("pos") - F.lag("pos").over(w) > min_len, 1
@@ -410,8 +568,8 @@ def _spans_from_symbols(
             (F.col("span_end") - F.col("span_start") + 1).alias("span_len"),
         )
     )
-    out, _ = _cut(spans)    # self-contained: safe to free every round
-    _free(t_ids)
+    _cut, _ = _cut_tools(spans)
+    out, _ = _cut(spans)
     return out
 
 

@@ -2700,14 +2700,26 @@ def test_suffix_duplicate_spans_matches_brute_force(spark):
         (9, "more astral \U0001D11E\U0001D11F music \U0001D11E\U0001D11E x"),
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
-    for L in (2, 3, 4, 5, 10, 16):
-        got = sorted(tuple(r) for r in
-                     duplicate_spans(docs, min_len=L).collect())
-        assert got == _brute_duplicate_spans(rows, L), f"L={L}"
-    # min_count=3: the phrase shared by only two docs drops out
-    got3 = sorted(tuple(r) for r in
-                  duplicate_spans(docs, min_len=10, min_count=3).collect())
-    assert got3 == _brute_duplicate_spans(rows, 10, min_count=3)
+    # BOTH physical strategies (r12: "direct" single-pass content
+    # grouping vs prefix "doubling") must return the brute-force set —
+    # auto routes every small window to direct, so doubling needs the
+    # explicit pin or it loses all equivalence coverage
+    for strategy in ("direct", "doubling"):
+        for L in (2, 3, 4, 5, 10, 16):
+            got = sorted(
+                tuple(r) for r in duplicate_spans(
+                    docs, min_len=L, strategy=strategy
+                ).collect()
+            )
+            assert got == _brute_duplicate_spans(rows, L), \
+                f"L={L} strategy={strategy}"
+        # min_count=3: the phrase shared by only two docs drops out
+        got3 = sorted(
+            tuple(r) for r in duplicate_spans(
+                docs, min_len=10, min_count=3, strategy=strategy
+            ).collect()
+        )
+        assert got3 == _brute_duplicate_spans(rows, 10, min_count=3)
 
 
 def test_suffix_tile_fanout_equivalence(spark):
@@ -2751,10 +2763,15 @@ def test_suffix_tile_fanout_equivalence(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     for L in (8, 12, 40, 48):
         brute = _brute_duplicate_spans(rows, L)
+        # strategy="doubling" pins the path under test: auto would
+        # route these windows (all <= _DIRECT_MAX_LEN) to the r12
+        # direct plan, where fanout never applies
         f4 = sorted(tuple(r) for r in
-                    duplicate_spans(docs, min_len=L, fanout=4).collect())
+                    duplicate_spans(docs, min_len=L, fanout=4,
+                                    strategy="doubling").collect())
         f2 = sorted(tuple(r) for r in
-                    duplicate_spans(docs, min_len=L, fanout=2).collect())
+                    duplicate_spans(docs, min_len=L, fanout=2,
+                                    strategy="doubling").collect())
         assert f4 == brute, f"L={L} fanout=4"
         assert f2 == brute, f"L={L} fanout=2"
 
@@ -2827,6 +2844,14 @@ def test_suffix_duplicate_spans_contracts(spark):
         duplicate_spans(docs, min_len=1)
     with pytest.raises(ValueError, match="min_count"):
         duplicate_spans(docs, min_len=8, min_count=1)
+    # r12 strategy dispatch: the arg contract holds on EVERY path
+    # (the direct branch must reject exactly what doubling rejects)
+    with pytest.raises(ValueError, match="strategy"):
+        duplicate_spans(docs, min_len=8, strategy="nope")
+    with pytest.raises(ValueError, match="min_len"):
+        duplicate_spans(docs, min_len=1, strategy="direct")
+    with pytest.raises(ValueError, match="min_count"):
+        duplicate_spans(docs, min_len=8, min_count=0, strategy="direct")
 
 
 def test_priority_weighted_sample_properties(spark, sf_dir):
@@ -4602,6 +4627,16 @@ def test_duplicate_spans_tokens_grain(spark):
     }
     # "cc dd ee ff" sits at token positions 3-6 in both docs
     assert got == {(1, 3, 6, 4), (2, 3, 6, 4)}
+    # both physical strategies agree (auto picked direct above; the
+    # doubling path must return the identical span set)
+    for strategy in ("direct", "doubling"):
+        alt = {
+            (r.doc_id, r.span_start, r.span_end, r.span_len)
+            for r in duplicate_spans_tokens(
+                toks, min_len=4, strategy=strategy
+            ).collect()
+        }
+        assert alt == got, strategy
 
     bad = spark.createDataFrame(
         [(1, 1, 1 << 21), (1, 2, 3), (1, 3, 4), (1, 4, 5)],

@@ -96,3 +96,37 @@ def test_hilbert_prefix_scan_matches_walk_and_reference(spark):
     assert fast == slow
     for (x, y), k in fast.items():
         assert k == _xy2d_py(x, y), (x, y)
+
+def test_exact_ntile_matches_window_ntile(spark):
+    """_exact_ntile (r12: per-bucket parallel ranking, no global
+    single-partition window) must reproduce ntile(n) OVER (ORDER BY k)
+    exactly: same tile per row on a unique total order, across n that
+    divides N, n with a remainder, and n > N; the bucket coarsening
+    is deliberately lumpy (top bits → empty buckets, multi-key
+    buckets, one hot bucket)."""
+    from pyspark.sql import Window
+
+    from google_sheets_etl_spark.operators.layout import _exact_ntile
+
+    rng = random.Random(13)
+    keys = rng.sample(range(1 << 20), 700) + [0, (1 << 20) - 1]
+    # hot bucket: many keys sharing the same top bits
+    keys += [(7 << 10) + i for i in range(200) if (7 << 10) + i not in keys]
+    keys = sorted(set(keys))
+    df = spark.createDataFrame([(k,) for k in keys], "k long").repartition(8)
+    for n in (7, 16, 64, len(keys), len(keys) + 50):
+        got = {
+            r.k: r._tile
+            for r in _exact_ntile(
+                df, [F.col("k")], n,
+                bucket=F.shiftrightunsigned(F.col("k"), 10),
+            ).collect()
+        }
+        want = {
+            r.k: r.t
+            for r in df.select(
+                "k",
+                F.ntile(n).over(Window.orderBy("k")).alias("t"),
+            ).collect()
+        }
+        assert got == want, f"n={n}"
