@@ -466,7 +466,9 @@ def perplexity_bucket_sample(
     middle, drop the tail" gate (CCNet keeps head+middle; the exact
     rates are policy, exposed as ``rates``).
 
-    Determinism: the tercile is an NTILE over (bits, id) — bits are
+    Determinism: the tercile is an exact NTILE over (bits, id) —
+    computed as :func:`~.layout._exact_ntile` (per-bucket parallel
+    ranking, r12; engine-identical to the window form) — bits are
     the micro-unit-exact values of the certified scoring row, so the
     ordering is engine-identical, and ties break on the id; the
     per-bucket keep is the md5 gate of :func:`hash_split` (never
@@ -484,11 +486,29 @@ def perplexity_bucket_sample(
     if len(rates) != 3:
         raise ValueError("rates must be (head, middle, tail)")
     model = bigram_lm_fit(train, text_col=text_col)
-    scored = bigram_lm_score(docs, model, text_col=text_col, id_col=id_col)
-    tercile = F.ntile(3).over(
-        Window.orderBy(F.col("bits_per_bigram"), F.col(id_col))
-    )
-    bucketed = scored.withColumn("_t", tercile).withColumn(
+    # the scored table is (id, n_bigrams, bits) — doc-count rows, not
+    # corpus text; cut it once because the parallel ntile below reads
+    # it twice (ranking + bucket counts) and the scoring pipeline
+    # (bigram explode + two broadcast joins) must not run per consumer
+    scored = bigram_lm_score(
+        docs, model, text_col=text_col, id_col=id_col
+    ).localCheckpoint(eager=True)
+    # r12 optimization round: the tercile ran as ntile(3) OVER one
+    # GLOBAL window — every doc's score row through ONE task (guide
+    # §2.5); _exact_ntile ranks in parallel within order-consistent
+    # buckets instead. floor(bits*16) is a monotone coarsening of the
+    # leading sort key, and its cardinality is model-bounded: bits-
+    # per-bigram <= log2((max_c1 + kd*v)/kd), i.e. a few hundred
+    # sixteenth-bit buckets for any real LM, independent of doc count.
+    from .layout import _exact_ntile
+
+    bucketed = _exact_ntile(
+        scored,
+        [F.col("bits_per_bigram"), F.col(id_col)],
+        3,
+        bucket=F.floor(F.col("bits_per_bigram") * 16).cast("long"),
+        out_col="_t",
+    ).withColumn(
         "bucket",
         F.when(F.col("_t") == 1, F.lit("head"))
         .when(F.col("_t") == 2, F.lit("middle"))
