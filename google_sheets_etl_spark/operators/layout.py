@@ -365,47 +365,58 @@ def _exact_ntile(
     n: int,
     bucket: Column,
     out_col: str = "_tile",
+    part_cols: list[str] | None = None,
 ) -> DataFrame:
-    """EXACT ``ntile(n) OVER (ORDER BY order_by)`` without the
-    single-partition global window sort (r12 optimization round —
-    a global window funnels every row through ONE task, the guide
-    §2.5 straggler shape and a non-starter at 100 TB).
+    """EXACT ``ntile(n) OVER (PARTITION BY part_cols ORDER BY
+    order_by)`` without the single-partition global window sort (r12
+    optimization round — a global window funnels every row through
+    ONE task, the guide §2.5 straggler shape and a non-starter at
+    100 TB).
 
     ``bucket`` must be a DETERMINISTIC, order-consistent coarsening
     of the leading sort key (b(r1) <= b(r2) whenever r1 sorts before
-    r2; equal keys share a bucket) — e.g. the top bits of an integer
-    key. Rows are ranked within each bucket in parallel
-    (``row_number`` over a hash-partitioned window), bucket offsets
-    come from a bucket-count-sized cumulative sum broadcast back,
-    and the tile is the closed-form ntile assignment from the global
-    0-based index: with q = N div n, r = N mod n, the first r tiles
-    hold q+1 rows — all integral ``div`` arithmetic, engine-exact
-    (ties beyond ``order_by`` are interchangeable rows, same
-    contract as the window form)."""
+    r2 within one partition; equal keys share a bucket) — e.g. the
+    top bits of an integer key. Rows are ranked within each
+    (partition, bucket) group in parallel (``row_number`` over a
+    hash-partitioned window), group offsets come from a
+    group-count-sized cumulative sum broadcast back, and the tile is
+    the closed-form ntile assignment from the per-partition 0-based
+    index: with q = N div n, r = N mod n, the first r tiles hold q+1
+    rows — all integral ``div`` arithmetic, engine-exact (ties
+    beyond ``order_by`` are interchangeable rows, same contract as
+    the window form).
+
+    ``part_cols`` (default none = one global partition) lets several
+    independent ntiles share ONE ranking exchange — e.g.
+    :func:`curve_locality_stats` ranks both curves in one exploded
+    pass (same bytes, half the stage barriers) instead of one
+    exchange per curve."""
+    part_cols = list(part_cols or [])
     b = df.withColumn("_bkt", bucket)
-    wcum = Window.orderBy("_bkt").rowsBetween(
+    wcum = Window.partitionBy(*part_cols).orderBy("_bkt").rowsBetween(
         Window.unboundedPreceding, -1
     )
-    # bucket-count rows: the two tiny windows below run over at most
-    # one row per distinct bucket value, never over the data
+    # group-count rows: the two tiny windows below run over at most
+    # one row per distinct (partition, bucket) value, never the data
     offs = (
-        b.groupBy("_bkt")
+        b.groupBy(*part_cols, "_bkt")
         .agg(F.count(F.lit(1)).alias("_c"))
         .select(
+            *part_cols,
             "_bkt",
             F.coalesce(F.sum("_c").over(wcum), F.lit(0)).alias("_off"),
             F.sum("_c").over(
-                Window.rowsBetween(
+                Window.partitionBy(*part_cols).rowsBetween(
                     Window.unboundedPreceding, Window.unboundedFollowing
                 )
             ).alias("_N"),
         )
     )
     rn = F.row_number().over(
-        Window.partitionBy("_bkt").orderBy(*order_by)
+        Window.partitionBy(*part_cols, "_bkt").orderBy(*order_by)
     )
     return (
-        b.join(F.broadcast(offs), "_bkt")
+        b.join(F.broadcast(offs), part_cols + ["_bkt"])
         .withColumn("_idx", F.col("_off") + rn - 1)
         .withColumn("_q", F.expr(f"_N div {n}"))
         .withColumn("_r", F.col("_N") % n)
@@ -468,32 +479,47 @@ def curve_locality_stats(
         "_hk",
     ).select(cx, cy, "_zk", "_hk").localCheckpoint(eager=True)
 
-    def spans(key: str, curve: str) -> DataFrame:
-        # both curve keys are 32-bit; top 10 bits give <= 1024
-        # order-consistent buckets for the parallel ranking
-        stats = (
-            _exact_ntile(
-                both.select(cx, cy, key),
-                [F.col(key), F.col(cx), F.col(cy)],
-                n_files,
-                bucket=F.shiftrightunsigned(F.col(key), 22),
-            )
-            .groupBy("_tile")
-            .agg(
-                F.min(cx).alias("_mnx"),
-                F.max(cx).alias("_mxx"),
-                F.min(cy).alias("_mny"),
-                F.max(cy).alias("_mxy"),
-            )
+    # ONE ranking pass for BOTH curves (r12 pass 7): explode each key
+    # row into (curve, key) — same bytes as the two per-curve
+    # exchanges it replaces, half the stage barriers — and rank with
+    # the curve label leading every partition key (_exact_ntile's
+    # part_cols), so the two curves' ntiles stay independent inside
+    # the shared exchange.
+    exploded = both.select(
+        cx, cy,
+        F.explode(F.array(
+            F.struct(
+                F.lit("morton").alias("curve"), F.col("_zk").alias("_key")
+            ),
+            F.struct(
+                F.lit("hilbert").alias("curve"), F.col("_hk").alias("_key")
+            ),
+        )).alias("_e"),
+    ).select(cx, cy, F.col("_e.curve").alias("curve"),
+             F.col("_e._key").alias("_key"))
+    # both curve keys are 32-bit; top 10 bits give <= 1024
+    # order-consistent buckets per curve for the parallel ranking
+    tiles = (
+        _exact_ntile(
+            exploded,
+            [F.col("_key"), F.col(cx), F.col(cy)],
+            n_files,
+            bucket=F.shiftrightunsigned(F.col("_key"), 22),
+            part_cols=["curve"],
         )
-        sx = F.col("_mxx") - F.col("_mnx")
-        sy = F.col("_mxy") - F.col("_mny")
-        return stats.agg(
-            F.lit(curve).alias("curve"),
-            F.count(F.lit(1)).alias("n_files"),
-            F.sum(sx).cast("long").alias("sum_span_x"),
-            F.sum(sy).cast("long").alias("sum_span_y"),
-            F.sum((sx + 1) * (sy + 1)).cast("long").alias("sum_area"),
+        .groupBy("curve", "_tile")
+        .agg(
+            F.min(cx).alias("_mnx"),
+            F.max(cx).alias("_mxx"),
+            F.min(cy).alias("_mny"),
+            F.max(cy).alias("_mxy"),
         )
-
-    return spans("_zk", "morton").unionByName(spans("_hk", "hilbert"))
+    )
+    sx = F.col("_mxx") - F.col("_mnx")
+    sy = F.col("_mxy") - F.col("_mny")
+    return tiles.groupBy("curve").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum(sx).cast("long").alias("sum_span_x"),
+        F.sum(sy).cast("long").alias("sum_span_y"),
+        F.sum((sx + 1) * (sy + 1)).cast("long").alias("sum_area"),
+    )

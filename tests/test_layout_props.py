@@ -130,3 +130,40 @@ def test_exact_ntile_matches_window_ntile(spark):
             ).collect()
         }
         assert got == want, f"n={n}"
+
+
+def test_exact_ntile_part_cols_matches_partitioned_ntile(spark):
+    """_exact_ntile with part_cols (r12 pass 7: the fused
+    curve_locality ranking) must reproduce ntile(n) OVER (PARTITION BY
+    g ORDER BY k) exactly — per-partition offsets and per-partition N,
+    including unequal partition sizes and a partition smaller than
+    n."""
+    from pyspark.sql import Window
+
+    from google_sheets_etl_spark.operators.layout import _exact_ntile
+
+    rng = random.Random(29)
+    rows = []
+    for g, size in (("a", 513), ("b", 211), ("c", 9)):
+        ks = rng.sample(range(1 << 20), size)
+        rows += [(g, k) for k in ks]
+    df = spark.createDataFrame(rows, "g string, k long").repartition(8)
+    for n in (7, 16, 64):
+        got = {
+            (r.g, r.k): r._tile
+            for r in _exact_ntile(
+                df, [F.col("k")], n,
+                bucket=F.shiftrightunsigned(F.col("k"), 10),
+                part_cols=["g"],
+            ).collect()
+        }
+        want = {
+            (r.g, r.k): r.t
+            for r in df.select(
+                "g", "k",
+                F.ntile(n).over(
+                    Window.partitionBy("g").orderBy("k")
+                ).alias("t"),
+            ).collect()
+        }
+        assert got == want, f"n={n}"
