@@ -81,6 +81,42 @@ EXCLUDE = {"near_dup_jaccard_exact", "dedup_clusters_exact",
            "hnsw_index_build_lifecycle", "hnsw_index_search_stored"}
 
 
+def _calibration_probes() -> dict:
+    """Host-speed probes (round-11, the DRIFT_r10 lesson: shared rows
+    drifted +1-2 s across rounds with zero source change and loadavg
+    alone could not attribute it): three ~100-500 ms probes whose
+    cross-round RATIO normalizes query deltas for host speed before
+    any regression hunt. r13: runs at START and END of the bench
+    (probes used to run once, after the last query — a window that
+    degrades mid-run poisoned two rounds' artifacts with no way to
+    see it; bracketing attributes drift per-half)."""
+    out: dict = {}
+    try:
+        import hashlib as _hl
+        import time as _t
+
+        import numpy as _np
+
+        t0 = _t.monotonic()
+        _h = _hl.sha256()
+        for i in range(200000):
+            _h.update(str(i).encode() * 20)
+        out["calib_sha_ms"] = round((_t.monotonic() - t0) * 1000, 1)
+        t0 = _t.monotonic()
+        x = 0
+        for i in range(2_000_000):
+            x += i * i
+        out["calib_pyloop_ms"] = round((_t.monotonic() - t0) * 1000, 1)
+        _a = _np.arange(1_000_000, dtype=_np.float64).reshape(1000, 1000)
+        t0 = _t.monotonic()
+        for _ in range(4):
+            _a @ _a
+        out["calib_matmul_ms"] = round((_t.monotonic() - t0) * 1000, 1)
+    except Exception:
+        pass
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -90,6 +126,7 @@ def main() -> None:
         sf = -1.0  # cosmetic dir-name oddity must not abort the bench
     spark = get_spark("sheets-etl-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    calib_start = _calibration_probes()
 
     # untimed warm-up: spin the JVM codegen paths and the Python worker
     # fleet once, so per-query numbers measure steady-state compute,
@@ -174,34 +211,22 @@ def main() -> None:
                     break
     except OSError:
         pass
-    # host-speed calibration (round-11, the DRIFT_r10 lesson: shared
-    # rows drifted +1-2 s across rounds with zero source change and
-    # loadavg alone could not attribute it): three ~100-500 ms probes
-    # whose cross-round RATIO normalizes query deltas for host speed
-    # before any regression hunt
+    # r13 (verdict directive #2): the artifact must be SELF-DESCRIBING
+    # about which core count actually executed — env["cpus"] is the
+    # HOST's os.cpu_count() (provenance), which made the driver's
+    # 8-core scaling artifact read "cpus: 32". Record the real master
+    # and the session's task-slot count alongside it.
     try:
-        import hashlib as _hl
-        import time as _t
-
-        import numpy as _np
-
-        t0 = _t.monotonic()
-        _h = _hl.sha256()
-        for i in range(200000):
-            _h.update(str(i).encode() * 20)
-        env["calib_sha_ms"] = round((_t.monotonic() - t0) * 1000, 1)
-        t0 = _t.monotonic()
-        x = 0
-        for i in range(2_000_000):
-            x += i * i
-        env["calib_pyloop_ms"] = round((_t.monotonic() - t0) * 1000, 1)
-        _a = _np.arange(1_000_000, dtype=_np.float64).reshape(1000, 1000)
-        t0 = _t.monotonic()
-        for _ in range(4):
-            _a @ _a
-        env["calib_matmul_ms"] = round((_t.monotonic() - t0) * 1000, 1)
+        env["master"] = spark.sparkContext.master
+        env["cpus_spark"] = spark.sparkContext.defaultParallelism
     except Exception:
         pass
+    # host-speed calibration: END-of-run probes keep their r11 keys
+    # (cross-round comparability); the START-of-run values (r13,
+    # bracketing) land under *_start so window drift is attributable
+    # per-half instead of poisoning the whole artifact silently.
+    env.update(_calibration_probes())
+    env.update({k + "_start": v for k, v in calib_start.items()})
     detail = {
         "metric": "headline_queries_total_wall",
         "value": total,

@@ -223,9 +223,19 @@ def pca_components(
     Returns ``(components, eigenvalues)``: numpy arrays of shape
     (n_components, d) and (n_components,), eigenvalues descending =
     per-component second moment (variance for centered inputs)."""
+    rows = embedding_gram_u6(vectors, vec_col).collect()
+    return _pca_from_gram(rows, n_components)
+
+
+def _pca_from_gram(rows, n_components: int):
+    """The driver-side eigendecomposition half of
+    :func:`pca_components`, split out so a caller that already holds
+    the collected gram rows (e.g. :func:`opq_rotation_components`,
+    which needs the dimensionality BEFORE choosing n_components) does
+    not pay a second corpus aggregation — one gram pass serves both
+    the d-probe and the basis (r13)."""
     import numpy as np
 
-    rows = embedding_gram_u6(vectors, vec_col).collect()
     n = rows[0]["n_rows"] if rows else 0
     if n == 0:
         raise ValueError("pca_components needs a non-empty corpus")
@@ -274,15 +284,19 @@ def opq_rotation_components(
     up to eigenvalue degeneracy."""
     import numpy as np
 
-    head = vectors.select(vec_col).head()
-    if head is None:
+    # ONE corpus aggregation: the gram rows carry the dimensionality
+    # (max coordinate index + 1), so the former head() probe — a whole
+    # extra driver job just to learn d — is free here (r13, guide §5:
+    # the driver should trigger as few jobs as the algorithm needs)
+    rows = embedding_gram_u6(vectors, vec_col).collect()
+    if not rows:
         raise ValueError("opq_rotation_components needs a non-empty corpus")
-    d = len(head[0])
+    d = max(r["j"] for r in rows) + 1
     if d % n_subspaces:
         raise ValueError(
             f"n_subspaces={n_subspaces} must divide dim={d}"
         )
-    comps, _evals = pca_components(vectors, d, vec_col)
+    comps, _evals = _pca_from_gram(rows, d)
     perm = np.argsort(np.arange(d) % n_subspaces, kind="stable")
     return comps[perm]
 
@@ -852,6 +866,7 @@ def cosine_topk_nsw(
     seed: int = 42,
     include_stats: bool = False,
     max_cell_nodes: int = 16384,
+    centroids=None,
 ) -> DataFrame:
     """GRAPH-family ANN (round-7 verdict "missing #3"): partitioned
     navigable-small-world search — IVF coarse cells bound the working
@@ -902,14 +917,21 @@ def cosine_topk_nsw(
     nodes plus every neighbor whose cosine the improving test had to
     consult (the honest distance-computation count; the reached set
     alone understates cost by ~m×) — and ``cell_n``, with no global
-    top-k trim applied."""
+    top-k trim applied.
+
+    ``centroids`` lets a caller running several NSW-family pipelines
+    over the SAME corpus sample the coarse quantizer once and share
+    (the pq ``codebooks`` pattern, r13): pass exactly what
+    ``_seeded_centroid_matrix(candidates, n_cells, ...)`` returns —
+    the md5-seeded order is n-prefix-stable, so ``cents[:1]`` of an
+    n=4 sample IS the n=1 sample."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import (
         DoubleType, LongType, StructField, StructType,
     )
 
-    cents = _seeded_centroid_matrix(
+    cents = centroids if centroids is not None else _seeded_centroid_matrix(
         candidates, n_cells, id_col, vec_col, seed
     )
     c = _probe_assign(
@@ -1045,6 +1067,7 @@ def cosine_topk_nsw_beam(
     seed: int = 42,
     include_stats: bool = False,
     max_cell_nodes: int = 16384,
+    centroids=None,
 ) -> DataFrame:
     """TRUE best-first beam search over the SAME deterministic NSW
     graph :func:`cosine_topk_nsw` builds (round-8 verdict missing #4)
@@ -1082,7 +1105,9 @@ def cosine_topk_nsw_beam(
     if ef < k:
         raise ValueError(f"cosine_topk_nsw_beam: ef ({ef}) must be >= k ({k})")
 
-    cents = _seeded_centroid_matrix(
+    # ``centroids``: caller-shared coarse-quantizer sample (see
+    # cosine_topk_nsw — the pq ``codebooks`` sharing pattern, r13)
+    cents = centroids if centroids is not None else _seeded_centroid_matrix(
         candidates, n_cells, id_col, vec_col, seed
     )
     c = _probe_assign(
@@ -1323,6 +1348,7 @@ def cosine_topk_hnsw(
     seed: int = 42,
     include_stats: bool = False,
     max_cell_nodes: int = 16384,
+    centroids=None,
 ) -> DataFrame:
     """HIERARCHICAL NSW (Malkov & Yashunin 2018) — the multi-layer
     upgrade of :func:`cosine_topk_nsw_beam`: instead of entering the
@@ -1362,7 +1388,9 @@ def cosine_topk_hnsw(
     if ef < k:
         raise ValueError(f"cosine_topk_hnsw: ef ({ef}) must be >= k ({k})")
 
-    cents = _seeded_centroid_matrix(
+    # ``centroids``: caller-shared coarse-quantizer sample (see
+    # cosine_topk_nsw — the pq ``codebooks`` sharing pattern, r13)
+    cents = centroids if centroids is not None else _seeded_centroid_matrix(
         candidates, n_cells, id_col, vec_col, seed
     )
     c = _probe_assign(

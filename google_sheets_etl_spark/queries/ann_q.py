@@ -5,6 +5,31 @@ and _core for shared helpers)."""
 from ._core import *  # noqa: F401,F403 — shared registry/helpers
 from .reference_ops import _events_stream_adaptive  # noqa: E501
 
+
+def _variant_pool_size(n_variants: int, spark: SparkSession) -> int:
+    """Driver-thread overlap width for independent variant jobs
+    (guide §2.6: "2-3 jobs in flight is plenty: enough to fill the
+    tail, not so many that they fight for executors").
+
+    r12 evidence for the backoff: the recall-harness overlap measured
+    well in quiet windows and in the driver's loaded 32-core window,
+    but the 8-core scaling window stretched nsw_beam_recall_at_k to
+    17.5 s — concurrent corpus scans on a small session fight for
+    cores instead of back-filling the tail. So: full-but-capped
+    overlap on a big session, 2 jobs on a small one, sequential when
+    the HOST is already saturated (other tenants' load is exactly
+    what the in-flight jobs would compete with)."""
+    import os as _os
+
+    cores = spark.sparkContext.defaultParallelism
+    try:
+        host_cpus = _os.cpu_count() or cores
+        if _os.getloadavg()[0] >= 0.75 * host_cpus:
+            return 1
+    except OSError:
+        pass
+    return min(n_variants, 3 if cores >= 16 else 2)
+
 _PQ_COMMON = """
 WITH ed AS (
   -- upcast BEFORE any arithmetic: the stored element type is float32
@@ -942,60 +967,92 @@ def opq_recall_at_k(spark: SparkSession, sf: str) -> DataFrame:
     emb = t(spark, sf, "embeddings")
     q_ = emb.filter(F.col("vec_id") < 10)
     c = emb.filter(F.col("vec_id") >= 10)
-    exact = (
-        similarity.cosine_topk_bruteforce(q_, c, k=5)
-        .select("query_id", "neighbor_id")
-        .localCheckpoint(eager=True)
-    )
-    # cut the rotated corpus ONCE (r12): the rotation is an Arrow
-    # projection consumed by the codebook seeding, the ADC branch and
-    # the rerank branch — un-cut it re-ran per consumer inside the
-    # one result job. The cut table is (vec_id, d floats) per row.
-    rot = similarity.pca_project(
-        emb, similarity.opq_rotation_components(emb, 8)
-    ).select("vec_id", F.col("proj").alias("embedding")).localCheckpoint(
-        eager=True
-    )
+
+    # r13 restructure (this row was r12's worst driver regression —
+    # 18.5 s against a 4.8 s builder window; the gap is SEQUENTIAL
+    # DRIVER JOBS, each paying the loaded host's scheduling latency):
+    # the three declaration-time chains are independent —
+    #   A: exact ground truth (brute force, 50 rows, checkpoint)
+    #   B: gram -> rotation -> rotated-corpus checkpoint -> rotated
+    #      codebook seed (each step needs the last)
+    #   C: unrotated codebook seed (the sample pq_topk_adc would have
+    #      collected internally at declaration — hoisted so it can
+    #      overlap instead of serializing inside the result job)
+    # so they run on driver threads (guide §2.6); the former head()
+    # dimensionality probe inside opq_rotation_components is gone
+    # (derived from the gram rows — one fewer job on chain B's
+    # critical path).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _mk_exact():
+        e = (
+            similarity.cosine_topk_bruteforce(q_, c, k=5)
+            .select("query_id", "neighbor_id")
+            .localCheckpoint(eager=True)
+        )
+        return e, e.count()
+
+    def _mk_rot():
+        # cut the rotated corpus ONCE (r12): the rotation is an Arrow
+        # projection consumed by the codebook seeding, the ADC branch
+        # and the rerank branch — un-cut it re-ran per consumer. The
+        # cut table is (vec_id, d floats) per row. Seed ONCE per
+        # corpus and share: adc_rotated and rerank_rotated both seed
+        # from the rotated corpus with identical args (r12).
+        r = similarity.pca_project(
+            emb, similarity.opq_rotation_components(emb, 8)
+        ).select(
+            "vec_id", F.col("proj").alias("embedding")
+        ).localCheckpoint(eager=True)
+        cb = similarity._pq_codebooks(r.filter(F.col("vec_id") >= 10),
+                                      8, 128, "vec_id", "embedding", 42)
+        return r, cb
+
+    def _mk_seed():
+        return similarity._pq_codebooks(
+            c, 8, 128, "vec_id", "embedding", 42
+        )
+
+    with ThreadPoolExecutor(
+        max_workers=_variant_pool_size(3, spark)
+    ) as pool:
+        f_exact = pool.submit(_mk_exact)
+        f_rot = pool.submit(_mk_rot)
+        f_seed = pool.submit(_mk_seed)
+        exact, n_exact = f_exact.result()
+        rot, cb_rot = f_rot.result()
+        cb_seed = f_seed.result()
     qr = rot.filter(F.col("vec_id") < 10)
     cr = rot.filter(F.col("vec_id") >= 10)
 
-    def row(variant: str, approx: DataFrame) -> DataFrame:
-        joined = exact.join(
-            approx.select(
-                "query_id", "neighbor_id", F.lit(1).alias("_hit")
-            ),
+    # per-variant recall rows on overlapped driver threads (the sq8 /
+    # nsw_recall shape): recall = hits/n_exact is exactly the old
+    # left-join sum/count aggregate — approx pairs are unique, so the
+    # join preserved the n_exact row count and summed the same hits.
+    def row(variant: str, approx: DataFrame) -> tuple:
+        hits = exact.join(
+            approx.select("query_id", "neighbor_id"),
             ["query_id", "neighbor_id"],
-            "left",
-        )
-        return joined.agg(
-            F.lit(variant).alias("variant"),
-            F.lit(5).cast("int").alias("k"),
-            (
-                F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
-                / F.count(F.lit(1))
-            ).alias("recall"),
-        )
+            "left_semi",
+        ).count()
+        return (variant, 5, (hits / n_exact) if n_exact else None)
 
-    # seed ONCE per corpus and share: adc_rotated and rerank_rotated
-    # both seed from the rotated corpus with identical args (r12 —
-    # the pq_recall_at_k sharing, on the seeded path)
-    cb_rot = similarity._pq_codebooks(
-        cr, 8, 128, "vec_id", "embedding", 42
-    )
-    return (
-        row("adc_seeded", similarity.pq_topk_adc(q_, c, k=5))
-        .unionByName(
-            row("adc_rotated",
-                similarity.pq_topk_adc(qr, cr, k=5, codebooks=cb_rot))
-        )
-        .unionByName(
-            row(
-                "rerank_rotated",
-                similarity.pq_topk_rerank(
-                    qr, cr, k=5, shortlist=100, codebooks=cb_rot
-                ),
-            )
-        )
+    variants = [
+        ("adc_seeded",
+         lambda: similarity.pq_topk_adc(q_, c, k=5, codebooks=cb_seed)),
+        ("adc_rotated",
+         lambda: similarity.pq_topk_adc(qr, cr, k=5, codebooks=cb_rot)),
+        ("rerank_rotated",
+         lambda: similarity.pq_topk_rerank(
+             qr, cr, k=5, shortlist=100, codebooks=cb_rot
+         )),
+    ]
+    with ThreadPoolExecutor(
+        max_workers=_variant_pool_size(len(variants), spark)
+    ) as pool:
+        rows = list(pool.map(lambda nv: row(nv[0], nv[1]()), variants))
+    return spark.createDataFrame(
+        rows, "variant string, k int, recall double",
     )
 
 
@@ -1050,10 +1107,13 @@ def sq8_recall_at_k(spark: SparkSession, sf: str) -> DataFrame:
          )),
     ]
     # independent variant pipelines: overlap their construction-time
-    # actions and counts (guide §2.6); rows assembled in fixed order
+    # actions and counts (guide §2.6); rows assembled in fixed order.
+    # Width is load-aware (r13, _variant_pool_size).
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=len(variants)) as pool:
+    with ThreadPoolExecutor(
+        max_workers=_variant_pool_size(len(variants), spark)
+    ) as pool:
         rows = list(pool.map(
             lambda nv: row(nv[0], nv[1]()), variants
         ))
@@ -1454,49 +1514,62 @@ def nsw_recall_at_k(spark: SparkSession, sf: str) -> DataFrame:
     emb = t(spark, sf, "embeddings")
     q_ = emb.filter(F.col("vec_id") < 10)
     c_ = emb.filter(F.col("vec_id") >= 10)
-    exact = similarity.cosine_topk_bruteforce(q_, c_, k=5).select(
-        "query_id", "neighbor_id"
+    # r13 (the r12 sibling restructure this row never got — it was
+    # the worst robust regression of that round): ONE ground-truth
+    # computation shared by every variant (50 rows, localCheckpoint;
+    # un-cut, the brute-force subtree was referenced 3x in the final
+    # union and re-ran per branch), ONE md5-seeded centroid sample
+    # shared by all three cell configs (the sample order is
+    # n-prefix-stable, so cents4[:1] IS the n_cells=1 sample — two
+    # corpus sort+collect jobs saved), and per-variant recall counts
+    # on overlapped driver threads (guide §2.6, width via
+    # _variant_pool_size). recall = hits/n_exact is EXACTLY the old
+    # left-join sum/count aggregate: approx pairs are unique, so the
+    # left join preserved the n_exact row count and summed the same
+    # hit set; same IEEE division of the same ints.
+    exact = (
+        similarity.cosine_topk_bruteforce(q_, c_, k=5)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+    n_exact = exact.count()
+    cents4 = similarity._seeded_centroid_matrix(
+        c_, 4, "vec_id", "embedding", 42
     )
 
-    def row(variant: str, approx: DataFrame) -> DataFrame:
-        joined = exact.join(
-            approx.select(
-                "query_id", "neighbor_id", F.lit(1).alias("_hit")
-            ),
+    def row(variant: str, approx: DataFrame) -> tuple:
+        hits = exact.join(
+            approx.select("query_id", "neighbor_id"),
             ["query_id", "neighbor_id"],
-            "left",
-        )
-        return joined.agg(
-            F.lit(variant).alias("variant"),
-            F.lit(5).cast("int").alias("k"),
-            (
-                F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
-                / F.count(F.lit(1))
-            ).alias("recall"),
-        )
+            "left_semi",
+        ).count()
+        return (variant, 5, (hits / n_exact) if n_exact else None)
 
-    return (
-        row(
-            "graph_probe_all",
-            similarity.cosine_topk_nsw(
-                q_, c_, k=5, n_cells=1, n_probe=1,
-                m_neighbors=6, n_entries=2,
-            ),
-        )
-        .unionByName(row(
-            "graph_sparse",
-            similarity.cosine_topk_nsw(
-                q_, c_, k=5, n_cells=1, n_probe=1,
-                m_neighbors=4, n_entries=1,
-            ),
-        ))
-        .unionByName(row(
-            "cells_probe_2of4",
-            similarity.cosine_topk_nsw(
-                q_, c_, k=5, n_cells=4, n_probe=2,
-                m_neighbors=6, n_entries=2,
-            ),
-        ))
+    variants = [
+        ("graph_probe_all",
+         lambda: similarity.cosine_topk_nsw(
+             q_, c_, k=5, n_cells=1, n_probe=1,
+             m_neighbors=6, n_entries=2, centroids=cents4[:1],
+         )),
+        ("graph_sparse",
+         lambda: similarity.cosine_topk_nsw(
+             q_, c_, k=5, n_cells=1, n_probe=1,
+             m_neighbors=4, n_entries=1, centroids=cents4[:1],
+         )),
+        ("cells_probe_2of4",
+         lambda: similarity.cosine_topk_nsw(
+             q_, c_, k=5, n_cells=4, n_probe=2,
+             m_neighbors=6, n_entries=2, centroids=cents4,
+         )),
+    ]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(
+        max_workers=_variant_pool_size(len(variants), spark)
+    ) as pool:
+        rows = list(pool.map(lambda nv: row(nv[0], nv[1]()), variants))
+    return spark.createDataFrame(
+        rows, "variant string, k int, recall double",
     )
 
 
@@ -1536,27 +1609,50 @@ def nsw_beam_recall_at_k(spark: SparkSession, sf: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     n_q = 10  # fixed query set (vec_id < 10)
+    # ONE md5-seeded centroid sample shared by every variant (r13 —
+    # each cosine_topk_nsw_beam call otherwise re-ran the corpus
+    # sort+collect at declaration; all four variants are n_cells=1,
+    # seed 42, so the samples were identical by construction)
+    cents1 = similarity._seeded_centroid_matrix(
+        c_, 1, "vec_id", "embedding", 42
+    )
 
     def row(variant: str, stats: DataFrame) -> tuple:
-        # persist: the hits count and the visited-fraction aggregate
-        # are two actions over the SAME beam search — without the
-        # cache the whole graph build + walk ran twice per variant
-        stats = stats.persist()
-        try:
-            hits = exact.join(
-                stats.select("query_id", "neighbor_id"),
+        # hits AND visited-fraction in ONE aggregation job (r13): the
+        # r12 shape persisted stats and ran two actions (semi-join
+        # count + grouped collect) — each action is a driver round
+        # trip, and under the driver's loaded windows the fixed
+        # per-job overhead dominated this row. The left join keeps
+        # every stats row (n_visited/cell_n constant per query), so
+        # both numbers fall out of one grouped pass: per query,
+        # sum(_hit) counts its exact-pair matches (stats pairs are
+        # unique — each neighbor lives in exactly one cell) and the
+        # first() ratio is its visited fraction; the outer aggregate
+        # sums/averages. Identical values, half the jobs, no persist.
+        r = (
+            stats.select("query_id", "neighbor_id",
+                         "n_visited", "cell_n")
+            .join(
+                exact.withColumn("_hit", F.lit(1)),
                 ["query_id", "neighbor_id"],
-                "left_semi",
-            ).count()
-            vf = stats.groupBy("query_id").agg(
-                (F.first("n_visited") / F.first("cell_n")).alias("_vf")
-            ).agg(F.avg("_vf").alias("_avg")).collect()[0]["_avg"]
-        finally:
-            stats.unpersist()
-        return (variant, 5, hits / (5 * n_q), round(vf, 4))
+                "left",
+            )
+            .groupBy("query_id")
+            .agg(
+                F.sum("_hit").alias("_h"),
+                (F.first("n_visited") / F.first("cell_n")).alias("_vf"),
+            )
+            .agg(
+                F.sum("_h").alias("_hits"),
+                F.avg("_vf").alias("_avg"),
+            )
+            .collect()[0]
+        )
+        hits = int(r["_hits"] or 0)
+        return (variant, 5, hits / (5 * n_q), round(r["_avg"], 4))
 
     common = dict(k=5, n_cells=1, n_probe=1, m_neighbors=6,
-                  n_entries=2, include_stats=True)
+                  n_entries=2, include_stats=True, centroids=cents1)
     variants = [
         ("beam_ef16",
          lambda: similarity.cosine_topk_nsw_beam(q_, c_, ef=16, **common)),
@@ -1567,17 +1663,21 @@ def nsw_beam_recall_at_k(spark: SparkSession, sf: str) -> DataFrame:
         ("reach_scored",
          lambda: similarity.cosine_topk_nsw(
              q_, c_, k=5, n_cells=1, n_probe=1, m_neighbors=6,
-             n_entries=2, include_stats=True,
+             n_entries=2, include_stats=True, centroids=cents1,
          )),
     ]
     # independent single-cell walks: overlap them (guide §2.6 —
     # actions are only sequential because the driver calls them
     # sequentially; each variant is one long single-task kernel at
     # n_cells=1, so concurrency is pure wall-clock back-fill).
+    # Width is load-aware (r13, _variant_pool_size — the r12 full
+    # fan-out stretched the tail on small/loaded sessions).
     # Deterministic: rows assembled in the fixed variants order.
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=len(variants)) as pool:
+    with ThreadPoolExecutor(
+        max_workers=_variant_pool_size(len(variants), spark)
+    ) as pool:
         rows = list(pool.map(
             lambda nv: row(nv[0], nv[1]()), variants
         ))
@@ -1629,24 +1729,39 @@ def hnsw_recall_at_k(spark: SparkSession, sf: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     n_q = 10
+    # shared centroid sample + fused hits/visited aggregation + load-
+    # aware overlap width — the r13 restructure; see
+    # nsw_beam_recall_at_k's row() comments for the equivalence
+    # argument (one grouped pass computes both numbers)
+    cents1 = similarity._seeded_centroid_matrix(
+        c_, 1, "vec_id", "embedding", 42
+    )
 
     def row(variant: str, stats: DataFrame) -> tuple:
-        stats = stats.persist()
-        try:
-            hits = exact.join(
-                stats.select("query_id", "neighbor_id"),
+        r = (
+            stats.select("query_id", "neighbor_id",
+                         "n_visited", "cell_n")
+            .join(
+                exact.withColumn("_hit", F.lit(1)),
                 ["query_id", "neighbor_id"],
-                "left_semi",
-            ).count()
-            vf = stats.groupBy("query_id").agg(
-                (F.first("n_visited") / F.first("cell_n")).alias("_vf")
-            ).agg(F.avg("_vf").alias("_avg")).collect()[0]["_avg"]
-        finally:
-            stats.unpersist()
-        return (variant, 5, hits / (5 * n_q), round(vf, 4))
+                "left",
+            )
+            .groupBy("query_id")
+            .agg(
+                F.sum("_hit").alias("_h"),
+                (F.first("n_visited") / F.first("cell_n")).alias("_vf"),
+            )
+            .agg(
+                F.sum("_h").alias("_hits"),
+                F.avg("_vf").alias("_avg"),
+            )
+            .collect()[0]
+        )
+        hits = int(r["_hits"] or 0)
+        return (variant, 5, hits / (5 * n_q), round(r["_avg"], 4))
 
     common = dict(k=5, n_cells=1, n_probe=1, m_neighbors=6,
-                  include_stats=True)
+                  include_stats=True, centroids=cents1)
     variants = [
         ("hnsw_ef16",
          lambda: similarity.cosine_topk_hnsw(q_, c_, ef=16, **common)),
@@ -1657,12 +1772,14 @@ def hnsw_recall_at_k(spark: SparkSession, sf: str) -> DataFrame:
         ("beam_ef32",
          lambda: similarity.cosine_topk_nsw_beam(
              q_, c_, k=5, n_cells=1, n_probe=1, m_neighbors=6,
-             n_entries=2, ef=32, include_stats=True,
+             n_entries=2, ef=32, include_stats=True, centroids=cents1,
          )),
     ]
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=len(variants)) as pool:
+    with ThreadPoolExecutor(
+        max_workers=_variant_pool_size(len(variants), spark)
+    ) as pool:
         rows = list(pool.map(
             lambda nv: row(nv[0], nv[1]()), variants
         ))

@@ -27,7 +27,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "plans", "r12",
+        "plans", os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r13"),
     )
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
