@@ -68,19 +68,26 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # Strategy dispatch (r12 optimization round): for windows this short,
-# grouping positions by the RAW window content in ONE exchange beats
-# prefix doubling outright — round 1 of the doubling alone shuffles
-# ~4 sorted 24 B/position copies plus a ~64 B/position class-window
-# pass (~170 B/position before the later rounds and their checkpoint
-# barriers), while the direct pass shuffles one (doc, pos, window)
-# row of ~min_len+16 B/position and needs NO self-joins and NO
-# checkpoint rounds (guide §2.3 "shuffle fewer bytes" + §2.4 "remove
-# shuffles outright"). Equality of the marked set is by construction:
-# two positions share a width-L equality class iff their L-windows
-# are byte-equal — exactly the direct groupBy key, no hashing
-# anywhere. Doubling stays the path for LARGE windows, where
-# per-round label state (~24 B) undercuts shipping window content
-# and the working set shrinks round over round.
+# grouping positions by the RAW window content beats prefix doubling
+# outright — round 1 of the doubling alone shuffles ~4 sorted
+# 24 B/position copies plus a ~64 B/position class-window pass
+# (~170 B/position before the later rounds and their checkpoint
+# barriers), while the direct pass partial-aggregates window counts
+# map-side (a hot class collapses to one partial row per task — the
+# r13 de-skew; the r12 count-window shape funneled every occurrence
+# of one duplicated window through ONE task) and broadcasts the
+# duplicated set back onto the (doc, pos, window) stream — the
+# corpus-position stream never shuffles and never sorts; NO
+# self-joins and NO doubling rounds (guide §2.3 "shuffle fewer
+# bytes" + §2.4 "remove shuffles outright" + §2.5 skew; the
+# two-phase hash-prefilter/content-verdict split is _direct_spans'
+# docstring). Equality of the marked set is by construction: two
+# positions share a width-L equality class iff their L-windows are
+# byte-equal — the full content decides the FINAL verdict (the
+# xxhash64 level only pre-filters, and can only admit, never drop).
+# Doubling stays the path for LARGE windows, where per-round label
+# state (~24 B) undercuts shipping window content and the working
+# set shrinks round over round.
 _DIRECT_MAX_LEN = 128
 
 
@@ -143,55 +150,37 @@ def duplicate_spans(
     if strategy == "direct" or (
         strategy == "auto" and min_len <= _DIRECT_MAX_LEN
     ):
-        # DIRECT: one row per (position, raw window content), one
-        # exchange (the class window), zero joins, zero doubling
-        # rounds. Construction measured at sf0.1: per-position
-        # ``substr`` windows 3.4x faster than assembling each window
-        # from the split char array (slice+concat_ws pays an object
-        # array allocation per position). substr's start-offset is a
-        # code-point walk from the string head, so a single document
-        # costs O(n·L + n²/2) byte steps — fine through ~100 KB
-        # docs (the media-grain family's per-payload bound is the
-        # same class); corpora of mega-docs should run the token
-        # grain or force ``strategy="doubling"``, both linear.
+        # DIRECT: one row per (position, raw window content), zero
+        # doubling rounds. Construction measured at sf0.1:
+        # per-position ``substr`` windows 3.4x faster than assembling
+        # each window from the split char array (slice+concat_ws pays
+        # an object array allocation per position). substr's
+        # start-offset is a code-point walk from the string head, so
+        # a single document costs O(n·L + n²/2) byte steps — fine
+        # through ~100 KB docs (the media-grain family's per-payload
+        # bound is the same class); corpora of mega-docs should run
+        # the token grain or force ``strategy="doubling"``, both
+        # linear.
         #
-        # The class window partitions on (xxhash64(w), w) — the
-        # 8-byte hash LEADS the sort key so the sorter's binary
-        # prefix comparator resolves almost every comparison without
-        # touching the strings (overlapping text windows share long
-        # prefixes; measured ~12% on the pass). Exactness is
-        # untouched: w is still in the key, the hash only reorders
-        # classes.
+        # Occurrence counting de-skewed (r13, guide §2.5): see
+        # _direct_spans — the r12 count window over (xxhash64(w),
+        # w) funneled every occurrence of one duplicated window
+        # through ONE task with no partial reduction.
         n = F.length(F.col(text_col))
         last = (n - (min_len - 1)).cast("int")
         idx = F.when(
             last >= 1, F.sequence(F.lit(1), last)
         ).otherwise(F.array().cast("array<int>"))
-        marked = (
-            docs.select(
-                F.col(id_col).alias("doc"),
-                F.posexplode(
-                    F.transform(
-                        idx,
-                        lambda i: F.col(text_col).substr(
-                            i, F.lit(min_len)
-                        ),
-                    )
-                ).alias("p0", "w"),
-            )
-            .select(
-                "doc", (F.col("p0") + 1).cast("long").alias("pos"), "w"
-            )
-            .withColumn(
-                "_n",
-                F.count(F.lit(1)).over(
-                    Window.partitionBy(F.xxhash64("w"), F.col("w"))
-                ),
-            )
-            .filter(F.col("_n") >= min_count)
-            .select("doc", "pos")
+        win = F.transform(
+            idx, lambda i: F.col(text_col).substr(i, F.lit(min_len))
         )
-        return _spans_from_marked(marked, min_len, id_col)
+        rows = docs.select(
+            F.col(id_col).alias("doc"),
+            F.posexplode(win).alias("p0", "w"),
+        ).select(
+            "doc", (F.col("p0") + 1).cast("long").alias("pos"), "w"
+        )
+        return _direct_spans(rows, min_len, min_count, id_col)
     # one row per corpus character: (doc, pos 1-based, la, lb) where
     # (la, lb) is the equality-class label of the window starting at
     # pos, tagged la=-1 at the base (labels and positions share a
@@ -318,9 +307,14 @@ def duplicate_spans_tokens(
         # raw length-``min_len`` id slice — content-exact, no
         # doubling rounds (see _DIRECT_MAX_LEN; an id slice is 8 B
         # per token, hence the /8 budget above).
+        #
+        # Occurrence counting de-skewed exactly like the char grain
+        # (r13, guide §2.5): see _direct_spans — the r12
+        # ``count() OVER (PARTITION BY w)`` put every occurrence of
+        # one hot window into ONE task with no map-side reduction.
         us = F.col("_us")
         last = F.size(us) - (min_len - 1)
-        marked = (
+        rows = (
             syms.groupBy("doc")
             .agg(
                 F.transform(
@@ -343,14 +337,77 @@ def duplicate_spans_tokens(
                 (F.col("p0") + F.col("_p1")).cast("long").alias("pos"),
                 "w",
             )
-            .withColumn(
-                "_n", F.count(F.lit(1)).over(Window.partitionBy("w"))
-            )
-            .filter(F.col("_n") >= min_count)
-            .select("doc", "pos")
         )
-        return _spans_from_marked(marked, min_len, id_col)
+        return _direct_spans(rows, min_len, min_count, id_col)
     return _spans_from_symbols(syms, min_len, min_count, id_col, fanout)
+
+
+def _direct_spans(
+    rows: DataFrame, min_len: int, min_count: int, id_col: str
+) -> DataFrame:
+    """The direct strategy's de-skewed tail (r13, guide §2.5):
+    ``rows`` is one ``(doc, pos, w)`` row per corpus position (``w``
+    = the raw window content, string or id-array); marks every
+    position whose window occurs >= ``min_count`` times corpus-wide
+    — EXACTLY (the full content decides the final verdict; hashes
+    only pre-filter) — and returns the merged spans.
+
+    The r12 shape — ``count(1) OVER (PARTITION BY xxhash64(w), w)``
+    — put every occurrence of one duplicated window into ONE task
+    with no partial reduction: a boilerplate 40-char window occurring
+    10^9 times at web scale is a §2.5 straggler (AQE cannot split a
+    window partition). This shape has no content window, no
+    corpus-position exchange and no corpus-position sort:
+
+    - ``dup_h``: candidate window HASHES with >= min_count total
+      occurrences — an 8-byte-key count whose partial aggregation
+      absorbs hot keys task-locally (the exchange carries one
+      partial per distinct hash per task, never occurrences). A hash
+      collision only ADMITS a window into the survivor set, never
+      drops one (a truly duplicated window's hash class counts at
+      least its own occurrences) — a pure pre-filter;
+    - ``surv``: the position stream probe-filtered by broadcast
+      ``dup_h`` and checkpoint-cut — the duplicated positions plus
+      collision noise, a small fraction of the corpus in realistic
+      dedup workloads (and the cut is what keeps the window
+      derivation to two passes total: the survivor set feeds both
+      the exact verdict and the final mark);
+    - ``dup_w``: the EXACT verdict, counted on the full (hash,
+      content) key over survivors only — partial aggregation again
+      absorbs hot keys; collisions admitted by dup_h die here (their
+      true content count is < min_count);
+    - the final broadcast semi-join keeps survivors whose content
+      verdict held.
+
+    Broadcast/checkpoint bounds (documented contract): ``dup_h`` is
+    8 B per distinct duplicated window, ``dup_w`` its content, and
+    the survivor cut is duplicated-positions-sized — corpora whose
+    DUPLICATED footprint itself is corpus-scale should run
+    ``strategy="doubling"``, whose per-round partial aggregation
+    and label state handle unbounded duplicate sets natively."""
+    rows = rows.withColumn("_hw", F.xxhash64("w"))
+    dup_h = (
+        rows.groupBy("_hw")
+        .agg(F.count(F.lit(1)).alias("_nh"))
+        .filter(F.col("_nh") >= min_count)
+        .select("_hw")
+    )
+    _cut, _free = _cut_tools(rows)
+    surv, surv_ids = _cut(
+        rows.join(F.broadcast(dup_h), "_hw", "left_semi")
+    )
+    dup_w = (
+        surv.groupBy("_hw", "w")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= min_count)
+        .select("_hw", "w")
+    )
+    marked = surv.join(
+        F.broadcast(dup_w), ["_hw", "w"], "left_semi"
+    ).select("doc", "pos")
+    out = _spans_from_marked(marked, min_len, id_col)
+    _free(surv_ids)
+    return out
 
 
 def _tile_schedule(base: int, target: int, fanout: int) -> list[list[int]]:

@@ -2722,6 +2722,58 @@ def test_suffix_duplicate_spans_matches_brute_force(spark):
         assert got3 == _brute_duplicate_spans(rows, 10, min_count=3)
 
 
+def test_suffix_direct_hot_window_skew(spark):
+    """r13 de-skew of the direct strategy (guide §2.5): occurrence
+    counting must be a partial-aggregable groupBy(w) + semi-join, not
+    a count window over the raw content — a boilerplate window
+    occurring ~10^5 times corpus-wide must collapse map-side instead
+    of funneling every occurrence through ONE task. Pins (a) the
+    marked-stream PLAN: a partial_count aggregate on the window
+    content and a LeftSemi join, with no count-over-content Window
+    operator; (b) correctness on the hot-key fixture: 100 identical
+    docs of 1000 overlapping hot windows (~8x10^5 occurrences of each
+    rotation) — every position cross-doc duplicated, so exactly one
+    whole-doc span per doc."""
+    from google_sheets_etl_spark.operators import suffix
+
+    body = "HOT8WIN!" * 1000 + "tl"
+    docs = spark.createDataFrame(
+        [(i, body) for i in range(100)], "doc_id long, text string"
+    )
+    got = sorted(
+        tuple(r)
+        for r in suffix.duplicate_spans(
+            docs, min_len=8, strategy="direct"
+        ).collect()
+    )
+    n = len(body)
+    assert got == [(i, 1, n, n) for i in range(100)]
+
+    # plan shape: disable the checkpoint cut (the declared plan is a
+    # checkpoint scan) and read the full pipeline plan — the
+    # tools/suffix_plan_probe.py technique
+    orig = suffix._cut_tools
+    try:
+        suffix._cut_tools = (
+            lambda df: (lambda d: (d, set()), lambda ids: None)
+        )
+        plan = (
+            suffix.duplicate_spans(docs, min_len=8, strategy="direct")
+            ._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode
+                .fromString("formatted")
+            )
+        )
+    finally:
+        suffix._cut_tools = orig
+    assert "partial_count" in plan, "window counts must partial-aggregate"
+    assert "LeftSemi" in plan, "duplicated set must semi-join back"
+    # the only Window operators left are the per-doc span merge (lag /
+    # running sum partitioned by doc) — the r12 shape's
+    # count-over-content window must be gone
+    assert "count(1) windowspecdefinition" not in plan
+
+
 def test_suffix_tile_fanout_equivalence(spark):
     """The r12 fan-out widening (default fanout=4 — half the rounds
     of classic doubling) returns EXACTLY the spans of fanout=2

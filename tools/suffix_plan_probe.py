@@ -25,7 +25,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "plans", "r12",
+        "plans", os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r13"),
     )
     # identity cut: keep the whole pipeline as one unexecuted plan
     suffix._cut_tools = lambda df: (lambda d: (d, set()), lambda ids: None)
